@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Filters => F, Transforms => T}
+import graft.agg.GroupBy
+import graft.join.Joins
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every entry in [[queries]] is an operator from SURVEY.md §2 expressed
+ * through the graft library; [[oracleSql]] holds the DuckDB-equivalent SQL
+ * the driver hash-compares against at sf0.01.
+ *
+ * Determinism conventions (double vs decimal):
+ *  - any SUM/AVG over a double column goes through DECIMAL (exact in both
+ *    engines for 2-decimal money values), then back to double;
+ *  - window/sort orders always end in a unique key (orderkey, linenumber).
+ */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact sum of a 2-decimal double column, as double. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 aggregation: multi-key groupBy w/ count/sum/avg/min/max ----
+    "q01_groupby_agg" -> ((s, dir) => {
+      GroupBy("l_returnflag", "l_linestatus")
+        .count("n")
+        .agg(dsum("l_quantity").as("sum_qty"))
+        .agg(dsum("l_extendedprice").as("sum_price"))
+        .agg((sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_disc"))
+        .min("l_quantity", "min_qty")
+        .max("l_extendedprice", "max_price")
+        .apply(t(s, dir, "lineitem"))
+    }),
+
+    // ---- §2.4 global aggregate: one aggregator over all input, 1 row ----
+    "q02_global_agg" -> ((s, dir) => {
+      GroupBy.global(
+        count(lit(1)).as("n_rows"),
+        dsum("l_extendedprice").as("total_price"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+        count_distinct(col("l_orderkey")).as("n_orders")
+      )(t(s, dir, "lineitem"))
+    }),
+
+    // ---- §2.2 filters: in/between/contains/startsWith/regex/combinators ----
+    "q03_filter_chain" -> ((s, dir) => {
+      t(s, dir, "part").filter(
+        F.and(
+          F.in("p_type", "ECONOMY", "PROMO"),
+          F.between("p_size", 5, 30),
+          F.or(F.contains("p_name", "widget"), F.startsWith("p_name", "large")),
+          F.not(F.endsWith("p_brand", "#13")),
+          F.matchesRegex("p_name", "^[a-z]+ [a-z]+$"),
+          F.notNull("p_brand"),
+          F.greaterThan("p_retailprice", 901.0)))
+    }),
+
+    // ---- §2.2 transforms: select/rename/addField/casts/trim/upper/lower ----
+    "q04_transforms" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .transform(T.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey"))
+        .transform(T.toUpper("c_name"))
+        .transform(T.toLower("c_mktsegment"))
+        .transform(T.addField("bal_bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "low").otherwise("high")))
+        .transform(T.addField("nation_str", col("c_nationkey").cast("string")))
+        .transform(T.removeFields("c_nationkey"))
+        .transform(T.rename(Map("c_name" -> "name", "c_mktsegment" -> "segment")))
+    }),
+
+    // ---- §2.2 ParseTime + §2.6 JSON path extraction + date parts ----
+    "q05_time_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .transform(T.addField("k", get_json_object(col("props"), "$.k").cast("long")))
+        .transform(T.addField("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+        .transform(T.parseTime("ts_str", "yyyy-MM-dd HH:mm:ss"))
+        .select(
+          col("event_id"),
+          col("k"),
+          col("ts_str").as("ts_sec"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"))
+    }),
+
+    // ---- §2.3 inner join (multi-table, then agg) ----
+    "q06_join_inner" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      GroupBy("o_orderstatus")
+        .count("n_items")
+        .agg(dsum("l_extendedprice").as("revenue"))
+        .apply(Joins.join(li, o, Seq("l_orderkey"), "inner"))
+    }),
+
+    // ---- §2.3 left join (all customers, order counts incl. zero) ----
+    "q07_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      Joins.join(c, o, Seq("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), lit(0.0))
+            .as("total_spent"))
+    }),
+
+    // ---- §2.3 full outer join w/ unmatched rows on both sides ----
+    "q08_join_full" -> ((s, dir) => {
+      val left = t(s, dir, "part").filter(col("p_partkey") < 120)
+        .select(col("p_partkey").as("pk"), col("p_name"))
+      val right = t(s, dir, "lineitem").filter(col("l_partkey").between(80, 200))
+        .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("n_li"))
+      Joins.join(left, right, Seq("pk"), "full")
+    }),
+
+    // ---- §2.3 semi/anti join (exists / not-exists) ----
+    "q09_join_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      val semi = Joins.join(c, o, Seq("c_custkey"), "semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val anti = Joins.join(c, o, Seq("c_custkey"), "anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      semi.unionByName(anti)
+    }),
+
+    // ---- §2.3 lookup/enrichment: broadcast dim join, no fact shuffle ----
+    "q10_lookup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      Joins.lookup(Joins.lookup(li, sup, Seq("s_suppkey")),
+          nat.withColumnRenamed("n_nationkey", "s_nationkey"), Seq("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("revenue"))
+    }),
+
+    // ---- §2.5 union (multi-parent fan-in ⇒ UNION ALL by name) ----
+    "q11_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("customer").as("src"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          lit("supplier").as("src"))
+      Joins.unionAll(Seq(c, sup))
+    }),
+
+    // ---- §2.5 window functions: row_number/rank/running sum, top-k/group ----
+    "q12_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .filter(col("rn") <= 5)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("running_qty"))
+    }),
+
+    // ---- §2.5 sort + limit (top-k) ----
+    "q13_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ---- §2.5 distinct ----
+    "q14_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    // ---- §2.2 ConvertType / convenience casts (incl. failure→null) ----
+    "q15_casts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .transform(T.addField("qty_int", col("o_totalprice").cast("long")))
+        .transform(T.addField("key_str", col("o_orderkey").cast("string")))
+        .transform(T.addField("prio_num", expr("try_cast(o_orderpriority AS INT)")))
+        .select(col("o_orderkey"), col("qty_int"), col("key_str"), col("prio_num"))
+    }),
+
+    // ---- tumbling-window event aggregation (batch form of §2.11) ----
+    "q16_event_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (column names MUST match). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_global_agg" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q03_filter_chain" ->
+      """SELECT * FROM part
+        |WHERE p_type IN ('ECONOMY','PROMO')
+        |  AND p_size BETWEEN 5 AND 30
+        |  AND (p_name LIKE '%widget%' OR p_name LIKE 'large%')
+        |  AND NOT (p_brand LIKE '%#13')
+        |  AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+        |  AND p_brand IS NOT NULL AND p_brand <> ''
+        |  AND p_retailprice > 901.0""".stripMargin,
+
+    "q04_transforms" ->
+      """SELECT c_custkey, upper(c_name) AS name, lower(c_mktsegment) AS segment,
+        | c_acctbal,
+        | CASE WHEN c_acctbal < 0 THEN 'negative'
+        |      WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+        | CAST(c_nationkey AS VARCHAR) AS nation_str
+        |FROM customer""".stripMargin,
+
+    "q05_time_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
+        | CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        | CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h
+        |FROM events""".stripMargin,
+
+    "q06_join_inner" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q07_join_left" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        | COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q08_join_full" ->
+      """SELECT COALESCE(l.pk, r.pk) AS pk, l.p_name, r.n_li
+        |FROM (SELECT p_partkey AS pk, p_name FROM part WHERE p_partkey < 120) l
+        |FULL JOIN (SELECT l_partkey AS pk, count(*) AS n_li FROM lineitem
+        |           WHERE l_partkey BETWEEN 80 AND 200 GROUP BY 1) r
+        |  ON l.pk = r.pk""".stripMargin,
+
+    "q09_join_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q10_lookup" ->
+      """SELECT n_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q11_union" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier""".stripMargin,
+
+    "q12_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey
+        |              ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) WHERE rn <= 5""".stripMargin,
+
+    "q13_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q14_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q15_casts" ->
+      """SELECT o_orderkey, CAST(trunc(o_totalprice) AS BIGINT) AS qty_int,
+        | CAST(o_orderkey AS VARCHAR) AS key_str,
+        | TRY_CAST(o_orderpriority AS INT) AS prio_num
+        |FROM orders""".stripMargin,
+
+    "q16_event_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

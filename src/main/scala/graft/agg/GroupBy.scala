@@ -1,0 +1,74 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Aggregation builder — the reference's GroupBy surface
+ * (goetl `aggregate/groupby.go:48-83`) on Spark's `HashAggregateExec`,
+ * which gives partial (map-side) + final aggregation and shuffle-scale
+ * grouping for free; the reference's single-process hash map
+ * (`aggregate/groupby.go:88`) is its scalability ceiling.
+ *
+ * Semantic upgrades vs the reference, by design (SURVEY.md §7.3):
+ * group keys keep their native types (reference stringifies them,
+ * `groupby.go:152-188`); min/max compare typed values (reference falls
+ * back to string comparison across types, `groupby.go:405-428`).
+ * Matching semantics: avg of zero values is null (`groupby.go:315-317`
+ * ⇔ Spark `avg` over all-null), sum skips nulls (`groupby.go:379-402`).
+ */
+final case class GroupBy(
+    groupFields: Seq[String],
+    aggs: Seq[Column] = Seq.empty,
+    sortResults: Boolean = false) {
+
+  /** count(*) — rows per group, like the reference (`groupby.go:253-269`). */
+  def count(out: String): GroupBy =
+    copy(aggs = aggs :+ org.apache.spark.sql.functions.count(lit(1)).as(out))
+
+  def sum(field: String, out: String): GroupBy =
+    copy(aggs = aggs :+ org.apache.spark.sql.functions.sum(col(field)).as(out))
+
+  def avg(field: String, out: String): GroupBy =
+    copy(aggs = aggs :+ org.apache.spark.sql.functions.avg(col(field)).as(out))
+
+  def min(field: String, out: String): GroupBy =
+    copy(aggs = aggs :+ org.apache.spark.sql.functions.min(col(field)).as(out))
+
+  def max(field: String, out: String): GroupBy =
+    copy(aggs = aggs :+ org.apache.spark.sql.functions.max(col(field)).as(out))
+
+  /** Beyond-reference aggregates the engine exposes natively. */
+  def countDistinct(field: String, out: String): GroupBy =
+    copy(aggs = aggs :+ count_distinct(col(field)).as(out))
+  def approxCountDistinct(field: String, out: String): GroupBy =
+    copy(aggs = aggs :+ approx_count_distinct(col(field)).as(out))
+
+  /** Arbitrary aggregate column — the hook for custom
+   *  `Aggregator[IN,BUF,OUT]` registered via `functions.udaf`
+   *  (reference custom-aggregator SPI, `aggregate/aggregator.go:32-39`). */
+  def agg(c: Column): GroupBy = copy(aggs = aggs :+ c)
+
+  /** Deterministic output order like the reference's sorted emit
+   *  (`groupby.go:191-199`); off by default — ordering is a contract
+   *  only tests need, and a global sort is a needless exchange at scale. */
+  def sorted: GroupBy = copy(sortResults = true)
+
+  def apply(df: DataFrame): DataFrame = {
+    require(aggs.nonEmpty, "GroupBy needs at least one aggregate")
+    val out =
+      if (groupFields.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (sortResults && groupFields.nonEmpty) out.orderBy(groupFields.map(col): _*)
+    else out
+  }
+}
+
+object GroupBy {
+  def apply(fields: String*): GroupBy = GroupBy(fields.toSeq)
+
+  /** Global aggregate: ONE aggregator over the whole input, exactly one
+   *  output row (reference AggregateTask, `dag/tasks/transform.go:163-200`). */
+  def global(aggs: Column*): DataFrame => DataFrame =
+    df => df.agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,63 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Session factory for the graft engine.
+ *
+ * Capability analogue of the reference's `Pipeline`/engine bootstrap
+ * (goetl `pipeline/pipeline.go:68-159`), re-expressed as a configured
+ * [[SparkSession]]: laziness + Catalyst replace the reference's pull loop.
+ *
+ * Scale posture: AQE on (runtime re-plan, skew-join handling, partition
+ * coalescing), shuffle partitions sized for the deployment (32 for the
+ * local[32] test rig; a real cluster overrides via `--conf`).
+ */
+object Engine {
+
+  /** Apply graft's defaults to an arbitrary builder (cluster or local). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // The test `events` table carries TIMESTAMP(NANOS), which Spark's
+    // parquet reader rejects; read as long and convert (Tables below).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for tests / bench (single JVM, `cores` threads). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft",
+            shufflePartitions: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loader for the test star schema (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory. Nanosecond timestamp
+   *  columns (read as epoch-nanos longs under `nanosAsLong`) are converted
+   *  to microsecond timestamps with exact integer division. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}

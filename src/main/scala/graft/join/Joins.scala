@@ -1,0 +1,74 @@
+package graft.join
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/**
+ * Join operators — the reference's single in-memory hash join
+ * (goetl `dag/tasks/join.go`) generalized to Catalyst's full strategy set.
+ *
+ * The reference always hash-builds the right side in RAM
+ * (`dag/tasks/join.go:107-117`) — its ceiling. Here Catalyst + AQE pick
+ * broadcast / shuffled-hash / sort-merge from statistics at runtime;
+ * [[lookup]] force-broadcasts the dimension for the enrichment pattern
+ * (`dag/dag_builder.go:126-133` AddLookupTask).
+ *
+ * Column-name conflicts: reference prefixes clashing right columns with
+ * `right_` (or per-side prefixes), `dag/tasks/join.go:190-224`.
+ * Reproduced below for non-key clashes.
+ */
+object Joins {
+  val types: Set[String] = Set("inner", "left", "right", "full", "semi", "anti", "cross")
+
+  private def sparkType(t: String): String = t match {
+    case "left"  => "left_outer"
+    case "right" => "right_outer"
+    case "full"  => "full_outer"
+    case "semi"  => "left_semi"
+    case "anti"  => "left_anti"
+    case other   => other
+  }
+
+  /**
+   * Multi-key equi-join (reference composite keys stringified
+   * `"v1|v2"`, `join.go:172-187` — here native typed key columns).
+   * Many-to-many duplicates emit the cross-product per key, as the
+   * reference does (`join.go:110-118`).
+   *
+   * @param leftPrefix/rightPrefix optional per-side prefixes for
+   *   non-key columns (reference JoinConfig prefixes); when both empty,
+   *   clashing right columns get `right_` (reference default).
+   */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           joinType: String = "inner",
+           leftPrefix: String = "", rightPrefix: String = ""): DataFrame = {
+    require(types.contains(joinType), s"unknown join type $joinType")
+    val l = prefixNonKeys(left, keys, leftPrefix)
+    val rPre = prefixNonKeys(right, keys, rightPrefix)
+    val r =
+      if (leftPrefix.isEmpty && rightPrefix.isEmpty) {
+        // Default clash handling: right_<col> on collision (join.go:214-219)
+        val clashes = rPre.columns.toSet.intersect(l.columns.toSet) -- keys
+        clashes.foldLeft(rPre)((d, c) => d.withColumnRenamed(c, s"right_$c"))
+      } else rPre
+    l.join(r, keys, sparkType(joinType))
+  }
+
+  private def prefixNonKeys(df: DataFrame, keys: Seq[String], prefix: String): DataFrame =
+    if (prefix.isEmpty) df
+    else df.columns.foldLeft(df) { (d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, prefix + c)
+    }
+
+  /** Lookup/enrichment: left join against a small dimension, explicitly
+   *  broadcast — no shuffle of the fact side at any scale. */
+  def lookup(facts: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    facts.join(broadcast(dim), keys, "left_outer")
+
+  /** Multi-parent fan-in: the reference concatenates all dependency
+   *  outputs (`dag/dag_executor.go:362-366`) — an implicit UNION ALL over
+   *  possibly-heterogeneous schemas. `unionByName(allowMissing)` is the
+   *  faithful, schema-aware analogue. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/**
+ * Predicate builders — the reference's filter surface
+ * (goetl `filter/filters.go:38-246`) as pure [[Column]] expressions.
+ * Everything here is codegen'd and pushdown-eligible: a `Filters.between`
+ * on a parquet column reaches the scan as a `PushedFilters` entry.
+ *
+ * Reference semantics preserved: a missing/null field excludes the record
+ * in every predicate (`filter/filters.go` passim) — Spark's three-valued
+ * NULL logic gives the same observable drop-the-row behavior in `.filter`.
+ */
+object Filters {
+
+  /** Excludes null AND empty-string values (reference NotNull,
+   *  `filter/filters.go:38-52` treats "" as null-like). */
+  def notNull(field: String): Column = {
+    val c = col(field)
+    c.isNotNull && !(c.cast(StringType) === lit(""))
+  }
+
+  /** Typed equality (reference used reflect.DeepEqual, `filter/filters.go:55-63`). */
+  def equalsTo(field: String, value: Any): Column = col(field) === lit(value)
+
+  def contains(field: String, substr: String): Column = col(field).contains(substr)
+  def startsWith(field: String, prefix: String): Column = col(field).startsWith(prefix)
+  def endsWith(field: String, suffix: String): Column = col(field).endsWith(suffix)
+
+  /** Regex match (reference `filter/filters.go:108-120`); Java regex. */
+  def matchesRegex(field: String, pattern: String): Column = col(field).rlike(pattern)
+
+  /** Numeric comparisons after double coercion (reference coerces leniently,
+   *  `filter/filters.go:123-172`, `:249-264`; non-numeric ⇒ excluded, which
+   *  Spark's null-propagating cast reproduces). */
+  def greaterThan(field: String, v: Double): Column = col(field).cast("double") > lit(v)
+  def lessThan(field: String, v: Double): Column = col(field).cast("double") < lit(v)
+  /** Inclusive on both ends (reference `filter/filters.go:152-172`). */
+  def between(field: String, lo: Double, hi: Double): Column =
+    col(field).cast("double").between(lit(lo), lit(hi))
+
+  /** Set membership (reference `filter/filters.go:175-189`). */
+  def in(field: String, values: Any*): Column = col(field).isin(values: _*)
+
+  /** Combinators (reference `filter/filters.go:192-232`); Catalyst
+   *  short-circuits and reorders these safely. */
+  def and(cs: Column*): Column = cs.reduce(_ && _)
+  def or(cs: Column*): Column = cs.reduce(_ || _)
+  def not(c: Column): Column = !c
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/**
+ * Row-shaping operators — the capability surface of the reference's
+ * transformer set (goetl `transform/transforms.go:41-305`), re-expressed
+ * as Column-expression builders so every operation stays inside Catalyst
+ * whole-stage codegen (no UDFs on the hot path).
+ *
+ * Each member returns a `DataFrame => DataFrame` so transforms compose as
+ * `df.transform(Transforms.select(...)).transform(Transforms.trimSpace(...))`.
+ *
+ * Divergences from the reference, by design (SURVEY.md §7.3):
+ *  - schemas are per-DataFrame and column-typed, not per-record;
+ *  - `convertType` uses Spark cast (null on failure) by default; the
+ *    reference's fail-the-record semantics are available via [[strictCast]].
+ */
+object Transforms {
+
+  /** Keep only the listed fields; missing fields are silently dropped
+   *  (reference `transform/transforms.go:41-51` tolerates absences). */
+  def select(fields: String*): DataFrame => DataFrame = df => {
+    val present = fields.filter(df.columns.contains)
+    df.select(present.map(col): _*)
+  }
+
+  /** Rename via mapping; non-mapped columns pass through
+   *  (reference `transform/transforms.go:55-67`). */
+  def rename(mapping: Map[String, String]): DataFrame => DataFrame =
+    df => df.withColumnsRenamed(mapping)
+
+  /** Drop one or more fields (reference `transform/transforms.go:202-234`). */
+  def removeFields(fields: String*): DataFrame => DataFrame =
+    df => df.drop(fields: _*)
+
+  /** Computed column (reference AddField, `transform/transforms.go:71-80`).
+   *  The expression is a Column, so arbitrary arithmetic / string logic
+   *  stays codegen'd — use a UDF only when a Column can't express it. */
+  def addField(name: String, expr: Column): DataFrame => DataFrame =
+    df => df.withColumn(name, expr)
+
+  /** Cast with Spark semantics: failure yields null
+   *  (reference ConvertType, `transform/transforms.go:84-101`). */
+  def convertType(field: String, to: DataType): DataFrame => DataFrame =
+    df => df.withColumn(field, col(field).cast(to))
+
+  /** Cast that fails the job on unconvertible values — matches the
+   *  reference's error-the-record contract under FailFast
+   *  (`transform/transforms.go:92-96` + `pipeline/pipeline.go:294-311`). */
+  def strictCast(field: String, to: DataType): DataFrame => DataFrame =
+    df => df.withColumn(field,
+      when(col(field).isNotNull && col(field).cast(to).isNull,
+        raise_error(concat(lit(s"graft.strictCast: cannot cast field '$field' value '"),
+          col(field).cast("string"), lit(s"' to $to"))).cast(to))
+        .otherwise(col(field).cast(to)))
+
+  /** Convenience casts (reference `transform/transforms.go:104-116`). */
+  def toStringField(field: String): DataFrame => DataFrame =
+    convertType(field, org.apache.spark.sql.types.StringType)
+  def toIntField(field: String): DataFrame => DataFrame =
+    convertType(field, org.apache.spark.sql.types.LongType)
+  def toFloatField(field: String): DataFrame => DataFrame =
+    convertType(field, org.apache.spark.sql.types.DoubleType)
+
+  /** Trim whitespace on string fields (reference `transform/transforms.go:119-136`). */
+  def trimSpace(fields: String*): DataFrame => DataFrame = df =>
+    fields.foldLeft(df)((d, f) => d.withColumn(f, trim(col(f))))
+
+  /** Case conversion (reference `transform/transforms.go:139-176`). */
+  def toUpper(fields: String*): DataFrame => DataFrame = df =>
+    fields.foldLeft(df)((d, f) => d.withColumn(f, upper(col(f))))
+  def toLower(fields: String*): DataFrame => DataFrame = df =>
+    fields.foldLeft(df)((d, f) => d.withColumn(f, lower(col(f))))
+
+  /** Parse a string field into a timestamp with a Java datetime pattern
+   *  (reference ParseTime takes a Go layout, `transform/transforms.go:179-198`;
+   *  [[goLayoutToJava]] translates the common layouts). */
+  def parseTime(field: String, pattern: String): DataFrame => DataFrame =
+    df => df.withColumn(field, to_timestamp(col(field), pattern))
+
+  /** Translate the Go reference-time layouts the reference documents into
+   *  Java DateTimeFormatter patterns, so goetl configs port verbatim. */
+  def goLayoutToJava(goLayout: String): String = {
+    // Longest-first so "2006" wins over "06", "01" over "1", etc.
+    val subs = Seq(
+      "2006" -> "yyyy", "06" -> "yy",
+      "January" -> "MMMM", "Jan" -> "MMM", "01" -> "MM",
+      "Monday" -> "EEEE", "Mon" -> "EEE",
+      "02" -> "dd", "_2" -> "d",
+      "15" -> "HH", "03" -> "hh",
+      "04" -> "mm", "05" -> "ss",
+      ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+      "-07:00" -> "XXX", "-0700" -> "Z", "Z07:00" -> "XXX",
+      "MST" -> "zzz", "PM" -> "a")
+    var out = goLayout
+    subs.foreach { case (g, j) => out = out.replace(g, j) }
+    out
+  }
+
+  /** Apply a sequence of transforms in order (reference pipelines chain
+   *  transformers, `pipeline/pipeline.go:276-286`; unlike the reference,
+   *  chain order interleaves with filters faithfully — SURVEY.md §3.1). */
+  def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
+    df => ts.foldLeft(df)((d, t) => t(d))
+}
