@@ -15,6 +15,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Pre-delete the query's output dir: a failure must yield "no spark
+      // output" in the driver compare, never a stale prior result.
+      val qDir = Paths.get(outDir, name)
+      if (Files.exists(qDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(qDir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

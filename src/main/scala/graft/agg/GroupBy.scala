@@ -69,6 +69,8 @@ object GroupBy {
 
   /** Global aggregate: ONE aggregator over the whole input, exactly one
    *  output row (reference AggregateTask, `dag/tasks/transform.go:163-200`). */
-  def global(aggs: Column*): DataFrame => DataFrame =
+  def global(aggs: Column*): DataFrame => DataFrame = {
+    require(aggs.nonEmpty, "GroupBy.global needs at least one aggregate")
     df => df.agg(aggs.head, aggs.tail: _*)
+  }
 }

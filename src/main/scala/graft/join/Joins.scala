@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions.broadcast
  * [[lookup]] force-broadcasts the dimension for the enrichment pattern
  * (`dag/dag_builder.go:126-133` AddLookupTask).
  *
- * Column-name conflicts: reference prefixes clashing right columns with
- * `right_` (or per-side prefixes), `dag/tasks/join.go:190-224`.
- * Reproduced below for non-key clashes.
+ * Column-name conflicts: the reference's mergeRecords applies
+ * leftPrefix/rightPrefix to ALL fields including the join key
+ * (`dag/tasks/join.go:196-199`); with no prefixes, clashing right
+ * columns get `right_` (`join.go:214-219`). DELIBERATE DIVERGENCE:
+ * [[join]] prefixes only non-key columns, because Spark's `using`-style
+ * join emits one merged key column — prefixing it would break the merged
+ * output contract. A ported goetl config expecting `left_custkey` gets
+ * `custkey` here.
  */
 object Joins {
   val types: Set[String] = Set("inner", "left", "right", "full", "semi", "anti", "cross")

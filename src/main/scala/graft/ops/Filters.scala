@@ -7,8 +7,15 @@ import org.apache.spark.sql.types.StringType
 /**
  * Predicate builders — the reference's filter surface
  * (goetl `filter/filters.go:38-246`) as pure [[Column]] expressions.
- * Everything here is codegen'd and pushdown-eligible: a `Filters.between`
- * on a parquet column reaches the scan as a `PushedFilters` entry.
+ * Everything here is codegen'd. Pushdown: string/equality/in predicates
+ * reach the parquet scan directly; the double-coercing numeric forms
+ * ([[greaterThan]]/[[lessThan]]/[[between]]) do NOT reach parquet
+ * `PushedFilters` (measured on Spark 4.1.2: `cast(c as double) > x`
+ * stays above the scan even for bigint columns), and bigints beyond
+ * 2^53 lose precision in the coercion. They exist for goetl's lenient
+ * cross-type semantics (`filter/filters.go:249-264`). Callers that know
+ * the column type should use the typed forms ([[gt]]/[[lt]]/
+ * [[betweenTyped]]), which compare without coercion and always push down.
  *
  * Reference semantics preserved: a missing/null field excludes the record
  * in every predicate (`filter/filters.go` passim) — Spark's three-valued
@@ -42,12 +49,25 @@ object Filters {
   def between(field: String, lo: Double, hi: Double): Column =
     col(field).cast("double").between(lit(lo), lit(hi))
 
+  /** Typed comparisons — no coercion, so the predicate pushes to the
+   *  scan for every column type and long-range values stay exact. */
+  def gt(field: String, v: Any): Column = col(field) > lit(v)
+  def lt(field: String, v: Any): Column = col(field) < lit(v)
+  def betweenTyped(field: String, lo: Any, hi: Any): Column =
+    col(field).between(lit(lo), lit(hi))
+
   /** Set membership (reference `filter/filters.go:175-189`). */
   def in(field: String, values: Any*): Column = col(field).isin(values: _*)
 
   /** Combinators (reference `filter/filters.go:192-232`); Catalyst
    *  short-circuits and reorders these safely. */
-  def and(cs: Column*): Column = cs.reduce(_ && _)
-  def or(cs: Column*): Column = cs.reduce(_ || _)
+  def and(cs: Column*): Column = {
+    require(cs.nonEmpty, "Filters.and needs at least one predicate")
+    cs.reduce(_ && _)
+  }
+  def or(cs: Column*): Column = {
+    require(cs.nonEmpty, "Filters.or needs at least one predicate")
+    cs.reduce(_ || _)
+  }
   def not(c: Column): Column = !c
 }

@@ -81,23 +81,59 @@ object Transforms {
   def parseTime(field: String, pattern: String): DataFrame => DataFrame =
     df => df.withColumn(field, to_timestamp(col(field), pattern))
 
-  /** Translate the Go reference-time layouts the reference documents into
-   *  Java DateTimeFormatter patterns, so goetl configs port verbatim. */
+  /** Translate a Go reference-time layout (`transform/transforms.go:179-198`
+   *  takes Go layouts) into a Java DateTimeFormatter pattern, so goetl
+   *  configs port verbatim.
+   *
+   *  Proper longest-match tokenizer over the full Go layout token table
+   *  (the set Go's `time/format.go` nextStdChunk recognizes): literal
+   *  letters in the layout are quoted for Java, and a digit run that is
+   *  NOT a recognized reference-time token throws — Go would treat it as
+   *  a literal, but a digit literal in a datetime layout is almost always
+   *  a mistranscribed token, and silently emitting it produces wrong
+   *  timestamps instead of an error. */
   def goLayoutToJava(goLayout: String): String = {
-    // Longest-first so "2006" wins over "06", "01" over "1", etc.
-    val subs = Seq(
-      "2006" -> "yyyy", "06" -> "yy",
-      "January" -> "MMMM", "Jan" -> "MMM", "01" -> "MM",
-      "Monday" -> "EEEE", "Mon" -> "EEE",
-      "02" -> "dd", "_2" -> "d",
-      "15" -> "HH", "03" -> "hh",
-      "04" -> "mm", "05" -> "ss",
+    // Longest-first token table: Go reference-time chunk → Java pattern.
+    val table: Seq[(String, String)] = Seq(
+      "2006" -> "yyyy",
+      "January" -> "MMMM", "Monday" -> "EEEE",
       ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
-      "-07:00" -> "XXX", "-0700" -> "Z", "Z07:00" -> "XXX",
-      "MST" -> "zzz", "PM" -> "a")
-    var out = goLayout
-    subs.foreach { case (g, j) => out = out.replace(g, j) }
-    out
+      // Go's .9-forms drop trailing zeros; Java's closest parse-compatible
+      // form is an optional fraction section.
+      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSS]", ".999" -> "[.SSS]",
+      "-07:00:00" -> "xxxxx", "-070000" -> "xxxx",
+      "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
+      "Z07:00:00" -> "XXXXX", "Z070000" -> "XXXX",
+      "Z07:00" -> "XXX", "Z0700" -> "XX", "Z07" -> "X",
+      "Jan" -> "MMM", "Mon" -> "EEE", "MST" -> "zzz",
+      "002" -> "DDD", "__2" -> "DD", "_2" -> "d",
+      "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh",
+      "04" -> "mm", "05" -> "ss", "06" -> "yy",
+      "PM" -> "a", "pm" -> "a",
+      "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s"
+    )
+    val sb = new StringBuilder
+    var i = 0
+    def quoteLiteral(run: String): String =
+      if (run.exists(c => c.isLetter || c == '\'')) "'" + run.replace("'", "''") + "'"
+      else run
+    while (i < goLayout.length) {
+      table.find { case (go, _) => goLayout.startsWith(go, i) } match {
+        case Some((go, java)) => sb.append(java); i += go.length
+        case None =>
+          val c = goLayout.charAt(i)
+          if (c.isDigit)
+            throw new IllegalArgumentException(
+              s"goLayoutToJava: unrecognized digit at index $i of layout '$goLayout' — " +
+                "not a Go reference-time token; a digit literal here is almost certainly a mistake")
+          // Accumulate a run of literal (non-token-starting) chars.
+          val start = i
+          while (i < goLayout.length && !goLayout.charAt(i).isDigit &&
+                 !table.exists { case (go, _) => goLayout.startsWith(go, i) }) i += 1
+          sb.append(quoteLiteral(goLayout.substring(start, i)))
+      }
+    }
+    sb.toString
   }
 
   /** Apply a sequence of transforms in order (reference pipelines chain
