@@ -7,6 +7,9 @@ import graft.core.Tables
 import graft.ops.{Filters => F, Transforms => T}
 import graft.agg.GroupBy
 import graft.join.Joins
+import graft.cdc.CDC
+import graft.scd.SCD
+import graft.quality.Quality
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -207,6 +210,65 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    }),
+
+    // ---- §2.7 CDC: snapshot diff, INSERT/UPDATE/DELETE via full join ----
+    "q17_cdc" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      val prev = base.filter(col("o_orderkey") % 10 <= 7)
+        .withColumn("o_totalprice", dec.cast("double"))
+      val cur = base.filter(col("o_orderkey") % 10 >= 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, (dec + lit(BigDecimal("10.00"))).cast("double"))
+            .otherwise(dec.cast("double")))
+      CDC.changes(cur, prev, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"), changeTimestamp = None)
+    }),
+
+    // ---- §2.8 SCD Type 2: close-and-insert row versioning ----
+    "q18_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      val dimCur = c.filter(col("c_custkey") % 4 =!= 0)
+        .withColumn("effective_from", lit("2020-01-01"))
+        .withColumn("effective_to", lit("9999-12-31"))
+        .withColumn("is_current", lit(true))
+      // Historical rows: must be ignored by the current-only index.
+      val dimHist = c.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", lit("ANCIENT"))
+        .withColumn("effective_from", lit("2015-01-01"))
+        .withColumn("effective_to", lit("2019-12-31"))
+        .withColumn("is_current", lit(false))
+      val source = c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 3 === 0, lit("SEG_NEW")).otherwise(col("c_mktsegment")))
+      SCD.scd2(source, dimCur.unionByName(dimHist),
+        Seq("c_custkey"), Seq("c_mktsegment"), today = "2024-06-01")
+    }),
+
+    // ---- §2.8 SCD Type 3: previous_-value columns + version bump ----
+    "q19_scd3" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val source = c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val dim = c.filter(col("c_custkey") % 4 =!= 0)
+        .select(col("c_custkey"),
+          concat(lit("OLD_"), col("c_mktsegment")).as("c_mktsegment"),
+          (col("c_custkey") % 3 + 1).cast("int").as("version"))
+      SCD.scd3(source, dim, Seq("c_custkey"), Seq("c_mktsegment"))
+    }),
+
+    // ---- §2.9 data quality: whole rule set in ONE aggregation pass ----
+    "q20_quality" -> ((s, dir) => {
+      Quality.metrics(t(s, dir, "lineitem"), Quality.Config(
+        maxNullRate = 0.5, nullRateFields = Seq("l_shipdate"),
+        rules = Seq(
+          Quality.FieldRule("l_quantity", min = Some(1.0), max = Some(50.0)),
+          Quality.FieldRule("l_discount", min = Some(0.0), max = Some(0.1)),
+          Quality.FieldRule("l_returnflag", allowed = Seq("A", "N", "R")),
+          Quality.FieldRule("l_linestatus", pattern = Some("^[FO]$")),
+          Quality.FieldRule("l_shipdate", notNull = true))))
     })
   )
 
@@ -320,6 +382,73 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q17_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders),
+        |prev AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CAST(tp AS DOUBLE) AS o_totalprice FROM base WHERE o_orderkey % 10 <= 7),
+        |cur AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CAST(CASE WHEN o_orderkey % 3 = 0 THEN tp + 10.00 ELSE tp END AS DOUBLE)
+        |          AS o_totalprice
+        |        FROM base WHERE o_orderkey % 10 >= 1),
+        |j AS (SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+        |        CASE WHEN c.o_orderkey IS NULL THEN p.o_custkey ELSE c.o_custkey END AS o_custkey,
+        |        CASE WHEN c.o_orderkey IS NULL THEN p.o_orderstatus ELSE c.o_orderstatus END AS o_orderstatus,
+        |        CASE WHEN c.o_orderkey IS NULL THEN p.o_totalprice ELSE c.o_totalprice END AS o_totalprice,
+        |        CASE WHEN p.o_orderkey IS NULL THEN 'INSERT'
+        |             WHEN c.o_orderkey IS NULL THEN 'DELETE'
+        |             WHEN NOT (c.o_totalprice IS NOT DISTINCT FROM p.o_totalprice
+        |                   AND c.o_orderstatus IS NOT DISTINCT FROM p.o_orderstatus) THEN 'UPDATE'
+        |        END AS change_type
+        |      FROM cur c FULL JOIN prev p ON c.o_orderkey = p.o_orderkey)
+        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+    "q18_scd2" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |src AS (SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END AS c_mktsegment
+        |        FROM c WHERE c_custkey % 2 = 0),
+        |dimcur AS (SELECT c_custkey, c_name, c_mktsegment FROM c WHERE c_custkey % 4 <> 0),
+        |j AS (SELECT s.c_custkey, s.c_name, s.c_mktsegment,
+        |             d.c_custkey AS dk, d.c_name AS dname, d.c_mktsegment AS dseg
+        |      FROM src s LEFT JOIN dimcur d ON s.c_custkey = d.c_custkey)
+        |SELECT dk AS c_custkey, dname AS c_name, dseg AS c_mktsegment,
+        |       '2020-01-01' AS effective_from, '2024-06-01' AS effective_to,
+        |       FALSE AS is_current
+        |  FROM j WHERE dk IS NOT NULL AND dseg IS DISTINCT FROM c_mktsegment
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, '2024-06-01', '9999-12-31', TRUE
+        |  FROM j WHERE dk IS NOT NULL AND dseg IS DISTINCT FROM c_mktsegment
+        |UNION ALL
+        |SELECT dk, dname, dseg, '2020-01-01', '9999-12-31', TRUE
+        |  FROM j WHERE dk IS NOT NULL AND dseg IS NOT DISTINCT FROM c_mktsegment
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, '2024-06-01', '9999-12-31', TRUE
+        |  FROM j WHERE dk IS NULL""".stripMargin,
+
+    "q19_scd3" ->
+      """WITH src AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |             WHERE c_custkey % 2 = 0),
+        |dim AS (SELECT c_custkey, 'OLD_' || c_mktsegment AS c_mktsegment,
+        |               CAST(c_custkey % 3 + 1 AS INT) AS version
+        |        FROM customer WHERE c_custkey % 4 <> 0)
+        |SELECT s.c_custkey, s.c_name, s.c_mktsegment,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN d.c_mktsegment END AS previous_c_mktsegment,
+        |  CAST(CASE WHEN d.c_custkey IS NOT NULL THEN d.version + 1 ELSE 1 END AS INT) AS version
+        |FROM src s LEFT JOIN dim d ON s.c_custkey = d.c_custkey""".stripMargin,
+
+    "q20_quality" ->
+      """SELECT count(*) AS n_records,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate__nulls,
+        | CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity__min,
+        | CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity__max,
+        | CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_discount < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS l_discount__min,
+        | CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS l_discount__max,
+        | CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag__allowed,
+        | CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$') THEN 1 ELSE 0 END) AS BIGINT) AS l_linestatus__pattern,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate__null
+        |FROM lineitem""".stripMargin
   )
 }

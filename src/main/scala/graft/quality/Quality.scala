@@ -1,0 +1,138 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality validation — the reference's DataQualityValidator
+ * (goetl `validators/validators.go:75-188` + per-field rules
+ * `:200-336`) reformulated as ONE aggregation pass.
+ *
+ * The reference loops over materialized records per check; here every
+ * rule compiles to a conditional-count aggregate, so the whole rule
+ * set costs a single scan + single-row reduce at any scale, and the
+ * metrics row itself is a first-class DataFrame ([[metrics]]).
+ *
+ * Field-presence checks (`validators.go:133-155`) are schema checks in
+ * a columnar engine — evaluated statically against `df.schema`, no scan.
+ *
+ * [[validate]] mirrors the reference's gate contract
+ * (`dag/tasks/conditional.go:49-79`): returns the list of violations;
+ * empty list = pass. [[validateOrThrow]] is the fail-fast form.
+ */
+object Quality {
+
+  /** Per-field rule (reference FieldValidator, `validators/validators.go:40-52`). */
+  final case class FieldRule(
+      field: String,
+      notNull: Boolean = false,
+      pattern: Option[String] = None,          // regex (validators.go:225-233)
+      min: Option[Double] = None,              // numeric range (:310-336)
+      max: Option[Double] = None,
+      allowed: Seq[Any] = Seq.empty,           // whitelist (:240-253)
+      fieldType: Option[String] = None)        // string|int|float|bool|date|email|url|uuid (:62-72)
+
+  final case class Config(
+      minRecords: Long = 0L,                   // validators.go:81-85
+      maxRecords: Long = 0L,                   // 0 = unlimited (:87-91)
+      requiredFields: Seq[String] = Seq.empty, // :133-144
+      forbiddenFields: Seq[String] = Seq.empty,// :146-155
+      maxNullRate: Double = 0.0,               // 0 = disabled (:158-188)
+      nullRateFields: Seq[String] = Seq.empty, // default: all fields
+      rules: Seq[FieldRule] = Seq.empty)
+
+  // Semantic regexes for email/url/uuid/date types (validators.go:270-307).
+  private val typePatterns = Map(
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "url" -> "^https?://[^\\s]+$",
+    "uuid" -> "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "date" -> "^\\d{4}-\\d{2}-\\d{2}$")
+
+  /** Count rows where `c` is true (null counts as false). */
+  private def countIf(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+  /** Violation-count aggregates for one rule, named `<field>__<kind>`. */
+  private def ruleAggs(r: FieldRule): Seq[(String, Column)] = {
+    val c = col(r.field)
+    val checks = Seq.newBuilder[(String, Column)]
+    def add(name: String, cond: Column): Unit =
+      checks += name -> countIf(cond).as(name)
+    if (r.notNull)
+      add(s"${r.field}__null", c.isNull)
+    r.pattern.foreach(p =>
+      add(s"${r.field}__pattern", c.isNotNull && !c.cast("string").rlike(p)))
+    r.min.foreach(lo =>
+      add(s"${r.field}__min", c.isNotNull && c.cast("double") < lo))
+    r.max.foreach(hi =>
+      add(s"${r.field}__max", c.isNotNull && c.cast("double") > hi))
+    if (r.allowed.nonEmpty)
+      add(s"${r.field}__allowed", c.isNotNull && !c.isin(r.allowed: _*))
+    r.fieldType.filter(typePatterns.contains).foreach(t =>
+      add(s"${r.field}__type_$t", c.isNotNull && !c.cast("string").rlike(typePatterns(t))))
+    checks.result()
+  }
+
+  /**
+   * One-row metrics DataFrame: `n_records`, per-field `<f>__nulls`
+   * null counts (for the null-rate check) and per-rule violation
+   * counts `<field>__<kind>`. Single aggregation pass.
+   */
+  def metrics(df: DataFrame, cfg: Config): DataFrame = {
+    val nullFields =
+      if (cfg.nullRateFields.nonEmpty) cfg.nullRateFields
+      else if (cfg.maxNullRate > 0) df.columns.toSeq
+      else Seq.empty
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_records") +:
+        (nullFields.map(f => countIf(col(f).isNull).as(s"${f}__nulls")) ++
+          cfg.rules.flatMap(ruleAggs(_).map(_._2)))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Run all checks; returns violation messages (empty = pass). */
+  def validate(df: DataFrame, cfg: Config): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val cols = df.columns.toSet
+    // Static schema checks — the columnar analogue of per-record field
+    // presence (validators.go:133-155).
+    cfg.requiredFields.filterNot(cols.contains)
+      .foreach(f => errs += s"missing required field: $f")
+    cfg.forbiddenFields.filter(cols.contains)
+      .foreach(f => errs += s"contains forbidden field: $f")
+
+    val row = metrics(df, cfg).collect()(0)
+    val n = row.getAs[Long]("n_records")
+    if (n < cfg.minRecords)
+      errs += s"insufficient records: got $n, need at least ${cfg.minRecords}"
+    if (cfg.maxRecords > 0 && n > cfg.maxRecords)
+      errs += s"too many records: got $n, maximum allowed ${cfg.maxRecords}"
+    if (cfg.maxNullRate > 0 && n > 0) {
+      val nullFields =
+        if (cfg.nullRateFields.nonEmpty) cfg.nullRateFields else df.columns.toSeq
+      nullFields.foreach { f =>
+        val rate = row.getAs[Long](s"${f}__nulls").toDouble / n
+        if (rate > cfg.maxNullRate)
+          errs += f"field $f has null rate $rate%.2f, exceeds maximum ${cfg.maxNullRate}%.2f"
+      }
+    }
+    cfg.rules.foreach { r =>
+      ruleAggs(r).foreach { case (name, _) =>
+        val v = row.getAs[Long](name)
+        if (v > 0) errs += s"rule violation $name: $v rows"
+      }
+    }
+    errs.result()
+  }
+
+  /** Fail-fast gate (reference ConditionalTask failure semantics:
+   *  validator error ⇒ task fails ⇒ downstream all_success tasks skip,
+   *  `dag/tasks/conditional.go:49-79`). */
+  def validateOrThrow(df: DataFrame, cfg: Config): Unit = {
+    val errs = validate(df, cfg)
+    if (errs.nonEmpty)
+      throw new QualityException(errs)
+  }
+
+  final class QualityException(val violations: Seq[String])
+    extends RuntimeException(s"data quality validation failed:\n  ${violations.mkString("\n  ")}")
+}
