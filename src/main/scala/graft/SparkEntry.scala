@@ -10,6 +10,7 @@ import graft.join.Joins
 import graft.cdc.CDC
 import graft.scd.SCD
 import graft.quality.Quality
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -269,6 +270,87 @@ object SparkEntry {
           Quality.FieldRule("l_returnflag", allowed = Seq("A", "N", "R")),
           Quality.FieldRule("l_linestatus", pattern = Some("^[FO]$")),
           Quality.FieldRule("l_shipdate", notNull = true))))
+    }),
+
+    // ---- LLM ops: exact dedup (hash-groupBy, min-id representative) ----
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+    }),
+
+    // ---- LLM ops: token counting + quality scoring + fingerprint ----
+    "q22_text_metrics" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(text).as("n_tokens"),
+        TA.bpeTokenCount(text).as("n_bpe"),
+        TA.uniqueTokenCount(text).as("n_uniq"),
+        TA.meanTokenLength(text).as("mean_len"),
+        TA.punctRatio(text).as("punct_ratio"),
+        TA.stopwordRatio(text, TA.EnglishStopwords).as("stop_ratio"),
+        TA.qualityScore(text).as("quality"),
+        TA.fingerprint(text).as("fp"))
+    }),
+
+    // ---- LLM ops: n-gram-heuristic language ID ----
+    "q23_langid" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.langHits(text, TA.LangMarkers(0)._2).as("en_hits"),
+        TA.langHits(text, TA.LangMarkers(1)._2).as("es_hits"),
+        TA.langHits(text, TA.LangMarkers(2)._2).as("de_hits"),
+        TA.langHits(text, TA.LangMarkers(3)._2).as("fr_hits"),
+        TA.langId(text).as("pred"))
+    }),
+
+    // ---- LLM ops: MinHash+LSH near-dup (band bucket join + verify) ----
+    "q24_minhash" -> ((s, dir) => {
+      Dedup.minHashDedup(t(s, dir, "documents"), "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, threshold = 0.5)
+    }),
+
+    // ---- LLM ops: SimHash fingerprint (16-bit) ----
+    "q25_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simHash(col("text"), bits = 16).as("simhash"))
+    }),
+
+    // ---- LLM ops: blocked n-gram Jaccard near-dup pairs ----
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang"), shingleN = 3, threshold = 0.5)
+    }),
+
+    // ---- LLM ops: brute-force cosine top-k similarity search ----
+    "q27_embedding_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- LLM ops: multimodal binary columns (codegen'd facts) ----
+    "q28_multimodal" -> ((s, dir) => {
+      val m = Multimodal.attach(t(s, dir, "documents"), "doc_id",
+        col("text"), "text/plain")
+      m.select(col("media_id").as("doc_id"),
+        Multimodal.byteLength(col("content")).as("n_bytes"),
+        Multimodal.digest(col("content")).as("digest"),
+        (TA.md5i(col("content").cast("string")) % 256).as("feature0"))
+    }),
+
+    // ---- LLM ops: embedding-cosine near-dup pairs (label-blocked) ----
+    "q29_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCols = Seq("label"), threshold = 0.35)
+    }),
+
+    // ---- LLM ops: LSH-bucketed approximate top-k (rows-only check:
+    //      the scale path; exactness covered by q27) ----
+    "q30_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3, bits = 6)
     })
   )
 
@@ -438,6 +520,94 @@ object SparkEntry {
         |  CASE WHEN d.c_custkey IS NOT NULL THEN d.c_mktsegment END AS previous_c_mktsegment,
         |  CAST(CASE WHEN d.c_custkey IS NOT NULL THEN d.version + 1 ELSE 1 END AS INT) AS version
         |FROM src s LEFT JOIN dim d ON s.c_custkey = d.c_custkey""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""".stripMargin,
+
+    "q22_text_metrics" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS w FROM documents)
+        |SELECT doc_id,
+        | CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        | CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_len,
+        | CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        | CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        | 0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |   + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS quality,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, x -> ('0x'||substr(md5(x),1,8))::BIGINT)), (acc,h) -> (acc*31+h)%1000000007) AS fp
+        |FROM t""".stripMargin,
+
+    "q23_langid" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(text,'\s+')) AS dw FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_intersect(dw, ['the','and','of','to','in','is','that','it','with','for'])) AS BIGINT) AS en_hits,
+        |  CAST(len(list_intersect(dw, ['el','la','de','que','y','en','un','los','por','con'])) AS BIGINT) AS es_hits,
+        |  CAST(len(list_intersect(dw, ['der','die','und','das','ist','von','mit','den','ein','nicht'])) AS BIGINT) AS de_hits,
+        |  CAST(len(list_intersect(dw, ['le','la','de','et','un','les','des','en','que','pour'])) AS BIGINT) AS fr_hits
+        | FROM t)
+        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        | CASE WHEN en_hits = g AND en_hits > 0 THEN 'en'
+        |      WHEN es_hits = g AND es_hits > 0 THEN 'es'
+        |      WHEN de_hits = g AND de_hits > 0 THEN 'de'
+        |      WHEN fr_hits = g AND fr_hits > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred
+        |FROM (SELECT *, greatest(en_hits, es_hits, de_hits, fr_hits) AS g FROM h)""".stripMargin,
+
+    "q24_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0,31),
+        |        i -> list_min(list_transform(sh, s -> ('0x'||substr(md5(i::VARCHAR||'|'||s),1,8))::BIGINT))) AS sig FROM sh),
+        |bands AS (SELECT doc_id, r.b AS band, array_to_string(sig[r.b*4+1 : r.b*4+4], ',') AS bkey
+        |          FROM sig CROSS JOIN range(8) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |v AS (SELECT id1, id2,
+        |        CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE) AS jaccard
+        |      FROM cand JOIN sh s1 ON s1.doc_id = cand.id1 JOIN sh s2 ON s2.doc_id = cand.id2)
+        |SELECT id1, id2, jaccard FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+    "q25_simhash" ->
+      """WITH h AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs FROM documents)
+        |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,15), i ->
+        |   CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN 1 << i ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM h""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang, string_split_regex(text,'\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+        |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    "q27_embedding_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+        |   list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) AS cos
+        |   FROM q JOIN e ON vec_id <> qid)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
+        |FROM s QUALIFY "rank" <= 5""".stripMargin,
+
+    "q28_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest,
+        | ('0x'||substr(md5(text),1,8))::BIGINT % 256 AS feature0
+        |FROM documents""".stripMargin,
+
+    "q29_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |        list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))) AS cos
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id1, id2 FROM p WHERE cos >= 0.35""".stripMargin,
 
     "q20_quality" ->
       """SELECT count(*) AS n_records,

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.md5i
+
+/**
+ * Deduplication operators for training-data pipelines: exact,
+ * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+ * Beyond the reference's surface; north-star LLM-pipeline scope.
+ *
+ * Scale posture (the 100 TB contract):
+ *  - exact dedup is a hash shuffle on the key — one exchange;
+ *  - MinHash signatures are computed INSIDE a projection (higher-order
+ *    array functions, no explode, no shuffle); only the band→bucket
+ *    join shuffles, and it shuffles 8 short band keys per doc rather
+ *    than the document text;
+ *  - candidate verification joins text back in only for candidate
+ *    pairs (tiny vs the corpus);
+ *  - blocked pairwise ops (n-gram Jaccard, embedding cosine) take
+ *    explicit blocking columns so the cross-product is per-block,
+ *    never global.
+ */
+object Dedup {
+
+  /**
+   * Exact deduplication: one representative row per key, the row with
+   * the smallest `orderCol` (deterministic). Implemented as a window
+   * rank over the key hash — a single shuffle on the key columns;
+   * map-side combine does the heavy collapse for skewed keys under AQE.
+   */
+  def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of a text column; texts shorter
+   *  than `n` tokens yield an empty set (guard needed because Spark's
+   *  `sequence(0, negative)` counts DOWN rather than returning empty). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, "\\s+")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * MinHash signature: `k` permutations, each simulated by the
+   * cross-engine hash of `i || '|' || shingle`; sig_i = min over
+   * shingles. Entirely inside one projection — no explode, no shuffle.
+   */
+  def minHashSignature(sh: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => md5i(concat(i.cast("string"), lit("|"), s)))))
+
+  /**
+   * Banded LSH candidate pairs: signatures split into `bands` bands of
+   * `k/bands` rows; docs sharing any full band become a candidate pair.
+   * Returns (`idCol`_1, `idCol`_2) with id1 < id2, distinct.
+   */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val withBands = df
+      .select(col(idCol), minHashSignature(shingles(col(textCol), shingleN), k).as("__sig"))
+      .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
+    val a = withBands.select(col(idCol).as("id1"), col("__band"), col("__key"))
+    val b = withBands.select(col(idCol).as("id2"), col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns (ratio of two
+   *  small integers — bit-exact in any engine). */
+  def jaccard(sh1: Column, sh2: Column): Column =
+    size(array_intersect(sh1, sh2)).cast("double") /
+      size(array_distinct(concat(sh1, sh2))).cast("double")
+
+  /**
+   * Full MinHash-LSH near-dup pipeline: candidates from banded LSH,
+   * then exact-Jaccard verification ≥ `threshold`. Output
+   * (id1, id2, jaccard) — only verified pairs survive, so LSH
+   * false positives cost a join lookup, never a wrong answer.
+   */
+  def minHashDedup(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, k, bands, shingleN)
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2")), "id2")
+      .select(col("id1"), col("id2"), jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash fingerprint over whitespace tokens, `bits` wide: for each
+   * bit position, tokens vote ±1 by that bit of their hash; the bit is
+   * set when the vote sum is positive. Near-identical documents land
+   * within small Hamming distance. Pure projection — no shuffle.
+   */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val hs = transform(split(text, "\\s+"), t => md5i(t))
+    val bitCols = (0 until bits).map { i =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /**
+   * Blocked n-gram Jaccard near-dup pairs: candidate pairs share
+   * `blockCols` values (equi-join, shuffle on the block key — never a
+   * global cross product), verified with exact Jaccard ≥ `threshold`.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], shingleN: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val sh = df.select((blockCols.map(col) :+ col(idCol) :+
+      shingles(col(textCol), shingleN).as("__sh")): _*)
+    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id1") :+ col("__sh").as("__sh1"): _*)
+    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__sh").as("__sh2"): _*)
+    a.join(b, blockCols)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Blocked embedding-cosine near-dup pairs: pairs sharing `blockCols`
+   * with cosine ≥ `threshold`. For unblocked corpora use
+   * [[Similarity.lshBuckets]] to generate the blocking column first.
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCols: Seq[String], threshold: Double): DataFrame = {
+    val v = df.select(blockCols.map(col) :+ col(idCol) :+ col(vecCol).cast("array<double>").as("__v"): _*)
+    val a = v.select(blockCols.map(col) :+ col(idCol).as("id1") :+ col("__v").as("__v1"): _*)
+    val b = v.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__v").as("__v2"): _*)
+    a.join(b, blockCols)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("__v1"), col("__v2")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select("id1", "id2")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column handling: images/audio/video as opaque `binary`
+ * columns with typed metadata, plus partition-wise decode / feature
+ * extraction.
+ *
+ * Design: media content travels as `BinaryType` next to a metadata
+ * struct ([[MediaMeta]]); cheap facts (byte length, digest) are pure
+ * codegen'd Column expressions; decode-dependent work runs per
+ * PARTITION over batches ([[extractFeatures]]) so a real decoder
+ * amortizes model/codec init per partition, not per row — the Scala
+ * analogue of `mapInPandas` batch processing.
+ *
+ * The decode step itself is a clearly-marked STUB (this environment has
+ * no image/audio codecs): [[FakeDecoder]] produces deterministic
+ * pseudo-features from the bytes so the Spark-side plumbing — schema,
+ * partitioning, batch shape, encoders — is real and testable. Swap
+ * [[Decoder]] for a JNI/FFI codec binding in production.
+ */
+object Multimodal {
+
+  /** Typed metadata carried alongside the binary payload. */
+  final case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
+
+  final case class MediaRecord(media_id: Long, content: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(media_id: Long, n_bytes: Long, digest: String,
+                                 features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("durationMs", LongType, nullable = true))), nullable = true)))
+
+  /** Payload byte length — codegen'd, no decode. */
+  def byteLength(content: Column): Column = length(content).cast("long")
+
+  /** Content digest (md5 hex) — codegen'd, no decode. */
+  def digest(content: Column): Column = md5(content)
+
+  /** Attach a binary payload + metadata struct to an id column;
+   *  `payload` may be any column castable to binary. */
+  def attach(df: DataFrame, idCol: String, payload: Column, mime: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      payload.cast("binary").as("content"),
+      struct(lit(mime).as("mime"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("durationMs")).as("meta"))
+
+  /** Decoder contract: bytes → fixed-width feature vector. A real
+   *  implementation binds an image/audio codec; init in [[open]] runs
+   *  once per partition. */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decode(content: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB decoder — deterministic pseudo-features from a rolling hash
+   *  of the payload bytes (no codec libs in this environment). The
+   *  plumbing around it (schema/partitioning/batching) is production-
+   *  shaped; only this class is fake. */
+  object FakeDecoder extends Decoder {
+    def decode(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 0L
+      var i = 0
+      while (i < content.length) {
+        h = (h * 31 + (content(i) & 0xff)) % 1000000007L
+        out(i % dim) += ((h % 256).toFloat / 256f)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /**
+   * Partition-wise feature extraction: decoder opens once per
+   * partition, then maps the partition's records — the batch shape a
+   * real codec needs. Narrow (no shuffle); scales with partition count.
+   */
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int,
+                      decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      decoder.open() // per-partition init (codec/model load)
+      it.map { r =>
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        MediaFeatures(r.media_id, bytes.length.toLong,
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString,
+          decoder.decode(bytes, dim))
+      }
+    }
+  }
+
+  /**
+   * Frame sampling stub for video payloads: emits `n` (frame_index,
+   * offset) pairs per record — the real implementation would seek the
+   * container; offsets here are deterministic byte positions so the
+   * 1→N row expansion (the expensive part at scale) is real.
+   */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame =
+    df.select(col("media_id"), byteLength(col("content")).as("__len"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i => i)))
+      .select(col("media_id"), col("pos").cast("long").as("frame_index"),
+        (col("col").cast("long") * col("__len") / n).cast("long").as("byte_offset"))
+}

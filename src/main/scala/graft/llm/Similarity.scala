@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.md5i
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ * brute-force cosine top-k as the exact baseline, and a random-
+ * hyperplane LSH-bucketed variant as the scale path.
+ *
+ * Scale posture: brute-force is a broadcast of the (small) query set
+ * against the corpus — no corpus shuffle, one window per query for the
+ * top-k. The LSH path buckets the corpus ONCE (pure projection), then
+ * joins queries to buckets — candidate sets shrink by ~2^bits, the
+ * classic recall/cost trade.
+ *
+ * All float math is fixed-order double arithmetic (sequential
+ * `aggregate` over `zip_with`), so an external engine evaluating the
+ * same formula sequence reproduces values bit-exactly.
+ */
+object Similarity {
+
+  /** Sequential dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force top-k: for every row of `queries`, the `k`
+   * nearest `corpus` rows by cosine (desc), ties broken by corpus id
+   * (asc) for determinism. Self-matches (same id) are excluded.
+   * The query side is broadcast: the corpus is scanned once, never
+   * shuffled; the only exchange is the per-query top-k window.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+   *  `(md5i(plane || '_' || dim) mod 2001 − 1000) / 1000`. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (md5i(concat(lit(plane.toString), lit("_"), dim.cast("string"))) % 2001L - 1000L)
+      .cast("double") / 1000.0
+
+  /**
+   * Random-hyperplane LSH bucket id (`bits`-bit signature): bit_i =
+   * sign of ⟨v, plane_i⟩. Pure projection over the vector column —
+   * computable on corpus and queries independently, no shared state.
+   */
+  def lshBuckets(vec: Column, bits: Int = 12): Column = {
+    val v = vec.cast("array<double>")
+    val dims = transform(sequence(lit(0), size(v) - 1), i => i)
+    (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(v, dims, (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Approximate top-k: like [[bruteForceTopK]] but candidates are
+   * restricted to the query's LSH bucket. Returns ≤ k neighbors per
+   * query (fewer when the bucket is small) — the standard ANN
+   * recall/cost trade, tunable via `bits`.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"),
+      lshBuckets(col(vecCol), bits).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      lshBuckets(col(vecCol), bits).as("__bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "__bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

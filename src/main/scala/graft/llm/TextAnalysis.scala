@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token statistics, quality scoring, language identification, and
+ * document fingerprinting. Beyond the reference's surface (goetl has no
+ * text operators); designed per the north-star LLM-pipeline scope.
+ *
+ * Everything is pure `Column` expressions (higher-order array functions,
+ * no UDFs) so the whole module stays inside whole-stage codegen and
+ * scales embarrassingly parallel — per-document work, no shuffle.
+ *
+ * Determinism contract: every formula is a fixed-order IEEE-754
+ * computation over integers/ratios, so an external oracle (DuckDB)
+ * reproduces results bit-exactly.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+   *  non-alphanumeric marks — a cheap proxy for subword tokenizers. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Distinct-token count. */
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Mean token length: exact integer sum / count (one IEEE division). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(ts).cast("double")
+  }
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / all chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    size(filter(ts, t => t.isin(stopwords: _*))).cast("double") /
+      size(ts).cast("double")
+  }
+
+  /** Default English stopword set for quality scoring. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  /**
+   * Composite quality score in [0,1]:
+   * `0.4·min(tokens/100,1) + 0.3·(1−punctRatio) + 0.3·stopwordRatio`.
+   * Length rewards substance, punctuation penalizes boilerplate/markup,
+   * stopwords reward natural running text (classic heuristics from
+   * C4/Gopher-style corpus filtering).
+   */
+  def qualityScore(text: Column,
+                   stopwords: Seq[String] = EnglishStopwords): Column =
+    lit(0.4) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * stopwordRatio(text, stopwords)
+
+  /** Marker-word lists for the language-ID heuristic. Standard
+   *  high-frequency function words per language. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "que", "pour"))
+
+  /** Distinct-token overlap with one language's marker list. */
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(markers.map(lit): _*))).cast("long")
+
+  /**
+   * N-gram-heuristic language ID: argmax of marker-word hits, ties
+   * resolved in [[LangMarkers]] order (en > es > de > fr); zero hits
+   * everywhere → "und" (undetermined).
+   */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (l, m) => l -> langHits(text, m) }
+    val best = hits.map(_._2).reduce(greatest(_, _))
+    hits.foldRight(lit("und"): Column) { case ((l, h), els) =>
+      when(h === best && h > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Cross-engine 32-bit hash: first 8 hex digits of md5, as a long.
+   *  Reproducible in any engine with md5 + hex parsing (the oracle uses
+   *  `('0x' || substr(md5(s),1,8))::BIGINT`). */
+  def md5i(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /**
+   * Document fingerprint: rolling polynomial hash over token hashes,
+   * `acc → (acc·31 + md5i(token)) mod 1e9+7`. Order-sensitive (unlike
+   * a bag-of-words hash), cheap, and exactly reproducible — the
+   * rolling-hash analogue for near-identical-prefix detection.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31L + md5i(t)) % 1000000007L)
+}
