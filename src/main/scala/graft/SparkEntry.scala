@@ -351,6 +351,49 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
         "vec_id", "embedding", k = 3, bits = 6)
+    }),
+
+    // ---- §2.1/§2.10 CSV + JSONL source/sink roundtrip (identity) ----
+    "q31_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      import graft.sinks.Sinks
+      val nation = t(s, dir, "nation")
+      val tmp = s"/tmp/graft_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.csv(nation, s"$tmp/csv", header = true, delimiter = "|")
+      val fromCsv = Sources.csv(s, s"$tmp/csv",
+        Sources.CsvOptions(header = true, delimiter = "|"),
+        schema = Some(nation.schema))
+      Sinks.jsonl(fromCsv, s"$tmp/jsonl")
+      Sources.jsonl(s, s"$tmp/jsonl", schema = Some(nation.schema))
+    }),
+
+    // ---- §2.11 session windows (gap-based; same code runs streaming) ----
+    "q32_session_window" -> ((s, dir) => {
+      graft.streaming.Streaming.session(
+        t(s, dir, "events"), "ts", "30 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n_events")))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+    }),
+
+    // ---- §2.13 DAG orchestration: sources → join → aggregate ----
+    "q33_dag" -> ((s, dir) => {
+      import graft.dag.{DagBuilder, DagExecutor}
+      val dag = new DagBuilder("d1", "demo")
+        .addSource("orders", () => t(s, dir, "orders"))
+        .addSource("customer", () => t(s, dir, "customer"))
+        .addJoin("joined", "customer", "orders", (c, o) =>
+          Joins.join(c, o.withColumnRenamed("o_custkey", "c_custkey"),
+            Seq("c_custkey"), "inner"))
+        .addTransform("agg", Seq("joined"), df =>
+          df.groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue")))
+        .build()
+      val result = new DagExecutor(4).execute(dag)
+      require(result.success, "DAG execution failed")
+      result.outputs("agg")
     })
   )
 
@@ -601,6 +644,26 @@ object SparkEntry {
         | md5(text) AS digest,
         | ('0x'||substr(md5(text),1,8))::BIGINT % 256 AS feature0
         |FROM documents""".stripMargin,
+
+    "q31_roundtrip" -> "SELECT * FROM nation",
+
+    "q32_session_window" ->
+      """WITH m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q33_dag" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "q29_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
-  /** Typed metadata carried alongside the binary payload. */
-  final case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
+  /** Typed metadata carried alongside the binary payload. Dimensions
+   *  are optional — unknown until decode. */
+  final case class MediaMeta(mime: String, width: Option[Int],
+                             height: Option[Int], durationMs: Option[Long])
 
   final case class MediaRecord(media_id: Long, content: Array[Byte], meta: MediaMeta)
 

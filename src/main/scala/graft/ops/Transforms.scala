@@ -45,17 +45,17 @@ object Transforms {
   /** Cast with Spark semantics: failure yields null
    *  (reference ConvertType, `transform/transforms.go:84-101`). */
   def convertType(field: String, to: DataType): DataFrame => DataFrame =
-    df => df.withColumn(field, col(field).cast(to))
+    df => df.withColumn(field, col(field).try_cast(to))
 
   /** Cast that fails the job on unconvertible values — matches the
    *  reference's error-the-record contract under FailFast
    *  (`transform/transforms.go:92-96` + `pipeline/pipeline.go:294-311`). */
   def strictCast(field: String, to: DataType): DataFrame => DataFrame =
     df => df.withColumn(field,
-      when(col(field).isNotNull && col(field).cast(to).isNull,
+      when(col(field).isNotNull && col(field).try_cast(to).isNull,
         raise_error(concat(lit(s"graft.strictCast: cannot cast field '$field' value '"),
-          col(field).cast("string"), lit(s"' to $to"))).cast(to))
-        .otherwise(col(field).cast(to)))
+          col(field).cast("string"), lit(s"' to $to"))).try_cast(to))
+        .otherwise(col(field).try_cast(to)))
 
   /** Convenience casts (reference `transform/transforms.go:104-116`). */
   def toStringField(field: String): DataFrame => DataFrame =

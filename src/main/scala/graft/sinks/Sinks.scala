@@ -1,0 +1,122 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Sink facades — the reference's writer surface (goetl writers)
+ * over Spark's writers, plus the one genuinely custom sink: JDBC
+ * upsert (SURVEY.md §7.2).
+ *
+ * Capability map (SURVEY.md §2.10):
+ *  - CSV w/ header/delimiter (`writers/csv.go:141-281`)   → [[csv]]
+ *  - JSONL (`writers/json.go:132-269`)                    → [[jsonl]]
+ *  - Parquet w/ compression/row-group (`writers/parquet.go:165-446`)
+ *    → [[parquet]]
+ *  - Postgres append + CREATE TABLE (`writers/postgresql.go:219-497`)
+ *    → [[jdbcAppend]] (Spark JDBC creates the table from the schema)
+ *  - Postgres UPSERT `ON CONFLICT DO NOTHING/UPDATE`
+ *    (`writers/postgresql.go:529-576`) → [[jdbcUpsert]] — no Spark
+ *    built-in; per-partition batched prepared statements
+ *
+ * The reference's writer-side batch buffers (`writers/csv.go:202-207`
+ * etc.) have no analogue: Spark writes partition files in one pass;
+ * `batchSize` survives only on the JDBC upsert path where statement
+ * batching is real.
+ */
+object Sinks {
+
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          delimiter: String = ",", mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("header", header).option("delimiter", delimiter)
+      .csv(path)
+
+  def jsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  def parquet(df: DataFrame, path: String, compression: String = "snappy",
+              mode: String = "overwrite",
+              partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(mode).option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 user: String = "", password: String = "",
+                 batchSize: Int = 1000, mode: String = "append"): Unit = {
+    val props = new java.util.Properties()
+    if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
+    props.put("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Conflict resolution modes (reference `writers/postgresql.go:529-576`). */
+  sealed trait OnConflict
+  /** Plain INSERT — conflicts raise (reference "error" mode). */
+  case object ConflictError extends OnConflict
+  /** `ON CONFLICT DO NOTHING`. */
+  final case class ConflictIgnore(conflictCols: Seq[String]) extends OnConflict
+  /** `ON CONFLICT (cols) DO UPDATE SET c = EXCLUDED.c`. */
+  final case class ConflictUpdate(conflictCols: Seq[String],
+                                  updateCols: Seq[String]) extends OnConflict
+
+  private def q(ident: String): String = {
+    // Identifier allowlist (reference validates identifiers,
+    // writers/postgresql.go:438-444) — refuse anything needing quoting
+    // games; these strings are spliced into SQL.
+    require(ident.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid SQL identifier: $ident")
+    "\"" + ident + "\""
+  }
+
+  /** Build the upsert statement (PostgreSQL dialect). Pure function —
+   *  unit-testable without a database. */
+  def upsertSql(table: String, columns: Seq[String], onConflict: OnConflict): String = {
+    require(columns.nonEmpty, "upsertSql needs at least one column")
+    val base = s"INSERT INTO ${q(table)} (${columns.map(q).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+    onConflict match {
+      case ConflictError => base
+      case ConflictIgnore(cc) =>
+        require(cc.nonEmpty, "ConflictIgnore needs conflict columns")
+        s"$base ON CONFLICT (${cc.map(q).mkString(", ")}) DO NOTHING"
+      case ConflictUpdate(cc, uc) =>
+        require(cc.nonEmpty && uc.nonEmpty, "ConflictUpdate needs conflict + update columns")
+        s"$base ON CONFLICT (${cc.map(q).mkString(", ")}) DO UPDATE SET " +
+          uc.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+    }
+  }
+
+  /**
+   * JDBC upsert: per-partition connections, batched prepared
+   * statements, one transaction per batch (reference flush semantics,
+   * `writers/postgresql.go:579-663`). Tune write parallelism with
+   * `df.repartition(n)` before calling — each partition holds one
+   * connection, so n = the DB's comfortable concurrent-writer count.
+   */
+  def jdbcUpsert(df: DataFrame, url: String, table: String,
+                 onConflict: OnConflict,
+                 user: String = "", password: String = "",
+                 batchSize: Int = 1000): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertSql(table, columns, onConflict)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val props = new java.util.Properties()
+      if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val stmt = conn.prepareStatement(sql)
+        var inBatch = 0
+        rows.foreach { row =>
+          columns.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          stmt.addBatch()
+          inBatch += 1
+          if (inBatch >= batchSize) {
+            stmt.executeBatch(); conn.commit(); inBatch = 0
+          }
+        }
+        if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
+      } finally conn.close()
+    }
+  }
+}

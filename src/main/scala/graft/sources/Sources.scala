@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Source facades — the reference's reader surface (goetl readers)
+ * re-expressed over Spark's built-in connectors, which already provide
+ * the batching/pooling/projection machinery the reference hand-rolls.
+ *
+ * Capability map (SURVEY.md §2.1):
+ *  - CSV (`readers/csv.go:102-218`)        → [[csv]]
+ *  - JSONL (`readers/json.go:88-148`)      → [[jsonl]]
+ *  - Parquet w/ projection (`readers/parquet.go:154-245`) → [[parquet]]
+ *  - Postgres query/cursor (`readers/postgresql.go:187-518`) → [[jdbc]]
+ *    (partitioned reads replace the server-side cursor: N concurrent
+ *    range scans instead of one FETCH loop)
+ *  - S3 multi-object + metadata cols (`readers/s3.go:212-513`) → [[s3]]
+ *    (Hadoop S3A globbing + `input_file_name()`/`_metadata`)
+ *  - HTTP paginated APIs (`readers/http.go:256-790`) → [[Http]]
+ *  - Mongo (`readers/mongo.go`) → out of scope here: needs the MongoDB
+ *    Spark connector jar; the capability is documented, the JSONL path
+ *    covers BSON-exported data.
+ *
+ * Schema divergence, by design (SURVEY.md §1.4): inference is
+ * per-COLUMN (Spark two-pass) rather than the reference's per-cell
+ * int→float→bool→string attempt (`readers/csv.go:204-218`).
+ */
+object Sources {
+
+  /** CSV options mirroring the reference's reader knobs
+   *  (`readers/csv.go:102-137`): header detection, delimiter, comment
+   *  prefix, empty-cell-as-null. */
+  final case class CsvOptions(
+      header: Boolean = true,
+      delimiter: String = ",",
+      comment: Option[String] = None,
+      inferSchema: Boolean = true,
+      nullValue: String = "",
+      multiLine: Boolean = false)
+
+  def csv(spark: SparkSession, path: String,
+          opts: CsvOptions = CsvOptions(),
+          schema: Option[StructType] = None): DataFrame = {
+    var r = spark.read
+      .option("header", opts.header)
+      .option("delimiter", opts.delimiter)
+      .option("nullValue", opts.nullValue)
+      .option("multiLine", opts.multiLine)
+    r = opts.comment.fold(r)(c => r.option("comment", c))
+    r = schema match {
+      case Some(s) => r.schema(s)
+      case None => r.option("inferSchema", opts.inferSchema)
+    }
+    r.csv(path)
+  }
+
+  /** Line-delimited JSON — Spark's native JSON format IS JSONL. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Parquet scan; optional explicit projection (Catalyst prunes
+   *  columns automatically — the explicit list mirrors the reference's
+   *  `WithColumnProjection`, `readers/parquet.go:199-223`). */
+  def parquet(spark: SparkSession, path: String,
+              columns: Seq[String] = Seq.empty): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+  }
+
+  /** Range partitioning for parallel JDBC scans — replaces the
+   *  reference's single server-side cursor (`readers/postgresql.go:480-518`)
+   *  with N concurrent range queries. */
+  final case class JdbcPartitioning(column: String, lowerBound: Long,
+                                    upperBound: Long, numPartitions: Int)
+
+  /**
+   * JDBC scan (arbitrary query or table). `fetchSize` mirrors the
+   * reference's batch knob (`readers/postgresql.go:411-413`).
+   */
+  def jdbc(spark: SparkSession, url: String, queryOrTable: String,
+           user: String = "", password: String = "",
+           fetchSize: Int = 1000,
+           partitioning: Option[JdbcPartitioning] = None): DataFrame = {
+    val isQuery = queryOrTable.trim.toLowerCase.startsWith("select")
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option(if (isQuery) "query" else "dbtable", queryOrTable)
+      .option("fetchsize", fetchSize)
+    if (user.nonEmpty) r = r.option("user", user).option("password", password)
+    partitioning.foreach { p =>
+      r = r.option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound)
+        .option("upperBound", p.upperBound)
+        .option("numPartitions", p.numPartitions)
+    }
+    r.load()
+  }
+
+  /**
+   * Multi-object scan with file-metadata columns — the reference's S3
+   * reader (`readers/s3.go:303-313` `_s3_key/_s3_size/_s3_last_modified`).
+   * Works on any Hadoop filesystem (s3a://, file://, hdfs://); listing,
+   * prefix/suffix filtering and parallel reads come from the FS layer
+   * (pass a glob like `s3a://bucket/prefix/…csv`).
+   */
+  def s3(spark: SparkSession, glob: String,
+         format: String = "csv",
+         opts: CsvOptions = CsvOptions(),
+         withMetadata: Boolean = true): DataFrame = {
+    val base = format match {
+      case "csv" => csv(spark, glob, opts)
+      case "json" | "jsonl" => jsonl(spark, glob)
+      case "parquet" => parquet(spark, glob)
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    if (!withMetadata) base
+    else base
+      .withColumn("_file_name", input_file_name())
+      .withColumn("_file_size", col("_metadata.file_size"))
+      .withColumn("_file_modification_time", col("_metadata.file_modification_time"))
+  }
+
+  /** Opaque binary payloads (images/audio/video) with path/length
+   *  metadata — feeds [[graft.llm.Multimodal]]. */
+  def binaryFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Streaming parity — the reference's only unbounded source is the
+ * Mongo change stream flowing through the same blocking read loop with
+ * no watermarks, state, or event-time windows
+ * (goetl `readers/mongo.go:703-730`; README `:658` lists streaming
+ * execution as roadmap). This module exposes the full Structured
+ * Streaming surface as the capability superset: file/rate sources,
+ * watermarked tumbling/sliding/session windows, custom keyed state,
+ * and sinks with checkpointing — semantics are ours to define cleanly
+ * (SURVEY.md §7.3 item 7).
+ *
+ * Every window helper is a pure DataFrame→DataFrame function, so the
+ * SAME transformation runs in batch mode (as the gate queries do) and
+ * streaming mode — Structured Streaming's core design point.
+ */
+object Streaming {
+
+  /** File-based stream (each new file = a micro-batch) — the generic
+   *  replacement for the reference's change-stream tailing. */
+  def readStream(spark: SparkSession, format: String, path: String,
+                 schema: StructType,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).schema(schema).options(options).load(path)
+
+  /** Rate source for tests/demos: `rowsPerSecond` synthetic rows. */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Event-time watermark: bounds state for late data. */
+  def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** Tumbling event-time window aggregation. */
+  def tumbling(df: DataFrame, tsCol: String, width: String,
+               keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), width) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding event-time window aggregation. */
+  def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session window (gap-based) aggregation — works identically in
+   *  batch and streaming; a new session starts when the gap since the
+   *  previous event is ≥ `gap`. */
+  def session(df: DataFrame, tsCol: String, gap: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming sink with checkpointing. */
+  def writeStream(df: DataFrame, format: String, path: String,
+                  checkpoint: String,
+                  outputMode: OutputMode = OutputMode.Append(),
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(outputMode)
+      .trigger(trigger)
+      .start()
+
+  /** In-memory sink for tests: results under `SELECT * FROM <name>`. */
+  def memorySink(df: DataFrame, name: String,
+                 outputMode: OutputMode = OutputMode.Complete()): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+
+  /** foreachBatch sink — the hook for exactly-once-ish custom writes
+   *  (e.g. [[graft.sinks.Sinks.jdbcUpsert]] per micro-batch). */
+  def foreachBatchSink(df: DataFrame, checkpoint: String,
+                       fn: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(fn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Running per-key state for [[runningCount]]. */
+  final case class KeyCount(key: String, count: Long)
+
+  /**
+   * Custom keyed state via `mapGroupsWithState` — the surface the
+   * reference's CDC-ish consumers would need for dedup-on-stream or
+   * running enrichment: an ever-updating per-key count with processing-
+   * time timeout semantics left to the caller's trigger cadence.
+   */
+  def runningCount(ds: Dataset[(String, Long)]): Dataset[KeyCount] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[Long, KeyCount](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.map(_._2).sum
+          state.update(next)
+          KeyCount(key, next)
+      }
+  }
+}

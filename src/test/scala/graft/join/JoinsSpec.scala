@@ -1,0 +1,42 @@
+package graft.join
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+  private def right = Seq((2L, "x"), (3L, "y"), (3L, "z"), (4L, "w")).toDF("k", "rv")
+
+  test("join types: inner/left/full/semi/anti cardinalities") {
+    assert(Joins.join(left, right, Seq("k"), "inner").count() == 3) // 2,3,3
+    assert(Joins.join(left, right, Seq("k"), "left").count() == 4)  // +1 unmatched
+    assert(Joins.join(left, right, Seq("k"), "full").count() == 5)  // +4's row
+    assert(Joins.join(left, right, Seq("k"), "semi").count() == 2)
+    assert(Joins.join(left, right, Seq("k"), "anti").count() == 1)
+    intercept[IllegalArgumentException](Joins.join(left, right, Seq("k"), "sideways"))
+  }
+
+  test("clashing non-key columns get right_ prefix by default") {
+    val r2 = right.withColumnRenamed("rv", "lv")
+    val out = Joins.join(left, r2, Seq("k"), "inner")
+    assert(out.columns.toSeq == Seq("k", "lv", "right_lv"))
+  }
+
+  test("explicit per-side prefixes apply to non-key columns") {
+    val out = Joins.join(left, right, Seq("k"), "inner",
+      leftPrefix = "l_", rightPrefix = "r_")
+    assert(out.columns.toSeq == Seq("k", "l_lv", "r_rv"))
+  }
+
+  test("unionAll tolerates heterogeneous schemas (missing cols → null)") {
+    val a = Seq((1L, "x")).toDF("id", "only_a")
+    val b = Seq((2L, 9.5)).toDF("id", "only_b")
+    val u = Joins.unionAll(Seq(a, b))
+    assert(u.count() == 2)
+    assert(u.columns.toSet == Set("id", "only_a", "only_b"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat", "a"), // near-dup of 1
+    (3L, "completely different text about spark engines here", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog", "b")) // exact dup of 1
+    .toDF("id", "text", "grp")
+
+  test("exact dedup keeps min-id representative per key") {
+    val out = Dedup.exact(docs, Seq("text"), "id")
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 4L).count() == 0) // 4 collapses into 1
+  }
+
+  test("shingles: n-grams distinct, short docs yield empty set") {
+    val sh = Seq(("a b c d", 1), ("a b", 2)).toDF("t", "i")
+      .select(Dedup.shingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(sh(0) == Set("a b c", "b c d"))
+    assert(sh(1) == Set.empty)
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, skips distinct docs") {
+    val pairs = Dedup.minHashDedup(docs, "id", "text",
+      k = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming") {
+    val hs = docs.select(col("id"), Dedup.simHash(col("text"), 16).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 6)
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
+  }
+
+  test("ngram jaccard pairs respect blocking columns") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
+      blockCols = Seq("grp"), shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 1-4 cross blocks; 3 not similar
+  }
+
+  test("cosine similarity and brute-force top-k ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("lsh buckets: identical vectors share a bucket; topk subsets brute force") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-5.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val buckets = vecs.select(Similarity.lshBuckets(col("embedding"), 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1))
+    val ann = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, bits = 8)
+      .collect().map(_.getLong(2)).toSet
+    assert(ann.contains(1L))
+  }
+
+  test("text analysis: counts, ratios, langid, fingerprint determinism") {
+    val df = Seq("the cat and the dog, el perro!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.uniqueTokenCount(col("text")).as("u"),
+      TextAnalysis.bpeTokenCount(col("text")).as("b"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Long]("u") == 6L)   // "the" twice
+    assert(r.getAs[Long]("b") == 9L)   // 7 words + comma + bang
+    assert(r.getAs[String]("lang") == "en") // "the"+"and" beat "el"
+    // deterministic across evaluations
+    val fp2 = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("fp") == fp2)
+  }
+
+  test("quality score rewards running text over punctuation soup") {
+    val r = Seq(
+      ("the cat is on the mat and it is happy with this that", "good"),
+      ("!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "bad"))
+      .toDF("text", "kind")
+      .select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("good") > r("bad"))
+  }
+
+  test("multimodal: per-partition feature extraction and frame sampling") {
+    val media = Multimodal.attach(
+      Seq((1L, "hello world"), (2L, "")).toDF("id", "payload"),
+      "id", col("payload"), "text/plain")
+    assert(media.schema.fieldNames.toSeq == Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(media.schema.map(_.dataType.simpleString) ==
+      Multimodal.mediaSchema.map(_.dataType.simpleString))
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord], dim = 4)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 11L)
+    assert(feats(1L).digest == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(feats(1L).features.length == 4)
+    assert(feats(2L).n_bytes == 0L)
+    val frames = Multimodal.sampleFrames(media, n = 3)
+    assert(frames.count() == 6)
+    assert(frames.filter(col("media_id") === 1L).orderBy("frame_index")
+      .collect().map(_.getLong(2)).toSeq == Seq(0L, 3L, 7L)) // offsets across 11 bytes
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("goLayoutToJava translates common Go layouts") {
+    assert(Transforms.goLayoutToJava("2006-01-02") == "yyyy-MM-dd")
+    assert(Transforms.goLayoutToJava("2006-01-02T15:04:05Z07:00") ==
+      "yyyy-MM-dd'T'HH:mm:ssXXX")
+    assert(Transforms.goLayoutToJava("01/02/2006 3:04 PM") == "MM/dd/yyyy h:mm a")
+    assert(Transforms.goLayoutToJava("15:04:05.000") == "HH:mm:ss.SSS")
+    assert(Transforms.goLayoutToJava("Jan 2, 2006") == "MMM d, yyyy")
+  }
+
+  test("goLayoutToJava quotes literal letters and rejects stray digits") {
+    assert(Transforms.goLayoutToJava("2006-01-02T15:04:05") == "yyyy-MM-dd'T'HH:mm:ss")
+    val e = intercept[IllegalArgumentException] {
+      Transforms.goLayoutToJava("2006-01-02 7:00")
+    }
+    assert(e.getMessage.contains("unrecognized digit"))
+  }
+
+  test("transform surface: select/rename/addField/remove/chain") {
+    val df = Seq((1L, "  A  ", "x"), (2L, "b", "y")).toDF("id", "name", "tag")
+    val out = df.transform(Transforms.chain(
+      Transforms.trimSpace("name"),
+      Transforms.toLower("name"),
+      Transforms.addField("name2", concat(col("name"), lit("!"))),
+      Transforms.rename(Map("tag" -> "label")),
+      Transforms.select("id", "name2", "label", "missing_is_ok")))
+    assert(out.columns.toSeq == Seq("id", "name2", "label"))
+    assert(TestSpark.rows(out) == Set(Seq(1L, "a!", "x"), Seq(2L, "b!", "y")))
+  }
+
+  test("convertType is null-on-failure; strictCast throws") {
+    val df = Seq("12", "oops").toDF("v")
+    val lenient = df.transform(Transforms.convertType("v", LongType)).collect()
+    assert(lenient.map(r => Option(r.get(0))).toSet == Set(Some(12L), None))
+    val e = intercept[Exception] {
+      df.transform(Transforms.strictCast("v", LongType)).collect()
+    }
+    assert(e.getMessage.contains("strictCast") || e.getCause != null)
+  }
+
+  test("filters: notNull excludes empty strings; combinators require args") {
+    val df = Seq(("a", 5L), ("", 10L), (null, 15L)).toDF("s", "n")
+    assert(df.filter(Filters.notNull("s")).count() == 1)
+    assert(df.filter(Filters.and(Filters.gt("n", 1L), Filters.lt("n", 12L))).count() == 2)
+    assert(df.filter(Filters.betweenTyped("n", 5L, 10L)).count() == 2)
+    intercept[IllegalArgumentException](Filters.and())
+    intercept[IllegalArgumentException](Filters.or())
+  }
+
+  test("typed filter forms push down to parquet scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pd").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).filter(Filters.gt("k", 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,1)]"), plan)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.quality
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Option("a@x.com"), Option(10.0)),
+    (2L, Option("bad-email"), Option(200.0)),
+    (3L, Option.empty[String], Option.empty[Double]))
+    .toDF("id", "email", "score")
+
+  test("metrics: one row with per-rule violation counts") {
+    val cfg = Quality.Config(
+      maxNullRate = 0.1, nullRateFields = Seq("email", "score"),
+      rules = Seq(
+        Quality.FieldRule("email", fieldType = Some("email")),
+        Quality.FieldRule("score", min = Some(0.0), max = Some(100.0))))
+    val m = Quality.metrics(df, cfg).collect()(0)
+    assert(m.getAs[Long]("n_records") == 3L)
+    assert(m.getAs[Long]("email__nulls") == 1L)
+    assert(m.getAs[Long]("email__type_email") == 1L) // "bad-email"
+    assert(m.getAs[Long]("score__max") == 1L)        // 200.0
+    assert(m.getAs[Long]("score__min") == 0L)
+  }
+
+  test("validate reports count, null-rate, schema, and rule violations") {
+    val cfg = Quality.Config(
+      minRecords = 10, maxNullRate = 0.1,
+      nullRateFields = Seq("email"),
+      requiredFields = Seq("id", "missing_col"),
+      forbiddenFields = Seq("score"),
+      rules = Seq(Quality.FieldRule("score", max = Some(100.0))))
+    val errs = Quality.validate(df, cfg)
+    assert(errs.exists(_.contains("insufficient records")))
+    assert(errs.exists(_.contains("missing required field: missing_col")))
+    assert(errs.exists(_.contains("forbidden field: score")))
+    assert(errs.exists(_.contains("null rate")))
+    assert(errs.exists(_.contains("score__max")))
+  }
+
+  test("validateOrThrow passes a clean config and throws on violation") {
+    Quality.validateOrThrow(df, Quality.Config(minRecords = 1))
+    val e = intercept[Quality.QualityException] {
+      Quality.validateOrThrow(df, Quality.Config(minRecords = 100))
+    }
+    assert(e.violations.nonEmpty)
+  }
+}

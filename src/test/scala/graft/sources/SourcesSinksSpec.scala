@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sinks.Sinks
+
+class SourcesSinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_io").toString
+
+  test("csv sink + source roundtrip with delimiter/header/null options") {
+    val df = Seq((1L, Option("a|b"), Option(1.5)), (2L, None, None))
+      .toDF("id", "s", "d")
+    val dir = tmp()
+    Sinks.csv(df, s"$dir/csv", header = true, delimiter = ";")
+    val back = Sources.csv(spark, s"$dir/csv",
+      Sources.CsvOptions(header = true, delimiter = ";"),
+      schema = Some(df.schema))
+    assert(TestSpark.rows(back) == TestSpark.rows(df))
+  }
+
+  test("jsonl sink + source roundtrip") {
+    val df = Seq((1L, "x \"quoted\""), (2L, "y")).toDF("id", "s")
+    val dir = tmp()
+    Sinks.jsonl(df, s"$dir/j")
+    val back = Sources.jsonl(spark, s"$dir/j", schema = Some(df.schema))
+    assert(TestSpark.rows(back) == TestSpark.rows(df))
+  }
+
+  test("parquet source honors explicit projection") {
+    val dir = tmp()
+    Seq((1L, "a", 2.0)).toDF("x", "y", "z").write.parquet(s"$dir/p")
+    val df = Sources.parquet(spark, s"$dir/p", columns = Seq("z", "x"))
+    assert(df.columns.toSeq == Seq("z", "x"))
+  }
+
+  test("s3-style multi-object scan attaches file metadata columns") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.option("header", true).csv(s"$dir/obj1")
+    val df = Sources.s3(spark, s"$dir/obj1", "csv",
+      Sources.CsvOptions(header = true))
+    assert(df.columns.contains("_file_name"))
+    assert(df.columns.contains("_file_size"))
+    val r = df.collect()(0)
+    assert(r.getAs[String]("_file_name").nonEmpty)
+    assert(r.getAs[Long]("_file_size") > 0)
+  }
+
+  test("upsertSql generates postgres ON CONFLICT statements and validates identifiers") {
+    assert(Sinks.upsertSql("t", Seq("a", "b"), Sinks.ConflictError) ==
+      """INSERT INTO "t" ("a", "b") VALUES (?, ?)""")
+    assert(Sinks.upsertSql("t", Seq("a", "b"), Sinks.ConflictIgnore(Seq("a"))) ==
+      """INSERT INTO "t" ("a", "b") VALUES (?, ?) ON CONFLICT ("a") DO NOTHING""")
+    assert(Sinks.upsertSql("t", Seq("a", "b"),
+      Sinks.ConflictUpdate(Seq("a"), Seq("b"))) ==
+      """INSERT INTO "t" ("a", "b") VALUES (?, ?) ON CONFLICT ("a") DO UPDATE SET "b" = EXCLUDED."b"""")
+    intercept[IllegalArgumentException] {
+      Sinks.upsertSql("t; DROP TABLE x", Seq("a"), Sinks.ConflictError)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.upsertSql("t", Seq("a\"b"), Sinks.ConflictError)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("tumbling window aggregation over a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(10), "a", 5.0))
+    val windowed = Streaming.tumbling(
+      Streaming.withWatermark(
+        stream.toDF.toDF("ts", "k", "v"), "ts", "5 minutes"),
+      "ts", "10 minutes", Seq(col("k")),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+    val q = Streaming.memorySink(windowed, "tumbling_test")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT k, n, total FROM tumbling_test ORDER BY total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 2L, 3.0), ("a", 1L, 5.0)))
+  }
+
+  test("session window: gap >= 30min starts a new session (batch = streaming code)") {
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)),  // session 1
+      (1L, ts(45)),               // 35min gap → session 2
+      (2L, ts(0)))                // other user
+      .toDF("user_id", "ts")
+    val out = Streaming.session(df, "ts", "30 minutes",
+      Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    assert(out.count() == 3)
+    val u1 = out.filter(col("user_id") === 1L)
+      .select(col("session_window.start"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(u1 == Set((ts(0), 2L), (ts(45), 1L)))
+  }
+
+  test("runningCount keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val counts = Streaming.runningCount(stream.toDS())
+    val q = counts.writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    stream.addData(("a", 2L), ("b", 1L)); q.processAllAvailable()
+    stream.addData(("a", 3L)); q.processAllAvailable()
+    q.stop()
+    val last = spark.sql(
+      "SELECT key, max(count) AS c FROM running_test GROUP BY key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("a" -> 5L, "b" -> 1L))
+  }
+
+  test("file stream → parquet sink with checkpoint (AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    src.write.json(s"$dir/in")
+    val stream = Streaming.readStream(spark, "json", s"$dir/in", src.schema)
+    val q = Streaming.writeStream(stream, "parquet", s"$dir/out", s"$dir/chk")
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+}
