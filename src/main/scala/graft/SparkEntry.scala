@@ -601,17 +601,18 @@ object SparkEntry {
 
     "q24_minhash" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+        |hs AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS hs FROM w),
         |sig AS (SELECT doc_id, list_transform(generate_series(0,31),
-        |        i -> list_min(list_transform(sh, s -> ('0x'||substr(md5(i::VARCHAR||'|'||s),1,8))::BIGINT))) AS sig FROM sh),
+        |        i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12582917*i + 1) % 4294967311))) AS sig FROM hs),
         |bands AS (SELECT doc_id, r.b AS band, array_to_string(sig[r.b*4+1 : r.b*4+4], ',') AS bkey
         |          FROM sig CROSS JOIN range(8) r(b)),
         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
         |v AS (SELECT id1, id2,
-        |        CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE) AS jaccard
-        |      FROM cand JOIN sh s1 ON s1.doc_id = cand.id1 JOIN sh s2 ON s2.doc_id = cand.id2)
+        |        CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) AS jaccard
+        |      FROM cand JOIN hs s1 ON s1.doc_id = cand.id1 JOIN hs s2 ON s2.doc_id = cand.id2)
         |SELECT id1, id2, jaccard FROM v WHERE jaccard >= 0.5""".stripMargin,
 
     "q25_simhash" ->
@@ -623,8 +624,9 @@ object SparkEntry {
 
     "q26_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, string_split_regex(text,'\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, len(w)-2),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+        |sh AS (SELECT doc_id, lang, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS sh FROM w),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
         |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)

@@ -48,26 +48,70 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Large prime > 2^32 for the permutation ring. */
+  private val MinHashP = 4294967311L
+
+  /** Hashed shingle set: each shingle hashed ONCE (md5i). Downstream
+   *  minhash/jaccard work on longs — 32× fewer digest calls than
+   *  hashing per-permutation, and pair verification intersects 8-byte
+   *  longs instead of shingle strings. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => md5i(s))
+
   /**
-   * MinHash signature: `k` permutations, each simulated by the
-   * cross-engine hash of `i || '|' || shingle`; sig_i = min over
-   * shingles. Entirely inside one projection — no explode, no shuffle.
+   * MinHash signature over hashed shingles: permutation i is the
+   * linear map `h → ((2i+1)·h + 12582917·i + 1) mod P` (odd multiplier,
+   * distinct offsets, P prime > 2^32); sig_i = min over shingles.
+   * Entirely inside one projection — no explode, no shuffle, and only
+   * one digest per shingle total.
    */
-  def minHashSignature(sh: Column, k: Int = 32): Column =
+  def minHashSignature(hashedSh: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => md5i(concat(i.cast("string"), lit("|"), s)))))
+      i => array_min(transform(hashedSh,
+        h => ((lit(2L) * i + 1L) * h + lit(12582917L) * i + 1L) % MinHashP)))
+
+  /** Ensure enough partitions for per-row heavy compute: small inputs
+   *  (e.g. one parquet file) otherwise run single-task. Uses an
+   *  explicit partition count, which AQE does not coalesce away. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
+   * Per-document MinHash signatures as a DataFrame (`idCol`, `__sig`):
+   * shingles explode to rows, each hashed ONCE, and the k permutation
+   * minima come from one hash aggregation — partial (map-side) min
+   * means the shuffle carries k longs per document, not the shingles.
+   * The Aggregate node is also a projection-collapse barrier: without
+   * it Catalyst inlines the signature expression into every consumer
+   * (8 band slices × 2 join sides ⇒ up to 256× recompute of the
+   * shingle hashing — measured 70 s vs 2 s at sf0.1).
+   * Documents with fewer than `shingleN` tokens have no shingles and
+   * produce no signature (they cannot be similar to anything).
+   */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val perms = (0 until k).map { i =>
+      min((lit(2L * i + 1) * col("__h") + lit(12582917L * i + 1)) % MinHashP)
+    }
+    spread(df)
+      .select(col(idCol), explode(hashedShingles(col(textCol), shingleN)).as("__h"))
+      .groupBy(idCol)
+      .agg(array(perms: _*).as("__sig"))
+  }
 
   /**
    * Banded LSH candidate pairs: signatures split into `bands` bands of
    * `k/bands` rows; docs sharing any full band become a candidate pair.
-   * Returns (`idCol`_1, `idCol`_2) with id1 < id2, distinct.
+   * Returns (`idCol`_1, `idCol`_2) with id1 < id2, distinct. Only the
+   * short band keys shuffle in the bucket self-join.
    */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val withBands = df
-      .select(col(idCol), minHashSignature(shingles(col(textCol), shingleN), k).as("__sig"))
+    val withBands = minHashSignatures(df, idCol, textCol, k, shingleN)
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
@@ -94,7 +138,9 @@ object Dedup {
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, k, bands, shingleN)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    // Verify on hashed shingle sets: same Jaccard (md5i is injective up
+    // to negligible 2^-32 collisions, reproduced exactly by the oracle).
+    val sh = spread(df).select(col(idCol), hashedShingles(col(textCol), shingleN).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2")), "id2")
@@ -126,12 +172,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val sh = df.select((blockCols.map(col) :+ col(idCol) :+
-      shingles(col(textCol), shingleN).as("__sh")): _*)
+    val sh = spread(df).select((blockCols.map(col) :+ col(idCol) :+
+      hashedShingles(col(textCol), shingleN).as("__sh")): _*)
     val a = sh.select(blockCols.map(col) :+ col(idCol).as("id1") :+ col("__sh").as("__sh1"): _*)
     val b = sh.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__sh").as("__sh2"): _*)
     a.join(b, blockCols)
       .filter(col("id1") < col("id2"))
+      // Block keys are usually few (heavy skew): spread the quadratic
+      // verification work across the cluster with an explicit
+      // repartition (AQE would otherwise coalesce the tiny shuffle of
+      // block keys down to one task).
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id1"), col("id2"), jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -148,6 +199,7 @@ object Dedup {
     val b = v.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__v").as("__v2"): _*)
     a.join(b, blockCols)
       .filter(col("id1") < col("id2"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("__v1"), col("__v2")).as("__cos"))
       .filter(col("__cos") >= threshold)
