@@ -55,22 +55,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-   *  `(md5i(plane || '_' || dim) mod 2001 − 1000) / 1000`. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (md5i(concat(lit(plane.toString), lit("_"), dim.cast("string"))) % 2001L - 1000L)
-      .cast("double") / 1000.0
+   *  `(md5("<plane>_<dim>")[0:8] as int mod 2001 − 1000) / 1000`.
+   *  Computed on the DRIVER (the planes are data-independent
+   *  constants); an external oracle reproduces them with the same md5
+   *  formula. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble / 1000.0
+  }
 
   /**
    * Random-hyperplane LSH bucket id (`bits`-bit signature): bit_i =
-   * sign of ⟨v, plane_i⟩. Pure projection over the vector column —
-   * computable on corpus and queries independently, no shared state.
+   * sign of ⟨v, plane_i⟩. The planes are literal constant arrays in
+   * the plan (never recomputed per row — an earlier per-row md5
+   * formulation cost 384 digests/vector). Pure projection over the
+   * vector column — computable on corpus and queries independently.
    */
-  def lshBuckets(vec: Column, bits: Int = 12): Column = {
+  def lshBuckets(vec: Column, bits: Int = 12, dims: Int = 64): Column = {
     val v = vec.cast("array<double>")
-    val dims = transform(sequence(lit(0), size(v) - 1), i => i)
     (0 until bits).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
       val proj = aggregate(
-        zip_with(v, dims, (x, i) => x * planeComponent(p, i)),
+        zip_with(v, plane, (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -83,13 +91,14 @@ object Similarity {
    * recall/cost trade, tunable via `bits`.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
+              idCol: String, vecCol: String, k: Int, bits: Int = 12,
+              dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"),
-      lshBuckets(col(vecCol), bits).as("__bucket"))
+      lshBuckets(col(vecCol), bits, dims).as("__bucket"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"),
-      lshBuckets(col(vecCol), bits).as("__bucket"))
+      lshBuckets(col(vecCol), bits, dims).as("__bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "__bucket")

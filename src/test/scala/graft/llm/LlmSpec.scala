@@ -72,11 +72,11 @@ class LlmSpec extends AnyFunSuite {
       (0L, Array(1.0f, 2.0f, 3.0f)),
       (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-5.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
-    val buckets = vecs.select(Similarity.lshBuckets(col("embedding"), 8).as("b"))
+    val buckets = vecs.select(Similarity.lshBuckets(col("embedding"), 8, dims = 3).as("b"))
       .collect().map(_.getLong(0))
     assert(buckets(0) == buckets(1))
     val ann = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
-      "vec_id", "embedding", k = 2, bits = 8)
+      "vec_id", "embedding", k = 2, bits = 8, dims = 3)
       .collect().map(_.getLong(2)).toSet
     assert(ann.contains(1L))
   }
