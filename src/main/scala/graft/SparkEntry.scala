@@ -394,6 +394,15 @@ object SparkEntry {
       val result = new DagExecutor(4).execute(dag)
       require(result.success, "DAG execution failed")
       result.outputs("agg")
+    }),
+
+    // ---- §2.12 custom Aggregator[IN,BUF,OUT] via udaf (exact decimal
+    //      accumulation → partition-order-independent result) ----
+    "q34_custom_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(graft.agg.Aggregators.weightedMean(
+          col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n"))
     })
   )
 
@@ -666,6 +675,13 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q34_custom_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q29_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,52 @@
+package graft.agg
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Custom aggregator examples — the reference's SPI is
+ * `Aggregator{ Add(ctx, Record); Result(); Reset() }` with per-group
+ * `Clone()` (goetl `aggregate/aggregator.go:32-39`,
+ * `aggregate/groupby.go:243-247`). Spark's public
+ * `Aggregator[IN, BUF, OUT]` is the direct analogue: `zero` ≙ Reset,
+ * `reduce` ≙ Add, `finish` ≙ Result — plus `merge`, which the
+ * single-process reference never needed and which makes the same
+ * aggregator partial-aggregation-safe on a cluster.
+ *
+ * Register with `functions.udaf` and plug into
+ * [[GroupBy.agg]] like any built-in.
+ */
+object Aggregators {
+
+  /**
+   * Exact weighted mean: Σ(value·weight) / Σ(weight). Inputs are
+   * rounded to 2 decimals (money semantics) and accumulated as exact
+   * decimals, so the result is independent of partition order and
+   * merge tree — reproducible across engines: an oracle computes
+   * `CAST(Σ(dec(v)·dec(w)) AS DOUBLE) / CAST(Σ(dec(w)) AS DOUBLE)`
+   * and matches bit-exactly (the final division is the only float op).
+   */
+  final class WeightedMean
+    extends Aggregator[(Double, Double), (JBigDecimal, JBigDecimal), Double] {
+    private def dec2(d: Double): JBigDecimal =
+      JBigDecimal.valueOf(d).setScale(2, RoundingMode.HALF_UP)
+    def zero: (JBigDecimal, JBigDecimal) = (JBigDecimal.ZERO, JBigDecimal.ZERO)
+    def reduce(b: (JBigDecimal, JBigDecimal), in: (Double, Double)): (JBigDecimal, JBigDecimal) =
+      (b._1.add(dec2(in._1).multiply(dec2(in._2))), b._2.add(dec2(in._2)))
+    def merge(a: (JBigDecimal, JBigDecimal), b: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
+      (a._1.add(b._1), a._2.add(b._2))
+    def finish(b: (JBigDecimal, JBigDecimal)): Double =
+      if (b._2.signum() == 0) Double.NaN
+      else b._1.doubleValue() / b._2.doubleValue() // one float division at the end
+    def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** `weightedMean(valueCol, weightCol)` as an aggregate Column. */
+  def weightedMean(value: Column, weight: Column): Column =
+    udaf(new WeightedMean).apply(value, weight)
+}

@@ -38,7 +38,13 @@ object Sources {
       comment: Option[String] = None,
       inferSchema: Boolean = true,
       nullValue: String = "",
-      multiLine: Boolean = false)
+      multiLine: Boolean = false,
+      /** Parse-error handling — set from
+       *  [[graft.core.Pipeline.ErrorStrategy.sourceMode]]: FAILFAST
+       *  (reference FailFast), DROPMALFORMED (SkipErrors), PERMISSIVE
+       *  (CollectErrors; bad rows land in `corruptColumn`). */
+      mode: String = "PERMISSIVE",
+      corruptColumn: String = "_corrupt_record")
 
   def csv(spark: SparkSession, path: String,
           opts: CsvOptions = CsvOptions(),
@@ -48,6 +54,8 @@ object Sources {
       .option("delimiter", opts.delimiter)
       .option("nullValue", opts.nullValue)
       .option("multiLine", opts.multiLine)
+      .option("mode", opts.mode)
+      .option("columnNameOfCorruptRecord", opts.corruptColumn)
     r = opts.comment.fold(r)(c => r.option("comment", c))
     r = schema match {
       case Some(s) => r.schema(s)
@@ -56,10 +64,15 @@ object Sources {
     r.csv(path)
   }
 
-  /** Line-delimited JSON — Spark's native JSON format IS JSONL. */
+  /** Line-delimited JSON — Spark's native JSON format IS JSONL.
+   *  `mode` as in [[CsvOptions.mode]]. */
   def jsonl(spark: SparkSession, path: String,
-            schema: Option[StructType] = None): DataFrame = {
+            schema: Option[StructType] = None,
+            mode: String = "PERMISSIVE",
+            corruptColumn: String = "_corrupt_record"): DataFrame = {
     val r = spark.read
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptColumn)
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 

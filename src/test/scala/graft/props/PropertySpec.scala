@@ -1,0 +1,74 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.TestSpark
+import graft.cdc.CDC
+import graft.join.Joins
+import graft.llm.Dedup
+
+/** Property tests (SURVEY.md §5 test plan): join cardinality, CDC
+ *  partition-of-changes, dedup idempotence. Seeded ScalaCheck
+ *  generators sampled directly (no scalatestplus bridge in the
+ *  offline cache); small sizes — each case runs Spark jobs. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 15L)))
+
+  test("semi + anti counts partition the left side") {
+    for ((l, r) <- samples(keysGen, 5).zip(samples(keysGen, 5).reverse)) {
+      val left = l.toDF("k")
+      val right = r.toDF("k")
+      val semi = Joins.join(left, right, Seq("k"), "semi").count()
+      val anti = Joins.join(left, right, Seq("k"), "anti").count()
+      assert(semi + anti == l.size.toLong, s"l=$l r=$r")
+    }
+  }
+
+  test("CDC of identical snapshots is empty; change types partition the key space") {
+    for ((a, b) <- samples(keysGen, 5).zip(samples(keysGen, 5).reverse)) {
+      val prev = a.distinct.map(k => (k, s"v$k")).toDF("k", "v")
+      val cur = b.distinct.map(k => (k, s"v${k % 3}")).toDF("k", "v")
+      assert(CDC.changes(cur, cur, Seq("k"), Seq("v"), None).count() == 0)
+      val changes = CDC.changes(cur, prev, Seq("k"), Seq("v"), None)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val (as, bs) = (a.distinct.toSet, b.distinct.toSet)
+      assert(changes.filter(_._2 == "INSERT").keySet == bs -- as, s"a=$a b=$b")
+      assert(changes.filter(_._2 == "DELETE").keySet == as -- bs, s"a=$a b=$b")
+      assert(changes.filter(_._2 == "UPDATE").keySet.subsetOf(as & bs), s"a=$a b=$b")
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per key") {
+    for (ks <- samples(keysGen.suchThat(_.nonEmpty), 5)) {
+      val df = ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+      val once = Dedup.exact(df, Seq("k"), "id")
+      assert(once.count() == ks.distinct.size.toLong)
+      assert(Dedup.exact(once, Seq("k"), "id").count() == once.count())
+    }
+  }
+
+  test("jaccard is bounded in [0,1] and jaccard(x,x)=1 for non-empty shingle sets") {
+    val textGen = Gen.listOfN(6, Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString))
+      .map(_.mkString(" "))
+    for ((t1, t2) <- samples(textGen, 5).zip(samples(textGen, 5).reverse)) {
+      val r = Seq((t1, t2)).toDF("a", "b")
+        .select(
+          Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))).as("j"),
+          Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("a"))).as("jself"))
+        .collect()(0)
+      val j = r.getDouble(0)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getDouble(1) == 1.0)
+    }
+  }
+}
