@@ -7,12 +7,21 @@ object Bench {
     val spark = graft.core.Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/parquet-scan/noop-sink paths so the first timed
+    // query doesn't absorb session bootstrap (~2-3 s of JIT + init).
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full materialization of every output column
+      // (count() would let Catalyst prune the benchmarked compute away).
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

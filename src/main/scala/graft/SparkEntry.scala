@@ -310,10 +310,9 @@ object SparkEntry {
         k = 32, bands = 8, shingleN = 3, threshold = 0.5)
     }),
 
-    // ---- LLM ops: SimHash fingerprint (16-bit) ----
+    // ---- LLM ops: SimHash fingerprint (16-bit, hash-once form) ----
     "q25_simhash" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        Dedup.simHash(col("text"), bits = 16).as("simhash"))
+      Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 16)
     }),
 
     // ---- LLM ops: blocked n-gram Jaccard near-dup pairs ----

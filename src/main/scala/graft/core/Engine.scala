@@ -27,15 +27,21 @@ object Engine {
     // parquet reader rejects; read as long and convert (Tables below).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Local session for tests / bench (single JVM, `cores` threads). */
+  /** Local session for tests / bench (single JVM, `cores` threads).
+   *  `maxPartitionBytes` is sized down for the small local test files
+   *  (at 128 MB default every test table is one scan task); cluster
+   *  deployments keep the Spark default via [[configure]]. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft",
-            shufflePartitions: Int = 32): SparkSession = {
+            shufflePartitions: Int = 32,
+            maxPartitionBytes: String = "4m"): SparkSession = {
     val spark = configure(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName(appName)
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

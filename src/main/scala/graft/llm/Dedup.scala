@@ -153,6 +153,12 @@ object Dedup {
    * bit position, tokens vote ±1 by that bit of their hash; the bit is
    * set when the vote sum is positive. Near-identical documents land
    * within small Hamming distance. Pure projection — no shuffle.
+   *
+   * NOTE: as a Column expression the token-hash subtree is duplicated
+   * into all `bits` vote aggregates (Catalyst has no common-
+   * subexpression reuse across array lambdas) — fine for ad-hoc use;
+   * for corpus-scale runs use [[simHashSignatures]], which hashes each
+   * token once.
    */
   def simHash(text: Column, bits: Int = 16): Column = {
     val hs = transform(split(text, "\\s+"), t => md5i(t))
@@ -162,6 +168,28 @@ object Dedup {
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /**
+   * Corpus-scale SimHash: tokens explode to rows, each hashed ONCE,
+   * and the `bits` vote sums come from one hash aggregation with
+   * map-side partial aggregation (the shuffle carries `bits` longs per
+   * document). Same result as [[simHash]]; 16× fewer digests at the
+   * default width. Returns (`idCol`, simhash).
+   */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 16): DataFrame = {
+    val votes = (0 until bits).map { i =>
+      sum(when(shiftright(col("__h"), i) % 2 === 1, 1L).otherwise(-1L))
+    }
+    val sig = votes.zipWithIndex
+      .map { case (v, i) => when(v > 0, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    spread(df)
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
+      .select(col(idCol), md5i(col("__t")).as("__h"))
+      .groupBy(idCol)
+      .agg(sig.as("simhash"))
   }
 
   /**

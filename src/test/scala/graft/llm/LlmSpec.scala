@@ -48,6 +48,14 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
   }
 
+  test("simHashSignatures (hash-once aggregate form) matches the Column form") {
+    val expr = docs.select(col("id"), Dedup.simHash(col("text"), 16).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggd = Dedup.simHashSignatures(docs, "id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == aggd)
+  }
+
   test("ngram jaccard pairs respect blocking columns") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
       blockCols = Seq("grp"), shingleN = 3, threshold = 0.5)
