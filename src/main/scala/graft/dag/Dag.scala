@@ -60,18 +60,47 @@ final case class RetryConfig(
     retryOn.isEmpty || retryOn.exists(s => Option(e.getMessage).exists(_.contains(s)))
 }
 
+/** Descriptive task metadata (reference `dag/tasks/base.go:146-204`:
+ *  description/tags/owner/custom fields). */
+final case class TaskMeta(
+    description: String = "",
+    tags: Seq[String] = Seq.empty,
+    owner: String = "",
+    custom: Map[String, Any] = Map.empty)
+
+/** Per-run mutable key-value context shared across tasks (reference
+ *  global context, `dag/dag.go:124-144`, merged after each task
+ *  `dag_executor.go:264-273`). Lives in the ORCHESTRATOR only — never
+ *  inside query plans (SURVEY.md §7.3 item 6). */
+final class DagContext {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+  def put(key: String, value: Any): Unit = m.put(key, value)
+  def get(key: String): Option[Any] = Option(m.get(key))
+  def toMap: Map[String, Any] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
+  }
+}
+
 /** One node: `run` maps dependency outputs (by task id) to this task's
  *  output. Source tasks see an empty map; sink tasks perform their
  *  action and return the written frame. Task kinds (source/transform/
  *  join/…, reference `dag/tasks/base.go:35-45`) collapse into this one
- *  shape because DataFrames compose lazily. */
+ *  shape because DataFrames compose lazily. Tasks needing the shared
+ *  run context use `runWithContext` instead of `run`. */
 final case class TaskDef(
     id: String,
     deps: Seq[String],
     run: Map[String, DataFrame] => DataFrame,
     trigger: TriggerRule = TriggerRule.AllSuccess,
     retry: RetryConfig = RetryConfig(),
-    timeoutMs: Long = 30 * 60 * 1000L) // reference default 30 min (dag_builder.go:48)
+    timeoutMs: Long = 30 * 60 * 1000L, // reference default 30 min (dag_builder.go:48)
+    meta: TaskMeta = TaskMeta(),
+    runWithContext: Option[(Map[String, DataFrame], DagContext) => DataFrame] = None) {
+  def describe(description: String, tags: Seq[String] = Seq.empty,
+               owner: String = ""): TaskDef =
+    copy(meta = TaskMeta(description, tags, owner, meta.custom))
+}
 
 final case class Dag(id: String, name: String, tasks: Map[String, TaskDef]) {
 

@@ -21,12 +21,18 @@ final case class TaskResult(
     status: TaskStatus,
     attempts: Int,
     durationMs: Long,
-    error: Option[Throwable] = None)
+    error: Option[Throwable] = None,
+    /** Output row count (reference RecordsOut, `dag/tasks/base.go:188-193`);
+     *  populated only when the executor runs with `collectMetrics=true`
+     *  — counting forces a job per task. */
+    recordsOut: Option[Long] = None)
 
 final case class DagResult(
     success: Boolean,
     results: Map[String, TaskResult],
-    outputs: Map[String, DataFrame])
+    outputs: Map[String, DataFrame],
+    /** Final shared context (reference global context, `dag/dag.go:124-144`). */
+    context: Map[String, Any] = Map.empty)
 
 /**
  * Dependency-driven executor (reference `dag/dag_executor.go:83-306`).
@@ -42,11 +48,13 @@ final case class DagResult(
  * concurrently (Spark's scheduler interleaves their stages); the
  * orchestration itself holds no Spark internals.
  */
-final class DagExecutor(maxWorkers: Int = Runtime.getRuntime.availableProcessors()) {
+final class DagExecutor(maxWorkers: Int = Runtime.getRuntime.availableProcessors(),
+                        collectMetrics: Boolean = false) {
 
   def execute(dag: Dag): DagResult = {
     val pool = Executors.newFixedThreadPool(math.max(1, maxWorkers))
     val timeoutPool = Executors.newCachedThreadPool()
+    val context = new DagContext
     try {
       val results = collection.mutable.Map.empty[String, TaskResult]
       val outputs = collection.mutable.Map.empty[String, DataFrame]
@@ -75,13 +83,17 @@ final class DagExecutor(maxWorkers: Int = Runtime.getRuntime.availableProcessors
         while (attempt <= t.retry.maxRetries) {
           attempt += 1
           val fut = timeoutPool.submit(new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = t.run(ins)
+            def call(): DataFrame = t.runWithContext match {
+              case Some(f) => f(ins, context)
+              case None => t.run(ins)
+            }
           })
           try {
             val out = fut.get(t.timeoutMs, TimeUnit.MILLISECONDS)
             lock.synchronized { outputs(t.id) = out }
+            val n = if (collectMetrics) Some(out.count()) else None
             return TaskResult(t.id, TaskStatus.Success, attempt,
-              (System.nanoTime() - start) / 1000000)
+              (System.nanoTime() - start) / 1000000, recordsOut = n)
           } catch {
             case e: TimeoutException =>
               fut.cancel(true)
@@ -143,7 +155,8 @@ final class DagExecutor(maxWorkers: Int = Runtime.getRuntime.availableProcessors
       DagResult(
         success = results.values.forall(_.status != TaskStatus.Failed),
         results = results.toMap,
-        outputs = outputs.toMap)
+        outputs = outputs.toMap,
+        context = context.toMap)
     } finally {
       pool.shutdownNow()
       timeoutPool.shutdownNow()

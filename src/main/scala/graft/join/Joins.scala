@@ -76,4 +76,11 @@ object Joins {
    *  faithful, schema-aware analogue. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Set operations (absent in the reference, SURVEY.md §2.5 — part of
+   *  the engine surface; SQL INTERSECT/EXCEPT [ALL] semantics). */
+  def intersect(a: DataFrame, b: DataFrame, all: Boolean = false): DataFrame =
+    if (all) a.intersectAll(b) else a.intersect(b)
+  def except(a: DataFrame, b: DataFrame, all: Boolean = false): DataFrame =
+    if (all) a.exceptAll(b) else a.except(b)
 }

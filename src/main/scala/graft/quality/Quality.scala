@@ -39,7 +39,12 @@ object Quality {
       forbiddenFields: Seq[String] = Seq.empty,// :146-155
       maxNullRate: Double = 0.0,               // 0 = disabled (:158-188)
       nullRateFields: Seq[String] = Seq.empty, // default: all fields
-      rules: Seq[FieldRule] = Seq.empty)
+      rules: Seq[FieldRule] = Seq.empty,
+      /** Dataset-level custom validators (reference `validators.go:109-117`):
+       *  name → predicate over the whole frame; false = violation.
+       *  Runs as its own action — use for checks a counting rule can't
+       *  express. */
+      customValidators: Seq[(String, DataFrame => Boolean)] = Seq.empty)
 
   // Semantic regexes for email/url/uuid/date types (validators.go:270-307).
   private val typePatterns = Map(
@@ -120,6 +125,13 @@ object Quality {
         val v = row.getAs[Long](name)
         if (v > 0) errs += s"rule violation $name: $v rows"
       }
+    }
+    cfg.customValidators.foreach { case (name, check) =>
+      val ok =
+        try check(df)
+        catch { case e: Exception =>
+          errs += s"custom validator $name failed: ${e.getMessage}"; true }
+      if (!ok) errs += s"custom validator $name failed validation"
     }
     errs.result()
   }

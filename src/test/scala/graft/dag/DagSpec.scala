@@ -106,6 +106,28 @@ class DagSpec extends AnyFunSuite {
     assert(res.results("slow").error.exists(_.getMessage.contains("timed out")))
   }
 
+  test("shared context flows between tasks; metrics collect row counts; metadata attaches") {
+    val dag = new DagBuilder("d", "d")
+      .add(TaskDef("probe", Seq.empty, null,
+        runWithContext = Some((_, ctx) => {
+          val df = (1 to 4).toDF("v")
+          ctx.put("probe_rows", 4L)
+          df
+        })).describe("counts the source", Seq("audit"), owner = "graft"))
+      .add(TaskDef("use", Seq("probe"), null,
+        runWithContext = Some((ins, ctx) => {
+          assert(ctx.get("probe_rows").contains(4L)) // upstream context visible
+          ins("probe")
+        })))
+      .build()
+    assert(dag.tasks("probe").meta.description == "counts the source")
+    val res = new DagExecutor(2, collectMetrics = true).execute(dag)
+    assert(res.success)
+    assert(res.context("probe_rows") == 4L)
+    assert(res.results("probe").recordsOut.contains(4L))
+    assert(res.results("use").recordsOut.contains(4L))
+  }
+
   test("backoff strategies compute expected delays") {
     assert(Backoff.None.delayMs(3) == 0)
     assert(Backoff.Fixed(50).delayMs(3) == 50)

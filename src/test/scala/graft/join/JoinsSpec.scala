@@ -32,6 +32,15 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "l_lv", "r_rv"))
   }
 
+  test("intersect/except with distinct and ALL semantics") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 3L, 4L).toDF("k")
+    assert(Joins.intersect(a, b).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(Joins.intersect(a, b, all = true).count() == 2)
+    assert(Joins.except(a, b).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Joins.except(a, b, all = true).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("unionAll tolerates heterogeneous schemas (missing cols → null)") {
     val a = Seq((1L, "x")).toDF("id", "only_a")
     val b = Seq((2L, 9.5)).toDF("id", "only_b")

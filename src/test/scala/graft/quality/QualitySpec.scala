@@ -43,6 +43,17 @@ class QualitySpec extends AnyFunSuite {
     assert(errs.exists(_.contains("score__max")))
   }
 
+  test("dataset-level custom validators report failures by name") {
+    val cfg = Quality.Config(customValidators = Seq(
+      "has_rows" -> (_.count() > 0),
+      "impossible" -> (_.count() > 1000),
+      "throws" -> (_ => throw new RuntimeException("boom"))))
+    val errs = Quality.validate(df, cfg)
+    assert(!errs.exists(_.contains("has_rows")))
+    assert(errs.exists(_.contains("custom validator impossible failed validation")))
+    assert(errs.exists(_.contains("custom validator throws failed: boom")))
+  }
+
   test("validateOrThrow passes a clean config and throws on violation") {
     Quality.validateOrThrow(df, Quality.Config(minRecords = 1))
     val e = intercept[Quality.QualityException] {
