@@ -50,6 +50,28 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(r.getAs[Long]("_file_size") > 0)
   }
 
+  test("JDBC roundtrip against embedded Derby: append write, table/query/partitioned reads, insert path of upsert") {
+    val db = s"${tmp()}/graftdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val df = (1L to 20L).map(i => (i, s"name$i")).toDF("id", "name")
+    Sinks.jdbcAppend(df, url, "people")                      // Spark creates the table
+    assert(Sources.jdbc(spark, url, "people").count() == 20)
+    assert(Sources.jdbc(spark, url,
+      """SELECT "id", "name" FROM people WHERE "id" <= 5""").count() == 5)
+    val part = Sources.jdbc(spark, url, "people",
+      partitioning = Some(Sources.JdbcPartitioning("id", 1, 20, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 20)
+    // ConflictError mode = plain INSERT — the foreachPartition batched
+    // prepared-statement path, portable beyond Postgres.
+    // upsertSql quotes identifiers; Spark created the table unquoted
+    // (Derby folds to uppercase), so address it as "PEOPLE".
+    Sinks.jdbcUpsert(
+      Seq((21L, "extra")).toDF("id", "name"), url, "PEOPLE",
+      Sinks.ConflictError, batchSize = 2)
+    assert(Sources.jdbc(spark, url, "people").count() == 21)
+  }
+
   test("upsertSql generates postgres ON CONFLICT statements and validates identifiers") {
     assert(Sinks.upsertSql("t", Seq("a", "b"), Sinks.ConflictError) ==
       """INSERT INTO "t" ("a", "b") VALUES (?, ?)""")

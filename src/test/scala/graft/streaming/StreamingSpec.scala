@@ -45,6 +45,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1 == Set((ts(0), 2L), (ts(45), 1L)))
   }
 
+  test("session window in STREAMING mode merges and splits sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val sessions = Streaming.session(
+      Streaming.withWatermark(stream.toDF.toDF("user_id", "ts"), "ts", "2 hours"),
+      "ts", "30 minutes", Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    val q = sessions.writeStream.format("memory").queryName("session_stream")
+      .outputMode("complete").start()
+    stream.addData((1L, ts(0)), (1L, ts(10)))
+    stream.addData((1L, ts(20)), (1L, ts(55)))  // 20 merges; 55 is 35min after 20 → new
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT session_window.start, n FROM session_stream WHERE user_id = 1")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(rows == Set((ts(0), 3L), (ts(55), 1L)))
+  }
+
   test("runningCount keeps per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Long)]
