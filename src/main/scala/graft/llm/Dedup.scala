@@ -202,10 +202,18 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val sh = spread(df).select((blockCols.map(col) :+ col(idCol) :+
       hashedShingles(col(textCol), shingleN).as("__sh")): _*)
-    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id1") :+ col("__sh").as("__sh1"): _*)
-    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__sh").as("__sh2"): _*)
+      .withColumn("__n", size(col("__sh")))
+    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id1") :+
+      col("__sh").as("__sh1") :+ col("__n").as("__n1"): _*)
+    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id2") :+
+      col("__sh").as("__sh2") :+ col("__n").as("__n2"): _*)
     a.join(b, blockCols)
       .filter(col("id1") < col("id2"))
+      // Sound size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+      // J ≥ τ requires min ≥ τ·max — prunes the vast majority of pairs
+      // before the expensive set intersection, with no output change.
+      .filter(least(col("__n1"), col("__n2")).cast("double") >=
+        lit(threshold) * greatest(col("__n1"), col("__n2")).cast("double"))
       // Block keys are usually few (heavy skew): spread the quadratic
       // verification work across the cluster with an explicit
       // repartition (AQE would otherwise coalesce the tiny shuffle of
