@@ -402,6 +402,47 @@ object SparkEntry {
         .agg(graft.agg.Aggregators.weightedMean(
           col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
           count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.4+ hierarchical subtotals: ROLLUP with grouping_id ----
+    "q35_rollup" -> ((s, dir) => {
+      GroupBy("l_returnflag", "l_linestatus").rollup
+        .count("n")
+        .agg(dsum("l_quantity").as("sum_qty"))
+        .agg(grouping_id().cast("int").as("gid"))
+        .apply(t(s, dir, "lineitem"))
+    }),
+
+    // ---- §2.4+ pivot: one column per pivoted value ----
+    "q36_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+    }),
+
+    // ---- custom operator: as-of (point-in-time) join ----
+    "q37_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      Joins.asOf(clicks, views, Seq("user_id"), "ts", "ts")
+    }),
+
+    // ---- custom operator: binned range (interval-containment) join ----
+    "q38_range_join" -> ((s, dir) => {
+      val points = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val intervals = t(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 5.0).as("lo"),
+          (col("p_retailprice") + 5.0).as("hi"))
+      Joins.rangeJoin(points, intervals, "l_extendedprice", "lo", "hi",
+          binWidth = 10.0)
+        .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice")
     })
   )
 
@@ -674,6 +715,30 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q37_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "q38_range_join" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice
+        |FROM lineitem JOIN part
+        |  ON l_extendedprice >= p_retailprice - 5.0
+        | AND l_extendedprice <= p_retailprice + 5.0""".stripMargin,
 
     "q34_custom_agg" ->
       """SELECT l_returnflag,

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
 final case class GroupBy(
     groupFields: Seq[String],
     aggs: Seq[Column] = Seq.empty,
-    sortResults: Boolean = false) {
+    sortResults: Boolean = false,
+    /** "groupBy" (default), "rollup", or "cube" — hierarchical /
+     *  all-combinations subtotals (beyond-reference §2.4 surface;
+     *  disambiguate subtotal nulls with `grouping_id()`). */
+    mode: String = "groupBy") {
 
   /** count(*) — rows per group, like the reference (`groupby.go:253-269`). */
   def count(out: String): GroupBy =
@@ -54,11 +58,21 @@ final case class GroupBy(
    *  only tests need, and a global sort is a needless exchange at scale. */
   def sorted: GroupBy = copy(sortResults = true)
 
+  def rollup: GroupBy = copy(mode = "rollup")
+  def cube: GroupBy = copy(mode = "cube")
+
   def apply(df: DataFrame): DataFrame = {
     require(aggs.nonEmpty, "GroupBy needs at least one aggregate")
     val out =
       if (groupFields.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(groupFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      else {
+        val grouped = mode match {
+          case "rollup" => df.rollup(groupFields.map(col): _*)
+          case "cube" => df.cube(groupFields.map(col): _*)
+          case _ => df.groupBy(groupFields.map(col): _*)
+        }
+        grouped.agg(aggs.head, aggs.tail: _*)
+      }
     if (sortResults && groupFields.nonEmpty) out.orderBy(groupFields.map(col): _*)
     else out
   }

@@ -1,7 +1,8 @@
 package graft.join
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /**
  * Join operators — the reference's single in-memory hash join
@@ -83,4 +84,69 @@ object Joins {
     if (all) a.intersectAll(b) else a.intersect(b)
   def except(a: DataFrame, b: DataFrame, all: Boolean = false): DataFrame =
     if (all) a.exceptAll(b) else a.except(b)
+
+  /**
+   * As-of (point-in-time) left join — an operator Spark has no native
+   * form for: each left row matches the LATEST right row with
+   * `rightTime <= leftTime` for the same key (SQL `ASOF LEFT JOIN`).
+   *
+   * Spark-first formulation: tag and union both sides, then one window
+   * pass per key ordered by (time, side) carrying the last-seen right
+   * row forward as a struct — a single shuffle on (keys), linear in
+   * |left|+|right|, no range self-join blowup. Matched right columns
+   * come back prefixed `asof_` (including `asof_<rightTime>`).
+   *
+   * Right rows with duplicate (keys, rightTime) make the match
+   * ambiguous — dedupe first (e.g. [[graft.llm.Dedup.exact]]).
+   */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           prefix: String = "asof_"): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col): _*).schema.fields)))
+    val r = right
+      .select((keys.map(col) :+
+        col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows at equal time → `<=` semantics.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(left.columns.map(col) ++
+      rightPayload.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+  }
+
+  /**
+   * Range (interval-containment) join — `points.p BETWEEN intervals.lo
+   * AND intervals.hi` without the nested-loop cross product Spark
+   * would otherwise plan for a pure inequality join: both sides are
+   * binned by `binWidth` (intervals explode into every bin they
+   * cover), the join is an EQUI-join on the bin, and the exact BETWEEN
+   * predicate filters in the same stage. Each point belongs to exactly
+   * one bin, so no dedup is needed. Choose `binWidth` near the typical
+   * interval width: wider bins → fewer interval replicas but more
+   * false candidates.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val i = intervals
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -24,6 +24,19 @@ class GroupBySpec extends AnyFunSuite {
     assert(out("b") == Seq(1L, 3L, null, 3L, 3L, 1L))
   }
 
+  test("rollup and cube emit subtotal rows disambiguated by grouping_id") {
+    val src = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)).toDF("g1", "g2", "v")
+    val roll = GroupBy("g1", "g2").rollup.sum("v", "s")
+      .agg(grouping_id().cast("int").as("gid")).apply(src)
+    assert(roll.count() == 6) // 3 leaves + 2 g1-subtotals + 1 grand
+    assert(roll.filter(col("gid") === 3).collect()(0).getLong(2) == 7L)
+    val cube = GroupBy("g1", "g2").cube.sum("v", "s")
+      .agg(grouping_id().cast("int").as("gid")).apply(src)
+    assert(cube.count() == 8) // + 2 g2-subtotals
+    assert(cube.filter(col("gid") === 2 && col("g2") === "x")
+      .collect()(0).getLong(2) == 5L)
+  }
+
   test("global aggregate yields exactly one row; empty aggs rejected") {
     val r = GroupBy.global(count(lit(1)).as("n"), sum(col("n")).as("s"))(df).collect()
     assert(r.length == 1 && r(0).getLong(0) == 3L && r(0).getLong(1) == 6L)

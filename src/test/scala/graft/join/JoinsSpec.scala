@@ -1,5 +1,6 @@
 package graft.join
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -39,6 +40,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(Joins.intersect(a, b, all = true).count() == 2)
     assert(Joins.except(a, b).collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(Joins.except(a, b, all = true).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("asOf join matches the latest earlier right row per key, inclusive at equal times") {
+    val trades = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 50L), (4L, "z", 10L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 1.0), ("k", 100L, 2.0), ("k", 200L, 3.0))
+      .toDF("sym", "t", "px")
+    val out = Joins.asOf(trades, quotes, Seq("sym"), "t", "t")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((Some(100L), Some(2.0)))) // equal time matches (<=)
+    assert(out(2L) == ((Some(200L), Some(3.0)))) // latest earlier quote
+    assert(out(3L) == ((None, None)))            // nothing earlier
+    assert(out(4L) == ((None, None)))            // no quotes for key z
+  }
+
+  test("binned range join equals the naive BETWEEN join") {
+    val points = (1 to 200).map(i => (i.toLong, i * 1.7)).toDF("pid", "x")
+    val intervals = (1 to 40).map(i => (i.toLong, i * 8.0 - 3.0, i * 8.0 + 4.5))
+      .toDF("iid", "lo", "hi")
+    val binned = Joins.rangeJoin(points, intervals, "x", "lo", "hi", binWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive && binned.nonEmpty)
   }
 
   test("unionAll tolerates heterogeneous schemas (missing cols → null)") {
