@@ -42,6 +42,8 @@ object Engine {
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
         .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

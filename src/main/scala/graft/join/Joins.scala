@@ -125,6 +125,27 @@ object Joins {
   }
 
   /**
+   * Skew-resistant equi-join: the left (skewed) side gets a
+   * deterministic salt in [0, saltFactor); the right side is
+   * replicated once per salt value; the join key becomes
+   * (keys…, salt), splitting each hot key's rows across `saltFactor`
+   * tasks. Same result set as [[join]] "inner"/"left" — use when one
+   * key dominates and AQE's skew handling isn't enough (e.g. the
+   * right side must sort-merge). Costs |right|·saltFactor replication.
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 joinType: String = "inner", saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    require(Set("inner", "left").contains(joinType),
+      "salted join supports inner/left (right/full would need the salt on the other side)")
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    join(l, r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /**
    * Range (interval-containment) join — `points.p BETWEEN intervals.lo
    * AND intervals.hi` without the nested-loop cross product Spark
    * would otherwise plan for a pure inequality join: both sides are

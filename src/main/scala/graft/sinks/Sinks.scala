@@ -41,6 +41,23 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /**
+   * Bucketed + sorted parquet table (catalog-managed): joins and
+   * aggregations on the bucket keys skip the shuffle entirely when
+   * both sides share the bucketing — the co-located-join tool for
+   * repeatedly-joined 100 TB fact tables. (Plain `parquet()` paths
+   * can't carry bucket metadata; this writes through the session
+   * catalog via `saveAsTable`.)
+   */
+  def parquetBucketed(df: DataFrame, table: String, buckets: Int,
+                      bucketKeys: Seq[String],
+                      mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .format("parquet")
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .saveAsTable(table)
+
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  user: String = "", password: String = "",
                  batchSize: Int = 1000, mode: String = "append"): Unit = {

@@ -68,6 +68,41 @@ class JoinsSpec extends AnyFunSuite {
     assert(binned == naive && binned.nonEmpty)
   }
 
+  test("salted join equals plain join on skewed data (inner and left)") {
+    val hot = (1 to 500).map(_ => (1L, "hot")) ++ Seq((2L, "cold"), (9L, "nomatch"))
+    val l = hot.toDF("k", "lv")
+    val r = Seq((1L, "r1"), (1L, "r2"), (2L, "r3")).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val plain = Joins.join(l, r, Seq("k"), jt)
+        .groupBy("k", "lv", "rv").count()
+      val salted = Joins.saltedJoin(l, r, Seq("k"), jt, saltFactor = 4)
+        .groupBy("k", "lv", "rv").count()
+      assert(TestSpark.rows(salted) == TestSpark.rows(plain), jt)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    graft.sinks.Sinks.parquetBucketed(a, "bkt_a", 4, Seq("k"))
+    graft.sinks.Sinks.parquetBucketed(b, "bkt_b", 4, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan) // bucketing co-locates both sides
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("unionAll tolerates heterogeneous schemas (missing cols → null)") {
     val a = Seq((1L, "x")).toDF("id", "only_a")
     val b = Seq((2L, 9.5)).toDF("id", "only_b")
