@@ -443,6 +443,14 @@ object SparkEntry {
       Joins.rangeJoin(points, intervals, "l_extendedprice", "lo", "hi",
           binWidth = 10.0)
         .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice")
+    }),
+
+    // ---- LLM ops: IVF approximate top-k (k-means coarse quantizer;
+    //      rows-only — centroid means are partition-order float sums) ----
+    "q39_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
     })
   )
 

@@ -84,6 +84,78 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Squared L2 distance to a literal centroid. */
+  private def sqDistTo(v: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Index of the nearest centroid (argmin over squared L2, ties to
+   *  the lower index via lexicographic struct ordering). */
+  private def nearestCentroid(v: Column, centroids: Seq[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(sqDistTo(v, c).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /**
+   * IVF (inverted-file) coarse quantizer: `nlist` centroids from
+   * `iters` rounds of k-means over the corpus. Each round is one scan
+   * (assignment against broadcast literal centroids) plus one
+   * partial-aggregated per-cluster mean — no driver-side data beyond
+   * the nlist×dim centroid matrix. Initial centroids are the first
+   * `nlist` vectors by id (deterministic).
+   */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 3, dims: Int = 64): Seq[Array[Double]] = {
+    val v = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var centroids: Seq[Array[Double]] = v.orderBy("__id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("__c", nearestCentroid(col("__v"), centroids))
+      val means = assigned.groupBy("__c")
+        .agg(array((0 until dims).map(i => avg(col("__v")(i))): _*).as("__mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // Empty clusters keep their previous centroid.
+      centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }
+    }
+    centroids
+  }
+
+  /**
+   * IVF approximate top-k: corpus rows are assigned to their nearest
+   * centroid ONCE (pure projection); each query probes its `nprobe`
+   * nearest clusters; candidates come from an equi-join on the cluster
+   * id — the candidate set shrinks ~nlist/nprobe-fold vs brute force.
+   * Returns ≤ k neighbors per query, ranked by cosine.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              dims: Int = 64): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters, dims)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cluster", nearestCentroid(col("__cv"), centroids))
+    val probes = array_sort(array(centroids.zipWithIndex.map { case (cv, j) =>
+      struct(sqDistTo(col("__qv"), cv).as("d"), lit(j).as("j"))
+    }: _*))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cluster",
+        explode(transform(slice(probes, 1, nprobe), p => p.getField("j"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "__cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /**
    * Approximate top-k: like [[bruteForceTopK]] but candidates are
    * restricted to the query's LSH bucket. Returns ≤ k neighbors per

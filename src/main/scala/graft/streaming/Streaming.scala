@@ -86,6 +86,15 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming deduplication: drop repeat keys, with a watermark
+   *  bounding the dedup state (keys older than the watermark are
+   *  forgotten) — the stream form of
+   *  [[graft.llm.Dedup.exact]] for exactly-once-ish ingestion. */
+  def dedupStream(df: DataFrame, keys: Seq[String],
+                  tsCol: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keys :+ tsCol)
+
   /** Running per-key state for [[runningCount]]. */
   final case class KeyCount(key: String, count: Long)
 

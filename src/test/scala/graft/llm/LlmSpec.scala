@@ -89,6 +89,39 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.contains(1L))
   }
 
+  test("IVF top-k: clustered probe recovers exact neighbors on separable data") {
+    // Two well-separated clusters around (10,0,0) and (0,10,0).
+    val vecs = ((0 until 10).map(i => (i.toLong, Array(10f + i * 0.1f, i * 0.05f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, i * 0.05f))))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id").isin(0L, 15L))
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nlist = 2, nprobe = 1, iters = 3, dims = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ivf.toSet == exact.toSet) // probing 1 of 2 clean clusters is lossless
+    // all neighbors of query 0 come from its own cluster
+    assert(ivf.filter(_._1 == 0L).forall(_._3 < 10L))
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val deduped = graft.streaming.Streaming.dedupStream(
+      stream.toDF.toDF("k", "ts"), Seq("k"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData((1L, t0), (1L, t0), (2L, t0))
+    q.processAllAvailable()
+    stream.addData((1L, t0), (3L, t0)) // 1 repeats across batches → dropped
+    q.processAllAvailable(); q.stop()
+    val ks = spark.sql("SELECT k FROM dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ks.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("text analysis: counts, ratios, langid, fingerprint determinism") {
     val df = Seq("the cat and the dog, el perro!").toDF("text")
     val r = df.select(
