@@ -47,6 +47,12 @@ final case class GroupBy(
     copy(aggs = aggs :+ count_distinct(col(field)).as(out))
   def approxCountDistinct(field: String, out: String): GroupBy =
     copy(aggs = aggs :+ approx_count_distinct(col(field)).as(out))
+  /** Approximate percentile sketch (1-pass, mergeable — the
+   *  distributed-friendly quantile). */
+  def approxQuantile(field: String, q: Double, out: String,
+                     accuracy: Int = 10000): GroupBy =
+    copy(aggs = aggs :+
+      percentile_approx(col(field), lit(q), lit(accuracy)).as(out))
 
   /** Arbitrary aggregate column — the hook for custom
    *  `Aggregator[IN,BUF,OUT]` registered via `functions.udaf`

@@ -40,14 +40,24 @@ object CDC {
    *   `Some(current_timestamp())` mirrors the reference's RFC3339 now
    *   (`cdc.go:199`); None omits the column for deterministic output.
    */
+  val AllChangeTypes: Seq[String] = Seq("INSERT", "UPDATE", "DELETE")
+
+  /**
+   * @param changeTypes which change kinds to emit. The reference
+   *   DECLARES this config but never enforces it (`cdc.go:36` vs the
+   *   emit paths) — here it filters, as the config promises.
+   */
   def changes(
       current: DataFrame,
       previous: DataFrame,
       keyFields: Seq[String],
       compareFields: Seq[String],
-      changeTimestamp: Option[Column] = Some(current_timestamp())): DataFrame = {
+      changeTimestamp: Option[Column] = Some(current_timestamp()),
+      changeTypes: Seq[String] = AllChangeTypes): DataFrame = {
     require(keyFields.nonEmpty, "CDC needs at least one key field")
     require(compareFields.nonEmpty, "CDC needs at least one compare field")
+    require(changeTypes.nonEmpty && changeTypes.forall(AllChangeTypes.contains),
+      s"changeTypes must be drawn from $AllChangeTypes")
 
     def dropNullKeys(df: DataFrame): DataFrame =
       df.filter(keyFields.map(col(_).isNotNull).reduce(_ && _))
@@ -83,6 +93,7 @@ object CDC {
       case None => outCols
     }
 
-    joined.select(withTs: _*).filter(col(ChangeTypeCol).isNotNull)
+    joined.select(withTs: _*)
+      .filter(col(ChangeTypeCol).isin(changeTypes: _*))
   }
 }

@@ -178,6 +178,18 @@ final class DagBuilder(dagId: String, name: String) {
               run: (DataFrame, DataFrame) => DataFrame): this.type =
     add(TaskDef(id, Seq(left, right), ins => run(ins(left), ins(right))))
 
+  /** Validation gate (reference ConditionalTask + DataQualityValidator,
+   *  `dag/tasks/conditional.go:49-79`): passes its input THROUGH
+   *  unchanged; a failed validation fails the task, so downstream
+   *  AllSuccess tasks skip — exactly the reference's gating semantics. */
+  def addValidation(id: String, deps: Seq[String],
+                    cfg: graft.quality.Quality.Config): this.type =
+    add(TaskDef(id, deps, ins => {
+      val df = graft.join.Joins.unionAll(deps.flatMap(ins.get))
+      graft.quality.Quality.validateOrThrow(df, cfg)
+      df
+    }))
+
   /** Sink task: forces the action, passes the frame through. */
   def addSink(id: String, deps: Seq[String],
               write: DataFrame => Unit): this.type =

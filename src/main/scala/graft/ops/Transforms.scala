@@ -81,6 +81,11 @@ object Transforms {
   def parseTime(field: String, pattern: String): DataFrame => DataFrame =
     df => df.withColumn(field, to_timestamp(col(field), pattern))
 
+  /** ParseTime taking the reference's Go layout directly
+   *  (`transform/transforms.go:179-198`) — ports goetl configs verbatim. */
+  def parseTimeGo(field: String, goLayout: String): DataFrame => DataFrame =
+    parseTime(field, goLayoutToJava(goLayout))
+
   /** Translate a Go reference-time layout (`transform/transforms.go:179-198`
    *  takes Go layouts) into a Java DateTimeFormatter pattern, so goetl
    *  configs port verbatim.

@@ -38,6 +38,18 @@ class CdcScdSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(2)).toSeq == Seq("UPDATE"))
   }
 
+  test("CDC changeTypes filter restricts emitted kinds (enforced, unlike the reference)") {
+    val prev = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val cur = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val onlyUpserts = CDC.changes(cur, prev, Seq("id"), Seq("v"),
+      changeTimestamp = None, changeTypes = Seq("INSERT", "UPDATE"))
+      .collect().map(_.getString(2)).toSet
+    assert(onlyUpserts == Set("INSERT", "UPDATE"))
+    intercept[IllegalArgumentException] {
+      CDC.changes(cur, prev, Seq("id"), Seq("v"), None, Seq("UPSERT"))
+    }
+  }
+
   test("SCD2: changed key closes old row + emits new; unchanged passes through; new key inserts") {
     val source = Seq((1L, "alice", "GOLD"), (2L, "bob", "SILVER"), (9L, "nina", "BRONZE"))
       .toDF("id", "name", "tier")

@@ -70,6 +70,27 @@ class DagSpec extends AnyFunSuite {
     assert(st("after_skip") == TaskStatus.Success)
   }
 
+  test("validation gate passes clean data through and fails downstream on violation") {
+    import graft.quality.Quality
+    val good = new DagBuilder("d", "d")
+      .addSource("src", src(5))
+      .addValidation("check", Seq("src"), Quality.Config(minRecords = 1))
+      .addTransform("after", Seq("check"), identity)
+      .build()
+    val ok = new DagExecutor(1).execute(good)
+    assert(ok.success && ok.outputs("after").count() == 5)
+
+    val bad = new DagBuilder("d", "d")
+      .addSource("src", src(5))
+      .addValidation("check", Seq("src"), Quality.Config(minRecords = 100))
+      .addTransform("after", Seq("check"), identity)
+      .build()
+    val res = new DagExecutor(1).execute(bad)
+    assert(!res.success)
+    assert(res.results("check").status == TaskStatus.Failed)
+    assert(res.results("after").status == TaskStatus.Skipped)
+  }
+
   test("retry with backoff retries the configured number of times") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val dag = new DagBuilder("d", "d")

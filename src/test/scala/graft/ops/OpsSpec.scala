@@ -49,6 +49,13 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("strictCast") || e.getCause != null)
   }
 
+  test("parseTimeGo parses with a Go layout end-to-end") {
+    val out = Seq("05/03/2024 7:45 PM").toDF("t")
+      .transform(Transforms.parseTimeGo("t", "01/02/2006 3:04 PM"))
+      .collect()(0).getTimestamp(0)
+    assert(out.toString == "2024-05-03 19:45:00.0")
+  }
+
   test("filters: notNull excludes empty strings; combinators require args") {
     val df = Seq(("a", 5L), ("", 10L), (null, 15L)).toDF("s", "n")
     assert(df.filter(Filters.notNull("s")).count() == 1)
