@@ -20,9 +20,14 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column
       // (count() would let Catalyst prune the benchmarked compute away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query records -1, never a normal-looking elapsed time.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

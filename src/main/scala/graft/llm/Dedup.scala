@@ -62,8 +62,12 @@ object Dedup {
    * MinHash signature over hashed shingles: permutation i is the
    * linear map `h → ((2i+1)·h + 12582917·i + 1) mod P` (odd multiplier,
    * distinct offsets, P prime > 2^32); sig_i = min over shingles.
-   * Entirely inside one projection — no explode, no shuffle, and only
-   * one digest per shingle total.
+   *
+   * NOTE: as a Column expression the `hashedSh` subtree is duplicated
+   * into all k permutation minima (no common-subexpression reuse
+   * across array lambdas) — fine for ad-hoc use on precomputed hash
+   * columns; corpus-scale pipelines use [[minHashSignatures]], which
+   * hashes once via aggregation.
    */
   def minHashSignature(hashedSh: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)),
