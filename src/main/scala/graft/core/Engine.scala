@@ -57,6 +57,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Register every table of a scale-factor directory as a temp view,
+   *  enabling `spark.sql("SELECT ... FROM lineitem")` over the test
+   *  star schema. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists())
+        apply(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   /** Read one table from a scale-factor directory. Nanosecond timestamp
    *  columns (read as epoch-nanos longs under `nanosAsLong`) are converted
    *  to microsecond timestamps with exact integer division. */
