@@ -200,29 +200,33 @@ object Dedup {
    * Blocked n-gram Jaccard near-dup pairs: candidate pairs share
    * `blockCols` values (equi-join, shuffle on the block key — never a
    * global cross product), verified with exact Jaccard ≥ `threshold`.
+   *
+   * Block keys are usually few and hot (e.g. 5 languages), so the
+   * join key is SALTED: side A carries `hash(id) mod saltFactor`, side
+   * B is replicated once per salt — the quadratic verification spreads
+   * over |blocks|·saltFactor tasks, and the pairs (with their shingle
+   * arrays) never re-shuffle after the join. Replication costs only
+   * |B|·saltFactor rows of shingle hashes.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5, saltFactor: Int = 16): DataFrame = {
     val sh = spread(df).select((blockCols.map(col) :+ col(idCol) :+
       hashedShingles(col(textCol), shingleN).as("__sh")): _*)
       .withColumn("__n", size(col("__sh")))
     val a = sh.select(blockCols.map(col) :+ col(idCol).as("id1") :+
       col("__sh").as("__sh1") :+ col("__n").as("__n1"): _*)
+      .withColumn("__salt", pmod(hash(col("id1")), lit(saltFactor)))
     val b = sh.select(blockCols.map(col) :+ col(idCol).as("id2") :+
       col("__sh").as("__sh2") :+ col("__n").as("__n2"): _*)
-    a.join(b, blockCols)
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    a.join(b, blockCols :+ "__salt")
       .filter(col("id1") < col("id2"))
       // Sound size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
       // J ≥ τ requires min ≥ τ·max — prunes the vast majority of pairs
       // before the expensive set intersection, with no output change.
       .filter(least(col("__n1"), col("__n2")).cast("double") >=
         lit(threshold) * greatest(col("__n1"), col("__n2")).cast("double"))
-      // Block keys are usually few (heavy skew): spread the quadratic
-      // verification work across the cluster with an explicit
-      // repartition (AQE would otherwise coalesce the tiny shuffle of
-      // block keys down to one task).
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id1"), col("id2"), jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -233,13 +237,17 @@ object Dedup {
    * [[Similarity.lshBuckets]] to generate the blocking column first.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       blockCols: Seq[String], threshold: Double): DataFrame = {
+                       blockCols: Seq[String], threshold: Double,
+                       saltFactor: Int = 16): DataFrame = {
     val v = df.select(blockCols.map(col) :+ col(idCol) :+ col(vecCol).cast("array<double>").as("__v"): _*)
     val a = v.select(blockCols.map(col) :+ col(idCol).as("id1") :+ col("__v").as("__v1"): _*)
+      .withColumn("__salt", pmod(hash(col("id1")), lit(saltFactor)))
     val b = v.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__v").as("__v2"): _*)
-    a.join(b, blockCols)
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    // Salted block join (hot block keys): cosine evaluates in the join
+    // output stage across |blocks|·saltFactor tasks; no pair re-shuffle.
+    a.join(b, blockCols :+ "__salt")
       .filter(col("id1") < col("id2"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("__v1"), col("__v2")).as("__cos"))
       .filter(col("__cos") >= threshold)
