@@ -16,18 +16,23 @@ object Bench {
     // query doesn't absorb session bootstrap (~2-3 s of JIT + init).
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column
       // (count() would let Catalyst prune the benchmarked compute away).
-      // A failed query records -1, never a normal-looking elapsed time.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+      // Best of `iters` runs — single-shot numbers on a shared box swing
+      // ±30%. A failed query records -1, never a normal-looking time.
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

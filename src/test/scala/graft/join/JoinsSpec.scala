@@ -68,6 +68,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(binned == naive && binned.nonEmpty)
   }
 
+  test("lookup broadcasts the dimension (plan assertion)") {
+    val facts = (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val plan = Joins.lookup(facts, dim, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("asOf equals a naive per-row latest-match computation on random data") {
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 60).map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
+    val rights = (1 to 40).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i.toDouble))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key,time)
+    val l = lefts.toDF("lid", "k", "t")
+    val r = rights.toDF("k", "t", "payload")
+    val got = Joins.asOf(l, r, Seq("k"), "t", "t")
+      .collect().map(row => row.getLong(0) ->
+        (Option(row.get(3)).map(_.asInstanceOf[Long]),
+          Option(row.get(4)).map(_.asInstanceOf[Double]))).toMap
+    lefts.foreach { case (lid, k, t) =>
+      val expect = rights.filter(x => x._1 == k && x._2 <= t)
+        .sortBy(_._2).lastOption
+      assert(got(lid) == ((expect.map(_._2), expect.map(_._3))), s"lid=$lid")
+    }
+  }
+
   test("salted join equals plain join on skewed data (inner and left)") {
     val hot = (1 to 500).map(_ => (1L, "hot")) ++ Seq((2L, "cold"), (9L, "nomatch"))
     val l = hot.toDF("k", "lv")

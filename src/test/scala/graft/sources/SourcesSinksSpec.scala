@@ -38,6 +38,28 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("z", "x"))
   }
 
+  test("binaryFiles reads opaque payloads with path/length metadata") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "img1.bin"),
+      Array[Byte](1, 2, 3, 4, 5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "img2.bin"),
+      Array[Byte](9, 8))
+    val df = Sources.binaryFiles(spark, s"$dir/*.bin")
+    assert(df.count() == 2)
+    val r = df.orderBy("length").collect()
+    assert(r(0).getAs[Long]("length") == 2L)
+    assert(r(1).getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4, 5))
+  }
+
+  test("csv comment option skips commented lines") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "c.csv"),
+      "id,v\n# a comment line\n1,x\n2,y\n")
+    val df = Sources.csv(spark, dir,
+      Sources.CsvOptions(header = true, comment = Some("#")))
+    assert(df.count() == 2)
+  }
+
   test("s3-style multi-object scan attaches file metadata columns") {
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "v").write.option("header", true).csv(s"$dir/obj1")
