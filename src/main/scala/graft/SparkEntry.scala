@@ -706,6 +706,25 @@ object SparkEntry {
 
     "q31_roundtrip" -> "SELECT * FROM nation",
 
+    // LSH buckets are deterministic md5-derived constants — inline the
+    // same hyperplane matrix the Spark side uses (Similarity.planesFor)
+    // so the approximate ANN path is fully oracle-checked too.
+    "q30_ann_lsh" -> {
+      val planes = graft.llm.Similarity.planesFor(6, 64)
+      val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+        val arr = pl.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, $bucketExpr AS b FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, b FROM bkt WHERE vec_id < 50),
+         |s AS (SELECT qid AS query_id, c.vec_id AS neighbor_id,
+         |   list_dot_product(qv,c.v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(c.v,c.v))) AS cos
+         |   FROM q JOIN bkt c ON q.b = c.b AND c.vec_id <> q.qid)
+         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
+         |FROM s QUALIFY "rank" <= 3""".stripMargin
+    },
+
     "q32_session_window" ->
       """WITH m AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

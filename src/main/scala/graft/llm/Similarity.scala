@@ -66,6 +66,11 @@ object Similarity {
     ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble / 1000.0
   }
 
+  /** The deterministic hyperplane matrix used by [[lshBuckets]] —
+   *  public so an external oracle can inline the same constants. */
+  def planesFor(bits: Int, dims: Int): Seq[Array[Double]] =
+    (0 until bits).map(p => Array.tabulate(dims)(d => planeComponent(p, d)))
+
   /**
    * Random-hyperplane LSH bucket id (`bits`-bit signature): bit_i =
    * sign of ⟨v, plane_i⟩. The planes are literal constant arrays in
@@ -75,8 +80,8 @@ object Similarity {
    */
   def lshBuckets(vec: Column, bits: Int = 12, dims: Int = 64): Column = {
     val v = vec.cast("array<double>")
-    (0 until bits).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+    planesFor(bits, dims).zipWithIndex.map { case (pl, p) =>
+      val plane = array(pl.map(lit): _*)
       val proj = aggregate(
         zip_with(v, plane, (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
