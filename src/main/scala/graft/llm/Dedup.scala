@@ -239,17 +239,24 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCols: Seq[String], threshold: Double,
                        saltFactor: Int = 16): DataFrame = {
+    // Norms precomputed per ROW (once), not per pair: the join boundary
+    // keeps them out of the per-pair projection, so each pair costs one
+    // dot product. dot/(n1*n2) is bit-identical to the inline cosine.
     val v = df.select(blockCols.map(col) :+ col(idCol) :+ col(vecCol).cast("array<double>").as("__v"): _*)
-    val a = v.select(blockCols.map(col) :+ col(idCol).as("id1") :+ col("__v").as("__v1"): _*)
+      .withColumn("__nm", Similarity.norm(col("__v")))
+    val a = v.select(blockCols.map(col) :+ col(idCol).as("id1") :+
+      col("__v").as("__v1") :+ col("__nm").as("__nm1"): _*)
       .withColumn("__salt", pmod(hash(col("id1")), lit(saltFactor)))
-    val b = v.select(blockCols.map(col) :+ col(idCol).as("id2") :+ col("__v").as("__v2"): _*)
+    val b = v.select(blockCols.map(col) :+ col(idCol).as("id2") :+
+      col("__v").as("__v2") :+ col("__nm").as("__nm2"): _*)
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     // Salted block join (hot block keys): cosine evaluates in the join
     // output stage across |blocks|·saltFactor tasks; no pair re-shuffle.
     a.join(b, blockCols :+ "__salt")
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        Similarity.cosine(col("__v1"), col("__v2")).as("__cos"))
+        (Similarity.dot(col("__v1"), col("__v2")) /
+          (col("__nm1") * col("__nm2"))).as("__cos"))
       .filter(col("__cos") >= threshold)
       .select("id1", "id2")
   }

@@ -38,17 +38,29 @@ object Similarity {
    * The query side is broadcast: the corpus is scanned once, never
    * shuffled; the only exchange is the per-query top-k window.
    */
+  /**
+   * Cosine from a precomputed-norm pair: norms are evaluated ONCE per
+   * row on each join side (the join boundary stops Catalyst from
+   * inlining them into the per-pair projection), so each candidate
+   * pair costs one dot product instead of three array aggregates.
+   * Bit-identical to [[cosine]] (same expressions, same order).
+   */
+  private def cosPre(v1: Column, v2: Column, n1: Column, n2: Column): Column =
+    dot(v1, v2) / (n1 * n2)
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("__cos"))
+        cosPre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("__cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -142,12 +154,14 @@ object Similarity {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters, dims)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
       .withColumn("__cluster", nearestCentroid(col("__cv"), centroids))
     val probes = array_sort(array(centroids.zipWithIndex.map { case (cv, j) =>
       struct(sqDistTo(col("__qv"), cv).as("d"), lit(j).as("j"))
     }: _*))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
       .withColumn("__cluster",
         explode(transform(slice(probes, 1, nprobe), p => p.getField("j"))))
     val w = Window.partitionBy("query_id")
@@ -155,7 +169,7 @@ object Similarity {
     c.join(broadcast(q), "__cluster")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("__cos"))
+        cosPre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("__cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -173,15 +187,17 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"),
       lshBuckets(col(vecCol), bits, dims).as("__bucket"))
+      .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"),
       lshBuckets(col(vecCol), bits, dims).as("__bucket"))
+      .withColumn("__qn", norm(col("__qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "__bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("__cos"))
+        cosPre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("__cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
