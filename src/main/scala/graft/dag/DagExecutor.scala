@@ -134,8 +134,12 @@ final class DagExecutor(maxWorkers: Int = Runtime.getRuntime.availableProcessors
             results(t.id) = TaskResult(t.id, TaskStatus.Skipped, 0, 0)
           } else {
             // Skipped deps have no output (e.g. under AllComplete):
-            // the task sees only the outputs that exist.
-            val ins = t.deps.flatMap(d => outputs.get(d).map(d -> _)).toMap
+            // the task sees only the outputs that exist. Read under the
+            // same lock the workers write with — a concurrent HashMap
+            // resize mid-read corrupts results even for unrelated keys.
+            val ins = lock.synchronized {
+              t.deps.flatMap(d => outputs.get(d).map(d -> _)).toMap
+            }
             running(t.id) = pool.submit(new java.util.concurrent.Callable[TaskResult] {
               def call(): TaskResult = runWithRetryAndTimeout(t, ins)
             })
@@ -155,7 +159,7 @@ final class DagExecutor(maxWorkers: Int = Runtime.getRuntime.availableProcessors
       DagResult(
         success = results.values.forall(_.status != TaskStatus.Failed),
         results = results.toMap,
-        outputs = outputs.toMap,
+        outputs = lock.synchronized(outputs.toMap),
         context = context.toMap)
     } finally {
       pool.shutdownNow()

@@ -127,10 +127,17 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two shingle-set columns (ratio of two
-   *  small integers — bit-exact in any engine). */
-  def jaccard(sh1: Column, sh2: Column): Column =
-    size(array_intersect(sh1, sh2)).cast("double") /
-      size(array_distinct(concat(sh1, sh2))).cast("double")
+   *  small integers — bit-exact in any engine). Two EMPTY sets score
+   *  0.0 rather than 0/0: Spark 4 runs ANSI mode by default, where even
+   *  double division by zero throws DIVIDE_BY_ZERO, and empty docs are
+   *  routine in training corpora (any two sub-shingle-length docs in
+   *  one block would otherwise kill the whole query). */
+  def jaccard(sh1: Column, sh2: Column): Column = {
+    val union = size(array_distinct(concat(sh1, sh2)))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(sh1, sh2)).cast("double") /
+        union.cast("double"))
+  }
 
   /**
    * Full MinHash-LSH near-dup pipeline: candidates from banded LSH,
@@ -255,8 +262,8 @@ object Dedup {
     a.join(b, blockCols :+ "__salt")
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        (Similarity.dot(col("__v1"), col("__v2")) /
-          (col("__nm1") * col("__nm2"))).as("__cos"))
+        Similarity.cosPre(col("__v1"), col("__v2"),
+          col("__nm1"), col("__nm2")).as("__cos"))
       .filter(col("__cos") >= threshold)
       .select("id1", "id2")
   }

@@ -29,7 +29,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; zero-norm inputs score 0.0 (ANSI mode throws
+   *  on division by zero, and all-zero embeddings occur in practice —
+   *  e.g. padding rows or failed encoder outputs). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
 
   /**
    * Exact brute-force top-k: for every row of `queries`, the `k`
@@ -44,9 +50,10 @@ object Similarity {
    * inlining them into the per-pair projection), so each candidate
    * pair costs one dot product instead of three array aggregates.
    * Bit-identical to [[cosine]] (same expressions, same order).
+   * Zero-norm rows score 0.0 (ANSI divide-by-zero guard, as [[cosine]]).
    */
-  private def cosPre(v1: Column, v2: Column, n1: Column, n2: Column): Column =
-    dot(v1, v2) / (n1 * n2)
+  private[llm] def cosPre(v1: Column, v2: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 === 0.0, lit(0.0)).otherwise(dot(v1, v2) / (n1 * n2))
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -41,10 +41,13 @@ object TextAnalysis {
       size(ts).cast("double")
   }
 
-  /** Punctuation ratio: non-alphanumeric-non-space chars / all chars. */
+  /** Punctuation ratio: non-alphanumeric-non-space chars / all chars.
+   *  Empty text scores 0.0 (not 0/0 — ANSI mode throws on any division
+   *  by zero, and empty documents are routine in training corpora). */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      length(text).cast("double")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(text).cast("double"))
 
   /** Fraction of tokens found in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

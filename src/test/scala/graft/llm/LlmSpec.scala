@@ -149,6 +149,40 @@ class LlmSpec extends AnyFunSuite {
     assert(r("good") > r("bad"))
   }
 
+  test("ANSI guards: empty docs in jaccard blocks don't throw DIVIDE_BY_ZERO") {
+    // Two sub-shingle-length docs sharing a block: both shingle sets are
+    // empty, the size prefilter passes them, and an unguarded 0/0 would
+    // kill the query under Spark 4's default ANSI mode.
+    val tiny = Seq((1L, "a b", "x"), (2L, "c", "x"), (3L, "", "x")).toDF("id", "text", "grp")
+    val pairs = Dedup.ngramJaccardPairs(tiny, "id", "text",
+      blockCols = Seq("grp"), shingleN = 3, threshold = 0.5).collect()
+    assert(pairs.isEmpty) // empty sets are NOT similar (jaccard = 0.0)
+    assert(Seq(("", "")).toDF("a", "b")
+      .select(Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("ANSI guards: empty text metrics and zero-norm cosine don't throw") {
+    val r = Seq("").toDF("text").select(
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(!r.getDouble(1).isNaN)
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f), 0), // zero vector: norm = 0
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(vecs.select(Similarity.cosine(
+      col("embedding").cast("array<double>"), col("embedding").cast("array<double>")))
+      .collect().forall(!_.getDouble(0).isNaN)) // 0-vec scores 0.0, not 0/0
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2).collect()
+    assert(topk.length == 2) // zero-norm query ranks everything at 0.0
+    val nd = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      blockCols = Seq("label"), threshold = 0.5).collect()
+    assert(nd.isEmpty) // pairs with the zero vector score 0.0 < threshold
+  }
+
   test("multimodal: per-partition feature extraction and frame sampling") {
     val media = Multimodal.attach(
       Seq((1L, "hello world"), (2L, "")).toDF("id", "payload"),
