@@ -445,17 +445,56 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice")
     }),
 
-    // ---- LLM ops: IVF approximate top-k (k-means coarse quantizer;
-    //      rows-only — centroid means are partition-order float sums) ----
+    // ---- LLM ops: IVF approximate top-k (k-means coarse quantizer).
+    //      Centroids are exact-decimal means (partition-order
+    //      independent), recorded here so [[oracleSql]] — which Verify
+    //      evaluates AFTER the queries run — can inline them into the
+    //      DuckDB oracle as literals, like q30 does for hyperplanes ----
     "q39_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nlist = 16, iters = 3, dims = 64)
+      q39Centroids = cents
+      Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, centroids = cents, nprobe = 4)
     })
   )
 
+  /** Centroids the q39 run trained, for oracle inlining (bit-exact:
+   *  `Double.toString` round-trips and DuckDB parses to the nearest
+   *  double). Empty until q39 runs → q39 gets a rows-only check. */
+  @volatile private var q39Centroids: Seq[Array[Double]] = Nil
+
+  /** IVF oracle: the full probe path in DuckDB against the SAME trained
+   *  centroids, inlined as literals. Distances replicate Spark's
+   *  sequential fold (`list_reduce` over the zipped squared diffs) so
+   *  argmin/probe comparisons see bit-identical doubles. */
+  private def q39OracleSql(cents: Seq[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (c, j) =>
+      s"($j, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(j, c) AS (VALUES $values),
+       |dist AS (SELECT vec_id, v, j,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |     (acc, x) -> acc + x) AS d
+       | FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, v, j AS cl FROM dist
+       | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) = 1),
+       |probes AS (SELECT vec_id AS qid, v AS qv, j AS cl FROM dist WHERE vec_id < 20
+       | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) <= 4),
+       |s AS (SELECT qid AS query_id, a.vec_id AS neighbor_id,
+       |   list_dot_product(qv, a.v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(a.v, a.v))) AS cos
+       | FROM probes p JOIN assign a ON p.cl = a.cl AND a.vec_id <> p.qid)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
+       |FROM s QUALIFY "rank" <= 3""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (column names MUST match). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    (if (q39Centroids.nonEmpty) Map("q39_ivf" -> q39OracleSql(q39Centroids))
+     else Map.empty[String, String]) ++ Map(
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

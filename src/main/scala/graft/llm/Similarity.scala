@@ -128,6 +128,13 @@ object Similarity {
    * partial-aggregated per-cluster mean — no driver-side data beyond
    * the nlist×dim centroid matrix. Initial centroids are the first
    * `nlist` vectors by id (deterministic).
+   *
+   * Cluster means accumulate as EXACT decimal sums (components
+   * quantized to 12 decimal places), divided by the count on the
+   * driver: the result is independent of partition order and task
+   * scheduling, so the centroids are bit-reproducible run-to-run —
+   * which is what lets the gate inline them into an external oracle
+   * (a plain double `avg` drifts with partitioning).
    */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 3, dims: Int = 64): Seq[Array[Double]] = {
@@ -138,8 +145,14 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = v.withColumn("__c", nearestCentroid(col("__v"), centroids))
       val means = assigned.groupBy("__c")
-        .agg(array((0 until dims).map(i => avg(col("__v")(i))): _*).as("__mean"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .agg(count(lit(1)).as("__n"),
+          array((0 until dims).map(i =>
+            sum(col("__v")(i).cast("decimal(28,12)"))): _*).as("__sums"))
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> r.getSeq[java.math.BigDecimal](2)
+            .map(_.doubleValue() / n).toArray
+        }.toMap
       // Empty clusters keep their previous centroid.
       centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }
     }
@@ -159,6 +172,17 @@ object Similarity {
               dims: Int = 64): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters, dims)
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** [[ivfTopK]] against a pre-trained (or externally supplied) coarse
+   *  quantizer — lets callers train once and reuse across query
+   *  batches, and lets the gate verify the probe path against an
+   *  oracle holding the same centroid constants. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  centroids: Seq[Array[Double]], nprobe: Int = 4): DataFrame = {
+    require(nprobe <= centroids.size, "nprobe must be <= number of centroids")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))

@@ -105,6 +105,25 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.filter(_._1 == 0L).forall(_._3 < 10L))
   }
 
+  test("IVF centroids are bit-identical across partitioning (exact decimal means)") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 7) % 13 - 6) / 3.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.ivfCentroids(vecs.repartition(1), "vec_id", "embedding",
+      nlist = 4, iters = 2, dims = 4)
+    val b = Similarity.ivfCentroids(vecs.repartition(7), "vec_id", "embedding",
+      nlist = 4, iters = 2, dims = 4)
+    assert(a.flatten.map(java.lang.Double.doubleToLongBits).toSeq ==
+      b.flatten.map(java.lang.Double.doubleToLongBits).toSeq)
+    // pre-trained quantizer path gives the same answer as the one-shot API
+    val q = vecs.filter(col("vec_id") < 2)
+    val viaWith = Similarity.ivfTopKWith(vecs, q, "vec_id", "embedding",
+      k = 2, centroids = a, nprobe = 2).collect().toSet
+    val oneShot = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 2, nlist = 4, nprobe = 2, iters = 2, dims = 4).collect().toSet
+    assert(viaWith == oneShot)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
