@@ -17,7 +17,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name filter for quick subset runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // Fixed (sorted) execution order + per-iteration times in the JSON:
+    // run-order and GC effects stay diagnosable from the artifact alone.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       // noop sink: forces full materialization of every output column
       // (count() would let Catalyst prune the benchmarked compute away).
       // Best of `iters` runs — single-shot numbers on a shared box swing
@@ -32,12 +39,16 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(d: Double) = "%.4f".format(d)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val its = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$its,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,8 +75,13 @@ object Dedup {
         h => ((lit(2L) * i + 1L) * h + lit(12582917L) * i + 1L) % MinHashP)))
 
   /** Ensure enough partitions for per-row heavy compute: small inputs
-   *  (e.g. one parquet file) otherwise run single-task. Uses an
-   *  explicit partition count, which AQE does not coalesce away. */
+   *  (e.g. one parquet file) otherwise run single-task. The
+   *  `getNumPartitions` probe costs one driver-side physical-plan
+   *  translation — measured cheaper than the alternative of an
+   *  UNCONDITIONAL repartition, which shuffles the full text corpus
+   *  even when the scan is already well-split (10× on the simhash
+   *  bench). When triggered, the explicit count (REPARTITION_BY_NUM)
+   *  is not coalesced away by AQE. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
@@ -204,36 +209,62 @@ object Dedup {
   }
 
   /**
-   * Blocked n-gram Jaccard near-dup pairs: candidate pairs share
-   * `blockCols` values (equi-join, shuffle on the block key — never a
-   * global cross product), verified with exact Jaccard ≥ `threshold`.
+   * Blocked n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
+   * set-similarity join (the PPJoin family, Xiao et al., WWW'08 —
+   * public algorithm). Candidate pairs must share `blockCols` values
+   * AND a shingle within each other's τ-prefix; survivors are verified
+   * with exact Jaccard ≥ `threshold`, so the output is IDENTICAL to
+   * the naive per-block all-pairs join.
    *
-   * Block keys are usually few and hot (e.g. 5 languages), so the
-   * join key is SALTED: side A carries `hash(id) mod saltFactor`, side
-   * B is replicated once per salt — the quadratic verification spreads
-   * over |blocks|·saltFactor tasks, and the pairs (with their shingle
-   * arrays) never re-shuffle after the join. Replication costs only
-   * |B|·saltFactor rows of shingle hashes.
+   * Prefix-filter soundness (global ascending order on shingle
+   * hashes): J(A,B) ≥ τ implies |A∩B| ≥ τ·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉,
+   * so the order-smallest common element c cannot sit past position
+   * |X| − ⌈τ|X|⌉ + 1 in either set — otherwise the ≥ ⌈τ|X|⌉ common
+   * elements would have to fit in the ⌈τ|X|⌉ − 1 slots after c. Hence
+   * c lies in BOTH prefixes and the equi-join on exploded prefixes
+   * finds every qualifying pair.
+   *
+   * Scale posture (vs the previous salted per-block all-pairs): the
+   * join key is (block, prefix-shingle) — candidate work is Σ over
+   * shingles of (docs sharing it)², near-linear when most shingles are
+   * rare, instead of Σ over blocks of |block|² which explodes on hot
+   * blocks (a language column yields ~4 blocks). Hot shingles (common
+   * trigrams) are bounded by the prefix restriction and AQE skew
+   * handling; false candidates cost one verification, never a wrong
+   * answer. The shingle sets are hashed ONCE (explode + collect_set
+   * aggregation — the Aggregate node is also the CollapseProject
+   * barrier that stops per-consumer re-hashing of the corpus).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
-                        threshold: Double = 0.5, saltFactor: Int = 16): DataFrame = {
-    val sh = spread(df).select((blockCols.map(col) :+ col(idCol) :+
-      hashedShingles(col(textCol), shingleN).as("__sh")): _*)
+                        threshold: Double = 0.5): DataFrame = {
+    // Sorted distinct hashed shingle sets, one digest per shingle.
+    val sh = spread(df)
+      .select((blockCols.map(col) :+ col(idCol).as("__id") :+
+        explode_outer(shingles(col(textCol), shingleN)).as("__s")): _*)
+      .groupBy((col("__id") +: blockCols.map(col)): _*)
+      .agg(sort_array(collect_set(md5i(col("__s")))).as("__sh"))
       .withColumn("__n", size(col("__sh")))
-    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id1") :+
-      col("__sh").as("__sh1") :+ col("__n").as("__n1"): _*)
-      .withColumn("__salt", pmod(hash(col("id1")), lit(saltFactor)))
-    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id2") :+
-      col("__sh").as("__sh2") :+ col("__n").as("__n2"): _*)
-      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
-    a.join(b, blockCols :+ "__salt")
+    // τ-prefix explode: t = ⌈τ·n⌉ computed with a 1e-9 slack so float
+    // rounding can only LENGTHEN the prefix (longer prefix stays sound).
+    val t = ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int")
+    val pre = sh.select((blockCols.map(col) :+ col("__id") :+ col("__n") :+
+      explode(slice(col("__sh"), lit(1), greatest(col("__n") - t + 1, lit(0)))).as("__p")): _*)
+    val a = pre.select(blockCols.map(col) :+ col("__id").as("id1") :+
+      col("__n").as("__n1") :+ col("__p"): _*)
+    val b = pre.select(blockCols.map(col) :+ col("__id").as("id2") :+
+      col("__n").as("__n2") :+ col("__p"): _*)
+    val cands = a.join(b, blockCols :+ "__p")
       .filter(col("id1") < col("id2"))
       // Sound size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
-      // J ≥ τ requires min ≥ τ·max — prunes the vast majority of pairs
-      // before the expensive set intersection, with no output change.
+      // J ≥ τ requires min ≥ τ·max — drops size-incompatible pairs
+      // before the distinct/verification, with no output change.
       .filter(least(col("__n1"), col("__n2")).cast("double") >=
         lit(threshold) * greatest(col("__n1"), col("__n2")).cast("double"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(sh.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")
+      .join(sh.select(col("__id").as("id2"), col("__sh").as("__sh2")), "id2")
       .select(col("id1"), col("id2"), jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -63,6 +63,33 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // 1-4 cross blocks; 3 not similar
   }
 
+  test("prefix-filtered jaccard join equals naive all-pairs on a generated corpus") {
+    // 60 docs from a small vocabulary (forces shared shingles and many
+    // near-boundary jaccards), incl. planted near-dups and short docs.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val texts = (0 until 60).map { i =>
+      val len = 4 + (i * 7) % 9
+      val base = (0 until len).map(k => vocab((i * 3 + k * 5) % vocab.size))
+      val mutated = if (i % 4 == 0) base.updated(0, vocab((i + 1) % vocab.size)) else base
+      (i.toLong, mutated.mkString(" "), (i % 2).toString)
+    }
+    val df = texts.toDF("id", "text", "grp")
+    val fast = Dedup.ngramJaccardPairs(df, "id", "text",
+      blockCols = Seq("grp"), shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Naive oracle: per-block all-pairs over the same hashed shingle sets.
+    val sh = df.select(col("grp"), col("id"),
+      Dedup.hashedShingles(col("text"), 3).as("sh"))
+    val naive = sh.as("a").join(sh.as("b"),
+        col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == naive)
+    assert(naive.nonEmpty) // the corpus really planted qualifying pairs
+  }
+
   test("cosine similarity and brute-force top-k ordering") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
