@@ -216,35 +216,59 @@ object Dedup {
    * with exact Jaccard ≥ `threshold`, so the output is IDENTICAL to
    * the naive per-block all-pairs join.
    *
-   * Prefix-filter soundness (global ascending order on shingle
-   * hashes): J(A,B) ≥ τ implies |A∩B| ≥ τ·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉,
-   * so the order-smallest common element c cannot sit past position
-   * |X| − ⌈τ|X|⌉ + 1 in either set — otherwise the ≥ ⌈τ|X|⌉ common
-   * elements would have to fit in the ⌈τ|X|⌉ − 1 slots after c. Hence
-   * c lies in BOTH prefixes and the equi-join on exploded prefixes
-   * finds every qualifying pair.
+   * Prefix-filter soundness (any global total order on shingles;
+   * here: ascending document frequency, ties by hash): J(A,B) ≥ τ
+   * implies |A∩B| ≥ τ·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉, so the order-smallest
+   * common element c cannot sit past position |X| − ⌈τ|X|⌉ + 1 in
+   * either set — otherwise the ≥ ⌈τ|X|⌉ common elements would have to
+   * fit in the ⌈τ|X|⌉ − 1 slots after c. Hence c lies in BOTH prefixes
+   * and the equi-join on exploded prefixes finds every qualifying pair.
    *
    * Scale posture (vs the previous salted per-block all-pairs): the
    * join key is (block, prefix-shingle) — candidate work is Σ over
-   * shingles of (docs sharing it)², near-linear when most shingles are
-   * rare, instead of Σ over blocks of |block|² which explodes on hot
-   * blocks (a language column yields ~4 blocks). Hot shingles (common
-   * trigrams) are bounded by the prefix restriction and AQE skew
-   * handling; false candidates cost one verification, never a wrong
-   * answer. The shingle sets are hashed ONCE (explode + collect_set
-   * aggregation — the Aggregate node is also the CollapseProject
-   * barrier that stops per-consumer re-hashing of the corpus).
+   * prefix shingles of (docs sharing it)², instead of Σ over blocks of
+   * |block|² which explodes on hot blocks (a language column yields ~4
+   * blocks). The RAREST-FIRST canonical order is what makes this hold
+   * on natural text: hot shingles (stopword n-grams shared by a large
+   * corpus fraction) sort to the END of every document, so they never
+   * enter any prefix and never form a join bucket — the classic PPJoin
+   * ordering. False candidates cost one verification, never a wrong
+   * answer. Shingles are hashed ONCE (explode + aggregate — the
+   * Aggregate node is also the CollapseProject barrier that stops
+   * per-consumer re-hashing of the corpus).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    // Sorted distinct hashed shingle sets, one digest per shingle.
-    val sh = spread(df)
+    // Postings (doc, shingle-hash), one digest per shingle. The
+    // explicit not-null filter on (id, blockCols) matches the
+    // null-filters the downstream joins would push into each branch,
+    // keeping the branches canonically equal for exchange reuse.
+    // (Null ids / block values never joined anyway.)
+    val notNull = (idCol +: blockCols).map(col(_).isNotNull).reduce(_ && _)
+    val postings = spread(df.where(notNull))
       .select((blockCols.map(col) :+ col(idCol).as("__id") :+
         explode_outer(shingles(col(textCol), shingleN)).as("__s")): _*)
+      .select((col("__id") +: blockCols.map(col)) :+ md5i(col("__s")).as("__h"): _*)
+    // Global document frequency per shingle — defines the rare-first
+    // order. Map-side partial count keeps the aggregation linear; the
+    // postings⋈freq join shuffles by shingle hash, where AQE skew
+    // splitting handles the hot keys.
+    val freq = postings.groupBy("__h").agg(count(lit(1)).as("__f"))
+    // Per-doc shingle sets sorted by (freq asc, hash asc). Inner join
+    // drops empty docs (null __h) — they cannot pair anyway (J = 0).
+    // PERSISTED: four consumers read `sh` (both prefix sides + both
+    // verification joins) and exchange reuse does not reliably fire
+    // across them — without the cache the scan+hash+freq-join pipeline
+    // executes once per consumer (measured 2.5× slower). Memory-and-
+    // disk so a corpus-scale relation spills instead of evicting; the
+    // cache is LRU-managed by Spark beyond this query's lifetime.
+    val sh = postings.join(freq, Seq("__h"))
       .groupBy((col("__id") +: blockCols.map(col)): _*)
-      .agg(sort_array(collect_set(md5i(col("__s")))).as("__sh"))
+      .agg(transform(array_sort(collect_set(struct(col("__f"), col("__h")))),
+        s => s.getField("__h")).as("__sh"))
       .withColumn("__n", size(col("__sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // τ-prefix explode: t = ⌈τ·n⌉ computed with a 1e-9 slack so float
     // rounding can only LENGTHEN the prefix (longer prefix stays sound).
     val t = ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int")
