@@ -115,15 +115,27 @@ object Dedup {
    * `k/bands` rows; docs sharing any full band become a candidate pair.
    * Returns (`idCol`_1, `idCol`_2) with id1 < id2, distinct. Only the
    * short band keys shuffle in the bucket self-join.
+   *
+   * Hot-bucket cap: a bucket of B near-identical documents otherwise
+   * emits B² candidate pairs — one mass-duplicated boilerplate page in
+   * a web corpus can dominate the whole job. Buckets larger than
+   * `maxBucketSize` are DROPPED (documented recall trade: pairs that
+   * only collide in degenerate buckets are missed; run [[exact]] dedup
+   * first if mass duplication is expected). The count is a window over
+   * the band keys — the same partitioning the self-join needs anyway.
    */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+                        k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                        maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val withBands = minHashSignatures(df, idCol, textCol, k, shingleN)
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("__band", "__key")))
+      .filter(col("__bsz") <= maxBucketSize)
     val a = withBands.select(col(idCol).as("id1"), col("__band"), col("__key"))
     val b = withBands.select(col(idCol).as("id2"), col("__band"), col("__key"))
     a.join(b, Seq("__band", "__key"))
@@ -152,8 +164,8 @@ object Dedup {
    */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                   threshold: Double = 0.5): DataFrame = {
-    val cands = minHashCandidates(df, idCol, textCol, k, bands, shingleN)
+                   threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, k, bands, shingleN, maxBucketSize)
     // Verify on hashed shingle sets: same Jaccard (md5i is injective up
     // to negligible 2^-32 collisions, reproduced exactly by the oracle).
     val sh = spread(df).select(col(idCol), hashedShingles(col(textCol), shingleN).as("__sh"))

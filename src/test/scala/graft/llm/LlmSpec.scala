@@ -63,6 +63,21 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // 1-4 cross blocks; 3 not similar
   }
 
+  test("LSH hot-bucket cap bounds candidate pairs for mass-duplicated docs") {
+    // 1200 identical docs: every band bucket holds all 1200 → uncapped
+    // LSH would emit ~719k distinct pairs. With the cap the degenerate
+    // buckets are dropped entirely (recall trade, documented).
+    val mass = (0 until 1200).map(i => (i.toLong, "the same boilerplate page text here"))
+      .toDF("id", "text")
+    val capped = Dedup.minHashCandidates(mass, "id", "text",
+      k = 32, bands = 8, shingleN = 3, maxBucketSize = 100)
+    assert(capped.count() == 0)
+    // a healthy corpus is untouched by the default cap
+    val pairs = Dedup.minHashCandidates(docs, "id", "text", k = 32, bands = 8, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("prefix-filtered jaccard join equals naive all-pairs on a generated corpus") {
     // 60 docs from a small vocabulary (forces shared shingles and many
     // near-boundary jaccards), incl. planted near-dups and short docs.
