@@ -76,11 +76,44 @@ object Http {
   final case class RetryConfig(maxAttempts: Int = 3, baseBackoffMs: Long = 1000,
                                sleeper: Long => Unit = Thread.sleep)
 
+  /**
+   * Token-bucket request rate limiter (reference limiter,
+   * `readers/http.go` RateLimit option): at most `permitsPerSecond`
+   * acquisitions per second, blocking callers until their slot.
+   * Injectable clock/sleeper for deterministic tests. On executors
+   * (via [[parallelPages]]) each task gets its own deserialized copy,
+   * so the limit is per-task there — size it as aggregate/parallelism.
+   */
+  final class RateLimiter(permitsPerSecond: Double,
+                          nowNs: () => Long = () => System.nanoTime(),
+                          sleeper: Long => Unit = Thread.sleep) extends Serializable {
+    require(permitsPerSecond > 0, "permitsPerSecond must be > 0")
+    private val intervalNs = (1e9 / permitsPerSecond).toLong
+    private var nextFreeNs = Long.MinValue
+    def acquire(): Unit = {
+      val waitMs = synchronized {
+        val now = nowNs()
+        if (nextFreeNs == Long.MinValue) nextFreeNs = now
+        val wait = nextFreeNs - now
+        nextFreeNs = math.max(now, nextFreeNs) + intervalNs
+        if (wait > 0) wait / 1000000 else 0L
+      }
+      if (waitMs > 0) sleeper(waitMs)
+    }
+  }
+
+  /** Terminal non-2xx response: pagination must NOT silently treat an
+   *  auth failure or exhausted retry budget as end-of-data. */
+  final case class HttpStatusException(status: Int, url: String, bodyPrefix: String)
+    extends RuntimeException(s"HTTP $status from $url: $bodyPrefix")
+
   /** Retry with exponential backoff on 429/5xx (reference
-   *  `readers/http.go:464-501`). */
+   *  `readers/http.go:464-501`); each attempt takes a rate-limit permit. */
   @tailrec
   def fetchWithRetry(fetcher: Fetcher, url: String, headers: Map[String, String],
-                     retry: RetryConfig, attempt: Int = 1): Response = {
+                     retry: RetryConfig, attempt: Int = 1,
+                     limiter: Option[RateLimiter] = None): Response = {
+    limiter.foreach(_.acquire())
     val r =
       try fetcher.fetch(url, headers)
       catch {
@@ -88,8 +121,38 @@ object Http {
       }
     if ((r.status == 429 || r.status >= 500 || r.status < 0) && attempt < retry.maxAttempts) {
       retry.sleeper(retry.baseBackoffMs * (1L << (attempt - 1)))
-      fetchWithRetry(fetcher, url, headers, retry, attempt + 1)
+      fetchWithRetry(fetcher, url, headers, retry, attempt + 1, limiter)
     } else r
+  }
+
+  /** Response body formats (reference `readers/http.go:590-721`). */
+  sealed trait BodyFormat
+  /** One JSON record per line (the default). */
+  case object JsonLines extends BodyFormat
+  /** A single JSON document; records live at the dotted `dataPath`
+   *  (e.g. `"data.items"` for `{"data":{"items":[…]}}` envelopes —
+   *  reference `readers/http.go:680-702`). Empty path = root; an array
+   *  yields its elements, any other node a single record; a missing
+   *  path yields no records (end of pagination). */
+  final case class JsonEnvelope(dataPath: String = "") extends BodyFormat
+  /** CSV pages; with `header` each page repeats the header line, which
+   *  is stripped from every page after the schema is taken from the
+   *  first (reference `readers/http.go:590-637`). */
+  final case class CsvPages(header: Boolean = true, delimiter: String = ",") extends BodyFormat
+
+  /** Extract individual records (as strings) from one page body. */
+  def extractRecords(body: String, format: BodyFormat): Seq[String] = format match {
+    case JsonLines => body.split("\r?\n").toSeq.filter(_.trim.nonEmpty)
+    case CsvPages(_, _) => body.split("\r?\n").toSeq.filter(_.trim.nonEmpty)
+    case JsonEnvelope(path) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var node = mapper.readTree(body)
+      if (path.nonEmpty)
+        path.split("\\.").foreach(seg => node = if (node == null) null else node.get(seg))
+      if (node == null || node.isNull) Seq.empty
+      else if (node.isArray)
+        (0 until node.size).map(i => mapper.writeValueAsString(node.get(i)))
+      else Seq(mapper.writeValueAsString(node))
   }
 
   private def addParam(url: String, k: String, v: String): String =
@@ -98,13 +161,20 @@ object Http {
   /**
    * Walk all pages; returns raw page bodies. Driver-side by necessity
    * (each page can gate the next); bounded by `maxPages`.
+   *
+   * A terminal non-2xx response (401/403/404, or 429/5xx after the
+   * retry budget) THROWS [[HttpStatusException]] instead of silently
+   * truncating the data — unless its status is listed in
+   * `endStatuses` (for APIs that signal end-of-data with e.g. 404).
    */
   def fetchPages(baseUrl: String, pagination: Pagination,
                  auth: Auth = NoAuth,
                  fetcher: Fetcher,
                  retry: RetryConfig = RetryConfig(),
                  maxPages: Int = 1000,
-                 isEmpty: String => Boolean = b => b.trim.isEmpty || b.trim == "[]"): Seq[String] = {
+                 isEmpty: String => Boolean = b => b.trim.isEmpty || b.trim == "[]",
+                 endStatuses: Set[Int] = Set.empty,
+                 limiter: Option[RateLimiter] = None): Seq[String] = {
     val out = Seq.newBuilder[String]
     var stop = false
     var page = 0
@@ -117,8 +187,11 @@ object Http {
         case Cursor(cp, _) =>
           cursor.fold(baseUrl)(c => addParam(baseUrl, cp, c))
       }
-      val resp = fetchWithRetry(fetcher, url, auth.headers, retry)
-      if (resp.status != 200 || isEmpty(resp.body)) stop = true
+      val resp = fetchWithRetry(fetcher, url, auth.headers, retry, limiter = limiter)
+      if (endStatuses.contains(resp.status)) stop = true
+      else if (resp.status < 200 || resp.status > 299)
+        throw HttpStatusException(resp.status, url, resp.body.take(200))
+      else if (isEmpty(resp.body)) stop = true
       else {
         out += resp.body
         pagination match {
@@ -133,18 +206,42 @@ object Http {
     out.result()
   }
 
-  /** Paged fetch → DataFrame: bodies are JSONL (one record per line);
-   *  parsing and flattening run distributed via `spark.read.json`. */
+  /** Paged fetch → DataFrame. Record extraction honors `format`
+   *  (JSONL lines, enveloped JSON at a dotted data path, or CSV
+   *  pages); parsing and flattening run distributed via
+   *  `spark.read.json`/`csv` over the extracted records. */
   def read(spark: SparkSession, baseUrl: String, pagination: Pagination,
            auth: Auth = NoAuth,
            fetcher: Fetcher,
            retry: RetryConfig = RetryConfig(),
-           maxPages: Int = 1000): DataFrame = {
+           maxPages: Int = 1000,
+           format: BodyFormat = JsonLines,
+           endStatuses: Set[Int] = Set.empty,
+           limiter: Option[RateLimiter] = None): DataFrame = {
     import spark.implicits._
-    val bodies = fetchPages(baseUrl, pagination, auth, fetcher, retry, maxPages)
-    // One dataset element per JSON record: spark.read.json treats each
-    // element as a single document.
-    spark.read.json(spark.createDataset(bodies.flatMap(_.split("\n"))))
+    // Pagination stops when a page yields no records — for envelopes
+    // that means an EMPTY items array, not an empty body.
+    val bodies = fetchPages(baseUrl, pagination, auth, fetcher, retry, maxPages,
+      isEmpty = b => extractRecords(b, format).isEmpty,
+      endStatuses = endStatuses, limiter = limiter)
+    format match {
+      case JsonLines | JsonEnvelope(_) =>
+        // One dataset element per JSON record: spark.read.json treats
+        // each element as a single document.
+        spark.read.json(spark.createDataset(bodies.flatMap(extractRecords(_, format))))
+      case CsvPages(header, delim) =>
+        val pages = bodies.map(extractRecords(_, format))
+        if (header) {
+          val cols = pages.head.head.split(java.util.regex.Pattern.quote(delim), -1)
+            .map(_.trim)
+          val data = pages.flatMap(_.drop(1)) // each page repeats the header
+          spark.read.option("delimiter", delim)
+            .csv(spark.createDataset(data)).toDF(cols.toIndexedSeq: _*)
+        } else {
+          spark.read.option("delimiter", delim)
+            .csv(spark.createDataset(pages.flatten))
+        }
+    }
   }
 
   /**
@@ -155,12 +252,16 @@ object Http {
   def parallelPages(spark: SparkSession, urls: Seq[String],
                     auth: Auth = NoAuth,
                     fetcher: Fetcher,
-                    retry: RetryConfig = RetryConfig()): DataFrame = {
+                    retry: RetryConfig = RetryConfig(),
+                    format: BodyFormat = JsonLines,
+                    limiter: Option[RateLimiter] = None): DataFrame = {
+    require(!format.isInstanceOf[CsvPages],
+      "parallelPages supports JSON formats; use read() for CSV pages")
     import spark.implicits._
     val headers = auth.headers
     val bodies = spark.createDataset(urls)
-      .mapPartitions(_.flatMap(u =>
-        fetchWithRetry(fetcher, u, headers, retry).body.split("\n")))
+      .mapPartitions(_.flatMap(u => extractRecords(
+        fetchWithRetry(fetcher, u, headers, retry, limiter = limiter).body, format)))
     spark.read.json(bodies)
   }
 }

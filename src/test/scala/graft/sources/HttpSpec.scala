@@ -63,6 +63,73 @@ class HttpSpec extends AnyFunSuite {
     assert(Http.ApiKey("X-Key", "k").headers == Map("X-Key" -> "k"))
   }
 
+  test("enveloped JSON responses extract records at the dotted data path") {
+    val api = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response = {
+        val page = "page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(1)
+        if (page > 2) Http.Response(200, """{"data":{"items":[],"total":4}}""")
+        else Http.Response(200,
+          s"""{"data":{"items":[{"id":${page * 2 - 1}},{"id":${page * 2}}],"total":4}}""")
+      }
+    }
+    val df = Http.read(spark, "http://api/env", Http.Page(), fetcher = api,
+      format = Http.JsonEnvelope("data.items"))
+    assert(df.count() == 4) // 2 pages x 2 items; empty items array stops the walk
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // missing path yields no records instead of one mangled row
+    assert(Http.extractRecords("""{"other":1}""", Http.JsonEnvelope("data.items")).isEmpty)
+  }
+
+  test("csv pages parse with one header; non-header pages keep all rows") {
+    val api = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response = {
+        val page = "page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(1)
+        if (page > 2) Http.Response(200, "")
+        else Http.Response(200, s"id|name\n${page}a|x\n${page}b|y\n")
+      }
+    }
+    val df = Http.read(spark, "http://api/csv", Http.Page(), fetcher = api,
+      format = Http.CsvPages(header = true, delimiter = "|"))
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 4) // repeated header rows stripped from page 2
+  }
+
+  test("terminal non-200 throws instead of silently truncating; endStatuses opt out") {
+    val flaky = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response = {
+        val page = "page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(1)
+        if (page > 1) Http.Response(403, "forbidden") else Http.Response(200, """{"id":1}""")
+      }
+    }
+    val e = intercept[Http.HttpStatusException] {
+      Http.fetchPages("http://api/x", Http.Page(), fetcher = flaky)
+    }
+    assert(e.status == 403)
+    // but an API that 404s past the last page can declare that an end signal
+    val notFound = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response = {
+        val page = "page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(1)
+        if (page > 2) Http.Response(404, "no such page") else Http.Response(200, s"""{"id":$page}""")
+      }
+    }
+    assert(Http.fetchPages("http://api/x", Http.Page(), fetcher = notFound,
+      endStatuses = Set(404)).size == 2)
+  }
+
+  test("rate limiter spaces acquisitions at the configured rate") {
+    var clock = 0L
+    val sleeps = collection.mutable.Buffer.empty[Long]
+    val rl = new Http.RateLimiter(permitsPerSecond = 10, // 100 ms interval
+      nowNs = () => clock, sleeper = ms => { sleeps += ms; clock += ms * 1000000 })
+    rl.acquire() // first is free
+    rl.acquire() // 100 ms later
+    rl.acquire()
+    assert(sleeps.toSeq == Seq(100L, 100L))
+    clock += 350L * 1000000 // idle beyond the interval: next is free again
+    rl.acquire()
+    assert(sleeps.toSeq == Seq(100L, 100L))
+  }
+
   test("parallelPages fans fetches out as a distributed job") {
     val fetcher = new Http.Fetcher {
       def fetch(url: String, headers: Map[String, String]): Http.Response =
