@@ -66,13 +66,20 @@ final class Pipeline private (
 
   /** Run: applies stages, writes all sinks, returns the output row
    *  count (the reference reports RecordsProcessed,
-   *  `pipeline/pipeline.go:250`). */
+   *  `pipeline/pipeline.go:250`). The count comes from an `observe`
+   *  metric piggybacked on the first sink's action — NOT from a
+   *  separate `count()` pass, which would re-execute the whole plan
+   *  and could disagree with what the sinks actually wrote when the
+   *  source changes between runs. */
   def execute(): Long = {
     val df = build()
     if (sinks.isEmpty) df.count()
     else {
-      sinks.foreach(_(df))
-      df.count()
+      import org.apache.spark.sql.functions.{count, lit}
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, count(lit(1)).as("n"))
+      sinks.foreach(_(observed))
+      obs.get("n").asInstanceOf[Long]
     }
   }
 }

@@ -25,19 +25,30 @@ import org.apache.spark.sql.{DataFrame, Row}
  */
 object Sinks {
 
+  /** `columns` fixes the field order (reference `writers/csv.go:188-199`
+   *  writes a caller-supplied column order); `crlf` emits \r\n line
+   *  endings (`writers/csv.go` UseCRLF). */
   def csv(df: DataFrame, path: String, header: Boolean = true,
-          delimiter: String = ",", mode: String = "overwrite"): Unit =
-    df.write.mode(mode)
+          delimiter: String = ",", mode: String = "overwrite",
+          columns: Seq[String] = Seq.empty, crlf: Boolean = false): Unit = {
+    val ordered = if (columns.nonEmpty) df.select(columns.map(df.col): _*) else df
+    val w = ordered.write.mode(mode)
       .option("header", header).option("delimiter", delimiter)
-      .csv(path)
+    (if (crlf) w.option("lineSep", "\r\n") else w).csv(path)
+  }
 
   def jsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** `rowGroupBytes` maps to `parquet.block.size` (reference row-group
+   *  size knob, `writers/parquet.go:342-353`) — larger groups favor
+   *  scan throughput, smaller favor row-group pruning granularity. */
   def parquet(df: DataFrame, path: String, compression: String = "snappy",
               mode: String = "overwrite",
-              partitionBy: Seq[String] = Seq.empty): Unit = {
-    val w = df.write.mode(mode).option("compression", compression)
+              partitionBy: Seq[String] = Seq.empty,
+              rowGroupBytes: Option[Long] = None): Unit = {
+    var w = df.write.mode(mode).option("compression", compression)
+    rowGroupBytes.foreach(n => w = w.option("parquet.block.size", n.toString))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
@@ -58,12 +69,21 @@ object Sinks {
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(table)
 
+  /** `truncate` empties the table instead of DROP+CREATE on overwrite
+   *  (reference TRUNCATE management mode, `writers/postgresql.go:666-687`
+   *  — preserves grants/indexes); `createTableColumnTypes` overrides
+   *  inferred DDL types, e.g. `"name VARCHAR(64), price DECIMAL(18,2)"`
+   *  (reference type inference, `writers/postgresql.go:478-497`). */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  user: String = "", password: String = "",
-                 batchSize: Int = 1000, mode: String = "append"): Unit = {
+                 batchSize: Int = 1000, mode: String = "append",
+                 truncate: Boolean = false,
+                 createTableColumnTypes: Option[String] = None): Unit = {
     val props = new java.util.Properties()
     if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
     props.put("batchsize", batchSize.toString)
+    if (truncate) props.put("truncate", "true")
+    createTableColumnTypes.foreach(t => props.put("createTableColumnTypes", t))
     df.write.mode(mode).jdbc(url, table, props)
   }
 

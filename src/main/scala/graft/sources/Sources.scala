@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.StructType
  *  - S3 multi-object + metadata cols (`readers/s3.go:212-513`) → [[s3]]
  *    (Hadoop S3A globbing + `input_file_name()`/`_metadata`)
  *  - HTTP paginated APIs (`readers/http.go:256-790`) → [[Http]]
- *  - Mongo (`readers/mongo.go`) → out of scope here: needs the MongoDB
- *    Spark connector jar; the capability is documented, the JSONL path
- *    covers BSON-exported data.
+ *  - Mongo find/aggregate (`readers/mongo.go:276-315,664-700`) →
+ *    [[mongo]] / change stream (`readers/mongo.go:703-730`) →
+ *    [[mongoChangeStream]]: thin facades over the MongoDB Spark
+ *    connector's `format("mongodb")`; the option mapping is pure and
+ *    unit-tested here, the connector jar itself is not in this
+ *    environment (fails with a clear message if absent).
  *
  * Schema divergence, by design (SURVEY.md §1.4): inference is
  * per-COLUMN (Spark two-pass) rather than the reference's per-cell
@@ -142,4 +145,60 @@ object Sources {
    *  metadata — feeds [[graft.llm.Multimodal]]. */
   def binaryFiles(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
+
+  /**
+   * Option map for the MongoDB Spark connector — the reference's find
+   * options map onto connector-side filter/projection pushdown, and a
+   * server-side aggregation pipeline (`readers/mongo.go:664-700`)
+   * passes through as `aggregation.pipeline` (JSON array of stages).
+   * Pure function: unit-testable without the connector jar.
+   */
+  def mongoOptions(uri: String, database: String, collection: String,
+                   pipeline: Option[String] = None,
+                   readPreference: Option[String] = None,
+                   extra: Map[String, String] = Map.empty): Map[String, String] = {
+    require(uri.startsWith("mongodb://") || uri.startsWith("mongodb+srv://"),
+      s"not a MongoDB connection uri: $uri")
+    require(database.nonEmpty && collection.nonEmpty,
+      "mongo requires a database and collection")
+    Map("connection.uri" -> uri, "database" -> database, "collection" -> collection) ++
+      pipeline.map("aggregation.pipeline" -> _) ++
+      readPreference.map("readPreference.name" -> _) ++ extra
+  }
+
+  /** Mongo scan (find, or server-side aggregate when `pipeline` is
+   *  set). Requires `org.mongodb.spark:mongo-spark-connector` on the
+   *  classpath — absent, this fails fast with a clear message. */
+  def mongo(spark: SparkSession, uri: String, database: String, collection: String,
+            pipeline: Option[String] = None,
+            readPreference: Option[String] = None,
+            extra: Map[String, String] = Map.empty): DataFrame =
+    try spark.read.format("mongodb")
+      .options(mongoOptions(uri, database, collection, pipeline, readPreference, extra))
+      .load()
+    catch { case e: Exception if connectorMissing(e) => throw missingConnector(e) }
+
+  /** Mongo change stream as a Structured Streaming source (reference
+   *  `readers/mongo.go:703-730`); same classpath requirement. */
+  def mongoChangeStream(spark: SparkSession, uri: String, database: String,
+                        collection: String,
+                        fullDocumentOnly: Boolean = true,
+                        extra: Map[String, String] = Map.empty): DataFrame =
+    try spark.readStream.format("mongodb")
+      .options(mongoOptions(uri, database, collection, extra = extra) +
+        ("change.stream.publish.full.document.only" -> fullDocumentOnly.toString))
+      .load()
+    catch { case e: Exception if connectorMissing(e) => throw missingConnector(e) }
+
+  private def connectorMissing(e: Exception): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("mongodb") && (m.contains("Failed to find") ||
+      m.contains("DATA_SOURCE_NOT_FOUND") || e.isInstanceOf[ClassNotFoundException])
+  }
+
+  private def missingConnector(cause: Exception): RuntimeException =
+    new IllegalStateException(
+      "MongoDB Spark connector is not on the classpath; add " +
+        "org.mongodb.spark:mongo-spark-connector (matching your Spark/Scala " +
+        "version) to use Sources.mongo / mongoChangeStream", cause)
 }

@@ -86,14 +86,16 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Streaming deduplication: drop repeat keys, with a watermark
-   *  bounding the dedup state (keys older than the watermark are
-   *  forgotten) — the stream form of
+  /** Streaming deduplication: drop repeat KEYS (not key+timestamp —
+   *  a repeated key with a different event time is still a duplicate),
+   *  with the watermark bounding the dedup state: duplicates arriving
+   *  within the watermark delay of the first sighting are dropped,
+   *  older state is forgotten. The stream form of
    *  [[graft.llm.Dedup.exact]] for exactly-once-ish ingestion. */
   def dedupStream(df: DataFrame, keys: Seq[String],
                   tsCol: String, watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Running per-key state for [[runningCount]]. */
   final case class KeyCount(key: String, count: Long)

@@ -36,6 +36,23 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out.isNaN)
   }
 
+  test("weightedMeanExpr is bit-equal to the udaf (and NaN on zero weight)") {
+    val data = (1 to 500).map(i => (s"g${i % 3}", i * 0.731, (i % 11) * 0.25))
+    val df = data.toDF("k", "v", "w").repartition(7)
+    val both = df.groupBy("k").agg(
+      Aggregators.weightedMean(col("v"), col("w")).as("udaf"),
+      Aggregators.weightedMeanExpr(col("v"), col("w")).as("expr"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"mismatch for ${r.getString(0)}")
+    }
+    val z = Seq(("a", 1.0, 0.0)).toDF("k", "v", "w")
+      .groupBy("k").agg(Aggregators.weightedMeanExpr(col("v"), col("w")))
+      .collect()(0).getDouble(1)
+    assert(z.isNaN)
+  }
+
   test("weightedMean plugs into the GroupBy builder as a custom agg") {
     val df = Seq(("a", 2.0, 1.0), ("a", 4.0, 1.0)).toDF("k", "v", "w")
     val out = GroupBy("k")
