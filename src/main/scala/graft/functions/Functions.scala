@@ -16,5 +16,7 @@ object Functions {
     // Exact weighted mean (graft.agg.Aggregators.WeightedMean).
     spark.udf.register("graft_weighted_mean",
       udaf(new graft.agg.Aggregators.WeightedMean))
+    // Native vector kernels (graft_dot, graft_sqdist).
+    VectorExpressions.register(spark)
   }
 }

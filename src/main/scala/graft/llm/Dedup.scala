@@ -128,8 +128,16 @@ object Dedup {
                         k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                         maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    bandCandidates(minHashSignatures(df, idCol, textCol, k, shingleN),
+      idCol, k, bands, maxBucketSize)
+  }
+
+  /** Band-bucket candidate pairs from precomputed (`idCol`, `__sig`)
+   *  signatures — the join half of [[minHashCandidates]]. */
+  private def bandCandidates(sigs: DataFrame, idCol: String, k: Int,
+                             bands: Int, maxBucketSize: Int): DataFrame = {
     val r = k / bands
-    val withBands = minHashSignatures(df, idCol, textCol, k, shingleN)
+    val withBands = sigs
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
@@ -161,10 +169,18 @@ object Dedup {
    * then exact-Jaccard verification ≥ `threshold`. Output
    * (id1, id2, jaccard) — only verified pairs survive, so LSH
    * false positives cost a join lookup, never a wrong answer.
+   *
+   * The verification shingle sets are recomputed per join side rather
+   * than persisted: caching a nested-array relation pays a columnar
+   * encode that measured ~2× the whole query (unlike the jaccard
+   * join's shingle relation, which amortizes a frequency join across
+   * four consumers), while re-running the codegen'd scan+md5 pipeline
+   * is cheap.
    */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val cands = minHashCandidates(df, idCol, textCol, k, bands, shingleN, maxBucketSize)
     // Verify on hashed shingle sets: same Jaccard (md5i is injective up
     // to negligible 2^-32 collisions, reproduced exactly by the oracle).

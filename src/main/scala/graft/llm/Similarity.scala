@@ -23,9 +23,12 @@ import TextAnalysis.md5i
  */
 object Similarity {
 
-  /** Sequential dot product of two double-array columns. */
+  /** Sequential dot product of two double-array columns — a native
+   *  codegen'd kernel ([[graft.functions.DotProduct]]); bit-identical
+   *  to the `aggregate(zip_with(...))` Column form it replaced (same
+   *  fixed evaluation order), without the intermediate zipped array. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -100,19 +103,15 @@ object Similarity {
   def lshBuckets(vec: Column, bits: Int = 12, dims: Int = 64): Column = {
     val v = vec.cast("array<double>")
     planesFor(bits, dims).zipWithIndex.map { case (pl, p) =>
-      val plane = array(pl.map(lit): _*)
-      val proj = aggregate(
-        zip_with(v, plane, (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, array(pl.map(lit): _*))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** Squared L2 distance to a literal centroid. */
-  private def sqDistTo(v: Column, centroid: Array[Double]): Column = {
-    val c = array(centroid.map(lit): _*)
-    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-  }
+  /** Squared L2 distance to a literal centroid (native codegen'd
+   *  kernel, same fixed-order fold as the Column form). */
+  private def sqDistTo(v: Column, centroid: Array[Double]): Column =
+    graft.functions.VectorExpressions.sqDist(v, array(centroid.map(lit): _*))
 
   /** Index of the nearest centroid (argmin over squared L2, ties to
    *  the lower index via lexicographic struct ordering). */

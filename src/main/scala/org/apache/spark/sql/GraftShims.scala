@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Access shim for Column ↔ Catalyst-Expression plumbing, which Spark 4
+ * scopes `private[sql]` (the Column API became node-based in 4.0).
+ * Living in the `org.apache.spark.sql` package is the standard pattern
+ * ecosystem libraries use to build native (codegen'd) expressions —
+ * see graft.functions.VectorExpressions for the expressions this
+ * enables.
+ */
+object GraftShims {
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native expression as a SQL function on the session. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

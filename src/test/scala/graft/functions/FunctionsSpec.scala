@@ -18,6 +18,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r == 17.5)
   }
 
+  test("native vector kernels are bit-identical to the Column-function folds") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0 until 200).map { i =>
+      (Array.tabulate(16)(d => math.sin(i * 17 + d) * 3),
+        Array.tabulate(16)(d => math.cos(i * 11 + d) * 2))
+    }.toDF("a", "b")
+    val oldDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val oldSq = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = vecs.select(
+      VectorExpressions.dot(col("a"), col("b")).as("nd"), oldDot.as("od"),
+      VectorExpressions.sqDist(col("a"), col("b")).as("ns"), oldSq.as("os")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("vector kernels null semantics match zip_with: mismatch/null element → null") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0))),             // length mismatch
+      (None: Option[Array[Double]], Some(Array(1.0))),       // null input
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))))        // clean
+      .toDF("a", "b")
+    val out = df.select(VectorExpressions.dot(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 11.0)
+    // null element inside an array (via the SQL surface)
+    Functions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0d, null), array(1.0d, 2.0d)) n")
+      .collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT graft_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) n")
+      .collect()(0).getDouble(0) == 25.0)
+  }
+
   test("Tables.registerAll exposes the star schema to SQL") {
     graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
