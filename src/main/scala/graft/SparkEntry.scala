@@ -457,6 +457,43 @@ object SparkEntry {
       q39Centroids = cents
       Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 4)
+    }),
+
+    // ---- §2.12 weighted mean, expression form (the at-scale path:
+    //      partial aggregation inside whole-stage codegen) ----
+    "q40_weighted_mean_expr" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(graft.agg.Aggregators.weightedMeanExpr(
+          col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.5 set operations: INTERSECT / EXCEPT ----
+    "q41_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+      val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+      Joins.intersect(f, oo).withColumn("op", lit("both"))
+        .unionByName(Joins.except(f, oo).withColumn("op", lit("f_only")))
+    }),
+
+    // ---- §2.3 right join (all parts kept, lineitem stats optional) ----
+    "q42_join_right" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(count(lit(1)).as("n_li"))
+        .filter(col("p_partkey") <= 100)
+      val p = t(s, dir, "part").select("p_partkey", "p_name")
+      Joins.join(li, p, Seq("p_partkey"), "right")
+    }),
+
+    // ---- §2.4+ CUBE with grouping_id ----
+    "q43_cube" -> ((s, dir) => {
+      GroupBy("l_returnflag", "l_linestatus").cube
+        .count("n")
+        .agg(dsum("l_extendedprice").as("sum_price"))
+        .agg(grouping_id().cast("int").as("gid"))
+        .apply(t(s, dir, "lineitem"))
     })
   )
 
@@ -812,6 +849,33 @@ object SparkEntry {
         |  / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
         | count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // identical math to q34 — the expression form must match the udaf
+    "q40_weighted_mean_expr" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q41_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS op FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)""".stripMargin,
+
+    "q42_join_right" ->
+      """SELECT p.p_partkey, li.n_li, p.p_name
+        |FROM (SELECT l_partkey AS p_partkey, count(*) AS n_li FROM lineitem
+        |      GROUP BY 1 HAVING l_partkey <= 100) li
+        |RIGHT JOIN (SELECT p_partkey, p_name FROM part) p USING (p_partkey)""".stripMargin,
+
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q29_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
