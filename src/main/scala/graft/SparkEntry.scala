@@ -494,6 +494,20 @@ object SparkEntry {
         .agg(dsum("l_extendedprice").as("sum_price"))
         .agg(grouping_id().cast("int").as("gid"))
         .apply(t(s, dir, "lineitem"))
+    }),
+
+    // ---- §2.8 SCD Type 1 (overwrite: source verbatim, per reference) ----
+    "q44_scd1" -> ((s, dir) => {
+      SCD.scd1(t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select("c_custkey", "c_name", "c_mktsegment"))
+    }),
+
+    // ---- LLM ops: near-dup pair list → duplicate CLUSTERS (connected
+    //      components, min-id canonical representative) ----
+    "q45_components" -> ((s, dir) => {
+      Dedup.components(Dedup.minHashDedup(t(s, dir, "documents"),
+        "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5))
     })
   )
 
@@ -527,6 +541,24 @@ object SparkEntry {
        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
        |FROM s QUALIFY "rank" <= 3""".stripMargin
   }
+
+  /** Shared CTE chain producing the MinHash-LSH verified-pair relation
+   *  `v(id1, id2, jaccard)` — used by the q24 oracle and, extended
+   *  with a recursive closure, the q45 components oracle. */
+  private val minhashCtes: String =
+    """w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
+      |hs AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+      |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS hs FROM w),
+      |sig AS (SELECT doc_id, list_transform(generate_series(0,31),
+      |        i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12582917*i + 1) % 4294967311))) AS sig FROM hs),
+      |bands AS (SELECT doc_id, r.b AS band, array_to_string(sig[r.b*4+1 : r.b*4+4], ',') AS bkey
+      |          FROM sig CROSS JOIN range(8) r(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |v AS (SELECT id1, id2,
+      |        CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) AS jaccard
+      |      FROM cand JOIN hs s1 ON s1.doc_id = cand.id1 JOIN hs s2 ON s2.doc_id = cand.id2)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (column names MUST match). */
   def oracleSql: Map[String, String] =
@@ -732,21 +764,25 @@ object SparkEntry {
         |      ELSE 'und' END AS pred
         |FROM (SELECT *, greatest(en_hits, es_hits, de_hits, fr_hits) AS g FROM h)""".stripMargin,
 
-    "q24_minhash" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
-        |hs AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
-        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS hs FROM w),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0,31),
-        |        i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12582917*i + 1) % 4294967311))) AS sig FROM hs),
-        |bands AS (SELECT doc_id, r.b AS band, array_to_string(sig[r.b*4+1 : r.b*4+4], ',') AS bkey
-        |          FROM sig CROSS JOIN range(8) r(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        |v AS (SELECT id1, id2,
-        |        CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) AS jaccard
-        |      FROM cand JOIN hs s1 ON s1.doc_id = cand.id1 JOIN hs s2 ON s2.doc_id = cand.id2)
-        |SELECT id1, id2, jaccard FROM v WHERE jaccard >= 0.5""".stripMargin,
+    "q24_minhash" -> s"WITH $minhashCtes\nSELECT id1, id2, jaccard FROM v WHERE jaccard >= 0.5",
+
+    // components of the q24 pair graph: transitive closure via
+    // recursive CTE, component = min reachable id (tiny pair set at
+    // oracle scale, so closure blowup is not a concern)
+    "q45_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT id1, id2 FROM v WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2 AS a, id1 AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM e
+         |  UNION
+         |  SELECT reach.node, e.b AS r FROM reach JOIN e ON reach.r = e.a
+         |)
+         |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin,
+
+    "q44_scd1" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey % 3 = 0""".stripMargin,
 
     "q25_simhash" ->
       """WITH h AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs FROM documents)

@@ -322,6 +322,56 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected pair list — the step every
+   * dedup pipeline needs after near-dup PAIR generation: pairs chain
+   * (A~B, B~C ⇒ {A,B,C} is one duplicate cluster), and the keep-one
+   * decision is per CLUSTER, not per pair. Returns (`node`,
+   * `component`) for every id appearing in `pairs`, where `component`
+   * is the smallest id in the node's component (deterministic
+   * canonical representative).
+   *
+   * Algorithm: iterative min-label propagation — each round every node
+   * takes the min of its own label and its neighbors' labels; stop
+   * when a round changes nothing. Rounds = graph diameter, and near-dup
+   * clusters are near-cliques (diameter ~2), so this converges in 2-3
+   * rounds; `maxIter` bounds adversarial chains. Each round is one
+   * join + one aggregation, all distributed; the convergence check is
+   * a count of changed labels (one tiny action per round).
+   */
+  def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                 maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .unionByName(pairs.select(col(id2).as("a"), col(id1).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // candidate label per node: min over self and neighbor labels
+      val viaNeighbors = edges
+        .join(labels.select(col("node").as("b"), col("component")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("component")).as("__nb"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nb"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), "node")
+        .filter(col("component") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * Blocked embedding-cosine near-dup pairs: pairs sharing `blockCols`
    * with cosine ≥ `threshold`. For unblocked corpora use
    * [[Similarity.lshBuckets]] to generate the blocking column first.

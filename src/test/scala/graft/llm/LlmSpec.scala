@@ -105,6 +105,22 @@ class LlmSpec extends AnyFunSuite {
     assert(naive.nonEmpty) // the corpus really planted qualifying pairs
   }
 
+  test("connected components: chains collapse to min-id clusters") {
+    // two clusters — a 5-node PATH (worst case for label propagation:
+    // needs diameter rounds) and a 2-node pair — plus untouched ids
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("id1", "id2")
+    val comp = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp.size == 7) // only ids appearing in pairs
+    // maxIter bounds the propagation (partial labels, still safe)
+    val bounded = Dedup.components(pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(5L) == 4L) // one round: neighbor min only
+  }
+
   test("cosine similarity and brute-force top-k ordering") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
