@@ -508,6 +508,17 @@ object SparkEntry {
     "q45_components" -> ((s, dir) => {
       Dedup.components(Dedup.minHashDedup(t(s, dir, "documents"),
         "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5))
+    }),
+
+    // ---- LLM ops: corpus cleaning — normalization, PII redaction,
+    //      n-gram repetition signal (C4/Gopher-style filters) ----
+    "q46_text_clean" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.normalize(text).as("norm"),
+        TA.redactPii(text).as("redacted"),
+        TA.repetitionRatio(text, 3).as("rep_ratio"))
     })
   )
 
@@ -783,6 +794,20 @@ object SparkEntry {
     "q44_scd1" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey % 3 = 0""".stripMargin,
+
+    "q46_text_clean" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, text, CASE WHEN len(w) >= 3 THEN
+        |        list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END AS allg FROM t)
+        |SELECT doc_id,
+        | lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        | CASE WHEN len(allg) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(allg)) AS DOUBLE) / CAST(len(allg) AS DOUBLE) END AS rep_ratio
+        |FROM g""".stripMargin,
 
     "q25_simhash" ->
       """WITH h AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs FROM documents)

@@ -115,4 +115,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + md5i(t)) % 1000000007L)
+
+  /** Text normalization for corpus pre-processing: strip control
+   *  characters, collapse whitespace runs to one space, trim,
+   *  lowercase. Patterns are RE2-compatible (no lookaround), so an
+   *  external engine reproduces the result exactly. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")))
+
+  /** PII redaction (training-data hygiene): email addresses →
+   *  `<EMAIL>`, phone-number-shaped digit runs → `<PHONE>`.
+   *  Deliberately conservative regexes — RE2-safe, no lookaround —
+   *  favoring precision; swap patterns per policy. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+
+  /** Word n-gram repetition ratio in [0,1]: fraction of n-gram
+   *  occurrences that are repeats (`1 − distinct/total`) — the
+   *  Gopher-style repetition filter signal; boilerplate and looping
+   *  generations score high. Texts shorter than `n` tokens score 0. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val all = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val total = size(all)
+    when(total === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(all)).cast("double") / total.cast("double"))
+  }
 }

@@ -216,6 +216,27 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("fp") == fp2)
   }
 
+  test("text cleaning: normalize, PII redaction, repetition ratio") {
+    val r = Seq("  Mail me\tat Bob.Smith+x@corp.example.COM  or call +1 (555) 123-4567 NOW  ")
+      .toDF("text")
+      .select(
+        TextAnalysis.normalize(col("text")).as("n"),
+        TextAnalysis.redactPii(col("text")).as("p")).collect()(0)
+    assert(r.getString(0) == "mail me at bob.smith+x@corp.example.com or call +1 (555) 123-4567 now")
+    assert(r.getString(1).contains("<EMAIL>") && r.getString(1).contains("<PHONE>"))
+    assert(!r.getString(1).contains("corp.example"))
+    val rep = Seq(
+      ("a b c a b c a b c", "loopy"),   // "a b c" repeats
+      ("all words here are different ones", "clean"),
+      ("x", "short"))
+      .toDF("text", "kind")
+      .select(col("kind"), TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(rep("loopy") > 0.5)
+    assert(rep("clean") == 0.0)
+    assert(rep("short") == 0.0) // sub-n text: defined 0, no divide-by-zero
+  }
+
   test("quality score rewards running text over punctuation soup") {
     val r = Seq(
       ("the cat is on the mat and it is happy with this that", "good"),
