@@ -71,4 +71,51 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getDouble(1) == 1.0)
     }
   }
+
+  test("prefix-filtered jaccard join equals naive all-pairs on random corpora") {
+    // Small vocabulary forces shared shingles + near-threshold scores —
+    // the regime where an unsound prefix/size filter would drop pairs.
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(25, docGen)
+    for ((corpus, caseIdx) <- samples(corpusGen, 3).zipWithIndex) {
+      val df = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, (i % 2).toString) }
+        .toDF("id", "text", "grp")
+      val fast = Dedup.ngramJaccardPairs(df, "id", "text", Seq("grp"), 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = df.select(col("grp"), col("id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
+      val naive = sh.as("a").join(sh.as("b"),
+          col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .filter(col("j") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive, s"case $caseIdx corpus=$corpus")
+    }
+  }
+
+  test("components: every node maps to the min id of its transitive cluster") {
+    val edgeGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)).suchThat(p => p._1 != p._2)))
+    for (edges <- samples(edgeGen, 4)) {
+      val pairs = edges.toDF("id1", "id2")
+      val got = Dedup.components(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find on the driver
+      val parent = collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
 }
