@@ -143,10 +143,13 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
       val assigned = v.withColumn("__c", nearestCentroid(col("__v"), centroids))
+      // decimal(18,12): 6 integer digits is ample for unit-scale
+      // embedding components, and precision ≤ 18 keeps Spark's Decimal
+      // on the compact long representation in the sum buffers.
       val means = assigned.groupBy("__c")
         .agg(count(lit(1)).as("__n"),
           array((0 until dims).map(i =>
-            sum(col("__v")(i).cast("decimal(28,12)"))): _*).as("__sums"))
+            sum(col("__v")(i).cast("decimal(18,12)"))): _*).as("__sums"))
         .collect().map { r =>
           val n = r.getLong(1).toDouble
           r.getInt(0) -> r.getSeq[java.math.BigDecimal](2)
