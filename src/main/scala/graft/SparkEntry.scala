@@ -519,6 +519,21 @@ object SparkEntry {
         TA.normalize(text).as("norm"),
         TA.redactPii(text).as("redacted"),
         TA.repetitionRatio(text, 3).as("rep_ratio"))
+    }),
+
+    // ---- LLM ops: deterministic per-key corpus quota ----
+    "q47_per_key_limit" -> ((s, dir) => {
+      graft.llm.Sampling.perKeyLimit(t(s, dir, "documents"),
+        Seq("lang", "source"), "doc_id", n = 3)
+    }),
+
+    // ---- LLM ops: token-budget shard packing (per-language groups) ----
+    "q48_shard_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+      graft.llm.Sampling.packByTokenBudget(docs, Seq("lang"),
+        orderCol = "doc_id", tokenCol = "n_tokens", budget = 1000L)
+        .select("doc_id", "lang", "n_tokens", "shard")
     })
   )
 
@@ -794,6 +809,17 @@ object SparkEntry {
     "q44_scd1" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey % 3 = 0""".stripMargin,
+
+    "q47_per_key_limit" ->
+      """SELECT * FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 3""".stripMargin,
+
+    "q48_shard_packing" ->
+      """SELECT doc_id, lang, CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens,
+        | CAST(floor((sum(CAST(len(string_split_regex(text,'\s+')) AS BIGINT))
+        |   OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |   - CAST(len(string_split_regex(text,'\s+')) AS BIGINT)) / 1000.0) AS BIGINT) AS shard
+        |FROM documents""".stripMargin,
 
     "q46_text_clean" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS w FROM documents),

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus sampling / sharding operators for training-data pipelines:
+ * stratified mixes, deterministic per-key caps, and token-budget shard
+ * packing. Beyond the reference's surface; north-star LLM-pipeline
+ * scope.
+ */
+object Sampling {
+
+  /**
+   * Stratified sample: per-stratum Bernoulli fractions (e.g. language
+   * rebalancing: keep 100% of low-resource strata, 5% of the head).
+   * Deterministic for a fixed `seed`. Strata absent from `fractions`
+   * are dropped — pass 1.0 explicitly to keep a stratum whole.
+   */
+  def stratified(df: DataFrame, stratumCol: String,
+                 fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /**
+   * Deterministic per-key cap: at most `n` rows per key, the first `n`
+   * by `orderCol` — corpus mixing with hard per-source/per-language
+   * quotas, reproducible run-to-run (unlike a random sample). One
+   * shuffle on the keys; the window's rank never leaves its partition.
+   */
+  def perKeyLimit(df: DataFrame, keys: Seq[String], orderCol: String,
+                  n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /**
+   * Token-budget shard packing: within each group, rows are laid out
+   * in `orderCol` order and assigned shard ids so consecutive rows
+   * accumulate until `budget` tokens (a row straddling the boundary
+   * belongs to the shard where it started — shards can overshoot by
+   * at most one document). `shard = floor(cumulative_tokens_before /
+   * budget)`, deterministic and reproducible in any engine.
+   *
+   * Scale posture: packing is inherently sequential WITHIN a group
+   * (each shard depends on everything before it), so the window
+   * partitions by `groupCols` and parallelism comes from the number of
+   * groups — pack per (source, language, date) rather than globally.
+   * An empty `groupCols` packs globally in a single partition: correct,
+   * but only for corpora that fit one task's disk spill.
+   */
+  def packByTokenBudget(df: DataFrame, groupCols: Seq[String],
+                        orderCol: String, tokenCol: String,
+                        budget: Long, shardCol: String = "shard"): DataFrame = {
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = sum(col(tokenCol)).over(w) - col(tokenCol)
+    df.withColumn(shardCol, floor(cumBefore / lit(budget)))
+  }
+
+  /**
+   * Weighted mix of corpora: each source sampled at its fraction, then
+   * unioned by name — the standard recipe for blending data sources at
+   * target ratios. Deterministic for a fixed `seed` (each source uses
+   * `seed + index` so equal sources don't sample identical row sets).
+   */
+  def weightedMix(sources: Seq[(DataFrame, Double)], seed: Long): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.zipWithIndex.map { case ((df, frac), i) =>
+      require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
+      df.sample(withReplacement = false, frac, seed + i)
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = (1 to 40).map(i =>
+    (i.toLong, if (i % 4 == 0) "de" else "en", s"doc $i text", (i % 7 + 1).toLong))
+    .toDF("id", "lang", "text", "n_tokens")
+
+  test("perKeyLimit keeps the first n per key, deterministically") {
+    val out = Sampling.perKeyLimit(corpus, Seq("lang"), "id", 3)
+    val byLang = out.collect().groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getLong(0)).sorted.toSeq }
+    assert(byLang("de") == Seq(4L, 8L, 12L))
+    assert(byLang("en") == Seq(1L, 2L, 3L))
+    // idempotent
+    assert(Sampling.perKeyLimit(out, Seq("lang"), "id", 3).count() == out.count())
+  }
+
+  test("packByTokenBudget: shards fill in order, overshoot at most one doc") {
+    val docs = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 100L), (5L, 900L))
+      .toDF("id", "toks").withColumn("g", lit("a"))
+    val out = Sampling.packByTokenBudget(docs, Seq("g"), "id", "toks", budget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // cum-before: 0, 400, 800, 1200, 1300 → shards 0,0,0,1,1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // groups pack independently
+    val two = Sampling.packByTokenBudget(corpus, Seq("lang"), "id", "n_tokens", 10L)
+    val firstPerLang = two.filter(col("shard") === 0).groupBy("lang").count().collect()
+    assert(firstPerLang.forall(_.getLong(1) > 0))
+  }
+
+  test("stratified sampling is deterministic per seed and respects strata") {
+    val a = Sampling.stratified(corpus, "lang", Map("en" -> 0.5, "de" -> 1.0), seed = 7)
+    val b = Sampling.stratified(corpus, "lang", Map("en" -> 0.5, "de" -> 1.0), seed = 7)
+    assert(a.collect().map(_.getLong(0)).toSeq == b.collect().map(_.getLong(0)).toSeq)
+    assert(a.filter(col("lang") === "de").count() == 10) // fraction 1.0 keeps all
+    // a stratum absent from fractions is dropped
+    val onlyDe = Sampling.stratified(corpus, "lang", Map("de" -> 1.0), seed = 7)
+    assert(onlyDe.filter(col("lang") === "en").count() == 0)
+  }
+
+  test("weightedMix blends sources at their fractions, deterministically") {
+    val en = corpus.filter(col("lang") === "en")
+    val de = corpus.filter(col("lang") === "de")
+    val mix = Sampling.weightedMix(Seq(en -> 1.0, de -> 0.0), seed = 3)
+    assert(mix.count() == en.count())
+    val m1 = Sampling.weightedMix(Seq(en -> 0.4, de -> 0.8), seed = 3).collect().length
+    val m2 = Sampling.weightedMix(Seq(en -> 0.4, de -> 0.8), seed = 3).collect().length
+    assert(m1 == m2)
+  }
+}
