@@ -32,6 +32,27 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Unit-normalize a vector (L2); zero-norm vectors pass through
+   *  unchanged (guarding the ANSI divide-by-zero). After
+   *  normalization, cosine reduces to a plain dot product. */
+  def normalizeVec(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** Symmetric int8 quantization: scale by 127/max|x| and round —
+   *  4× smaller vectors for coarse ANN candidate stages (re-rank with
+   *  the float vectors). Returns `struct(q: array<int>, scale:
+   *  double)`; dequantize as `q[i] * scale`. All-zero vectors get
+   *  scale 0. */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val q = when(maxAbs === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x * lit(127.0) / maxAbs).cast("int")))
+    struct(q.as("q"), when(maxAbs === 0.0, lit(0.0))
+      .otherwise(maxAbs / lit(127.0)).as("scale"))
+  }
+
   /** Cosine similarity; zero-norm inputs score 0.0 (ANSI mode throws
    *  on division by zero, and all-zero embeddings occur in practice —
    *  e.g. padding rows or failed encoder outputs). */

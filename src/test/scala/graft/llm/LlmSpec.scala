@@ -260,6 +260,25 @@ class LlmSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 0.0)
   }
 
+  test("vector utilities: unit-norm and int8 quantization round-trip") {
+    val df = Seq(Array(3.0, 4.0, 0.0), Array(0.0, 0.0, 0.0)).toDF("v")
+    val out = df.select(
+      Similarity.normalizeVec(col("v")).as("u"),
+      Similarity.quantizeInt8(col("v")).as("qz")).collect()
+    val u = out(0).getSeq[Double](0)
+    assert(math.abs(math.sqrt(u.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(out(1).getSeq[Double](0) == Seq(0.0, 0.0, 0.0)) // zero vec unchanged
+    val qz = out(0).getStruct(1)
+    val q = qz.getSeq[Int](0); val scale = qz.getDouble(1)
+    assert(q == Seq(95, 127, 0)) // 3/4*127 rounded, 127, 0
+    // dequantized cosine close to original
+    val deq = q.map(_ * scale)
+    val cos = deq.zip(Seq(3.0, 4.0, 0.0)).map { case (a, b) => a * b }.sum /
+      (math.sqrt(deq.map(x => x * x).sum) * 5.0)
+    assert(cos > 0.999)
+    assert(out(1).getStruct(1).getDouble(1) == 0.0) // zero vec scale
+  }
+
   test("ANSI guards: empty text metrics and zero-norm cosine don't throw") {
     val r = Seq("").toDF("text").select(
       TextAnalysis.punctRatio(col("text")).as("p"),
