@@ -534,6 +534,16 @@ object SparkEntry {
       graft.llm.Sampling.packByTokenBudget(docs, Seq("lang"),
         orderCol = "doc_id", tokenCol = "n_tokens", budget = 1000L)
         .select("doc_id", "lang", "n_tokens", "shard")
+    }),
+
+    // ---- LLM ops: end-to-end near-dup removal (pairs → clusters →
+    //      keep canonical representative) ----
+    "q49_drop_near_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDuplicates(docs,
+        Dedup.minHashDedup(docs, "doc_id", "text",
+          k = 32, bands = 8, shingleN = 3, threshold = 0.5),
+        "doc_id")
     })
   )
 
@@ -809,6 +819,20 @@ object SparkEntry {
     "q44_scd1" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey % 3 = 0""".stripMargin,
+
+    // corpus minus non-canonical near-dups (node != its component min)
+    "q49_drop_near_dups" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT id1, id2 FROM v WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2 AS a, id1 AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM e
+         |  UNION
+         |  SELECT reach.node, e.b AS r FROM reach JOIN e ON reach.r = e.a
+         |),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+         |SELECT d.* FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
 
     "q47_per_key_limit" ->
       """SELECT * FROM documents

@@ -372,6 +372,22 @@ object Dedup {
   }
 
   /**
+   * End-to-end near-dup removal: given the corpus and a near-dup pair
+   * list (from [[minHashDedup]], [[ngramJaccardPairs]], or
+   * [[embeddingNearDup]]), keep each duplicate CLUSTER's canonical
+   * representative (min id via [[components]]) plus every document in
+   * no pair. One anti-join against the non-canonical ids — the
+   * cluster table is tiny relative to the corpus (only paired docs),
+   * so the join broadcasts.
+   */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val dupIds = components(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Blocked embedding-cosine near-dup pairs: pairs sharing `blockCols`
    * with cosine ≥ `threshold`. For unblocked corpora use
    * [[Similarity.lshBuckets]] to generate the blocking column first.
