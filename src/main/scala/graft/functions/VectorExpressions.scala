@@ -109,11 +109,11 @@ object VectorExpressions {
   def sqDist(a: Column, b: Column): Column =
     GraftShims.column(SquaredL2(GraftShims.expression(a), GraftShims.expression(b)))
 
-  /** Make the kernels callable from SQL (`graft_dot`, `graft_sqdist`). */
-  def register(spark: SparkSession): Unit = {
-    GraftShims.registerFunction(spark, "graft_dot",
-      es => DotProduct(es(0), es(1)))
-    GraftShims.registerFunction(spark, "graft_sqdist",
-      es => SquaredL2(es(0), es(1)))
-  }
+  /** Make the kernels callable from SQL (`graft_dot`, `graft_sqdist`)
+   *  on an already-built session; cluster deployments can instead
+   *  inject them at session build via [[graft.GraftExtensions]]. */
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.functionList.foreach { case (name, builder) =>
+      GraftShims.registerFunction(spark, name, builder)
+    }
 }

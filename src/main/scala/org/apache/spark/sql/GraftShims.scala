@@ -23,4 +23,13 @@ object GraftShims {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply a [[SparkSessionExtensions]]' injected functions to an
+   *  ALREADY-BUILT session — lets tests exercise the extensions path
+   *  without tearing down the shared session (extensions normally
+   *  apply only at session instantiation). */
+  def applyExtensionFunctions(spark: SparkSession,
+                              ext: SparkSessionExtensions): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }

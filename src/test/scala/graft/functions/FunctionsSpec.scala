@@ -57,6 +57,17 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 25.0)
   }
 
+  test("GraftExtensions injects the native functions for cluster deployments") {
+    import org.apache.spark.sql.{GraftShims, SparkSessionExtensions}
+    val ext = new SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    GraftShims.applyExtensionFunctions(spark, ext)
+    assert(spark.sql("SELECT graft_dot(array(2.0d, 3.0d), array(4.0d, 5.0d)) n")
+      .collect()(0).getDouble(0) == 23.0)
+    assert(spark.sql("SELECT graft_sqdist(array(0.0d), array(2.0d)) n")
+      .collect()(0).getDouble(0) == 4.0)
+  }
+
   test("Tables.registerAll exposes the star schema to SQL") {
     graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
