@@ -181,7 +181,13 @@ object Dedup {
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val cands = minHashCandidates(df, idCol, textCol, k, bands, shingleN, maxBucketSize)
+    // Signatures persisted: both band-join sides consume them, and at
+    // k longs per doc the columnar cache encode is cheap (unlike the
+    // full shingle-set relation, whose cache build measured ~2× this
+    // whole query — that one is recomputed instead, see below).
+    val sigs = minHashSignatures(df, idCol, textCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandCandidates(sigs, idCol, k, bands, maxBucketSize)
     // Verify on hashed shingle sets: same Jaccard (md5i is injective up
     // to negligible 2^-32 collisions, reproduced exactly by the oracle).
     val sh = spread(df).select(col(idCol), hashedShingles(col(textCol), shingleN).as("__sh"))
