@@ -544,6 +544,15 @@ object SparkEntry {
         Dedup.minHashDedup(docs, "doc_id", "text",
           k = 32, bands = 8, shingleN = 3, threshold = 0.5),
         "doc_id")
+    }),
+
+    // ---- §2.11 sliding windows (batch form of the streaming op) ----
+    "q50_sliding_window" -> ((s, dir) => {
+      graft.streaming.Streaming.sliding(t(s, dir, "events"), "ts",
+        "1 hour", "30 minutes",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("event_type"), col("n"))
     })
   )
 
@@ -911,6 +920,20 @@ object SparkEntry {
          |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
          |FROM s QUALIFY "rank" <= 3""".stripMargin
     },
+
+    // each event lands in width/slide = 2 windows whose starts are the
+    // two slide-aligned marks in (ts − width, ts]; micros arithmetic
+    // mirrors Spark's window() epoch alignment exactly
+    "q50_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_type, (us // 1800000000 - r.i) * 1800000000 AS ws
+        |      FROM e CROSS JOIN range(2) r(i)
+        |      WHERE us >= (us // 1800000000 - r.i) * 1800000000
+        |        AND us < (us // 1800000000 - r.i) * 1800000000 + 3600000000)
+        |SELECT make_timestamp(ws) AS w_start,
+        |       make_timestamp(ws + 3600000000) AS w_end,
+        |       event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
     "q32_session_window" ->
       """WITH m AS (SELECT user_id, ts,
