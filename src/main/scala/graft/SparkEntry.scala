@@ -553,6 +553,29 @@ object SparkEntry {
         Seq(col("event_type")), Seq(count(lit(1)).as("n")))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("event_type"), col("n"))
+    }),
+
+    // ---- §2.3+ skew-salted join: must produce exactly the plain
+    //      join's result (the salt is a physical detail) ----
+    "q51_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderstatus")
+      GroupBy("o_orderstatus")
+        .count("n_items")
+        .agg(dsum("l_extendedprice").as("revenue"))
+        .apply(Joins.saltedJoin(li, o, Seq("l_orderkey"), "inner", saltFactor = 8))
+    }),
+
+    // ---- §3.1 linear pipeline facade (chain-order stages) ----
+    "q52_pipeline" -> ((s, dir) => {
+      graft.core.Pipeline.from(t(s, dir, "customer"))
+        .transform(T.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+        .filter(col("c_acctbal") > 0)
+        .transform(T.addField("tier",
+          when(col("c_acctbal") > 5000, "gold").otherwise("basic")))
+        .transform(T.toLower("c_mktsegment"))
+        .build()
     })
   )
 
@@ -920,6 +943,18 @@ object SparkEntry {
          |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
          |FROM s QUALIFY "rank" <= 3""".stripMargin
     },
+
+    // identical to the unsalted join — the salt must not change results
+    "q51_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q52_pipeline" ->
+      """SELECT c_custkey, c_name, c_acctbal, lower(c_mktsegment) AS c_mktsegment,
+        | CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'basic' END AS tier
+        |FROM customer WHERE c_acctbal > 0""".stripMargin,
 
     // each event lands in width/slide = 2 windows whose starts are the
     // two slide-aligned marks in (ts − width, ts]; micros arithmetic
