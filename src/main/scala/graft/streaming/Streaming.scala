@@ -86,6 +86,31 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * Stream-stream interval join: rows match when they share `keys` AND
+   * the right event time lies within ±`tolerance` of the left's. Both
+   * sides carry watermarks and the join condition bounds event time in
+   * BOTH directions, so Structured Streaming can evict state on both
+   * sides — the requirements for an unbounded-safe stream-stream join.
+   * Right-side columns come back prefixed (`prefix`) to avoid
+   * collisions. The same call works in batch mode (watermarks are
+   * no-ops there).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   delay: String, tolerance: String,
+                   joinType: String = "inner",
+                   prefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r0 = right.withWatermark(rightTs, delay)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"$prefix$c"))
+    val keyCond = keys.map(k => l(k) === r(s"$prefix$k")).reduce(_ && _)
+    val timeCond =
+      r(s"$prefix$rightTs") >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
+        r(s"$prefix$rightTs") <= l(leftTs) + expr(s"INTERVAL $tolerance")
+    l.join(r, keyCond && timeCond, joinType)
+  }
+
   /** Streaming deduplication: drop repeat KEYS (not key+timestamp —
    *  a repeated key with a different event time is still a duplicate),
    *  with the watermark bounding the dedup state: duplicates arriving

@@ -62,6 +62,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((ts(0), 3L), (ts(55), 1L)))
   }
 
+  test("stream-stream interval join matches within tolerance, streaming mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF.toDF("user", "ts"), views.toDF.toDF("user", "vts"),
+      Seq("user"), "ts", "vts", delay = "1 hour", tolerance = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode("append").start()
+    clicks.addData((1L, ts(0)), (2L, ts(0)))
+    views.addData((1L, ts(300)),   // +5 min → matches
+      (2L, ts(1200)),              // +20 min → outside tolerance
+      (1L, ts(-300)))              // −5 min → matches
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT user, r_vts FROM sj").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L)) // only user 1, twice
+    // batch mode, same call: identical matching semantics
+    val batch = Streaming.intervalJoin(
+      Seq((1L, ts(0))).toDF("user", "ts"), Seq((1L, ts(540)), (1L, ts(700))).toDF("user", "vts"),
+      Seq("user"), "ts", "vts", delay = "1 hour", tolerance = "10 minutes")
+    assert(batch.count() == 1) // +9 min in, +11:40 out
+  }
+
   test("runningCount keeps per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Long)]
