@@ -105,6 +105,42 @@ object Multimodal {
     }
   }
 
+  /** Resizer contract: payload bytes → payload bytes at the target
+   *  dimensions. A real implementation binds an image codec; init in
+   *  [[open]] runs once per partition. */
+  trait Resizer extends Serializable {
+    def open(): Unit = ()
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte]
+  }
+
+  /** STUB resizer — deterministic index-scaled byte resampling (no
+   *  codec libs in this environment); output size ∝ target pixel
+   *  count, so downstream size accounting behaves realistically. */
+  object FakeResizer extends Resizer {
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val target = math.max(1, width * height / 64)
+      Array.tabulate(target)(i =>
+        if (content.isEmpty) 0.toByte
+        else content((i.toLong * content.length / target).toInt))
+    }
+  }
+
+  /** Partition-wise resize: codec opens once per partition; metadata
+   *  dimensions update alongside the payload. Narrow — no shuffle. */
+  def resize(ds: Dataset[MediaRecord], width: Int, height: Int,
+             resizer: Resizer = FakeResizer): Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      resizer.open()
+      it.map { r =>
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        MediaRecord(r.media_id, resizer.resize(bytes, width, height),
+          r.meta.copy(width = Some(width), height = Some(height)))
+      }
+    }
+  }
+
   /**
    * Frame sampling stub for video payloads: emits `n` (frame_index,
    * offset) pairs per record — the real implementation would seek the

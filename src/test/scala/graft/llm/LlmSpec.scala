@@ -318,5 +318,10 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.count() == 6)
     assert(frames.filter(col("media_id") === 1L).orderBy("frame_index")
       .collect().map(_.getLong(2)).toSeq == Seq(0L, 3L, 7L)) // offsets across 11 bytes
+    val resized = Multimodal.resize(media.as[Multimodal.MediaRecord], 16, 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(resized(1L).content.length == 4) // 16*16/64 fake bytes-per-pixels
+    assert(resized(1L).meta.width.contains(16) && resized(1L).meta.height.contains(16))
+    assert(resized(2L).content.length == 4) // empty payload still shapes correctly
   }
 }
