@@ -581,7 +581,10 @@ object SparkEntry {
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
    *  `Double.toString` round-trips and DuckDB parses to the nearest
-   *  double). Empty until q39 runs → q39 gets a rows-only check. */
+   *  double). Empty until q39 runs → q39 gets a rows-only check.
+   *  Holds the LAST run's centroids: valid because Verify processes
+   *  one scale-factor directory per invocation (running q39 against a
+   *  second dataset in the same JVM would overwrite them). */
   @volatile private var q39Centroids: Seq[Array[Double]] = Nil
 
   /** IVF oracle: the full probe path in DuckDB against the SAME trained
@@ -612,7 +615,9 @@ object SparkEntry {
 
   /** Shared CTE chain producing the MinHash-LSH verified-pair relation
    *  `v(id1, id2, jaccard)` — used by the q24 oracle and, extended
-   *  with a recursive closure, the q45 components oracle. */
+   *  with a recursive closure, the q45/q49 oracles. The bands QUALIFY
+   *  mirrors the Spark side's hot-bucket cap (maxBucketSize = 1000),
+   *  so the comparison stays exact even on a mass-duplicated corpus. */
   private val minhashCtes: String =
     """w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
       |hs AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
@@ -621,7 +626,8 @@ object SparkEntry {
       |sig AS (SELECT doc_id, list_transform(generate_series(0,31),
       |        i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12582917*i + 1) % 4294967311))) AS sig FROM hs),
       |bands AS (SELECT doc_id, r.b AS band, array_to_string(sig[r.b*4+1 : r.b*4+4], ',') AS bkey
-      |          FROM sig CROSS JOIN range(8) r(b)),
+      |          FROM sig CROSS JOIN range(8) r(b)
+      |          QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 1000),
       |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
       |v AS (SELECT id1, id2,

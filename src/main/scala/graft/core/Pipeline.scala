@@ -70,7 +70,10 @@ final class Pipeline private (
    *  metric piggybacked on the first sink's action — NOT from a
    *  separate `count()` pass, which would re-execute the whole plan
    *  and could disagree with what the sinks actually wrote when the
-   *  source changes between runs. */
+   *  source changes between runs. If no sink ran a Spark action (so
+   *  no metric exists), falls back to one `count()` rather than
+   *  blocking on the observation. A sink that consumes only part of
+   *  the plan (e.g. a `limit`) reports the rows it consumed. */
   def execute(): Long = {
     val df = build()
     if (sinks.isEmpty) df.count()
@@ -79,7 +82,15 @@ final class Pipeline private (
       val obs = org.apache.spark.sql.Observation()
       val observed = df.observe(obs, count(lit(1)).as("n"))
       sinks.foreach(_(observed))
-      obs.get("n").asInstanceOf[Long]
+      // metrics arrive via an async listener — wait briefly, then fall
+      // back to a count() if no sink triggered an action at all
+      try {
+        import scala.concurrent.Await
+        import scala.concurrent.duration._
+        Await.result(obs.future, 2.seconds).getAs[Long]("n")
+      } catch {
+        case _: java.util.concurrent.TimeoutException => df.count()
+      }
     }
   }
 }

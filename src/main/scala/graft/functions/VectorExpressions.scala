@@ -103,11 +103,16 @@ case class SquaredL2(left: Expression, right: Expression) extends VectorFold {
 /** Column-level entry points + SQL registration for the kernels. */
 object VectorExpressions {
 
+  /** Cast to array<double> so float-array (the common on-disk
+   *  embedding type) and int-array inputs keep working like the old
+   *  lambda forms did; a no-op cast is simplified away by Catalyst. */
+  private def d(c: Column): Column = c.cast("array<double>")
+
   def dot(a: Column, b: Column): Column =
-    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+    GraftShims.column(DotProduct(GraftShims.expression(d(a)), GraftShims.expression(d(b))))
 
   def sqDist(a: Column, b: Column): Column =
-    GraftShims.column(SquaredL2(GraftShims.expression(a), GraftShims.expression(b)))
+    GraftShims.column(SquaredL2(GraftShims.expression(d(a)), GraftShims.expression(d(b))))
 
   /** Make the kernels callable from SQL (`graft_dot`, `graft_sqdist`)
    *  on an already-built session; cluster deployments can instead

@@ -342,7 +342,9 @@ object Dedup {
    * clusters are near-cliques (diameter ~2), so this converges in 2-3
    * rounds; `maxIter` bounds adversarial chains. Each round is one
    * join + one aggregation, all distributed; the convergence check is
-   * a count of changed labels (one tiny action per round).
+   * a count of changed labels (one tiny action per round). The
+   * returned relation stays persisted (callers typically consume it
+   * immediately; Spark's LRU cache management reclaims it after).
    */
   def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                  maxIter: Int = 20): DataFrame = {
@@ -366,8 +368,12 @@ object Dedup {
           least(col("component"), coalesce(col("__nb"), col("component")))
             .as("component"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // FULL count (no limit): materializes every partition of `next`
+      // into its cache BEFORE the predecessor is unpersisted — a
+      // short-circuit count could leave cold partitions whose lineage
+      // chains through every unpersisted prior round.
       val changed = next.join(labels.withColumnRenamed("component", "__old"), "node")
-        .filter(col("component") =!= col("__old")).limit(1).count()
+        .filter(col("component") =!= col("__old")).count()
       labels.unpersist()
       labels = next
       done = changed == 0

@@ -167,10 +167,14 @@ object Similarity {
       // decimal(18,12): 6 integer digits is ample for unit-scale
       // embedding components, and precision ≤ 18 keeps Spark's Decimal
       // on the compact long representation in the sum buffers.
+      // try_cast: a NaN/Inf/±1e6+ outlier component (corrupt encoder
+      // row) becomes null and drops out of that dimension's sum
+      // instead of killing the job under ANSI mode — a bounded, still
+      // deterministic nudge to one centroid dimension.
       val means = assigned.groupBy("__c")
         .agg(count(lit(1)).as("__n"),
           array((0 until dims).map(i =>
-            sum(col("__v")(i).cast("decimal(18,12)"))): _*).as("__sums"))
+            sum(col("__v")(i).try_cast("decimal(18,12)"))): _*).as("__sums"))
         .collect().map { r =>
           val n = r.getLong(1).toDouble
           r.getInt(0) -> r.getSeq[java.math.BigDecimal](2)

@@ -137,22 +137,27 @@ object Http {
   final case class JsonEnvelope(dataPath: String = "") extends BodyFormat
   /** CSV pages; with `header` each page repeats the header line, which
    *  is stripped from every page after the schema is taken from the
-   *  first (reference `readers/http.go:590-637`). */
+   *  first (reference `readers/http.go:590-637`). Limitation: pages
+   *  split on raw newlines, so quoted fields must not EMBED newlines
+   *  (normal for API-paged CSV; use a file-based source for full
+   *  RFC-4180 payloads). */
   final case class CsvPages(header: Boolean = true, delimiter: String = ",") extends BodyFormat
+
+  /** Shared (thread-safe after config) JSON mapper for envelope parsing. */
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Extract individual records (as strings) from one page body. */
   def extractRecords(body: String, format: BodyFormat): Seq[String] = format match {
     case JsonLines => body.split("\r?\n").toSeq.filter(_.trim.nonEmpty)
     case CsvPages(_, _) => body.split("\r?\n").toSeq.filter(_.trim.nonEmpty)
     case JsonEnvelope(path) =>
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      var node = mapper.readTree(body)
+      var node = jsonMapper.readTree(body)
       if (path.nonEmpty)
         path.split("\\.").foreach(seg => node = if (node == null) null else node.get(seg))
       if (node == null || node.isNull) Seq.empty
       else if (node.isArray)
-        (0 until node.size).map(i => mapper.writeValueAsString(node.get(i)))
-      else Seq(mapper.writeValueAsString(node))
+        (0 until node.size).map(i => jsonMapper.writeValueAsString(node.get(i)))
+      else Seq(jsonMapper.writeValueAsString(node))
   }
 
   private def addParam(url: String, k: String, v: String): String =
@@ -231,7 +236,8 @@ object Http {
         spark.read.json(spark.createDataset(bodies.flatMap(extractRecords(_, format))))
       case CsvPages(header, delim) =>
         val pages = bodies.map(extractRecords(_, format))
-        if (header) {
+        if (pages.isEmpty) spark.emptyDataFrame // zero pages: no schema to offer
+        else if (header) {
           val cols = pages.head.head.split(java.util.regex.Pattern.quote(delim), -1)
             .map(_.trim)
           val data = pages.flatMap(_.drop(1)) // each page repeats the header

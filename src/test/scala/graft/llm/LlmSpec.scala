@@ -292,6 +292,10 @@ class LlmSpec extends AnyFunSuite {
     assert(vecs.select(Similarity.cosine(
       col("embedding").cast("array<double>"), col("embedding").cast("array<double>")))
       .collect().forall(!_.getDouble(0).isNaN)) // 0-vec scores 0.0, not 0/0
+    // float arrays work WITHOUT an explicit cast (kernel coerces)
+    assert(vecs.filter(col("vec_id") === 1L)
+      .select(Similarity.cosine(col("embedding"), col("embedding")))
+      .collect()(0).getDouble(0) == 1.0)
     val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
       "vec_id", "embedding", k = 2).collect()
     assert(topk.length == 2) // zero-norm query ranks everything at 0.0

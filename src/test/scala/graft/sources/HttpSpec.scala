@@ -92,6 +92,12 @@ class HttpSpec extends AnyFunSuite {
       format = Http.CsvPages(header = true, delimiter = "|"))
     assert(df.columns.toSeq == Seq("id", "name"))
     assert(df.count() == 4) // repeated header rows stripped from page 2
+    // zero pages → empty DataFrame, not a head-of-empty-list crash
+    val never = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]) = Http.Response(200, "")
+    }
+    assert(Http.read(spark, "http://api/none", Http.Page(), fetcher = never,
+      format = Http.CsvPages(header = true)).count() == 0)
   }
 
   test("terminal non-200 throws instead of silently truncating; endStatuses opt out") {
