@@ -352,8 +352,11 @@ object Dedup {
       .unionByName(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // initial label = min(self, direct neighbors): the first
+    // propagation round fused into initialization — one aggregation
+    // instead of a distinct + join + convergence check.
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var i = 0
     var done = false

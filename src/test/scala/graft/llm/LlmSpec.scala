@@ -115,10 +115,12 @@ class LlmSpec extends AnyFunSuite {
     assert((1L to 5L).forall(comp(_) == 1L))
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp.size == 7) // only ids appearing in pairs
-    // maxIter bounds the propagation (partial labels, still safe)
+    // maxIter bounds the propagation (partial labels, still safe):
+    // init fuses hop 1 (5→4 becomes 5→min(5,4)=4... then min over
+    // neighbor labels), so maxIter=1 reaches two hops down the path
     val bounded = Dedup.components(pairs, maxIter = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bounded(5L) == 4L) // one round: neighbor min only
+    assert(bounded(5L) == 3L)
   }
 
   test("cosine similarity and brute-force top-k ordering") {
