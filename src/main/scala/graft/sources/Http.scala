@@ -72,6 +72,18 @@ object Http {
   /** Opaque cursor extracted from the body by `nextCursor`. */
   final case class Cursor(cursorParam: String = "cursor",
                           nextCursor: String => Option[String]) extends Pagination
+  /** RFC-5988 `Link: <url>; rel="next"` header pagination (GitHub-style). */
+  case object LinkHeader extends Pagination
+  /** Full next-page URL extracted from the BODY (e.g. a `next` field);
+   *  `None` ends the walk. */
+  final case class NextUrl(next: String => Option[String]) extends Pagination
+
+  /** Parse the `next` target from an RFC-5988 Link header value. */
+  def nextLink(headers: Map[String, String]): Option[String] =
+    headers.collectFirst { case (k, v) if k.equalsIgnoreCase("link") => v }
+      .flatMap { v =>
+        "<([^>]+)>\\s*;\\s*rel=\"?next\"?".r.findFirstMatchIn(v).map(_.group(1))
+      }
 
   final case class RetryConfig(maxAttempts: Int = 3, baseBackoffMs: Long = 1000,
                                sleeper: Long => Unit = Thread.sleep)
@@ -184,6 +196,7 @@ object Http {
     var stop = false
     var page = 0
     var cursor: Option[String] = None
+    var nextUrl: Option[String] = Some(baseUrl)
     while (!stop && page < maxPages) {
       val url = pagination match {
         case Offset(op, lp, size) =>
@@ -191,6 +204,7 @@ object Http {
         case Page(pp) => addParam(baseUrl, pp, (page + 1).toString)
         case Cursor(cp, _) =>
           cursor.fold(baseUrl)(c => addParam(baseUrl, cp, c))
+        case LinkHeader | NextUrl(_) => nextUrl.get
       }
       val resp = fetchWithRetry(fetcher, url, auth.headers, retry, limiter = limiter)
       if (endStatuses.contains(resp.status)) stop = true
@@ -203,6 +217,12 @@ object Http {
           case Cursor(_, next) =>
             cursor = next(resp.body)
             if (cursor.isEmpty) stop = true
+          case LinkHeader =>
+            nextUrl = nextLink(resp.headers)
+            if (nextUrl.isEmpty) stop = true
+          case NextUrl(next) =>
+            nextUrl = next(resp.body)
+            if (nextUrl.isEmpty) stop = true
           case _ => ()
         }
         page += 1

@@ -42,6 +42,10 @@ object Sources {
       inferSchema: Boolean = true,
       nullValue: String = "",
       multiLine: Boolean = false,
+      /** Quote/escape characters (reference lazy-quote handling,
+       *  `readers/csv.go:102-137`). */
+      quote: String = "\"",
+      escape: String = "\\",
       /** Parse-error handling — set from
        *  [[graft.core.Pipeline.ErrorStrategy.sourceMode]]: FAILFAST
        *  (reference FailFast), DROPMALFORMED (SkipErrors), PERMISSIVE
@@ -57,6 +61,8 @@ object Sources {
       .option("delimiter", opts.delimiter)
       .option("nullValue", opts.nullValue)
       .option("multiLine", opts.multiLine)
+      .option("quote", opts.quote)
+      .option("escape", opts.escape)
       .option("mode", opts.mode)
       .option("columnNameOfCorruptRecord", opts.corruptColumn)
     r = opts.comment.fold(r)(c => r.option("comment", c))

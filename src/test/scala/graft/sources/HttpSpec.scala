@@ -41,6 +41,28 @@ class HttpSpec extends AnyFunSuite {
     assert(bodies.size == 2)
   }
 
+  test("link-header and body-next-url pagination follow full URLs") {
+    val linked = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response = url match {
+        case "http://api/a" => Http.Response(200, """{"id":1}""",
+          Map("Link" -> """<http://api/b>; rel="next", <http://api/a>; rel="prev""""))
+        case "http://api/b" => Http.Response(200, """{"id":2}""",
+          Map("link" -> """<http://api/a>; rel="prev"""")) // no next → stop
+        case other => Http.Response(404, s"unexpected $other")
+      }
+    }
+    assert(Http.fetchPages("http://api/a", Http.LinkHeader, fetcher = linked).size == 2)
+    val nexted = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response =
+        if (url.endsWith("/p2")) Http.Response(200, """{"id":2,"next":null}""")
+        else Http.Response(200, """{"id":1,"next":"http://api/p2"}""")
+    }
+    val bodies = Http.fetchPages("http://api/p1",
+      Http.NextUrl(b => "\"next\":\"([^\"]+)\"".r.findFirstMatchIn(b).map(_.group(1))),
+      fetcher = nexted)
+    assert(bodies.size == 2)
+  }
+
   test("retry backs off on 429/5xx and succeeds within budget") {
     var calls = 0
     val sleeps = collection.mutable.Buffer.empty[Long]
