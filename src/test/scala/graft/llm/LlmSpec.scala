@@ -123,6 +123,13 @@ class LlmSpec extends AnyFunSuite {
     assert(bounded(5L) == 3L)
   }
 
+  test("dropNearDuplicates keeps the min-id doc per cluster plus unpaired docs") {
+    val pairs = Seq((2L, 1L), (2L, 4L)).toDF("id1", "id2") // cluster {1,2,4}
+    val out = Dedup.dropNearDuplicates(docs, pairs, "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L)) // 1 is canonical; 3 was never paired
+  }
+
   test("cosine similarity and brute-force top-k ordering") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

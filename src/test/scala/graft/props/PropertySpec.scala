@@ -79,20 +79,23 @@ class PropertySpec extends AnyFunSuite {
     val docGen = Gen.choose(0, 10).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
     val corpusGen = Gen.listOfN(25, docGen)
-    for ((corpus, caseIdx) <- samples(corpusGen, 3).zipWithIndex) {
+    // multiple thresholds: exercises the ⌈τn⌉ prefix-length boundary
+    // (τ·n integer vs not) — the spot where an off-by-one would lose pairs
+    for ((corpus, caseIdx) <- samples(corpusGen, 3).zipWithIndex;
+         tau <- Seq(0.3, 0.5, 0.75)) {
       val df = corpus.zipWithIndex
         .map { case (t, i) => (i.toLong, t, (i % 2).toString) }
         .toDF("id", "text", "grp")
-      val fast = Dedup.ngramJaccardPairs(df, "id", "text", Seq("grp"), 3, 0.5)
+      val fast = Dedup.ngramJaccardPairs(df, "id", "text", Seq("grp"), 3, tau)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val sh = df.select(col("grp"), col("id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
       val naive = sh.as("a").join(sh.as("b"),
           col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
         .select(col("a.id"), col("b.id"),
           Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
-        .filter(col("j") >= 0.5)
+        .filter(col("j") >= tau)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(fast == naive, s"case $caseIdx corpus=$corpus")
+      assert(fast == naive, s"case $caseIdx tau=$tau corpus=$corpus")
     }
   }
 
