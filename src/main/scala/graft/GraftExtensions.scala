@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{DotProduct, SquaredL2}
 
@@ -25,8 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Coerce SQL-path inputs to array<double> (float arrays are the
+   *  common on-disk embedding type), matching the Column-API wrappers. */
+  private def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
   /** (name, builder) for every injectable native function. */
   val functionList: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => DotProduct(es(0), es(1))),
-    "graft_sqdist" -> (es => SquaredL2(es(0), es(1))))
+    "graft_dot" -> (es => DotProduct(d(es(0)), d(es(1)))),
+    "graft_sqdist" -> (es => SquaredL2(d(es(0)), d(es(1)))))
 }

@@ -634,6 +634,19 @@ object SparkEntry {
       |        CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) AS jaccard
       |      FROM cand JOIN hs s1 ON s1.doc_id = cand.id1 JOIN hs s2 ON s2.doc_id = cand.id2)""".stripMargin
 
+  /** Transitive closure of the verified pairs → `comp(node, component)`
+   *  with component = min reachable id. Shared by the q45/q49 oracles;
+   *  requires `WITH RECURSIVE` and the [[minhashCtes]] prefix. */
+  private val componentsCtes: String =
+    """pairs AS (SELECT id1, id2 FROM v WHERE jaccard >= 0.5),
+      |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2 AS a, id1 AS b FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, a AS r FROM e
+      |  UNION
+      |  SELECT reach.node, e.b AS r FROM reach JOIN e ON reach.r = e.a
+      |),
+      |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
+
   /** DuckDB-equivalent SQL per query (column names MUST match). */
   def oracleSql: Map[String, String] =
     (if (q39Centroids.nonEmpty) Map("q39_ivf" -> q39OracleSql(q39Centroids))
@@ -845,14 +858,8 @@ object SparkEntry {
     // oracle scale, so closure blowup is not a concern)
     "q45_components" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS (SELECT id1, id2 FROM v WHERE jaccard >= 0.5),
-         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2 AS a, id1 AS b FROM pairs),
-         |reach AS (
-         |  SELECT a AS node, a AS r FROM e
-         |  UNION
-         |  SELECT reach.node, e.b AS r FROM reach JOIN e ON reach.r = e.a
-         |)
-         |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin,
+         |$componentsCtes
+         |SELECT node, component FROM comp""".stripMargin,
 
     "q44_scd1" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -861,14 +868,7 @@ object SparkEntry {
     // corpus minus non-canonical near-dups (node != its component min)
     "q49_drop_near_dups" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS (SELECT id1, id2 FROM v WHERE jaccard >= 0.5),
-         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2 AS a, id1 AS b FROM pairs),
-         |reach AS (
-         |  SELECT a AS node, a AS r FROM e
-         |  UNION
-         |  SELECT reach.node, e.b AS r FROM reach JOIN e ON reach.r = e.a
-         |),
-         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+         |$componentsCtes
          |SELECT d.* FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
 

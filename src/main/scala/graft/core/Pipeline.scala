@@ -82,12 +82,14 @@ final class Pipeline private (
       val obs = org.apache.spark.sql.Observation()
       val observed = df.observe(obs, count(lit(1)).as("n"))
       sinks.foreach(_(observed))
-      // metrics arrive via an async listener — wait briefly, then fall
-      // back to a count() if no sink triggered an action at all
+      // metrics arrive via an async listener that can lag behind a
+      // completed action on a busy driver — wait generously before
+      // concluding that no sink triggered an action and falling back
+      // to a count() re-execution (correct, but a second full pass)
       try {
         import scala.concurrent.Await
         import scala.concurrent.duration._
-        Await.result(obs.future, 2.seconds).getAs[Long]("n")
+        Await.result(obs.future, 30.seconds).getAs[Long]("n")
       } catch {
         case _: java.util.concurrent.TimeoutException => df.count()
       }

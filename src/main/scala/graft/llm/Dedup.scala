@@ -360,6 +360,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var i = 0
     var done = false
+    var lastChanged = 0L
     while (!done && i < maxIter) {
       // candidate label per node: min over self and neighbor labels
       val viaNeighbors = edges
@@ -379,9 +380,15 @@ object Dedup {
         .filter(col("component") =!= col("__old")).count()
       labels.unpersist()
       labels = next
+      lastChanged = changed
       done = changed == 0
       i += 1
     }
+    if (lastChanged != 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: labels still changing after maxIter=$maxIter rounds " +
+          s"($lastChanged nodes) — component ids may not be cluster minima; " +
+          "raise maxIter for long similarity chains")
     edges.unpersist()
     labels
   }

@@ -135,8 +135,10 @@ object Multimodal {
       resizer.open()
       it.map { r =>
         val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        val meta = if (r.meta == null)
+          MediaMeta("application/octet-stream", None, None, None) else r.meta
         MediaRecord(r.media_id, resizer.resize(bytes, width, height),
-          r.meta.copy(width = Some(width), height = Some(height)))
+          meta.copy(width = Some(width), height = Some(height)))
       }
     }
   }

@@ -53,6 +53,7 @@ object Sampling {
   def packByTokenBudget(df: DataFrame, groupCols: Seq[String],
                         orderCol: String, tokenCol: String,
                         budget: Long, shardCol: String = "shard"): DataFrame = {
+    require(budget > 0, "budget must be positive")
     val w = (if (groupCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(groupCols.map(col): _*))
       .orderBy(col(orderCol))

@@ -171,14 +171,20 @@ object Similarity {
       // row) becomes null and drops out of that dimension's sum
       // instead of killing the job under ANSI mode — a bounded, still
       // deterministic nudge to one centroid dimension.
+      val prev = centroids
       val means = assigned.groupBy("__c")
         .agg(count(lit(1)).as("__n"),
           array((0 until dims).map(i =>
             sum(col("__v")(i).try_cast("decimal(18,12)"))): _*).as("__sums"))
         .collect().map { r =>
+          val j = r.getInt(0)
           val n = r.getLong(1).toDouble
-          r.getInt(0) -> r.getSeq[java.math.BigDecimal](2)
-            .map(_.doubleValue() / n).toArray
+          // a dimension whose every value was nulled by try_cast (all
+          // rows corrupt in that cluster) keeps its previous centroid
+          // component instead of NPE-ing on a null sum
+          j -> r.getSeq[java.math.BigDecimal](2).zipWithIndex.map {
+            case (bd, d) => if (bd == null) prev(j)(d) else bd.doubleValue() / n
+          }.toArray
         }.toMap
       // Empty clusters keep their previous centroid.
       centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }

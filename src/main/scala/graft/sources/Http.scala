@@ -78,11 +78,19 @@ object Http {
    *  `None` ends the walk. */
   final case class NextUrl(next: String => Option[String]) extends Pagination
 
-  /** Parse the `next` target from an RFC-5988 Link header value. */
+  /** Parse the `next` target from an RFC-5988 Link header value:
+   *  entries split on commas, and `rel="next"` may appear anywhere
+   *  among an entry's parameters (exact token — `next-archive` does
+   *  not match). */
   def nextLink(headers: Map[String, String]): Option[String] =
     headers.collectFirst { case (k, v) if k.equalsIgnoreCase("link") => v }
       .flatMap { v =>
-        "<([^>]+)>\\s*;\\s*rel=\"?next\"?".r.findFirstMatchIn(v).map(_.group(1))
+        v.split(",").iterator.map(_.trim).flatMap { entry =>
+          val url = "^<([^>]+)>".r.findFirstMatchIn(entry).map(_.group(1))
+          val isNext = entry.split(";").drop(1)
+            .exists(p => p.trim.matches("rel=\"?next\"?"))
+          if (isNext) url else None
+        }.nextOption()
       }
 
   final case class RetryConfig(maxAttempts: Int = 3, baseBackoffMs: Long = 1000,
@@ -175,6 +183,11 @@ object Http {
   private def addParam(url: String, k: String, v: String): String =
     url + (if (url.contains("?")) "&" else "?") + k + "=" + v
 
+  /** Resolve a possibly-relative next-page URL against the base. */
+  private def resolve(base: String, next: String): String =
+    try java.net.URI.create(base).resolve(next).toString
+    catch { case _: IllegalArgumentException => next }
+
   /**
    * Walk all pages; returns raw page bodies. Driver-side by necessity
    * (each page can gate the next); bounded by `maxPages`.
@@ -218,10 +231,10 @@ object Http {
             cursor = next(resp.body)
             if (cursor.isEmpty) stop = true
           case LinkHeader =>
-            nextUrl = nextLink(resp.headers)
+            nextUrl = nextLink(resp.headers).map(resolve(baseUrl, _))
             if (nextUrl.isEmpty) stop = true
           case NextUrl(next) =>
-            nextUrl = next(resp.body)
+            nextUrl = next(resp.body).map(resolve(baseUrl, _))
             if (nextUrl.isEmpty) stop = true
           case _ => ()
         }

@@ -103,7 +103,10 @@ object Streaming {
                    prefix: String = "r_"): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
     val r0 = right.withWatermark(rightTs, delay)
-    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"$prefix$c"))
+    // single-pass aliasing (a sequential rename cascade corrupts names
+    // when a column already carries the prefix); aliases keep the
+    // event-time watermark metadata
+    val r = r0.select(r0.columns.map(c => col(c).as(s"$prefix$c")): _*)
     val keyCond = keys.map(k => l(k) === r(s"$prefix$k")).reduce(_ && _)
     val timeCond =
       r(s"$prefix$rightTs") >= l(leftTs) - expr(s"INTERVAL $tolerance") &&

@@ -52,6 +52,19 @@ class HttpSpec extends AnyFunSuite {
       }
     }
     assert(Http.fetchPages("http://api/a", Http.LinkHeader, fetcher = linked).size == 2)
+    // rel="next" anywhere among the params; next-archive is NOT next;
+    // relative URLs resolve against the base
+    assert(Http.nextLink(Map("Link" ->
+      """<http://api/p2>; type="application/json"; rel="next"""")).contains("http://api/p2"))
+    assert(Http.nextLink(Map("Link" -> """<http://api/x>; rel="next-archive"""")).isEmpty)
+    val rel = new Http.Fetcher {
+      def fetch(url: String, headers: Map[String, String]): Http.Response =
+        if (url == "http://api/v1/items") Http.Response(200, """{"id":1}""",
+          Map("Link" -> """</v1/items2>; rel="next""""))
+        else if (url == "http://api/v1/items2") Http.Response(200, """{"id":2}""")
+        else Http.Response(404, s"unexpected $url")
+    }
+    assert(Http.fetchPages("http://api/v1/items", Http.LinkHeader, fetcher = rel).size == 2)
     val nexted = new Http.Fetcher {
       def fetch(url: String, headers: Map[String, String]): Http.Response =
         if (url.endsWith("/p2")) Http.Response(200, """{"id":2,"next":null}""")
