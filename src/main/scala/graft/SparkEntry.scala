@@ -576,6 +576,73 @@ object SparkEntry {
           when(col("c_acctbal") > 5000, "gold").otherwise("basic")))
         .transform(T.toLower("c_mktsegment"))
         .build()
+    }),
+
+    // ---- LLM ops: benchmark decontamination (n-gram collision check;
+    //      benchmark grams broadcast, corpus never shuffles) ----
+    "q53_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationHits(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+    }),
+
+    // ---- LLM ops: corpus-level exact line dedup (C4 recipe) over
+    //      deterministic 8-token lines ----
+    "q54_line_dedup" -> ((s, dir) => {
+      val w = split(col("text"), "\\s+")
+      val chunked = t(s, dir, "documents").select(col("doc_id"),
+        when(size(w) >= 1,
+          array_join(transform(
+            sequence(lit(0), floor((size(w) - 1).cast("double") / 8.0).cast("int")),
+            i => concat_ws(" ", slice(w, i * 8 + 1, lit(8)))), "\n"))
+          .otherwise(lit("")).as("text"))
+      Dedup.dedupLines(chunked, "doc_id", "text", "\n")
+    }),
+
+    // ---- LLM ops: top-k characteristic terms per doc (TF-IDF,
+    //      rational idf for cross-engine determinism) ----
+    "q55_tfidf" -> ((s, dir) => {
+      TA.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+
+    // ---- §2.11 REAL streaming execution: file source → watermark →
+    //      tumbling window agg → memory sink, Trigger.AvailableNow;
+    //      the batch oracle must match the micro-batch engine's state ----
+    "q56_stream_hourly" -> ((s, dir) => {
+      // RAW parquet schema (ts is nano-epoch INT64 under nanosAsLong) —
+      // the stream must read what's physically in the file; the
+      // micros conversion Tables does for batch runs inside the
+      // streaming transform instead
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // glob, not the bare file path: the file-stream source requires a
+      // directory (or glob) so it can derive a basePath for listing
+      graft.streaming.Streaming.runBatchAsStream(
+        s, s"$dir/events*.parquet", schema,
+        df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
+        name = s"graft_stream_${System.nanoTime}")
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("total_value"))
+    }),
+
+    // ---- LLM ops: incremental ingest dedup (new crawl vs seen corpus,
+    //      content-hash anti-join) ----
+    "q57_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.newAgainstSeen(docs, docs.filter(col("doc_id") % 7 === 0), "text")
+    }),
+
+    // ---- LLM ops: content-deterministic Bernoulli sample (stable
+    //      row set independent of partitioning — unlike df.sample) ----
+    "q58_hash_sample" -> ((s, dir) => {
+      graft.llm.Sampling.hashSample(t(s, dir, "documents"),
+        "doc_id", numer = 3, denom = 10, salt = "s1")
     })
   )
 
@@ -961,6 +1028,55 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal, lower(c_mktsegment) AS c_mktsegment,
         | CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'basic' END AS tier
         |FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    // corpus docs sharing any distinct 3-gram with the src0 benchmark
+    "q53_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split_regex(text,'\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, source, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS sh FROM w),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE source = 'src0'),
+        |cg AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM cg JOIN bench USING (h) GROUP BY doc_id""".stripMargin,
+
+    // chunk into 8-token lines, keep each line's corpus-wide first
+    // occurrence (by doc_id, then position), reassemble in order
+    "q54_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(0, CAST(floor((len(w)-1)/8) AS INT)),
+        |        i -> array_to_string(w[i*8+1 : i*8+8], ' ')) AS ls FROM w WHERE len(w) >= 1),
+        |l AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |        i -> {'pos': i, 'ln': ls[i]}), recursive := true) FROM c),
+        |k AS (SELECT doc_id, pos, ln FROM l
+        |      QUALIFY row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) = 1)
+        |SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q55_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) DESC, term) AS BIGINT) AS "rank"
+        |FROM tf JOIN dfc USING (term) QUALIFY "rank" <= 5""".stripMargin,
+
+    // the streaming engine's complete-mode state must equal batch agg;
+    // hour windows are epoch-aligned = date_trunc
+    "q56_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q57_incremental" ->
+      """SELECT * FROM documents
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)""".stripMargin,
+
+    "q58_hash_sample" ->
+      """SELECT * FROM documents
+        |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
 
     // each event lands in width/slide = 2 windows whose starts are the
     // two slide-aligned marks in (ts − width, ts]; micros arithmetic

@@ -410,6 +410,93 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination hits: for each corpus document, the
+   * number of DISTINCT word `n`-grams it shares with any document in
+   * `benchmark` — the standard train/test-overlap check (n-gram
+   * collision decontamination, as published for GPT-2/GPT-3-style
+   * pipelines; production uses n≈13, tests use smaller n).
+   * Returns (`idCol`, n_hits) for contaminated documents only.
+   *
+   * Scale posture: the benchmark side (eval sets — MBs, not TBs) is
+   * collapsed to a DISTINCT n-gram hash relation and broadcast, so the
+   * 100 TB corpus side never shuffles: shingle, hash, broadcast-join,
+   * partial-agg per document. One pass over the corpus.
+   */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(hashedShingles(col(textCol), n)).as("__h"))
+      .distinct()
+    spread(corpus)
+      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("__h"))
+      .join(broadcast(benchGrams), Seq("__h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /**
+   * Benchmark decontamination: remove corpus documents sharing at
+   * least `minHits` distinct `n`-grams with the benchmark set. The
+   * contaminated-id relation is tiny (benchmark collisions), so the
+   * anti-join broadcasts; the corpus stays unshuffled end to end.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 13, minHits: Long = 1L): DataFrame = {
+    val bad = contaminationHits(corpus, benchmark, idCol, textCol, n)
+      .filter(col("n_hits") >= minHits)
+      .select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Corpus-level exact LINE deduplication (the C4 recipe: a duplicated
+   * line — boilerplate headers, navigation, license blocks — is kept
+   * only at its FIRST occurrence corpus-wide and removed everywhere
+   * else). First = smallest (`idCol`, line position). Documents whose
+   * every line is removed disappear from the output (empty documents
+   * are useless downstream); line order within a document is preserved.
+   * Returns (`idCol`, `textCol`) with the deduplicated text.
+   *
+   * Scale posture: one shuffle partitioned by the LINE (not the
+   * document) for the global first-occurrence rank, then one shuffle
+   * back on the document id for reassembly. Line-key skew (millions of
+   * copies of one boilerplate line) lands in AQE's skew handling; the
+   * reassembly side is bounded by document size.
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__line"))
+    val w = Window.partitionBy("__line").orderBy(col(idCol), col("__pos"))
+    lines.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as(textCol))
+  }
+
+  /**
+   * Incremental ingest dedup: corpus rows whose CONTENT (md5 of
+   * `textCol`) was never seen in `seen` — dedup a new crawl against an
+   * existing corpus without re-clustering the old data. The seen side
+   * collapses to DISTINCT 32-char digests (16 bytes/doc of payload)
+   * before the anti-join, so AQE broadcasts it whenever the seen-hash
+   * relation fits an executor; otherwise both sides hash-partition on
+   * the digest — the minimal shuffle for an exact containment check.
+   * `seen` needs only the text column.
+   */
+  def newAgainstSeen(corpus: DataFrame, seen: DataFrame,
+                     textCol: String): DataFrame = {
+    val seenH = seen.select(md5(col(textCol).cast("binary")).as("__h")).distinct()
+    corpus.join(seenH,
+        md5(col(textCol).cast("binary")) === col("__h"), "left_anti")
+  }
+
+  /**
    * Blocked embedding-cosine near-dup pairs: pairs sharing `blockCols`
    * with cosine ≥ `threshold`. For unblocked corpora use
    * [[Similarity.lshBuckets]] to generate the blocking column first.

@@ -63,6 +63,23 @@ object Sampling {
   }
 
   /**
+   * Content-deterministic Bernoulli sample: keep a row iff
+   * `md5(key ++ salt) mod denom < numer` — the same row set on every
+   * run, every engine, every partitioning (unlike `df.sample`, whose
+   * row set depends on partition layout). The standard trick for
+   * reproducible corpus subsetting and stable A/B splits: vary `salt`
+   * to draw independent samples. Pure projection + filter — no
+   * shuffle, fully pushdown-friendly.
+   */
+  def hashSample(df: DataFrame, keyCol: String, numer: Int, denom: Int,
+                 salt: String = ""): DataFrame = {
+    require(denom > 0 && numer >= 0 && numer <= denom,
+      s"need 0 <= numer <= denom, got $numer/$denom")
+    df.filter(pmod(graft.llm.TextAnalysis.md5i(
+      concat(col(keyCol).cast("string"), lit(salt))), lit(denom)) < numer)
+  }
+
+  /**
    * Weighted mix of corpora: each source sampled at its fraction, then
    * unioned by name — the standard recipe for blending data sources at
    * target ratios. Deterministic for a fixed `seed` (each source uses

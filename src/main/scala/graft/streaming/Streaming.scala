@@ -70,6 +70,30 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /**
+   * Execute `transform` as a REAL Structured Streaming job over the
+   * parquet files at `path` — one-shot `Trigger.AvailableNow` (process
+   * everything currently there, then stop), complete-mode memory sink —
+   * and return the final result. This is the bridge that lets batch
+   * oracles verify actual micro-batch execution: the same aggregation
+   * the batch gate checks runs here through the streaming engine
+   * (file-source listing, micro-batch planning, state store) and must
+   * produce identical results. `transform` must end in an aggregation
+   * (complete mode requires one). The memory sink is test/verification
+   * plumbing — production streams use [[writeStream]]/[[foreachBatchSink]].
+   */
+  def runBatchAsStream(spark: SparkSession, path: String, schema: StructType,
+                       transform: DataFrame => DataFrame,
+                       name: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val q = transform(stream).writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** In-memory sink for tests: results under `SELECT * FROM <name>`. */
   def memorySink(df: DataFrame, name: String,
                  outputMode: OutputMode = OutputMode.Complete()): StreamingQuery =

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-4 corpus operators: decontamination, line dedup, TF-IDF,
+ *  deterministic sampling, incremental ingest dedup. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contaminationHits counts distinct shared n-grams; decontaminate removes them") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma", "beta gamma delta", "gamma delta epsilon"
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "alpha beta gamma zeta eta")       // shares "alpha beta gamma" only
+    ).toDF("id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+
+    val hits = Dedup.contaminationHits(corpus, bench, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 3L, 3L -> 1L))
+
+    val clean = Dedup.decontaminate(corpus, bench, "id", "text", n = 3)
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L))
+
+    // minHits threshold: only doc 1 reaches 2 shared grams
+    val strict = Dedup.decontaminate(corpus, bench, "id", "text", n = 3, minHits = 2)
+    assert(strict.select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("dedupLines keeps corpus-wide first occurrence, preserves order, drops emptied docs") {
+    val corpus = Seq(
+      (1L, "header\nbody one\nfooter"),
+      (2L, "header\nbody two\nfooter"), // header+footer dup'd from doc 1
+      (3L, "header\nfooter")            // every line already seen -> doc vanishes
+    ).toDF("id", "text")
+    val out = Dedup.dedupLines(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "header\nbody one\nfooter", 2L -> "body two"))
+  }
+
+  test("dedupLines dedups repeats WITHIN one document too") {
+    val corpus = Seq((1L, "a\nb\na\nc")).toDF("id", "text")
+    val out = Dedup.dedupLines(corpus, "id", "text")
+      .collect().map(r => r.getString(1))
+    assert(out.toSeq == Seq("a\nb\nc"))
+  }
+
+  test("tfIdfTopK ranks rare terms above common ones, rational score") {
+    val corpus = Seq(
+      (1L, "spark spark unique common"),
+      (2L, "common other words here"),
+      (3L, "common more common words")
+    ).toDF("id", "text")
+    val top = TextAnalysis.tfIdfTopK(corpus, "id", "text", k = 2)
+    val doc1 = top.filter(col("id") === 1L).orderBy("rank")
+      .select("term", "tf", "df", "score").collect()
+    // spark: tf=2, df=1 -> 2.0; unique: tf=1, df=1 -> 1.0; common: tf=1, df=3
+    assert(doc1(0).getString(0) == "spark" && doc1(0).getDouble(3) == 2.0)
+    assert(doc1(1).getString(0) == "unique" && doc1(1).getDouble(3) == 1.0)
+    // logIdf: higher df => lower weight, same tf
+    val w = corpus.sparkSession.range(1).select(
+      TextAnalysis.logIdf(lit(2L), lit(1L), lit(3L)).as("rare"),
+      TextAnalysis.logIdf(lit(2L), lit(3L), lit(3L)).as("common")).head()
+    assert(w.getDouble(0) > w.getDouble(1))
+  }
+
+  test("hashSample is partitioning-independent and salt-sensitive") {
+    val df = spark.range(0, 1000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 3, 10, "s1").select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 3, 10, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)                     // layout-independent
+    assert(a.nonEmpty && a.size < 1000) // actually samples
+    val c = Sampling.hashSample(df, "id", 3, 10, "s2").select("id").as[Long].collect().toSet
+    assert(a != c)                     // independent draw per salt
+    // fraction roughly 30% (md5 is uniform; 1000 draws, loose bound)
+    assert(a.size > 200 && a.size < 400)
+  }
+
+  test("newAgainstSeen drops exact content matches only") {
+    val corpus = Seq((1L, "seen text"), (2L, "new text"), (3L, "seen text"))
+      .toDF("id", "text")
+    val seen = Seq(Tuple1("seen text")).toDF("text")
+    val out = Dedup.newAgainstSeen(corpus, seen, "text")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L))
+  }
+}

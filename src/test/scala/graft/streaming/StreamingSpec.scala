@@ -30,6 +30,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 2L, 3.0), ("a", 1L, 5.0)))
   }
 
+  test("runBatchAsStream: file-source micro-batch agg equals the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
+    val data = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(10), "b", 5.0),
+      (ts(70), "a", 7.0)).toDF("ts", "k", "v")
+    data.write.mode("overwrite").parquet(dir)
+    val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val streamed = Streaming.runBatchAsStream(spark, dir, data.schema, agg,
+      s"rbas_${System.nanoTime}")
+    assert(TestSpark.rows(streamed.select(col("window.start"), col("k"), col("n"), col("total")))
+      == TestSpark.rows(agg(data).select(col("window.start"), col("k"), col("n"), col("total"))))
+  }
+
   test("session window: gap >= 30min starts a new session (batch = streaming code)") {
     val df = Seq(
       (1L, ts(0)), (1L, ts(10)),  // session 1
