@@ -122,24 +122,22 @@ object Similarity {
    * vector column — computable on corpus and queries independently.
    */
   def lshBuckets(vec: Column, bits: Int = 12, dims: Int = 64): Column = {
-    val v = vec.cast("array<double>")
-    planesFor(bits, dims).zipWithIndex.map { case (pl, p) =>
-      val proj = dot(v, array(pl.map(lit): _*))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one native kernel over the whole plane matrix (constant-size
+    // generated code at any bit width) — bit-identical to the composed
+    // `when(dot(v, plane_p) > 0, 2^p)` sum it replaced
+    graft.functions.VectorExpressions.hyperplaneSig(
+      vec.cast("array<double>"), planesFor(bits, dims))
   }
 
-  /** Squared L2 distance to a literal centroid (native codegen'd
-   *  kernel, same fixed-order fold as the Column form). */
-  private def sqDistTo(v: Column, centroid: Array[Double]): Column =
-    graft.functions.VectorExpressions.sqDist(v, array(centroid.map(lit): _*))
-
   /** Index of the nearest centroid (argmin over squared L2, ties to
-   *  the lower index via lexicographic struct ordering). */
+   *  the lower index) — `ranks[0]` of the [[graft.functions.CentroidRanks]]
+   *  kernel. One compact generated loop over the whole centroid
+   *  matrix; an earlier `array_min(array(struct(sqdist…)×k))` form
+   *  inlined k kernel copies into whole-stage codegen and cost ~1 s of
+   *  codegen + Janino compile per k-means ROUND (fresh literals ⇒
+   *  fresh class). Distances and tie order are bit-identical. */
   private def nearestCentroid(v: Column, centroids: Seq[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
-      struct(sqDistTo(v, c).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
+    element_at(graft.functions.VectorExpressions.centroidRanks(v, centroids), 1)
 
   /**
    * IVF (inverted-file) coarse quantizer: `nlist` centroids from
@@ -158,12 +156,21 @@ object Similarity {
    */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 3, dims: Int = 64): Seq[Array[Double]] = {
+    // Persisted: the loop reads this relation iters+1 times (init pick
+    // + one assignment scan per round); at 8·dims bytes/row the cache
+    // is far cheaper than re-scanning + re-casting parquet each round.
     val v = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[Array[Double]] = v.orderBy("__id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
-      val assigned = v.withColumn("__c", nearestCentroid(col("__v"), centroids))
+      val assigned = v.select(
+        nearestCentroid(col("__v"), centroids).as("__c"), col("__v"))
+      // Per-(cluster, dimension) decimal sums via posexplode — ONE
+      // small aggregate expression instead of `dims` parallel agg
+      // columns (whose generated class measured ~1 s/round to compile);
+      // the shuffle carries at most nlist×dims partial rows.
       // decimal(18,12): 6 integer digits is ample for unit-scale
       // embedding components, and precision ≤ 18 keeps Spark's Decimal
       // on the compact long representation in the sum buffers.
@@ -172,23 +179,29 @@ object Similarity {
       // instead of killing the job under ANSI mode — a bounded, still
       // deterministic nudge to one centroid dimension.
       val prev = centroids
-      val means = assigned.groupBy("__c")
+      val cells = assigned
+        .select(col("__c"), posexplode(col("__v")))
+        .groupBy("__c", "pos")
         .agg(count(lit(1)).as("__n"),
-          array((0 until dims).map(i =>
-            sum(col("__v")(i).try_cast("decimal(18,12)"))): _*).as("__sums"))
-        .collect().map { r =>
-          val j = r.getInt(0)
-          val n = r.getLong(1).toDouble
+          sum(col("col").try_cast("decimal(18,12)")).as("__s"))
+        .collect()
+      val means = cells.groupBy(_.getInt(0)).map { case (j, rows) =>
+        val comps = prev(j).clone()
+        rows.foreach { r =>
+          val d = r.getInt(1)
+          val n = r.getLong(2).toDouble
+          val bd = r.getDecimal(3)
           // a dimension whose every value was nulled by try_cast (all
           // rows corrupt in that cluster) keeps its previous centroid
           // component instead of NPE-ing on a null sum
-          j -> r.getSeq[java.math.BigDecimal](2).zipWithIndex.map {
-            case (bd, d) => if (bd == null) prev(j)(d) else bd.doubleValue() / n
-          }.toArray
-        }.toMap
+          if (bd != null) comps(d) = bd.doubleValue() / n
+        }
+        j -> comps
+      }
       // Empty clusters keep their previous centroid.
       centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }
     }
+    v.unpersist()
     centroids
   }
 
@@ -220,14 +233,12 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
       .withColumn("__cluster", nearestCentroid(col("__cv"), centroids))
-    val probes = array_sort(array(centroids.zipWithIndex.map { case (cv, j) =>
-      struct(sqDistTo(col("__qv"), cv).as("d"), lit(j).as("j"))
-    }: _*))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-      .withColumn("__cluster",
-        explode(transform(slice(probes, 1, nprobe), p => p.getField("j"))))
+      .withColumn("__cluster", explode(slice(
+        graft.functions.VectorExpressions.centroidRanks(col("__qv"), centroids),
+        1, nprobe)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "__cluster")

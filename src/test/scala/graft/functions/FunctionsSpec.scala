@@ -75,4 +75,42 @@ class FunctionsSpec extends AnyFunSuite {
         |ON l.l_orderkey = o.o_orderkey""".stripMargin).collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("CentroidRanks matches the composed array_min/array_sort struct form") {
+    import org.apache.spark.sql.functions._
+    val cents = (0 until 8).map(j =>
+      Array.tabulate(16)(d => math.sin(j * 31 + d) * 2)).toSeq
+    val vecs = (0 until 100).map(i =>
+      Tuple1(Array.tabulate(16)(d => math.cos(i * 13 + d) * 3))).toDF("v")
+    // composed reference: full argsort by (sqdist, index) via struct sort
+    val composed = array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(VectorExpressions.sqDist(col("v"), typedlit(c.toSeq)).as("d"),
+        lit(j).as("j"))
+    }: _*))
+    val rows = vecs.select(
+      VectorExpressions.centroidRanks(col("v"), cents).as("ranks"),
+      transform(composed, s => s.getField("j")).as("expected")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), "rank order diverged")
+    }
+    // null vector and dimension mismatch -> null
+    val edge = Seq((Some(Array(1.0, 2.0)), 1), (None, 2)).toDF("v", "i")
+      .select(VectorExpressions.centroidRanks(col("v"), cents).as("r")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
+  test("HyperplaneSig matches the composed per-bit dot-sign sum") {
+    import org.apache.spark.sql.functions._
+    val planes = graft.llm.Similarity.planesFor(10, 16)
+    val vecs = (0 until 100).map(i =>
+      Tuple1(Array.tabulate(16)(d => math.sin(i * 7 + d) - 0.3))).toDF("v")
+    val composed = planes.zipWithIndex.map { case (pl, p) =>
+      when(VectorExpressions.dot(col("v"), typedlit(pl.toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs.select(
+      VectorExpressions.hyperplaneSig(col("v"), planes).as("sig"),
+      composed.as("expected")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
