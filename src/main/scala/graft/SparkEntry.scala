@@ -643,6 +643,43 @@ object SparkEntry {
     "q58_hash_sample" -> ((s, dir) => {
       graft.llm.Sampling.hashSample(t(s, dir, "documents"),
         "doc_id", numer = 3, denom = 10, salt = "s1")
+    }),
+
+    // ---- §2.10/§2.3+ bucketed co-located join END-TO-END: write both
+    //      sides bucketed+sorted on the key through the catalog, join
+    //      the bucketed tables, aggregate. The salt-free shuffle-free
+    //      plan property is asserted in JoinsSpec; here the oracle
+    //      verifies the whole write→read→join path's RESULTS ----
+    "q59_bucketed_join" -> ((s, dir) => {
+      import graft.sinks.Sinks
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val liT = s"graft_bkt_li_$sfx"
+      val oT = s"graft_bkt_o_$sfx"
+      Sinks.parquetBucketed(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice"), liT, 8, Seq("l_orderkey"))
+      Sinks.parquetBucketed(t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        oT, 8, Seq("l_orderkey"))
+      GroupBy("o_orderstatus")
+        .count("n_items")
+        .agg(dsum("l_extendedprice").as("revenue"))
+        .apply(s.table(liT).join(s.table(oT), "l_orderkey"))
+    }),
+
+    // ---- §2.11 REAL streaming sliding windows (micro-batch engine;
+    //      overlapping-window state vs the epoch-aligned batch oracle) ----
+    "q60_stream_sliding" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      graft.streaming.Streaming.runBatchAsStream(
+        s, s"$dir/events*.parquet", schema,
+        df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        name = s"graft_stream_sl_${System.nanoTime}")
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("event_type"), col("n"))
     })
   )
 
@@ -1077,6 +1114,26 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    // bucketing must not change join results
+    "q59_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // sliding windows: each event lands in width/slide = 2 windows
+    // (same epoch-aligned micros arithmetic as the q50 batch oracle)
+    "q60_stream_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_type, (us // 1800000000 - r.i) * 1800000000 AS ws
+        |      FROM e CROSS JOIN range(2) r(i)
+        |      WHERE us >= (us // 1800000000 - r.i) * 1800000000
+        |        AND us < (us // 1800000000 - r.i) * 1800000000 + 3600000000)
+        |SELECT make_timestamp(ws) AS w_start,
+        |       make_timestamp(ws + 3600000000) AS w_end,
+        |       event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
     // each event lands in width/slide = 2 windows whose starts are the
     // two slide-aligned marks in (ts − width, ts]; micros arithmetic
