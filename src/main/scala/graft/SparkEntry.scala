@@ -680,6 +680,28 @@ object SparkEntry {
         name = s"graft_stream_sl_${System.nanoTime}")
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("event_type"), col("n"))
+    }),
+
+    // ---- LLM ops: overlapping token-window chunking (context-length
+    //      prep; 50-token chunks, 10-token overlap) ----
+    "q61_chunking" -> ((s, dir) => {
+      TA.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, overlap = 10)
+    }),
+
+    // ---- composition: an end-to-end training-corpus pipeline through
+    //      the library — normalize → quality+language filter → exact
+    //      dedup → deterministic sample → per-source quota ----
+    "q62_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", TA.normalize(col("text")))
+      val kept = docs
+        .filter(TA.qualityScore(col("text")) > 0.5)
+        .filter(TA.langId(col("text")) === "en")
+      val deduped = Dedup.exact(kept, Seq("text"), "doc_id")
+      val sampled = graft.llm.Sampling.hashSample(deduped, "doc_id", 8, 10, "mix")
+      graft.llm.Sampling.perKeyLimit(sampled, Seq("source"), "doc_id", n = 50)
+        .select("doc_id", "text", "lang", "source")
     })
   )
 
@@ -1114,6 +1136,49 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    // chunk i covers tokens [(i)*step+1, i*step+chunkTokens], step=40
+    "q61_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w, CASE WHEN len(w) <= 50 THEN 1
+        |        ELSE CAST(ceil((len(w) - 50) / 40.0) AS INT) + 1 END AS nc FROM w),
+        |l AS (SELECT doc_id, unnest(list_transform(generate_series(1, nc),
+        |        i -> {'chunk_id': i - 1,
+        |              'chunk': array_to_string(w[(i-1)*40+1 : (i-1)*40+50], ' ')}),
+        |        recursive := true) FROM c)
+        |SELECT doc_id, chunk_id, chunk FROM l""".stripMargin,
+
+    // normalize -> quality>0.5 & lang='en' -> exact dedup -> 80%
+    // deterministic sample -> <=50 docs per source (formulas mirror the
+    // q22 quality / q23 langid oracles over the NORMALIZED text)
+    "q62_corpus_pipeline" ->
+      """WITH nrm AS (SELECT doc_id,
+        |   lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text,
+        |   lang, source FROM documents),
+        |t AS (SELECT *, string_split_regex(text,'\s+') AS w FROM nrm),
+        |q AS (SELECT *,
+        |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS quality,
+        |   list_distinct(w) AS dw FROM t),
+        |h AS (SELECT *,
+        |  len(list_intersect(dw, ['the','and','of','to','in','is','that','it','with','for'])) AS en_hits,
+        |  len(list_intersect(dw, ['el','la','de','que','y','en','un','los','por','con'])) AS es_hits,
+        |  len(list_intersect(dw, ['der','die','und','das','ist','von','mit','den','ein','nicht'])) AS de_hits,
+        |  len(list_intersect(dw, ['le','la','de','et','un','les','des','en','que','pour'])) AS fr_hits
+        | FROM q),
+        |lg AS (SELECT *, CASE WHEN en_hits = g AND en_hits > 0 THEN 'en'
+        |      WHEN es_hits = g AND es_hits > 0 THEN 'es'
+        |      WHEN de_hits = g AND de_hits > 0 THEN 'de'
+        |      WHEN fr_hits = g AND fr_hits > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred
+        | FROM (SELECT *, greatest(en_hits, es_hits, de_hits, fr_hits) AS g FROM h)),
+        |kept AS (SELECT doc_id, text, lang, source FROM lg WHERE quality > 0.5 AND pred = 'en'),
+        |ded AS (SELECT * FROM kept QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |smp AS (SELECT * FROM ded WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'mix'),1,8))::BIGINT % 10 < 8)
+        |SELECT doc_id, text, lang, source FROM smp
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50""".stripMargin,
 
     // bucketing must not change join results
     "q59_bucketed_join" ->

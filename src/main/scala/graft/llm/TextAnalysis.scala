@@ -135,6 +135,30 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
       "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
 
+  /**
+   * Split documents into overlapping token-window chunks — the
+   * standard prep for context-length-bounded training/embedding:
+   * chunk i covers tokens `[i·step, i·step + chunkTokens)` with
+   * `step = chunkTokens − overlap`; the last chunk is the first one
+   * reaching the end (possibly shorter). Returns (`idCol`, chunk_id,
+   * chunk). Documents of ≤ `chunkTokens` tokens yield one chunk of
+   * themselves (chunk 0). Pure projection + explode — no shuffle,
+   * parallel in the documents.
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val step = chunkTokens - overlap
+    val w = tokens(col(textCol))
+    val nChunks = when(size(w) <= chunkTokens, lit(1)).otherwise(
+      ceil((size(w) - lit(chunkTokens)).cast("double") / step).cast("int") + 1)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * step + 1, lit(chunkTokens)), " "))))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
+  }
+
   /** Per-document term frequencies: (`idCol`, term, tf) over
    *  whitespace tokens. One shuffle on (doc, term) with map-side
    *  partial counts — the entry point for TF-IDF / keyword pipelines. */

@@ -62,12 +62,25 @@ object Sinks {
    */
   def parquetBucketed(df: DataFrame, table: String, buckets: Int,
                       bucketKeys: Seq[String],
-                      mode: String = "overwrite"): Unit =
+                      mode: String = "overwrite"): Unit = {
+    if (mode == "overwrite") {
+      // genuinely overwrite: a managed-table LOCATION can outlive the
+      // (session-scoped) catalog entry — e.g. a fresh JVM over the same
+      // warehouse dir — and saveAsTable refuses to adopt an orphan
+      // location (LOCATION_ALREADY_EXISTS). Drop both.
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode)
       .format("parquet")
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** `truncate` empties the table instead of DROP+CREATE on overwrite
    *  (reference TRUNCATE management mode, `writers/postgresql.go:666-687`

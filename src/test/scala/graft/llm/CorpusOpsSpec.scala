@@ -81,6 +81,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.size > 200 && a.size < 400)
   }
 
+  test("chunkByTokens: overlap coverage, boundary, short docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens, chunk=4, overlap=1 -> step 3
+      (2L, "a b c"),                              // short: one chunk of itself
+      (3L, "x y z w")                             // exactly chunkTokens: one chunk
+    ).toDF("id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts at 1, 4, 7 (step 3): chunk 3 reaches the end, so no 4th chunk
+    assert(d1.toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "x y z w")))
+    // every token position is covered by some chunk
+    val covered = d1.flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 10).map("t" + _).toSet)
+  }
+
   test("newAgainstSeen drops exact content matches only") {
     val corpus = Seq((1L, "seen text"), (2L, "new text"), (3L, "seen text"))
       .toDF("id", "text")
