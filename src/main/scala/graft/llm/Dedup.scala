@@ -375,17 +375,35 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("component")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("component")).as("__nb"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      // The convergence signal rides the SAME action that fills the
+      // cache: an observe() metric counts changed labels during the
+      // materializing count(), replacing a second labels-join +
+      // shuffle + action per round.
+      val obs = org.apache.spark.sql.Observation()
+      val nextFull = labels.withColumnRenamed("component", "__old")
+        .join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
-          least(col("component"), coalesce(col("__nb"), col("component")))
-            .as("component"))
+          least(col("__old"), coalesce(col("__nb"), col("__old")))
+            .as("component"), col("__old"))
+        .observe(obs, count(when(col("component") =!= col("__old"), 1)).as("chg"))
+      val next = nextFull.select("node", "component")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // FULL count (no limit): materializes every partition of `next`
       // into its cache BEFORE the predecessor is unpersisted — a
       // short-circuit count could leave cold partitions whose lineage
       // chains through every unpersisted prior round.
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), "node")
-        .filter(col("component") =!= col("__old")).count()
+      next.count()
+      val changed = try {
+        import scala.concurrent.Await
+        import scala.concurrent.duration._
+        Await.result(obs.future, 30.seconds).getAs[Long]("chg")
+      } catch {
+        // metrics listener lagging (busy driver): fall back to the
+        // explicit diff join — correct, just a second pass
+        case _: java.util.concurrent.TimeoutException =>
+          next.join(labels.withColumnRenamed("component", "__old"), "node")
+            .filter(col("component") =!= col("__old")).count()
+      }
       labels.unpersist()
       labels = next
       lastChanged = changed
