@@ -301,10 +301,11 @@ object Dedup {
     // drops empty docs (null __h) — they cannot pair anyway (J = 0).
     // PERSISTED: four consumers read `sh` (both prefix sides + both
     // verification joins) and exchange reuse does not reliably fire
-    // across them — without the cache the scan+hash+freq-join pipeline
-    // executes once per consumer (measured 2.5× slower). Memory-and-
-    // disk so a corpus-scale relation spills instead of evicting; the
-    // cache is LRU-managed by Spark beyond this query's lifetime.
+    // across them. Post-zip_with-shingles the recompute-vs-cache call
+    // is closer than it was (the cache's nested-array columnar encode
+    // is most of a cold run), but repeated invocations hit the
+    // canonicalized-plan cache and win ~1.5×; memory-and-disk so a
+    // corpus-scale relation spills instead of evicting.
     val sh = postings.join(freq, Seq("__h"))
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(transform(array_sort(collect_set(struct(col("__f"), col("__h")))),
