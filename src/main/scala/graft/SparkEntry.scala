@@ -702,6 +702,13 @@ object SparkEntry {
       val sampled = graft.llm.Sampling.hashSample(deduped, "doc_id", 8, 10, "mix")
       graft.llm.Sampling.perKeyLimit(sampled, Seq("source"), "doc_id", n = 50)
         .select("doc_id", "text", "lang", "source")
+    }),
+
+    // ---- §2.9+ data profiling: per-column stats in one pass ----
+    "q63_profile" -> ((s, dir) => {
+      Quality.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
     })
   )
 
@@ -1136,6 +1143,16 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    "q63_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
 
     // chunk i covers tokens [(i)*step+1, i*step+chunkTokens], step=40
     "q61_chunking" ->

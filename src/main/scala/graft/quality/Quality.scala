@@ -147,4 +147,33 @@ object Quality {
 
   final class QualityException(val violations: Seq[String])
     extends RuntimeException(s"data quality validation failed:\n  ${violations.mkString("\n  ")}")
+
+  /**
+   * Per-column data profile: one row per column with
+   * (col_name, n_rows, n_nulls, n_distinct) — the standard profiling
+   * summary feeding quality rules and schema drift checks.
+   *
+   * One aggregation over the input computes every metric, then a
+   * `stack` melts the single metrics row into per-column rows (the
+   * melt is driver-cheap: it reshapes one row). With `exact = true`
+   * the distinct counts are exact — Spark plans multi-distinct
+   * aggregates via one Expand pass (input rows × columns) — right for
+   * gates and tests; at 100 TB set `exact = false` for
+   * HyperLogLog `approx_count_distinct` in a single linear pass.
+   */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exact: Boolean = true): DataFrame = {
+    val cs = if (columns.isEmpty) df.columns.toSeq else columns
+    require(cs.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cs.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      (if (exact) count_distinct(col(c))
+       else approx_count_distinct(col(c))).as(s"${c}__distinct")) }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cs.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`")
+      .mkString(", ")
+    row.selectExpr("n_rows",
+        s"stack(${cs.size}, $stacked) AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
 }

@@ -61,4 +61,16 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(e.violations.nonEmpty)
   }
+
+  test("profile: per-column rows/nulls/distinct in one pass; approx mode runs") {
+    val out = Quality.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") == (3L, 0L, 3L))
+    assert(out("email") == (3L, 1L, 2L))   // distinct ignores the null
+    assert(out("score") == (3L, 1L, 2L))
+    // HLL path: same shape, rows/nulls exact, distinct approximate
+    val approx = Quality.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx("email") == (3L, 1L))
+  }
 }
