@@ -41,14 +41,19 @@ object Bench {
       }
       (name, if (times.contains(-1.0)) -1.0 else times.min, times)
     }
-    def f(d: Double) = "%.4f".format(d)
+    def f(d: Double) = "%.3f".format(d)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val its = results.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$its,"sf":"$sfDir"}""")
+    // Per-iteration detail on its own line FIRST; the compact primary
+    // JSON line LAST — the driver keeps only a bounded tail of stdout,
+    // and a single line carrying both exceeded it (round 3's artifact
+    // holds a mid-line tail and "parsed": null).
+    println(s"""{"detail":"iters","iters":$its}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

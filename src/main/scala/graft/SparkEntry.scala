@@ -709,6 +709,34 @@ object SparkEntry {
       Quality.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority"))
+    }),
+
+    // ---- §2.6 nested JSON: serialize → parse with explicit schema →
+    //      flatten; roundtrip must reproduce the source columns ----
+    "q64_json_flatten" -> ((s, dir) => {
+      val withJson = t(s, dir, "events").select(col("event_id"),
+        to_json(struct(col("event_type"), col("user_id"),
+          struct(col("value"), col("props")).as("nested"))).as("payload"))
+      withJson
+        .transform(T.parseJson("payload",
+          "event_type STRING, user_id BIGINT, nested STRUCT<value: DOUBLE, props: STRING>"))
+        .transform(T.flatten("payload"))
+        .transform(T.flatten("nested"))
+        .select("event_id", "event_type", "user_id", "value", "props")
+    }),
+
+    // ---- §2.5 window-function breadth: rank/dense_rank/lag/lead/ntile ----
+    "q65_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
     })
   )
 
@@ -1153,6 +1181,20 @@ object SparkEntry {
            | count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n")
     },
+
+    // from_json(to_json(x)) == x for the selected columns
+    "q64_json_flatten" ->
+      "SELECT event_id, event_type, user_id, value, props FROM events",
+
+    "q65_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     // chunk i covers tokens [(i)*step+1, i*step+chunkTokens], step=40
     "q61_chunking" ->

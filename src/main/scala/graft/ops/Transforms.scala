@@ -144,6 +144,23 @@ object Transforms {
   /** Apply a sequence of transforms in order (reference pipelines chain
    *  transformers, `pipeline/pipeline.go:276-286`; unlike the reference,
    *  chain order interleaves with filters faithfully — SURVEY.md §3.1). */
+  /** Parse a JSON string column in place with an explicit DDL schema
+   *  (`"a INT, nested STRUCT<x: DOUBLE>"`). Malformed documents yield
+   *  null (Spark PERMISSIVE mode) — the fail-soft analogue of the
+   *  reference's per-record JSON decode. */
+  def parseJson(field: String, ddlSchema: String): DataFrame => DataFrame = df =>
+    df.withColumn(field, org.apache.spark.sql.functions.from_json(
+      df(field), org.apache.spark.sql.types.StructType.fromDDL(ddlSchema)))
+
+  /** Promote a struct column's fields to top level (dropping the
+   *  struct) — the flatten step after [[parseJson]] for nested
+   *  documents. Name collisions are the caller's to resolve (rename
+   *  first); Spark fails the plan on ambiguity rather than guessing. */
+  def flatten(field: String): DataFrame => DataFrame = df => {
+    val others = df.columns.filter(_ != field).map(df(_))
+    df.select(others :+ org.apache.spark.sql.functions.col(s"$field.*"): _*)
+  }
+
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     df => ts.foldLeft(df)((d, t) => t(d))
 }
