@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, SquaredL2}
+import graft.functions.{DotProduct, SquaredL2, TryToInt, TryToLong}
 
 /**
  * Session-extensions entry point: enables graft's native SQL functions
@@ -33,5 +33,7 @@ object GraftExtensions {
   /** (name, builder) for every injectable native function. */
   val functionList: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(d(es(0)), d(es(1)))),
-    "graft_sqdist" -> (es => SquaredL2(d(es(0)), d(es(1)))))
+    "graft_sqdist" -> (es => SquaredL2(d(es(0)), d(es(1)))),
+    "graft_try_int" -> (es => TryToInt(Cast(es(0), org.apache.spark.sql.types.StringType))),
+    "graft_try_long" -> (es => TryToLong(Cast(es(0), org.apache.spark.sql.types.StringType))))
 }

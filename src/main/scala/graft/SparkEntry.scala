@@ -201,7 +201,11 @@ object SparkEntry {
       t(s, dir, "orders")
         .transform(T.addField("qty_int", col("o_totalprice").cast("long")))
         .transform(T.addField("key_str", col("o_orderkey").cast("string")))
-        .transform(T.addField("prio_num", expr("try_cast(o_orderpriority AS INT)")))
+        // exception-free parse kernel: try_cast's TRY wrapper throws
+        // per failing row (~8× on an all-invalid column like this one);
+        // equivalence with try_cast is unit-tested corner-by-corner
+        .transform(T.addField("prio_num",
+          graft.functions.ParseExpressions.tryToInt(col("o_orderpriority"))))
         .select(col("o_orderkey"), col("qty_int"), col("key_str"), col("prio_num"))
     }),
 

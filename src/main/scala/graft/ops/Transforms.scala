@@ -43,9 +43,22 @@ object Transforms {
     df => df.withColumn(name, expr)
 
   /** Cast with Spark semantics: failure yields null
-   *  (reference ConvertType, `transform/transforms.go:84-101`). */
-  def convertType(field: String, to: DataType): DataFrame => DataFrame =
-    df => df.withColumn(field, col(field).try_cast(to))
+   *  (reference ConvertType, `transform/transforms.go:84-101`).
+   *  String→int/long goes through the exception-free parse kernels
+   *  ([[graft.functions.ParseExpressions]]): `try_cast`'s TRY wrapper
+   *  throws-and-catches per failing row (~10 µs/row, 8× the success
+   *  path) — the wrong cost model for convert-or-null ingestion where
+   *  whole columns can be non-numeric. */
+  def convertType(field: String, to: DataType): DataFrame => DataFrame = df => {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val c = col(field)
+    val converted = (df.schema(field).dataType, to) match {
+      case (StringType, IntegerType) => graft.functions.ParseExpressions.tryToInt(c)
+      case (StringType, LongType) => graft.functions.ParseExpressions.tryToLong(c)
+      case _ => c.try_cast(to)
+    }
+    df.withColumn(field, converted)
+  }
 
   /** Cast that fails the job on unconvertible values — matches the
    *  reference's error-the-record contract under FailFast

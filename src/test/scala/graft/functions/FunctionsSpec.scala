@@ -99,6 +99,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("TryToInt/TryToLong match try_cast corner-by-corner, without exceptions") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq("12", " 12 ", "\t+5\n", "-7", "12.5", "1-URGENT", "junk",
+      "", " ", "+", "-", "2147483647", "2147483648", "-2147483648",
+      "9223372036854775807", "9223372036854775808", "999999999999999999999999")
+      .map(Option(_)) :+ Option.empty[String]
+    val df = cases.map(Tuple1(_)).toDF("s")
+    val rows = df.select(
+      ParseExpressions.tryToInt(col("s")).as("ki"),
+      expr("try_cast(s AS INT)").as("ti"),
+      ParseExpressions.tryToLong(col("s")).as("kl"),
+      expr("try_cast(s AS BIGINT)").as("tl"),
+      col("s")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"int mismatch for input ${r.get(4)}")
+      assert(r.get(2) == r.get(3), s"long mismatch for input ${r.get(4)}")
+    }
+    // registered for SQL too
+    Functions.register(spark)
+    graft.functions.VectorExpressions.register(spark)
+    assert(spark.sql("SELECT graft_try_int('  42 ')").head().getInt(0) == 42)
+    assert(spark.sql("SELECT graft_try_long('x')").head().isNullAt(0))
+  }
+
   test("HyperplaneSig matches the composed per-bit dot-sign sum") {
     import org.apache.spark.sql.functions._
     val planes = graft.llm.Similarity.planesFor(10, 16)
