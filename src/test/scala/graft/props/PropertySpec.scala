@@ -121,4 +121,58 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"edges=$edges")
     }
   }
+
+  private val vocabGen: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  private val docGen: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, vocabGen)).map(_.mkString(" "))
+
+  test("dedupLines equals the naive first-occurrence computation on random corpora") {
+    for (i <- 0 until 4) {
+      val texts = samples(Gen.listOfN(8, Gen.choose(1, 4)
+        .flatMap(n => Gen.listOfN(n, vocabGen).map(_.mkString("\n")))), 1).head
+        .zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val got = graft.llm.Dedup.dedupLines(texts.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // naive: keep a line only at its global first (id, pos) sighting
+      val seen = scala.collection.mutable.Set[String]()
+      val want = texts.flatMap { case (id, t) =>
+        val kept = t.split("\n").filter(l => seen.add(l))
+        if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
+      }.toMap
+      assert(got == want, s"case $i: $texts")
+    }
+  }
+
+  test("contaminationHits equals naive distinct-shingle intersection counting") {
+    for (i <- 0 until 4) {
+      val corpus = samples(Gen.listOfN(6, docGen), 1).head.zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }
+      val bench = samples(Gen.listOfN(2, docGen), 1).head.zipWithIndex
+        .map { case (t, j) => (100L + j, t) }
+      def sh(t: String): Set[String] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSet
+      val benchGrams = bench.flatMap(b => sh(b._2)).toSet
+      val want = corpus.map { case (id, t) => id -> (sh(t) & benchGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      val got = graft.llm.Dedup.contaminationHits(
+        corpus.toDF("id", "text"), bench.toDF("id", "text"), "id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"case $i: corpus=$corpus bench=$bench")
+    }
+  }
+
+  test("chunkByTokens covers every token; consecutive chunks overlap as configured") {
+    for (doc <- samples(docGen.suchThat(_.nonEmpty), 6)) {
+      val toks = doc.split("\\s+").toSeq
+      val out = graft.llm.TextAnalysis.chunkByTokens(
+        Seq((1L, doc)).toDF("id", "text"), "id", "text", chunkTokens = 4, overlap = 2)
+        .orderBy("chunk_id").collect().map(_.getString(2))
+      // re-derive the token stream: drop the 2-token overlap after chunk 0
+      val rebuilt = out.head.split(" ").toSeq ++
+        out.tail.toSeq.flatMap(c => c.split(" ").toSeq.drop(2))
+      assert(rebuilt == toks, s"doc=$doc chunks=${out.toSeq}")
+    }
+  }
 }
