@@ -170,9 +170,17 @@ object TextAnalysis {
   /** Corpus document frequencies from a [[termFrequencies]] relation:
    *  (term, df) = number of documents containing the term. (doc, term)
    *  is already unique there, so this is a plain count — partial
-   *  aggregation keeps the term shuffle small. */
+   *  aggregation keeps the term shuffle small.
+   *
+   *  Counting `tf` (never null ⇒ same value as count(*)) rather than
+   *  `lit(1)` is deliberate: it keeps the tf column alive through
+   *  column pruning, so this branch's (doc, term) exchange stays
+   *  IDENTICAL to the [[termFrequencies]] branch and Spark's
+   *  ReuseExchange serves both from one corpus pass — with count(*),
+   *  pruning drops tf from the lower aggregate and the corpus is
+   *  scanned and aggregated twice. */
   def docFrequencies(tf: DataFrame): DataFrame =
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.groupBy("term").agg(count(col("tf")).as("df"))
 
   /**
    * Top-`k` characteristic terms per document by TF-IDF.
