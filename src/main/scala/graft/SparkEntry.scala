@@ -729,6 +729,19 @@ object SparkEntry {
         .select("event_id", "event_type", "user_id", "value", "props")
     }),
 
+    // ---- §2.4+ exact discrete percentiles per group (p50/p90/p99) ----
+    "q66_percentiles" -> ((s, dir) => {
+      GroupBy.percentilesDisc(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        ps = Seq(0.5, 0.9, 0.99), out = "price_at_p")
+    }),
+
+    // ---- §2.4+ deterministic LISTAGG (sorted collect + join) ----
+    "q67_string_agg" -> ((s, dir) => {
+      GroupBy.stringAgg(t(s, dir, "nation"), Seq("n_regionkey"),
+        "n_name", sep = "|", out = "nations")
+    }),
+
     // ---- §2.5 window-function breadth: rank/dense_rank/lag/lead/ntile ----
     "q65_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1189,6 +1202,20 @@ object SparkEntry {
     // from_json(to_json(x)) == x for the selected columns
     "q64_json_flatten" ->
       "SELECT event_id, event_type, user_id, value, props FROM events",
+
+    // same window formula as the Spark side: value at rank ceil(p*n)
+    "q66_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(v.p AS DOUBLE) AS p, l_extendedprice AS price_at_p
+        |FROM r CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(p)
+        |WHERE rn = CAST(ceil(CAST(v.p AS DOUBLE) * n) AS INT)""".stripMargin,
+
+    "q67_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY 1""".stripMargin,
 
     "q65_window_funcs" ->
       """SELECT o_custkey, o_orderkey,

@@ -93,4 +93,45 @@ object GroupBy {
     require(aggs.nonEmpty, "GroupBy.global needs at least one aggregate")
     df => df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * EXACT discrete percentiles per group: for each requested `p`, the
+   * group's value at sorted position `ceil(p·n)` (the smallest value
+   * with at least fraction p of rows ≤ it — SQL `percentile_disc`).
+   * Output: one row per (group, p): (groupCols…, p, `out`).
+   *
+   * Discrete (an actual data value), not interpolated: exact and
+   * engine-reproducible — interpolated percentiles mix doubles in an
+   * engine-specific op order, so they can't be hash-compared across
+   * engines. Cost: one shuffle on the group keys + an in-partition
+   * sort (the window never leaves its partition); use
+   * [[GroupBy.approxQuantile]] when a 1-pass mergeable sketch is the
+   * better trade at scale.
+   */
+  def percentilesDisc(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, ps: Seq[Double],
+                      out: String = "value"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must lie in (0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val n = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", org.apache.spark.sql.functions.count(lit(1)).over(n))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rn") === ceil(col("p") * col("__n")).cast("int"))
+      .select(groupCols.map(col) :+ col("p") :+ col(valueCol).as(out): _*)
+  }
+
+  /**
+   * Deterministic per-group string aggregation (SQL LISTAGG /
+   * string_agg): values sorted ascending, joined with `sep`. The sort
+   * makes the result partition-order independent — `collect_list`
+   * alone is nondeterministic under shuffles.
+   */
+  def stringAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                sep: String = ",", out: String = "agg"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(array_join(array_sort(collect_list(col(valueCol).cast("string"))),
+        sep).as(out))
 }

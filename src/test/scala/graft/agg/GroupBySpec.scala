@@ -43,4 +43,25 @@ class GroupBySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GroupBy.global())
     intercept[IllegalArgumentException](GroupBy("k").apply(df))
   }
+
+  test("percentilesDisc picks the value at rank ceil(p*n), per group") {
+    val df = spark.range(1, 11).toDF("v")
+      .withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    val out = GroupBy.percentilesDisc(df, Seq("g"), "v", Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    // n=10: p50 -> rank 5 -> 5; p90 -> rank 9 -> 9; p100 -> rank 10 -> 10
+    assert(out == Map(0.5 -> 5L, 0.9 -> 9L, 1.0 -> 10L))
+    intercept[IllegalArgumentException](
+      GroupBy.percentilesDisc(df, Seq("g"), "v", Seq(0.0)))
+  }
+
+  test("stringAgg is sorted and partition-order independent") {
+    val df = Seq((1, "c"), (1, "a"), (2, "z"), (1, "b")).toDF("g", "v")
+    val once = GroupBy.stringAgg(df, Seq("g"), "v", "|")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(once == Map(1 -> "a|b|c", 2 -> "z"))
+    val shuffled = GroupBy.stringAgg(df.repartition(7), Seq("g"), "v", "|")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(shuffled == once)
+  }
 }
