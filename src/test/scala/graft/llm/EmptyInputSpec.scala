@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Every corpus operator must survive EMPTY inputs (a filtered
+ *  partition, an empty crawl delta, a benchmark with no overlap) —
+ *  returning empty results, never throwing. ANSI mode makes this a
+ *  real hazard class (divide-by-zero on empty aggregates). */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+  private def someDocs = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+
+  test("dedup family on empty corpora") {
+    assert(Dedup.exact(emptyDocs, Seq("text"), "id").count() == 0)
+    assert(Dedup.minHashDedup(emptyDocs, "id", "text", 32, 8, 3, 0.5).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "id", "text", Seq.empty :+ "id", 3, 0.5).count() == 0)
+    assert(Dedup.dedupLines(emptyDocs, "id", "text").count() == 0)
+    assert(Dedup.simHashSignatures(emptyDocs, "id", "text").count() == 0)
+  }
+
+  test("decontamination with empty corpus, empty benchmark, or both") {
+    assert(Dedup.contaminationHits(emptyDocs, someDocs, "id", "text", 3).count() == 0)
+    assert(Dedup.contaminationHits(someDocs, emptyDocs, "id", "text", 3).count() == 0)
+    assert(Dedup.decontaminate(someDocs, emptyDocs, "id", "text", 3).count() == 1)
+    assert(Dedup.newAgainstSeen(someDocs, emptyDocs, "text").count() == 1)
+    assert(Dedup.newAgainstSeen(emptyDocs, someDocs, "text").count() == 0)
+  }
+
+  test("components and dropNearDuplicates on an empty pair list") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.components(emptyPairs).count() == 0)
+    assert(Dedup.dropNearDuplicates(someDocs, emptyPairs, "id").count() == 1)
+  }
+
+  test("text analysis and sampling on empty corpora") {
+    assert(TextAnalysis.tfIdfTopK(emptyDocs, "id", "text", 5).count() == 0)
+    assert(TextAnalysis.termFrequencies(emptyDocs, "id", "text").count() == 0)
+    assert(TextAnalysis.chunkByTokens(emptyDocs, "id", "text", 10, 2).count() == 0)
+    assert(Sampling.hashSample(emptyDocs, "id", 3, 10).count() == 0)
+    assert(Sampling.perKeyLimit(emptyDocs, Seq("text"), "id", 3).count() == 0)
+    assert(Sampling.packByTokenBudget(
+      emptyDocs.withColumn("n", lit(1L)), Seq("text"), "id", "n", 10).count() == 0)
+  }
+
+  test("aggregation helpers on empty input") {
+    import graft.agg.GroupBy
+    assert(GroupBy.percentilesDisc(emptyDocs, Seq("text"), "id", Seq(0.5)).count() == 0)
+    assert(GroupBy.stringAgg(emptyDocs, Seq("text"), "id").count() == 0)
+    val prof = graft.quality.Quality.profile(emptyDocs)
+    assert(prof.count() == 2) // one row per column, zero counts
+    assert(prof.collect().forall(r => r.getLong(1) == 0 && r.getLong(3) == 0))
+  }
+
+  test("empty TEXT (not just empty corpus): metrics and shingles") {
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val m = blank.select(
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("r"),
+      Dedup.shingles(col("text"), 3).as("sh")).collect()
+    assert(m.forall(r => !r.isNullAt(0) && r.getSeq[String](3).forall(_.isEmpty)))
+  }
+}
