@@ -729,6 +729,17 @@ object SparkEntry {
         .select("event_id", "event_type", "user_id", "value", "props")
     }),
 
+    // ---- LLM ops: UNBLOCKED semantic near-dup — IVF clusters as
+    //      automatic blocks (q29's caller-supplied blocking, solved);
+    //      exact-decimal centroids recorded for the oracle like q39 ----
+    "q68_semantic_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nlist = 8, iters = 2, dims = 64)
+      q68Centroids = cents
+      Dedup.semanticNearDup(e, "vec_id", "embedding", cents, threshold = 0.35)
+    }),
+
     // ---- §2.4+ exact discrete percentiles per group (p50/p90/p99) ----
     "q66_percentiles" -> ((s, dir) => {
       GroupBy.percentilesDisc(
@@ -764,6 +775,33 @@ object SparkEntry {
    *  one scale-factor directory per invocation (running q39 against a
    *  second dataset in the same JVM would overwrite them). */
   @volatile private var q39Centroids: Seq[Array[Double]] = Nil
+
+  /** q68's trained centroids (same stash-for-oracle mechanism as
+   *  [[q39Centroids]] — Verify dumps oracleSql AFTER the queries run). */
+  @volatile private var q68Centroids: Seq[Array[Double]] = Nil
+
+  /** Semantic near-dup oracle: same-cluster pairs with cosine ≥ 0.35,
+   *  clusters from the SAME trained centroids inlined as literals
+   *  (assignment replicates Spark's sequential squared-L2 fold and
+   *  (d, j) tie order — bit-identical doubles). */
+  private def q68OracleSql(cents: Seq[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (c, j) =>
+      s"($j, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(j, c) AS (VALUES $values),
+       |dist AS (SELECT vec_id, v, j,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |     (acc, x) -> acc + x) AS d
+       | FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, v, j AS cl FROM dist
+       | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) = 1),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |   list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) AS cos
+       | FROM assign a JOIN assign b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+       |SELECT id1, id2 FROM p WHERE cos >= 0.35""".stripMargin
+  }
 
   /** IVF oracle: the full probe path in DuckDB against the SAME trained
    *  centroids, inlined as literals. Distances replicate Spark's
@@ -828,6 +866,9 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (column names MUST match). */
   def oracleSql: Map[String, String] =
     (if (q39Centroids.nonEmpty) Map("q39_ivf" -> q39OracleSql(q39Centroids))
+     else Map.empty[String, String]) ++
+    (if (q68Centroids.nonEmpty)
+       Map("q68_semantic_neardup" -> q68OracleSql(q68Centroids))
      else Map.empty[String, String]) ++ Map(
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -524,8 +524,31 @@ object Dedup {
   }
 
   /**
+   * UNBLOCKED semantic near-dup pairs: the corpus is first assigned to
+   * k-means clusters (the IVF coarse quantizer — [[Similarity.ivfCentroids]]
+   * trains them; the assignment is a pure projection through the
+   * [[graft.functions.CentroidRanks]] kernel), and candidate pairs are
+   * generated per CLUSTER — no caller-supplied blocking column needed,
+   * and cluster granularity (nlist) directly controls the per-block
+   * pair budget. The standard semantic-dedup recipe (cluster, then
+   * pairwise within cluster). Near-dups straddling a cluster boundary
+   * are missed — the recall trade every partitioned near-dup scheme
+   * makes; raise nlist for smaller blocks or lower it for recall.
+   */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Array[Double]], threshold: Double,
+                      saltFactor: Int = 16): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol))
+      .withColumn("__cl", element_at(
+        graft.functions.VectorExpressions.centroidRanks(
+          col(vecCol).cast("array<double>"), centroids), 1))
+    embeddingNearDup(assigned, idCol, vecCol, Seq("__cl"), threshold, saltFactor)
+  }
+
+  /**
    * Blocked embedding-cosine near-dup pairs: pairs sharing `blockCols`
    * with cosine ≥ `threshold`. For unblocked corpora use
+   * [[semanticNearDup]] (k-means clusters as automatic blocks) or
    * [[Similarity.lshBuckets]] to generate the blocking column first.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
