@@ -740,6 +740,13 @@ object SparkEntry {
       Dedup.semanticNearDup(e, "vec_id", "embedding", cents, threshold = 0.35)
     }),
 
+    // ---- LLM ops: SimHash near-dup pairs (bit-sampling LSH bands;
+    //      pigeonhole-complete, so output == naive all-pairs) ----
+    "q69_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 16, maxHamming = 1, bands = 2)
+    }),
+
     // ---- §2.4+ exact discrete percentiles per group (p50/p90/p99) ----
     "q66_percentiles" -> ((s, dir) => {
       GroupBy.percentilesDisc(
@@ -1122,6 +1129,18 @@ object SparkEntry {
         |   CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0
         |        THEN 1 << i ELSE 0 END)) AS BIGINT) AS simhash
         |FROM h""".stripMargin,
+
+    // naive all-pairs: the banded LSH candidates are pigeonhole-
+    // complete at maxHamming < bands, so the results must coincide
+    "q69_simhash_pairs" ->
+      """WITH h AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs FROM documents),
+        |s AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,15), i ->
+        |   CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN 1 << i ELSE 0 END)) AS BIGINT) AS sig FROM h)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 1""".stripMargin,
 
     "q26_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, string_split_regex(text,'\s+') AS w FROM documents),

@@ -524,6 +524,43 @@ object Dedup {
   }
 
   /**
+   * SimHash near-dup pairs: documents whose `bits`-wide SimHash
+   * signatures differ in at most `maxHamming` bit positions. Returns
+   * (id1, id2, hamming), id1 < id2.
+   *
+   * Candidates come from bit-sampling LSH: the signature splits into
+   * `bands` contiguous bit-bands; by pigeonhole, any pair with
+   * hamming ≤ bands − 1 collides in at least one band, so with
+   * `maxHamming < bands` the banded candidate set is COMPLETE and the
+   * verified output equals the naive all-pairs join exactly. Only
+   * (band, band-bits) keys shuffle — never documents; a hot band
+   * bucket means near-identical docs, which ARE the output.
+   */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must be divisible by bands=$bands")
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands, got $maxHamming >= $bands")
+    val r = bits / bands
+    val sigs = simHashSignatures(df, idCol, textCol, bits)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * r) % (1L << r)): _*)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
+    val a = banded.select(col(idCol).as("id1"), col("simhash").as("__s1"),
+      col("__band"), col("__key"))
+    val b = banded.select(col(idCol).as("id2"), col("simhash").as("__s2"),
+      col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__s1").bitwiseXOR(col("__s2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
    * UNBLOCKED semantic near-dup pairs: the corpus is first assigned to
    * k-means clusters (the IVF coarse quantizer — [[Similarity.ivfCentroids]]
    * trains them; the assignment is a pure projection through the

@@ -99,6 +99,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map("t" + _).toSet)
   }
 
+  test("simHashPairs equals the naive all-pairs hamming join (pigeonhole completeness)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "a completely different document about spark"),
+      (4L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val banded = Dedup.simHashPairs(docs, "id", "text", bits = 16,
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive reference over the same signatures
+    val sigs = Dedup.simHashSignatures(docs, "id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == naive)
+    assert(banded.contains((1L, 4L, 0))) // exact dup at hamming 0
+    intercept[IllegalArgumentException](
+      Dedup.simHashPairs(docs, "id", "text", maxHamming = 4, bands = 4))
+  }
+
   test("newAgainstSeen drops exact content matches only") {
     val corpus = Seq((1L, "seen text"), (2L, "new text"), (3L, "seen text"))
       .toDF("id", "text")
