@@ -120,7 +120,7 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    matched.select(left.columns.map(col) ++
+    matched.select(left.columns.toIndexedSeq.map(col) ++
       rightPayload.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
   }
 
@@ -139,7 +139,7 @@ object Joins {
     require(Set("inner", "left").contains(joinType),
       "salted join supports inner/left (right/full would need the salt on the other side)")
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     join(l, r, keys :+ "__salt", joinType).drop("__salt")

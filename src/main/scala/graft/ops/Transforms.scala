@@ -171,7 +171,7 @@ object Transforms {
    *  first); Spark fails the plan on ambiguity rather than guessing. */
   def flatten(field: String): DataFrame => DataFrame = df => {
     val others = df.columns.filter(_ != field).map(df(_))
-    df.select(others :+ org.apache.spark.sql.functions.col(s"$field.*"): _*)
+    df.select(others.toIndexedSeq :+ org.apache.spark.sql.functions.col(s"$field.*"): _*)
   }
 
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =

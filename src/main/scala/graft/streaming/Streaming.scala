@@ -130,7 +130,7 @@ object Streaming {
     // single-pass aliasing (a sequential rename cascade corrupts names
     // when a column already carries the prefix); aliases keep the
     // event-time watermark metadata
-    val r = r0.select(r0.columns.map(c => col(c).as(s"$prefix$c")): _*)
+    val r = r0.select(r0.columns.toIndexedSeq.map(c => col(c).as(s"$prefix$c")): _*)
     val keyCond = keys.map(k => l(k) === r(s"$prefix$k")).reduce(_ && _)
     val timeCond =
       r(s"$prefix$rightTs") >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
