@@ -596,6 +596,8 @@ object SparkEntry {
     //      deterministic 8-token lines ----
     "q54_line_dedup" -> ((s, dir) => {
       val w = split(col("text"), "\\s+")
+      // per-LINE slice is fine here (unlike the per-GRAM slice the
+      // shingle path banned): one allocation per 8 tokens, not per token
       val chunked = t(s, dir, "documents").select(col("doc_id"),
         when(size(w) >= 1,
           array_join(transform(
@@ -1263,15 +1265,16 @@ object SparkEntry {
     "q64_json_flatten" ->
       "SELECT event_id, event_type, user_id, value, props FROM events",
 
-    // same window formula as the Spark side: value at rank ceil(p*n)
+    // same window formula as the Spark side: non-null values ranked,
+    // rank ceil(p*n) computed in decimal (exact, no double drift)
     "q66_percentiles" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
         |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
         |SELECT l_returnflag, CAST(v.p AS DOUBLE) AS p, l_extendedprice AS price_at_p
         |FROM r CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(p)
-        |WHERE rn = CAST(ceil(CAST(v.p AS DOUBLE) * n) AS INT)""".stripMargin,
+        |WHERE rn = CAST(ceil(CAST(v.p AS DECIMAL(18,12)) * n) AS INT)""".stripMargin,
 
     "q67_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations

@@ -113,13 +113,21 @@ object GroupBy {
                       out: String = "value"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"percentiles must lie in (0, 1], got $ps")
+    require(!groupCols.contains("p") && valueCol != "p",
+      "percentilesDisc emits a column named 'p' — rename the input's 'p' first")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
     val n = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
+    // SQL percentile_disc semantics: nulls are ignored, never ranked.
+    // The rank ceil(p·n) is computed in DECIMAL: a double product like
+    // 0.07×100 rounds to 7.000000000000001 and ceil would overshoot
+    // the rank by one; decimal(18,12) holds the intended p exactly.
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__n", org.apache.spark.sql.functions.count(lit(1)).over(n))
       .withColumn("p", explode(array(ps.map(lit): _*)))
-      .filter(col("__rn") === ceil(col("p") * col("__n")).cast("int"))
+      .filter(col("__rn") ===
+        ceil(col("p").cast("decimal(18,12)") * col("__n")).cast("int"))
       .select(groupCols.map(col) :+ col("p") :+ col(valueCol).as(out): _*)
   }
 

@@ -40,19 +40,11 @@ object Dedup {
   /** Distinct word n-gram shingles of a text column; texts shorter
    *  than `n` tokens yield an empty set (the `when` guard keeps the
    *  negative-length slices of the short-doc case unevaluated).
-   *
-   *  Built as a zip_with chain over n bulk shifted slices rather than
-   *  `transform(sequence…, i => concat_ws(slice(w, i+1, n)))`: the
-   *  per-position slice allocates a fresh sub-array per gram in
-   *  interpreted higher-order-function eval — measured 4.7× slower on
-   *  the corpus-cleaning bench at sf0.1. Output strings identical. */
+   *  Gram strings come from the one shared builder
+   *  ([[TextAnalysis.ngramJoin]] — zip_with over shifted slices). */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = split(text, "\\s+")
-    val m = size(w) - (n - 1)
-    val joined = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(w, lit(k), m), (a, b) => concat_ws(" ", a, b))
-    }
-    when(size(w) >= n, array_distinct(joined))
+    when(size(w) >= n, array_distinct(TextAnalysis.ngramJoin(w, n)))
       .otherwise(array().cast("array<string>"))
   }
 

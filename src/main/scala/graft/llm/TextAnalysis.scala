@@ -23,6 +23,22 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Space-joined n-gram strings of a token array — the ONE shared
+   *  gram builder behind [[repetitionRatio]] and
+   *  [[graft.llm.Dedup.shingles]] (gram definitions must never
+   *  diverge between the repetition filter and the dedup family).
+   *  Built as a zip_with chain over n bulk shifted slices: the
+   *  per-position `slice+concat_ws` transform allocates a fresh
+   *  sub-array per gram in interpreted HOF eval — measured 4.7×
+   *  slower (and per-position `element_at` is 2.5× slower still:
+   *  ANSI bounds checks). Caller guards size(w) >= n. */
+  private[llm] def ngramJoin(w: Column, n: Int): Column = {
+    val m = size(w) - (n - 1)
+    (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k), m), (a, b) => concat_ws(" ", a, b))
+    }
+  }
+
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -230,14 +246,9 @@ object TextAnalysis {
     // (higher-order-function lambdas block codegen subexpression
     // elimination; the 3-reference form measured 3× slower).
     val total = greatest(size(w) - lit(n - 1), lit(0))
-    // zip_with chain over n bulk shifted slices, not a per-position
-    // slice+concat_ws transform (4.7× — see [[graft.llm.Dedup.shingles]])
-    val m = size(w) - (n - 1)
-    val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(w, lit(k), m), (a, b) => concat_ws(" ", a, b))
-    }
     val distinctN = size(array_distinct(
-      when(size(w) >= n, grams).otherwise(array().cast("array<string>"))))
+      when(size(w) >= n, ngramJoin(w, n))
+        .otherwise(array().cast("array<string>"))))
     when(total === 0, lit(0.0)).otherwise(
       lit(1.0) - distinctN.cast("double") / total.cast("double"))
   }

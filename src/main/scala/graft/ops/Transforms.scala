@@ -52,7 +52,10 @@ object Transforms {
   def convertType(field: String, to: DataType): DataFrame => DataFrame = df => {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val c = col(field)
-    val converted = (df.schema(field).dataType, to) match {
+    // resolve through the analyzer (honors spark.sql.caseSensitive),
+    // not StructType.apply (always case-sensitive)
+    val fieldType = df.select(c).schema.head.dataType
+    val converted = (fieldType, to) match {
       case (StringType, IntegerType) => graft.functions.ParseExpressions.tryToInt(c)
       case (StringType, LongType) => graft.functions.ParseExpressions.tryToLong(c)
       case _ => c.try_cast(to)

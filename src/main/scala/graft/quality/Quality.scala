@@ -166,7 +166,10 @@ object Quality {
     val cs = if (columns.isEmpty) df.columns.toSeq else columns
     require(cs.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("n_rows") +: cs.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // coalesce: sum over ZERO rows is null, but a profile of an empty
+      // table must report 0 nulls, not null
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"${c}__nulls"),
       (if (exact) count_distinct(col(c))
        else approx_count_distinct(col(c))).as(s"${c}__distinct")) }
     val row = df.agg(aggs.head, aggs.tail: _*)

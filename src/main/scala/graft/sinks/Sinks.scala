@@ -67,11 +67,16 @@ object Sinks {
       // genuinely overwrite: a managed-table LOCATION can outlive the
       // (session-scoped) catalog entry — e.g. a fresh JVM over the same
       // warehouse dir — and saveAsTable refuses to adopt an orphan
-      // location (LOCATION_ALREADY_EXISTS). Drop both.
+      // location (LOCATION_ALREADY_EXISTS). DROP removes a registered
+      // managed table (data included); any directory still at the
+      // catalog's assigned path afterwards is by definition an orphan,
+      // so deleting it is safe. The path comes from the catalog itself
+      // (current database, db-qualified layout) — NOT warehouse/<name>,
+      // which is wrong outside the default database.
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        org.apache.spark.sql.GraftShims.defaultTablePath(spark, table))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

@@ -91,7 +91,15 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // The complete-mode result already lives in the driver (that's what
+    // a memory sink is); copy it into a standalone local relation and
+    // DROP the sink's temp view so repeated invocations don't pin one
+    // full result copy per call for the session's lifetime.
+    val result = spark.table(name)
+    val rows = result.collect().toSeq
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
   }
 
   /** In-memory sink for tests: results under `SELECT * FROM <name>`. */

@@ -24,6 +24,14 @@ object GraftShims {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** The location the session catalog WOULD assign a managed table of
+   *  this name (current database, db-qualified directory layout) —
+   *  the only correct way to find a saveAsTable orphan directory. */
+  def defaultTablePath(spark: SparkSession, table: String): java.net.URI = {
+    val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+    cat.defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+  }
+
   /** Apply a [[SparkSessionExtensions]]' injected functions to an
    *  ALREADY-BUILT session — lets tests exercise the extensions path
    *  without tearing down the shared session (extensions normally

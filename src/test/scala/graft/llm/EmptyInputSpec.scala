@@ -54,7 +54,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(GroupBy.stringAgg(emptyDocs, Seq("text"), "id").count() == 0)
     val prof = graft.quality.Quality.profile(emptyDocs)
     assert(prof.count() == 2) // one row per column, zero counts
-    assert(prof.collect().forall(r => r.getLong(1) == 0 && r.getLong(3) == 0))
+    assert(prof.collect().forall(r =>
+      r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
   }
 
   test("empty TEXT (not just empty corpus): metrics and shingles") {
