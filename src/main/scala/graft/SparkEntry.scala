@@ -370,6 +370,17 @@ object SparkEntry {
       Sources.jsonl(s, s"$tmp/jsonl", schema = Some(nation.schema))
     }),
 
+    // ---- §2.1/§2.10 ORC source/sink roundtrip (identity; ORC ships
+    //      with Spark — warehouse migrations routinely carry it) ----
+    "q70_orc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      import graft.sinks.Sinks
+      val region = t(s, dir, "region")
+      val tmp = s"/tmp/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.orc(region, tmp, compression = "zlib")
+      Sources.orc(s, tmp, columns = Seq("r_regionkey", "r_name"))
+    }),
+
     // ---- §2.11 session windows (gap-based; same code runs streaming) ----
     "q32_session_window" -> ((s, dir) => {
       graft.streaming.Streaming.session(
@@ -1170,6 +1181,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q31_roundtrip" -> "SELECT * FROM nation",
+
+    "q70_orc_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
 
     // LSH buckets are deterministic md5-derived constants — inline the
     // same hyperplane matrix the Spark side uses (Similarity.planesFor)

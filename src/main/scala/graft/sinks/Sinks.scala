@@ -52,6 +52,14 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC sink (built-in columnar alternative to [[parquet]]). */
+  def orc(df: DataFrame, path: String, compression: String = "snappy",
+          mode: String = "overwrite",
+          partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(mode).option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /**
    * Bucketed + sorted parquet table (catalog-managed): joins and
    * aggregations on the bucket keys skip the shuffle entirely when

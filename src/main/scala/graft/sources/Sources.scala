@@ -94,6 +94,17 @@ object Sources {
     if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 
+  /** ORC scan (same columnar posture as parquet — predicate pushdown
+   *  and column pruning via the built-in datasource); optional
+   *  explicit projection like [[parquet]]. Beyond the reference's
+   *  format set — ORC ships with Spark, and warehouse migrations
+   *  routinely carry ORC data. */
+  def orc(spark: SparkSession, path: String,
+          columns: Seq[String] = Seq.empty): DataFrame = {
+    val df = spark.read.orc(path)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+  }
+
   /** Range partitioning for parallel JDBC scans — replaces the
    *  reference's single server-side cursor (`readers/postgresql.go:480-518`)
    *  with N concurrent range queries. */
