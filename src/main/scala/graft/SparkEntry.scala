@@ -381,6 +381,18 @@ object SparkEntry {
       Sources.orc(s, tmp, columns = Seq("r_regionkey", "r_name"))
     }),
 
+    // ---- §2.1/§2.10 raw-text roundtrip (gzip shards — the corpus
+    //      interchange format; doc text has no newlines, so one doc =
+    //      one line survives the trip exactly) ----
+    "q71_text_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      import graft.sinks.Sinks
+      val tmp = s"/tmp/graft_text_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.text(t(s, dir, "documents").select("text"), tmp,
+        compression = "gzip")
+      Sources.text(s, tmp)
+    }),
+
     // ---- §2.11 session windows (gap-based; same code runs streaming) ----
     "q32_session_window" -> ((s, dir) => {
       graft.streaming.Streaming.session(
@@ -1183,6 +1195,8 @@ object SparkEntry {
     "q31_roundtrip" -> "SELECT * FROM nation",
 
     "q70_orc_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+
+    "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
 
     // LSH buckets are deterministic md5-derived constants — inline the
     // same hyperplane matrix the Spark side uses (Similarity.planesFor)

@@ -52,6 +52,13 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Plain-text sink: the single string column becomes one line per
+   *  row. Compression via codec name ("gzip", "none", …) — compressed
+   *  text shards are the interchange format for raw corpora. */
+  def text(df: DataFrame, path: String, compression: String = "none",
+           mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("compression", compression).text(path)
+
   /** ORC sink (built-in columnar alternative to [[parquet]]). */
   def orc(df: DataFrame, path: String, compression: String = "snappy",
           mode: String = "overwrite",

@@ -105,6 +105,14 @@ object Sources {
     if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 
+  /** Plain-text scan: one line = one record in column `value` — the
+   *  rawest corpus-ingestion format (crawl dumps, log lines).
+   *  `wholetext = true` reads each FILE as one record instead (for
+   *  one-document-per-file corpora). */
+  def text(spark: SparkSession, path: String,
+           wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString).text(path)
+
   /** Range partitioning for parallel JDBC scans — replaces the
    *  reference's single server-side cursor (`readers/postgresql.go:480-518`)
    *  with N concurrent range queries. */
