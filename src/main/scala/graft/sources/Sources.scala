@@ -105,6 +105,17 @@ object Sources {
     if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 
+  /** Binary-file scan for multimodal ingestion: one record per FILE
+   *  with (path, modificationTime, length, content) — the entry point for
+   *  image/audio/video corpora feeding
+   *  [[graft.llm.Multimodal]]'s decode stages. `pathGlobFilter`
+   *  restricts by extension (e.g. `*.png`). */
+  def binaryFiles(spark: SparkSession, path: String,
+                  pathGlobFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    pathGlobFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Plain-text scan: one line = one record in column `value` — the
    *  rawest corpus-ingestion format (crawl dumps, log lines).
    *  `wholetext = true` reads each FILE as one record instead (for

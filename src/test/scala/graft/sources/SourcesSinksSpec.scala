@@ -169,4 +169,24 @@ class SourcesSinksSpec extends AnyFunSuite {
       Sinks.upsertSql("t", Seq("a\"b"), Sinks.ConflictError)
     }
   }
+
+  test("orc and text roundtrips preserve rows; binaryFiles reads file bytes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s")
+    Sinks.orc(df, s"$dir/orc")
+    assert(graft.TestSpark.rows(Sources.orc(spark, s"$dir/orc")) ==
+      graft.TestSpark.rows(df))
+    Sinks.text(df.select("s"), s"$dir/txt", compression = "gzip")
+    assert(Sources.text(spark, s"$dir/txt").as[String].collect().toSet ==
+      Set("alpha", "beta"))
+    // binaryFile source: one record per file, exact bytes
+    val f = java.nio.file.Paths.get(dir, "blob.bin")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
+    val bf = Sources.binaryFiles(spark, dir, pathGlobFilter = Some("*.bin"))
+      .select("length", "content").collect()
+    assert(bf.length == 1 && bf(0).getLong(0) == 4L &&
+      bf(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, 4))
+  }
 }
