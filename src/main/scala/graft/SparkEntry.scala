@@ -393,6 +393,17 @@ object SparkEntry {
       Sources.text(s, tmp)
     }),
 
+    // ---- §2.1/§2.10 JDBC end-to-end: write to an embedded Derby
+    //      database, read back through the partitioned JDBC scan ----
+    "q72_jdbc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      import graft.sinks.Sinks
+      val url = s"jdbc:derby:memory:graft_${dir.replaceAll("[^a-zA-Z0-9]", "_")};create=true"
+      Sinks.jdbcAppend(t(s, dir, "nation"), url, "nation_rt", mode = "overwrite")
+      Sources.jdbc(s, url, "nation_rt",
+        partitioning = Some(Sources.JdbcPartitioning("n_nationkey", 0L, 25L, 4)))
+    }),
+
     // ---- §2.11 session windows (gap-based; same code runs streaming) ----
     "q32_session_window" -> ((s, dir) => {
       graft.streaming.Streaming.session(
@@ -1197,6 +1208,8 @@ object SparkEntry {
     "q70_orc_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
 
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
+
+    "q72_jdbc_roundtrip" -> "SELECT * FROM nation",
 
     // LSH buckets are deterministic md5-derived constants — inline the
     // same hyperplane matrix the Spark side uses (Similarity.planesFor)
