@@ -42,13 +42,24 @@ object Sinks {
 
   /** `rowGroupBytes` maps to `parquet.block.size` (reference row-group
    *  size knob, `writers/parquet.go:342-353`) — larger groups favor
-   *  scan throughput, smaller favor row-group pruning granularity. */
+   *  scan throughput, smaller favor row-group pruning granularity.
+   *  `maxRecordsPerFile` caps file size for shard-sized outputs
+   *  (training loaders want uniform shards, not one file per task);
+   *  `sortWithin` sorts rows inside each output file (locality for
+   *  downstream range scans / sequential readers) without a global
+   *  exchange. */
   def parquet(df: DataFrame, path: String, compression: String = "snappy",
               mode: String = "overwrite",
               partitionBy: Seq[String] = Seq.empty,
-              rowGroupBytes: Option[Long] = None): Unit = {
-    var w = df.write.mode(mode).option("compression", compression)
+              rowGroupBytes: Option[Long] = None,
+              maxRecordsPerFile: Option[Long] = None,
+              sortWithin: Seq[String] = Seq.empty): Unit = {
+    val sorted =
+      if (sortWithin.isEmpty) df
+      else df.sortWithinPartitions(sortWithin.map(org.apache.spark.sql.functions.col): _*)
+    var w = sorted.write.mode(mode).option("compression", compression)
     rowGroupBytes.foreach(n => w = w.option("parquet.block.size", n.toString))
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 

@@ -170,6 +170,23 @@ class SourcesSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet maxRecordsPerFile splits shards; sortWithin orders rows in-file") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+    Sinks.parquet(df, s"$dir/out", maxRecordsPerFile = Some(25L),
+      sortWithin = Seq("id"))
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 shards of <=25, got ${files.length}")
+    // rows inside one shard file are id-sorted
+    val one = spark.read.parquet(files(0).getAbsolutePath).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(one == one.sorted)
+    assert(spark.read.parquet(s"$dir/out").count() == 100)
+  }
+
   test("orc and text roundtrips preserve rows; binaryFiles reads file bytes") {
     val spark2 = spark
     import spark2.implicits._
