@@ -433,6 +433,26 @@ object SparkEntry {
       result.outputs("agg")
     }),
 
+    // ---- §2.13 DAG retry machinery END-TO-END: a task that fails
+    //      twice then succeeds must produce the normal result after
+    //      exactly maxAttempts runs (happy path gated by q33) ----
+    "q73_dag_retry" -> ((s, dir) => {
+      import graft.dag._
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val dag = new DagBuilder("d2", "retry-demo")
+        .addSource("customer", () => t(s, dir, "customer"))
+        .add(TaskDef("flaky", Seq("customer"), ins => {
+          if (attempts.incrementAndGet() < 3)
+            throw new RuntimeException("transient failure")
+          ins("customer").groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        }, retry = RetryConfig(maxRetries = 2)))
+        .build()
+      val res = new DagExecutor(2).execute(dag)
+      require(res.success, "retry DAG failed")
+      require(attempts.get() == 3, s"expected 3 attempts, saw ${attempts.get()}")
+      res.outputs("flaky")
+    }),
+
     // ---- §2.12 custom Aggregator[IN,BUF,OUT] via udaf (exact decimal
     //      accumulation → partition-order-independent result) ----
     "q34_custom_agg" -> ((s, dir) => {
@@ -1210,6 +1230,9 @@ object SparkEntry {
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
 
     "q72_jdbc_roundtrip" -> "SELECT * FROM nation",
+
+    "q73_dag_retry" ->
+      "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1",
 
     // LSH buckets are deterministic md5-derived constants — inline the
     // same hyperplane matrix the Spark side uses (Similarity.planesFor)
