@@ -113,8 +113,9 @@ object GroupBy {
                       out: String = "value"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"percentiles must lie in (0, 1], got $ps")
-    require(!groupCols.contains("p") && valueCol != "p",
-      "percentilesDisc emits a column named 'p' — rename the input's 'p' first")
+    val reserved = Set("p", "__rn", "__n")
+    require(!groupCols.exists(reserved) && !reserved(valueCol),
+      "percentilesDisc uses columns p/__rn/__n internally — rename the input's first")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
     val n = Window.partitionBy(groupCols.map(col): _*)
@@ -122,13 +123,19 @@ object GroupBy {
     // The rank ceil(p·n) is computed in DECIMAL: a double product like
     // 0.07×100 rounds to 7.000000000000001 and ceil would overshoot
     // the rank by one; decimal(18,12) holds the intended p exactly.
+    // Per-row: the percentiles THIS row's rank serves, filtered BEFORE
+    // the explode — exploding |ps|× the corpus and then filtering
+    // would inflate the post-window stage by the percentile count.
+    val hits = filter(
+      array(ps.map(p => struct(lit(p).as("p"),
+        ceil(lit(p).cast("decimal(18,12)") * col("__n")).cast("int").as("r"))): _*),
+      s => s.getField("r") === col("__rn"))
     df.filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", org.apache.spark.sql.functions.count(lit(1)).over(n))
-      .withColumn("p", explode(array(ps.map(lit): _*)))
-      .filter(col("__rn") ===
-        ceil(col("p").cast("decimal(18,12)") * col("__n")).cast("int"))
-      .select(groupCols.map(col) :+ col("p") :+ col(valueCol).as(out): _*)
+      .withColumn("p", explode(hits))
+      .select(groupCols.map(col) :+ col("p").getField("p").as("p") :+
+        col(valueCol).as(out): _*)
   }
 
   /**
@@ -140,6 +147,9 @@ object GroupBy {
   def stringAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 sep: String = ",", out: String = "agg"): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(array_join(array_sort(collect_list(col(valueCol).cast("string"))),
+      // sort TYPED values, then stringify: casting first would order
+      // numerics lexicographically ("10" < "9")
+      .agg(array_join(
+        transform(array_sort(collect_list(col(valueCol))), _.cast("string")),
         sep).as(out))
 }

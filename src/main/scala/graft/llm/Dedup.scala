@@ -229,6 +229,8 @@ object Dedup {
    */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 62,
+      s"bits=$bits: signatures must fit non-negative long range")
     val votes = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i) % 2 === 1, 1L).otherwise(-1L))
     }
@@ -534,11 +536,15 @@ object Dedup {
     require(bits % bands == 0, s"bits=$bits must be divisible by bands=$bands")
     require(maxHamming < bands,
       s"pigeonhole completeness needs maxHamming < bands, got $maxHamming >= $bands")
+    require(bits <= 62, s"bits=$bits: at most 62 signature bits " +
+      "(band masks and signatures must stay in non-negative long range)")
     val r = bits / bands
     val sigs = simHashSignatures(df, idCol, textCol, bits)
+    // unsigned shift + pmod: belt-and-braces against sign surprises on
+    // wide signatures (the bits <= 62 guard already keeps them positive)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * r) % (1L << r)): _*)))
+        pmod(shiftrightunsigned(col("simhash"), b * r), lit(1L << r))): _*)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
     val a = banded.select(col(idCol).as("id1"), col("simhash").as("__s1"),
       col("__band"), col("__key"))

@@ -98,8 +98,10 @@ object Streaming {
     val result = spark.table(name)
     val rows = result.collect().toSeq
     spark.catalog.dropTempView(name)
+    // a true LocalRelation (not a parallelize'd RDD scan): downstream
+    // consumers keep local-collect/pruning optimizations
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), result.schema)
+      java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** In-memory sink for tests: results under `SELECT * FROM <name>`. */

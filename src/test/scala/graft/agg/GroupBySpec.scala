@@ -63,5 +63,9 @@ class GroupBySpec extends AnyFunSuite {
     val shuffled = GroupBy.stringAgg(df.repartition(7), Seq("g"), "v", "|")
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(shuffled == once)
+    // numeric values sort by VALUE, not lexicographically ("10" < "9")
+    val nums = Seq((1, 9L), (1, 10L), (1, 2L)).toDF("g", "v")
+    assert(GroupBy.stringAgg(nums, Seq("g"), "v", ",")
+      .collect()(0).getString(1) == "2,9,10")
   }
 }
