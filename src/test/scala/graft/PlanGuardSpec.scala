@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale claims PLANS.md makes
+ *  (partial aggregation, top-k pushdown, broadcast enrichment) are
+ *  plan SHAPES — pin them so a future refactor that silently
+ *  de-optimizes a path fails here, not in the next benchmark. Plans
+ *  are inspected AFTER an action so AQE has finalized its choices. */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 groupBy aggregates map-side (partial + final HashAggregate)") {
+    val p = finalPlan("q01_groupby_agg")
+    assert(p.contains("partial_"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q13 sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("q13_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q27 top-k window uses WindowGroupLimit pushdown") {
+    val p = finalPlan("q27_embedding_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q53 decontamination broadcasts the benchmark grams") {
+    val p = finalPlan("q53_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("q03 filter chain pushes simple predicates into the parquet scan") {
+    val p = finalPlan("q03_filter_chain")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
+  }
+}
