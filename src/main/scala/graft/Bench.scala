@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Reset session state a prior query may have left behind: cached
+   *  relations, temp views, and catalog tables (q59 writes a bucketed
+   *  table; dropping it keeps every iteration's create path timed
+   *  identically). A GC nudge lets ContextCleaner release checkpoint
+   *  blocks whose frames are no longer referenced. */
+  private def isolate(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.catalog.listTables().collect().foreach { t =>
+      if (t.isTemporary) spark.catalog.dropTempView(t.name)
+      else spark.sql(s"DROP TABLE IF EXISTS `${t.namespace.mkString("`.`")}`.`${t.name}`")
+    }
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +44,12 @@ object Bench {
       // Best of `iters` runs — single-shot numbers on a shared box swing
       // ±30%. A failed query records -1, never a normal-looking time.
       val times = (1 to iters).map { _ =>
+        // Isolation BEFORE the timer: each measurement starts from a
+        // clean block manager, so query N's number never carries the
+        // cache pressure (or the leaked temp objects) of 1..N-1 —
+        // round 4's artifact falsely reported 2-11× regressions that
+        // were session-accumulation effects, not plans.
+        isolate(spark)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

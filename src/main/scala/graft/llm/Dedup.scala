@@ -181,12 +181,15 @@ object Dedup {
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    // Signatures persisted: both band-join sides consume them, and at
-    // k longs per doc the columnar cache encode is cheap (unlike the
-    // full shingle-set relation, whose cache build measured ~2× this
-    // whole query — that one is recomputed instead, see below).
+    // Signatures are NOT persisted: both band-join sides sit above the
+    // same (band, key) exchange, whose canonically-identical subplans
+    // make ReusedExchange compute the signature aggregation exactly
+    // once within the query — the compute-once benefit of a cache with
+    // zero lifecycle liability. (An earlier persist here leaked a
+    // CacheManager entry per invocation: in a long-lived session the
+    // orphans evict each other and every rebuild repays the columnar
+    // encode — the round-4 bench measured 10× on exactly this query.)
     val sigs = minHashSignatures(df, idCol, textCol, k, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandCandidates(sigs, idCol, k, bands, maxBucketSize)
     // Verify on hashed shingle sets: same Jaccard (md5i is injective up
     // to negligible 2^-32 collisions, reproduced exactly by the oracle).
@@ -293,19 +296,23 @@ object Dedup {
     val freq = postings.groupBy("__h").agg(count(lit(1)).as("__f"))
     // Per-doc shingle sets sorted by (freq asc, hash asc). Inner join
     // drops empty docs (null __h) — they cannot pair anyway (J = 0).
-    // PERSISTED: four consumers read `sh` (both prefix sides + both
-    // verification joins) and exchange reuse does not reliably fire
-    // across them. Post-zip_with-shingles the recompute-vs-cache call
-    // is closer than it was (the cache's nested-array columnar encode
-    // is most of a cold run), but repeated invocations hit the
-    // canonicalized-plan cache and win ~1.5×; memory-and-disk so a
-    // corpus-scale relation spills instead of evicting.
+    // localCheckpoint, not persist: four consumers read `sh` (both
+    // prefix sides + both verification joins) and exchange reuse does
+    // not reliably fire across them, so the relation must materialize
+    // once — but a CacheManager persist() leaks until an explicit
+    // unpersist this lazy operator has no place to issue. Checkpoint
+    // blocks are ContextCleaner-managed: they free themselves when the
+    // returned frame is garbage-collected, so a long-lived session
+    // running many dedup passes accumulates nothing. Lazy (eager=false)
+    // keeps the operator composable — nothing executes until the
+    // caller's action; MEMORY_AND_DISK storage spills instead of
+    // evicting on a corpus-scale relation.
     val sh = postings.join(freq, Seq("__h"))
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(transform(array_sort(collect_set(struct(col("__f"), col("__h")))),
         s => s.getField("__h")).as("__sh"))
       .withColumn("__n", size(col("__sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // τ-prefix explode: t = ⌈τ·n⌉ computed with a 1e-9 slack so float
     // rounding can only LENGTHEN the prefix (longer prefix stays sound).
     val t = ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int")
@@ -345,9 +352,14 @@ object Dedup {
    * clusters are near-cliques (diameter ~2), so this converges in 2-3
    * rounds; `maxIter` bounds adversarial chains. Each round is one
    * join + one aggregation, all distributed; the convergence check is
-   * a count of changed labels (one tiny action per round). The
-   * returned relation stays persisted (callers typically consume it
-   * immediately; Spark's LRU cache management reclaims it after).
+   * a count of changed labels (one tiny action per round).
+   *
+   * Lifecycle: every per-round cache is unpersisted inside the loop,
+   * and the final labels are handed back as an eager localCheckpoint —
+   * already materialized (the loop counted it), lineage-free (no
+   * recompute through unpersisted rounds), and ContextCleaner-managed,
+   * so the blocks free themselves when the caller drops the frame.
+   * After this returns, the CacheManager holds nothing.
    */
   def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                  maxIter: Int = 20): DataFrame = {
@@ -410,8 +422,13 @@ object Dedup {
         s"components: labels still changing after maxIter=$maxIter rounds " +
           s"($lastChanged nodes) — component ids may not be cluster minima; " +
           "raise maxIter for long similarity chains")
+    // One cheap pass copies the (small: paired docs only) label table
+    // out of the CacheManager into self-cleaning checkpoint blocks,
+    // then BOTH remaining cache entries are released eagerly.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /**
