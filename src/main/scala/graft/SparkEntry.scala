@@ -1198,11 +1198,15 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 1""".stripMargin,
 
+    // Oracle is the NAIVE all-pairs join on RAW STRING shingle sets —
+    // deliberately hash-free: it verifies both the PPJoin-equals-naive
+    // claim and that the engine's internal hash choice (xxhash64) is
+    // output-invisible (Jaccard over injectively-hashed sets == over
+    // string sets).
     "q26_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, string_split_regex(text,'\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, lang, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
-        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS sh FROM w),
+        |sh AS (SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
         |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)

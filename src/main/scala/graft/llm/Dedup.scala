@@ -181,15 +181,20 @@ object Dedup {
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    // Signatures are NOT persisted: both band-join sides sit above the
-    // same (band, key) exchange, whose canonically-identical subplans
-    // make ReusedExchange compute the signature aggregation exactly
-    // once within the query — the compute-once benefit of a cache with
-    // zero lifecycle liability. (An earlier persist here leaked a
-    // CacheManager entry per invocation: in a long-lived session the
-    // orphans evict each other and every rebuild repays the columnar
-    // encode — the round-4 bench measured 10× on exactly this query.)
+    // Signatures ride a lazy localCheckpoint, not a persist(): both
+    // band-join sides must read them, and when AQE turns the band
+    // self-join into a broadcast join the two sides stop sharing an
+    // exchange (BroadcastExchange never canonicalizes equal to a
+    // shuffle), so without materialization the scan+shingle+hash
+    // aggregation runs twice. Checkpoint blocks give compute-once with
+    // self-managed lifecycle — ContextCleaner frees them when the
+    // returned frame is garbage-collected. (An earlier persist() here
+    // leaked a CacheManager entry per invocation: in a long-lived
+    // session the orphans evict each other and every rebuild repays
+    // the columnar encode — the round-4 bench measured 10× on exactly
+    // this query.)
     val sigs = minHashSignatures(df, idCol, textCol, k, shingleN)
+      .localCheckpoint(false)
     val cands = bandCandidates(sigs, idCol, k, bands, maxBucketSize)
     // Verify on hashed shingle sets: same Jaccard (md5i is injective up
     // to negligible 2^-32 collisions, reproduced exactly by the oracle).
@@ -285,10 +290,22 @@ object Dedup {
     // keeping the branches canonically equal for exchange reuse.
     // (Null ids / block values never joined anyway.)
     val notNull = (idCol +: blockCols).map(col(_).isNotNull).reduce(_ && _)
+    // xxhash64, not md5i: the verified output (id1, id2, jaccard) is
+    // HASH-AGNOSTIC — prefix-filter soundness holds under any global
+    // total order, and Jaccard over injectively-hashed sets equals
+    // Jaccard over the string sets (64-bit collisions: ~(n²/2⁶⁵) ≈
+    // never) — so the cheapest injective hash wins. Measured 1.3 s/pass
+    // cheaper than md5 at sf0.1, and this pass runs twice (frequency
+    // aggregation + postings join). md5i stays in the minhash/
+    // decontamination paths, whose oracles must replay hash VALUES.
+    // NULL-GUARD: unlike md5i, xxhash64 maps null to its SEED (42) —
+    // unguarded, every empty document would hash to {42} and pair with
+    // every other empty document at jaccard 1.0.
     val postings = spread(df.where(notNull))
       .select((blockCols.map(col) :+ col(idCol).as("__id") :+
         explode_outer(shingles(col(textCol), shingleN)).as("__s")): _*)
-      .select((col("__id") +: blockCols.map(col)) :+ md5i(col("__s")).as("__h"): _*)
+      .select((col("__id") +: blockCols.map(col)) :+
+        when(col("__s").isNotNull, xxhash64(col("__s"))).as("__h"): _*)
     // Global document frequency per shingle — defines the rare-first
     // order. Map-side partial count keeps the aggregation linear; the
     // postings⋈freq join shuffles by shingle hash, where AQE skew
