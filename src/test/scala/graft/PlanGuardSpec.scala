@@ -39,6 +39,27 @@ class PlanGuardSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("q24 minhash computes signatures once: checkpoint scan, no agg in final plan") {
+    val p = finalPlan("q24_minhash")
+    // Signatures materialize once in the localCheckpoint job; the final
+    // plan reads the blocks (Scan ExistingRDD) on the band sides and
+    // AQE reuses the band-key exchange — the signature aggregation
+    // (partial_min towers) must NOT appear here, or a refactor has
+    // reintroduced the compute-twice shape.
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+    assert(p.contains("ReusedExchange"), p.take(1200))
+    assert(!p.contains("partial_min"), p.take(1200))
+  }
+
+  test("q54 line dedup keeps first occurrences via WindowGroupLimit partial pushdown") {
+    val p = finalPlan("q54_line_dedup")
+    // The line-skew mitigation: top-1 per line is cut to one row per
+    // partition BEFORE the line shuffle (Partial WindowGroupLimit), so
+    // a million-copy boilerplate line ships ~#partitions rows, not all.
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("Partial"), p.take(1200))
+  }
+
   test("q03 filter chain pushes simple predicates into the parquet scan") {
     val p = finalPlan("q03_filter_chain")
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
