@@ -1270,11 +1270,12 @@ object SparkEntry {
         |FROM customer WHERE c_acctbal > 0""".stripMargin,
 
     // corpus docs sharing any distinct 3-gram with the src0 benchmark
+    // (60-bit md5 prefix — see Dedup.contaminationHits on collisions)
     "q53_decontaminate" ->
       """WITH w AS (SELECT doc_id, source, string_split_regex(text,'\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, source, list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
-        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS sh FROM w),
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS sh FROM w),
         |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE source = 'src0'),
         |cg AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE source <> 'src0')
         |SELECT doc_id, count(*) AS n_hits

@@ -476,15 +476,27 @@ object Dedup {
    * collapsed to a DISTINCT n-gram hash relation and broadcast, so the
    * 100 TB corpus side never shuffles: shingle, hash, broadcast-join,
    * partial-agg per document. One pass over the corpus.
+   *
+   * Grams are compared via the 60-bit [[TextAnalysis.md5l]], not the
+   * 32-bit md5i: with ~10⁶ distinct benchmark grams, 32 bits gives a
+   * ~2×10⁻⁴ false-match rate PER CORPUS GRAM — a thousand-gram
+   * document would be falsely flagged with probability ~20%, and
+   * [[decontaminate]]'s default minHits=1 would then delete a large
+   * corpus fraction for no reason. At 60 bits the same probe is
+   * ~10⁻¹² (and the identical-hash oracle can't mask this class of
+   * error because collisions are a property of the hash, not the
+   * engine).
    */
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String,
                         n: Int = 13): DataFrame = {
+    def grams(text: Column): Column =
+      transform(shingles(text, n), s => TextAnalysis.md5l(s))
     val benchGrams = benchmark
-      .select(explode(hashedShingles(col(textCol), n)).as("__h"))
+      .select(explode(grams(col(textCol))).as("__h"))
       .distinct()
     spread(corpus)
-      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("__h"))
+      .select(col(idCol), explode(grams(col(textCol))).as("__h"))
       .join(broadcast(benchGrams), Seq("__h"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))

@@ -123,6 +123,17 @@ object TextAnalysis {
   def md5i(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Cross-engine 60-bit hash: first 15 hex digits of md5, as a long
+   *  (15, not 16 — a full 16-hex prefix can exceed signed-long range
+   *  and ANSI-throw on the cast). Oracle form:
+   *  `('0x' || substr(md5(s),1,15))::BIGINT`. Use where collision rate
+   *  matters: at 10⁶ distinct keys the 32-bit [[md5i]] gives ~2×10⁻⁴
+   *  false-match probability per probe — enough to falsely flag ~20%
+   *  of thousand-gram documents in a decontamination pass — while
+   *  60 bits gives ~10⁻¹². */
+  def md5l(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /**
    * Document fingerprint: rolling polynomial hash over token hashes,
    * `acc → (acc·31 + md5i(token)) mod 1e9+7`. Order-sensitive (unlike
