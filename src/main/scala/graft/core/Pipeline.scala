@@ -17,9 +17,14 @@ import org.apache.spark.sql.{Column, DataFrame}
  *
  * Error strategies (reference `core/error.go:29-47`, applied
  * `pipeline/pipeline.go:294-311`) map to Spark-native mechanisms:
- * parse-level errors via source modes ([[ErrorStrategy.sourceMode]]),
- * conversion errors via lenient `try_cast` (skip) vs `strictCast`
- * (fail-fast) — see `graft.ops.Transforms`.
+ *  - parse-level errors via source modes ([[ErrorStrategy.sourceMode]]);
+ *  - transform-stage errors via [[Pipeline.transformChecked]], which
+ *    honors the strategy per checked stage: FailFast raises on the
+ *    first bad row, SkipErrors drops bad rows, CollectErrors routes
+ *    them to a side error frame ([[Pipeline.buildWithErrors]] /
+ *    [[Pipeline.executeCollecting]]) with per-row messages — the full
+ *    reference CollectErrors contract, rows kept and inspected, not
+ *    nulled.
  */
 object Pipeline {
 
@@ -32,8 +37,9 @@ object Pipeline {
   case object FailFast extends ErrorStrategy { val sourceMode = "FAILFAST" }
   /** Bad records are dropped (reference SkipErrors). */
   case object SkipErrors extends ErrorStrategy { val sourceMode = "DROPMALFORMED" }
-  /** Bad records are kept in a side column for later inspection
-   *  (reference CollectErrors; Spark `_corrupt_record`). */
+  /** Bad records are kept in a side output for later inspection
+   *  (reference CollectErrors; Spark `_corrupt_record` at parse level,
+   *  the [[graft.ops.Transforms.collectErrors]] split at transform level). */
   case object CollectErrors extends ErrorStrategy { val sourceMode = "PERMISSIVE" }
 
   def from(source: => DataFrame): Pipeline =
@@ -42,17 +48,43 @@ object Pipeline {
 
 final class Pipeline private (
     source: () => DataFrame,
-    stages: Vector[DataFrame => DataFrame],
+    // each stage maps (current frame, effective error strategy) to
+    // (continuing rows, rows diverted to the error side-channel, if
+    // the stage has one) — the strategy is a parameter, not a capture,
+    // so withErrorStrategy after chaining still governs every stage
+    stages: Vector[(DataFrame, Pipeline.ErrorStrategy) => (DataFrame, Option[DataFrame])],
     sinks: Vector[DataFrame => Unit],
     val errorStrategy: Pipeline.ErrorStrategy) {
 
   /** Append a transform stage (kept in chain order). */
   def transform(t: DataFrame => DataFrame): Pipeline =
-    new Pipeline(source, stages :+ t, sinks, errorStrategy)
+    new Pipeline(source,
+      stages :+ ((df: DataFrame, _: Pipeline.ErrorStrategy) => (t(df), None)),
+      sinks, errorStrategy)
+
+  /** Append checked (per-row-failable) transform stages, honoring the
+   *  pipeline's error strategy — the reference applies one strategy to
+   *  the whole pipeline (`pipeline/pipeline.go:294-311`), so the
+   *  strategy is read when the stage is APPLIED, i.e. a later
+   *  [[withErrorStrategy]] still governs earlier checked stages. */
+  def transformChecked(checked: graft.ops.Transforms.CheckedStage*): Pipeline =
+    new Pipeline(source, stages :+ { (df: DataFrame, strategy: Pipeline.ErrorStrategy) =>
+      strategy match {
+        case Pipeline.FailFast =>
+          (graft.ops.Transforms.failFast(checked)(df), None)
+        case Pipeline.SkipErrors =>
+          (graft.ops.Transforms.skipErrors(checked)(df), None)
+        case Pipeline.CollectErrors =>
+          val (good, errs) = graft.ops.Transforms.collectErrors(checked)(df)
+          (good, Some(errs))
+      }
+    }, sinks, errorStrategy)
 
   /** Append a filter stage (kept in chain order, unlike the reference). */
   def filter(predicate: Column): Pipeline =
-    new Pipeline(source, stages :+ ((df: DataFrame) => df.filter(predicate)), sinks, errorStrategy)
+    new Pipeline(source,
+      stages :+ ((df: DataFrame, _: Pipeline.ErrorStrategy) => (df.filter(predicate), None)),
+      sinks, errorStrategy)
 
   /** Register a sink; multiple sinks each force their own action. */
   def to(sink: DataFrame => Unit): Pipeline =
@@ -62,7 +94,22 @@ final class Pipeline private (
     new Pipeline(source, stages, sinks, s)
 
   /** The composed lazy plan (no action). */
-  def build(): DataFrame = stages.foldLeft(source())((df, t) => t(df))
+  def build(): DataFrame = buildWithErrors()._1
+
+  /** The composed lazy plan PLUS the collected-error frame: every row
+   *  a CollectErrors checked stage diverted, as (`record` original-row
+   *  JSON, `errors` array of messages) — stage-position-independent
+   *  schema, so frames from every checked stage union into one. None
+   *  when no stage collected (strategy not CollectErrors, or no
+   *  checked stages chained). */
+  def buildWithErrors(): (DataFrame, Option[DataFrame]) = {
+    val (out, errFrames) = stages.foldLeft((source(), Vector.empty[DataFrame])) {
+      case ((df, errs), stage) =>
+        val (good, err) = stage(df, errorStrategy)
+        (good, errs ++ err)
+    }
+    (out, errFrames.reduceOption(_ unionByName _))
+  }
 
   /** Run: applies stages, writes all sinks, returns the output row
    *  count (the reference reports RecordsProcessed,
@@ -74,8 +121,26 @@ final class Pipeline private (
    *  no metric exists), falls back to one `count()` rather than
    *  blocking on the observation. A sink that consumes only part of
    *  the plan (e.g. a `limit`) reports the rows it consumed. */
-  def execute(): Long = {
-    val df = build()
+  def execute(): Long = executeInternal(build())
+
+  /** [[execute]] + the collected error frame (empty-schema-correct
+   *  frame when nothing collected): the reference's post-run
+   *  `CollectErrors` inspection hook. */
+  def executeCollecting(): (Long, DataFrame) = {
+    val (out, errs) = buildWithErrors()
+    val n = executeInternal(out)
+    val errFrame = errs.getOrElse {
+      val spark = out.sparkSession
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(graft.ops.Transforms.ErrorRecordCol, StringType),
+          StructField(graft.ops.Transforms.ErrorMessagesCol, ArrayType(StringType, containsNull = false)))))
+    }
+    (n, errFrame)
+  }
+
+  private def executeInternal(df: DataFrame): Long = {
     if (sinks.isEmpty) df.count()
     else {
       import org.apache.spark.sql.functions.{count, lit}

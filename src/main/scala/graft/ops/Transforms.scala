@@ -179,4 +179,135 @@ object Transforms {
 
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     df => ts.foldLeft(df)((d, t) => t(d))
+
+  // --------------------------------------------------------------------
+  // Checked transforms: the reference's CollectErrors contract
+  // (`pipeline/pipeline.go:294-311`, `core/error.go:29-47`) — a failing
+  // record is not nulled or dropped silently; it is routed to a side
+  // output together with what went wrong, and processing continues.
+  // --------------------------------------------------------------------
+
+  /** A transform stage that can fail per row. `resolve` returns, for a
+   *  given frame: (converted value, failure predicate, error message) —
+   *  all Column expressions, so checked pipelines stay inside
+   *  whole-stage codegen (failure detection costs one null-check, not
+   *  an exception). */
+  sealed trait CheckedStage {
+    def field: String
+    private[graft] def resolve(df: DataFrame): (Column, Column, Column)
+  }
+
+  /** Checked [[convertType]]: failure = non-null input that does not
+   *  convert (null input passes through as null — absence is not an
+   *  error, matching Spark cast semantics and the reference's
+   *  null-tolerant transforms). */
+  final case class CheckedCast(field: String, to: DataType) extends CheckedStage {
+    private[graft] def resolve(df: DataFrame): (Column, Column, Column) = {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      val c = col(field)
+      // same dispatch as [[convertType]], but as UNBOUND expressions —
+      // the caller composes them onto its own frame
+      val fieldType = df.select(c).schema.head.dataType
+      val converted = (fieldType, to) match {
+        case (StringType, IntegerType) => graft.functions.ParseExpressions.tryToInt(c)
+        case (StringType, LongType) => graft.functions.ParseExpressions.tryToLong(c)
+        case _ => c.try_cast(to)
+      }
+      (converted, c.isNotNull && converted.isNull,
+        concat(lit(s"field '$field': cannot cast '"), c.cast("string"), lit(s"' to ${to.sql}")))
+    }
+  }
+
+  /** Checked [[parseTime]]: failure = non-null string that does not
+   *  parse with the pattern. */
+  final case class CheckedParseTime(field: String, pattern: String) extends CheckedStage {
+    private[graft] def resolve(df: DataFrame): (Column, Column, Column) = {
+      val c = col(field)
+      val converted = try_to_timestamp(c, lit(pattern))
+      (converted, c.isNotNull && converted.isNull,
+        concat(lit(s"field '$field': cannot parse '"), c.cast("string"),
+          lit(s"' with pattern '$pattern'")))
+    }
+  }
+
+  /** Checked custom conversion: caller supplies the converted value,
+   *  the failure predicate, and the message (reference custom
+   *  TransformFunc + ErrorHandler pairing). */
+  final case class CheckedCustom(field: String, converted: Column,
+                                 failed: Column, message: Column) extends CheckedStage {
+    private[graft] def resolve(df: DataFrame): (Column, Column, Column) =
+      (converted, failed, message)
+  }
+
+  /** Error-frame schema produced by [[collectErrors]]: the ORIGINAL
+   *  record (pipeline-input values for checked fields, JSON-encoded so
+   *  error frames from different pipeline positions stay unionable)
+   *  plus every stage error message that hit the row. */
+  val ErrorRecordCol = "record"
+  val ErrorMessagesCol = "errors"
+
+  /**
+   * Apply checked stages in chain order, splitting the input into
+   * (good, errors):
+   *
+   *  - `good`: rows no stage failed on, with ALL conversions applied —
+   *    later stages see earlier stages' converted values, exactly like
+   *    a [[chain]] of the unchecked forms;
+   *  - `errors`: rows at least one stage failed on, as
+   *    (`record` JSON of the original row, `errors` array of messages).
+   *    A row failing stage k still runs through stages k+1.. (its
+   *    failed field is null there, and null input is never an error),
+   *    so ALL its problems are reported in one pass — the reference's
+   *    CollectErrors accumulates the same way.
+   *
+   * Both frames derive from one projection chain; consumers of both
+   * pay two source scans unless the caller caches — the same trade the
+   * lazy operators make everywhere else in this library.
+   */
+  def collectErrors(stages: Seq[CheckedStage]): DataFrame => (DataFrame, DataFrame) = df => {
+    val originalCols = df.columns.toSeq
+    // Stash pipeline-input values of checked fields once (a field may
+    // be converted by an earlier stage; the error frame reports what
+    // the pipeline was GIVEN, not a half-converted intermediate).
+    val checkedFields = stages.map(_.field).distinct
+    val stash = checkedFields.map(f => f -> s"__orig_$f").toMap
+    var cur = stash.foldLeft(df) { case (d, (f, s)) => d.withColumn(s, col(f)) }
+    val errCols = stages.zipWithIndex.map { case (st, i) =>
+      val (converted, failed, msg) = st.resolve(cur)
+      val en = s"__err_$i"
+      // error expr FIRST (reads the pre-conversion value), then convert
+      cur = cur.withColumn(en, when(failed, msg))
+        .withColumn(st.field, converted)
+      en
+    }
+    val errArr = filter(array(errCols.map(col): _*), _.isNotNull)
+    val scratch = errCols ++ stash.values
+    val good = cur.filter(size(errArr) === 0).drop(scratch: _*)
+    val restored = originalCols.map(c =>
+      stash.get(c).map(s => col(s).as(c)).getOrElse(col(c)))
+    val errs = cur.filter(size(errArr) > 0)
+      .select(to_json(struct(restored: _*)).as(ErrorRecordCol),
+        errArr.as(ErrorMessagesCol))
+    (good, errs)
+  }
+
+  /** Checked stages under SkipErrors: failing rows are dropped, good
+   *  rows continue converted (reference SkipErrors strategy). */
+  def skipErrors(stages: Seq[CheckedStage]): DataFrame => DataFrame =
+    df => collectErrors(stages)(df)._1
+
+  /** Checked stages under FailFast: the first failing row raises, with
+   *  the same message the error frame would carry (reference FailFast;
+   *  generalizes [[strictCast]] to any checked stage). */
+  def failFast(stages: Seq[CheckedStage]): DataFrame => DataFrame = df => {
+    var cur = df
+    stages.foreach { st =>
+      val (converted, failed, msg) = st.resolve(cur)
+      val dt = cur.select(converted).schema.head.dataType
+      cur = cur.withColumn(st.field,
+        when(failed, raise_error(concat(lit("graft.failFast: "), msg)).try_cast(dt))
+          .otherwise(converted))
+    }
+    cur
+  }
 }

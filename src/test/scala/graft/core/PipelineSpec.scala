@@ -59,4 +59,28 @@ class PipelineSpec extends AnyFunSuite {
         mode = Pipeline.FailFast.sourceMode).count()
     }
   }
+
+  test("transformChecked honors the error strategy; CollectErrors exposes the frame") {
+    import org.apache.spark.sql.types.IntegerType
+    def pipe = Pipeline.from(Seq(("1", "a"), ("bad", "b"), ("3", "c")).toDF("v", "tag"))
+      .transformChecked(T.CheckedCast("v", IntegerType))
+      .transform(T.addField("v2", col("v") * 10))
+    // CollectErrors: good rows continue converted, bad row lands in the
+    // error frame with its ORIGINAL value and a message
+    val (n, errs) = pipe.withErrorStrategy(Pipeline.CollectErrors).executeCollecting()
+    assert(n == 2)
+    val e = errs.collect()
+    assert(e.length == 1)
+    assert(e(0).getString(0).contains("\"v\":\"bad\""))
+    assert(e(0).getSeq[String](1).head.contains("cannot cast 'bad'"))
+    // SkipErrors: dropped silently — strategy applied even though set
+    // AFTER the checked stage was chained
+    assert(pipe.withErrorStrategy(Pipeline.SkipErrors).execute() == 2)
+    // FailFast (the default): the job raises
+    intercept[Exception] { pipe.execute() }
+    // no checked stage collected anything -> empty, schema-correct frame
+    val (_, none) = Pipeline.from(Seq(1).toDF("x"))
+      .withErrorStrategy(Pipeline.CollectErrors).executeCollecting()
+    assert(none.columns.toSeq == Seq("record", "errors") && none.count() == 0)
+  }
 }

@@ -72,4 +72,58 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,1)]"), plan)
   }
+
+  test("collectErrors splits cast/time failures to the error frame with messages") {
+    import org.apache.spark.sql.types.IntegerType
+    val df = Seq(
+      ("1", "2024-01-02", "ok"),
+      ("x", "2024-01-03", "bad int"),
+      ("3", "nope", "bad time"),
+      ("y", "also-bad", "bad both"),
+      (null, null, "nulls pass")
+    ).toDF("n", "d", "tag")
+    val (good, errs) = Transforms.collectErrors(Seq(
+      Transforms.CheckedCast("n", IntegerType),
+      Transforms.CheckedParseTime("d", "yyyy-MM-dd")))(df)
+    // good: conversions applied, types changed, only clean rows remain
+    assert(good.schema("n").dataType == IntegerType)
+    assert(good.select("tag").collect().map(_.getString(0)).toSet ==
+      Set("ok", "nulls pass"))
+    // errors: original values in the record JSON, one message per failure
+    val e = errs.collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(e.size == 3)
+    val both = e.keys.find(_.contains("also-bad")).get
+    assert(e(both).size == 2)
+    assert(e(both).exists(_.contains("cannot cast 'y'")))
+    assert(e(both).exists(_.contains("cannot parse 'also-bad'")))
+    assert(e.keys.count(_.contains("\"n\":\"x\"")) == 1)
+  }
+
+  test("collectErrors chain order: later stages see earlier conversions") {
+    import org.apache.spark.sql.types.IntegerType
+    val df = Seq(("10", "keep"), ("oops", "fail")).toDF("v", "tag")
+    val (good, errs) = Transforms.collectErrors(Seq(
+      Transforms.CheckedCast("v", IntegerType),
+      // custom stage on the CONVERTED int value: fails when v > 5
+      Transforms.CheckedCustom("v", col("v"),
+        col("v").isNotNull && col("v") > 5, lit("v out of range"))))(df)
+    assert(good.count() == 0)
+    val msgs = errs.collect().map(_.getSeq[String](1)).toSeq
+    assert(msgs.exists(_.exists(_.contains("out of range"))))   // 10 > 5
+    assert(msgs.exists(_.exists(_.contains("cannot cast 'oops'"))))
+    // the cast-failed row is NOT also range-flagged (null input, no error)
+    assert(msgs.forall(_.size == 1))
+  }
+
+  test("skipErrors drops failing rows; failFast raises with the row's message") {
+    import org.apache.spark.sql.types.IntegerType
+    val df = Seq(("1", "a"), ("zzz", "b")).toDF("v", "tag")
+    val kept = Transforms.skipErrors(Seq(Transforms.CheckedCast("v", IntegerType)))(df)
+    assert(kept.select("tag").collect().map(_.getString(0)).toSeq == Seq("a"))
+    val e = intercept[Exception] {
+      Transforms.failFast(Seq(Transforms.CheckedCast("v", IntegerType)))(df).collect()
+    }
+    assert(e.getMessage.contains("graft.failFast") || Option(e.getCause).exists(
+      _.getMessage.contains("graft.failFast")))
+  }
 }
