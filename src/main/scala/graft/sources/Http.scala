@@ -31,10 +31,16 @@ object Http {
     def fetch(url: String, headers: Map[String, String]): Response
   }
 
-  /** Production transport on java.net.http (JDK built-in, no deps). */
+  /** Production transport on java.net.http (JDK built-in, no deps).
+   *  ONE HttpClient per fetcher instance, not per request: HttpClient
+   *  is thread-safe and pools connections, so a thousand-page walk
+   *  reuses keep-alive sockets instead of a TCP+TLS handshake per
+   *  page. Lazy + transient: the client is rebuilt after
+   *  deserialization on an executor ([[parallelPages]] ships the
+   *  fetcher into tasks), never serialized. */
   def javaNetFetcher(timeoutMs: Long = 30000): Fetcher = new Fetcher {
+    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
     def fetch(url: String, headers: Map[String, String]): Response = {
-      val client = java.net.http.HttpClient.newHttpClient()
       var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
       headers.foreach { case (k, v) => b = b.header(k, v) }

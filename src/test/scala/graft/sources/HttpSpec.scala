@@ -180,4 +180,51 @@ class HttpSpec extends AnyFunSuite {
       (1 to 4).map(i => s"http://api/p$i"), fetcher = fetcher)
     assert(df.count() == 4)
   }
+
+  test("javaNetFetcher end-to-end against a live loopback server, reusing connections") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val authSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ports = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/items", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        ports.add(ex.getRemoteAddress.getPort)
+        authSeen.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val page = q.split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+        }.getOrElse(1)
+        // three data pages, then empty ends the walk; one 500 first to
+        // exercise the real retry path
+        val body =
+          if (page == 1 && hits.get() == 1) "boom"
+          else if (page <= 3) s"""{"id":${page * 10}}\n{"id":${page * 10 + 1}}"""
+          else ""
+        val status = if (page == 1 && hits.get() == 1) 500 else 200
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/items"
+      val df = Http.read(spark, base, Http.Page(),
+        auth = Http.Bearer("tok-123"),
+        fetcher = Http.javaNetFetcher(timeoutMs = 5000),
+        retry = Http.RetryConfig(maxAttempts = 3, baseBackoffMs = 1, sleeper = _ => ()))
+      val ids = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(10L, 11L, 20L, 21L, 30L, 31L))
+      assert(authSeen.toArray.forall(_ == "Bearer tok-123"))
+      // 5 requests hit the server (500 + retry + pages 2,3 + empty 4);
+      // ONE pooled HttpClient per fetcher means keep-alive reuse — far
+      // fewer sockets than requests (the per-request-client bug opened
+      // a fresh socket every time)
+      assert(hits.get() == 5, s"hits=${hits.get()}")
+      assert(ports.size() <= 2, s"expected connection reuse, got ${ports.size()} sockets for ${hits.get()} requests")
+    } finally server.stop(0)
+  }
 }
