@@ -167,37 +167,103 @@ object Sinks {
     }
   }
 
+  /** Write telemetry returned by [[jdbcUpsert]] (reference
+   *  WriterStats: RecordsWritten / ConflictCount / error counters,
+   *  `writers/postgresql.go:579-663`). `conflicted` = rows whose batch
+   *  execute reported 0 affected rows (`ON CONFLICT DO NOTHING` hit);
+   *  `failedRows`/`failedBatches` = rows in batches a lenient run
+   *  rolled back and skipped. */
+  final case class UpsertStats(inserted: Long, conflicted: Long,
+                               failedBatches: Long, failedRows: Long)
+
+  /** Interpret one JDBC `executeBatch` result: per-statement update
+   *  counts of 0 are conflicts (`DO NOTHING` matched an existing row —
+   *  reference conflict detection via RowsAffected==0); positive
+   *  counts and SUCCESS_NO_INFO are inserts. Pure — unit-testable
+   *  without a database. */
+  def interpretBatchCounts(counts: Array[Int]): (Long, Long) = {
+    var ins = 0L; var con = 0L
+    counts.foreach { c =>
+      if (c == 0) con += 1
+      else ins += 1 // includes Statement.SUCCESS_NO_INFO (-2)
+    }
+    (ins, con)
+  }
+
   /**
    * JDBC upsert: per-partition connections, batched prepared
    * statements, one transaction per batch (reference flush semantics,
    * `writers/postgresql.go:579-663`). Tune write parallelism with
    * `df.repartition(n)` before calling — each partition holds one
    * connection, so n = the DB's comfortable concurrent-writer count.
+   *
+   * Telemetry: returns [[UpsertStats]] aggregated across partitions
+   * via accumulators — inserted vs conflicted comes from the batch
+   * update counts, so `ON CONFLICT DO NOTHING` hit rates are
+   * observable instead of silent (reference ConflictCount).
+   *
+   * Error budget (reference MaxErrors circuit breaker,
+   * `writers/postgresql.go:275-311`): a batch that fails with a
+   * SQLException is rolled back; with `maxFailedBatchesPerPartition`
+   * > 0 the partition skips it, counts it, and continues — until the
+   * budget is exhausted, at which point the breaker trips and the
+   * exception propagates (failing the task). The default budget of 0
+   * keeps strict fail-fast semantics. The budget is per PARTITION
+   * (each holds its own connection) — the distributed analogue of the
+   * reference's single-writer error count. NOTE: a tripped/retried
+   * task re-runs its whole partition; committed batches from the
+   * first attempt are not rolled back (same at-least-once contract
+   * the per-batch transactions already imply — idempotent for
+   * DO NOTHING/DO UPDATE, not for plain INSERT).
    */
   def jdbcUpsert(df: DataFrame, url: String, table: String,
                  onConflict: OnConflict,
                  user: String = "", password: String = "",
-                 batchSize: Int = 1000): Unit = {
+                 batchSize: Int = 1000,
+                 maxFailedBatchesPerPartition: Int = 0): UpsertStats = {
     val columns = df.columns.toSeq
     val sql = upsertSql(table, columns, onConflict)
+    val sc = df.sparkSession.sparkContext
+    val insertedAcc = sc.longAccumulator("graft.upsert.inserted")
+    val conflictedAcc = sc.longAccumulator("graft.upsert.conflicted")
+    val failedBatchesAcc = sc.longAccumulator("graft.upsert.failedBatches")
+    val failedRowsAcc = sc.longAccumulator("graft.upsert.failedRows")
     df.foreachPartition { (rows: Iterator[Row]) =>
       val props = new java.util.Properties()
       if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
       val conn = java.sql.DriverManager.getConnection(url, props)
+      var failedHere = 0
       try {
         conn.setAutoCommit(false)
         val stmt = conn.prepareStatement(sql)
         var inBatch = 0
+        def flush(): Unit = if (inBatch > 0) {
+          try {
+            val counts = stmt.executeBatch()
+            conn.commit()
+            val (ins, con) = interpretBatchCounts(counts)
+            insertedAcc.add(ins); conflictedAcc.add(con)
+          } catch {
+            case e: java.sql.SQLException =>
+              try conn.rollback() catch { case _: java.sql.SQLException => () }
+              // drivers differ on whether a failed batch self-clears
+              try stmt.clearBatch() catch { case _: java.sql.SQLException => () }
+              failedHere += 1
+              failedBatchesAcc.add(1); failedRowsAcc.add(inBatch)
+              if (failedHere > maxFailedBatchesPerPartition) throw e
+          }
+          inBatch = 0
+        }
         rows.foreach { row =>
           columns.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
           stmt.addBatch()
           inBatch += 1
-          if (inBatch >= batchSize) {
-            stmt.executeBatch(); conn.commit(); inBatch = 0
-          }
+          if (inBatch >= batchSize) flush()
         }
-        if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
+        flush()
       } finally conn.close()
     }
+    UpsertStats(insertedAcc.value, conflictedAcc.value,
+      failedBatchesAcc.value, failedRowsAcc.value)
   }
 }

@@ -88,10 +88,43 @@ class SourcesSinksSpec extends AnyFunSuite {
     // prepared-statement path, portable beyond Postgres.
     // upsertSql quotes identifiers; Spark created the table unquoted
     // (Derby folds to uppercase), so address it as "PEOPLE".
-    Sinks.jdbcUpsert(
+    val stats = Sinks.jdbcUpsert(
       Seq((21L, "extra")).toDF("id", "name"), url, "PEOPLE",
       Sinks.ConflictError, batchSize = 2)
     assert(Sources.jdbc(spark, url, "people").count() == 21)
+    assert(stats == Sinks.UpsertStats(1, 0, 0, 0))
+  }
+
+  test("jdbcUpsert telemetry: error budget skips bad batches and counts them; breaker trips past it") {
+    val db = s"${tmp()}/graftdb_budget"
+    val url = s"jdbc:derby:$db;create=true"
+    val stmts = java.sql.DriverManager.getConnection(url).createStatement()
+    stmts.executeUpdate("""CREATE TABLE "uniq" ("id" BIGINT PRIMARY KEY, "name" VARCHAR(32))""")
+    stmts.executeUpdate("""INSERT INTO "uniq" VALUES (2, 'already')""")
+    // single partition => deterministic batch split: (1,2) fails on the
+    // duplicate key, (3) succeeds
+    val df = Seq((1L, "a"), (2L, "dup"), (3L, "c")).toDF("id", "name").coalesce(1)
+    val stats = Sinks.jdbcUpsert(df, url, "uniq", Sinks.ConflictError,
+      batchSize = 2, maxFailedBatchesPerPartition = 1)
+    assert(stats.failedBatches == 1 && stats.failedRows == 2)
+    assert(stats.inserted == 1 && stats.conflicted == 0)
+    // the failed batch rolled back atomically: only row 3 (and the
+    // pre-existing row 2) are present
+    val ids = Sources.jdbc(spark, url, """SELECT "id" FROM "uniq"""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(2L, 3L))
+    // budget 0 (default): the same conflict propagates and fails the job
+    intercept[org.apache.spark.SparkException] {
+      Sinks.jdbcUpsert(Seq((2L, "dup")).toDF("id", "name").coalesce(1),
+        url, "uniq", Sinks.ConflictError)
+    }
+  }
+
+  test("interpretBatchCounts: zero-affected rows are conflicts, SUCCESS_NO_INFO is an insert") {
+    assert(Sinks.interpretBatchCounts(Array(1, 0, 1, 0, 0)) == (2L, 3L))
+    assert(Sinks.interpretBatchCounts(
+      Array(java.sql.Statement.SUCCESS_NO_INFO, 1)) == (2L, 0L))
+    assert(Sinks.interpretBatchCounts(Array.empty[Int]) == (0L, 0L))
   }
 
   test("jdbcAppend truncate overwrite keeps the table, replaces the rows") {
