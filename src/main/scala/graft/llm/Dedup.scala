@@ -631,24 +631,42 @@ object Dedup {
    * with cosine ≥ `threshold`. For unblocked corpora use
    * [[semanticNearDup]] (k-means clusters as automatic blocks) or
    * [[Similarity.lshBuckets]] to generate the blocking column first.
+   *
+   * Hot-block budget: a degenerate block holding B documents (a null
+   * language, one giant k-means cluster) would otherwise cost B²
+   * comparisons — salting spreads that across tasks but does not
+   * shrink it. Blocks larger than `maxBlockSize` are deterministically
+   * SPLIT into ⌈B/maxBlockSize⌉ hash-assigned sub-blocks and pairs
+   * are generated within sub-blocks only, so every document is
+   * compared against at most ~maxBlockSize peers (per-block work
+   * B·maxBlockSize, linear in B). The documented recall trade: a pair
+   * straddling two sub-blocks of an oversized block is missed —
+   * expected in-block recall ≈ 1/⌈B/maxBlockSize⌉; the analogue of
+   * [[minHashCandidates]]'s bucket cap. Blocks at or under the cap
+   * are untouched (single sub-block — output identical).
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCols: Seq[String], threshold: Double,
-                       saltFactor: Int = 16): DataFrame = {
+                       saltFactor: Int = 16, maxBlockSize: Int = 100000): DataFrame = {
     // Norms precomputed per ROW (once), not per pair: the join boundary
     // keeps them out of the per-pair projection, so each pair costs one
     // dot product. dot/(n1*n2) is bit-identical to the inline cosine.
+    // The block-size window rides the same partitioning the join needs.
     val v = df.select(blockCols.map(col) :+ col(idCol) :+ col(vecCol).cast("array<double>").as("__v"): _*)
       .withColumn("__nm", Similarity.norm(col("__v")))
-    val a = v.select(blockCols.map(col) :+ col(idCol).as("id1") :+
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)))
+      .withColumn("__sub", pmod(hash(col(idCol)),
+        greatest(ceil(col("__bsz").cast("double") / maxBlockSize).cast("int"), lit(1))))
+    val a = v.select(blockCols.map(col) :+ col("__sub") :+ col(idCol).as("id1") :+
       col("__v").as("__v1") :+ col("__nm").as("__nm1"): _*)
       .withColumn("__salt", pmod(hash(col("id1")), lit(saltFactor)))
-    val b = v.select(blockCols.map(col) :+ col(idCol).as("id2") :+
+    val b = v.select(blockCols.map(col) :+ col("__sub") :+ col(idCol).as("id2") :+
       col("__v").as("__v2") :+ col("__nm").as("__nm2"): _*)
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     // Salted block join (hot block keys): cosine evaluates in the join
     // output stage across |blocks|·saltFactor tasks; no pair re-shuffle.
-    a.join(b, blockCols :+ "__salt")
+    a.join(b, blockCols ++ Seq("__sub", "__salt"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         Similarity.cosPre(col("__v1"), col("__v2"),

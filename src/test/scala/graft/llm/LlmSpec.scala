@@ -313,6 +313,32 @@ class LlmSpec extends AnyFunSuite {
     assert(nd.isEmpty) // pairs with the zero vector score 0.0 < threshold
   }
 
+  test("embeddingNearDup hot-block budget: a giant block splits, bounding per-row comparisons") {
+    // 200 near-identical vectors in ONE block: unbudgeted = 19 900 pairs
+    val rows = (0L until 200L).map { i =>
+      (i, Array(1.0, 0.001 * i, 0.0), "hot")
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val all = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      Seq("label"), threshold = 0.9, saltFactor = 4, maxBlockSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size == 199 * 200 / 2) // cap above block size: output = naive
+    val capped = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      Seq("label"), threshold = 0.9, saltFactor = 4, maxBlockSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // split into 4 sub-blocks: only within-sub-block pairs survive —
+    // strictly bounded work, subset of the naive output, deterministic
+    assert(capped.subsetOf(all))
+    assert(capped.nonEmpty && capped.size < all.size)
+    // expected pair budget: sum over sub-blocks of ~(B/4 choose 2) x 4
+    // = roughly a quarter of naive; allow generous slack for hash skew
+    assert(capped.size <= all.size / 2, s"capped=${capped.size} all=${all.size}")
+    val again = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      Seq("label"), threshold = 0.9, saltFactor = 4, maxBlockSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == capped) // hash-assigned sub-blocks are deterministic
+  }
+
   test("multimodal: per-partition feature extraction and frame sampling") {
     val media = Multimodal.attach(
       Seq((1L, "hello world"), (2L, "")).toDF("id", "payload"),
