@@ -675,8 +675,7 @@ object SparkEntry {
       // the stream must read what's physically in the file; the
       // micros conversion Tables does for batch runs inside the
       // streaming transform instead
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = Tables.rawSchema(s, dir, "events")
       // glob, not the bare file path: the file-stream source requires a
       // directory (or glob) so it can derive a basePath for listing
       graft.streaming.Streaming.runBatchAsStream(
@@ -729,8 +728,7 @@ object SparkEntry {
     // ---- §2.11 REAL streaming sliding windows (micro-batch engine;
     //      overlapping-window state vs the epoch-aligned batch oracle) ----
     "q60_stream_sliding" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = Tables.rawSchema(s, dir, "events")
       graft.streaming.Streaming.runBatchAsStream(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -77,4 +77,14 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** A table's PHYSICAL parquet schema (nano timestamps as INT64 under
+   *  `nanosAsLong`) — what `readStream` must be given, since the
+   *  file-stream source reads exactly what is in the files. Config
+   *  handling lives here with the rest of the table-loading policy,
+   *  not in query code. */
+  def rawSchema(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet").schema
+  }
 }
