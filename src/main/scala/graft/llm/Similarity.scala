@@ -162,11 +162,17 @@ object Similarity {
     val v = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var centroids: Seq[Array[Double]] = v.orderBy("__id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
       val assigned = v.select(
         nearestCentroid(col("__v"), centroids).as("__c"), col("__v"))
+        // a vector whose length mismatches the centroid dims (or a null
+        // vector) gets a null assignment — drop it from the means
+        // instead of NPE-ing on the driver when the null cluster id
+        // unboxes; such rows also can't be probed at query time
+        .where(col("__c").isNotNull)
       // Per-(cluster, dimension) decimal sums via posexplode — ONE
       // small aggregate expression instead of `dims` parallel agg
       // columns (whose generated class measured ~1 s/round to compile);
@@ -201,8 +207,10 @@ object Similarity {
       // Empty clusters keep their previous centroid.
       centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }
     }
-    v.unpersist()
     centroids
+    // unpersist even when a collect mid-loop throws — the training
+    // relation must never outlive the call as an orphan cache entry
+    } finally v.unpersist()
   }
 
   /**

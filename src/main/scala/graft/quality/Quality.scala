@@ -165,18 +165,24 @@ object Quality {
               exact: Boolean = true): DataFrame = {
     val cs = if (columns.isEmpty) df.columns.toSeq else columns
     require(cs.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: cs.flatMap { c => Seq(
+    // INDEXED scratch aliases + typed stack(), no selectExpr: user
+    // column names never enter parsed SQL text, so a name carrying a
+    // quote, backtick, or comma profiles fine — it appears only as
+    // data (the lit() below) and as a backtick-quoted column reference
+    // (Dataset.col parses attribute names, so inner backticks double).
+    def ref(c: String): Column = df(s"`${c.replace("`", "``")}`")
+    val aggs = count(lit(1)).as("n_rows") +: cs.zipWithIndex.flatMap { case (c, i) => Seq(
       // coalesce: sum over ZERO rows is null, but a profile of an empty
       // table must report 0 nulls, not null
-      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
-        .as(s"${c}__nulls"),
-      (if (exact) count_distinct(col(c))
-       else approx_count_distinct(col(c))).as(s"${c}__distinct")) }
+      coalesce(sum(when(ref(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__nulls_$i"),
+      (if (exact) count_distinct(ref(c))
+       else approx_count_distinct(ref(c))).as(s"__distinct_$i")) }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cs.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`")
-      .mkString(", ")
-    row.selectExpr("n_rows",
-        s"stack(${cs.size}, $stacked) AS (col_name, n_nulls, n_distinct)")
+    val stackArgs = lit(cs.size) +: cs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), col(s"__nulls_$i"), col(s"__distinct_$i")) }
+    row.select(col("n_rows"),
+        stack(stackArgs: _*).as(Seq("col_name", "n_nulls", "n_distinct")))
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
   }
 }

@@ -94,17 +94,23 @@ object Sinks {
       // (session-scoped) catalog entry — e.g. a fresh JVM over the same
       // warehouse dir — and saveAsTable refuses to adopt an orphan
       // location (LOCATION_ALREADY_EXISTS). DROP removes a registered
-      // managed table (data included); any directory still at the
-      // catalog's assigned path afterwards is by definition an orphan,
-      // so deleting it is safe. The path comes from the catalog itself
-      // (current database, db-qualified layout) — NOT warehouse/<name>,
-      // which is wrong outside the default database.
+      // managed table (data included). The name is parsed as the SQL
+      // parser would (`db.tbl` is two parts — backtick-quoting it as
+      // one would DROP the wrong table while deleting db.tbl's
+      // directory), and the directory is only deleted when NO catalog
+      // table — under any name — is registered at that location: a
+      // directory at the assigned path with a registered owner is live
+      // data (e.g. an external table), not an orphan.
       val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        org.apache.spark.sql.GraftShims.defaultTablePath(spark, table))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      import org.apache.spark.sql.GraftShims
+      val ident = GraftShims.parseTableIdentifier(spark, table)
+      spark.sql(s"DROP TABLE IF EXISTS ${GraftShims.quoted(ident)}")
+      val locUri = GraftShims.defaultTablePath(spark, table)
+      if (!GraftShims.tableRegisteredAt(spark, locUri)) {
+        val loc = new org.apache.hadoop.fs.Path(locUri)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
     }
     df.write.mode(mode)
       .format("parquet")

@@ -24,12 +24,39 @@ object GraftShims {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Parse a possibly multi-part table name (`db.tbl`) the way the SQL
+   *  parser would — backtick-quoting a dotted name as ONE part targets
+   *  the wrong table. */
+  def parseTableIdentifier(spark: SparkSession, table: String): org.apache.spark.sql.catalyst.TableIdentifier =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parseTableIdentifier(table)
+
+  /** Quote a parsed identifier for splicing into SQL. */
+  def quoted(ident: org.apache.spark.sql.catalyst.TableIdentifier): String =
+    ident.quotedString
+
   /** The location the session catalog WOULD assign a managed table of
-   *  this name (current database, db-qualified directory layout) —
+   *  this name (db-qualified directory layout; multipart names
+   *  resolved by the SQL parser, current database otherwise) —
    *  the only correct way to find a saveAsTable orphan directory. */
   def defaultTablePath(spark: SparkSession, table: String): java.net.URI = {
     val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
-    cat.defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    cat.defaultTablePath(parseTableIdentifier(spark, table))
+  }
+
+  /** True when ANY catalog table (under any name) is registered at
+   *  this location — deleting such a directory would destroy live
+   *  data, not an orphan. */
+  def tableRegisteredAt(spark: SparkSession, location: java.net.URI): Boolean = {
+    val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+    cat.listDatabases().exists { db =>
+      cat.listTables(db).exists { ti =>
+        try {
+          val meta = cat.getTableMetadata(ti)
+          Option(meta.storage.locationUri).flatten.contains(location)
+        } catch { case _: Exception => false }
+      }
+    }
   }
 
   /** Apply a [[SparkSessionExtensions]]' injected functions to an

@@ -136,4 +136,28 @@ class JoinsSpec extends AnyFunSuite {
     assert(u.count() == 2)
     assert(u.columns.toSet == Set("id", "only_a", "only_b"))
   }
+
+  test("parquetBucketed handles db-qualified names and re-overwrite") {
+    import graft.sinks.Sinks
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bktdb")
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      // twice: the second overwrite exercises DROP of the parsed
+      // two-part name + orphan-location cleanup under the db directory
+      Sinks.parquetBucketed(df, "graft_bktdb.t1", 2, Seq("k"))
+      Sinks.parquetBucketed(df.withColumn("v", org.apache.spark.sql.functions.lit("z")),
+        "graft_bktdb.t1", 2, Seq("k"))
+      val out = spark.table("graft_bktdb.t1").collect()
+      assert(out.length == 2 && out.forall(_.getString(1) == "z"))
+      // the single-part name in the CURRENT database still works
+      Sinks.parquetBucketed(df, "bkt_single", 2, Seq("k"))
+      assert(spark.table("bkt_single").count() == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bktdb.t1")
+      spark.sql("DROP TABLE IF EXISTS bkt_single")
+      spark.sql("DROP DATABASE IF EXISTS graft_bktdb")
+    }
+  }
 }

@@ -73,4 +73,14 @@ class QualitySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx("email") == (3L, 1L))
   }
+
+  test("profile survives column names with quotes, backticks, and commas") {
+    val df = spark.range(3).toDF("id")
+      .withColumn("we'ird, na`me", org.apache.spark.sql.functions.expr("CASE WHEN id = 0 THEN NULL ELSE id END"))
+    val out = Quality.profile(df, Seq("we'ird, na`me")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "we'ird, na`me")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 2L)
+  }
 }
