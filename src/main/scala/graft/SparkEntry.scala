@@ -314,6 +314,14 @@ object SparkEntry {
         k = 32, bands = 8, shingleN = 3, threshold = 0.5)
     }),
 
+    // ---- LLM ops: screening-mode minhash — signature-ESTIMATED
+    //      jaccard on banded candidates, no verification pass (the
+    //      first-sweep mode at 100 TB; q24 gates the verified mode) ----
+    "q75_minhash_est" -> ((s, dir) => {
+      Dedup.minHashEstPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, estThreshold = 0.5)
+    }),
+
     // ---- LLM ops: SimHash fingerprint (16-bit, hash-once form) ----
     "q25_simhash" -> ((s, dir) => {
       Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 16)
@@ -451,6 +459,32 @@ object SparkEntry {
       require(res.success, "retry DAG failed")
       require(attempts.get() == 3, s"expected 3 attempts, saw ${attempts.get()}")
       res.outputs("flaky")
+    }),
+
+    // ---- §2.11 stream-stream INTERVAL JOIN through the real
+    //      micro-batch engine (append mode): clicks matched to views
+    //      for the same user within ±2 h. The gate watermark is huge
+    //      so no state eviction can drop a match and the result equals
+    //      the batch join EXACTLY; production uses tight delays and
+    //      accepts the documented late-data trade ----
+    "q74_stream_join" -> ((s, dir) => {
+      val schema = Tables.rawSchema(s, dir, "events")
+      graft.streaming.Streaming.runBatchAsStream(
+        s, s"$dir/events*.parquet", schema,
+        df => {
+          val ev = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          graft.streaming.Streaming.intervalJoin(
+            ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            ev.filter(col("event_type") === "view")
+              .select("event_id", "user_id", "ts"),
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            delay = "10000 hours", tolerance = "2 hours")
+        },
+        name = s"graft_stream_join_${System.nanoTime}",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"),
+          col("r_event_id").as("r_id"), col("r_ts"))
     }),
 
     // ---- §2.12 custom Aggregator[IN,BUF,OUT] via udaf (exact decimal
@@ -1133,6 +1167,19 @@ object SparkEntry {
 
     "q24_minhash" -> s"WITH $minhashCtes\nSELECT id1, id2, jaccard FROM v WHERE jaccard >= 0.5",
 
+    // signature-position match fraction over the same banded candidates
+    // (replays the exact md5 permutation minima, so the estimate is
+    // bit-identical across engines)
+    "q75_minhash_est" ->
+      s"""WITH $minhashCtes,
+         |est AS (SELECT cand.id1, cand.id2,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
+         |      AS est_jaccard
+         |  FROM cand JOIN sig s1 ON s1.doc_id = cand.id1
+         |            JOIN sig s2 ON s2.doc_id = cand.id2)
+         |SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+
     // components of the q24 pair graph: transitive closure via
     // recursive CTE, component = min reachable id (tiny pair set at
     // oracle scale, so closure blowup is not a concern)
@@ -1235,6 +1282,17 @@ object SparkEntry {
 
     "q73_dag_retry" ->
       "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1",
+
+    // the micro-batch interval join must equal the plain batch join
+    // (the gate watermark is large enough that nothing is evicted)
+    "q74_stream_join" ->
+      """SELECT a.user_id, a.event_id AS l_id, a.ts AS l_ts,
+        | b.event_id AS r_id, b.ts AS r_ts
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'view'
+        | AND b.ts >= a.ts - INTERVAL 2 HOUR
+        | AND b.ts <= a.ts + INTERVAL 2 HOUR""".stripMargin,
 
     // LSH buckets are deterministic md5-derived constants — inline the
     // same hyperplane matrix the Spark side uses (Similarity.planesFor)

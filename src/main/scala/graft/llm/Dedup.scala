@@ -207,6 +207,37 @@ object Dedup {
   }
 
   /**
+   * SCREENING-mode near-dup pairs: banded LSH candidates scored by the
+   * SIGNATURE-estimated Jaccard — the fraction of equal MinHash
+   * positions, an unbiased estimator of J (E[sig_i(A)=sig_i(B)] = J,
+   * the MinHash property; stderr ≈ √(J(1−J)/k)). Skips
+   * [[minHashDedup]]'s exact-verification joins entirely: no second
+   * pass over document text, the verification join touches k longs per
+   * doc instead of shingle sets — the right mode for a first 100 TB
+   * screening sweep where a ±1/√k similarity error is acceptable (or
+   * feeds a candidate list into exact verification later). Returns
+   * (id1, id2, est_jaccard ≥ `estThreshold`).
+   */
+  def minHashEstPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                      estThreshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    // same compute-once lifecycle rationale as [[minHashDedup]]
+    val sigs = minHashSignatures(df, idCol, textCol, k, shingleN)
+      .localCheckpoint(false)
+    val cands = bandCandidates(sigs, idCol, k, bands, maxBucketSize)
+    val matches = size(filter(
+      zip_with(col("__s1"), col("__s2"), (a, b) => a === b), x => x))
+    cands
+      .join(sigs.select(col(idCol).as("id1"), col("__sig").as("__s1")), "id1")
+      .join(sigs.select(col(idCol).as("id2"), col("__sig").as("__s2")), "id2")
+      .select(col("id1"), col("id2"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /**
    * SimHash fingerprint over whitespace tokens, `bits` wide: for each
    * bit position, tokens vote ±1 by that bit of their hash; the bit is
    * set when the vote sum is positive. Near-identical documents land

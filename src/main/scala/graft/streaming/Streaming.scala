@@ -79,15 +79,20 @@ object Streaming {
    * the batch gate checks runs here through the streaming engine
    * (file-source listing, micro-batch planning, state store) and must
    * produce identical results. `transform` must end in an aggregation
-   * (complete mode requires one). The memory sink is test/verification
-   * plumbing — production streams use [[writeStream]]/[[foreachBatchSink]].
+   * under the default Complete mode (complete requires one); pass
+   * `OutputMode.Append()` for non-aggregating transforms — e.g. a
+   * stream-stream [[intervalJoin]], whose appended matches accumulate
+   * in the sink across micro-batches. The memory sink is
+   * test/verification plumbing — production streams use
+   * [[writeStream]]/[[foreachBatchSink]].
    */
   def runBatchAsStream(spark: SparkSession, path: String, schema: StructType,
                        transform: DataFrame => DataFrame,
-                       name: String): DataFrame = {
+                       name: String,
+                       outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(path)
     val q = transform(stream).writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
