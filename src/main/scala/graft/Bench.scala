@@ -2,15 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Reset session state a prior query may have left behind: cached
-   *  relations, temp views, and catalog tables (q59 writes a bucketed
-   *  table; dropping it keeps every iteration's create path timed
-   *  identically). A GC nudge lets ContextCleaner release checkpoint
-   *  blocks whose frames are no longer referenced. */
+   *  relations, temp views, and GRAFT-CREATED catalog tables (q59
+   *  writes `graft_bkt_*`; dropping keeps every iteration's create
+   *  path timed identically). Scoped to the `graft` name prefix so a
+   *  bench launched over a warehouse holding unrelated managed tables
+   *  never destroys them; best-effort so a failing drop records a
+   *  query failure, not a dead bench. A GC nudge lets ContextCleaner
+   *  release checkpoint blocks whose frames are no longer referenced. */
   private def isolate(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.catalog.listTables().collect().foreach { t =>
-      if (t.isTemporary) spark.catalog.dropTempView(t.name)
-      else spark.sql(s"DROP TABLE IF EXISTS `${t.namespace.mkString("`.`")}`.`${t.name}`")
+    try {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.name.toLowerCase.startsWith("graft"))
+        .foreach { t =>
+          if (t.isTemporary) spark.catalog.dropTempView(t.name)
+          else spark.sql(s"DROP TABLE IF EXISTS `${t.namespace.mkString("`.`")}`.`${t.name}`")
+        }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] isolate: ${e.getMessage}")
     }
     System.gc()
   }

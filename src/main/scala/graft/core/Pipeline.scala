@@ -120,8 +120,21 @@ final class Pipeline private (
    *  source changes between runs. If no sink ran a Spark action (so
    *  no metric exists), falls back to one `count()` rather than
    *  blocking on the observation. A sink that consumes only part of
-   *  the plan (e.g. a `limit`) reports the rows it consumed. */
-  def execute(): Long = executeInternal(build())
+   *  the plan (e.g. a `limit`) reports the rows it consumed.
+   *
+   *  Under CollectErrors with checked stages, `execute()` runs the
+   *  good path only — the collected error frame is available ONLY
+   *  through [[executeCollecting]]/[[buildWithErrors]]; a warning is
+   *  logged so the diversion is never silent. */
+  def execute(): Long = {
+    val (out, errs) = buildWithErrors()
+    if (errs.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "Pipeline.execute() under CollectErrors: checked stages divert " +
+          "failing rows to an error frame this call DISCARDS — use " +
+          "executeCollecting() to inspect them")
+    executeInternal(out)
+  }
 
   /** [[execute]] + the collected error frame (empty-schema-correct
    *  frame when nothing collected): the reference's post-run

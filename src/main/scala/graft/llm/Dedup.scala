@@ -176,6 +176,15 @@ object Dedup {
    * join's shingle relation, which amortizes a frequency join across
    * four consumers), while re-running the codegen'd scan+md5 pipeline
    * is cheap.
+   *
+   * Fault-tolerance trade (applies to every localCheckpoint in this
+   * module): checkpoint blocks truncate lineage, so an executor loss
+   * mid-job fails the query instead of recomputing — the price of
+   * deterministic cache lifecycle (blocks free themselves on GC; a
+   * persist() here leaks CacheManager entries a lazy operator cannot
+   * release). On a preemption-heavy cluster, re-running the failed
+   * query is the recovery path; a reliable-checkpoint variant is the
+   * knob to add if that trade inverts.
    */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
@@ -691,7 +700,12 @@ object Dedup {
         greatest(ceil(col("__bsz").cast("double") / maxBlockSize).cast("int"), lit(1))))
     val a = v.select(blockCols.map(col) :+ col("__sub") :+ col(idCol).as("id1") :+
       col("__v").as("__v1") :+ col("__nm").as("__nm1"): _*)
-      .withColumn("__salt", pmod(hash(col("id1")), lit(saltFactor)))
+      // hash(id, 1), NOT hash(id): __sub above is pmod(hash(id), nsub),
+      // and deriving the salt from the SAME hash correlates them — at
+      // nsub == saltFactor every row of sub-block s would get salt s,
+      // collapsing a sub-block's whole cross product onto one task.
+      // The extra seed column decorrelates the two assignments.
+      .withColumn("__salt", pmod(hash(col("id1"), lit(1)), lit(saltFactor)))
     val b = v.select(blockCols.map(col) :+ col("__sub") :+ col(idCol).as("id2") :+
       col("__v").as("__v2") :+ col("__nm").as("__nm2"): _*)
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))

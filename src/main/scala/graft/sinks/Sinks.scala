@@ -106,7 +106,7 @@ object Sinks {
       val ident = GraftShims.parseTableIdentifier(spark, table)
       spark.sql(s"DROP TABLE IF EXISTS ${GraftShims.quoted(ident)}")
       val locUri = GraftShims.defaultTablePath(spark, table)
-      if (!GraftShims.tableRegisteredAt(spark, locUri)) {
+      if (!GraftShims.tableRegisteredAt(spark, ident.database, locUri)) {
         val loc = new org.apache.hadoop.fs.Path(locUri)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
@@ -182,18 +182,21 @@ object Sinks {
   final case class UpsertStats(inserted: Long, conflicted: Long,
                                failedBatches: Long, failedRows: Long)
 
-  /** Interpret one JDBC `executeBatch` result: per-statement update
-   *  counts of 0 are conflicts (`DO NOTHING` matched an existing row —
-   *  reference conflict detection via RowsAffected==0); positive
-   *  counts and SUCCESS_NO_INFO are inserts. Pure — unit-testable
-   *  without a database. */
-  def interpretBatchCounts(counts: Array[Int]): (Long, Long) = {
-    var ins = 0L; var con = 0L
+  /** Interpret one JDBC `executeBatch` result as (inserted, conflicted,
+   *  failed): per-statement update counts of 0 are conflicts
+   *  (`DO NOTHING` matched an existing row — reference conflict
+   *  detection via RowsAffected==0); positive counts and
+   *  SUCCESS_NO_INFO are inserts; EXECUTE_FAILED (and any other
+   *  negative count a continue-on-error driver surfaces) are failures,
+   *  NOT inserts. Pure — unit-testable without a database. */
+  def interpretBatchCounts(counts: Array[Int]): (Long, Long, Long) = {
+    var ins = 0L; var con = 0L; var fail = 0L
     counts.foreach { c =>
       if (c == 0) con += 1
-      else ins += 1 // includes Statement.SUCCESS_NO_INFO (-2)
+      else if (c > 0 || c == java.sql.Statement.SUCCESS_NO_INFO) ins += 1
+      else fail += 1 // Statement.EXECUTE_FAILED (-3) et al.
     }
-    (ins, con)
+    (ins, con, fail)
   }
 
   /**
@@ -247,8 +250,9 @@ object Sinks {
           try {
             val counts = stmt.executeBatch()
             conn.commit()
-            val (ins, con) = interpretBatchCounts(counts)
+            val (ins, con, fail) = interpretBatchCounts(counts)
             insertedAcc.add(ins); conflictedAcc.add(con)
+            failedRowsAcc.add(fail)
           } catch {
             case e: java.sql.SQLException =>
               try conn.rollback() catch { case _: java.sql.SQLException => () }

@@ -44,19 +44,28 @@ object GraftShims {
     cat.defaultTablePath(parseTableIdentifier(spark, table))
   }
 
-  /** True when ANY catalog table (under any name) is registered at
-   *  this location — deleting such a directory would destroy live
-   *  data, not an orphan. */
-  def tableRegisteredAt(spark: SparkSession, location: java.net.URI): Boolean = {
+  /** True when a catalog table in `database` is registered at this
+   *  location — deleting such a directory would destroy live data,
+   *  not an orphan. Locations compare as NORMALIZED paths (trailing
+   *  slashes, file:/ vs file:/// authority forms), not raw URI
+   *  equality, and the scan is scoped to the one database the
+   *  location belongs to — a whole-catalog sweep costs one metastore
+   *  RPC per table and fails on any unlistable database. */
+  def tableRegisteredAt(spark: SparkSession, database: Option[String],
+                        location: java.net.URI): Boolean = {
     val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
-    cat.listDatabases().exists { db =>
+    def norm(u: java.net.URI): String =
+      new org.apache.hadoop.fs.Path(u).toString.stripSuffix("/")
+    val target = norm(location)
+    val db = database.getOrElse(cat.getCurrentDatabase)
+    try {
       cat.listTables(db).exists { ti =>
         try {
           val meta = cat.getTableMetadata(ti)
-          Option(meta.storage.locationUri).flatten.contains(location)
+          Option(meta.storage.locationUri).flatten.exists(u => norm(u) == target)
         } catch { case _: Exception => false }
       }
-    }
+    } catch { case _: Exception => false }
   }
 
   /** Apply a [[SparkSessionExtensions]]' injected functions to an

@@ -120,11 +120,15 @@ class SourcesSinksSpec extends AnyFunSuite {
     }
   }
 
-  test("interpretBatchCounts: zero-affected rows are conflicts, SUCCESS_NO_INFO is an insert") {
-    assert(Sinks.interpretBatchCounts(Array(1, 0, 1, 0, 0)) == (2L, 3L))
+  test("interpretBatchCounts: conflicts, SUCCESS_NO_INFO inserts, EXECUTE_FAILED failures") {
+    assert(Sinks.interpretBatchCounts(Array(1, 0, 1, 0, 0)) == (2L, 3L, 0L))
     assert(Sinks.interpretBatchCounts(
-      Array(java.sql.Statement.SUCCESS_NO_INFO, 1)) == (2L, 0L))
-    assert(Sinks.interpretBatchCounts(Array.empty[Int]) == (0L, 0L))
+      Array(java.sql.Statement.SUCCESS_NO_INFO, 1)) == (2L, 0L, 0L))
+    // a continue-on-error driver's EXECUTE_FAILED must not count as
+    // an insert
+    assert(Sinks.interpretBatchCounts(
+      Array(java.sql.Statement.EXECUTE_FAILED, 1, 0)) == (1L, 1L, 1L))
+    assert(Sinks.interpretBatchCounts(Array.empty[Int]) == (0L, 0L, 0L))
   }
 
   test("jdbcAppend truncate overwrite keeps the table, replaces the rows") {
