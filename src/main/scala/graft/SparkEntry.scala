@@ -423,6 +423,29 @@ object SparkEntry {
           col("n_events"))
     }),
 
+    // ---- §2.11 streaming SESSION windows through the micro-batch
+    //      engine (append mode): only sessions the FINAL watermark
+    //      (max event time − delay) has closed are emitted — the
+    //      oracle applies the same cutoff to the batch
+    //      gaps-and-islands sessions. Complete mode does not support
+    //      session windows, so append + cutoff IS the streaming
+    //      contract here ----
+    "q76_stream_session" -> ((s, dir) => {
+      val schema = Tables.rawSchema(s, dir, "events")
+      graft.streaming.Streaming.runBatchAsStream(
+        s, s"$dir/events*.parquet", schema,
+        df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        name = s"graft_stream_sess_${System.nanoTime}",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+    }),
+
     // ---- §2.13 DAG orchestration: sources → join → aggregate ----
     "q33_dag" -> ((s, dir) => {
       import graft.dag.{DagBuilder, DagExecutor}
@@ -1502,6 +1525,23 @@ object SparkEntry {
         |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // batch sessions (same CTE as q32) restricted to those the final
+    // streaming watermark (max ts − 1 h) closed — append mode emits a
+    // session only once the watermark passes its end
+    "q76_stream_session" ->
+      """WITH m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |sess AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events FROM sess
+        |WHERE session_end < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
 
     "q33_dag" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
