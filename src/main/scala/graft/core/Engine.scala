@@ -26,6 +26,10 @@ object Engine {
     // The test `events` table carries TIMESTAMP(NANOS), which Spark's
     // parquet reader rejects; read as long and convert (Tables below).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // One-shot verification streams (runBatchAsStream) use temporary
+    // checkpoint dirs; delete them on stop so repeated gate/bench
+    // invocations don't accumulate /tmp litter.
+    .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
 
   /** Local session for tests / bench (single JVM, `cores` threads).
    *  `maxPartitionBytes` is sized down for the small local test files
