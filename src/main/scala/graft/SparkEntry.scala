@@ -389,6 +389,20 @@ object SparkEntry {
       Sources.orc(s, tmp, columns = Seq("r_regionkey", "r_name"))
     }),
 
+    // ---- §2.1/§2.10 XML roundtrip (Spark 4 built-in source; explicit
+    //      read schema — XML carries none, so the roundtrip must pin
+    //      types; gzip-compressed shards) ----
+    "q77_xml_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      import graft.sinks.Sinks
+      val nation = t(s, dir, "nation")
+      val tmp = s"/tmp/graft_xml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.xml(nation, tmp, rowTag = "nation", compression = "gzip")
+      Sources.xml(s, tmp, rowTag = "nation",
+        schemaDdl = Some(nation.schema.toDDL))
+        .select(nation.columns.map(col).toIndexedSeq: _*)
+    }),
+
     // ---- §2.1/§2.10 raw-text roundtrip (gzip shards — the corpus
     //      interchange format; doc text has no newlines, so one doc =
     //      one line survives the trip exactly) ----
@@ -1300,6 +1314,8 @@ object SparkEntry {
     "q70_orc_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
 
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
+
+    "q77_xml_roundtrip" -> "SELECT * FROM nation",
 
     "q72_jdbc_roundtrip" -> "SELECT * FROM nation",
 

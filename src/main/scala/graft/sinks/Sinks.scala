@@ -70,6 +70,13 @@ object Sinks {
            mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("compression", compression).text(path)
 
+  /** XML sink (Spark 4 built-in; one `rowTag` element per row,
+   *  values entity-escaped). Compression via codec name. */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+          compression: String = "none", mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("xml")
+      .option("rowTag", rowTag).option("compression", compression).save(path)
+
   /** ORC sink (built-in columnar alternative to [[parquet]]). */
   def orc(df: DataFrame, path: String, compression: String = "snappy",
           mode: String = "overwrite",

@@ -105,6 +105,22 @@ object Sources {
     if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 
+  /** XML scan (Spark 4 ships the former spark-xml as a built-in
+   *  source): one record per `rowTag` element. Pass `schemaDdl` to fix
+   *  column types exactly — XML carries no schema, so inference
+   *  widens/renarrows types and a roundtrip needs the explicit form.
+   *  Beyond the reference (goetl has no XML reader); enterprise feeds
+   *  (SOAP exports, sitemap/feed dumps) make it table stakes. */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+          schemaDdl: Option[String] = None,
+          columns: Seq[String] = Seq.empty): DataFrame = {
+    var r = spark.read.format("xml").option("rowTag", rowTag)
+    schemaDdl.foreach(d => r = r.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(d)))
+    val df = r.load(path)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+  }
+
   /** Binary-file scan for multimodal ingestion: one record per FILE
    *  with (path, modificationTime, length, content) — the entry point for
    *  image/audio/video corpora feeding

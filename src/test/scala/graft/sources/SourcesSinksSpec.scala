@@ -243,4 +243,15 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(bf.length == 1 && bf(0).getLong(0) == 4L &&
       bf(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, 4))
   }
+
+  test("xml roundtrip preserves markup-significant characters and explicit types") {
+    val dir = s"${tmp()}/xml_rt"
+    val df = Seq((1L, "a & b <tag> \"q\""), (2L, "plain")).toDF("id", "payload")
+    Sinks.xml(df, dir, rowTag = "rec", compression = "gzip")
+    val back = Sources.xml(spark, dir, rowTag = "rec",
+      schemaDdl = Some("id BIGINT, payload STRING"))
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val rows = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a & b <tag> \"q\""), (2L, "plain")))
+  }
 }
