@@ -833,6 +833,17 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source")
     }),
 
+    // ---- LLM ops: EXACT global top-fraction by quality score via the
+    //      two-pass histogram (no global sort; only the threshold
+    //      bucket is exactly ranked) — "keep the best 30%" ----
+    "q78_quality_topfrac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__q", TA.qualityScore(col("text")))
+      graft.llm.Sampling.topFractionByScore(docs, "__q", "doc_id",
+        fraction = 0.3)
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- §2.9+ data profiling: per-column stats in one pass ----
     "q63_profile" -> ((s, dir) => {
       Quality.profile(t(s, dir, "orders"),
@@ -1316,6 +1327,23 @@ object SparkEntry {
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
 
     "q77_xml_roundtrip" -> "SELECT * FROM nation",
+
+    // global rank by (quality DESC, doc_id), first ceil(0.3*n) survive
+    // — the histogram implementation must reproduce the rank-defined
+    // set exactly (same score expression as q62's oracle)
+    "q78_quality_topfrac" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |    string_split_regex(text,'\s+') AS w FROM documents),
+        |q AS (SELECT doc_id, lang, source,
+        |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        |  FROM t),
+        |nn AS (SELECT * FROM q WHERE q IS NOT NULL),
+        |lim AS (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT) AS n FROM nn)
+        |SELECT doc_id, lang, source FROM nn
+        |QUALIFY row_number() OVER (ORDER BY q DESC, doc_id) <= (SELECT n FROM lim)""".stripMargin,
 
     "q72_jdbc_roundtrip" -> "SELECT * FROM nation",
 

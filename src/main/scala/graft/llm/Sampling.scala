@@ -80,6 +80,66 @@ object Sampling {
   }
 
   /**
+   * EXACT global top-fraction selection by score — "keep the best 30%
+   * of the corpus by quality" — without a global sort. The kept set is
+   * defined by rank: rows ordered by (`scoreCol` DESC, `idCol` ASC),
+   * the first ⌈fraction·n⌉ survive (the id tie-break makes the set
+   * deterministic and engine-reproducible). Rows with a null score
+   * never qualify.
+   *
+   * Scale posture: a global `ORDER BY ... LIMIT N` either range-sorts
+   * the corpus (full shuffle) or funnels N rows to one task. Instead,
+   * two cheap passes + one filter:
+   *   1. one aggregate: count, min/max score;
+   *   2. a score-histogram aggregate (`buckets` cells, driver-side
+   *      cumulative) locates the threshold bucket — every row in a
+   *      higher bucket is in, lower is out, and ONLY the threshold
+   *      bucket (≈ n/buckets rows) is exactly ranked, in a window
+   *      whose single partition holds just those rows.
+   * Degenerate case: a mass-tied score puts its whole bucket into the
+   * exact-rank window (one task) — raise `buckets` or accept the
+   * bounded sort; the histogram never lies about membership because
+   * bucketization is monotonic in score (internal only — the OUTPUT
+   * is rank-defined, so any consistent bucketing yields the same set).
+   */
+  def topFractionByScore(df: DataFrame, scoreCol: String, idCol: String,
+                         fraction: Double, buckets: Int = 1000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val stats = scored.agg(count(lit(1)), min(col(scoreCol).cast("double")),
+      max(col(scoreCol).cast("double"))).collect()(0)
+    val n = stats.getLong(0)
+    val target = math.ceil(fraction * n).toLong
+    if (n == 0 || target == 0) return scored.limit(0)
+    if (target >= n) return scored
+    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+    val width = (hi - lo) / buckets
+    // all-tied scores (width 0) collapse to one bucket — the exact-rank
+    // window then ranks everything; correct, documented degenerate
+    val bucket =
+      if (width == 0) lit(0L)
+      else least(floor((col(scoreCol).cast("double") - lit(lo)) / lit(width)),
+        lit(buckets - 1L)).cast("long")
+    val histo = scored.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // walk buckets from the top until the quota is crossed
+    var kept = 0L
+    var t = buckets.toLong - 1
+    while (t >= 0 && kept + histo.getOrElse(t, 0L) < target) {
+      kept += histo.getOrElse(t, 0L); t -= 1
+    }
+    val fromThreshold = target - kept
+    val above = scored.filter(bucket > t)
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col(scoreCol).cast("double").desc, col(idCol))
+    val boundary = scored.filter(bucket === t)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= fromThreshold).drop("__rn")
+    above.unionByName(boundary)
+  }
+
+  /**
    * Weighted mix of corpora: each source sampled at its fraction, then
    * unioned by name — the standard recipe for blending data sources at
    * target ratios. Deterministic for a fixed `seed` (each source uses

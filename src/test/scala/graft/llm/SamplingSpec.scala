@@ -55,4 +55,32 @@ class SamplingSpec extends AnyFunSuite {
     val m2 = Sampling.weightedMix(Seq(en -> 0.4, de -> 0.8), seed = 3).collect().length
     assert(m1 == m2)
   }
+
+  test("topFractionByScore equals the naive global rank on random data, ties and all") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // many duplicate scores so bucket boundaries and ties are exercised
+    val rows = (0L until 500L).map(i => (i, (rnd.nextInt(20) / 10.0)))
+    val df = rows.toDF("id", "score")
+    for (frac <- Seq(0.0, 0.1, 0.37, 1.0)) {
+      val got = Sampling.topFractionByScore(df, "score", "id", frac, buckets = 8)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val n = math.ceil(frac * 500).toLong
+      val naive = df.withColumn("__rn", org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(col("score").desc, col("id"))))
+        .filter(col("__rn") <= n).select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"frac=$frac")
+    }
+    // null scores never qualify
+    val withNull = Seq((1L, Some(0.9)), (2L, None), (3L, Some(0.1)))
+      .toDF("id", "score")
+    val kept = Sampling.topFractionByScore(withNull, "score", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // all-tied scores: deterministic id order fills the quota
+    val tied = (0L until 10L).map(i => (i, 1.0)).toDF("id", "score")
+    val t3 = Sampling.topFractionByScore(tied, "score", "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(t3 == Set(0L, 1L, 2L))
+  }
 }
