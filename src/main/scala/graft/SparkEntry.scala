@@ -1572,7 +1572,11 @@ object SparkEntry {
 
     // batch sessions (same CTE as q32) restricted to those the final
     // streaming watermark (max ts − 1 h) closed — append mode emits a
-    // session only once the watermark passes its end
+    // session only once the watermark passes its end. Boundary note:
+    // the strict `<` matches because every fixture ts carries random
+    // sub-millisecond digits, so no session end can tie the watermark
+    // exactly; a regenerated second-aligned fixture could hit the tie,
+    // where Spark's eviction is `end <= watermark` — flip to `<=` then.
     "q76_stream_session" ->
       """WITH m AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

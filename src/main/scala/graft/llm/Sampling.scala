@@ -89,26 +89,32 @@ object Sampling {
    *
    * Scale posture: a global `ORDER BY ... LIMIT N` either range-sorts
    * the corpus (full shuffle) or funnels N rows to one task. Instead,
-   * two cheap passes + one filter:
+   * three passes, none of which moves the corpus globally:
    *   1. one aggregate: count, min/max score;
    *   2. a score-histogram aggregate (`buckets` cells, driver-side
    *      cumulative) locates the threshold bucket — every row in a
-   *      higher bucket is in, lower is out, and ONLY the threshold
-   *      bucket (≈ n/buckets rows) is exactly ranked, in a window
-   *      whose single partition holds just those rows.
-   * Degenerate case: a mass-tied score puts its whole bucket into the
-   * exact-rank window (one task) — raise `buckets` or accept the
-   * bounded sort; the histogram never lies about membership because
-   * bucketization is monotonic in score (internal only — the OUTPUT
-   * is rank-defined, so any consistent bucketing yields the same set).
+   *      higher bucket is in, lower is out;
+   *   3. one result scan keeping `bucket >= threshold`, with a window
+   *      PARTITIONED BY BUCKET ranking each bucket independently
+   *      (only the threshold bucket's rank is consulted) — the only
+   *      shuffle, and it moves just the kept rows, spread across
+   *      bucket partitions of ≈ n/buckets rows each.
+   * Degenerate case: a mass-tied score puts its whole bucket into one
+   * rank partition — raise `buckets` or accept the bounded sort; the
+   * histogram never lies about membership because bucketization is
+   * monotonic in score (internal only — the OUTPUT is rank-defined,
+   * so any consistent bucketing yields the same set).
+   *
+   * NaN scores are excluded like nulls (a single NaN would otherwise
+   * poison max() and collapse every bucket to one).
    */
   def topFractionByScore(df: DataFrame, scoreCol: String, idCol: String,
                          fraction: Double, buckets: Int = 1000): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val scored = df.filter(col(scoreCol).isNotNull)
-    val stats = scored.agg(count(lit(1)), min(col(scoreCol).cast("double")),
-      max(col(scoreCol).cast("double"))).collect()(0)
+    val sc = col(scoreCol).cast("double")
+    val scored = df.filter(col(scoreCol).isNotNull && !isnan(sc))
+    val stats = scored.agg(count(lit(1)), min(sc), max(sc)).collect()(0)
     val n = stats.getLong(0)
     val target = math.ceil(fraction * n).toLong
     if (n == 0 || target == 0) return scored.limit(0)
@@ -119,7 +125,7 @@ object Sampling {
     // window then ranks everything; correct, documented degenerate
     val bucket =
       if (width == 0) lit(0L)
-      else least(floor((col(scoreCol).cast("double") - lit(lo)) / lit(width)),
+      else least(floor((sc - lit(lo)) / lit(width)),
         lit(buckets - 1L)).cast("long")
     val histo = scored.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -130,13 +136,18 @@ object Sampling {
       kept += histo.getOrElse(t, 0L); t -= 1
     }
     val fromThreshold = target - kept
-    val above = scored.filter(bucket > t)
-    val w = Window.partitionBy(lit(1))
-      .orderBy(col(scoreCol).cast("double").desc, col(idCol))
-    val boundary = scored.filter(bucket === t)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= fromThreshold).drop("__rn")
-    above.unionByName(boundary)
+    // collision-safe scratch names (the input may carry any columns)
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(nm => !df.columns.contains(nm)).get
+    val bCol = fresh("__graft_topfrac_b")
+    val rnCol = fresh("__graft_topfrac_rn")
+    val w = Window.partitionBy(col(bCol)).orderBy(sc.desc, col(idCol))
+    scored.withColumn(bCol, bucket)
+      .filter(col(bCol) >= t)
+      .withColumn(rnCol, row_number().over(w))
+      .filter(col(bCol) > t || col(rnCol) <= fromThreshold)
+      .drop(bCol, rnCol)
   }
 
   /**

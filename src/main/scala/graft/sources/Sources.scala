@@ -115,6 +115,11 @@ object Sources {
           schemaDdl: Option[String] = None,
           columns: Seq[String] = Seq.empty): DataFrame = {
     var r = spark.read.format("xml").option("rowTag", rowTag)
+      // the reader default TRIMS surrounding whitespace — silent data
+      // corruption for corpus text; roundtrips must be byte-faithful.
+      // (Remaining caveat, inherent to XML: an empty-string element
+      // reads back as null.)
+      .option("ignoreSurroundingSpaces", "false")
     schemaDdl.foreach(d => r = r.schema(
       org.apache.spark.sql.types.StructType.fromDDL(d)))
     val df = r.load(path)

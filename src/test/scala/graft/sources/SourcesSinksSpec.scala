@@ -246,12 +246,13 @@ class SourcesSinksSpec extends AnyFunSuite {
 
   test("xml roundtrip preserves markup-significant characters and explicit types") {
     val dir = s"${tmp()}/xml_rt"
-    val df = Seq((1L, "a & b <tag> \"q\""), (2L, "plain")).toDF("id", "payload")
+    val df = Seq((1L, "a & b <tag> \"q\""), (2L, "  padded  ")).toDF("id", "payload")
     Sinks.xml(df, dir, rowTag = "rec", compression = "gzip")
     val back = Sources.xml(spark, dir, rowTag = "rec",
       schemaDdl = Some("id BIGINT, payload STRING"))
     assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
     val rows = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(rows == Set((1L, "a & b <tag> \"q\""), (2L, "plain")))
+    // surrounding whitespace must survive (the reader DEFAULT trims it)
+    assert(rows == Set((1L, "a & b <tag> \"q\""), (2L, "  padded  ")))
   }
 }
