@@ -38,6 +38,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.dropNearDuplicates(someDocs, emptyPairs, "id").count() == 1)
   }
 
+  test("round-5 operators on empty inputs") {
+    assert(Dedup.minHashEstPairs(emptyDocs, "id", "text").count() == 0)
+    assert(Sampling.topFractionByScore(
+      emptyDocs.withColumn("q", lit(1.0)), "q", "id", 0.5).count() == 0)
+    // all scores null/NaN: nothing qualifies, nothing throws
+    val allBad = Seq((1L, Double.NaN), (2L, Double.NaN)).toDF("id", "q")
+    assert(Sampling.topFractionByScore(allBad, "q", "id", 0.5).count() == 0)
+  }
+
   test("text analysis and sampling on empty corpora") {
     assert(TextAnalysis.tfIdfTopK(emptyDocs, "id", "text", 5).count() == 0)
     assert(TextAnalysis.termFrequencies(emptyDocs, "id", "text").count() == 0)
