@@ -844,6 +844,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    // ---- LLM ops: PER-KEY top-fraction — each language keeps its
+    //      best 40% by quality (one window, rank + count per group) ----
+    "q79_quality_topfrac_perkey" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__q", TA.qualityScore(col("text")))
+      graft.llm.Sampling.topFractionByScorePerKey(
+        docs, Seq("lang"), "__q", "doc_id", fraction = 0.4)
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- §2.9+ data profiling: per-column stats in one pass ----
     "q63_profile" -> ((s, dir) => {
       Quality.profile(t(s, dir, "orders"),
@@ -1344,6 +1354,20 @@ object SparkEntry {
         |lim AS (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT) AS n FROM nn)
         |SELECT doc_id, lang, source FROM nn
         |QUALIFY row_number() OVER (ORDER BY q DESC, doc_id) <= (SELECT n FROM lim)""".stripMargin,
+
+    // per-language rank against the per-language ceil(0.4*count)
+    "q79_quality_topfrac_perkey" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |    string_split_regex(text,'\s+') AS w FROM documents),
+        |q AS (SELECT doc_id, lang, source,
+        |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        |  FROM t)
+        |SELECT doc_id, lang, source FROM q WHERE q IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+        |  <= ceil(0.4 * count(*) OVER (PARTITION BY lang))""".stripMargin,
 
     "q72_jdbc_roundtrip" -> "SELECT * FROM nation",
 

@@ -151,6 +151,35 @@ object Sampling {
   }
 
   /**
+   * Per-key top-fraction by score — "keep each language's best 30%":
+   * within every key group, rows ranked by (`scoreCol` DESC, `idCol`)
+   * survive up to ⌈fraction·group size⌉. Unlike the global
+   * [[topFractionByScore]] this needs no histogram: the rank and the
+   * group count ride ONE window partitioned by the keys — a single
+   * shuffle, each group sorted within its own partition (per-key
+   * quality thresholds are the practical corpus recipe; group skew
+   * lands in AQE). Null/NaN scores never qualify.
+   */
+  def topFractionByScorePerKey(df: DataFrame, keys: Seq[String],
+                               scoreCol: String, idCol: String,
+                               fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    val sc = col(scoreCol).cast("double")
+    val scored = df.filter(col(scoreCol).isNotNull && !isnan(sc))
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(nm => !df.columns.contains(nm)).get
+    val rnCol = fresh("__graft_pk_rn")
+    val nCol = fresh("__graft_pk_n")
+    val part = Window.partitionBy(keys.map(col): _*)
+    scored
+      .withColumn(rnCol, row_number().over(part.orderBy(sc.desc, col(idCol))))
+      .withColumn(nCol, count(lit(1)).over(part))
+      .filter(col(rnCol) <= ceil(lit(fraction) * col(nCol)))
+      .drop(rnCol, nCol)
+  }
+
+  /**
    * Weighted mix of corpora: each source sampled at its fraction, then
    * unioned by name — the standard recipe for blending data sources at
    * target ratios. Deterministic for a fixed `seed` (each source uses

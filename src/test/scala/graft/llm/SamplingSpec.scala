@@ -83,4 +83,17 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(t3 == Set(0L, 1L, 2L))
   }
+
+  test("topFractionByScorePerKey equals per-group naive rank; ceil quota per group") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.5), ("en", 3L, 0.5), ("en", 4L, 0.1),
+      ("de", 5L, 0.7), ("de", 6L, 0.2),
+      ("fr", 7L, 0.3)).toDF("lang", "id", "score")
+    val got = Sampling.topFractionByScorePerKey(df, Seq("lang"), "score", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // en: ceil(0.5*4)=2 -> ids 1,2 (0.5-tie broken by id); de: ceil(1)=1 -> 5;
+    // fr: ceil(0.5)=1 -> 7
+    assert(got == Set(1L, 2L, 5L, 7L))
+  }
 }
