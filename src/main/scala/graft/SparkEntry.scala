@@ -768,6 +768,15 @@ object SparkEntry {
       Dedup.newAgainstSeen(docs, docs.filter(col("doc_id") % 7 === 0), "text")
     }),
 
+    // ---- LLM ops: content-deterministic STRATIFIED sample — per-
+    //      language keep fractions, reproducible on any engine (head
+    //      language downsampled, tail kept whole, es dropped) ----
+    "q80_stratified_hash" -> ((s, dir) => {
+      graft.llm.Sampling.stratifiedByHash(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.3, "de" -> 1.0, "fr" -> 0.5, "zh" -> 0.0),
+        keyCol = "doc_id", salt = "mix1")
+    }),
+
     // ---- LLM ops: content-deterministic Bernoulli sample (stable
     //      row set independent of partitioning — unlike df.sample) ----
     "q58_hash_sample" -> ((s, dir) => {
@@ -1465,6 +1474,14 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    // per-stratum thresholds over the same md5 rule; es has no
+    // threshold (NULL) and drops out entirely
+    "q80_stratified_hash" ->
+      """SELECT * FROM documents
+        |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'mix1'),1,8))::BIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 10000
+        |              WHEN 'fr' THEN 5000 WHEN 'zh' THEN 0 END""".stripMargin,
 
     "q63_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -151,6 +151,35 @@ object Sampling {
   }
 
   /**
+   * Content-deterministic STRATIFIED sample: per-stratum keep
+   * fractions applied via the [[hashSample]] rule (`md5(key ++ salt)
+   * mod denom < round(frac·denom)`), so the row set is identical on
+   * every run, engine, and partitioning — [[stratified]]'s
+   * `sampleBy` draws a seeded partition-dependent sample, which is
+   * fine for one-off rebalancing but not for reproducible corpus
+   * releases. Strata absent from `fractions` are dropped (pass 1.0 to
+   * keep a stratum whole). Fraction granularity is 1/`denom`. Pure
+   * filter — no shuffle, pushdown-friendly.
+   */
+  def stratifiedByHash(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], keyCol: String,
+                       salt: String = "", denom: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedByHash needs at least one stratum")
+    fractions.foreach { case (k, f) =>
+      require(f >= 0 && f <= 1, s"fraction out of range for stratum '$k': $f") }
+    require(denom > 0, s"denom must be positive, got $denom")
+    val h = pmod(graft.llm.TextAnalysis.md5i(
+      concat(col(keyCol).cast("string"), lit(salt))), lit(denom))
+    // when-chain over the strata; unmatched strata get a null
+    // threshold, and `h < null` is null -> filtered out
+    val thresh = fractions.foldLeft(lit(null).cast("long")) {
+      case (els, (k, f)) =>
+        when(col(stratumCol) === k, lit(math.round(f * denom))).otherwise(els)
+    }
+    df.filter(h < thresh)
+  }
+
+  /**
    * Per-key top-fraction by score — "keep each language's best 30%":
    * within every key group, rows ranked by (`scoreCol` DESC, `idCol`)
    * survive up to ⌈fraction·group size⌉. Unlike the global

@@ -96,4 +96,24 @@ class SamplingSpec extends AnyFunSuite {
     // fr: ceil(0.5)=1 -> 7
     assert(got == Set(1L, 2L, 5L, 7L))
   }
+
+  test("stratifiedByHash: partitioning-independent strata, absent strata drop") {
+    val corpus = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val a = Sampling.stratifiedByHash(corpus, "lang",
+      Map("en" -> 0.5, "de" -> 1.0), "id", salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    // repartitioned input must select the IDENTICAL row set
+    val b = Sampling.stratifiedByHash(corpus.repartition(13), "lang",
+      Map("en" -> 0.5, "de" -> 1.0), "id", salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.count(_ % 2 == 1) == 100)        // de kept whole
+    val enKept = a.count(_ % 2 == 0)
+    assert(enKept > 20 && enKept < 80)        // ~half of en
+    // absent stratum drops; fraction 0 drops
+    val none = Sampling.stratifiedByHash(corpus, "lang",
+      Map("en" -> 0.0), "id", salt = "x")
+    assert(none.count() == 0)
+  }
 }
