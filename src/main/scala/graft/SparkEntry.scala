@@ -639,6 +639,18 @@ object SparkEntry {
         "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5))
     }),
 
+    // ---- LLM ops: cluster-aware train/val/test split — near-dup
+    //      clusters never straddle splits (eval-contamination guard);
+    //      assignment hashes the CLUSTER label, content-deterministic ----
+    "q82_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashDedup(docs, "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      graft.llm.Sampling.splitByCluster(docs, pairs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+        .select("doc_id", "lang", "source", "split")
+    }),
+
     // ---- LLM ops: corpus cleaning — normalization, PII redaction,
     //      n-gram repetition signal (C4/Gopher-style filters) ----
     "q46_text_clean" -> ((s, dir) => {
@@ -766,6 +778,18 @@ object SparkEntry {
     "q57_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.newAgainstSeen(docs, docs.filter(col("doc_id") % 7 === 0), "text")
+    }),
+
+    // ---- §2.3+/LLM ops: Bloom-pruned incremental dedup — the seen
+    //      side is too big to broadcast at scale, but its MEMBERSHIP
+    //      fits a few MB of bloom bits; filter misses bypass the
+    //      shuffle entirely, candidates settle in the exact anti join.
+    //      Output is EXACTLY the plain anti join (fpp is perf-only) ----
+    "q81_bloom_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.join.Bloom.antiJoin(docs,
+        docs.filter(col("doc_id") % 5 === 0).select("text"),
+        Seq("text"), expectedItems = 100000, fpp = 0.01)
     }),
 
     // ---- LLM ops: content-deterministic STRATIFIED sample — per-
@@ -1255,6 +1279,20 @@ object SparkEntry {
          |$componentsCtes
          |SELECT node, component FROM comp""".stripMargin,
 
+    // same cluster labels as q45; split = md5(cluster-label ++ salt)
+    // against cumulative thresholds (8000/9000/otherwise of 10000)
+    "q82_cluster_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentsCtes
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN h < 8000 THEN 'train'
+         |       WHEN h < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT d.doc_id, d.lang, d.source,
+         |        ('0x'||substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)
+         |          || 'split1'),1,8))::BIGINT % 10000 AS h
+         |      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)""".stripMargin,
+
     "q44_scd1" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey % 3 = 0""".stripMargin,
@@ -1474,6 +1512,14 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    // bloom prune is performance-only: the result is the plain anti
+    // join. NOT EXISTS (not NOT IN) so null texts survive like Spark's
+    // left_anti does
+    "q81_bloom_incremental" ->
+      """SELECT * FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id % 5 = 0 AND s.text = d.text)""".stripMargin,
 
     // per-stratum thresholds over the same md5 rule; es has no
     // threshold (NULL) and drops out entirely

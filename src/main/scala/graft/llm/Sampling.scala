@@ -209,6 +209,59 @@ object Sampling {
   }
 
   /**
+   * Cluster-aware train/val/test split: assign every document to a
+   * named split by hashing its near-dup CLUSTER label, so near-
+   * duplicates never straddle splits (the classic eval-contamination
+   * leak: doc A in train, its 0.9-Jaccard twin in test). Documents in
+   * no pair are their own cluster. Content-deterministic — the same
+   * assignment on every run, engine, and partitioning (`md5(label ++
+   * salt) mod denom` against cumulative thresholds, the [[hashSample]]
+   * rule).
+   *
+   * `splits` are (name, weight) in order; weights must sum to 1 (the
+   * last split absorbs the rounding remainder, so every row lands
+   * somewhere). Granularity is 1/`denom`.
+   *
+   * Scale posture: [[Dedup.components]] bounds the label table to
+   * paired documents only; the corpus joins it once (left join on the
+   * id — AQE broadcasts when the pair set is small) and everything
+   * else is a pure projection. Adds a `splitCol` column; rows are
+   * never dropped.
+   */
+  def splitByCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+                     splits: Seq[(String, Double)], salt: String = "",
+                     denom: Int = 10000,
+                     splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitByCluster needs at least one split")
+    splits.foreach { case (n, w) =>
+      require(w >= 0 && w <= 1, s"weight out of range for split '$n': $w") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $total")
+    require(denom > 0, s"denom must be positive, got $denom")
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(nm => !df.columns.contains(nm)).get
+    val compCol = fresh("__graft_split_comp")
+    val labels = Dedup.components(pairs)
+      .select(col("node").as(idCol), col("component").as(compCol))
+    val label = coalesce(col(compCol), col(idCol))
+    val h = pmod(TextAnalysis.md5i(
+      concat(label.cast("string"), lit(salt))), lit(denom))
+    // cumulative thresholds; the LAST split is the otherwise-branch so
+    // rounding can never orphan the top of the hash range
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * denom))
+    val assigned = splits.init.zip(cums.init)
+      .foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (chain, ((name, _), t)) => chain.when(h < t, name)
+      }.otherwise(splits.last._1)
+    df.join(labels, Seq(idCol), "left")
+      .withColumn(splitCol, assigned)
+      .drop(compCol)
+  }
+
+  /**
    * Weighted mix of corpora: each source sampled at its fraction, then
    * unioned by name — the standard recipe for blending data sources at
    * target ratios. Deterministic for a fixed `seed` (each source uses

@@ -64,4 +64,12 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = finalPlan("q03_filter_chain")
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
   }
+
+  test("q81 bloom-pruned anti join probes the filter before the residual join") {
+    val p = finalPlan("q81_bloom_incremental")
+    // both branches carry the codegen'd probe; only candidates join
+    assert(p.contains("might_contain"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("Union"), p.take(1200))
+  }
 }

@@ -97,6 +97,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 5L, 7L))
   }
 
+  test("splitByCluster: clusters move together, weights roughly honored") {
+    val docs = (1L to 200L).toDF("id")
+    // pairs chain 1~2, 2~3 (one cluster {1,2,3}) and 10~11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = Sampling.splitByCluster(docs, pairs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    assert(out.count() == 200)           // no rows dropped
+    assert(out.columns.toSeq == Seq("id", "split"))
+    // every doc of a cluster lands in ONE split
+    val bySplit = out.filter($"id".isin(1L, 2L, 3L))
+      .select("split").distinct().count()
+    assert(bySplit == 1)
+    assert(out.filter($"id".isin(10L, 11L))
+      .select("split").distinct().count() == 1)
+    // all three splits populated at n=200 and deterministic across runs
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val"))
+    val again = Sampling.splitByCluster(docs.repartition(7), pairs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    assert(again.collect().toSet == out.collect().toSet)
+  }
+
+  test("splitByCluster: weight validation and single split") {
+    val docs = Seq(1L, 2L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    intercept[IllegalArgumentException](
+      Sampling.splitByCluster(docs, noPairs, "id", Seq("a" -> 0.5)))
+    val all = Sampling.splitByCluster(docs, noPairs, "id", Seq("all" -> 1.0))
+    assert(all.select("split").as[String].collect().toSeq == Seq("all", "all"))
+  }
+
   test("stratifiedByHash: partitioning-independent strata, absent strata drop") {
     val corpus = (1L to 200L).map(i =>
       (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
