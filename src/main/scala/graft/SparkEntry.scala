@@ -380,6 +380,20 @@ object SparkEntry {
 
     // ---- §2.1/§2.10 ORC source/sink roundtrip (identity; ORC ships
     //      with Spark — warehouse migrations routinely carry it) ----
+    // ---- §2.10+ Z-ORDERED parquet layout: every output file covers a
+    //      compact window in BOTH z dimensions (multi-dim scan pruning
+    //      at 100 TB); content is layout-invariant — the oracle reads
+    //      the same rows straight from the source table ----
+    "q83_zorder_roundtrip" -> ((s, dir) => {
+      import graft.sinks.Sinks
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tmp = s"/tmp/graft_zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.parquetZOrdered(o, tmp, Seq("o_custkey", "o_totalprice"),
+        files = 8)
+      s.read.parquet(tmp)
+    }),
+
     "q70_orc_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       import graft.sinks.Sinks
@@ -808,6 +822,30 @@ object SparkEntry {
         "doc_id", numer = 3, denom = 10, salt = "s1")
     }),
 
+    // ---- LLM ops: WEIGHT-proportional deterministic sample — keep
+    //      probability min(1, rate·n_chars): longer docs favored,
+    //      row set stable across runs/engines/partitionings ----
+    "q84_weighted_sample" -> ((s, dir) => {
+      graft.llm.Sampling.weightedHashSample(t(s, dir, "documents"),
+        "doc_id", "n_chars", baseRate = 0.002, salt = "w1")
+    }),
+
+    // ---- LLM ops: temperature rebalancing (multilingual sampling,
+    //      alpha 0.5) — expected 250 rows allocated ∝ sqrt(stratum
+    //      size), waterfilled, applied via the deterministic hash
+    //      rule; integer thresholds stashed for the oracle ----
+    "q85_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.filter(col("lang").isNotNull)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fr = graft.llm.Sampling.temperatureFractions(counts,
+        alpha = 0.5, targetRows = 250)
+      q85Thresholds = fr.map { case (k, f) => k -> math.round(f * 10000) }
+      graft.llm.Sampling.stratifiedByHash(docs, "lang", fr,
+        keyCol = "doc_id", salt = "temp1", denom = 10000)
+    }),
+
     // ---- §2.10/§2.3+ bucketed co-located join END-TO-END: write both
     //      sides bucketed+sorted on the key through the catalog, join
     //      the bucketed tables, aggregate. The salt-free shuffle-free
@@ -966,6 +1004,20 @@ object SparkEntry {
    *  [[q39Centroids]] — Verify dumps oracleSql AFTER the queries run). */
   @volatile private var q68Centroids: Seq[Array[Double]] = Nil
 
+  /** q85's waterfilled per-language thresholds (`round(frac·denom)`,
+   *  same stash-for-oracle mechanism as [[q39Centroids]]). */
+  @volatile private var q85Thresholds: Map[String, Long] = Map.empty
+
+  /** Temperature-mix oracle: the SAME integer thresholds the Spark
+   *  side derived, inlined — the driver replays only the md5 rule. */
+  private def q85OracleSql(th: Map[String, Long]): String = {
+    val cases = th.toSeq.sorted
+      .map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
+    s"""SELECT * FROM documents
+       |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'temp1'),1,8))::BIGINT % 10000
+       |  < CASE lang $cases ELSE NULL END""".stripMargin
+  }
+
   /** Semantic near-dup oracle: same-cluster pairs with cosine ≥ 0.35,
    *  clusters from the SAME trained centroids inlined as literals
    *  (assignment replicates Spark's sequential squared-L2 fold and
@@ -1055,6 +1107,9 @@ object SparkEntry {
      else Map.empty[String, String]) ++
     (if (q68Centroids.nonEmpty)
        Map("q68_semantic_neardup" -> q68OracleSql(q68Centroids))
+     else Map.empty[String, String]) ++
+    (if (q85Thresholds.nonEmpty)
+       Map("q85_temperature_mix" -> q85OracleSql(q85Thresholds))
      else Map.empty[String, String]) ++ Map(
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1381,6 +1436,10 @@ object SparkEntry {
 
     "q70_orc_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
 
+    // layout-only operator: the written rows ARE the source rows
+    "q83_zorder_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
 
     "q77_xml_roundtrip" -> "SELECT * FROM nation",
@@ -1512,6 +1571,14 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    // h < rate · weight · 2^32 — both sides promote to double; the
+    // 32-bit hash is exactly representable, so the compare replays
+    // bit-identically in any IEEE engine
+    "q84_weighted_sample" ->
+      """SELECT * FROM documents
+        |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'w1'),1,8))::BIGINT
+        |  < (0.002::DOUBLE * n_chars::DOUBLE) * 4294967296.0""".stripMargin,
 
     // bloom prune is performance-only: the result is the plain anti
     // join. NOT EXISTS (not NOT IN) so null texts survive like Spark's

@@ -209,6 +209,90 @@ object Sampling {
   }
 
   /**
+   * Weight-proportional content-deterministic Bernoulli sample: a row
+   * survives iff `md5-uniform(key ++ salt) < baseRate · weight` — keep
+   * probability `min(1, baseRate·weight)` per row, the same row set on
+   * every run/engine/partitioning (the [[hashSample]] rule with a
+   * per-row rate). The tool for importance-weighted corpus subsetting:
+   * weight by quality score, length, or source priority. Null or
+   * negative weights never qualify. Pure filter — no shuffle,
+   * pushdown-friendly. The uniform is the 32-bit md5 prefix over
+   * 2³², exactly representable in doubles, so the comparison is
+   * engine-reproducible (one IEEE multiply each side).
+   */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+                         baseRate: Double, salt: String = ""): DataFrame = {
+    require(baseRate >= 0, s"baseRate must be >= 0, got $baseRate")
+    val dt = df.schema(weightCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weight column '$weightCol' must be numeric, got $dt")
+    val h = TextAnalysis.md5i(concat(col(keyCol).cast("string"), lit(salt)))
+    df.filter(h.cast("double") <
+      lit(baseRate) * col(weightCol).cast("double") * lit(4294967296.0))
+  }
+
+  /**
+   * Temperature-rebalanced stratum fractions: per-stratum keep rates
+   * so the EXPECTED sample allocates `targetRows` across strata
+   * proportionally to `count^alpha` — the multilingual temperature-
+   * sampling recipe (alpha 1 = natural distribution, alpha 0 = uniform
+   * across strata, 0.3–0.7 = the usual low-resource boost). Clamped
+   * strata (allocation ≥ stratum size) keep everything and their
+   * surplus redistributes over the rest (waterfilling), so the total
+   * expectation stays `min(targetRows, N)`. Driver-side arithmetic
+   * over one row per stratum.
+   */
+  def temperatureFractions(counts: Map[String, Long], alpha: Double,
+                           targetRows: Long): Map[String, Double] = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    counts.foreach { case (s, n) =>
+      require(n >= 0, s"negative count for stratum '$s': $n") }
+    var active = counts.filter(_._2 > 0)
+    var remaining = targetRows.toDouble
+    val out = scala.collection.mutable.Map[String, Double]()
+    counts.collect { case (s, n) if n == 0 => out(s) = 0.0 }
+    var fixed = true
+    while (fixed && active.nonEmpty && remaining > 0) {
+      fixed = false
+      val mass = active.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+      val clamped = active.filter { case (_, n) =>
+        remaining * math.pow(n.toDouble, alpha) / mass >= n }
+      if (clamped.nonEmpty) {
+        clamped.foreach { case (s, n) => out(s) = 1.0; remaining -= n }
+        active = active -- clamped.keys
+        fixed = true // re-solve with the surplus redistributed
+      } else {
+        active.foreach { case (s, n) =>
+          out(s) = remaining * math.pow(n.toDouble, alpha) / mass / n }
+        active = Map.empty
+      }
+    }
+    active.foreach { case (s, _) => out(s) = 0.0 } // targetRows exhausted
+    out.toMap
+  }
+
+  /**
+   * Temperature-rebalanced deterministic sample: count the strata,
+   * derive [[temperatureFractions]], apply them via the content-
+   * deterministic [[stratifiedByHash]] rule. One counting aggregate
+   * (tiny result — one row per stratum) + one pure filter over the
+   * corpus; nothing else moves. Null strata are dropped (no count, no
+   * threshold), like [[stratifiedByHash]] does for absent strata.
+   */
+  def temperatureRebalance(df: DataFrame, stratumCol: String, keyCol: String,
+                           alpha: Double, targetRows: Long,
+                           salt: String = "",
+                           denom: Int = 10000): DataFrame = {
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.limit(0)
+    stratifiedByHash(df, stratumCol,
+      temperatureFractions(counts, alpha, targetRows), keyCol, salt, denom)
+  }
+
+  /**
    * Cluster-aware train/val/test split: assign every document to a
    * named split by hashing its near-dup CLUSTER label, so near-
    * duplicates never straddle splits (the classic eval-contamination

@@ -97,6 +97,59 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 5L, 7L))
   }
 
+  test("weightedHashSample: deterministic, monotone in rate, nulls/negatives drop") {
+    val df = (1L to 500L).map(i =>
+      (i, if (i % 50 == 0) None else Some(i % 100 + 1L)))
+      .toDF("id", "w")
+    val a = Sampling.weightedHashSample(df, "id", "w", baseRate = 0.002, salt = "s")
+    val b = Sampling.weightedHashSample(df.repartition(13), "id", "w", 0.002, "s")
+    assert(a.collect().toSet == b.collect().toSet) // partition-independent
+    val bigger = Sampling.weightedHashSample(df, "id", "w", 0.008, "s")
+    val (aIds, bigIds) = (a.select("id").as[Long].collect().toSet,
+      bigger.select("id").as[Long].collect().toSet)
+    assert(aIds.subsetOf(bigIds)) // same hash, higher rate → superset
+    assert(a.filter($"w".isNull).count() == 0)
+    val neg = Sampling.weightedHashSample(
+      df.withColumn("w", lit(-5.0)), "id", "w", 0.002, "s")
+    assert(neg.count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.weightedHashSample(df.withColumn("w", lit("x")), "id", "w", 0.1))
+  }
+
+  test("temperatureFractions: expectation hits target; waterfilling clamps small strata") {
+    val counts = Map("en" -> 1000L, "de" -> 100L, "tiny" -> 10L)
+    // alpha 1 = natural: every stratum keeps the same fraction
+    val nat = Sampling.temperatureFractions(counts, alpha = 1.0, targetRows = 555)
+    assert(nat.values.map(f => math.abs(f - 0.5)).max < 1e-9)
+    // alpha 0 = uniform target per stratum: tiny clamps to 1.0 and the
+    // surplus waterfills; expectation stays exactly on target
+    val uni = Sampling.temperatureFractions(counts, alpha = 0.0, targetRows = 300)
+    assert(uni("tiny") == 1.0)
+    val expected = counts.map { case (s, n) => uni(s) * n }.sum
+    assert(math.abs(expected - 300.0) < 1e-6, s"expected $expected")
+    // target >= N keeps everything; target 0 keeps nothing
+    assert(Sampling.temperatureFractions(counts, 0.5, 2000L).values.forall(_ == 1.0))
+    assert(Sampling.temperatureFractions(counts, 0.5, 0L).values.forall(_ == 0.0))
+  }
+
+  test("temperatureRebalance: deterministic sample lands near the target mix") {
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i <= 800) "en" else if (i <= 950) "de" else "fr"))
+      .toDF("id", "lang")
+    val out = Sampling.temperatureRebalance(docs, "lang", "id",
+      alpha = 0.5, targetRows = 300, salt = "t")
+    val n = out.count()
+    assert(n > 200 && n < 400, s"total $n far from 300")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // temperature flattens: fr (50 docs) keeps a far larger share than
+    // its natural 5%
+    assert(byLang("fr").toDouble / n > 0.10, byLang.toString)
+    val again = Sampling.temperatureRebalance(docs.repartition(7), "lang",
+      "id", 0.5, 300, "t")
+    assert(again.collect().toSet == out.collect().toSet)
+  }
+
   test("splitByCluster: clusters move together, weights roughly honored") {
     val docs = (1L to 200L).toDF("id")
     // pairs chain 1~2, 2~3 (one cluster {1,2,3}) and 10~11

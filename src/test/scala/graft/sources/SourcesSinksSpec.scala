@@ -255,4 +255,41 @@ class SourcesSinksSpec extends AnyFunSuite {
     // surrounding whitespace must survive (the reader DEFAULT trims it)
     assert(rows == Set((1L, "a & b <tag> \"q\""), (2L, "  padded  ")))
   }
+
+  test("parquetZOrdered: content roundtrips; files cover compact ranges in BOTH dims") {
+    import spark.implicits._
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val zDir = "/tmp/graft_zorder_spec"
+    val rDir = "/tmp/graft_zorder_spec_rand"
+    Sinks.parquetZOrdered(orders, zDir,
+      Seq("o_custkey", "o_totalprice"), files = 8)
+    orders.repartition(8).write.mode("overwrite").parquet(rDir)
+    val back = spark.read.parquet(zDir)
+    assert(back.collect().toSet == orders.collect().toSet) // layout-only change
+    // per-file span of each dimension, summed: the z layout confines
+    // every file to a narrow window in BOTH columns at once, where a
+    // hash layout spreads each file over nearly the full range
+    def spanSum(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .agg(sum("span")).head().getDouble(0)
+    for (c <- Seq("o_custkey", "o_totalprice")) {
+      val (zSpan, rSpan) = (spanSum(zDir, c), spanSum(rDir, c))
+      assert(zSpan < 0.75 * rSpan,
+        s"$c: z-order span $zSpan not narrower than random $rSpan")
+    }
+  }
+
+  test("parquetZOrdered: nulls and constant columns bucket safely; non-numeric rejected") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0), 7L), (2L, None, 7L), (3L, Some(9.0), 7L))
+      .toDF("id", "v", "c")
+    val dir = "/tmp/graft_zorder_nulls"
+    Sinks.parquetZOrdered(df, dir, Seq("v", "c"), files = 2)
+    assert(spark.read.parquet(dir).collect().toSet == df.collect().toSet)
+    intercept[IllegalArgumentException](
+      Sinks.parquetZOrdered(df.withColumn("s", lit("x")), dir, Seq("s"), 2))
+  }
 }
