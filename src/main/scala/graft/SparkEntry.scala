@@ -925,6 +925,25 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    // ---- §2.9+ robust outlier gate: |x − median| ≤ k·MAD per group,
+    //      discrete (data-valued) median/MAD — engine-reproducible,
+    //      immune to the inflated-stddev failure of z-score gates ----
+    "q86_mad_outliers" -> ((s, dir) => {
+      Quality.madOutlierFilter(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", k = 3.0)
+    }),
+
+    // ---- §2.5+ time-RANGE rolling aggregates per key: each event's
+    //      count/exact-sum/mean over its user's previous hour — the
+    //      feature-engineering frame a ROWS window gets wrong ----
+    "q87_rolling_time" -> ((s, dir) => {
+      graft.agg.GroupBy.rollingByTime(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", lookback = 3600L * 1000000)
+        .select("event_id", "user_id", "roll_n", "roll_sum", "roll_mean")
+    }),
+
     // ---- §2.9+ data profiling: per-column stats in one pass ----
     "q63_profile" -> ((s, dir) => {
       Quality.profile(t(s, dir, "orders"),
@@ -1609,6 +1628,34 @@ object SparkEntry {
     // from_json(to_json(x)) == x for the selected columns
     "q64_json_flatten" ->
       "SELECT event_id, event_type, user_id, value, props FROM events",
+
+    // discrete median/MAD at rank ceil(n/2), replayed with the same
+    // window arithmetic as the Spark side (q66's percentile recipe)
+    "q86_mad_outliers" ->
+      """WITH v AS (SELECT event_id, event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM v),
+        |med AS (SELECT event_type, value AS med FROM r WHERE rn = ceil(0.5*n)),
+        |d AS (SELECT v.*, abs(v.value::DOUBLE - med.med::DOUBLE) AS dev
+        |      FROM v JOIN med USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn2,
+        |              count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = ceil(0.5*n2))
+        |SELECT d.event_id, d.event_type, d.value FROM d JOIN mad USING (event_type)
+        |WHERE d.dev <= 3.0::DOUBLE * mad.mad""".stripMargin,
+
+    // RANGE frame over epoch micros; decimal window sum is exact and
+    // order-independent, so the double surfaces hash-identically
+    "q87_rolling_time" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS roll_n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / count(*) OVER w AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // same window formula as the Spark side: non-null values ranked,
     // rank ceil(p*n) computed in decimal (exact, no double drift)

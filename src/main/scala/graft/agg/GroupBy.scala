@@ -139,6 +139,46 @@ object GroupBy {
   }
 
   /**
+   * Time-based rolling aggregates per key: for every row, the count /
+   * exact sum / mean over that key's rows in `[t − lookback, t]` — a
+   * RANGE window frame over event time (feature engineering's "events
+   * in the last hour per user"), not a ROWS frame (which would count
+   * physical rows and break on ties or gaps).
+   *
+   * `timeCol` may be a timestamp (ordered as `unix_micros`) or any
+   * numeric (ordered as-is); `lookback` is in the same unit
+   * (microseconds for timestamps). The sum runs in DECIMAL(18,2) —
+   * exact, order-independent, engine-reproducible — and surfaces as a
+   * double; the mean is one double division (sum/n). Rows whose frame
+   * holds only null values report a null sum/mean.
+   *
+   * Scale posture: one shuffle on the keys; every frame stays inside
+   * its key's sorted partition (Spark evaluates RANGE frames with a
+   * per-partition sliding accumulator — no self-join, no explode).
+   * Key skew lands in AQE like any window.
+   */
+  def rollingByTime(df: DataFrame, keys: Seq[String], timeCol: String,
+                    valueCol: String, lookback: Long,
+                    prefix: String = "roll_"): DataFrame = {
+    require(keys.nonEmpty, "rollingByTime needs key columns")
+    require(lookback >= 0, s"lookback must be >= 0, got $lookback")
+    import org.apache.spark.sql.expressions.Window
+    val order = df.schema(timeCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(timeCol))
+      case _: org.apache.spark.sql.types.NumericType   => col(timeCol)
+      case dt => throw new IllegalArgumentException(
+        s"time column '$timeCol' must be timestamp or numeric, got $dt")
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+      .rangeBetween(-lookback, Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val s = sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double")
+    df.withColumn(s"${prefix}n", n)
+      .withColumn(s"${prefix}sum", s)
+      .withColumn(s"${prefix}mean", s / n)
+  }
+
+  /**
    * Deterministic per-group string aggregation (SQL LISTAGG /
    * string_agg): values sorted ascending, joined with `sep`. The sort
    * makes the result partition-order independent — `collect_list`

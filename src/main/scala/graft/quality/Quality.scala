@@ -185,4 +185,42 @@ object Quality {
         stack(stackArgs: _*).as(Seq("col_name", "n_nulls", "n_distinct")))
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
   }
+
+  /**
+   * Robust per-group outlier filter: keep rows with
+   * `|x − median| ≤ k · MAD` (median absolute deviation — the robust
+   * z-score; a mean/stddev gate breaks exactly when it matters, since
+   * one extreme value inflates the stddev that is supposed to catch
+   * it). Null values never qualify (they can't be judged).
+   *
+   * Both the median and the MAD are DISCRETE percentiles (actual data
+   * values at rank ⌈n/2⌉ via [[graft.agg.GroupBy.percentilesDisc]]) —
+   * exact and engine-reproducible, unlike interpolated quantiles whose
+   * double mixing is engine-specific. Deviations compare as doubles
+   * (one IEEE subtract/multiply each side).
+   *
+   * Scale posture: two group-window passes (median, then MAD over
+   * deviations) + two joins against one-row-per-group tables — the
+   * group tables broadcast, the corpus shuffles only on the group
+   * keys. An all-constant group has MAD 0 and keeps exactly its
+   * median-valued rows.
+   */
+  def madOutlierFilter(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, k: Double = 3.0): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(groupCols.nonEmpty, "madOutlierFilter needs group columns")
+    val med = graft.agg.GroupBy.percentilesDisc(
+        df, groupCols, valueCol, Seq(0.5), out = "__med")
+      .drop("p")
+    val dev = df.filter(col(valueCol).isNotNull)
+      .join(med, groupCols.toSeq)
+      .withColumn("__dev",
+        abs(col(valueCol).cast("double") - col("__med").cast("double")))
+    val mad = graft.agg.GroupBy.percentilesDisc(
+        dev, groupCols, "__dev", Seq(0.5), out = "__mad")
+      .drop("p")
+    dev.join(mad, groupCols.toSeq)
+      .filter(col("__dev") <= lit(k) * col("__mad"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -68,4 +68,27 @@ class GroupBySpec extends AnyFunSuite {
     assert(GroupBy.stringAgg(nums, Seq("g"), "v", ",")
       .collect()(0).getString(1) == "2,9,10")
   }
+
+  test("rollingByTime: RANGE frame includes ties and honors the lookback bound") {
+    import spark.implicits._
+    // user 1: t=0,50,100,3600,3700 — at t=3600 the 3600-lookback frame
+    // is [0,3600] (inclusive both ends); at 3700 it drops t=0 and 50
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0),
+      (1L, 3600L, 8.0), (1L, 3700L, 16.0),
+      (2L, 0L, 100.0), (2L, 0L, 200.0) // tied times share a frame
+    ).toDF("user", "t", "v")
+    val out = GroupBy.rollingByTime(df, Seq("user"), "t", "v", lookback = 3600L)
+      .select("user", "t", "v", "roll_n", "roll_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, 3600L, 8.0)) == (4L, 15.0))
+    assert(out((1L, 3700L, 16.0)) == (3L, 28.0))
+    assert(out((1L, 0L, 1.0)) == (1L, 1.0))
+    // RANGE (not ROWS): both tied rows see both values
+    assert(out((2L, 0L, 100.0)) == (2L, 300.0))
+    assert(out((2L, 0L, 200.0)) == (2L, 300.0))
+    intercept[IllegalArgumentException](
+      GroupBy.rollingByTime(df.withColumn("t", lit("x")), Seq("user"), "t", "v", 1L))
+  }
 }

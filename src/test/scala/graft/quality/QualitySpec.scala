@@ -83,4 +83,20 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getString(0) == "we'ird, na`me")
     assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 2L)
   }
+
+  test("madOutlierFilter keeps |x-median| <= k*MAD per group; nulls drop") {
+    // group a: 1..7 plus outlier 1000 → median 4 (rank ceil(8/2)=4),
+    // deviations {3,2,1,0,1,2,3,996}, MAD = 2 (rank 4 of sorted devs)
+    // k=1.5 → keep |x-4| <= 3: all of 1..7, outlier dropped
+    val df = (Seq.tabulate(7)(i => ("a", Some(i + 1.0))) ++
+      Seq(("a", Some(1000.0)), ("a", None), ("b", Some(5.0))))
+      .toDF("g", "v")
+    val out = Quality.madOutlierFilter(df, Seq("g"), "v", k = 1.5)
+    val aVals = out.filter($"g" === "a").select("v").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    assert(aVals == (1 to 7).map(_.toDouble))
+    // singleton group: MAD 0, |x-x|=0 <= 0 → kept
+    assert(out.filter($"g" === "b").count() == 1)
+    assert(out.columns.toSeq == Seq("g", "v"))
+  }
 }
