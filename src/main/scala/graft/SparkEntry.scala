@@ -944,6 +944,17 @@ object SparkEntry {
         .select("event_id", "user_id", "roll_n", "roll_sum", "roll_mean")
     }),
 
+    // ---- §2.6+ per-group feature normalization: z-score from EXACT
+    //      decimal sums (engine-reproducible, unlike a double stddev
+    //      aggregate) and min-max, null group keys included ----
+    "q88_normalize" -> ((s, dir) => {
+      val base = t(s, dir, "events").select("event_id", "event_type", "value")
+      val z = graft.agg.GroupBy.normalizePerKey(
+        base, Seq("event_type"), "value", "zscore", out = "z")
+      graft.agg.GroupBy.normalizePerKey(
+        z, Seq("event_type"), "value", "minmax", out = "mm")
+    }),
+
     // ---- §2.9+ data profiling: per-column stats in one pass ----
     "q63_profile" -> ((s, dir) => {
       Quality.profile(t(s, dir, "orders"),
@@ -1644,6 +1655,26 @@ object SparkEntry {
         |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = ceil(0.5*n2))
         |SELECT d.event_id, d.event_type, d.value FROM d JOIN mad USING (event_type)
         |WHERE d.dev <= 3.0::DOUBLE * mad.mad""".stripMargin,
+
+    // exact decimal Σx/Σx² per partition → one deterministic double
+    // mean/sqrt each side; the variance guard branches on the SAME
+    // double, so both engines take the same null path
+    "q88_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN n = 0 OR (sx2 / n - (sx / n) * (sx / n)) <= 0 THEN NULL
+        |       ELSE (value::DOUBLE - sx / n)
+        |            / sqrt(sx2 / n - (sx / n) * (sx / n)) END AS z,
+        |  CASE WHEN hi = lo THEN NULL
+        |       ELSE (value::DOUBLE - lo) / (hi - lo) END AS mm
+        |FROM (SELECT event_id, event_type, value,
+        |        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(value AS DECIMAL(18,4))
+        |                 * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx2,
+        |        count(value) OVER w AS n,
+        |        min(value::DOUBLE) OVER w AS lo,
+        |        max(value::DOUBLE) OVER w AS hi
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY event_type))""".stripMargin,
 
     // RANGE frame over epoch micros; decimal window sum is exact and
     // order-independent, so the double surfaces hash-identically

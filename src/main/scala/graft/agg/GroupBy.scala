@@ -179,6 +179,56 @@ object GroupBy {
   }
 
   /**
+   * Per-group feature normalization, engine-reproducible:
+   *
+   *   - `"minmax"`: `(x − min) / (max − min)` — exact group extrema,
+   *     one IEEE subtract/divide per row.
+   *   - `"zscore"`: `(x − mean) / stddev_pop`, with mean and variance
+   *     derived from EXACT decimal aggregates — `Σx`, `Σx²` over
+   *     DECIMAL(18,4) values, whose product (37,8) stays inside every
+   *     engine's 38-digit cap, so no engine-specific precision
+   *     clamping. A double `stddev` aggregate is partial-aggregation-
+   *     order dependent and can't hash-compare across engines; exact
+   *     sums fold identically everywhere, and the final mean/sqrt are
+   *     single deterministic double ops.
+   *
+   * A constant group (zero spread) normalizes to null (0/0 is
+   * undefined, not 0 — callers coalesce if they want a default).
+   * Null values pass through as null; a NULL GROUP KEY is a group
+   * like any other (the stats ride a whole-partition window, not a
+   * stats join — an equi-join would silently drop null-key rows).
+   * One shuffle on the group keys; group skew lands on the window's
+   * partition like any per-group operator.
+   */
+  def normalizePerKey(df: DataFrame, keys: Seq[String], valueCol: String,
+                      method: String = "zscore",
+                      out: String = "normalized"): DataFrame = {
+    require(keys.nonEmpty, "normalizePerKey needs group columns")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(keys.map(col): _*)
+    method match {
+      case "minmax" =>
+        val (lo, hi) = (min(v).over(w), max(v).over(w))
+        df.withColumn(out,
+          when(hi === lo, lit(null).cast("double"))
+            .otherwise((v - lo) / (hi - lo)))
+      case "zscore" =>
+        val dec = v.cast("decimal(18,4)")
+        val n = count(v).over(w)
+        val mean = sum(dec).over(w).cast("double") / n
+        // population variance from exact sums: E[x²] − E[x]²
+        val variance = sum(dec * dec).over(w).cast("double") / n - mean * mean
+        df.withColumn(out,
+          when(n === 0 || variance <= 0, lit(null).cast("double"))
+            .otherwise((v - mean) / sqrt(variance)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown normalization method '$other' (minmax | zscore)")
+    }
+  }
+
+  /**
    * Deterministic per-group string aggregation (SQL LISTAGG /
    * string_agg): values sorted ascending, joined with `sep`. The sort
    * makes the result partition-order independent — `collect_list`

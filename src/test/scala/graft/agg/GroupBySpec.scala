@@ -69,6 +69,31 @@ class GroupBySpec extends AnyFunSuite {
       .collect()(0).getString(1) == "2,9,10")
   }
 
+  test("normalizePerKey: zscore/minmax formulas, constant groups null, null keys kept") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("a"), Some(3.0)), (Some("a"), Some(4.0)),
+      (Some("c"), Some(7.0)), (Some("c"), Some(7.0)), // constant group
+      (None, Some(5.0)), (None, Some(6.0)),           // null group KEY
+      (Some("a"), None)                               // null value
+    ).toDF("g", "v")
+    val z = GroupBy.normalizePerKey(df, Seq("g"), "v", "zscore", "z")
+    val za = z.filter($"g" === "a" && $"v" === 1.0).head.getDouble(2)
+    assert(math.abs(za - (1.0 - 2.5) / math.sqrt(1.25)) < 1e-12)
+    assert(z.filter($"g" === "c").select("z").collect().forall(_.isNullAt(0)))
+    // null group key is a real group of its own, not dropped
+    assert(z.filter($"g".isNull).count() == 2)
+    assert(z.filter($"g".isNull && $"v" === 5.0).head.getDouble(2) == -1.0)
+    assert(z.filter($"g" === "a" && $"v".isNull).head.isNullAt(2))
+    val mm = GroupBy.normalizePerKey(df, Seq("g"), "v", "minmax", "mm")
+    assert(mm.filter($"g" === "a" && $"v" === 2.0).head.getDouble(2)
+      == (2.0 - 1.0) / 3.0)
+    assert(mm.filter($"g" === "c").select("mm").collect().forall(_.isNullAt(0)))
+    intercept[IllegalArgumentException](
+      GroupBy.normalizePerKey(df, Seq("g"), "v", "sideways"))
+  }
+
   test("rollingByTime: RANGE frame includes ties and honors the lookback bound") {
     import spark.implicits._
     // user 1: t=0,50,100,3600,3700 — at t=3600 the 3600-lookback frame
