@@ -944,6 +944,16 @@ object SparkEntry {
         .select("event_id", "user_id", "roll_n", "roll_sum", "roll_mean")
     }),
 
+    // ---- §2.5+ batch sessionization: per-user session ids via
+    //      gaps-and-islands (30-min gap) — labels every event instead
+    //      of collapsing to session aggregates like q32 ----
+    "q89_sessionize" -> ((s, dir) => {
+      graft.agg.GroupBy.sessionize(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", gap = 30L * 60 * 1000000)
+        .select("event_id", "user_id", "session_id")
+    }),
+
     // ---- §2.6+ per-group feature normalization: z-score from EXACT
     //      decimal sums (engine-reproducible, unlike a double stddev
     //      aggregate) and min-max, null group keys included ----
@@ -1655,6 +1665,16 @@ object SparkEntry {
         |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = ceil(0.5*n2))
         |SELECT d.event_id, d.event_type, d.value FROM d JOIN mad USING (event_type)
         |WHERE d.dev <= 3.0::DOUBLE * mad.mad""".stripMargin,
+
+    // lag marks session starts (strict > gap), running sum numbers
+    // them; ties share the default RANGE frame in both engines
+    "q89_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY t) AS BIGINT) AS session_id
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |      FROM events)""".stripMargin,
 
     // exact decimal Σx/Σx² per partition → one deterministic double
     // mean/sqrt each side; the variance guard branches on the SAME

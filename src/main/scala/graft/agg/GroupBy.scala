@@ -179,6 +179,45 @@ object GroupBy {
   }
 
   /**
+   * Batch sessionization (gaps-and-islands): assign every row a
+   * per-key `session_id` (1-based, in time order) where a new session
+   * starts whenever the gap to the key's previous event exceeds
+   * `gap`. The batch twin of the streaming `session_window`
+   * aggregation — this one LABELS the rows instead of collapsing
+   * them, which is what downstream per-event feature pipelines need.
+   *
+   * Two windows over one shuffle on the keys: a `lag` marks session
+   * starts, a running sum numbers them. Deterministic under
+   * timestamp ties: tied rows have gap 0 to each other, so they can
+   * never straddle a boundary regardless of tie order, and the
+   * default RANGE frame gives all peers the same running sum.
+   * `timeCol` may be a timestamp (micros) or any numeric; `gap` is in
+   * the same unit. A gap STRICTLY greater than `gap` starts a new
+   * session (boundary-equal events stay in the session).
+   */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
+                 gap: Long, out: String = "session_id"): DataFrame = {
+    require(keys.nonEmpty, "sessionize needs key columns")
+    require(gap >= 0, s"gap must be >= 0, got $gap")
+    import org.apache.spark.sql.expressions.Window
+    val t = df.schema(timeCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(timeCol))
+      case _: org.apache.spark.sql.types.NumericType   => col(timeCol)
+      case dt => throw new IllegalArgumentException(
+        s"time column '$timeCol' must be timestamp or numeric, got $dt")
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
+    val prev = lag(t, 1).over(w)
+    val isStart = when(prev.isNull || (t - prev) > gap, 1L).otherwise(0L)
+    // two stages: window functions can't nest in one expression
+    val startCol = Iterator.from(0).map(i => s"__graft_sess_start$i")
+      .find(nm => !df.columns.contains(nm)).get
+    df.withColumn(startCol, isStart)
+      .withColumn(out, sum(col(startCol)).over(w))
+      .drop(startCol)
+  }
+
+  /**
    * Per-group feature normalization, engine-reproducible:
    *
    *   - `"minmax"`: `(x − min) / (max − min)` — exact group extrema,

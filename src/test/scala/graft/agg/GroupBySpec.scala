@@ -94,6 +94,26 @@ class GroupBySpec extends AnyFunSuite {
       GroupBy.normalizePerKey(df, Seq("g"), "v", "sideways"))
   }
 
+  test("sessionize: gap boundaries are strict, ties stay in-session, ids are 1-based") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L), (1L, 100L), (1L, 100L),  // ties share a session
+      (1L, 200L),                        // gap exactly 100 → same session
+      (1L, 301L),                        // gap 101 > 100 → new session
+      (2L, 50L)
+    ).toDF("user", "t")
+    val out = GroupBy.sessionize(df, Seq("user"), "t", gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 0L)) == 1L && out((1L, 100L)) == 1L)
+    assert(out((1L, 200L)) == 1L)
+    assert(out((1L, 301L)) == 2L)
+    assert(out((2L, 50L)) == 1L)
+    // stable under repartitioning
+    val again = GroupBy.sessionize(df.repartition(7), Seq("user"), "t", 100L)
+    assert(again.collect().toSet ==
+      GroupBy.sessionize(df, Seq("user"), "t", 100L).collect().toSet)
+  }
+
   test("rollingByTime: RANGE frame includes ties and honors the lookback bound") {
     import spark.implicits._
     // user 1: t=0,50,100,3600,3700 — at t=3600 the 3600-lookback frame
