@@ -1703,7 +1703,7 @@ object SparkEntry {
         | count(*) OVER w AS roll_n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-        |   / count(*) OVER w AS roll_mean
+        |   / count(value) OVER w AS roll_mean
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,

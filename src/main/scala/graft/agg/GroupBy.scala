@@ -138,6 +138,16 @@ object GroupBy {
         col(valueCol).as(out): _*)
   }
 
+  /** Shared event-time ordering for the window-over-time operators:
+   *  timestamps order as `unix_micros`, numerics as-is. */
+  private def timeOrder(df: DataFrame, timeCol: String): Column =
+    df.schema(timeCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(timeCol))
+      case _: org.apache.spark.sql.types.NumericType   => col(timeCol)
+      case dt => throw new IllegalArgumentException(
+        s"time column '$timeCol' must be timestamp or numeric, got $dt")
+    }
+
   /**
    * Time-based rolling aggregates per key: for every row, the count /
    * exact sum / mean over that key's rows in `[t − lookback, t]` — a
@@ -149,8 +159,12 @@ object GroupBy {
    * numeric (ordered as-is); `lookback` is in the same unit
    * (microseconds for timestamps). The sum runs in DECIMAL(18,2) —
    * exact, order-independent, engine-reproducible — and surfaces as a
-   * double; the mean is one double division (sum/n). Rows whose frame
-   * holds only null values report a null sum/mean.
+   * double. `<prefix>n` counts the frame's ROWS; the mean divides by
+   * the frame's non-null VALUE count (a mean that shrank with null
+   * density would be neither a mean nor a signal), so an all-null
+   * frame reports a null sum and mean. Rows with a null event time
+   * sort after every timed row (both engines' NULLS LAST) and frame
+   * only their null-time peers.
    *
    * Scale posture: one shuffle on the keys; every frame stays inside
    * its key's sorted partition (Spark evaluates RANGE frames with a
@@ -163,19 +177,15 @@ object GroupBy {
     require(keys.nonEmpty, "rollingByTime needs key columns")
     require(lookback >= 0, s"lookback must be >= 0, got $lookback")
     import org.apache.spark.sql.expressions.Window
-    val order = df.schema(timeCol).dataType match {
-      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(timeCol))
-      case _: org.apache.spark.sql.types.NumericType   => col(timeCol)
-      case dt => throw new IllegalArgumentException(
-        s"time column '$timeCol' must be timestamp or numeric, got $dt")
-    }
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(timeOrder(df, timeCol).asc_nulls_last)
       .rangeBetween(-lookback, Window.currentRow)
+    val dec = col(valueCol).cast("decimal(18,2)")
     val n = count(lit(1)).over(w)
-    val s = sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double")
+    val s = sum(dec).over(w).cast("double")
     df.withColumn(s"${prefix}n", n)
       .withColumn(s"${prefix}sum", s)
-      .withColumn(s"${prefix}mean", s / n)
+      .withColumn(s"${prefix}mean", s / count(dec).over(w))
   }
 
   /**
@@ -193,25 +203,23 @@ object GroupBy {
    * default RANGE frame gives all peers the same running sum.
    * `timeCol` may be a timestamp (micros) or any numeric; `gap` is in
    * the same unit. A gap STRICTLY greater than `gap` starts a new
-   * session (boundary-equal events stay in the session).
+   * session (boundary-equal events stay in the session). Null event
+   * times sort last (both engines' NULLS LAST — engine-reproducible,
+   * where Spark's default nulls-first would diverge from SQL) and
+   * attach to the key's final session (`null − t` compares false, so
+   * they never open one); a key with ONLY null times is one session.
    */
   def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
                  gap: Long, out: String = "session_id"): DataFrame = {
     require(keys.nonEmpty, "sessionize needs key columns")
     require(gap >= 0, s"gap must be >= 0, got $gap")
     import org.apache.spark.sql.expressions.Window
-    val t = df.schema(timeCol).dataType match {
-      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(timeCol))
-      case _: org.apache.spark.sql.types.NumericType   => col(timeCol)
-      case dt => throw new IllegalArgumentException(
-        s"time column '$timeCol' must be timestamp or numeric, got $dt")
-    }
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
+    val t = timeOrder(df, timeCol)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t.asc_nulls_last)
     val prev = lag(t, 1).over(w)
     val isStart = when(prev.isNull || (t - prev) > gap, 1L).otherwise(0L)
     // two stages: window functions can't nest in one expression
-    val startCol = Iterator.from(0).map(i => s"__graft_sess_start$i")
-      .find(nm => !df.columns.contains(nm)).get
+    val startCol = graft.core.Engine.freshColumn(df, "__graft_sess_start")
     df.withColumn(startCol, isStart)
       .withColumn(out, sum(col(startCol)).over(w))
       .drop(startCol)
@@ -233,18 +241,23 @@ object GroupBy {
    *
    * A constant group (zero spread) normalizes to null (0/0 is
    * undefined, not 0 — callers coalesce if they want a default).
-   * Null values pass through as null; a NULL GROUP KEY is a group
-   * like any other (the stats ride a whole-partition window, not a
-   * stats join — an equi-join would silently drop null-key rows).
-   * One shuffle on the group keys; group skew lands on the window's
-   * partition like any per-group operator.
+   * Null and NaN values normalize to null AND are excluded from the
+   * group statistics (one NaN would otherwise poison its whole
+   * group's min/max/sums); zscore additionally excludes |x| ≥ 10¹⁴
+   * (outside DECIMAL(18,4)) the same way rather than failing the
+   * exact-sum cast. A NULL GROUP KEY is a group like any other (the
+   * stats ride a whole-partition window, not a stats join — an
+   * equi-join would silently drop null-key rows). One shuffle on the
+   * group keys; group skew lands on the window's partition like any
+   * per-group operator.
    */
   def normalizePerKey(df: DataFrame, keys: Seq[String], valueCol: String,
                       method: String = "zscore",
                       out: String = "normalized"): DataFrame = {
     require(keys.nonEmpty, "normalizePerKey needs group columns")
     import org.apache.spark.sql.expressions.Window
-    val v = col(valueCol).cast("double")
+    val raw = col(valueCol).cast("double")
+    val v = when(!isnan(raw), raw) // null for NaN (and null) inputs
     val w = Window.partitionBy(keys.map(col): _*)
     method match {
       case "minmax" =>
@@ -253,14 +266,17 @@ object GroupBy {
           when(hi === lo, lit(null).cast("double"))
             .otherwise((v - lo) / (hi - lo)))
       case "zscore" =>
-        val dec = v.cast("decimal(18,4)")
-        val n = count(v).over(w)
+        val inRange = when(abs(v) < 1e14, v) // exact-decimal domain
+        val dec = inRange.cast("decimal(18,4)")
+        // n counts exactly the values inside the sums — null, NaN and
+        // out-of-range rows affect neither numerator nor denominator
+        val n = count(dec).over(w)
         val mean = sum(dec).over(w).cast("double") / n
         // population variance from exact sums: E[x²] − E[x]²
         val variance = sum(dec * dec).over(w).cast("double") / n - mean * mean
         df.withColumn(out,
           when(n === 0 || variance <= 0, lit(null).cast("double"))
-            .otherwise((v - mean) / sqrt(variance)))
+            .otherwise((inRange - mean) / sqrt(variance)))
       case other =>
         throw new IllegalArgumentException(
           s"unknown normalization method '$other' (minmax | zscore)")

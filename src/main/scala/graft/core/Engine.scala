@@ -15,6 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Engine {
 
+  /** Scratch-column name that cannot collide with the frame's columns:
+   *  `base`, then `base1`, `base2`, … — the shared helper behind every
+   *  operator that adds temporary columns to caller-supplied frames
+   *  (the caller may legitimately own a column named `__anything`). */
+  def freshColumn(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(nm => !df.columns.contains(nm)).get
+
   /** Apply graft's defaults to an arbitrary builder (cluster or local). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")

@@ -103,6 +103,12 @@ object Bloom {
    * two columnar scans are far cheaper than shuffling the full left
    * side, which is what the plain anti join does. Result is identical
    * to `left ANTI JOIN right ON keys`.
+   *
+   * `left` MUST be deterministic (the two branches re-evaluate it
+   * independently — a `sample`/`rand()`-derived frame could drop rows
+   * from both branches or land in both; cache or `localCheckpoint`
+   * such inputs first). Every graft operator upstream of this one is
+   * deterministic by design.
    */
   def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                expectedItems: Long, fpp: Double = 0.01): DataFrame =

@@ -137,9 +137,7 @@ object Sampling {
     }
     val fromThreshold = target - kept
     // collision-safe scratch names (the input may carry any columns)
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(nm => !df.columns.contains(nm)).get
+    def fresh(base: String): String = graft.core.Engine.freshColumn(df, base)
     val bCol = fresh("__graft_topfrac_b")
     val rnCol = fresh("__graft_topfrac_rn")
     val w = Window.partitionBy(col(bCol)).orderBy(sc.desc, col(idCol))
@@ -195,9 +193,7 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
     val sc = col(scoreCol).cast("double")
     val scored = df.filter(col(scoreCol).isNotNull && !isnan(sc))
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(nm => !df.columns.contains(nm)).get
+    def fresh(base: String): String = graft.core.Engine.freshColumn(df, base)
     val rnCol = fresh("__graft_pk_rn")
     val nCol = fresh("__graft_pk_n")
     val part = Window.partitionBy(keys.map(col): _*)
@@ -323,9 +319,7 @@ object Sampling {
     require(math.abs(total - 1.0) < 1e-9,
       s"split weights must sum to 1, got $total")
     require(denom > 0, s"denom must be positive, got $denom")
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(nm => !df.columns.contains(nm)).get
+    def fresh(base: String): String = graft.core.Engine.freshColumn(df, base)
     val compCol = fresh("__graft_split_comp")
     val labels = Dedup.components(pairs)
       .select(col("node").as(idCol), col("component").as(compCol))

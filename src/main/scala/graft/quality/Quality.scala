@@ -203,24 +203,41 @@ object Quality {
    * deviations) + two joins against one-row-per-group tables — the
    * group tables broadcast, the corpus shuffles only on the group
    * keys. An all-constant group has MAD 0 and keeps exactly its
-   * median-valued rows.
+   * median-valued rows. The stat joins are NULL-SAFE on the group
+   * keys: a null group key is a group like any other, never silently
+   * dropped (an equi-join would delete those rows).
    */
   def madOutlierFilter(df: DataFrame, groupCols: Seq[String],
                        valueCol: String, k: Double = 3.0): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
     require(groupCols.nonEmpty, "madOutlierFilter needs group columns")
+    import graft.core.Engine.freshColumn
+    val medCol = freshColumn(df, "__graft_mad_med")
+    val devCol = freshColumn(df, "__graft_mad_dev")
+    val madCol = freshColumn(df, "__graft_mad_mad")
+    // null-safe stats attachment: the one-row-per-group table joins on
+    // <=> per key (renamed to scratch names so nothing clashes)
+    def attachStats(base: DataFrame, stats: DataFrame, statCol: String): DataFrame = {
+      val keyNames = groupCols.indices.map(i => freshColumn(df, s"${statCol}_k$i"))
+      val renamed = groupCols.zip(keyNames).foldLeft(stats) {
+        case (d, (c, kn)) => d.withColumnRenamed(c, kn)
+      }
+      val cond = groupCols.zip(keyNames)
+        .map { case (c, kn) => base(c) <=> renamed(kn) }
+        .reduce(_ && _)
+      keyNames.foldLeft(base.join(renamed, cond, "inner"))((d, kn) => d.drop(kn))
+    }
     val med = graft.agg.GroupBy.percentilesDisc(
-        df, groupCols, valueCol, Seq(0.5), out = "__med")
+        df, groupCols, valueCol, Seq(0.5), out = medCol)
       .drop("p")
-    val dev = df.filter(col(valueCol).isNotNull)
-      .join(med, groupCols.toSeq)
-      .withColumn("__dev",
-        abs(col(valueCol).cast("double") - col("__med").cast("double")))
+    val dev = attachStats(df.filter(col(valueCol).isNotNull), med, medCol)
+      .withColumn(devCol,
+        abs(col(valueCol).cast("double") - col(medCol).cast("double")))
     val mad = graft.agg.GroupBy.percentilesDisc(
-        dev, groupCols, "__dev", Seq(0.5), out = "__mad")
+        dev, groupCols, devCol, Seq(0.5), out = madCol)
       .drop("p")
-    dev.join(mad, groupCols.toSeq)
-      .filter(col("__dev") <= lit(k) * col("__mad"))
+    attachStats(dev, mad, madCol)
+      .filter(col(devCol) <= lit(k) * col(madCol))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -124,10 +124,7 @@ object Sinks {
         shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * n + ci)
       }
     }.reduce(_ bitwiseOR _)
-    def freshName(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(nm => !df.columns.contains(nm)).get
-    val zc = freshName("__graft_zval")
+    val zc = graft.core.Engine.freshColumn(df, "__graft_zval")
     df.withColumn(zc, z)
       .repartitionByRange(files, col(zc))
       .sortWithinPartitions(zc)

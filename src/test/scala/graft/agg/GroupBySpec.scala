@@ -94,6 +94,29 @@ class GroupBySpec extends AnyFunSuite {
       GroupBy.normalizePerKey(df, Seq("g"), "v", "sideways"))
   }
 
+  test("normalizePerKey: a NaN value cannot poison its group's statistics") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", Double.NaN)).toDF("g", "v")
+    val mm = GroupBy.normalizePerKey(df, Seq("g"), "v", "minmax", "mm")
+    val vals = mm.orderBy("v").select("mm").collect()
+    assert(vals(0).getDouble(0) == 0.0 && vals(1).getDouble(0) == 1.0)
+    assert(vals(2).isNullAt(0)) // the NaN row itself normalizes to null
+    val z = GroupBy.normalizePerKey(df, Seq("g"), "v", "zscore", "z")
+    // stats over {1,2} only: mean 1.5, sd 0.5 → z(1) = -1
+    assert(z.filter($"v" === 1.0).head.getDouble(2) == -1.0)
+    assert(z.filter(isnan($"v")).head.isNullAt(2))
+  }
+
+  test("rollingByTime: mean averages observed values, not frame size") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, Some(10.0)), (1L, 5L, None)).toDF("user", "t", "v")
+    val out = GroupBy.rollingByTime(df, Seq("user"), "t", "v", lookback = 100L)
+      .filter($"t" === 5L).head
+    assert(out.getLong(3) == 2L)        // roll_n counts rows
+    assert(out.getDouble(4) == 10.0)    // roll_sum skips the null
+    assert(out.getDouble(5) == 10.0)    // mean over the ONE observed value
+  }
+
   test("sessionize: gap boundaries are strict, ties stay in-session, ids are 1-based") {
     import spark.implicits._
     val df = Seq(

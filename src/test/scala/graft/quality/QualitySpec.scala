@@ -99,4 +99,25 @@ class QualitySpec extends AnyFunSuite {
     assert(out.filter($"g" === "b").count() == 1)
     assert(out.columns.toSeq == Seq("g", "v"))
   }
+
+  test("madOutlierFilter: null group keys form a real group (null-safe stat joins)") {
+    val df = (Seq.tabulate(5)(i => (Option.empty[String], Some(i + 1.0))) :+
+      (Option.empty[String], Some(500.0)) :+ (Some("a"), Some(1.0)))
+      .toDF("g", "v")
+    val out = Quality.madOutlierFilter(df, Seq("g"), "v", k = 1.5)
+    // null group: median 3 (n=6, rank 3), devs {2,1,0,1,2,497} → MAD 1
+    // (rank 3 of {0,1,1,2,2,497}); keep |x-3| <= 1.5 → {2,3,4}
+    val kept = out.filter($"g".isNull).select("v").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    assert(kept == Seq(2.0, 3.0, 4.0), s"got $kept")
+    assert(out.filter($"g" === "a").count() == 1)
+  }
+
+  test("madOutlierFilter: survives scratch-name collisions in the input") {
+    val df = Seq(("a", 1.0, "keep"), ("a", 2.0, "keep"), ("a", 3.0, "keep"))
+      .toDF("g", "v", "__graft_mad_med")
+    val out = Quality.madOutlierFilter(df, Seq("g"), "v", k = 3.0)
+    assert(out.count() == 3)
+    assert(out.select("__graft_mad_med").collect().forall(_.getString(0) == "keep"))
+  }
 }
