@@ -163,6 +163,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom semi/anti equal plain semi/anti on random key sets with nulls") {
+    val nullableKeys: Gen[List[Option[Long]]] =
+      Gen.choose(0, 25).flatMap(n => Gen.listOfN(n,
+        Gen.frequency(9 -> Gen.choose(0L, 12L).map(Some(_)),
+          1 -> Gen.const(Option.empty[Long]))))
+    for (((l, r), i) <- samples(nullableKeys, 6)
+        .zip(samples(nullableKeys, 6).reverse).zipWithIndex) {
+      val left = l.zipWithIndex.map { case (k, j) => (j.toLong, k) }.toDF("id", "k")
+      val right = r.toDF("k")
+      val cols = left.columns.map(col).toIndexedSeq
+      val wantSemi = left.join(right, Seq("k"), "left_semi").select(cols: _*)
+        .collect().toSeq.map(_.toString).sorted
+      val gotSemi = graft.join.Bloom.semiJoin(left, right, Seq("k"), 100)
+        .collect().toSeq.map(_.toString).sorted
+      assert(gotSemi == wantSemi, s"case $i semi: l=$l r=$r")
+      val wantAnti = left.join(right, Seq("k"), "left_anti").select(cols: _*)
+        .collect().toSeq.map(_.toString).sorted
+      val gotAnti = graft.join.Bloom.antiJoin(left, right, Seq("k"), 100)
+        .collect().toSeq.map(_.toString).sorted
+      assert(gotAnti == wantAnti, s"case $i anti: l=$l r=$r")
+    }
+  }
+
+  test("sessionize agrees with a sequential per-key fold on random timelines") {
+    val timesGen: Gen[List[Long]] =
+      Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 60L)))
+    for ((ts, i) <- samples(timesGen, 8).zipWithIndex) {
+      val gap = 7L
+      val df = ts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("id", "t")
+      val got = graft.agg.GroupBy.sessionize(
+          df.withColumn("u", lit(1L)), Seq("u"), "t", gap)
+        .orderBy("t", "id").collect()
+        .map(r => r.getLong(1) -> r.getLong(3))
+      // reference: walk the sorted times, bump on strict gap
+      var (last, sess) = (Long.MinValue, 0L)
+      val want = got.map(_._1).map { t =>
+        if (last == Long.MinValue || t - last > gap) sess += 1
+        last = t; t -> sess
+      }
+      assert(got.toSeq == want.toSeq, s"case $i ts=$ts")
+    }
+  }
+
   test("chunkByTokens covers every token; consecutive chunks overlap as configured") {
     for (doc <- samples(docGen.suchThat(_.nonEmpty), 6)) {
       val toks = doc.split("\\s+").toSeq
