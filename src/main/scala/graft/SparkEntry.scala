@@ -867,6 +867,24 @@ object SparkEntry {
         .apply(s.table(liT).join(s.table(oT), "l_orderkey"))
     }),
 
+    // ---- §2.11 custom KEYED STATE through the real micro-batch
+    //      engine: mapGroupsWithState running counts in Update mode;
+    //      counts are monotone, so max-per-key over every emitted
+    //      update equals the batch groupBy count exactly ----
+    "q90_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Tables.rawSchema(s, dir, "events")
+      graft.streaming.Streaming.runBatchAsStream(
+        s, s"$dir/events*.parquet", schema,
+        df => graft.streaming.Streaming.runningCount(
+          df.select(col("event_type"), lit(1L))
+            .as[(String, Long)]).toDF(),
+        name = s"graft_stream_st_${System.nanoTime}",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy("key").agg(max("count").as("n"))
+        .select(col("key").as("event_type"), col("n"))
+    }),
+
     // ---- §2.11 REAL streaming sliding windows (micro-batch engine;
     //      overlapping-window state vs the epoch-aligned batch oracle) ----
     "q60_stream_sliding" -> ((s, dir) => {
@@ -1595,6 +1613,11 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |       ORDER BY CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) DESC, term) AS BIGINT) AS "rank"
         |FROM tf JOIN dfc USING (term) QUALIFY "rank" <= 5""".stripMargin,
+
+    // keyed GroupState running counts are monotone; their max per key
+    // IS the final count, which must equal the batch aggregate
+    "q90_stream_state" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
 
     // the streaming engine's complete-mode state must equal batch agg;
     // hour windows are epoch-aligned = date_trunc
