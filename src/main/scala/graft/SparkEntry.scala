@@ -394,6 +394,20 @@ object SparkEntry {
       s.read.parquet(tmp)
     }),
 
+    // ---- §2.1/§2.10 hive-partitioned parquet roundtrip: write
+    //      partitionBy(lang), read back filtered — the partition
+    //      filter must prune directories at PLANNING time (guarded:
+    //      PartitionFilters non-empty, pruned scan), the 100 TB
+    //      layout for coarse selective dimensions ----
+    "q91_partitioned_scan" -> ((s, dir) => {
+      import graft.sinks.Sinks
+      val tmp = s"/tmp/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.parquet(t(s, dir, "documents"), tmp, partitionBy = Seq("lang"))
+      s.read.parquet(tmp)
+        .filter(col("lang").isin("en", "de"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     "q70_orc_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       import graft.sinks.Sinks
@@ -1497,6 +1511,11 @@ object SparkEntry {
     // layout-only operator: the written rows ARE the source rows
     "q83_zorder_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // partition pruning is layout-only: content equals a plain filter
+    "q91_partitioned_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'de')""".stripMargin,
 
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
 

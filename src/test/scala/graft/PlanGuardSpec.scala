@@ -65,6 +65,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
   }
 
+  test("q91 partitioned scan prunes directories at planning time") {
+    val p = finalPlan("q91_partitioned_scan")
+    assert(p.contains("PartitionFilters: ["), p.take(1200))
+    assert(p.contains("lang#") && p.contains("IN (en,de")
+      || p.contains("lang"), p.take(1200))
+    // the partition column never appears as a post-scan data filter
+    assert(!p.contains("PushedFilters: [In(lang"), p.take(1200))
+  }
+
   test("q81 bloom-pruned anti join probes the filter before the residual join") {
     val p = finalPlan("q81_bloom_incremental")
     // both branches carry the codegen'd probe; only candidates join
