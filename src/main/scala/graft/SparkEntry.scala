@@ -408,6 +408,28 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // ---- §2.3+ DYNAMIC partition pruning: fact partitioned on the
+    //      join key, dim filtered at runtime — the fact scan's
+    //      PartitionFilters carry a dynamicpruning subquery (guarded),
+    //      so only the dim's partitions are ever read. THE join
+    //      pattern for date/status-partitioned 100 TB facts ----
+    "q92_dynamic_pruning" -> ((s, dir) => {
+      import graft.sinks.Sinks
+      val tmp = s"/tmp/graft_dpp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.parquet(t(s, dir, "orders"), tmp,
+        partitionBy = Seq("o_orderpriority"))
+      val fact = s.read.parquet(tmp)
+        .select("o_orderpriority", "o_totalprice")
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus")).distinct()
+        .filter(col("o_orderstatus") === "F")
+      fact.join(dim, Seq("o_orderpriority"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+    }),
+
     "q70_orc_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       import graft.sinks.Sinks
@@ -1516,6 +1538,15 @@ object SparkEntry {
     "q91_partitioned_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'de')""".stripMargin,
+
+    // DPP is execution-strategy-only: content equals the plain join
+    "q92_dynamic_pruning" ->
+      """SELECT f.o_orderpriority, d.o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders f
+        |JOIN (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+        |      WHERE o_orderstatus = 'F') d USING (o_orderpriority)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q71_text_roundtrip" -> "SELECT text AS value FROM documents",
 

@@ -74,6 +74,11 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(lang"), p.take(1200))
   }
 
+  test("q92 fact scan carries a dynamicpruning partition filter") {
+    val p = finalPlan("q92_dynamic_pruning")
+    assert(p.contains("dynamicpruning"), p.take(1500))
+  }
+
   test("q81 bloom-pruned anti join probes the filter before the residual join") {
     val p = finalPlan("q81_bloom_incremental")
     // both branches carry the codegen'd probe; only candidates join
