@@ -887,6 +887,22 @@ object SparkEntry {
     //      the bucketed tables, aggregate. The salt-free shuffle-free
     //      plan property is asserted in JoinsSpec; here the oracle
     //      verifies the whole write→read→join path's RESULTS ----
+    // ---- §2.4+ shuffle-free aggregation on a bucketed table: the
+    //      bucket layout satisfies the groupBy's distribution, so the
+    //      aggregate runs with NO exchange (plan-guarded) — the
+    //      repeatedly-aggregated 100 TB fact pattern ----
+    "q93_bucketed_agg" -> ((s, dir) => {
+      import graft.sinks.Sinks
+      val liT = s"graft_bkt_agg_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.parquetBucketed(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        liT, 8, Seq("l_orderkey"))
+      s.table(liT).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+    }),
+
     "q59_bucketed_join" -> ((s, dir) => {
       import graft.sinks.Sinks
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1024,6 +1040,20 @@ object SparkEntry {
       Quality.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority"))
+    }),
+
+    // ---- §2.1+ NESTED schema pruning: struct columns in parquet,
+    //      one subfield selected — the scan must read ONLY that leaf
+    //      (ReadSchema plan-guarded), the nested-payload layout every
+    //      multimodal/metadata corpus carries at 100 TB ----
+    "q94_nested_pruning" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_nested_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, dir, "events").select(col("event_id"),
+          struct(col("event_type"), col("user_id"),
+            struct(col("value"), col("props")).as("deep")).as("meta"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("event_id"), col("meta.deep.value").as("value"))
     }),
 
     // ---- §2.6 nested JSON: serialize → parse with explicit schema →
@@ -1723,6 +1753,9 @@ object SparkEntry {
     "q64_json_flatten" ->
       "SELECT event_id, event_type, user_id, value, props FROM events",
 
+    // struct layout is scan-only: content equals the flat projection
+    "q94_nested_pruning" -> "SELECT event_id, value FROM events",
+
     // discrete median/MAD at rank ceil(n/2), replayed with the same
     // window arithmetic as the Spark side (q66's percentile recipe)
     "q86_mad_outliers" ->
@@ -1850,6 +1883,12 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50""".stripMargin,
 
     // bucketing must not change join results
+    // bucket layout is execution-only: content equals a plain groupBy
+    "q93_bucketed_agg" ->
+      """SELECT l_orderkey, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q59_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

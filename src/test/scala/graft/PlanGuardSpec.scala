@@ -74,6 +74,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(lang"), p.take(1200))
   }
 
+  test("q93 aggregation over the bucketed table runs with no shuffle exchange") {
+    val p = finalPlan("q93_bucketed_agg")
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      p.take(1200))
+  }
+
+  test("q94 nested-struct scan reads only the selected leaf (schema pruning)") {
+    val p = finalPlan("q94_nested_pruning")
+    // ReadSchema keeps the path to meta.deep.value and nothing else
+    assert(p.contains("ReadSchema"), p.take(1500))
+    assert(p.contains("deep:struct<value:double>"), p.take(1500))
+    assert(!p.contains("props"), p.take(1500))
+    assert(!p.contains("event_type"), p.take(1500))
+  }
+
   test("q92 fact scan carries a dynamicpruning partition filter") {
     val p = finalPlan("q92_dynamic_pruning")
     assert(p.contains("dynamicpruning"), p.take(1500))
