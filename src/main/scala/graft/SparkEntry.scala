@@ -779,6 +779,18 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // ---- LLM ops: corpus-frequency BOILERPLATE removal — lines
+    //      present in ≥20% of documents (a footer injected into every
+    //      third doc) deleted from ALL of them; content lines kept ----
+    "q95_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nSHARED FOOTER")))
+          .otherwise(col("text")))
+      Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocFrac = 0.2)
+        .select("doc_id", "text", "lang")
+    }),
+
     // ---- LLM ops: corpus-level exact line dedup (C4 recipe) over
     //      deterministic 8-token lines ----
     "q54_line_dedup" -> ((s, dir) => {
@@ -1755,6 +1767,28 @@ object SparkEntry {
 
     // struct layout is scan-only: content equals the flat projection
     "q94_nested_pruning" -> "SELECT event_id, value FROM events",
+
+    // same footer injection, then line doc-frequencies; the threshold
+    // ceil replays Spark's double product (0.2::DOUBLE)
+    "q95_boilerplate" ->
+      """WITH docs AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'SHARED FOOTER'
+        |       ELSE text END AS text, lang FROM documents),
+        |n AS (SELECT count(*) AS c FROM docs WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, string_split(text, chr(10)) AS lst
+        |         FROM docs WHERE text IS NOT NULL),
+        |l AS (SELECT doc_id, lst[i] AS line, i
+        |      FROM base, UNNEST(generate_series(1, len(lst))) AS t(i)),
+        |freq AS (SELECT line FROM
+        |  (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1) f, n
+        |  WHERE f.df >= ceil(0.2::DOUBLE * n.c)),
+        |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM freq)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t2
+        |      FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(r.t2, '') END AS text,
+        |  d.lang
+        |FROM docs d LEFT JOIN r USING (doc_id)""".stripMargin,
 
     // discrete median/MAD at rank ceil(n/2), replayed with the same
     // window arithmetic as the Spark side (q66's percentile recipe)

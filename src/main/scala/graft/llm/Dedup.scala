@@ -587,6 +587,54 @@ object Dedup {
   }
 
   /**
+   * Corpus-frequency BOILERPLATE removal: delete every line that
+   * appears in at least `minDocFrac` of the corpus's documents —
+   * footers, navigation, cookie banners, license blocks. The
+   * complement of [[dedupLines]]: that keeps a duplicated line's first
+   * occurrence; this removes ubiquitous lines from EVERY document
+   * (including the first), because a line carried by a third of a
+   * crawl is template noise, not content. Line order is preserved;
+   * documents keep their row (an all-boilerplate document becomes
+   * `""`, a null text stays null).
+   *
+   * Scale posture: one distinct+aggregate shuffled on the LINE for
+   * document frequencies (line skew lands in AQE), a frequent-line
+   * relation that is tiny by construction (≥ minDocFrac·N docs each —
+   * at most 1/minDocFrac lines of payload) and broadcasts into the
+   * anti-join, then one shuffle back on the id for reassembly. One
+   * driver-side count fixes the threshold.
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocFrac: Double,
+                             sep: String = "\n"): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac out of (0, 1]: $minDocFrac")
+    val n = df.filter(col(textCol).isNotNull).count()
+    if (n == 0) return df
+    val thresh = math.ceil(minDocFrac * n).toLong
+    import graft.core.Engine.freshColumn
+    val (posC, lineC, t2C) = (freshColumn(df, "__graft_bp_pos"),
+      freshColumn(df, "__graft_bp_line"), freshColumn(df, "__graft_bp_t2"))
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> posC, "col" -> lineC))
+    val frequent = lines.select(col(lineC), col(idCol)).distinct()
+      .groupBy(lineC).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= thresh).select(lineC)
+    val rebuilt = lines.join(frequent, Seq(lineC), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(posC), col(lineC)))),
+          s => s.getField(lineC)), sep).as(t2C))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col(t2C), lit(""))))
+      .drop(t2C)
+  }
+
+  /**
    * Incremental ingest dedup: corpus rows whose CONTENT (md5 of
    * `textCol`) was never seen in `seen` — dedup a new crawl against an
    * existing corpus without re-clustering the old data. The seen side

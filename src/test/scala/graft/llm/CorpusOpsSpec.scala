@@ -42,6 +42,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "header\nbody one\nfooter", 2L -> "body two"))
   }
 
+  test("removeBoilerplateLines deletes ubiquitous lines everywhere, keeps content") {
+    val corpus = Seq(
+      (1L, Some("FOOTER\ncontent one")),
+      (2L, Some("content two\nFOOTER")),
+      (3L, Some("FOOTER")),        // all-boilerplate -> empty, row kept
+      (4L, Some("content four")),
+      (5L, Option.empty[String])   // null text stays null
+    ).toDF("id", "text")
+    // FOOTER in 3 of 4 non-null docs; threshold ceil(0.5*4)=2
+    val out = Dedup.removeBoilerplateLines(corpus, "id", "text", minDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("content one"), 2L -> Some("content two"),
+      3L -> Some(""), 4L -> Some("content four"), 5L -> None))
+    // row count and column order unchanged
+    assert(Dedup.removeBoilerplateLines(corpus, "id", "text", 0.5)
+      .columns.toSeq == Seq("id", "text"))
+    intercept[IllegalArgumentException](
+      Dedup.removeBoilerplateLines(corpus, "id", "text", 0.0))
+  }
+
   test("dedupLines dedups repeats WITHIN one document too") {
     val corpus = Seq((1L, "a\nb\na\nc")).toDF("id", "text")
     val out = Dedup.dedupLines(corpus, "id", "text")
