@@ -574,17 +574,28 @@ object Dedup {
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
-      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__line"))
+    val lines = explodeLines(df, idCol, textCol, sep, "__pos", "__line")
     val w = Window.partitionBy("__line").orderBy(col(idCol), col("__pos"))
     lines.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          s => s.getField("__line")), sep).as(textCol))
+      .agg(reassembleLines("__pos", "__line", sep).as(textCol))
   }
+
+  /** (id, position, line) relation for a line-oriented corpus pass —
+   *  shared by [[dedupLines]] and [[removeBoilerplateLines]]. */
+  private def explodeLines(df: DataFrame, idCol: String, textCol: String,
+                           sep: String, posC: String, lineC: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> posC, "col" -> lineC))
+
+  /** Order-restoring aggregation over an [[explodeLines]] relation:
+   *  surviving lines sorted by position, re-joined with `sep`. */
+  private def reassembleLines(posC: String, lineC: String, sep: String): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(col(posC), col(lineC)))),
+        s => s.getField(lineC)), sep)
 
   /**
    * Corpus-frequency BOILERPLATE removal: delete every line that
@@ -597,12 +608,17 @@ object Dedup {
    * documents keep their row (an all-boilerplate document becomes
    * `""`, a null text stays null).
    *
+   * `idCol` must uniquely identify rows (the standard corpus
+   * contract — duplicate ids would merge their line sets during
+   * reassembly); a null id is a key like any other (the rebuild joins
+   * null-safely, never wiping a null-id document's text).
+   *
    * Scale posture: one distinct+aggregate shuffled on the LINE for
-   * document frequencies (line skew lands in AQE), a frequent-line
-   * relation that is tiny by construction (≥ minDocFrac·N docs each —
-   * at most 1/minDocFrac lines of payload) and broadcasts into the
-   * anti-join, then one shuffle back on the id for reassembly. One
-   * driver-side count fixes the threshold.
+   * document frequencies (line skew lands in AQE); the frequent-line
+   * relation holds at most `Σ lines-per-template / minDocFrac` rows —
+   * small for real template noise, and AQE broadcasts it into the
+   * anti-join whenever it fits — then one shuffle back on the id for
+   * reassembly. One driver-side count fixes the threshold.
    */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocFrac: Double,
@@ -615,23 +631,22 @@ object Dedup {
     import graft.core.Engine.freshColumn
     val (posC, lineC, t2C) = (freshColumn(df, "__graft_bp_pos"),
       freshColumn(df, "__graft_bp_line"), freshColumn(df, "__graft_bp_t2"))
-    val lines = df.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
-      .withColumnsRenamed(Map("pos" -> posC, "col" -> lineC))
+    val lines = explodeLines(df.filter(col(textCol).isNotNull),
+      idCol, textCol, sep, posC, lineC)
     val frequent = lines.select(col(lineC), col(idCol)).distinct()
       .groupBy(lineC).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= thresh).select(lineC)
     val rebuilt = lines.join(frequent, Seq(lineC), "left_anti")
       .groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col(posC), col(lineC)))),
-          s => s.getField(lineC)), sep).as(t2C))
-    df.join(rebuilt, Seq(idCol), "left")
+      .agg(reassembleLines(posC, lineC, sep).as(t2C))
+    // null-SAFE rejoin: a null id must find its rebuilt text too
+    val rKey = freshColumn(df, "__graft_bp_id")
+    val r = rebuilt.withColumnRenamed(idCol, rKey)
+    df.join(r, df(idCol) <=> r(rKey), "left")
       .withColumn(textCol,
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col(t2C), lit(""))))
-      .drop(t2C)
+      .drop(t2C, rKey)
   }
 
   /**

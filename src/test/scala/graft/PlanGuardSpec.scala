@@ -67,9 +67,10 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("q91 partitioned scan prunes directories at planning time") {
     val p = finalPlan("q91_partitioned_scan")
-    assert(p.contains("PartitionFilters: ["), p.take(1200))
-    assert(p.contains("lang#") && p.contains("IN (en,de")
-      || p.contains("lang"), p.take(1200))
+    // the lang predicate must sit INSIDE the PartitionFilters bracket,
+    // not merely appear somewhere in the plan string
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(p).isDefined,
+      p.take(1200))
     // the partition column never appears as a post-scan data filter
     assert(!p.contains("PushedFilters: [In(lang"), p.take(1200))
   }
@@ -84,11 +85,13 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("q94 nested-struct scan reads only the selected leaf (schema pruning)") {
     val p = finalPlan("q94_nested_pruning")
-    // ReadSchema keeps the path to meta.deep.value and nothing else
-    assert(p.contains("ReadSchema"), p.take(1500))
-    assert(p.contains("deep:struct<value:double>"), p.take(1500))
-    assert(!p.contains("props"), p.take(1500))
-    assert(!p.contains("event_type"), p.take(1500))
+    // anchor on the ReadSchema clause itself: the struct path keeps
+    // exactly meta.deep.value — sibling leaves never enter the schema
+    val readSchema = """ReadSchema: [^\n]*""".r.findFirstIn(p)
+    assert(readSchema.isDefined, p.take(1500))
+    assert(readSchema.get.contains("deep:struct<value:double>"), readSchema.get)
+    assert(!readSchema.get.contains("props") &&
+      !readSchema.get.contains("event_type"), readSchema.get)
   }
 
   test("q92 fact scan carries a dynamicpruning partition filter") {

@@ -62,6 +62,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       Dedup.removeBoilerplateLines(corpus, "id", "text", 0.0))
   }
 
+  test("removeBoilerplateLines: a null id keeps its text (null-safe rejoin)") {
+    val corpus = Seq((Option.empty[Long], Some("FOOTER\nkeep")),
+      (Some(1L), Some("FOOTER\nother")), (Some(2L), Some("FOOTER")))
+      .toDF("id", "text")
+    val out = Dedup.removeBoilerplateLines(corpus, "id", "text", minDocFrac = 0.6)
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(out(None) == "keep")     // not wiped to ""
+    assert(out(Some(1L)) == "other" && out(Some(2L)) == "")
+  }
+
   test("dedupLines dedups repeats WITHIN one document too") {
     val corpus = Seq((1L, "a\nb\na\nc")).toDF("id", "text")
     val out = Dedup.dedupLines(corpus, "id", "text")

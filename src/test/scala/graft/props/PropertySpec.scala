@@ -196,13 +196,14 @@ class PropertySpec extends AnyFunSuite {
           df.withColumn("u", lit(1L)), Seq("u"), "t", gap)
         .orderBy("t", "id").collect()
         .map(r => r.getLong(1) -> r.getLong(3))
-      // reference: walk the sorted times, bump on strict gap
+      // reference folds over the INPUT times (not sessionize's own
+      // output, which would mask dropped/duplicated rows)
       var (last, sess) = (Long.MinValue, 0L)
-      val want = got.map(_._1).map { t =>
+      val want = ts.sorted.map { t =>
         if (last == Long.MinValue || t - last > gap) sess += 1
         last = t; t -> sess
       }
-      assert(got.toSeq == want.toSeq, s"case $i ts=$ts")
+      assert(got.toSeq == want, s"case $i ts=$ts")
     }
   }
 
