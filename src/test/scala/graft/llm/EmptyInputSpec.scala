@@ -67,6 +67,32 @@ class EmptyInputSpec extends AnyFunSuite {
       r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
   }
 
+  test("round-5 second-wave operators on empty inputs") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.removeBoilerplateLines(emptyDocs, "id", "text", 0.5).count() == 0)
+    assert(Sampling.splitByCluster(emptyDocs, emptyPairs, "id",
+      Seq("all" -> 1.0)).count() == 0)
+    assert(Sampling.weightedHashSample(
+      Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 0.5).count() == 0)
+    assert(Sampling.temperatureRebalance(
+      Seq.empty[(Long, String)].toDF("id", "lang"), "lang", "id", 0.5, 100)
+      .count() == 0)
+    val emptyVals = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(graft.quality.Quality.madOutlierFilter(emptyVals, Seq("g"), "v")
+      .count() == 0)
+    assert(graft.agg.GroupBy.normalizePerKey(emptyVals, Seq("g"), "v")
+      .count() == 0)
+    val emptyEv = Seq.empty[(Long, Long, Double)].toDF("u", "t", "v")
+    assert(graft.agg.GroupBy.rollingByTime(emptyEv, Seq("u"), "t", "v", 10L)
+      .count() == 0)
+    assert(graft.agg.GroupBy.sessionize(emptyEv, Seq("u"), "t", 10L).count() == 0)
+    val emptyKeys = Seq.empty[(Long, String)].toDF("id", "k")
+    assert(graft.join.Bloom.semiJoin(emptyKeys,
+      Seq(("a")).toDF("k"), Seq("k"), 10).count() == 0)
+    assert(graft.join.Bloom.antiJoin(emptyKeys,
+      Seq(("a")).toDF("k"), Seq("k"), 10).count() == 0)
+  }
+
   test("empty TEXT (not just empty corpus): metrics and shingles") {
     val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
     val m = blank.select(
