@@ -727,6 +727,18 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "shard")
     }),
 
+    // ---- LLM ops: pretraining SEQUENCE construction — shard by
+    //      token budget, concatenate each shard in order with an eos
+    //      separator; one row per ~1000-token training sequence ----
+    "q96_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+      graft.llm.Sampling.packSequences(docs, Seq("lang"),
+        orderCol = "doc_id", tokenCol = "n_tokens", textCol = "text",
+        budget = 1000L)
+        .select("lang", "shard", "sequence", "seq_tokens", "n_docs")
+    }),
+
     // ---- LLM ops: end-to-end near-dup removal (pairs → clusters →
     //      keep canonical representative) ----
     "q49_drop_near_dups" -> ((s, dir) => {
@@ -1505,6 +1517,19 @@ object SparkEntry {
         |   OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |   - CAST(len(string_split_regex(text,'\s+')) AS BIGINT)) / 1000.0) AS BIGINT) AS shard
         |FROM documents""".stripMargin,
+
+    // same shard rule as q48, then ordered string_agg per shard;
+    // sums cast to BIGINT (DuckDB sums integers into HUGEINT)
+    "q96_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT *, CAST(floor((sum(n_tokens)
+        |  OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |  - n_tokens) / 1000.0) AS BIGINT) AS shard FROM t)
+        |SELECT lang, shard, string_agg(text, '<eos>' ORDER BY doc_id) AS sequence,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens, count(*) AS n_docs
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q46_text_clean" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS w FROM documents),

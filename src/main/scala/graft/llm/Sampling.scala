@@ -63,6 +63,36 @@ object Sampling {
   }
 
   /**
+   * Pretraining SEQUENCE construction: documents packed into token-
+   * budget shards by the [[packByTokenBudget]] rule, then every
+   * (group, shard) concatenated — in `orderCol` order, joined with
+   * `eos` — into one training sequence row carrying its exact token
+   * total and document count. The step after sharding that a
+   * pretraining loader actually consumes: ~budget-token sequences
+   * with document boundaries marked.
+   *
+   * Deterministic for unique `orderCol` values within a group (the
+   * corpus contract). Scale posture: the shard window plus ONE
+   * aggregation, both partitioned by the group keys — sequences never
+   * exceed budget + one document, so no aggregate row outgrows an
+   * executor.
+   */
+  def packSequences(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                    tokenCol: String, textCol: String, budget: Long,
+                    eos: String = "<eos>",
+                    shardCol: String = "shard"): DataFrame = {
+    val sharded = packByTokenBudget(df, groupCols, orderCol, tokenCol,
+      budget, shardCol)
+    sharded.groupBy((groupCols :+ shardCol).map(col): _*)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol)), eos).as("sequence"),
+        sum(col(tokenCol)).as("seq_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /**
    * Content-deterministic Bernoulli sample: keep a row iff
    * `md5(key ++ salt) mod denom < numer` — the same row set on every
    * run, every engine, every partitioning (unlike `df.sample`, whose

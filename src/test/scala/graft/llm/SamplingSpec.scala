@@ -97,6 +97,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 5L, 7L))
   }
 
+  test("packSequences: order preserved, eos-joined, token totals exact") {
+    val docs = Seq(
+      ("en", 1L, "a a a", 3L), ("en", 2L, "b b", 2L),   // shard 0 (5 <= 6)
+      ("en", 3L, "c c c c", 4L),                        // starts at 5 -> shard 0
+      ("en", 4L, "d", 1L),                              // starts at 9 -> shard 1
+      ("de", 5L, "x", 1L)
+    ).toDF("lang", "id", "text", "n_tok")
+    val out = Sampling.packSequences(docs, Seq("lang"), "id", "n_tok",
+        "text", budget = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("en", 0L)) == ("a a a<eos>b b<eos>c c c c", 9L, 3L))
+    assert(out(("en", 1L)) == ("d", 1L, 1L))
+    assert(out(("de", 0L)) == ("x", 1L, 1L))
+    // repartitioning cannot change the sequences
+    val again = Sampling.packSequences(docs.repartition(7), Seq("lang"),
+      "id", "n_tok", "text", 6L).collect().toSet
+    assert(again == Sampling.packSequences(docs, Seq("lang"), "id",
+      "n_tok", "text", 6L).collect().toSet)
+  }
+
   test("weightedHashSample: deterministic, monotone in rate, nulls/negatives drop") {
     val df = (1L to 500L).map(i =>
       (i, if (i % 50 == 0) None else Some(i % 100 + 1L)))
