@@ -394,6 +394,23 @@ object SparkEntry {
       s.read.parquet(tmp)
     }),
 
+    // ---- §2.1+ SCHEMA EVOLUTION: an old batch written without a
+    //      column, a new batch with it — mergeSchema reconciles; old
+    //      rows surface null for the later column (the append-only
+    //      lakehouse contract) ----
+    "q97_schema_evolution" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_evo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val nation = t(s, dir, "nation")
+      nation.filter(col("n_nationkey") < 10)
+        .select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$tmp/b=1")
+      nation.filter(col("n_nationkey") >= 10)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$tmp/b=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- §2.1/§2.10 hive-partitioned parquet roundtrip: write
     //      partitionBy(lang), read back filtered — the partition
     //      filter must prune directories at PLANNING time (guarded:
@@ -1600,6 +1617,14 @@ object SparkEntry {
     // layout-only operator: the written rows ARE the source rows
     "q83_zorder_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // pre-evolution rows carry null for the later column
+    "q97_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 10
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey >= 10""".stripMargin,
 
     // partition pruning is layout-only: content equals a plain filter
     "q91_partitioned_scan" ->
