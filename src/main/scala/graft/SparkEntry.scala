@@ -744,6 +744,16 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "shard")
     }),
 
+    // ---- LLM ops: keep-BEST exact dedup — per (lang, source) cell
+    //      the highest-quality document survives (ties → min doc_id),
+    //      not merely the first seen (q21's min-id rule) ----
+    "q98_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__q", TA.qualityScore(col("text")))
+      Dedup.exactKeepBest(docs, Seq("lang", "source"), "__q", "doc_id")
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- LLM ops: pretraining SEQUENCE construction — shard by
     //      token budget, concatenate each shard in order with an eos
     //      separator; one row per ~1000-token training sequence ----
@@ -1660,6 +1670,21 @@ object SparkEntry {
         |lim AS (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT) AS n FROM nn)
         |SELECT doc_id, lang, source FROM nn
         |QUALIFY row_number() OVER (ORDER BY q DESC, doc_id) <= (SELECT n FROM lim)""".stripMargin,
+
+    // same quality-score replay as q78; best-per-text via window
+    // rank (DESC NULLS LAST matches Spark's desc_nulls_last)
+    "q98_dedup_best" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |    string_split_regex(text,'\s+') AS w FROM documents),
+        |q AS (SELECT doc_id, lang, source, text,
+        |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        |  FROM t)
+        |SELECT doc_id, lang, source FROM q
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |  ORDER BY q DESC NULLS LAST, doc_id) = 1""".stripMargin,
 
     // per-language rank against the per-language ceil(0.4*count)
     "q79_quality_topfrac_perkey" ->

@@ -37,6 +37,23 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * Exact dedup keeping the BEST row per key — highest `scoreCol`,
+   * ties (and null scores, ordered last) broken by smallest `idCol` —
+   * the corpus recipe when duplicates differ in extraction quality
+   * and "first seen" is the wrong survivor. Same single-shuffle
+   * window shape as [[exact]]; the top-1 rank collapses map-side
+   * (WindowGroupLimit) for skewed keys.
+   */
+  def exactKeepBest(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+                    idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    val rn = graft.core.Engine.freshColumn(df, "__graft_best_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
+  }
+
   /** Distinct word n-gram shingles of a text column; texts shorter
    *  than `n` tokens yield an empty set (the `when` guard keeps the
    *  negative-length slices of the short-doc case unevaluated).

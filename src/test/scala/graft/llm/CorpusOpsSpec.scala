@@ -62,6 +62,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       Dedup.removeBoilerplateLines(corpus, "id", "text", 0.0))
   }
 
+  test("exactKeepBest keeps the highest-scoring duplicate, min id on ties") {
+    val corpus = Seq(
+      (1L, "dup", Some(0.2)), (2L, "dup", Some(0.9)), (3L, "dup", Some(0.9)),
+      (4L, "solo", Some(0.1)),
+      (5L, "nulls", Option.empty[Double]), (6L, "nulls", Some(0.0))
+    ).toDF("id", "text", "q")
+    val out = Dedup.exactKeepBest(corpus, Seq("text"), "q", "id")
+      .select("id").as[Long].collect().toSet
+    // dup: 0.9 wins, tie -> id 2; nulls sort last -> id 6's 0.0 wins
+    assert(out == Set(2L, 4L, 6L))
+  }
+
   test("removeBoilerplateLines: a null id keeps its text (null-safe rejoin)") {
     val corpus = Seq((Option.empty[Long], Some("FOOTER\nkeep")),
       (Some(1L), Some("FOOTER\nother")), (Some(2L), Some("FOOTER")))
