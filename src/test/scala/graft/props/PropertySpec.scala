@@ -207,6 +207,87 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("madOutlierFilter agrees with a naive driver-side median/MAD on random groups") {
+    val valsGen: Gen[List[Double]] =
+      Gen.choose(1, 20).flatMap(n => Gen.listOfN(n,
+        Gen.choose(-50, 50).map(_.toDouble)))
+    for ((vs, i) <- samples(valsGen, 6).zipWithIndex) {
+      val df = vs.zipWithIndex.map { case (v, j) => ("g", j.toLong, v) }
+        .toDF("g", "id", "v")
+      val got = graft.quality.Quality
+        .madOutlierFilter(df, Seq("g"), "v", k = 1.5)
+        .select("id").as[Long].collect().toSet
+      // naive: discrete median at rank ceil(n/2) of the sorted values
+      def disc(xs: Seq[Double]): Double =
+        xs.sorted.apply(math.ceil(xs.size / 2.0).toInt - 1)
+      val med = disc(vs)
+      val mad = disc(vs.map(x => math.abs(x - med)))
+      val want = vs.zipWithIndex
+        .filter { case (v, _) => math.abs(v - med) <= 1.5 * mad }
+        .map(_._2.toLong).toSet
+      assert(got == want, s"case $i vs=$vs med=$med mad=$mad")
+    }
+  }
+
+  test("normalizePerKey zscore matches the exact-sum formula on random groups") {
+    val valsGen: Gen[List[Double]] =
+      Gen.choose(2, 15).flatMap(n => Gen.listOfN(n,
+        Gen.choose(-1000, 1000).map(_ / 4.0))) // quarter steps: exact in (18,4)
+    for ((vs, i) <- samples(valsGen, 6).zipWithIndex) {
+      val df = vs.zipWithIndex.map { case (v, j) => ("g", j.toLong, v) }
+        .toDF("g", "id", "v")
+      val got = graft.agg.GroupBy.normalizePerKey(df, Seq("g"), "v", "zscore", "z")
+        .orderBy("id").select("z").collect()
+      val n = vs.size.toDouble
+      val mean = vs.sum / n // quarter-step values: sums are exact doubles
+      val variance = vs.map(x => x * x).sum / n - mean * mean
+      if (variance <= 0)
+        assert(got.forall(_.isNullAt(0)), s"case $i vs=$vs")
+      else
+        vs.zip(got).foreach { case (v, r) =>
+          val want = (v - mean) / math.sqrt(variance)
+          assert(math.abs(r.getDouble(0) - want) < 1e-9, s"case $i v=$v vs=$vs")
+        }
+    }
+  }
+
+  test("rollingByTime agrees with a naive O(n^2) frame scan on random timelines") {
+    val evGen: Gen[List[(Long, Double)]] =
+      Gen.choose(1, 15).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 40L), Gen.choose(0, 100).map(_ / 4.0))))
+    for ((ev, i) <- samples(evGen, 6).zipWithIndex) {
+      val look = 10L
+      val df = ev.zipWithIndex.map { case ((t, v), j) => (1L, j.toLong, t, v) }
+        .toDF("u", "id", "t", "v")
+      val got = graft.agg.GroupBy.rollingByTime(df, Seq("u"), "t", "v", look)
+        .select("id", "roll_n", "roll_sum").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      ev.zipWithIndex.foreach { case ((t, _), j) =>
+        val frame = ev.filter { case (t2, _) => t2 >= t - look && t2 <= t }
+        val want = (frame.size.toLong, frame.map(_._2).sum)
+        assert(got(j.toLong) == want, s"case $i ev=$ev row=$j")
+      }
+    }
+  }
+
+  test("packSequences reconstructs the corpus: texts and token totals conserved") {
+    val docGen2: Gen[List[(String, Long)]] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.alphaLowerStr.map(_.take(5) + "x"), Gen.choose(1L, 9L))))
+    for ((docs, i) <- samples(docGen2, 6).zipWithIndex) {
+      val df = docs.zipWithIndex.map { case ((txt, tok), j) =>
+        ("g", j.toLong, txt, tok) }.toDF("grp", "id", "text", "tok")
+      val seqs = graft.llm.Sampling.packSequences(df, Seq("grp"), "id",
+        "tok", "text", budget = 10L)
+        .orderBy("shard").collect()
+      // every document appears exactly once, in id order across shards
+      val rebuilt = seqs.flatMap(_.getString(2).split("<eos>", -1)).toSeq
+      assert(rebuilt == docs.map(_._1), s"case $i docs=$docs")
+      assert(seqs.map(_.getLong(3)).sum == docs.map(_._2).sum, s"case $i")
+      assert(seqs.map(_.getLong(4)).sum == docs.size.toLong, s"case $i")
+    }
+  }
+
   test("chunkByTokens covers every token; consecutive chunks overlap as configured") {
     for (doc <- samples(docGen.suchThat(_.nonEmpty), 6)) {
       val toks = doc.split("\\s+").toSeq
