@@ -33,22 +33,30 @@ object Dedup {
    */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val rn = graft.core.Engine.freshColumn(df, "__graft_exact_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /**
    * Exact dedup keeping the BEST row per key — highest `scoreCol`,
-   * ties (and null scores, ordered last) broken by smallest `idCol` —
-   * the corpus recipe when duplicates differ in extraction quality
-   * and "first seen" is the wrong survivor. Same single-shuffle
-   * window shape as [[exact]]; the top-1 rank collapses map-side
-   * (WindowGroupLimit) for skewed keys.
+   * ties (and null OR NaN scores, both ordered last — Spark would
+   * otherwise rank NaN above every real score) broken by smallest
+   * `idCol` — the corpus recipe when duplicates differ in extraction
+   * quality and "first seen" is the wrong survivor. Same
+   * single-shuffle window shape as [[exact]]; the top-1 rank
+   * collapses map-side (WindowGroupLimit) for skewed keys.
    */
   def exactKeepBest(df: DataFrame, keyCols: Seq[String], scoreCol: String,
                     idCol: String): DataFrame = {
+    val sc0 = col(scoreCol)
+    val sc = df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => when(!isnan(sc0), sc0)
+      case _ => sc0
+    }
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+      .orderBy(sc.desc_nulls_last, col(idCol))
     val rn = graft.core.Engine.freshColumn(df, "__graft_best_rn")
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(rn)
@@ -596,7 +604,7 @@ object Dedup {
     lines.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .groupBy(idCol)
-      .agg(reassembleLines("__pos", "__line", sep).as(textCol))
+      .agg(reassembleLines(col("__pos"), col("__line"), sep).as(textCol))
   }
 
   /** (id, position, line) relation for a line-oriented corpus pass —
@@ -607,12 +615,15 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .withColumnsRenamed(Map("pos" -> posC, "col" -> lineC))
 
-  /** Order-restoring aggregation over an [[explodeLines]] relation:
-   *  surviving lines sorted by position, re-joined with `sep`. */
-  private def reassembleLines(posC: String, lineC: String, sep: String): Column =
+  /** Order-restoring aggregation: `value`s sorted by `pos`, re-joined
+   *  with `sep`. Shared by the line operators and
+   *  [[Sampling.packSequences]] (the struct's field names are
+   *  internal to the aggregate — no column-collision surface). */
+  private[llm] def reassembleLines(pos: Column, value: Column,
+                                   sep: String): Column =
     array_join(
-      transform(array_sort(collect_list(struct(col(posC), col(lineC)))),
-        s => s.getField(lineC)), sep)
+      transform(array_sort(collect_list(struct(pos.as("p"), value.as("v")))),
+        s => s.getField("v")), sep)
 
   /**
    * Corpus-frequency BOILERPLATE removal: delete every line that
@@ -655,7 +666,7 @@ object Dedup {
       .filter(col("__df") >= thresh).select(lineC)
     val rebuilt = lines.join(frequent, Seq(lineC), "left_anti")
       .groupBy(idCol)
-      .agg(reassembleLines(posC, lineC, sep).as(t2C))
+      .agg(reassembleLines(col(posC), col(lineC), sep).as(t2C))
     // null-SAFE rejoin: a null id must find its rebuilt text too
     val rKey = freshColumn(df, "__graft_bp_id")
     val r = rebuilt.withColumnRenamed(idCol, rKey)

@@ -72,7 +72,10 @@ object Sampling {
    * with document boundaries marked.
    *
    * Deterministic for unique `orderCol` values within a group (the
-   * corpus contract). Scale posture: the shard window plus ONE
+   * corpus contract). A null text concatenates as an EMPTY segment —
+   * the document keeps its boundary, and `n_docs`/`seq_tokens` stay
+   * aligned with the sequence's segments (silently skipping it would
+   * desynchronize them). Scale posture: the shard window plus ONE
    * aggregation, both partitioned by the group keys — sequences never
    * exceed budget + one document, so no aggregate row outgrows an
    * executor.
@@ -85,9 +88,8 @@ object Sampling {
       budget, shardCol)
     sharded.groupBy((groupCols :+ shardCol).map(col): _*)
       .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
-            s => s.getField(textCol)), eos).as("sequence"),
+        Dedup.reassembleLines(col(orderCol),
+          coalesce(col(textCol), lit("")), eos).as("sequence"),
         sum(col(tokenCol)).as("seq_tokens"),
         count(lit(1)).as("n_docs"))
   }

@@ -72,6 +72,10 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     // dup: 0.9 wins, tie -> id 2; nulls sort last -> id 6's 0.0 wins
     assert(out == Set(2L, 4L, 6L))
+    // a NaN score must never outrank a real one
+    val withNan = Seq((1L, "k", Double.NaN), (2L, "k", 0.1)).toDF("id", "text", "q")
+    assert(Dedup.exactKeepBest(withNan, Seq("text"), "q", "id")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
   test("removeBoilerplateLines: a null id keeps its text (null-safe rejoin)") {

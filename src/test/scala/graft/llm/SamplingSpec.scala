@@ -116,6 +116,12 @@ class SamplingSpec extends AnyFunSuite {
       "id", "n_tok", "text", 6L).collect().toSet
     assert(again == Sampling.packSequences(docs, Seq("lang"), "id",
       "n_tok", "text", 6L).collect().toSet)
+    // null text keeps its boundary as an empty segment; counts aligned
+    val withNull = Seq(("en", 1L, Some("a"), 1L), ("en", 2L, None, 1L),
+      ("en", 3L, Some("c"), 1L)).toDF("lang", "id", "text", "n_tok")
+    val r = Sampling.packSequences(withNull, Seq("lang"), "id", "n_tok",
+      "text", budget = 10L).head
+    assert(r.getString(2) == "a<eos><eos>c" && r.getLong(4) == 3L)
   }
 
   test("weightedHashSample: deterministic, monotone in rate, nulls/negatives drop") {
