@@ -1107,6 +1107,25 @@ object SparkEntry {
         .select(col("event_id"), col("meta.deep.value").as("value"))
     }),
 
+    // ---- §2.12 CollectErrors e2e: a dirty column (every 7th row
+    //      unparsable) through the checked-cast pipeline — good rows
+    //      come out converted, failing rows route to the error frame
+    //      (the reference's CollectErrors contract under the gate) ----
+    "q99_collect_errors" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DoubleType
+      val dirty = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("N/A"))
+          .otherwise(col("o_totalprice").cast("string")).as("price"))
+      val (good, errs) =
+        T.collectErrors(Seq(T.CheckedCast("price", DoubleType)))(dirty)
+      // the split must be a partition: every input row is in exactly
+      // one frame (checked here so the gate exercises BOTH outputs)
+      val total = dirty.count()
+      require(good.count() + errs.count() == total,
+        "collectErrors lost or duplicated rows")
+      good
+    }),
+
     // ---- §2.6 nested JSON: serialize → parse with explicit schema →
     //      flatten; roundtrip must reproduce the source columns ----
     "q64_json_flatten" -> ((s, dir) => {
@@ -1839,6 +1858,13 @@ object SparkEntry {
     // from_json(to_json(x)) == x for the selected columns
     "q64_json_flatten" ->
       "SELECT event_id, event_type, user_id, value, props FROM events",
+
+    // double -> string -> double roundtrips losslessly in both
+    // engines (shortest-roundtrip rendering), so good rows carry the
+    // ORIGINAL price value; unparsable rows leave via the error frame
+    "q99_collect_errors" ->
+      """SELECT o_orderkey, o_totalprice AS price FROM orders
+        |WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     // struct layout is scan-only: content equals the flat projection
     "q94_nested_pruning" -> "SELECT event_id, value FROM events",
