@@ -1107,6 +1107,28 @@ object SparkEntry {
         .select(col("event_id"), col("meta.deep.value").as("value"))
     }),
 
+    // ---- capstone: star-schema revenue rollup — fact⋈fact⋈dim⋈dim
+    //      with broadcast dims, exact decimal revenue, partial aggs
+    //      end-to-end (the TPC-H-shaped analytics the engine is for) ----
+    "q100_star_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "P")
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_items"),
+          sum(rev).cast("double").as("revenue"))
+    }),
+
     // ---- §2.12 CollectErrors e2e: a dirty column (every 7th row
     //      unparsable) through the checked-cast pipeline — good rows
     //      come out converted, failing rows route to the error frame
@@ -1858,6 +1880,19 @@ object SparkEntry {
     // from_json(to_json(x)) == x for the selected columns
     "q64_json_flatten" ->
       "SELECT event_id, event_type, user_id, value, props FROM events",
+
+    // decimal revenue folds exactly in any order; one double cast at
+    // the end — hash-identical across engines
+    "q100_star_revenue" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus <> 'P'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // double -> string -> double roundtrips losslessly in both
     // engines (shortest-roundtrip rendering), so good rows carry the

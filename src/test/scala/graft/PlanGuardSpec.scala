@@ -99,6 +99,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(1500))
   }
 
+  test("q100 star rollup broadcasts the dims and aggregates partially") {
+    val p = finalPlan("q100_star_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
   test("q81 bloom-pruned anti join probes the filter before the residual join") {
     val p = finalPlan("q81_bloom_incremental")
     // both branches carry the codegen'd probe; only candidates join
