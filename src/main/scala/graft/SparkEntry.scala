@@ -988,6 +988,24 @@ object SparkEntry {
         .select(col("key").as("event_type"), col("n"))
     }),
 
+    // ---- §2.11 STREAM-STATIC join through the micro-batch engine:
+    //      the streaming side enriches against a static dim (broadcast
+    //      per micro-batch), then aggregates — the enrichment shape of
+    //      every production stream ----
+    "q101_stream_static_join" -> ((s, dir) => {
+      val schema = Tables.rawSchema(s, dir, "events")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.Streaming.runBatchAsStream(
+        s, s"$dir/events*.parquet", schema,
+        df => df.join(cust, df("user_id") === cust("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total")),
+        name = s"graft_stream_sj_${System.nanoTime}")
+    }),
+
     // ---- §2.11 REAL streaming sliding windows (micro-batch engine;
     //      overlapping-window state vs the epoch-aligned batch oracle) ----
     "q60_stream_sliding" -> ((s, dir) => {
@@ -1826,6 +1844,13 @@ object SparkEntry {
     // IS the final count, which must equal the batch aggregate
     "q90_stream_state" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+
+    // the micro-batch enrichment must equal the batch join exactly
+    "q101_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // the streaming engine's complete-mode state must equal batch agg;
     // hour windows are epoch-aligned = date_trunc
