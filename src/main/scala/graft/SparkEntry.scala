@@ -988,6 +988,32 @@ object SparkEntry {
         .select(col("key").as("event_type"), col("n"))
     }),
 
+    // ---- §2.11 foreachBatch sink e2e: stream → per-micro-batch
+    //      parquet append (checkpointed) → read back and aggregate;
+    //      the custom-write hook every exactly-once-ish production
+    //      sink (JDBC upsert per batch, etc.) hangs off ----
+    "q102_stream_foreachbatch" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_feb_$sfx"
+      val ckpt = s"/tmp/graft_feb_ckpt_${System.nanoTime}"
+      val hconf = s.sparkContext.hadoopConfiguration
+      def rmr(path: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      rmr(out) // fresh output: the gate and bench re-run this query
+      val schema = Tables.rawSchema(s, dir, "events")
+      val stream = graft.streaming.Streaming.readStream(
+        s, "parquet", s"$dir/events*.parquet", schema)
+      val q = graft.streaming.Streaming.foreachBatchSink(
+        stream.select(col("event_id"), col("event_type")), ckpt,
+        (df, _) => graft.sinks.Sinks.parquet(df, out, mode = "append"))
+      q.awaitTermination()
+      rmr(ckpt)
+      s.read.parquet(out).groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- §2.11 STREAM-STATIC join through the micro-batch engine:
     //      the streaming side enriches against a static dim (broadcast
     //      per micro-batch), then aggregates — the enrichment shape of
@@ -1843,6 +1869,10 @@ object SparkEntry {
     // keyed GroupState running counts are monotone; their max per key
     // IS the final count, which must equal the batch aggregate
     "q90_stream_state" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+
+    // every event flows through the foreachBatch writes exactly once
+    "q102_stream_foreachbatch" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
 
     // the micro-batch enrichment must equal the batch join exactly
