@@ -394,6 +394,16 @@ object SparkEntry {
       s.read.parquet(tmp)
     }),
 
+    // ---- §2.10+ zstd parquet roundtrip — the petabyte-corpus codec
+    //      (better ratio than snappy at comparable scan speed);
+    //      exercises the codec plumbing end-to-end ----
+    "q103_zstd_roundtrip" -> ((s, dir) => {
+      import graft.sinks.Sinks
+      val tmp = s"/tmp/graft_zstd_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Sinks.parquet(t(s, dir, "supplier"), tmp, compression = "zstd")
+      s.read.parquet(tmp)
+    }),
+
     // ---- §2.1+ SCHEMA EVOLUTION: an old batch written without a
     //      column, a new batch with it — mergeSchema reconciles; old
     //      rows surface null for the later column (the append-only
@@ -1712,6 +1722,9 @@ object SparkEntry {
     // layout-only operator: the written rows ARE the source rows
     "q83_zorder_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // codec is storage-only: content equals the source table
+    "q103_zstd_roundtrip" -> "SELECT * FROM supplier",
 
     // pre-evolution rows carry null for the later column
     "q97_schema_evolution" ->
