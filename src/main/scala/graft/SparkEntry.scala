@@ -1005,7 +1005,10 @@ object SparkEntry {
     "q102_stream_foreachbatch" -> ((s, dir) => {
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val out = s"/tmp/graft_feb_$sfx"
-      val ckpt = s"/tmp/graft_feb_ckpt_${System.nanoTime}"
+      // DETERMINISTIC checkpoint path, cleaned at START: a fresh-named
+      // ckpt would leak on stream failure, and a STALE one with a
+      // deleted output would silently skip already-committed batches
+      val ckpt = s"/tmp/graft_feb_ckpt_$sfx"
       val hconf = s.sparkContext.hadoopConfiguration
       def rmr(path: String): Unit = {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -1013,6 +1016,7 @@ object SparkEntry {
         if (fs.exists(p)) fs.delete(p, true)
       }
       rmr(out) // fresh output: the gate and bench re-run this query
+      rmr(ckpt)
       val schema = Tables.rawSchema(s, dir, "events")
       val stream = graft.streaming.Streaming.readStream(
         s, "parquet", s"$dir/events*.parquet", schema)
@@ -1192,12 +1196,14 @@ object SparkEntry {
       val dirty = t(s, dir, "orders").select(col("o_orderkey"),
         when(col("o_orderkey") % 7 === 0, lit("N/A"))
           .otherwise(col("o_totalprice").cast("string")).as("price"))
+      // one materialization serves the split check AND the returned
+      // frame (collectErrors' consumers otherwise re-scan per action)
+      val base = dirty.localCheckpoint(true)
       val (good, errs) =
-        T.collectErrors(Seq(T.CheckedCast("price", DoubleType)))(dirty)
+        T.collectErrors(Seq(T.CheckedCast("price", DoubleType)))(base)
       // the split must be a partition: every input row is in exactly
       // one frame (checked here so the gate exercises BOTH outputs)
-      val total = dirty.count()
-      require(good.count() + errs.count() == total,
+      require(good.count() + errs.count() == base.count(),
         "collectErrors lost or duplicated rows")
       good
     }),
@@ -1782,7 +1788,8 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, source FROM q
         |QUALIFY row_number() OVER (PARTITION BY lang, source
-        |  ORDER BY q DESC NULLS LAST, doc_id) = 1""".stripMargin,
+        |  ORDER BY (CASE WHEN isnan(q) THEN NULL ELSE q END) DESC NULLS LAST,
+        |           doc_id) = 1""".stripMargin,
 
     // per-language rank against the per-language ceil(0.4*count)
     "q79_quality_topfrac_perkey" ->

@@ -599,12 +599,19 @@ object Dedup {
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
-    val lines = explodeLines(df, idCol, textCol, sep, "__pos", "__line")
-    val w = Window.partitionBy("__line").orderBy(col(idCol), col("__pos"))
-    lines.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // the exploded relation carries ONLY idCol + scratch, so scratch
+    // names need only avoid the id column
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(_ != idCol).get
+    val (posC, lineC, rnC) =
+      (fresh("__graft_dl_pos"), fresh("__graft_dl_line"), fresh("__graft_dl_rn"))
+    val lines = explodeLines(df, idCol, textCol, sep, posC, lineC)
+    val w = Window.partitionBy(lineC).orderBy(col(idCol), col(posC))
+    lines.withColumn(rnC, row_number().over(w))
+      .filter(col(rnC) === 1)
       .groupBy(idCol)
-      .agg(reassembleLines(col("__pos"), col("__line"), sep).as(textCol))
+      .agg(reassembleLines(col(posC), col(lineC), sep).as(textCol))
   }
 
   /** (id, position, line) relation for a line-oriented corpus pass —

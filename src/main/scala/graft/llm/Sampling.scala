@@ -31,8 +31,9 @@ object Sampling {
   def perKeyLimit(df: DataFrame, keys: Seq[String], orderCol: String,
                   n: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+    val rn = graft.core.Engine.freshColumn(df, "__graft_pkl_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n).drop(rn)
   }
 
   /**
