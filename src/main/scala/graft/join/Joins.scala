@@ -45,10 +45,20 @@ object Joins {
    *   non-key columns (reference JoinConfig prefixes); when both empty,
    *   clashing right columns get `right_` (reference default).
    */
+  /** Strategy hints a caller may pin on the RIGHT side (Catalyst/AQE
+   *  choose freely otherwise): broadcast for known-small builds,
+   *  shuffle_hash when sort-merge's sort is the bottleneck, merge to
+   *  force SMJ, shuffle_replicate_nl as the cartesian fallback. */
+  val strategyHints: Set[String] =
+    Set("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl")
+
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            joinType: String = "inner",
-           leftPrefix: String = "", rightPrefix: String = ""): DataFrame = {
+           leftPrefix: String = "", rightPrefix: String = "",
+           rightHint: Option[String] = None): DataFrame = {
     require(types.contains(joinType), s"unknown join type $joinType")
+    rightHint.foreach(h => require(strategyHints.contains(h),
+      s"unknown join hint '$h' (${strategyHints.mkString("|")})"))
     val l = prefixNonKeys(left, keys, leftPrefix)
     val rPre = prefixNonKeys(right, keys, rightPrefix)
     val r =
@@ -57,7 +67,7 @@ object Joins {
         val clashes = rPre.columns.toSet.intersect(l.columns.toSet) -- keys
         clashes.foldLeft(rPre)((d, c) => d.withColumnRenamed(c, s"right_$c"))
       } else rPre
-    l.join(r, keys, sparkType(joinType))
+    l.join(rightHint.fold(r)(r.hint(_)), keys, sparkType(joinType))
   }
 
   private def prefixNonKeys(df: DataFrame, keys: Seq[String], prefix: String): DataFrame =

@@ -21,6 +21,23 @@ class JoinsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Joins.join(left, right, Seq("k"), "sideways"))
   }
 
+  test("rightHint pins the join strategy; results unchanged") {
+    val plain = Joins.join(left, right, Seq("k"), "inner").collect().toSet
+    for (h <- Seq("broadcast", "merge", "shuffle_hash")) {
+      val hinted = Joins.join(left, right, Seq("k"), "inner", rightHint = Some(h))
+      assert(hinted.collect().toSet == plain, h)
+    }
+    val p = Joins.join(left, right, Seq("k"), "inner",
+      rightHint = Some("shuffle_hash"))
+    p.collect()
+    assert(p.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    val m = Joins.join(left, right, Seq("k"), "inner", rightHint = Some("merge"))
+    m.collect()
+    assert(m.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    intercept[IllegalArgumentException](
+      Joins.join(left, right, Seq("k"), "inner", rightHint = Some("psychic")))
+  }
+
   test("clashing non-key columns get right_ prefix by default") {
     val r2 = right.withColumnRenamed("rv", "lv")
     val out = Joins.join(left, r2, Seq("k"), "inner")
