@@ -91,6 +91,12 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq(("a")).toDF("k"), Seq("k"), 10).count() == 0)
     assert(graft.join.Bloom.antiJoin(emptyKeys,
       Seq(("a")).toDF("k"), Seq("k"), 10).count() == 0)
+    val emptyPack = Seq.empty[(String, Long, String, Long)]
+      .toDF("g", "id", "text", "tok")
+    assert(Sampling.packSequences(emptyPack, Seq("g"), "id", "tok",
+      "text", 10L).count() == 0)
+    assert(Dedup.exactKeepBest(emptyDocs.withColumn("q", lit(1.0)),
+      Seq("text"), "q", "id").count() == 0)
   }
 
   test("empty TEXT (not just empty corpus): metrics and shingles") {
