@@ -7,11 +7,24 @@ object Bench {
    *  path timed identically). Scoped to the `graft` name prefix so a
    *  bench launched over a warehouse holding unrelated managed tables
    *  never destroys them; best-effort so a failing drop records a
-   *  query failure, not a dead bench. A GC nudge lets ContextCleaner
-   *  release checkpoint blocks whose frames are no longer referenced. */
+   *  query failure, not a dead bench.
+   *
+   *  Checkpoint blocks: the dedup family materializes relations via
+   *  lazy localCheckpoint, whose blocks are ContextCleaner-managed —
+   *  they free when the frame is GC'd AND the async cleaner queue
+   *  drains. Between bench measurements that lag is real pressure
+   *  (round 5's artifact showed q26 paying ~2× its isolated time deep
+   *  into the suite), so the blocks of every no-longer-referenced
+   *  persistent RDD are dropped SYNCHRONOUSLY here: all prior frames
+   *  are dead at this point (each measurement builds its plan fresh),
+   *  and an unpersisted checkpoint RDD is only a problem if someone
+   *  re-runs its frame, which the bench never does. The GC nudge still
+   *  runs for driver-side heap (collected arrays, codegen classes). */
   private def isolate(spark: SparkSession): Unit = {
     try {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.listTables().collect()
         .filter(_.name.toLowerCase.startsWith("graft"))
         .foreach { t =>
@@ -77,12 +90,19 @@ object Bench {
       "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Per-iteration detail on its own line FIRST; the compact primary
-    // JSON line LAST — the driver keeps only a bounded tail of stdout,
-    // and a single line carrying both exceeded it (round 3's artifact
-    // holds a mid-line tail and "parsed": null).
+    // Line order is tail-survival order: the driver keeps only a
+    // bounded tail of stdout, so the largest line (per-iteration
+    // detail) goes FIRST, the full primary JSON second, and a COMPACT
+    // summary (total + worst-10 queries, a few hundred bytes) LAST —
+    // whatever the tail window cuts, the total and the queries that
+    // matter for perf triage always survive (round 5's artifact lost
+    // q01–q21 and the total to mid-line truncation).
     println(s"""{"detail":"iters","iters":$its}""")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val worst = results.filter(_._2 > 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"worst10":$worst,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1196,15 +1196,21 @@ object SparkEntry {
       val dirty = t(s, dir, "orders").select(col("o_orderkey"),
         when(col("o_orderkey") % 7 === 0, lit("N/A"))
           .otherwise(col("o_totalprice").cast("string")).as("price"))
-      // one materialization serves the split check AND the returned
-      // frame (collectErrors' consumers otherwise re-scan per action)
-      val base = dirty.localCheckpoint(true)
+      // persist (NOT an eager localCheckpoint): one materialization
+      // serves all three counts of the split check, and because
+      // lineage stays intact the blocks can be released right here —
+      // a checkpoint would pin them until GC, accumulating block-
+      // manager storage across repeated gate/bench invocations in one
+      // session. The returned frame recomputes from the parquet scan.
+      val base = dirty.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (good, errs) =
         T.collectErrors(Seq(T.CheckedCast("price", DoubleType)))(base)
       // the split must be a partition: every input row is in exactly
       // one frame (checked here so the gate exercises BOTH outputs)
-      require(good.count() + errs.count() == base.count(),
-        "collectErrors lost or duplicated rows")
+      val partitioned = good.count() + errs.count() == base.count()
+      base.unpersist(blocking = false)
+      require(partitioned, "collectErrors lost or duplicated rows")
       good
     }),
 

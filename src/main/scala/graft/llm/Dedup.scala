@@ -378,23 +378,32 @@ object Dedup {
     val freq = postings.groupBy("__h").agg(count(lit(1)).as("__f"))
     // Per-doc shingle sets sorted by (freq asc, hash asc). Inner join
     // drops empty docs (null __h) — they cannot pair anyway (J = 0).
-    // localCheckpoint, not persist: four consumers read `sh` (both
-    // prefix sides + both verification joins) and exchange reuse does
-    // not reliably fire across them, so the relation must materialize
-    // once — but a CacheManager persist() leaks until an explicit
-    // unpersist this lazy operator has no place to issue. Checkpoint
-    // blocks are ContextCleaner-managed: they free themselves when the
-    // returned frame is garbage-collected, so a long-lived session
-    // running many dedup passes accumulates nothing. Lazy (eager=false)
-    // keeps the operator composable — nothing executes until the
-    // caller's action; MEMORY_AND_DISK storage spills instead of
-    // evicting on a corpus-scale relation.
-    val sh = postings.join(freq, Seq("__h"))
+    // Materialization point: the FLAT (id, block, hash, freq) relation
+    // rides a lazy localCheckpoint, not the nested-array `sh` above it.
+    // Four consumers read `sh` (both prefix sides + both verification
+    // joins) and exchange reuse does not reliably fire across them, so
+    // something must materialize once — but a CacheManager persist()
+    // leaks until an explicit unpersist this lazy operator has no place
+    // to issue, and checkpointing `sh` itself pays a row-serialized
+    // encode of the nested long arrays (measured ~1.3× the whole query
+    // at sf0.1). Flat longs encode cheap; everything expensive to
+    // RECOMPUTE (corpus scan, shingle explode, hashing, the frequency
+    // shuffle join) sits below this line, while the groupBy above it
+    // re-runs per consumer reading checkpoint blocks — and its exchange
+    // is canonically identical across all four consumers, so AQE stage
+    // reuse shuffles it once. Checkpoint blocks are ContextCleaner-
+    // managed: they free themselves when the returned frame is garbage-
+    // collected, so a long-lived session running many dedup passes
+    // accumulates nothing. Lazy (eager=false) keeps the operator
+    // composable — nothing executes until the caller's action;
+    // MEMORY_AND_DISK storage spills instead of evicting on a
+    // corpus-scale relation.
+    val flat = postings.join(freq, Seq("__h")).localCheckpoint(false)
+    val sh = flat
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(transform(array_sort(collect_set(struct(col("__f"), col("__h")))),
         s => s.getField("__h")).as("__sh"))
       .withColumn("__n", size(col("__sh")))
-      .localCheckpoint(false)
     // τ-prefix explode: t = ⌈τ·n⌉ computed with a 1e-9 slack so float
     // rounding can only LENGTHEN the prefix (longer prefix stays sound).
     val t = ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int")
