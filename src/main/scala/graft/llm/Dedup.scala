@@ -100,16 +100,23 @@ object Dedup {
         h => ((lit(2L) * i + 1L) * h + lit(12582917L) * i + 1L) % MinHashP)))
 
   /** Ensure enough partitions for per-row heavy compute: small inputs
-   *  (e.g. one parquet file) otherwise run single-task. The
-   *  `getNumPartitions` probe costs one driver-side physical-plan
-   *  translation — measured cheaper than the alternative of an
-   *  UNCONDITIONAL repartition, which shuffles the full text corpus
-   *  even when the scan is already well-split (10× on the simhash
-   *  bench). When triggered, the explicit count (REPARTITION_BY_NUM)
-   *  is not coalesced away by AQE. */
+   *  (e.g. one parquet file) otherwise run single-task. The probe is
+   *  the OPTIMIZED-plan size estimate (driver-side, no physical
+   *  planning, no RDD translation — an earlier `df.rdd
+   *  .getNumPartitions` probe paid a full plan translation outside
+   *  AQE per call): when the input is smaller than `target ×
+   *  maxPartitionBytes`, the file scan cannot yield `target`
+   *  partitions, so repartition. A corpus-scale input skips the
+   *  shuffle entirely — an UNCONDITIONAL repartition measured 10× on
+   *  the simhash bench by reshuffling full text even when the scan
+   *  was already well-split. When triggered, the explicit count
+   *  (REPARTITION_BY_NUM) is not coalesced away by AQE. */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxPart) * target) df.repartition(target) else df
   }
 
   /**
