@@ -3,9 +3,12 @@ ThisBuild / version := "0.1.0"
 name := "goetlspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
-// Test-only deps resolve from the pre-warmed coursier cache; anything
-// else is intentionally not resolvable (COURSIER_MODE=offline).
+// Deps resolve from the pre-warmed coursier cache; anything else is
+// intentionally not resolvable (COURSIER_MODE=offline). duckdb_jdbc is
+// the embedded database the upsert gate executes its ON CONFLICT SQL
+// against (Derby cannot parse it; DuckDB speaks the Postgres dialect).
 libraryDependencies ++= Seq(
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0",
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )

@@ -503,6 +503,47 @@ object SparkEntry {
         partitioning = Some(Sources.JdbcPartitioning("n_nationkey", 0L, 25L, 4)))
     }),
 
+    // ---- §2.10 JDBC UPSERT executed for real: embedded DuckDB parses
+    //      exactly the Postgres `INSERT … ON CONFLICT` the builder
+    //      emits (Derby, q72's engine, cannot). Steps: seed the EVEN
+    //      suppliers into a PK'd table; re-upsert them under DO
+    //      NOTHING (every row must conflict, zero inserts — telemetry
+    //      checked); then DO UPDATE upsert of ALL suppliers with
+    //      shifted acctbal and a renamed name column — evens take the
+    //      UPDATE path (acctbal moves, name does NOT — it is not in
+    //      the update set), odds take the INSERT path (both move).
+    //      The readback hash only matches if partial-column update
+    //      semantics executed correctly (reference
+    //      `writers/postgresql.go:529-663`). ----
+    "q104_jdbc_upsert" -> ((s, dir) => {
+      import graft.sources.Sources
+      import graft.sinks.Sinks
+      val url = s"jdbc:duckdb:/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.db"
+      Sinks.jdbcCreateTable(url, "supplier_up",
+        "s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER, s_acctbal DOUBLE",
+        primaryKey = Seq("s_suppkey"), replace = true)
+      val sup = t(s, dir, "supplier")
+      // single writer partition: embedded DuckDB uses optimistic
+      // concurrency — parallel INSERT transactions on one table abort
+      // each other (against a server-grade target, partitions scale
+      // out to its comfortable concurrent-writer count instead)
+      val evens = sup.filter(col("s_suppkey") % 2 === 0).coalesce(1)
+      Sinks.jdbcAppend(evens, url, "supplier_up", mode = "append")
+      val ig = Sinks.jdbcUpsert(evens, url, "supplier_up",
+        Sinks.ConflictIgnore(Seq("s_suppkey")))
+      require(ig.inserted == 0 && ig.conflicted == evens.count(),
+        s"DO NOTHING upsert must conflict on every seeded row, got $ig")
+      val shifted = sup
+        .withColumn("s_acctbal", col("s_acctbal") + 100.0)
+        .withColumn("s_name", concat(col("s_name"), lit("_v2")))
+        .coalesce(1)
+      val up = Sinks.jdbcUpsert(shifted, url, "supplier_up",
+        Sinks.ConflictUpdate(Seq("s_suppkey"), Seq("s_acctbal")))
+      require(up.failedRows == 0 && up.failedBatches == 0,
+        s"DO UPDATE upsert must not fail rows, got $up")
+      Sources.jdbc(s, url, "supplier_up")
+    }),
+
     // ---- §2.11 session windows (gap-based; same code runs streaming) ----
     "q32_session_window" -> ((s, dir) => {
       graft.streaming.Streaming.session(
@@ -1812,6 +1853,16 @@ object SparkEntry {
         |  <= ceil(0.4 * count(*) OVER (PARTITION BY lang))""".stripMargin,
 
     "q72_jdbc_roundtrip" -> "SELECT * FROM nation",
+
+    // evens kept their seeded name (UPDATE only moves s_acctbal);
+    // odds arrived via the INSERT path carrying both shifted columns
+    "q104_jdbc_upsert" ->
+      """SELECT s_suppkey,
+        | CASE WHEN s_suppkey % 2 = 0 THEN s_name
+        |      ELSE s_name || '_v2' END AS s_name,
+        | s_nationkey,
+        | s_acctbal + 100.0 AS s_acctbal
+        |FROM supplier""".stripMargin,
 
     "q73_dag_retry" ->
       "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1",

@@ -205,12 +205,34 @@ object Sinks {
                  batchSize: Int = 1000, mode: String = "append",
                  truncate: Boolean = false,
                  createTableColumnTypes: Option[String] = None): Unit = {
+    if (url.startsWith("jdbc:duckdb:")) graft.sources.DuckDbDialect.registered
     val props = new java.util.Properties()
     if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
     props.put("batchsize", batchSize.toString)
     if (truncate) props.put("truncate", "true")
     createTableColumnTypes.foreach(t => props.put("createTableColumnTypes", t))
     df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Create a table with an explicit column-definition list and an
+   *  optional PRIMARY KEY — the upsert path needs a unique constraint
+   *  on its conflict columns (`ON CONFLICT` refuses to infer one
+   *  otherwise, in PostgreSQL and DuckDB alike), and Spark's JDBC
+   *  writer cannot declare constraints. `colDefs` is spliced verbatim
+   *  (it is DDL by nature, e.g. `"id BIGINT, name VARCHAR"`); table
+   *  and key identifiers go through the allowlist. */
+  def jdbcCreateTable(url: String, table: String, colDefs: String,
+                      primaryKey: Seq[String] = Nil,
+                      replace: Boolean = false,
+                      user: String = "", password: String = ""): Unit = {
+    val pk = if (primaryKey.isEmpty) ""
+      else s", PRIMARY KEY (${primaryKey.map(q).mkString(", ")})"
+    val verb = if (replace) "CREATE OR REPLACE TABLE" else "CREATE TABLE"
+    val props = new java.util.Properties()
+    if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().execute(s"$verb ${q(table)} ($colDefs$pk)")
+    finally conn.close()
   }
 
   /** Conflict resolution modes (reference `writers/postgresql.go:529-576`). */

@@ -160,6 +160,7 @@ object Sources {
            fetchSize: Int = 1000,
            partitioning: Option[JdbcPartitioning] = None): DataFrame = {
     val isQuery = queryOrTable.trim.toLowerCase.startsWith("select")
+    if (url.startsWith("jdbc:duckdb:")) DuckDbDialect.registered
     var r = spark.read.format("jdbc")
       .option("url", url)
       .option(if (isQuery) "query" else "dbtable", queryOrTable)

@@ -120,6 +120,38 @@ class SourcesSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("jdbcUpsert executes ON CONFLICT for real against embedded DuckDB: DO NOTHING skips, DO UPDATE moves only the update set") {
+    // DuckDB parses exactly the Postgres dialect upsertSql emits —
+    // this is the path Derby (above) cannot execute.
+    val url = s"jdbc:duckdb:${tmp()}/graft_duck.db"
+    Sinks.jdbcCreateTable(url, "kv", "id BIGINT, name VARCHAR, score DOUBLE",
+      primaryKey = Seq("id"), replace = true)
+    val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "name", "score").coalesce(1)
+    Sinks.jdbcAppend(seed, url, "kv", mode = "append")
+    // DO NOTHING: every row conflicts, nothing changes, telemetry sees it
+    val ig = Sinks.jdbcUpsert(
+      Seq((1L, "A", 9.0), (2L, "B", 9.0)).toDF("id", "name", "score").coalesce(1),
+      url, "kv", Sinks.ConflictIgnore(Seq("id")))
+    assert(ig.inserted == 0 && ig.conflicted == 2 && ig.failedRows == 0)
+    // DO UPDATE listing only `score`: existing ids move score but KEEP
+    // their seeded name; the new id inserts both columns
+    val up = Sinks.jdbcUpsert(
+      Seq((1L, "X", 10.0), (2L, "Y", 20.0), (3L, "c", 3.0))
+        .toDF("id", "name", "score").coalesce(1),
+      url, "kv", Sinks.ConflictUpdate(Seq("id"), Seq("score")))
+    assert(up.failedRows == 0 && up.failedBatches == 0)
+    val back = Sources.jdbc(spark, url, "kv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 3.0)))
+    // ConflictError (plain INSERT) hits the PK for real and propagates
+    intercept[org.apache.spark.SparkException] {
+      Sinks.jdbcUpsert(
+        Seq((1L, "dup", 0.0)).toDF("id", "name", "score").coalesce(1),
+        url, "kv", Sinks.ConflictError)
+    }
+  }
+
   test("interpretBatchCounts: conflicts, SUCCESS_NO_INFO inserts, EXECUTE_FAILED failures") {
     assert(Sinks.interpretBatchCounts(Array(1, 0, 1, 0, 0)) == (2L, 3L, 0L))
     assert(Sinks.interpretBatchCounts(
