@@ -1,0 +1,193 @@
+package graft.functions
+
+/**
+ * Byte-level Byte-Pair Encoding: a REAL merges-table subword tokenizer
+ * (Sennrich et al. 2016, the GPT-2 byte-level variant — both public
+ * algorithms), pure Scala, no network, no external model files. The
+ * reference has no tokenizer (goetl has no text operators at all);
+ * this exists because token BUDGETS drive training-data pipelines —
+ * sequence packing and shard sizing are only trustworthy if the count
+ * comes from an actual merges table, not a regex proxy.
+ *
+ * Shape of the algorithm:
+ *  1. Pre-tokenize text into words (GPT-2-shaped regex: contraction
+ *     suffixes, optionally-space-prefixed letter/digit/punct runs).
+ *  2. Map each word's UTF-8 bytes through the reversible byte→char
+ *     table (every byte gets a printable char, so merges are plain
+ *     string concatenation and any byte sequence round-trips).
+ *  3. Repeatedly merge the adjacent symbol pair with the LOWEST merge
+ *     rank until no ranked pair remains.
+ *
+ * Training (classic BPE): count adjacent pairs over the word-frequency
+ * table, merge the most frequent pair everywhere, repeat. Ties break
+ * lexicographically on the pair — training is a pure function of
+ * (corpus, numMerges), so a vocab is reproducible from its inputs.
+ *
+ * Everything here is driver/executor-side plain Scala; the Spark
+ * surface (a UDF over a broadcast-captured vocab) lives in
+ * [[graft.llm.TextAnalysis.bpeTokenCountExact]].
+ */
+object Bpe {
+
+  /** A trained tokenizer: ordered merge list (rank = position). */
+  final case class BpeVocab(merges: Vector[(String, String)]) extends Serializable {
+    @transient lazy val rank: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+  }
+
+  /** GPT-2-shaped pre-tokenizer. Java regex (driver/executor side —
+   *  RE2 portability does not apply; no oracle replays this). */
+  private val PreToken = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  private[functions] def preTokens(text: String): Vector[String] = {
+    val m = PreToken.matcher(text)
+    val buf = Vector.newBuilder[String]
+    while (m.find()) buf += m.group()
+    buf.result()
+  }
+
+  /** Reversible byte→printable-char table (GPT-2 bytes_to_unicode):
+   *  visible latin ranges map to themselves, every other byte gets a
+   *  codepoint from 256 upward — so a "symbol" is always a non-empty
+   *  printable string and concatenation never collides. */
+  private[functions] val byteToChar: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val arr = new Array[Char](256)
+    var next = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + next).toChar; next += 1 }
+    }
+    arr
+  }
+  private[functions] val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  private def toSymbols(word: String): Vector[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .iterator.map(b => byteToChar(b & 0xff).toString).toVector
+
+  /** Apply the merges table to one word's symbol sequence: always the
+   *  LOWEST-rank (earliest-learned) pair present, all its occurrences
+   *  left-to-right, until no ranked pair remains. */
+  private[functions] def mergeWord(word: Vector[String], vocab: BpeVocab): Vector[String] = {
+    var w = word
+    while (w.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < w.length - 1) {
+        vocab.rank.get((w(i), w(i + 1))).foreach(r => if (r < best) best = r)
+        i += 1
+      }
+      if (best == Int.MaxValue) return w
+      val (p1, p2) = vocab.merges(best)
+      val buf = Vector.newBuilder[String]
+      i = 0
+      while (i < w.length) {
+        if (i < w.length - 1 && w(i) == p1 && w(i + 1) == p2) { buf += p1 + p2; i += 2 }
+        else { buf += w(i); i += 1 }
+      }
+      w = buf.result()
+    }
+    w
+  }
+
+  /** Tokenize: subword strings in the byte-mapped alphabet. Null-safe
+   *  (null → empty, matching SQL semantics at the UDF boundary). */
+  def encode(text: String, vocab: BpeVocab): Vector[String] =
+    if (text == null) Vector.empty
+    else preTokens(text).flatMap(pt => mergeWord(toSymbols(pt), vocab))
+
+  def tokenCount(text: String, vocab: BpeVocab): Long = encode(text, vocab).length.toLong
+
+  /** Invert [[encode]]: concatenate tokens, map chars back to bytes,
+   *  decode UTF-8 — the roundtrip property every byte-level BPE must
+   *  satisfy (tested over arbitrary unicode input). */
+  def decode(tokens: Seq[String]): String = {
+    val bytes = tokens.iterator.flatMap(_.iterator).map(c => charToByte(c).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /**
+   * Train a merges table: greedy most-frequent-adjacent-pair, ties by
+   * ascending pair order (deterministic). Stops early when no pair
+   * occurs twice — learning singleton merges would just memorize the
+   * corpus. Training cost is O(numMerges × corpus words) — meant for
+   * SMALL embedded vocabs and tests; production corpora would train
+   * once offline and ship the merges list as data.
+   */
+  def train(corpus: Seq[String], numMerges: Int): BpeVocab = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(preTokens).groupBy(identity)
+      .map { case (w, occ) => toSymbols(w) -> occ.size.toLong }
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var done = false
+    while (n < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        var i = 0
+        while (i < w.length - 1) {
+          val p = (w(i), w(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val best = pairCounts.filter(_._2 >= 2) match {
+        case m if m.isEmpty => None
+        case m => Some(m.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1)
+      }
+      best match {
+        case None => done = true
+        case Some(p @ (p1, p2)) =>
+          merges += p
+          val merged = p1 + p2
+          words = words.map { case (w, c) =>
+            if (w.length < 2) (w, c)
+            else {
+              val buf = Vector.newBuilder[String]
+              var i = 0
+              while (i < w.length) {
+                if (i < w.length - 1 && w(i) == p1 && w(i + 1) == p2) { buf += merged; i += 2 }
+                else { buf += w(i); i += 1 }
+              }
+              (buf.result(), c)
+            }
+          }
+          n += 1
+      }
+    }
+    BpeVocab(merges.result())
+  }
+
+  /** Embedded training sample for the default vocab: ORIGINAL plain
+   *  English prose written for this repository (no copied corpus, no
+   *  downloaded model). ~1 KB is enough for a few hundred merges of
+   *  common English subwords — the default vocab exists so token
+   *  counts are REAL BPE outputs out of the box; serious pipelines
+   *  pass their own trained vocab. */
+  private[functions] val SampleText: String =
+    """The engine reads records from many sources and writes them back
+      |to many sinks. Each record moves through the plan as a row, and
+      |the planner decides where the work runs. When the data grows, the
+      |partitions split and the shuffle carries only the keys that the
+      |join needs. A filter that runs early saves the scan from reading
+      |columns that nobody asked for. The same idea repeats at every
+      |scale: count what you must, skip what you can, and never move
+      |bytes twice when once will do. Training corpora arrive as text,
+      |and the text becomes tokens, and the tokens become batches that
+      |fill a context window. If the counter lies about the tokens, the
+      |batches overflow or waste space, so the counter has to run the
+      |same merges the model will run. Deduplication removes the pages
+      |that repeat, the language filter keeps the words it knows, and
+      |the quality score ranks what remains. What is left packs into
+      |shards of nearly equal size, and the shards feed the trainers,
+      |and the trainers do not care how hard that was. They never do.
+      |""".stripMargin
+
+  /** Default vocab: up to 256 merges trained on [[SampleText]]
+   *  (training stops when no pair repeats) — computed once per JVM,
+   *  deterministic (pure function of the embedded text). */
+  lazy val DefaultVocab: BpeVocab = train(Seq(SampleText), 256)
+}

@@ -43,9 +43,35 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish token count: letter runs, digit runs, and single
-   *  non-alphanumeric marks — a cheap proxy for subword tokenizers. */
+   *  non-alphanumeric marks — a cheap codegen'd PROXY for subword
+   *  tokenizers (stays a pure Column expression, oracle-replayable).
+   *  When the count must match an actual merges table — packing
+   *  context windows, sizing shards — use [[bpeTokenCountExact]]. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** REAL byte-level BPE tokenization ([[graft.functions.Bpe]]): the
+   *  subword strings an actual merges table produces. A Scala UDF by
+   *  design, not reluctance: BPE's inner loop is data-dependent
+   *  iterative merging — there is nothing for codegen to fuse, and a
+   *  custom Expression would pay the same per-row boxed work. The
+   *  vocab rides the closure (broadcast by the task serializer, rank
+   *  map rebuilt lazily per executor). Per-document, no shuffle —
+   *  embarrassingly parallel at any scale. */
+  def bpeTokenize(text: Column,
+                  vocab: graft.functions.Bpe.BpeVocab = graft.functions.Bpe.DefaultVocab): Column = {
+    val enc = udf((s: String) => graft.functions.Bpe.encode(s, vocab))
+    enc(text)
+  }
+
+  /** Token count from the REAL merges-table tokenizer — the number
+   *  sequence packing and shard budgeting should trust. See
+   *  [[bpeTokenize]] for the UDF rationale. */
+  def bpeTokenCountExact(text: Column,
+                         vocab: graft.functions.Bpe.BpeVocab = graft.functions.Bpe.DefaultVocab): Column = {
+    val cnt = udf((s: String) => graft.functions.Bpe.tokenCount(s, vocab))
+    cnt(text)
+  }
 
   /** Distinct-token count. */
   def uniqueTokenCount(text: Column): Column =
