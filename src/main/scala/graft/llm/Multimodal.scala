@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
  * amortizes model/codec init per partition, not per row — the Scala
  * analogue of `mapInPandas` batch processing.
  *
- * The decode step itself is a clearly-marked STUB (this environment has
- * no image/audio codecs): [[FakeDecoder]] produces deterministic
- * pseudo-features from the bytes so the Spark-side plumbing — schema,
- * partitioning, batch shape, encoders — is real and testable. Swap
- * [[Decoder]] for a JNI/FFI codec binding in production.
+ * IMAGE decode is REAL: [[ImageIoDecoder]]/[[ImageIoResizer]] bind
+ * `javax.imageio` (in every JDK, headless-safe — PNG/JPEG/BMP/GIF).
+ * Audio/video decode remains a clearly-marked STUB ([[FakeDecoder]]
+ * produces deterministic pseudo-features from the bytes — no
+ * audio/video codecs in this environment) so the Spark-side plumbing —
+ * schema, partitioning, batch shape, encoders — is real and testable
+ * for every modality. Swap [[Decoder]] for a JNI/FFI codec binding for
+ * the rest.
  */
 object Multimodal {
 
@@ -66,10 +69,63 @@ object Multimodal {
     def decode(content: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB decoder — deterministic pseudo-features from a rolling hash
-   *  of the payload bytes (no codec libs in this environment). The
-   *  plumbing around it (schema/partitioning/batching) is production-
-   *  shaped; only this class is fake. */
+  /**
+   * REAL image decoder over `javax.imageio` (PNG/JPEG/BMP/GIF — the
+   * readers every JDK ships, no display needed). Features are exact,
+   * hand-computable channel-stripe means: with `B = dim/3` spatial
+   * buckets, pixel `p` (row-major) lands in bucket `j = p·B/nPixels`,
+   * and `out(3j+c)` is the mean of channel `c` (R,G,B order) over the
+   * bucket's pixels, normalized to [0,1] by /255. Payloads ImageIO
+   * cannot parse (or empty) yield the zero vector — one corrupt file
+   * in a 100 TB corpus must cost a zero row, never the job.
+   */
+  final class ImageIoDecoder extends Decoder {
+    override def open(): Unit =
+      // no temp-file cache: decode stays in-memory per task
+      javax.imageio.ImageIO.setUseCache(false)
+    def decode(content: Array[Byte], dim: Int): Array[Float] = {
+      require(dim % 3 == 0 && dim > 0, s"image feature dim must be a multiple of 3, got $dim")
+      val out = new Array[Float](dim)
+      if (content.isEmpty) return out
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return out
+      val (w, h) = (img.getWidth, img.getHeight)
+      val buckets = dim / 3
+      val counts = new Array[Int](buckets)
+      var p = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val j = (p.toLong * buckets / (w.toLong * h)).toInt
+          out(3 * j) += ((rgb >> 16) & 0xff)
+          out(3 * j + 1) += ((rgb >> 8) & 0xff)
+          out(3 * j + 2) += (rgb & 0xff)
+          counts(j) += 1
+          p += 1; x += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < buckets) {
+        if (counts(j) > 0) {
+          val norm = 255f * counts(j)
+          out(3 * j) /= norm; out(3 * j + 1) /= norm; out(3 * j + 2) /= norm
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** STUB decoder for modalities WITHOUT a JDK codec (audio/video) —
+   *  deterministic pseudo-features from a rolling hash of the payload
+   *  bytes. The plumbing around it (schema/partitioning/batching) is
+   *  production-shaped; only this class is fake. Images have the real
+   *  [[ImageIoDecoder]]. */
   object FakeDecoder extends Decoder {
     def decode(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -113,9 +169,39 @@ object Multimodal {
     def resize(content: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
-  /** STUB resizer — deterministic index-scaled byte resampling (no
-   *  codec libs in this environment); output size ∝ target pixel
-   *  count, so downstream size accounting behaves realistically. */
+  /** REAL image resizer over `javax.imageio` + `BufferedImage`:
+   *  decode, nearest-neighbor scale onto a TYPE_INT_RGB canvas
+   *  (deterministic — no interpolation variance across JVMs), re-encode
+   *  as PNG (lossless, so resized pixels are exactly recoverable by
+   *  [[ImageIoDecoder]]). Unparsable payloads pass through unchanged —
+   *  same corrupt-file posture as decode. */
+  final class ImageIoResizer extends Resizer {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"target dims must be positive: ${width}x$height")
+      if (content.isEmpty) return content
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return content
+      val outImg = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = outImg.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(outImg, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB resizer for modalities WITHOUT a JDK codec — deterministic
+   *  index-scaled byte resampling; output size ∝ target pixel count,
+   *  so downstream size accounting behaves realistically. Images have
+   *  the real [[ImageIoResizer]]. */
   object FakeResizer extends Resizer {
     def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
       val target = math.max(1, width * height / 64)

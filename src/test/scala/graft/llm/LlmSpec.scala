@@ -363,4 +363,54 @@ class LlmSpec extends AnyFunSuite {
     assert(resized(1L).meta.width.contains(16) && resized(1L).meta.height.contains(16))
     assert(resized(2L).content.length == 4) // empty payload still shapes correctly
   }
+
+  test("multimodal: REAL image decode — synthesized PNGs yield exact pixel features") {
+    import Multimodal._
+    // 2x2 PNG with known pixels: red, green | blue, white
+    def png(pixels: Seq[Seq[Int]]): Array[Byte] = {
+      val h = pixels.length; val w = pixels.head.length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bytes = png(Seq(Seq(0xff0000, 0x00ff00), Seq(0x0000ff, 0xffffff)))
+    val media = Multimodal.attach(
+      Seq((1L, bytes), (2L, Array[Byte](1, 2, 3)), (3L, Array.empty[Byte]))
+        .toDF("id", "payload"), "id", col("payload"), "image/png")
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+        media.as[MediaRecord], dim = 3, decoder = new ImageIoDecoder)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    // dim=3 -> ONE spatial bucket: features = channel means / 255 =
+    // R: (255+0+0+255)/4/255, G: (0+255+0+255)/4/255, B: (0+0+255+255)/4/255
+    assert(feats(1L) == Seq(0.5f, 0.5f, 0.5f))
+    assert(feats(2L) == Seq(0f, 0f, 0f)) // unparsable -> zero vector, not a crash
+    assert(feats(3L) == Seq(0f, 0f, 0f)) // empty -> zero vector
+    // dim=6 -> TWO spatial buckets (top row / bottom row on a 2x2):
+    val f6 = Multimodal.extractFeatures(
+        media.as[MediaRecord], dim = 6, decoder = new ImageIoDecoder)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f6(1L) == Seq(0.5f, 0.5f, 0f, 0.5f, 0.5f, 1f))
+
+    // REAL resize: 2x2 -> 4x4 nearest neighbor replicates each source
+    // pixel into a 2x2 block; the PNG re-encode is lossless, so decode
+    // of the resized payload recovers the exact block structure
+    val resized = Multimodal.resize(
+        media.as[MediaRecord], 4, 4, resizer = new ImageIoResizer)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(resized(1L).meta.width.contains(4) && resized(1L).meta.height.contains(4))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).content))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(1, 1) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(3, 0) & 0xffffff) == 0x00ff00)
+    assert((back.getRGB(0, 3) & 0xffffff) == 0x0000ff)
+    assert((back.getRGB(3, 3) & 0xffffff) == 0xffffff)
+    // unparsable payloads pass through unchanged
+    assert(resized(2L).content.toSeq == Seq[Byte](1, 2, 3))
+  }
 }
