@@ -1024,17 +1024,23 @@ object SparkEntry {
     // ---- §2.11 custom KEYED STATE through the real micro-batch
     //      engine: mapGroupsWithState running counts in Update mode;
     //      counts are monotone, so max-per-key over every emitted
-    //      update equals the batch groupBy count exactly ----
+    //      update equals the batch groupBy count exactly. Runs under
+    //      the ROCKSDB state store — the disk-backed provider a 100 TB
+    //      stream needs (keyed state bounded by disk, not executor
+    //      heap) — so the gate exercises the production backend, not
+    //      just the in-memory default ----
     "q90_stream_state" -> ((s, dir) => {
       import s.implicits._
       val schema = Tables.rawSchema(s, dir, "events")
-      graft.streaming.Streaming.runBatchAsStream(
-        s, s"$dir/events*.parquet", schema,
-        df => graft.streaming.Streaming.runningCount(
-          df.select(col("event_type"), lit(1L))
-            .as[(String, Long)]).toDF(),
-        name = s"graft_stream_st_${System.nanoTime}",
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+      graft.streaming.Streaming.withRocksDbStateStore(s) {
+        graft.streaming.Streaming.runBatchAsStream(
+          s, s"$dir/events*.parquet", schema,
+          df => graft.streaming.Streaming.runningCount(
+            df.select(col("event_type"), lit(1L))
+              .as[(String, Long)]).toDF(),
+          name = s"graft_stream_st_${System.nanoTime}",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+      }
         .groupBy("key").agg(max("count").as("n"))
         .select(col("key").as("event_type"), col("n"))
     }),
@@ -1694,7 +1700,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // same shard rule as q48, then ordered string_agg per shard;
-    // sums cast to BIGINT (DuckDB sums integers into HUGEINT)
+    // sums cast to BIGINT (DuckDB sums integers into HUGEINT).
+    // coalesce(text,'') INSIDE the agg: string_agg silently SKIPS
+    // nulls while packSequences keeps a null doc's boundary as an
+    // empty segment — the corpus has no null texts today, but the
+    // oracle must encode the same contract, not rely on the invariant
     "q96_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang, text,
         |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
@@ -1702,7 +1712,8 @@ object SparkEntry {
         |s AS (SELECT *, CAST(floor((sum(n_tokens)
         |  OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |  - n_tokens) / 1000.0) AS BIGINT) AS shard FROM t)
-        |SELECT lang, shard, string_agg(text, '<eos>' ORDER BY doc_id) AS sequence,
+        |SELECT lang, shard,
+        |  string_agg(coalesce(text, ''), '<eos>' ORDER BY doc_id) AS sequence,
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens, count(*) AS n_docs
         |FROM s GROUP BY 1, 2""".stripMargin,
 

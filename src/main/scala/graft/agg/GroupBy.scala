@@ -272,7 +272,15 @@ object GroupBy {
         // out-of-range rows affect neither numerator nor denominator
         val n = count(dec).over(w)
         val mean = sum(dec).over(w).cast("double") / n
-        // population variance from exact sums: E[x²] − E[x]²
+        // Population variance from exact sums: E[x²] − E[x]².
+        // PRECISION LIMIT: the sums are exact decimals but the final
+        // subtraction is double arithmetic, so groups whose |mean|
+        // dwarfs their spread (σ/|μ| ≲ 1e-8, e.g. values ~1e7 spread
+        // <1) cancel catastrophically — z-scores degrade and can go
+        // spuriously null (variance ≤ 0). The form is kept because the
+        // external oracle reproduces it bit-exactly; a mean-shifted
+        // second moment would fix cancellation at the cost of a second
+        // windowed pass. Rescale such groups before normalizing.
         val variance = sum(dec * dec).over(w).cast("double") / n - mean * mean
         df.withColumn(out,
           when(n === 0 || variance <= 0, lit(null).cast("double"))

@@ -35,6 +35,13 @@ object Joins {
     case other   => other
   }
 
+  /** Strategy hints a caller may pin on the RIGHT side (Catalyst/AQE
+   *  choose freely otherwise): broadcast for known-small builds,
+   *  shuffle_hash when sort-merge's sort is the bottleneck, merge to
+   *  force SMJ, shuffle_replicate_nl as the cartesian fallback. */
+  val strategyHints: Set[String] =
+    Set("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl")
+
   /**
    * Multi-key equi-join (reference composite keys stringified
    * `"v1|v2"`, `join.go:172-187` — here native typed key columns).
@@ -45,13 +52,6 @@ object Joins {
    *   non-key columns (reference JoinConfig prefixes); when both empty,
    *   clashing right columns get `right_` (reference default).
    */
-  /** Strategy hints a caller may pin on the RIGHT side (Catalyst/AQE
-   *  choose freely otherwise): broadcast for known-small builds,
-   *  shuffle_hash when sort-merge's sort is the bottleneck, merge to
-   *  force SMJ, shuffle_replicate_nl as the cartesian fallback. */
-  val strategyHints: Set[String] =
-    Set("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl")
-
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            joinType: String = "inner",
            leftPrefix: String = "", rightPrefix: String = "",

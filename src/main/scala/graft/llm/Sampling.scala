@@ -284,7 +284,12 @@ object Sampling {
     var fixed = true
     while (fixed && active.nonEmpty && remaining > 0) {
       fixed = false
-      val mass = active.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+      // fixed fold order (sorted by stratum): Map iteration order comes
+      // from a nondeterministic collect() upstream, and IEEE addition
+      // is order-sensitive — an ulp of mass drift could flip a
+      // round(f·n) threshold at a knife-edge downstream
+      val mass = active.toSeq.sortBy(_._1)
+        .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
       val clamped = active.filter { case (_, n) =>
         remaining * math.pow(n.toDouble, alpha) / mass >= n }
       if (clamped.nonEmpty) {

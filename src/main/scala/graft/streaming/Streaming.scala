@@ -109,6 +109,25 @@ object Streaming {
       java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** Run `body` with the RocksDB state store provider (bundled with
+   *  Spark 4 — rocksdbjni ships in the distribution), restoring the
+   *  prior provider after. THE state backend for 100 TB streaming:
+   *  keyed state lives off-heap/on-disk per task instead of in
+   *  executor heap, so state size is bounded by disk, not memory.
+   *  The provider conf is read at QUERY START, so wrapping the
+   *  `start()` call is sufficient; restoring it never affects a
+   *  running query. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** In-memory sink for tests: results under `SELECT * FROM <name>`. */
   def memorySink(df: DataFrame, name: String,
                  outputMode: OutputMode = OutputMode.Complete()): StreamingQuery =

@@ -117,6 +117,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map("a" -> 5L, "b" -> 1L))
   }
 
+  test("runningCount under the RocksDB state store matches the default provider") {
+    implicit val sqlCtx = spark.sqlContext
+    // the conf demonstrably takes effect: a bogus provider class must
+    // fail query startup...
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "does.not.Exist")
+    try {
+      val s0 = MemoryStream[(String, Long)]
+      val q0 = Streaming.runningCount(s0.toDS()).writeStream
+        .format("memory").queryName("rocks_bogus").outputMode("update").start()
+      s0.addData(("a", 1L))
+      intercept[Exception] { q0.processAllAvailable() }
+      q0.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // ...and the RocksDB run succeeds with identical results
+    Streaming.withRocksDbStateStore(spark) {
+      val stream = MemoryStream[(String, Long)]
+      val q = Streaming.runningCount(stream.toDS()).writeStream
+        .format("memory").queryName("rocks_test").outputMode("update").start()
+      stream.addData(("a", 2L), ("b", 1L)); q.processAllAvailable()
+      stream.addData(("a", 3L)); q.processAllAvailable()
+      q.stop()
+    }
+    val last = spark.sql(
+      "SELECT key, max(count) AS c FROM rocks_test GROUP BY key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("a" -> 5L, "b" -> 1L))
+    // provider restored for the rest of the suite
+    assert(spark.conf.getOption(key) == prev)
+  }
+
   test("file stream → parquet sink with checkpoint (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
