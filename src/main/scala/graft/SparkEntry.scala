@@ -780,6 +780,50 @@ object SparkEntry {
         TA.repetitionRatio(text, 3).as("rep_ratio"))
     }),
 
+    // ---- LLM ops: HTML stripping — crawled pages synthesized from
+    //      the corpus (tags, script/style blocks with droppable
+    //      content, comments, entities), then cleaned back to running
+    //      text; the C4-style first pass over raw web data ----
+    "q105_html_strip" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><style>p { color: red; }</style>"),
+        lit("<script type=\"text/js\">var x = 1 &amp;&amp; 2;</script></head>"),
+        lit("<!-- crawl id --><body><h1>Doc &amp; title</h1><p class=\"b\">"),
+        col("text"),
+        lit("</p><br/>&lt;tail&gt;&nbsp;&#39;end&#39;</body></html>"))
+      t(s, dir, "documents").select(
+        col("doc_id"), TA.stripHtml(page).as("clean"))
+    }),
+
+    // ---- LLM ops: per-site accounting — domain extraction from
+    //      synthesized URLs + blocklist filter, then docs-per-domain;
+    //      the C4-style site filter and the aggregation behind
+    //      domain-level corpus stats ----
+    "q106_domains" -> ((s, dir) => {
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com/p/"), col("doc_id"))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      TA.domainBlocklistFilter(docs, "url",
+          blocklist = Seq("src1.example.com", "src3.example.com"))
+        .groupBy(TA.extractDomain(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- LLM ops: Unicode NFC normalization — decomposed sequences
+    //      (e + U+0301) composed before hashing/dedup; both engines
+    //      implement the same Unicode tables, so the gate checks
+    //      byte-identical output ----
+    "q107_nfc" -> ((s, dir) => {
+      // DECOMPOSED suffix: e+COMBINING ACUTE (U+0301), A+COMBINING
+      // RING (U+030A), o+COMBINING DIAERESIS (U+0308) -- NFC must
+      // compose all three into caf\u00e9 / \u00c5ngstr\u00f6m; the
+      // ASCII corpus text passes through untouched
+      val decorated = concat(col("text"),
+        lit(" cafe\u0301 A\u030Angstro\u0308m"))
+      t(s, dir, "documents").select(
+        col("doc_id"), TA.nfcNormalize(decorated).as("nfc"))
+    }),
+
     // ---- LLM ops: deterministic per-key corpus quota ----
     "q47_per_key_limit" -> ((s, dir) => {
       graft.llm.Sampling.perKeyLimit(t(s, dir, "documents"),
@@ -1730,6 +1774,38 @@ object SparkEntry {
         | CASE WHEN len(allg) = 0 THEN 0.0
         |      ELSE 1.0 - CAST(len(list_distinct(allg)) AS DOUBLE) / CAST(len(allg) AS DOUBLE) END AS rep_ratio
         |FROM g""".stripMargin,
+
+    // same strip pipeline in RE2: comments, script/style WITH content,
+    // tags, entity unescapes (plain replace -- literal patterns, &amp;
+    // LAST so double-escapes decode once), whitespace collapse
+    "q105_html_strip" ->
+      """WITH p AS (SELECT doc_id,
+        |  '<html><head><style>p { color: red; }</style><script type="text/js">var x = 1 &amp;&amp; 2;</script></head><!-- crawl id --><body><h1>Doc &amp; title</h1><p class="b">'
+        |  || text || '</p><br/>&lt;tail&gt;&nbsp;&#39;end&#39;</body></html>' AS page FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
+        |  '<!--[\s\S]*?-->', ' ', 'g'),
+        |  '<script[^>]*>[\s\S]*?</script>|<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
+        |  '<[^>]*>', ' ', 'g') AS t1 FROM p),
+        |u AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t1,
+        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |  '&#39;', chr(39)), '&amp;', '&') AS t2 FROM c)
+        |SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean FROM u""".stripMargin,
+
+    "q106_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com/p/' || doc_id AS url FROM documents),
+        |e AS (SELECT doc_id, CASE WHEN h = '' THEN NULL ELSE h END AS domain FROM (
+        |  SELECT doc_id, regexp_replace(
+        |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+        |    '^www\.', '') AS h FROM d))
+        |SELECT domain, count(*) AS n_docs FROM e
+        |WHERE domain IS NULL OR domain NOT IN ('src1.example.com', 'src3.example.com')
+        |GROUP BY 1""".stripMargin,
+
+    // both engines implement the same Unicode composition tables
+    "q107_nfc" ->
+      ("SELECT doc_id, nfc_normalize(text || ' café Ångström') AS nfc " +
+        "FROM documents"),
 
     "q25_simhash" ->
       """WITH h AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs FROM documents)

@@ -170,6 +170,66 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + md5i(t)) % 1000000007L)
 
+  /** Strip HTML markup from crawled text — the first cleaning pass of
+   *  every web-corpus pipeline (C4-style): comments and
+   *  script/style blocks drop with their CONTENT, remaining tags
+   *  become spaces, the five predefined entities plus `&nbsp;`
+   *  unescape, whitespace collapses. RE2-compatible patterns (no
+   *  lookaround, no backreferences), so an external engine reproduces
+   *  the result exactly. NOT a parser: pathological markup (unclosed
+   *  `<script`, tags inside attributes) degrades gracefully rather
+   *  than exactly — corpus cleaning wants throughput and determinism,
+   *  not DOM fidelity. */
+  def stripHtml(text: Column): Column = {
+    // non-greedy spans with [\s\S] (not dotall flags): identical
+    // semantics in java.util.regex and RE2/DuckDB
+    val noComment = regexp_replace(text, "<!--[\\s\\S]*?-->", " ")
+    val noBlocks = regexp_replace(noComment,
+      "<script[^>]*>[\\s\\S]*?</script>|<style[^>]*>[\\s\\S]*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&" // amp LAST: &amp;lt; is "&lt;" the TEXT
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Registered domain-ish host from a URL, lowercased, `www.`
+   *  stripped — the key for per-site aggregation, blocklist filtering
+   *  and domain-level dedup in web corpora. Pure regex (RE2-safe,
+   *  oracle-reproducible); no scheme or unparsable input → null. */
+  def extractDomain(url: Column): Column = {
+    val host = regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    val bare = regexp_replace(host, "^www\\.", "")
+    when(bare =!= "", bare)
+  }
+
+  /** Drop rows whose URL's domain ([[extractDomain]]) is blocklisted —
+   *  the C4-style site filter. The blocklist rides the plan as a
+   *  literal IN-list (right size for curated lists of thousands; an
+   *  adversarial-scale list would become a broadcast anti-join).
+   *  Null/unparsable domains are KEPT — the filter removes known-bad
+   *  sites, it does not validate URLs. */
+  def domainBlocklistFilter(df: DataFrame, urlCol: String,
+                            blocklist: Seq[String]): DataFrame = {
+    val d = extractDomain(col(urlCol))
+    df.filter(d.isNull || !d.isin(blocklist.map(_.toLowerCase): _*))
+  }
+
+  /** Unicode NFC normalization — canonical composition, the
+   *  prerequisite for hash-based dedup over multi-source corpora
+   *  (decomposed "é" = `e`+U+0301 must hash like composed U+00E9).
+   *  A UDF over `java.text.Normalizer` (in every JDK): normalization
+   *  tables are not expressible as SQL regexes; per-row, no shuffle.
+   *  Null-safe (null → null). The oracle reproduces it with DuckDB's
+   *  `nfc_normalize` — both implement the same Unicode standard. */
+  def nfcNormalize(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(text)
+  }
+
   /** Text normalization for corpus pre-processing: strip control
    *  characters, collapse whitespace runs to one space, trim,
    *  lowercase. Patterns are RE2-compatible (no lookaround), so an

@@ -246,6 +246,46 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("short") == 0.0) // sub-n text: defined 0, no divide-by-zero
   }
 
+  test("web cleaning: HTML strip, domain extraction, blocklist, NFC composition") {
+    val html = "<html><!-- note --><head><script>if (a < b) { x(); }</script>" +
+      "<style>.c { }</style></head><body><h1>Title</h1>Fish &amp; chips " +
+      "&lt;b&gt; &amp;lt;literal&amp;gt; &#39;q&#39;&nbsp;end</body></html>"
+    val stripped = Seq(html).toDF("t")
+      .select(TextAnalysis.stripHtml(col("t"))).collect()(0).getString(0)
+    // script CONTENT dropped (even with a '<' inside), entities decoded
+    // once: double-escaped "&amp;lt;" surfaces as the TEXT "&lt;"
+    assert(stripped == "Title Fish & chips <b> &lt;literal&gt; 'q' end")
+
+    val doms = Seq(
+      ("https://www.EXample.com/path?q=1", "strip-www-lower"),
+      ("http://sub.site.org:8080/x", "keep-sub-drop-port"),
+      ("ftp://files.host.net/f", "any-scheme"),
+      ("not a url", "unparsable"),
+      (null, "null"))
+      .toDF("url", "kind")
+      .select(col("kind"), TextAnalysis.extractDomain(col("url")).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(doms("strip-www-lower").contains("example.com"))
+    assert(doms("keep-sub-drop-port").contains("sub.site.org"))
+    assert(doms("any-scheme").contains("files.host.net"))
+    assert(doms("unparsable").isEmpty && doms("null").isEmpty)
+
+    val kept = TextAnalysis.domainBlocklistFilter(
+      Seq("https://spam.bad/x", "https://ok.good/y", "garbage")
+        .toDF("url"), "url", Seq("SPAM.BAD"))
+      .collect().map(_.getString(0)).toSet
+    // blocklist is case-normalized; unparsable rows are KEPT
+    assert(kept == Set("https://ok.good/y", "garbage"))
+
+    val nfc = Seq("cafe\u0301 e\u0301 A\u030A plain", null).toDF("t")
+      .select(TextAnalysis.nfcNormalize(col("t"))).collect()
+    // DECOMPOSED combining marks compose: 3 marks disappear into
+    // caf\u00e9 / \u00e9 / \u00c5 and the ASCII tail is untouched
+    assert(nfc(0).getString(0) == "caf\u00e9 \u00e9 \u00c5 plain")
+    assert(nfc(0).getString(0).length == 14)
+    assert(nfc(1).isNullAt(0))
+  }
+
   test("quality score rewards running text over punctuation soup") {
     val r = Seq(
       ("the cat is on the mat and it is happy with this that", "good"),
