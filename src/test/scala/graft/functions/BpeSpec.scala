@@ -110,4 +110,34 @@ class BpeSpec extends AnyFunSuite {
       assert(rows(i.toLong) == Bpe.tokenCount(t, Bpe.DefaultVocab))
     }
   }
+
+  test("sequence packing driven by REAL BPE counts: budgets and totals conserve") {
+    // the integration the tokenizer exists for — trustworthy token
+    // budgets feeding packSequences (same contract the q96 gate checks
+    // with whitespace counts)
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the engine reads records from many sources"),
+      (2L, "the text becomes tokens and the tokens become batches"),
+      (3L, "count what you must skip what you can"),
+      (4L, "shards of nearly equal size feed the trainers"),
+      (5L, "x")).toDF("doc_id", "text")
+      .withColumn("grp", org.apache.spark.sql.functions.lit("g"))
+      .withColumn("n_tokens",
+        graft.llm.TextAnalysis.bpeTokenCountExact(col("text")))
+    val budget = 12L
+    val packed = graft.llm.Sampling.packSequences(docs, Seq("grp"),
+      orderCol = "doc_id", tokenCol = "n_tokens", textCol = "text",
+      budget = budget).collect()
+    val expectTotal = docs.select(org.apache.spark.sql.functions
+      .sum("n_tokens")).collect()(0).getLong(0)
+    assert(packed.map(_.getAs[Long]("seq_tokens")).sum == expectTotal)
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == 5L)
+    // every shard except possibly the last stays within budget + one doc
+    val maxDoc = docs.select(org.apache.spark.sql.functions
+      .max("n_tokens")).collect()(0).getLong(0)
+    assert(packed.forall(_.getAs[Long]("seq_tokens") <= budget + maxDoc))
+  }
 }
