@@ -518,7 +518,15 @@ object SparkEntry {
     "q104_jdbc_upsert" -> ((s, dir) => {
       import graft.sources.Sources
       import graft.sinks.Sinks
-      val url = s"jdbc:duckdb:/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.db"
+      // FRESH database file per invocation (not CREATE OR REPLACE into
+      // the old one): DuckDB 1.0.0's ART index can falsely report
+      // duplicate-key violations when keys that existed before a
+      // drop/replace are re-inserted ahead of a checkpoint — the
+      // documented "known index limitations". All connections from a
+      // prior invocation are closed by then, so the delete is safe.
+      val dbPath = s"/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.db"
+      Seq(dbPath, dbPath + ".wal").foreach(p => new java.io.File(p).delete())
+      val url = s"jdbc:duckdb:$dbPath"
       Sinks.jdbcCreateTable(url, "supplier_up",
         "s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER, s_acctbal DOUBLE",
         primaryKey = Seq("s_suppkey"), replace = true)
