@@ -1012,6 +1012,15 @@ object SparkEntry {
         "doc_id", numer = 3, denom = 10, salt = "s1")
     }),
 
+    // ---- LLM ops: content-deterministic EXACT-k sample (globally
+    //      smallest k hashes — "carve exactly 150 eval docs"); plans
+    //      as TakeOrderedAndProject, no global sort ----
+    "q108_exact_k" -> ((s, dir) => {
+      graft.llm.Sampling.exactKByHash(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", k = 150, salt = "ev")
+    }),
+
     // ---- LLM ops: WEIGHT-proportional deterministic sample — keep
     //      probability min(1, rate·n_chars): longer docs favored,
     //      row set stable across runs/engines/partitionings ----
@@ -2069,6 +2078,13 @@ object SparkEntry {
     "q58_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 's1'),1,8))::BIGINT % 10 < 3""".stripMargin,
+
+    // the k globally smallest salted hashes, hash collisions broken by
+    // the key — a total order, so the SET is engine-independent
+    "q108_exact_k" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || 'ev'),1,8))::BIGINT, doc_id
+        |LIMIT 150""".stripMargin,
 
     // h < rate · weight · 2^32 — both sides promote to double; the
     // 32-bit hash is exactly representable, so the compare replays

@@ -113,6 +113,29 @@ object Sampling {
   }
 
   /**
+   * Content-deterministic EXACT-k sample: the `k` rows whose
+   * `md5(key ++ salt)` hashes are globally smallest (ties — hash
+   * collisions — broken by the key itself, so the set is total-order
+   * defined). The "carve exactly 10k eval documents" operation that
+   * [[hashSample]]'s fraction form cannot pin down. Because the hash
+   * is uniform, the selection is an unbiased simple random sample,
+   * yet reproducible on any engine/partitioning/run.
+   *
+   * Scale: plans as TakeOrderedAndProject — each partition keeps its
+   * local top-k (a k-row heap) and the driver merges partition heads;
+   * no global sort, no shuffle of the corpus. k-sized results are the
+   * contract (an eval slice, not a corpus split) — for proportional
+   * subsets use [[hashSample]]/[[topFractionByScore]].
+   */
+  def exactKByHash(df: DataFrame, keyCol: String, k: Int,
+                   salt: String = ""): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val h = graft.llm.TextAnalysis.md5i(
+      concat(col(keyCol).cast("string"), lit(salt)))
+    df.orderBy(h.asc, col(keyCol).asc).limit(k)
+  }
+
+  /**
    * EXACT global top-fraction selection by score — "keep the best 30%
    * of the corpus by quality" — without a global sort. The kept set is
    * defined by rank: rows ordered by (`scoreCol` DESC, `idCol` ASC),

@@ -23,6 +23,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.perKeyLimit(out, Seq("lang"), "id", 3).count() == out.count())
   }
 
+  test("exactKByHash: exactly k rows, equal to the naive global hash sort, heap-planned") {
+    val out = Sampling.exactKByHash(corpus, "id", k = 7, salt = "t")
+    // plan: TakeOrderedAndProject (partition-local heaps), no global Sort
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val got = out.collect().map(_.getLong(0)).toSet
+    assert(got.size == 7)
+    val naive = corpus.select(col("id"),
+        graft.llm.TextAnalysis.md5i(concat(col("id").cast("string"), lit("t"))).as("h"))
+      .collect().sortBy(r => (r.getLong(1), r.getLong(0))).take(7).map(_.getLong(0)).toSet
+    assert(got == naive)
+    // deterministic across runs; different salt draws a different set
+    assert(Sampling.exactKByHash(corpus, "id", 7, "t")
+      .collect().map(_.getLong(0)).toSet == got)
+    assert(Sampling.exactKByHash(corpus, "id", 7, "u")
+      .collect().map(_.getLong(0)).toSet != got)
+    // k >= n degrades to the full set; k = 0 to empty
+    assert(Sampling.exactKByHash(corpus, "id", 100).count() == 40)
+    assert(Sampling.exactKByHash(corpus, "id", 0).count() == 0)
+  }
+
   test("packByTokenBudget: shards fill in order, overshoot at most one doc") {
     val docs = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 100L), (5L, 900L))
       .toDF("id", "toks").withColumn("g", lit("a"))
