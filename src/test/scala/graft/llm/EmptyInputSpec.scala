@@ -99,6 +99,23 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq("text"), "q", "id").count() == 0)
   }
 
+  test("round-6 operators on empty corpora and empty/degenerate text") {
+    assert(Sampling.exactKByHash(emptyDocs, "id", 5).count() == 0)
+    assert(TextAnalysis.domainBlocklistFilter(
+      emptyDocs.withColumnRenamed("text", "url"), "url", Seq("x.com")).count() == 0)
+    val r = Seq(("", 1L), (null, 2L)).toDF("t", "i")
+      .select(col("i"),
+        TextAnalysis.stripHtml(col("t")).as("s"),
+        TextAnalysis.extractDomain(col("t")).as("d"),
+        TextAnalysis.nfcNormalize(col("t")).as("n"),
+        graft.llm.TextAnalysis.bpeTokenCountExact(col("t")).as("b"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "" && r(1L).isNullAt(2) &&
+      r(1L).getString(3) == "" && r(1L).getLong(4) == 0L)
+    assert(r(2L).isNullAt(1) && r(2L).isNullAt(2) &&
+      r(2L).isNullAt(3) && r(2L).getLong(4) == 0L)
+  }
+
   test("empty TEXT (not just empty corpus): metrics and shingles") {
     val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
     val m = blank.select(
