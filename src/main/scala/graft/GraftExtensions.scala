@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, SquaredL2, TryToInt, TryToLong}
+import graft.functions.{Bpe, BpeCountExpr, BpeTokenizeExpr, DotProduct, NfcNormalizeExpr, SquaredL2, TryToInt, TryToLong}
 
 /**
  * Session-extensions entry point: enables graft's native SQL functions
@@ -30,10 +30,18 @@ object GraftExtensions {
    *  common on-disk embedding type), matching the Column-API wrappers. */
   private def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
-  /** (name, builder) for every injectable native function. */
+  private def s(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.StringType)
+
+  /** (name, builder) for every injectable native function. SQL-path
+   *  BPE uses the default embedded vocab (the Column API takes a
+   *  caller-trained one). */
   val functionList: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(d(es(0)), d(es(1)))),
     "graft_sqdist" -> (es => SquaredL2(d(es(0)), d(es(1)))),
-    "graft_try_int" -> (es => TryToInt(Cast(es(0), org.apache.spark.sql.types.StringType))),
-    "graft_try_long" -> (es => TryToLong(Cast(es(0), org.apache.spark.sql.types.StringType))))
+    "graft_try_int" -> (es => TryToInt(s(es(0)))),
+    "graft_try_long" -> (es => TryToLong(s(es(0)))),
+    "graft_nfc" -> (es => NfcNormalizeExpr(s(es(0)))),
+    "graft_bpe_count" -> (es => BpeCountExpr(s(es(0)), Bpe.DefaultVocab)),
+    "graft_bpe_tokenize" -> (es => BpeTokenizeExpr(s(es(0)), Bpe.DefaultVocab)))
 }

@@ -518,38 +518,49 @@ object SparkEntry {
     "q104_jdbc_upsert" -> ((s, dir) => {
       import graft.sources.Sources
       import graft.sinks.Sinks
-      // FRESH database file per invocation (not CREATE OR REPLACE into
-      // the old one): DuckDB 1.0.0's ART index can falsely report
-      // duplicate-key violations when keys that existed before a
-      // drop/replace are re-inserted ahead of a checkpoint — the
-      // documented "known index limitations". All connections from a
-      // prior invocation are closed by then, so the delete is safe.
-      val dbPath = s"/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.db"
-      Seq(dbPath, dbPath + ".wal").foreach(p => new java.io.File(p).delete())
-      val url = s"jdbc:duckdb:$dbPath"
-      Sinks.jdbcCreateTable(url, "supplier_up",
-        "s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER, s_acctbal DOUBLE",
-        primaryKey = Seq("s_suppkey"), replace = true)
-      val sup = t(s, dir, "supplier")
-      // single writer partition: embedded DuckDB uses optimistic
-      // concurrency — parallel INSERT transactions on one table abort
-      // each other (against a server-grade target, partitions scale
-      // out to its comfortable concurrent-writer count instead)
-      val evens = sup.filter(col("s_suppkey") % 2 === 0).coalesce(1)
-      Sinks.jdbcAppend(evens, url, "supplier_up", mode = "append")
-      val ig = Sinks.jdbcUpsert(evens, url, "supplier_up",
-        Sinks.ConflictIgnore(Seq("s_suppkey")))
-      require(ig.inserted == 0 && ig.conflicted == evens.count(),
-        s"DO NOTHING upsert must conflict on every seeded row, got $ig")
-      val shifted = sup
-        .withColumn("s_acctbal", col("s_acctbal") + 100.0)
-        .withColumn("s_name", concat(col("s_name"), lit("_v2")))
-        .coalesce(1)
-      val up = Sinks.jdbcUpsert(shifted, url, "supplier_up",
-        Sinks.ConflictUpdate(Seq("s_suppkey"), Seq("s_acctbal")))
-      require(up.failedRows == 0 && up.failedBatches == 0,
-        s"DO UPDATE upsert must not fail rows, got $up")
-      Sources.jdbc(s, url, "supplier_up")
+      val url = s"jdbc:duckdb:/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.db"
+      // ANCHOR connection held for the whole gate: embedded DuckDB
+      // (1.0.0) caches one database instance per path in-process and
+      // shuts it down when the LAST connection closes; a step opening
+      // a fresh connection can race that async shutdown/checkpoint and
+      // observe a stale or empty database (seen in practice as evens
+      // taking the INSERT path, or an empty readback). Pinning one
+      // connection keeps every step — and the readback — on the same
+      // live instance. Server-grade targets (Postgres) have no such
+      // instance lifecycle; the anchor is embedded-engine scaffolding,
+      // not operator semantics.
+      graft.sources.DuckDbDialect.registered
+      val anchor = java.sql.DriverManager.getConnection(url)
+      try {
+        Sinks.jdbcCreateTable(url, "supplier_up",
+          "s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER, s_acctbal DOUBLE",
+          primaryKey = Seq("s_suppkey"), replace = true)
+        val sup = t(s, dir, "supplier")
+        // single writer partition: embedded DuckDB uses optimistic
+        // concurrency — parallel INSERT transactions on one table abort
+        // each other (against a server-grade target, partitions scale
+        // out to its comfortable concurrent-writer count instead)
+        val evens = sup.filter(col("s_suppkey") % 2 === 0).coalesce(1)
+        Sinks.jdbcAppend(evens, url, "supplier_up", mode = "append")
+        val ig = Sinks.jdbcUpsert(evens, url, "supplier_up",
+          Sinks.ConflictIgnore(Seq("s_suppkey")))
+        require(ig.inserted == 0 && ig.conflicted == evens.count(),
+          s"DO NOTHING upsert must conflict on every seeded row, got $ig")
+        val shifted = sup
+          .withColumn("s_acctbal", col("s_acctbal") + 100.0)
+          .withColumn("s_name", concat(col("s_name"), lit("_v2")))
+          .coalesce(1)
+        val up = Sinks.jdbcUpsert(shifted, url, "supplier_up",
+          Sinks.ConflictUpdate(Seq("s_suppkey"), Seq("s_acctbal")))
+        require(up.failedRows == 0 && up.failedBatches == 0,
+          s"DO UPDATE upsert must not fail rows, got $up")
+        // materialize the readback WHILE the instance is pinned — the
+        // returned frame must not lazily re-open DuckDB after the
+        // anchor closes
+        val back = Sources.jdbc(s, url, "supplier_up")
+        val rows = back.collect().toSeq
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+      } finally anchor.close()
     }),
 
     // ---- §2.11 session windows (gap-based; same code runs streaming) ----

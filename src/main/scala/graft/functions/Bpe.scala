@@ -33,6 +33,10 @@ object Bpe {
   final case class BpeVocab(merges: Vector[(String, String)]) extends Serializable {
     @transient lazy val rank: Map[(String, String), Int] =
       merges.iterator.zipWithIndex.toMap
+    /** Compact form — the default case-class toString would dump the
+     *  whole merges table into every plan/explain string that renders
+     *  an expression carrying the vocab. */
+    override def toString: String = s"BpeVocab(${merges.length} merges)"
   }
 
   /** GPT-2-shaped pre-tokenizer. Java regex (driver/executor side —

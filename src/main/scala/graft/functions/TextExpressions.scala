@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native (whole-stage-codegen) text kernels — the same preference
+ * order as [[VectorExpressions]]: a custom Catalyst `Expression`
+ * beats a Scala UDF, because a ScalaUDF in a projection is a codegen
+ * black box with per-row encoder plumbing, while these stay inside
+ * the generated code as one reference-object call with native null
+ * handling. They back [[graft.llm.TextAnalysis.nfcNormalize]] /
+ * `bpeTokenCountExact` / `bpeTokenize`, which run over EVERY document
+ * of a corpus — exactly the hot path the build plan says to keep
+ * codegen-friendly.
+ *
+ * Both share one implementation between interpreted eval and the
+ * generated code (called through the codegen reference to the
+ * expression instance) — no interpreted-vs-codegen drift.
+ */
+
+/**
+ * Unicode NFC normalization over `java.text.Normalizer`. Fast path:
+ * `isNormalized` (a cheap quick-check, true for all-ASCII and most
+ * already-composed text) returns the INPUT UTF8String untouched — the
+ * overwhelmingly common corpus case costs one scan, no allocation.
+ */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("nfcExpr", this, classOf[NfcNormalizeExpr].getName)
+      s"${ev.value} = $self.nfc($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Token count from a real merges-table byte-level BPE ([[Bpe]]).
+ *  The vocab rides the expression as a serialized reference object
+ *  (rank map rebuilt lazily per executor). */
+case class BpeCountExpr(child: Expression, vocab: Bpe.BpeVocab)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  def count(u: UTF8String): Long = Bpe.tokenCount(u.toString, vocab)
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("bpeCountExpr", this, classOf[BpeCountExpr].getName)
+      s"${ev.value} = $self.count($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** Full BPE tokenization: the subword strings themselves (byte-mapped
+ *  alphabet), as `array<string>`. */
+case class BpeTokenizeExpr(child: Expression, vocab: Bpe.BpeVocab)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  def tokenize(u: UTF8String): ArrayData = {
+    val toks = Bpe.encode(u.toString, vocab)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("bpeTokenizeExpr", this, classOf[BpeTokenizeExpr].getName)
+      s"${ev.value} = $self.tokenize($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =
+    copy(child = newChild)
+}

@@ -51,27 +51,27 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** REAL byte-level BPE tokenization ([[graft.functions.Bpe]]): the
-   *  subword strings an actual merges table produces. A Scala UDF by
-   *  design, not reluctance: BPE's inner loop is data-dependent
-   *  iterative merging — there is nothing for codegen to fuse, and a
-   *  custom Expression would pay the same per-row boxed work. The
-   *  vocab rides the closure (broadcast by the task serializer, rank
-   *  map rebuilt lazily per executor). Per-document, no shuffle —
-   *  embarrassingly parallel at any scale. */
+   *  subword strings an actual merges table produces. A native
+   *  Catalyst expression ([[graft.functions.BpeTokenizeExpr]]), not a
+   *  UDF: the kernel itself is data-dependent iterative merging either
+   *  way, but the expression stays inside whole-stage codegen as one
+   *  reference-object call with native null handling, where a ScalaUDF
+   *  is a codegen black box with per-row encoder plumbing. The vocab
+   *  rides the expression (task-serialized; rank map rebuilt lazily
+   *  per executor). Per-document, no shuffle — embarrassingly parallel
+   *  at any scale. */
   def bpeTokenize(text: Column,
-                  vocab: graft.functions.Bpe.BpeVocab = graft.functions.Bpe.DefaultVocab): Column = {
-    val enc = udf((s: String) => graft.functions.Bpe.encode(s, vocab))
-    enc(text)
-  }
+                  vocab: graft.functions.Bpe.BpeVocab = graft.functions.Bpe.DefaultVocab): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.BpeTokenizeExpr(
+      org.apache.spark.sql.GraftShims.expression(text.cast("string")), vocab))
 
   /** Token count from the REAL merges-table tokenizer — the number
    *  sequence packing and shard budgeting should trust. See
-   *  [[bpeTokenize]] for the UDF rationale. */
+   *  [[bpeTokenize]] for the native-expression rationale. */
   def bpeTokenCountExact(text: Column,
-                         vocab: graft.functions.Bpe.BpeVocab = graft.functions.Bpe.DefaultVocab): Column = {
-    val cnt = udf((s: String) => graft.functions.Bpe.tokenCount(s, vocab))
-    cnt(text)
-  }
+                         vocab: graft.functions.Bpe.BpeVocab = graft.functions.Bpe.DefaultVocab): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.BpeCountExpr(
+      org.apache.spark.sql.GraftShims.expression(text.cast("string")), vocab))
 
   /** Distinct-token count. */
   def uniqueTokenCount(text: Column): Column =
@@ -219,16 +219,15 @@ object TextAnalysis {
   /** Unicode NFC normalization — canonical composition, the
    *  prerequisite for hash-based dedup over multi-source corpora
    *  (decomposed "é" = `e`+U+0301 must hash like composed U+00E9).
-   *  A UDF over `java.text.Normalizer` (in every JDK): normalization
-   *  tables are not expressible as SQL regexes; per-row, no shuffle.
-   *  Null-safe (null → null). The oracle reproduces it with DuckDB's
-   *  `nfc_normalize` — both implement the same Unicode standard. */
-  def nfcNormalize(text: Column): Column = {
-    val f = udf((s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-    f(text)
-  }
+   *  A native Catalyst expression over `java.text.Normalizer` (in
+   *  every JDK — normalization tables are not expressible as SQL
+   *  regexes) that stays inside whole-stage codegen, with an
+   *  `isNormalized` fast path returning already-composed/ASCII text
+   *  untouched. Null-safe (null → null). The oracle reproduces it
+   *  with DuckDB's `nfc_normalize` — the same Unicode standard. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.NfcNormalizeExpr(
+      org.apache.spark.sql.GraftShims.expression(text.cast("string"))))
 
   /** Text normalization for corpus pre-processing: strip control
    *  characters, collapse whitespace runs to one space, trim,

@@ -68,6 +68,49 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 4.0)
   }
 
+  test("native text kernels: NFC and BPE match reference implementations, stay codegen'd, register in SQL") {
+    import org.apache.spark.sql.functions._
+    // codegen path (projection over a real plan) vs driver-side truth
+    val texts = Seq("cafe\u0301 A\u030A decomposed", "already composed \u00e9",
+      "", "it's 42 tokens?")
+    val df = texts.toDF("t").repartition(2)
+    val out = df.select(col("t"),
+      graft.llm.TextAnalysis.nfcNormalize(col("t")).as("n"),
+      graft.llm.TextAnalysis.bpeTokenCountExact(col("t")).as("c"),
+      graft.llm.TextAnalysis.bpeTokenize(col("t")).as("toks")).collect()
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getString(1) ==
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+      assert(r.getLong(2) == Bpe.tokenCount(t, Bpe.DefaultVocab))
+      assert(r.getSeq[String](3) == Bpe.encode(t, Bpe.DefaultVocab))
+    }
+    // the projection stays inside a WholeStageCodegen span (no UDF
+    // black box breaking the pipeline)
+    val planDf = df.select(graft.llm.TextAnalysis.nfcNormalize(col("t")),
+      graft.llm.TextAnalysis.bpeTokenCountExact(col("t")))
+    planDf.collect() // finalize the adaptive plan before inspecting it
+    val plan = planDf.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen span marker in plan rendering —
+    // the projection carrying both kernels must sit inside one
+    assert(plan.contains("*(1) Project [graft_nfc"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // nulls propagate natively
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(graft.llm.TextAnalysis.nfcNormalize(col("t")),
+        graft.llm.TextAnalysis.bpeTokenCountExact(col("t")),
+        graft.llm.TextAnalysis.bpeTokenize(col("t"))).collect()(0)
+    assert(nul.isNullAt(0) && nul.isNullAt(1) && nul.isNullAt(2))
+    // SQL surface
+    Functions.register(spark)
+    assert(spark.sql("SELECT graft_nfc('café') n").collect()(0)
+      .getString(0) == "café")
+    assert(spark.sql("SELECT graft_bpe_count('the engine reads') n").collect()(0)
+      .getLong(0) == Bpe.tokenCount("the engine reads", Bpe.DefaultVocab))
+    assert(spark.sql("SELECT graft_bpe_tokenize('the') n").collect()(0)
+      .getSeq[String](0) == Bpe.encode("the", Bpe.DefaultVocab))
+  }
+
   test("Tables.registerAll exposes the star schema to SQL") {
     graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(

@@ -112,8 +112,10 @@ class EmptyInputSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x).toMap
     assert(r(1L).getString(1) == "" && r(1L).isNullAt(2) &&
       r(1L).getString(3) == "" && r(1L).getLong(4) == 0L)
+    // native expressions propagate null (SQL semantics), they do not
+    // coerce to zero like a primitive-returning UDF would
     assert(r(2L).isNullAt(1) && r(2L).isNullAt(2) &&
-      r(2L).isNullAt(3) && r(2L).getLong(4) == 0L)
+      r(2L).isNullAt(3) && r(2L).isNullAt(4))
   }
 
   test("empty TEXT (not just empty corpus): metrics and shingles") {

@@ -122,8 +122,13 @@ class SourcesSinksSpec extends AnyFunSuite {
 
   test("jdbcUpsert executes ON CONFLICT for real against embedded DuckDB: DO NOTHING skips, DO UPDATE moves only the update set") {
     // DuckDB parses exactly the Postgres dialect upsertSql emits —
-    // this is the path Derby (above) cannot execute.
+    // this is the path Derby (above) cannot execute. The anchor
+    // connection pins the in-process database instance across steps
+    // (same rationale as the q104 gate: per-step connections can race
+    // the instance's async shutdown between close and next open).
     val url = s"jdbc:duckdb:${tmp()}/graft_duck.db"
+    val anchor = java.sql.DriverManager.getConnection(url)
+    try {
     Sinks.jdbcCreateTable(url, "kv", "id BIGINT, name VARCHAR, score DOUBLE",
       primaryKey = Seq("id"), replace = true)
     val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0))
@@ -150,6 +155,7 @@ class SourcesSinksSpec extends AnyFunSuite {
         Seq((1L, "dup", 0.0)).toDF("id", "name", "score").coalesce(1),
         url, "kv", Sinks.ConflictError)
     }
+    } finally anchor.close()
   }
 
   test("interpretBatchCounts: conflicts, SUCCESS_NO_INFO inserts, EXECUTE_FAILED failures") {
