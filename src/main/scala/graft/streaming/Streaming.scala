@@ -183,6 +183,59 @@ object Streaming {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /**
+   * First-seen processor behind [[dedupStreamTtl]] — Spark 4's
+   * arbitrary-state API (`StatefulProcessor`): per-key ValueState with
+   * a PROCESSING-TIME TTL, so a key seen longer than `ttl` ago expires
+   * from the store and its next occurrence passes again. State is
+   * bounded by the TTL horizon regardless of key cardinality — the
+   * contract a forever-running ingest stream needs when keys have no
+   * usable event time (where [[dedupStream]]'s watermark form applies).
+   */
+  final class FirstSeenProcessor[V](ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, V), (String, V)] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[(String, V)],
+                                 tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, V)] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+  }
+
+  /**
+   * Streaming exact dedup with TTL-BOUNDED state, on the
+   * `transformWithState` arbitrary-state API: the first occurrence of
+   * each key in a `ttl` processing-time horizon passes, repeats drop,
+   * expired keys pass again. Complements [[dedupStream]]: the
+   * watermark form bounds state by EVENT time (needs a timestamp
+   * column and tolerates only watermark-bounded lateness); this form
+   * bounds it by PROCESSING time — the right tool for keyed ingest
+   * without usable event times. Requires the RocksDB state store
+   * (transformWithState's backing store — see
+   * [[withRocksDbStateStore]]), which is the 100 TB posture anyway.
+   *
+   * Lifecycle note: a processing-time transformWithState query is a
+   * genuinely CONTINUOUS stream — the engine keeps scheduling
+   * (mostly-empty) micro-batches because advancing time alone can
+   * expire state, and it does so even under `Trigger.AvailableNow`
+   * (observed on Spark 4.1: the query does not self-terminate).
+   * Treat it as a long-running service: consume the sink as results
+   * arrive and `stop()` the query explicitly;
+   * `processAllAvailable()`/`awaitTermination()` never settle.
+   */
+  def dedupStreamTtl[V](ds: Dataset[(String, V)], ttl: java.time.Duration)(
+      implicit enc: org.apache.spark.sql.Encoder[(String, V)]): Dataset[(String, V)] =
+    ds.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new FirstSeenProcessor[V](ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append(), enc)
+
   /** Running per-key state for [[runningCount]]. */
   final case class KeyCount(key: String, count: Long)
 

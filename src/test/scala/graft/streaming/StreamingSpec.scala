@@ -149,6 +149,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.conf.getOption(key) == prev)
   }
 
+  test("dedupStreamTtl: first occurrence passes, repeats drop, TTL expiry readmits") {
+    implicit val sqlCtx = spark.sqlContext
+    // A processing-time transformWithState query never self-terminates
+    // (continuous maintenance micro-batches — see the operator doc),
+    // so the test treats it as the continuous service it is: poll the
+    // sink and the input-row counters with a deadline, then stop().
+    def until[A](what: String)(probe: => Option[A]): A = {
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      var r = probe
+      while (r.isEmpty && System.nanoTime < deadline) { Thread.sleep(50); r = probe }
+      r.getOrElse(fail(s"timed out waiting for $what"))
+    }
+    Streaming.withRocksDbStateStore(spark) { // transformWithState's store
+      val stream = MemoryStream[(String, Long)]
+      val q = Streaming.dedupStreamTtl(stream.toDS(),
+          java.time.Duration.ofMillis(2000))
+        .writeStream.format("memory").queryName("ttl_dedup")
+        .outputMode("append").start()
+      try {
+        def sink() = spark.sql("SELECT _1, _2 FROM ttl_dedup")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        def inputRows() = q.recentProgress.map(_.numInputRows).sum
+        // phase 1: a twice (in-batch dup) + b -> each emitted once
+        stream.addData(("a", 1L), ("a", 2L), ("b", 3L))
+        until("phase-1 rows")(Some(sink()).filter(_.size >= 2))
+        assert(sink().sortBy(_._2) == Seq(("a", 1L), ("b", 3L)))
+        // phase 2 within the TTL horizon: a again -> consumed, dropped
+        stream.addData(("a", 4L))
+        until("phase-2 consumed")(Some(inputRows()).filter(_ >= 4))
+        assert(sink().size == 2)
+        // phase 3 past the horizon: a's state expired -> readmitted
+        Thread.sleep(2500)
+        stream.addData(("a", 5L))
+        until("phase-3 readmit")(Some(sink()).filter(_.size >= 3))
+        assert(sink().sortBy(_._2).last == ("a", 5L))
+      } finally q.stop()
+    }
+  }
+
   test("file stream → parquet sink with checkpoint (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
