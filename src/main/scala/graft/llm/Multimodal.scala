@@ -18,12 +18,13 @@ import org.apache.spark.sql.types._
  *
  * IMAGE decode is REAL: [[ImageIoDecoder]]/[[ImageIoResizer]] bind
  * `javax.imageio` (in every JDK, headless-safe — PNG/JPEG/BMP/GIF).
- * Audio/video decode remains a clearly-marked STUB ([[FakeDecoder]]
- * produces deterministic pseudo-features from the bytes — no
- * audio/video codecs in this environment) so the Spark-side plumbing —
- * schema, partitioning, batch shape, encoders — is real and testable
- * for every modality. Swap [[Decoder]] for a JNI/FFI codec binding for
- * the rest.
+ * AUDIO decode is REAL for WAV/PCM: [[WavDecoder]] binds
+ * `javax.sound.sampled`. Video decode remains a clearly-marked STUB
+ * ([[FakeDecoder]] produces deterministic pseudo-features from the
+ * bytes — no video codec ships with the JDK) so the Spark-side
+ * plumbing — schema, partitioning, batch shape, encoders — is real
+ * and testable for every modality. Swap [[Decoder]] for a JNI/FFI
+ * codec binding for the rest.
  */
 object Multimodal {
 
@@ -121,11 +122,77 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder for modalities WITHOUT a JDK codec (audio/video) —
+  /**
+   * REAL audio decoder over `javax.sound.sampled` (WAV/PCM and the
+   * other formats the JDK's AudioSystem readers handle — headless, no
+   * native codecs). Features are exact, hand-computable bucketed RMS
+   * amplitudes: frames (first channel) normalize to [-1,1] by the
+   * sample-format max, split into `dim` equal time buckets (frame `f`
+   * → bucket `f·dim/nFrames`), and `out(b)` is the root-mean-square
+   * of bucket `b` — the standard cheap envelope signal for silence
+   * trimming, clipping detection, and segment-level filtering.
+   * Unparsable or empty payloads yield the zero vector — the same
+   * corrupt-file posture as [[ImageIoDecoder]]. Supports 8/16-bit PCM
+   * (signed and unsigned), the formats WAV corpora actually carry.
+   */
+  final class WavDecoder extends Decoder {
+    def decode(content: Array[Byte], dim: Int): Array[Float] = {
+      require(dim > 0, s"audio feature dim must be positive, got $dim")
+      val out = new Array[Float](dim)
+      if (content.isEmpty) return out
+      val stream =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (stream == null) return out
+      try {
+        val fmt = stream.getFormat
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val frameSize = fmt.getFrameSize
+        if (bytesPerSample < 1 || bytesPerSample > 2 || frameSize <= 0) return out
+        val bytes = stream.readAllBytes()
+        val nFrames = bytes.length / frameSize
+        if (nFrames == 0) return out
+        val sums = new Array[Double](dim)
+        val counts = new Array[Int](dim)
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        var f = 0
+        while (f < nFrames) {
+          val o = f * frameSize // first channel only
+          val raw =
+            if (bytesPerSample == 1)
+              if (signed) bytes(o).toInt else (bytes(o) & 0xff) - 128
+            else {
+              val (b0, b1) = if (big) (bytes(o), bytes(o + 1)) else (bytes(o + 1), bytes(o))
+              val v = (b0.toInt << 8) | (b1 & 0xff)
+              if (signed) v else v - 32768
+            }
+          val norm = raw.toDouble / (if (bytesPerSample == 1) 128.0 else 32768.0)
+          val b = (f.toLong * dim / nFrames).toInt
+          sums(b) += norm * norm
+          counts(b) += 1
+          f += 1
+        }
+        var b = 0
+        while (b < dim) {
+          if (counts(b) > 0) out(b) = math.sqrt(sums(b) / counts(b)).toFloat
+          b += 1
+        }
+        out
+      } finally stream.close()
+    }
+  }
+
+  /** STUB decoder for modalities WITHOUT a JDK codec (video) —
    *  deterministic pseudo-features from a rolling hash of the payload
    *  bytes. The plumbing around it (schema/partitioning/batching) is
    *  production-shaped; only this class is fake. Images have the real
-   *  [[ImageIoDecoder]]. */
+   *  [[ImageIoDecoder]]; WAV audio the real [[WavDecoder]]. */
   object FakeDecoder extends Decoder {
     def decode(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)

@@ -453,4 +453,35 @@ class LlmSpec extends AnyFunSuite {
     // unparsable payloads pass through unchanged
     assert(resized(2L).content.toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("multimodal: REAL WAV decode — synthesized PCM yields exact bucketed RMS") {
+    import Multimodal._
+    // 16-bit signed little-endian mono, 8 frames: four at amplitude
+    // 16384 (= 0.5 normalized), four silent
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val bytes = wav(Seq[Short](16384, -16384, 16384, -16384, 0, 0, 0, 0))
+    val media = Multimodal.attach(
+      Seq((1L, bytes), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload"),
+      "id", col("payload"), "audio/wav")
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+        media.as[MediaRecord], dim = 2, decoder = new WavDecoder)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    // bucket 0 = frames 0-3 (|0.5| each -> RMS 0.5), bucket 1 = silence
+    assert(feats(1L) == Seq(0.5f, 0.0f))
+    assert(feats(2L) == Seq(0f, 0f)) // unparsable -> zero vector
+  }
 }
