@@ -518,7 +518,13 @@ object SparkEntry {
     "q104_jdbc_upsert" -> ((s, dir) => {
       import graft.sources.Sources
       import graft.sinks.Sinks
-      val url = s"jdbc:duckdb:/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.db"
+      // UNIQUE path per invocation: a repeated invocation on the same
+      // path would race the PREVIOUS run's async DuckDB instance
+      // shutdown (triggered when its last connection closed); a fresh
+      // file sidesteps the instance cache entirely. Best-effort
+      // cleanup below keeps /tmp from accumulating.
+      val dbPath = s"/tmp/graft_duck_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime}.db"
+      val url = s"jdbc:duckdb:$dbPath"
       // ANCHOR connection held for the whole gate: embedded DuckDB
       // (1.0.0) caches one database instance per path in-process and
       // shuts it down when the LAST connection closes; a step opening
@@ -560,7 +566,11 @@ object SparkEntry {
         val back = Sources.jdbc(s, url, "supplier_up")
         val rows = back.collect().toSeq
         s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
-      } finally anchor.close()
+      } finally {
+        anchor.close()
+        Seq(dbPath, dbPath + ".wal").foreach(p =>
+          try new java.io.File(p).delete() catch { case _: Exception => () })
+      }
     }),
 
     // ---- §2.11 session windows (gap-based; same code runs streaming) ----
@@ -821,10 +831,13 @@ object SparkEntry {
     "q106_domains" -> ((s, dir) => {
       val url = concat(lit("https://www."), col("source"),
         lit(".example.com/p/"), col("doc_id"))
+      // keepDomainAs: the domain derives ONCE — filter and aggregation
+      // share the column instead of re-running the regex chain per row
       val docs = t(s, dir, "documents").withColumn("url", url)
       TA.domainBlocklistFilter(docs, "url",
-          blocklist = Seq("src1.example.com", "src3.example.com"))
-        .groupBy(TA.extractDomain(col("url")).as("domain"))
+          blocklist = Seq("src1.example.com", "src3.example.com"),
+          keepDomainAs = Some("domain"))
+        .groupBy("domain")
         .agg(count(lit(1)).as("n_docs"))
     }),
 
@@ -1812,7 +1825,7 @@ object SparkEntry {
         |  || text || '</p><br/>&lt;tail&gt;&nbsp;&#39;end&#39;</body></html>' AS page FROM documents),
         |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
         |  '<!--[\s\S]*?-->', ' ', 'g'),
-        |  '<script[^>]*>[\s\S]*?</script>|<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
+        |  '(?i)<script[^>]*>[\s\S]*?</script>|(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
         |  '<[^>]*>', ' ', 'g') AS t1 FROM p),
         |u AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t1,
         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -1823,9 +1836,9 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id,
         |  'https://www.' || source || '.example.com/p/' || doc_id AS url FROM documents),
         |e AS (SELECT doc_id, CASE WHEN h = '' THEN NULL ELSE h END AS domain FROM (
-        |  SELECT doc_id, regexp_replace(
-        |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
-        |    '^www\.', '') AS h FROM d))
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |    '^[^@]*@', ''), ':[0-9]*$', ''), '^www\.', '') AS h FROM d))
         |SELECT domain, count(*) AS n_docs FROM e
         |WHERE domain IS NULL OR domain NOT IN ('src1.example.com', 'src3.example.com')
         |GROUP BY 1""".stripMargin,

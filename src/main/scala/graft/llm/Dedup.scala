@@ -116,7 +116,14 @@ object Dedup {
     val target = spark.sparkContext.defaultParallelism
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(maxPart) * target) df.repartition(target) else df
+    // UNKNOWN size (the defaultSizeInBytes sentinel — JDBC scans,
+    // LogicalRDD/checkpointed frames, driver-built relations) must
+    // repartition too: those inputs are routinely single-partition,
+    // which is exactly the per-row-heavy-compute regression this
+    // helper exists to prevent. The corpus-scale path (parquet file
+    // scans) always has real file statistics and skips the shuffle.
+    val unknown = bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    if (unknown || bytes < BigInt(maxPart) * target) df.repartition(target) else df
   }
 
   /**

@@ -152,15 +152,21 @@ object Multimodal {
         val fmt = stream.getFormat
         val bytesPerSample = fmt.getSampleSizeInBits / 8
         val frameSize = fmt.getFrameSize
-        if (bytesPerSample < 1 || bytesPerSample > 2 || frameSize <= 0) return out
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        // LINEAR PCM only: companded encodings (ULAW/ALAW) would pass
+        // the size checks but decode to garbage if treated as linear —
+        // they take the corrupt-file zero-vector path instead
+        if (!(signed || unsigned) ||
+          bytesPerSample < 1 || bytesPerSample > 2 || frameSize <= 0) return out
         val bytes = stream.readAllBytes()
         val nFrames = bytes.length / frameSize
         if (nFrames == 0) return out
         val sums = new Array[Double](dim)
         val counts = new Array[Int](dim)
         val big = fmt.isBigEndian
-        val signed = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         var f = 0
         while (f < nFrames) {
           val o = f * frameSize // first channel only
@@ -169,8 +175,11 @@ object Multimodal {
               if (signed) bytes(o).toInt else (bytes(o) & 0xff) - 128
             else {
               val (b0, b1) = if (big) (bytes(o), bytes(o + 1)) else (bytes(o + 1), bytes(o))
-              val v = (b0.toInt << 8) | (b1 & 0xff)
-              if (signed) v else v - 32768
+              // assemble UNSIGNED first: sign-extending the high byte
+              // before re-centering would map the upper half of an
+              // unsigned waveform to [-2,-1)
+              val u = ((b0 & 0xff) << 8) | (b1 & 0xff)
+              if (signed) u.toShort.toInt else u - 32768
             }
           val norm = raw.toDouble / (if (bytesPerSample == 1) 128.0 else 32768.0)
           val b = (f.toLong * dim / nFrames).toInt

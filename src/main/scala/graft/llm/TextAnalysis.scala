@@ -182,10 +182,13 @@ object TextAnalysis {
    *  not DOM fidelity. */
   def stripHtml(text: Column): Column = {
     // non-greedy spans with [\s\S] (not dotall flags): identical
-    // semantics in java.util.regex and RE2/DuckDB
+    // semantics in java.util.regex and RE2/DuckDB. (?i) on the blocks:
+    // legacy crawled HTML routinely carries <SCRIPT>/<STYLE>, and a
+    // case-sensitive match would strip only the tags while KEEPING the
+    // JS/CSS content as "clean" text
     val noComment = regexp_replace(text, "<!--[\\s\\S]*?-->", " ")
     val noBlocks = regexp_replace(noComment,
-      "<script[^>]*>[\\s\\S]*?</script>|<style[^>]*>[\\s\\S]*?</style>", " ")
+      "(?i)<script[^>]*>[\\s\\S]*?</script>|(?i)<style[^>]*>[\\s\\S]*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val unescaped = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
@@ -194,13 +197,17 @@ object TextAnalysis {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
-  /** Registered domain-ish host from a URL, lowercased, `www.`
-   *  stripped — the key for per-site aggregation, blocklist filtering
-   *  and domain-level dedup in web corpora. Pure regex (RE2-safe,
+  /** Registered domain-ish host from a URL, lowercased, userinfo and
+   *  `www.` stripped — the key for per-site aggregation, blocklist
+   *  filtering and domain-level dedup in web corpora. The userinfo
+   *  strip matters for the BLOCKLIST use: without it,
+   *  `https://x@spam.bad/` yields domain `x@spam.bad` and trivially
+   *  bypasses a `spam.bad` entry. Pure regex (RE2-safe,
    *  oracle-reproducible); no scheme or unparsable input → null. */
   def extractDomain(url: Column): Column = {
-    val host = regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
-    val bare = regexp_replace(host, "^www\\.", "")
+    val host = regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val bare = regexp_replace(regexp_replace(regexp_replace(host,
+      "^[^@]*@", ""), ":[0-9]*$", ""), "^www\\.", "")
     when(bare =!= "", bare)
   }
 
@@ -209,11 +216,19 @@ object TextAnalysis {
    *  literal IN-list (right size for curated lists of thousands; an
    *  adversarial-scale list would become a broadcast anti-join).
    *  Null/unparsable domains are KEPT — the filter removes known-bad
-   *  sites, it does not validate URLs. */
+   *  sites, it does not validate URLs. `keepDomainAs` retains the
+   *  derived domain as a named column so a downstream per-site
+   *  aggregation reuses it instead of re-running the regex chain
+   *  (Catalyst does not share subexpressions across Filter and
+   *  Aggregate nodes). */
   def domainBlocklistFilter(df: DataFrame, urlCol: String,
-                            blocklist: Seq[String]): DataFrame = {
-    val d = extractDomain(col(urlCol))
-    df.filter(d.isNull || !d.isin(blocklist.map(_.toLowerCase): _*))
+                            blocklist: Seq[String],
+                            keepDomainAs: Option[String] = None): DataFrame = {
+    val name = keepDomainAs.getOrElse("__graft_domain")
+    val out = df.withColumn(name, extractDomain(col(urlCol)))
+      .filter(col(name).isNull ||
+        !col(name).isin(blocklist.map(_.toLowerCase): _*))
+    if (keepDomainAs.isEmpty) out.drop(name) else out
   }
 
   /** Unicode NFC normalization — canonical composition, the

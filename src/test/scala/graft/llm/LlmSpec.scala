@@ -248,18 +248,21 @@ class LlmSpec extends AnyFunSuite {
 
   test("web cleaning: HTML strip, domain extraction, blocklist, NFC composition") {
     val html = "<html><!-- note --><head><script>if (a < b) { x(); }</script>" +
-      "<style>.c { }</style></head><body><h1>Title</h1>Fish &amp; chips " +
+      "<STYLE>.c { }</STYLE></head><body><h1>Title</h1>Fish &amp; chips " +
+      "<SCRIPT>track();</SCRIPT>" +
       "&lt;b&gt; &amp;lt;literal&amp;gt; &#39;q&#39;&nbsp;end</body></html>"
     val stripped = Seq(html).toDF("t")
       .select(TextAnalysis.stripHtml(col("t"))).collect()(0).getString(0)
-    // script CONTENT dropped (even with a '<' inside), entities decoded
-    // once: double-escaped "&amp;lt;" surfaces as the TEXT "&lt;"
+    // script/style CONTENT dropped (even with a '<' inside, even
+    // UPPERCASE legacy tags), entities decoded once: double-escaped
+    // "&amp;lt;" surfaces as the TEXT "&lt;"
     assert(stripped == "Title Fish & chips <b> &lt;literal&gt; 'q' end")
 
     val doms = Seq(
       ("https://www.EXample.com/path?q=1", "strip-www-lower"),
       ("http://sub.site.org:8080/x", "keep-sub-drop-port"),
       ("ftp://files.host.net/f", "any-scheme"),
+      ("https://user:pw@spam.bad:8443/x", "strip-userinfo-port"),
       ("not a url", "unparsable"),
       (null, "null"))
       .toDF("url", "kind")
@@ -268,14 +271,22 @@ class LlmSpec extends AnyFunSuite {
     assert(doms("strip-www-lower").contains("example.com"))
     assert(doms("keep-sub-drop-port").contains("sub.site.org"))
     assert(doms("any-scheme").contains("files.host.net"))
+    assert(doms("strip-userinfo-port").contains("spam.bad"))
     assert(doms("unparsable").isEmpty && doms("null").isEmpty)
 
     val kept = TextAnalysis.domainBlocklistFilter(
-      Seq("https://spam.bad/x", "https://ok.good/y", "garbage")
+      Seq("https://spam.bad/x", "https://evil@spam.bad/y",
+        "https://ok.good/y", "garbage")
         .toDF("url"), "url", Seq("SPAM.BAD"))
       .collect().map(_.getString(0)).toSet
-    // blocklist is case-normalized; unparsable rows are KEPT
+    // blocklist is case-normalized, immune to the userinfo bypass
+    // (https://x@spam.bad must NOT slip through); unparsable rows KEPT
     assert(kept == Set("https://ok.good/y", "garbage"))
+    // keepDomainAs retains the single-derivation column
+    val withDom = TextAnalysis.domainBlocklistFilter(
+      Seq("https://a.site/x").toDF("url"), "url", Nil,
+      keepDomainAs = Some("domain")).collect()(0)
+    assert(withDom.getString(1) == "a.site")
 
     val nfc = Seq("cafe\u0301 e\u0301 A\u030A plain", null).toDF("t")
       .select(TextAnalysis.nfcNormalize(col("t"))).collect()
@@ -483,5 +494,20 @@ class LlmSpec extends AnyFunSuite {
     // bucket 0 = frames 0-3 (|0.5| each -> RMS 0.5), bucket 1 = silence
     assert(feats(1L) == Seq(0.5f, 0.0f))
     assert(feats(2L) == Seq(0f, 0f)) // unparsable -> zero vector
+
+    // UNSIGNED 8-bit PCM: 0x80 is the zero midpoint, 0xC0 is +0.5
+    val fmtU = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcmU = Array[Byte](0xC0.toByte, 0x40.toByte, 0x80.toByte, 0x80.toByte)
+    val bosU = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmU), fmtU, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bosU)
+    val mediaU = Multimodal.attach(Seq((3L, bosU.toByteArray)).toDF("id", "payload"),
+      "id", col("payload"), "audio/wav")
+    val fU = Multimodal.extractFeatures(
+        mediaU.as[MediaRecord], dim = 2, decoder = new WavDecoder)
+      .collect()(0).features.toSeq
+    assert(fU == Seq(0.5f, 0.0f))
   }
 }
