@@ -978,6 +978,13 @@ object SparkEntry {
       TA.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
     }),
 
+    // ---- LLM ops: rare-token quality signal — fraction of token
+    //      occurrences whose corpus document-frequency is < 3; the
+    //      exact-arithmetic cousin of perplexity filtering ----
+    "q109_rare_tokens" -> ((s, dir) => {
+      TA.rareTokenRatio(t(s, dir, "documents"), "doc_id", "text", minDf = 3L)
+    }),
+
     // ---- §2.11 REAL streaming execution: file source → watermark →
     //      tumbling window agg → memory sink, Trigger.AvailableNow;
     //      the batch oracle must match the micro-batch engine's state ----
@@ -2070,6 +2077,19 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |       ORDER BY CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) DESC, term) AS BIGINT) AS "rank"
         |FROM tf JOIN dfc USING (term) QUALIFY "rank" <= 5""".stripMargin,
+
+    // same tf/df relations as q55; rare = corpus df below the cutoff
+    "q109_rare_tokens" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |j AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN df < 3 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+        |      FROM tf JOIN dfc USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_rare,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS rare_ratio
+        |FROM j""".stripMargin,
 
     // keyed GroupState running counts are monotone; their max per key
     // IS the final count, which must equal the batch aggregate

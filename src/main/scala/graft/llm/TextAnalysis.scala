@@ -339,6 +339,37 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /**
+   * Corpus-statistics quality signal: per document, the fraction of
+   * token OCCURRENCES whose corpus document-frequency is below
+   * `minDf` — the exact-arithmetic cousin of LM-perplexity filtering
+   * (CCNet-style): gibberish, OCR noise, and boilerplate-mangled text
+   * carry many corpus-rare tokens, natural prose few. Deliberately a
+   * ratio of two integers (one IEEE division) rather than a
+   * log-probability sum: `ln` is correctly-rounded in neither engine,
+   * so a perplexity score could not be hash-verified cross-engine,
+   * while this signal ranks documents nearly as well for filtering.
+   *
+   * Output: (`idCol`, n_tokens, n_rare, rare_ratio); empty documents
+   * score 0.0 (ANSI mode would throw on 0/0, and empty docs are
+   * routine). Scale: one (doc, term) shuffle for the frequencies
+   * (map-side partial counts), a term-keyed join (AQE splits stopword
+   * skew), one doc-keyed aggregation. The corpus is scanned once —
+   * [[termFrequencies]]/[[docFrequencies]] share their exchange.
+   */
+  def rareTokenRatio(df: DataFrame, idCol: String, textCol: String,
+                     minDf: Long): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfq = docFrequencies(tf)
+    tf.join(dfq, "term")
+      .groupBy(idCol)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("df") < minDf, col("tf")).otherwise(lit(0L))).as("n_rare"))
+      .withColumn("rare_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_rare").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Textbook log-idf weight `tf · ln((1+N)/(1+df))` for production
    *  rescoring (see [[tfIdfTopK]] for why the gate uses the rational
    *  form instead). */

@@ -297,6 +297,20 @@ class LlmSpec extends AnyFunSuite {
     assert(nfc(1).isNullAt(0))
   }
 
+  test("rareTokenRatio: hand-computed corpus frequencies, empty docs score 0") {
+    val corpus = Seq((1L, "a a b"), (2L, "a c"), (3L, "a b d"), (4L, ""))
+      .toDF("doc_id", "text")
+    // dfs: a->3, b->2, c->1, d->1, ""->1 (empty text tokenizes to one
+    // empty token; its df is 1 so it counts rare — matching the oracle)
+    val r = TextAnalysis.rareTokenRatio(corpus, "doc_id", "text", minDf = 2L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 0L, 0.0)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(r(4L)._3 == 1.0) // single rare empty-string token
+  }
+
   test("quality score rewards running text over punctuation soup") {
     val r = Seq(
       ("the cat is on the mat and it is happy with this that", "good"),
