@@ -288,6 +288,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stripHtml on generated markup: no tags survive, inner text is preserved in order") {
+    import org.apache.spark.sql.functions.col
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val tag = Gen.oneOf("p", "div", "SPAN", "b")
+    val piece = Gen.oneOf(
+      word.map(w => (s"<!-- $w -->", "")),
+      Gen.zip(tag, word).map { case (t, w) => (s"<$t>$w</$t>", w) },
+      Gen.zip(Gen.oneOf("script", "SCRIPT", "style"), word)
+        .map { case (t, w) => (s"<$t>var $w=1;</$t>", "") },
+      word.map(w => (w, w)))
+    val docGen = Gen.listOfN(6, piece)
+    for (pieces <- samples(docGen, 12)) {
+      val html = pieces.map(_._1).mkString(" ")
+      val expected = pieces.map(_._2).filter(_.nonEmpty).mkString(" ")
+      val got = Seq(html).toDF("t")
+        .select(graft.llm.TextAnalysis.stripHtml(col("t")))
+        .collect()(0).getString(0)
+      assert(got == expected, s"html=$html")
+      assert(!got.matches(".*<[a-zA-Z!/][^>]*>.*"), s"tag survived in: $got")
+    }
+  }
+
+  test("extractDomain recovers the generated host through scheme/case/userinfo/port/path noise") {
+    import org.apache.spark.sql.functions.col
+    val hostGen = Gen.listOfN(2, Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString))
+      .map(_.mkString("."))
+    val urlGen = for {
+      host <- hostGen
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      user <- Gen.oneOf("", "u@", "u:pw@")
+      port <- Gen.oneOf("", ":80", ":8443")
+      path <- Gen.oneOf("", "/", "/a/b?q=1#f")
+    } yield (s"$scheme://$user$www$host$port$path", host)
+    for ((url, host) <- samples(urlGen, 40)) {
+      val got = Seq(url).toDF("u")
+        .select(graft.llm.TextAnalysis.extractDomain(col("u")))
+        .collect()(0).getString(0)
+      assert(got == host, s"url=$url")
+    }
+  }
+
   test("chunkByTokens covers every token; consecutive chunks overlap as configured") {
     for (doc <- samples(docGen.suchThat(_.nonEmpty), 6)) {
       val toks = doc.split("\\s+").toSeq
