@@ -568,8 +568,14 @@ object SparkEntry {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
       } finally {
         anchor.close()
-        Seq(dbPath, dbPath + ".wal").foreach(p =>
-          try new java.io.File(p).delete() catch { case _: Exception => () })
+        // BEST-EFFORT cleanup: the close above starts DuckDB's async
+        // shutdown, whose final checkpoint can recreate files after an
+        // immediate unlink — deleteOnExit backstops whatever survives
+        // (per-run names mean nothing ever reads these again)
+        Seq(dbPath, dbPath + ".wal", dbPath + ".tmp").foreach { p =>
+          val f = new java.io.File(p)
+          f.delete(); f.deleteOnExit()
+        }
       }
     }),
 
@@ -1845,7 +1851,7 @@ object SparkEntry {
         |e AS (SELECT doc_id, CASE WHEN h = '' THEN NULL ELSE h END AS domain FROM (
         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
-        |    '^[^@]*@', ''), ':[0-9]*$', ''), '^www\.', '') AS h FROM d))
+        |    '^.*@', ''), ':.*$', ''), '^www\.', '') AS h FROM d))
         |SELECT domain, count(*) AS n_docs FROM e
         |WHERE domain IS NULL OR domain NOT IN ('src1.example.com', 'src3.example.com')
         |GROUP BY 1""".stripMargin,

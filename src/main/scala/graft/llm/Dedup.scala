@@ -120,9 +120,16 @@ object Dedup {
     // LogicalRDD/checkpointed frames, driver-built relations) must
     // repartition too: those inputs are routinely single-partition,
     // which is exactly the per-row-heavy-compute regression this
-    // helper exists to prevent. The corpus-scale path (parquet file
-    // scans) always has real file statistics and skips the shuffle.
-    val unknown = bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    // helper exists to prevent. Detected STRUCTURALLY at the leaves
+    // (a leaf without real stats reports exactly the sentinel) — the
+    // rolled-up total is no test, because size-only stats multiply at
+    // join nodes and a join of two large KNOWN scans can exceed any
+    // magnitude threshold while being precisely the corpus-scale frame
+    // that must NOT reshuffle. The corpus path (parquet file scans)
+    // always has real file statistics and skips the shuffle.
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val unknown = df.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.stats.sizeInBytes >= sentinel)
     if (unknown || bytes < BigInt(maxPart) * target) df.repartition(target) else df
   }
 

@@ -206,8 +206,13 @@ object TextAnalysis {
    *  oracle-reproducible); no scheme or unparsable input → null. */
   def extractDomain(url: Column): Column = {
     val host = regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    // userinfo strip is GREEDY (everything through the LAST '@'):
+    // WHATWG-lenient fetchers resolve `https://x@y@spam.bad/` to
+    // spam.bad, so a first-@ strip would leave `y@spam.bad` and slip a
+    // blocklist. Port strip takes ANY suffix after ':' — a non-numeric
+    // port (`spam.bad:x`) must not change the domain key either.
     val bare = regexp_replace(regexp_replace(regexp_replace(host,
-      "^[^@]*@", ""), ":[0-9]*$", ""), "^www\\.", "")
+      "^.*@", ""), ":.*$", ""), "^www\\.", "")
     when(bare =!= "", bare)
   }
 
@@ -225,6 +230,10 @@ object TextAnalysis {
                             blocklist: Seq[String],
                             keepDomainAs: Option[String] = None): DataFrame = {
     val name = keepDomainAs.getOrElse("__graft_domain")
+    // withColumn would silently OVERWRITE an existing column of this
+    // name (and the None path would then drop the caller's data)
+    require(!df.columns.contains(name),
+      s"domainBlocklistFilter: input already has a column named '$name'")
     val out = df.withColumn(name, extractDomain(col(urlCol)))
       .filter(col(name).isNull ||
         !col(name).isin(blocklist.map(_.toLowerCase): _*))
@@ -350,9 +359,15 @@ object TextAnalysis {
    * so a perplexity score could not be hash-verified cross-engine,
    * while this signal ranks documents nearly as well for filtering.
    *
-   * Output: (`idCol`, n_tokens, n_rare, rare_ratio); empty documents
-   * score 0.0 (ANSI mode would throw on 0/0, and empty docs are
-   * routine). Scale: one (doc, term) shuffle for the frequencies
+   * Output: (`idCol`, n_tokens, n_rare, rare_ratio). EMPTY text
+   * tokenizes (whitespace split) to one empty-string token, which is
+   * corpus-rare unless empty docs are common — so empty documents
+   * score rare_ratio 1.0, i.e. lowest quality, which is the filtering
+   * behavior one wants. Null-text documents produce no tokens and are
+   * absent from the output. (The n_tokens=0 guard below is defensive
+   * against upstream tokenizer changes; with the current split
+   * semantics every surviving doc has ≥1 token.)
+   * Scale: one (doc, term) shuffle for the frequencies
    * (map-side partial counts), a term-keyed join (AQE splits stopword
    * skew), one doc-keyed aggregation. The corpus is scanned once —
    * [[termFrequencies]]/[[docFrequencies]] share their exchange.

@@ -263,6 +263,8 @@ class LlmSpec extends AnyFunSuite {
       ("http://sub.site.org:8080/x", "keep-sub-drop-port"),
       ("ftp://files.host.net/f", "any-scheme"),
       ("https://user:pw@spam.bad:8443/x", "strip-userinfo-port"),
+      ("https://x@y@spam.bad/z", "strip-double-at"),
+      ("https://spam.bad:80x/z", "strip-garbage-port"),
       ("not a url", "unparsable"),
       (null, "null"))
       .toDF("url", "kind")
@@ -272,6 +274,9 @@ class LlmSpec extends AnyFunSuite {
     assert(doms("keep-sub-drop-port").contains("sub.site.org"))
     assert(doms("any-scheme").contains("files.host.net"))
     assert(doms("strip-userinfo-port").contains("spam.bad"))
+    // WHATWG-lenient resolution targets: both must land on spam.bad
+    assert(doms("strip-double-at").contains("spam.bad"))
+    assert(doms("strip-garbage-port").contains("spam.bad"))
     assert(doms("unparsable").isEmpty && doms("null").isEmpty)
 
     val kept = TextAnalysis.domainBlocklistFilter(
@@ -297,11 +302,12 @@ class LlmSpec extends AnyFunSuite {
     assert(nfc(1).isNullAt(0))
   }
 
-  test("rareTokenRatio: hand-computed corpus frequencies, empty docs score 0") {
+  test("rareTokenRatio: hand-computed corpus frequencies, empty docs score rare (1.0)") {
     val corpus = Seq((1L, "a a b"), (2L, "a c"), (3L, "a b d"), (4L, ""))
       .toDF("doc_id", "text")
     // dfs: a->3, b->2, c->1, d->1, ""->1 (empty text tokenizes to one
-    // empty token; its df is 1 so it counts rare — matching the oracle)
+    // empty token; its df is 1 so it counts rare — matching the oracle
+    // and the documented lowest-quality score for empty docs)
     val r = TextAnalysis.rareTokenRatio(corpus, "doc_id", "text", minDf = 2L)
       .collect().map(x => x.getLong(0) ->
         (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
