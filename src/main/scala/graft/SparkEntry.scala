@@ -606,7 +606,8 @@ object SparkEntry {
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events")),
         name = s"graft_stream_sess_${System.nanoTime}",
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
@@ -672,7 +673,8 @@ object SparkEntry {
             delay = "10000 hours", tolerance = "2 hours")
         },
         name = s"graft_stream_join_${System.nanoTime}",
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8))
         .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"),
           col("r_event_id").as("r_id"), col("r_ts"))
     }),
@@ -1009,7 +1011,8 @@ object SparkEntry {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
-        name = s"graft_stream_${System.nanoTime}")
+        name = s"graft_stream_${System.nanoTime}",
+        statePartitions = Some(8))
         .select(col("window.start").as("hour"), col("event_type"),
           col("n"), col("total_value"))
     }),
@@ -1137,7 +1140,8 @@ object SparkEntry {
             df.select(col("event_type"), lit(1L))
               .as[(String, Long)]).toDF(),
           name = s"graft_stream_st_${System.nanoTime}",
-          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8))
       }
         .groupBy("key").agg(max("count").as("n"))
         .select(col("key").as("event_type"), col("n"))
@@ -1188,6 +1192,8 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double")
               .as("total")),
+        // no statePartitions override: a stream-STATIC join has no state
+        // stores, so fewer partitions would only throttle parallelism
         name = s"graft_stream_sj_${System.nanoTime}")
     }),
 
@@ -1201,7 +1207,8 @@ object SparkEntry {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n")),
-        name = s"graft_stream_sl_${System.nanoTime}")
+        name = s"graft_stream_sl_${System.nanoTime}",
+        statePartitions = Some(8))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("event_type"), col("n"))
     }),

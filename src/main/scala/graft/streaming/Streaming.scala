@@ -85,17 +85,41 @@ object Streaming {
    * in the sink across micro-batches. The memory sink is
    * test/verification plumbing — production streams use
    * [[writeStream]]/[[foreachBatchSink]].
+   *
+   * `statePartitions` sizes the stateful-operator partitioning —
+   * every stateful op materializes one state store instance PER
+   * shuffle partition, each paying init + per-batch commit/fsync, and
+   * the count is FROZEN into the checkpoint at first run, so it is a
+   * deliberate deployment decision, not something to inherit from the
+   * session's CPU-count-shaped `spark.sql.shuffle.partitions`. Size
+   * it to keyspace and state volume: a gate-scale keyspace wants a
+   * handful (measured: the stream-stream interval join at 32
+   * partitions pays 5.1 s, at 8 partitions 2.6 s — pure store
+   * overhead, identical results); a 100 TB keyed stream wants
+   * hundreds so each store's state fits its executor's disk. The conf
+   * is scoped to this call (read at query planning) and restored
+   * after.
    */
   def runBatchAsStream(spark: SparkSession, path: String, schema: StructType,
                        transform: DataFrame => DataFrame,
                        name: String,
-                       outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(path)
-    val q = transform(stream).writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                       outputMode: OutputMode = OutputMode.Complete(),
+                       statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    statePartitions.foreach(n => spark.conf.set(key, n))
+    val q = try {
+      val stream = spark.readStream.schema(schema).parquet(path)
+      val started = transform(stream).writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    } finally if (statePartitions.nonEmpty) prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
     // The complete-mode result already lives in the driver (that's what
     // a memory sink is); copy it into a standalone local relation and
     // DROP the sink's temp view so repeated invocations don't pin one
