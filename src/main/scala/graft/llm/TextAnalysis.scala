@@ -308,15 +308,19 @@ object TextAnalysis {
    *  is already unique there, so this is a plain count — partial
    *  aggregation keeps the term shuffle small.
    *
-   *  Counting `tf` (never null ⇒ same value as count(*)) rather than
-   *  `lit(1)` is deliberate: it keeps the tf column alive through
-   *  column pruning, so this branch's (doc, term) exchange stays
-   *  IDENTICAL to the [[termFrequencies]] branch and Spark's
-   *  ReuseExchange serves both from one corpus pass — with count(*),
-   *  pruning drops tf from the lower aggregate and the corpus is
-   *  scanned and aggregated twice. */
+   *  Counting `nullif(tf, -1)` (tf ≥ 1, so never null ⇒ same value as
+   *  count(*)) rather than `lit(1)` or bare `tf` is deliberate: it
+   *  keeps the tf column alive through column pruning, so this
+   *  branch's (doc, term) exchange stays IDENTICAL to the
+   *  [[termFrequencies]] branch and Spark's exchange/stage reuse
+   *  serves both from ONE corpus pass. Bare `count(tf)` no longer
+   *  works: tf is non-nullable, so the optimizer rewrites it to
+   *  count(*), pruning drops tf from the lower aggregate, the
+   *  exchanges diverge canonically, and the corpus is scanned and
+   *  exploded twice (observed on Spark 4.1 — the nullable nullif
+   *  wrapper is not foldable, so the rewrite cannot fire). */
   def docFrequencies(tf: DataFrame): DataFrame =
-    tf.groupBy("term").agg(count(col("tf")).as("df"))
+    tf.groupBy("term").agg(count(nullif(col("tf"), lit(-1))).as("df"))
 
   /**
    * Top-`k` characteristic terms per document by TF-IDF.

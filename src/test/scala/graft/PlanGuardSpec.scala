@@ -112,4 +112,28 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(1200))
     assert(p.contains("Union"), p.take(1200))
   }
+
+  test("q55/q109 scan the corpus once: tf/df branches share their (doc, term) stage") {
+    // the docFrequencies branch must reuse the termFrequencies
+    // exchange — one corpus explode serves both. Guarded because the
+    // contract is fragile: bare count(tf) regressed silently when the
+    // optimizer started rewriting count(non-nullable) to count(*),
+    // pruning tf and splitting the canonical subtrees (fixed with the
+    // nullif wrapper in docFrequencies). Inspect the FINAL plan
+    // section only — the AQE string repeats subtrees under
+    // "== Initial Plan ==".
+    for (q <- Seq("q55_tfidf", "q109_rare_tokens")) {
+      val p = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"$q: no stage reuse\n${p.take(1500)}")
+      assert("FileScan parquet".r.findAllIn(p).length == 1,
+        s"$q: corpus scanned more than once\n${p.take(1500)}")
+    }
+  }
+
+  test("q108 exact-k sample plans as TakeOrderedAndProject, no global sort") {
+    val p = finalPlan("q108_exact_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("GlobalLimit"), p.take(1200))
+  }
 }
