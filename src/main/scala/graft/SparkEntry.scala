@@ -1192,9 +1192,11 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double")
               .as("total")),
-        // no statePartitions override: a stream-STATIC join has no state
-        // stores, so fewer partitions would only throttle parallelism
-        name = s"graft_stream_sj_${System.nanoTime}")
+        // the JOIN side is stateless, but the Complete-mode groupBy
+        // above it is a stateful agg with a store per partition —
+        // sized like the other stateful gates
+        name = s"graft_stream_sj_${System.nanoTime}",
+        statePartitions = Some(8))
     }),
 
     // ---- §2.11 REAL streaming sliding windows (micro-batch engine;

@@ -93,32 +93,27 @@ object Streaming {
    * deliberate deployment decision, not something to inherit from the
    * session's CPU-count-shaped `spark.sql.shuffle.partitions`. Size
    * it to keyspace and state volume: a gate-scale keyspace wants a
-   * handful (measured: the stream-stream interval join at 32
-   * partitions pays 5.1 s, at 8 partitions 2.6 s — pure store
-   * overhead, identical results); a 100 TB keyed stream wants
-   * hundreds so each store's state fits its executor's disk. The conf
-   * is scoped to this call (read at query planning) and restored
-   * after.
+   * handful (measured: the stream-stream interval join pays ~2× at 32
+   * partitions vs 8 — pure store overhead, identical results); a
+   * 100 TB keyed stream wants hundreds so each store's state fits its
+   * executor's disk. The conf override is session-global while the
+   * stream runs (scoped via [[withConf]], restored after
+   * `awaitTermination`) — like every conf-scoped helper here, this
+   * assumes the session is not concurrently planning other work.
    */
   def runBatchAsStream(spark: SparkSession, path: String, schema: StructType,
                        transform: DataFrame => DataFrame,
                        name: String,
                        outputMode: OutputMode = OutputMode.Complete(),
                        statePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    statePartitions.foreach(n => spark.conf.set(key, n))
-    val q = try {
+    withConf(spark, "spark.sql.shuffle.partitions",
+        statePartitions.map(_.toString)) {
       val stream = spark.readStream.schema(schema).parquet(path)
-      val started = transform(stream).writeStream.format("memory").queryName(name)
+      transform(stream).writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
-      started.awaitTermination()
-      started
-    } finally if (statePartitions.nonEmpty) prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+        .awaitTermination()
     }
     // The complete-mode result already lives in the driver (that's what
     // a memory sink is); copy it into a standalone local relation and
@@ -133,6 +128,22 @@ object Streaming {
       java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** Scoped session-conf override: set `key` to `value` (None = leave
+   *  untouched), run `body`, restore the prior state. The override is
+   *  SESSION-GLOBAL while body runs — callers must not concurrently
+   *  plan other work on the same session (all uses here are
+   *  sequential gate/test drivers), and nesting overrides of the same
+   *  key restores correctly only in LIFO order. */
+  private def withConf[T](spark: SparkSession, key: String,
+                          value: Option[String])(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    value.foreach(spark.conf.set(key, _))
+    try body finally if (value.nonEmpty) prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run `body` with the RocksDB state store provider (bundled with
    *  Spark 4 — rocksdbjni ships in the distribution), restoring the
    *  prior provider after. THE state backend for 100 TB streaming:
@@ -140,17 +151,11 @@ object Streaming {
    *  executor heap, so state size is bounded by disk, not memory.
    *  The provider conf is read at QUERY START, so wrapping the
    *  `start()` call is sufficient; restoring it never affects a
-   *  running query. */
-  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+   *  running query. Same single-threaded-session contract as
+   *  [[withConf]]. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))(body)
 
   /** In-memory sink for tests: results under `SELECT * FROM <name>`. */
   def memorySink(df: DataFrame, name: String,
