@@ -1,30 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 object Bench {
+
+  // ---- telemetry probes (local mode: the driver JVM is the only JVM,
+  //      so these see executor-side pressure too) ----
+  private def gcMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def heapMB: Double = {
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) / (1024.0 * 1024.0)
+  }
+  /** Cumulative process CPU ns; -1 if the platform bean is unavailable. */
+  private def procCpuNs: Long = ManagementFactory.getOperatingSystemMXBean match {
+    case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+    case _ => -1L
+  }
+  /** 1-minute system load average — the EXTERNAL-pressure probe: a
+   *  query whose wall time inflates while its own CPU seconds do not,
+   *  under high load, was starved by the machine, not by its plan. */
+  private def sysLoad: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** One measurement's telemetry, rendered as a fixed-position JSON
+   *  array (keeps the detail line compact): [wall s, gc ms during the
+   *  query, heap MB before, heap MB after, process-CPU s during the
+   *  query, 1-min load at start, storage MB before isolate, broadcasts
+   *  dropped by isolate]. */
+  private final case class Tel(wall: Double, gc: Long, heapB: Double,
+                               heapA: Double, cpu: Double, load: Double,
+                               bmB: Double, bcDropped: Int) {
+    def json: String =
+      f"[$wall%.3f,$gc%d,${heapB}%.0f,${heapA}%.0f,$cpu%.2f,$load%.2f,${bmB}%.1f,$bcDropped%d]"
+  }
+
   /** Reset session state a prior query may have left behind: cached
-   *  relations, temp views, and GRAFT-CREATED catalog tables (q59
-   *  writes `graft_bkt_*`; dropping keeps every iteration's create
-   *  path timed identically). Scoped to the `graft` name prefix so a
-   *  bench launched over a warehouse holding unrelated managed tables
-   *  never destroys them; best-effort so a failing drop records a
-   *  query failure, not a dead bench.
-   *
-   *  Checkpoint blocks: the dedup family materializes relations via
-   *  lazy localCheckpoint, whose blocks are ContextCleaner-managed —
-   *  they free when the frame is GC'd AND the async cleaner queue
-   *  drains. Between bench measurements that lag is real pressure
-   *  (round 5's artifact showed q26 paying ~2× its isolated time deep
-   *  into the suite), so the blocks of every no-longer-referenced
-   *  persistent RDD are dropped SYNCHRONOUSLY here: all prior frames
-   *  are dead at this point (each measurement builds its plan fresh),
-   *  and an unpersisted checkpoint RDD is only a problem if someone
-   *  re-runs its frame, which the bench never does. The GC nudge still
-   *  runs for driver-side heap (collected arrays, codegen classes). */
-  private def isolate(spark: SparkSession): Unit = {
+   *  relations, temp views, GRAFT-CREATED catalog tables (q59 writes
+   *  `graft_bkt_*`; dropping keeps every iteration's create path timed
+   *  identically), leftover persistent RDDs (checkpoint blocks — the
+   *  async ContextCleaner lags, so drop SYNCHRONOUSLY), and — new in
+   *  round 7 — ALL broadcast blocks: isolate() previously unpersisted
+   *  RDDs but never destroyed broadcasts (q100's dims, q24's band
+   *  tables, every AQE-planned broadcast join build side), a plausible
+   *  contributor to the late-suite inflation the round-6 artifact
+   *  showed on q26/q24/q39. Scoped to the `graft` name prefix for
+   *  catalog tables so a bench launched over a warehouse holding
+   *  unrelated managed tables never destroys them; best-effort so a
+   *  failing drop records a query failure, not a dead bench.
+   *  Returns the number of broadcasts dropped (telemetry). */
+  private def isolate(spark: SparkSession): Int = {
+    var dropped = 0
     try {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      dropped = org.apache.spark.graft.BenchInternals
+        .dropBroadcasts(spark.sparkContext)
       spark.catalog.listTables().collect()
         .filter(_.name.toLowerCase.startsWith("graft"))
         .foreach { t =>
@@ -35,6 +68,7 @@ object Bench {
       System.err.println(s"[bench] isolate: ${e.getMessage}")
     }
     System.gc()
+    dropped
   }
 
   def main(args: Array[String]): Unit = {
@@ -45,7 +79,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      // The status listeners retain job/stage/task/SQL-execution data
+      // in DRIVER HEAP even with the UI off — at the defaults (1000
+      // jobs/stages, 100k tasks, 1000 SQL executions) a 109-query
+      // suite accumulates real GC pressure by the time the q2x family
+      // runs mid-suite. The bench needs none of it (telemetry comes
+      // from MX beans); keep a token window for post-mortem debugging.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "10"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/parquet-scan/noop-sink paths so the first timed
@@ -53,6 +97,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // The round-5/6 artifacts inflated this family 3-5× over isolated
+    // runs IN THE DRIVER'S ENVIRONMENT ONLY (external machine load is
+    // the telemetry hypothesis): one extra attempt gives best-of-3 a
+    // chance to land between load spikes without tripling the suite.
+    val heavy = Set("q26_ngram_jaccard", "q24_minhash", "q39_ivf",
+      "q40_weighted_mean_expr")
     // Optional comma-separated name filter for quick subset runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -65,42 +115,57 @@ object Bench {
       // (count() would let Catalyst prune the benchmarked compute away).
       // Best of `iters` runs — single-shot numbers on a shared box swing
       // ±30%. A failed query records -1, never a normal-looking time.
-      val times = (1 to iters).map { _ =>
+      val n = if (heavy(name)) math.max(iters, 3) else iters
+      val tels = (1 to n).map { _ =>
         // Isolation BEFORE the timer: each measurement starts from a
         // clean block manager, so query N's number never carries the
         // cache pressure (or the leaked temp objects) of 1..N-1 —
         // round 4's artifact falsely reported 2-11× regressions that
         // were session-accumulation effects, not plans.
-        isolate(spark)
+        val bmBefore = org.apache.spark.graft.BenchInternals
+          .storageUsedMB(spark.sparkContext)
+        val dropped = isolate(spark)
+        val (g0, h0, c0, l0) = (gcMs, heapMB, procCpuNs, sysLoad)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          Tel(wall, gcMs - g0, h0, heapMB, (procCpuNs - c0) / 1e9, l0,
+            bmBefore, dropped)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          Tel(-1.0, gcMs - g0, h0, heapMB, (procCpuNs - c0) / 1e9, l0,
+            bmBefore, dropped)
         }
       }
-      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
+      val times = tels.map(_.wall)
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times, tels)
     }
     def f(d: Double) = "%.3f".format(d)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val its = results.map { case (k, _, ts) =>
+    val its = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Line order is tail-survival order: the driver keeps only a
-    // bounded tail of stdout, so the largest line (per-iteration
-    // detail) goes FIRST, the full primary JSON second, and a COMPACT
-    // summary (total + worst-10 queries, a few hundred bytes) LAST —
-    // whatever the tail window cuts, the total and the queries that
-    // matter for perf triage always survive (round 5's artifact lost
-    // q01–q21 and the total to mid-line truncation).
+    // bounded tail of stdout, so the largest lines (telemetry, then
+    // per-iteration detail) go FIRST, the full primary JSON second,
+    // and a COMPACT summary (total + worst-10 queries + the heavy
+    // family's telemetry, a few hundred bytes) LAST — whatever the
+    // tail window cuts, the total and the queries that matter for
+    // perf triage always survive (round 5's artifact lost q01–q21
+    // and the total to mid-line truncation).
+    val telJson = results.map { case (k, _, _, tels) =>
+      "\"" + k + "\":" + tels.map(_.json).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // schema: each entry [wall s, gcMs, heapBeforeMB, heapAfterMB,
+    // procCpuS, load1m, storageMBBeforeIsolate, broadcastsDropped]
+    println(s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped"],"queries":$telJson}""")
     println(s"""{"detail":"iters","iters":$its}""")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val worst = results.filter(_._2 > 0).sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // compact total sums SUCCESSFUL queries only — adding the -1.0
     // failure sentinels would understate the headline by 1 s per
@@ -108,7 +173,13 @@ object Bench {
     // keeps its historical all-results sum for round-over-round
     // comparability; its failures are visible as -1 entries)
     val okTotal = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total_compact","value":${f(okTotal)},"unit":"sec","n":${results.size},"worst10":$worst,"failed":$failed,"sf":"$sfDir"}""")
+    // The heavy family's full telemetry rides the compact line so the
+    // round-6 "q26 inflates only in the driver's run" question is
+    // answerable from the surviving artifact tail alone.
+    val hvy = results.filter(r => heavy(r._1)).map { case (k, _, _, tels) =>
+      "\"" + k + "\":" + tels.map(_.json).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":${f(okTotal)},"unit":"sec","n":${results.size},"worst10":$worst,"failed":$failed,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

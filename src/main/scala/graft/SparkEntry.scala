@@ -1854,13 +1854,17 @@ object SparkEntry {
         |  '&#39;', chr(39)), '&amp;', '&') AS t2 FROM c)
         |SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean FROM u""".stripMargin,
 
+    // bracketed IPv6 literal hosts → NULL (no registered domain), same
+    // guard as extractDomain's `!noUser.startsWith("[")`
     "q106_domains" ->
       """WITH d AS (SELECT doc_id,
         |  'https://www.' || source || '.example.com/p/' || doc_id AS url FROM documents),
-        |e AS (SELECT doc_id, CASE WHEN h = '' THEN NULL ELSE h END AS domain FROM (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |nu AS (SELECT doc_id, regexp_replace(
         |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
-        |    '^.*@', ''), ':.*$', ''), '^www\.', '') AS h FROM d))
+        |    '^.*@', '') AS h0 FROM d),
+        |e AS (SELECT doc_id, CASE WHEN h = '' OR h0 LIKE '[%' THEN NULL ELSE h END AS domain FROM (
+        |  SELECT doc_id, h0, regexp_replace(regexp_replace(h0,
+        |    ':.*$', ''), '^www\.', '') AS h FROM nu))
         |SELECT domain, count(*) AS n_docs FROM e
         |WHERE domain IS NULL OR domain NOT IN ('src1.example.com', 'src3.example.com')
         |GROUP BY 1""".stripMargin,

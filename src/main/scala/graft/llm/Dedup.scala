@@ -115,22 +115,26 @@ object Dedup {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // UNKNOWN size (the defaultSizeInBytes sentinel — JDBC scans,
-    // LogicalRDD/checkpointed frames, driver-built relations) must
-    // repartition too: those inputs are routinely single-partition,
-    // which is exactly the per-row-heavy-compute regression this
-    // helper exists to prevent. Detected STRUCTURALLY at the leaves
-    // (a leaf without real stats reports exactly the sentinel) — the
-    // rolled-up total is no test, because size-only stats multiply at
-    // join nodes and a join of two large KNOWN scans can exceed any
-    // magnitude threshold while being precisely the corpus-scale frame
-    // that must NOT reshuffle. The corpus path (parquet file scans)
-    // always has real file statistics and skips the shuffle.
+    // Size probe over the LEAVES, not the rolled-up plan estimate:
+    // without CBO, size-only stats MULTIPLY at join nodes, so the
+    // rolled-up number is wrong in both directions — a small frame
+    // built from a join of known-size scans can exceed any threshold
+    // (silently skipping the repartition and re-introducing the
+    // single-task heavy-compute regression this helper prevents),
+    // while a join of two large scans is precisely the corpus-scale
+    // frame that must NOT reshuffle. The sum of leaf scan sizes bounds
+    // how many partitions the file sources can actually yield, which
+    // is the question being asked. UNKNOWN leaves (JDBC scans,
+    // LogicalRDD/checkpointed frames, driver-built relations report
+    // exactly the defaultSizeInBytes sentinel) must repartition too:
+    // those inputs are routinely single-partition. The corpus path
+    // (parquet file scans) always has real file statistics and skips
+    // the shuffle.
     val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    val unknown = df.queryExecution.optimizedPlan.collectLeaves()
-      .exists(_.stats.sizeInBytes >= sentinel)
-    if (unknown || bytes < BigInt(maxPart) * target) df.repartition(target) else df
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val unknown = leaves.exists(_.stats.sizeInBytes >= sentinel)
+    val leafBytes = leaves.map(_.stats.sizeInBytes).sum
+    if (unknown || leafBytes < BigInt(maxPart) * target) df.repartition(target) else df
   }
 
   /**

@@ -126,6 +126,15 @@ object Sampling {
    * no global sort, no shuffle of the corpus. k-sized results are the
    * contract (an eval slice, not a corpus split) — for proportional
    * subsets use [[hashSample]]/[[topFractionByScore]].
+   *
+   * PRECONDITION for the determinism contract: `keyCol` values must be
+   * UNIQUE (it is the document id). The total order is (hash, key);
+   * rows sharing a key value tie on both sort columns, so which of
+   * them crosses the k-boundary becomes partition/engine-dependent.
+   * With duplicate keys, dedup first (or pick a unique key) — a
+   * content-column tiebreaker is deliberately NOT appended here: it
+   * would drag every payload column into the top-k heap comparisons
+   * for a guarantee the id-key contract already provides.
    */
   def exactKByHash(df: DataFrame, keyCol: String, k: Int,
                    salt: String = ""): DataFrame = {

@@ -211,9 +211,16 @@ object TextAnalysis {
     // spam.bad, so a first-@ strip would leave `y@spam.bad` and slip a
     // blocklist. Port strip takes ANY suffix after ':' — a non-numeric
     // port (`spam.bad:x`) must not change the domain key either.
-    val bare = regexp_replace(regexp_replace(regexp_replace(host,
-      "^.*@", ""), ":.*$", ""), "^www\\.", "")
-    when(bare =!= "", bare)
+    val noUser = regexp_replace(host, "^.*@", "")
+    val bare = regexp_replace(regexp_replace(noUser,
+      ":.*$", ""), "^www\\.", "")
+    // Bracketed IPv6 literal hosts (`https://[::1]:8080/`) contain the
+    // port-strip ':' INSIDE the host, so the chain above would mangle
+    // them to garbage ('[') — a nonsense non-null key that can never
+    // match a blocklist entry. IP-literal hosts have no registered
+    // domain at all, so they classify as unparsable → null (same bucket
+    // as schemeless input), never a fake domain key.
+    when(bare =!= "" && !noUser.startsWith("["), bare)
   }
 
   /** Drop rows whose URL's domain ([[extractDomain]]) is blocklisted —

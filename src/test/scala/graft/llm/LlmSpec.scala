@@ -265,6 +265,8 @@ class LlmSpec extends AnyFunSuite {
       ("https://user:pw@spam.bad:8443/x", "strip-userinfo-port"),
       ("https://x@y@spam.bad/z", "strip-double-at"),
       ("https://spam.bad:80x/z", "strip-garbage-port"),
+      ("https://[::1]:8080/admin", "ipv6-literal-port"),
+      ("http://u@[2001:db8::1]/x", "ipv6-literal-userinfo"),
       ("not a url", "unparsable"),
       (null, "null"))
       .toDF("url", "kind")
@@ -278,6 +280,11 @@ class LlmSpec extends AnyFunSuite {
     assert(doms("strip-double-at").contains("spam.bad"))
     assert(doms("strip-garbage-port").contains("spam.bad"))
     assert(doms("unparsable").isEmpty && doms("null").isEmpty)
+    // bracketed IPv6 literals have no registered domain: null, never a
+    // mangled '[' key (the port strip would otherwise cut inside the
+    // bracket host)
+    assert(doms("ipv6-literal-port").isEmpty)
+    assert(doms("ipv6-literal-userinfo").isEmpty)
 
     val kept = TextAnalysis.domainBlocklistFilter(
       Seq("https://spam.bad/x", "https://evil@spam.bad/y",

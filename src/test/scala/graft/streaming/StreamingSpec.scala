@@ -163,8 +163,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     Streaming.withRocksDbStateStore(spark) { // transformWithState's store
       val stream = MemoryStream[(String, Long)]
+      // TTL margins: the horizon runs from phase 1's state WRITE, so a
+      // loaded box stalling >TTL between phase 1 and phase 2's
+      // processing would expire 'a' early and readmit the phase-2 row
+      // (a timing flake, not a product bug). 10 s gives phase 2 a wide
+      // margin; phase 3 then sleeps past the full horizon.
+      val ttlMs = 10000L
       val q = Streaming.dedupStreamTtl(stream.toDS(),
-          java.time.Duration.ofMillis(2000))
+          java.time.Duration.ofMillis(ttlMs))
         .writeStream.format("memory").queryName("ttl_dedup")
         .outputMode("append").start()
       try {
@@ -174,13 +180,18 @@ class StreamingSpec extends AnyFunSuite {
         // phase 1: a twice (in-batch dup) + b -> each emitted once
         stream.addData(("a", 1L), ("a", 2L), ("b", 3L))
         until("phase-1 rows")(Some(sink()).filter(_.size >= 2))
+        // expiry baseline: 'a's state write happened strictly BEFORE
+        // its row became visible here, so writeTime + ttl <= this + ttl
+        val phase1At = System.nanoTime
         assert(sink().sortBy(_._2) == Seq(("a", 1L), ("b", 3L)))
         // phase 2 within the TTL horizon: a again -> consumed, dropped
         stream.addData(("a", 4L))
         until("phase-2 consumed")(Some(inputRows()).filter(_ >= 4))
         assert(sink().size == 2)
-        // phase 3 past the horizon: a's state expired -> readmitted
-        Thread.sleep(2500)
+        // phase 3 past the horizon (sleep until ttl + 0.5 s has elapsed
+        // since BEFORE phase 1's write): a's state expired -> readmitted
+        val remainMs = ttlMs + 500 - (System.nanoTime - phase1At) / 1000000L
+        if (remainMs > 0) Thread.sleep(remainMs)
         stream.addData(("a", 5L))
         until("phase-3 readmit")(Some(sink()).filter(_.size >= 3))
         assert(sink().sortBy(_._2).last == ("a", 5L))
