@@ -599,19 +599,85 @@ object SparkEntry {
     //      contract here ----
     "q76_stream_session" -> ((s, dir) => {
       val schema = Tables.rawSchema(s, dir, "events")
-      graft.streaming.Streaming.runBatchAsStream(
+      // the largest streaming gate (~10k rows at sf0.01) rides the
+      // FILE-BACKED bridge — append semantics unchanged, but the result
+      // never passes through the driver
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q76").toString
+      graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           .withWatermark("ts", "1 hour")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events")),
-        name = s"graft_stream_sess_${System.nanoTime}",
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = Some(8))
+        dir = tmp, statePartitions = Some(8))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"))
+    }),
+
+    // ---- §2.11 STREAMING DEDUP through real micro-batches: the
+    //      events table re-chunked into chronological hour-range files
+    //      (mtimes stamped in range order so the file source lists them
+    //      oldest-first), one file per micro-batch, watermark-bounded
+    //      dedup state. The dedup key INCLUDES the hour column and the
+    //      files are range-partitioned on it, so every key lives in
+    //      exactly one micro-batch: the output is exactly the distinct
+    //      key set (which row of a duplicate group survives is
+    //      processing-order-dependent, so the key columns ARE the
+    //      output), while state for past hours is genuinely evicted as
+    //      the watermark advances batch over batch ----
+    "q110_stream_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q110").toString
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      // part-0000N corresponds to range-partition N (ascending hr);
+      // stamp strictly increasing mtimes so listing order ==
+      // chronological order and the watermark only ever trails the
+      // incoming data (no nondeterministic late-drop)
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      graft.streaming.Streaming.runBatchAsStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.dedupStream(df,
+          Seq("user_id", "event_type", "hr"), "hr", "1 hour"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    }),
+
+    // ---- §2.1/§2.11 CHANGE STREAM → materialized table: the generic
+    //      analogue of the reference's Mongo change stream — a
+    //      file-backed I/U/D feed (full row image + op + version),
+    //      randomly chunked into 4 files, applied one file per
+    //      micro-batch through ChangeFeed.materialize's version-gated
+    //      merge. The random chunking means a key's INSERT, UPDATE and
+    //      DELETE can arrive in ANY batch order — the gate passes only
+    //      because application is order-independent by construction ----
+    "q111_change_stream" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      val ins = base.withColumn("o_totalprice", dec.cast("double"))
+        .withColumn("op", lit("I")).withColumn("version", lit(1L))
+      val upd = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", (dec + lit(BigDecimal("10.00"))).cast("double"))
+        .withColumn("op", lit("U")).withColumn("version", lit(2L))
+      val del = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", dec.cast("double"))
+        .withColumn("op", lit("D")).withColumn("version", lit(3L))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q111").toString
+      ins.unionByName(upd).unionByName(del)
+        .repartition(4).write.parquet(s"$tmp/feed")
+      val schema = s.read.parquet(s"$tmp/feed").schema
+      graft.streaming.ChangeFeed.materialize(s, s"$tmp/feed", schema,
+        keys = Seq("o_orderkey"), opCol = "op", versionCol = "version",
+        workDir = s"$tmp/work", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
     }),
 
     // ---- §2.13 DAG orchestration: sources → join → aggregate ----
@@ -994,25 +1060,28 @@ object SparkEntry {
     }),
 
     // ---- §2.11 REAL streaming execution: file source → watermark →
-    //      tumbling window agg → memory sink, Trigger.AvailableNow;
-    //      the batch oracle must match the micro-batch engine's state ----
+    //      tumbling window agg → checkpointed PARQUET sink (the
+    //      production-shaped file-backed bridge — nothing through the
+    //      driver), Trigger.AvailableNow. The file sink is append-only,
+    //      so only windows the FINAL watermark (max ts − delay) closed
+    //      are emitted — the oracle applies the same cutoff ----
     "q56_stream_hourly" -> ((s, dir) => {
       // RAW parquet schema (ts is nano-epoch INT64 under nanosAsLong) —
       // the stream must read what's physically in the file; the
       // micros conversion Tables does for batch runs inside the
       // streaming transform instead
       val schema = Tables.rawSchema(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q56").toString
       // glob, not the bare file path: the file-stream source requires a
       // directory (or glob) so it can derive a basePath for listing
-      graft.streaming.Streaming.runBatchAsStream(
+      graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
-        name = s"graft_stream_${System.nanoTime}",
-        statePartitions = Some(8))
+        dir = tmp, statePartitions = Some(8))
         .select(col("window.start").as("hour"), col("event_type"),
           col("n"), col("total_value"))
     }),
@@ -1201,16 +1270,18 @@ object SparkEntry {
 
     // ---- §2.11 REAL streaming sliding windows (micro-batch engine;
     //      overlapping-window state vs the epoch-aligned batch oracle) ----
+    // append + final-watermark cutoff through the file-backed bridge,
+    // same contract as q56
     "q60_stream_sliding" -> ((s, dir) => {
       val schema = Tables.rawSchema(s, dir, "events")
-      graft.streaming.Streaming.runBatchAsStream(
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+      graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n")),
-        name = s"graft_stream_sl_${System.nanoTime}",
-        statePartitions = Some(8))
+        dir = tmp, statePartitions = Some(8))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("event_type"), col("n"))
     }),
@@ -2126,13 +2197,18 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
 
-    // the streaming engine's complete-mode state must equal batch agg;
+    // append mode through the file-backed bridge: only windows the
+    // FINAL watermark (max ts − 1 h) closed are emitted — eviction is
+    // `window.end <= watermark`, and no whole-hour boundary can tie the
+    // sub-millisecond-noise watermark exactly, so strict `<` matches;
     // hour windows are epoch-aligned = date_trunc
     "q56_stream_hourly" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-        | count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      """WITH agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n, total_value FROM agg
+        |WHERE hour + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
 
     "q57_incremental" ->
       """SELECT * FROM documents
@@ -2372,7 +2448,10 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // sliding windows: each event lands in width/slide = 2 windows
-    // (same epoch-aligned micros arithmetic as the q50 batch oracle)
+    // (same epoch-aligned micros arithmetic as the q50 batch oracle);
+    // append mode through the file-backed bridge — same final-watermark
+    // cutoff as q56 (strict `<`: window ends are slide-aligned marks,
+    // the watermark carries sub-millisecond noise, no exact ties)
     "q60_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
         |w AS (SELECT event_type, (us // 1800000000 - r.i) * 1800000000 AS ws
@@ -2382,7 +2461,9 @@ object SparkEntry {
         |SELECT make_timestamp(ws) AS w_start,
         |       make_timestamp(ws + 3600000000) AS w_end,
         |       event_type, count(*) AS n
-        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+        |FROM w GROUP BY 1, 2, 3
+        |HAVING make_timestamp(ws + 3600000000) <
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
 
     // each event lands in width/slide = 2 windows whose starts are the
     // two slide-aligned marks in (ts − width, ts]; micros arithmetic
@@ -2430,6 +2511,27 @@ object SparkEntry {
         |FROM g GROUP BY user_id, sid)
         |SELECT user_id, session_start, session_end, n_events FROM sess
         |WHERE session_end < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
+
+    // streaming dedup emits each key's first occurrence exactly once:
+    // the dedup key includes the hour column and the feed is
+    // range-chunked on it, so no key can span micro-batches (no
+    // re-admission after state eviction) — the output is exactly the
+    // distinct key set
+    "q110_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+        |FROM events""".stripMargin,
+
+    // the materialized table after the full I/U/D feed: every order
+    // INSERTed (v1), every %3 key UPDATEd to price+10 (v2), every %7
+    // key DELETEd (v3) — version-gated merge makes batch order
+    // irrelevant, so the oracle is the final state in closed form
+    "q111_change_stream" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     "q33_dag" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -105,10 +105,12 @@ object Streaming {
                        transform: DataFrame => DataFrame,
                        name: String,
                        outputMode: OutputMode = OutputMode.Complete(),
-                       statePartitions: Option[Int] = None): DataFrame = {
+                       statePartitions: Option[Int] = None,
+                       sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     withConf(spark, "spark.sql.shuffle.partitions",
         statePartitions.map(_.toString)) {
-      val stream = spark.readStream.schema(schema).parquet(path)
+      val stream = spark.readStream.schema(schema).options(sourceOptions)
+        .parquet(path)
       transform(stream).writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
@@ -128,14 +130,58 @@ object Streaming {
       java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /**
+   * FILE-BACKED variant of [[runBatchAsStream]]: the streaming result
+   * lands in a checkpointed PARQUET sink and comes back as a
+   * file-backed DataFrame — no driver-side collect anywhere. This is
+   * the production-shaped bridge: [[runBatchAsStream]]'s memory sink
+   * necessarily copies the whole result through the driver (fine for
+   * few-row test aggregates, a bottleneck on a real keyspace), so the
+   * memory-sink form is TEST/VERIFICATION plumbing only — gates over
+   * thousands of rows and any production use belong here or on
+   * [[writeStream]]/[[foreachBatchSink]] directly.
+   *
+   * The file sink is APPEND-ONLY (Structured Streaming contract):
+   * aggregations must carry a watermark and emit only finalized
+   * windows — the same append+watermark-cutoff semantics a production
+   * stream writing parquet has. `dir` receives `out/` (sink) and
+   * `chk/` (checkpoint); the returned DataFrame reads `out/` and an
+   * empty result comes back as an empty frame of the sink's schema
+   * (the sink always writes its `_spark_metadata`, so the directory
+   * exists even with zero emitted rows).
+   */
+  def runBatchAsStreamFiles(spark: SparkSession, path: String, schema: StructType,
+                            transform: DataFrame => DataFrame,
+                            dir: String,
+                            statePartitions: Option[Int] = None,
+                            sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    val resultSchema = withConf(spark, "spark.sql.shuffle.partitions",
+        statePartitions.map(_.toString)) {
+      val stream = spark.readStream.schema(schema).options(sourceOptions)
+        .parquet(path)
+      val transformed = transform(stream)
+      transformed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      transformed.schema
+    }
+    spark.read.schema(resultSchema).parquet(out)
+  }
+
   /** Scoped session-conf override: set `key` to `value` (None = leave
    *  untouched), run `body`, restore the prior state. The override is
    *  SESSION-GLOBAL while body runs — callers must not concurrently
    *  plan other work on the same session (all uses here are
    *  sequential gate/test drivers), and nesting overrides of the same
    *  key restores correctly only in LIFO order. */
-  private def withConf[T](spark: SparkSession, key: String,
-                          value: Option[String])(body: => T): T = {
+  private[streaming] def withConf[T](spark: SparkSession, key: String,
+                                     value: Option[String])(body: => T): T = {
     val prev = spark.conf.getOption(key)
     value.foreach(spark.conf.set(key, _))
     try body finally if (value.nonEmpty) prev match {

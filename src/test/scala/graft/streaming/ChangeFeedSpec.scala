@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * ChangeFeed.materialize: change stream → materialized table, applied
+ * through real micro-batches (one feed file per batch, mtime-ordered).
+ * The properties under test are the ones the operator's contract
+ * promises: latest-version-wins, tombstones that cannot be resurrected
+ * by late lower-version changes, and at-least-once replay idempotence —
+ * all regardless of which batch a change arrives in.
+ */
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Append `rows` as one parquet file with a pinned mtime so the file
+   *  source processes feed files in exactly this call order. */
+  private def appendFile(dir: String, mtime: Long,
+                         rows: Seq[(Long, String, String, Long)]): Unit = {
+    val before = Option(new java.io.File(dir).listFiles()).toSeq.flatten.toSet
+    rows.toDF("k", "v", "op", "version")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => !before(f) && f.getName.endsWith(".parquet"))
+      .foreach(_.setLastModified(mtime))
+  }
+
+  test("version-gated merge: latest wins, tombstones hold, replay is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf").toString
+    val t0 = System.currentTimeMillis() - 3600000L
+    // batch 1: initial inserts
+    appendFile(s"$tmp/feed", t0, Seq(
+      (1L, "a", "I", 1L), (2L, "x", "I", 1L)))
+    // batch 2: k1 updated; k2 DELETED at v3 (before its v2 change arrives)
+    appendFile(s"$tmp/feed", t0 + 10000, Seq(
+      (1L, "b", "U", 2L), (2L, "gone", "D", 3L)))
+    // batch 3: k2's LATE v2 update (below the tombstone's version — must
+    // NOT resurrect), k3 inserted, k1's v2 REPLAYED (at-least-once)
+    appendFile(s"$tmp/feed", t0 + 20000, Seq(
+      (2L, "late", "U", 2L), (3L, "c", "I", 1L), (1L, "b", "U", 2L)))
+
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    val snap = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    assert(snap.columns.toSeq == Seq("k", "v"))
+    val rows = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "b", 3L -> "c")) // k2 deleted, k1 at v2
+  }
+
+  test("single-batch feed and out-of-order versions within one batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf1").toString
+    // one file = one batch: the within-batch latest-per-key window must
+    // pick v3 for k1 no matter the row order in the file
+    appendFile(s"$tmp/feed", System.currentTimeMillis(), Seq(
+      (1L, "v3", "U", 3L), (1L, "v1", "I", 1L), (1L, "v2", "U", 2L),
+      (2L, "only", "I", 1L), (2L, "dead", "D", 2L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    val snap = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work")
+    val rows = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "v3"))
+  }
+
+  test("empty feed directory materializes an empty payload-schema frame") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf0").toString
+    // establish schema via an empty write (file source needs the dir)
+    Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "version")
+      .write.parquet(s"$tmp/feed")
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    val snap = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work")
+    assert(snap.columns.toSeq == Seq("k", "v"))
+    assert(snap.count() == 0)
+  }
+}

@@ -44,6 +44,41 @@ class StreamingSpec extends AnyFunSuite {
       == TestSpark.rows(agg(data).select(col("window.start"), col("k"), col("n"), col("total"))))
   }
 
+  test("runBatchAsStreamFiles: append agg lands in parquet, no driver collect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fsink").toString
+    // ts(0)/ts(1) fall in a closed window once ts(200) drives the
+    // watermark (max − 65 min) past that window's end; ts(200)'s own
+    // window never closes and must NOT be emitted (append contract)
+    val data = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(200), "a", 9.0))
+      .toDF("ts", "k", "v")
+    data.write.mode("overwrite").parquet(s"$dir/in")
+    val res = Streaming.runBatchAsStreamFiles(spark, s"$dir/in", data.schema,
+      df => df.withWatermark("ts", "65 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total")),
+      dir = s"$dir/run", statePartitions = Some(2))
+    val rows = res.select(col("k"), col("n"), col("total")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 2L, 3.0)))
+    // the result is FILE-backed: the sink directory holds it
+    assert(spark.read.parquet(s"$dir/run/out").count() == 1)
+  }
+
+  test("runBatchAsStreamFiles: zero emitted rows still yields a typed empty frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fsink0").toString
+    val data = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
+    data.write.mode("overwrite").parquet(s"$dir/in")
+    // single event: watermark stays below every window end → nothing
+    // finalizes, but the returned frame still carries the agg schema
+    val res = Streaming.runBatchAsStreamFiles(spark, s"$dir/in", data.schema,
+      df => df.withWatermark("ts", "65 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("n")),
+      dir = s"$dir/run")
+    assert(res.columns.toSeq == Seq("window", "k", "n"))
+    assert(res.count() == 0)
+  }
+
   test("session window: gap >= 30min starts a new session (batch = streaming code)") {
     val df = Seq(
       (1L, ts(0)), (1L, ts(10)),  // session 1
