@@ -33,11 +33,27 @@ object Bpe {
   final case class BpeVocab(merges: Vector[(String, String)]) extends Serializable {
     @transient lazy val rank: Map[(String, String), Int] =
       merges.iterator.zipWithIndex.toMap
+    /** Per-JVM encode memo: pre-token → merged symbols. Natural text
+     *  is Zipf-distributed — a few thousand distinct words cover the
+     *  vast majority of occurrences, so memoizing the per-word merge
+     *  loop (quadratic in word length, rank lookups per pass) turns
+     *  most encode calls into one hash probe. Lives on the vocab
+     *  instance: executors deserialize their own copy, so the cache is
+     *  per-vocab-per-JVM, shared by all tasks (ConcurrentHashMap), and
+     *  SIZE-BOUNDED — adversarial unique-word streams stop inserting
+     *  at the cap instead of growing executor heap. Pure memoization:
+     *  eviction/capping never changes results. */
+    @transient private[functions] lazy val encodeCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
     /** Compact form — the default case-class toString would dump the
      *  whole merges table into every plan/explain string that renders
      *  an expression carrying the vocab. */
     override def toString: String = s"BpeVocab(${merges.length} merges)"
   }
+
+  /** Encode-cache cap (distinct pre-tokens per vocab per JVM): ~64k
+   *  words × ~100 B ≈ a few MB — noise next to executor memory. */
+  private val EncodeCacheMax = 65536
 
   /** GPT-2-shaped pre-tokenizer. Java regex (driver/executor side —
    *  RE2 portability does not apply; no oracle replays this). */
@@ -101,7 +117,15 @@ object Bpe {
    *  (null → empty, matching SQL semantics at the UDF boundary). */
   def encode(text: String, vocab: BpeVocab): Vector[String] =
     if (text == null) Vector.empty
-    else preTokens(text).flatMap(pt => mergeWord(toSymbols(pt), vocab))
+    else preTokens(text).flatMap { pt =>
+      val hit = vocab.encodeCache.get(pt)
+      if (hit != null) hit
+      else {
+        val m = mergeWord(toSymbols(pt), vocab)
+        if (vocab.encodeCache.size < EncodeCacheMax) vocab.encodeCache.put(pt, m)
+        m
+      }
+    }
 
   def tokenCount(text: String, vocab: BpeVocab): Long = encode(text, vocab).length.toLong
 
@@ -115,51 +139,96 @@ object Bpe {
 
   /**
    * Train a merges table: greedy most-frequent-adjacent-pair, ties by
-   * ascending pair order (deterministic). Stops early when no pair
-   * occurs twice — learning singleton merges would just memorize the
-   * corpus. Training cost is O(numMerges × corpus words) — meant for
-   * SMALL embedded vocabs and tests; production corpora would train
-   * once offline and ship the merges list as data.
+   * ascending pair order (deterministic — training is a pure function
+   * of (corpus, numMerges)). Stops early when no pair occurs twice —
+   * learning singleton merges would just memorize the corpus.
+   *
+   * The pair-count table is maintained INCREMENTALLY: each merge
+   * rewrites only the words that actually contain the chosen pair
+   * (tracked by an inverted pair→words index) and adjusts their pair
+   * contributions, instead of recounting the whole corpus — the
+   * classic fast-BPE formulation. Cost per merge = scan of the live
+   * pair table (for the deterministic arg-max) + rewrite of the
+   * affected words, which makes REALISTIC vocab sizes (5k+ merges)
+   * train in seconds where the naive recount was O(merges × corpus).
+   * Training still runs single-JVM: a merges table is trained once and
+   * shipped as data; what must scale to 100 TB is ENCODE (the codegen
+   * expressions), not training.
    */
   def train(corpus: Seq[String], numMerges: Int): BpeVocab = {
-    var words: Map[Vector[String], Long] = corpus
-      .flatMap(preTokens).groupBy(identity)
-      .map { case (w, occ) => toSymbols(w) -> occ.size.toLong }
+    import scala.collection.mutable
+    // unique pre-tokens with frequencies; index-addressed so the
+    // inverted pair index stays cheap. Two distinct words can never
+    // evolve into the same symbol sequence (the concatenation always
+    // spells the original word), so no re-aggregation is ever needed.
+    val freqMap = mutable.LinkedHashMap.empty[String, Long]
+    corpus.foreach(preTokens(_).foreach(w =>
+      freqMap.update(w, freqMap.getOrElse(w, 0L) + 1L)))
+    val words = mutable.ArrayBuffer.empty[Vector[String]]
+    val freqs = mutable.ArrayBuffer.empty[Long]
+    freqMap.foreach { case (w, c) => words += toSymbols(w); freqs += c }
+
+    val pairCounts = mutable.Map.empty[(String, String), Long]
+    val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def addWord(idx: Int): Unit = {
+      val w = words(idx); val c = freqs(idx)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += idx
+        i += 1
+      }
+    }
+    def removeWord(idx: Int): Unit = {
+      val w = words(idx); val c = freqs(idx)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        val left = pairCounts(p) - c
+        if (left <= 0L) { pairCounts.remove(p); pairWords.remove(p) }
+        else { pairCounts.update(p, left); pairWords(p) -= idx }
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord)
+
     val merges = Vector.newBuilder[(String, String)]
     var n = 0
     var done = false
     while (n < numMerges && !done) {
-      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-      words.foreach { case (w, c) =>
-        var i = 0
-        while (i < w.length - 1) {
-          val p = (w(i), w(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
-          i += 1
-        }
+      // deterministic arg-max: highest count, ties by ascending pair —
+      // a full scan (not a heap) so the winner never depends on map
+      // iteration order or mutation history
+      var best: (String, String) = null
+      var bestC = 1L // a learnable pair must occur at least twice
+      pairCounts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))
+          { best = p; bestC = c }
       }
-      val best = pairCounts.filter(_._2 >= 2) match {
-        case m if m.isEmpty => None
-        case m => Some(m.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1)
-      }
-      best match {
-        case None => done = true
-        case Some(p @ (p1, p2)) =>
-          merges += p
-          val merged = p1 + p2
-          words = words.map { case (w, c) =>
-            if (w.length < 2) (w, c)
-            else {
-              val buf = Vector.newBuilder[String]
-              var i = 0
-              while (i < w.length) {
-                if (i < w.length - 1 && w(i) == p1 && w(i + 1) == p2) { buf += merged; i += 2 }
-                else { buf += w(i); i += 1 }
-              }
-              (buf.result(), c)
+      if (best == null) done = true
+      else {
+        val (p1, p2) = best
+        merges += best
+        val merged = p1 + p2
+        // rewrite ONLY the words containing the pair; snapshot+sort the
+        // index set before mutating it (rewrites are per-word
+        // independent, sorted order keeps instrumentation reproducible)
+        pairWords.get(best).map(_.toArray.sorted).getOrElse(Array.empty[Int])
+          .foreach { idx =>
+            removeWord(idx)
+            val w = words(idx)
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              if (i < w.length - 1 && w(i) == p1 && w(i + 1) == p2) { buf += merged; i += 2 }
+              else { buf += w(i); i += 1 }
             }
+            words(idx) = buf.result()
+            addWord(idx)
           }
-          n += 1
+        n += 1
       }
     }
     BpeVocab(merges.result())
