@@ -156,17 +156,33 @@ object Bpe {
    * expressions), not training.
    */
   def train(corpus: Seq[String], numMerges: Int): BpeVocab = {
-    import scala.collection.mutable
-    // unique pre-tokens with frequencies; index-addressed so the
-    // inverted pair index stays cheap. Two distinct words can never
-    // evolve into the same symbol sequence (the concatenation always
-    // spells the original word), so no re-aggregation is ever needed.
-    val freqMap = mutable.LinkedHashMap.empty[String, Long]
+    val freqMap = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     corpus.foreach(preTokens(_).foreach(w =>
       freqMap.update(w, freqMap.getOrElse(w, 0L) + 1L)))
+    trainFromFreqs(freqMap.toSeq, numMerges)
+  }
+
+  /**
+   * Train from a PRE-COUNTED word-frequency table — the entry point
+   * for corpus-scale training: counting pre-token frequencies over
+   * 100 TB is a distributed one-pass aggregation
+   * ([[graft.llm.TextAnalysis.bpeTrainFromCorpus]]), while the merge
+   * loop below only ever touches the BOUNDED vocabulary (Heaps' law:
+   * natural-language corpora hold ~1e5–1e7 distinct pre-tokens
+   * regardless of corpus bytes), so it runs driver-side on a table of
+   * megabytes. The result is invariant to the ORDER of `wordFreqs`
+   * (the arg-max scan is totally ordered), so any deterministic
+   * upstream aggregation yields the identical merges table.
+   */
+  def trainFromFreqs(wordFreqs: Seq[(String, Long)], numMerges: Int): BpeVocab = {
+    import scala.collection.mutable
+    // index-addressed words so the inverted pair index stays cheap.
+    // Two distinct words can never evolve into the same symbol
+    // sequence (the concatenation always spells the original word),
+    // so no re-aggregation is ever needed.
     val words = mutable.ArrayBuffer.empty[Vector[String]]
     val freqs = mutable.ArrayBuffer.empty[Long]
-    freqMap.foreach { case (w, c) => words += toSymbols(w); freqs += c }
+    wordFreqs.foreach { case (w, c) => words += toSymbols(w); freqs += c }
 
     val pairCounts = mutable.Map.empty[(String, String), Long]
     val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]

@@ -91,6 +91,41 @@ case class BpeCountExpr(child: Expression, vocab: Bpe.BpeVocab)
     copy(child = newChild)
 }
 
+/** GPT-2-shaped PRE-tokenization ([[Bpe.preTokens]]) as a native
+ *  kernel: `string → array<string>` of raw pre-token words (no merge
+ *  table applied). This is the corpus-scan half of DISTRIBUTED BPE
+ *  training — explode + count over every document is the part that
+ *  must scale; the merge loop then runs on the bounded vocabulary
+ *  (see [[graft.llm.TextAnalysis.bpeTrainFromCorpus]]). */
+case class PreTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_pretokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  def pretokens(u: UTF8String): ArrayData = {
+    val toks = Bpe.preTokens(u.toString)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    pretokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("preTokensExpr", this, classOf[PreTokensExpr].getName)
+      s"${ev.value} = $self.pretokens($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PreTokensExpr =
+    copy(child = newChild)
+}
+
 /** Full BPE tokenization: the subword strings themselves (byte-mapped
  *  alphabet), as `array<string>`. */
 case class BpeTokenizeExpr(child: Expression, vocab: Bpe.BpeVocab)

@@ -73,6 +73,43 @@ object TextAnalysis {
     org.apache.spark.sql.GraftShims.column(graft.functions.BpeCountExpr(
       org.apache.spark.sql.GraftShims.expression(text.cast("string")), vocab))
 
+  /**
+   * Train a BPE merges table FROM THE CORPUS, Spark-first: the part
+   * that scales with corpus bytes — pre-tokenize every document
+   * (native [[graft.functions.PreTokensExpr]] kernel, stays in
+   * whole-stage codegen) and count word frequencies — is ONE
+   * distributed explode + aggregate with map-side partial counts; the
+   * merge loop ([[graft.functions.Bpe.trainFromFreqs]]) then runs on
+   * the RESULTING word-frequency table, which is bounded by the
+   * language's vocabulary (Heaps' law: ~1e5–1e7 distinct pre-tokens
+   * no matter how many petabytes produced them), not by corpus size.
+   *
+   * `maxWords` caps the driver-side table for adversarial corpora
+   * (random strings, unique IDs): the top `maxWords` pre-tokens by
+   * (frequency DESC, word ASC — deterministic) are kept, planned as
+   * TakeOrderedAndProject (per-partition heaps, no global sort).
+   * Dropping the singleton tail is an APPROXIMATION of the exact
+   * merges table — tail words still carry pair statistics in exact
+   * training — but pairs occurring only in dropped singletons could
+   * contribute at most their (≤ cap-threshold) frequencies; on
+   * natural corpora with the default 1M cap the tables coincide.
+   * The result is a pure function of (corpus multiset, numMerges,
+   * maxWords) — identical on any partitioning or cluster size.
+   */
+  def bpeTrainFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
+                         maxWords: Int = 1 << 20): graft.functions.Bpe.BpeVocab = {
+    val pretoks = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PreTokensExpr(
+        org.apache.spark.sql.GraftShims.expression(col(textCol).cast("string"))))
+    val freqs = df.where(col(textCol).isNotNull)
+      .select(explode(pretoks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.functions.Bpe.trainFromFreqs(freqs, numMerges)
+  }
+
   /** Distinct-token count. */
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")

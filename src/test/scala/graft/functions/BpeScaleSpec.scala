@@ -113,6 +113,26 @@ class BpeScaleSpec extends AnyFunSuite {
     assert(viaExpr == probe.map(Bpe.tokenCount(_, bigVocab)))
   }
 
+  test("distributed corpus training reproduces local training exactly") {
+    import spark.implicits._
+    // same documents, split across partitions — the distributed
+    // word-frequency aggregation + driver merge loop must yield the
+    // IDENTICAL merges table as local end-to-end training (order
+    // invariance of trainFromFreqs + exact distributed counting)
+    val sample = docs.take(40)
+    val local = Bpe.train(sample, 400)
+    val distributed = graft.llm.TextAnalysis.bpeTrainFromCorpus(
+      sample.toDF("text").repartition(7), "text", 400)
+    assert(distributed.merges == local.merges)
+    // the maxWords cap keeps determinism (freq desc, word asc): a
+    // capped table is a deterministic function of the corpus too
+    val capped = graft.llm.TextAnalysis.bpeTrainFromCorpus(
+      sample.toDF("text").repartition(3), "text", 400, maxWords = 500)
+    val capped2 = graft.llm.TextAnalysis.bpeTrainFromCorpus(
+      sample.toDF("text").repartition(11), "text", 400, maxWords = 500)
+    assert(capped.merges == capped2.merges)
+  }
+
   test("encode throughput at 5k merges is recorded (cold + memoized)") {
     val text = docs.take(50)
     val bytes = text.map(_.length.toLong).sum
