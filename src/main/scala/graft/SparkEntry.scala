@@ -32,6 +32,20 @@ object SparkEntry {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** Temp dir for gate plumbing (stream sinks, change feeds),
+   *  registered for RECURSIVE deletion at JVM exit through Hadoop's
+   *  `FileSystem.deleteOnExit`. Gates return LAZY frames that read
+   *  these dirs when the caller finally acts, so eager cleanup is
+   *  impossible — but without exit-time cleanup every bench iteration
+   *  leaves full table copies in /tmp (the on-disk sibling of the
+   *  in-JVM litter Bench.isolate() exists to clear). */
+  private def gateTempDir(s: SparkSession, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    dir
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
@@ -602,7 +616,7 @@ object SparkEntry {
       // the largest streaming gate (~10k rows at sf0.01) rides the
       // FILE-BACKED bridge — append semantics unchanged, but the result
       // never passes through the driver
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q76").toString
+      val tmp = gateTempDir(s, "graft_q76")
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -630,7 +644,7 @@ object SparkEntry {
     "q110_stream_dedup" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q110").toString
+      val tmp = gateTempDir(s, "graft_q110")
       ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
       // part-0000N corresponds to range-partition N (ascending hr);
       // stamp strictly increasing mtimes so listing order ==
@@ -638,6 +652,14 @@ object SparkEntry {
       // incoming data (no nondeterministic late-drop)
       val files = new java.io.File(s"$tmp/in").listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // the exactness argument REQUIRES one file per range partition
+      // (a partition split across files would put one hr-range into
+      // two micro-batches: late-drop or re-admission, nondeterministic
+      // vs the DISTINCT oracle) — guard the invariant against writer
+      // changes like a session-level maxRecordsPerFile
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q110: range partition split across files (${files.length} files)")
       val t0 = System.currentTimeMillis() - 3600000L
       files.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(t0 + i * 10000L) }
@@ -670,7 +692,7 @@ object SparkEntry {
       val del = base.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_totalprice", dec.cast("double"))
         .withColumn("op", lit("D")).withColumn("version", lit(3L))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q111").toString
+      val tmp = gateTempDir(s, "graft_q111")
       ins.unionByName(upd).unionByName(del)
         .repartition(4).write.parquet(s"$tmp/feed")
       val schema = s.read.parquet(s"$tmp/feed").schema
@@ -1071,7 +1093,7 @@ object SparkEntry {
       // micros conversion Tables does for batch runs inside the
       // streaming transform instead
       val schema = Tables.rawSchema(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q56").toString
+      val tmp = gateTempDir(s, "graft_q56")
       // glob, not the bare file path: the file-stream source requires a
       // directory (or glob) so it can derive a basePath for listing
       graft.streaming.Streaming.runBatchAsStreamFiles(
@@ -1274,7 +1296,7 @@ object SparkEntry {
     // same contract as q56
     "q60_stream_sliding" -> ((s, dir) => {
       val schema = Tables.rawSchema(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+      val tmp = gateTempDir(s, "graft_q60")
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

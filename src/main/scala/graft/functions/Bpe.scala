@@ -37,14 +37,18 @@ object Bpe {
      *  is Zipf-distributed — a few thousand distinct words cover the
      *  vast majority of occurrences, so memoizing the per-word merge
      *  loop (quadratic in word length, rank lookups per pass) turns
-     *  most encode calls into one hash probe. Lives on the vocab
-     *  instance: executors deserialize their own copy, so the cache is
-     *  per-vocab-per-JVM, shared by all tasks (ConcurrentHashMap), and
+     *  most encode calls into one hash probe. The vocab instance
+     *  itself is deserialized PER TASK on the codegen path (it rides
+     *  the expression tree inside the stage's task binary), so an
+     *  instance-local map would restart empty every task — the lazy
+     *  val instead resolves ONCE per instance to a JVM-wide cache
+     *  keyed by the merges table ([[Bpe.sharedEncodeCache]]): all
+     *  tasks of all stages share one memo per distinct vocab.
      *  SIZE-BOUNDED — adversarial unique-word streams stop inserting
      *  at the cap instead of growing executor heap. Pure memoization:
-     *  eviction/capping never changes results. */
+     *  sharing/capping never changes results. */
     @transient private[functions] lazy val encodeCache =
-      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+      sharedEncodeCache(merges)
     /** Compact form — the default case-class toString would dump the
      *  whole merges table into every plan/explain string that renders
      *  an expression carrying the vocab. */
@@ -54,6 +58,28 @@ object Bpe {
   /** Encode-cache cap (distinct pre-tokens per vocab per JVM): ~64k
    *  words × ~100 B ≈ a few MB — noise next to executor memory. */
   private val EncodeCacheMax = 65536
+
+  /** JVM-wide encode-cache registry, keyed by the merges table (full
+   *  value equality — two vocabs share a memo only when their merges
+   *  are identical, so sharing can never change a result). The key
+   *  hash is O(merges) but computed once per deserialized vocab
+   *  instance (the lazy val holds the resolved reference), i.e. once
+   *  per task — negligible. Registry bounded at [[MaxCachedVocabs]]
+   *  distinct tables; beyond that, later vocabs fall back to a
+   *  private (per-instance) memo rather than evicting a hot one. */
+  private val encodeCaches = new java.util.concurrent.ConcurrentHashMap[
+    Vector[(String, String)],
+    java.util.concurrent.ConcurrentHashMap[String, Vector[String]]]()
+  private val MaxCachedVocabs = 16
+  private def sharedEncodeCache(merges: Vector[(String, String)])
+      : java.util.concurrent.ConcurrentHashMap[String, Vector[String]] = {
+    val hit = encodeCaches.get(merges)
+    if (hit != null) hit
+    else if (encodeCaches.size >= MaxCachedVocabs)
+      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+    else encodeCaches.computeIfAbsent(merges,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]())
+  }
 
   /** GPT-2-shaped pre-tokenizer. Java regex (driver/executor side —
    *  RE2 portability does not apply; no oracle replays this). */

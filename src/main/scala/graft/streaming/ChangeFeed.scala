@@ -49,7 +49,11 @@ object ChangeFeed {
    * `versionCol` dropped). One-shot `Trigger.AvailableNow` — process
    * everything currently in the feed, then return; a long-running
    * deployment would use the same sink function under a continuous
-   * trigger.
+   * trigger. RE-ENTRANT on the same `workDir`: the checkpoint skips
+   * already-applied feed files and the snapshot recovers from the
+   * last `_SUCCESS`-committed generation, so calling again after new
+   * feed files land applies just the delta — the incremental-CDC
+   * cadence.
    */
   def materialize(spark: SparkSession, feedPath: String, schema: StructType,
                   keys: Seq[String], opCol: String, versionCol: String,
@@ -60,9 +64,34 @@ object ChangeFeed {
     val hconf = spark.sparkContext.hadoopConfiguration
     // generation-versioned snapshot dirs: parquet cannot be rewritten
     // in place while being read, so each batch writes snap_{n+1} from
-    // snap_n, then snap_n is deleted
-    var current: Option[String] = None
-    var gen = 0
+    // snap_n, then snap_n is deleted.
+    // RE-ENTRY with the same workDir is the incremental-CDC usage this
+    // operator exists for (apply today's feed files onto yesterday's
+    // snapshot): the checkpoint makes the file source skip
+    // already-processed feed files, so the snapshot pointer must
+    // RECOVER from disk — otherwise a second call would silently merge
+    // new changes into nothing and return an empty table.
+    val workPath = new org.apache.hadoop.fs.Path(workDir)
+    val fs = workPath.getFileSystem(hconf)
+    val recovered: (Option[String], Int) =
+      if (!fs.exists(workPath)) (None, 0)
+      else {
+        // only _SUCCESS-marked generations are committed: a crash
+        // mid-write leaves a torn snap_{n+1} (no marker) whose source
+        // micro-batch the checkpoint will REPLAY — recovery must base
+        // that replay on the last committed generation, not the torn
+        // one (mode=overwrite then rewrites the torn dir harmlessly)
+        val snaps = fs.listStatus(workPath).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("snap_"))
+          .map(n => n.stripPrefix("snap_").toInt)
+          .filter(g => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$workDir/snap_$g/_SUCCESS")))
+        if (snaps.isEmpty) (None, 0)
+        else (Some(s"$workDir/snap_${snaps.max}"), snaps.max)
+      }
+    var current: Option[String] = recovered._1
+    var gen: Int = recovered._2
 
     val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
       if (!batch.isEmpty) {

@@ -68,6 +68,28 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "v3"))
   }
 
+  test("re-entry on the same workDir applies only the delta onto the recovered snapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_re").toString
+    val t0 = System.currentTimeMillis() - 3600000L
+    appendFile(s"$tmp/feed", t0, Seq((1L, "a", "I", 1L), (2L, "x", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    def run() = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work")
+    assert(run().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "x"))
+    // new feed files land; the SAME workDir call must merge ONLY the
+    // delta into the recovered snapshot (checkpoint skips old files),
+    // not restart from nothing
+    appendFile(s"$tmp/feed", t0 + 10000,
+      Seq((1L, "b", "U", 2L), (3L, "c", "I", 1L)))
+    assert(run().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "b", 2L -> "x", 3L -> "c"))
+    // a third call with NO new files returns the recovered snapshot
+    assert(run().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "b", 2L -> "x", 3L -> "c"))
+  }
+
   test("empty feed directory materializes an empty payload-schema frame") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cf0").toString
     // establish schema via an empty write (file source needs the dir)
