@@ -354,6 +354,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ---- LLM ops: two-stage QUANTIZED top-k — int8 coarse cosine
+    //      (scale-free, 4× smaller corpus footprint) cuts to 20
+    //      candidates/query, float re-rank orders the final 5; every
+    //      stage deterministic, so the oracle replays the identical
+    //      two-stage algorithm ----
+    "q112_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, candidates = 20)
+    }),
+
     // ---- LLM ops: multimodal binary columns (codegen'd facts) ----
     "q28_multimodal" -> ((s, dir) => {
       val m = Multimodal.attach(t(s, dir, "documents"), "doc_id",
@@ -2008,6 +2019,40 @@ object SparkEntry {
         |   FROM q JOIN e ON vec_id <> qid)
         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
         |FROM s QUALIFY "rank" <= 5""".stripMargin,
+
+    // replays the two-stage algorithm exactly: int8 quantization
+    // (round half-away-from-zero in both engines; float→double
+    // promotion order mirrored), integer coarse cosine, 20-candidate
+    // cut, exact double re-rank — id tie-breaks at every stage
+    "q112_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding AS f,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS ma FROM embeddings),
+        |z AS (SELECT vec_id, f,
+        |    CASE WHEN ma = 0 THEN list_transform(f, x -> 0)
+        |         ELSE list_transform(f, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) END AS q
+        |  FROM e),
+        |zn AS (SELECT vec_id, f, q,
+        |    sqrt(CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS nq
+        |  FROM z),
+        |qs AS (SELECT vec_id AS query_id, f AS qf, q AS qq, nq AS qn
+        |  FROM zn WHERE vec_id < 5),
+        |coarse AS (SELECT query_id, zn.vec_id AS neighbor_id, zn.f AS nf,
+        |    CASE WHEN qn * zn.nq = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(range(1, len(qq) + 1),
+        |                i -> CAST(qq[i] AS BIGINT) * zn.q[i])) AS DOUBLE) / (qn * zn.nq)
+        |    END AS qcos, qf
+        |  FROM qs JOIN zn ON zn.vec_id <> query_id),
+        |cand AS (SELECT query_id, neighbor_id, nf, qf FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY qcos DESC, neighbor_id) AS crank FROM coarse)
+        |  WHERE crank <= 20),
+        |r AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qf::DOUBLE[], nf::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qf::DOUBLE[], qf::DOUBLE[])) *
+        |       sqrt(list_dot_product(nf::DOUBLE[], nf::DOUBLE[]))) AS cos
+        |  FROM cand)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
+        |FROM r QUALIFY "rank" <= 5""".stripMargin,
 
     "q28_multimodal" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -53,6 +53,73 @@ object Similarity {
       .otherwise(maxAbs / lit(127.0)).as("scale"))
   }
 
+  /** Integer dot product of two int-array columns, accumulated in
+   *  BIGINT (products of int8-range values never overflow the int
+   *  lane; the accumulator is long for any dimensionality). Exact —
+   *  the point of the quantized stage: candidate ranking becomes
+   *  integer arithmetic, reproducible on any engine with no float
+   *  ordering concerns. */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /**
+   * Two-stage quantized top-k — the 100 TB ANN shape: the COARSE stage
+   * ranks by cosine over int8-quantized vectors (scale-free: the
+   * symmetric scales cancel in cosine, so only the `q` arrays are
+   * needed — a 4× smaller corpus scan/broadcast footprint than
+   * floats), keeps `candidates` per query, then the RE-RANK stage
+   * joins ONLY those candidates back to their float vectors by id and
+   * orders by exact cosine. Corpus is never shuffled: queries
+   * broadcast through both stages, and the candidate re-join touches
+   * `candidates × |queries|` rows, not the corpus.
+   *
+   * Approximation contract: results equal [[bruteForceTopK]] whenever
+   * each query's true top-k survives the coarse cut — raise
+   * `candidates` to trade cost for recall. Every stage is
+   * deterministic (integer coarse scores; id tie-breaks in both
+   * windows), so the output is a pure function of the inputs,
+   * reproducible cross-engine.
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    candidates: Int = 50): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantizeInt8(col(vecCol)).getField("q").as("__cq"))
+      .withColumn("__cn", sqrt(idot(col("__cq"), col("__cq")).cast("double")))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantizeInt8(col(vecCol)).getField("q").as("__qq"))
+      .withColumn("__qn", sqrt(idot(col("__qq"), col("__qq")).cast("double")))
+    val coarseCos = {
+      val d = idot(col("__qq"), col("__cq")).cast("double")
+      val nn = col("__qn") * col("__cn")
+      when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+    }
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("__qcos").desc, col("neighbor_id").asc)
+    val cand = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), coarseCos.as("__qcos"))
+      .withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= candidates)
+      .select("query_id", "neighbor_id")
+    // re-rank: candidates re-join their FLOAT vectors by id — at scale
+    // this reads candidates×queries rows, not the corpus
+    val cf = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cnf", norm(col("__cv")))
+    val qf = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qnf", norm(col("__qv")))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    cand.join(cf, "neighbor_id").join(broadcast(qf), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosPre(col("__qv"), col("__cv"), col("__qnf"), col("__cnf")).as("__cos"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Cosine similarity; zero-norm inputs score 0.0 (ANSI mode throws
    *  on division by zero, and all-zero embeddings occur in practice —
    *  e.g. padding rows or failed encoder outputs). */

@@ -366,6 +366,28 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1).getStruct(1).getDouble(1) == 0.0) // zero vec scale
   }
 
+  test("quantizedTopK equals bruteForceTopK when candidates cover the corpus") {
+    val rnd = new scala.util.Random(99L)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // candidates = corpus size: the coarse cut removes nothing, so the
+    // re-rank must reproduce brute force exactly
+    val full = Similarity.quantizedTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, candidates = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact)
+    // a tight cut keeps the contract shape: 5 ranked rows per query
+    val tight = Similarity.quantizedTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, candidates = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tight.length == 4 * 5 &&
+      tight.groupBy(_._1).values.forall(_.map(_._2).sorted == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("ANSI guards: empty text metrics and zero-norm cosine don't throw") {
     val r = Seq("").toDF("text").select(
       TextAnalysis.punctRatio(col("text")).as("p"),
