@@ -40,9 +40,18 @@ object SparkEntry {
    *  leaves full table copies in /tmp (the on-disk sibling of the
    *  in-JVM litter Bench.isolate() exists to clear). */
   private def gateTempDir(s: SparkSession, prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    // FIXED path per gate, deleted and recreated at closure entry:
+    // bounds disk to ONE table copy per gate however many bench
+    // iterations run (each iteration fully consumes its frame before
+    // the next calls the closure again), with exit-time cleanup for
+    // the final copy
+    val dir = java.nio.file.Path.of(
+      System.getProperty("java.io.tmpdir"), s"graft_gate_$prefix").toString
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    fs.deleteOnExit(p)
     dir
   }
 
@@ -2047,9 +2056,11 @@ object SparkEntry {
         |        ORDER BY qcos DESC, neighbor_id) AS crank FROM coarse)
         |  WHERE crank <= 20),
         |r AS (SELECT query_id, neighbor_id,
-        |    list_dot_product(qf::DOUBLE[], nf::DOUBLE[]) /
+        |    CASE WHEN sqrt(list_dot_product(qf::DOUBLE[], qf::DOUBLE[])) *
+        |              sqrt(list_dot_product(nf::DOUBLE[], nf::DOUBLE[])) = 0 THEN 0.0
+        |         ELSE list_dot_product(qf::DOUBLE[], nf::DOUBLE[]) /
         |      (sqrt(list_dot_product(qf::DOUBLE[], qf::DOUBLE[])) *
-        |       sqrt(list_dot_product(nf::DOUBLE[], nf::DOUBLE[]))) AS cos
+        |       sqrt(list_dot_product(nf::DOUBLE[], nf::DOUBLE[]))) END AS cos
         |  FROM cand)
         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id
         |FROM r QUALIFY "rank" <= 5""".stripMargin,

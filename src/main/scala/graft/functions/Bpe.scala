@@ -75,10 +75,18 @@ object Bpe {
       : java.util.concurrent.ConcurrentHashMap[String, Vector[String]] = {
     val hit = encodeCaches.get(merges)
     if (hit != null) hit
-    else if (encodeCaches.size >= MaxCachedVocabs)
-      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
-    else encodeCaches.computeIfAbsent(merges,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]())
+    else encodeCaches.synchronized { // size check + insert must be atomic
+      // or N racing tasks could push the registry past the bound
+      val again = encodeCaches.get(merges)
+      if (again != null) again
+      else if (encodeCaches.size >= MaxCachedVocabs)
+        new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+      else {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+        encodeCaches.put(merges, fresh)
+        fresh
+      }
+    }
   }
 
   /** GPT-2-shaped pre-tokenizer. Java regex (driver/executor side —

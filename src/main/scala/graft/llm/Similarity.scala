@@ -112,7 +112,11 @@ object Similarity {
       .withColumn("__qnf", norm(col("__qv")))
     val wr = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    cand.join(cf, "neighbor_id").join(broadcast(qf), "query_id")
+    // broadcast the candidate LIST (candidates × |queries| rows) —
+    // without the hint the planner has no stats for the window-derived
+    // frame and can pick a corpus-shuffling sort-merge join, exactly
+    // the cost the two-stage design avoids
+    broadcast(cand).join(cf, "neighbor_id").join(broadcast(qf), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosPre(col("__qv"), col("__cv"), col("__qnf"), col("__cnf")).as("__cos"))
       .withColumn("rank", row_number().over(wr).cast("long"))

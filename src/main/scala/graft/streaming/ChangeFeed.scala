@@ -53,7 +53,10 @@ object ChangeFeed {
    * already-applied feed files and the snapshot recovers from the
    * last `_SUCCESS`-committed generation, so calling again after new
    * feed files land applies just the delta — the incremental-CDC
-   * cadence.
+   * cadence. LIFETIME caveat: each call's returned frame lazily reads
+   * the CURRENT snapshot generation, and the next re-entrant call on
+   * the same `workDir` deletes superseded generations — consume (or
+   * copy out) the previous result before re-entering.
    */
   def materialize(spark: SparkSession, feedPath: String, schema: StructType,
                   keys: Seq[String], opCol: String, versionCol: String,
@@ -80,15 +83,34 @@ object ChangeFeed {
         // mid-write leaves a torn snap_{n+1} (no marker) whose source
         // micro-batch the checkpoint will REPLAY — recovery must base
         // that replay on the last committed generation, not the torn
-        // one (mode=overwrite then rewrites the torn dir harmlessly)
-        val snaps = fs.listStatus(workPath).toSeq
+        // one (mode=overwrite then rewrites the torn dir harmlessly).
+        // Foreign snap_-prefixed names (manual backups) are skipped,
+        // not crashed on.
+        val all = fs.listStatus(workPath).toSeq
           .map(_.getPath.getName)
           .filter(_.startsWith("snap_"))
-          .map(n => n.stripPrefix("snap_").toInt)
+        val snaps = all
+          .flatMap(n => n.stripPrefix("snap_").toIntOption)
           .filter(g => fs.exists(
             new org.apache.hadoop.fs.Path(s"$workDir/snap_$g/_SUCCESS")))
+        // snapshot dirs present but NONE committed means the commit
+        // markers are unreadable (e.g. marksuccessfuljobs=false):
+        // proceeding would silently merge new deltas into NOTHING and
+        // drop all previously materialized history — fail loudly
+        require(all.isEmpty || snaps.nonEmpty,
+          s"ChangeFeed: $workDir holds snapshot dirs (${all.mkString(", ")}) " +
+            "but no _SUCCESS-committed generation — refusing to discard " +
+            "history (is mapreduce.fileoutputcommitter.marksuccessfuljobs off?)")
         if (snaps.isEmpty) (None, 0)
-        else (Some(s"$workDir/snap_${snaps.max}"), snaps.max)
+        else {
+          // prune older committed generations orphaned by a crash
+          // between snapshot write and predecessor delete — each is a
+          // full table copy that no later run would otherwise remove
+          snaps.filter(_ < snaps.max).foreach { g =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/snap_$g"), true)
+          }
+          (Some(s"$workDir/snap_${snaps.max}"), snaps.max)
+        }
       }
     var current: Option[String] = recovered._1
     var gen: Int = recovered._2
