@@ -131,6 +131,19 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 quantized top-k never shuffles the corpus: broadcast joins only") {
+    // the two-stage contract: queries broadcast in the coarse stage,
+    // the candidate list broadcasts in the re-rank — a SortMergeJoin
+    // (or shuffled hash join) anywhere means the planner shuffled a
+    // corpus-sized relation, the exact cost quantization exists to
+    // avoid
+    val p = finalPlan("q112_quantized_topk")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("ShuffledHashJoin"), p.take(1500))
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
+      p.take(1500))
+  }
+
   test("q108 exact-k sample plans as TakeOrderedAndProject, no global sort") {
     // final-plan section only — the AQE string repeats stale subtrees
     // under "== Initial Plan ==" (same pitfall as the q55/q109 guard)
