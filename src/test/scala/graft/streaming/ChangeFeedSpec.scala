@@ -90,6 +90,24 @@ class ChangeFeedSpec extends AnyFunSuite {
       == Map(1L -> "b", 2L -> "x", 3L -> "c"))
   }
 
+  test("snapshot dirs without _SUCCESS markers fail loudly instead of dropping history") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_tear").toString
+    appendFile(s"$tmp/feed", System.currentTimeMillis(),
+      Seq((1L, "a", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    // a snapshot dir whose _SUCCESS is unreadable/missing (e.g.
+    // marksuccessfuljobs=false): recovery must refuse — proceeding
+    // would silently merge new deltas into nothing
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(s"$tmp/work/snap_1"))
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+        keys = Seq("k"), opCol = "op", versionCol = "version",
+        workDir = s"$tmp/work")
+    }
+    assert(e.getMessage.contains("refusing to discard history"))
+  }
+
   test("empty feed directory materializes an empty payload-schema frame") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cf0").toString
     // establish schema via an empty write (file source needs the dir)
