@@ -420,10 +420,14 @@ object Dedup {
     // managed: they free themselves when the returned frame is garbage-
     // collected, so a long-lived session running many dedup passes
     // accumulates nothing. Lazy (eager=false) keeps the operator
-    // composable — nothing executes until the caller's action;
-    // MEMORY_AND_DISK storage spills instead of evicting on a
-    // corpus-scale relation.
-    val flat = postings.join(freq, Seq("__h")).localCheckpoint(false)
+    // composable — nothing executes until the caller's action.
+    // DISK_ONLY, not MEMORY_AND_DISK: the flat-long blocks re-read
+    // cheaply, and keeping them OUT of unified memory stops them
+    // competing with the four consumers' execution memory — measured
+    // best-of-3 7.8 → 5.5 s (GC 233 → 104 ms, leftover storage
+    // 37 → 10 MB) on the same harness at HIGHER machine load.
+    val flat = postings.join(freq, Seq("__h"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sh = flat
       .groupBy((col("__id") +: blockCols.map(col)): _*)
       .agg(transform(array_sort(collect_set(struct(col("__f"), col("__h")))),
