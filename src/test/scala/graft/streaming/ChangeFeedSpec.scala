@@ -90,6 +90,44 @@ class ChangeFeedSpec extends AnyFunSuite {
       == Map(1L -> "b", 2L -> "x", 3L -> "c"))
   }
 
+  test("randomized feeds converge to the max-version fold model under any chunking") {
+    // the operator's whole contract in one property: for ANY set of
+    // changes, ANY shuffle order, ANY file chunking, the materialized
+    // table equals the per-key max-version record (absent if that
+    // record is a DELETE). Seeded trials keep the streaming-query cost
+    // bounded while still exercising in-batch dups, cross-batch
+    // ordering, and tombstone interleavings.
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      val changes = (1L to 8L).flatMap { k =>
+        val n = 1 + rnd.nextInt(4)
+        val versions = rnd.shuffle((1L to 5L).toList).take(n)
+        versions.map { v =>
+          val op = if (rnd.nextInt(4) == 0) "D" else if (v == 1L) "I" else "U"
+          (k, s"k${k}v$v", op, v)
+        }
+      }
+      val expected = changes.groupBy(_._1).flatMap { case (k, cs) =>
+        val last = cs.maxBy(_._4)
+        if (last._3 == "D") None else Some(k -> last._2)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cf_p$trial").toString
+      val shuffled = rnd.shuffle(changes.toList)
+      val nFiles = 1 + rnd.nextInt(3)
+      val t0 = System.currentTimeMillis() - 3600000L
+      shuffled.grouped(math.max(1, shuffled.size / nFiles)).zipWithIndex
+        .foreach { case (chunk, i) =>
+          appendFile(s"$tmp/feed", t0 + i * 10000L, chunk) }
+      val schema = spark.read.parquet(s"$tmp/feed").schema
+      val snap = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+        keys = Seq("k"), opCol = "op", versionCol = "version",
+        workDir = s"$tmp/work", statePartitions = Some(2),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      val got = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial: $shuffled")
+    }
+  }
+
   test("snapshot dirs without _SUCCESS markers fail loudly instead of dropping history") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cf_tear").toString
     appendFile(s"$tmp/feed", System.currentTimeMillis(),
