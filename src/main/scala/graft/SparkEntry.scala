@@ -40,13 +40,16 @@ object SparkEntry {
    *  leaves full table copies in /tmp (the on-disk sibling of the
    *  in-JVM litter Bench.isolate() exists to clear). */
   private def gateTempDir(s: SparkSession, prefix: String): String = {
-    // FIXED path per gate, deleted and recreated at closure entry:
-    // bounds disk to ONE table copy per gate however many bench
-    // iterations run (each iteration fully consumes its frame before
-    // the next calls the closure again), with exit-time cleanup for
-    // the final copy
+    // FIXED path per gate PER PROCESS, deleted and recreated at
+    // closure entry: bounds disk to ONE table copy per gate however
+    // many bench iterations run (each iteration fully consumes its
+    // frame before the next calls the closure again), with exit-time
+    // cleanup for the final copy. The pid component keeps two
+    // concurrent drivers on one box (bench + correctness run) from
+    // deleting each other's live feed/checkpoint/sink dirs mid-query.
     val dir = java.nio.file.Path.of(
-      System.getProperty("java.io.tmpdir"), s"graft_gate_$prefix").toString
+      System.getProperty("java.io.tmpdir"),
+      s"graft_gate_${ProcessHandle.current().pid()}_$prefix").toString
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -720,6 +723,39 @@ object SparkEntry {
         keys = Seq("o_orderkey"), opCol = "op", versionCol = "version",
         workDir = s"$tmp/work", statePartitions = Some(8),
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    }),
+
+    // ---- §2.1/§2.11 CHANGE STREAM RE-ENTRY — the incremental-CDC
+    //      cadence this operator exists for: materialize the inserts,
+    //      then land the update/delete feed files and materialize
+    //      AGAIN on the SAME workDir. The checkpoint skips the applied
+    //      files and each touched bucket recovers from its committed
+    //      generation, so the second call applies just the delta; the
+    //      result must hash-match the one-shot fold (q111's oracle) ----
+    "q113_change_stream_reentry" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      val ins = base.withColumn("o_totalprice", dec.cast("double"))
+        .withColumn("op", lit("I")).withColumn("version", lit(1L))
+      val upd = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", (dec + lit(BigDecimal("10.00"))).cast("double"))
+        .withColumn("op", lit("U")).withColumn("version", lit(2L))
+      val del = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", dec.cast("double"))
+        .withColumn("op", lit("D")).withColumn("version", lit(3L))
+      val tmp = gateTempDir(s, "graft_q113")
+      ins.repartition(2).write.mode("append").parquet(s"$tmp/feed")
+      val schema = s.read.parquet(s"$tmp/feed").schema
+      def run() = graft.streaming.ChangeFeed.materialize(s, s"$tmp/feed",
+        schema, keys = Seq("o_orderkey"), opCol = "op",
+        versionCol = "version", workDir = s"$tmp/work",
+        statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      run() // snapshot of the inserts (eager; returned frame unused)
+      upd.unionByName(del).repartition(2)
+        .write.mode("append").parquet(s"$tmp/feed")
+      run() // delta-only second pass on the same workDir
     }),
 
     // ---- §2.13 DAG orchestration: sources → join → aggregate ----
@@ -2605,6 +2641,16 @@ object SparkEntry {
     // key DELETEd (v3) — version-gated merge makes batch order
     // irrelevant, so the oracle is the final state in closed form
     "q111_change_stream" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // re-entry converges to the same fold as the one-shot feed: the
+    // second materialize() applies only the U/D delta onto the
+    // recovered insert snapshot
+    "q113_change_stream_reentry" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(CASE WHEN o_orderkey % 3 = 0
         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00

@@ -1,5 +1,8 @@
 package graft.streaming
 
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,90 +35,136 @@ import org.apache.spark.sql.types.StructType
  * UPDATE must not resurrect a deleted row) and filtered from the
  * returned snapshot.
  *
- * Scale posture: each micro-batch does one window (latest-per-key
- * within the batch, shuffled on the keys) and one key-shuffled
- * merge-join against the snapshot, then rewrites the snapshot — the
- * MERGE INTO shape. The full-rewrite-per-batch is the no-dependency
- * stand-in for a table format with file-level pruning (Delta/Iceberg
- * merge rewrites only matched files); the join itself is the same.
- * Nothing ever collects to the driver.
+ * Scale posture — per-batch cost is O(delta), not O(snapshot). The
+ * snapshot is HASH-BUCKETED on the keys into `numBuckets` fixed
+ * buckets (`buckets/b{k}/gen_{g}/`), each with its own generation
+ * sequence and an OPERATOR-OWNED commit marker. A micro-batch computes
+ * the distinct buckets its delta touches, merges the delta against
+ * ONLY those buckets (one key-shuffled window over prev∪delta — the
+ * MERGE INTO shape), and advances only their generations; untouched
+ * buckets are not read, not rewritten, not even listed. This is the
+ * same file-level pruning a Delta/Iceberg MERGE gets from data
+ * skipping, carried here by the bucket function itself.
+ *
+ * Crash safety is IDEMPOTENCE, not atomicity: a gen dir without its
+ * `.cf_committed` marker is torn — recovery deletes it and the
+ * checkpoint replays its source micro-batch; buckets that already
+ * committed that batch re-apply the delta as a version-gated no-op
+ * (existing row wins ties), so partial batch commits converge. The
+ * marker is written by this operator with `FileSystem.create`, never
+ * by the Hadoop committer, so `marksuccessfuljobs=false` cannot fake a
+ * torn write and a torn FIRST write recovers instead of wedging the
+ * workDir. Nothing ever collects to the driver except the ≤numBuckets
+ * touched-bucket ids per batch.
  */
 object ChangeFeed {
 
+  private val Marker = ".cf_committed"
+
+  /** Bucket id for a row: stable Murmur3 over the key columns. Must
+   *  never change for a live workDir — the persisted `_cf_meta` pins
+   *  the bucket count across re-entries. */
+  private def bucketExpr(keys: Seq[String], nb: Int) =
+    pmod(hash(keys.map(col): _*), lit(nb))
+
+  /** Highest committed generation in one bucket dir; deletes torn
+   *  (unmarked) and superseded (older committed) generations. Foreign
+   *  names (non-integer `gen_*`, anything else) are skipped. */
+  private def recoverBucket(fs: FileSystem, bucketDir: Path): Option[Int] = {
+    if (!fs.exists(bucketDir)) return None
+    val gens = fs.listStatus(bucketDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("gen_"))
+      .flatMap(_.stripPrefix("gen_").toIntOption)
+    val committed = gens.filter(g => fs.exists(new Path(bucketDir, s"gen_$g/$Marker")))
+    // torn gens replay from the checkpoint; older committed gens are
+    // orphans of a crash between successor-commit and predecessor-delete
+    val keep = if (committed.isEmpty) Set.empty[Int] else Set(committed.max)
+    gens.filterNot(keep).foreach { g =>
+      fs.delete(new Path(bucketDir, s"gen_$g"), true)
+    }
+    committed.sorted.lastOption
+  }
+
   /**
    * Apply the change feed at `feedPath` (parquet, schema `schema`) into
-   * a parquet-materialized snapshot under `workDir`, returning the
-   * final snapshot (tombstones filtered, full row images + `opCol` /
-   * `versionCol` dropped). One-shot `Trigger.AvailableNow` — process
+   * a bucketed parquet-materialized snapshot under `workDir`, returning
+   * the final snapshot (tombstones filtered, full row images + `opCol`
+   * / `versionCol` dropped). One-shot `Trigger.AvailableNow` — process
    * everything currently in the feed, then return; a long-running
    * deployment would use the same sink function under a continuous
    * trigger. RE-ENTRANT on the same `workDir`: the checkpoint skips
-   * already-applied feed files and the snapshot recovers from the
-   * last `_SUCCESS`-committed generation, so calling again after new
-   * feed files land applies just the delta — the incremental-CDC
-   * cadence. LIFETIME caveat: each call's returned frame lazily reads
-   * the CURRENT snapshot generation, and the next re-entrant call on
-   * the same `workDir` deletes superseded generations — consume (or
-   * copy out) the previous result before re-entering.
+   * already-applied feed files and each bucket recovers from its last
+   * committed generation, so calling again after new feed files land
+   * applies just the delta — the incremental-CDC cadence. LIFETIME
+   * caveat: each call's returned frame lazily reads the CURRENT bucket
+   * generations, and the next re-entrant call deletes superseded
+   * generations — consume (or copy out) the previous result before
+   * re-entering. `numBuckets` is pinned by the FIRST call on a workDir
+   * (persisted in `_cf_meta`); later calls reuse the pinned value.
    */
   def materialize(spark: SparkSession, feedPath: String, schema: StructType,
                   keys: Seq[String], opCol: String, versionCol: String,
                   workDir: String,
                   statePartitions: Option[Int] = None,
-                  sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+                  sourceOptions: Map[String, String] = Map.empty,
+                  numBuckets: Int = 16): DataFrame = {
     require(keys.nonEmpty, "ChangeFeed needs at least one key column")
+    require(numBuckets > 0, "ChangeFeed needs numBuckets > 0")
     val hconf = spark.sparkContext.hadoopConfiguration
-    // generation-versioned snapshot dirs: parquet cannot be rewritten
-    // in place while being read, so each batch writes snap_{n+1} from
-    // snap_n, then snap_n is deleted.
-    // RE-ENTRY with the same workDir is the incremental-CDC usage this
-    // operator exists for (apply today's feed files onto yesterday's
-    // snapshot): the checkpoint makes the file source skip
-    // already-processed feed files, so the snapshot pointer must
-    // RECOVER from disk — otherwise a second call would silently merge
-    // new changes into nothing and return an empty table.
-    val workPath = new org.apache.hadoop.fs.Path(workDir)
+    val workPath = new Path(workDir)
     val fs = workPath.getFileSystem(hconf)
-    val recovered: (Option[String], Int) =
-      if (!fs.exists(workPath)) (None, 0)
-      else {
-        // only _SUCCESS-marked generations are committed: a crash
-        // mid-write leaves a torn snap_{n+1} (no marker) whose source
-        // micro-batch the checkpoint will REPLAY — recovery must base
-        // that replay on the last committed generation, not the torn
-        // one (mode=overwrite then rewrites the torn dir harmlessly).
-        // Foreign snap_-prefixed names (manual backups) are skipped,
-        // not crashed on.
-        val all = fs.listStatus(workPath).toSeq
-          .map(_.getPath.getName)
-          .filter(_.startsWith("snap_"))
-        val snaps = all
-          .flatMap(n => n.stripPrefix("snap_").toIntOption)
-          .filter(g => fs.exists(
-            new org.apache.hadoop.fs.Path(s"$workDir/snap_$g/_SUCCESS")))
-        // snapshot dirs present but NONE committed means the commit
-        // markers are unreadable (e.g. marksuccessfuljobs=false):
-        // proceeding would silently merge new deltas into NOTHING and
-        // drop all previously materialized history — fail loudly
-        require(all.isEmpty || snaps.nonEmpty,
-          s"ChangeFeed: $workDir holds snapshot dirs (${all.mkString(", ")}) " +
-            "but no _SUCCESS-committed generation — refusing to discard " +
-            "history (is mapreduce.fileoutputcommitter.marksuccessfuljobs off?)")
-        if (snaps.isEmpty) (None, 0)
-        else {
-          // prune older committed generations orphaned by a crash
-          // between snapshot write and predecessor delete — each is a
-          // full table copy that no later run would otherwise remove
-          snaps.filter(_ < snaps.max).foreach { g =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/snap_$g"), true)
-          }
-          (Some(s"$workDir/snap_${snaps.max}"), snaps.max)
-        }
-      }
-    var current: Option[String] = recovered._1
-    var gen: Int = recovered._2
+    val bucketsRoot = new Path(workDir, "buckets")
+    val metaPath = new Path(workDir, "_cf_meta")
+    val historyPath = new Path(workDir, "_cf_has_history")
 
-    val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+    // the bucket function must be stable for the workDir's lifetime:
+    // the first call persists numBuckets, re-entries reuse it (a
+    // changed default must not scatter old buckets' keys)
+    val nb: Int =
+      if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        line.stripPrefix("numBuckets=").toIntOption.getOrElse(
+          throw new IllegalStateException(
+            s"ChangeFeed: unreadable _cf_meta at $metaPath: '$line'"))
+      } else {
+        fs.mkdirs(workPath)
+        val out = fs.create(metaPath, true)
+        try out.write(s"numBuckets=$numBuckets".getBytes("UTF-8"))
+        finally out.close()
+        numBuckets
+      }
+
+    // per-bucket recovery: current committed generation (if any);
+    // torn and superseded generations are pruned here. Scanning is
+    // bounded by nb, not by data size.
+    val cur = mutable.Map.empty[Int, Int]
+    (0 until nb).foreach { b =>
+      recoverBucket(fs, new Path(bucketsRoot, s"b$b")).foreach(g => cur(b) = g)
+    }
+    // stale batch staging dirs from a crash mid-batch: the checkpoint
+    // replays that batch, so staging content is garbage
+    if (fs.exists(workPath)) {
+      fs.listStatus(workPath).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("stage_"))
+        .foreach(p => fs.delete(p, true))
+    }
+    // a workDir that HAS materialized history (operator-written marker)
+    // but holds no committed generation means the snapshot was deleted
+    // out from under a live checkpoint — proceeding would silently
+    // merge new deltas into nothing and drop all history
+    require(!fs.exists(historyPath) || cur.nonEmpty,
+      s"ChangeFeed: $workDir recorded materialized history (_cf_has_history) " +
+        "but no bucket holds a committed generation — the snapshot was " +
+        "deleted while the checkpoint still skips its source files; " +
+        "refusing to discard history (delete the whole workDir to restart)")
+
+    def bucketGenPath(b: Int, g: Int): Path =
+      new Path(bucketsRoot, s"b$b/gen_$g")
+
+    val applyBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
       if (!batch.isEmpty) {
         val sp = batch.sparkSession
         // latest change per key WITHIN the batch; version uniqueness is
@@ -124,29 +173,57 @@ object ChangeFeed {
           .orderBy(col(versionCol).desc, col(opCol).desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val merged = current match {
-          case None => latest
-          case Some(p) =>
-            // higher version wins; the EXISTING row wins version ties,
-            // which makes at-least-once redelivery a no-op
-            val prev = sp.read.schema(schema).parquet(p)
+        // the only driver-side data: which of the nb buckets this
+        // delta touches (≤ nb ints)
+        val touched = latest.select(bucketExpr(keys, nb).as("__b"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val prevPaths = touched.toIndexedSeq
+          .flatMap(b => cur.get(b).map(g => bucketGenPath(b, g).toString))
+        // version-gated merge of the delta against ONLY the touched
+        // buckets; higher version wins, the EXISTING row wins ties,
+        // which makes at-least-once redelivery (and partial-batch
+        // crash replay) a no-op
+        val merged0 =
+          if (prevPaths.isEmpty) latest
+          else {
+            val prev = sp.read.schema(schema).parquet(prevPaths: _*)
             prev.withColumn("__pri", lit(0))
               .unionByName(latest.withColumn("__pri", lit(1)))
               .withColumn("__rn", row_number().over(
                 Window.partitionBy(keys.map(col): _*)
                   .orderBy(col(versionCol).desc, col("__pri").asc)))
               .filter(col("__rn") === 1).drop("__rn", "__pri")
+          }
+        val staging = new Path(workDir, s"stage_$batchId")
+        merged0.withColumn("__cfb", bucketExpr(keys, nb))
+          .write.mode("overwrite").partitionBy("__cfb")
+          .parquet(staging.toString)
+        // advance each touched bucket: rename its staging partition
+        // into place, commit with the operator-owned marker, then (and
+        // only then) drop the predecessor generation. A crash anywhere
+        // in this loop leaves per-bucket torn-or-committed states that
+        // the replay converges (see class doc).
+        touched.foreach { b =>
+          val src = new Path(staging, s"__cfb=$b")
+          if (fs.exists(src)) {
+            val next = cur.get(b).map(_ + 1).getOrElse(1)
+            val bucketDir = new Path(bucketsRoot, s"b$b")
+            fs.mkdirs(bucketDir)
+            val dst = new Path(bucketDir, s"gen_$next")
+            if (fs.exists(dst)) fs.delete(dst, true)
+            require(fs.rename(src, dst),
+              s"ChangeFeed: rename $src -> $dst failed")
+            val m = fs.create(new Path(dst, Marker), true)
+            m.close()
+            cur.get(b).foreach(g => fs.delete(bucketGenPath(b, g), true))
+            cur(b) = next
+          }
         }
-        val next = s"$workDir/snap_${gen + 1}"
-        merged.write.mode("overwrite").parquet(next)
-        // the write above materialized `merged`; only now is the
-        // previous generation dead
-        current.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(hconf).delete(path, true)
+        fs.delete(staging, true)
+        if (!fs.exists(historyPath)) {
+          val m = fs.create(historyPath, true)
+          m.close()
         }
-        current = Some(next)
-        gen += 1
       }
     }
 
@@ -162,14 +239,15 @@ object ChangeFeed {
     }
 
     val payload = schema.fieldNames.filterNot(n => n == opCol || n == versionCol)
-    current match {
-      case Some(p) =>
-        spark.read.schema(schema).parquet(p)
-          .filter(col(opCol) =!= "D")
-          .select(payload.map(col).toIndexedSeq: _*)
-      case None =>
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(schema.filter(f => payload.contains(f.name))))
+    if (cur.nonEmpty) {
+      val paths = cur.toSeq.sortBy(_._1)
+        .map { case (b, g) => bucketGenPath(b, g).toString }
+      spark.read.schema(schema).parquet(paths: _*)
+        .filter(col(opCol) =!= "D")
+        .select(payload.map(col).toIndexedSeq: _*)
+    } else {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(schema.filter(f => payload.contains(f.name))))
     }
   }
 }

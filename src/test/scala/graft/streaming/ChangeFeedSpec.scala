@@ -128,22 +128,128 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
   }
 
-  test("snapshot dirs without _SUCCESS markers fail loudly instead of dropping history") {
+  test("torn FIRST write (unmarked gen, no history) recovers via replay instead of wedging") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cf_tear").toString
     appendFile(s"$tmp/feed", System.currentTimeMillis(),
       Seq((1L, "a", "I", 1L)))
     val schema = spark.read.parquet(s"$tmp/feed").schema
-    // a snapshot dir whose _SUCCESS is unreadable/missing (e.g.
-    // marksuccessfuljobs=false): recovery must refuse — proceeding
-    // would silently merge new deltas into nothing
+    // a crash during the very first snapshot write leaves a torn gen
+    // dir with no commit marker and NO committed history: recovery
+    // must delete the torn dir and let the checkpoint replay — not
+    // refuse forever (the round-7 advisor failure mode)
     java.nio.file.Files.createDirectories(
-      java.nio.file.Path.of(s"$tmp/work/snap_1"))
-    val e = intercept[IllegalArgumentException] {
-      ChangeFeed.materialize(spark, s"$tmp/feed", schema,
-        keys = Seq("k"), opCol = "op", versionCol = "version",
-        workDir = s"$tmp/work")
-    }
+      java.nio.file.Path.of(s"$tmp/work/buckets/b0/gen_1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$tmp/work/buckets/b0/gen_1/part-torn.parquet"),
+      "not parquet")
+    val snap = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work")
+    assert(snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a"))
+  }
+
+  test("deleted snapshot under a live checkpoint fails loudly instead of dropping history") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_gone").toString
+    appendFile(s"$tmp/feed", System.currentTimeMillis() - 3600000L,
+      Seq((1L, "a", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    def run() = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work")
+    assert(run().count() == 1)
+    // someone deletes the buckets but keeps the checkpoint (which
+    // skips the already-applied feed files): re-entry must refuse —
+    // proceeding would silently merge future deltas into nothing
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$tmp/work/buckets")).deleteRecursively()
+    val e = intercept[IllegalArgumentException] { run() }
     assert(e.getMessage.contains("refusing to discard history"))
+  }
+
+  test("foreign names in workDir and bucket dirs are skipped, not crashed on") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_foreign").toString
+    appendFile(s"$tmp/feed", System.currentTimeMillis(),
+      Seq((1L, "a", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    // manual backups with non-integer suffixes must not trip recovery
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(s"$tmp/work/buckets/b0/gen_backup"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(s"$tmp/work/snap_backup"))
+    val snap = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work")
+    assert(snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a"))
+    // the foreign dirs are still there, untouched
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$tmp/work/buckets/b0/gen_backup")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$tmp/work/snap_backup")))
+  }
+
+  /** (file name → (length, mtime)) for every data file in every bucket
+   *  generation under workDir — identity proof that a bucket was NOT
+   *  rewritten (a rewrite changes mtimes even with identical bytes). */
+  private def bucketFileState(work: String): Map[String, Map[String, (Long, Long)]] = {
+    val root = new java.io.File(s"$work/buckets")
+    Option(root.listFiles()).toSeq.flatten.filter(_.getName.startsWith("b")).map { b =>
+      val files = Option(b.listFiles()).toSeq.flatten.flatMap { gen =>
+        Option(gen.listFiles()).toSeq.flatten.map { f =>
+          s"${gen.getName}/${f.getName}" -> (f.length(), f.lastModified())
+        }
+      }.toMap
+      b.getName -> files
+    }.toMap
+  }
+
+  test("a single-key delta touches exactly one bucket; untouched buckets are carried forward byte-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_bucket").toString
+    val t0 = System.currentTimeMillis() - 3600000L
+    // enough keys that every bucket is populated
+    appendFile(s"$tmp/feed", t0, (1L to 64L).map(k => (k, s"v$k", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    def run() = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work", statePartitions = Some(2), numBuckets = 8)
+    assert(run().count() == 64)
+    val before = bucketFileState(s"$tmp/work")
+    assert(before.size == 8, s"expected all 8 buckets populated, got ${before.keys}")
+    // delta touching ONE key → exactly one bucket may advance
+    appendFile(s"$tmp/feed", t0 + 10000, Seq((1L, "v1b", "U", 2L)))
+    val snap2 = run()
+    val got = snap2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "v1b" && got.size == 64)
+    val after = bucketFileState(s"$tmp/work")
+    val changed = before.keys.filter(b => before(b) != after(b))
+    assert(changed.size == 1,
+      s"single-key delta rewrote ${changed.size} buckets: $changed")
+    // untouched buckets: same generation dirs, same files, same
+    // lengths, same mtimes — not rewritten, not even touched
+    (before.keys.toSet - changed.head).foreach { b =>
+      assert(before(b) == after(b), s"untouched bucket $b was modified")
+    }
+  }
+
+  test("numBuckets is pinned by the first call on a workDir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_pin").toString
+    val t0 = System.currentTimeMillis() - 3600000L
+    appendFile(s"$tmp/feed", t0, (1L to 16L).map(k => (k, s"v$k", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    def run(nb: Int) = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work", numBuckets = nb)
+    assert(run(4).count() == 16)
+    // re-entry with a DIFFERENT numBuckets must reuse the pinned 4 —
+    // a changed bucket function would scatter old buckets' keys
+    appendFile(s"$tmp/feed", t0 + 10000, Seq((1L, "v1b", "U", 2L)))
+    val got = run(32).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "v1b" && got.size == 16)
+    val buckets = Option(new java.io.File(s"$tmp/work/buckets").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("b"))
+    assert(buckets.forall(_.stripPrefix("b").toInt < 4),
+      s"bucket ids exceed the pinned count: $buckets")
   }
 
   test("empty feed directory materializes an empty payload-schema frame") {
