@@ -69,9 +69,15 @@ object Similarity {
    * needed — a 4× smaller corpus scan/broadcast footprint than
    * floats), keeps `candidates` per query, then the RE-RANK stage
    * joins ONLY those candidates back to their float vectors by id and
-   * orders by exact cosine. Corpus is never shuffled: queries
-   * broadcast through both stages, and the candidate re-join touches
-   * `candidates × |queries|` rows, not the corpus.
+   * orders by exact cosine. The corpus is never shuffled BY A JOIN
+   * (queries broadcast through both stages, and the candidate re-join
+   * touches `candidates × |queries|` rows, not the corpus); the one
+   * exchange each stage does — the per-query top-k window — ships
+   * only per-partition-pre-limited rows (≤ partitions × |queries| ×
+   * `candidates`): the `row_number <= n` filter plans as a Partial
+   * WindowGroupLimit below the exchange, plan-guarded in
+   * `PlanGuardSpec` so a regression to shuffling the full scored
+   * frame fails the suite.
    *
    * Approximation contract: results equal [[bruteForceTopK]] whenever
    * each query's true top-k survives the coarse cut — raise

@@ -142,6 +142,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"), p.take(1500))
     assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
       p.take(1500))
+    // the one exchange each stage DOES do (the per-query top-k window)
+    // must be fed by a Partial WindowGroupLimit: every scan partition
+    // pre-cuts to its own top-`candidates` (coarse) / top-k (re-rank)
+    // rows, so the shuffle ships ≤ partitions×queries×limit rows —
+    // without the pushdown the coarse exchange is the scored
+    // corpus×queries frame, a corpus-sized skewed shuffle at scale
+    assert("""WindowGroupLimit [^\n]*row_number\(\), \d+, Partial""".r
+      .findAllIn(p).size >= 2, p.take(2000))
   }
 
   test("q108 exact-k sample plans as TakeOrderedAndProject, no global sort") {
