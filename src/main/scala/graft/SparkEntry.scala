@@ -804,7 +804,10 @@ object SparkEntry {
     //      accepts the documented late-data trade ----
     "q74_stream_join" -> ((s, dir) => {
       val schema = Tables.rawSchema(s, dir, "events")
-      graft.streaming.Streaming.runBatchAsStream(
+      // file-backed bridge: the joined matches append to a checkpointed
+      // parquet sink across micro-batches — no driver-side collect
+      val tmp = gateTempDir(s, "graft_q74")
+      graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => {
           val ev = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -816,9 +819,7 @@ object SparkEntry {
             keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
             delay = "10000 hours", tolerance = "2 hours")
         },
-        name = s"graft_stream_join_${System.nanoTime}",
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = Some(8))
+        dir = tmp, statePartitions = Some(8))
         .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"),
           col("r_event_id").as("r_id"), col("r_ts"))
     }),
@@ -1150,6 +1151,14 @@ object SparkEntry {
       // streaming transform instead
       val schema = Tables.rawSchema(s, dir, "events")
       val tmp = gateTempDir(s, "graft_q56")
+      // pin the oracle-cutoff assumption (same contract as q60's
+      // guard, hour grid): diverges only if max(ts) is exactly
+      // hour-aligned with zero sub-ms part
+      val maxMicros = t(s, dir, "events")
+        .agg(unix_micros(max(col("ts")))).head.getLong(0)
+      require(maxMicros % 3600000000L != 0,
+        s"q56: fixture max(ts)=$maxMicros µs is hour-aligned — " +
+          "the strict-< oracle cutoff no longer matches Spark's <= eviction")
       // glob, not the bare file path: the file-stream source requires a
       // directory (or glob) so it can derive a basePath for listing
       graft.streaming.Streaming.runBatchAsStreamFiles(
@@ -1280,15 +1289,17 @@ object SparkEntry {
     "q90_stream_state" -> ((s, dir) => {
       import s.implicits._
       val schema = Tables.rawSchema(s, dir, "events")
+      // Update-mode emissions append to a checkpointed parquet log via
+      // foreachBatch (the production materialization for update
+      // streams) — the memory sink stays test-only
+      val tmp = gateTempDir(s, "graft_q90")
       graft.streaming.Streaming.withRocksDbStateStore(s) {
-        graft.streaming.Streaming.runBatchAsStream(
+        graft.streaming.Streaming.runUpdateStreamFiles(
           s, s"$dir/events*.parquet", schema,
           df => graft.streaming.Streaming.runningCount(
             df.select(col("event_type"), lit(1L))
               .as[(String, Long)]).toDF(),
-          name = s"graft_stream_st_${System.nanoTime}",
-          outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
-          statePartitions = Some(8))
+          dir = tmp, statePartitions = Some(8))
       }
         .groupBy("key").agg(max("count").as("n"))
         .select(col("key").as("event_type"), col("n"))
@@ -1332,18 +1343,21 @@ object SparkEntry {
       val schema = Tables.rawSchema(s, dir, "events")
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      graft.streaming.Streaming.runBatchAsStream(
+      // the capability under test is the per-micro-batch STREAM-STATIC
+      // enrichment, which is stateless and therefore append-safe with
+      // no watermark: the enriched rows land in the checkpointed file
+      // sink (production shape — no driver collect, no Complete-mode
+      // driver-resident aggregate) and the rollup runs in batch on the
+      // read-back
+      val tmp = gateTempDir(s, "graft_q101")
+      graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.join(cust, df("user_id") === cust("c_custkey"))
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).cast("double")
-              .as("total")),
-        // the JOIN side is stateless, but the Complete-mode groupBy
-        // above it is a stateful agg with a store per partition —
-        // sized like the other stateful gates
-        name = s"graft_stream_sj_${System.nanoTime}",
-        statePartitions = Some(8))
+          .select(col("c_mktsegment"), col("value")),
+        dir = tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
     // ---- §2.11 REAL streaming sliding windows (micro-batch engine;
@@ -1353,6 +1367,18 @@ object SparkEntry {
     "q60_stream_sliding" -> ((s, dir) => {
       val schema = Tables.rawSchema(s, dir, "events")
       val tmp = gateTempDir(s, "graft_q60")
+      // pin the oracle-cutoff assumption: append-mode eviction emits
+      // window.end <= watermark (ms-truncated) while the oracle keeps
+      // window.end < max(ts) − 1 h — these agree unless max(ts) is
+      // EXACTLY slide-grid-aligned at ms precision with zero sub-ms
+      // part (then a window end ties the watermark and the two sides
+      // diverge by one window). Fail loudly if a future fixture ever
+      // lands on the grid instead of hash-diverging silently.
+      val maxMicros = t(s, dir, "events")
+        .agg(unix_micros(max(col("ts")))).head.getLong(0)
+      require(maxMicros % 1800000000L != 0,
+        s"q60: fixture max(ts)=$maxMicros µs is 30-min-grid-aligned — " +
+          "the strict-< oracle cutoff no longer matches Spark's <= eviction")
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

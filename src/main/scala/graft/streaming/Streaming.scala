@@ -174,6 +174,50 @@ object Streaming {
     spark.read.schema(resultSchema).parquet(out)
   }
 
+  /**
+   * UPDATE-MODE variant of [[runBatchAsStreamFiles]] for stateful
+   * transforms that emit per-key UPDATES (`mapGroupsWithState`,
+   * update-mode aggregations): the file sink is append-only and cannot
+   * take Update output directly, so each micro-batch's emissions
+   * append to `dir/out` through `foreachBatch` — the standard
+   * production pattern for materializing an update stream to files.
+   * The returned frame reads ALL emitted updates (a key appears once
+   * per batch that changed it); consumers fold to latest/max per key —
+   * which is also why this needs no watermark: the update log is
+   * append-safe by construction. Same `statePartitions` contract as
+   * [[runBatchAsStreamFiles]].
+   */
+  def runUpdateStreamFiles(spark: SparkSession, path: String, schema: StructType,
+                           transform: DataFrame => DataFrame,
+                           dir: String,
+                           statePartitions: Option[Int] = None,
+                           sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    val resultSchema = withConf(spark, "spark.sql.shuffle.partitions",
+        statePartitions.map(_.toString)) {
+      val stream = spark.readStream.schema(schema).options(sourceOptions)
+        .parquet(path)
+      val transformed = transform(stream)
+      transformed.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Update())
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      transformed.schema
+    }
+    // zero batches emitted → no out dir (foreachBatch never ran)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    if (outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
+      spark.read.schema(resultSchema).parquet(out)
+    else
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), resultSchema)
+  }
+
   /** Scoped session-conf override: set `key` to `value` (None = leave
    *  untouched), run `body`, restore the prior state. The override is
    *  SESSION-GLOBAL while body runs — callers must not concurrently

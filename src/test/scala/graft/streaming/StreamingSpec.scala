@@ -64,6 +64,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/run/out").count() == 1)
   }
 
+  test("runUpdateStreamFiles: update emissions append to the file log; max-per-key folds to the batch count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upd").toString
+    // two files = two micro-batches (maxFilesPerTrigger=1): key "a"
+    // emits an update in EACH batch (2 then 3), so the log holds both
+    // rows and max-per-key is the final running count
+    Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq(("a", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val res = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.runningCount(df.as[(String, Long)]).toDF(),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val byKey = res.groupBy("key").agg(max("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a" -> 3L, "b" -> 1L))
+    // the log is append-only across batches: "a" appears once per batch
+    assert(res.filter(col("key") === "a").count() == 2)
+  }
+
+  test("runUpdateStreamFiles: zero batches yields a typed empty frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upd0").toString
+    Seq.empty[(String, Long)].toDF("k", "v").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val res = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.runningCount(df.as[(String, Long)]).toDF(),
+      dir = s"$dir/run")
+    assert(res.columns.toSeq == Seq("key", "count"))
+    assert(res.count() == 0)
+  }
+
   test("runBatchAsStreamFiles: zero emitted rows still yields a typed empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_fsink0").toString
     val data = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
