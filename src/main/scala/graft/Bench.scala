@@ -32,8 +32,13 @@ object Bench {
   private final case class Tel(wall: Double, gc: Long, heapB: Double,
                                heapA: Double, cpu: Double, load: Double,
                                bmB: Double, bcDropped: Int) {
-    def json: String =
-      f"[$wall%.3f,$gc%d,${heapB}%.0f,${heapA}%.0f,$cpu%.2f,$load%.2f,${bmB}%.1f,$bcDropped%d]"
+    // Locale.ROOT, not the f-interpolator: a JVM whose default locale
+    // writes comma decimal separators would otherwise emit invalid
+    // JSON and silently break downstream artifact parsing
+    def json: String = String.format(java.util.Locale.ROOT,
+      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d]",
+      Double.box(wall), Long.box(gc), Double.box(heapB), Double.box(heapA),
+      Double.box(cpu), Double.box(load), Double.box(bmB), Int.box(bcDropped))
   }
 
   /** Reset session state a prior query may have left behind: cached
@@ -141,7 +146,8 @@ object Bench {
       val times = tels.map(_.wall)
       (name, if (times.contains(-1.0)) -1.0 else times.min, times, tels)
     }
-    def f(d: Double) = "%.3f".format(d)
+    def f(d: Double) = // Locale.ROOT — see Tel.json
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val its = results.map { case (k, _, ts, _) =>
@@ -161,9 +167,12 @@ object Bench {
     }.mkString("{", ",", "}")
     // schema: each entry [wall s, gcMs, heapBeforeMB, heapAfterMB,
     // procCpuS, load1m, storageMBBeforeIsolate, broadcastsDropped]
-    println(s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped"],"queries":$telJson}""")
-    println(s"""{"detail":"iters","iters":$its}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped"],"queries":$telJson}"""
+    val itersLine = s"""{"detail":"iters","iters":$its}"""
+    val totalLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(telLine)
+    println(itersLine)
+    println(totalLine)
     val worst = results.filter(_._2 > 0).sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -179,7 +188,19 @@ object Bench {
     val hvy = results.filter(r => heavy(r._1)).map { case (k, _, _, tels) =>
       "\"" + k + "\":" + tels.map(_.json).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":${f(okTotal)},"unit":"sec","n":${results.size},"worst10":$worst,"failed":$failed,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}""")
+    val compactLine = s"""{"metric":"total_compact","value":${f(okTotal)},"unit":"sec","n":${results.size},"worst10":$worst,"failed":$failed,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    println(compactLine)
+    // SELF-CONTAINED artifact file: the driver captures only a bounded
+    // tail of stdout (round 7's BENCH artifact truncated the per-query
+    // map mid-dict), so the full four lines also land on disk where a
+    // reader can parse them without stdout archaeology. Best-effort —
+    // a read-only CWD must not fail the bench.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("bench_results.json"),
+      Seq(telLine, itersLine, totalLine, compactLine).mkString("", "\n", "\n"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_results.json not written: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
