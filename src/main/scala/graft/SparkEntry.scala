@@ -58,6 +58,32 @@ object SparkEntry {
     dir
   }
 
+  /** Loopback HTTP fixture for the q115 DSv2 gate: serves `rows` as
+   *  offset-paginated JSONL (`?offset=N&limit=pageSize` slices, empty
+   *  body past the end — the contract `graft-http` offset pagination
+   *  plans against). Returns (server, baseUrl); caller stops the
+   *  server after materializing. */
+  private def jsonlPageServer(rows: Array[String],
+                              pageSize: Int): (com.sun.net.httpserver.HttpServer, String) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val offset = q.split("&").collectFirst {
+          case kv if kv.startsWith("offset=") => kv.stripPrefix("offset=").toInt
+        }.getOrElse(0)
+        val body = rows.slice(offset, offset + pageSize).mkString("\n")
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}/data")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
@@ -1600,6 +1626,67 @@ object SparkEntry {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // ---- LLM ops: Gopher repetition-CONCENTRATION signals — the
+    //      mode-based char fractions complementing q46's breadth
+    //      ratio: one looping phrase (top n-gram) vs any repeated
+    //      longer n-gram. Per-row sorted-run scans, no shuffle ----
+    "q114_repetition" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.topNgramCharFraction(text, 2).as("top2_frac"),
+        TA.topNgramCharFraction(text, 3).as("top3_frac"),
+        TA.dupNgramCharFraction(text, 5).as("dup5_frac"))
+    }),
+
+    // ---- §2.1 HTTP source THROUGH DSv2 (`spark.read.format(
+    //      "graft-http")`) against a LIVE loopback server serving the
+    //      nation table as offset-paginated JSONL — pages planned as
+    //      InputPartitions, executor-side Jackson parse; materialized
+    //      while the server is up (the server is the fixture, not
+    //      part of the lazy plan's lifetime) ----
+    "q115_http_source" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val rows = nation.orderBy("n_nationkey").toJSON.collect()
+      val tmp = gateTempDir(s, "graft_q115")
+      val (server, base) = jsonlPageServer(rows, pageSize = 10)
+      try {
+        s.read.format("graft-http").schema(nation.schema)
+          .option("url", base)
+          .option("pages", ((rows.length + 9) / 10).toString)
+          .option("pageSize", "10")
+          .load()
+          .write.parquet(s"$tmp/out")
+      } finally server.stop(0)
+      s.read.parquet(s"$tmp/out")
+    }),
+
+    // ---- LLM ops: image perceptual hash (dHash) over REAL decoded
+    //      PNG pixels — the image-dedup fingerprint. The fixture
+    //      synthesizes 9x8 RGB PNGs from a formula of doc_id (encode
+    //      is lossless, grid == hash resolution, so pooling is
+    //      identity), the operator decodes with javax.imageio and
+    //      hashes the pixels; the oracle replays the formula without
+    //      ever decoding — the gate passes iff the encode→decode→
+    //      pool→compare chain is pixel-exact. Pairing over these
+    //      hashes is Dedup.hammingPairs (unit-tested; q25/q69 gate
+    //      the shared banding machinery) ----
+    "q116_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val png = Multimodal.rgbPng(9, 8, (x, y) => {
+              val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              (v << 16) | (v << 8) | v
+            })
+            Multimodal.MediaRecord(id, png,
+              Multimodal.MediaMeta("image/png", Some(9), Some(8), None))
+          }
+        }
+        .transform(Multimodal.imageDHash(_))
+        .select(col("media_id").as("doc_id"), col("dhash_bits").as("dhash"))
     })
   )
 
@@ -2682,6 +2769,53 @@ object SparkEntry {
         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
         |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // mode per doc via (count desc, gram asc) — matches the Spark
+    // sorted-run scan's strictly-greater update (first max-count gram
+    // in lexicographic order); docs shorter than n grams score 0
+    "q114_repetition" ->
+      """WITH t AS (SELECT doc_id, length(text) AS L,
+        |             string_split_regex(text,'\s+') AS w FROM documents),
+        |g2 AS (SELECT doc_id, L, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS gram FROM t WHERE len(w) >= 2),
+        |g3 AS (SELECT doc_id, L, unnest(list_transform(range(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |       FROM t WHERE len(w) >= 3),
+        |g5 AS (SELECT doc_id, L, unnest(list_transform(range(1, len(w)-3),
+        |         i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gram
+        |       FROM t WHERE len(w) >= 5),
+        |top2 AS (SELECT doc_id, f FROM (
+        |  SELECT doc_id, CAST(count(*)*length(gram) AS DOUBLE)/L AS f,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram ASC) AS rn
+        |  FROM g2 GROUP BY doc_id, L, gram) WHERE rn = 1),
+        |top3 AS (SELECT doc_id, f FROM (
+        |  SELECT doc_id, CAST(count(*)*length(gram) AS DOUBLE)/L AS f,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram ASC) AS rn
+        |  FROM g3 GROUP BY doc_id, L, gram) WHERE rn = 1),
+    |dup5 AS (SELECT doc_id,
+        |    CAST(coalesce(sum(c*glen) FILTER (WHERE c >= 2), 0) AS DOUBLE)/L AS f
+        |  FROM (SELECT doc_id, L, length(gram) AS glen, count(*) AS c
+        |        FROM g5 GROUP BY doc_id, L, gram) GROUP BY doc_id, L)
+        |SELECT t.doc_id, coalesce(top2.f, 0.0) AS top2_frac,
+        |  coalesce(top3.f, 0.0) AS top3_frac, coalesce(dup5.f, 0.0) AS dup5_frac
+        |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+        |  LEFT JOIN dup5 USING (doc_id)""".stripMargin,
+
+    // transport is the operator under test: content is just nation
+    "q115_http_source" -> "SELECT * FROM nation",
+
+    // replays the q116 pixel formula without decoding — the Spark side
+    // must recover these exact values through PNG encode -> imageio
+    // decode -> integer gray -> neighbor compare
+    "q116_image_dhash" ->
+      """SELECT doc_id, string_agg(
+        |    CASE WHEN (doc_id*31 + (x+1)*7 + y*13) % 256
+        |            > (doc_id*31 + x*7 + y*13) % 256
+        |         THEN '1' ELSE '0' END, '' ORDER BY y, x) AS dhash
+        |FROM documents, range(0, 8) t1(y), range(0, 8) t2(x)
+        |GROUP BY doc_id""".stripMargin,
 
     "q33_dag" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

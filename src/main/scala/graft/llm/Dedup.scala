@@ -755,22 +755,48 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, maxHamming: Int = 3,
                    bands: Int = 4): DataFrame = {
+    require(bits <= 62, s"bits=$bits: at most 62 signature bits " +
+      "(SimHash signatures are built by summing 1L << i terms)")
+    hammingPairs(simHashSignatures(df, idCol, textCol, bits),
+      idCol, "simhash", bits, maxHamming, bands)
+  }
+
+  /**
+   * Generic banded Hamming near-dup pairs over ANY precomputed
+   * `bits`-wide long signature column — the pairing stage shared by
+   * text SimHash ([[simHashPairs]]) and image perceptual hashes
+   * ([[graft.llm.Multimodal.imageDHash]]). Returns (id1, id2,
+   * hamming), id1 < id2, for pairs with hamming ≤ `maxHamming`.
+   *
+   * Candidates come from bit-sampling LSH: the signature splits into
+   * `bands` contiguous bit-bands; by pigeonhole, any pair with
+   * hamming ≤ bands − 1 collides in at least one band, so with
+   * `maxHamming < bands` the banded candidate set is COMPLETE and the
+   * verified output equals the naive all-pairs join exactly. Only
+   * (band, band-bits) keys shuffle — never payloads; a hot band
+   * bucket means near-identical signatures, which ARE the output.
+   * Full 64-bit signatures are fine (bit 63 set → negative long): the
+   * unsigned shift + pmod band extraction and `bit_count(xor)` are
+   * bit-pattern operations, sign-agnostic. Null signatures (e.g.
+   * undecodable images) are excluded.
+   */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits out of long range: $bits")
     require(bits % bands == 0, s"bits=$bits must be divisible by bands=$bands")
     require(maxHamming < bands,
       s"pigeonhole completeness needs maxHamming < bands, got $maxHamming >= $bands")
-    require(bits <= 62, s"bits=$bits: at most 62 signature bits " +
-      "(band masks and signatures must stay in non-negative long range)")
     val r = bits / bands
-    val sigs = simHashSignatures(df, idCol, textCol, bits)
-    // unsigned shift + pmod: belt-and-braces against sign surprises on
-    // wide signatures (the bits <= 62 guard already keeps them positive)
-    val banded = sigs.select(col(idCol), col("simhash"),
+    require(r <= 62, s"band width $r too wide for a long band mask")
+    val sig = col(sigCol)
+    val banded = sigs.filter(sig.isNotNull).select(col(idCol), sig,
       posexplode(array((0 until bands).map(b =>
-        pmod(shiftrightunsigned(col("simhash"), b * r), lit(1L << r))): _*)))
+        pmod(shiftrightunsigned(sig, b * r), lit(1L << r))): _*)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__key"))
-    val a = banded.select(col(idCol).as("id1"), col("simhash").as("__s1"),
+    val a = banded.select(col(idCol).as("id1"), sig.as("__s1"),
       col("__band"), col("__key"))
-    val b = banded.select(col(idCol).as("id2"), col("simhash").as("__s2"),
+    val b = banded.select(col(idCol).as("id2"), sig.as("__s2"),
       col("__band"), col("__key"))
     a.join(b, Seq("__band", "__key"))
       .filter(col("id1") < col("id2"))

@@ -305,6 +305,115 @@ object Multimodal {
     }
   }
 
+  /** Per-image perceptual-hash record: `dhash_bits` is the
+   *  `(gridW−1)·gridH`-char bitstring (bit index `y·(gridW−1)+x`
+   *  ascending), `dhash` the same bits packed into one long (bit 63
+   *  may set — the value is a BIT PATTERN, not a number). Unparsable
+   *  or empty payloads carry None throughout — a corrupt file must
+   *  cost a null row, never the job, and nulls are excluded from
+   *  pairing ([[graft.llm.Dedup.hammingPairs]]). */
+  final case class MediaHash(media_id: Long, dhash_bits: Option[String],
+                             dhash: Option[Long], width: Option[Int],
+                             height: Option[Int])
+
+  /**
+   * Difference hash (dHash) over REAL decoded pixels — the standard
+   * perceptual fingerprint for image near-dup dedup (resize-, codec-
+   * and brightness-shift-tolerant; a training-corpus pipeline dedups
+   * images by dHash/pHash the way it dedups text by SimHash). The
+   * image reduces to a `gridW×gridH` gray grid by EXACT integer area
+   * pooling — pixel `(x,y)` lands in cell `(x·gridW/w, y·gridH/h)`,
+   * cell value = `sum(gray)/count` in integer math, gray =
+   * `(r+g+b)/3` of the sRGB pixel — then bit `y·(gridW−1)+x` is set
+   * iff `cell(x+1,y) > cell(x,y)`. Every step is integer arithmetic
+   * over decoded pixels, so the hash is a pure function of image
+   * content: reproducible across JVMs and engines (no interpolation
+   * variance — the reason for area pooling over `Graphics2D` scaling).
+   * Images already at `gridW×gridH` hash their raw pixels (pooling is
+   * identity), which is what lets an external oracle replay the gate.
+   *
+   * Per-partition decode, narrow, no shuffle — the same batch shape
+   * as [[extractFeatures]]. Images smaller than the grid leave the
+   * uncovered cells at 0 (defined, documented; dedup compares like
+   * against like within a corpus).
+   */
+  def imageDHash(ds: Dataset[MediaRecord], gridW: Int = 9,
+                 gridH: Int = 8): Dataset[MediaHash] = {
+    require(gridW >= 2 && gridH >= 1, s"grid must be >= 2x1: ${gridW}x$gridH")
+    require((gridW - 1) * gridH <= 64,
+      s"dhash must fit a long: (${gridW}-1)*$gridH > 64 bits")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        val img =
+          if (bytes.isEmpty) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) MediaHash(r.media_id, None, None, None, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](gridW * gridH)
+          val counts = new Array[Long](gridW * gridH)
+          var y = 0
+          while (y < h) {
+            val cy = (y.toLong * gridH / h).toInt
+            var x = 0
+            while (x < w) {
+              val cx = (x.toLong * gridW / w).toInt
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              sums(cy * gridW + cx) += gray
+              counts(cy * gridW + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          def cell(cx: Int, cy: Int): Long = {
+            val i = cy * gridW + cx
+            if (counts(i) == 0) 0L else sums(i) / counts(i)
+          }
+          val bits = new StringBuilder((gridW - 1) * gridH)
+          var packed = 0L
+          var cy = 0
+          while (cy < gridH) {
+            var cx = 0
+            while (cx < gridW - 1) {
+              val set = cell(cx + 1, cy) > cell(cx, cy)
+              bits.append(if (set) '1' else '0')
+              if (set) packed |= 1L << (cy * (gridW - 1) + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          MediaHash(r.media_id, Some(bits.toString), Some(packed),
+            Some(w), Some(h))
+        }
+      }
+    }
+  }
+
+  /** Deterministic RGB PNG encoder (TYPE_INT_RGB — sRGB in, sRGB
+   *  out, no gray-colorspace gamma conversion, and PNG is lossless,
+   *  so decode recovers `pixel(x,y)` exactly). Fixture generator for
+   *  decode-path gates and tests; real corpora bring their own
+   *  bytes. */
+  def rgbPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /**
    * Frame sampling stub for video payloads: emits `n` (frame_index,
    * offset) pairs per record — the real implementation would seek the

@@ -457,4 +457,75 @@ object TextAnalysis {
     when(total === 0, lit(0.0)).otherwise(
       lit(1.0) - distinctN.cast("double") / total.cast("double"))
   }
+
+  /**
+   * Fraction of the document's characters covered by occurrences of
+   * its single most frequent word n-gram — the Gopher "top n-gram
+   * character fraction" repetition signal (complementing
+   * [[repetitionRatio]], which measures breadth of repetition, this
+   * measures CONCENTRATION: one looping phrase dominates). Formula:
+   * `count(top gram) · chars(top gram) / chars(text)`; occurrences
+   * may overlap in tokens, which is the standard (and cheap)
+   * convention. Ties pick the lexicographically smallest gram, so
+   * the value is a pure function of the text.
+   *
+   * Single pass over the doc's own sorted gram array — a per-row
+   * expression, no explode, no shuffle: the corpus-wide mode-finding
+   * groupBy this replaces would shuffle every gram of every document.
+   * Texts shorter than `n` tokens score 0.
+   */
+  def topNgramCharFraction(text: Column, n: Int = 2): Column = {
+    val w = tokens(text)
+    // run-length scan over the SORTED grams: equal grams are adjacent,
+    // so the mode is the longest run; `>` (not `>=`) on the best-run
+    // update keeps the FIRST (lexicographically smallest) max-count
+    // gram, matching the oracle's (count desc, gram asc) tie-break
+    val best = aggregate(
+      array_sort(ngramJoin(w, n)),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestRun"), lit("").as("bestGram")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        val better = run > st.getField("bestRun")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(st.getField("bestRun")).as("bestRun"),
+          when(better, x).otherwise(st.getField("bestGram")).as("bestGram"))
+      },
+      st => (st.getField("bestRun") * length(st.getField("bestGram"))).cast("double"))
+    when(size(w) >= n && length(text) > 0, best / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Fraction of the document's characters covered by occurrences of
+   * DUPLICATED word n-grams (count ≥ 2) — the Gopher "duplicate
+   * n-gram character fraction" signal, conventionally used at longer
+   * n (5–10) where ANY repetition is suspicious, vs
+   * [[topNgramCharFraction]]'s short-n concentration. Formula:
+   * `Σ_{g: count(g)≥2} count(g)·chars(g) / chars(text)` (token
+   * overlap between occurrences counted, as standard). Same
+   * single-pass sorted-run scan, per-row, shuffle-free. Texts
+   * shorter than `n` tokens score 0.
+   */
+  def dupNgramCharFraction(text: Column, n: Int = 5): Column = {
+    val w = tokens(text)
+    // a run's 2nd element retroactively contributes the 1st's chars
+    // too (the gram only becomes "duplicated" at its 2nd occurrence)
+    val dupChars = aggregate(
+      array_sort(ngramJoin(w, n)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        val contrib = when(run === 2L, lit(2L) * length(x))
+          .when(run > 2L, length(x).cast("long"))
+          .otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"),
+          (st.getField("chars") + contrib).as("chars"))
+      },
+      st => st.getField("chars").cast("double"))
+    when(size(w) >= n && length(text) > 0, dupChars / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

@@ -56,6 +56,34 @@ class LlmSpec extends AnyFunSuite {
     assert(expr == aggd)
   }
 
+  test("hammingPairs: generic banded pairing over full-64-bit signatures, nulls excluded") {
+    // bit 63 set -> negative longs: band extraction and bit_count(xor)
+    // must treat the signature as a bit pattern, not a number
+    val sigs = Seq(
+      (1L, Some(-1L)),  // all 64 bits set
+      (2L, Some(-2L)),  // hamming 1 from id 1
+      (3L, Some(0L)),   // hamming 64 from id 1
+      (4L, None)        // undecodable -> excluded, not crashed on
+    ).toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(sigs, "id", "sig",
+        bits = 64, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1)))
+  }
+
+  test("simHashPairs still matches the naive all-pairs join after the hammingPairs refactor") {
+    val sigs = Dedup.simHashSignatures(docs, "id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val naive = (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs if i1 < i2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (i1, i2, h)).toSet
+    val banded = Dedup.simHashPairs(docs, "id", "text",
+        bits = 16, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == naive && naive.nonEmpty)
+  }
+
   test("ngram jaccard pairs respect blocking columns") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
       blockCols = Seq("grp"), shingleN = 3, threshold = 0.5)
@@ -244,6 +272,30 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("loopy") > 0.5)
     assert(rep("clean") == 0.0)
     assert(rep("short") == 0.0) // sub-n text: defined 0, no divide-by-zero
+  }
+
+  test("repetition concentration: top-ngram and dup-ngram char fractions, hand-computed") {
+    val rows = Seq(
+      // 2-grams: "a b"x3, "b a"x2 -> top = "a b", 3 occurrences x 3 chars over 11 chars
+      (1L, "a b a b a b"),
+      // counts tie at 2: "aa b" (len 4) vs "c d" (len 3); lexicographically
+      // smallest wins -> "aa b", 2 x 4 chars over 17
+      (2L, "aa b aa b c d c d"),
+      (3L, "all words here are different ones"),
+      (4L, "x")) // sub-n text: defined 0, no divide-by-zero
+      .toDF("id", "text")
+    val out = rows.select(col("id"),
+        TextAnalysis.topNgramCharFraction(col("text"), 2).as("top2"),
+        TextAnalysis.dupNgramCharFraction(col("text"), 1).as("dup1"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 9.0 / 11)
+    assert(out(2L)._1 == 8.0 / 17)
+    // every 2-gram unique -> count 1; smallest gram "all words" (9 chars) / 33
+    assert(out(3L)._1 == 9.0 / 33)
+    assert(out(4L) == ((0.0, 0.0)))
+    // dup 1-grams of doc 1: "a"x3 + "b"x3 -> 6 duplicated chars / 11
+    assert(out(1L)._2 == 6.0 / 11)
+    assert(out(3L)._2 == 0.0) // all distinct words -> nothing duplicated
   }
 
   test("web cleaning: HTML strip, domain extraction, blocklist, NFC composition") {
@@ -512,6 +564,65 @@ class LlmSpec extends AnyFunSuite {
     assert((back.getRGB(3, 3) & 0xffffff) == 0xffffff)
     // unparsable payloads pass through unchanged
     assert(resized(2L).content.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("multimodal: image dHash — exact pooling, bit layout, near-dup pairing") {
+    import Multimodal._
+    import spark.implicits._
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    def rec(id: Long, bytes: Array[Byte]) = MediaRecord(id, bytes,
+      MediaMeta("image/png", None, None, None))
+
+    // 3x2 image at grid resolution (pooling = identity), hand-derived:
+    // row 0: 20>10 -> 1, 5>20 -> 0 ; row 1: 7>7 -> 0, 9>7 -> 1
+    val px = Array(Array(10, 20, 5), Array(7, 7, 9))
+    val small = rgbPng(3, 2, (x, y) => gray(px(y)(x)))
+    val h32 = imageDHash(Seq(rec(1L, small)).toDS(), gridW = 3, gridH = 2)
+      .collect().head
+    assert(h32.dhash_bits.contains("1001"))
+    assert(h32.dhash.contains(9L)) // bits 0 and 3
+    assert(h32.width.contains(3) && h32.height.contains(2))
+
+    // 6x4 image pooling to the same 3x2 grid: each 2x2 block averages
+    // with integer floor ((10+11+12+13)/4 = 11), then same comparisons
+    val blocks = Array(Array(Array(10, 11, 12, 13), Array(20, 20, 20, 20),
+      Array(5, 5, 5, 6)), Array(Array(7, 7, 7, 7), Array(7, 7, 7, 7),
+      Array(9, 9, 9, 9)))
+    val pooled = rgbPng(6, 4, (x, y) => {
+      val b = blocks(y / 2)(x / 2); gray(b((y % 2) * 2 + (x % 2)))
+    })
+    // blocks avg to 11,20,5 / 7,7,9 -> 20>11 -> 1, 5>20 -> 0, 0, 1
+    val hp = imageDHash(Seq(rec(2L, pooled)).toDS(), gridW = 3, gridH = 2)
+      .collect().head
+    assert(hp.dhash_bits.contains("1001"))
+
+    // default 9x8 grid: 64-bit hash, bit 63 reachable (sign-safe);
+    // identical images pair at hamming 0, a one-cell edit at hamming
+    // <= its affected comparisons, unparsable payloads drop to null
+    // and are excluded from pairing
+    def img(seed: Long, bump: (Int, Int) => Int = (_, _) => 0) =
+      rgbPng(9, 8, (x, y) =>
+        gray((((seed * 31 + x * 7 + y * 13) % 256).toInt + bump(x, y)).min(255)))
+    val ds = Seq(
+      rec(1L, img(5L)), rec(2L, img(5L)),                       // exact dups
+      rec(3L, img(5L, (x, y) => if (x == 4 && y == 2) 120 else 0)), // one cell bumped
+      rec(4L, img(77L)),                                        // unrelated
+      rec(5L, "not a png".getBytes("UTF-8"))                    // undecodable
+    ).toDS()
+    val hashes = imageDHash(ds)
+    val byId = hashes.collect().map(h => h.media_id -> h).toMap
+    assert(byId(1L).dhash_bits.get.length == 64)
+    assert(byId(1L).dhash == byId(2L).dhash)
+    assert(byId(5L).dhash.isEmpty && byId(5L).dhash_bits.isEmpty)
+    val pairs = Dedup.hammingPairs(
+        hashes.toDF(), "media_id", "dhash", bits = 64,
+        maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    val withEdit = pairs.filter(p => p._1 == 1L && p._2 == 3L)
+    // the bumped cell changes at most its two adjacent comparisons
+    assert(withEdit.isEmpty || withEdit.head._3 <= 2)
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
   }
 
   test("multimodal: REAL WAV decode — synthesized PCM yields exact bucketed RMS") {
