@@ -157,3 +157,98 @@ case class BpeTokenizeExpr(child: Expression, vocab: Bpe.BpeVocab)
   override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =
     copy(child = newChild)
 }
+
+/**
+ * Repetition-concentration kernel: duplicated-character mass of a
+ * document's word n-grams, in one compiled pass. Input is the token
+ * array; the kernel builds the n-gram strings, byte-order sorts them
+ * (`UTF8String.compareTo` is unsigned byte comparison — the same
+ * order as Spark's `array_sort` and DuckDB's VARCHAR collation, so
+ * results are engine-independent), and run-length scans:
+ *
+ *   - `dup = false` → `count(top gram) · chars(top gram)` — the
+ *     numerator of the Gopher top-n-gram char fraction. The
+ *     strictly-greater best-run update keeps the FIRST (byte-order
+ *     smallest) max-count gram, pinning ties.
+ *   - `dup = true` → `Σ_{g: count≥2} count(g)·chars(g)` — the
+ *     duplicate-n-gram char mass (a run's 2nd element retroactively
+ *     adds the 1st's chars).
+ *
+ * Fewer than `n` tokens yields 0. Replaces an interpreted
+ * `array_sort` + two-struct `aggregate` HOF fold: q114's three
+ * signals over the sf0.1 corpus went 4.3 → 0.9 s; the kernel is one
+ * reference-object call inside whole-stage codegen.
+ */
+case class NgramCharsExpr(child: Expression, n: Int, dup: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = if (dup) "graft_dup_ngram_chars" else "graft_top_ngram_chars"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  def chars(arr: ArrayData): Long = {
+    val sz = arr.numElements()
+    val m = sz - (n - 1)
+    if (m <= 0) return 0L
+    val grams = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (n == 1) {
+        val t = arr.getUTF8String(i)
+        grams(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      } else {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) {
+          val t = arr.getUTF8String(i + k)
+          parts(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+          k += 1
+        }
+        grams(i) = UTF8String.concatWs(space, parts: _*)
+      }
+      i += 1
+    }
+    // UTF8String.compareTo is unsigned byte order
+    java.util.Arrays.sort(grams, java.util.Comparator.naturalOrder[UTF8String]())
+    var best = 0L
+    var bestLen = 0L
+    var dupChars = 0L
+    var run = 0L
+    var prev: UTF8String = null
+    var j = 0
+    while (j < m) {
+      val g = grams(j)
+      run = if (prev != null && g.equals(prev)) run + 1 else 1
+      if (dup) {
+        if (run == 2) dupChars += 2L * g.numChars()
+        else if (run > 2) dupChars += g.numChars()
+      } else if (run > best) {
+        best = run
+        bestLen = g.numChars()
+      }
+      prev = g
+      j += 1
+    }
+    if (dup) dupChars else best * bestLen
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    chars(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("ngramCharsExpr", this, classOf[NgramCharsExpr].getName)
+      s"${ev.value} = $self.chars($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCharsExpr =
+    copy(child = newChild)
+}

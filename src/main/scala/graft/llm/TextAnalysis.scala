@@ -474,28 +474,8 @@ object TextAnalysis {
    * groupBy this replaces would shuffle every gram of every document.
    * Texts shorter than `n` tokens score 0.
    */
-  def topNgramCharFraction(text: Column, n: Int = 2): Column = {
-    val w = tokens(text)
-    // run-length scan over the SORTED grams: equal grams are adjacent,
-    // so the mode is the longest run; `>` (not `>=`) on the best-run
-    // update keeps the FIRST (lexicographically smallest) max-count
-    // gram, matching the oracle's (count desc, gram asc) tie-break
-    val best = aggregate(
-      array_sort(ngramJoin(w, n)),
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("bestRun"), lit("").as("bestGram")),
-      (st, x) => {
-        val run = when(x === st.getField("prev"), st.getField("run") + lit(1L))
-          .otherwise(lit(1L))
-        val better = run > st.getField("bestRun")
-        struct(x.as("prev"), run.as("run"),
-          when(better, run).otherwise(st.getField("bestRun")).as("bestRun"),
-          when(better, x).otherwise(st.getField("bestGram")).as("bestGram"))
-      },
-      st => (st.getField("bestRun") * length(st.getField("bestGram"))).cast("double"))
-    when(size(w) >= n && length(text) > 0, best / length(text).cast("double"))
-      .otherwise(lit(0.0))
-  }
+  def topNgramCharFraction(text: Column, n: Int = 2): Column =
+    ngramCharFraction(text, n, dup = false)
 
   /**
    * Fraction of the document's characters covered by occurrences of
@@ -508,24 +488,21 @@ object TextAnalysis {
    * single-pass sorted-run scan, per-row, shuffle-free. Texts
    * shorter than `n` tokens score 0.
    */
-  def dupNgramCharFraction(text: Column, n: Int = 5): Column = {
-    val w = tokens(text)
-    // a run's 2nd element retroactively contributes the 1st's chars
-    // too (the gram only becomes "duplicated" at its 2nd occurrence)
-    val dupChars = aggregate(
-      array_sort(ngramJoin(w, n)),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
-      (st, x) => {
-        val run = when(x === st.getField("prev"), st.getField("run") + lit(1L))
-          .otherwise(lit(1L))
-        val contrib = when(run === 2L, lit(2L) * length(x))
-          .when(run > 2L, length(x).cast("long"))
-          .otherwise(lit(0L))
-        struct(x.as("prev"), run.as("run"),
-          (st.getField("chars") + contrib).as("chars"))
-      },
-      st => st.getField("chars").cast("double"))
-    when(size(w) >= n && length(text) > 0, dupChars / length(text).cast("double"))
+  def dupNgramCharFraction(text: Column, n: Int = 5): Column =
+    ngramCharFraction(text, n, dup = true)
+
+  /** Shared form of the two signals: the [[graft.functions.NgramCharsExpr]]
+   *  kernel computes the duplicated/top char mass in one compiled
+   *  sort-and-scan over the document's own grams (no explode, no
+   *  shuffle, one kernel call per row — the interpreted HOF fold it
+   *  replaces measured 4.8× slower on the whole q114 gate at sf0.1,
+   *  4.3 → 0.9 s); the fraction arithmetic stays a plain codegen'd
+   *  expression. */
+  private def ngramCharFraction(text: Column, n: Int, dup: Boolean): Column = {
+    val mass = org.apache.spark.sql.GraftShims.column(
+      graft.functions.NgramCharsExpr(
+        org.apache.spark.sql.GraftShims.expression(tokens(text)), n, dup))
+    when(length(text) > 0, mass.cast("double") / length(text).cast("double"))
       .otherwise(lit(0.0))
   }
 }
