@@ -33,6 +33,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q114 repetition signals are one shuffle-free codegen'd scan") {
+    val p = finalPlan("q114_repetition")
+    // per-row sorted-run kernels: the whole gate must stay a narrow
+    // projection over the scan — an Exchange here means someone
+    // reintroduced the explode + corpus-wide-groupBy mode formulation
+    assert(!p.contains("Exchange"), p.take(1200))
+    // "*(1) Project" — the executedPlan string marks codegen spans
+    // with "*(n)"; the kernels must not fall back to interpreted
+    // projection
+    assert(p.contains("*(1) Project"), p.take(1200))
+  }
+
   test("q53 decontamination broadcasts the benchmark grams") {
     val p = finalPlan("q53_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
