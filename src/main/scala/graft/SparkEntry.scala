@@ -1687,6 +1687,28 @@ object SparkEntry {
         }
         .transform(Multimodal.imageDHash(_))
         .select(col("media_id").as("doc_id"), col("dhash_bits").as("dhash"))
+    }),
+
+    // ---- LLM ops: audio envelope fingerprint over REAL decoded
+    //      PCM — the audio-dedup analogue of q116: WAV clips
+    //      synthesized from a formula of doc_id (16-bit PCM
+    //      round-trips bit-exactly), fingerprinted in pure integer
+    //      math (mean-vs-mean by cross-multiplication, no floats),
+    //      so the oracle replays the formula without decoding ----
+    "q117_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(1024)(i =>
+              ((id * 7 + i * 13) % 4096).toShort)
+            Multimodal.MediaRecord(id, Multimodal.pcmWav(samples),
+              Multimodal.MediaMeta("audio/wav", None, None, Some(128L)))
+          }
+        }
+        .transform(Multimodal.audioFingerprint(_, buckets = 64))
+        .select(col("media_id").as("doc_id"), col("fp_bits").as("fp"),
+          col("n_frames"))
     })
   )
 
@@ -2816,6 +2838,23 @@ object SparkEntry {
         |         THEN '1' ELSE '0' END, '' ORDER BY y, x) AS dhash
         |FROM documents, range(0, 8) t1(y), range(0, 8) t2(x)
         |GROUP BY doc_id""".stripMargin,
+
+    // replays the q117 sample formula without decoding: per-bucket
+    // mean |amplitude| vs clip mean by integer cross-multiplication
+    // (samples are non-negative, so |amp| = amp)
+    "q117_audio_fingerprint" ->
+      """WITH s AS (SELECT doc_id, (doc_id*7 + i*13) % 4096 AS amp,
+        |    (i*64)//1024 AS b
+        |  FROM documents, range(0, 1024) t(i)),
+        |bs AS (SELECT doc_id, b, sum(amp) AS sb, count(*) AS cb
+        |       FROM s GROUP BY 1, 2),
+        |g AS (SELECT doc_id, sum(amp) AS sg, count(*) AS cg
+        |      FROM s GROUP BY 1)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN sb*cg > sg*cb THEN '1' ELSE '0' END,
+        |             '' ORDER BY b) AS fp,
+        |  CAST(1024 AS BIGINT) AS n_frames
+        |FROM bs JOIN g USING (doc_id) GROUP BY doc_id""".stripMargin,
 
     "q33_dag" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

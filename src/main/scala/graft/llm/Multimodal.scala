@@ -395,6 +395,128 @@ object Multimodal {
     }
   }
 
+  /** Per-clip audio fingerprint: `fp_bits`/`fp` as [[MediaHash]]'s
+   *  dhash fields (bit index = bucket, ascending); None for
+   *  unparsable/non-linear-PCM payloads. */
+  final case class AudioFingerprint(media_id: Long, fp_bits: Option[String],
+                                    fp: Option[Long], n_frames: Option[Long])
+
+  /**
+   * Envelope fingerprint over REAL decoded PCM — the audio analogue
+   * of [[imageDHash]] for near-dup dedup: frames (first channel)
+   * split into `buckets` equal time buckets, and bucket `b`'s bit is
+   * set iff its mean |amplitude| exceeds the clip's global mean,
+   * compared in EXACT integer cross-multiplication
+   * (`sum_b·count_global > sum_global·count_b` — no division, no
+   * floats), so the fingerprint is a pure function of the samples:
+   * reproducible across JVMs and replayable by an external engine
+   * from the same PCM values (WAV PCM round-trips bit-exactly, which
+   * is what lets the q117 oracle recompute it without decoding).
+   * Loudness-scale-INVARIANT in the exact sense only (integer
+   * comparisons survive exact scaling; real-world gain changes
+   * survive approximately — the standard envelope-hash trade). Same
+   * linear-PCM-only posture as [[WavDecoder]]: 8/16-bit
+   * signed/unsigned, companded encodings take the None path. Pair
+   * with [[graft.llm.Dedup.hammingPairs]] on `fp`.
+   */
+  def audioFingerprint(ds: Dataset[MediaRecord],
+                       buckets: Int = 64): Dataset[AudioFingerprint] = {
+    require(buckets >= 1 && buckets <= 64,
+      s"fingerprint must fit a long: buckets=$buckets")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        val stream =
+          if (bytes.isEmpty) null
+          else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (stream == null) AudioFingerprint(r.media_id, None, None, None)
+        else try {
+          val fmt = stream.getFormat
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameSize = fmt.getFrameSize
+          val signed = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!(signed || unsigned) ||
+            bytesPerSample < 1 || bytesPerSample > 2 || frameSize <= 0)
+            AudioFingerprint(r.media_id, None, None, None)
+          else {
+            val pcm = stream.readAllBytes()
+            val nFrames = pcm.length / frameSize
+            if (nFrames == 0) AudioFingerprint(r.media_id, None, None, None)
+            else {
+              val sums = new Array[Long](buckets)
+              val counts = new Array[Long](buckets)
+              var globalSum = 0L
+              val big = fmt.isBigEndian
+              var f = 0
+              while (f < nFrames) {
+                val o = f * frameSize // first channel only
+                val raw =
+                  if (bytesPerSample == 1)
+                    if (signed) pcm(o).toInt else (pcm(o) & 0xff) - 128
+                  else {
+                    val (b0, b1) =
+                      if (big) (pcm(o), pcm(o + 1)) else (pcm(o + 1), pcm(o))
+                    val u = ((b0 & 0xff) << 8) | (b1 & 0xff)
+                    if (signed) u.toShort.toInt else u - 32768
+                  }
+                val amp = math.abs(raw.toLong)
+                val b = (f.toLong * buckets / nFrames).toInt
+                sums(b) += amp
+                counts(b) += 1
+                globalSum += amp
+                f += 1
+              }
+              val bits = new StringBuilder(buckets)
+              var packed = 0L
+              var b = 0
+              while (b < buckets) {
+                // mean_b > mean_global without division: exact integer
+                // compare (32768·nFrames² fits a long below ~16M
+                // frames — ~6 min at 44.1 kHz; segment longer clips)
+                val set = sums(b) * nFrames > globalSum * counts(b)
+                bits.append(if (set) '1' else '0')
+                if (set) packed |= 1L << b
+                b += 1
+              }
+              AudioFingerprint(r.media_id, Some(bits.toString), Some(packed),
+                Some(nFrames.toLong))
+            }
+          }
+        } finally stream.close()
+      }
+    }
+  }
+
+  /** Deterministic 16-bit signed little-endian mono WAV encoder —
+   *  fixture generator for decode-path gates and tests (PCM
+   *  round-trips bit-exactly); real corpora bring their own bytes. */
+  def pcmWav(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic RGB PNG encoder (TYPE_INT_RGB — sRGB in, sRGB
    *  out, no gray-colorspace gamma conversion, and PNG is lossless,
    *  so decode recovers `pixel(x,y)` exactly). Fixture generator for

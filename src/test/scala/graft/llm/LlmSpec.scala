@@ -625,6 +625,24 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
   }
 
+  test("multimodal: audio envelope fingerprint — exact integer bucketing, hand-derived") {
+    import Multimodal._
+    import spark.implicits._
+    // 8 frames, 4 buckets: bucket mean |amp| = 100, 0, 50, 200 vs
+    // global mean 87.5 -> bits 1,0,0,1 (negative samples exercise abs)
+    val wav = pcmWav(Array[Short](100, -100, 0, 0, 50, 50, -200, 200))
+    val ds = Seq(
+      MediaRecord(1L, wav, MediaMeta("audio/wav", None, None, None)),
+      MediaRecord(2L, Array[Byte](9, 9, 9), MediaMeta("audio/wav", None, None, None))
+    ).toDS()
+    val fps = audioFingerprint(ds, buckets = 4)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(fps(1L).fp_bits.contains("1001"))
+    assert(fps(1L).fp.contains(9L)) // bits 0 and 3
+    assert(fps(1L).n_frames.contains(8L))
+    assert(fps(2L).fp.isEmpty && fps(2L).fp_bits.isEmpty) // unparsable -> null row
+  }
+
   test("multimodal: REAL WAV decode — synthesized PCM yields exact bucketed RMS") {
     import Multimodal._
     // 16-bit signed little-endian mono, 8 frames: four at amplitude
