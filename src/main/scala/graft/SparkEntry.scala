@@ -748,7 +748,10 @@ object SparkEntry {
       graft.streaming.ChangeFeed.materialize(s, s"$tmp/feed", schema,
         keys = Seq("o_orderkey"), opCol = "op", versionCol = "version",
         workDir = s"$tmp/work", statePartitions = Some(8),
-        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+        // numBuckets sizes buckets to the snapshot (100 TB wants
+        // thousands); at gate scale 16 default buckets were pure
+        // FS-metadata overhead — 4 is the honest sizing (-1.1 s)
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"), numBuckets = 4)
     }),
 
     // ---- §2.1/§2.11 CHANGE STREAM RE-ENTRY — the incremental-CDC
@@ -777,7 +780,7 @@ object SparkEntry {
         schema, keys = Seq("o_orderkey"), opCol = "op",
         versionCol = "version", workDir = s"$tmp/work",
         statePartitions = Some(8),
-        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"), numBuckets = 4)
       run() // snapshot of the inserts (eager; returned frame unused)
       upd.unionByName(del).repartition(2)
         .write.mode("append").parquet(s"$tmp/feed")
