@@ -127,4 +127,32 @@ class EmptyInputSpec extends AnyFunSuite {
       Dedup.shingles(col("text"), 3).as("sh")).collect()
     assert(m.forall(r => !r.isNullAt(0) && r.getSeq[String](3).forall(_.isEmpty)))
   }
+
+  test("round-8 operators on empty corpora and empty/null text/payloads") {
+    // repetition signals: empty AND null text both score the defined
+    // 0.0 (the guard's otherwise-branch absorbs the null condition —
+    // matching the oracle's left-join + coalesce(0.0) shape)
+    val rep = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.topNgramCharFraction(col("text"), 2).as("t"),
+        TextAnalysis.dupNgramCharFraction(col("text"), 5).as("d"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(rep(1L).getDouble(1) == 0.0 && rep(1L).getDouble(2) == 0.0)
+    assert(rep(2L).getDouble(1) == 0.0 && rep(2L).getDouble(2) == 0.0)
+    // multimodal hashing on empty corpora and empty/null payloads
+    import Multimodal._
+    val emptyMedia = spark.emptyDataset[MediaRecord](
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    assert(imageDHash(emptyMedia).count() == 0)
+    assert(audioFingerprint(emptyMedia).count() == 0)
+    val degenerate = Seq(
+      MediaRecord(1L, Array.empty[Byte], MediaMeta("image/png", None, None, None)),
+      MediaRecord(2L, null, MediaMeta("audio/wav", None, None, None))).toDS()
+    assert(imageDHash(degenerate).collect().forall(_.dhash.isEmpty))
+    assert(audioFingerprint(degenerate).collect().forall(_.fp.isEmpty))
+    // generic pairing on an empty signature frame
+    val emptySigs = Seq.empty[(Long, Option[Long])].toDF("id", "sig")
+    assert(Dedup.hammingPairs(emptySigs, "id", "sig", bits = 64).count() == 0)
+  }
 }
