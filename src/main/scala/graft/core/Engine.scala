@@ -78,16 +78,33 @@ object Tables {
         apply(spark, dir, n).createOrReplaceTempView(n)
     }
 
-  /** Read one table from a scale-factor directory. Nanosecond timestamp
-   *  columns (read as epoch-nanos longs under `nanosAsLong`) are converted
-   *  to microsecond timestamps with exact integer division. */
+  /** Read one table from a scale-factor directory, with the events
+   *  `ts` column normalized to session-zone TimestampType (see
+   *  [[normalizeTs]] for the physical representations handled). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize a `ts` column to session-zone TimestampType across the
+   *  physical representations the generated events table has shipped
+   *  with: epoch-NANOS INT64 (TIMESTAMP(NANOS) under `nanosAsLong` —
+   *  exact integer division to micros), TIMESTAMP_NTZ (micros,
+   *  isAdjustedToUTC=false — cast reinterprets the wall-clock in the
+   *  session zone, which is pinned to UTC, matching how DuckDB reads
+   *  the same naive values), or already-zoned TimestampType
+   *  (passthrough). Works on batch AND streaming frames — streaming
+   *  gates read the PHYSICAL schema ([[rawSchema]]) and apply this
+   *  inside the stream transform. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** A table's PHYSICAL parquet schema (nano timestamps as INT64 under
