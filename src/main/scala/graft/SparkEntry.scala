@@ -668,7 +668,7 @@ object SparkEntry {
       val tmp = gateTempDir(s, "graft_q76")
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
-        df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        df => Tables.normalizeTs(df)
           .withWatermark("ts", "1 hour")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events")),
@@ -839,7 +839,7 @@ object SparkEntry {
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
         df => {
-          val ev = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val ev = Tables.normalizeTs(df)
           graft.streaming.Streaming.intervalJoin(
             ev.filter(col("event_type") === "click")
               .select("event_id", "user_id", "ts"),
@@ -1192,7 +1192,7 @@ object SparkEntry {
       // directory (or glob) so it can derive a basePath for listing
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
-        df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        df => Tables.normalizeTs(df)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -1410,7 +1410,7 @@ object SparkEntry {
           "the strict-< oracle cutoff no longer matches Spark's <= eviction")
       graft.streaming.Streaming.runBatchAsStreamFiles(
         s, s"$dir/events*.parquet", schema,
-        df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        df => Tables.normalizeTs(df)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n")),

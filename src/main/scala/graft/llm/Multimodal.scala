@@ -401,6 +401,15 @@ object Multimodal {
   final case class AudioFingerprint(media_id: Long, fp_bits: Option[String],
                                     fp: Option[Long], n_frames: Option[Long])
 
+  /** Exact `a·b > c·d` for non-negative longs via 128-bit products
+   *  (`Math.multiplyHigh` + unsigned low-word compare) — no overflow
+   *  at any operand size, no BigInt allocation in the per-bucket loop. */
+  private[llm] def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   /**
    * Envelope fingerprint over REAL decoded PCM — the audio analogue
    * of [[imageDHash]] for near-dup dedup: frames (first channel)
@@ -481,9 +490,10 @@ object Multimodal {
               var b = 0
               while (b < buckets) {
                 // mean_b > mean_global without division: exact integer
-                // compare (32768·nFrames² fits a long below ~16M
-                // frames — ~6 min at 44.1 kHz; segment longer clips)
-                val set = sums(b) * nFrames > globalSum * counts(b)
+                // compare. 32768·nFrames² outgrows a long past ~16M
+                // frames (~6 min at 44.1 kHz), so compare the full
+                // 128-bit products — exact at any clip length
+                val set = productGreater(sums(b), nFrames, globalSum, counts(b))
                 bits.append(if (set) '1' else '0')
                 if (set) packed |= 1L << b
                 b += 1

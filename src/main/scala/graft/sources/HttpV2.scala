@@ -104,10 +104,19 @@ private[sources] final class HttpScanBuilder(tableSchema: StructType,
   override def build(): Scan = {
     val planned = conf.urls
     val kept = (limit, conf.pageSize) match {
+      // Pruning assumes every kept page yields its full pageSize rows.
+      // DROPMALFORMED breaks that (dropped rows shrink pages), so the
+      // prune would silently under-fill the limit while later pages
+      // still hold data — skip it; the retained LocalLimit still cuts.
+      case (Some(_), Some(_)) if conf.mode.equalsIgnoreCase("DROPMALFORMED") =>
+        planned
       case (Some(l), Some(ps)) =>
         // each page yields AT MOST pageSize records (the API's limit
-        // param / declared page size), so ceil(l/ps) pages suffice
-        planned.take(((l.toLong + ps - 1) / ps).toInt.max(1))
+        // param / declared page size), so ceil(l/ps) pages suffice for
+        // full pages; keep ONE extra page so a single short page
+        // mid-feed (an API under-filling its declared size) cannot
+        // starve the limit — the LocalLimit above discards the excess.
+        planned.take((((l.toLong + ps - 1) / ps) + 1).toInt.max(1))
       case _ => planned
     }
     new HttpScan(required, kept, conf)

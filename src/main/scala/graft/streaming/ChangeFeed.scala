@@ -121,21 +121,45 @@ object ChangeFeed {
     // the bucket function must be stable for the workDir's lifetime:
     // the first call persists numBuckets, re-entries reuse it (a
     // changed default must not scatter old buckets' keys)
+    // meta writes go through temp-name + rename so a crash mid-write
+    // can never leave a torn _cf_meta behind (rename is atomic on
+    // HDFS/local; object stores emulate it, and the recovery branch
+    // below covers even a non-atomic rename's torn result)
+    def writeMeta(): Int = {
+      fs.mkdirs(workPath)
+      val tmp = new Path(workDir, s"_cf_meta.tmp_${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(s"numBuckets=$numBuckets".getBytes("UTF-8"))
+      finally out.close()
+      // the recovery path re-pins over a TORN remnant — remove it or
+      // the rename (no-overwrite on local/HDFS) cannot land
+      fs.delete(metaPath, false)
+      if (!fs.rename(tmp, metaPath)) {
+        fs.delete(tmp, false)
+        // lost a create race to a concurrent first call — adopt its value
+        require(fs.exists(metaPath),
+          s"ChangeFeed: cannot commit _cf_meta at $metaPath")
+      }
+      numBuckets
+    }
     val nb: Int =
       if (fs.exists(metaPath)) {
         val in = fs.open(metaPath)
         val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-        line.stripPrefix("numBuckets=").toIntOption.getOrElse(
-          throw new IllegalStateException(
-            s"ChangeFeed: unreadable _cf_meta at $metaPath: '$line'"))
-      } else {
-        fs.mkdirs(workPath)
-        val out = fs.create(metaPath, true)
-        try out.write(s"numBuckets=$numBuckets".getBytes("UTF-8"))
-        finally out.close()
-        numBuckets
-      }
+        line.stripPrefix("numBuckets=").toIntOption.getOrElse {
+          // a torn meta is only recoverable while nothing depends on
+          // the pinned bucket function: no committed bucket and no
+          // history marker → treat as absent and rewrite; otherwise
+          // guessing numBuckets would scatter existing buckets' keys
+          val hasState = fs.exists(historyPath) ||
+            (fs.exists(bucketsRoot) && fs.listStatus(bucketsRoot).nonEmpty)
+          if (hasState) throw new IllegalStateException(
+            s"ChangeFeed: unreadable _cf_meta at $metaPath: '$line' — " +
+              "workDir holds materialized state, cannot re-pin numBuckets")
+          writeMeta()
+        }
+      } else writeMeta()
 
     // per-bucket recovery: current committed generation (if any);
     // torn and superseded generations are pruned here. Scanning is

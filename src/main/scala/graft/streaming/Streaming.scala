@@ -179,13 +179,17 @@ object Streaming {
    * transforms that emit per-key UPDATES (`mapGroupsWithState`,
    * update-mode aggregations): the file sink is append-only and cannot
    * take Update output directly, so each micro-batch's emissions
-   * append to `dir/out` through `foreachBatch` — the standard
+   * land under `dir/out` through `foreachBatch` — the standard
    * production pattern for materializing an update stream to files.
-   * The returned frame reads ALL emitted updates (a key appears once
-   * per batch that changed it); consumers fold to latest/max per key —
-   * which is also why this needs no watermark: the update log is
-   * append-safe by construction. Same `statePartitions` contract as
-   * [[runBatchAsStreamFiles]].
+   * Each batch writes its own `out/batch_<id>` subdir in OVERWRITE
+   * mode, so a batch replayed after a crash (foreachBatch is
+   * at-least-once) overwrites its own previous attempt instead of
+   * appending a duplicate — the emitted log is exactly-once per
+   * batch id. The returned frame reads ALL emitted updates (a key
+   * appears once per batch that changed it); consumers fold to
+   * latest/max per key — which is also why this needs no watermark:
+   * the update log is append-safe by construction. Same
+   * `statePartitions` contract as [[runBatchAsStreamFiles]].
    */
   def runUpdateStreamFiles(spark: SparkSession, path: String, schema: StructType,
                            transform: DataFrame => DataFrame,
@@ -202,8 +206,7 @@ object Streaming {
       transformed.writeStream
         .option("checkpointLocation", chk)
         .outputMode(OutputMode.Update())
-        .foreachBatch((batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out))
+        .foreachBatch(writeUpdateBatch(out) _)
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
@@ -212,11 +215,20 @@ object Streaming {
     // zero batches emitted → no out dir (foreachBatch never ran)
     val outPath = new org.apache.hadoop.fs.Path(out)
     if (outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
-      spark.read.schema(resultSchema).parquet(out)
+      spark.read.schema(resultSchema)
+        .option("recursiveFileLookup", "true").parquet(out)
     else
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), resultSchema)
   }
+
+  /** The [[runUpdateStreamFiles]] batch sink, factored for direct
+   *  replay testing: batch `id` owns `out/batch_<id>`, overwritten
+   *  whole on a crash replay — re-running the same (batch, id) is a
+   *  no-op on the log's contents, so foreachBatch's at-least-once
+   *  delivery yields an exactly-once-per-id update log. */
+  private[streaming] def writeUpdateBatch(out: String)(batch: DataFrame, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$out/batch_$id")
 
   /** Scoped session-conf override: set `key` to `value` (None = leave
    *  untouched), run `body`, restore the prior state. The override is

@@ -643,6 +643,32 @@ class LlmSpec extends AnyFunSuite {
     assert(fps(2L).fp.isEmpty && fps(2L).fp_bits.isEmpty) // unparsable -> null row
   }
 
+  test("multimodal: audio fingerprint bucket compare is overflow-exact past 16M frames") {
+    import Multimodal._
+    // the per-bucket decision sums(b)·nFrames vs globalSum·counts(b)
+    // overflows a long once 32768·nFrames² > 2^63 (~16.8M frames);
+    // the 128-bit compare must agree with BigInt on exactly those
+    val n = 20_000_000L // frames: past the long-overflow threshold
+    val perBucket = n / 4
+    // bucket sums at full 16-bit scale: products reach ~1.3e28 » 2^63
+    val sums = Array(32768L * perBucket, 0L, 16384L * perBucket, 32000L * perBucket)
+    val globalSum = sums.sum
+    (0 until 4).foreach { b =>
+      val exact = BigInt(sums(b)) * BigInt(n) > BigInt(globalSum) * BigInt(perBucket)
+      assert(productGreater(sums(b), n, globalSum, perBucket) == exact,
+        s"bucket $b: sums=${sums(b)}")
+    }
+    // adversarial: equal 128-bit products must NOT compare greater,
+    // and a ±1 nudge must flip exactly the right way
+    val a = 3_037_000_499L // ~sqrt(2^63): a·a overflows, a·a == a·a
+    assert(!productGreater(a, a, a, a))
+    assert(productGreater(a + 1, a, a, a))
+    assert(!productGreater(a - 1, a, a, a))
+    // cross-check vs BigInt on values whose low 64 bits invert order
+    assert(productGreater(1L << 62, 4L, 3L, 1L << 61) ==
+      (BigInt(1L << 62) * 4 > BigInt(3) * BigInt(1L << 61)))
+  }
+
   test("multimodal: REAL WAV decode — synthesized PCM yields exact bucketed RMS") {
     import Multimodal._
     // 16-bit signed little-endian mono, 8 frames: four at amplitude

@@ -86,9 +86,70 @@ class HttpV2Spec extends AnyFunSuite {
         .option("url", base).option("pages", "3").option("pageSize", "2")
         .load().limit(2)
       assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
-      // ceil(2/2) = 1 page planned; pages 2..3 never requested
-      assert(urls.size == 1, s"urls=$urls")
-      assert(urls.peek().contains("offset=0"))
+      // ceil(2/2) + 1 safety page = 2 pages PLANNED (page 3 pruned);
+      // Spark's incremental limit execution then stops after page 1
+      // fills the limit, so the safety page is planned but never
+      // fetched on the full-pages happy path
+      assert(urls.size <= 2, s"urls=$urls")
+      assert(urls.toArray.exists(_.toString.contains("offset=0")))
+      assert(!urls.toArray.exists(_.toString.contains("offset=4")),
+        s"pruned page 3 must never be requested, urls=$urls")
+    }
+  }
+
+  /** Offset-paginated server with caller-supplied body per offset. */
+  private def withBodyServer[T](bodyFor: Int => String)
+                               (body: (String, ConcurrentLinkedQueue[String]) => T): T = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val urls = new ConcurrentLinkedQueue[String]()
+    server.createContext("/items", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        urls.add(ex.getRequestURI.toString)
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val offset = q.split("&").collectFirst {
+          case kv if kv.startsWith("offset=") => kv.stripPrefix("offset=").toInt
+        }.getOrElse(0)
+        val bytes = bodyFor(offset).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/items", urls)
+    finally server.stop(0)
+  }
+
+  test("DROPMALFORMED disables page pruning — limit still fills from later pages") {
+    // each page declares size 2 but yields 1 good + 1 malformed row, so
+    // under DROPMALFORMED ceil(3/2)=2 pruned pages would yield only 2
+    // rows while page 3 still holds data; pruning must be skipped
+    withBodyServer(offset =>
+      if (offset >= 6) ""
+      else s"""{"id":$offset,"v":"row$offset","extra":0}""" + "\nnot-json") { (base, urls) =>
+      val df = spark.read.format("graft-http").schema(userSchema)
+        .option("url", base).option("pages", "3").option("pageSize", "2")
+        .option("mode", "DROPMALFORMED")
+        .load().limit(3)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+      assert(urls.size == 3, s"all pages must be planned, urls=$urls")
+    }
+  }
+
+  test("a single short page mid-feed cannot starve a pruned LIMIT") {
+    // page at offset=0 under-fills its declared size (1 row instead of
+    // 2); the +1 over-plan keeps page 2 so limit(2) still fills
+    withBodyServer {
+      case 0 => """{"id":0,"v":"row0","extra":0}"""
+      case o if o < 6 => (o until o + 2)
+        .map(i => s"""{"id":$i,"v":"row$i","extra":0}""").mkString("\n")
+      case _ => ""
+    } { (base, urls) =>
+      val df = spark.read.format("graft-http").schema(userSchema)
+        .option("url", base).option("pages", "3").option("pageSize", "2")
+        .load().limit(2)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+      assert(urls.size == 2, s"urls=$urls")
     }
   }
 

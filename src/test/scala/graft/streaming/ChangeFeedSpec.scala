@@ -149,6 +149,53 @@ class ChangeFeedSpec extends AnyFunSuite {
       == Map(1L -> "a"))
   }
 
+  test("torn empty _cf_meta on a stateless workDir is recovered, not a permanent wedge") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_meta").toString
+    // simulate a crash between fs.create(_cf_meta) and the write: an
+    // empty meta file, nothing else in the workDir
+    new java.io.File(s"$tmp/work").mkdirs()
+    new java.io.File(s"$tmp/work/_cf_meta").createNewFile()
+    appendFile(s"$tmp/feed", System.currentTimeMillis(), Seq(
+      (1L, "a", "I", 1L), (2L, "b", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    def run(nb: Int) = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work", numBuckets = nb)
+    val snap = run(4)
+    assert(snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "b"))
+    // the rewrite re-pinned numBuckets: the meta is whole again and a
+    // re-entry with a DIFFERENT default must reuse the pinned value
+    val meta = scala.io.Source.fromFile(s"$tmp/work/_cf_meta").mkString.trim
+    assert(meta == "numBuckets=4")
+    appendFile(s"$tmp/feed", System.currentTimeMillis() + 10000, Seq(
+      (3L, "c", "I", 1L)))
+    val snap2 = run(16)
+    assert(snap2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(scala.io.Source.fromFile(s"$tmp/work/_cf_meta").mkString.trim
+      == "numBuckets=4")
+  }
+
+  test("torn _cf_meta with materialized state refuses to guess numBuckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_meta2").toString
+    appendFile(s"$tmp/feed", System.currentTimeMillis(), Seq((1L, "a", "I", 1L)))
+    val schema = spark.read.parquet(s"$tmp/feed").schema
+    def run() = ChangeFeed.materialize(spark, s"$tmp/feed", schema,
+      keys = Seq("k"), opCol = "op", versionCol = "version",
+      workDir = s"$tmp/work", numBuckets = 4)
+    run().collect()
+    // corrupt the meta AFTER buckets exist: re-pinning would scatter
+    // existing buckets' keys, so this must fail loudly. (Drop the
+    // Hadoop-side checksum too — the corruption under test is a torn
+    // WRITE, not bit rot, so the read must surface the content.)
+    new java.io.File(s"$tmp/work/._cf_meta.crc").delete()
+    val metaFile = new java.io.File(s"$tmp/work/_cf_meta")
+    val w = new java.io.FileWriter(metaFile); w.write("numBuckets=ga"); w.close()
+    val ex = intercept[IllegalStateException](run())
+    assert(ex.getMessage.contains("unreadable _cf_meta"))
+  }
+
   test("deleted snapshot under a live checkpoint fails loudly instead of dropping history") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cf_gone").toString
     appendFile(s"$tmp/feed", System.currentTimeMillis() - 3600000L,

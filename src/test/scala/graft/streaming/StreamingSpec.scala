@@ -85,6 +85,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.filter(col("key") === "a").count() == 2)
   }
 
+  test("runUpdateStreamFiles: a crash-replayed batch overwrites itself — no double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
+    val out = s"$dir/out"
+    val b0 = Seq(("a", 1L), ("b", 1L)).toDF("key", "count")
+    val b1 = Seq(("a", 2L)).toDF("key", "count")
+    Streaming.writeUpdateBatch(out)(b0, 0L)
+    Streaming.writeUpdateBatch(out)(b1, 1L)
+    // foreachBatch is at-least-once: batch 1 replays after a crash
+    Streaming.writeUpdateBatch(out)(b1, 1L)
+    val log = spark.read.schema(b0.schema)
+      .option("recursiveFileLookup", "true").parquet(out)
+    // exactly one row per (batch, key-update): a sum-fold over the log
+    // must NOT see the replayed batch twice
+    assert(log.count() == 3)
+    assert(log.groupBy("key").agg(sum("count").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("runUpdateStreamFiles: zero batches yields a typed empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_upd0").toString
     Seq.empty[(String, Long)].toDF("k", "v").write.parquet(s"$dir/in")
