@@ -1712,6 +1712,27 @@ object SparkEntry {
         .transform(Multimodal.audioFingerprint(_, buckets = 64))
         .select(col("media_id").as("doc_id"), col("fp_bits").as("fp"),
           col("n_frames"))
+    }),
+
+    // ---- LLM ops: BM25 lexical top-k retrieval — the sparse half of
+    //      a hybrid retrieval stack (hard-negative mining, source
+    //      attribution). Queries = first 8 tokens of every 100th doc;
+    //      rational idf + per-(query,doc) ORDERED float fold keep the
+    //      scores bit-reproducible in DuckDB (see bm25TopK doc) ----
+    "q118_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TA.tokens(col("text")), 1, 8)).as("qtext"))
+      TA.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+    }),
+
+    // ---- LLM ops: n-gram coherence — mean corpus-probability of each
+    //      doc's bigram occurrences, the word-ORDER quality signal
+    //      (exact-integer stand-in for bigram-LM perplexity; q109 is
+    //      the unigram cousin). Pure integer sums + one division ----
+    "q119_bigram_coherence" -> ((s, dir) => {
+      TA.ngramCoherence(t(s, dir, "documents"), "doc_id", "text", n = 2)
     })
   )
 
@@ -2858,6 +2879,62 @@ object SparkEntry {
         |             '' ORDER BY b) AS fp,
         |  CAST(1024 AS BIGINT) AS n_frames
         |FROM bs JOIN g USING (doc_id) GROUP BY doc_id""".stripMargin,
+
+    // mirrors bm25TopK's exact IEEE expression tree: rational idf,
+    // constants as shortest-round-trip DOUBLE literals (the e0 suffix
+    // forces DOUBLE parse — a DECIMAL literal would double-round
+    // through int128/10^scale), and the per-(query,doc) sum as a fold
+    // over terms in binary order (list_reduce over list(... ORDER BY
+    // term)); Spark's fold seeds 0.0, which is additive-identity-exact
+    // for the strictly positive term scores
+    "q118_bm25_topk" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS query_id,
+         |         unnest(list_slice(string_split_regex(text,'\\s+'), 1, 8)) AS term
+         |       FROM documents WHERE doc_id % 100 = 0),
+         |qs AS (SELECT DISTINCT term FROM qt),
+         |post AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qs USING (term)),
+         |dfm AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+         |sc AS (SELECT post.doc_id, post.term,
+         |         ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+         |         * ((CAST(tf AS DOUBLE) * ${k1 + 1.0}e0)
+         |            / (CAST(tf AS DOUBLE) + ${k1}e0 *
+         |               (${1.0 - b}e0 + ${b}e0 * (CAST(dl AS DOUBLE)
+         |                / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
+         |       FROM post JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT query_id, doc_id,
+         |          list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score
+         |        FROM qt JOIN sc USING (term) GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM agg QUALIFY rank <= 10""".stripMargin
+    },
+
+    // same gram builder as the Spark side (adjacent token pairs),
+    // exact integer sums, one double division at the end; docs with
+    // < 2 tokens (or null text) left-join to n_ngrams 0 / score 0.0
+    "q119_bigram_coherence" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |ng AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |       FROM toks WHERE len(t) >= 2),
+        |gtf AS (SELECT doc_id, g, count(*) AS tf FROM ng GROUP BY 1, 2),
+        |cg AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c FROM gtf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM gtf),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams,
+        |          sum(tf * c) AS num
+        |        FROM gtf JOIN cg USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+        |  CASE WHEN n_ngrams IS NULL THEN 0.0
+        |       ELSE CAST(num AS DOUBLE)
+        |            / (CAST(n_ngrams AS DOUBLE) * CAST(total AS DOUBLE)) END AS coherence
+        |FROM documents d LEFT JOIN agg USING (doc_id) CROSS JOIN tot""".stripMargin,
 
     "q33_dag" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

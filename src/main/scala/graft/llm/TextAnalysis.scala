@@ -440,6 +440,150 @@ object TextAnalysis {
     tf.cast("double") *
       log((lit(1L) + corpusSize).cast("double") / (lit(1L) + df).cast("double"))
 
+  /**
+   * BM25 lexical retrieval: top-`k` documents per query — the sparse
+   * half of a hybrid (BM25 + embedding-ANN) retrieval stack, and the
+   * standard way to mine hard negatives / find source passages at
+   * corpus scale. Scoring is the BM25 shape
+   * `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with the
+   * RATIONAL idf `(N − df + 0.5)/(df + 0.5)` (Robertson idf without
+   * the log): `ln` is correctly-rounded in neither engine, while this
+   * form is a composition of exactly-specified IEEE ops on exact
+   * integers — every per-term score is bit-identical in any engine
+   * that evaluates the same expression tree. Rankings match log-idf
+   * BM25 whenever one term dominates; callers wanting the textbook
+   * weight rescore with [[logIdf]].
+   *
+   * Per-(query, doc) scores SUM those per-term values, and float
+   * addition is order-sensitive — so the sum is a FOLD over the
+   * matched terms in ascending (binary) term order, not an unordered
+   * `sum()`: both engines add bit-identical addends in the same
+   * order, making the total (and thus the ranking and the emitted
+   * score) reproducible cross-engine. The fold list is bounded by the
+   * query's term count, not the corpus.
+   *
+   * Output: (`qidCol`, `idCol`, score, rank), rank = row_number by
+   * (score desc, `idCol` asc) within each query, rank ≤ k. Query
+   * terms are DEDUPLICATED (standard BM25 query-side binarization).
+   *
+   * Scale: one corpus pass builds (doc, term, tf) — shared with
+   * [[tfIdfTopK]]/[[rareTokenRatio]] via the same exchange shape; the
+   * query term-set broadcast PRUNES the postings before any further
+   * shuffle (only docs containing ≥1 query term survive); df for the
+   * matched terms comes from the pruned postings, never a full-corpus
+   * df; doc-length join is doc-keyed (AQE-handled); the final top-k
+   * filter is a rank-predicate window, so Spark's WindowGroupLimit
+   * keeps per-partition partial top-k ahead of the per-query shuffle.
+   * Queries are assumed broadcast-small (a query SET, not a second
+   * corpus); for query-corpus-scale joins use the ANN family instead.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(qidCol != idCol,
+      s"bm25TopK: query id column '$qidCol' must differ from doc id column '$idCol'")
+    // the (doc, term, tf) relation feeds FOUR consumers (doc lengths,
+    // corpus stats, pruned postings, and through them df) — without
+    // materialization each branch re-scans and re-explodes the corpus
+    // (12 scans observed on the gate plan). Lazy localCheckpoint gives
+    // compute-once with self-managed lifecycle; same rationale and
+    // fault-tolerance trade as graft.llm.Dedup.minHashDedup.
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+    // two consumers (the pruning term SET and the qid re-attach), and
+    // the caller's queries frame may itself derive from a corpus-sized
+    // relation — materialize the query-sized term list once
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+      .localCheckpoint(false)
+    val qset = qterms.select("term").distinct()
+    val post = tf.join(broadcast(qset), "term")
+    val dfm = post.groupBy("term").agg(count(lit(1)).as("df"))
+    // every sub-expression below is +,*,/ over exactly-converted
+    // integers or decimal-literal constants — IEEE-deterministic as
+    // long as the oracle mirrors this exact association
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val termScore = idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * norm))
+    val w = Window.partitionBy(qidCol).orderBy(col("score").desc, col(idCol).asc)
+    post
+      .join(broadcast(dfm), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("s", termScore)
+      .join(broadcast(qterms), "term")
+      .groupBy(qidCol, idCol)
+      .agg(sort_array(collect_list(struct(col("term").as("t"), col("s").as("s"))))
+        .as("__ts"))
+      .withColumn("score", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("s")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /**
+   * N-gram coherence: per document, the mean CORPUS-probability of
+   * its word n-gram occurrences —
+   * `Σ_g tf_d(g)·C(g) / (nb_d · B)` where `C(g)` is the gram's corpus
+   * occurrence count, `B` the corpus total, `nb_d` the doc's gram
+   * count. The word-ORDER cousin of [[rareTokenRatio]] and the
+   * exact-arithmetic stand-in for bigram-LM perplexity filtering:
+   * shuffled/gibberish text hits corpus-rare word sequences even when
+   * every individual token is common, so it scores near 0 while
+   * natural prose scores high. Numerator and gram counts are EXACT
+   * integer sums (order-free — no float-fold needed); the score is
+   * one division of two exact values, bit-reproducible cross-engine.
+   *
+   * The product sum runs in decimal(38,0): `tf·C ≤ dl·B` outgrows a
+   * long once `dl·B > 2^63` (a 10k-gram doc against a ~1e15-gram
+   * corpus — i.e. 100 TB territory), and a silent long wrap would
+   * invert the quality ranking. Decimal partial aggregation is
+   * map-side combinable like any sum; the double conversion at the
+   * end is exact below 2^53 (any gate-scale corpus) and correctly
+   * rounded above.
+   *
+   * Output: (`idCol`, n_ngrams, coherence); docs with fewer than `n`
+   * tokens (or null text) emit n_ngrams = 0, coherence 0.0 — lowest
+   * quality, the filtering behavior one wants.
+   * Scale: one (doc, gram) shuffle with map-side partials, a
+   * gram-keyed corpus-count shuffle (AQE splits head-gram skew), one
+   * doc-keyed re-aggregation, a doc-keyed left join back to the id
+   * set; nothing all-pairs, nothing on the driver.
+   */
+  def ngramCoherence(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 2): DataFrame = {
+    val w = tokens(col(textCol))
+    val grams = df.select(col(idCol),
+      explode(when(size(w) >= n, ngramJoin(w, n))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    // three consumers (corpus gram counts, corpus total, per-doc
+    // re-aggregation) — checkpoint the (doc, gram, tf) relation so the
+    // corpus is scanned and exploded ONCE (same lifecycle rationale as
+    // [[bm25TopK]]'s tf relation)
+    val gtf = grams.groupBy(idCol, "g").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val cg = gtf.groupBy("g").agg(sum("tf").as("c"))
+    val tot = gtf.agg(sum("tf").as("total"))
+    val perDoc = gtf.join(cg, "g")
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_ngrams"),
+        sum(col("tf").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("num"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        when(col("n_ngrams").isNull, lit(0.0))
+          .otherwise(col("num").cast("double") /
+            (col("n_ngrams").cast("double") * col("total").cast("double")))
+          .as("coherence"))
+  }
+
   /** Word n-gram repetition ratio in [0,1]: fraction of n-gram
    *  occurrences that are repeats (`1 − distinct/total`) — the
    *  Gopher-style repetition filter signal; boilerplate and looping

@@ -33,6 +33,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q118 BM25 broadcasts the query side and keeps top-k partial") {
+    val p = finalPlan("q118_bm25_topk")
+    // the per-query rank<=k filter must stay a WindowGroupLimit so the
+    // per-query exchange is bounded by candidates, not the corpus
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // query-term set, df map, corpus stats, and qid attach are all
+    // broadcast — the only non-broadcast joins key on doc id
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    // postings prune BEFORE the doc-length join: no full-corpus
+    // cartesian anywhere
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q114 repetition signals are one shuffle-free codegen'd scan") {
     val p = finalPlan("q114_repetition")
     // per-row sorted-run kernels: the whole gate must stay a narrow

@@ -114,6 +114,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(w.getDouble(0) > w.getDouble(1))
   }
 
+  test("bm25TopK: rational-idf scoring, query-term dedup, doc-id tie-break") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date")
+    ).toDF("id", "text")
+    val queries = Seq((10L, "apple date"), (11L, "banana banana cherry"))
+      .toDF("qid", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, "id", "text",
+      queries, "qid", "qtext", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // corpus: N=3, total tokens=8, avgdl=8/3
+    def score(terms: Seq[(Long, Long, Long)]): Double = { // (tf, df, dl)
+      val avgdl = 8.0 / 3.0
+      terms.foldLeft(0.0) { case (acc, (tf, df, dl)) =>
+        val idf = ((3L - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        acc + idf * ((tf.toDouble * 2.2) /
+          (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+      }
+    }
+    // q10 "apple date": apple→doc1(tf2,df1,dl3), date→doc3(tf2,df1,dl3) —
+    // IDENTICAL scores, so rank must tie-break by doc id
+    val q10 = out.filter(_._1 == 10L).sortBy(_._4)
+    assert(q10.map(r => (r._2, r._4)).toSeq == Seq((1L, 1L), (3L, 2L)))
+    assert(q10(0)._3 == q10(1)._3)
+    assert(q10(0)._3 == score(Seq((2L, 1L, 3L))))
+    // q11 "banana banana cherry": query terms DEDUPED — doc2 scores
+    // banana(tf1,df2,dl2)+cherry(tf1,df2,dl2) once each, not banana
+    // twice. doc1 (banana,tf1,dl3) and doc3 (cherry,tf1,dl3) tie
+    // exactly — k=2 keeps doc2 then the LOWER id, doc1
+    val q11 = out.filter(_._1 == 11L).sortBy(_._4)
+    assert(q11.map(r => (r._2, r._4)).toSeq == Seq((2L, 1L), (1L, 2L)))
+    assert(q11(0)._3 == score(Seq((1L, 2L, 2L), (1L, 2L, 2L))))
+    assert(q11(1)._3 == score(Seq((1L, 2L, 3L))))
+  }
+
+  test("ngramCoherence: exact integer corpus probabilities, short docs score 0") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
+      (2L, "a b"),     // bigram:  "a b"×1
+      (3L, "x")        // too short: 0 bigrams
+    ).toDF("id", "text")
+    // corpus: C("a b")=3, C("b a")=1, B=4
+    val out = TextAnalysis.ngramCoherence(docs, "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, (2.0 * 3.0 + 1.0 * 1.0) / (3.0 * 4.0)))) // 7/12
+    assert(out(2L) == ((1L, 3.0 / 4.0)))
+    assert(out(3L) == ((0L, 0.0)))
+    // a doc of only corpus-common bigrams outscores one that mixes in
+    // a corpus-rare sequence ("b a" appears once in the corpus)
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("hashSample is partitioning-independent and salt-sensitive") {
     val df = spark.range(0, 1000).toDF("id")
     val a = Sampling.hashSample(df, "id", 3, 10, "s1").select("id").as[Long].collect().toSet

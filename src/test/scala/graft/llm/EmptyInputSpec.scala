@@ -57,6 +57,18 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyDocs.withColumn("n", lit(1L)), Seq("text"), "id", "n", 10).count() == 0)
   }
 
+  test("round-9 retrieval/coherence operators on empty inputs") {
+    val emptyQ = Seq.empty[(Long, String)].toDF("qid", "qtext")
+    val someQ = Seq((10L, "hello")).toDF("qid", "qtext")
+    // empty corpus: no candidates for any query; empty query set: no rows
+    assert(TextAnalysis.bm25TopK(emptyDocs, "id", "text",
+      someQ, "qid", "qtext", 5).count() == 0)
+    assert(TextAnalysis.bm25TopK(someDocs, "id", "text",
+      emptyQ, "qid", "qtext", 5).count() == 0)
+    // empty corpus: coherence emits nothing (id set is empty too)
+    assert(TextAnalysis.ngramCoherence(emptyDocs, "id", "text").count() == 0)
+  }
+
   test("aggregation helpers on empty input") {
     import graft.agg.GroupBy
     assert(GroupBy.percentilesDisc(emptyDocs, Seq("text"), "id", Seq(0.5)).count() == 0)
