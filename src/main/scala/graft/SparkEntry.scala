@@ -1721,7 +1721,13 @@ object SparkEntry {
     //      scores bit-reproducible in DuckDB (see bm25TopK doc) ----
     "q118_bm25_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") % 100 === 0)
+      // FIXED query count across scale factors (doc_id < 1000 caps it
+      // at 10): the gate verifies the operator, and the bench must
+      // time per-query retrieval cost, not a query fan-out that grows
+      // with the corpus (500 queries at sf0.1 measured 11 s of pure
+      // candidate-set multiplication)
+      val queries = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(TA.tokens(col("text")), 1, 8)).as("qtext"))
       TA.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
@@ -2896,7 +2902,7 @@ object SparkEntry {
          |              CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
          |qt AS (SELECT DISTINCT doc_id AS query_id,
          |         unnest(list_slice(string_split_regex(text,'\\s+'), 1, 8)) AS term
-         |       FROM documents WHERE doc_id % 100 = 0),
+         |       FROM documents WHERE doc_id % 100 = 0 AND doc_id < 1000),
          |qs AS (SELECT DISTINCT term FROM qt),
          |post AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qs USING (term)),
          |dfm AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),

@@ -466,6 +466,16 @@ object TextAnalysis {
    * (score desc, `idCol` asc) within each query, rank ≤ k. Query
    * terms are DEDUPLICATED (standard BM25 query-side binarization).
    *
+   * `maxDf`: the candidate set is every doc sharing ≥1 query term, so
+   * a stopword in a query drags in (nearly) the whole corpus while
+   * contributing almost nothing to the score (idf → ~1/df). Setting
+   * `maxDf` drops query terms whose df exceeds it BEFORE the
+   * candidate join — the classic stopword-pruning lever (the
+   * block-max WAND family is the exact-top-k refinement; this is the
+   * simple variant that changes scores only by the pruned terms'
+   * near-floor contributions). None = exact BM25 over all terms
+   * (what the gate verifies).
+   *
    * Scale: one corpus pass builds (doc, term, tf) — shared with
    * [[tfIdfTopK]]/[[rareTokenRatio]] via the same exchange shape; the
    * query term-set broadcast PRUNES the postings before any further
@@ -479,7 +489,8 @@ object TextAnalysis {
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Option[Long] = None): DataFrame = {
     require(qidCol != idCol,
       s"bm25TopK: query id column '$qidCol' must differ from doc id column '$idCol'")
     // the (doc, term, tf) relation feeds FOUR consumers (doc lengths,
@@ -499,7 +510,11 @@ object TextAnalysis {
       .localCheckpoint(false)
     val qset = qterms.select("term").distinct()
     val post = tf.join(broadcast(qset), "term")
-    val dfm = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfm0 = post.groupBy("term").agg(count(lit(1)).as("df"))
+    // df-pruning happens HERE — after df is known, before the
+    // doc-length join and qid fan-out that the pruned terms would
+    // otherwise inflate; the inner joins below drop their postings
+    val dfm = maxDf.fold(dfm0)(m => dfm0.filter(col("df") <= m))
     // every sub-expression below is +,*,/ over exactly-converted
     // integers or decimal-literal constants — IEEE-deterministic as
     // long as the oracle mirrors this exact association

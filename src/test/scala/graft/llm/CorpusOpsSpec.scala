@@ -150,6 +150,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(q11(1)._3 == score(Seq((1L, 2L, 3L))))
   }
 
+  test("bm25TopK maxDf prunes stopword terms before the candidate fan-out") {
+    val docs = Seq(
+      (1L, "the apple"), (2L, "the banana"), (3L, "the cherry")
+    ).toDF("id", "text")
+    val queries = Seq((20L, "the apple")).toDF("qid", "qtext")
+    val all = TextAnalysis.bm25TopK(docs, "id", "text",
+      queries, "qid", "qtext", k = 10)
+    assert(all.count() == 3) // "the" drags in every doc
+    val pruned = TextAnalysis.bm25TopK(docs, "id", "text",
+      queries, "qid", "qtext", k = 10, maxDf = Some(2L))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // df("the")=3 > 2 → pruned; only "apple" (df=1) scores → doc1 only
+    assert(pruned.map(_._1).toSeq == Seq(1L))
+    // and the surviving term's df/dl stats are UNCHANGED by pruning
+    val exact = all.filter(col("id") === 1L).select("score").head.getDouble(0)
+    val apple = { // single-term contribution of "apple" in doc1
+      val avgdl = 6.0 / 3.0
+      val idf = ((3L - 1L).toDouble + 0.5) / (1L.toDouble + 0.5)
+      idf * ((1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (2.0 / avgdl))))
+    }
+    assert(pruned.head._2 == apple)
+    assert(exact > apple) // the full score still carried "the"'s floor contribution
+  }
+
   test("ngramCoherence: exact integer corpus probabilities, short docs score 0") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
