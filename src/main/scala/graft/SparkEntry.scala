@@ -1739,6 +1739,30 @@ object SparkEntry {
     //      the unigram cousin). Pure integer sums + one division ----
     "q119_bigram_coherence" -> ((s, dir) => {
       TA.ngramCoherence(t(s, dir, "documents"), "doc_id", "text", n = 2)
+    }),
+
+    // ---- LLM ops: hybrid retrieval — BM25 lexical top-10 fused with
+    //      brute-force cosine ANN top-10 by reciprocal-rank fusion
+    //      (1/(60+rank) per source, ordered-fold sum). The ranked
+    //      lists are query-bounded; fusion shuffles rank rows only ----
+    "q120_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val queries = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TA.tokens(col("text")), 1, 8)).as("qtext"))
+      val lex = TA.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), "query_id", "id", "rank",
+          kRrf = 60, k = 10)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("rrf"), col("rank"))
     })
   )
 
@@ -2920,6 +2944,62 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id
          |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM agg QUALIFY rank <= 10""".stripMargin
+    },
+
+    // composes the q118 BM25 pipeline (k=10) with the q27-style
+    // brute-force cosine ANN (k=10, same query ids) and fuses by
+    // 1/(60+rank) per source, folded in source order — every
+    // contribution one IEEE division, same ordered-fold determinism
+    // as q118's score sum
+    "q120_hybrid_rrf" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS query_id,
+         |         unnest(list_slice(string_split_regex(text,'\\s+'), 1, 8)) AS term
+         |       FROM documents WHERE doc_id % 100 = 0 AND doc_id < 1000),
+         |qs AS (SELECT DISTINCT term FROM qt),
+         |post AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qs USING (term)),
+         |dfm AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+         |sc AS (SELECT post.doc_id, post.term,
+         |         ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+         |         * ((CAST(tf AS DOUBLE) * ${k1 + 1.0}e0)
+         |            / (CAST(tf AS DOUBLE) + ${k1}e0 *
+         |               (${1.0 - b}e0 + ${b}e0 * (CAST(dl AS DOUBLE)
+         |                / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
+         |       FROM post JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |bagg AS (SELECT query_id, doc_id,
+         |           list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score
+         |         FROM qt JOIN sc USING (term) GROUP BY 1, 2),
+         |bmr AS (SELECT query_id, doc_id AS id,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |        FROM bagg QUALIFY rank <= 10),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id % 100 = 0 AND vec_id < 1000),
+         |s2 AS (SELECT qid AS query_id, vec_id AS id,
+         |    list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) AS cos
+         |  FROM q JOIN e ON vec_id <> qid),
+         |annr AS (SELECT query_id, id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, id) AS BIGINT) AS rank
+         |         FROM s2 QUALIFY rank <= 10),
+         |u AS (SELECT query_id, id, 0 AS src,
+         |        1.0e0 / (60.0e0 + CAST(rank AS DOUBLE)) AS s FROM bmr
+         |      UNION ALL
+         |      SELECT query_id, id, 1 AS src,
+         |        1.0e0 / (60.0e0 + CAST(rank AS DOUBLE)) AS s FROM annr),
+         |f AS (SELECT query_id, id,
+         |        list_reduce(list(s ORDER BY src), (a, x) -> a + x) AS rrf
+         |      FROM u GROUP BY 1, 2)
+         |SELECT query_id, id AS doc_id, rrf,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY rrf DESC, id) AS BIGINT) AS rank
+         |FROM f QUALIFY rank <= 10""".stripMargin
     },
 
     // same gram builder as the Spark side (adjacent token pairs),

@@ -174,6 +174,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /**
+   * Reciprocal-rank fusion of N ranked retrieval lists — the standard
+   * glue of a hybrid (BM25 + embedding-ANN) retrieval stack: each
+   * source contributes `1/(kRrf + rank)` for every (query, doc) it
+   * ranked, fused score = the sum over sources, re-ranked. Rank-based
+   * fusion needs no score calibration between sources (the reason RRF
+   * beats score interpolation in practice) and `kRrf` (60 in the
+   * original paper and most deployments) damps the head so one
+   * source's #1 cannot drown the other's consensus.
+   *
+   * Each contribution is ONE IEEE division of exact values; the
+   * per-(query, doc) sum folds contributions in SOURCE ORDER (same
+   * ordered-fold determinism contract as
+   * [[graft.llm.TextAnalysis.bm25TopK]]), so fused scores are
+   * bit-reproducible cross-engine. The fold list is bounded by the
+   * number of sources.
+   *
+   * Input frames carry (`qidCol`, `idCol`, `rankCol`); ranks are
+   * 1-based positions (ties already broken upstream). Output:
+   * (`qidCol`, `idCol`, rrf, rank), rank = row_number by (rrf desc,
+   * `idCol` asc) per query, ≤ `k`.
+   *
+   * Scale: input lists are already top-k'd per query (query-bounded,
+   * not corpus-bounded); the union shuffles (qid, id) keys only —
+   * rank lists, never vectors or text. The final window is per-query
+   * over ≤ N·k_source rows.
+   */
+  def rrfFuse(lists: Seq[DataFrame], qidCol: String, idCol: String,
+              rankCol: String, kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(qidCol), col(idCol),
+        (lit(1.0) / (lit(kRrf).cast("double") + col(rankCol).cast("double")))
+          .as("__s"),
+        lit(i).as("__src"))
+    }
+    val w = Window.partitionBy(qidCol).orderBy(col("rrf").desc, col(idCol).asc)
+    tagged.reduce(_.unionByName(_))
+      .groupBy(qidCol, idCol)
+      .agg(sort_array(collect_list(struct(col("__src").as("i"), col("__s").as("s"))))
+        .as("__ls"))
+      .withColumn("rrf", aggregate(col("__ls"), lit(0.0),
+        (acc, x) => acc + x.getField("s")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rrf"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1]:
    *  `(md5("<plane>_<dim>")[0:8] as int mod 2001 − 1000) / 1000`.
    *  Computed on the DRIVER (the planes are data-independent

@@ -170,6 +170,28 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 3L)) // by descending cosine
   }
 
+  test("rrfFuse: consensus outranks single-source heads, exact 1/(k+r) sums") {
+    // query 1: doc 5 is #1 lexically but absent semantically; doc 6 is
+    // mid-rank in BOTH sources — consensus must win under RRF
+    val lex = Seq((1L, 5L, 1L), (1L, 6L, 2L), (1L, 7L, 3L))
+      .toDF("qid", "id", "rank")
+    val sem = Seq((1L, 6L, 2L), (1L, 8L, 1L), (1L, 7L, 10L))
+      .toDF("qid", "id", "rank")
+    val out = Similarity.rrfFuse(Seq(lex, sem), "qid", "id", "rank",
+        kRrf = 60, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._3)
+    def c(r: Long) = 1.0 / (60.0 + r.toDouble)
+    // doc6: 1/62 + 1/62 ≈ .0323 beats doc5's single 1/61 ≈ .0164
+    assert(out.map(_._1).toSeq == Seq(6L, 7L, 5L, 8L))
+    assert(out(0)._2 == c(2) + c(2))        // fold order: lex then sem
+    assert(out(1)._2 == c(3) + c(10))       // doc7 in both
+    assert(out(2)._2 == c(1))               // doc5 lex-only
+    assert(out(3)._2 == c(1))               // doc8 sem-only — TIES doc5
+    // equal scores tie-break by id: doc5 (id 5) before doc8 (id 8)
+    assert(out(2)._1 < out(3)._1)
+  }
+
   test("lsh buckets: identical vectors share a bucket; topk subsets brute force") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
