@@ -1763,6 +1763,15 @@ object SparkEntry {
           kRrf = 60, k = 10)
         .select(col("query_id"), col("id").as("doc_id"),
           col("rrf"), col("rank"))
+    }),
+
+    // ---- LLM ops: copied-SPAN detection via winnowing (MOSS) — the
+    //      scalable stand-in for suffix-array exact-substring dedup:
+    //      any shared run of ≥ w+k−1 tokens leaves a common selected
+    //      fingerprint; corpus-frequency cap drops boilerplate ----
+    "q121_copied_spans" -> ((s, dir) => {
+      Dedup.copiedSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDocFreq = 50)
     })
   )
 
@@ -3001,6 +3010,31 @@ object SparkEntry {
          |       ORDER BY rrf DESC, id) AS BIGINT) AS rank
          |FROM f QUALIFY rank <= 10""".stripMargin
     },
+
+    // replays winnowing exactly: 5-token grams (i ranges over the
+    // len−4 complete grams), 16-hex md5 prefix, window-of-4 minimum
+    // of hash:zero-padded-position (equal hashes resolve to the
+    // smallest position), distinct per doc, ≤50-doc frequency cap,
+    // pair counts ≥ 2
+    "q121_copied_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |         i -> struct_pack(pos := i - 1,
+        |                h := substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS u
+        |       FROM toks),
+        |g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g0),
+        |sel AS (SELECT doc_id,
+        |          min(h || ':' || lpad(CAST(pos AS VARCHAR), 8, '0'))
+        |            OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+        |        FROM g),
+        |fp AS (SELECT DISTINCT doc_id, substr(wk, 1, 16) AS fp FROM sel),
+        |kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE a.fp IN (SELECT fp FROM kept)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // same gram builder as the Spark side (adjacent token pairs),
     // exact integer sums, one double division at the end; docs with

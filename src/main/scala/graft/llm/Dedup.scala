@@ -732,6 +732,82 @@ object Dedup {
    * the digest — the minimal shuffle for an exact containment check.
    * `seen` needs only the text column.
    */
+  /**
+   * Winnowed document fingerprints (Schleimer/Wilkerson/Aiken, the
+   * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+   * consecutive gram hashes, keep each window's MINIMUM — the
+   * guarantee is that any shared token run of length ≥ `w + k − 1`
+   * leaves at least one COMMON selected fingerprint in both
+   * documents, at ~2/(w+1) the density of the full gram set. This is
+   * the scalable stand-in for suffix-array exact-substring dedup: it
+   * detects copied SPANS (quotes, mirrored paragraphs, licence
+   * blocks) that bag-of-shingles similarity dilutes away in long
+   * documents.
+   *
+   * Determinism: the gram hash is the 16-hex-char md5 prefix (64-bit
+   * space; binary string compare ≡ unsigned numeric compare in any
+   * engine), and the window winner is the minimum of
+   * `hash16 ':' zero-padded-position` — equal hashes inside one
+   * window resolve to the SMALLEST position, so selection is a pure
+   * function of the text. Tail positions yield partial windows
+   * (cheaper than a length gate, identically computed by the oracle;
+   * adds ≤ w−1 extra fingerprints per doc).
+   *
+   * Output: distinct (`idCol`, fp). Scale: grams never leave their
+   * document (the winnow window partitions by doc), one doc-keyed
+   * shuffle for the window, one (doc, fp) distinct.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k=$k, w=$w must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = df
+      .filter(size(toks) >= k)
+      .select(col(idCol), posexplode(TextAnalysis.ngramJoin(toks, k))
+        .as(Seq("__pos", "__g")))
+    val key = concat(
+      substring(md5(col("__g").cast("binary")), 1, 16), lit(":"),
+      lpad(col("__pos").cast("string"), 8, "0"))
+    val win = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.select(col(idCol), min(key).over(win).as("__wk"))
+      .select(col(idCol), substring(col("__wk"), 1, 16).as("fp"))
+      .distinct()
+  }
+
+  /**
+   * Copied-span suspect pairs via [[winnowFingerprints]]: documents
+   * sharing ≥ `minShared` winnowed fingerprints. `maxDocFreq` drops
+   * fingerprints present in more than that many documents BEFORE the
+   * pair join — corpus-wide boilerplate (headers, licence lines)
+   * would otherwise fan out quadratically exactly like a hot minhash
+   * bucket; a fingerprint shared by half the corpus identifies
+   * boilerplate, not copying. Output: (id1, id2, n_shared), id1 < id2.
+   *
+   * Scale: the pair join keys on the fingerprint (bucketed, never
+   * all-pairs); the frequency cap bounds each bucket's fan-out at
+   * `maxDocFreq²/2` pairs; counts aggregate map-side.
+   */
+  def copiedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, w: Int = 4, minShared: Int = 2,
+                      maxDocFreq: Int = 50): DataFrame = {
+    // compute-once: the fingerprint relation feeds the frequency cap
+    // and both join sides (same lifecycle rationale as minHashDedup)
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint(false)
+    val kept = fp.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fp")
+    val pruned = fp.join(kept, "fp")
+    pruned.select(col("fp"), col(idCol).as("id1"))
+      .join(pruned.select(col("fp"), col(idCol).as("id2")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def newAgainstSeen(corpus: DataFrame, seen: DataFrame,
                      textCol: String): DataFrame = {
     val seenH = seen.select(md5(col(textCol).cast("binary")).as("__h")).distinct()

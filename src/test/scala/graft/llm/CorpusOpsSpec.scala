@@ -191,6 +191,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("winnowing: a copied span of w+k-1 tokens is always detected; boilerplate capped") {
+    val span = (1 to 8).map("c" + _).mkString(" ") // w+k-1 = 8 tokens at k=5, w=4
+    val docs = Seq(
+      (1L, s"z1 z2 $span y1 y2"),
+      (2L, s"x1 x2 x3 $span x4"),
+      (3L, (1 to 12).map("m" + _).mkString(" "))
+    ).toDF("id", "text")
+    val pairs = Dedup.copiedSpanPairs(docs, "id", "text",
+        k = 5, w = 4, minShared = 1, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the winnowing guarantee: SOME fingerprint of the shared span is
+    // selected in both docs regardless of surrounding context
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // frequency cap: IDENTICAL docs in more than maxDocFreq copies —
+    // every fingerprint hits df=3 > 2, all drop, no quadratic fan-out
+    val boiler = Seq(1L, 2L, 3L).map(i => (i, span)).toDF("id", "text")
+    assert(Dedup.copiedSpanPairs(boiler, "id", "text",
+      k = 5, w = 4, minShared = 1, maxDocFreq = 2).count() == 0)
+    // and fingerprints themselves are a pure function of the text:
+    // identical docs yield identical fingerprint sets
+    val fp = Dedup.winnowFingerprints(docs, "id", "text", k = 5, w = 4)
+    val f1 = fp.filter(col("id") === 1L).select("fp").collect().map(_.getString(0)).toSet
+    val f2 = fp.filter(col("id") === 2L).select("fp").collect().map(_.getString(0)).toSet
+    assert((f1 intersect f2).nonEmpty)
+    val f3 = fp.filter(col("id") === 3L).select("fp").collect().map(_.getString(0)).toSet
+    assert((f1 intersect f3).isEmpty)
+  }
+
   test("hashSample is partitioning-independent and salt-sensitive") {
     val df = spark.range(0, 1000).toDF("id")
     val a = Sampling.hashSample(df, "id", 3, 10, "s1").select("id").as[Long].collect().toSet
