@@ -1772,6 +1772,17 @@ object SparkEntry {
     "q121_copied_spans" -> ((s, dir) => {
       Dedup.copiedSpanPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4, minShared = 2, maxDocFreq = 50)
+    }),
+
+    // ---- LLM ops: link-graph centrality prior (fixed-point PageRank,
+    //      3 sweeps, damping 85/100) over the customer→supplier order
+    //      graph — the web-graph quality-prior shape; INTEGER
+    //      arithmetic throughout, so sweeps replay exactly in SQL ----
+    "q122_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.graph.Centrality.pageRank(edges, "src", "dst", iterations = 3)
     })
   )
 
@@ -3010,6 +3021,35 @@ object SparkEntry {
          |       ORDER BY rrf DESC, id) AS BIGINT) AS rank
          |FROM f QUALIFY rank <= 10""".stripMargin
     },
+
+    // replays the three fixed-point sweeps exactly: integer floor
+    // divisions (// on positive BIGINTs ≡ Spark's div), order-free
+    // integer sums, 150000 = (100−85)·SCALE/100 teleport base
+    "q122_pagerank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |n AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM n),
+        |m1 AS (SELECT e.dst AS node_id, sum(r0.r // dg.odeg) AS m
+        |       FROM e JOIN r0 ON r0.node_id = e.src JOIN dg ON dg.src = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.node_id,
+        |         CAST(150000 + (85 * coalesce(m1.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN m1 USING (node_id)),
+        |m2 AS (SELECT e.dst AS node_id, sum(r1.r // dg.odeg) AS m
+        |       FROM e JOIN r1 ON r1.node_id = e.src JOIN dg ON dg.src = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.node_id,
+        |         CAST(150000 + (85 * coalesce(m2.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN m2 USING (node_id)),
+        |m3 AS (SELECT e.dst AS node_id, sum(r2.r // dg.odeg) AS m
+        |       FROM e JOIN r2 ON r2.node_id = e.src JOIN dg ON dg.src = e.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.node_id,
+        |         CAST(150000 + (85 * coalesce(m3.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN m3 USING (node_id))
+        |SELECT node_id, r AS rank_fp FROM r3""".stripMargin,
 
     // replays winnowing exactly: 5-token grams (i ranges over the
     // len−4 complete grams), 16-hex md5 prefix, window-of-4 minimum
