@@ -784,25 +784,36 @@ object Dedup {
    * bucket; a fingerprint shared by half the corpus identifies
    * boilerplate, not copying. Output: (id1, id2, n_shared), id1 < id2.
    *
-   * Scale: the pair join keys on the fingerprint (bucketed, never
-   * all-pairs); the frequency cap bounds each bucket's fan-out at
-   * `maxDocFreq²/2` pairs; counts aggregate map-side.
+   * Scale: pairs are emitted per-fingerprint from a sorted in-group
+   * doc array (bucketed, never all-pairs), each group ≤ `maxDocFreq`
+   * docs → ≤ `maxDocFreq²/2` pairs; the pair counts aggregate
+   * map-side. See the body comment for why the cap is a window count
+   * on the one fp shuffle, not a set-join.
    */
   def copiedSpanPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, w: Int = 4, minShared: Int = 2,
                       maxDocFreq: Int = 50): DataFrame = {
-    // compute-once: the fingerprint relation feeds the frequency cap
-    // and both join sides (same lifecycle rationale as minHashDedup)
+    // ONE shuffle by fingerprint carries everything: the frequency
+    // cap is a count over the fp window (no set-join — an earlier
+    // join-with-kept-set formulation let AQE broadcast a corpus-sized
+    // fingerprint set and blow spark.driver.maxResultSize at 64×
+    // scale; a hot boilerplate fp is one spilled window partition
+    // here, never a collected array), and the surviving groups are
+    // ≤ maxDocFreq docs, so the pair list is emitted per-row from a
+    // sorted in-group array — the groupBy after the window reuses the
+    // fp partitioning, no second exchange of the corpus relation.
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
-      .localCheckpoint(false)
-    val kept = fp.groupBy("fp")
-      .agg(count(lit(1)).as("__df"))
+    val wf = Window.partitionBy("fp")
+    fp.withColumn("__df", count(lit(1)).over(wf))
       .filter(col("__df") <= maxDocFreq)
-      .select("fp")
-    val pruned = fp.join(kept, "fp")
-    pruned.select(col("fp"), col(idCol).as("id1"))
-      .join(pruned.select(col("fp"), col(idCol).as("id2")), "fp")
-      .filter(col("id1") < col("id2"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(__ids, (x, i) -> " +
+          "transform(slice(__ids, i + 2, size(__ids) - i - 1), " +
+          "y -> named_struct('id1', x, 'id2', y))))")).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
