@@ -1,0 +1,36 @@
+package graft.tmp
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Scratch: run a subset of SparkEntry.queries + dump their oracles,
+  * for selfcheck.py iteration on new gates (kept: the fast inner loop
+  * for adding oracle-gated operators). */
+object DriveNew {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1)
+    val names = args(2).split(",").toSet
+    val spark = graft.core.Engine.configure(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    graft.SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[drive] wrote $name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(kv => names(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
