@@ -33,6 +33,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q121 winnowing pair emission is JOIN-FREE (cap = window count, not set-join)") {
+    val p = finalPlan("q121_copied_spans")
+    // the earlier kept-set semi-join let AQE broadcast a corpus-sized
+    // fingerprint set (blew driver maxResultSize at 64×); the window-
+    // count formulation must keep the whole pipeline join-free
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("BroadcastExchange"), p.take(1200))
+  }
+
   test("q118 BM25 broadcasts the query side and keeps top-k partial") {
     val p = finalPlan("q118_bm25_topk")
     // the per-query rank<=k filter must stay a WindowGroupLimit so the
