@@ -1783,6 +1783,25 @@ object SparkEntry {
       val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       graft.graph.Centrality.pageRank(edges, "src", "dst", iterations = 3)
+    }),
+
+    // ---- LLM ops: training-mix assembly — "12k tokens at 50/20/15/15
+    //      en/de/fr/es" (zh unweighted → excluded): per-source keep
+    //      fractions from the token budget, applied via the content-
+    //      deterministic hash rule; integer thresholds inlined into
+    //      the oracle at run time (q85 pattern) ----
+    "q123_token_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+      val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.15)
+      val totals = docs.filter(col("lang").isNotNull)
+        .groupBy("lang").agg(sum(col("n_tokens")).as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fr = graft.llm.Sampling.budgetFractions(totals, weights,
+        budgetTokens = 12000L)
+      q123Thresholds = fr.map { case (k, f) => k -> math.round(f * 10000) }
+      graft.llm.Sampling.mixtureByTokenBudget(docs, "lang", "doc_id",
+        "n_tokens", weights, budgetTokens = 12000L, salt = "mix1")
     })
   )
 
@@ -1809,6 +1828,23 @@ object SparkEntry {
       .map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
     s"""SELECT * FROM documents
        |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'temp1'),1,8))::BIGINT % 10000
+       |  < CASE lang $cases ELSE NULL END""".stripMargin
+  }
+
+  /** q123's integer mixture thresholds (`round(frac·denom)`, same
+   *  stash-for-oracle mechanism as [[q85Thresholds]]). */
+  @volatile private var q123Thresholds: Map[String, Long] = Map.empty
+
+  /** Token-mixture oracle: the SAME integer thresholds the Spark side
+   *  derived from the token-budget fractions, inlined — the driver
+   *  replays only the md5 rule + the token count. */
+  private def q123OracleSql(th: Map[String, Long]): String = {
+    val cases = th.toSeq.sorted
+      .map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
+    s"""SELECT doc_id, text, lang, source, n_chars,
+       |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |FROM documents
+       |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'mix1'),1,8))::BIGINT % 10000
        |  < CASE lang $cases ELSE NULL END""".stripMargin
   }
 
@@ -1904,6 +1940,9 @@ object SparkEntry {
      else Map.empty[String, String]) ++
     (if (q85Thresholds.nonEmpty)
        Map("q85_temperature_mix" -> q85OracleSql(q85Thresholds))
+     else Map.empty[String, String]) ++
+    (if (q123Thresholds.nonEmpty)
+       Map("q123_token_mixture" -> q123OracleSql(q123Thresholds))
      else Map.empty[String, String]) ++ Map(
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

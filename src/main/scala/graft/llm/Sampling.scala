@@ -303,6 +303,60 @@ object Sampling {
    * expectation stays `min(targetRows, N)`. Driver-side arithmetic
    * over one row per stratum.
    */
+  /**
+   * Per-source keep fractions that hit a TOKEN budget under explicit
+   * mixture weights — the "assemble the training mix" recipe (70% web,
+   * 20% code, 10% reference…) stated the way a dataset card states it.
+   * `target_s = budget · w_s / Σw`, `f_s = min(1, target_s /
+   * tokens_s)`. Deterministic (one division per source, fixed
+   * arithmetic). Sources present in `weights` but ABSENT from the
+   * corpus (zero tokens) under-fill the budget rather than silently
+   * inflating the other sources past their requested share — the mix
+   * ratio is the contract, the budget is best-effort. Sources without
+   * a weight are excluded entirely (fraction absent). An oversubscribed
+   * source clamps at 1.0 (all of it, still under its requested share).
+   */
+  def budgetFractions(tokenTotals: Map[String, Long],
+                      weights: Map[String, Double],
+                      budgetTokens: Long): Map[String, Double] = {
+    require(weights.nonEmpty, "budgetFractions needs at least one weight")
+    weights.foreach { case (s, w) =>
+      require(w >= 0, s"negative weight for source '$s': $w") }
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights must not all be zero")
+    weights.collect { case (s, w) if tokenTotals.getOrElse(s, 0L) > 0 =>
+      val target = budgetTokens.toDouble * (w / wsum)
+      s -> math.min(1.0, target / tokenTotals(s).toDouble)
+    }
+  }
+
+  /**
+   * Token-budget mixture assembly: sample each source at the
+   * [[budgetFractions]] rate via the content-deterministic
+   * [[stratifiedByHash]] rule — the final step of a training-data
+   * pipeline ("N tokens at these source ratios"), reproducible to the
+   * row on any engine or partitioning. The kept token count is the
+   * budget in EXPECTATION (hash-Bernoulli per doc); for an exact-cut
+   * variant rank docs per source by hash and take a prefix
+   * ([[topFractionByScore]] machinery) at one extra shuffle.
+   *
+   * Scale: one per-source token-sum aggregate (result is
+   * sources-sized, the only driver materialization) + one pure filter
+   * over the corpus — no shuffle of the data itself, pushdown-friendly.
+   */
+  def mixtureByTokenBudget(df: DataFrame, stratumCol: String, keyCol: String,
+                           tokenCol: String, weights: Map[String, Double],
+                           budgetTokens: Long, salt: String = "",
+                           denom: Int = 10000): DataFrame = {
+    val totals = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(sum(col(tokenCol)).as("__t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fr = budgetFractions(totals, weights, budgetTokens)
+    if (fr.isEmpty) df.limit(0)
+    else stratifiedByHash(df, stratumCol, fr, keyCol, salt, denom)
+  }
+
   def temperatureFractions(counts: Map[String, Long], alpha: Double,
                            targetRows: Long): Map[String, Double] = {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")

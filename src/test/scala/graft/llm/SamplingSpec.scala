@@ -179,6 +179,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.temperatureFractions(counts, 0.5, 0L).values.forall(_ == 0.0))
   }
 
+  test("budgetFractions: weighted token targets, clamping, missing-source under-fill") {
+    val totals = Map("web" -> 10000L, "code" -> 5000L, "ref" -> 1000L)
+    val fr = Sampling.budgetFractions(totals,
+      Map("web" -> 0.7, "code" -> 0.2, "ref" -> 0.1), budgetTokens = 8000L)
+    // mirror the operator's exact expression tree (budget·(w/Σw)/total —
+    // Σw here is 0.7+0.2+0.1 = 0.9999999999999999, not literal 1.0)
+    val ws = Map("web" -> 0.7, "code" -> 0.2, "ref" -> 0.1).values.sum
+    def f(w: Double, tot: Long) = 8000.0 * (w / ws) / tot.toDouble
+    assert(fr("web") == f(0.7, 10000L))
+    assert(fr("code") == f(0.2, 5000L))
+    assert(fr("ref") == f(0.1, 1000L))
+    // oversubscribed source clamps at 1.0 (all of it)
+    assert(Sampling.budgetFractions(totals, Map("ref" -> 1.0), 50000L)("ref") == 1.0)
+    // a weighted-but-absent source UNDER-FILLS the budget: the present
+    // source still gets only its requested share of the budget
+    val part = Sampling.budgetFractions(Map("web" -> 10000L),
+      Map("web" -> 0.5, "missing" -> 0.5), budgetTokens = 10000L)
+    assert(part == Map("web" -> 0.5))
+    // unweighted sources are excluded entirely
+    assert(!Sampling.budgetFractions(totals, Map("web" -> 1.0), 100L).contains("code"))
+  }
+
+  test("mixtureByTokenBudget: deterministic row set, unweighted strata dropped") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Seq("web", "code", "zh")(i % 3), 10L + i % 5)
+    }.toDF("id", "source", "n_tok")
+    val w = Map("web" -> 0.8, "code" -> 0.2)
+    val a = Sampling.mixtureByTokenBudget(docs, "source", "id", "n_tok",
+      w, budgetTokens = 600L, salt = "m1").select("id").as[Long].collect().toSet
+    val b = Sampling.mixtureByTokenBudget(docs.repartition(7), "source", "id",
+      "n_tok", w, budgetTokens = 600L, salt = "m1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)          // content-deterministic
+    val srcs = Sampling.mixtureByTokenBudget(docs, "source", "id", "n_tok",
+      w, budgetTokens = 600L, salt = "m1")
+      .select("source").distinct().as[String].collect().toSet
+    assert(!srcs.contains("zh"))           // unweighted source excluded
+  }
+
   test("temperatureRebalance: deterministic sample lands near the target mix") {
     val docs = (1L to 1000L).map(i =>
       (i, if (i <= 800) "en" else if (i <= 950) "de" else "fr"))
