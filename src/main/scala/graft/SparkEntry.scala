@@ -1802,6 +1802,22 @@ object SparkEntry {
       q123Thresholds = fr.map { case (k, f) => k -> math.round(f * 10000) }
       graft.llm.Sampling.mixtureByTokenBudget(docs, "lang", "doc_id",
         "n_tokens", weights, budgetTokens = 12000L, salt = "mix1")
+    }),
+
+    // ---- LLM ops: the Gopher document-quality rule set as one
+    //      projection — per-rule flags + conjunction, every ratio an
+    //      INTEGER cross-multiplication (no float thresholds). Rows
+    //      flagged, not filtered (curation wants per-rule kill
+    //      diagnostics first) ----
+    "q124_gopher_rules" -> ((s, dir) => {
+      // the synthetic corpus has a database-word vocabulary, so the
+      // stopword rule uses ITS most common function words (the
+      // operator default stays the canonical English list) — the
+      // rule's job, "does this doc share the corpus's connective
+      // tissue", is the same
+      TA.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        stopwords = Seq("join", "hash", "row", "batch",
+          "scan", "column", "filter", "data"))
     })
   )
 
@@ -3060,6 +3076,40 @@ object SparkEntry {
          |       ORDER BY rrf DESC, id) AS BIGINT) AS rank
          |FROM f QUALIFY rank <= 10""".stripMargin
     },
+
+    // replays every pinned definition: whitespace words, non-space
+    // char sum, non-overlapping #/.../… symbols, bullet/ellipsis line
+    // regexes, \p{L} alphabetic, DISTINCT stopword intersect — all
+    // rule tests integer cross-multiplications
+    "q124_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+        |c AS (SELECT doc_id,
+        |        string_split_regex(tx, '\s+') AS t,
+        |        CAST(length(regexp_replace(tx, '\s+', '', 'g')) AS BIGINT) AS sl,
+        |        CAST(len(regexp_extract_all(tx, '#|\.{3}|…')) AS BIGINT) AS syms,
+        |        string_split(tx, chr(10)) AS ln
+        |      FROM b),
+        |d AS (SELECT doc_id,
+        |        CAST(len(t) AS BIGINT) AS words, sl, syms,
+        |        CAST(len(ln) AS BIGINT) AS nl,
+        |        CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bl,
+        |        CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.{3}|…)\s*$'))) AS BIGINT) AS el,
+        |        CAST(len(list_filter(t, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS al,
+        |        CAST(len(list_intersect(t,
+        |          ['join','hash','row','batch','scan','column','filter','data'])) AS BIGINT) AS st
+        |      FROM c)
+        |SELECT doc_id, words AS n_words,
+        |  (words >= 50 AND words <= 100000) AS word_count_ok,
+        |  (3*words <= sl AND sl <= 10*words) AS mean_len_ok,
+        |  (10*syms <= words) AS symbol_ok,
+        |  (10*bl <= 9*nl) AS bullet_ok,
+        |  (10*el <= 3*nl) AS ellipsis_ok,
+        |  (5*al >= 4*words) AS alpha_ok,
+        |  (st >= 2) AS stopword_ok,
+        |  ((words >= 50 AND words <= 100000) AND (3*words <= sl AND sl <= 10*words)
+        |    AND (10*syms <= words) AND (10*bl <= 9*nl) AND (10*el <= 3*nl)
+        |    AND (5*al >= 4*words) AND (st >= 2)) AS pass
+        |FROM d""".stripMargin,
 
     // replays the three fixed-point sweeps exactly: integer floor
     // divisions (// on positive BIGINTs ≡ Spark's div), order-free

@@ -599,6 +599,63 @@ object TextAnalysis {
           .as("coherence"))
   }
 
+  /**
+   * The Gopher document-quality rule set (Rae et al. 2021, App. A) as
+   * ONE projection: per-document booleans for each rule plus the
+   * conjunction — the canonical "is this prose worth training on"
+   * gate (length bounds, mean word length, symbol density, list/
+   * ellipsis line structure, alphabetic-word fraction, stopword
+   * presence). Every ratio test is an INTEGER cross-multiplication
+   * (`10·symbols ≤ words`, never `symbols/words ≤ 0.1`), so the flags
+   * are exact and engine-reproducible — no float thresholds at the
+   * knife edge. Rows are FLAGGED, not filtered: corpus curation wants
+   * the rule-level diagnostics (which rule kills how much of which
+   * source) before committing to a drop.
+   *
+   * Definitions pinned for the oracle: words = whitespace tokens;
+   * summed word length = non-whitespace chars; symbols = `#`,
+   * non-overlapping `...`, `…`; bullet lines start with optional
+   * blanks then `-`/`*`/`•`; ellipsis lines end `...`/`…` (+ blanks);
+   * alphabetic = any Unicode letter (`\p{L}` — zh prose passes);
+   * stopword rule counts DISTINCT stopwords present. Null text is
+   * treated as empty (fails the length rule).
+   *
+   * Output: (`idCol`, n_words, word_count_ok, mean_len_ok, symbol_ok,
+   * bullet_ok, ellipsis_ok, alpha_ok, stopword_ok, pass).
+   * Scale: pure per-row projection — no shuffle, no UDF, fully
+   * pushdown/codegen-friendly.
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  stopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                  minStopwords: Int = 2): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val w = tokens(text)
+    val words = size(w).cast("long")
+    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val symbols = size(regexp_extract_all(text, lit("#|\\.{3}|…"), lit(0))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipses = size(filter(lines, l => l.rlike("(\\.{3}|…)\\s*$"))).cast("long")
+    val alpha = size(filter(w, t => t.rlike("\\p{L}"))).cast("long")
+    val stops = size(array_intersect(w,
+      array(stopwords.map(lit): _*))).cast("long")
+    val rules = Seq(
+      "word_count_ok" -> (words >= minWords && words <= maxWords),
+      "mean_len_ok"   -> (lit(3L) * words <= sumLen && sumLen <= lit(10L) * words),
+      "symbol_ok"     -> (lit(10L) * symbols <= words),
+      "bullet_ok"     -> (lit(10L) * bullets <= lit(9L) * nLines),
+      "ellipsis_ok"   -> (lit(10L) * ellipses <= lit(3L) * nLines),
+      "alpha_ok"      -> (lit(5L) * alpha >= lit(4L) * words),
+      "stopword_ok"   -> (stops >= minStopwords))
+    df.select(
+      col(idCol) +: words.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
   /** Word n-gram repetition ratio in [0,1]: fraction of n-gram
    *  occurrences that are repeats (`1 − distinct/total`) — the
    *  Gopher-style repetition filter signal; boilerplate and looping

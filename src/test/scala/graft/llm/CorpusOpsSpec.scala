@@ -191,6 +191,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("gopherRules: each rule trips on its own pathology, integer-exact thresholds") {
+    val good = ((1 to 48).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // 50 words, all rules pass
+      (2L, (1 to 49).map(i => s"word$i").mkString(" ")), // 49 words: length rule
+      (3L, good.replace("word1 ", "# # # # # # ")), // 55 words, 6 '#': symbol rule
+      (4L, ((1 to 48).map(_ => "xx") ++ Seq("the", "of")).mkString(" ")), // mean len 2
+      (5L, Seq.fill(10)((1 to 5).map(i => s"w$i").mkString("- ", " ", "")).mkString("\n")
+        + " the of " + (1 to 48).map(i => s"w$i").mkString(" ")), // all 11? lines: >90% bulleted
+      (6L, ((1 to 40).map(i => s"word$i") ++ (1 to 12).map(_ => "1234")
+        ++ Seq("the", "of")).mkString(" ")),        // 12/54 non-alpha words: alpha rule
+      (7L, (1 to 50).map(i => s"word$i").mkString(" "))  // no stopwords
+    ).toDF("id", "text")
+    val r = TextAnalysis.gopherRules(docs, "id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(2), x.getBoolean(3), x.getBoolean(4), x.getBoolean(5),
+          x.getBoolean(6), x.getBoolean(7), x.getBoolean(8), x.getBoolean(9)))
+      .toMap // (word_count, mean_len, symbol, bullet, ellipsis, alpha, stop, pass)
+    assert(r(1L) == ((true, true, true, true, true, true, true, true)))
+    assert(!r(2L)._1 && !r(2L)._8)   // too short
+    assert(!r(3L)._3 && !r(3L)._8)   // 10·6 > 55 symbols
+    assert(!r(4L)._2 && !r(4L)._8)   // mean word length 2 < 3
+    assert(!r(5L)._4 && !r(5L)._8)   // 10/11 bullet lines > 9/10
+    assert(!r(6L)._6 && !r(6L)._8)   // 5·42 < 4·54 alphabetic
+    assert(!r(7L)._7 && !r(7L)._8)   // zero stopwords
+    // ellipsis rule: 2 of 4 lines end in …
+    val e = Seq((8L, "a …\nb\nc ...\nd " + good)).toDF("id", "text")
+    val re = TextAnalysis.gopherRules(e, "id", "text").head()
+    assert(!re.getBoolean(6) && !re.getBoolean(9))
+  }
+
   test("winnowing: a copied span of w+k-1 tokens is always detected; boilerplate capped") {
     val span = (1 to 8).map("c" + _).mkString(" ") // w+k-1 = 8 tokens at k=5, w=4
     val docs = Seq(

@@ -69,6 +69,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.ngramCoherence(emptyDocs, "id", "text").count() == 0)
   }
 
+  test("round-9 wave-2 operators on empty inputs") {
+    assert(Dedup.winnowFingerprints(emptyDocs, "id", "text").count() == 0)
+    assert(Dedup.copiedSpanPairs(emptyDocs, "id", "text").count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.graph.Centrality.pageRank(emptyEdges, "src", "dst").count() == 0)
+    val emptyTok = emptyDocs.withColumn("n_tok", lit(1L))
+    assert(Sampling.mixtureByTokenBudget(emptyTok, "text", "id", "n_tok",
+      Map("en" -> 1.0), 100L).count() == 0)
+  }
+
   test("aggregation helpers on empty input") {
     import graft.agg.GroupBy
     assert(GroupBy.percentilesDisc(emptyDocs, Seq("text"), "id", Seq(0.5)).count() == 0)
