@@ -1804,6 +1804,21 @@ object SparkEntry {
         "n_tokens", weights, budgetTokens = 12000L, salt = "mix1")
     }),
 
+    // ---- LLM ops: URL canonicalization — the exact-dedup key for
+    //      web crawls (case, default ports, www., tracking params,
+    //      fragments all collapse); synthetic variants from doc_id
+    //      exercise every rule; the oracle replays the same RE2-safe
+    //      regex chain ----
+    "q125_url_canonical" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTP://WWW.Example"), (col("doc_id") % 50).cast("string"),
+        lit(".COM:80/Path/"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_source=feed&id="), (col("doc_id") % 20).cast("string"),
+        lit("&utm_campaign=x#sec"), col("doc_id").cast("string"))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("canon", TA.canonicalizeUrl(col("url")))
+    }),
+
     // ---- LLM ops: the Gopher document-quality rule set as one
     //      projection — per-rule flags + conjunction, every ratio an
     //      INTEGER cross-multiplication (no float thresholds). Rows
@@ -3076,6 +3091,29 @@ object SparkEntry {
          |       ORDER BY rrf DESC, id) AS BIGINT) AS rank
          |FROM f QUALIFY rank <= 10""".stripMargin
     },
+
+    // replays the identical regex chain (RE2 \1 refs + 'g' where Java
+    // is implicitly global); construction and every rule mirrored
+    "q125_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTP://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:80/Path/' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&id=' ||
+        |  CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x#sec' ||
+        |  CAST(doc_id AS VARCHAR) AS url FROM documents),
+        |c1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '', 'g') AS v FROM u),
+        |c2 AS (SELECT doc_id, url,
+        |        lower(regexp_extract(v, '^[^/]*//[^/?#]*')) ||
+        |        regexp_replace(v, '^[^/]*//[^/?#]*', '', 'g') AS v FROM c1),
+        |c3 AS (SELECT doc_id, url, regexp_replace(v, '^(http://[^/?#:]+):80([/?#])', '\1\2', 'g') AS v FROM c2),
+        |c4 AS (SELECT doc_id, url, regexp_replace(v, '^(http://[^/?#:]+):80$', '\1', 'g') AS v FROM c3),
+        |c5 AS (SELECT doc_id, url, regexp_replace(v, '^(https://[^/?#:]+):443([/?#])', '\1\2', 'g') AS v FROM c4),
+        |c6 AS (SELECT doc_id, url, regexp_replace(v, '^(https://[^/?#:]+):443$', '\1', 'g') AS v FROM c5),
+        |c7 AS (SELECT doc_id, url, regexp_replace(v, '^(https?://)www\.', '\1', 'g') AS v FROM c6),
+        |c8 AS (SELECT doc_id, url, regexp_replace(v, '([?&])(utm_[^&=#]*|gclid|fbclid)=[^&#]*', '\1', 'g') AS v FROM c7),
+        |c9 AS (SELECT doc_id, url, regexp_replace(v, '&{2,}', '&', 'g') AS v FROM c8),
+        |c10 AS (SELECT doc_id, url, regexp_replace(v, '\?&', '?', 'g') AS v FROM c9),
+        |c11 AS (SELECT doc_id, url, regexp_replace(v, '[?&]+$', '', 'g') AS v FROM c10)
+        |SELECT doc_id, url, regexp_replace(v, '/$', '', 'g') AS canon FROM c11""".stripMargin,
 
     // replays every pinned definition: whitespace words, non-space
     // char sum, non-overlapping #/.../… symbols, bullet/ellipsis line

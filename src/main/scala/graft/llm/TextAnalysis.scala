@@ -234,6 +234,48 @@ object TextAnalysis {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /**
+   * URL canonicalization for web-corpus dedup: two crawls of the same
+   * page differ in case, default ports, `www.`, tracking params, and
+   * fragments — canonical form makes exact URL dedup (and per-URL
+   * joins of crawl metadata) actually fire. Rules, in order: trim;
+   * drop the `#fragment`; lowercase ONLY `scheme://host[:port]` (the
+   * path stays case-sensitive per RFC 3986); drop default ports
+   * (`:80` http, `:443` https); drop a leading `www.`; strip
+   * tracking parameters (`utm_*`, `gclid`, `fbclid`) and repair the
+   * separators; drop a trailing `/`.
+   *
+   * Every step is a literal regex replace with NO lookaround or
+   * backreference-in-pattern — RE2-safe, so an external oracle
+   * replays the identical chain. Non-URL strings (no `scheme://`)
+   * pass through with only the generic steps applied (trim,
+   * fragment, tracking, trailing slash). Pure projection — scales as
+   * a scan.
+   */
+  def canonicalizeUrl(url: Column, stripWww: Boolean = true): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    // lowercase the scheme://host[:port] prefix only
+    val prefix = regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0)
+    val lowered = concat(lower(prefix),
+      regexp_replace(noFrag, "^[^/]*//[^/?#]*", ""))
+    // default ports: mid-URL and end-of-string forms (no lookahead)
+    val p1 = regexp_replace(lowered, "^(http://[^/?#:]+):80([/?#])", "$1$2")
+    val p2 = regexp_replace(p1, "^(http://[^/?#:]+):80$", "$1")
+    val p3 = regexp_replace(p2, "^(https://[^/?#:]+):443([/?#])", "$1$2")
+    val p4 = regexp_replace(p3, "^(https://[^/?#:]+):443$", "$1")
+    val noWww =
+      if (stripWww) regexp_replace(p4, "^(https?://)www\\.", "$1") else p4
+    // tracking params; then repair '?&' / '&&' runs / dangling tails
+    val noTrack = regexp_replace(noWww,
+      "([?&])(utm_[^&=#]*|gclid|fbclid)=[^&#]*", "$1")
+    // collapse '&' runs BEFORE healing '?&' — adjacent removed params
+    // leave '?&&x', and '?&'-first would only strip one of the two
+    val c1 = regexp_replace(noTrack, "&{2,}", "&")
+    val c2 = regexp_replace(c1, "\\?&", "?")
+    val c3 = regexp_replace(c2, "[?&]+$", "")
+    regexp_replace(c3, "/$", "")
+  }
+
   /** Registered domain-ish host from a URL, lowercased, userinfo and
    *  `www.` stripped — the key for per-site aggregation, blocklist
    *  filtering and domain-level dedup in web corpora. The userinfo

@@ -191,6 +191,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("canonicalizeUrl: case/ports/www/tracking/fragment collapse; path case kept") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/A/b/?utm_source=x&q=1#frag",
+        "http://example.com/A/b/?q=1"),
+      ("https://Host.com:443", "https://host.com"),              // end-of-string port
+      ("http://a.com/", "http://a.com"),                         // trailing slash
+      ("https://a.com/p?gclid=z", "https://a.com/p"),            // lone tracking param
+      ("https://a.com/p?utm_a=1&utm_b=2&x=3", "https://a.com/p?x=3"), // adjacent params
+      ("ftp://X.com/Y", "ftp://x.com/Y"),                        // other scheme: no port/www rules
+      ("no-scheme/path#f", "no-scheme/path"),                    // non-URL: generic steps only
+      ("https://a.com:8443/p", "https://a.com:8443/p")           // non-default port kept
+    ).toDF("url", "want")
+    val out = cases.withColumn("got", TextAnalysis.canonicalizeUrl(col("url")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    out.foreach { case (u, want, got) => assert(got == want, s"url=$u") }
+    // stripWww=false keeps the www. prefix
+    val keep = Seq(("http://www.a.com/x", "")).toDF("url", "w")
+      .select(TextAnalysis.canonicalizeUrl(col("url"), stripWww = false))
+      .head.getString(0)
+    assert(keep == "http://www.a.com/x")
+  }
+
   test("gopherRules: each rule trips on its own pathology, integer-exact thresholds") {
     val good = ((1 to 48).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
     val docs = Seq(
