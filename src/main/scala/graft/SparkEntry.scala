@@ -1833,7 +1833,44 @@ object SparkEntry {
       TA.gopherRules(t(s, dir, "documents"), "doc_id", "text",
         stopwords = Seq("join", "hash", "row", "batch",
           "scan", "column", "filter", "data"))
-    })
+    }),
+
+    // ---- time series: regularize the event stream to an hourly
+    //      grid per user and forward-fill the gaps ----
+    "q126_resample_fill" -> ((s, dir) =>
+      graft.ops.TimeSeries.resampleFill(t(s, dir, "events"),
+        Seq("user_id"), "ts", "value", "hour")),
+
+    // ---- time series: ordered view→click→purchase funnel, one
+    //      window pass + one reduce on the actor key ----
+    "q127_funnel" -> ((s, dir) =>
+      graft.ops.TimeSeries.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    // ---- feature eng: decile-label order prices by their own exact
+    //      discrete percentiles (edges broadcast, label is a fold) ----
+    "q128_quantile_bins" -> ((s, dir) =>
+      graft.agg.GroupBy.binByQuantiles(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice", (1 to 9).map(_ / 10.0))),
+
+    // ---- retrieval: materialized inverted index with full-corpus
+    //      stats and a capped posting list per term ----
+    "q129_inverted_index" -> ((s, dir) =>
+      TA.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 20)),
+
+    // ---- data quality: exact two-sample KS drift between the
+    //      click and view value distributions ----
+    "q130_ks_drift" -> ((s, dir) =>
+      graft.quality.Quality.ksDrift(t(s, dir, "events"),
+        "value", "event_type", "click", "view")),
+
+    // ---- LLM ops: exact duplicated-span detection (Lee et al.
+    //      2021) — maximal ≥k-token ranges repeated in the corpus ----
+    "q131_duplicate_spans" -> ((s, dir) =>
+      graft.llm.Dedup.duplicateSpans(t(s, dir, "documents"),
+        "doc_id", "text", k = 5))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -1975,6 +2012,103 @@ object SparkEntry {
     (if (q123Thresholds.nonEmpty)
        Map("q123_token_mixture" -> q123OracleSql(q123Thresholds))
      else Map.empty[String, String]) ++ Map(
+
+    // hourly bucket (order-independent max), per-user dense axis,
+    // left join, forward fill — default RANGE frames both engines
+    "q126_resample_fill" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket, max(value) AS v
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1),
+        |a AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM s)
+        |SELECT a.user_id, a.bucket, b.v,
+        |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY a.user_id ORDER BY a.bucket) AS v_fill
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.bucket = b.bucket""".stripMargin,
+
+    // running min(CASE step) windows, default RANGE frame (tie-safe);
+    // step columns form a prefix, stage = highest non-null
+    "q127_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w1 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END AS q0 FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |         min(q0) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |         THEN ts END AS q1 FROM w1),
+        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |         min(q1) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |         THEN ts END AS q2 FROM w2)
+        |SELECT user_id, min(q0) AS step1_ts, min(q1) AS step2_ts, min(q2) AS step3_ts,
+        |  CASE WHEN min(q2) IS NOT NULL THEN 3 WHEN min(q1) IS NOT NULL THEN 2
+        |       WHEN min(q0) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM w3 GROUP BY user_id""".stripMargin,
+
+    // edges replay the q66 percentile recipe (rank ceil(p·n) in
+    // decimal); bin = 1 + edges strictly below the value
+    "q128_quantile_bins" ->
+      """WITH rk AS (SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER () AS n FROM orders WHERE o_totalprice IS NOT NULL),
+        |ed AS (SELECT v FROM rk CROSS JOIN (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),
+        |         (0.6),(0.7),(0.8),(0.9)) p(p)
+        |       WHERE rn = CAST(ceil(CAST(p.p AS DECIMAL(18,12)) * n) AS INT))
+        |SELECT o.o_orderkey, o.o_totalprice,
+        |  CASE WHEN o.o_totalprice IS NOT NULL
+        |       THEN 1 + (SELECT count(*) FROM ed WHERE o.o_totalprice > ed.v) END AS bin
+        |FROM orders o""".stripMargin,
+
+    // stats over the FULL (term, doc, tf) relation; postings from the
+    // rank-capped one — same split as the Spark side
+    "q129_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\s+')) AS term
+        |             FROM documents),
+        |td AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |st AS (SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS tf_total
+        |       FROM td GROUP BY 1),
+        |cap AS (SELECT term, doc_id FROM (SELECT term, doc_id,
+        |          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td)
+        |        WHERE rn <= 20),
+        |p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |      FROM cap GROUP BY 1)
+        |SELECT st.term, st.doc_freq, st.tf_total, p.postings FROM st JOIN p USING (term)""".stripMargin,
+
+    // running sums with default RANGE frames (peers included ⇒ tie
+    // order free); one exactly-rounded long→double divide per CDF
+    "q130_ks_drift" ->
+      """WITH m AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |c AS (SELECT v, sum(ia) OVER (ORDER BY v) AS ca, sum(ib) OVER (ORDER BY v) AS cb,
+        |             sum(ia) OVER () AS na, sum(ib) OVER () AS nb FROM m)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+        |FROM c WHERE na > 0 AND nb > 0 GROUP BY na, nb""".stripMargin,
+
+    // same k-gram windows (lead over (doc, pos)) and islands pass;
+    // space-joined grams, end-exclusive [pos, pos+k) ranges
+    "q131_duplicate_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS l
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos FROM d),
+        |tf AS (SELECT doc_id, term, pos FROM t WHERE term <> ''),
+        |g AS (SELECT doc_id, pos,
+        |        term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w || ' ' ||
+        |        lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w AS gram,
+        |        lead(term, 4) OVER w AS lastt
+        |      FROM tf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g2 AS (SELECT doc_id, pos, gram FROM g WHERE lastt IS NOT NULL),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM g2
+        |      WHERE gram IN (SELECT gram FROM dup)),
+        |i AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM h),
+        |j AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i),
+        |k2 AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM j)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |       max(e) - min(s) AS span_tokens
+        |FROM k2 GROUP BY doc_id, isl""".stripMargin,
+
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

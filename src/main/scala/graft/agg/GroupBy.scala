@@ -138,6 +138,54 @@ object GroupBy {
         col(valueCol).as(out): _*)
   }
 
+  /**
+   * Quantile binning (feature bucketizer): label every row with the
+   * bin its `valueCol` falls into, where bin edges are the EXACT
+   * discrete percentiles of the column itself ([[percentilesDisc]]
+   * semantics, so the edges are actual data values and reproducible
+   * in any engine). `ps = 0.1 … 0.9` yields deciles `1 … 10`.
+   *
+   * Bin rule (pinned): `bin = 1 + |{edge : value > edge}|` — a value
+   * EQUAL to an edge belongs to the lower bin, matching the
+   * `cdf ≥ p` reading of a discrete percentile. Null values get a
+   * null bin.
+   *
+   * Mechanics: the |ps| edge rows collapse to ONE array row
+   * (`sort_array(collect_list(...))`), broadcast-joined onto the
+   * data, and the label is a single `aggregate()` fold over the
+   * array — no driver collect, no per-edge join, and the labeling
+   * side stays a pure whole-stage-codegen projection.
+   *
+   * Scale posture: the edge computation is [[percentilesDisc]] with
+   * no group columns — a GLOBAL in-partition sort, exact but
+   * single-task for the ranking window. That is the right tool up to
+   * ~10^8 rows per column; past that, feed `edges` from
+   * `approxQuantile` (mergeable sketch, one distributed pass) and
+   * keep the same broadcast-fold labeling — the label side is
+   * scale-free either way.
+   */
+  def binByQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                     out: String = "bin"): DataFrame = {
+    val edges = percentilesDisc(df, Nil, valueCol, ps, out = "__edge")
+      .groupBy()
+      .agg(sort_array(collect_list(col("__edge"))).as("__edges"))
+    binByEdges(df, valueCol, edges, out)
+  }
+
+  /** Labeling half of [[binByQuantiles]]: `edges` is a 1-row frame
+   *  with a sorted-array column `__edges`; rows are labeled
+   *  `1 + count(value > edge)` through a broadcast join + one
+   *  `aggregate()` fold. Exposed so a sketch-derived edge set (e.g.
+   *  `approxQuantile`) can reuse the scale-free labeling path. */
+  def binByEdges(df: DataFrame, valueCol: String, edges: DataFrame,
+                 out: String = "bin"): DataFrame =
+    df.join(broadcast(edges))
+      .withColumn(out,
+        when(col(valueCol).isNotNull,
+          aggregate(col("__edges"), lit(1),
+            (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0))))
+      .drop("__edges")
+
   /** Shared event-time ordering for the window-over-time operators:
    *  timestamps order as `unix_micros`, numerics as-is. */
   private def timeOrder(df: DataFrame, timeCol: String): Column =

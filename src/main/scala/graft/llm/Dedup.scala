@@ -968,4 +968,97 @@ object Dedup {
       .filter(col("__cos") >= threshold)
       .select("id1", "id2")
   }
+
+  /**
+   * Exact duplicated-SPAN detection (the Lee et al. 2021
+   * "Deduplicating Training Data Makes Language Models Better"
+   * operation, arXiv:2107.06499): find every maximal token range that
+   * participates in a ≥`k`-token sequence occurring at least
+   * `minCount` times in the corpus — the spans a curation pipeline
+   * CUTS (as opposed to whole-document near-dup, [[minHashDedup]],
+   * and sampled copied-span sketching, `winnowing`/q121). Where the
+   * paper builds a monolithic suffix array, the same answer
+   * distributes as a k-gram self-grouping:
+   *
+   *  1. tokenize (whitespace, trim) with in-doc positions;
+   *  2. build every k-token gram ONCE per position via `lead()` over
+   *     the (doc, pos) window — no per-gram re-scan, no explode×k
+   *     blowup; grams join on their token text (exact, not hashed —
+   *     oracle-replayable and collision-free);
+   *  3. keep grams whose corpus occurrence count ≥ `minCount`
+   *     (a duplicated k-gram ⇔ it lies inside some ≥k-token repeat);
+   *  4. per doc, merge the hit positions' [pos, pos+k) ranges into
+   *     maximal spans with the classic islands pass (running
+   *     `max(end) OVER (… ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`;
+   *     a gram starting at-or-before that running end extends the
+   *     island — end-exclusive, so touching ranges merge too).
+   *
+   * Output: (`idCol`, span_start, span_end, span_tokens) in TOKEN
+   * indices, end-exclusive — the caller slices or masks.
+   *
+   * Scale posture: the only corpus-wide shuffle is the gram groupBy
+   * (map-side partial counts collapse same-partition repeats); the
+   * windows in 2 and 4 are doc-keyed. The gram relation is
+   * corpus_tokens rows × k tokens of payload — the k× payload is the
+   * price of exactness without a trusted hash; for a
+   * hash-probabilistic variant at extreme scale, group on
+   * `xxhash64(gram)` instead (`2^-64` false-merge risk, not
+   * oracle-replayable, same plan shape). Doc-length skew is the
+   * groupBy's skew (AQE); islands are per-doc and bounded by doc
+   * length.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), posexplode(
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
+        .as(Seq("__pos", "__term")))
+      .filter(col("__term") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    // gram at position p = tokens p … p+k-1, space-joined: a space
+    // cannot occur inside a whitespace-split token, so gram equality
+    // ⇔ token-list equality (a non-whitespace joiner could itself
+    // appear inside a token and alias distinct grams). lead(k-1) null
+    // ⇔ the gram would run off the doc end (concat_ws alone would
+    // silently emit a SHORT tail gram, since it skips nulls).
+    val gram = concat_ws(" ",
+      col("__term") +: (1 until k).map(i => lead(col("__term"), i).over(w)): _*)
+    // gram and guard are computed in the SAME projection BEFORE the
+    // tail filter: filtering first would re-evaluate the leads over
+    // the already-truncated frame, silently building short boundary
+    // grams (concat_ws skips the null leads) that alias real ones
+    val grams = toks
+      .withColumn("__last", lead(col("__term"), k - 1).over(w))
+      .withColumn("__gram", gram)
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__pos"), col("__gram"))
+    // corpus occurrence count as a PARTITION-count window rather than
+    // a groupBy + self-join: one gram-keyed exchange instead of two
+    // (the join formulation re-shuffled the gram relation for the
+    // probe side; plan-audited away)
+    val wg = Window.partitionBy(col("__gram"))
+    val hits = grams
+      .withColumn("__n", count(lit(1)).over(wg))
+      .filter(col("__n") >= minCount)
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + k).as("__e"))
+    val ws = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wr = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __s is unique per doc (one gram per position), so the ROWS
+    // frames are deterministic despite being order-sensitive in general
+    hits
+      .withColumn("__newisl",
+        when(col("__s") > coalesce(max(col("__e")).over(ws), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__newisl")).over(wr))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .drop("__isl")
+  }
 }

@@ -763,4 +763,45 @@ object TextAnalysis {
     when(length(text) > 0, mass.cast("double") / length(text).cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /**
+   * Inverted index build: per term, corpus stats + a (capped) posting
+   * list — the materialized form behind serving-side lexical
+   * retrieval, where [[bm25TopK]] is the query-side one-shot.
+   *
+   * Output: (term, doc_freq, tf_total, postings) where `postings` is
+   * the ascending-id comma-joined doc list truncated to the first
+   * `maxPostings` ids. doc_freq / tf_total always reflect the FULL
+   * corpus (they feed idf); only the materialized list is capped —
+   * the cap is what keeps a stopword's posting row bounded instead of
+   * corpus-sized.
+   *
+   * Mechanics: one corpus pass builds (doc, term, tf); ONE term
+   * shuffle serves everything after it — the cap rank
+   * (`row_number` over (term, doc↑)) and the final per-term
+   * aggregate run on the same partitioning, so stats and the capped
+   * list come out of a single exchange (a stats-branch + cap-branch
+   * formulation re-scanned the corpus and shuffled twice; plan-
+   * audited away). Inside the aggregate the list collects only
+   * rank ≤ cap ids (`collect_list` skips the nulls), while
+   * doc_freq/tf_total count every row.
+   *
+   * Empty-string tokens (split artifacts of leading whitespace /
+   * empty docs) are excluded — an index entry for "" is never
+   * queryable.
+   */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(df, idCol, textCol)
+      .filter(col("term") =!= "")
+    val w = Window.partitionBy(col("term")).orderBy(col(idCol))
+    tf.withColumn("__rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("tf_total"),
+        array_join(sort_array(collect_list(
+          when(col("__rn") <= maxPostings, col(idCol)))), ",")
+          .as("postings"))
+  }
 }

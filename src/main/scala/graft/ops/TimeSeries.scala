@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series reshaping over event streams — the batch-side
+ * completion of the reference's time handling (goetl parses and
+ * buckets timestamps, `transformers/time.go`; streaming windows live
+ * in [[graft.streaming.Streaming]]). Two operators ETL users reach
+ * for constantly and neither engine ships as a single call:
+ *
+ *  - [[resampleFill]]: regularize an irregular series to a fixed
+ *    grid and forward-fill the gaps (dashboard feeds, feature
+ *    matrices for sequence models).
+ *  - [[funnel]]: ordered multi-step conversion attribution (the
+ *    view→click→purchase question) in ONE pass over the events.
+ *
+ * Both are pure DataFrame plans — no driver iteration, no UDFs — so
+ * Catalyst sees through them (pushdown, AQE) and every step is
+ * whole-stage-codegen-able.
+ */
+object TimeSeries {
+
+  /**
+   * Resample an irregular per-key series onto a dense `date_trunc`
+   * grid and forward-fill missing buckets from the last observed
+   * value.
+   *
+   * Steps (all one logical plan):
+   *  1. bucket rows to `date_trunc(unit, ts)` and reduce each bucket
+   *     with an ORDER-INDEPENDENT aggregate (`max` by default —
+   *     sum/avg of doubles would be partition-order-sensitive and
+   *     not reproducible across engines);
+   *  2. build each key's dense bucket axis with
+   *     `sequence(min_bucket, max_bucket, interval 1 unit)` —
+   *     computed per key on the executors, never on the driver;
+   *  3. left-join observations onto the axis and forward-fill with
+   *     `last(value, ignoreNulls) OVER (PARTITION BY key ORDER BY
+   *     bucket)` (default RANGE frame: tie-safe, though buckets are
+   *     unique per key by construction).
+   *
+   * Output: keys…, `bucket`, `v` (observed, null in gaps), `v_fill`
+   * (forward-filled; null only before a key's first observation).
+   *
+   * Scale posture: everything shuffles ONCE on the key columns —
+   * the bucket agg, the span agg, the axis join and the fill window
+   * all share that partitioning, so Catalyst reuses the exchange.
+   * Per-key axis length is span/unit, bounded by retention ×
+   * granularity, not by event count; a key observed over 1 year at
+   * hourly grid explodes to 8.8k rows regardless of how many billions
+   * of raw events it had. Skewed keys are no worse than the groupBy
+   * itself (AQE skew handling applies).
+   *
+   * @param unit a `date_trunc` unit (`"hour"`, `"day"`, `"minute"`, …)
+   */
+  def resampleFill(df: DataFrame, keys: Seq[String], tsCol: String,
+                   valueCol: String, unit: String,
+                   agg: Column => Column = max): DataFrame = {
+    require(keys.nonEmpty, "resampleFill needs at least one key column")
+    val kc = keys.map(col)
+    // the bucket aggregate feeds TWO consumers (the axis derivation
+    // and the observation join); without materialization each branch
+    // re-scans and re-aggregates the raw events (2× the corpus-sized
+    // shuffle — exchange reuse does not fire across the AQE stages).
+    // Lazy localCheckpoint = compute-once, same trade as bm25TopK.
+    val obs = df.filter(col(tsCol).isNotNull)
+      .groupBy(kc :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(agg(col(valueCol)).as("v"))
+      .localCheckpoint(false)
+    val axis = obs.groupBy(kc: _*)
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(kc :+ explode(sequence(col("__b0"), col("__b1"),
+        expr(s"interval 1 $unit"))).as("bucket"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+    axis.join(obs, keys :+ "bucket", "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+  }
+
+  /**
+   * Ordered-funnel attribution: for each actor, the first timestamp
+   * at which it completed step 1, step 2 AFTER (or at) a completed
+   * step 1, step 3 after that, … for an arbitrary ordered `steps`
+   * list.
+   *
+   * One shuffle on the actor key does the whole funnel: a running
+   * `min(CASE step_i) OVER (PARTITION BY actor ORDER BY ts)` marks,
+   * at every row, the earliest step-i completion at-or-before that
+   * row; a step-(i+1) event "qualifies" iff that marker is non-null.
+   * The windows use the default RANGE frame (unbounded preceding →
+   * current row INCLUDING ts-peers), so results are independent of
+   * any tie-breaking order among equal timestamps — an event at the
+   * exact same timestamp as the prior step counts as "after" it,
+   * which is the deterministic reading of coarse timestamps.
+   *
+   * Output: actor, `step1_ts` … `stepN_ts` (null where never
+   * reached), `stage` (number of consecutive steps completed).
+   * All N running mins evaluate in ONE window pass (same partition ×
+   * same ordering), and the final per-actor reduce reuses the same
+   * exchange — this never rescans or re-shuffles per step, unlike the
+   * self-join formulation which costs a join per funnel stage.
+   */
+  def funnel(df: DataFrame, actorCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(actorCol)).orderBy(col(tsCol))
+    val base = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol), col(tsCol), col(typeCol))
+    // qual(i) = this row's ts if it is a step-i event preceded (or
+    // tied) by a qualified step-(i-1); reach(i) = running min of qual(i)
+    val quals = steps.indices.foldLeft(base) { (acc, i) =>
+      val q =
+        if (i == 0) when(col(typeCol) === steps(i), col(tsCol))
+        else when(col(typeCol) === steps(i) &&
+          min(col(s"__q${i - 1}")).over(w).isNotNull, col(tsCol))
+      acc.withColumn(s"__q$i", q)
+    }
+    val stepCols = steps.indices.map(i =>
+      min(col(s"__q$i")).as(s"step${i + 1}_ts"))
+    // step i qualifies only after step i-1, so non-null step columns
+    // form a prefix; stage = the highest non-null (checked outermost)
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"step${i + 1}_ts").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    quals.groupBy(col(actorCol))
+      .agg(stepCols.head, stepCols.tail: _*)
+      .withColumn("stage", stage)
+  }
+}

@@ -240,4 +240,99 @@ object Quality {
       .filter(col(devCol) <= lit(k) * col(madCol))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov drift statistic between the
+   * `valueCol` distributions of two slices (`flagCol = a` vs `= b`) —
+   * the standard "did this feed's distribution move" gate between a
+   * reference snapshot and today's load.
+   *
+   * Exact form: `KS = max over observed v of |F_a(v) − F_b(v)|`,
+   * with both empirical CDFs evaluated by ONE pass of running sums
+   * over the merged sample ordered by value. The windows use the
+   * default RANGE frame (peers included), so equal values — within
+   * or across the two slices — contribute symmetrically and the
+   * statistic is independent of any tie order. Every arithmetic step
+   * (long counts, one exactly-rounded long→double divide per CDF,
+   * subtract, abs, max) is deterministic IEEE, so the single output
+   * row reproduces bit-identically in any engine.
+   *
+   * Output: one row (n_a, n_b, ks_stat). Empty either side → empty
+   * result (a CDF against nothing is not 0 drift; callers gate on
+   * presence).
+   *
+   * Scale posture: the exact statistic NEEDS a total order, so the
+   * running-sum window is a single-task sort after an all-to-one
+   * exchange — correct to ~10^8 rows, not at corpus scale. At scale
+   * use [[ksDriftBinned]]: identical formula over a B-bucket
+   * pre-aggregation (distributed groupBy), error bounded by the max
+   * per-bin mass. The exact form is what the oracle verifies; the
+   * binned form is property-tested against it.
+   */
+  def ksDrift(df: DataFrame, valueCol: String, flagCol: String,
+              a: String, b: String): DataFrame = {
+    val base = df
+      .filter(col(flagCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        (col(flagCol) === a).cast("long").as("__ia"),
+        (col(flagCol) === b).cast("long").as("__ib"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // global totals without a second aggregate pass
+    base
+      .withColumn("__ca", sum(col("__ia")).over(w))
+      .withColumn("__cb", sum(col("__ib")).over(w))
+      .withColumn("__na", sum(col("__ia")).over(all))
+      .withColumn("__nb", sum(col("__ib")).over(all))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      // grouping on the (single-valued) totals rather than a global
+      // agg keeps the empty-input case EMPTY instead of one null row
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(abs(col("__ca").cast("double") / col("__na").cast("double") -
+        col("__cb").cast("double") / col("__nb").cast("double")))
+        .as("ks_stat"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("ks_stat"))
+  }
+
+  /**
+   * Histogram-approximated KS for corpus scale: values are floored
+   * into `bins` equal-width buckets over the observed [min, max],
+   * per-bucket counts aggregate DISTRIBUTED (one groupBy), and the
+   * exact KS formula runs over the ≤ `bins`-row histogram. The
+   * approximation evaluates the CDFs only at bucket upper edges, so
+   * `|KS_binned − KS_exact| ≤` the largest single-bucket mass
+   * fraction — drive `bins` up until that bound is inside the
+   * decision threshold. Same output shape as [[ksDrift]].
+   */
+  def ksDriftBinned(df: DataFrame, valueCol: String, flagCol: String,
+                    a: String, b: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val base = df
+      .filter(col(flagCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        (col(flagCol) === a).cast("long").as("__ia"),
+        (col(flagCol) === b).cast("long").as("__ib"))
+    val span = base.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = base.join(broadcast(span))
+      // degenerate span (all values equal) → everything in bin 0
+      .withColumn("__bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(bins - 1).cast("long"),
+            floor((col("__v") - col("__lo")) * bins / (col("__hi") - col("__lo"))))))
+      .groupBy("__bin")
+      .agg(sum(col("__ia")).as("__ia"), sum(col("__ib")).as("__ib"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bin"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    binned
+      .withColumn("__ca", sum(col("__ia")).over(w))
+      .withColumn("__cb", sum(col("__ib")).over(w))
+      .withColumn("__na", sum(col("__ia")).over(all))
+      .withColumn("__nb", sum(col("__ib")).over(all))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(abs(col("__ca").cast("double") / col("__na").cast("double") -
+        col("__cb").cast("double") / col("__nb").cast("double")))
+        .as("ks_stat"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("ks_stat"))
+  }
 }

@@ -159,4 +159,27 @@ class GroupBySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GroupBy.rollingByTime(df.withColumn("t", lit("x")), Seq("user"), "t", "v", 1L))
   }
+
+  test("binByQuantiles: edges are exact disc percentiles, equals fall low, null stays null") {
+    val df = ((1 to 10).map(i => Some(i.toDouble)) :+ None)
+      .map(Tuple1(_)).toDF("v")
+    val out = GroupBy.binByQuantiles(df, "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]) ->
+        Option(r.get(1)).map(_.asInstanceOf[Int])).toMap
+    // edges: ceil(.25*10)=3 -> 3.0, ceil(.5*10)=5 -> 5.0, ceil(.75*10)=8 -> 8.0
+    assert(out(Some(1.0)) == Some(1) && out(Some(3.0)) == Some(1))
+    assert(out(Some(4.0)) == Some(2) && out(Some(5.0)) == Some(2))
+    assert(out(Some(6.0)) == Some(3) && out(Some(8.0)) == Some(3))
+    assert(out(Some(9.0)) == Some(4) && out(Some(10.0)) == Some(4))
+    assert(out(None).isEmpty)
+  }
+
+  test("binByQuantiles: duplicate edges (tight quantiles on skewed data) skip bins") {
+    // 0.4/0.5/0.6 of ten equal values -> three identical edges; any
+    // larger value counts all three and lands in bin 4
+    val df = (Seq.fill(9)(1.0) :+ 9.0).map(Tuple1(_)).toDF("v")
+    val out = GroupBy.binByQuantiles(df, "v", Seq(0.4, 0.5, 0.6))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(out(1.0) == 1 && out(9.0) == 4)
+  }
 }

@@ -333,4 +333,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(out == Set(2L))
   }
+
+  test("invertedIndex: full-corpus stats, capped ascending postings") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, null: String), (4L, ""))
+      .toDF("id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "id", "text", maxPostings = 20)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      "a" -> ((1L, 2L, "1")),
+      "b" -> ((2L, 2L, "1,2")),
+      "c" -> ((1L, 1L, "2"))))
+    // cap truncates the LIST but never the corpus stats
+    val capped = TextAnalysis.invertedIndex(docs, "id", "text", maxPostings = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(3)))).toMap
+    assert(capped("b") == ((2L, "1")))
+  }
+
+  test("duplicateSpans: cross-doc repeats found, overlaps merged, disjoint spans split") {
+    val docs = Seq(
+      (1L, "x y z w q a b c d e"),      // "x y z w q"@0 and "y z w q a"@1 repeat
+      (2L, "p x y z w q r"),            // "x y z w q"@1
+      (3L, "x y z w q a"),              // both grams again
+      (4L, "x y z w q m1 m2 m3 m4 m5 x y z w q") // two DISJOINT spans
+    ).toDF("id", "text")
+    val out = Dedup.duplicateSpans(docs, "id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 0, 6, 6), (2L, 1, 6, 5), (3L, 0, 6, 6),
+      (4L, 0, 5, 5), (4L, 10, 15, 5)))
+  }
+
+  test("duplicateSpans: no repeats / empty / null text produce nothing") {
+    val docs = Seq((1L, "all tokens here unique once"), (2L, ""), (3L, null: String))
+      .toDF("id", "text")
+    assert(Dedup.duplicateSpans(docs, "id", "text", k = 3).count() == 0)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resampleFill densifies to the hourly grid and forward-fills gaps") {
+    val df = Seq(
+      ("a", ts("2024-01-01 01:10:00"), 1.0),
+      ("a", ts("2024-01-01 01:40:00"), 5.0),
+      ("a", ts("2024-01-01 04:05:00"), 2.0),
+      ("b", ts("2024-01-01 09:30:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.resampleFill(df, Seq("k"), "ts", "v", "hour")
+      .orderBy("k", "bucket").collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getTimestamp(1).toString.substring(11, 13)).toSeq ==
+      Seq("01", "02", "03", "04"))
+    // bucket 01 reduces with max; 02/03 are gaps filled from 01
+    assert(a.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(5.0), None, None, Some(2.0)))
+    assert(a.map(_.getDouble(3)).toSeq == Seq(5.0, 5.0, 5.0, 2.0))
+    // single-observation key: axis of one bucket, fill = observation
+    assert(out.filter(_.getString(0) == "b").map(_.getDouble(3)).toSeq == Seq(7.0))
+  }
+
+  test("resampleFill drops null timestamps and handles empty input") {
+    val df = Seq(("a", Option.empty[Timestamp], 1.0))
+      .toDF("k", "ts", "v")
+    assert(TimeSeries.resampleFill(df, Seq("k"), "ts", "v", "hour").count() == 0)
+  }
+
+  test("funnel: ordered steps, out-of-order events do not count") {
+    val df = Seq(
+      // full conversion
+      (1L, ts("2024-01-01 00:00:01"), "view"),
+      (1L, ts("2024-01-01 00:00:02"), "click"),
+      (1L, ts("2024-01-01 00:00:03"), "purchase"),
+      // click BEFORE the first view: stage stops at 1, and the later
+      // purchase cannot attach to the unqualified click
+      (2L, ts("2024-01-01 00:00:01"), "click"),
+      (2L, ts("2024-01-01 00:00:02"), "view"),
+      (2L, ts("2024-01-01 00:00:03"), "purchase"),
+      // view only
+      (3L, ts("2024-01-01 00:00:01"), "view"),
+      // never entered the funnel
+      (4L, ts("2024-01-01 00:00:01"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = TimeSeries
+      .funnel(df, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(4) == 3)
+    assert(out(2L).getInt(4) == 1)
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    assert(out(3L).getInt(4) == 1)
+    assert(out(4L).getInt(4) == 0)
+    assert(out(1L).getTimestamp(3) == ts("2024-01-01 00:00:03"))
+  }
+
+  test("funnel: a step tied on timestamp with the prior step qualifies") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "view"),
+      (1L, ts("2024-01-01 00:00:01"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = TimeSeries
+      .funnel(df, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect()
+    assert(out.head.getInt(3) == 2)
+  }
+
+  test("funnel on empty input is empty") {
+    val df = Seq.empty[(Long, Timestamp, String)].toDF("user_id", "ts", "event_type")
+    assert(TimeSeries.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click")).count() == 0)
+  }
+}

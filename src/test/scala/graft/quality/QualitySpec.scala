@@ -120,4 +120,42 @@ class QualitySpec extends AnyFunSuite {
     assert(out.count() == 3)
     assert(out.select("__graft_mad_med").collect().forall(_.getString(0) == "keep"))
   }
+
+  test("ksDrift: hand-checked statistic, ties across slices are order-free") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Quality.ksDrift(df, "v", "g", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.5)
+    // identical distributions (with cross-slice ties) -> 0 drift
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(Quality.ksDrift(same, "v", "g", "a", "b").collect().head.getDouble(2) == 0.0)
+    // disjoint supports -> full drift
+    val far = Seq(("a", 1.0), ("b", 9.0)).toDF("g", "v")
+    assert(Quality.ksDrift(far, "v", "g", "a", "b").collect().head.getDouble(2) == 1.0)
+  }
+
+  test("ksDrift: an empty slice yields an empty frame, not a null row") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    assert(Quality.ksDrift(df, "v", "g", "a", "b").count() == 0)
+    assert(Quality.ksDriftBinned(df, "v", "g", "a", "b", 16).count() == 0)
+  }
+
+  test("ksDriftBinned converges to the exact statistic") {
+    val df = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i * 1.4))).toDF("g", "v")
+    val exact = Quality.ksDrift(df, "v", "g", "a", "b").collect().head.getDouble(2)
+    val coarse = Quality.ksDriftBinned(df, "v", "g", "a", "b", 8)
+      .collect().head.getDouble(2)
+    val fine = Quality.ksDriftBinned(df, "v", "g", "a", "b", 4096)
+      .collect().head.getDouble(2)
+    // binned evaluates the CDF gap only at bucket edges: never above
+    // exact, within max-bucket-mass below it, converging as bins grow
+    assert(coarse <= exact + 1e-12)
+    assert(math.abs(fine - exact) < 0.03, s"fine=$fine exact=$exact")
+    // degenerate span (all values equal): one bucket, zero drift
+    val const = Seq(("a", 2.0), ("b", 2.0)).toDF("g", "v")
+    assert(Quality.ksDriftBinned(const, "v", "g", "a", "b", 16)
+      .collect().head.getDouble(2) == 0.0)
+  }
 }
