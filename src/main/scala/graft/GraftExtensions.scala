@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{Bpe, BpeCountExpr, BpeTokenizeExpr, DotProduct, NfcNormalizeExpr, SquaredL2, TryToInt, TryToLong}
+import graft.functions.{Bpe, BpeCountExpr, BpeTokenizeExpr, DeflateRatioExpr, DotProduct, NfcNormalizeExpr, SquaredL2, TryToInt, TryToLong}
 
 /**
  * Session-extensions entry point: enables graft's native SQL functions
@@ -43,5 +43,6 @@ object GraftExtensions {
     "graft_try_long" -> (es => TryToLong(s(es(0)))),
     "graft_nfc" -> (es => NfcNormalizeExpr(s(es(0)))),
     "graft_bpe_count" -> (es => BpeCountExpr(s(es(0)), Bpe.DefaultVocab)),
-    "graft_bpe_tokenize" -> (es => BpeTokenizeExpr(s(es(0)), Bpe.DefaultVocab)))
+    "graft_bpe_tokenize" -> (es => BpeTokenizeExpr(s(es(0)), Bpe.DefaultVocab)),
+    "graft_deflate_ratio" -> (es => DeflateRatioExpr(s(es(0)))))
 }

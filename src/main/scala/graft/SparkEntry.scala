@@ -1870,7 +1870,33 @@ object SparkEntry {
     //      2021) — maximal ≥k-token ranges repeated in the corpus ----
     "q131_duplicate_spans" -> ((s, dir) =>
       graft.llm.Dedup.duplicateSpans(t(s, dir, "documents"),
-        "doc_id", "text", k = 5))
+        "doc_id", "text", k = 5)),
+
+    // ---- sequence-model training data: per-user ordered event-type
+    //      sequences, capped inside the aggregate ----
+    "q132_event_sequences" -> ((s, dir) =>
+      graft.ops.TimeSeries.eventSequences(t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_type", "event_id", maxLen = 30)),
+
+    // ---- event feeds: leading-edge throttle — first event of each
+    //      burst per (user, type), 1-day gap ----
+    "q133_throttle" -> ((s, dir) =>
+      graft.ops.TimeSeries.throttle(t(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "event_id",
+        gapMicros = 86400L * 1000000L)),
+
+    // ---- log compaction: keep only event-type change points per
+    //      user (consecutive duplicates dropped) ----
+    "q134_compress_consecutive" -> ((s, dir) =>
+      graft.ops.TimeSeries.compressConsecutive(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))),
+
+    // ---- text quality: deflate compression ratio (zlib-encoder
+    //      dependent → rows-level gate, unit-tested exactly) ----
+    "q135_compression_ratio" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        TA.compressionRatio(col("text")).as("deflate_ratio")))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -2083,6 +2109,34 @@ object SparkEntry {
         |  max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
         |        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
         |FROM c WHERE na > 0 AND nb > 0 GROUP BY na, nb""".stripMargin,
+
+    // capped LISTAGG via rank-gated CASE (string_agg skips nulls,
+    // array_join skips nulls — same semantics), count over all rows
+    "q132_event_sequences" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT user_id, count(*) AS n_events,
+        |  string_agg(CASE WHEN rn <= 30 THEN event_type END, ' ' ORDER BY rn) AS sequence
+        |FROM r GROUP BY user_id""".stripMargin,
+
+    // lag in epoch micros over (key, type), tie on event_id; kept =
+    // burst heads (previous event absent or further than the gap)
+    "q133_throttle" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id) AS p
+        |  FROM events WHERE ts IS NOT NULL)
+        |WHERE p IS NULL OR epoch_us(ts) - p > 86400000000""".stripMargin,
+
+    // change points only: first row per user or value differs from
+    // the previous row (null-safe IS DISTINCT FROM = Spark <=>)
+    "q134_compress_consecutive" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, lag(event_id) OVER w AS pid, lag(event_type) OVER w AS pv
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE pid IS NULL OR pv IS DISTINCT FROM event_type""".stripMargin,
 
     // same k-gram windows (lead over (doc, pos)) and islands pass;
     // space-joined grams, end-exclusive [pos, pos+k) ranges

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -250,5 +250,71 @@ case class NgramCharsExpr(child: Expression, n: Int, dup: Boolean)
     })
 
   override protected def withNewChildInternal(newChild: Expression): NgramCharsExpr =
+    copy(child = newChild)
+}
+
+/**
+ * Deflate compression ratio: `deflate(utf8_bytes).length /
+ * utf8_bytes.length` at a FIXED level (6, raw/nowrap stream) — the
+ * classic repetition/junk quality signal (highly repetitive boilerplate
+ * compresses far below ~0.4; natural prose sits noticeably higher).
+ * Pinned to the JDK's zlib with explicit level and no header so the
+ * value is stable across JVMs; empty input yields NULL (no signal),
+ * not a ratio. Per-row cost is one deflate pass over the document —
+ * the same shape as the BPE/NFC kernels, and like them it stays inside
+ * whole-stage codegen as a single reference-object call.
+ */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_deflate_ratio"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  /** Shared by interpreted eval and generated code; null for empty. */
+  def ratio(u: UTF8String): Any = {
+    val bytes = u.getBytes
+    if (bytes.length == 0) null
+    else {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / bytes.length.toDouble
+      } finally d.end()
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val self = ctx.addReferenceObj("deflateExpr", this, classOf[DeflateRatioExpr].getName)
+    val c = child.genCode(ctx)
+    // hand-rolled null propagation: the expression is null-PRODUCING
+    // (empty input -> null), which nullSafeCodeGen cannot express
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${c.isNull}) {
+          Object ${ev.value}_r = $self.ratio(${c.value});
+          if (${ev.value}_r != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((java.lang.Double) ${ev.value}_r).doubleValue();
+          }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
     copy(child = newChild)
 }

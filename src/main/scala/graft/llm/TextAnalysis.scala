@@ -339,6 +339,17 @@ object TextAnalysis {
     org.apache.spark.sql.GraftShims.column(graft.functions.NfcNormalizeExpr(
       org.apache.spark.sql.GraftShims.expression(text.cast("string"))))
 
+  /** Deflate compression ratio of the text's UTF-8 bytes (fixed
+   *  level-6 raw stream — [[graft.functions.DeflateRatioExpr]]): the
+   *  repetition/junk signal used alongside [[gopherRules]] — template
+   *  boilerplate compresses far below natural prose. Null/empty →
+   *  null. External-oracle note: the value depends on the zlib
+   *  encoder, so gates over it get a rows-level check, not a
+   *  hash-compare (same class as the multimodal decoders). */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.DeflateRatioExpr(
+      org.apache.spark.sql.GraftShims.expression(text.cast("string"))))
+
   /** Text normalization for corpus pre-processing: strip control
    *  characters, collapse whitespace runs to one space, trim,
    *  lowercase. Patterns are RE2-compatible (no lookaround), so an

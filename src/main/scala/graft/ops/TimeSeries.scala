@@ -128,4 +128,92 @@ object TimeSeries {
       .agg(stepCols.head, stepCols.tail: _*)
       .withColumn("stage", stage)
   }
+
+  /**
+   * Per-key event-sequence assembly for sequence-model training data:
+   * each key's first `maxLen` event values in time order, joined into
+   * one string, plus the key's TOTAL event count (so truncation is
+   * visible downstream). Ties on the timestamp break on `tieCol`
+   * (any unique column — an event id), making the sequence
+   * deterministic under any partitioning.
+   *
+   * One key shuffle serves both the ordering window and the final
+   * aggregate (same partitioning — the invertedIndex single-exchange
+   * shape); the cap happens INSIDE `collect_list` (`when(rn ≤ cap)`,
+   * nulls skipped), so per-key state in the aggregate is bounded by
+   * `maxLen`, not by the key's event count — the property that keeps
+   * a hot key from materializing its whole history in one task.
+   */
+  def eventSequences(df: DataFrame, keys: Seq[String], tsCol: String,
+                     valueCol: String, tieCol: String,
+                     maxLen: Int): DataFrame = {
+    require(keys.nonEmpty, "eventSequences needs key columns")
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") <= maxLen,
+            struct(col("__rn").as("r"), col(valueCol).cast("string").as("v"))))),
+          s => s.getField("v")), " ").as("sequence"))
+  }
+
+  /**
+   * Leading-edge throttle (debounce): keep an event iff more than
+   * `gapMicros` elapsed since the key's PREVIOUS event — i.e. exactly
+   * the first event of each burst, where bursts are maximal chains of
+   * events each within the gap of its predecessor (the same session
+   * definition as `GroupBy.sessionize`; this keeps session HEADS
+   * without materializing session ids). The alert/dedup-throttle
+   * primitive for event feeds.
+   *
+   * ONE window over the keys does it: `lag(ts)` + gap compare, with
+   * `tieCol` breaking timestamp ties deterministically (tied events
+   * are one burst: the `> gap` compare never splits a tie). Rows pass
+   * through unchanged; no aggregation, so AQE skew handling applies
+   * to hot keys like any windowed operator.
+   */
+  def throttle(df: DataFrame, keys: Seq[String], tsCol: String,
+               tieCol: String, gapMicros: Long): DataFrame = {
+    require(keys.nonEmpty, "throttle needs key columns")
+    require(gapMicros >= 0, s"gap must be >= 0, got $gapMicros")
+    val t = unix_micros(col(tsCol))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(t, col(tieCol))
+    val keep = graft.core.Engine.freshColumn(df, "__graft_thr_prev")
+    df.filter(col(tsCol).isNotNull)
+      .withColumn(keep, lag(t, 1).over(w))
+      .filter(col(keep).isNull || t - col(keep) > gapMicros)
+      .drop(keep)
+  }
+
+  /**
+   * Consecutive-duplicate compression (event-log compaction): within
+   * each key, ordered by time (ties on `tieCol`), drop a row when
+   * EVERY `valueCols` entry is null-safely equal to the previous
+   * row's — keeping only change points (the first row always stays).
+   * The inverse of a forward-fill: compact a sampled feed back to its
+   * transitions before storage or SCD ingestion.
+   *
+   * One key-shuffle window; `lag` of the (non-null) tie column marks
+   * the first row, so a leading null value is still kept.
+   */
+  def compressConsecutive(df: DataFrame, keys: Seq[String], tsCol: String,
+                          tieCol: String, valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "compressConsecutive needs key columns")
+    require(valueCols.nonEmpty, "compressConsecutive needs value columns")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val changed = valueCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    // window expressions can't sit in a WHERE clause — stage the flag
+    val keep = graft.core.Engine.freshColumn(df, "__graft_cc_keep")
+    df.withColumn(keep,
+        lag(col(tieCol), 1).over(w).isNull || changed)
+      .filter(col(keep)).drop(keep)
+  }
 }

@@ -180,4 +180,41 @@ class FunctionsSpec extends AnyFunSuite {
       composed.as("expected")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("deflate ratio: exact vs direct zlib, codegen'd, ordered by repetitiveness") {
+    import org.apache.spark.sql.functions._
+    def direct(t: String): Double = {
+      val bytes = t.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total.toDouble / bytes.length
+    }
+    val rep = "spam spam spam " * 50
+    val mixed = (1 to 120).map(i => s"w${i * 2654435761L % 997}").mkString(" ")
+    val df = Seq(rep, mixed).toDF("t").repartition(2)
+    val out = df.select(col("t"),
+      graft.llm.TextAnalysis.compressionRatio(col("t")).as("r")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out(rep) == direct(rep))
+    assert(out(mixed) == direct(mixed))
+    // the signal: boilerplate compresses far below varied text
+    assert(out(rep) < 0.2 && out(rep) < out(mixed) / 2)
+    // stays inside whole-stage codegen (no UDF black box)
+    val planDf = df.select(graft.llm.TextAnalysis.compressionRatio(col("t")))
+    planDf.collect()
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_deflate_ratio"))
+    assert(!plan.contains("ScalaUDF"))
+    // null and empty input -> null (no signal), natively
+    val edge = Seq(Option(""), Option.empty[String]).toDF("t")
+      .select(graft.llm.TextAnalysis.compressionRatio(col("t"))).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    // SQL surface through the extension injection
+    assert(spark.sql(s"SELECT graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaa') r")
+      .collect()(0).getDouble(0) == direct("aaaaaaaaaaaaaaaaaaaa"))
+  }
 }

@@ -82,4 +82,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.funnel(df, "user_id", "ts", "event_type",
       Seq("view", "click")).count() == 0)
   }
+
+  test("eventSequences: time-ordered, tie-broken, capped inside the aggregate") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "a", 10L),
+      (1L, ts("2024-01-01 00:00:03"), "c", 30L),
+      (1L, ts("2024-01-01 00:00:02"), "b", 20L),
+      // tie: same ts, order falls back to the id column
+      (2L, ts("2024-01-01 00:00:01"), "y", 2L),
+      (2L, ts("2024-01-01 00:00:01"), "x", 1L)
+    ).toDF("k", "ts", "v", "id")
+    val out = TimeSeries.eventSequences(df, Seq("k"), "ts", "v", "id", maxLen = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((3L, "a b c")))
+    assert(out(2L) == ((2L, "x y")))
+    // cap truncates the sequence but NOT the count
+    val capped = TimeSeries.eventSequences(df, Seq("k"), "ts", "v", "id", maxLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(capped(1L) == ((3L, "a b")))
+  }
+
+  test("throttle keeps exactly the burst heads") {
+    val df = Seq(
+      // burst of three 10s-spaced events, then a 100s pause, then two more
+      (1L, ts("2024-01-01 00:00:00"), "e", 1L),
+      (1L, ts("2024-01-01 00:00:10"), "e", 2L),
+      (1L, ts("2024-01-01 00:00:20"), "e", 3L),
+      (1L, ts("2024-01-01 00:02:00"), "e", 4L),
+      (1L, ts("2024-01-01 00:02:15"), "e", 5L)
+    ).toDF("k", "ts", "v", "id")
+    val kept = TimeSeries.throttle(df, Seq("k"), "ts", "id", gapMicros = 30L * 1000000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // gap larger than every inter-event distance: only the head survives
+    assert(TimeSeries.throttle(df, Seq("k"), "ts", "id", gapMicros = 3600L * 1000000L)
+      .count() == 1)
+  }
+
+  test("compressConsecutive keeps change points, null-safely") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), Some("a"), 1L),
+      (1L, ts("2024-01-01 00:00:02"), Some("a"), 2L), // dropped
+      (1L, ts("2024-01-01 00:00:03"), Some("b"), 3L),
+      (1L, ts("2024-01-01 00:00:04"), None, 4L),      // change to null kept
+      (1L, ts("2024-01-01 00:00:05"), None, 5L),      // null == null dropped
+      (1L, ts("2024-01-01 00:00:06"), Some("b"), 6L)
+    ).toDF("k", "ts", "v", "id")
+    val kept = TimeSeries.compressConsecutive(df, Seq("k"), "ts", "id", Seq("v"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 6L))
+  }
 }
