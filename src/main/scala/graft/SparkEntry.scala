@@ -1896,7 +1896,28 @@ object SparkEntry {
     //      dependent → rows-level gate, unit-tested exactly) ----
     "q135_compression_ratio" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
-        TA.compressionRatio(col("text")).as("deflate_ratio")))
+        TA.compressionRatio(col("text")).as("deflate_ratio"))),
+
+    // ---- retrieval eval: recall@10 of LSH ANN against the exact
+    //      brute-force ranking, same queries ----
+    "q136_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        k = 10, bits = 6)
+      Similarity.recallAtK(approx, exact, "query_id", "neighbor_id",
+        "rank", k = 10)
+    }),
+
+    // ---- curation: cross-source 5-gram overlap matrix (the
+    //      dataset-card contamination report) ----
+    "q137_source_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.llm.Dedup.hashedShingles(col("text"), 5)).as("h"))
+      graft.llm.Dedup.overlapMatrix(sh, "source", "h")
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -2109,6 +2130,49 @@ object SparkEntry {
         |  max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
         |        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
         |FROM c WHERE na > 0 AND nb > 0 GROUP BY na, nb""".stripMargin,
+
+    // both arms replayed with the SAME hyperplane signatures as the
+    // q30 oracle (k=10): exact arm joins all, approx arm joins within
+    // buckets; recall = |∩| / n_exact with missed queries kept at 0
+    "q136_ann_recall" -> {
+      val planes = graft.llm.Similarity.planesFor(6, 64)
+      val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+        val arr = pl.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, $bucketExpr AS b FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, b FROM bkt WHERE vec_id < 50),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) DESC,
+         |      e.vec_id) AS rn
+         |  FROM q JOIN e ON e.vec_id <> qid) WHERE rn <= 10),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT qid AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,c.v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(c.v,c.v))) DESC,
+         |      c.vec_id) AS rn
+         |  FROM q JOIN bkt c ON q.b = c.b AND c.vec_id <> q.qid) WHERE rn <= 10),
+         |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |hit AS (SELECT ex.query_id, count(*) AS hits
+         |        FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT base.query_id, n_exact, coalesce(hits, 0) AS hits,
+         |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM base LEFT JOIN hit USING (query_id)""".stripMargin
+    },
+
+    // distinct (source, 60-bit md5 5-gram) relation self-joined on
+    // the hash — the q53 shingle/hash recipe, pairwise
+    "q137_source_overlap" ->
+      """WITH w AS (SELECT source, string_split_regex(text,'\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, ('0x'||substr(md5(s),1,15))::BIGINT AS h FROM (
+        |  SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS s FROM w))
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     // capped LISTAGG via rank-gated CASE (string_agg skips nulls,
     // array_join skips nulls — same semantics), count over all rows

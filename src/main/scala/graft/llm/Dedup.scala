@@ -1061,4 +1061,31 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start"))
       .drop("__isl")
   }
+
+  /**
+   * Cross-source overlap matrix: for every unordered pair of sources,
+   * how many distinct `keyCol` values they share — the dataset-card
+   * contamination/overlap report (key = content hash for exact
+   * overlap, hashed shingles for n-gram-level overlap, minhash band
+   * for near-dup-level). The pairwise generalization of
+   * [[contaminationHits]]'s one-benchmark check.
+   *
+   * One key shuffle: the (source, key) relation is deduplicated, then
+   * self-joined on the key and reduced to pair counts. Per-key pair
+   * emission is |sources carrying the key|² — bounded by the CATALOG
+   * size squared (sources are enum-small), never by corpus size; a
+   * ubiquitous key (stopword gram) emits at most that bound. Keys are
+   * whatever the caller derived — pass hashes, not raw text, so the
+   * shuffle carries 8 bytes per key.
+   */
+  def overlapMatrix(df: DataFrame, sourceCol: String,
+                    keyCol: String): DataFrame = {
+    val d = df.select(col(sourceCol), col(keyCol)).distinct()
+    val a = d.select(col(sourceCol).as("source_a"), col(keyCol))
+    val b = d.select(col(sourceCol).as("source_b"), col(keyCol))
+    a.join(b, Seq(keyCol))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+  }
 }

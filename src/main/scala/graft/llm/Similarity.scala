@@ -410,4 +410,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /**
+   * Retrieval-quality evaluation: recall@k of an approximate
+   * ranking against an exact one — THE acceptance metric for every
+   * ANN configuration in this module (how many of the true top-k
+   * did LSH/IVF/quantized retrieval surface?). Both inputs are
+   * (qid, id, rank) relations, e.g. [[lshTopK]] vs [[bruteForceTopK]]
+   * on the same queries.
+   *
+   * Per query: `n_exact` = exact neighbors at rank ≤ k, `hits` = of
+   * those, how many the approximate list (rank ≤ k) also contains,
+   * `recall = hits / n_exact`. Queries the approximate arm missed
+   * entirely still appear (hits = 0) — silent denominator shrinkage
+   * would overstate recall.
+   *
+   * Scale: both inputs are rank-filtered to queries×k rows BEFORE
+   * the joins, so cost is list-sized, never corpus-sized; the
+   * semi-join and the two aggregates share the qid shuffle.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+                idCol: String, rankCol: String, k: Int): DataFrame = {
+    val e = exact.filter(col(rankCol) <= k).select(col(qidCol), col(idCol))
+    val a = approx.filter(col(rankCol) <= k).select(col(qidCol), col(idCol))
+    val hits = e.join(a, Seq(qidCol, idCol), "left_semi")
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("hits"))
+    e.groupBy(col(qidCol)).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(qidCol), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall",
+        col("hits").cast("double") / col("n_exact").cast("double"))
+  }
 }

@@ -193,4 +193,43 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
     assert(!p.contains("GlobalLimit"), p.take(1200))
   }
+
+  test("q132 event sequences: rank window and capped aggregate share ONE key exchange") {
+    val p = finalPlan("q132_event_sequences")
+    val fin = p.split("== Initial Plan ==")(0)
+    // window (rank) + partial/final collect run on the same user_id
+    // partitioning: exactly one shuffle in the final plan, no join
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1, fin.take(1200))
+    assert(!fin.contains("Join"), fin.take(1200))
+    // the cap rides INSIDE collect_list (bounded per-key agg state)
+    assert(fin.contains("collect_list(CASE WHEN"), fin.take(1200))
+  }
+
+  test("q129 inverted index: stats + capped postings from ONE term exchange after the tf agg") {
+    val p = finalPlan("q129_inverted_index")
+    val fin = p.split("== Initial Plan ==")(0)
+    // exactly two shuffles total: (doc, term) for tf, term for the
+    // window+agg — the stats-branch/cap-branch formulation cost four
+    // and re-scanned the corpus twice
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 2, fin.take(1500))
+    assert(!fin.contains("Join"), fin.take(1500))
+  }
+
+  test("q131 duplicate spans: occurrence count is a window, not a self-join") {
+    val p = finalPlan("q131_duplicate_spans")
+    val fin = p.split("== Initial Plan ==")(0)
+    // the gram-keyed exchange feeds a partition count; a groupBy +
+    // probe-side join formulation would re-shuffle the gram relation
+    assert(!fin.contains("Join"), fin.take(1500))
+    // islands + gram windows: doc-keyed, gram-keyed, doc-keyed again
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3, fin.take(1500))
+  }
+
+  test("q135 deflate ratio stays a shuffle-free codegen'd scan") {
+    val p = finalPlan("q135_compression_ratio")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Exchange"), fin.take(800))
+    assert(fin.contains("graft_deflate_ratio"), fin.take(800))
+    assert(!fin.contains("ScalaUDF"), fin.take(800))
+  }
 }

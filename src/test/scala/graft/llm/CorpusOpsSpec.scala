@@ -371,4 +371,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       .toDF("id", "text")
     assert(Dedup.duplicateSpans(docs, "id", "text", k = 3).count() == 0)
   }
+
+  test("recallAtK: hand-checked hits, rank cut, missed queries kept at zero") {
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 99L, 4L), // rank 4 cut
+      (2L, 20L, 1L), (2L, 21L, 2L)
+    ).toDF("qid", "id", "rank")
+    val approx = Seq(
+      (1L, 11L, 1L), (1L, 12L, 2L), (1L, 55L, 3L), (1L, 10L, 4L) // 10 outside k
+    ).toDF("qid", "id", "rank")
+    val out = Similarity.recallAtK(approx, exact, "qid", "id", "rank", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0)))
+    // query 2 absent from the approximate arm: present with recall 0
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
+  test("overlapMatrix: unordered pair counts over distinct (source, key)") {
+    val df = Seq(
+      ("s1", 1L), ("s1", 2L), ("s2", 1L), ("s2", 1L), // dup row collapses
+      ("s3", 1L), ("s3", 2L)
+    ).toDF("source", "h")
+    val out = Dedup.overlapMatrix(df, "source", "h")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("s1", "s2") -> 1L, ("s1", "s3") -> 2L, ("s2", "s3") -> 1L))
+  }
 }
