@@ -1917,6 +1917,41 @@ object SparkEntry {
         .select(col("source"),
           explode(graft.llm.Dedup.hashedShingles(col("text"), 5)).as("h"))
       graft.llm.Dedup.overlapMatrix(sh, "source", "h")
+    }),
+
+    // ---- streaming: the funnel maintained INCREMENTALLY with custom
+    //      keyed state through REAL micro-batches (hour-chunked
+    //      chronological feed, the q110 bridge), update log folded
+    //      back to the batch-funnel shape and hash-matched against
+    //      the batch oracle ----
+    "q138_stream_funnel" -> ((s, dir) => {
+      val steps = Seq("view", "click", "purchase")
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin(steps.map(lit): _*))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q138")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      // one file per hr-range partition, mtime-stamped chronological —
+      // the ordered-feed contract funnelStream's exactness needs
+      // (same invariant + guard as q110)
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q138: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.funnelStream(
+          df, "user_id", "ts", "event_type", steps),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldFunnelUpdates(updates, "user_id", 3)
     })
   )
 
@@ -2070,6 +2105,25 @@ object SparkEntry {
         |SELECT a.user_id, a.bucket, b.v,
         |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY a.user_id ORDER BY a.bucket) AS v_fill
         |FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.bucket = b.bucket""".stripMargin,
+
+    // the q127 batch-funnel oracle restricted to actors with at least
+    // one STEP event (the stream emits state only for those); the
+    // stream's fold must hash-match the batch formula exactly
+    "q138_stream_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END AS q0 FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |         min(q0) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |         THEN ts END AS q1 FROM w1),
+        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |         min(q1) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |         THEN ts END AS q2 FROM w2)
+        |SELECT user_id, min(q0) AS step1_ts, min(q1) AS step2_ts, min(q2) AS step3_ts,
+        |  CASE WHEN min(q2) IS NOT NULL THEN 3 WHEN min(q1) IS NOT NULL THEN 2
+        |       WHEN min(q0) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM w3 GROUP BY user_id""".stripMargin,
 
     // running min(CASE step) windows, default RANGE frame (tie-safe);
     // step columns form a prefix, stage = highest non-null

@@ -388,4 +388,87 @@ object Streaming {
           KeyCount(key, next)
       }
   }
+
+  /**
+   * Streaming funnel: the [[graft.ops.TimeSeries.funnel]] semantics
+   * maintained INCREMENTALLY over a micro-batch stream with custom
+   * keyed state (`mapGroupsWithState`, Update mode) — per actor, an
+   * array of k step markers (epoch micros, `Long.MaxValue` =
+   * unreached), where marker i is the earliest step-i event at-or-
+   * after marker i−1.
+   *
+   * Ordering contract: batch-exact ONLY on an event-time-ordered feed
+   * (the file-bridge pattern — chronological chunks, e.g. one file
+   * per hour, `maxFilesPerTrigger=1`), because funnel qualification
+   * is retroactive under disorder: a step-1 event arriving AFTER a
+   * later-timestamped step-2 event was processed cannot requalify it
+   * without buffering raw events. Within a batch, events process
+   * sorted by (ts, step index), so a step tied on timestamp with its
+   * predecessor qualifies — the same RANGE-frame tie reading as the
+   * batch operator.
+   *
+   * State is k longs per actor — bounded, RocksDB-compatible, no
+   * event buffering. Output per batch: (actor, marks) for every actor
+   * the batch touched; markers are SET-ONCE on an ordered feed, so
+   * the update log folds order-free ([[foldFunnelUpdates]]).
+   */
+  def funnelStream(df: DataFrame, actorCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    require(k >= 1, "funnelStream needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps.map(lit): _*))
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (Long, Array[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Array[Long]]) =>
+          val marks = state.getOption.getOrElse(Array.fill(k)(Long.MaxValue))
+          // ties process predecessor-step first (RANGE-frame reading)
+          rows.toSeq.sortBy(r => (r._2, stepIdx(r._3))).foreach {
+            case (_, ts, typ) =>
+              val i = stepIdx(typ)
+              if (ts < marks(i) && (i == 0 || marks(i - 1) <= ts))
+                marks(i) = ts
+          }
+          state.update(marks)
+          (key, marks.toSeq.toArray)
+      }
+      .toDF("actor", "marks")
+  }
+
+  /**
+   * Collapse a [[funnelStream]] update log (one (actor, marks) row
+   * per actor per batch that touched it) to the batch-funnel shape:
+   * `actorCol`, `step1_ts … stepN_ts` (timestamp, null where never
+   * reached), `stage`. Markers are set-once on an ordered feed, so
+   * `min` per position is an ORDER-FREE fold — exactly-once not
+   * required of the log (the bridge's at-least-once duplicates fold
+   * to the same answer).
+   */
+  def foldFunnelUpdates(updates: DataFrame, actorCol: String,
+                        k: Int): DataFrame = {
+    val sentinel = Long.MaxValue
+    val markMins = (0 until k).map(i =>
+      min(element_at(col("marks"), i + 1)).as(s"__m$i"))
+    val folded = updates.groupBy(col("actor").as(actorCol))
+      .agg(markMins.head, markMins.tail: _*)
+    val withSteps = (0 until k).foldLeft(folded) { (acc, i) =>
+      acc.withColumn(s"step${i + 1}_ts",
+        when(col(s"__m$i") =!= sentinel, timestamp_micros(col(s"__m$i"))))
+    }
+    val stage = (0 until k).foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"step${i + 1}_ts").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withSteps.withColumn("stage", stage)
+      .select(col(actorCol) +:
+        (0 until k).map(i => col(s"step${i + 1}_ts")) :+ col("stage"): _*)
+  }
 }

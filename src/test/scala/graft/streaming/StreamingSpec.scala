@@ -293,4 +293,51 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
+
+  test("funnelStream: keyed-state funnel across ordered micro-batches == batch funnel") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toString
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:10:00"), "click"),   // before any view: never qualifies
+      (3L, ts("2024-01-01 10:20:00"), "view"),
+      (3L, ts("2024-01-01 10:20:00"), "click")    // tied with the view: qualifies
+    )
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 11:30:00"), "purchase"),
+      (2L, ts("2024-01-01 11:05:00"), "view"),
+      (2L, ts("2024-01-01 11:20:00"), "purchase"), // before the qualified click: no
+      (2L, ts("2024-01-01 11:40:00"), "click")
+    )
+    batch1.toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val steps = Seq("view", "click", "purchase")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.funnelStream(df, "user_id", "ts", "event_type", steps),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldFunnelUpdates(updates, "user_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+    assert(out(1L) == ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 11:30:00")), 3)))
+    assert(out(2L) == ((Some(ts("2024-01-01 11:05:00")),
+      Some(ts("2024-01-01 11:40:00")), None, 2)))
+    assert(out(3L) == ((Some(ts("2024-01-01 10:20:00")),
+      Some(ts("2024-01-01 10:20:00")), None, 2)))
+    // parity: identical to the batch operator over the full event set
+    val batchOut = graft.ops.TimeSeries.funnel(
+      (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+    assert(out == batchOut)
+  }
 }
