@@ -2203,17 +2203,20 @@ object SparkEntry {
          |      list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) DESC,
          |      e.vec_id) AS rn
          |  FROM q JOIN e ON e.vec_id <> qid) WHERE rn <= 10),
-         |ap AS (SELECT query_id, neighbor_id FROM (
+         |ap AS (SELECT query_id, neighbor_id, rn FROM (
          |  SELECT qid AS query_id, c.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY qid ORDER BY
          |      list_dot_product(qv,c.v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(c.v,c.v))) DESC,
          |      c.vec_id) AS rn
          |  FROM q JOIN bkt c ON q.b = c.b AND c.vec_id <> q.qid) WHERE rn <= 10),
          |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
-         |hit AS (SELECT ex.query_id, count(*) AS hits
+         |hit AS (SELECT ex.query_id, count(*) AS hits, min(ap.rn) AS first_hit_rank
          |        FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
          |SELECT base.query_id, n_exact, coalesce(hits, 0) AS hits,
-         |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+         |  first_hit_rank,
+         |  CASE WHEN first_hit_rank IS NOT NULL
+         |       THEN 1e0 / CAST(first_hit_rank AS DOUBLE) ELSE 0e0 END AS rr
          |FROM base LEFT JOIN hit USING (query_id)""".stripMargin
     },
 

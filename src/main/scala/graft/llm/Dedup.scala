@@ -1008,7 +1008,8 @@ object Dedup {
    * length.
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int, minCount: Int = 2): DataFrame = {
+                     k: Int, minCount: Int = 2,
+                     hashGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     import org.apache.spark.sql.expressions.Window
@@ -1038,8 +1039,15 @@ object Dedup {
     // corpus occurrence count as a PARTITION-count window rather than
     // a groupBy + self-join: one gram-keyed exchange instead of two
     // (the join formulation re-shuffled the gram relation for the
-    // probe side; plan-audited away)
-    val wg = Window.partitionBy(col("__gram"))
+    // probe side; plan-audited away). hashGrams trades the k-token
+    // string shuffle key for 8 bytes of xxhash64 — the 256x probe put
+    // the string shuffle at the spill edge; cost is a 2^-64 per-pair
+    // false-merge chance and the loss of external-oracle replay
+    // (DuckDB has no xxhash64), so the exact form stays the default
+    // and the gated one.
+    val grouping =
+      if (hashGrams) xxhash64(col("__gram")) else col("__gram")
+    val wg = Window.partitionBy(grouping)
     val hits = grams
       .withColumn("__n", count(lit(1)).over(wg))
       .filter(col("__n") >= minCount)

@@ -421,9 +421,11 @@ object Similarity {
    *
    * Per query: `n_exact` = exact neighbors at rank ≤ k, `hits` = of
    * those, how many the approximate list (rank ≤ k) also contains,
-   * `recall = hits / n_exact`. Queries the approximate arm missed
-   * entirely still appear (hits = 0) — silent denominator shrinkage
-   * would overstate recall.
+   * `recall = hits / n_exact`, `first_hit_rank` = the best approx
+   * rank among true hits (null if none) and `rr` its reciprocal
+   * (0.0 if none — mean(rr) over queries is MRR@k). Queries the
+   * approximate arm missed entirely still appear (hits = 0) — silent
+   * denominator shrinkage would overstate recall.
    *
    * Scale: both inputs are rank-filtered to queries×k rows BEFORE
    * the joins, so cost is list-sized, never corpus-sized; the
@@ -432,13 +434,25 @@ object Similarity {
   def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
                 idCol: String, rankCol: String, k: Int): DataFrame = {
     val e = exact.filter(col(rankCol) <= k).select(col(qidCol), col(idCol))
-    val a = approx.filter(col(rankCol) <= k).select(col(qidCol), col(idCol))
-    val hits = e.join(a, Seq(qidCol, idCol), "left_semi")
-      .groupBy(col(qidCol)).agg(count(lit(1)).as("hits"))
+    val a = approx.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("long").as("__ar"))
+    // inner join keeps only true hits; per query, count them and take
+    // the best (lowest) approx rank for the reciprocal-rank metric —
+    // 1/r over small integer ranks is exactly rounded, so rr is
+    // engine-reproducible (unlike log-discounted nDCG, deliberately
+    // not emitted)
+    val hits = e.join(a, Seq(qidCol, idCol))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("hits"), min(col("__ar")).as("first_hit_rank"))
     e.groupBy(col(qidCol)).agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq(qidCol), "left")
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("recall",
         col("hits").cast("double") / col("n_exact").cast("double"))
+      .withColumn("rr",
+        when(col("first_hit_rank").isNotNull,
+          lit(1.0) / col("first_hit_rank").cast("double")).otherwise(lit(0.0)))
+      .select(col(qidCol), col("n_exact"), col("hits"), col("recall"),
+        col("first_hit_rank"), col("rr"))
   }
 }

@@ -33,12 +33,15 @@ object DupSpansProbe {
         else base.crossJoin(spark.range(n).select(col("id").as("__copy")))
           .select((col("doc_id") + col("__copy") * 10000000L).as("doc_id"),
             col("text"))
-      val t0 = System.nanoTime()
-      val out = graft.llm.Dedup.duplicateSpans(corpus, "doc_id", "text", k = 5)
-      val agg = out.agg(count(lit(1)), sum("span_tokens")).collect()(0)
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] ${n}%dx docs=${500L * n}%d spans=${agg.getLong(0)}%d " +
-        f"span_tokens=${agg.getLong(1)}%d wall=${wall}%.1fs")
+      for (hashed <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val out = graft.llm.Dedup.duplicateSpans(corpus, "doc_id", "text",
+          k = 5, hashGrams = hashed)
+        val agg = out.agg(count(lit(1)), sum("span_tokens")).collect()(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] ${n}%dx hashed=$hashed%s docs=${500L * n}%d " +
+          f"spans=${agg.getLong(0)}%d span_tokens=${agg.getLong(1)}%d wall=${wall}%.1fs")
+      }
     }
     spark.stop()
   }

@@ -366,6 +366,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 0, 5, 5), (4L, 10, 15, 5)))
   }
 
+  test("duplicateSpans: hashGrams variant matches the exact form") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "x y z w q a b c" else s"u$i v$i w$i x$i y$i z$i"))
+      .toDF("id", "text")
+    val exact = Dedup.duplicateSpans(docs, "id", "text", k = 5)
+      .collect().map(_.toSeq).toSet
+    val hashed = Dedup.duplicateSpans(docs, "id", "text", k = 5, hashGrams = true)
+      .collect().map(_.toSeq).toSet
+    assert(exact == hashed && exact.nonEmpty)
+  }
+
   test("duplicateSpans: no repeats / empty / null text produce nothing") {
     val docs = Seq((1L, "all tokens here unique once"), (2L, ""), (3L, null: String))
       .toDF("id", "text")
@@ -381,11 +392,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, 11L, 1L), (1L, 12L, 2L), (1L, 55L, 3L), (1L, 10L, 4L) // 10 outside k
     ).toDF("qid", "id", "rank")
     val out = Similarity.recallAtK(approx, exact, "qid", "id", "rank", k = 3)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5))))
       .toMap
-    assert(out(1L) == ((3L, 2L, 2.0 / 3.0)))
-    // query 2 absent from the approximate arm: present with recall 0
-    assert(out(2L) == ((2L, 0L, 0.0)))
+    // columns: (qid, n_exact, hits, recall, first_hit_rank, rr);
+    // first hit is id 11 at approx rank 1 -> rr 1.0
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0, Some(1L), 1.0)))
+    // query 2 absent from the approximate arm: present with recall 0, rr 0
+    assert(out(2L) == ((2L, 0L, 0.0, None, 0.0)))
   }
 
   test("overlapMatrix: unordered pair counts over distinct (source, key)") {
