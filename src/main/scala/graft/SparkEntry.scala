@@ -1952,6 +1952,67 @@ object SparkEntry {
         dir = s"$tmp/run", statePartitions = Some(8),
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldFunnelUpdates(updates, "user_id", 3)
+    }),
+
+    // ---- retrieval training data: hard-negative mining — per query
+    //      the top-k neighbors INSIDE the cosine band [0.1, 0.5) ----
+    "q139_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, maxCos = 0.5, minCos = 0.1)
+    }),
+
+    // ---- curation: prototypicality pruning (Sorscher et al. 2022) —
+    //      drop the most-prototypical half of each k-means cluster;
+    //      trained centroids stashed for the oracle like q39/q68 ----
+    "q140_prototype_prune" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nlist = 8, iters = 2)
+      q140Centroids = cents
+      Similarity.prototypePrune(e, "vec_id", "embedding", cents,
+        dropNum = 1, dropDen = 2)
+    }),
+
+    // ---- tokenizer design: vocabulary coverage curve — top-100
+    //      tokens with cumulative corpus share ----
+    "q141_vocab_coverage" -> ((s, dir) =>
+      TA.vocabCoverage(t(s, dir, "documents"), "text", topN = 100)),
+
+    // ---- product analytics: weekly cohort retention triangle ----
+    "q142_retention" -> ((s, dir) =>
+      graft.ops.TimeSeries.retentionCohorts(t(s, dir, "events"),
+        "user_id", "ts", "week")),
+
+    // ---- streaming: exact per-key running counts (the heavy-hitter
+    //      primitive) with custom keyed state through REAL
+    //      micro-batches; counts are monotone, so the at-least-once
+    //      update log folds with max — order- and duplicate-free ----
+    "q143_stream_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q143")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => {
+          import df.sparkSession.implicits._
+          graft.streaming.Streaming.runningCount(
+            df.select(col("user_id").cast("string"), lit(1L))
+              .as[(String, Long)]).toDF()
+        },
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      updates.groupBy(col("key"))
+        .agg(max(col("count")).as("n_events"))
     })
   )
 
@@ -1966,6 +2027,40 @@ object SparkEntry {
   /** q68's trained centroids (same stash-for-oracle mechanism as
    *  [[q39Centroids]] — Verify dumps oracleSql AFTER the queries run). */
   @volatile private var q68Centroids: Seq[Array[Double]] = Nil
+
+  /** q140's trained centroids (same stash-for-oracle mechanism as
+   *  [[q39Centroids]]). */
+  @volatile private var q140Centroids: Seq[Array[Double]] = Nil
+
+  /** Prototype-prune oracle: the SAME trained centroids inlined;
+   *  assignment replays the CentroidRanks sequential sqdist fold (the
+   *  q39/q68 pattern), prototypicality the list_dot_product cosine,
+   *  the drop rule an integer cross-multiplication. */
+  private def q140OracleSql(cents: Seq[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (c, j) =>
+      s"($j, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(j, c) AS (VALUES $values),
+       |dist AS (SELECT vec_id, v, j, c,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |     (acc, x) -> acc + x) AS d
+       | FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, v, j AS cl, c FROM dist
+       | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) = 1),
+       |sc AS (SELECT vec_id, cl,
+       |   CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)) = 0 THEN 0.0
+       |        ELSE list_dot_product(v, c) /
+       |             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) END AS pc
+       | FROM assign),
+       |r AS (SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+       |   CAST(row_number() OVER (PARTITION BY cl ORDER BY pc DESC, vec_id) AS BIGINT) AS proto_rank,
+       |   CAST(count(*) OVER (PARTITION BY cl) AS BIGINT) AS n_cluster
+       | FROM sc)
+       |SELECT vec_id, cluster, proto_rank, n_cluster,
+       |  proto_rank * 2 > n_cluster AS kept FROM r""".stripMargin
+  }
 
   /** q85's waterfilled per-language thresholds (`round(frac·denom)`,
    *  same stash-for-oracle mechanism as [[q39Centroids]]). */
@@ -2088,6 +2183,9 @@ object SparkEntry {
     (if (q68Centroids.nonEmpty)
        Map("q68_semantic_neardup" -> q68OracleSql(q68Centroids))
      else Map.empty[String, String]) ++
+    (if (q140Centroids.nonEmpty)
+       Map("q140_prototype_prune" -> q140OracleSql(q140Centroids))
+     else Map.empty[String, String]) ++
     (if (q85Thresholds.nonEmpty)
        Map("q85_temperature_mix" -> q85OracleSql(q85Thresholds))
      else Map.empty[String, String]) ++
@@ -2105,6 +2203,60 @@ object SparkEntry {
         |SELECT a.user_id, a.bucket, b.v,
         |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY a.user_id ORDER BY a.bucket) AS v_fill
         |FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.bucket = b.bucket""".stripMargin,
+
+    // brute-force cosine ranking restricted to the negative band
+    // [0.1, 0.5) — same fixed-order double arithmetic as q27
+    "q139_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+        |   list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) AS cos
+        |   FROM q JOIN e ON vec_id <> qid),
+        |b AS (SELECT * FROM s WHERE cos < 0.5 AND cos >= 0.1)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank", neighbor_id, cos
+        |FROM b QUALIFY "rank" <= 5""".stripMargin,
+
+    // exact token counts, global (count desc, token) rank cut to 100,
+    // running sum over the survivors against the corpus-wide total
+    "q141_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(coalesce(text, ''), '\s+')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |      WHERE token <> '' GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS "rank"
+        |      FROM c QUALIFY "rank" <= 100)
+        |SELECT "rank", token, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |       ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+        |FROM r CROSS JOIN t""".stripMargin,
+
+    // weekly cohort = min truncated bucket per user; offsets in whole
+    // weeks via integer epoch-microsecond division; counts exact,
+    // retention one division
+    "q142_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS bucket
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |ab AS (SELECT user_id, min(bucket) OVER (PARTITION BY user_id) AS cohort, bucket FROM e),
+        |o AS (SELECT user_id, cohort,
+        |        (epoch_us(bucket) - epoch_us(cohort)) // 604800000000 AS "offset" FROM ab),
+        |s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM o
+        |      WHERE "offset" = 0 GROUP BY 1),
+        |a AS (SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS n_active
+        |      FROM o GROUP BY 1, 2)
+        |SELECT a.cohort, a."offset", a.n_active, s.cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM a JOIN s USING (cohort)""".stripMargin,
+
+    // the stream's folded running counts must equal the batch
+    // per-user event counts exactly
+    "q143_stream_counts" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // the q127 batch-funnel oracle restricted to actors with at least
     // one STEP event (the stream emits state only for those); the

@@ -175,6 +175,101 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive / retrieval training: for
+   * every query, the `k` most similar corpus rows whose cosine falls
+   * INSIDE `[minCos, maxCos)` — near enough to be informative
+   * negatives, but below the positive/near-duplicate band that would
+   * poison the loss with false negatives (the standard BM25/ANN
+   * hard-negative recipe, cf. DPR, Karpukhin et al. 2020). Upper
+   * bound excludes (`cos < maxCos`), lower bound includes
+   * (`cos >= minCos`); self-pairs are always excluded. Ties broken by
+   * corpus id (asc). Output: (query_id, rank, neighbor_id, cos).
+   *
+   * Same plan shape as [[bruteForceTopK]]: queries broadcast against
+   * the corpus (never shuffling it), the band filter applies BELOW
+   * the per-query top-k window, and the `row_number <= k` filter
+   * plans as a Partial WindowGroupLimit — the exchange ships at most
+   * partitions × |queries| × k pre-limited rows, and the band filter
+   * shrinks even that. All cosine math is the fixed-order double
+   * arithmetic of [[cosPre]], bit-reproducible cross-engine.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    maxCos: Double, minCos: Double = -1.0): DataFrame = {
+    require(minCos < maxCos, s"empty band: [$minCos, $maxCos)")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosPre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cos"))
+      .filter(col("cos") < maxCos && col("cos") >= minCos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /**
+   * Prototypicality pruning (the SSL-prototypes metric of Sorscher et
+   * al. 2022, "Beyond neural scaling laws", arXiv:2206.14486): assign
+   * each row to its nearest k-means centroid (squared-Euclidean
+   * argmin — the SAME [[graft.functions.CentroidRanks]] kernel and
+   * tie rule as the IVF quantizer, so one trained centroid set serves
+   * both ANN and pruning), score prototypicality as cosine to the
+   * assigned centroid, and mark the TOP `dropNum/dropDen` fraction of
+   * each cluster (most prototypical first — those are the redundant,
+   * easy examples at big-data scale) as pruned. Rows are FLAGGED, not
+   * filtered — curation wants the per-cluster diagnostics before
+   * committing, same contract as
+   * [[graft.llm.TextAnalysis.gopherRules]].
+   *
+   * The keep rule is an INTEGER cross-multiplication over the
+   * per-cluster rank and size (`rank·dropDen > dropNum·n` ⇒ kept), so
+   * the flag is exact at the knife edge; rank orders by (cos desc, id
+   * asc) and cosine is fixed-order double arithmetic — the whole
+   * output is a pure function of (data, centroids), reproducible
+   * cross-engine.
+   *
+   * Output: (`idCol`, cluster, proto_rank, n_cluster, kept).
+   * Scale: one pure-projection assignment scan (broadcast literal
+   * centroids — the corpus never joins), then one cluster-keyed
+   * exchange carrying (id, cluster, cos) triples — vectors do NOT
+   * shuffle; both window functions (count, rank) ride that single
+   * partitioning. Cluster granularity (nlist) bounds window-partition
+   * size the same way it bounds IVF probe cost.
+   */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Array[Double]],
+                     dropNum: Int, dropDen: Int): DataFrame = {
+    require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
+      s"drop fraction $dropNum/$dropDen outside [0, 1]")
+    val mat = typedlit(centroids.map(_.toSeq))
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cluster", nearestCentroid(col("__v"), centroids).cast("long"))
+      .where(col("cluster").isNotNull)
+      .withColumn("__c", element_at(mat, (col("cluster") + 1).cast("int")))
+      // cosine to the assigned centroid; vectors drop before the
+      // exchange — only (id, cluster, cos) shuffles
+      .select(col(idCol), col("cluster"),
+        cosPre(col("__v"), col("__c"), norm(col("__v")), norm(col("__c")))
+          .as("proto_cos"))
+    val wc = Window.partitionBy("cluster")
+    val wr = Window.partitionBy("cluster")
+      .orderBy(col("proto_cos").desc, col(idCol).asc)
+    v.withColumn("n_cluster", count(lit(1)).over(wc))
+      .withColumn("proto_rank", row_number().over(wr).cast("long"))
+      .withColumn("kept",
+        col("proto_rank") * dropDen > lit(dropNum.toLong) * col("n_cluster"))
+      .select(col(idCol), col("cluster"), col("proto_rank"),
+        col("n_cluster"), col("kept"))
+  }
+
+  /**
    * Reciprocal-rank fusion of N ranked retrieval lists — the standard
    * glue of a hybrid (BM25 + embedding-ANN) retrieval stack: each
    * source contributes `1/(kRrf + rank)` for every (query, doc) it

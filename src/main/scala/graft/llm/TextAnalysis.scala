@@ -815,4 +815,52 @@ object TextAnalysis {
           when(col("__rn") <= maxPostings, col(idCol)))), ",")
           .as("postings"))
   }
+
+  /**
+   * Vocabulary coverage curve: the `topN` most frequent tokens with
+   * each prefix's cumulative share of ALL corpus token occurrences —
+   * the tokenizer-design question "how many vocabulary entries cover
+   * X% of the corpus" answered directly (the curve whose knee sizes a
+   * BPE/word vocab, and the OOV-rate complement: 1 − cum_frac is the
+   * miss rate of a topN word vocab). Ranks order by (count desc,
+   * token asc) so the curve is a pure function of the corpus; counts
+   * and the running sum are exact integers, `cum_frac` one division
+   * each — reproducible cross-engine. Empty-string split artifacts
+   * are excluded, as [[invertedIndex]].
+   *
+   * Output: (rank, token, cnt, cum_cnt, cum_frac), rank ≤ `topN`.
+   *
+   * Scale: one token-keyed count shuffle with map-side partials, then
+   * a GLOBAL rank window whose `row_number <= topN` filter plans as a
+   * Partial WindowGroupLimit — each vocab partition pre-cuts to topN
+   * rows, so the single-partition exchange ships at most
+   * partitions × topN rows, never the vocabulary. The running sum
+   * then folds over only those topN survivors (against the exact
+   * corpus-wide total from the count aggregate's second branch —
+   * sharing the token shuffle via the same partitioning).
+   */
+  def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(explode(tokens(coalesce(col(textCol), lit(""))))
+        .as("token"))
+      .filter(col("token") =!= "")
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      // three consumers (total, rank cut, running sum) — localCheckpoint
+      // so the corpus is exploded and count-shuffled ONCE (the
+      // bm25TopK/ngramCoherence lifecycle rationale)
+      .localCheckpoint(false)
+    val total = counts.agg(sum("cnt").as("__total"))
+    val wRank = Window.orderBy(col("cnt").desc, col("token").asc)
+    val wCum = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topN)
+      .withColumn("cum_cnt", sum("cnt").over(wCum))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("__total").cast("double"))
+          .as("cum_frac"))
+  }
 }

@@ -216,4 +216,72 @@ object TimeSeries {
         lag(col(tieCol), 1).over(w).isNull || changed)
       .filter(col(keep)).drop(keep)
   }
+
+  /**
+   * Cohort retention matrix: actors grouped by the `date_trunc` bucket
+   * of their FIRST event (the cohort), then, for each (cohort,
+   * bucket-offset) cell, how many of the cohort's actors were active
+   * in that bucket — the canonical product-analytics retention
+   * triangle, plus each cohort's size and the exact retained
+   * fraction. Offsets are whole `unit` steps between the truncated
+   * buckets; offset 0 is the cohort bucket itself (retention 1.0 by
+   * construction — kept as the sanity row).
+   *
+   * Output: (cohort, offset, n_active, cohort_size, retention) —
+   * counts exact, `retention` one division of exact integers.
+   *
+   * Scale posture: two shuffles, both on keys that SHRINK the data —
+   * (1) actor-keyed: the cohort derivation is a running `min()` window
+   * and the per-(actor, bucket) dedup a groupBy, sharing one actor
+   * exchange (a separate min-join formulation would scan and shuffle
+   * the events twice); (2) (cohort, offset)-keyed counts over the
+   * deduped actor-buckets. Nothing is actor-history-materializing: a
+   * hot actor collapses to its distinct buckets in the map-side
+   * partial. Cohort sizes ride the same deduped relation (offset 0 ⇔
+   * cohort membership), so no third scan.
+   *
+   * @param unit a `date_trunc` unit (`"week"`, `"day"`, `"month"`, …)
+   */
+  def retentionCohorts(df: DataFrame, actorCol: String, tsCol: String,
+                       unit: String): DataFrame = {
+    val w = Window.partitionBy(col(actorCol))
+    val ab = df.filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol), date_trunc(unit, col(tsCol)).as("__bucket"))
+      .withColumn("cohort", min(col("__bucket")).over(w))
+      .groupBy(col(actorCol), col("cohort"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      // offset in whole units between truncated buckets: exact via
+      // the unit count between the two bucket timestamps
+      .withColumn("offset", offsetExpr(unit, col("cohort"), col("__bucket")))
+      .localCheckpoint(false)
+    val sizes = ab.filter(col("offset") === 0L)
+      .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    ab.groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
+   *  exact long — epoch-second difference divided by the unit length
+   *  for fixed-width units; month arithmetic for calendar units. */
+  private def offsetExpr(unit: String, from: Column, to: Column): Column =
+    unit.toLowerCase match {
+      case "month" =>
+        ((year(to) - year(from)) * 12L + (month(to) - month(from))).cast("long")
+      case "year" => (year(to) - year(from)).cast("long")
+      case u =>
+        val secs = u match {
+          case "week" => 604800L
+          case "day" => 86400L
+          case "hour" => 3600L
+          case "minute" => 60L
+          case other => throw new IllegalArgumentException(
+            s"unsupported retention unit: $other")
+        }
+        ((unix_timestamp(to) - unix_timestamp(from)) / secs).cast("long")
+    }
 }

@@ -67,6 +67,44 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project"), p.take(1200))
   }
 
+  test("q139 hard negatives broadcast the query side and keep top-k partial") {
+    val p = finalPlan("q139_hard_negatives")
+    // band filter + rank<=k must pre-limit per partition; the corpus
+    // joins the broadcast query side (non-equi ⇒ nested loop over the
+    // broadcast), never a corpus shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q140 prototype prune is join-free: one cluster exchange serves both windows") {
+    // count only the FINAL plan — AdaptiveSparkPlan's toString repeats
+    // the tree under "== Initial Plan ==" and would double-count
+    val p = finalPlan("q140_prototype_prune").split("== Initial Plan ==")(0)
+    // assignment is a broadcast-literal projection (no join) and the
+    // count + rank windows share the single cluster partitioning
+    assert(!p.contains("Join"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q141 vocab coverage never ships the vocabulary to one partition") {
+    val p = finalPlan("q141_vocab_coverage")
+    // the global rank<=topN must pre-cut per partition — as a
+    // TakeOrderedAndProject below the rank window (the optimizer's
+    // limit-pushdown of a global row_number filter: distributed
+    // per-partition top-N + merge) or at least a Partial
+    // WindowGroupLimit; a bare single-partition Sort over the full
+    // vocabulary fails
+    assert(p.contains("TakeOrderedAndProject") ||
+      (p.contains("WindowGroupLimit") && p.contains("Partial")), p.take(1500))
+  }
+
+  test("q142 retention: no cartesian, partial aggregation throughout") {
+    val p = finalPlan("q142_retention")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
   test("q53 decontamination broadcasts the benchmark grams") {
     val p = finalPlan("q53_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -402,6 +402,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0, None, 0.0)))
   }
 
+  test("vocabCoverage: exact counts, tie order, topN cut, running share") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "b d  "),            // trailing whitespace: empty token excluded
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    // counts: a=3, b=3, c=1, d=1; total=8; ties break lexicographically
+    val out = TextAnalysis.vocabCoverage(docs, "text", topN = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 3L, 3L, 3.0 / 8.0),
+      (2L, "b", 3L, 6L, 6.0 / 8.0),
+      (3L, "c", 1L, 7L, 7.0 / 8.0))) // topN=3 cuts d; total still 8
+  }
+
   test("overlapMatrix: unordered pair counts over distinct (source, key)") {
     val df = Seq(
       ("s1", 1L), ("s1", 2L), ("s2", 1L), ("s2", 1L), // dup row collapses

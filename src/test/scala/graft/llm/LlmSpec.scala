@@ -170,6 +170,55 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 3L)) // by descending cosine
   }
 
+  test("hardNegatives: band excludes positives and floor, self excluded, k cut") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.99f, 0.14f, 0.0f)), // near-dup: cos ≈ .990 — above band
+      (2L, Array(1.0f, 1.0f, 0.0f)),   // cos ≈ .707 — above band
+      (3L, Array(1.0f, 2.0f, 0.0f)),   // cos ≈ .447 — IN band
+      (4L, Array(1.0f, 4.0f, 0.0f)),   // cos ≈ .243 — IN band
+      (5L, Array(0.0f, 1.0f, 0.0f)),   // cos = 0 — below floor
+      (6L, Array(-1.0f, 0.0f, 0.0f))   // cos = −1 — below floor
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 5, maxCos = 0.5, minCos = 0.1)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 4L)) // band only, cos desc
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => { val c = r.getDouble(3); c >= 0.1 && c < 0.5 }))
+    // k cut: with a wide-open band the self row still never appears
+    val all = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3, maxCos = 1.1, minCos = -1.0)
+      .collect()
+    assert(all.length == 3 && !all.map(_.getLong(2)).contains(0L))
+  }
+
+  test("prototypePrune: per-cluster rank by centroid cosine, exact knife-edge drop") {
+    // two clean clusters on the axes; within each, vectors at growing
+    // angles from the centroid — prototypicality order is by angle
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.2f)), (2L, Array(1.0f, 0.6f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.3f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Similarity.prototypePrune(vecs, "vec_id", "embedding",
+        cents, dropNum = 1, dropDen = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // cluster 0 has n=3: rank*2 > 3 keeps ranks 2,3 — the knife edge
+    // drops ONLY rank 1 (the most prototypical, vec 0)
+    assert(out(0L) == (0L, 1L, 3L, false))
+    assert(out(1L) == (0L, 2L, 3L, true))
+    assert(out(2L) == (0L, 3L, 3L, true))
+    // cluster 1 has n=2: rank*2 > 2 keeps rank 2 only
+    assert(out(10L) == (1L, 1L, 2L, false))
+    assert(out(11L) == (1L, 2L, 2L, true))
+    // dropNum = 0 keeps everything
+    val keepAll = Similarity.prototypePrune(vecs, "vec_id", "embedding",
+      cents, dropNum = 0, dropDen = 2).collect()
+    assert(keepAll.forall(_.getBoolean(4)))
+  }
+
   test("rrfFuse: consensus outranks single-source heads, exact 1/(k+r) sums") {
     // query 1: doc 5 is #1 lexically but absent semantically; doc 6 is
     // mid-rank in BOTH sources — consensus must win under RRF

@@ -119,6 +119,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("retentionCohorts: weekly triangle — cohorts, offsets, exact fractions") {
+    // weeks (Mondays): 2024-01-01, 01-08, 01-15
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort w0, active w0 w1 w2
+      (1L, ts("2024-01-03 09:00:00")), //   second w0 event dedups
+      (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")), // u2 cohort w0, active w0 w2
+      (2L, ts("2024-01-18 10:00:00")),
+      (3L, ts("2024-01-08 10:00:00"))  // u3 cohort w1, active w1 only
+    ).toDF("user_id", "t")
+      .union(Seq((null.asInstanceOf[java.lang.Long], ts("2024-01-01 00:00:00")))
+        .toDF("user_id", "t")) // null actor dropped
+    val out = TimeSeries.retentionCohorts(ev, "user_id", "t", "week")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((2L, 2L, 1.0)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 1.0))))
+  }
+
   test("compressConsecutive keeps change points, null-safely") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:01"), Some("a"), 1L),
