@@ -2013,6 +2013,39 @@ object SparkEntry {
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       updates.groupBy(col("key"))
         .agg(max(col("count")).as("n_events"))
+    }),
+
+    // ---- curation: per-source χ² token-distribution drift against
+    //      the corpus mixture (top-50 tokens + OTHER bucket) ----
+    "q144_chisq_drift" -> ((s, dir) =>
+      TA.tokenDistributionDrift(t(s, dir, "documents"), "source", "text",
+        topV = 50)),
+
+    // ---- data cleaning: per-type winsorization at the exact
+    //      discrete 5th/95th percentiles ----
+    "q145_winsorize" -> ((s, dir) =>
+      graft.agg.GroupBy.winsorize(t(s, dir, "events"),
+        Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_w"))),
+
+    // ---- distinct-count cube: daily HLL sketches rolled up to
+    //      event_type by sketch UNION (raw data scanned once); the
+    //      gate pins the accuracy contract against exact distincts —
+    //      the estimate itself is engine arithmetic (q135 pattern) ----
+    "q146_hll_distinct" -> ((s, dir) => {
+      import graft.agg.Sketches
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val daily = Sketches.sketches(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id", lgK = 12)
+      val rolled = Sketches.rollup(daily, Seq("event_type"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(rolled.select(col("event_type"), col("estimate")), "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact").cast("double")) <=
+            lit(0.05) * col("n_exact").cast("double")).as("estimate_ok"))
     })
   )
 
@@ -2257,6 +2290,61 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // exact integer histograms; expected counts and χ² terms replay
+    // the pinned (C·S/T, (o−e)²/e) expression order; per-source sum
+    // folds in category-rank order (the bm25 ordered-fold contract)
+    "q144_chisq_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(coalesce(text, ''), '\s+')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n FROM tok
+        |        WHERE token <> '' GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(sum(n) AS BIGINT) AS c FROM cnt GROUP BY 1),
+        |cats AS (SELECT token, c, CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS r
+        |         FROM corpus QUALIFY r <= 50),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus),
+        |oth AS (SELECT CAST(51 AS BIGINT) AS r, t - (SELECT sum(c) FROM cats) AS c
+        |        FROM tot WHERE t - (SELECT sum(c) FROM cats) > 0),
+        |catfull AS (SELECT r, c FROM cats UNION ALL SELECT r, c FROM oth),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS s FROM cnt GROUP BY 1),
+        |obs AS (SELECT cnt.source, coalesce(cats.r, 51) AS r, CAST(sum(cnt.n) AS BIGINT) AS o
+        |        FROM cnt LEFT JOIN cats USING (token) GROUP BY 1, 2),
+        |grid AS (SELECT st.source, st.s, catfull.r, catfull.c, tot.t,
+        |           coalesce(obs.o, 0) AS o
+        |         FROM st CROSS JOIN catfull CROSS JOIN tot
+        |         LEFT JOIN obs ON obs.source = st.source AND obs.r = catfull.r),
+        |terms AS (SELECT source, s, r,
+        |   (CAST(o AS DOUBLE) - CAST(c AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |   * (CAST(o AS DOUBLE) - CAST(c AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |   / (CAST(c AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) AS term
+        |  FROM grid)
+        |SELECT source, min(s) AS n_tokens, CAST(count(*) AS BIGINT) AS n_categories,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY r)),
+        |    (a, x) -> a + x) AS chisq
+        |FROM terms GROUP BY source""".stripMargin,
+
+    // exact discrete percentile edges (the q66 decimal-rank rule) +
+    // explicit WHEN clamp — no least/greatest null-semantics risk
+    "q145_winsorize" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |e AS (SELECT event_type,
+        |    min(CASE WHEN rn = CAST(ceil(CAST(0.05 AS DECIMAL(18,12)) * n) AS INT) THEN value END) AS lo,
+        |    min(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DECIMAL(18,12)) * n) AS INT) THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT ev.event_id, ev.event_type, ev.value,
+        |  CASE WHEN ev.value < lo THEN lo WHEN ev.value > hi THEN hi
+        |       ELSE ev.value END AS value_w
+        |FROM events ev LEFT JOIN e USING (event_type)""".stripMargin,
+
+    // the estimate is DataSketches arithmetic (not oracle-replayable);
+    // the CLAIM — within 5% of the exact distinct count after a
+    // sketch-only rollup — is engine-independent and hash-gated
+    "q146_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS estimate_ok
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
 
     // the q127 batch-funnel oracle restricted to actors with at least
     // one STEP event (the stream emits state only for those); the

@@ -186,6 +186,43 @@ object GroupBy {
             (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0))))
       .drop("__edges")
 
+  /**
+   * Per-key winsorization (outlier clamping): cap `valueCol` at the
+   * key's own exact discrete `pLo`/`pHi` percentiles — the robust
+   * alternative to dropping outliers before statistics or model
+   * features (values below the low edge clamp UP to it, above the
+   * high edge DOWN to it; the classic 5%/95% trim-by-replacement).
+   * Edges are [[percentilesDisc]] values — actual data points, exact,
+   * engine-reproducible; the clamp is an explicit
+   * `WHEN v < lo THEN lo WHEN v > hi THEN hi` chain (no
+   * `least`/`greatest` null-semantics divergence between engines).
+   * Null values pass through null, all original rows survive.
+   *
+   * Scale posture: the edge relation is |groups| × 2 rows from one
+   * key-shuffled ranking window, then pivots to one (lo, hi) row per
+   * group and joins back — small side, AQE broadcasts it; the clamp
+   * itself is a pure projection. Same skew profile as any per-key
+   * window.
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double,
+                out: String = ""): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi, got $pLo >= $pHi")
+    val outCol = if (out.nonEmpty) out else s"${valueCol}_w"
+    val edges = percentilesDisc(df, groupCols, valueCol, Seq(pLo, pHi),
+        out = "__edge")
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("p") === pLo, col("__edge"))).as("__lo"),
+        min(when(col("p") === pHi, col("__edge"))).as("__hi"))
+    val v = col(valueCol)
+    df.join(edges, groupCols, "left")
+      .withColumn(outCol,
+        when(v < col("__lo"), col("__lo"))
+          .when(v > col("__hi"), col("__hi"))
+          .otherwise(v))
+      .drop("__lo", "__hi")
+  }
+
   /** Shared event-time ordering for the window-over-time operators:
    *  timestamps order as `unix_micros`, numerics as-is. */
   private def timeOrder(df: DataFrame, timeCol: String): Column =

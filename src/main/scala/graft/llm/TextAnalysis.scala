@@ -839,6 +839,83 @@ object TextAnalysis {
    * corpus-wide total from the count aggregate's second branch —
    * sharing the token shuffle via the same partitioning).
    */
+  /**
+   * Per-source token-distribution drift: Pearson's χ² statistic of
+   * each source's token histogram against the corpus-wide
+   * distribution, over the corpus's `topV` most frequent tokens plus
+   * one OTHER bucket for the tail — the dataset-card "is source X
+   * distributionally unlike the mixture" diagnostic (binning the tail
+   * keeps the category count fixed and every expected count
+   * non-negligible, the standard χ² practice). A source matching the
+   * corpus mix scores near 0; topically skewed or degenerate sources
+   * score high (compare across sources or against the
+   * χ²(df = n_categories − 1) tail).
+   *
+   * Determinism contract: observed and category counts are EXACT
+   * integers; expected counts `C·S/T` and the per-category terms
+   * `(o−e)²/e` are IEEE double arithmetic in a PINNED expression
+   * order, and the per-source sum folds in CATEGORY-RANK order
+   * (`sort_array` + `aggregate`, the [[bm25TopK]]/ordered-fold
+   * contract) — bit-reproducible cross-engine. Categories rank by
+   * (corpus count desc, token asc); OTHER is rank `topV + 1` and is
+   * emitted only when the tail is non-empty (a zero-expectation
+   * category is undefined in χ², and every source's observed tail
+   * would be 0 anyway).
+   *
+   * Output: (`sourceCol`, n_tokens, n_categories, chisq).
+   *
+   * Scale: ONE corpus-wide (source, token) count shuffle; the corpus
+   * histogram aggregates from those partials (token-keyed, map-side
+   * combined), the top-V cut is the [[vocabCoverage]]
+   * TakeOrderedAndProject shape, and everything after operates on
+   * |sources| × (topV + 1) grid rows with the category table
+   * broadcast — no second corpus pass, nothing driver-side, fold
+   * lists bounded by topV + 1.
+   */
+  def tokenDistributionDrift(df: DataFrame, sourceCol: String,
+                             textCol: String, topV: Int): DataFrame = {
+    require(topV > 0, "topV must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val otherRank = (topV + 1).toLong
+    val counts = df.select(col(sourceCol),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(sourceCol, "token").agg(count(lit(1)).as("__n"))
+      // consumers: corpus histogram, source totals, observed join —
+      // materialize the (source, token) partials once
+      .localCheckpoint(false)
+    val corpus = counts.groupBy("token").agg(sum("__n").as("__c"))
+      .localCheckpoint(false)
+    val wR = Window.orderBy(col("__c").desc, col("token").asc)
+    val cats = corpus.withColumn("__rank", row_number().over(wR).cast("long"))
+      .filter(col("__rank") <= topV)
+      .localCheckpoint(false)
+    val tot = corpus.agg(sum("__c").as("__t"))
+    val other = tot.crossJoin(broadcast(cats.agg(sum("__c").as("__topc"))))
+      .select(lit(otherRank).as("__rank"), (col("__t") - col("__topc")).as("__c"))
+      .filter(col("__c") > 0)
+    val catFull = cats.select(col("__rank"), col("__c")).union(other)
+    val srcTotals = counts.groupBy(sourceCol).agg(sum("__n").as("__s"))
+    val obs = counts
+      .join(broadcast(cats.select(col("token"), col("__rank"))), Seq("token"), "left")
+      .withColumn("__rank", coalesce(col("__rank"), lit(otherRank)))
+      .groupBy(sourceCol, "__rank").agg(sum("__n").as("__o"))
+    val e = col("__c").cast("double") * col("__s").cast("double") /
+      col("__t").cast("double")
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e
+    srcTotals.crossJoin(broadcast(catFull)).crossJoin(broadcast(tot))
+      .join(obs, Seq(sourceCol, "__rank"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .select(col(sourceCol), col("__s"), col("__rank"), term.as("__term"))
+      .groupBy(sourceCol)
+      .agg(min("__s").as("n_tokens"),
+        count(lit(1)).as("n_categories"),
+        aggregate(sort_array(collect_list(struct(col("__rank").as("r"),
+            col("__term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("chisq"))
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     import org.apache.spark.sql.expressions.Window

@@ -105,6 +105,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(1200))
   }
 
+  test("q144 chi-square drift: category/total sides broadcast, no cartesian blowup") {
+    val p = finalPlan("q144_chisq_drift")
+    // the only corpus-sized relation is the (source, token) count;
+    // category table (topV+1 rows), totals (1 row) and the grid all
+    // join broadcast — a SortMergeJoin means a vocab- or corpus-sized
+    // relation leaked into the grid side
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q145 winsorize: edge relation joins broadcast, clamp is a projection") {
+    val p = finalPlan("q145_winsorize")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // |groups|×2 edge rows must come back as the broadcast side
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("q53 decontamination broadcasts the benchmark grams") {
     val p = finalPlan("q53_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -182,4 +182,24 @@ class GroupBySpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
     assert(out(1.0) == 1 && out(9.0) == 4)
   }
+
+  test("winsorize clamps at exact per-key edges; edge-equal and null values untouched") {
+    // g=a: 1..10 → p20 edge = 2, p80 edge = 8
+    val rows = (1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0), ("b", 300.0)) // n=3: p20→rank1=100, p80→rank3=300
+    val df = (rows.map { case (g, v) => (g, Option(v)) } :+
+      (("a", Option.empty[Double]))).toDF("g", "v")
+    val out = GroupBy.winsorize(df, Seq("g"), "v", 0.2, 0.8)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", Some(1.0))) == Some(2.0))   // below lo → lo
+    assert(out(("a", Some(2.0))) == Some(2.0))   // AT the edge → itself
+    assert(out(("a", Some(5.0))) == Some(5.0))
+    assert(out(("a", Some(9.0))) == Some(8.0))   // above hi → hi
+    assert(out(("a", Some(10.0))) == Some(8.0))
+    assert(out(("a", None)) == None)             // null passes through
+    // group b: everything inside [100, 300] stays
+    assert(out(("b", Some(100.0))) == Some(100.0))
+    assert(out(("b", Some(300.0))) == Some(300.0))
+  }
 }

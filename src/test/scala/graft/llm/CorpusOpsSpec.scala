@@ -419,6 +419,38 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, "c", 1L, 7L, 7.0 / 8.0))) // topN=3 cuts d; total still 8
   }
 
+  test("tokenDistributionDrift: hand-computed chi-square, OTHER bucket, zero for matching mix") {
+    // corpus: a×6, b×4, c×2 (12 tokens). topV=2 → categories a, b,
+    // OTHER(c). s1 mirrors the corpus mix exactly → χ² = 0.
+    val docs = Seq(
+      ("s1", "a a a b b c"),
+      ("s2", "a a a b b c"),   // s1+s2 identical halves of the corpus
+      ("s3", null.asInstanceOf[String]) // null text → no tokens, no row
+    ).toDF("source", "text")
+    val out = TextAnalysis.tokenDistributionDrift(docs, "source", "text",
+        topV = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1") == ((6L, 3L, 0.0)))
+    assert(out("s2") == ((6L, 3L, 0.0)))
+    // skewed source: all-c document drifts; χ² hand-computed over
+    // categories (a: o=0,e=2·(6/15)... recompute) — use exact formula
+    val docs2 = Seq(("s1", "a a a b b c"), ("s2", "c c c")).toDF("source", "text")
+    val out2 = TextAnalysis.tokenDistributionDrift(docs2, "source", "text", topV = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // corpus: a=3 b=2 c=4, T=9; cats: c(rank1,4), a(rank2,3), OTHER=b(2)
+    def chi(o: Seq[Long], s: Long): Double = {
+      val cs = Seq(4L, 3L, 2L) // category counts in rank order
+      cs.zip(o).map { case (c, ob) =>
+        val e = c.toDouble * s.toDouble / 9.0
+        (ob.toDouble - e) * (ob.toDouble - e) / e
+      }.foldLeft(0.0)(_ + _)
+    }
+    assert(out2("s1") == chi(Seq(1L, 3L, 2L), 6L))
+    assert(out2("s2") == chi(Seq(3L, 0L, 0L), 3L))
+  }
+
   test("overlapMatrix: unordered pair counts over distinct (source, key)") {
     val df = Seq(
       ("s1", 1L), ("s1", 2L), ("s2", 1L), ("s2", 1L), // dup row collapses
