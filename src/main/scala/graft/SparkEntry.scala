@@ -2046,7 +2046,61 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"),
           (abs(col("estimate") - col("n_exact").cast("double")) <=
             lit(0.05) * col("n_exact").cast("double")).as("estimate_ok"))
-    })
+    }),
+
+    // ---- model monitoring: PSI drift of each event type's value
+    //      distribution vs the pooled deciles ----
+    "q147_psi_drift" -> ((s, dir) =>
+      Quality.psiDrift(t(s, dir, "events"), "value", "event_type",
+        (1 to 9).map(_ / 10.0))
+        // ln-bearing statistic: quantize to 1e-9 for the cross-engine
+        // hash (round is bit-identical Spark vs DuckDB; see
+        // MathExpressions rationale)
+        .withColumn("psi", round(col("psi"), 9))),
+
+    // ---- phrase mining: top adjacent-pair collocations by PMI ----
+    "q148_pmi_collocations" -> ((s, dir) =>
+      TA.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)),
+
+    // ---- text quality: per-doc Shannon token entropy + TTR ----
+    "q149_token_entropy" -> ((s, dir) =>
+      TA.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("entropy", round(col("entropy"), 9))),
+
+    // ---- A/B stats: Mann-Whitney U with midranks + tie-corrected
+    //      normal approximation, click vs view values ----
+    "q150_mann_whitney" -> ((s, dir) =>
+      Quality.mannWhitneyU(t(s, dir, "events"),
+        "value", "event_type", "click", "view")),
+
+    // ---- journey analytics: first-order Markov transition matrix
+    //      over each user's event-type sequence ----
+    "q151_transitions" -> ((s, dir) =>
+      graft.ops.TimeSeries.transitionMatrix(t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_type", "event_id")),
+
+    // ---- graph: per-part triangle counts on the co-order
+    //      market-basket graph (degree-ordered node-iterator) ----
+    "q152_triangles" -> ((s, dir) =>
+      graft.graph.Graph.triangleCounts(
+        graft.graph.Graph.coOccurrenceEdges(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxPerGroup = 8))),
+
+    // ---- heavy hitters: exact ≥0.2% tokens via per-partition
+    //      Misra-Gries candidates + candidate-only recount ----
+    "q153_heavy_hitters" -> ((s, dir) =>
+      graft.agg.Sketches.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TA.tokens(coalesce(col("text"), lit(""))))
+            .as("tok"))
+          .filter(col("tok") =!= ""),
+        "tok", fraction = 0.002, k = 1000)),
+
+    // ---- LLM quality: self-trained char-trigram LM fluency score ----
+    "q154_char_lm" -> ((s, dir) =>
+      TA.charLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("nll", round(col("nll"), 9)))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -3853,6 +3907,181 @@ object SparkEntry {
         | CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag__allowed,
         | CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$') THEN 1 ELSE 0 END) AS BIGINT) AS l_linestatus__pattern,
         | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate__null
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // pooled-decile bins (q128 edge rule), PSI terms in the pinned
+    // (q − p)·ln(q/p) order, per-segment sum folded in bin order;
+    // zero-observation bins contribute 0 and are counted instead
+    "q147_psi_drift" ->
+      """WITH base AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |rk AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM base),
+        |ed AS (SELECT v FROM rk CROSS JOIN (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),
+        |         (0.6),(0.7),(0.8),(0.9)) p(p)
+        |       WHERE rn = CAST(ceil(CAST(p.p AS DECIMAL(18,12)) * n) AS INT)),
+        |b AS (SELECT event_type,
+        |    1 + (SELECT count(*) FROM ed WHERE ed.v < base.value) AS bin FROM base),
+        |cnt AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS o FROM b GROUP BY 1, 2),
+        |ref AS (SELECT bin, CAST(sum(o) AS BIGINT) AS c FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ref),
+        |st AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS s FROM cnt GROUP BY 1),
+        |grid AS (SELECT st.event_type, st.s, ref.bin, ref.c, tot.t,
+        |    coalesce(cnt.o, 0) AS o
+        |  FROM st CROSS JOIN ref CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.event_type = st.event_type AND cnt.bin = ref.bin),
+        |terms AS (SELECT event_type, s, bin, o,
+        |    CASE WHEN o > 0 THEN
+        |      (CAST(o AS DOUBLE) / CAST(s AS DOUBLE) - CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * ln((CAST(o AS DOUBLE) / CAST(s AS DOUBLE)) / (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+        |    ELSE 0.0 END AS term
+        |  FROM grid)
+        |SELECT event_type, min(s) AS n_rows, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_bins,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
+        |    (a, x) -> a + x), 9) AS psi
+        |FROM terms GROUP BY event_type""".stripMargin,
+
+    // probability-ratio PMI (no integer products — they overflow at
+    // corpus scale), rank over (pmi desc, w1, w2)
+    "q148_pmi_collocations" ->
+      """WITH arr AS (SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS cw
+        |       FROM (SELECT unnest(w) AS tok FROM arr) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(cw) AS BIGINT) AS nu FROM cu),
+        |big AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM
+        |  (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM arr
+        |   WHERE len(w) >= 2)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM big GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS nb FROM cb),
+        |sc AS (SELECT w1, w2, n_pair,
+        |    round(ln((CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |       ((CAST(ca.cw AS DOUBLE) / CAST(nu AS DOUBLE))
+        |        * (CAST(c2.cw AS DOUBLE) / CAST(nu AS DOUBLE)))), 9) AS pmi
+        |  FROM cb JOIN cu ca ON ca.tok = cb.w1 JOIN cu c2 ON c2.tok = cb.w2
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE n_pair >= 5)
+        |SELECT w1, w2, n_pair, pmi, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
+        |   FROM sc)
+        |WHERE rank <= 50""".stripMargin,
+
+    // per-doc entropy folded in token order (deterministic doubles);
+    // empty docs emit no row
+    "q149_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\s+')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok
+        |      WHERE tok <> '' GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, tok, c,
+        |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c),
+        |te AS (SELECT doc_id, tok, c, n,
+        |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term FROM t2)
+        |SELECT doc_id, min(n) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS DOUBLE) / CAST(min(n) AS DOUBLE) AS ttr,
+        |  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+        |    (a, x) -> a + x)), 9) AS entropy
+        |FROM te GROUP BY doc_id""".stripMargin,
+
+    // midranks = rank + (ties−1)/2 (exact halves in double), tie term
+    // Σ(t²−1) row-wise, z with the tie-corrected σ; all-tied → null z
+    "q150_mann_whitney" ->
+      """WITH base AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |rk AS (SELECT *, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rmin,
+        |    CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS t FROM base),
+        |ag AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN ia = 1 THEN rmin + (t - 1) / 2.0 END) AS ra,
+        |    CAST(sum(t * t - 1) AS BIGINT) AS tie FROM rk)
+        |SELECT n_a, n_b,
+        |  ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+        |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |    - (ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0) AS u_b,
+        |  CASE WHEN (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+        |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |         - CAST(tie AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+        |    THEN ((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0)
+        |          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |      / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+        |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |           - CAST(tie AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |              * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+        |  END AS z
+        |FROM ag WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
+    // consecutive under (ts, event_id) per user; row-normalized by
+    // the state's predecessor count
+    "q151_transitions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+
+    // co-order pair edges under the ≤8-items-per-order skew cap, then
+    // the same degree-ordered orientation / wedge / closing-edge
+    // joins the Spark side runs (row-value comparisons = struct ranks)
+    "q152_triangles" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gs AS (SELECT g, i FROM (SELECT g, i, count(*) OVER (PARTITION BY g) AS sz
+        |       FROM gi) WHERE sz <= 8),
+        |e AS (SELECT DISTINCT x.i AS u, y.i AS v FROM gs x
+        |      JOIN gs y ON x.g = y.g AND x.i < y.i),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS rd
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |w AS (SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2 FROM o e1 JOIN o e2
+        |      ON e1.a = e2.a AND (e1.rd, e1.b) < (e2.rd, e2.b)),
+        |tr AS (SELECT w0, w1, w2 FROM w JOIN o ON o.a = w.w1 AND o.b = w.w2)
+        |SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM
+        |  (SELECT w0 AS vertex FROM tr UNION ALL SELECT w1 FROM tr
+        |   UNION ALL SELECT w2 FROM tr)
+        |GROUP BY 1""".stripMargin,
+
+    // the candidate pass is a recall set — the exact answer is just
+    // GROUP BY + HAVING against the DECIMAL-ceil threshold
+    "q153_heavy_hitters" ->
+      """WITH t2 AS (SELECT tok AS item FROM
+        |    (SELECT unnest(string_split_regex(coalesce(text, ''), '\s+')) AS tok
+        |     FROM documents) WHERE tok <> ''),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM t2 GROUP BY 1
+        |HAVING count(*) >= (SELECT CAST(ceil(CAST(0.002 AS DECIMAL(18,12)) * n) AS BIGINT)
+        |                    FROM n)""".stripMargin,
+
+    // add-one-smoothed trigram probabilities, V = distinct observed
+    // third chars, per-doc fold in position order
+    "q154_char_lm" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+        |           WHERE len(coalesce(text, '')) >= 3),
+        |g AS (SELECT doc_id, i, substr(t, CAST(i AS INT), 3) AS gram FROM
+        |  (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM d)),
+        |tc AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |cc AS (SELECT substr(gram, 1, 2) AS ctx, CAST(sum(c) AS BIGINT) AS cc
+        |       FROM tc GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT substr(gram, 3, 1)) AS BIGINT) AS v FROM tc),
+        |term AS (SELECT doc_id, i,
+        |    ln(CAST(tc.c + 1 AS DOUBLE) / CAST(cc.cc + vv.v AS DOUBLE)) AS term
+        |  FROM g JOIN tc USING (gram) JOIN cc ON cc.ctx = substr(g.gram, 1, 2)
+        |  CROSS JOIN vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY i)),
+        |    (a, x) -> a + x)) / CAST(count(*) AS DOUBLE), 9) AS nll
+        |FROM term GROUP BY doc_id""".stripMargin
   )
 }

@@ -916,6 +916,175 @@ object TextAnalysis {
           lit(0.0), (acc, x) => acc + x.getField("t")).as("chisq"))
   }
 
+  /**
+   * Pointwise-mutual-information collocations: the `topK` adjacent
+   * token pairs whose co-occurrence most exceeds chance — the classic
+   * phrase-mining signal ("new york" scores high because its joint
+   * probability dwarfs `P(new)·P(york)`).
+   *
+   * Pinned formula (engine-reproducible, all divisions double in this
+   * exact association order):
+   * `pmi = ln( (c_ab / N_bi) / ((c_a / N_uni) · (c_b / N_uni)) )`
+   * with unigram counts over all tokens and bigram counts over
+   * adjacent pairs; pairs below `minCount` never score. Integer
+   * products are deliberately avoided — `c_ab · N²` overflows Long
+   * past ~10^6-token corpora; probability ratios don't.
+   *
+   * Output: (w1, w2, n_pair, pmi, rank), rank over
+   * (pmi desc, w1 asc, w2 asc), rank ≤ `topK`.
+   *
+   * Scale posture: the tokenized-array projection materializes ONCE
+   * (both the unigram and bigram explodes re-read it, not the raw
+   * corpus); counts are one token-keyed and one pair-keyed shuffle
+   * (map-side combined); the unigram join keys on vocab-sized
+   * relations; only minCount-qualified pairs reach the rank window
+   * (TakeOrdered-style, never corpus-sized).
+   */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      topK: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val arr = df.select(
+        filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= "")
+          .as("__w"))
+      .localCheckpoint(false)
+    val uni = arr.select(explode(col("__w")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cw"))
+      .localCheckpoint(false)
+    val nU = uni.agg(sum("__cw").as("__nu"))
+    val bi = arr.filter(size(col("__w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nB = bi.agg(sum("n_pair").as("__nb"))
+    val pab = col("n_pair").cast("double") / col("__nb").cast("double")
+    val pa = col("__ca").cast("double") / col("__nu").cast("double")
+    val pb = col("__cb").cast("double") / col("__nu").cast("double")
+    val scored = bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("__tok"), col("__cw").as("__ca")),
+        col("w1") === col("__tok")).drop("__tok")
+      .join(uni.select(col("__tok"), col("__cw").as("__cb")),
+        col("w2") === col("__tok")).drop("__tok")
+      .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+      // quantized to 1e-9 BEFORE ranking: the ln is a libm-consistent
+      // native expression (see MathExpressions), and rounding makes the
+      // rank order reproducible across engines (near-ties become exact
+      // ties, broken by (w1, w2))
+      .withColumn("pmi",
+        round(graft.functions.MathFunctions.libmLog(pab / (pa * pb)), 9))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"), col("rank"))
+  }
+
+  /**
+   * Per-document lexical-diversity signals: Shannon token entropy (in
+   * nats) and type-token ratio — low entropy flags repetitive or
+   * template text (the cheap cousin of [[repetitionRatio]] that also
+   * feeds dedup triage and sampling weights).
+   *
+   * Pinned: `entropy = −Σ (c/n)·ln(c/n)` folded in TOKEN order over
+   * the doc's (token, count) list — deterministic double addition,
+   * the χ²-drift contract; `ttr = n_types / n_tokens` as a double
+   * divide. Docs with no tokens emit no row (an entropy of nothing is
+   * not 0).
+   *
+   * Scale posture: one (doc, token) count shuffle + one doc-keyed
+   * aggregate; the fold list is bounded by the doc's own vocabulary,
+   * never the corpus's.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = df.select(col(idCol),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    cnt.groupBy(col(idCol))
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct(col("__tok").as("t"),
+          col("__c").as("c")))).as("__l"))
+      .withColumn("entropy", -aggregate(col("__l"), lit(0.0),
+        (acc, x) => acc +
+          (x.getField("c").cast("double") / col("n_tokens").cast("double")) *
+            graft.functions.MathFunctions.libmLog(
+              x.getField("c").cast("double") / col("n_tokens").cast("double"))))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("ttr"),
+        col("entropy"))
+  }
+
+  /**
+   * Character-trigram language-model fluency score — the CCNet-style
+   * "perplexity filter" shape, self-trained: fit an add-one-smoothed
+   * char-trigram model on the corpus itself, then score every doc by
+   * its average negative log-likelihood. Gibberish, binary spill, and
+   * boilerplate-free keyboard mash score high; fluent text scores
+   * low. Unlike the heuristic signals ([[qualityScore]],
+   * [[gopherRules]]) this one adapts to whatever the corpus's
+   * dominant register is, with no external model artifact.
+   *
+   * Pinned (engine-reproducible):
+   *  - events are the `len − 2` character trigrams of the raw text
+   *    (docs shorter than 3 chars emit no row);
+   *  - `P(g) = (c_g + 1) / (c_ctx + V)` where `c_ctx` sums trigram
+   *    counts sharing the gram's 2-char prefix and `V` = distinct
+   *    third characters across corpus trigrams (the observed event
+   *    space — no engine-specific charset enumeration);
+   *  - `nll = −(Σ ln P) / n_grams`, the sum folded in POSITION order
+   *    (deterministic double addition, the χ²-drift contract).
+   *
+   * Output: (`idCol`, n_grams, nll) — nll in nats per gram;
+   * `exp(nll)` is the per-char perplexity if a caller wants the
+   * classic units.
+   *
+   * Scale posture: the per-doc gram list is built in ONE projection
+   * (`transform(sequence)`, no joins) and materialized once for both
+   * consumers; model relations are charset-bounded (|trigrams| ≤
+   * |chars|³ — vocab-sized, shuffle-joined, AQE broadcasts when
+   * small); the fold list is doc-length-bounded. Nothing corpus-wide
+   * ever reaches the driver.
+   */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tri = df
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .filter(length(col("__t")) >= 3)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), length(col("__t")) - 2),
+        i => col("__t").substr(i, lit(3)))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__gram")
+      .localCheckpoint(false)
+    val tc = tri.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__ctri"))
+      .localCheckpoint(false)
+    val cc = tc.groupBy(substring(col("__gram"), 1, 2).as("__ctx"))
+      .agg(sum("__ctri").as("__cctx"))
+    val vv = tc.agg(countDistinct(substring(col("__gram"), 3, 1)).as("__v"))
+    val term = graft.functions.MathFunctions.libmLog(
+      (col("__ctri") + 1).cast("double") /
+        (col("__cctx") + col("__v")).cast("double"))
+    tri
+      .join(tc, Seq("__gram"))
+      .withColumn("__ctx", substring(col("__gram"), 1, 2))
+      .join(cc, Seq("__ctx"))
+      .crossJoin(broadcast(vv))
+      .select(col(idCol), col("__pos"), term.as("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        aggregate(sort_array(collect_list(struct(col("__pos").as("p"),
+            col("__term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__s"))
+      .select(col(idCol), col("n_grams"),
+        (-col("__s") / col("n_grams").cast("double")).as("nll"))
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     import org.apache.spark.sql.expressions.Window

@@ -265,6 +265,44 @@ object TimeSeries {
           .as("retention"))
   }
 
+  /**
+   * First-order Markov transition matrix over an event stream: for
+   * every ordered pair of consecutive states within a key, the count
+   * and the conditional probability `P(to | from)` — the
+   * next-event-prediction / user-journey primitive ("after a view,
+   * 12% of next actions are a purchase").
+   *
+   * Pinned: consecutive = adjacent under (`tsCol`, `tieCol`) per key
+   * (ties are REAL orderings in event feeds — `tieCol` makes the
+   * successor deterministic); `p = n / n_from` as one double divide,
+   * where `n_from` counts the state's appearances AS a predecessor
+   * (rows with a successor), so each row of the matrix sums to 1.
+   *
+   * Output: (from_state, to_state, n, p).
+   *
+   * Scale posture: ONE shuffle on the keys for the `lead` window; the
+   * pair aggregation map-side combines into |states|² rows, and
+   * `n_from` is a window over that tiny relation — no second pass
+   * over the events.
+   */
+  def transitionMatrix(df: DataFrame, keys: Seq[String], tsCol: String,
+                       stateCol: String, tieCol: String): DataFrame = {
+    require(keys.nonEmpty, "transitionMatrix needs key columns")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .filter(col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(wf).cast("double"))
+      .select(col("from_state"), col("to_state"), col("n"), col("p"))
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

@@ -335,4 +335,131 @@ object Quality {
         .as("ks_stat"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("ks_stat"))
   }
+
+  /**
+   * Mann-Whitney U (Wilcoxon rank-sum) two-sample test: does
+   * `valueCol` tend larger in group `a` than group `b`? The
+   * nonparametric A/B-test companion to [[ksDrift]] — KS asks "are
+   * the distributions different anywhere", U asks the directional
+   * "does one stochastically dominate".
+   *
+   * Pinned (engine-reproducible):
+   *  - ranks are MIDRANKS: `rank() + (ties − 1)/2.0` over the pooled
+   *    sample — every term is a multiple of 0.5, so the rank-sum is
+   *    EXACT in double arithmetic in any addition order;
+   *  - `U_a = R_a − n_a(n_a+1)/2`, `U_b = n_a·n_b − U_a`;
+   *  - normal approximation WITH tie correction:
+   *    `z = (U_a − n_a n_b/2) / sqrt((n_a n_b/12)·((N+1) − T/(N(N−1))))`
+   *    where `T = Σ(t³−t)` over tie groups, computed row-wise as
+   *    `Σ(t²−1)` (each tie group of size t contributes t·(t²−1));
+   *    a fully-tied sample has σ = 0 → null z.
+   *
+   * Output: one row (n_a, n_b, u_a, u_b, z); empty either side →
+   * empty result.
+   *
+   * Scale posture: like [[ksDrift]], the exact statistic needs a
+   * total order — a single-task ranking window after an all-to-one
+   * exchange, correct to ~10^8 rows. The aggregation itself is one
+   * pass; at corpus scale, rank against a binned CDF the
+   * [[ksDriftBinned]] way.
+   */
+  def mannWhitneyU(df: DataFrame, valueCol: String, flagCol: String,
+                   a: String, b: String): DataFrame = {
+    val base = df
+      .filter(col(flagCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        (col(flagCol) === a).cast("long").as("__ia"),
+        (col(flagCol) === b).cast("long").as("__ib"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val ties = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
+    val ranked = base
+      .withColumn("__t", count(lit(1)).over(ties))
+      .withColumn("__mr",
+        rank().over(w) + (col("__t") - lit(1)) / lit(2.0))
+    val agg = ranked.agg(
+      sum("__ia").as("n_a"), sum("__ib").as("n_b"),
+      sum(when(col("__ia") === 1, col("__mr"))).as("__ra"),
+      sum(col("__t") * col("__t") - 1).as("__tie"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val ua = col("__ra") - naD * (naD + lit(1.0)) / lit(2.0)
+    val sigSq = (naD * nbD / lit(12.0)) *
+      ((nD + lit(1.0)) - col("__tie").cast("double") / (nD * (nD - lit(1.0))))
+    agg
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("u_a", ua)
+      .withColumn("u_b", naD * nbD - col("u_a"))
+      .withColumn("z",
+        when(sigSq > 0,
+          (col("u_a") - naD * nbD / lit(2.0)) / sqrt(sigSq)))
+      .select(col("n_a"), col("n_b"), col("u_a"), col("u_b"), col("z"))
+  }
+
+  /**
+   * Population Stability Index per segment: how far each segment's
+   * `valueCol` distribution drifts from the POOLED distribution, over
+   * quantile bins of the pooled data — the standard model-monitoring
+   * drift score (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 major).
+   * Complements [[ksDrift]] (two-sample, exact) and χ²
+   * token drift (categorical): PSI is the many-segment numeric form.
+   *
+   * Pinned rules (engine-reproducible):
+   *  - bin edges = EXACT discrete percentiles `ps` of the pooled
+   *    non-null values ([[graft.agg.GroupBy.percentilesDisc]]), label
+   *    `1 + |{edge < v}|` (equal→lower, the binByQuantiles rule);
+   *  - PSI term = `(q − p) · ln(q / p)` with `q` = segment share,
+   *    `p` = pooled share of the bin; a bin the segment never hits
+   *    (q = 0) contributes 0 and is COUNTED in `n_empty_bins` instead
+   *    of inventing an epsilon — callers see exactly how much of the
+   *    score the zero-bins rule suppressed. Pooled-empty bins cannot
+   *    occur (every labeled bin has ≥ 1 pooled row by construction);
+   *  - the per-segment sum folds in bin order over a ≤ |ps|+1
+   *    element array (deterministic double addition).
+   *
+   * Output: (`segCol`, n_rows, n_bins, n_empty_bins, psi).
+   *
+   * Scale posture: edges are the single-task exact-rank sort — right
+   * up to ~10^8 rows; past that feed `approxQuantile` edges through
+   * the same labeling (see [[graft.agg.GroupBy.binByEdges]]). The
+   * labeling side is a broadcast-join fold (scale-free), counts are
+   * ONE (segment, bin) shuffle, and everything downstream runs on
+   * |segments| × bins grid rows with the bin table broadcast.
+   */
+  def psiDrift(df: DataFrame, valueCol: String, segCol: String,
+               ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one interior percentile")
+    val base = df.filter(col(valueCol).isNotNull && col(segCol).isNotNull)
+    val edges = graft.agg.GroupBy.percentilesDisc(base, Nil, valueCol, ps,
+        out = "__edge")
+      .groupBy()
+      .agg(sort_array(collect_list(col("__edge"))).as("__edges"))
+    val counts = graft.agg.GroupBy.binByEdges(base, valueCol, edges,
+        out = "__bin")
+      .groupBy(col(segCol), col("__bin"))
+      .agg(count(lit(1)).as("__o"))
+      // consumers: pooled histogram, segment totals, observed join
+      .localCheckpoint(false)
+    val ref = counts.groupBy("__bin").agg(sum("__o").as("__c"))
+    val tot = ref.agg(sum("__c").as("__t"))
+    val segTot = counts.groupBy(segCol).agg(sum("__o").as("__s"))
+    val p = col("__c").cast("double") / col("__t").cast("double")
+    val q = col("__o").cast("double") / col("__s").cast("double")
+    val term = when(col("__o") > 0,
+      (q - p) * graft.functions.MathFunctions.libmLog(q / p)).otherwise(lit(0.0))
+    segTot
+      .crossJoin(broadcast(ref))
+      .crossJoin(broadcast(tot))
+      .join(counts, Seq(segCol, "__bin"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .select(col(segCol), col("__s"), col("__bin"), col("__o"),
+        term.as("__term"))
+      .groupBy(segCol)
+      .agg(min("__s").as("n_rows"),
+        count(lit(1)).as("n_bins"),
+        sum(when(col("__o") === 0, 1L).otherwise(0L)).as("n_empty_bins"),
+        aggregate(sort_array(collect_list(struct(col("__bin").as("b"),
+            col("__term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("psi"))
+  }
 }

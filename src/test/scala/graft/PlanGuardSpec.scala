@@ -288,4 +288,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("graft_deflate_ratio"), fin.take(800))
     assert(!fin.contains("ScalaUDF"), fin.take(800))
   }
+
+  test("q152 triangle closing edge is an EQUI join (no nested loop anywhere)") {
+    val p = finalPlan("q152_triangles")
+    // the either-orientation formulation would plan the wedge-closing
+    // match as BroadcastNestedLoopJoin — the rank-ordered wedge keeps
+    // every join hash/merge-able
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q153 heavy-hitter recount keys on the BROADCAST candidate set") {
+    val p = finalPlan("q153_heavy_hitters")
+    // the semi-join against partitions·k candidates must broadcast —
+    // a shuffled semi-join would move the full token stream by token
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }

@@ -43,4 +43,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(e1 - 2000.0) <= 100.0, s"e1=$e1")
     assert(math.abs(e7 - 2000.0) <= 100.0, s"e7=$e7")
   }
+
+  test("heavyHitters: exact items at or above the ceil(f·N) threshold") {
+    val items = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++
+      Seq.fill(5)("c")).toDF("item")
+    // N = 155, thr = ceil(0.3·155) = 47 → {a, b}
+    val out = Sketches.heavyHitters(items, "item", fraction = 0.3, k = 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 100L, "b" -> 50L))
+  }
+
+  test("heavyHitters: recall survives adversarial partitioning (merge guarantee)") {
+    // heavy item scattered thin across partitions among distinct noise
+    val rows = (0 until 4000).map { i =>
+      if (i % 4 == 0) "hot" else s"noise_$i"
+    }
+    val items = rows.toDF("item").repartition(16)
+    // N = 4000, hot = 1000; fraction 0.2 → thr = 800
+    val out = Sketches.heavyHitters(items, "item", fraction = 0.2, k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hot" -> 1000L))
+  }
+
+  test("heavyHitters: guarantee precondition is enforced") {
+    val items = Seq("a").toDF("item")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(items, "item", fraction = 0.01, k = 50)
+    }
+  }
 }

@@ -155,4 +155,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L, 6L))
   }
+
+  test("transitionMatrix: consecutive-pair counts row-normalize per from_state") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "A", 1L),
+      (1L, ts("2024-01-01 00:00:02"), "B", 2L),
+      (1L, ts("2024-01-01 00:00:03"), "A", 3L),
+      (2L, ts("2024-01-01 00:00:01"), "A", 4L),
+      (2L, ts("2024-01-01 00:00:02"), "C", 5L),
+      (3L, ts("2024-01-01 00:00:01"), "Z", 6L) // no successor → no pair
+    ).toDF("k", "ts", "state", "id")
+    val out = TimeSeries.transitionMatrix(df, Seq("k"), "ts", "state", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((1L, 1.0))))
+  }
+
+  test("transitionMatrix: timestamp ties order by the tie column") {
+    val t0 = ts("2024-01-01 00:00:01")
+    val df = Seq((1L, t0, "A", 2L), (1L, t0, "B", 1L)).toDF("k", "ts", "state", "id")
+    val out = TimeSeries.transitionMatrix(df, Seq("k"), "ts", "state", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("B", "A"))) // id 1 precedes id 2
+  }
 }

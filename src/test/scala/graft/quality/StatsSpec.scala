@@ -1,0 +1,67 @@
+package graft.quality
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** psiDrift + mannWhitneyU semantics on hand-checkable samples. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("psiDrift: identical segment distributions score exactly 0") {
+    val df = (1 to 10).flatMap(v => Seq(("a", v.toDouble), ("b", v.toDouble)))
+      .toDF("seg", "v")
+    val out = Quality.psiDrift(df, "v", "seg", (1 to 9).map(_ / 10.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // each segment's histogram equals the pooled one → every term is
+    // (q − p)·ln(q/p) with q = p → exactly 0.0
+    assert(out == Set(("a", 10L, 10L, 0L, 0.0), ("b", 10L, 10L, 0L, 0.0)))
+  }
+
+  test("psiDrift: disjoint segments drift hard and count empty bins") {
+    val df = ((1 to 50).map(v => ("lo", v.toDouble)) ++
+      (51 to 100).map(v => ("hi", v.toDouble))).toDF("seg", "v")
+    val rows = Quality.psiDrift(df, "v", "seg", (1 to 9).map(_ / 10.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // each segment misses the other half's deciles entirely
+    assert(rows("lo")._1 == 5L && rows("hi")._1 == 5L)
+    assert(rows("lo")._2 > 0.25 && rows("hi")._2 > 0.25) // "major drift"
+  }
+
+  test("psiDrift: null values and null segments are excluded") {
+    val df = Seq(("a", Some(1.0)), ("a", None), (null, Some(2.0)))
+      .toDF("seg", "v")
+    val out = Quality.psiDrift(df, "v", "seg", Seq(0.5)).collect()
+    assert(out.length == 1 && out(0).getString(0) == "a" &&
+      out(0).getLong(1) == 1L)
+  }
+
+  test("mannWhitneyU: textbook disjoint samples") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("B", _))).toDF("g", "v")
+    val r = Quality.mannWhitneyU(df, "v", "g", "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    // A holds ranks 1..3 → R_a = 6 → U_a = 6 − 6 = 0, U_b = 9
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(r.getAs[Double]("u_b") == 9.0)
+    // z = (0 − 4.5)/sqrt(0.75·7) ≈ −1.9640
+    assert(math.abs(r.getAs[Double]("z") - (-1.9639610121239315)) < 1e-12)
+  }
+
+  test("mannWhitneyU: midranks under ties; fully-tied sample has null z") {
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 1.0)).toDF("g", "v")
+    val r = Quality.mannWhitneyU(df, "v", "g", "A", "B").collect()(0)
+    // all four share midrank 2.5 → R_a = 5 → U_a = 5 − 3 = 2 = n_a·n_b/2
+    assert(r.getAs[Double]("u_a") == 2.0)
+    assert(r.getAs[Double]("u_b") == 2.0)
+    assert(r.isNullAt(r.fieldIndex("z"))) // σ = 0: z undefined, not NaN
+  }
+
+  test("mannWhitneyU: empty side → empty result") {
+    val df = Seq(("A", 1.0)).toDF("g", "v")
+    assert(Quality.mannWhitneyU(df, "v", "g", "A", "B").collect().isEmpty)
+  }
+}
