@@ -2100,7 +2100,86 @@ object SparkEntry {
     // ---- LLM quality: self-trained char-trigram LM fluency score ----
     "q154_char_lm" -> ((s, dir) =>
       TA.charLmScore(t(s, dir, "documents"), "doc_id", "text")
-        .withColumn("nll", round(col("nll"), 9)))
+        .withColumn("nll", round(col("nll"), 9))),
+
+    // ---- §2.4+ GROUPING SETS: explicit subtotal grains in ONE
+    //      aggregation pass (the general form rollup specializes) ----
+    "q155_grouping_sets" -> ((s, dir) =>
+      GroupBy("l_returnflag", "l_linestatus")
+        .groupingSets(Seq("l_returnflag", "l_linestatus"),
+          Seq("l_returnflag"), Seq())
+        .count("n")
+        .agg(dsum("l_quantity").as("sum_qty"))
+        .agg(grouping_id().cast("int").as("gid"))
+        .apply(t(s, dir, "lineitem"))),
+
+    // ---- data quality: referential-integrity audit across two FKs ----
+    "q156_fk_integrity" -> ((s, dir) =>
+      Quality.referentialIntegrity(t(s, dir, "events"),
+          Seq(Quality.FkSpec("events_user", Seq("user_id"),
+            t(s, dir, "customer"), Seq("c_custkey"))))
+        .unionByName(Quality.referentialIntegrity(t(s, dir, "lineitem"),
+          Seq(Quality.FkSpec("lineitem_part", Seq("l_partkey"),
+            t(s, dir, "part"), Seq("p_partkey")))))),
+
+    // ---- data quality: Benford first-digit drift over order totals ----
+    "q157_benford" -> ((s, dir) =>
+      Quality.benfordDrift(t(s, dir, "orders"), "o_totalprice")),
+
+    // ---- feature transform: per-type empirical-CDF (midrank)
+    //      normalization of event values ----
+    "q158_empirical_cdf" -> ((s, dir) =>
+      GroupBy.empiricalCdf(t(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("cdf"))),
+
+    // ---- §2.5 window coverage: percent_rank / cume_dist / nth_value
+    //      with an explicit whole-partition frame ----
+    "q159_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byBal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"))
+      val full = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("pr", percent_rank().over(byBal))
+        .withColumn("cd", cume_dist().over(byBal))
+        .withColumn("second_bal", nth_value(col("c_acctbal"), 2).over(full))
+    }),
+
+    // ---- scale path: approx_percentile rank-error CONTRACT against
+    //      exact ranks (the q146 engine-independent-claim pattern) —
+    //      validates the sketch edges binByEdges/winsorize docs point
+    //      to for the 10^9+ regime ----
+    "q160_approx_contract" -> ((s, dir) => {
+      val ps = Seq(0.25, 0.5, 0.75)
+      val acc = 10000
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("value"))
+      val edges = ev
+        .agg(percentile_approx(col("value"), array(ps.map(lit): _*),
+          lit(acc)).as("__edges"), count(lit(1)).as("__cnt"))
+        .select(col("__cnt"), posexplode(col("__edges")))
+        .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__edge")
+        .withColumn("p", element_at(array(ps.map(lit): _*), col("__i") + 1))
+      val ranks = ev.crossJoin(broadcast(edges))
+        .groupBy("p", "__edge", "__cnt")
+        .agg(sum(when(col("value") <= col("__edge"), 1L).otherwise(0L))
+          .as("__nle"),
+          sum(when(col("value") < col("__edge"), 1L).otherwise(0L))
+            .as("__nlt"))
+      // GK sketch guarantee: returned edge's rank within ceil(n/acc)
+      // of the target rank; +1 absorbs the floor/ceil reading
+      val target = ceil(col("p").cast("decimal(18,12)") * col("__cnt"))
+        .cast("long")
+      val tol = ceil(col("__cnt").cast("decimal(18,12)") / acc)
+        .cast("long") + 1
+      ranks.select(col("p"), col("__cnt").as("n"),
+        (target >= col("__nlt") + 1 - tol &&
+          target <= col("__nle") + tol).as("ok"))
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -4082,6 +4161,96 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         |  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY i)),
         |    (a, x) -> a + x)) / CAST(count(*) AS DOUBLE), 9) AS nll
-        |FROM term GROUP BY doc_id""".stripMargin
+        |FROM term GROUP BY doc_id""".stripMargin,
+
+    "q155_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+
+    // null FK values are not violations (SQL FK semantics)
+    "q156_fk_integrity" ->
+      """SELECT 'events_user' AS fk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE user_id IS NOT NULL) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events e
+        |   WHERE user_id IS NOT NULL AND NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+        |   WHERE user_id IS NOT NULL AND NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_distinct_orphans
+        |UNION ALL
+        |SELECT 'lineitem_part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey IS NOT NULL),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE l_partkey IS NOT NULL AND NOT EXISTS
+        |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |  (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem l
+        |   WHERE l_partkey IS NOT NULL AND NOT EXISTS
+        |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))""".stripMargin,
+
+    // expected shares are the SAME compile-time double literals the
+    // Spark side carries (runtime is literal+integer IEEE arithmetic,
+    // no transcendentals); digit read from the exact DECIMAL string
+    "q157_benford" -> {
+      // literals ship as QUOTED strings: DuckDB parses a bare decimal
+      // literal as DECIMAL and converts (can land 1 ulp off), while a
+      // string cast goes through strtod — correctly rounded, so the
+      // shortest-repr round-trip reproduces Spark's double exactly
+      val dim = (1 to 9)
+        .map(d => s"($d, CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH dim AS (SELECT * FROM (VALUES $dim) t(digit, p)),
+        |obs AS (SELECT CAST(substr(regexp_replace(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders
+        |  WHERE substr(regexp_replace(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    '[^1-9]', '', 'g'), 1, 1) <> ''
+        |  GROUP BY 1),
+        |j AS (SELECT dim.digit, dim.p, coalesce(obs.n_obs, 0) AS n_obs
+        |      FROM dim LEFT JOIN obs USING (digit)),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM j),
+        |terms AS (SELECT digit, n_obs, CAST(n AS DOUBLE) * p AS expected,
+        |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |      / (CAST(n AS DOUBLE) * p) AS term
+        |  FROM j CROSS JOIN tot WHERE n > 0),
+        |cs AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY digit)), (a, x) -> a + x) AS chisq FROM terms)
+        |SELECT digit, n_obs, expected, chisq FROM terms CROSS JOIN cs""".stripMargin
+    },
+
+    // midrank CDF: every term a multiple of 0.5, one closing divide
+    "q158_empirical_cdf" ->
+      """SELECT event_id, event_type, value,
+        |  (CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT)
+        |    + (CAST(count(*) OVER (PARTITION BY event_type, value) AS BIGINT) - 1) / 2.0)
+        |   / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    "q159_window_ranks" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS pr,
+        |  cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS cd,
+        |  nth_value(c_acctbal, 2) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal
+        |FROM customer""".stripMargin,
+
+    // the estimate is sketch arithmetic (not oracle-replayable); the
+    // CLAIM — edge rank within the GK error bound of the target
+    // rank — is engine-independent and hash-gated (q146 pattern)
+    "q160_approx_contract" ->
+      """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT CAST(p AS DOUBLE) AS p, n.n AS n, TRUE AS ok
+        |FROM (VALUES (0.25), (0.5), (0.75)) t(p) CROSS JOIN n""".stripMargin
   )
 }

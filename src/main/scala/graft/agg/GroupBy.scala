@@ -21,10 +21,14 @@ final case class GroupBy(
     groupFields: Seq[String],
     aggs: Seq[Column] = Seq.empty,
     sortResults: Boolean = false,
-    /** "groupBy" (default), "rollup", or "cube" — hierarchical /
-     *  all-combinations subtotals (beyond-reference §2.4 surface;
-     *  disambiguate subtotal nulls with `grouping_id()`). */
-    mode: String = "groupBy") {
+    /** "groupBy" (default), "rollup", "cube", or "sets" — hierarchical /
+     *  all-combinations / explicit subtotal grains (beyond-reference
+     *  §2.4 surface; disambiguate subtotal nulls with `grouping_id()`). */
+    mode: String = "groupBy",
+    /** Explicit grains for mode = "sets" (each a subset of
+     *  `groupFields`) — the general form rollup/cube specialize:
+     *  exactly the subtotal grains you pay for, nothing else. */
+    sets: Seq[Seq[String]] = Nil) {
 
   /** count(*) — rows per group, like the reference (`groupby.go:253-269`). */
   def count(out: String): GroupBy =
@@ -67,6 +71,16 @@ final case class GroupBy(
   def rollup: GroupBy = copy(mode = "rollup")
   def cube: GroupBy = copy(mode = "cube")
 
+  /** GROUPING SETS with explicit grains: one aggregation pass (Spark
+   *  plans an Expand over the grains — |grains|× the input rows into
+   *  ONE shuffle, never one job per grain). */
+  def groupingSets(grains: Seq[String]*): GroupBy = {
+    require(grains.nonEmpty, "groupingSets needs at least one grain")
+    grains.flatten.foreach(f => require(groupFields.contains(f),
+      s"grain column $f is not a group field"))
+    copy(mode = "sets", sets = grains.toSeq)
+  }
+
   def apply(df: DataFrame): DataFrame = {
     require(aggs.nonEmpty, "GroupBy needs at least one aggregate")
     val out =
@@ -75,6 +89,8 @@ final case class GroupBy(
         val grouped = mode match {
           case "rollup" => df.rollup(groupFields.map(col): _*)
           case "cube" => df.cube(groupFields.map(col): _*)
+          case "sets" =>
+            df.groupingSets(sets.map(_.map(col)), groupFields.map(col): _*)
           case _ => df.groupBy(groupFields.map(col): _*)
         }
         grouped.agg(aggs.head, aggs.tail: _*)
@@ -221,6 +237,37 @@ object GroupBy {
           .when(v > col("__hi"), col("__hi"))
           .otherwise(v))
       .drop("__lo", "__hi")
+  }
+
+  /**
+   * Empirical-CDF (quantile) transform per group: map every value to
+   * its midrank CDF position `(rank + (ties − 1)/2) / n` in its
+   * group — the rank-normalization feature transform (uniformizes any
+   * distribution, robust to outliers; the per-segment form of what
+   * scikit-learn calls QuantileTransformer).
+   *
+   * Midranks make tied values share one CDF position, and every term
+   * is a multiple of 0.5 — exact in double arithmetic, so the single
+   * closing division is the only IEEE op (engine-reproducible). Rows
+   * with a null value are dropped (a rank of nothing is not 0).
+   *
+   * Scale posture: one shuffle on the group keys; the rank and
+   * tie-count windows share that partitioning. Group skew lands in
+   * AQE like any window.
+   */
+  def empiricalCdf(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   out: String = "cdf"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val ties = Window.partitionBy((groupCols :+ valueCol).map(col): _*)
+    val n = Window.partitionBy(groupCols.map(col): _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__t", count(lit(1)).over(ties))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn(out,
+        (rank().over(w) + (col("__t") - lit(1)) / lit(2.0)) /
+          col("__n").cast("double"))
+      .drop("__t", "__n")
   }
 
   /** Shared event-time ordering for the window-over-time operators:

@@ -336,6 +336,110 @@ object Quality {
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("ks_stat"))
   }
 
+  /** One foreign-key relationship for [[referentialIntegrity]]. */
+  final case class FkSpec(name: String, childCols: Seq[String],
+                          parent: DataFrame, parentCols: Seq[String]) {
+    require(childCols.nonEmpty && childCols.length == parentCols.length,
+      s"FK $name: child/parent key arity mismatch")
+  }
+
+  /**
+   * Referential-integrity audit: for each declared FK, how many child
+   * rows point at a parent key that does not exist — the
+   * dimension-join health check every warehouse load needs before
+   * downstream joins silently drop rows (or, worse, an inner join
+   * "loses revenue"). Null FK values are NOT violations (SQL FK
+   * semantics); they're excluded from `n_rows`.
+   *
+   * Output: one row per FK — (fk, n_rows, n_orphans,
+   * n_distinct_orphans).
+   *
+   * Scale posture: per FK, one distinct-project of the parent keys
+   * and one join against the child keyed on the FK columns (AQE
+   * broadcasts dimension-sized parents); counts aggregate map-side.
+   * Orphan DISTINCT counts are exact — they are bounded by the
+   * violating keyspace, which a healthy pipeline keeps tiny.
+   */
+  def referentialIntegrity(child: DataFrame, fks: Seq[FkSpec]): DataFrame = {
+    require(fks.nonEmpty, "referentialIntegrity needs at least one FK")
+    fks.map { fk =>
+      val c = child
+        .filter(fk.childCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(fk.childCols.map(col): _*)
+      val pk = fk.parentCols.zipWithIndex.map { case (p, i) => s"__pk_$i" }
+      val p = fk.parent
+        .select(fk.parentCols.zip(pk).map { case (a, b) => col(a).as(b) }: _*)
+        .distinct()
+        .withColumn("__hit", lit(1))
+      val cond = fk.childCols.zip(pk)
+        .map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
+      val orphanKey = when(col("__hit").isNull,
+        struct(fk.childCols.map(col): _*))
+      c.join(p, cond, "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          count_distinct(orphanKey).as("n_distinct_orphans"))
+        .select(lit(fk.name).as("fk"), col("n_rows"), col("n_orphans"),
+          col("n_distinct_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Benford's-law first-digit drift: the distribution of first
+   * significant digits against `log10(1 + 1/d)` — the classic
+   * fabricated-data / broken-ETL tripwire for naturally-occurring
+   * amounts (prices, populations, file sizes).
+   *
+   * `valueCol` must be EXACT-DECIMAL-representable (a money column, a
+   * count) — it is cast to `decimal(18, scale)` and the digit read
+   * from the decimal's string form, so digit extraction is
+   * engine-exact (extracting from a raw double's string would hash
+   * differently across engines' float formatting). Values that carry
+   * no significant digit (zero, null) are excluded.
+   *
+   * The expected shares are compile-time double literals (not runtime
+   * transcendentals), so every output cell is fixed-order
+   * integer/IEEE arithmetic: `expected = N · p_d`, `term =
+   * (o − e)²/e`, and `chisq` folds the 9 terms in digit order.
+   *
+   * Output: 9 rows (digit, n_obs, expected, chisq) — chisq repeated
+   * per row (one statistic over the digit histogram).
+   *
+   * Scale posture: one projection + a 9-bucket aggregate; everything
+   * after runs on 9 rows.
+   */
+  def benfordDrift(df: DataFrame, valueCol: String,
+                   scale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digitP = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val dim = digitP.toDF("digit", "__p")
+    val digit = substring(
+      regexp_replace(col(valueCol).cast(s"decimal(18,$scale)").cast("string"),
+        "[^1-9]", ""), 1, 1)
+    val obs = df
+      .select(digit.as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val joined = broadcast(dim).join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val total = joined.agg(sum("n_obs").as("__n"))
+    val e = col("__n").cast("double") * col("__p")
+    val term = (col("n_obs").cast("double") - e) *
+      (col("n_obs").cast("double") - e) / e
+    val terms = joined.crossJoin(broadcast(total))
+      .filter(col("__n") > 0) // empty input → empty result, not 0/0
+      .select(col("digit"), col("n_obs"), e.as("expected"),
+        term.as("__term"))
+    val chisq = terms.groupBy()
+      .agg(aggregate(sort_array(collect_list(struct(col("digit").as("d"),
+          col("__term").as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("chisq"))
+    terms.crossJoin(broadcast(chisq))
+      .select(col("digit"), col("n_obs"), col("expected"), col("chisq"))
+  }
+
   /**
    * Mann-Whitney U (Wilcoxon rank-sum) two-sample test: does
    * `valueCol` tend larger in group `a` than group `b`? The

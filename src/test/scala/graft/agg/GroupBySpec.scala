@@ -202,4 +202,39 @@ class GroupBySpec extends AnyFunSuite {
     assert(out(("b", Some(100.0))) == Some(100.0))
     assert(out(("b", Some(300.0))) == Some(300.0))
   }
+
+  test("groupingSets: exactly the requested grains, one per grouping_id") {
+    val df = Seq(("A", "x", 1L), ("A", "y", 2L), ("B", "x", 4L))
+      .toDF("f", "g", "v")
+    val out = GroupBy("f", "g")
+      .groupingSets(Seq("f", "g"), Seq("g"), Seq())
+      .sum("v", "s")
+      .agg(org.apache.spark.sql.functions.grouping_id().cast("int").as("gid"))
+      .apply(df)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getLong(2), r.getInt(3))).toSet
+    assert(out == Set(
+      (Some("A"), Some("x"), 1L, 0), (Some("A"), Some("y"), 2L, 0),
+      (Some("B"), Some("x"), 4L, 0),                      // finest grain
+      (None, Some("x"), 5L, 2), (None, Some("y"), 2L, 2), // by g only
+      (None, None, 7L, 3)))                               // grand total
+  }
+
+  test("groupingSets rejects grain columns outside the group fields") {
+    intercept[IllegalArgumentException] {
+      GroupBy("f").groupingSets(Seq("nope"))
+    }
+  }
+
+  test("empiricalCdf: midrank CDF per group, nulls dropped") {
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(20.0)),
+      ("a", Some(30.0)), ("a", None), ("b", Some(5.0)))
+      .toDF("g", "v")
+    val out = GroupBy.empiricalCdf(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    // group a (n=4): 10→1/4, 20 ties midrank 2.5→0.625, 30→4/4
+    assert(out == Set(("a", 10.0, 0.25), ("a", 20.0, 0.625),
+      ("a", 20.0, 0.625), ("a", 30.0, 1.0), ("b", 5.0, 1.0)))
+  }
 }

@@ -64,4 +64,39 @@ class StatsSpec extends AnyFunSuite {
     val df = Seq(("A", 1.0)).toDF("g", "v")
     assert(Quality.mannWhitneyU(df, "v", "g", "A", "B").collect().isEmpty)
   }
+
+  test("referentialIntegrity: orphan counts per FK; nulls are not violations") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.referentialIntegrity(child,
+      Seq(Quality.FkSpec("t", Seq("fk"), parent, Seq("pk")))).collect()(0)
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 4L) // null excluded
+    assert(r.getLong(2) == 2L) // two rows point at 9
+    assert(r.getLong(3) == 1L) // one distinct missing key
+  }
+
+  test("benfordDrift: digit histogram, literal expectations, ordered-fold chisq") {
+    // first digits: 1,1,2,9 (0.00 and null carry no significant digit)
+    val df = Seq(Some(123.45), Some(0.19), Some(250.0), Some(9.99),
+      Some(0.0), None).toDF("v")
+    val rows = Quality.benfordDrift(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == (1 to 9).toSet)
+    assert(rows(1)._1 == 2L && rows(2)._1 == 1L && rows(9)._1 == 1L)
+    assert(rows(3)._1 == 0L)
+    assert(math.abs(rows(1)._2 - 4.0 * math.log10(2.0)) < 1e-12)
+    val chisq = Quality.benfordDrift(df, "v").collect()(0).getDouble(3)
+    val expected = (1 to 9).map { d =>
+      val e = 4.0 * math.log10(1.0 + 1.0 / d)
+      val o = rows(d)._1.toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chisq - expected) < 1e-9)
+  }
+
+  test("benfordDrift: empty input emits no rows (no 0/0)") {
+    val df = Seq.empty[Option[Double]].toDF("v")
+    assert(Quality.benfordDrift(df, "v").collect().isEmpty)
+  }
 }
