@@ -2179,6 +2179,74 @@ object SparkEntry {
       ranks.select(col("p"), col("__cnt").as("n"),
         (target >= col("__nlt") + 1 - tol &&
           target <= col("__nle") + tol).as("ok"))
+    }),
+
+    // ---- streaming: the q151 transition matrix as incremental keyed
+    //      state through real micro-batches (q138 feed contract:
+    //      chronological hour chunks, one file per trigger) ----
+    "q161_stream_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q161")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q161: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.transitionsStream(
+          df, "user_id", "ts", "event_type", "event_id"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldTransitionUpdates(updates)
+    }),
+
+    // ---- stats: exact-decimal Pearson matrix over the lineitem
+    //      money columns, ONE aggregation pass ----
+    "q162_corr_matrix" -> ((s, dir) =>
+      graft.agg.Stats.pearsonMatrix(t(s, dir, "lineitem"),
+        Seq(("l_quantity", 2), ("l_extendedprice", 2), ("l_discount", 2)))),
+
+    // ---- stats: per-type OLS trend of event value over time
+    //      (exact decimal moments, pinned closing arithmetic) ----
+    "q163_linreg" -> ((s, dir) =>
+      graft.agg.Stats.linearFit(
+        t(s, dir, "events")
+          .withColumn("__x", unix_timestamp(col("ts"))),
+        Seq("event_type"), "__x", "value", xScale = 0, yScale = 2)),
+
+    // ---- multimodal dedup: real PNG decode → dHash → banded hamming
+    //      near-dup pairs (bit-sampling LSH, pigeonhole-complete, so
+    //      the all-pairs oracle is exactly equivalent) ----
+    "q164_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val png = Multimodal.rgbPng(9, 8, (x, y) => {
+              val base = (((id % 50) * 31 + x * 7 + y * 13) % 256).toInt
+              val v = if (id % 2 == 1 && x == 4 && y == 4)
+                (base + 60) % 256
+              else base
+              (v << 16) | (v << 8) | v
+            })
+            Multimodal.MediaRecord(id, png,
+              Multimodal.MediaMeta("image/png", Some(9), Some(8), None))
+          }
+        }
+        .transform(Multimodal.imageDHash(_))
+        .toDF()
+      Dedup.hammingPairs(hashes, "media_id", "dhash", bits = 64,
+        maxHamming = 3, bands = 8)
     })
   )
 
@@ -4251,6 +4319,95 @@ object SparkEntry {
       """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
         |SELECT CAST(p AS DOUBLE) AS p, n.n AS n, TRUE AS ok
-        |FROM (VALUES (0.25), (0.5), (0.75)) t(p) CROSS JOIN n""".stripMargin
+        |FROM (VALUES (0.25), (0.5), (0.75)) t(p) CROSS JOIN n""".stripMargin,
+
+    // the q151 oracle restricted to non-null users (stream keys)
+    "q161_stream_transitions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+
+    // exact decimal moments cast once to double, pinned formula order
+    "q162_corr_matrix" -> {
+      val pairs = Seq(("q", "l_quantity", "e", "l_extendedprice"),
+        ("q", "l_quantity", "dd", "l_discount"),
+        ("e", "l_extendedprice", "dd", "l_discount"))
+      def nd = "CAST(n AS DOUBLE)"
+      def v(a: String) =
+        s"($nd * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+      def cov(a: String, b: String) =
+        s"($nd * CAST(sxy_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      val selects = pairs.map { case (a, an, b, bn) =>
+        s"""SELECT '$an' AS col_x, '$bn' AS col_y, n,
+           |  CASE WHEN ${v(a)} > 0 AND ${v(b)} > 0
+           |    THEN ${cov(a, b)} / (sqrt(${v(a)}) * sqrt(${v(b)})) END AS corr
+           |FROM m""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")
+      s"""WITH b AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS dd
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(q) AS s_q, sum(e) AS s_e, sum(dd) AS s_dd,
+        |    sum(q * q) AS ss_q, sum(e * e) AS ss_e, sum(dd * dd) AS ss_dd,
+        |    sum(q * e) AS sxy_q_e, sum(q * dd) AS sxy_q_dd,
+        |    sum(e * dd) AS sxy_e_dd FROM b)$selects""".stripMargin
+    },
+
+    // x = floor epoch seconds (epoch_ms // 1000 — exact integers);
+    // same decimal-moment discipline as q162
+    "q163_linreg" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(epoch_ms(ts) // 1000 AS DECIMAL(19,0)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS corr
+        |FROM m""".stripMargin,
+
+    // the q116 pixel formula with a parity bump at cell (4,4); banding
+    // with maxHamming < bands is pigeonhole-COMPLETE, so the all-pairs
+    // replay is exactly the banded result
+    "q164_image_neardup" ->
+      """WITH bits AS (SELECT doc_id, y, x,
+        |    CASE WHEN (CASE WHEN doc_id % 2 = 1 AND x + 1 = 4 AND y = 4
+        |         THEN ((doc_id % 50)*31 + (x+1)*7 + y*13 + 60) % 256
+        |         ELSE ((doc_id % 50)*31 + (x+1)*7 + y*13) % 256 END)
+        |       > (CASE WHEN doc_id % 2 = 1 AND x = 4 AND y = 4
+        |         THEN ((doc_id % 50)*31 + x*7 + y*13 + 60) % 256
+        |         ELSE ((doc_id % 50)*31 + x*7 + y*13) % 256 END)
+        |      THEN '1' ELSE '0' END AS b
+        |  FROM documents, range(0, 8) t1(y), range(0, 8) t2(x)),
+        |h AS (SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dh
+        |      FROM bits GROUP BY doc_id),
+        |p AS (SELECT h1.doc_id AS id1, h2.doc_id AS id2,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> substr(h1.dh, CAST(i AS INT), 1) <> substr(h2.dh, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        |  FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id)
+        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
   )
 }

@@ -471,4 +471,80 @@ object Streaming {
       .select(col(actorCol) +:
         (0 until k).map(i => col(s"step${i + 1}_ts")) :+ col("stage"): _*)
   }
+
+  /**
+   * The q151 Markov transition matrix as INCREMENTAL keyed state: per
+   * actor, the last-seen state plus cumulative (from → to) pair
+   * counts, updated batch over batch — adjacency crosses micro-batch
+   * boundaries through the retained last state, so a feed split at
+   * any point yields the same pairs as the batch operator.
+   *
+   * Within a batch, events process sorted by (`tsCol`, `tieCol`) —
+   * the batch operator's window order. Batch-exact ONLY on an
+   * event-time-ordered feed (the [[funnelStream]] contract:
+   * adjacency is retroactive under disorder; exactness under
+   * arbitrary lateness would need raw-event buffering, not one state
+   * string and a count map).
+   *
+   * State per actor: one string + a counts map bounded by the state
+   * vocabulary squared — RocksDB-compatible, no event buffering.
+   * Output per batch: the actor's FULL cumulative (from, to, n)
+   * entries — counts are nondecreasing, so the update log folds
+   * order- and duplicate-free with `max` ([[foldTransitionUpdates]]).
+   */
+  def transitionsStream(df: DataFrame, actorCol: String, tsCol: String,
+                        stateCol: String, tieCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(stateCol).cast("string"))
+      .as[(Long, Long, Long, String)]
+    val sep = "\u0001" // never appears in event-type vocabularies
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Map[String, Long]),
+        (Long, String, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(String, Map[String, Long])]) =>
+          val (last0, counts0) = state.getOption.getOrElse((null: String, Map.empty[String, Long]))
+          var last = last0
+          var counts = counts0
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, st) =>
+            if (last != null) {
+              val k = last + sep + st
+              counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+            }
+            last = st
+          }
+          state.update((last, counts))
+          counts.iterator.map { case (k, n) =>
+            val Array(from, to) = k.split(sep, 2)
+            (key, from, to, n)
+          }
+      }
+      .toDF("actor", "from_state", "to_state", "n")
+  }
+
+  /**
+   * Collapse a [[transitionsStream]] update log to the batch
+   * [[graft.ops.TimeSeries.transitionMatrix]] shape: cumulative
+   * per-actor counts fold with `max` (nondecreasing ⇒ order- and
+   * replay-duplicate-free), then sum across actors and row-normalize.
+   */
+  def foldTransitionUpdates(updates: DataFrame): DataFrame = {
+    val perActor = updates
+      .groupBy(col("actor"), col("from_state"), col("to_state"))
+      .agg(max(col("n")).as("__n"))
+    val counts = perActor.groupBy(col("from_state"), col("to_state"))
+      .agg(sum("__n").as("n"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_state"))
+    counts
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(wf).cast("double"))
+      .select(col("from_state"), col("to_state"), col("n"), col("p"))
+  }
 }

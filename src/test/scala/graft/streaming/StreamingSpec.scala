@@ -340,4 +340,42 @@ class StreamingSpec extends AnyFunSuite {
           Option(r.getTimestamp(3)), r.getInt(4)))).toMap
     assert(out == batchOut)
   }
+
+  test("transitionsStream: cross-batch adjacency == batch transition matrix") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_trans").toString
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:05:00"), "B", 2L),
+      (2L, ts("2024-01-01 10:00:00"), "A", 3L),
+      // tie: event_id orders C before D
+      (3L, ts("2024-01-01 10:00:00"), "D", 5L),
+      (3L, ts("2024-01-01 10:00:00"), "C", 4L))
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "A", 6L), // B→A crosses the batch boundary
+      (2L, ts("2024-01-01 11:00:00"), "C", 7L))
+    batch1.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.transitionsStream(df, "user_id", "ts", "event_type", "event_id"),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldTransitionUpdates(updates)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((1L, 1.0)), ("C", "D") -> ((1L, 1.0))))
+    // parity with the batch operator over the full event set
+    val batchOut = graft.ops.TimeSeries.transitionMatrix(
+      (batch1 ++ batch2).toDF("user_id", "ts", "event_type", "event_id"),
+      Seq("user_id"), "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == batchOut)
+  }
 }
