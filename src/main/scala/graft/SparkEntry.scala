@@ -2233,7 +2233,13 @@ object SparkEntry {
         .mapPartitions { it =>
           it.map { id =>
             val png = Multimodal.rgbPng(9, 8, (x, y) => {
-              val base = (((id % 50) * 31 + x * 7 + y * 13) % 256).toInt
+              // MULTIPLICATIVE class pattern: each class gets its own
+              // gradient slope, so cross-class dhashes are FAR (an
+              // additive offset cancels in neighbor comparisons and
+              // made all 5000 sf0.1 docs one near-dup cluster — the
+              // pair list then grows quadratically in corpus size
+              // instead of class size)
+              val base = (((id % 50 + 1) * (x * 7 + y * 13 + 3)) % 256).toInt
               val v = if (id % 2 == 1 && x == 4 && y == 4)
                 (base + 60) % 256
               else base
@@ -2247,7 +2253,62 @@ object SparkEntry {
         .toDF()
       Dedup.hammingPairs(hashes, "media_id", "dhash", bits = 64,
         maxHamming = 3, bands = 8)
-    })
+    }),
+
+    // ---- sketch set algebra: per-type Theta sketches → pairwise
+    //      audience overlap, accuracy-contract gated (q146 pattern) ----
+    "q165_theta_overlap" -> ((s, dir) => {
+      import graft.agg.Sketches
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      val ov = Sketches.thetaOverlap(
+        Sketches.thetaSketches(ev, Seq("event_type"), "user_id"),
+        "event_type")
+      val du = ev.select(col("event_type"), col("user_id")).distinct()
+      val ex = du.as("a").join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("g1"), col("b.event_type").as("g2"))
+        .agg(count(lit(1)).as("n_exact_overlap"))
+      val exact = coalesce(col("n_exact_overlap"), lit(0L))
+      ov.join(ex, Seq("g1", "g2"), "left")
+        .select(col("g1"), col("g2"), exact.as("n_exact_overlap"),
+          (abs(col("est_overlap").cast("double") - exact.cast("double")) <=
+            lit(0.05) * exact.cast("double") + lit(16.0)).as("overlap_ok"))
+    }),
+
+    // ---- sketch quantile cube: daily KLL sketches merged up to
+    //      event_type, quantile edges rank-contract gated ----
+    "q166_kll_quantiles" -> ((s, dir) => {
+      import graft.agg.Sketches
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+      val daily = Sketches.kllSketches(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "value")
+      val rolled = Sketches.kllRollup(daily, Seq("event_type"),
+        Seq(0.25, 0.5, 0.75))
+      val ranks = ev.select(col("event_type"), col("value"))
+        .join(rolled, Seq("event_type"))
+        .groupBy(col("event_type"), col("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("edge"), 1L).otherwise(0L)).as("__nle"),
+          sum(when(col("value") < col("edge"), 1L).otherwise(0L)).as("__nlt"))
+      // KLL k=200 ⇒ ~1.65% rank error at 99% confidence; 5% + 1 slack
+      val target = ceil(col("p").cast("decimal(18,12)") * col("n"))
+        .cast("long")
+      val tol = ceil(col("n").cast("decimal(18,12)") * 0.05).cast("long") + 1
+      ranks.select(col("event_type"), col("p"), col("n"),
+        (target >= col("__nlt") + 1 - tol &&
+          target <= col("__nle") + tol).as("ok"))
+    }),
+
+    // ---- monitoring: per-user EWMA smoothing (recursive fold —
+    //      identical pinned IEEE ops both engines, no rounding) ----
+    "q167_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewma(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        Seq("user_id"), "ts", "event_id", "value", alpha = 0.3))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -4395,11 +4456,11 @@ object SparkEntry {
     "q164_image_neardup" ->
       """WITH bits AS (SELECT doc_id, y, x,
         |    CASE WHEN (CASE WHEN doc_id % 2 = 1 AND x + 1 = 4 AND y = 4
-        |         THEN ((doc_id % 50)*31 + (x+1)*7 + y*13 + 60) % 256
-        |         ELSE ((doc_id % 50)*31 + (x+1)*7 + y*13) % 256 END)
+        |         THEN ((doc_id % 50 + 1) * ((x+1)*7 + y*13 + 3) + 60) % 256
+        |         ELSE ((doc_id % 50 + 1) * ((x+1)*7 + y*13 + 3)) % 256 END)
         |       > (CASE WHEN doc_id % 2 = 1 AND x = 4 AND y = 4
-        |         THEN ((doc_id % 50)*31 + x*7 + y*13 + 60) % 256
-        |         ELSE ((doc_id % 50)*31 + x*7 + y*13) % 256 END)
+        |         THEN ((doc_id % 50 + 1) * (x*7 + y*13 + 3) + 60) % 256
+        |         ELSE ((doc_id % 50 + 1) * (x*7 + y*13 + 3)) % 256 END)
         |      THEN '1' ELSE '0' END AS b
         |  FROM documents, range(0, 8) t1(y), range(0, 8) t2(x)),
         |h AS (SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dh
@@ -4408,6 +4469,45 @@ object SparkEntry {
         |    CAST(len(list_filter(range(1, 65),
         |      i -> substr(h1.dh, CAST(i AS INT), 1) <> substr(h2.dh, CAST(i AS INT), 1))) AS BIGINT) AS hamming
         |  FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id)
-        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
+        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
+    // estimates are DataSketches arithmetic; the hash-gated claim is
+    // the exact overlap + the accuracy contract
+    "q165_theta_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |pairs AS (SELECT a.event_type AS g1, b.event_type AS g2,
+        |    CAST(count(*) AS BIGINT) AS n_exact_overlap
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM du)
+        |SELECT t1.event_type AS g1, t2.event_type AS g2,
+        |  CAST(coalesce(p.n_exact_overlap, 0) AS BIGINT) AS n_exact_overlap,
+        |  TRUE AS overlap_ok
+        |FROM types t1 JOIN types t2 ON t1.event_type < t2.event_type
+        |LEFT JOIN pairs p ON p.g1 = t1.event_type AND p.g2 = t2.event_type""".stripMargin,
+
+    "q166_kll_quantiles" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+        |SELECT event_type, CAST(p AS DOUBLE) AS p, n, TRUE AS ok
+        |FROM n CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(p)""".stripMargin,
+
+    // the exact recurrence e' = e + α·(x − e) replayed by a recursive
+    // CTE — same pinned IEEE ops, bit-equal without rounding
+    "q167_ewma" ->
+      """WITH RECURSIVE r0 AS (SELECT user_id, ts, event_id,
+        |    CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |walk AS (
+        |  SELECT user_id, ts, event_id, v, rn, v AS ew FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.user_id, r0.ts, r0.event_id, r0.v, r0.rn,
+        |    w.ew + CAST('0.3' AS DOUBLE) * (r0.v - w.ew)
+        |  FROM walk w JOIN r0 ON r0.user_id = w.user_id AND r0.rn = w.rn + 1)
+        |SELECT user_id, event_id, ts, v AS value, ew AS ewma FROM walk""".stripMargin
   )
 }

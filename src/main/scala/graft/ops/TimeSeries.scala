@@ -303,6 +303,51 @@ object TimeSeries {
       .select(col("from_state"), col("to_state"), col("n"), col("p"))
   }
 
+  /**
+   * Per-key exponentially-weighted moving average: for every event,
+   * the EWMA of the key's values up to and including it — the
+   * standard monitoring smoother (`e₀ = x₀`,
+   * `eᵢ = eᵢ₋₁ + α·(xᵢ − eᵢ₋₁)`, that exact association order both
+   * engines replay). Events order by (`tsCol`, `tieCol`) within the
+   * key; rows with a null time or value are dropped (a smoothed
+   * value of nothing is not 0).
+   *
+   * Output: (keys…, `tieCol`, `tsCol`, `valueCol`, `out`).
+   *
+   * Mechanics: EWMA is inherently recursive — no window frame
+   * expresses it — so each key's series folds through an in-group
+   * array build (`aggregate` appending one smoothed value per step)
+   * and explodes back to rows. ONE shuffle on the keys; the array is
+   * bounded by the KEY's event count, so this is the right tool for
+   * per-entity series (a user's events, a device's readings), not
+   * for one global million-point series — for unbounded streams use
+   * keyed state ([[graft.streaming.Streaming]]'s mapGroupsWithState
+   * shape), which carries the same recurrence in O(1) state.
+   */
+  def ewma(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+           valueCol: String, alpha: Double, out: String = "ewma"): DataFrame = {
+    require(keys.nonEmpty, "ewma needs key columns")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), col(valueCol).cast("double").as("v"))))
+    val folded = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(lst.as("__l"))
+      .withColumn("__e", aggregate(col("__l"),
+        array().cast("array<double>"),
+        (acc, x) => when(size(acc) === 0, array(x.getField("v")))
+          .otherwise(concat(acc, array(
+            element_at(acc, -1) +
+              lit(alpha) * (x.getField("v") - element_at(acc, -1)))))))
+    folded
+      .select(keys.map(col) :+
+        posexplode(arrays_zip(col("__l"), col("__e"))): _*)
+      .select(keys.map(col) ++ Seq(
+        col("col.__l.i").as(tieCol), col("col.__l.t").as(tsCol),
+        col("col.__l.v").as(valueCol), col("col.__e").as(out)): _*)
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

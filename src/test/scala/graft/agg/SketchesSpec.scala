@@ -71,4 +71,28 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.heavyHitters(items, "item", fraction = 0.01, k = 50)
     }
   }
+
+  test("thetaOverlap: set algebra on sketches matches exact overlap in exact mode") {
+    val df = (Seq.tabulate(300)(i => ("a", i.toLong)) ++
+      Seq.tabulate(300)(i => ("b", (i + 200).toLong)) ++
+      Seq.tabulate(50)(i => ("c", (i + 1000).toLong))).toDF("g", "u")
+    val ov = Sketches.thetaOverlap(
+      Sketches.thetaSketches(df, Seq("g"), "u"), "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // below nominal entries the sketch is exact (estimates are longs)
+    assert(ov(("a", "b"))._1 == 100L) // ids 200..299 shared
+    assert(ov(("a", "b"))._2 == 500L)
+    assert(ov(("a", "c"))._1 == 0L)
+    assert(ov(("b", "c"))._1 == 0L)
+  }
+
+  test("kllRollup: merged daily sketches answer quantiles within rank error") {
+    val df = (1 to 1000).map(v => (s"d${v % 10}", v.toDouble)).toDF("day", "v")
+    val rolled = Sketches.kllRollup(
+      Sketches.kllSketches(df, Seq("day"), "v"), Nil, Seq(0.5))
+    val med = rolled.collect()(0).getDouble(1)
+    // k=200 on 1000 values: well within a 5% rank band around 500
+    assert(med >= 450.0 && med <= 550.0, s"median=$med")
+  }
 }

@@ -180,4 +180,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq == Seq(("B", "A"))) // id 1 precedes id 2
   }
+
+  test("ewma: per-key recursive smoothing in (ts, tie) order") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:00:02"), 2L, 20.0),
+      (1L, ts("2024-01-01 00:00:03"), 3L, 20.0),
+      (2L, ts("2024-01-01 00:00:01"), 4L, 5.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.ewma(df, Seq("k"), "ts", "id", "v", alpha = 0.5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(out(1L) == 10.0)            // e0 = x0
+    assert(out(2L) == 15.0)            // 10 + 0.5·(20−10)
+    assert(out(3L) == 17.5)            // 15 + 0.5·(20−15)
+    assert(out(4L) == 5.0)             // independent key
+  }
+
+  test("ewma: null value/ts rows are dropped, ties order by tie column") {
+    val t0 = ts("2024-01-01 00:00:01")
+    val df = Seq(
+      (1L, Option(t0), 2L, Option(100.0)),
+      (1L, Option(t0), 1L, Option(0.0)),   // same ts: id 1 first
+      (1L, Option(t0), 3L, Option.empty[Double]),
+      (1L, Option.empty[java.sql.Timestamp], 4L, Option(9.0))
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.ewma(df, Seq("k"), "ts", "id", "v", alpha = 0.5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 50.0))
+  }
 }
