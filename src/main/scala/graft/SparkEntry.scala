@@ -2308,7 +2308,71 @@ object SparkEntry {
     "q167_ewma" -> ((s, dir) =>
       graft.ops.TimeSeries.ewma(
         t(s, dir, "events").filter(col("user_id").isNotNull),
-        Seq("user_id"), "ts", "event_id", "value", alpha = 0.3))
+        Seq("user_id"), "ts", "event_id", "value", alpha = 0.3)),
+
+    // ---- streaming: the q167 recurrence as O(1) keyed state — the
+    //      unbounded-series path the batch array fold can't take ----
+    "q168_stream_ewma" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q168")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q168: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.ewmaStream(
+          df, "user_id", "ts", "event_id", "value", alpha = 0.3),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldEwmaUpdates(updates)
+        .select(col("actor").as("user_id"), col("tie").as("event_id"),
+          timestamp_micros(col("ts_micros")).as("ts"), col("value"),
+          col("ewma"))
+    }),
+
+    // ---- analytics: day-of-week seasonality profile per event type ----
+    "q169_seasonality" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalityProfile(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        Seq("event_type"), "ts", "value")),
+
+    // ---- text mining: RAKE keyphrase extraction over the corpus ----
+    "q170_rake_keywords" -> ((s, dir) =>
+      TA.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+        maxLen = 4, topK = 50)),
+
+    // ---- multimodal dedup: real WAV decode → envelope fingerprint →
+    //      banded hamming pairs (the q164 pattern on audio) ----
+    "q171_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(1024) { i =>
+              val base = (((id % 50 + 1) * (i * 13 + 7)) % 4096).toInt
+              val v = if (id % 2 == 1 && i / 16 == 6) base + 512 else base
+              v.toShort
+            }
+            Multimodal.MediaRecord(id, Multimodal.pcmWav(samples),
+              Multimodal.MediaMeta("audio/wav", None, None, Some(128L)))
+          }
+        }
+        .transform(Multimodal.audioFingerprint(_, buckets = 64))
+        .toDF()
+      Dedup.hammingPairs(fps, "media_id", "fp", bits = 64,
+        maxHamming = 3, bands = 8)
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -4508,6 +4572,97 @@ object SparkEntry {
         |  SELECT r0.user_id, r0.ts, r0.event_id, r0.v, r0.rn,
         |    w.ew + CAST('0.3' AS DOUBLE) * (r0.v - w.ew)
         |  FROM walk w JOIN r0 ON r0.user_id = w.user_id AND r0.rn = w.rn + 1)
-        |SELECT user_id, event_id, ts, v AS value, ew AS ewma FROM walk""".stripMargin
+        |SELECT user_id, event_id, ts, v AS value, ew AS ewma FROM walk""".stripMargin,
+
+    // identical to q167: the stream carries the same recurrence in
+    // keyed state and must land on the same rows
+    "q168_stream_ewma" ->
+      """WITH RECURSIVE r0 AS (SELECT user_id, ts, event_id,
+        |    CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |walk AS (
+        |  SELECT user_id, ts, event_id, v, rn, v AS ew FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.user_id, r0.ts, r0.event_id, r0.v, r0.rn,
+        |    w.ew + CAST('0.3' AS DOUBLE) * (r0.v - w.ew)
+        |  FROM walk w JOIN r0 ON r0.user_id = w.user_id AND r0.rn = w.rn + 1)
+        |SELECT user_id, event_id, ts, v AS value, ew AS ewma FROM walk""".stripMargin,
+
+    // dow = DuckDB dayofweek (Sunday=0) + 1 = Spark dayofweek
+    "q169_seasonality" ->
+      """WITH b AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |a AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type, dow, n,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+        |  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+        |     / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)) AS ratio_to_key_mean
+        |FROM a""".stripMargin,
+
+    // phrase boundaries at stopwords, word score deg/freq, phrase
+    // fold in word-position order; identical occurrences fold to
+    // identical sums so min/any-value aggregation is float-safe
+    "q170_rake_keywords" -> {
+      val sw = graft.llm.TextAnalysis.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH arr AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |tok AS (SELECT doc_id, i, w[i] AS tok FROM
+        |  (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM arr
+        |   WHERE len(w) >= 1)),
+        |fl AS (SELECT doc_id, i, tok, tok IN ($sw) AS stop FROM tok),
+        |pid AS (SELECT *, CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS pid FROM fl),
+        |ph AS (SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY i) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM pid WHERE NOT stop GROUP BY 1, 2 HAVING count(*) <= 4),
+        |wrd AS (SELECT doc_id, pid, phrase, n_words, wpos,
+        |    string_split(phrase, ' ')[CAST(wpos AS INT)] AS tok
+        |  FROM (SELECT doc_id, pid, phrase, n_words,
+        |        unnest(generate_series(1, n_words)) AS wpos FROM ph)),
+        |st AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(n_words) AS BIGINT) AS deg FROM wrd GROUP BY 1),
+        |sc AS (SELECT wrd.*, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS ws
+        |  FROM wrd JOIN st USING (tok)),
+        |pp AS (SELECT phrase, min(n_words) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS wordrows,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ws ORDER BY wpos, ws)), (a, x) -> a + x) AS ssum
+        |  FROM sc GROUP BY 1),
+        |fin AS (SELECT phrase, n_words, wordrows // n_words AS n_occurrences,
+        |    ssum / CAST(wordrows // n_words AS DOUBLE) AS score FROM pp)
+        |SELECT phrase, n_words, n_occurrences, score, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT) AS rank
+        |   FROM fin)
+        |WHERE rank <= 50""".stripMargin
+    },
+
+    // the q117 amp formula with a parity bump on bucket 6; bit rule =
+    // exact integer cross-multiplication; banding pigeonhole-complete
+    "q171_audio_neardup" ->
+      """WITH s AS (SELECT doc_id,
+        |    ((doc_id % 50 + 1) * (i*13 + 7)) % 4096 +
+        |      CASE WHEN doc_id % 2 = 1 AND i // 16 = 6 THEN 512 ELSE 0 END AS amp,
+        |    (i*64) // 1024 AS b
+        |  FROM documents, range(0, 1024) t(i)),
+        |bs AS (SELECT doc_id, b, CAST(sum(amp) AS BIGINT) AS sb,
+        |    CAST(count(*) AS BIGINT) AS cb FROM s GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(amp) AS BIGINT) AS st,
+        |    CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |bits AS (SELECT bs.doc_id, b,
+        |    CASE WHEN sb * n > st * cb THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN tot ON tot.doc_id = bs.doc_id),
+        |p AS (SELECT b1.doc_id AS id1, b2.doc_id AS id2,
+        |    CAST(sum(CASE WHEN b1.bit <> b2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits b1 JOIN bits b2 ON b1.doc_id < b2.doc_id AND b1.b = b2.b
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
   )
 }

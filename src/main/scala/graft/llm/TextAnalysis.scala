@@ -1085,6 +1085,85 @@ object TextAnalysis {
         (-col("__s") / col("n_grams").cast("double")).as("nll"))
   }
 
+  /**
+   * RAKE keyword extraction (Rose et al. 2010), corpus-level: the
+   * `topK` multi-word keyphrases by the classic degree/frequency
+   * score — the cheap unsupervised keyword miner for corpus cards and
+   * topic triage.
+   *
+   * Pinned semantics (engine-reproducible):
+   *  - text lowercases, tokenizes on whitespace; phrases are MAXIMAL
+   *    runs of non-stopword tokens (stopwords are the boundaries);
+   *    runs longer than `maxLen` are DROPPED (not split) — natural
+   *    keyphrases are short, and an unbounded run is list/boilerplate;
+   *  - word stats over phrase occurrences: `freq(w)` = occurrences,
+   *    `deg(w)` = Σ length of containing phrases; `score(w) =
+   *    deg(w)/freq(w)` (one double divide);
+   *  - phrase score = Σ `score(w)` folded in WORD-POSITION order
+   *    (identical occurrences ⇒ identical scores, so the per-phrase
+   *    aggregate takes `min` — no float re-summation);
+   *  - rank over (score desc, phrase asc), rank ≤ `topK`.
+   *
+   * Output: (phrase, n_words, n_occurrences, score, rank).
+   *
+   * Scale posture: one doc-keyed window assigns phrase ids (running
+   * stopword count), one phrase-keyed aggregate builds occurrences,
+   * word stats are a vocab-sized shuffle, and only distinct phrases
+   * reach the rank window.
+   */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = EnglishStopwords,
+                   maxLen: Int = 4, topK: Int = 50): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be positive")
+    val toks = df
+      .select(col(idCol).as("__doc"),
+        filter(tokens(lower(coalesce(col(textCol), lit("")))),
+          w => w =!= "").as("__w"))
+      .select(col("__doc"), posexplode(col("__w")))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__tok"))
+    val wDoc = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val phrases = toks
+      .withColumn("__stop", col("__tok").isin(stopwords.map(lit): _*))
+      .withColumn("__pid", sum(when(col("__stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("__stop"))
+      .groupBy(col("__doc"), col("__pid"))
+      .agg(array_join(transform(sort_array(collect_list(
+          struct(col("__pos").as("p"), col("__tok").as("t")))),
+          s => s.getField("t")), " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+      .filter(col("n_words") <= maxLen)
+      .localCheckpoint(false)
+    val words = phrases
+      .select(col("phrase"), col("n_words"),
+        posexplode(split(col("phrase"), " ")))
+      .withColumnsRenamed(Map("pos" -> "__wpos", "col" -> "__tok"))
+    val stats = words.groupBy("__tok")
+      .agg(count(lit(1)).as("__freq"), sum("n_words").as("__deg"))
+    val scored = words
+      .join(stats, Seq("__tok"))
+      .withColumn("__wscore",
+        col("__deg").cast("double") / col("__freq").cast("double"))
+    // identical phrase strings fold to identical scores — min is an
+    // any-value pick, not a float re-aggregation
+    val perPhrase = scored
+      .groupBy(col("phrase"))
+      .agg(min(col("n_words")).as("n_words"),
+        count(lit(1)).as("__wordrows"),
+        aggregate(sort_array(collect_list(struct(col("__wpos").as("p"),
+            col("__wscore").as("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("__scoresum"))
+      .withColumn("n_occurrences",
+        (col("__wordrows") / col("n_words")).cast("long"))
+      .withColumn("score",
+        col("__scoresum") / col("n_occurrences").cast("double"))
+    perPhrase
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score"), col("rank"))
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     import org.apache.spark.sql.expressions.Window

@@ -348,6 +348,35 @@ object TimeSeries {
         col("col.__l.v").as(valueCol), col("col.__e").as(out)): _*)
   }
 
+  /**
+   * Day-of-week seasonality profile per key: for every (key, dow),
+   * the event count, the exact-decimal mean value, and the ratio of
+   * that mean to the key's overall mean — the "weekends convert 1.4×"
+   * table, and the denominator for deseasonalized anomaly checks.
+   *
+   * `dow` is 1 (Sunday) … 7 (Saturday) — Spark's `dayofweek`. Means
+   * divide exact DECIMAL sums once ([[graft.agg.Stats]] discipline);
+   * the key-overall mean comes from window sums over the tiny
+   * (key, dow) relation — no second pass over the events.
+   */
+  def seasonalityProfile(df: DataFrame, keys: Seq[String], tsCol: String,
+                         valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "seasonalityProfile needs key columns")
+    val agg = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ dayofweek(col(tsCol)).as("dow"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val meanDow = col("__s").cast("double") / col("n").cast("double")
+    val meanKey = sum(col("__s")).over(wk).cast("double") /
+      sum(col("n")).over(wk).cast("double")
+    agg
+      .withColumn("mean_value", meanDow)
+      .withColumn("ratio_to_key_mean", meanDow / meanKey)
+      .drop("__s")
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

@@ -529,6 +529,62 @@ object Streaming {
   }
 
   /**
+   * The q167 EWMA smoother as INCREMENTAL keyed state: one double per
+   * actor (the last smoothed value) carries the recurrence
+   * `e' = e + α·(x − e)` across micro-batches — the unbounded-series
+   * form the batch operator's per-key array fold cannot take. Within
+   * a batch, events process sorted by (`tsCol`, `tieCol`); the
+   * ordered-feed contract is [[funnelStream]]'s.
+   *
+   * Replay safety: the state store commits atomically with the batch,
+   * so a replayed batch re-reads the PRE-batch state and emits
+   * IDENTICAL rows — the at-least-once duplicates in an append log
+   * carry the same values and fold away with a distinct / any-value
+   * per (actor, `tieCol`) ([[foldEwmaUpdates]]).
+   *
+   * Output per batch: (actor, tie, ts_micros, value, ewma) for every
+   * event in the batch.
+   */
+  def ewmaStream(df: DataFrame, actorCol: String, tsCol: String,
+                 tieCol: String, valueCol: String,
+                 alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Double),
+        (Long, Long, Long, Double, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Boolean, Double)]) =>
+          var (seen, e) = state.getOption.getOrElse((false, 0.0))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, v) =>
+              e = if (!seen) v else e + alpha * (v - e)
+              seen = true
+              (key, tie, ts, v, e)
+          }
+          state.update((seen, e))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "value", "ewma")
+  }
+
+  /** Collapse an [[ewmaStream]] update log: replay duplicates carry
+   *  identical values, so `max` per (actor, tie) is an any-value
+   *  dedup, not an aggregation. */
+  def foldEwmaUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"), col("tie"))
+      .agg(max(col("ts_micros")).as("ts_micros"),
+        max(col("value")).as("value"), max(col("ewma")).as("ewma"))
+
+  /**
    * Collapse a [[transitionsStream]] update log to the batch
    * [[graft.ops.TimeSeries.transitionMatrix]] shape: cumulative
    * per-actor counts fold with `max` (nondecreasing ⇒ order- and

@@ -60,4 +60,33 @@ class TextStatsSpec extends AnyFunSuite {
     // fluent text (repeated trigram) scores LOWER than the rare one
     assert(out(1L)._2 < out(2L)._2)
   }
+
+  test("rakeKeywords: phrase boundaries at stopwords, degree/freq scoring") {
+    val df = Seq(
+      (1L, "deep learning is the deep learning of machine learning"),
+      (2L, "quantum computing and deep learning")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(df, "doc_id", "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // occurrences: "deep learning"×3, "machine learning", "quantum computing"
+    // freq: deep 3, learning 5, machine 1, quantum 1, computing 1
+    // deg:  deep 6, learning 10, machine 2, quantum 2, computing 2
+    val sDeep = 6.0 / 3.0; val sLearn = 10.0 / 5.0
+    assert(out("deep learning")._2 == 3L)
+    assert(out("deep learning")._3 == sDeep + sLearn)
+    assert(out("machine learning")._3 == 2.0 + sLearn)
+    assert(out("quantum computing")._3 == 4.0)
+    // "machine learning" (4.0) ties "quantum computing" (4.0) and both
+    // beat "deep learning" (4.0)... all tie at 4.0 → phrase asc order
+    val ranks = out.toSeq.sortBy(_._2._4).map(_._1)
+    assert(ranks == Seq("deep learning", "machine learning", "quantum computing"))
+  }
+
+  test("rakeKeywords: overlong runs dropped, empty docs ignored") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "  "),
+      (3L, "zeta of eta")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(df, "doc_id", "text",
+      maxLen = 4, topK = 10).collect().map(_.getString(0)).toSet
+    assert(out == Set("zeta", "eta")) // the 5-token run is dropped
+  }
 }

@@ -208,4 +208,19 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
     assert(out == Map(1L -> 0.0, 2L -> 50.0))
   }
+
+  test("seasonalityProfile: per-dow exact means and ratio to key mean") {
+    // 2024-01-07 is a Sunday (dow 1), 2024-01-08 a Monday (dow 2)
+    val df = Seq(
+      ("a", ts("2024-01-07 10:00:00"), 10.0),
+      ("a", ts("2024-01-07 11:00:00"), 30.0),
+      ("a", ts("2024-01-08 10:00:00"), 40.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.seasonalityProfile(df, Seq("k"), "ts", "v")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1) == ((2L, 20.0, 0.75)))   // sunday mean 20, key mean 80/3
+    assert(out(2)._1 == 1L && out(2)._2 == 40.0)
+    assert(math.abs(out(2)._3 - 1.5) < 1e-15)
+  }
 }

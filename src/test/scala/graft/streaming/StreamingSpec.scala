@@ -378,4 +378,33 @@ class StreamingSpec extends AnyFunSuite {
         ((r.getLong(2), r.getDouble(3)))).toMap
     assert(out == batchOut)
   }
+
+  test("ewmaStream: keyed-state recurrence across batches == batch ewma") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma").toString
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 10:05:00"), 20.0, 2L))
+    val batch2 = Seq((1L, ts("2024-01-01 11:00:00"), 20.0, 3L),
+      (2L, ts("2024-01-01 11:00:00"), 7.0, 4L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.ewmaStream(df, "user_id", "ts", "event_id", "value", 0.5),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldEwmaUpdates(updates)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // e(1)=10, e(2)=15, then ACROSS the batch boundary e(3)=17.5
+    assert(out == Map(1L -> 10.0, 2L -> 15.0, 3L -> 17.5, 4L -> 7.0))
+    // parity with the batch operator
+    val batchOut = graft.ops.TimeSeries.ewma(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value", 0.5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(out == batchOut)
+  }
 }
