@@ -2372,7 +2372,45 @@ object SparkEntry {
         .toDF()
       Dedup.hammingPairs(fps, "media_id", "fp", bits = 64,
         maxHamming = 3, bands = 8)
-    })
+    }),
+
+    // ---- cleaning: mean + median imputation of null event values
+    //      per type (the fill step before statistics/features) ----
+    "q172_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      T.impute(
+        T.impute(ev, Seq("event_type"), "value", "mean", out = "value_mean"),
+        Seq("event_type"), "value", "median", out = "value_median")
+    }),
+
+    // ---- product analytics: top frequent session paths (30-min gap
+    //      sessions -> ordered event-type path -> counts) ----
+    "q174_frequent_paths" -> ((s, dir) =>
+      graft.ops.TimeSeries.frequentPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        gapMicros = 1800000000L, maxLen = 20, topK = 50)),
+
+    // ---- record linkage: PassJoin edit-distance self-join over
+    //      synthetic entity names (class base + parity suffix);
+    //      completeness checked against the all-pairs oracle ----
+    "q173_fuzzy_join" -> ((s, dir) =>
+      graft.join.Fuzzy.selfJoin(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("entity-"), (col("doc_id") % 300).cast("string"),
+            when(col("doc_id") % 2 === 1, lit("x")).otherwise(lit("")))
+            .as("name")),
+        "doc_id", "name", maxDist = 1)),
+
+    // ---- completeness audit: missing id ranges in the order-key
+    //      sequence (gaps-and-islands over distinct present values) ----
+    "q175_gaps" -> ((s, dir) =>
+      // the generator's keys are dense — punch deterministic holes so
+      // the audit has something to find (real ledgers have real gaps)
+      graft.ops.TimeSeries.gaps(
+        t(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0 &&
+          col("o_orderkey") % 89 =!= 3),
+        Nil, "o_orderkey"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -4663,6 +4701,68 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN b1.bit <> b2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
         |  FROM bits b1 JOIN bits b2 ON b1.doc_id < b2.doc_id AND b1.b = b2.b
         |  GROUP BY 1, 2)
-        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
+        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
+    // mean = exact-decimal sum / non-null count; median = the q66
+    // discrete-percentile rule at p=0.5
+    "q172_impute" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(count(value) AS DOUBLE) AS m FROM events GROUP BY 1),
+        |rk AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |md AS (SELECT event_type,
+        |    min(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DECIMAL(18,12)) * n) AS INT)
+        |        THEN value END) AS med
+        |  FROM rk GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  coalesce(e.value, st.m) AS value_mean,
+        |  coalesce(e.value, md.med) AS value_median
+        |FROM events e LEFT JOIN st USING (event_type)
+        |LEFT JOIN md USING (event_type)""".stripMargin,
+
+    // 30-min-gap sessions (the q89 strict-gap rule), paths ordered by
+    // (ts, event_id), sessions > 20 events dropped
+    "q174_frequent_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |fl AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1
+        |      ELSE 0 END AS st
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY t) AS BIGINT) AS sid
+        |  FROM fl),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY t, event_id) AS path,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM sess GROUP BY 1, 2 HAVING count(*) <= 20)
+        |SELECT path, n_sessions, rank FROM
+        |  (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        |     CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT) AS rank
+        |   FROM p GROUP BY 1)
+        |WHERE rank <= 50""".stripMargin,
+
+    // literal all-pairs levenshtein — the PassJoin result must equal
+    // it exactly (completeness is the theorem under test)
+    "q173_fuzzy_join" ->
+      """WITH n AS (SELECT doc_id, 'entity-' || CAST(doc_id % 300 AS VARCHAR)
+        |    || CASE WHEN doc_id % 2 = 1 THEN 'x' ELSE '' END AS name
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    "q175_gaps" ->
+      """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 <> 0
+        |    AND o_orderkey % 89 <> 3),
+        |g AS (SELECT v, lead(v) OVER (ORDER BY v) AS nx FROM d)
+        |SELECT v AS prev_val, nx AS next_val, v + 1 AS gap_start,
+        |  nx - 1 AS gap_end, nx - v - 1 AS gap_len
+        |FROM g WHERE nx IS NOT NULL AND nx - v > 1""".stripMargin
   )
 }

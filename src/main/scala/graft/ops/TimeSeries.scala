@@ -377,6 +377,69 @@ object TimeSeries {
       .drop("__s")
   }
 
+  /**
+   * Frequent session paths: sessionize each actor's events
+   * ([[graft.agg.GroupBy.sessionize]] gap rule), render each
+   * session's ordered event-type sequence as one path string, and
+   * rank the `topK` most frequent paths — the "what do users actually
+   * do" product-analytics staple.
+   *
+   * Pinned: within a session, events order by (`tsCol`, `tieCol`);
+   * sessions longer than `maxLen` events are DROPPED (not truncated —
+   * a truncated path is a different path, and unbounded sessions are
+   * bot traffic); rank over (n desc, path asc).
+   *
+   * Scale posture: one actor-keyed shuffle carries the session window
+   * AND the per-session path aggregate; path counts are map-side
+   * combined; only distinct paths reach the rank window.
+   */
+  def frequentPaths(df: DataFrame, actorCol: String, tsCol: String,
+                    tieCol: String, stateCol: String, gapMicros: Long,
+                    maxLen: Int = 20, topK: Int = 50): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be positive")
+    val sess = graft.agg.GroupBy.sessionize(
+      df.filter(col(tsCol).isNotNull && col(stateCol).isNotNull &&
+        col(actorCol).isNotNull),
+      Seq(actorCol), tsCol, gapMicros, out = "__sess")
+    val paths = sess
+      .groupBy(col(actorCol), col("__sess"))
+      .agg(array_join(transform(sort_array(collect_list(struct(
+          unix_micros(col(tsCol)).as("t"), col(tieCol).as("i"),
+          col(stateCol).cast("string").as("s")))),
+          x => x.getField("s")), ">").as("path"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") <= maxLen)
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /**
+   * Gap detection over an integer sequence (missing id ranges,
+   * skipped invoice numbers — the completeness audit): for every
+   * adjacent pair of distinct present values with a hole between
+   * them, one row (`prev_val`, `next_val`, gap_start, gap_end,
+   * gap_len).
+   *
+   * Scale posture: per-`keys` this is one key-shuffled window. The
+   * global form (`keys = Nil`) needs a total order — a single-task
+   * sort, right to ~10^8 distinct values; past that, range-partition
+   * and reconcile partition boundaries.
+   */
+  def gaps(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    df.filter(col(seqCol).isNotNull)
+      .select((keys :+ seqCol).map(col): _*).distinct()
+      .withColumn("__next", lead(col(seqCol), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") - col(seqCol) > 1)
+      .select(keys.map(col) ++ Seq(
+        col(seqCol).as("prev_val"), col("__next").as("next_val"),
+        (col(seqCol) + 1).as("gap_start"), (col("__next") - 1).as("gap_end"),
+        (col("__next") - col(seqCol) - 1).as("gap_len")): _*)
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

@@ -310,4 +310,58 @@ object Transforms {
     }
     cur
   }
+
+  /**
+   * Missing-value imputation per group — the cleaning step between
+   * "drop the row" and "train on garbage". `strategy`:
+   *  - `"mean"`: exact-DECIMAL group mean of the non-null values,
+   *    surfaced as double (order-independent, engine-reproducible —
+   *    the [[graft.agg.Stats]] discipline);
+   *  - `"median"`: the group's exact discrete 50th percentile
+   *    ([[graft.agg.GroupBy.percentilesDisc]] — an actual data
+   *    value, works for any orderable type);
+   *  - `"mode"`: the group's most frequent non-null value, ties to
+   *    the smallest (deterministic, works for categoricals).
+   *
+   * Output: the input plus `out` = value with nulls filled by the
+   * group statistic (all-null groups stay null). `groupCols` empty →
+   * one global statistic.
+   *
+   * Scale posture: one group-keyed aggregate builds the |groups|-row
+   * statistic table (AQE broadcasts it back); the fill itself is a
+   * pure projection.
+   */
+  def impute(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             strategy: String, out: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outCol = if (out.nonEmpty) out else s"${valueCol}_f"
+    val stat = strategy match {
+      case "mean" =>
+        df.groupBy(groupCols.map(col): _*)
+          .agg((sum(col(valueCol).cast("decimal(18,2)")).cast("double") /
+            count(col(valueCol)).cast("double")).as("__stat"))
+      case "median" =>
+        graft.agg.GroupBy.percentilesDisc(df, groupCols, valueCol,
+            Seq(0.5), out = "__stat")
+          .drop("p")
+      case "mode" =>
+        df.filter(col(valueCol).isNotNull)
+          .groupBy((groupCols :+ valueCol).map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(groupCols.map(col): _*)
+              .orderBy(col("__n").desc, col(valueCol).asc)))
+          .filter(col("__r") === 1)
+          .select(groupCols.map(col) :+ col(valueCol).as("__stat"): _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"impute strategy must be mean/median/mode, got $other")
+    }
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stat))
+      else df.join(stat, groupCols, "left")
+    joined
+      .withColumn(outCol, coalesce(col(valueCol), col("__stat")))
+      .drop("__stat")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.join
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FuzzySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference all-pairs result via Spark's own levenshtein. */
+  private def brute(names: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (i1, s1) <- names; (i2, s2) <- names
+      if i1 < i2
+      d = lev(s1, s2) if d <= k
+    } yield (i1, i2, d)).toSet
+  }
+
+  private def run(names: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    Fuzzy.selfJoin(names.toDF("id", "s"), "id", "s", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("selfJoin: hand-checked pairs at k=1") {
+    val names = Seq(1L -> "spark", 2L -> "spork", 3L -> "sparkk",
+      4L -> "hadoop", 5L -> "spark")
+    assert(run(names, 1) == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 5L, 0),
+      (2L, 5L, 1), (3L, 5L, 1)))
+  }
+
+  test("selfJoin: complete vs brute force on adversarial strings (k=1 and k=2)") {
+    // deterministic pseudo-random word soup incl. shared prefixes,
+    // shared suffixes, mid-string edits, repeats, and length spreads
+    val alphabet = "abcd"
+    val names = (0L until 160L).map { i =>
+      val len = (i % 7 + 2).toInt
+      val s = new StringBuilder
+      var h = i * 2654435761L
+      for (_ <- 0 until len) {
+        s += alphabet(((h >>> 16) % 4).toInt.abs)
+        h = h * 6364136223846793005L + 1442695040888963407L
+      }
+      i -> s.toString
+    }
+    for (k <- Seq(1, 2))
+      assert(run(names, k) == brute(names, k), s"mismatch at k=$k")
+  }
+
+  test("selfJoin: short strings (below k+1 chars) still pair completely") {
+    val names = Seq(1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "abc",
+      5L -> "", 6L -> "xyz")
+    // "" is length 0: distance to "a"/"b" is 1, to "ab" is 2
+    assert(run(names, 2) == brute(names.filter(_._2 != null), 2))
+  }
+
+  test("selfJoin: nulls never match") {
+    val names = Seq((1L, "abc"), (2L, null), (3L, "abd"))
+      .toDF("id", "s")
+    val out = Fuzzy.selfJoin(names, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 3L)))
+  }
+}

@@ -126,4 +126,22 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft.failFast") || Option(e.getCause).exists(
       _.getMessage.contains("graft.failFast")))
   }
+
+  test("impute: mean/median/mode fill per group, all-null group stays null") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", None), ("c", Some(5.0))).toDF("g", "v")
+    val mean = Transforms.impute(df, Seq("g"), "v", "mean")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(mean.contains(("a", None, Some(15.0))))
+    assert(mean.contains(("b", None, None)))
+    val mode = Transforms.impute(
+      Seq(("a", Some("x")), ("a", Some("x")), ("a", Some("y")), ("a", None))
+        .toDF("g", "v"), Seq("g"), "v", "mode")
+      .filter(col("v").isNull).collect()
+    assert(mode(0).getString(2) == "x")
+    val med = Transforms.impute(df, Seq("g"), "v", "median")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(med.contains(("a", None, Some(10.0)))) // disc p50 of {10,20} = 10
+  }
 }

@@ -223,4 +223,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2)._1 == 1L && out(2)._2 == 40.0)
     assert(math.abs(out(2)._3 - 1.5) < 1e-15)
   }
+
+  test("gaps: missing ranges between distinct present values") {
+    val df = Seq(1L, 2L, 5L, 6L, 6L, 10L).toDF("v")
+    val out = TimeSeries.gaps(df, Nil, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set((2L, 5L, 3L, 4L, 2L), (6L, 10L, 7L, 9L, 3L)))
+  }
+
+  test("frequentPaths: sessions split on gap, paths ordered, overlong dropped") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:05:00"), "click", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "view", 3L),   // new session
+      (2L, ts("2024-01-01 10:00:00"), "view", 4L),
+      (2L, ts("2024-01-01 10:01:00"), "click", 5L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = TimeSeries.frequentPaths(df, "user_id", "ts", "event_id",
+      "event_type", gapMicros = 1800000000L, maxLen = 20, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set(("view>click", 2L, 1L), ("view", 1L, 2L)))
+  }
 }
