@@ -2402,6 +2402,50 @@ object SparkEntry {
             .as("name")),
         "doc_id", "name", maxDist = 1)),
 
+    // ---- governance: k-anonymity audit over quasi-identifiers ----
+    "q176_k_anonymity" -> ((s, dir) =>
+      Quality.kAnonymity(
+        t(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)),
+
+    // ---- analytics: 2-D Pareto front (cheapest-and-biggest parts)
+    //      via one sorted sweep, not a quadratic exists-check ----
+    "q177_skyline" -> ((s, dir) =>
+      GroupBy.skyline2D(
+        t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"),
+          col("p_size")),
+        "p_retailprice", "p_size")),
+
+    // ---- attribution: last marketing touch within 1h before each
+    //      purchase (as-of join composition) ----
+    "q178_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // one touch per (user, instant): ties collapse to max event_id so
+      // the as-of pick is deterministic
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("__r") === 1)
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_id").as("touch_event_id"),
+          col("event_type").as("touch_type"))
+      Joins.asOf(purchases, touches, Seq("user_id"), "ts", "touch_ts")
+        .withColumn("age_us",
+          unix_micros(col("ts")) - unix_micros(col("asof_touch_ts")))
+        .filter(col("asof_touch_event_id").isNotNull &&
+          col("age_us") <= 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          col("asof_touch_event_id").as("touch_event_id"),
+          col("asof_touch_type").as("touch_type"), col("age_us"))
+    }),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -4755,6 +4799,42 @@ object SparkEntry {
         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    "q176_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
+
+    // literal dominance exists-check — the sweep must agree exactly
+    "q177_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size,
+        |  NOT EXISTS (SELECT 1 FROM part b
+        |    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+        |      AND ((b.p_retailprice < p.p_retailprice AND b.p_size >= p.p_size)
+        |        OR (b.p_retailprice <= p.p_retailprice AND b.p_size > p.p_size))) AS is_skyline
+        |FROM part p
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL""".stripMargin,
+
+    // last touch at-or-before each purchase (deduped per instant),
+    // kept within the 1h lookback
+    "q178_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, t, event_id, event_type FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id, t
+        |     ORDER BY event_id DESC) AS r
+        |   FROM e WHERE event_type <> 'purchase') WHERE r = 1),
+        |m AS (SELECT p.user_id, p.event_id, p.t, tch.event_id AS tid,
+        |    tch.event_type AS ttype, tch.t AS tt,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY tch.t DESC) AS r
+        |  FROM p JOIN tch ON tch.user_id = p.user_id AND tch.t <= p.t)
+        |SELECT event_id, user_id, tid AS touch_event_id, ttype AS touch_type,
+        |  t - tt AS age_us
+        |FROM m WHERE r = 1 AND t - tt <= 3600000000""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

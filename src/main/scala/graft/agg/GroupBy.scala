@@ -270,6 +270,48 @@ object GroupBy {
       .drop("__t", "__n")
   }
 
+  /**
+   * 2-D skyline (Pareto front): label every row `is_skyline` = no
+   * other row is at least as good on BOTH axes and strictly better on
+   * one — minimize `minCol`, maximize `maxCol` (cheapest-and-biggest;
+   * flip signs upstream for other orientations). The
+   * price-performance frontier query.
+   *
+   * Pinned dominance: row a is dominated iff ∃ b with
+   * `(b.min < a.min ∧ b.max ≥ a.max) ∨ (b.min ≤ a.min ∧ b.max > a.max)`.
+   * Ties on both axes are mutually non-dominating (both surface).
+   * Rows with a null on either axis are dropped.
+   *
+   * Mechanics: for 2-D the frontier is one sorted sweep, not a
+   * quadratic exists-check — collapse to one row per distinct
+   * `minCol` (max of `maxCol`), running-max windows give "best
+   * strictly cheaper" (lag of the cummax) and "best at-or-cheaper",
+   * and the labels broadcast back on `minCol`. The distinct-price
+   * sweep is a single-task sort — right to ~10^8 distinct values;
+   * past that, range-partition by `minCol` and prefix-scan the
+   * per-partition maxima.
+   */
+  def skyline2D(df: DataFrame, minCol: String, maxCol: String,
+                out: String = "is_skyline"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+    val perMin = base.groupBy(col(minCol).as("__mn"))
+      .agg(max(col(maxCol)).as("__best"))
+      .withColumn("__incl", max(col("__best")).over(
+        Window.orderBy(col("__mn")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__strict", lag(col("__incl"), 1).over(
+        Window.orderBy(col("__mn"))))
+      .select(col("__mn"), col("__incl"), col("__strict"))
+    // join on the distinct-minCol relation (AQE broadcasts when small;
+    // an explicit hint would be wrong at 10^8 distinct values)
+    base.join(perMin, col(minCol) === col("__mn"))
+      .withColumn(out,
+        !(coalesce(col("__strict") >= col(maxCol), lit(false)) ||
+          col("__incl") > col(maxCol)))
+      .drop("__mn", "__incl", "__strict")
+  }
+
   /** Shared event-time ordering for the window-over-time operators:
    *  timestamps order as `unix_micros`, numerics as-is. */
   private def timeOrder(df: DataFrame, timeCol: String): Column =

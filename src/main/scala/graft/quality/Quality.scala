@@ -336,6 +336,27 @@ object Quality {
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("ks_stat"))
   }
 
+  /**
+   * k-anonymity audit: the equivalence classes over the
+   * quasi-identifier columns with FEWER than `k` rows — the records a
+   * release would expose (any row in a class of size < k is
+   * re-identifiable by joining the QI columns against an external
+   * dataset). Returns the at-risk classes (`qiCols`…, n); an empty
+   * result certifies k-anonymity. Null QI values form classes like
+   * any other value (SQL grouping semantics — a null zip code is
+   * still a fingerprint).
+   *
+   * One hash aggregation; the output is bounded by the at-risk
+   * classes, which a near-anonymous dataset keeps tiny.
+   */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
   /** One foreign-key relationship for [[referentialIntegrity]]. */
   final case class FkSpec(name: String, childCols: Seq[String],
                           parent: DataFrame, parentCols: Seq[String]) {

@@ -237,4 +237,17 @@ class GroupBySpec extends AnyFunSuite {
     assert(out == Set(("a", 10.0, 0.25), ("a", 20.0, 0.625),
       ("a", 20.0, 0.625), ("a", 30.0, 1.0), ("b", 5.0, 1.0)))
   }
+
+  test("skyline2D: Pareto front with ties and dominated interiors") {
+    val df = Seq((1L, 1.0, 10), (2L, 2.0, 20), (3L, 3.0, 15),
+      (4L, 2.0, 20), (5L, 2.5, 20), (6L, 1.0, 5))
+      .toDF("id", "price", "size")
+    val out = GroupBy.skyline2D(df, "price", "size")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // 1: cheapest at its size level -> frontier; 2 & 4 tie (both
+    // frontier); 5 dominated by 2/4 (same size, pricier); 3 dominated
+    // (pricier, smaller than 20); 6 dominated by 1 (same price, bigger)
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+  }
 }

@@ -99,4 +99,13 @@ class StatsSpec extends AnyFunSuite {
     val df = Seq.empty[Option[Double]].toDF("v")
     assert(Quality.benfordDrift(df, "v").collect().isEmpty)
   }
+
+  test("kAnonymity: classes below k surface, null QI values group") {
+    val df = Seq(("z1", "m"), ("z1", "m"), ("z1", "m"),
+      ("z2", "f"), (null, "f")).toDF("zip", "sex")
+    val out = Quality.kAnonymity(df, Seq("zip", "sex"), 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2))).toSet
+    assert(out == Set((Some("z2"), "f", 1L), (None, "f", 1L)))
+  }
 }
