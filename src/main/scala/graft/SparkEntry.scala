@@ -2395,10 +2395,18 @@ object SparkEntry {
     //      synthetic entity names (class base + parity suffix);
     //      completeness checked against the all-pairs oracle ----
     "q173_fuzzy_join" -> ((s, dir) =>
+      // one name PER doc with NO universal substring: digits + one
+      // parity letter. Matches are the one-digit same-parity
+      // neighbors — linear pair mass, and no segment block goes hot.
+      // (Two rejected fixtures taught the operator's two cost cliffs,
+      // both documented on Fuzzy.selfJoin: id%300 collapsed 5000 docs
+      // onto 600 names — pair list quadratic in duplication depth,
+      // 26 s; a universal "-doc" suffix made one SEGMENT shared by
+      // every same-length string — hot candidate blocks, 18 s.)
       graft.join.Fuzzy.selfJoin(
         t(s, dir, "documents").select(col("doc_id"),
-          concat(lit("entity-"), (col("doc_id") % 300).cast("string"),
-            when(col("doc_id") % 2 === 1, lit("x")).otherwise(lit("")))
+          concat(col("doc_id").cast("string"),
+            when(col("doc_id") % 2 === 1, lit("b")).otherwise(lit("a")))
             .as("name")),
         "doc_id", "name", maxDist = 1)),
 
@@ -2444,6 +2452,69 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("asof_touch_event_id").as("touch_event_id"),
           col("asof_touch_type").as("touch_type"), col("age_us"))
+    }),
+
+    // ---- dashboards: day-over-day movers per event type ----
+    "q179_period_over_period" -> ((s, dir) =>
+      graft.ops.TimeSeries.periodOverPeriod(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        Seq("event_type"), "ts", "value", unit = "day")),
+
+    // ---- streaming: log compaction as keyed state through real
+    //      micro-batches (the q134 rule, last value carried across
+    //      batch boundaries) ----
+    "q180_stream_compaction" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q180")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q180: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.compactStream(
+          df, "user_id", "ts", "event_id", "event_type"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldCompactUpdates(updates)
+        .select(col("actor").as("user_id"), col("tie").as("event_id"),
+          timestamp_micros(col("ts_micros")).as("ts"),
+          col("state").as("event_type"))
+    }),
+
+    // ---- OLAP: ABC/Pareto revenue classification per part ----
+    "q181_abc_classes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_partkey").isNotNull)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)")).as("__rev"))
+      val tot = rev.agg(sum("__rev").as("__tot"))
+      val w = Window.orderBy(col("__rev").desc, col("l_partkey").asc)
+      rev.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("__cum", sum(col("__rev")).over(
+          Window.orderBy(col("__rev").desc, col("l_partkey").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("revenue", col("__rev").cast("double"))
+        .withColumn("cum_share",
+          col("__cum").cast("double") / col("__tot").cast("double"))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.8, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .select(col("l_partkey"), col("rank"), col("revenue"),
+          col("cum_share"), col("abc_class"))
     }),
 
     // ---- completeness audit: missing id ranges in the order-key
@@ -4792,8 +4863,8 @@ object SparkEntry {
     // literal all-pairs levenshtein — the PassJoin result must equal
     // it exactly (completeness is the theorem under test)
     "q173_fuzzy_join" ->
-      """WITH n AS (SELECT doc_id, 'entity-' || CAST(doc_id % 300 AS VARCHAR)
-        |    || CASE WHEN doc_id % 2 = 1 THEN 'x' ELSE '' END AS name
+      """WITH n AS (SELECT doc_id, CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 2 = 1 THEN 'b' ELSE 'a' END AS name
         |  FROM documents)
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
@@ -4835,6 +4906,52 @@ object SparkEntry {
         |SELECT event_id, user_id, tid AS touch_event_id, ttype AS touch_type,
         |  t - tt AS age_us
         |FROM m WHERE r = 1 AND t - tt <= 3600000000""".stripMargin,
+
+    "q179_period_over_period" ->
+      """WITH a AS (SELECT event_type, date_trunc('day', ts) AS period,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, period, n,
+        |  CAST(s AS DOUBLE) AS total,
+        |  CAST(lag(s) OVER w AS DOUBLE) AS prev_total,
+        |  CAST(s AS DOUBLE) - CAST(lag(s) OVER w AS DOUBLE) AS delta,
+        |  CASE WHEN lag(s) OVER w IS NOT NULL
+        |      AND CAST(lag(s) OVER w AS DOUBLE) <> 0.0
+        |    THEN (CAST(s AS DOUBLE) - CAST(lag(s) OVER w AS DOUBLE))
+        |      / CAST(lag(s) OVER w AS DOUBLE) END AS pct_change
+        |FROM a WINDOW w AS (PARTITION BY event_type ORDER BY period)""".stripMargin,
+
+    // the q134 change-point rule restricted to the stream's keyspace
+    // (non-null users), projected to the streamed columns
+    "q180_stream_compaction" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT *, lag(event_id) OVER w AS pid, lag(event_type) OVER w AS pv
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |WHERE pid IS NULL OR pv IS DISTINCT FROM event_type""".stripMargin,
+
+    // exact decimal revenue, cumulative share over (revenue desc,
+    // partkey), pinned <=0.8 / <=0.95 class edges
+    "q181_abc_classes" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST('1.00' AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4))) AS r
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(r) AS t FROM rev),
+        |rk AS (SELECT l_partkey, r,
+        |    CAST(row_number() OVER (ORDER BY r DESC, l_partkey) AS BIGINT) AS rank,
+        |    sum(r) OVER (ORDER BY r DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT l_partkey, rank, CAST(r AS DOUBLE) AS revenue,
+        |  CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+        |  CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+        |       WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM rk CROSS JOIN tot""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
  * equi-join on (segment index, partner length, substring); only
  * candidates pay the Levenshtein verification.
  *
+ * Duplication caveat: the OUTPUT is the pair list, so a corpus where
+ * thousands of rows share a handful of distinct strings pays for the
+ * pairs it genuinely contains — quadratic in duplication depth
+ * (measured: 5k rows over 600 distinct names → ~200k pairs, 26-31 s;
+ * unique-per-row names with linear neighbor structure → seconds). In
+ * that regime dedup exact duplicates FIRST (`groupBy(strCol)`,
+ * carry counts), fuzzy-join the distinct strings, and re-expand —
+ * same answer, block and pair mass shrink by the duplication factor
+ * squared. The sibling cliff: a UNIVERSAL affix ("-doc", ".html",
+ * "https://www.") that swallows a whole segment makes that segment's
+ * block corpus-sized (measured 18 s vs sub-second without it at 5k
+ * strings) — strip fixed formatting before joining; the edit
+ * distance you want is over the distinguishing part anyway.
+ *
  * Pinned semantics: classic unit-cost Levenshtein (Spark's
  * `levenshtein`, identical to DuckDB/Postgres), output one row per
  * unordered pair `(id1 < id2, dist ≤ maxDist)`; null/too-short

@@ -440,6 +440,42 @@ object TimeSeries {
         (col("__next") - col(seqCol) - 1).as("gap_len")): _*)
   }
 
+  /**
+   * Period-over-period movers: per (key, `date_trunc(unit)` bucket),
+   * the exact-decimal total and its delta / percent change against
+   * the key's PREVIOUS PRESENT bucket (`lag` over the bucket grain —
+   * a missing period is skipped, not zero-filled; compose with
+   * [[resampleFill]] first when gaps must read as zero). The
+   * week-over-week dashboard primitive.
+   *
+   * Pinned: totals are DECIMAL(18,2) sums (exact, order-free),
+   * surfaced as doubles; `pct_change = (cur − prev) / prev`, null
+   * when there is no previous bucket or `prev = 0`.
+   *
+   * One shuffle on the keys; the lag window runs over the tiny
+   * (key, bucket) relation.
+   */
+  def periodOverPeriod(df: DataFrame, keys: Seq[String], tsCol: String,
+                       valueCol: String, unit: String): DataFrame = {
+    require(keys.nonEmpty, "periodOverPeriod needs key columns")
+    val agg = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+
+        date_trunc(unit, col(tsCol)).as("period"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("period"))
+    val cur = col("__s").cast("double")
+    val prev = lag(col("__s"), 1).over(w).cast("double")
+    agg
+      .withColumn("total", cur)
+      .withColumn("prev_total", prev)
+      .withColumn("delta", cur - prev)
+      .withColumn("pct_change",
+        when(prev.isNotNull && prev =!= 0.0, (cur - prev) / prev))
+      .drop("__s")
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

@@ -576,6 +576,54 @@ object Streaming {
       .toDF("actor", "tie", "ts_micros", "value", "ewma")
   }
 
+  /**
+   * Log compaction as incremental keyed state: emit an event iff its
+   * `stateCol` differs (null-safe) from the actor's PREVIOUS event —
+   * the streaming form of
+   * [[graft.ops.TimeSeries.compressConsecutive]], with the last value
+   * carried across micro-batches in one string of state. Ordered-feed
+   * contract and replay-safety as [[ewmaStream]] (pre-batch state
+   * replays ⇒ identical emissions ⇒ duplicates dedup by (actor, tie)).
+   *
+   * Output per batch: (actor, tie, ts_micros, state) for every
+   * change point in the batch.
+   */
+  def compactStream(df: DataFrame, actorCol: String, tsCol: String,
+                    tieCol: String, stateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(stateCol).cast("string"))
+      .as[(Long, Long, Long, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, String),
+        (Long, Long, Long, String)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Boolean, String)]) =>
+          var (seen, last) = state.getOption.getOrElse((false, null: String))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, String)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, tie, v) =>
+            if (!seen || last != v) out += ((key, tie, ts, v))
+            seen = true
+            last = v
+          }
+          state.update((seen, last))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "state")
+  }
+
+  /** Collapse a [[compactStream]] update log (same dedup rationale as
+   *  [[foldEwmaUpdates]]: duplicates carry identical values). */
+  def foldCompactUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"), col("tie"))
+      .agg(max(col("ts_micros")).as("ts_micros"),
+        max(col("state")).as("state"))
+
   /** Collapse an [[ewmaStream]] update log: replay duplicates carry
    *  identical values, so `max` per (actor, tie) is an any-value
    *  dedup, not an aggregation. */

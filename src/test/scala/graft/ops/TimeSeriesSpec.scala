@@ -245,4 +245,20 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSet == Set(("view>click", 2L, 1L), ("view", 1L, 2L)))
   }
+
+  test("periodOverPeriod: exact totals, missing periods skipped not zero-filled") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 10.0),
+      ("a", ts("2024-01-01 11:00:00"), 10.0),
+      ("a", ts("2024-01-02 10:00:00"), 30.0),
+      ("a", ts("2024-01-04 10:00:00"), 15.0) // jan 3 missing
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.periodOverPeriod(df, Seq("k"), "ts", "v", "day")
+      .collect().map(r => r.getTimestamp(1).toString.take(10) ->
+        (r.getLong(2), r.getDouble(3), Option(r.get(4)), Option(r.get(6)))).toMap
+    assert(out("2024-01-01") == ((2L, 20.0, None, None)))
+    assert(out("2024-01-02") == ((1L, 30.0, Some(20.0), Some(0.5))))
+    // previous PRESENT period (jan 2), not the absent jan 3
+    assert(out("2024-01-04") == ((1L, 15.0, Some(30.0), Some(-0.5))))
+  }
 }

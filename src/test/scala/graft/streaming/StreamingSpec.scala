@@ -407,4 +407,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
     assert(out == batchOut)
   }
+
+  test("compactStream: change points across batch boundaries == batch compaction") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_compact").toString
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:05:00"), "A", 2L),   // dup: dropped
+      (1L, ts("2024-01-01 10:10:00"), "B", 3L))
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "B", 4L),   // dup ACROSS batches
+      (1L, ts("2024-01-01 11:05:00"), "A", 5L),
+      (2L, ts("2024-01-01 11:00:00"), "X", 6L))
+    batch1.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.compactStream(df, "user_id", "ts", "event_id", "event_type"),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val kept = Streaming.foldCompactUpdates(updates)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L))
+    val batchKept = graft.ops.TimeSeries.compressConsecutive(
+      (batch1 ++ batch2).toDF("user_id", "ts", "event_type", "event_id"),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+      .collect().map(_.getLong(3)).toSet
+    assert(kept == batchKept)
+  }
 }
