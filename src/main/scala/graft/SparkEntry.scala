@@ -2517,6 +2517,44 @@ object SparkEntry {
           col("cum_share"), col("abc_class"))
     }),
 
+    // ---- dashboards at sketch cost: 3-day rolling distinct users
+    //      per type from daily HLL sketches (one raw scan ever);
+    //      accuracy contract vs the exact rolling distinct ----
+    "q182_rolling_uniques" -> ((s, dir) => {
+      import graft.agg.Sketches
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      val daily = Sketches.sketches(ev, Seq("event_type", "day"), "user_id")
+      val rolled = Sketches.rollingDistinct(daily, Seq("event_type"),
+        "day", window = 3)
+      // exact side: distinct (type, day, user) exploded over the 3-day
+      // trailing frame via a small range join on present days
+      val du = ev.select(col("event_type"), col("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("event_type"), col("day")).distinct()
+      val exact = days.as("d").join(du.as("u"),
+          col("u.event_type") === col("d.event_type") &&
+            col("u.day") >= date_sub(col("d.day"), 2) &&
+            col("u.day") <= col("d.day"))
+        .groupBy(col("d.event_type").as("event_type"), col("d.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("n_exact"))
+      rolled.select(col("event_type"), col("day"), col("estimate"))
+        .join(exact, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact").cast("double")) <=
+            lit(0.05) * col("n_exact").cast("double") + lit(16.0))
+            .as("estimate_ok"))
+    }),
+
+    // ---- stats: weighted exact discrete percentiles (quantity-
+    //      weighted price quartiles per return flag) ----
+    "q183_weighted_median" -> ((s, dir) =>
+      GroupBy.weightedPercentilesDisc(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        Seq(0.25, 0.5, 0.75), out = "price")),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -4952,6 +4990,37 @@ object SparkEntry {
         |       WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM rk CROSS JOIN tot""".stripMargin,
+
+    // the estimate is sketch arithmetic; the hash-gated claim is the
+    // exact rolling distinct + the accuracy contract (q146 pattern)
+    "q182_rolling_uniques" ->
+      """WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT event_type, day FROM du)
+        |SELECT d.event_type, d.day,
+        |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS estimate_ok
+        |FROM days d JOIN du u ON u.event_type = d.event_type
+        |  AND u.day >= d.day - 2 AND u.day <= d.day
+        |GROUP BY 1, 2""".stripMargin,
+
+    // cumulative centi-weight crossing rule: smallest value with
+    // cum >= p*W (ties share cum; before subtracts tied mass)
+    "q183_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS wt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_quantity > 0),
+        |c AS (SELECT l_returnflag, v, wt,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag, v) AS BIGINT) AS tie
+        |  FROM b)
+        |SELECT DISTINCT l_returnflag, CAST(p AS DOUBLE) AS p, v AS price FROM c
+        |CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(p)
+        |WHERE cum >= CAST(p AS DECIMAL(6,5)) * CAST(tot AS DECIMAL(20,0))
+        |  AND cum - tie < CAST(p AS DECIMAL(6,5)) * CAST(tot AS DECIMAL(20,0))""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

@@ -155,6 +155,61 @@ object GroupBy {
   }
 
   /**
+   * WEIGHTED exact discrete percentiles per group: for each `p`, the
+   * smallest value whose cumulative weight reaches `p · W` — the
+   * survey-statistics quantile (weighted median income, token-weighted
+   * doc-length percentiles) that row-counting percentiles get wrong
+   * whenever weights vary.
+   *
+   * Pinned, engine-exact arithmetic: weights are 2-decimal → scaled
+   * to integer centi-units (exact longs, order-free sums); the
+   * threshold `p · W` is one DECIMAL(6,5) × DECIMAL(20,0) product
+   * (exact, no precision cap); a value qualifies iff
+   * `cum ≥ p·W ∧ cum_before < p·W`, where ties share one cumulative
+   * weight (RANGE frame) and `cum_before` subtracts the tied mass.
+   * `ps` must carry at most 5 decimal digits. Rows with null value or
+   * non-positive weight are ignored.
+   *
+   * Output: one row per (group, p): (groupCols…, p, `out`). Same
+   * shuffle shape as [[percentilesDisc]] (one key shuffle, windows
+   * share the partitioning).
+   */
+  def weightedPercentilesDisc(df: DataFrame, groupCols: Seq[String],
+                              valueCol: String, weightCol: String,
+                              ps: Seq[Double],
+                              out: String = "value"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must lie in (0, 1], got $ps")
+    require(ps.forall(p => (BigDecimal(p.toString) * 100000).isWhole),
+      s"weighted percentiles support at most 5 decimal digits, got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol)) // default RANGE frame: ties share cum
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val wTie = Window.partitionBy((groupCols :+ valueCol).map(col): _*)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .withColumn("__wt",
+        (col(weightCol).cast("decimal(18,2)") * 100).cast("long"))
+    val hits = filter(
+      array(ps.map(p => struct(lit(p).as("p"),
+        (lit(p).cast("decimal(6,5)") *
+          col("__tot").cast("decimal(20,0)")).as("t"))): _*),
+      s => col("__cum") >= s.getField("t") &&
+        col("__before") < s.getField("t"))
+    base
+      .withColumn("__cum", sum("__wt").over(wOrd))
+      .withColumn("__tot", sum("__wt").over(wAll))
+      .withColumn("__tie", sum("__wt").over(wTie))
+      .withColumn("__before", col("__cum") - col("__tie"))
+      .withColumn("p", explode(hits))
+      .select(groupCols.map(col) :+ col("p").getField("p").as("p") :+
+        col(valueCol).as(out): _*)
+      .distinct()
+  }
+
+  /**
    * Quantile binning (feature bucketizer): label every row with the
    * bin its `valueCol` falls into, where bin edges are the EXACT
    * discrete percentiles of the column itself ([[percentilesDisc]]

@@ -123,6 +123,37 @@ object Sketches {
   }
 
   /**
+   * Rolling distinct counts from a [[sketches]] table: for every
+   * (group, period), the estimated distinct count over the TRAILING
+   * `window` periods (current inclusive) — "7-day rolling uniques",
+   * computed entirely by sketch union over the tiny sketch relation.
+   * The raw data was scanned once when the daily sketches
+   * materialized; every window after that is a bytes-column fold. An
+   * exact rolling distinct would re-scan `window` days of raw data
+   * PER (group, period) — the whole reason mergeable sketches exist.
+   *
+   * `sketchDf` must carry one sketch per (groupCols…, `orderCol`).
+   * Missing periods simply contribute nothing (the frame is
+   * row-based over PRESENT periods — densify upstream if calendar
+   * frames matter). Estimate accuracy contract as [[rollup]].
+   */
+  def rollingDistinct(sketchDf: DataFrame, groupCols: Seq[String],
+                      orderCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    sketchDf
+      .withColumn("__sks", collect_list(col("sketch")).over(w))
+      .withColumn("estimate", hll_sketch_estimate(aggregate(
+        slice(col("__sks"), lit(2), greatest(size(col("__sks")) - 1, lit(0))),
+        element_at(col("__sks"), 1),
+        (acc, x) => hll_union(acc, x))))
+      .drop("__sks")
+  }
+
+  /**
    * EXACT heavy hitters without a full-vocabulary shuffle: every item
    * whose frequency is ≥ `ceil(fraction · N)`, found by per-partition
    * Misra-Gries candidate generation + an exact recount of the

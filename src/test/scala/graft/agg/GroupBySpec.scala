@@ -250,4 +250,19 @@ class GroupBySpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false,
       4L -> true, 5L -> false, 6L -> false))
   }
+
+  test("weightedPercentilesDisc: weight-crossing rule with ties") {
+    // values 10(w=1), 20(w=8), 30(w=1): W=10
+    // p=.25 -> threshold 2.5 -> 20; p=.5 -> 5 -> 20; p=.95 -> 9.5 -> 30
+    val df = Seq((10.0, 1.0), (20.0, 5.0), (20.0, 3.0), (30.0, 1.0))
+      .toDF("v", "w")
+    val out = GroupBy.weightedPercentilesDisc(df, Nil, "v", "w",
+      Seq(0.25, 0.5, 0.95), out = "v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out == Map(0.25 -> 20.0, 0.5 -> 20.0, 0.95 -> 30.0))
+    // boundary exactness: p=0.1 -> threshold 1.0 == cum(10) -> value 10
+    val b = GroupBy.weightedPercentilesDisc(df, Nil, "v", "w",
+      Seq(0.1), out = "v").collect()(0).getDouble(1)
+    assert(b == 10.0)
+  }
 }

@@ -95,4 +95,19 @@ class SketchesSpec extends AnyFunSuite {
     // k=200 on 1000 values: well within a 5% rank band around 500
     assert(med >= 450.0 && med <= 550.0, s"median=$med")
   }
+
+  test("rollingDistinct: trailing-window union over present periods") {
+    val df = Seq(
+      ("d1", 1L), ("d1", 2L), ("d2", 2L), ("d2", 3L), ("d3", 9L),
+      ("d5", 1L) // d4 absent: row-frame sees d2, d3, d5
+    ).toDF("day", "u")
+    val daily = Sketches.sketches(df, Seq("day"), "u")
+    val out = Sketches.rollingDistinct(daily, Nil, "day", window = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // exact mode at this size: estimates are exact
+    assert(out("d1") == 2L)            // {1,2}
+    assert(out("d2") == 3L)            // {1,2,3}
+    assert(out("d3") == 3L)            // {2,3,9}
+    assert(out("d5") == 2L)            // {9,1} (previous PRESENT period)
+  }
 }
