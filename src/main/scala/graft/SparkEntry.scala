@@ -2555,6 +2555,60 @@ object SparkEntry {
         Seq("l_returnflag"), "l_extendedprice", "l_quantity",
         Seq(0.25, 0.5, 0.75), out = "price")),
 
+    // ---- streaming: per-type distinct users via MERGEABLE HLL
+    //      sketch state (bounded state for unbounded keyspaces);
+    //      accuracy-contract gated ----
+    "q184_stream_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q184")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.distinctCountStream(
+          df, "event_type", "user_id"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      val folded = graft.streaming.Streaming.foldDistinctCountUpdates(updates)
+      val exact = ev.groupBy(col("event_type").cast("string").as("key"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_exact"))
+      folded.join(exact, Seq("key"))
+        .select(col("key"), col("n_seen"), col("n_exact"),
+          (col("n_seen") === col("n_rows") &&
+            abs(col("estimate") - col("n_exact").cast("double")) <=
+              lit(0.05) * col("n_exact").cast("double") + lit(16.0))
+            .as("ok"))
+    }),
+
+    // ---- warehouse: SCD2 point-in-time lookup — each order joined
+    //      to the dimension version valid at its order date ----
+    "q186_scd2_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"))
+      // two versions per customer: pre-1996 segment "LEGACY", then the
+      // actual segment (half-open validity intervals)
+      val dim = c.withColumn("c_mktsegment", lit("LEGACY"))
+        .withColumn("valid_from", to_date(lit("1992-01-01")))
+        .withColumn("valid_to", to_date(lit("1996-01-01")))
+        .unionByName(c
+          .withColumn("valid_from", to_date(lit("1996-01-01")))
+          .withColumn("valid_to", to_date(lit("9999-12-31"))))
+      SCD.pointInTime(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")).withColumnRenamed("o_custkey", "c_custkey"),
+        dim, Seq("c_custkey"), "o_orderdate", "valid_from", "valid_to")
+    }),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5021,6 +5075,30 @@ object SparkEntry {
         |CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(p)
         |WHERE cum >= CAST(p AS DECIMAL(6,5)) * CAST(tot AS DECIMAL(20,0))
         |  AND cum - tie < CAST(p AS DECIMAL(6,5)) * CAST(tot AS DECIMAL(20,0))""".stripMargin,
+
+    // the estimate is sketch arithmetic; hash-gated: exact distincts,
+    // full row coverage (n_seen == rows), and the accuracy contract
+    "q184_stream_distinct" ->
+      """SELECT CAST(event_type AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS n_seen,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS ok
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // half-open validity: from <= date < to
+    "q186_scd2_lookup" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, 'LEGACY' AS c_mktsegment,
+        |    DATE '1992-01-01' AS vf, DATE '1996-01-01' AS vt FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment,
+        |    DATE '1996-01-01', DATE '9999-12-31' FROM customer)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate,
+        |  dim.c_mktsegment AS dim_c_mktsegment
+        |FROM orders o LEFT JOIN dim ON dim.c_custkey = o.o_custkey
+        |  AND dim.vf <= o.o_orderdate AND o.o_orderdate < dim.vt""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

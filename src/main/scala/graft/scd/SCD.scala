@@ -138,4 +138,34 @@ object SCD {
 
   private def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
+  /**
+   * Point-in-time lookup against an SCD2 dimension: join each fact
+   * row to the dimension VERSION that was valid at the fact's own
+   * date — `from ≤ factDate < to` (half-open, the [[scd2]] interval
+   * contract: a version closing on day d and its successor opening on
+   * day d never both match). THE query an SCD2 table exists to
+   * answer; left join, so facts with no valid version (pre-history
+   * dates, late dimension arrivals) survive with null attributes.
+   *
+   * Scale posture: an equi-join on the business keys with the
+   * validity range as a residual join condition — planned as a hash
+   * join (dims broadcast under AQE), never a nested loop; versions
+   * per key are bounded (that's what an SCD2 grain is), so the range
+   * residual scans a handful of rows per fact.
+   */
+  def pointInTime(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                  factDateCol: String, fromCol: String, toCol: String,
+                  prefix: String = "dim_"): DataFrame = {
+    require(keys.nonEmpty, "pointInTime needs business keys")
+    val payload = dim.columns.filterNot(c =>
+      keys.contains(c) || c == fromCol || c == toCol).toSeq
+    val d = dim.select(keys.map(c => col(c).as(s"__k_$c")) ++
+      Seq(col(fromCol).as("__from"), col(toCol).as("__to")) ++
+      payload.map(c => col(c).as(s"$prefix$c")): _*)
+    val cond = keys.map(c => col(c) === col(s"__k_$c")).reduce(_ && _) &&
+      col("__from") <= col(factDateCol) && col(factDateCol) < col("__to")
+    fact.join(d, cond, "left")
+      .drop(keys.map(c => s"__k_$c") :+ "__from" :+ "__to": _*)
+  }
 }

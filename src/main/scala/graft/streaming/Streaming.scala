@@ -577,6 +577,58 @@ object Streaming {
   }
 
   /**
+   * Streaming distinct counts with MERGEABLE sketch state: one
+   * DataSketches HLL sketch per key (serialized into the state store,
+   * ~4 KB max at lgK=12), updated batch over batch — the unbounded
+   * form of exact streaming distinct counting, whose state would be
+   * the whole keyspace. The per-key estimate is within ~1.6% RSE of
+   * the true distinct count at any stream length.
+   *
+   * Output per batch: (key, n_seen, estimate) — `n_seen` counts
+   * PROCESSED rows (monotone, so the update log folds to the final
+   * row with `max(n_seen)` per key; replays re-read pre-batch state
+   * and emit identical rows, the [[ewmaStream]] argument). The
+   * estimate is sketch arithmetic — gate the accuracy CONTRACT, not
+   * the value (the q146 pattern).
+   */
+  def distinctCountStream(df: DataFrame, keyCol: String, valueCol: String,
+                          lgK: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(valueCol).cast("long"))
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]), (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Byte])]) =>
+          import org.apache.datasketches.hll.HllSketch
+          import org.apache.datasketches.memory.Memory
+          val (seen0, bytes0) = state.getOption.getOrElse((0L, null: Array[Byte]))
+          val sk =
+            if (bytes0 == null) new HllSketch(lgK)
+            else HllSketch.heapify(Memory.wrap(bytes0))
+          var n = seen0
+          rows.foreach { case (_, v) => sk.update(v); n += 1 }
+          state.update((n, sk.toUpdatableByteArray))
+          (key, n, sk.getEstimate)
+      }
+      .toDF("key", "n_seen", "estimate")
+  }
+
+  /** Collapse a [[distinctCountStream]] update log: the final
+   *  cumulative row per key is the one with the largest `n_seen`. */
+  def foldDistinctCountUpdates(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_seen").desc)
+    updates.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("n_seen"), col("estimate"))
+  }
+
+  /**
    * Log compaction as incremental keyed state: emit an event iff its
    * `stateCol` differs (null-safe) from the actor's PREVIOUS event —
    * the streaming form of

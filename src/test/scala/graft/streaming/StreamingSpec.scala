@@ -437,4 +437,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(3)).toSet
     assert(kept == batchKept)
   }
+
+  test("distinctCountStream: HLL state accumulates across batches within RSE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+    val batch1 = (0 until 400).map(i => ("k", i.toLong))
+    val batch2 = (200 until 700).map(i => ("k", i.toLong)) // 200 overlap
+    batch1.toDF("key", "v").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("key", "v").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.distinctCountStream(df, "key", "v"),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val rows = Streaming.foldDistinctCountUpdates(updates).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(1) == 900L) // all rows processed
+    // true distinct = 700; HLL at lgK=12 is well within 5%
+    assert(math.abs(r.getDouble(2) - 700.0) <= 35.0, s"est=${r.getDouble(2)}")
+  }
 }
