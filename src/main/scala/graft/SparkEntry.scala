@@ -2590,6 +2590,22 @@ object SparkEntry {
             .as("ok"))
     }),
 
+    // ---- ETL: dataset patch/overlay — prefer the correction
+    //      snapshot's values, fall back to the base (full-outer +
+    //      per-column coalesce) ----
+    "q185_patch" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // corrections: every 7th order re-priced, every 13th new-only row
+      val fixes = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") +
+            lit(BigDecimal("1.00"))).cast("double").as("o_totalprice"))
+      T.patch(base.filter(col("o_orderkey") % 13 =!= 0), fixes,
+        Seq("o_orderkey"))
+    }),
+
     // ---- warehouse: SCD2 point-in-time lookup — each order joined
     //      to the dimension version valid at its order date ----
     "q186_scd2_lookup" -> ((s, dir) => {
@@ -2608,6 +2624,13 @@ object SparkEntry {
           col("o_orderdate")).withColumnRenamed("o_custkey", "c_custkey"),
         dim, Seq("c_custkey"), "o_orderdate", "valid_from", "valid_to")
     }),
+
+    // ---- feature engineering: autoregressive lag block per user ----
+    "q187_lag_features" -> ((s, dir) =>
+      graft.ops.TimeSeries.lagFeatures(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        Seq("user_id"), "ts", "event_id", "value", lags = Seq(1, 2, 3))),
 
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
@@ -5087,6 +5110,18 @@ object SparkEntry {
         |  AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
+    // corrections win, base fills, new-only rows survive
+    "q185_patch" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |fixes AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST('1.00' AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT coalesce(f.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(f.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(f.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM base b FULL OUTER JOIN fixes f USING (o_orderkey)""".stripMargin,
+
     // half-open validity: from <= date < to
     "q186_scd2_lookup" ->
       """WITH dim AS (
@@ -5099,6 +5134,14 @@ object SparkEntry {
         |  dim.c_mktsegment AS dim_c_mktsegment
         |FROM orders o LEFT JOIN dim ON dim.c_custkey = o.o_custkey
         |  AND dim.vf <= o.o_orderdate AND o.o_orderdate < dim.vt""".stripMargin,
+
+    "q187_lag_features" ->
+      """SELECT user_id, ts, event_id, value,
+        |  lag(value, 1) OVER w AS value_lag1,
+        |  lag(value, 2) OVER w AS value_lag2,
+        |  lag(value, 3) OVER w AS value_lag3
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

@@ -476,6 +476,25 @@ object TimeSeries {
       .drop("__s")
   }
 
+  /**
+   * Lag-feature matrix for sequence models: per key, the previous
+   * `lags` values of `valueCol` as `<value>_lag<n>` columns — the
+   * autoregressive feature block (one window, N `lag()` expressions,
+   * no self-joins). Rows order by (`tsCol`, `tieCol`); heads with
+   * fewer than n predecessors carry nulls.
+   */
+  def lagFeatures(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String,
+                  lags: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "lagFeatures needs key columns")
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    lags.foldLeft(df.filter(col(tsCol).isNotNull)) { (acc, n) =>
+      acc.withColumn(s"${valueCol}_lag$n", lag(col(valueCol), n).over(w))
+    }
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

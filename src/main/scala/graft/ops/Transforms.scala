@@ -312,6 +312,33 @@ object Transforms {
   }
 
   /**
+   * Dataset patch/overlay: merge a CORRECTIONS frame over a base —
+   * where both have a key, the correction's non-null values win
+   * column-wise; base-only and correction-only rows pass through.
+   * The late-correction / config-overlay merge (a full-outer join +
+   * per-column coalesce), upsert semantics WITHOUT a mutable table.
+   *
+   * Both frames must share a schema; null in a correction column
+   * falls back to the base value (a correction that must null a
+   * field should carry a sentinel and map it after).
+   *
+   * One key-shuffled full-outer join; AQE broadcasts a small
+   * correction set.
+   */
+  def patch(base: DataFrame, fixes: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "patch needs key columns")
+    require(base.columns.toSeq == fixes.columns.toSeq,
+      s"patch frames must share a schema: ${base.columns.toSeq} vs ${fixes.columns.toSeq}")
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    val f = fixes.select(fixes.columns.map(c => col(c).as(s"__f_$c")).toSeq: _*)
+    val cond = keys.map(c => col(c) === col(s"__f_$c")).reduce(_ && _)
+    base.join(f, cond, "full_outer")
+      .select(
+        keys.map(c => coalesce(col(s"__f_$c"), col(c)).as(c)) ++
+          payload.map(c => coalesce(col(s"__f_$c"), col(c)).as(c)): _*)
+  }
+
+  /**
    * Missing-value imputation per group — the cleaning step between
    * "drop the row" and "train on garbage". `strategy`:
    *  - `"mean"`: exact-DECIMAL group mean of the non-null values,

@@ -306,4 +306,31 @@ class PlanGuardSpec extends AnyFunSuite {
       p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q173 fuzzy join generates candidates via EQUI joins (no cartesian)") {
+    val p = finalPlan("q173_fuzzy_join")
+    // segment/substring candidates must hash/merge-join on
+    // (i, l, substring); the only tolerated nested loop is the tiny
+    // short-string broadcast block
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
+  test("q162 correlation matrix is ONE aggregation pass, join-free") {
+    val p = finalPlan("q162_corr_matrix")
+    // all moments for all pairs come from a single map-side-combined
+    // aggregate; a per-pair corr() formulation would scan per pair
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+    // count scans in the FINAL plan only (AQE's toString repeats the
+    // initial plan below it)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(fin).size == 1, fin.take(1200))
+  }
+
+  test("q177 skyline sweep never plans a quadratic dominance join") {
+    val p = finalPlan("q177_skyline")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }

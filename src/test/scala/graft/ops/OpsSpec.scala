@@ -144,4 +144,19 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
     assert(med.contains(("a", None, Some(10.0)))) // disc p50 of {10,20} = 10
   }
+
+  test("patch: corrections win, nulls fall back, one-sided rows survive") {
+    val base = Seq((1L, Some("a"), Some(10.0)), (2L, Some("b"), Some(20.0)),
+      (3L, Some("c"), Some(30.0))).toDF("k", "s", "v")
+    val fixes = Seq((2L, Option.empty[String], Some(99.0)),
+      (4L, Some("new"), Some(40.0))).toDF("k", "s", "v")
+    val out = Transforms.patch(base, fixes, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out == Map(
+      1L -> ((Some("a"), Some(10.0))),
+      2L -> ((Some("b"), Some(99.0))), // v corrected, s falls back
+      3L -> ((Some("c"), Some(30.0))),
+      4L -> ((Some("new"), Some(40.0))))) // correction-only row
+  }
 }
