@@ -2632,6 +2632,24 @@ object SparkEntry {
           .select(col("user_id"), col("ts"), col("event_id"), col("value")),
         Seq("user_id"), "ts", "event_id", "value", lags = Seq(1, 2, 3))),
 
+    // ---- model-ops: embedding-centroid drift between segments
+    //      (integer-quantized per-dim sums, dimension-ordered fold) ----
+    "q188_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(
+        t(s, dir, "embeddings")
+          .withColumn("half", (col("vec_id") % 2).cast("int")),
+        "half", "embedding")),
+
+    // ---- contrastive training data: deterministic hash-ring
+    //      negative sampling + payload join ----
+    "q189_negative_sampling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Sampling.negativeSamples(docs, "doc_id", k = 4)
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("n_chars").as("neg_chars")), Seq("neg_id"))
+        .select(col("doc_id"), col("slot"), col("neg_id"), col("neg_chars"))
+    }),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5142,6 +5160,45 @@ object SparkEntry {
         |  lag(value, 3) OVER w AS value_lag3
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    // power-of-two scaling is exact for any double; floor exact; the
+    // per-dim integer sums stand in for centroids (counts cancel)
+    "q188_centroid_drift" ->
+      """WITH e AS (SELECT CAST(vec_id % 2 AS INT) AS g, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(embedding) > 0 AND vec_id IS NOT NULL),
+        |dd AS (SELECT g, i - 1 AS d, CAST(floor(v[i] * 16777216.0) AS BIGINT) AS t
+        |  FROM (SELECT g, v, unnest(generate_series(1, len(v))) AS i FROM e)),
+        |sm AS (SELECT g, d, CAST(sum(t) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY 1, 2),
+        |j AS (SELECT a.g AS g1, b.g AS g2, a.d,
+        |    CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) AS xy,
+        |    CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) AS xx,
+        |    CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) AS yy,
+        |    a.n AS n1, b.n AS n2
+        |  FROM sm a JOIN sm b ON a.d = b.d AND a.g < b.g),
+        |f AS (SELECT g1, g2, max(n1) AS n_1, max(n2) AS n_2,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(xy ORDER BY d)), (p, x) -> p + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(xx ORDER BY d)), (p, x) -> p + x) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(yy ORDER BY d)), (p, x) -> p + x) AS syy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT g1, g2, n_1, n_2,
+        |  CASE WHEN sxx > 0 AND syy > 0
+        |    THEN sxy / (sqrt(sxx) * sqrt(syy)) END AS cosine
+        |FROM f""".stripMargin,
+
+    // the hash ring replayed literally; offset in [1, n-1] so an
+    // anchor never samples itself
+    "q189_negative_sampling" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, j AS slot,
+        |    (doc_id + 1 + ((doc_id * 2654435761 + j * 40503) % (n - 1))) % n AS neg_id
+        |  FROM documents CROSS JOIN nn
+        |  CROSS JOIN (VALUES (1), (2), (3), (4)) t(j)
+        |  WHERE doc_id IS NOT NULL)
+        |SELECT s.doc_id, s.slot, s.neg_id, d.n_chars AS neg_chars
+        |FROM s JOIN documents d ON d.doc_id = s.neg_id""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

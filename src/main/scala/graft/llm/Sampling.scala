@@ -476,4 +476,37 @@ object Sampling {
       df.sample(withReplacement = false, frac, seed + i)
     }.reduce(_ unionByName _)
   }
+
+  /**
+   * Deterministic negative sampling for contrastive training: for
+   * every anchor, `k` pseudo-random partners drawn by an integer hash
+   * ring — no RNG state, no shuffle of the corpus, identical on any
+   * engine or partitioning (the [[hashSample]] philosophy applied to
+   * pair construction).
+   *
+   * Requires DENSE ids `0 ≤ id < n` (the usual corpus-index frame;
+   * `n` is one count() scalar). Slot j of anchor a pairs with
+   * `(a + 1 + mix(a, j) mod (n−1)) mod n` where
+   * `mix(a, j) = a·2654435761 + j·40503` — pure 64-bit arithmetic,
+   * offset ∈ [1, n−1] so an anchor never samples itself. Collisions
+   * between slots of one anchor are possible (bounded by k²/n) and
+   * kept: contrastive batches tolerate a rare duplicate negative;
+   * dedup downstream if not.
+   *
+   * Output: (`idCol`, slot, neg_id). Join payloads on `neg_id`
+   * downstream — the sampler itself never touches them.
+   */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.filter(col(idCol).isNotNull).count()
+    require(n >= 2, s"need at least 2 rows to sample negatives, got $n")
+    val slots = explode(sequence(lit(1), lit(k)))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), slots.as("slot"))
+      .withColumn("neg_id",
+        pmod(col(idCol) + 1 +
+          pmod(col(idCol) * 2654435761L + col("slot") * 40503L,
+            lit(n - 1)), lit(n)))
+      .select(col(idCol), col("slot"), col("neg_id"))
+  }
 }

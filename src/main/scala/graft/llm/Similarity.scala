@@ -550,4 +550,60 @@ object Similarity {
       .select(col(qidCol), col("n_exact"), col("hits"), col("recall"),
         col("first_hit_rank"), col("rr"))
   }
+
+  /**
+   * Embedding-centroid drift between segments (model-ops monitor:
+   * "has the upstream encoder or the traffic mix shifted?"): for
+   * every pair of segments, the cosine between their MEAN embeddings
+   * — computed so the result is bit-reproducible at any parallelism:
+   *
+   *  - per-dimension values scale by 2^`scaleBits` and FLOOR to
+   *    integers (power-of-two scaling is exact for any double; floor
+   *    is exact), so per-(segment, dim) sums are order-free longs;
+   *  - counts cancel in cosine, so the integer sum VECTORS stand in
+   *    for the centroids directly;
+   *  - the closing dot/norms fold in DIMENSION order over the joined
+   *    per-dim sums (the χ²-drift contract), one sqrt/divide each.
+   *
+   * Flooring quantizes each component by 2^-scaleBits (~6e-8 at the
+   * default) — far below any drift worth alerting on. Null/empty
+   * embeddings are ignored. Output: (g1, g2, n_1, n_2, cosine).
+   *
+   * Scale posture: one (segment, dim) shuffle (map-side combined);
+   * everything after runs on |segments| × dims rows.
+   */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+                    scaleBits: Int = 24): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 40, s"scaleBits: $scaleBits")
+    val scale = math.pow(2.0, scaleBits)
+    // floor BEFORE summing: aggregate the already-floored terms
+    val perDim = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0)
+      .select(col(groupCol).as("__g"),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long"))))
+      .groupBy(col("__g"), col("pos").as("__d"))
+      .agg(sum(col("col")).as("__s"), count(lit(1)).as("__n"))
+    val a = perDim.select(col("__g").as("g1"), col("__d"),
+      col("__s").as("__s1"), col("__n").as("__n1"))
+    val b = perDim.select(col("__g").as("g2"), col("__d"),
+      col("__s").as("__s2"), col("__n").as("__n2"))
+    a.join(b, Seq("__d")).filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(max(col("__n1")).as("n_1"), max(col("__n2")).as("n_2"),
+        aggregate(sort_array(collect_list(struct(col("__d").as("d"),
+            (col("__s1").cast("double") * col("__s2").cast("double")).as("xy"),
+            (col("__s1").cast("double") * col("__s1").cast("double")).as("xx"),
+            (col("__s2").cast("double") * col("__s2").cast("double")).as("yy")))),
+          struct(lit(0.0).as("xy"), lit(0.0).as("xx"), lit(0.0).as("yy")),
+          (acc, x) => struct(
+            (acc.getField("xy") + x.getField("xy")).as("xy"),
+            (acc.getField("xx") + x.getField("xx")).as("xx"),
+            (acc.getField("yy") + x.getField("yy")).as("yy"))).as("__m"))
+      .withColumn("cosine",
+        when(col("__m.xx") > 0 && col("__m.yy") > 0,
+          col("__m.xy") / (sqrt(col("__m.xx")) * sqrt(col("__m.yy")))))
+      .select(col("g1"), col("g2"), col("n_1"), col("n_2"), col("cosine"))
+  }
 }
