@@ -2650,6 +2650,36 @@ object SparkEntry {
         .select(col("doc_id"), col("slot"), col("neg_id"), col("neg_chars"))
     }),
 
+    // ---- SQL surface: the engine speaks ANSI SQL too — TPC-H Q4
+    //      shape (EXISTS decorrelated by Catalyst into a semi join) ----
+    "q190_sql_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_q190_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q190_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM graft_q190_orders
+        WHERE EXISTS (
+          SELECT 1 FROM graft_q190_lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""")
+    }),
+
+    // ---- SQL surface: correlated scalar subquery (above-nation-
+    //      average customers; cross-multiplied exact compare) ----
+    "q191_sql_correlated" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_q191_customer")
+      s.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM graft_q191_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+            SELECT count(*) FROM graft_q191_customer i
+            WHERE i.c_nationkey = c.c_nationkey) > (
+            SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+            FROM graft_q191_customer i
+            WHERE i.c_nationkey = c.c_nationkey)""")
+    }),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5199,6 +5229,24 @@ object SparkEntry {
         |  WHERE doc_id IS NOT NULL)
         |SELECT s.doc_id, s.slot, s.neg_id, d.n_chars AS neg_chars
         |FROM s JOIN documents d ON d.doc_id = s.neg_id""".stripMargin,
+
+    "q190_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q191_sql_correlated" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+        |    SELECT count(*) FROM customer i
+        |    WHERE i.c_nationkey = c.c_nationkey) > (
+        |    SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    FROM customer i
+        |    WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders
