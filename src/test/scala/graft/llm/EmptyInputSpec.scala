@@ -177,4 +177,66 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptySigs = Seq.empty[(Long, Option[Long])].toDF("id", "sig")
     assert(Dedup.hammingPairs(emptySigs, "id", "sig", bits = 64).count() == 0)
   }
+
+  test("round-9 wave 7-19 operators on empty inputs") {
+    import java.sql.Timestamp
+    val emptyEv = Seq.empty[(Long, Timestamp, String, Long, Option[Double])]
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+    val emptyNum = Seq.empty[(String, Option[Double])].toDF("g", "v")
+
+    // stats / quality
+    assert(graft.quality.Quality.psiDrift(emptyNum, "v", "g", Seq(0.5)).count() == 0)
+    assert(graft.quality.Quality.mannWhitneyU(emptyNum, "v", "g", "a", "b").count() == 0)
+    assert(graft.quality.Quality.benfordDrift(emptyNum, "v").count() == 0)
+    assert(graft.quality.Quality.kAnonymity(emptyNum, Seq("g"), 3).count() == 0)
+    assert(graft.agg.Stats.pearsonMatrix(
+      Seq.empty[(Double, Double)].toDF("a", "b"),
+      Seq(("a", 2), ("b", 2))).collect().forall(_.isNullAt(3)))
+    assert(graft.agg.Stats.linearFit(emptyNum.withColumn("x",
+      org.apache.spark.sql.functions.lit(1L)), Seq("g"), "x", "v").count() == 0)
+    assert(graft.agg.GroupBy.empiricalCdf(emptyNum, Seq("g"), "v").count() == 0)
+    assert(graft.agg.GroupBy.skyline2D(
+      Seq.empty[(Double, Int)].toDF("p", "s"), "p", "s").count() == 0)
+    assert(graft.agg.GroupBy.weightedPercentilesDisc(
+      Seq.empty[(Double, Double)].toDF("v", "w"), Nil, "v", "w",
+      Seq(0.5)).count() == 0)
+    assert(graft.ops.Transforms.impute(emptyNum, Seq("g"), "v", "mean").count() == 0)
+    assert(graft.ops.Transforms.impute(emptyNum, Seq("g"), "v", "mode").count() == 0)
+    assert(graft.quality.Quality.referentialIntegrity(emptyNum,
+      Seq(graft.quality.Quality.FkSpec("f", Seq("g"),
+        Seq("x").toDF("pk"), Seq("pk")))).collect()(0).getLong(1) == 0L)
+
+    // text / llm
+    assert(TextAnalysis.pmiCollocations(emptyDocs.select(col("text")), "text",
+      1L, 5).count() == 0)
+    assert(TextAnalysis.tokenEntropy(emptyDocs, "id", "text").count() == 0)
+    assert(TextAnalysis.charLmScore(emptyDocs, "id", "text").count() == 0)
+    assert(TextAnalysis.rakeKeywords(emptyDocs, "id", "text").count() == 0)
+    assert(graft.join.Fuzzy.selfJoin(emptyDocs, "id", "text", 1).count() == 0)
+    assert(Similarity.centroidDrift(
+      Seq.empty[(String, Seq[Float])].toDF("g", "v"), "g", "v").count() == 0)
+    assert(graft.agg.Sketches.heavyHitters(
+      emptyDocs.select(col("text").as("item")), "item", 0.1, 20).count() == 0)
+
+    // time series / events
+    assert(graft.ops.TimeSeries.transitionMatrix(emptyEv, Seq("user_id"),
+      "ts", "event_type", "event_id").count() == 0)
+    assert(graft.ops.TimeSeries.ewma(emptyEv, Seq("user_id"), "ts",
+      "event_id", "value", 0.5).count() == 0)
+    assert(graft.ops.TimeSeries.seasonalityProfile(emptyEv, Seq("event_type"),
+      "ts", "value").count() == 0)
+    assert(graft.ops.TimeSeries.frequentPaths(emptyEv, "user_id", "ts",
+      "event_id", "event_type", 1000L).count() == 0)
+    assert(graft.ops.TimeSeries.gaps(emptyEv, Nil, "event_id").count() == 0)
+    assert(graft.ops.TimeSeries.periodOverPeriod(emptyEv, Seq("event_type"),
+      "ts", "value", "day").count() == 0)
+    assert(graft.ops.TimeSeries.lagFeatures(emptyEv, Seq("user_id"), "ts",
+      "event_id", "value", Seq(1)).count() == 0)
+
+    // graph
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(graft.graph.Graph.triangleCounts(emptyEdges).count() == 0)
+    assert(graft.graph.Graph.coOccurrenceEdges(
+      Seq.empty[(Long, Long)].toDF("g", "i"), "g", "i", 5).count() == 0)
+  }
 }
