@@ -64,6 +64,25 @@ object GraphStatsProbe {
       .agg(max("count")).collect()(0).getLong(0)
     println(f"[probe-ewma] sf0.1 rows=${agg.getLong(0)}%d max_series=$maxSeries%d " +
       f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    // fuzzy-join scale: unique digit+parity names, linear neighbor
+    // structure — pairs and wall must track corpus size, not its square
+    for (n <- Seq(1, 4, 16)) {
+      val ids =
+        if (n == 1) base.select(col("doc_id"))
+        else base.select(col("doc_id"))
+          .crossJoin(spark.range(n).select(col("id").as("__c")))
+          .select((col("doc_id") + col("__c") * 500L).as("doc_id"))
+      val names = ids.select(col("doc_id"),
+        concat(col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 1, lit("b")).otherwise(lit("a")))
+          .as("name"))
+      val t1 = System.nanoTime()
+      val pairs = graft.join.Fuzzy.selfJoin(names, "doc_id", "name", 1).count()
+      println(f"[probe-fuzzy] ${n}%dx strings=${500 * n}%d pairs=$pairs%d " +
+        f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs")
+    }
     spark.stop()
+
   }
 }
