@@ -186,7 +186,10 @@ object GroupBy {
     val wOrd = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol)) // default RANGE frame: ties share cum
     val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val wTie = Window.partitionBy((groupCols :+ valueCol).map(col): _*)
+    // peers frame: tied mass without a second partitioning (one exchange)
+    val wTie = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+      .rangeBetween(Window.currentRow, Window.currentRow)
     val base = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
@@ -314,7 +317,11 @@ object GroupBy {
                    out: String = "cdf"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val ties = Window.partitionBy((groupCols :+ valueCol).map(col): _*)
+    // peers frame = tie count WITHOUT a second (group, value)
+    // partitioning — the whole operator stays one exchange
+    val ties = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+      .rangeBetween(Window.currentRow, Window.currentRow)
     val n = Window.partitionBy(groupCols.map(col): _*)
     df.filter(col(valueCol).isNotNull)
       .withColumn("__t", count(lit(1)).over(ties))

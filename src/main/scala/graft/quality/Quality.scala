@@ -496,7 +496,10 @@ object Quality {
         (col(flagCol) === a).cast("long").as("__ia"),
         (col(flagCol) === b).cast("long").as("__ib"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
-    val ties = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
+    // peers frame: tie sizes ride the SAME global sort (one exchange)
+    val ties = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val ranked = base
       .withColumn("__t", count(lit(1)).over(ties))
       .withColumn("__mr",

@@ -333,4 +333,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("q158/q183 tie counts ride the ONE key exchange (peers RANGE frame)") {
+    for (q <- Seq("q158_empirical_cdf", "q183_weighted_median")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      // the (group, value) tie partitioning would add a second
+      // exchange over the corpus-sized relation; the peers frame
+      // (RANGE current-current) shares the (group) sort instead
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+        s"$q: ${fin.take(1200)}")
+    }
+  }
 }
