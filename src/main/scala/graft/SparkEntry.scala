@@ -2680,6 +2680,19 @@ object SparkEntry {
             WHERE i.c_nationkey = c.c_nationkey)""")
     }),
 
+    // ---- recrawl policy: anchored-gap keep filter (one re-admit per
+    //      30-min window since the last KEPT event) ----
+    "q192_anchored_throttle" -> ((s, dir) =>
+      graft.ops.TimeSeries.anchoredThrottle(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        Seq("user_id"), "ts", "event_id", minGapMicros = 1800000000L)),
+
+    // ---- ops diagnostics: join-key skew report over the lineitem
+    //      key columns (the salted-join decision input) ----
+    "q193_skew_report" -> ((s, dir) =>
+      Quality.skewReport(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5247,6 +5260,49 @@ object SparkEntry {
         |    SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
         |    FROM customer i
         |    WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    // keep iff t >= last_KEPT + gap — recursive by nature, replayed
+    // by a recursive CTE carrying the anchor
+    "q192_anchored_throttle" ->
+      """WITH RECURSIVE r0 AS (SELECT user_id, epoch_us(ts) AS t, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |walk AS (
+        |  SELECT user_id, t, ts, event_id, rn, TRUE AS kept, t AS last_t
+        |  FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.user_id, r0.t, r0.ts, r0.event_id, r0.rn,
+        |    r0.t >= w.last_t + 1800000000,
+        |    CASE WHEN r0.t >= w.last_t + 1800000000 THEN r0.t ELSE w.last_t END
+        |  FROM walk w JOIN r0 ON r0.user_id = w.user_id AND r0.rn = w.rn + 1)
+        |SELECT user_id, event_id, ts FROM walk WHERE kept""".stripMargin,
+
+    // hottest key ties break to the larger stringified key (max
+    // struct semantics); skew factor = max/(rows/keys), pinned order
+    "q193_skew_report" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS key_col,
+           |  (SELECT CAST(sum(cc) AS BIGINT) FROM c_$c) AS n_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c_$c) AS n_keys,
+           |  (SELECT CAST(max(cc) AS BIGINT) FROM c_$c) AS max_key_rows,
+           |  (SELECT CAST(k AS VARCHAR) FROM c_$c
+           |   ORDER BY cc DESC, CAST(k AS VARCHAR) DESC LIMIT 1) AS hottest_key,
+           |  CAST((SELECT max(cc) FROM c_$c) AS DOUBLE)
+           |    / (CAST((SELECT sum(cc) FROM c_$c) AS DOUBLE)
+           |       / CAST((SELECT count(*) FROM c_$c) AS DOUBLE)) AS skew_factor""".stripMargin
+      s"""WITH c_l_orderkey AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cc
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |c_l_partkey AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cc
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |c_l_suppkey AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cc
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1)
+        |${block("l_orderkey")}
+        |UNION ALL
+        |${block("l_partkey")}
+        |UNION ALL
+        |${block("l_suppkey")}""".stripMargin
+    },
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

@@ -495,6 +495,46 @@ object TimeSeries {
     }
   }
 
+  /**
+   * Anchored-gap keep filter (recrawl/refresh policy): keep an event
+   * iff at least `minGapMicros` elapsed since the key's LAST KEPT
+   * event — the "re-fetch a URL at most weekly" rule. This differs
+   * from [[throttle]] (burst HEADS, where bursts chain by
+   * inter-event gap): anchoring to the kept event means a slow drip
+   * of sub-gap events still re-admits one per gap window, where
+   * throttle would swallow the whole chain.
+   *
+   * Anchoring is inherently recursive (which events are kept depends
+   * on which were kept), so each key folds its (ts, tie)-sorted
+   * series through an in-group array build — the [[ewma]] mechanics
+   * and envelope (per-key series, not one global million-point
+   * stream; keyed state is the unbounded form). Output: the kept
+   * rows as (keys…, `tieCol`, `tsCol`).
+   */
+  def anchoredThrottle(df: DataFrame, keys: Seq[String], tsCol: String,
+                       tieCol: String, minGapMicros: Long): DataFrame = {
+    require(keys.nonEmpty, "anchoredThrottle needs key columns")
+    require(minGapMicros >= 0, s"minGapMicros must be >= 0: $minGapMicros")
+    val lst = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"), col(tieCol).as("i"),
+      col(tsCol).as("orig"))))
+    df.filter(col(tsCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(lst.as("__l"))
+      // fold: acc = array of kept (t, i, orig); keep iff first or
+      // t >= last_kept.t + gap
+      .withColumn("__k", aggregate(col("__l"),
+        array().cast("array<struct<t:bigint,i:bigint,orig:timestamp>>"),
+        (acc, x) => when(size(acc) === 0 ||
+          x.getField("t") >= element_at(acc, -1).getField("t") + minGapMicros,
+          concat(acc, array(struct(x.getField("t").as("t"),
+            x.getField("i").cast("long").as("i"),
+            x.getField("orig").as("orig"))))).otherwise(acc)))
+      .select(keys.map(col) :+ explode(col("__k")).as("__e"): _*)
+      .select(keys.map(col) :+ col("__e.i").as(tieCol) :+
+        col("__e.orig").as(tsCol): _*)
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

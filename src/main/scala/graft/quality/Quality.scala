@@ -357,6 +357,36 @@ object Quality {
       .filter(col("n") < k)
   }
 
+  /**
+   * Join-key skew report — the diagnostic that decides between a
+   * plain join, AQE skew handling, and [[graft.join.Joins.saltedJoin]]:
+   * per candidate key column, the row count, distinct keys, the
+   * hottest key's share, and `skew_factor = max_key_rows /
+   * (n_rows / n_keys)` (1.0 = perfectly uniform). The hottest key
+   * itself is surfaced (stringified) for blocklisting.
+   *
+   * One aggregation per key column over its (key, count) relation;
+   * exact integers + one closing divide.
+   */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs key columns")
+    keyCols.map { k =>
+      val counts = df.filter(col(k).isNotNull)
+        .groupBy(col(k)).agg(count(lit(1)).as("__c"))
+      counts
+        .agg(sum("__c").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("__c")).as("max_key_rows"),
+          max(struct(col("__c"), col(k).cast("string").as("k")))
+            .getField("k").as("hottest_key"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("hottest_key"),
+          (col("max_key_rows").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")))
+            .as("skew_factor"))
+    }.reduce(_ unionByName _)
+  }
+
   /** One foreign-key relationship for [[referentialIntegrity]]. */
   final case class FkSpec(name: String, childCols: Seq[String],
                           parent: DataFrame, parentCols: Seq[String]) {

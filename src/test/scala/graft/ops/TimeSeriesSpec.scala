@@ -261,4 +261,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     // previous PRESENT period (jan 2), not the absent jan 3
     assert(out("2024-01-04") == ((1L, 15.0, Some(30.0), Some(-0.5))))
   }
+
+  test("anchoredThrottle: re-admits per gap window since last KEPT (vs chained throttle)") {
+    // events at t=0, 20, 40, 60 min with 30-min gap:
+    // anchored keeps 0, 40 (20 is <30 after 0; 40 is >=30 after 0;
+    // 60 is <30 after 40) — chained throttle would keep only 0
+    def ev(min: Int, id: Long) =
+      (1L, new java.sql.Timestamp(min * 60000L), id)
+    val df = Seq(ev(0, 1L), ev(20, 2L), ev(40, 3L), ev(60, 4L))
+      .toDF("k", "ts", "id")
+    val kept = TimeSeries.anchoredThrottle(df, Seq("k"), "ts", "id",
+      minGapMicros = 1800000000L).collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 3L))
+    val chained = TimeSeries.throttle(df, Seq("k"), "ts", "id",
+      gapMicros = 1800000000L).collect().map(_.getLong(2)).toSet
+    assert(chained == Set(1L)) // every event within 30min of its PREDECESSOR
+  }
 }

@@ -108,4 +108,15 @@ class StatsSpec extends AnyFunSuite {
         r.getLong(2))).toSet
     assert(out == Set((Some("z2"), "f", 1L), (None, "f", 1L)))
   }
+
+  test("skewReport: exact counts, hottest key, uniform baseline 1.0") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val r = Quality.skewReport(df, Seq("k")).collect()(0)
+    assert(r.getString(0) == "k" && r.getLong(1) == 9L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 6L && r.getString(4) == "hot")
+    assert(math.abs(r.getDouble(5) - 6.0 / (9.0 / 4.0)) < 1e-15)
+    val uniform = Quality.skewReport(Seq("x", "y", "z").toDF("k"), Seq("k"))
+      .collect()(0)
+    assert(uniform.getDouble(5) == 1.0)
+  }
 }
