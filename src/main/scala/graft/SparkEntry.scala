@@ -2693,6 +2693,38 @@ object SparkEntry {
       Quality.skewReport(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
+    // ---- A/B reporting: conversion rates with Wilson-score CIs ----
+    "q194_conversion_ci" -> ((s, dir) =>
+      Quality.conversionRates(t(s, dir, "events"), Seq("event_type"),
+        col("value") > 500)),
+
+    // ---- product analytics: step-to-step funnel conversion rates
+    //      (composes the q127 funnel) ----
+    "q195_funnel_rates" -> ((s, dir) => {
+      val f = graft.ops.TimeSeries.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      val agg = f.agg(count(lit(1)).as("__c0"),
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("__c2"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("__c3"))
+      agg.select(explode(array(
+          struct(lit(1).as("step"), col("__c1").as("n_reached"),
+            col("__c0").as("n_prev")),
+          struct(lit(2).as("step"), col("__c2").as("n_reached"),
+            col("__c1").as("n_prev")),
+          struct(lit(3).as("step"), col("__c3").as("n_reached"),
+            col("__c2").as("n_prev")))).as("__s"))
+        .select(col("__s.*"))
+        .withColumn("rate",
+          when(col("n_prev") > 0,
+            col("n_reached").cast("double") / col("n_prev").cast("double")))
+    }),
+
+    // ---- analytics: dense equal-width histogram per event type ----
+    "q196_histogram" -> ((s, dir) =>
+      GroupBy.histogram(t(s, dir, "events"), Seq("event_type"),
+        "value", bins = 20)),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5303,6 +5335,71 @@ object SparkEntry {
         |UNION ALL
         |${block("l_suppkey")}""".stripMargin
     },
+
+    // Wilson bounds replayed with the identical pinned op sequence;
+    // z ships as a quoted-string literal (the q157 strtod rule)
+    "q194_conversion_ci" -> {
+      val z = "CAST('1.96' AS DOUBLE)"
+      val nD = "CAST(n_trials AS DOUBLE)"
+      val pD = s"CAST(n_success AS DOUBLE) / $nD"
+      val denom = s"(1.0 + $z * $z / $nD)"
+      val center = s"(($pD + $z * $z / (2.0 * $nD)) / $denom)"
+      val half = s"($z * sqrt(($pD) * (1.0 - ($pD)) / $nD + $z * $z / (4.0 * $nD * $nD)) / $denom)"
+      s"""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_trials,
+        |    CAST(sum(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_trials, n_success,
+        |  $pD AS rate,
+        |  greatest(0.0, $center - $half) AS ci_low,
+        |  least(1.0, $center + $half) AS ci_high
+        |FROM a""".stripMargin
+    },
+
+    // the q127 funnel folded to stage counts, then three ratio rows
+    "q195_funnel_rates" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w1 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END AS q0 FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |         min(q0) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |         THEN ts END AS q1 FROM w1),
+        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |         min(q1) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |         THEN ts END AS q2 FROM w2),
+        |f AS (SELECT user_id,
+        |  CASE WHEN min(q2) IS NOT NULL THEN 3 WHEN min(q1) IS NOT NULL THEN 2
+        |       WHEN min(q0) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM w3 GROUP BY user_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        |  FROM f)
+        |SELECT 1 AS step, c1 AS n_reached, c0 AS n_prev,
+        |  CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) END AS rate FROM a
+        |UNION ALL
+        |SELECT 2, c2, c1,
+        |  CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) END FROM a
+        |UNION ALL
+        |SELECT 3, c3, c2,
+        |  CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE) END FROM a""".stripMargin,
+
+    // identical bucket expression; dense axis zero-fills
+    "q196_histogram" ->
+      """WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |sp AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+        |c AS (SELECT b.event_type,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE least(CAST(19 AS BIGINT),
+        |           CAST(floor((v - lo) * 20 / (hi - lo)) AS BIGINT)) END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM b JOIN sp USING (event_type) GROUP BY 1, 2),
+        |ax AS (SELECT event_type, unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST(19 AS BIGINT))) AS bucket FROM sp)
+        |SELECT ax.event_type, ax.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM ax LEFT JOIN c ON c.event_type = ax.event_type
+        |  AND c.bucket = ax.bucket""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

@@ -333,6 +333,44 @@ object GroupBy {
   }
 
   /**
+   * Equal-width histogram per group: `bins` buckets over the group's
+   * own observed [min, max], exact integer counts — the
+   * distribution-shape companion to [[binByQuantiles]] (equal
+   * POPULATION) and the visual layer under
+   * [[graft.quality.Quality.ksDriftBinned]]. Bucket rule pinned:
+   * `least(bins−1, floor((v − lo)·bins/(hi − lo)))` (max value folds
+   * into the last bucket; degenerate all-equal groups land in bucket
+   * 0). Empty buckets are emitted with 0 so the histogram is dense.
+   *
+   * Two key shuffles on tiny relations (span, counts); the bucket
+   * label is a pure projection.
+   */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val base = df.filter(col(valueCol).isNotNull)
+    val span = base.groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol).cast("double")).as("__lo"),
+        max(col(valueCol).cast("double")).as("__hi"))
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(span))
+      else base.join(span, groupCols)
+    val bucket = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit(bins - 1).cast("long"),
+        floor((col(valueCol).cast("double") - col("__lo")) * bins /
+          (col("__hi") - col("__lo")))))
+    val counts = joined
+      .withColumn("bucket", bucket)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+    // densify: every (group, bucket) pair, zero-filled
+    val axis = span.select(groupCols.map(col) :+
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bucket"): _*)
+    axis.join(counts, groupCols :+ "bucket", "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /**
    * 2-D skyline (Pareto front): label every row `is_skyline` = no
    * other row is at least as good on BOTH axes and strictly better on
    * one — minimize `minCol`, maximize `maxCol` (cheapest-and-biggest;

@@ -387,6 +387,39 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Conversion rates with Wilson-score confidence intervals per
+   * segment: `successes / trials` plus the interval that stays inside
+   * [0, 1] and behaves at small n (the A/B-dashboard standard;
+   * a normal-approximation interval goes negative exactly where
+   * decisions are hardest). `z` defaults to 1.96 (95%).
+   *
+   * Pinned arithmetic: `p̂ = s/n`, `center = (p̂ + z²/2n) / (1 + z²/n)`,
+   * `half = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)` — every operand a
+   * fixed-order IEEE op over exact integers, so the bounds
+   * hash-verify cross-engine. One aggregation pass.
+   */
+  def conversionRates(df: DataFrame, groupCols: Seq[String],
+                      successCond: Column, z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "conversionRates needs group columns")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(successCond, 1L).otherwise(0L)).as("n_success"))
+    val n = col("n_trials").cast("double")
+    val p = col("n_success").cast("double") / n
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    agg
+      .withColumn("rate", p)
+      // Wilson bounds live in [0,1] mathematically; the clamp removes
+      // the float fuzz (0/n computes center−half ≈ −3e-17)
+      .withColumn("ci_low", greatest(lit(0.0), center - half))
+      .withColumn("ci_high", least(lit(1.0), center + half))
+  }
+
   /** One foreign-key relationship for [[referentialIntegrity]]. */
   final case class FkSpec(name: String, childCols: Seq[String],
                           parent: DataFrame, parentCols: Seq[String]) {

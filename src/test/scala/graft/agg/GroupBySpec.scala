@@ -265,4 +265,18 @@ class GroupBySpec extends AnyFunSuite {
       Seq(0.1), out = "v").collect()(0).getDouble(1)
     assert(b == 10.0)
   }
+
+  test("histogram: dense equal-width buckets, max folds into last, degenerate group") {
+    val df = Seq(("a", 0.0), ("a", 5.0), ("a", 9.9), ("a", 10.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val out = GroupBy.histogram(df, Seq("g"), "v", bins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: span [0,10], width 2.5: 0.0->b0, 5.0->b2, 9.9->b3, 10.0->b3
+    assert(out(("a", 0L)) == 1L && out(("a", 1L)) == 0L)
+    assert(out(("a", 2L)) == 1L && out(("a", 3L)) == 2L)
+    // b: degenerate span -> everything bucket 0, rest zero-filled
+    assert(out(("b", 0L)) == 2L && out(("b", 1L)) == 0L &&
+      out(("b", 3L)) == 0L)
+    assert(out.size == 8)
+  }
 }

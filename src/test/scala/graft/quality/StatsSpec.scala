@@ -119,4 +119,19 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0)
     assert(uniform.getDouble(5) == 1.0)
   }
+
+  test("conversionRates: Wilson interval stays inside [0,1], matches hand calc") {
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(9)(("a", 1)) ++ Seq(("a", 0)) ++
+      Seq.fill(10)(("b", 0))).toDF("g", "s")
+    val out = Quality.conversionRates(df, Seq("g"), col("s") === 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (rate, lo, hi) = out("a")
+    assert(rate == 0.9)
+    // Wilson 95% for 9/10: ~[0.596, 0.982]
+    assert(lo > 0.59 && lo < 0.60 && hi > 0.98 && hi < 0.99)
+    val (r0, lo0, hi0) = out("b")
+    assert(r0 == 0.0 && lo0 == 0.0 && hi0 > 0.0 && hi0 < 0.35)
+  }
 }
