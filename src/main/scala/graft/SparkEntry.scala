@@ -2725,6 +2725,66 @@ object SparkEntry {
       GroupBy.histogram(t(s, dir, "events"), Seq("event_type"),
         "value", bins = 20)),
 
+    // ---- growth analytics: cohort LTV curve — cumulative value per
+    //      signup cohort by month-age (exact decimal sums) ----
+    "q197_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+      // hour grain: the synthetic feed spans days, not years
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("hour", col("ts"))).as("cohort"))
+      val aged = ev.join(first, Seq("user_id"))
+        .withColumn("age",
+          ((unix_timestamp(date_trunc("hour", col("ts"))) -
+            unix_timestamp(col("cohort"))) / 3600).cast("long"))
+        .groupBy(col("cohort"), col("age"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("__v"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      aged
+        .withColumn("value", col("__v").cast("double"))
+        .withColumn("cum_value", sum(col("__v")).over(w).cast("double"))
+        .drop("__v")
+    }),
+
+    // ---- curation: per-doc 5-gram novelty rate (fraction of gram
+    //      occurrences whose gram appears in NO other doc) ----
+    "q198_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TA.ngramsOf(coalesce(col("text"), lit("")), 5)).as("gram"))
+      val df = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("__df"))
+      grams.join(df, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
+    }),
+
+    // ---- engagement: longest consecutive-day streak per user ----
+    "q199_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("__grp",
+          datediff(col("day"), to_date(lit("1970-01-01"))) -
+            row_number().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("__len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+    }),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5400,6 +5460,52 @@ object SparkEntry {
         |SELECT ax.event_type, ax.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM ax LEFT JOIN c ON c.event_type = ax.event_type
         |  AND c.bucket = ax.bucket""".stripMargin,
+
+    "q197_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS m,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |f AS (SELECT user_id, min(m) AS cohort FROM ev GROUP BY 1),
+        |a AS (SELECT cohort,
+        |    (epoch_ms(m) // 1000 - epoch_ms(cohort) // 1000) // 3600 AS age,
+        |    CAST(count(*) AS BIGINT) AS n_events, sum(v) AS sv
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort, age, n_events, CAST(sv AS DOUBLE) AS value,
+        |  CAST(sum(sv) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        |FROM a""".stripMargin,
+
+    // gram occurrences whose gram has corpus df = 1
+    "q198_novelty" ->
+      """WITH arr AS (SELECT doc_id, list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |    || w[i+3] || ' ' || w[i+4] AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM arr WHERE len(w) >= 5)),
+        |df AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+        |       FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN df USING (gram) GROUP BY doc_id""".stripMargin,
+
+    // gaps-and-islands: day − row_number is constant within a streak
+    "q199_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id, day,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |       FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM st GROUP BY 1""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders

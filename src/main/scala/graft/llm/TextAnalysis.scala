@@ -42,6 +42,15 @@ object TextAnalysis {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Public space-joined word n-grams of a text column (empty tokens
+   *  filtered, texts shorter than n grams → empty array) — the same
+   *  gram definition [[ngramJoin]] gives the dedup family. */
+  def ngramsOf(text: Column, n: Int): Column = {
+    val w = filter(tokens(text), t => t =!= "")
+    when(size(w) >= n, ngramJoin(w, n))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single
    *  non-alphanumeric marks — a cheap codegen'd PROXY for subword
    *  tokenizers (stays a pure Column expression, oracle-replayable).
