@@ -2785,6 +2785,28 @@ object SparkEntry {
           count(lit(1)).as("n_streaks"))
     }),
 
+    // ---- capstone: per-source dataset card — the numbers a corpus
+    //      release ships with, in one pass each ----
+    "q200_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .withColumn("__fp", TA.fingerprint(coalesce(col("text"), lit(""))))
+        .withColumn("__tok", TA.tokenCount(coalesce(col("text"), lit(""))))
+      val basics = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          countDistinct(col("__fp")).as("__uniq"))
+        .withColumn("dup_fraction",
+          (col("n_docs") - col("__uniq")).cast("double") /
+            col("n_docs").cast("double"))
+      val med = GroupBy.percentilesDisc(docs, Seq("source"), "n_chars",
+          Seq(0.5), out = "median_chars")
+        .select(col("source"), col("median_chars"))
+      basics.join(med, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("median_chars"), col("dup_fraction"))
+    }),
+
     // ---- completeness audit: missing id ranges in the order-key
     //      sequence (gaps-and-islands over distinct present values) ----
     "q175_gaps" -> ((s, dir) =>
@@ -5506,6 +5528,29 @@ object SparkEntry {
         |SELECT user_id, max(len) AS longest_streak,
         |  CAST(count(*) AS BIGINT) AS n_streaks
         |FROM st GROUP BY 1""".stripMargin,
+
+    // fingerprint = md5 of the raw text (the q21 exact-dedup key),
+    // tokens = whitespace split, median = the q66 disc rule
+    "q200_dataset_card" ->
+      """WITH d AS (SELECT source, coalesce(text, '') AS t, n_chars
+        |  FROM documents WHERE source IS NOT NULL),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(t, '\s+'),
+        |      x -> x <> ''))
+        |      + CASE WHEN t = '' OR regexp_matches(t, '^\s')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT md5(t)) AS BIGINT) AS uniq
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d WHERE n_chars IS NOT NULL),
+        |m AS (SELECT source, min(CASE WHEN rn =
+        |    CAST(ceil(CAST(0.5 AS DECIMAL(18,12)) * n) AS INT)
+        |    THEN n_chars END) AS median_chars FROM r GROUP BY 1)
+        |SELECT b.source, n_docs, n_tokens, median_chars,
+        |  CAST(n_docs - uniq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_fraction
+        |FROM b JOIN m USING (source)""".stripMargin,
 
     "q175_gaps" ->
       """WITH d AS (SELECT DISTINCT o_orderkey AS v FROM orders
