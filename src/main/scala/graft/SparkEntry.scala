@@ -2889,7 +2889,7 @@ object SparkEntry {
     val cases = th.toSeq.sorted
       .map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
     s"""SELECT doc_id, text, lang, source, n_chars,
-       |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
        |FROM documents
        |WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'mix1'),1,8))::BIGINT % 10000
        |  < CASE lang $cases ELSE NULL END""".stripMargin
@@ -3462,18 +3462,25 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""".stripMargin,
 
+    // w = NON-EMPTY tokens (list_filter), matching cleanTokens; the
+    // zero-token guards (CASE len(w) = 0) mirror the Spark-side 0.0
+    // fallbacks for empty/whitespace-only documents
     "q22_text_metrics" ->
-      """WITH t AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS w FROM documents)
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS w
+        |  FROM documents)
         |SELECT doc_id,
         | CAST(len(w) AS BIGINT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
         | CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-        | CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_len,
+        | CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |   CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS mean_len,
         | CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-        | CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        | CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |   CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS stop_ratio,
         | 0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
         |   + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
-        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS quality,
+        |   + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END) AS quality,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, x -> ('0x'||substr(md5(x),1,8))::BIGINT)), (acc,h) -> (acc*31+h)%1000000007) AS fp
         |FROM t""".stripMargin,
 
@@ -3546,11 +3553,14 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 3""".stripMargin,
 
     "q48_shard_packing" ->
-      """SELECT doc_id, lang, CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens,
-        | CAST(floor((sum(CAST(len(string_split_regex(text,'\s+')) AS BIGINT))
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        | CAST(floor((sum(n_tokens)
         |   OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |   - CAST(len(string_split_regex(text,'\s+')) AS BIGINT)) / 1000.0) AS BIGINT) AS shard
-        |FROM documents""".stripMargin,
+        |   - n_tokens) / 1000.0) AS BIGINT) AS shard
+        |FROM t""".stripMargin,
 
     // same shard rule as q48, then ordered string_agg per shard;
     // sums cast to BIGINT (DuckDB sums integers into HUGEINT).
@@ -3560,7 +3570,7 @@ object SparkEntry {
     // oracle must encode the same contract, not rely on the invariant
     "q96_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang, text,
-        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |s AS (SELECT *, CAST(floor((sum(n_tokens)
         |  OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
@@ -3746,12 +3756,12 @@ object SparkEntry {
     // set exactly (same score expression as q62's oracle)
     "q78_quality_topfrac" ->
       """WITH t AS (SELECT doc_id, lang, source, text,
-        |    string_split_regex(text,'\s+') AS w FROM documents),
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS w FROM documents),
         |q AS (SELECT doc_id, lang, source,
         |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
         |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        |   + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END) AS q
         |  FROM t),
         |nn AS (SELECT * FROM q WHERE q IS NOT NULL),
         |lim AS (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT) AS n FROM nn)
@@ -3762,12 +3772,12 @@ object SparkEntry {
     // rank (DESC NULLS LAST matches Spark's desc_nulls_last)
     "q98_dedup_best" ->
       """WITH t AS (SELECT doc_id, lang, source, text,
-        |    string_split_regex(text,'\s+') AS w FROM documents),
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS w FROM documents),
         |q AS (SELECT doc_id, lang, source, text,
         |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
         |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        |   + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END) AS q
         |  FROM t)
         |SELECT doc_id, lang, source FROM q
         |QUALIFY row_number() OVER (PARTITION BY lang, source
@@ -3777,12 +3787,12 @@ object SparkEntry {
     // per-language rank against the per-language ceil(0.4*count)
     "q79_quality_topfrac_perkey" ->
       """WITH t AS (SELECT doc_id, lang, source, text,
-        |    string_split_regex(text,'\s+') AS w FROM documents),
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS w FROM documents),
         |q AS (SELECT doc_id, lang, source,
         |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
         |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        |   + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END) AS q
         |  FROM t)
         |SELECT doc_id, lang, source FROM q WHERE q IS NOT NULL
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
@@ -4120,12 +4130,12 @@ object SparkEntry {
       """WITH nrm AS (SELECT doc_id,
         |   lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text,
         |   lang, source FROM documents),
-        |t AS (SELECT *, string_split_regex(text,'\s+') AS w FROM nrm),
+        |t AS (SELECT *, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS w FROM nrm),
         |q AS (SELECT *,
         |   0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
         |   + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-        |   + 0.3 * (CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS quality,
+        |   + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END) AS quality,
         |   list_distinct(w) AS dw FROM t),
         |h AS (SELECT *,
         |  len(list_intersect(dw, ['the','and','of','to','in','is','that','it','with','for'])) AS en_hits,
@@ -5529,17 +5539,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_streaks
         |FROM st GROUP BY 1""".stripMargin,
 
-    // fingerprint = md5 of the raw text (the q21 exact-dedup key),
-    // tokens = whitespace split, median = the q66 disc rule
+    // fingerprint = the q22 rolling-hash formula over NON-EMPTY tokens
+    // (exact replay of TextAnalysis.fingerprint, not an md5-of-raw-text
+    // proxy — whitespace-variant duplicates must collapse identically),
+    // tokens = non-empty whitespace split, median = the q66 disc rule
     "q200_dataset_card" ->
-      """WITH d AS (SELECT source, coalesce(text, '') AS t, n_chars
+      """WITH d AS (SELECT source,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS w, n_chars
         |  FROM documents WHERE source IS NOT NULL),
         |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(list_filter(string_split_regex(t, '\s+'),
-        |      x -> x <> ''))
-        |      + CASE WHEN t = '' OR regexp_matches(t, '^\s')
-        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
-        |    CAST(count(DISTINCT md5(t)) AS BIGINT) AS uniq
+        |    CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(w, x -> ('0x'||substr(md5(x),1,8))::BIGINT)),
+        |      (acc,h) -> (acc*31+h)%1000000007)) AS BIGINT) AS uniq
         |  FROM d GROUP BY 1),
         |r AS (SELECT source, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

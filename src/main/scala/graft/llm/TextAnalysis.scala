@@ -20,8 +20,18 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokenization. */
+  /** Whitespace tokenization. RAW split: leading whitespace and empty
+   *  text produce empty-string artifact tokens (`split`'s contract) —
+   *  the counting/statistics family below works over [[cleanTokens]]
+   *  instead, so those artifacts never reach a metric. */
   def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Non-empty whitespace tokens — the split artifacts (empty text,
+   *  leading/trailing whitespace) filtered out, matching the gram
+   *  builders ([[ngramsOf]], inverted index, vocab coverage). Every
+   *  token STATISTIC in this module counts these, so an empty document
+   *  has 0 tokens, not 1. */
+  def cleanTokens(text: Column): Column = filter(tokens(text), t => t =!= "")
 
   /** Space-joined n-gram strings of a token array — the ONE shared
    *  gram builder behind [[repetitionRatio]] and
@@ -39,14 +49,15 @@ object TextAnalysis {
     }
   }
 
-  /** Token count (whitespace). */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Token count: NON-EMPTY whitespace tokens (empty text → 0; a
+   *  leading/trailing-whitespace run adds nothing). */
+  def tokenCount(text: Column): Column = size(cleanTokens(text)).cast("long")
 
   /** Public space-joined word n-grams of a text column (empty tokens
    *  filtered, texts shorter than n grams → empty array) — the same
    *  gram definition [[ngramJoin]] gives the dedup family. */
   def ngramsOf(text: Column, n: Int): Column = {
-    val w = filter(tokens(text), t => t =!= "")
+    val w = cleanTokens(text)
     when(size(w) >= n, ngramJoin(w, n))
       .otherwise(array().cast("array<string>"))
   }
@@ -119,15 +130,18 @@ object TextAnalysis {
     graft.functions.Bpe.trainFromFreqs(freqs, numMerges)
   }
 
-  /** Distinct-token count. */
+  /** Distinct NON-EMPTY token count (empty text → 0). */
   def uniqueTokenCount(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("long")
+    size(array_distinct(cleanTokens(text))).cast("long")
 
-  /** Mean token length: exact integer sum / count (one IEEE division). */
+  /** Mean token length over NON-EMPTY tokens: exact integer sum /
+   *  count (one IEEE division); 0.0 when there are no tokens (not
+   *  0/0 — empty documents are routine in training corpora). */
   def meanTokenLength(text: Column): Column = {
-    val ts = tokens(text)
-    aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      size(ts).cast("double")
+    val ts = cleanTokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts).cast("double"))
   }
 
   /** Punctuation ratio: non-alphanumeric-non-space chars / all chars.
@@ -138,11 +152,13 @@ object TextAnalysis {
       length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
         length(text).cast("double"))
 
-  /** Fraction of tokens found in `stopwords`. */
+  /** Fraction of NON-EMPTY tokens found in `stopwords` (0.0 when
+   *  there are no tokens). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val ts = tokens(text)
-    size(filter(ts, t => t.isin(stopwords: _*))).cast("double") /
-      size(ts).cast("double")
+    val ts = cleanTokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.isin(stopwords: _*))).cast("double") /
+        size(ts).cast("double"))
   }
 
   /** Default English stopword set for quality scoring. */
@@ -213,7 +229,7 @@ object TextAnalysis {
    * rolling-hash analogue for near-identical-prefix detection.
    */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+    aggregate(cleanTokens(text), lit(0L),
       (acc, t) => (acc * 31L + md5i(t)) % 1000000007L)
 
   /** Strip HTML markup from crawled text — the first cleaning pass of

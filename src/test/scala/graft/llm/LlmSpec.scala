@@ -324,6 +324,24 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("fp") == fp2)
   }
 
+  test("token stats ignore whitespace split artifacts (empty/leading/trailing)") {
+    // split() artifacts: "" → [""], leading/trailing runs add empty
+    // tokens. The statistics family must count REAL tokens only, and
+    // whitespace-variant texts must share one fingerprint.
+    val df = Seq("", "   ", "a b", " a b", "a b ", "\ta  b\n").toDF("text")
+    val rows = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.uniqueTokenCount(col("text")).as("u"),
+      TextAnalysis.meanTokenLength(col("text")).as("m"),
+      TextAnalysis.stopwordRatio(col("text"), Seq("a")).as("s"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(0L, 0L, 2L, 2L, 2L, 2L))
+    assert(rows.map(_.getAs[Long]("u")).toSeq == Seq(0L, 0L, 2L, 2L, 2L, 2L))
+    assert(rows.map(_.getAs[Double]("m")).toSeq == Seq(0.0, 0.0, 1.0, 1.0, 1.0, 1.0))
+    assert(rows.map(_.getAs[Double]("s")).toSeq == Seq(0.0, 0.0, 0.5, 0.5, 0.5, 0.5))
+    assert(rows.drop(2).map(_.getAs[Long]("fp")).distinct.length == 1)
+  }
+
   test("text cleaning: normalize, PII redaction, repetition ratio") {
     val r = Seq("  Mail me\tat Bob.Smith+x@corp.example.COM  or call +1 (555) 123-4567 NOW  ")
       .toDF("text")
