@@ -2751,20 +2751,10 @@ object SparkEntry {
     }),
 
     // ---- curation: per-doc 5-gram novelty rate (fraction of gram
-    //      occurrences whose gram appears in NO other doc) ----
-    "q198_novelty" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TA.ngramsOf(coalesce(col("text"), lit("")), 5)).as("gram"))
-      val df = grams.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("__df"))
-      grams.join(df, Seq("gram"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
-        .withColumn("novelty",
-          col("n_novel").cast("double") / col("n_grams").cast("double"))
-    }),
+    //      occurrences whose gram appears in NO other doc); hashed
+    //      grams, one corpus scan, one occurrence exchange ----
+    "q198_novelty" -> ((s, dir) =>
+      TA.noveltyRate(t(s, dir, "documents"), "doc_id", "text", n = 5)),
 
     // ---- engagement: longest consecutive-day streak per user ----
     "q199_streaks" -> ((s, dir) => {

@@ -1047,6 +1047,48 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document n-gram novelty rate: the fraction of a document's
+   * word-n-gram OCCURRENCES whose gram appears in no other document
+   * (corpus df = 1). High novelty → fresh content; near-zero novelty
+   * → the document is assembled from corpus-common phrasing
+   * (boilerplate, template spam, near-dup shards). Returns
+   * (`idCol`, n_grams, n_novel, novelty); documents with fewer than
+   * `n` tokens produce no row (they have no grams to judge).
+   *
+   * Scale posture — ONE corpus pass, one occurrence exchange:
+   *  - grams are hashed to 64 bits immediately (xxhash64, the
+   *    decontamination-family recipe: the gram identity never reaches
+   *    the output, so only the hash ever shuffles — 8-byte keys, not
+   *    raw n-word strings);
+   *  - the occurrence stream is hash-partitioned by gram ONCE;
+   *    the (gram, doc) occurrence counts AND the per-gram document
+   *    frequency (a count over `Window.partitionBy(gram)`) both
+   *    evaluate on that same partitioning — no second corpus
+   *    exchange, no join back, and nothing corpus-sized is ever
+   *    broadcast (the naive grams⋈df self-join double-scans the
+   *    corpus and lets AQE broadcast the full exploded occurrence
+   *    relation — the exact shape this operator exists to avoid);
+   *  - the final doc-keyed aggregate ships map-side partials.
+   */
+  def noveltyRate(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5): DataFrame = {
+    val occ = df
+      .select(col(idCol),
+        explode(ngramsOf(coalesce(col(textCol), lit("")), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .repartition(col("__gh"))
+      .groupBy(col("__gh"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    occ
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__gh"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_grams"),
+        sum(when(col("__df") === 1, col("__occ")).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /**
    * Character-trigram language-model fluency score — the CCNet-style
    * "perplexity filter" shape, self-trained: fit an add-one-smoothed
    * char-trigram model on the corpus itself, then score every doc by

@@ -242,6 +242,25 @@ class PlanGuardSpec extends AnyFunSuite {
       .findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q198 novelty is one corpus scan, join-free, no occurrence broadcast") {
+    // the naive grams⋈df formulation double-scans the corpus and lets
+    // AQE broadcast the full exploded gram-occurrence relation — a
+    // corpus-sized broadcast at scale. noveltyRate must stay: one
+    // FileScan + one Generate, per-gram df via a window ON the single
+    // gram-hash exchange, no join of any kind.
+    val whole = finalPlan("q198_novelty")
+    assert(!whole.contains("Join"), whole.take(1500))
+    assert(!whole.contains("BroadcastExchange"), whole.take(1500))
+    // exact shape counts on the FINAL section only (toString appends
+    // the pre-AQE Initial Plan, which would double every count)
+    val p = whole.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(1500))
+    // exactly the two load-bearing exchanges: gram-hash, then doc key
+    assert("Exchange hashpartitioning\\(__gh".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("q108 exact-k sample plans as TakeOrderedAndProject, no global sort") {
     // final-plan section only — the AQE string repeats stale subtrees
     // under "== Initial Plan ==" (same pitfall as the q55/q109 guard)

@@ -324,6 +324,27 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("fp") == fp2)
   }
 
+  test("noveltyRate: hand-derived df=1 fractions, short docs emit no row") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),       // grams: abcde, bcdef
+      (2L, "a b c d e"),         // gram:  abcde  (shared with doc 1)
+      (3L, "x y z w v"),         // gram:  xyzwv  (unique)
+      (4L, "too short")          // < 5 tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyRate(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5)))  // bcdef novel, abcde shared
+    assert(out(2L) == ((1L, 0L, 0.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    // repeated gram within ONE doc still has df=1: every occurrence novel
+    val rep = Seq((1L, "p q r s t p q r s t p q r s t")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.noveltyRate(rep, "doc_id", "text", n = 5)
+      .collect()(0)
+    assert(r1.getLong(1) == 11L && r1.getLong(2) == 11L)
+  }
+
   test("token stats ignore whitespace split artifacts (empty/leading/trailing)") {
     // split() artifacts: "" → [""], leading/trailing runs add empty
     // tokens. The statistics family must count REAL tokens only, and
