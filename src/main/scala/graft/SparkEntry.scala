@@ -2732,16 +2732,27 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("value").isNotNull)
-      // hour grain: the synthetic feed spans days, not years
-      val first = ev.groupBy(col("user_id"))
-        .agg(min(date_trunc("hour", col("ts"))).as("cohort"))
-      val aged = ev.join(first, Seq("user_id"))
+      // hour grain: the synthetic feed spans days, not years.
+      // ONE corpus scan: pre-aggregate to (user, hour) with map-side
+      // partials, take each user's first hour with a window MIN on
+      // that aggregate, then roll up to (cohort, age). The agg-and-
+      // join-back shape reads events twice and makes the per-USER
+      // first-touch relation a join build side — AQE broadcasts it at
+      // bench scale, and per-user cardinality is never broadcastable
+      // at 100 TB. Every post-scan relation here is aggregate-sized.
+      val hourly = ev
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("__h"),
+          col("value").cast("decimal(18,2)").as("__v"))
+        .groupBy(col("user_id"), col("__h"))
+        .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__hv"))
+      val aged = hourly
+        .withColumn("cohort",
+          min(col("__h")).over(Window.partitionBy(col("user_id"))))
         .withColumn("age",
-          ((unix_timestamp(date_trunc("hour", col("ts"))) -
+          ((unix_timestamp(col("__h")) -
             unix_timestamp(col("cohort"))) / 3600).cast("long"))
         .groupBy(col("cohort"), col("age"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("__v"))
+        .agg(sum(col("__n")).as("n_events"), sum(col("__hv")).as("__v"))
       val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       aged

@@ -349,9 +349,17 @@ object GroupBy {
                 bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val base = df.filter(col(valueCol).isNotNull)
+    // Materialize the per-group span ONCE (it is aggregate-sized: one
+    // row per group). It feeds two consumers — the bucket-assignment
+    // join and the dense axis — and without the checkpoint Catalyst
+    // re-derives the subtree per consumer, i.e. re-SCANS the corpus a
+    // second and third time (a full extra column scan at 100 TB each).
+    // With it: two corpus scans total, the two-pass minimum for an
+    // equal-width histogram (one for the span, one for the counts).
     val span = base.groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol).cast("double")).as("__lo"),
         max(col(valueCol).cast("double")).as("__hi"))
+      .localCheckpoint()
     val joined =
       if (groupCols.isEmpty) base.crossJoin(broadcast(span))
       else base.join(span, groupCols)

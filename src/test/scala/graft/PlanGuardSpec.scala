@@ -242,6 +242,31 @@ class PlanGuardSpec extends AnyFunSuite {
       .findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q197 cohort LTV is one corpus scan, join-free (no per-user broadcast)") {
+    // the agg-and-join-back shape scans events twice and builds a
+    // hash relation out of the per-USER first-touch table — broadcast
+    // at bench scale, never broadcastable at 100 TB. The two-level
+    // aggregate must keep: one scan, window-min on the (user, hour)
+    // aggregate, no join of any kind.
+    val whole = finalPlan("q197_cohort_ltv")
+    assert(!whole.contains("Join"), whole.take(1500))
+    assert(!whole.contains("BroadcastExchange"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q196 histogram materializes the span once: no third corpus scan") {
+    // span feeds both the bucket join and the dense axis; without the
+    // checkpoint Catalyst re-derives it per consumer and the corpus is
+    // scanned three times. Final job: ONE FileScan (counts pass) plus
+    // ExistingRDD reads of the materialized aggregate-sized span.
+    val whole = finalPlan("q196_histogram")
+    val p = whole.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q198 novelty is one corpus scan, join-free, no occurrence broadcast") {
     // the naive grams⋈df formulation double-scans the corpus and lets
     // AQE broadcast the full exploded gram-occurrence relation — a
