@@ -73,14 +73,30 @@ object Graph {
    * nothing quadratic in the vertex count.
    */
   def triangleCounts(edges: DataFrame, srcCol: String = "u",
-                     dstCol: String = "v"): DataFrame = {
-    val und = edges
+                     dstCol: String = "v"): DataFrame =
+    triangleCountsImpl(edges, srcCol, dstCol,
+      checkpointUnd = true, checkpointOriented = false)
+
+  /** [[triangleCounts]] with the two materialization points exposed
+   *  for measurement (PLANS.md round 10, all four combinations at
+   *  sf0.01 and sf0.1): materializing `und` pays — it feeds the degree
+   *  count AND both sides of the orientation joins, and its lineage
+   *  includes the caller's whole edge derivation. Materializing
+   *  `oriented` LOSES ~1 s at both SFs: its three consumers (the wedge
+   *  self-join's two sides + the closing join) are served by AQE
+   *  exchange reuse from one plan, and the checkpoint's RDD barrier
+   *  breaks that plan into extra jobs and blocks whole-stage codegen
+   *  across the boundary. */
+  private[graft] def triangleCountsImpl(edges: DataFrame, srcCol: String,
+      dstCol: String, checkpointUnd: Boolean,
+      checkpointOriented: Boolean): DataFrame = {
+    val und0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint(false)
+    val und = if (checkpointUnd) und0.localCheckpoint(false) else und0
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient (u, v) from the lower (degree, id) endpoint to the
@@ -88,7 +104,7 @@ object Graph {
     // be ordered the same way — the closing edge then matches with
     // ONE equi-join (an either-orientation OR-join would plan as a
     // nested loop)
-    val oriented = und
+    val oriented0 = und
       .join(deg.select(col("n").as("u"), col("d").as("__du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("__dv")), Seq("v"))
       .select(
@@ -100,7 +116,8 @@ object Graph {
           .as("__e"))
       .select(col("__e.a").as("a"), col("__e.b").as("b"),
         col("__e.rb").as("__rb"))
-      .localCheckpoint(false)
+    val oriented = if (checkpointOriented) oriented0.localCheckpoint(false)
+      else oriented0
     // wedges at hub a: out-neighbor pairs ordered by the heads' ranks,
     // so the closing edge (if it exists) is oriented exactly w1 → w2
     val wedges = oriented.as("e1").join(oriented.as("e2"),

@@ -14,19 +14,21 @@ import org.apache.spark.sql.functions._
  * equi-join on (segment index, partner length, substring); only
  * candidates pay the Levenshtein verification.
  *
- * Duplication caveat: the OUTPUT is the pair list, so a corpus where
- * thousands of rows share a handful of distinct strings pays for the
- * pairs it genuinely contains — quadratic in duplication depth
- * (measured: 5k rows over 600 distinct names → ~200k pairs, 26-31 s;
- * unique-per-row names with linear neighbor structure → seconds). In
- * that regime dedup exact duplicates FIRST (`groupBy(strCol)`,
- * carry counts), fuzzy-join the distinct strings, and re-expand —
- * same answer, block and pair mass shrink by the duplication factor
- * squared. The sibling cliff: a UNIVERSAL affix ("-doc", ".html",
- * "https://www.") that swallows a whole segment makes that segment's
- * block corpus-sized (measured 18 s vs sub-second without it at 5k
- * strings) — strip fixed formatting before joining; the edit
- * distance you want is over the distinguishing part anyway.
+ * Duplication: exact duplicates are collapsed AUTOMATICALLY — the
+ * segment machinery runs over DISTINCT strings only, then pairs
+ * re-expand to row ids (cross products of the two id groups, plus the
+ * within-group dist-0 pairs). Same answer; the segment-block and
+ * verification mass shrink by the duplication factor SQUARED
+ * (measured before the collapse: 5k rows over 600 distinct names →
+ * ~200k pairs, 26-31 s; the same pairs now cost the 600-string join
+ * plus output-mass expansion). The OUTPUT is still the pair list — a
+ * million-copy string genuinely contains ~0.5e12 dist-0 pairs; cap
+ * upstream if you don't want them. The remaining cliff: a UNIVERSAL
+ * affix ("-doc", ".html", "https://www.") that swallows a whole
+ * segment makes that segment's block corpus-sized (measured 18 s vs
+ * sub-second without it at 5k strings) — strip fixed formatting
+ * before joining; the edit distance you want is over the
+ * distinguishing part anyway.
  *
  * Pinned semantics: classic unit-cost Levenshtein (Spark's
  * `levenshtein`, identical to DuckDB/Postgres), output one row per
@@ -55,10 +57,42 @@ object Fuzzy {
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
                maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val strs = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__mid"), col(strCol).as("__ms"))
+      .localCheckpoint(false)
+    // collapse exact duplicates: segments/probes/verification run over
+    // DISTINCT strings (min-id representative); pairs re-expand below
+    val distinctPairs =
+      distinctSelfJoin(strs.groupBy(col("__ms"))
+        .agg(min(col("__mid")).as("__id"))
+        .select(col("__id"), col("__ms").as("__s")), maxDist)
+    // re-expand: every (id in group(s1)) × (id in group(s2)) pair
+    // carries the distinct-pair's distance; orientation re-derived
+    // from the member ids
+    val cross = distinctPairs
+      .join(strs.select(col("__ms").as("__s1"), col("__mid").as("__ia")),
+        Seq("__s1"))
+      .join(strs.select(col("__ms").as("__s2"), col("__mid").as("__ib")),
+        Seq("__s2"))
+      .select(least(col("__ia"), col("__ib")).as("id1"),
+        greatest(col("__ia"), col("__ib")).as("id2"), col("dist"))
+    // identical strings are dist-0 pairs (the distinct-string pass
+    // can never see them): in-group cross products, id-ordered
+    val dup = strs.as("a").join(strs.as("b"),
+        col("a.__ms") === col("b.__ms") && col("a.__mid") < col("b.__mid"))
+      .select(col("a.__mid").as("id1"), col("b.__mid").as("id2"),
+        lit(0).as("dist"))
+    cross.unionByName(dup)
+  }
+
+  /** The PassJoin kernel over a relation of DISTINCT strings
+   *  (`__id`, `__s`): all unordered pairs within distance `maxDist`
+   *  (≥ 1 by construction — no two input strings are equal), as
+   *  (`__s1`, `__s2`, dist) where `__s1` is the lesser-id member. */
+  private def distinctSelfJoin(df: DataFrame, maxDist: Int): DataFrame = {
     val k = maxDist
-    val base = df.filter(col(strCol).isNotNull)
-      .select(col(idCol).as("__id"), col(strCol).as("__s"),
-        length(col(strCol)).as("__l"))
+    val base = df
+      .select(col("__id"), col("__s"), length(col("__s")).as("__l"))
       .localCheckpoint(false)
     val long = base.filter(col("__l") >= k + 1)
     val short = base.filter(col("__l") <= k)
@@ -126,6 +160,6 @@ object Fuzzy {
     longPairs.unionByName(shortPairs).distinct()
       .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
       .filter(col("dist") <= k)
-      .select(col("id1"), col("id2"), col("dist"))
+      .select(col("__s1"), col("__s2"), col("dist"))
   }
 }

@@ -55,6 +55,19 @@ class FuzzySpec extends AnyFunSuite {
       assert(run(names, k) == brute(names, k), s"mismatch at k=$k")
   }
 
+  test("selfJoin: duplicated corpus — collapse + re-expand equals brute force") {
+    // every string repeated 4x under fresh ids: the distinct-string
+    // kernel must re-expand to ALL cross pairs (carrying the distance)
+    // plus the in-group dist-0 pairs — exact parity with all-pairs
+    val seed = Seq("spark", "spork", "sparkk", "hadoop", "flink",
+      "blink", "ab", "ba", "b")
+    val names = for {
+      (s, si) <- seed.zipWithIndex; c <- 0 until 4
+    } yield (si * 100L + c) -> s
+    for (k <- Seq(1, 2))
+      assert(run(names, k) == brute(names, k), s"mismatch at k=$k")
+  }
+
   test("selfJoin: short strings (below k+1 chars) still pair completely") {
     val names = Seq(1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "abc",
       5L -> "", 6L -> "xyz")
