@@ -2816,7 +2816,55 @@ object SparkEntry {
       graft.ops.TimeSeries.gaps(
         t(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0 &&
           col("o_orderkey") % 89 =!= 3),
-        Nil, "o_orderkey"))
+        Nil, "o_orderkey")),
+
+    // ---- mining: market-basket association rules over order baskets
+    //      (support / confidence / lift on exact integer counts) ----
+    "q201_assoc_rules" -> ((s, dir) =>
+      graft.mining.Associations.rules(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairSupport = 2L, maxPerGroup = 8)),
+
+    // ---- monitoring: two-sided sliding-window level-shift score per
+    //      event stream (exact-decimal window sums, one division) ----
+    "q202_level_shift" -> ((s, dir) =>
+      graft.ops.TimeSeries.levelShift(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        Seq("event_type"), "ts", "event_id", "value", w = 50)),
+
+    // ---- graph: resource-allocation link prediction on the co-order
+    //      part graph (integer-exact Σ floor(1e12/deg) scores) ----
+    "q203_link_prediction" -> ((s, dir) =>
+      graft.graph.Graph.linkPredictionRA(
+        graft.graph.Graph.coOccurrenceEdges(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxPerGroup = 8)
+          .select(col("u"), col("v")), maxDegree = 60)),
+
+    // ---- curation: readability — Flesch-Kincaid grade from pinned
+    //      token/sentence/vowel-group counts ----
+    "q205_readability" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_words"),
+        TA.sentenceCount(col("text")).as("n_sentences"),
+        TA.syllableCount(col("text")).as("n_syllables"),
+        TA.fleschKincaidGrade(col("text")).as("fk_grade"))),
+
+    // ---- curation: hapax-legomenon rate per source (vocabulary
+    //      health: template spam → 0, OCR noise / ID dumps → 1) ----
+    "q206_hapax" -> ((s, dir) =>
+      TA.hapaxRate(t(s, dir, "documents"), Seq("source"), "text")),
+
+    // ---- finance ETL: largest-remainder pro-rata — spread each
+    //      order's total over its lines by quantity, exact to the
+    //      cent, lines summing back to the order total ----
+    "q207_prorata" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_totalprice"))
+      graft.ops.Allocate.proRata(li.join(o, Seq("l_orderkey")),
+        Seq("l_orderkey"), "l_linenumber", "l_quantity", "o_totalprice")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "allocated")
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -5573,6 +5621,123 @@ object SparkEntry {
         |g AS (SELECT v, lead(v) OVER (ORDER BY v) AS nx FROM d)
         |SELECT v AS prev_val, nx AS next_val, v + 1 AS gap_start,
         |  nx - 1 AS gap_end, nx - v - 1 AS gap_len
-        |FROM g WHERE nx IS NOT NULL AND nx - v > 1""".stripMargin
+        |FROM g WHERE nx IS NOT NULL AND nx - v > 1""".stripMargin,
+
+    // exact integer pair/item/basket counts; support/confidence/lift
+    // replay the pinned division order
+    "q201_assoc_rules" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gi AS (SELECT g, i FROM (SELECT g, i,
+        |    count(*) OVER (PARTITION BY g) AS sz FROM gi0) WHERE sz <= 8),
+        |nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM gi),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM gi GROUP BY 1),
+        |p AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS ps
+        |      FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i GROUP BY 1, 2
+        |      HAVING count(*) >= 2),
+        |r AS (SELECT a AS ante, b AS cons, ps FROM p
+        |      UNION ALL SELECT b, a, ps FROM p)
+        |SELECT r.ante AS antecedent, r.cons AS consequent, ps AS n_pair,
+        |  ia.s AS n_antecedent, ic.s AS n_consequent, nb.n AS n_baskets,
+        |  CAST(ps AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |  CAST(ps AS DOUBLE) / CAST(ia.s AS DOUBLE) AS confidence,
+        |  (CAST(ps AS DOUBLE) / CAST(ia.s AS DOUBLE))
+        |    / (CAST(ic.s AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS lift
+        |FROM r JOIN it ia ON ia.i = r.ante
+        |       JOIN it ic ON ic.i = r.cons CROSS JOIN nb""".stripMargin,
+
+    // exact-decimal window sums; the score is ONE cast + ONE division
+    "q202_level_shift" ->
+      """WITH e AS (SELECT event_type, event_id, ts, value,
+        |    CAST(value AS DECIMAL(18,2)) AS dv
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL)
+        |SELECT event_type, event_id, ts, value,
+        |  CASE WHEN count(*) OVER wb = 50 AND count(*) OVER wa = 50
+        |    THEN CAST(sum(dv) OVER wa - sum(dv) OVER wb AS DOUBLE) / 50.0
+        |  END AS shift
+        |FROM e
+        |WINDOW wb AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING),
+        |  wa AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND 50 FOLLOWING)""".stripMargin,
+
+    // integer-exact RA scores (floor division); candidates minus the
+    // known edge list
+    "q203_link_prediction" ->
+      """WITH gi0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gi AS (SELECT g, i FROM (SELECT g, i,
+        |    count(*) OVER (PARTITION BY g) AS sz FROM gi0) WHERE sz <= 8),
+        |e AS (SELECT x.i AS u, y.i AS v FROM gi x
+        |      JOIN gi y ON x.g = y.g AND x.i < y.i GROUP BY 1, 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |adj AS (SELECT a.z, a.x, deg.d FROM
+        |  (SELECT u AS z, v AS x FROM e UNION ALL SELECT v AS z, u AS x FROM e) a
+        |  JOIN deg ON deg.n = a.z WHERE deg.d <= 60),
+        |cand AS (SELECT p.x AS u, q.x AS v,
+        |    CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(1000000000000 // p.d) AS BIGINT) AS score
+        |  FROM adj p JOIN adj q ON p.z = q.z AND p.x < q.x GROUP BY 1, 2)
+        |SELECT c.u, c.v, common_neighbors, score FROM cand c
+        |LEFT JOIN e ON e.u = c.u AND e.v = c.v WHERE e.u IS NULL""".stripMargin,
+
+    // pinned counts: non-empty tokens, [.!?]+ runs (min 1), vowel-group
+    // runs (min 1/token); grade replays the exact IEEE order
+    "q205_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(w, x -> greatest(1,
+        |      len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT)
+        |      AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59 END AS fk_grade
+        |FROM c""".stripMargin,
+
+    "q206_hapax" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(coalesce(text,''),'\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hapax_rate
+        |FROM cnt GROUP BY 1""".stripMargin,
+
+    // all-integer largest remainder: floor shares + one cent to the
+    // top-(T - Σfloor) remainders, ties by line number
+    "q207_prorata" ->
+      """WITH j AS (SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS tc,
+        |    CAST(l.l_quantity AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |a AS (SELECT *, sum(w) OVER (PARTITION BY l_orderkey) AS tw FROM j),
+        |b AS (SELECT *,
+        |    CASE WHEN tw > 0 THEN (tc * w) // tw END AS base,
+        |    CASE WHEN tw > 0 THEN (tc * w) % tw END AS rem
+        |  FROM a),
+        |c AS (SELECT *,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC NULLS LAST, l_linenumber) AS rk,
+        |    tc - sum(base) OVER (PARTITION BY l_orderkey) AS leftover
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN tw > 0 THEN CAST((base +
+        |    CASE WHEN rk <= leftover THEN 1 ELSE 0 END) / 100.0
+        |    AS DECIMAL(18,2)) END AS allocated
+        |FROM c""".stripMargin
   )
 }

@@ -130,4 +130,61 @@ object Graph {
     tri.select(explode(array(col("w0"), col("w1"), col("w2"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * Link prediction by the resource-allocation index: for every
+   * non-adjacent vertex pair (u, v) with at least one common
+   * neighbor, `score = Σ_z floor(1e12 / deg(z))` over common
+   * neighbors z — RA is Adamic-Adar's stronger cousin (Zhou, Lü,
+   * Zhang 2009) with 1/deg in place of 1/log deg, which here makes
+   * the score an EXACT integer (one floor-division per neighbor,
+   * summed as longs — engine-reproducible, no float fold order to
+   * pin). Higher = more likely future/missing edge ("people you may
+   * know", co-purchase suggestion).
+   *
+   * Output: (u, v, common_neighbors, score) with u < v, existing
+   * edges anti-joined away.
+   *
+   * `maxDegree`: wedges through a hub z cost deg(z)² pairs, and a
+   * hub's contribution per pair is the SMALLEST (1/deg) — so hubs are
+   * simultaneously the whole cost and almost none of the signal. The
+   * cap drops z with deg(z) > maxDegree from the wedge fan-out
+   * (degrees themselves are computed on the FULL graph first) — the
+   * standard mitigation, same lever as [[coOccurrenceEdges]]'s
+   * basket cap.
+   *
+   * Scale posture: degrees are one vertex-keyed count; the wedge
+   * self-join keys on the capped hub; the candidate aggregation keys
+   * on the (u, v) pair; the known-edge removal is a pair-keyed
+   * LEFT ANTI join. Nothing is broadcast-sized by construction except
+   * what AQE proves small at runtime.
+   */
+  def linkPredictionRA(edges: DataFrame, srcCol: String = "u",
+                       dstCol: String = "v",
+                       maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(false) // consumers: degrees, adjacency, anti-join
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val adj = und.select(col("u").as("__z"), col("v").as("__x"))
+      .unionByName(und.select(col("v").as("__z"), col("u").as("__x")))
+      .join(deg.filter(col("d") <= maxDegree).select(col("n").as("__z"),
+        col("d").as("__dz")), Seq("__z"))
+    val cand = adj.as("p").join(adj.as("q"),
+        col("p.__z") === col("q.__z") && col("p.__x") < col("q.__x"))
+      .groupBy(col("p.__x").as("u"), col("q.__x").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        // floor(1e12 / d) as EXACT long: subtract the remainder first
+        // so the `/` (double in Spark) divides exactly-divisible longs
+        // < 2^53 — no floor-of-rounded-quotient edge
+        sum(((lit(1000000000000L) - pmod(lit(1000000000000L),
+          col("p.__dz"))) / col("p.__dz")).cast("long")).as("score"))
+    cand.join(und, Seq("u", "v"), "left_anti")
+  }
 }

@@ -1088,6 +1088,71 @@ object TextAnalysis {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Sentence count: number of terminal-punctuation runs (`[.!?]+`),
+   *  floored at 1 — headlines and fragments are one sentence, not
+   *  zero (division guard for the readability ratios). */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+
+  /** Heuristic syllable count: vowel-group runs per token
+   *  (`[aeiouyAEIOUY]+`), floored at 1 per token — the classic
+   *  readability approximation (silent-e and diphthong corrections
+   *  omitted BY DESIGN: the pinned rule is engine-reproducible, and
+   *  corpus filtering needs a stable monotone signal, not
+   *  dictionary-grade phonetics). Empty text → 0. */
+  def syllableCount(text: Column): Column =
+    aggregate(cleanTokens(text), lit(0L), (acc, t) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")))
+
+  /**
+   * Flesch-Kincaid grade level:
+   * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`, with
+   * [[tokenCount]] words, [[sentenceCount]] sentences (≥ 1), and
+   * [[syllableCount]] syllables — the standard readability gate for
+   * training-corpus curation (grade bands select for register;
+   * extreme grades flag gibberish and boilerplate). Null for texts
+   * with no tokens. Pinned IEEE order: two divisions, two
+   * multiplications, one addition, one subtraction, exactly as
+   * written — any engine replays it bit-exactly.
+   */
+  def fleschKincaidGrade(text: Column): Column = {
+    val wc = tokenCount(text).cast("double")
+    when(wc > 0.0,
+      lit(0.39) * (wc / sentenceCount(text).cast("double")) +
+        lit(11.8) * (syllableCount(text).cast("double") / wc) -
+        lit(15.59))
+  }
+
+  /**
+   * Hapax-legomenon rate per corpus slice: the fraction of each
+   * slice's VOCABULARY that occurs exactly once — the classic
+   * vocabulary-health signal (healthy natural text runs ~0.4-0.6;
+   * template spam collapses toward 0; OCR noise and ID dumps push
+   * toward 1). Returns (keys…, vocab_size, n_hapax, n_tokens,
+   * hapax_rate) per slice, over non-empty whitespace tokens.
+   *
+   * Scale posture: ONE (keys, token) exchange with map-side partial
+   * counts, then a keys-keyed rollup of the per-token counts —
+   * the same two-level shape as the TF-IDF family; nothing
+   * corpus-sized past the first exchange.
+   */
+  def hapaxRate(df: DataFrame, keys: Seq[String], textCol: String): DataFrame = {
+    require(keys.nonEmpty, "hapaxRate needs key columns")
+    val cnt = df
+      .select(keys.map(col) :+
+        explode(cleanTokens(coalesce(col(textCol), lit("")))).as("__tok"): _*)
+      .groupBy(keys.map(col) :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__c"))
+    cnt.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("__c")).as("n_tokens"))
+      .withColumn("hapax_rate",
+        col("n_hapax").cast("double") / col("vocab_size").cast("double"))
+  }
+
   /**
    * Character-trigram language-model fluency score — the CCNet-style
    * "perplexity filter" shape, self-trained: fit an add-one-smoothed

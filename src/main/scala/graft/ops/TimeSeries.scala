@@ -535,6 +535,50 @@ object TimeSeries {
         col("__e.orig").as(tsCol): _*)
   }
 
+  /**
+   * Level-shift (change-point) score per event: the difference between
+   * the mean of the NEXT `w` values and the mean of the PREVIOUS `w`
+   * values in the key's (`tsCol`, `tieCol`)-ordered series — the
+   * two-sided sliding-window detector (CUSUM's windowed cousin; a step
+   * change of height h scores ≈ h at the step and decays over w rows).
+   * Rows without a FULL window on both sides score null (a half-window
+   * mean is a boundary artifact, not evidence).
+   *
+   * Pinned arithmetic: both window sums are exact DECIMAL(18,2) sums;
+   * the score is `cast(after_sum − before_sum as double) / w` — one
+   * exact integer-grid subtraction, one IEEE division, so any engine
+   * reproduces it bit-exactly (two separate sum/w divisions would put
+   * two roundings in the way).
+   *
+   * Output: (keys…, `tieCol`, `tsCol`, `valueCol`, `shift`).
+   *
+   * Scale posture: ONE key-partitioned exchange carries the sort and
+   * both frames; per-row state is the 2w-row frame, independent of
+   * series length. Keys = entities (a device, a metric stream). For a
+   * single giant global series, range-partition the time axis and
+   * overlap by w rows instead.
+   */
+  def levelShift(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tieCol: String, valueCol: String, w: Int): DataFrame = {
+    require(keys.nonEmpty, "levelShift needs key columns")
+    require(w >= 1, s"window must be >= 1, got $w")
+    val wp = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val dec = col(valueCol).cast("decimal(18,2)")
+    val before = wp.rowsBetween(-w, -1)
+    val after = wp.rowsBetween(1, w)
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__sb", sum(dec).over(before))
+      .withColumn("__nb", count(lit(1)).over(before))
+      .withColumn("__sa", sum(dec).over(after))
+      .withColumn("__na", count(lit(1)).over(after))
+      .withColumn("shift",
+        when(col("__nb") === w && col("__na") === w,
+          (col("__sa") - col("__sb")).cast("double") / lit(w.toDouble)))
+      .select(keys.map(col) ++ Seq(col(tieCol), col(tsCol), col(valueCol),
+        col("shift")): _*)
+  }
+
   /** Whole-unit offset between two `date_trunc(unit)` buckets, as an
    *  exact long — epoch-second difference divided by the unit length
    *  for fixed-width units; month arithmetic for calendar units. */

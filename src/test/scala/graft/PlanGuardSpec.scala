@@ -286,6 +286,60 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("q201 association rules: baskets materialized once, no cartesian") {
+    val whole = finalPlan("q201_assoc_rules")
+    assert(!whole.contains("CartesianProduct"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    // the capped basket relation is checkpointed (aggregate-sized) and
+    // read back for its three consumers; re-deriving it would re-scan
+    // the corpus per consumer
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("FileScan"), p.take(1500))
+  }
+
+  test("q202 level shift: one scan, one exchange, both frames in one sort") {
+    val whole = finalPlan("q202_level_shift")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q203 link prediction: checkpointed edges, no cartesian") {
+    val whole = finalPlan("q203_link_prediction")
+    assert(!whole.contains("CartesianProduct"), whole.take(1500))
+    assert(!whole.contains("BroadcastNestedLoopJoin"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+  }
+
+  test("q205 readability is a single shuffle-free codegen'd scan") {
+    val p = finalPlan("q205_readability")
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+    // the `*(n)` prefix is the whole-stage-codegen span marker
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(1200))
+  }
+
+  test("q206 hapax rate: one scan, two-level aggregate, join-free") {
+    val whole = finalPlan("q206_hapax")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Generate".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q207 pro-rata: windows ride the join partitioning, no cartesian") {
+    val whole = finalPlan("q207_prorata")
+    assert(!whole.contains("CartesianProduct"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    // all three window passes (weight sum, remainder rank, base sum)
+    // evaluate on the group partitioning the join already established:
+    // ≤ 2 exchanges total (1 when AQE broadcasts the dimension side)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(1500))
+    assert("Window".r.findAllIn(p).size >= 3, p.take(1500))
+  }
+
   test("q108 exact-k sample plans as TakeOrderedAndProject, no global sort") {
     // final-plan section only — the AQE string repeats stale subtrees
     // under "== Initial Plan ==" (same pitfall as the q55/q109 guard)

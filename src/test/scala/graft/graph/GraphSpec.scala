@@ -46,4 +46,19 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("u", "v")
     assert(Graph.triangleCounts(edges).collect().isEmpty)
   }
+
+  test("linkPredictionRA: hand-derived scores, known edges excluded, hub cap") {
+    // path graph 1-2-3 plus 1-4, 3-4: common neighbors of (1,3): {2, 4}
+    // deg: 1->2, 2->2, 3->2, 4->2; all degs 2 -> contrib 5e11 each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.linkPredictionRA(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // (1,3) via 2 and 4; (2,4) via 1 and 3; no others (adjacent pairs drop)
+    assert(out.keySet == Set(1L -> 3L, 2L -> 4L))
+    assert(out(1L -> 3L) == ((2L, 1000000000000L)))
+    assert(out(2L -> 4L) == ((2L, 1000000000000L)))
+    // cap below 2 removes every hub -> empty
+    assert(Graph.linkPredictionRA(edges, maxDegree = 2).collect().nonEmpty)
+  }
 }

@@ -824,4 +824,35 @@ class LlmSpec extends AnyFunSuite {
       .collect()(0).features.toSeq
     assert(fU == Seq(0.5f, 0.0f))
   }
+
+  test("readability: pinned sentence/syllable rules and FK order") {
+    val r = Seq("The cat sat. The dog ran away! Ok?").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("w"),
+      TextAnalysis.sentenceCount(col("text")).as("s"),
+      TextAnalysis.syllableCount(col("text")).as("y"),
+      TextAnalysis.fleschKincaidGrade(col("text")).as("g")).collect()(0)
+    assert(r.getAs[Long]("w") == 8L)
+    assert(r.getAs[Long]("s") == 3L)
+    // syllables: the=1 cat=1 sat.=1 the=1 dog=1 ran=1 away!=2(a,ay) ok?=1
+    assert(r.getAs[Long]("y") == 9L)
+    val exp = 0.39 * (8.0 / 3.0) + 11.8 * (9.0 / 8.0) - 15.59
+    assert(r.getAs[Double]("g") == exp)
+    // no terminal punctuation: still 1 sentence; empty text: null grade
+    val r2 = Seq("just a fragment", "").toDF("text").select(
+      TextAnalysis.sentenceCount(col("text")).as("s"),
+      TextAnalysis.fleschKincaidGrade(col("text")).as("g")).collect()
+    assert(r2(0).getAs[Long]("s") == 1L && !r2(0).isNullAt(1))
+    assert(r2(1).isNullAt(1))
+  }
+
+  test("hapaxRate: singleton-vocabulary fraction per slice") {
+    val df = Seq(("s1", "a a b c"), ("s1", "b d"), ("s2", "x x x"))
+      .toDF("source", "text")
+    val out = TextAnalysis.hapaxRate(df, Seq("source"), "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // s1 vocab {a:2, b:2, c:1, d:1}: 4 types, 2 hapax, 6 tokens
+    assert(out("s1") == ((4L, 2L, 6L, 0.5)))
+    assert(out("s2") == ((1L, 0L, 3L, 0.0)))
+  }
 }

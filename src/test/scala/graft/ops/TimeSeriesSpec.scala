@@ -277,4 +277,38 @@ class TimeSeriesSpec extends AnyFunSuite {
       gapMicros = 1800000000L).collect().map(_.getLong(2)).toSet
     assert(chained == Set(1L)) // every event within 30min of its PREDECESSOR
   }
+
+  test("levelShift: step change scores h at the boundary, nulls at edges") {
+    // series per key k: 6 values 10.0 then 6 values 20.0, w=3
+    val rows = (0 until 12).map(i =>
+      ("k", new Timestamp(1700000000000L + i * 1000L), i.toLong,
+        if (i < 6) 10.0 else 20.0))
+    val df = rows.toDF("k", "ts", "id", "v")
+    val out = TimeSeries.levelShift(df, Seq("k"), "ts", "id", "v", w = 3)
+      .collect().map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+    // rows 0-2 lack a full before-window; rows 9-11 lack after
+    assert(out(0L).isEmpty && out(2L).isEmpty && out(9L).isEmpty && out(11L).isEmpty)
+    // at i=3: after {4,5,6} already touches the step -> (40-30)/3
+    assert(out(3L).contains((40.0 - 30.0) / 3.0))
+    // at i=5: before {2,3,4}=10s, after {6,7,8}=20s -> +10 (= h)
+    assert(out(5L).contains(10.0))
+    // at i=6: before {3,4,5}=10s, after {7,8,9}=20s -> +10
+    assert(out(6L).contains(10.0))
+    // at i=4: after {5,6,7} = (10+20+20), before 30 -> 20/3
+    assert(out(4L).contains((50.0 - 30.0) / 3.0))
+  }
+
+  test("proRata: cents conserve per group; largest remainder; zero weights null") {
+    val df = Seq((1L, 1, 3.0, 100.00), (1L, 2, 3.0, 100.00), (1L, 3, 3.0, 100.00),
+      (2L, 1, 1.0, 0.05), (2L, 2, 2.0, 0.05),
+      (3L, 1, 0.0, 10.00)).toDF("g", "ln", "w", "total")
+    val out = Allocate.proRata(df, Seq("g"), "ln", "w", "total")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        Option(r.getDecimal(4)).map(_.toString)).toMap
+    assert(out((1L, 1)).contains("33.34")) // the extra cent: min line number
+    assert(out((1L, 2)).contains("33.33") && out((1L, 3)).contains("33.33"))
+    assert(out((2L, 1)).contains("0.02") && out((2L, 2)).contains("0.03"))
+    assert(out((3L, 1)).isEmpty)
+  }
 }
