@@ -2839,6 +2839,14 @@ object SparkEntry {
           "l_orderkey", "l_partkey", maxPerGroup = 8)
           .select(col("u"), col("v")), maxDegree = 60)),
 
+    // ---- record linkage: Jaro-Winkler similarity self-join over part
+    //      names (DuckDB-pinned kernel, first-char + length-band
+    //      blocking as part of the semantics) ----
+    "q204_jw_join" -> ((s, dir) =>
+      graft.join.Fuzzy.jaroWinklerSelfJoin(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", threshold = 0.94, lengthBand = 2)),
+
     // ---- curation: readability — Flesch-Kincaid grade from pinned
     //      token/sentence/vowel-group counts ----
     "q205_readability" -> ((s, dir) =>
@@ -5682,6 +5690,18 @@ object SparkEntry {
         |  FROM adj p JOIN adj q ON p.z = q.z AND p.x < q.x GROUP BY 1, 2)
         |SELECT c.u, c.v, common_neighbors, score FROM cand c
         |LEFT JOIN e ON e.u = c.u AND e.v = c.v WHERE e.u IS NULL""".stripMargin,
+
+    // same blocking predicates replayed relationally; DuckDB's
+    // jaro_winkler_similarity IS the pinned kernel
+    "q204_jw_join" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) >= 1)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  jaro_winkler_similarity(a.s, b.s) AS sim
+        |FROM s a JOIN s b ON a.id < b.id
+        |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
+        |  AND abs(len(a.s) - len(b.s)) <= 2
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""".stripMargin,
 
     // pinned counts: non-empty tokens, [.!?]+ runs (min 1), vowel-group
     // runs (min 1/token); grade replays the exact IEEE order

@@ -85,6 +85,72 @@ object Fuzzy {
     cross.unionByName(dup)
   }
 
+  /**
+   * Jaro-Winkler similarity self-join: unordered pairs with
+   * `sim ≥ threshold` under pinned BLOCKING — candidates share their
+   * FIRST character and differ in length by at most `lengthBand`.
+   * Unlike [[selfJoin]]'s PassJoin (whose segment theorem is
+   * complete), JW admits no lossless blocking: the block rule is part
+   * of the operator's SEMANTICS (the record-linkage convention — a
+   * first-character edit is rare in entity names, and JW ≥ 0.9 pairs
+   * differing by >2 in length are rarer), and an external engine
+   * reproduces the result exactly by replaying the same predicates.
+   *
+   * The similarity kernel is the DuckDB-pinned
+   * [[graft.functions.StringSimilarity.jaroWinkler]] (native codegen'd
+   * expression). Empty/null strings never pair (JW of an empty string
+   * is 0 by that convention). Exact duplicates are collapsed before
+   * the block join and re-expanded (the [[selfJoin]] recipe): identical
+   * strings pair at sim 1.0.
+   *
+   * Output: (id1, id2, sim) with id1 < id2.
+   *
+   * Scale posture: the block join keys on (first char, length) — the
+   * probe side explodes the `2·band+1` candidate lengths, so keys are
+   * fine-grained and the verification mass is per-block, never
+   * all-pairs. Skew ceiling: one (char, length) cell of near-identical
+   * mass — the same hot-block regime as every similarity join here;
+   * cap upstream if a cell is corpus-sized.
+   */
+  def jaroWinklerSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                          threshold: Double, lengthBand: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1], got $threshold")
+    require(lengthBand >= 0, s"lengthBand >= 0, got $lengthBand")
+    import org.apache.spark.sql.GraftShims.{column => gcol, expression => gexpr}
+    val strs = df.filter(col(strCol).isNotNull && length(col(strCol)) >= 1)
+      .select(col(idCol).as("__mid"), col(strCol).as("__ms"))
+      .localCheckpoint(false)
+    val d = strs.groupBy(col("__ms")).agg(min(col("__mid")).as("__id"))
+    val idx = d.select(col("__id").as("__ida"), col("__ms").as("__sa"),
+      substring(col("__ms"), 1, 1).as("__c"),
+      length(col("__ms")).as("__la"))
+    val probe = d.select(col("__id").as("__idb"), col("__ms").as("__sb"),
+        substring(col("__ms"), 1, 1).as("__c"),
+        length(col("__ms")).as("__lb"))
+      .withColumn("__la", explode(sequence(
+        greatest(lit(1), col("__lb") - lengthBand),
+        col("__lb") + lengthBand)))
+    val distinctPairs = idx.join(probe, Seq("__c", "__la"))
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("sim", gcol(graft.functions.JaroWinklerExpr(
+        gexpr(col("__sa")), gexpr(col("__sb")))))
+      .filter(col("sim") >= threshold)
+      .select(col("__sa").as("__s1"), col("__sb").as("__s2"), col("sim"))
+    val cross = distinctPairs
+      .join(strs.select(col("__ms").as("__s1"), col("__mid").as("__ia")),
+        Seq("__s1"))
+      .join(strs.select(col("__ms").as("__s2"), col("__mid").as("__ib")),
+        Seq("__s2"))
+      .select(least(col("__ia"), col("__ib")).as("id1"),
+        greatest(col("__ia"), col("__ib")).as("id2"), col("sim"))
+    val dup = strs.as("a").join(strs.as("b"),
+        col("a.__ms") === col("b.__ms") && col("a.__mid") < col("b.__mid"))
+      .select(col("a.__mid").as("id1"), col("b.__mid").as("id2"),
+        lit(1.0).as("sim"))
+    cross.unionByName(dup)
+  }
+
   /** The PassJoin kernel over a relation of DISTINCT strings
    *  (`__id`, `__s`): all unordered pairs within distance `maxDist`
    *  (≥ 1 by construction — no two input strings are equal), as

@@ -313,6 +313,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p.take(1500))
   }
 
+  test("q204 JW join: strings materialized once, block equi-join, no cartesian") {
+    val whole = finalPlan("q204_jw_join")
+    assert(!whole.contains("CartesianProduct"), whole.take(1500))
+    assert(!whole.contains("BroadcastNestedLoopJoin"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    // the string relation is checkpointed; the final job must not
+    // re-scan the corpus per consumer (distinct, two expansions, dup)
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("FileScan"), p.take(1500))
+  }
+
   test("q205 readability is a single shuffle-free codegen'd scan") {
     val p = finalPlan("q205_readability")
     assert(!p.contains("Exchange"), p.take(1200))

@@ -82,4 +82,32 @@ class FuzzySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 3L)))
   }
+
+  test("jaroWinkler kernel: DuckDB-pinned reference values") {
+    import graft.functions.StringSimilarity.jaroWinkler
+    assert(jaroWinkler("martha", "marhta") == 0.9611111111111111)
+    assert(jaroWinkler("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jaroWinkler("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jaroWinkler("Customer", "Custoner") == 0.95)
+    assert(jaroWinkler("abc", "abc") == 1.0)
+    assert(jaroWinkler("abc", "xyz") == 0.0)
+    assert(jaroWinkler("", "") == 0.0)   // the pinned DuckDB convention
+    assert(jaroWinkler("", "a") == 0.0)
+  }
+
+  test("jaroWinklerSelfJoin: blocking, threshold, duplicate expansion") {
+    val names = Seq(1L -> "martha", 2L -> "marhta", 3L -> "martha",
+      4L -> "zartha", 5L -> "marthaxxxx", 6L -> "m")
+      .toDF("id", "s")
+    val out = Fuzzy.jaroWinklerSelfJoin(names, "id", "s", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // (1,2) and (2,3) similar; (1,3) exact dup at 1.0; 4 blocked out by
+    // first char despite high JW; 5 blocked out by length band; 6 too
+    // different
+    assert(out.keySet == Set(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    assert(out(1L -> 2L) == 0.9611111111111111)
+    assert(out(2L -> 3L) == 0.9611111111111111)
+    assert(out(1L -> 3L) == 1.0)
+  }
 }
