@@ -2861,6 +2861,29 @@ object SparkEntry {
     "q206_hapax" -> ((s, dir) =>
       TA.hapaxRate(t(s, dir, "documents"), Seq("source"), "text")),
 
+    // ---- A/B stats: Welch's unequal-variance t per event type
+    //      (hash-split arms; t and Welch-Satterthwaite dof from exact
+    //      decimal moments, pinned IEEE composition) ----
+    "q208_welch_t" -> ((s, dir) =>
+      graft.agg.Stats.welchT(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- sampling: sequential Poisson (weight-proportional exact-k
+    //      per language, quantized integer priorities) ----
+    "q209_weighted_priority" -> ((s, dir) =>
+      graft.llm.Sampling.weightedPriority(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "doc_id", "n_chars", k = 5, salt = "wp1")),
+
+    // ---- training data: deterministic MLM example generation
+    //      (hash-chosen masks, flat masked_text/targets strings) ----
+    "q210_mlm_mask" -> ((s, dir) =>
+      graft.llm.Augment.mlmMask(t(s, dir, "documents"), "doc_id", "text",
+        denom = 7)),
+
     // ---- finance ETL: largest-remainder pro-rata — spread each
     //      order's total over its lines by quantity, exact to the
     //      cent, lines summing back to the order total ----
@@ -5736,6 +5759,76 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS hapax_rate
         |FROM cnt GROUP BY 1""".stripMargin,
+
+    // exact decimal moments, then the pinned IEEE chain: cross-
+    // multiplied sample variance, se2 = va/na + vb/nb left-to-right,
+    // sqrt correctly rounded in both engines
+    "q208_welch_t" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN arm = 'a' THEN v END) AS sa0,
+        |    sum(CASE WHEN arm = 'a' THEN v * v END) AS ssa0,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN arm = 'b' THEN v END) AS sb0,
+        |    sum(CASE WHEN arm = 'b' THEN v * v END) AS ssb0
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb2,
+        |    CAST(sa0 AS DOUBLE) AS sa, CAST(ssa0 AS DOUBLE) AS ssa,
+        |    CAST(sb0 AS DOUBLE) AS sb, CAST(ssb0 AS DOUBLE) AS ssb FROM m),
+        |v AS (SELECT *, (na * ssa - sa * sa) / (na * (na - 1.0)) AS va,
+        |    (nb2 * ssb - sb * sb) / (nb2 * (nb2 - 1.0)) AS vb FROM d),
+        |s2 AS (SELECT *, va / na AS sea, vb / nb2 AS seb,
+        |    va / na + vb / nb2 AS se2 FROM v)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN sa / na END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN sb / nb2 END AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |    THEN (sa / na - sb / nb2) / sqrt(se2) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |    THEN (se2 * se2) / ((sea * sea) / (na - 1.0)
+        |      + (seb * seb) / (nb2 - 1.0)) END AS dof
+        |FROM s2""".stripMargin,
+
+    // same md5 uniform, same quantized integer priority, same
+    // (priority, key) total order
+    "q209_weighted_priority" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || 'wp1'), 1, 8))::BIGINT AS u,
+        |    CAST(round(CAST(n_chars AS DOUBLE)) AS BIGINT) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |p AS (SELECT doc_id, lang, n_chars, (u * 1048576) // w AS prio
+        |  FROM d WHERE w >= 1)
+        |SELECT doc_id, lang, n_chars FROM p
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY prio, doc_id) <= 5""".stripMargin,
+
+    // replay the per-position hash rule over the same non-empty tokens
+    "q210_mlm_mask" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |z AS (SELECT doc_id, w,
+        |    list_transform(range(len(w)), i ->
+        |      ('0x' || substr(md5(doc_id::VARCHAR || '_' || i::VARCHAR
+        |        || '_mlm1'), 1, 8))::BIGINT % 7 = 0) AS hits
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  coalesce(array_to_string(list_transform(range(len(w)), i ->
+        |    CASE WHEN hits[i + 1] THEN '<mask>' ELSE w[i + 1] END), ' '), '')
+        |    AS masked_text,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(len(w)), i -> hits[i + 1]),
+        |    i -> i::VARCHAR || ':' || w[i + 1]), ' '), '') AS targets,
+        |  CAST(len(list_filter(range(len(w)), i -> hits[i + 1])) AS BIGINT)
+        |    AS n_masked
+        |FROM z""".stripMargin,
 
     // all-integer largest remainder: floor shares + one cent to the
     // top-(T - Σfloor) remainders, ties by line number

@@ -100,4 +100,62 @@ object Stats {
       when(vx > 0, (sy - slope * sx) / n).as("intercept"),
       when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
   }
+
+  /**
+   * Welch's unequal-variance t-test per group: for each key, compare
+   * `valueCol` between the rows labeled `aLabel` and `bLabel` in
+   * `groupCol` — the A/B-testing workhorse when variances differ
+   * (always assume they do). Emits the t statistic and the
+   * Welch-Satterthwaite degrees of freedom; p-values belong to the
+   * caller's lookup (the incomplete beta is not engine-reproducible
+   * arithmetic, t and dof are).
+   *
+   * Pinned arithmetic (the [[pearsonMatrix]] discipline): per-arm
+   * count / Σx / Σx² as EXACT DECIMAL(18,2)-grid sums in ONE
+   * aggregation pass, then a fixed IEEE composition: mean = s/n,
+   * sample variance = (n·ss − s·s) / (n·(n−1)) — cross-multiplied,
+   * single division — se² = v1/n1 + v2/n2 (left-to-right),
+   * t = (m1 − m2)/sqrt(se²), dof = se²²/((v1/n1)²/(n1−1) +
+   * (v2/n2)²/(n2−1)). sqrt is IEEE-correctly-rounded, so any engine
+   * replays every bit. Arms with n < 2 (or zero variance in both
+   * arms) yield null t/dof.
+   *
+   * Output: (keys…, n_a, n_b, mean_a, mean_b, t, dof).
+   *
+   * Scale posture: one key-partitioned exchange of CONSTANT-width
+   * partial moments (map-side combined); nothing row-sized survives
+   * the aggregation.
+   */
+  def welchT(df: DataFrame, keys: Seq[String], groupCol: String,
+             aLabel: String, bLabel: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    def arm(l: String) = when(col(groupCol) === l, lit(1)).otherwise(lit(0))
+    val m = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(arm(aLabel)).as("n_a"),
+        sum(when(col(groupCol) === aLabel, v)).as("__sa"),
+        sum(when(col(groupCol) === aLabel, v * v)).as("__ssa"),
+        sum(arm(bLabel)).as("n_b"),
+        sum(when(col(groupCol) === bLabel, v)).as("__sb"),
+        sum(when(col(groupCol) === bLabel, v * v)).as("__ssb"))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val sa = d(col("__sa")); val sb = d(col("__sb"))
+    val ssa = d(col("__ssa")); val ssb = d(col("__ssb"))
+    val va = (na * ssa - sa * sa) / (na * (na - lit(1.0)))
+    val vb = (nb * ssb - sb * sb) / (nb * (nb - lit(1.0)))
+    val sea = va / na
+    val seb = vb / nb
+    val se2 = sea + seb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    m.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0, sa / na).as("mean_a"),
+      when(col("n_b") > 0, sb / nb).as("mean_b"),
+      when(ok, (sa / na - sb / nb) / sqrt(se2)).as("t"),
+      when(ok, (se2 * se2) /
+        ((sea * sea) / (na - lit(1.0)) + (seb * seb) / (nb - lit(1.0))))
+        .as("dof")): _*)
+  }
 }

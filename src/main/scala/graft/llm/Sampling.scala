@@ -145,6 +145,51 @@ object Sampling {
   }
 
   /**
+   * Weight-proportional exact-k sampling per stratum — sequential
+   * Poisson sampling (Ohlsson 1998, the πps workhorse of official
+   * statistics): each row draws the deterministic uniform
+   * `u = md5i(key ++ salt)` and the k rows with the smallest
+   * PRIORITY `u / weight` are kept — heavier rows draw smaller
+   * priorities proportionally more often, approximating
+   * probability-proportional-to-size without replacement.
+   *
+   * Pinned arithmetic: the priority is the QUANTIZED integer
+   * `floor(u · 2²⁰ / w)` with `w = round(weight)` ≥ 1 (exact long ops
+   * only — a float `u/w` ranks differently across engines at ulp
+   * boundaries, and decimal division scales diverge; the 2²⁰ scale
+   * keeps u·2²⁰ < 2⁵³ while making quantization ties astronomically
+   * rarer than hash ties). Total order: (priority, key) — key ties
+   * carry [[exactKByHash]]'s uniqueness precondition. Rows with null
+   * or < 0.5 weight never qualify.
+   *
+   * Scale posture: per-stratum top-k via the rank window plans with a
+   * Partial WindowGroupLimit — every scan partition pre-cuts to k, so
+   * the shuffle ships ≤ partitions·strata·k rows; with no keys it is
+   * one TakeOrderedAndProject, no global sort either way.
+   */
+  def weightedPriority(df: DataFrame, keys: Seq[String], keyCol: String,
+                       weightCol: String, k: Int,
+                       salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = TextAnalysis.md5i(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = round(col(weightCol).cast("double")).cast("long")
+    val scaled = u * lit(1048576L)
+    val prio = ((scaled - pmod(scaled, w)) / w).cast("long")
+    val base = df.filter(col(weightCol).isNotNull && w >= 1)
+      .withColumn("__prio", prio)
+    if (keys.isEmpty) {
+      base.orderBy(col("__prio").asc, col(keyCol).asc).limit(k).drop("__prio")
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__prio").asc, col(keyCol).asc)
+      base.withColumn("__rk", row_number().over(win))
+        .filter(col("__rk") <= k)
+        .drop("__prio", "__rk")
+    }
+  }
+
+  /**
    * EXACT global top-fraction selection by score — "keep the best 30%
    * of the corpus by quality" — without a global sort. The kept set is
    * defined by rank: rows ordered by (`scoreCol` DESC, `idCol` ASC),

@@ -1092,8 +1092,10 @@ object TextAnalysis {
    *  floored at 1 — headlines and fragments are one sentence, not
    *  zero (division guard for the readability ratios). */
   def sentenceCount(text: Column): Column =
-    greatest(lit(1L),
-      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    // explicit null gate: greatest() SKIPS nulls, so without it a null
+    // text would count as 1 sentence instead of null
+    when(text.isNotNull, greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long")))
 
   /** Heuristic syllable count: vowel-group runs per token
    *  (`[aeiouyAEIOUY]+`), floored at 1 per token — the classic

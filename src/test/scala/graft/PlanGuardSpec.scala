@@ -340,6 +340,30 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("q208 Welch t: one scan, constant-width partial moments, join-free") {
+    val whole = finalPlan("q208_welch_t")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
+  test("q209 weighted priority: per-key top-k stays a WindowGroupLimit pushdown") {
+    // every scan partition pre-cuts to k rows per stratum before the
+    // lang exchange — without the Partial WindowGroupLimit the shuffle
+    // carries the whole corpus
+    val p = finalPlan("q209_weighted_priority").split("== Initial Plan ==")(0)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q210 MLM masking is a single shuffle-free scan") {
+    val p = finalPlan("q210_mlm_mask")
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("q207 pro-rata: windows ride the join partitioning, no cartesian") {
     val whole = finalPlan("q207_prorata")
     assert(!whole.contains("CartesianProduct"), whole.take(1500))

@@ -41,4 +41,28 @@ class StatsSpec extends AnyFunSuite {
     val flat = rows("flat")
     assert(flat.isNullAt(2) && flat.isNullAt(3) && flat.isNullAt(4))
   }
+
+  test("welchT: hand-derived t and dof; degenerate arms null out") {
+    // arm a: 1,2,3 (mean 2, var 1); arm b: 2,4,6,8 (mean 5, var 20/3)
+    val df = (Seq(1.0, 2.0, 3.0).map(("k", "a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("k", "b", _)) ++
+      Seq(("solo", "a", 1.0), ("solo", "b", 2.0)))
+      .toDF("key", "arm", "v")
+    val out = Stats.welchT(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_a") == 3L && k.getAs[Long]("n_b") == 4L)
+    assert(k.getAs[Double]("mean_a") == 2.0 && k.getAs[Double]("mean_b") == 5.0)
+    val va = 1.0; val vb = 20.0 / 3.0
+    val sea = va / 3.0; val seb = vb / 4.0
+    val se2 = sea + seb
+    assert(k.getAs[Double]("t") == (2.0 - 5.0) / math.sqrt(se2))
+    assert(k.getAs[Double]("dof") ==
+      se2 * se2 / (sea * sea / 2.0 + seb * seb / 3.0))
+    // n < 2 per arm: t/dof null, means still emitted
+    val solo = out("solo")
+    assert(solo.isNullAt(solo.fieldIndex("t")) &&
+      solo.isNullAt(solo.fieldIndex("dof")))
+    assert(solo.getAs[Double]("mean_a") == 1.0)
+  }
 }

@@ -239,4 +239,34 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.graph.Graph.coOccurrenceEdges(
       Seq.empty[(Long, Long)].toDF("g", "i"), "g", "i", 5).count() == 0)
   }
+
+  test("round-10 operators on empty inputs") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "text", "src")
+    val emptyEv = Seq.empty[(Long, Timestamp, String, Long, Option[Double])]
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+    assert(graft.mining.Associations.rules(
+      Seq.empty[(Long, Long)].toDF("g", "i"), "g", "i").count() == 0)
+    assert(graft.ops.TimeSeries.levelShift(emptyEv, Seq("event_type"),
+      "ts", "event_id", "value", 5).count() == 0)
+    assert(graft.graph.Graph.linkPredictionRA(
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+    assert(graft.join.Fuzzy.jaroWinklerSelfJoin(emptyDocs, "id", "text",
+      0.9).count() == 0)
+    assert(TextAnalysis.hapaxRate(emptyDocs, Seq("src"), "text").count() == 0)
+    assert(TextAnalysis.noveltyRate(emptyDocs, "id", "text").count() == 0)
+    assert(graft.ops.Allocate.proRata(
+      Seq.empty[(Long, Int, Double, Double)].toDF("g", "ln", "w", "t"),
+      Seq("g"), "ln", "w", "t").count() == 0)
+    // empty/null TEXT (not just empty frames): scalar readability family
+    val nullText = Seq((1L, null.asInstanceOf[String], "s"), (2L, "", "s"))
+      .toDF("id", "text", "src")
+    val r = nullText.select(
+      TextAnalysis.sentenceCount(col("text")).as("s"),
+      TextAnalysis.syllableCount(col("text")).as("y"),
+      TextAnalysis.fleschKincaidGrade(col("text")).as("g")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).isNullAt(2)) // null in
+    assert(r(1).getLong(0) == 1L && r(1).getLong(1) == 0L && r(1).isNullAt(2))
+  }
 }

@@ -288,4 +288,54 @@ class SamplingSpec extends AnyFunSuite {
       Map("en" -> 0.0), "id", salt = "x")
     assert(none.count() == 0)
   }
+
+  test("weightedPriority: weight-proportional, deterministic, per-key exact k") {
+    // 200 candidates per key, weights 1 or 100: the heavy 10% should
+    // dominate the k=20 sample, and two runs must agree exactly
+    val df = (0L until 200L).map(i =>
+      (if (i < 100) "x" else "y", i, if (i % 10 == 0) 100.0 else 1.0))
+      .toDF("k", "id", "w")
+    val take = Sampling.weightedPriority(df, Seq("k"), "id", "w", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(take.size == 40 && take.count(_._1 == "x") == 20)
+    val again = Sampling.weightedPriority(df, Seq("k"), "id", "w", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(take == again)
+    // only 10 heavy candidates exist per key; every one must be kept
+    val heavy = take.count { case (_, id) => id % 10 == 0 }
+    assert(heavy == 20, s"heavy weights underrepresented: $heavy/40")
+    // zero/null weights never qualify
+    val zw = Seq(("x", 1L, 0.0), ("x", 2L, 0.4), ("x", 3L, 1.0))
+      .toDF("k", "id", "w")
+    val kept = Sampling.weightedPriority(zw, Seq("k"), "id", "w", k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(3L)) // 0.4 rounds to 0 -> excluded
+  }
+
+  test("mlmMask: hash-pinned masks, flat targets, empty docs safe") {
+    val df = Seq((7L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (8L, ""), (9L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Augment.mlmMask(df, "id", "text", denom = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r7 = out(7L)
+    assert(r7.getAs[Long]("n_tokens") == 10L)
+    val masked = r7.getAs[String]("masked_text").split(" ")
+    val targets = r7.getAs[String]("targets")
+    val nMasked = r7.getAs[Long]("n_masked")
+    assert(masked.length == 10)
+    assert(masked.count(_ == "<mask>") == nMasked)
+    // every target re-fills its masked slot to reproduce the original
+    val orig = "alpha beta gamma delta eps zeta eta theta iota kappa".split(" ")
+    targets.split(" ").filter(_.nonEmpty).foreach { pt =>
+      val Array(p, tok) = pt.split(":", 2)
+      assert(masked(p.toInt) == "<mask>" && orig(p.toInt) == tok)
+    }
+    // deterministic across runs
+    val again = Augment.mlmMask(df, "id", "text", denom = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("masked_text")).toMap
+    assert(again(7L) == r7.getAs[String]("masked_text"))
+    assert(out(8L).getAs[Long]("n_tokens") == 0L &&
+      out(8L).getAs[String]("targets") == "")
+    assert(out(9L).getAs[Long]("n_tokens") == 0L)
+  }
 }
