@@ -66,6 +66,10 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 23.0)
     assert(spark.sql("SELECT graft_sqdist(array(0.0d), array(2.0d)) n")
       .collect()(0).getDouble(0) == 4.0)
+    assert(spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') n")
+      .collect()(0).getDouble(0) == 0.9611111111111111)
+    assert(spark.sql("SELECT graft_libm_log(1.0d) n")
+      .collect()(0).getDouble(0) == 0.0)
   }
 
   test("native text kernels: NFC and BPE match reference implementations, stay codegen'd, register in SQL") {
