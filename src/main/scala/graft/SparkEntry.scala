@@ -5734,11 +5734,14 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT doc_id,
         |    CAST(len(w) AS BIGINT) AS n_words,
-        |    greatest(CAST(1 AS BIGINT),
-        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
-        |    CAST(coalesce(list_sum(list_transform(w, x -> greatest(1,
-        |      len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT)
-        |      AS n_syllables
+        |    CASE WHEN text IS NULL THEN NULL ELSE
+        |      greatest(CAST(1 AS BIGINT),
+        |        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |    END AS n_sentences,
+        |    CASE WHEN text IS NULL THEN NULL ELSE
+        |      CAST(coalesce(list_sum(list_transform(w, x -> greatest(1,
+        |        len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT)
+        |    END AS n_syllables
         |  FROM t)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |  CASE WHEN n_words > 0 THEN
@@ -5800,7 +5803,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, lang, n_chars,
         |    ('0x' || substr(md5(doc_id::VARCHAR || 'wp1'), 1, 8))::BIGINT AS u,
         |    CAST(round(CAST(n_chars AS DOUBLE)) AS BIGINT) AS w
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
         |p AS (SELECT doc_id, lang, n_chars, (u * 1048576) // w AS prio
         |  FROM d WHERE w >= 1)
         |SELECT doc_id, lang, n_chars FROM p
@@ -5831,7 +5835,9 @@ object SparkEntry {
         |FROM z""".stripMargin,
 
     // all-integer largest remainder: floor shares + one cent to the
-    // top-(T - Σfloor) remainders, ties by line number
+    // top-(T - Σfloor) remainders, ties by (line number, weight) — the
+    // fixture repeats (orderkey, linenumber), so the chain must end in
+    // the weight to make the output multiset engine-independent
     "q207_prorata" ->
       """WITH j AS (SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
         |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS tc,
@@ -5844,7 +5850,7 @@ object SparkEntry {
         |  FROM a),
         |c AS (SELECT *,
         |    row_number() OVER (PARTITION BY l_orderkey
-        |      ORDER BY rem DESC NULLS LAST, l_linenumber) AS rk,
+        |      ORDER BY rem DESC NULLS LAST, l_linenumber, w) AS rk,
         |    tc - sum(base) OVER (PARTITION BY l_orderkey) AS leftover
         |  FROM b)
         |SELECT l_orderkey, l_linenumber, l_quantity,

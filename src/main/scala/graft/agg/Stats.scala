@@ -120,6 +120,14 @@ object Stats {
    * replays every bit. Arms with n < 2 (or zero variance in both
    * arms) yield null t/dof.
    *
+   * Magnitude bound: v·v is computed at Spark's capped DECIMAL(38,4),
+   * so Σv² must fit 34 integer digits — |v| ≤ ~1e15 with up to ~1e4
+   * rows per arm, tightening with n (√(10³⁴/n) per value). Past the
+   * bound Spark (ANSI off) nulls the moment SILENTLY while
+   * HUGEINT-backed engines keep exact sums — t/dof degrade to null
+   * and engines diverge; values that large are not on a money grid,
+   * rescale upstream.
+   *
    * Output: (keys…, n_a, n_b, mean_a, mean_b, t, dof).
    *
    * Scale posture: one key-partitioned exchange of CONSTANT-width

@@ -1,6 +1,6 @@
 package graft.join
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -95,6 +95,13 @@ object Fuzzy {
    * first-character edit is rare in entity names, and JW ≥ 0.9 pairs
    * differing by >2 in length are rarer), and an external engine
    * reproduces the result exactly by replaying the same predicates.
+   * EXPLICIT CONTRACT: pairs whose first characters differ — including
+   * case-differing first letters ("smith"/"Smith") — are OUT of the
+   * result BY DESIGN, however high their JW similarity; likewise pairs
+   * beyond the length band. Record linkage on mixed-case names should
+   * set `caseFold = true`, which folds the first-character BLOCK KEY
+   * to lower case (the kernel itself stays case-sensitive — fold the
+   * strings upstream if case-insensitive SIMILARITY is wanted).
    *
    * The similarity kernel is the DuckDB-pinned
    * [[graft.functions.StringSimilarity.jaroWinkler]] (native codegen'd
@@ -113,20 +120,25 @@ object Fuzzy {
    * cap upstream if a cell is corpus-sized.
    */
   def jaroWinklerSelfJoin(df: DataFrame, idCol: String, strCol: String,
-                          threshold: Double, lengthBand: Int = 2): DataFrame = {
+                          threshold: Double, lengthBand: Int = 2,
+                          caseFold: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0,1], got $threshold")
     require(lengthBand >= 0, s"lengthBand >= 0, got $lengthBand")
     import org.apache.spark.sql.GraftShims.{column => gcol, expression => gexpr}
+    def blockChar(c: Column): Column = {
+      val first = substring(c, 1, 1)
+      if (caseFold) lower(first) else first
+    }
     val strs = df.filter(col(strCol).isNotNull && length(col(strCol)) >= 1)
       .select(col(idCol).as("__mid"), col(strCol).as("__ms"))
       .localCheckpoint(false)
     val d = strs.groupBy(col("__ms")).agg(min(col("__mid")).as("__id"))
     val idx = d.select(col("__id").as("__ida"), col("__ms").as("__sa"),
-      substring(col("__ms"), 1, 1).as("__c"),
+      blockChar(col("__ms")).as("__c"),
       length(col("__ms")).as("__la"))
     val probe = d.select(col("__id").as("__idb"), col("__ms").as("__sb"),
-        substring(col("__ms"), 1, 1).as("__c"),
+        blockChar(col("__ms")).as("__c"),
         length(col("__ms")).as("__lb"))
       .withColumn("__la", explode(sequence(
         greatest(lit(1), col("__lb") - lengthBand),

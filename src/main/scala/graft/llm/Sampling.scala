@@ -160,7 +160,11 @@ object Sampling {
    * keeps u·2²⁰ < 2⁵³ while making quantization ties astronomically
    * rarer than hash ties). Total order: (priority, key) — key ties
    * carry [[exactKByHash]]'s uniqueness precondition. Rows with null
-   * or < 0.5 weight never qualify.
+   * or < 0.5 weight never qualify, and neither do null-key rows: a
+   * null key hashes to a null priority, which Spark's ASC sort ranks
+   * FIRST but SQL engines' NULLS LAST ranks last — excluding them is
+   * the only engine-independent reading (and a null key has no
+   * deterministic draw anyway).
    *
    * Scale posture: per-stratum top-k via the rank window plans with a
    * Partial WindowGroupLimit — every scan partition pre-cuts to k, so
@@ -175,7 +179,8 @@ object Sampling {
     val w = round(col(weightCol).cast("double")).cast("long")
     val scaled = u * lit(1048576L)
     val prio = ((scaled - pmod(scaled, w)) / w).cast("long")
-    val base = df.filter(col(weightCol).isNotNull && w >= 1)
+    val base = df.filter(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && w >= 1)
       .withColumn("__prio", prio)
     if (keys.isEmpty) {
       base.orderBy(col("__prio").asc, col(keyCol).asc).limit(k).drop("__prio")

@@ -20,8 +20,20 @@ object Allocate {
    * Largest-remainder pro-rata split. For each group: every row gets
    * `floor(T·wᵢ/W)` cents (T = the group's total in cents, W = Σ wᵢ),
    * and the `T − Σ floor(...)` leftover cents go one each to the rows
-   * with the largest remainders `(T·wᵢ) mod W` (ties broken by
-   * `tieCol` ascending — deterministic). All integer arithmetic.
+   * with the largest remainders `(T·wᵢ) mod W`. All integer
+   * arithmetic.
+   *
+   * Determinism contract: remainder ties are broken by `(tieCol ASC,
+   * weightCol ASC)`. That chain is a total order whenever `tieCol` is
+   * unique within each group; when it is NOT (real ledgers — and the
+   * synthetic lineitem fixture — repeat line numbers), rows that still
+   * tie agree on group, tie, weight, remainder AND base share, so the
+   * OUTPUT MULTISET is deterministic even though row identity isn't —
+   * PROVIDED rows equal on `(group, tieCol, weightCol)` are equal on
+   * every other column you keep. If they aren't (extra payload columns
+   * differ), supply a genuinely unique `tieCol`; otherwise which
+   * payload row carries the extra cent is engine/partition-order
+   * dependent.
    *
    * Inputs: `totalCol` — the group's total, constant within the
    * group, on a 2-decimal grid (money); `weightCol` — non-negative
@@ -58,7 +70,7 @@ object Allocate {
       .withColumn("__base", when(col("__wsum") > 0, base))
       .withColumn("__rem", when(col("__wsum") > 0, pmod(p, col("__wsum"))))
       .withColumn("__rk", row_number().over(
-        wg.orderBy(col("__rem").desc, col(tieCol).asc)))
+        wg.orderBy(col("__rem").desc, col(tieCol).asc, col("__w").asc)))
       .withColumn("__left", tc - sum(col("__base")).over(wg))
     ranked
       .withColumn(out,

@@ -110,4 +110,21 @@ class FuzzySpec extends AnyFunSuite {
     assert(out(2L -> 3L) == 0.9611111111111111)
     assert(out(1L -> 3L) == 1.0)
   }
+
+  test("jaroWinklerSelfJoin: caseFold widens the first-char block only") {
+    val names = Seq(1L -> "martha", 2L -> "Martha", 3L -> "marhta")
+      .toDF("id", "s")
+    // default: "martha"/"Martha" are in different first-char blocks
+    val strict = Fuzzy.jaroWinklerSelfJoin(names, "id", "s", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set(1L -> 3L))
+    // caseFold: blocks merge, but the KERNEL stays case-sensitive —
+    // jw("martha","Martha") = 5 matches/6, 0 transpositions, no prefix
+    val folded = Fuzzy.jaroWinklerSelfJoin(names, "id", "s", threshold = 0.8,
+        caseFold = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(folded.keySet == Set(1L -> 2L, 1L -> 3L, 2L -> 3L))
+    assert(folded(1L -> 2L) < 1.0) // case still counts in the similarity
+  }
 }

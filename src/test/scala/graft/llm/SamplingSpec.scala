@@ -310,6 +310,19 @@ class SamplingSpec extends AnyFunSuite {
     val kept = Sampling.weightedPriority(zw, Seq("k"), "id", "w", k = 3)
       .collect().map(_.getLong(1)).toSet
     assert(kept == Set(3L)) // 0.4 rounds to 0 -> excluded
+    // null keys never claim slots (Spark sorts nulls FIRST; SQL
+    // engines NULLS LAST — exclusion is the only portable reading)
+    val nk = Seq(("x", java.lang.Long.valueOf(1L), 1.0),
+      ("x", null.asInstanceOf[java.lang.Long], 100.0),
+      ("x", java.lang.Long.valueOf(2L), 1.0))
+      .toDF("k", "id", "w")
+    val nkKept = Sampling.weightedPriority(nk, Seq("k"), "id", "w", k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(nkKept == Set(1L, 2L))
+    // and with no stratification keys either
+    val nkGlobal = Sampling.weightedPriority(nk, Seq.empty, "id", "w", k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(nkGlobal == Set(1L, 2L))
   }
 
   test("mlmMask: hash-pinned masks, flat targets, empty docs safe") {

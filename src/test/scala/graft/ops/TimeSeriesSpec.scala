@@ -311,4 +311,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((2L, 1)).contains("0.02") && out((2L, 2)).contains("0.03"))
     assert(out((3L, 1)).isEmpty)
   }
+
+  test("proRata: duplicate (group, tie) rows allocate an engine-order-" +
+      "independent multiset") {
+    // the q207 failure mode: tieCol NOT unique in the group, remainder
+    // ties straddle the leftover-cent boundary. tc=4 cents, w=(1,5,2),
+    // W=8 -> p=(4,20,8), base=(0,2,1), rem=(4,4,0), leftover=1. The
+    // rem tie is between DIFFERENT weights on the SAME line number —
+    // only the (rem DESC, tie, weight) chain makes the cent landing
+    // deterministic: it goes to the w=1 row.
+    val rows = Seq((1L, 1, 1.0, 0.04), (1L, 1, 5.0, 0.04),
+      (1L, 1, 2.0, 0.04),
+      // and a fully-identical tie run (w equal too): multiset must
+      // still be stable even though row identity is arbitrary
+      (2L, 1, 1.0, 0.05), (2L, 1, 1.0, 0.05), (2L, 2, 1.0, 0.05))
+    def run(shufflePartitions: Int, inputPartitions: Int) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+        Allocate.proRata(
+          rows.toDF("g", "ln", "w", "total").repartition(inputPartitions),
+          Seq("g"), "ln", "w", "total")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+            Option(r.getDecimal(4)).map(_.toString).orNull))
+          .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(3, 7)
+    val b = run(32, 1)
+    val c = run(5, 2)
+    assert(a == b && b == c, s"partition-order-dependent output:\n$a\n$b\n$c")
+    assert(a.filter(_._1 == 1L).map(_._4) == Seq("0.01", "0.01", "0.02"))
+    assert(a.filter(_._1 == 2L).map(_._4) == Seq("0.02", "0.02", "0.01"))
+  }
 }
