@@ -195,9 +195,17 @@ object Bench {
     // map mid-dict), so the full four lines also land on disk where a
     // reader can parse them without stdout archaeology. Best-effort —
     // a read-only CWD must not fail the bench.
+    // Flat per-query stream after the four primary lines: one
+    // {"query","value"} object per line (value = the headline best-of
+    // wall, -1 for a failure) — readable without unpacking the nested
+    // per-iteration arrays.
+    val flatLines = results.map { case (k, v, _, _) =>
+      s"""{"query":"$k","value":${f(v)}}"""
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("bench_results.json"),
-      Seq(telLine, itersLine, totalLine, compactLine).mkString("", "\n", "\n"))
+      (Seq(telLine, itersLine, totalLine, compactLine) ++ flatLines)
+        .mkString("", "\n", "\n"))
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_results.json not written: ${e.getMessage}")
     }

@@ -222,8 +222,13 @@ object SparkEntry {
     // ---- §2.5 window functions: row_number/rank/running sum, top-k/group ----
     "q12_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // (shipdate, orderkey, linenumber) alone is NOT unique per
+      // supplier in the fixture (one collision at sf0.1) — l_quantity
+      // closes the chain over every column the output consults, making
+      // rn/running_qty an engine-independent multiset
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       t(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("running_qty",
@@ -3460,7 +3465,7 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty
         | FROM lineitem
         | WINDOW w AS (PARTITION BY l_suppkey
-        |              ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |) WHERE rn <= 5""".stripMargin,
 
