@@ -2900,6 +2900,35 @@ object SparkEntry {
       graft.ops.Allocate.proRata(li.join(o, Seq("l_orderkey")),
         Seq("l_orderkey"), "l_linenumber", "l_quantity", "o_totalprice")
         .select("l_orderkey", "l_linenumber", "l_quantity", "allocated")
+    }),
+
+    // ---- A/B stats: Mann-Whitney U (rank-sum) per event type —
+    //      the nonparametric companion to q208's Welch t; exact
+    //      doubled-rank arithmetic, tie-corrected z ----
+    "q211_mann_whitney" -> ((s, dir) =>
+      graft.agg.Stats.mannWhitneyU(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- stats: Spearman rank correlation per return flag —
+    //      monotonic association of quantity vs price, tie-averaged
+    //      ranks on the exact integer grid ----
+    "q212_spearman" -> ((s, dir) =>
+      graft.agg.Stats.spearman(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
+
+    // ---- metrics hygiene: Benjamini-Hochberg FDR per language over
+    //      deterministic sub-uniform p's (u² of the md5 draw) ----
+    "q213_bh_fdr" -> ((s, dir) => {
+      val u = TA.md5i(concat(col("doc_id").cast("string"), lit("bh1")))
+        .cast("double") / lit(4294967296.0)
+      graft.agg.Stats.benjaminiHochberg(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .withColumn("p", u * u),
+        Seq("lang"), "doc_id", "p", alpha = 0.3)
+        .select("lang", "doc_id", "p", "rank", "p_adj", "significant")
     })
   )
 
@@ -5862,6 +5891,97 @@ object SparkEntry {
         |  CASE WHEN tw > 0 THEN CAST((base +
         |    CASE WHEN rk <= leftover THEN 1 ELSE 0 END) / 100.0
         |    AS DECIMAL(18,2)) END AS allocated
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // same doubled-rank grid (2·cum − c + 1 per tie run), exact
+    // decimal rank sums, and the pinned z composition
+    "q211_mann_whitney" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY v) AS BIGINT) AS cum FROM g),
+        |r2 AS (SELECT *, 2 * cum - c + 1 AS dr FROM r),
+        |m AS (SELECT event_type,
+        |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca * dr AS DECIMAL(38,0))) AS ra2,
+        |    sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS tt
+        |  FROM r2 GROUP BY 1),
+        |d AS (SELECT event_type, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(ra2 AS DOUBLE) AS ra2d, CAST(tt AS DOUBLE) AS td FROM m),
+        |z AS (SELECT *, na + nb AS nn,
+        |    ra2d / 2.0 - na * (na + 1.0) / 2.0 AS ua FROM d),
+        |s2 AS (SELECT *, na * nb / 12.0 *
+        |    ((nn + 1.0) - td / (nn * (nn - 1.0))) AS sig2 FROM z)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN ua END AS u_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN na * nb - ua END AS u_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND sig2 > 0.0
+        |    THEN (ua - na * nb / 2.0) / sqrt(sig2) END AS z
+        |FROM s2""".stripMargin,
+
+    // doubled average rank from both sort directions
+    // (rank_asc + n − rank_desc + 1), exact decimal moments, pearson
+    // closing composition
+    "q212_spearman" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT l_returnflag,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY x ASC)
+        |      + count(*) OVER (PARTITION BY l_returnflag)
+        |      - rank() OVER (PARTITION BY l_returnflag ORDER BY x DESC)
+        |      + 1 AS BIGINT) AS rx,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY y ASC)
+        |      + count(*) OVER (PARTITION BY l_returnflag)
+        |      - rank() OVER (PARTITION BY l_returnflag ORDER BY y DESC)
+        |      + 1 AS BIGINT) AS ry
+        |  FROM b),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+        |    THEN (nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd)
+        |      * sqrt(nd * syyd - syd * syd)) END AS rho
+        |FROM d""".stripMargin,
+
+    // p = u² of the 32-bit md5 draw (exact: /2^32 is a power-of-two
+    // division); step-up rule replayed with the same IEEE m·p/k
+    "q213_bh_fdr" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || 'bh1'), 1, 8))::BIGINT
+        |      / 4294967296.0) AS u
+        |  FROM documents),
+        |p0 AS (SELECT lang, doc_id, u * u AS p FROM d WHERE u IS NOT NULL),
+        |r AS (SELECT lang, doc_id, p,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY p, doc_id) AS BIGINT) AS "rank",
+        |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS m
+        |  FROM p0),
+        |a AS (SELECT lang, doc_id, p, "rank",
+        |    least(1.0, min(m * p / CAST("rank" AS DOUBLE)) OVER (
+        |      PARTITION BY lang ORDER BY p DESC, doc_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+        |  FROM r)
+        |SELECT lang, doc_id, p, "rank", p_adj, p_adj <= 0.3 AS significant
+        |FROM a""".stripMargin
   )
 }

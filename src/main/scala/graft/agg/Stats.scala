@@ -166,4 +166,172 @@ object Stats {
         ((sea * sea) / (na - lit(1.0)) + (seb * seb) / (nb - lit(1.0))))
         .as("dof")): _*)
   }
+
+  /**
+   * Mann-Whitney U (Wilcoxon rank-sum) per group: the nonparametric
+   * A/B test — compares `valueCol` between the `aLabel` and `bLabel`
+   * rows of `groupCol` by RANKS, so it needs no normality and shrugs
+   * off outliers that wreck [[welchT]]. Emits U for both arms and the
+   * tie-corrected normal-approximation z (valid for arms ≳ 20; exact
+   * small-sample tables belong to the caller).
+   *
+   * Reproducibility discipline: every rank quantity lives on the
+   * integer grid — ranks are computed in DOUBLED units (the average
+   * rank of a tie run `[lo, hi]` is `(lo+hi)/2`, so `lo+hi` is the
+   * doubled rank, an exact long), rank sums and the tie term
+   * `Σ(t³−t)` accumulate as DECIMAL(38,0) (exact, order-independent),
+   * and the closing z is a fixed left-to-right IEEE composition any
+   * engine replays bit-for-bit:
+   * `U_a = R_a − n_a(n_a+1)/2`, `μ = n_a·n_b/2`,
+   * `σ² = (n_a·n_b/12)·((n+1) − T/(n·(n−1)))`, `z = (U_a − μ)/σ`.
+   * Values are compared on the `valueScale` decimal grid (ties must
+   * mean EQUAL, not close — floats that differ in the 15th digit are
+   * distinct ranks in any engine). Null values and foreign labels are
+   * excluded. Arms with n = 0, or all-tied data (σ² ≤ 0), yield null z.
+   *
+   * Output: (keys…, n_a, n_b, u_a, u_b, z).
+   *
+   * Scale posture: one (keys, value)-grid aggregation collapses the
+   * data to distinct values (bounded by the value grid, not the row
+   * count), one keys-partitioned window ranks the value groups, and
+   * the final aggregate rides the window's partitioning — 2 exchanges
+   * total, nothing row-sized past the first aggregate.
+   */
+  def mannWhitneyU(df: DataFrame, keys: Seq[String], groupCol: String,
+                   aLabel: String, bLabel: String, valueCol: String,
+                   valueScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel))
+      .groupBy((keys.map(col) :+ v.as("__v")): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"),
+        count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    // doubled average rank of this value's tie run: lo+hi = 2·cum−c+1
+    val ranked = grid
+      .withColumn("__cum", sum(col("__c")).over(wk))
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__c") + 1L)
+    // decimal BEFORE multiplying: long intermediates would overflow
+    // past n ~ 2e9 rows (ca·r2 ≤ 2n²) / 2e6-row tie runs (c³)
+    val cd = col("__c").cast("decimal(12,0)")
+    val m = ranked.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum((col("__ca").cast("decimal(19,0)") *
+          col("__r2").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__ra2"),
+        sum((cd * cd * cd - cd).cast("decimal(38,0)")).as("__t"))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val nn = na + nb
+    val ra = d(col("__ra2")) / lit(2.0)
+    val ua = ra - na * (na + lit(1.0)) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sig2 = na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - d(col("__t")) / (nn * (nn - lit(1.0))))
+    val ok = col("n_a") >= 1 && col("n_b") >= 1 && sig2 > 0.0
+    m.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("n_a") >= 1 && col("n_b") >= 1, ua).as("u_a"),
+      when(col("n_a") >= 1 && col("n_b") >= 1, na * nb - ua).as("u_b"),
+      when(ok, (ua - mu) / sqrt(sig2)).as("z")): _*)
+  }
+
+  /**
+   * Spearman rank correlation per group: Pearson over AVERAGE ranks —
+   * the monotonic-association measure, immune to outliers and
+   * nonlinearity that distort [[pearsonMatrix]] on raw values.
+   *
+   * Same integer-grid discipline as [[mannWhitneyU]]: the doubled
+   * average rank is `rank_asc + n − rank_desc + 1` (min-rank from
+   * both directions — one partition, two sort orders, no per-value
+   * second exchange), every moment accumulates as DECIMAL(38,0)
+   * (doubling cancels in the correlation ratio EXACTLY because the
+   * sums are exact), and the closing formula is the pearson
+   * composition over those sums. Rows with null x or y are excluded
+   * (listwise). Zero rank variance (a constant column) → null rho.
+   * Values tie on their `xScale`/`yScale` decimal grids.
+   *
+   * Output: (keys…, n, rho).
+   *
+   * Envelope: Σ(2r)² ≤ 4n³ must fit DECIMAL(38) — n to ~10^11 rows
+   * per group.
+   *
+   * Scale posture: ONE exchange on the group keys serves both rank
+   * windows (two sorts, same partitioning) and the closing aggregate.
+   */
+  def spearman(df: DataFrame, keys: Seq[String], xCol: String, yCol: String,
+               xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast(s"decimal(18,$xScale)")
+    val y = col(yCol).cast(s"decimal(18,$yScale)")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    def r2(c: Column) =
+      rank().over(wk.orderBy(c.asc)).cast("long") + count(lit(1)).over(wk) -
+        rank().over(wk.orderBy(c.desc)).cast("long") + 1L
+    val ranked = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+      .withColumn("__rx", r2(col("__x")))
+      .withColumn("__ry", r2(col("__y")))
+    val rx = col("__rx").cast("decimal(19,0)")
+    val ry = col("__ry").cast("decimal(19,0)")
+    val m = ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+        sum((rx * ry).cast("decimal(38,0)")).as("__sxy"),
+        sum((rx * rx).cast("decimal(38,0)")).as("__sxx"),
+        sum((ry * ry).cast("decimal(38,0)")).as("__syy"))
+    val n = d(col("n"))
+    val sx = d(col("__sx")); val sy = d(col("__sy"))
+    val vx = n * d(col("__sxx")) - sx * sx
+    val vy = n * d(col("__syy")) - sy * sy
+    val cov = n * d(col("__sxy")) - sx * sy
+    m.select(keys.map(col) ++ Seq(
+      col("n"),
+      when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("rho")): _*)
+  }
+
+  /**
+   * Benjamini-Hochberg FDR control per family: given one p-value per
+   * test, emit the BH-adjusted p (`p_adj`) and the keep/reject call at
+   * level `alpha` — the multiple-testing guard every metrics pipeline
+   * that fans out thousands of A/B comparisons needs (Bonferroni is
+   * too conservative at that width; raw p's are a false-discovery
+   * machine).
+   *
+   * `p_adj(k) = min(1, min over j ≥ k of (m·p(j)/j))` over tests
+   * ranked by p ascending; `significant = p_adj ≤ alpha` reproduces
+   * the classic step-up rule exactly. The rank tie-breaks on `idCol`
+   * (must be unique per family — the [[graft.llm.Sampling]] key
+   * precondition), so the rank column is engine-reproducible even
+   * under tied p's; `m·p/j` is a fixed left-to-right IEEE
+   * composition, and the running min is order-independent.
+   * Null p's are excluded (no test, no discovery).
+   *
+   * Output: input keys + (id, p, rank, p_adj, significant).
+   *
+   * Scale posture: all three windows (count, rank, reverse running
+   * min) share ONE family-keyed exchange. With empty `keys` the
+   * family is global and the sort runs in a single partition — fine
+   * to ~10^7 tests; shard into families past that.
+   */
+  def benjaminiHochberg(df: DataFrame, keys: Seq[String], idCol: String,
+                        pCol: String, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wAsc = wk.orderBy(col(pCol).asc, col(idCol).asc)
+    val wDesc = wk.orderBy(col(pCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(wAsc).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wk))
+      .withColumn("__raw",
+        d(col("__m")) * col(pCol).cast("double") / d(col("rank")))
+      .withColumn("p_adj", least(lit(1.0), min(col("__raw")).over(wDesc)))
+      .withColumn("significant", col("p_adj") <= alpha)
+      .drop("__m", "__raw")
+  }
 }

@@ -477,4 +477,38 @@ class PlanGuardSpec extends AnyFunSuite {
         s"$q: ${fin.take(1200)}")
     }
   }
+
+  test("q211 Mann-Whitney: value-grid agg + ONE key exchange, join-free") {
+    val whole = finalPlan("q211_mann_whitney")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    // (keys, value) grid agg then the keys exchange; the rank window
+    // AND the closing moment aggregate both ride the second exchange
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 2,
+      fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 1, fin.take(1500))
+    assert(fin.contains("partial_sum"), fin.take(1500))
+  }
+
+  test("q212 Spearman: both rank directions ride ONE key exchange") {
+    val whole = finalPlan("q212_spearman")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    // four rank windows + two count windows: same hash partitioning,
+    // re-sorted in place — a per-(key,value) tie exchange would be a
+    // second corpus-sized shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+    assert("windowspecdefinition".r.findAllIn(fin).size >= 6, fin.take(1500))
+    assert(fin.contains("partial_count"), fin.take(1500))
+  }
+
+  test("q213 BH-FDR: all three windows share the family exchange") {
+    val whole = finalPlan("q213_bh_fdr")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 1, fin.take(1500))
+  }
 }

@@ -65,4 +65,74 @@ class StatsSpec extends AnyFunSuite {
       solo.isNullAt(solo.fieldIndex("dof")))
     assert(solo.getAs[Double]("mean_a") == 1.0)
   }
+
+  test("mannWhitneyU: hand-derived ranks/U/z with ties; degenerates null") {
+    // a={1,2,3}, b={2,4,5}: tie run at 2 -> avg rank 2.5 each;
+    // R_a = 1 + 2.5 + 4 = 7.5, U_a = 1.5, T = 2^3-2 = 6,
+    // sig2 = (9/12)*((6+1) - 6/(6*5)) = 5.1
+    val df = spark.createDataFrame(Seq(
+      ("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+      ("k", "b", 2.0), ("k", "b", 4.0), ("k", "b", 5.0),
+      ("flat", "a", 7.0), ("flat", "a", 7.0), ("flat", "b", 7.0),
+      ("one", "a", 1.0), ("one", "a", 2.0),
+      ("k", "c", 99.0))) // foreign label: excluded
+      .toDF("key", "arm", "v")
+    val out = Stats.mannWhitneyU(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_a") == 3L && k.getAs[Long]("n_b") == 3L)
+    assert(k.getAs[Double]("u_a") == 1.5 && k.getAs[Double]("u_b") == 7.5)
+    assert(k.getAs[Double]("z") == (1.5 - 4.5) / math.sqrt(5.1))
+    // all-tied data: sig2 = 0 -> null z, U still defined
+    // (three ties at 7 -> avg rank 2 each; R_a = 4, U_a = 4 - 3 = 1)
+    val flat = out("flat")
+    assert(flat.getAs[Double]("u_a") == 1.0)
+    assert(flat.isNullAt(flat.fieldIndex("z")))
+    // missing arm b: u/z null
+    val one = out("one")
+    assert(one.getAs[Long]("n_b") == 0L && one.isNullAt(one.fieldIndex("z"))
+      && one.isNullAt(one.fieldIndex("u_a")))
+  }
+
+  test("spearman: tie-averaged ranks; monotone nonlinear = 1") {
+    val df = Seq(
+      ("t", 1.0, 1.0), ("t", 2.0, 2.0), ("t", 2.0, 3.0), ("t", 3.0, 4.0),
+      ("m", 1.0, 1.0), ("m", 2.0, 10.0), ("m", 3.0, 100.0), ("m", 4.0, 1000.0),
+      ("h", 1.0, 10.0), ("h", 2.0, 30.0), ("h", 3.0, 20.0))
+      .toDF("key", "x", "y")
+    val out = Stats.spearman(df, Seq("key"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // ties: x-ranks (1, 2.5, 2.5, 4), y-ranks (1,2,3,4) ->
+    // rho = 4.5/sqrt(4.5*5)
+    assert(out("t") == 4.5 / (math.sqrt(4.5) * math.sqrt(5.0)))
+    assert(math.abs(out("m") - 1.0) < 1e-12)
+    // classic d^2 formula: 1 - 6*2/(3*8) = 0.5
+    assert(math.abs(out("h") - 0.5) < 1e-12)
+  }
+
+  test("benjaminiHochberg: step-up adjusted p, tied p's share p_adj") {
+    val df = Seq(("f", "t1", 0.01), ("f", "t2", 0.02), ("f", "t3", 0.03),
+      ("f", "t4", 0.2), ("f", "t5", 0.5))
+      .toDF("fam", "id", "p")
+    val out = Stats.benjaminiHochberg(df, Seq("fam"), "id", "p", alpha = 0.1)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Double]("p_adj"), r.getAs[Boolean]("significant"))).toMap
+    // raw m*p/k = ~.05 ~.05 ~.05 .25 .5 (replay the exact IEEE
+    // composition — the three ~.05s differ in the last ulp)
+    val raw = Seq(0.01, 0.02, 0.03, 0.2, 0.5).zipWithIndex
+      .map { case (p, i) => 5.0 * p / (i + 1).toDouble }
+    val adj = raw.indices.map(i => math.min(1.0, raw.drop(i).min))
+    assert(out("t1")._1 == adj(0) && out("t2")._1 == adj(1) &&
+      out("t3")._1 == adj(2))
+    assert(out("t4")._1 == adj(3) && out("t5")._1 == adj(4))
+    assert(out("t1")._2 && out("t2")._2 && out("t3")._2)
+    assert(!out("t4")._2 && !out("t5")._2)
+    // tied p's get identical p_adj regardless of id order
+    val tied = Seq(("f", "a", 0.04), ("f", "b", 0.04), ("f", "c", 0.9))
+      .toDF("fam", "id", "p")
+    val t2 = Stats.benjaminiHochberg(tied, Seq("fam"), "id", "p")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("p_adj"))
+      .toMap
+    assert(t2("a") == t2("b") && t2("a") == 3.0 * 0.04 / 2.0)
+  }
 }

@@ -269,4 +269,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).isNullAt(2)) // null in
     assert(r(1).getLong(0) == 1L && r(1).getLong(1) == 0L && r(1).isNullAt(2))
   }
+
+  test("round-11 operators on empty inputs") {
+    val emptyAb = Seq.empty[(String, String, Option[Double])]
+      .toDF("k", "arm", "v")
+    assert(graft.agg.Stats.mannWhitneyU(
+      emptyAb, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.spearman(
+      Seq.empty[(String, Double, Double)].toDF("k", "x", "y"),
+      Seq("k"), "x", "y").count() == 0)
+    assert(graft.agg.Stats.benjaminiHochberg(
+      Seq.empty[(String, String, Option[Double])].toDF("fam", "id", "p"),
+      Seq("fam"), "id", "p").count() == 0)
+    // all-null p: every row excluded, not a crash
+    assert(graft.agg.Stats.benjaminiHochberg(
+      Seq(("f", "a", Option.empty[Double])).toDF("fam", "id", "p"),
+      Seq("fam"), "id", "p").count() == 0)
+  }
 }
