@@ -2929,7 +2929,30 @@ object SparkEntry {
           .withColumn("p", u * u),
         Seq("lang"), "doc_id", "p", alpha = 0.3)
         .select("lang", "doc_id", "p", "rank", "p_adj", "significant")
-    })
+    }),
+
+    // ---- curation: quantile normalization — every source's n_chars
+    //      mapped onto the POOLED length distribution (midpoint-rank
+    //      convention, all-integer grid arithmetic) ----
+    "q214_quantile_norm" -> ((s, dir) =>
+      graft.ops.Normalize.quantileNormalize(
+        t(s, dir, "documents")
+          .filter(col("source").isNotNull && col("n_chars").isNotNull)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")),
+
+    // ---- eval: Cohen's kappa per source between the labeled lang
+    //      and the n-gram language-ID prediction — chance-corrected
+    //      classifier agreement ----
+    "q215_judge_kappa" -> ((s, dir) =>
+      graft.agg.Stats.cohenKappa(
+        t(s, dir, "documents").withColumn("pred", TA.langId(col("text"))),
+        Seq("source"), "lang", "pred")),
+
+    // ---- vocabulary health: Zipf slope per source — OLS of
+    //      log-frequency on log-rank (natural text ≈ −1) ----
+    "q216_zipf_slope" -> ((s, dir) =>
+      TA.zipfSlope(t(s, dir, "documents"), Seq("source"), "text"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -5982,6 +6005,108 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
         |  FROM r)
         |SELECT lang, doc_id, p, "rank", p_adj, p_adj <= 0.3 AS significant
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // same integer grid: doubled midpoint ranks per (source, value),
+    // pooled CDF exploded to a rank->value map, ceil via floor-div
+    "q214_quantile_norm" ->
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |    CAST(n_chars AS DECIMAL(18,2)) AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM b GROUP BY 1, 2),
+        |gc AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns FROM g),
+        |g2 AS (SELECT source, v, 2 * cum - c + 1 AS r2, ns FROM gc),
+        |p AS (SELECT v AS pv, CAST(count(*) AS BIGINT) AS pc FROM b GROUP BY 1),
+        |pc2 AS (SELECT *, CAST(sum(pc) OVER (ORDER BY pv) AS BIGINT) AS pcm
+        |        FROM p),
+        |np AS (SELECT max(pcm) AS np FROM pc2),
+        |rmap AS (SELECT pv, unnest(generate_series(pcm - pc + 1, pcm)) AS t
+        |         FROM pc2),
+        |tgt AS (SELECT source, v,
+        |    (r2 * np.np + 2 * ns - 1) // (2 * ns) AS t
+        |  FROM g2 CROSS JOIN np),
+        |mapv AS (SELECT source, v, pv FROM tgt JOIN rmap USING (t))
+        |SELECT doc_id, b.source, b.n_chars,
+        |  CAST(pv AS DECIMAL(18,2)) AS normalized
+        |FROM b JOIN mapv ON mapv.source = b.source AND mapv.v = b.v""".stripMargin,
+
+    // the q23 language-ID prediction replayed, then the exact-count
+    // contingency/marginal kappa with the pinned division chain
+    "q215_judge_kappa" ->
+      """WITH t AS (SELECT source, lang,
+        |    list_distinct(string_split_regex(text, '\s+')) AS dw
+        |  FROM documents),
+        |h AS (SELECT source, lang,
+        |  CAST(len(list_intersect(dw, ['the','and','of','to','in','is','that','it','with','for'])) AS BIGINT) AS en_hits,
+        |  CAST(len(list_intersect(dw, ['el','la','de','que','y','en','un','los','por','con'])) AS BIGINT) AS es_hits,
+        |  CAST(len(list_intersect(dw, ['der','die','und','das','ist','von','mit','den','ein','nicht'])) AS BIGINT) AS de_hits,
+        |  CAST(len(list_intersect(dw, ['le','la','de','et','un','les','des','en','que','pour'])) AS BIGINT) AS fr_hits
+        | FROM t),
+        |pr AS (SELECT source, CAST(lang AS VARCHAR) AS r1,
+        |  CASE WHEN en_hits = g AND en_hits > 0 THEN 'en'
+        |       WHEN es_hits = g AND es_hits > 0 THEN 'es'
+        |       WHEN de_hits = g AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits = g AND fr_hits > 0 THEN 'fr'
+        |       ELSE 'und' END AS r2
+        |  FROM (SELECT *, greatest(en_hits, es_hits, de_hits, fr_hits) AS g
+        |        FROM h)
+        |  WHERE lang IS NOT NULL),
+        |cont AS (SELECT source, r1, r2, CAST(count(*) AS BIGINT) AS c
+        |         FROM pr GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cont GROUP BY 1),
+        |m1 AS (SELECT source, r1 AS cat, CAST(sum(c) AS BIGINT) AS c1
+        |       FROM cont GROUP BY 1, 2),
+        |m2 AS (SELECT source, r2 AS cat, CAST(sum(c) AS BIGINT) AS c2
+        |       FROM cont GROUP BY 1, 2),
+        |pe AS (SELECT source, sum(CAST(c1 * c2 AS DECIMAL(38,0))) AS pen
+        |       FROM m1 JOIN m2 USING (source, cat) GROUP BY 1),
+        |d AS (SELECT tot.source, n,
+        |    CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        |  FROM tot JOIN pe USING (source))
+        |SELECT source, n, po, pe,
+        |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+        |FROM d""".stripMargin,
+
+    // rank by (count DESC, token); round-9 libm logs onto the
+    // DECIMAL(18,9) grid; moments truncated to the 1e-6 grid before
+    // the double cast (wide-scale decimal→double double-rounds in
+    // hugeint engines; the snapped cast is single-rounded everywhere)
+    "q216_zipf_slope" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, tok) AS rk FROM c),
+        |xy AS (SELECT source,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM r),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx0, sum(y) AS sy0, sum(x * y) AS sxy0,
+        |    sum(x * x) AS sxx0, sum(y * y) AS syy0
+        |  FROM xy GROUP BY 1),
+        |d AS (SELECT source, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx0 - (sx0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sy0 - (sy0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+        |    CAST(CAST(sxy0 - (sxy0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sxx0 - (sxx0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(syy0 - (syy0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS syy
+        |  FROM m),
+        |v AS (SELECT *, nd * sxx - sx * sx AS vx, nd * syy - sy * sy AS vy,
+        |    nd * sxy - sx * sy AS cov FROM d)
+        |SELECT source, n,
+        |  CASE WHEN vx > 0 THEN cov / vx END AS slope,
+        |  CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / nd END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM v""".stripMargin
   )
 }

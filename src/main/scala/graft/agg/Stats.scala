@@ -80,7 +80,11 @@ object Stats {
   def linearFit(df: DataFrame, groupCols: Seq[String],
                 xCol: String, yCol: String,
                 xScale: Int = 0, yScale: Int = 2): DataFrame = {
-    val x = col(xCol).cast(s"decimal(19,$xScale)")
+    // precision 18, not 19: an (19,s)·(19,s) product is precision 39,
+    // which Spark caps to (38, s·2−1) — each x² then rounds its last
+    // decimal digit while a HUGEINT-backed oracle keeps it exact. At
+    // 18 every product is ≤ (37, 2s): inside the cap, exact.
+    val x = col(xCol).cast(s"decimal(18,$xScale)")
     val y = col(yCol).cast(s"decimal(18,$yScale)")
     val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
@@ -333,5 +337,63 @@ object Stats {
       .withColumn("p_adj", least(lit(1.0), min(col("__raw")).over(wDesc)))
       .withColumn("significant", col("p_adj") <= alpha)
       .drop("__m", "__raw")
+  }
+
+  /**
+   * Cohen's kappa per group: chance-corrected agreement between two
+   * categorical columns — the eval-pipeline staple (LLM judge vs
+   * human label, classifier vs ground truth; raw accuracy flatters
+   * any skewed label set, kappa doesn't).
+   *
+   * `κ = (p_o − p_e)/(1 − p_e)` with observed agreement
+   * `p_o = agree/n` and chance agreement
+   * `p_e = Σ_c m1_c·m2_c / n²` over the label marginals. All counts
+   * and the marginal cross-products are exact integers/decimals; the
+   * closing division chain is pinned IEEE
+   * (`po = a/n; pe = peNum/(n·n); κ = (po − pe)/(1 − pe)`). Rows with
+   * a null label on either side are excluded (no rating, no
+   * agreement). Degenerate `p_e = 1` (both raters constant and equal)
+   * → null kappa.
+   *
+   * Output: (keys…, n, po, pe, kappa).
+   *
+   * Scale posture: one (keys, label, label) contingency aggregation
+   * (map-side combined — the shuffled relation is label-cardinality²
+   * per key, not rows); totals and both marginals reduce from it; the
+   * marginal join keys on (keys, category) — tiny on both sides.
+   */
+  def cohenKappa(df: DataFrame, keys: Seq[String], r1Col: String,
+                 r2Col: String): DataFrame = {
+    val base = df.filter(col(r1Col).isNotNull && col(r2Col).isNotNull)
+      .select(keys.map(col) :+ col(r1Col).cast("string").as("__r1") :+
+        col(r2Col).cast("string").as("__r2"): _*)
+    // checkpoint the contingency relation (label²·keys rows — tiny):
+    // totals and both marginals re-read it, not the corpus
+    val cont = base
+      .groupBy(keys.map(col) :+ col("__r1") :+ col("__r2"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val tot = cont.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__r1") === col("__r2"), col("__c")).otherwise(0L))
+          .as("__agree"))
+    val m1 = cont.groupBy(keys.map(col) :+ col("__r1").as("__cat"): _*)
+      .agg(sum(col("__c")).as("__m1"))
+    val m2 = cont.groupBy(keys.map(col) :+ col("__r2").as("__cat"): _*)
+      .agg(sum(col("__c")).as("__m2"))
+    val peNum = m1.join(m2, keys :+ "__cat")
+      .groupBy(keys.map(col): _*)
+      .agg(sum((col("__m1").cast("decimal(19,0)") *
+        col("__m2").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__pe"))
+    val j =
+      if (keys.isEmpty) tot.crossJoin(peNum)
+      else tot.join(peNum, keys, "inner")
+    val n = d(col("n"))
+    val po = d(col("__agree")) / n
+    val pe = d(col("__pe")) / (n * n)
+    j.select(keys.map(col) ++ Seq(
+      col("n"), po.as("po"), pe.as("pe"),
+      when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa")): _*)
   }
 }

@@ -1322,4 +1322,67 @@ object TextAnalysis {
         (col("cum_cnt").cast("double") / col("__total").cast("double"))
           .as("cum_frac"))
   }
+
+  /**
+   * Zipf slope per corpus slice: OLS fit of log-frequency against
+   * log-rank over the slice's token frequency table — natural text
+   * runs close to −1; template spam and boilerplate flatten toward 0,
+   * OCR noise / ID dumps steepen and decorrelate. The log-log
+   * `corr` column doubles as the fit-quality (Zipfianness) signal.
+   *
+   * Reproducibility: ranks total-order by (count DESC, token), logs
+   * are the libm-consistent [[graft.functions.MathFunctions.libmLog]]
+   * rounded to 9 decimals onto a decimal grid, moments are exact
+   * DECIMAL sums, and the closing OLS composition reads each moment
+   * TRUNCATED to the 10⁻⁶ grid — a wide-scale decimal's integer units
+   * exceed 2⁵³, where native engines' decimal→double casts
+   * double-round (hugeint→double, then ÷10ˢ) while the JVM's is
+   * correctly rounded; snapping to 10⁻⁶ (moments here are nonnegative
+   * and < 10⁹, so units < 2⁵³) makes the cast single-rounded and
+   * bit-identical everywhere. `%`-truncation, not HALF_UP, because
+   * that is the one rescale both engine families agree on.
+   *
+   * Output: (keys…, n (vocab size), slope, intercept, corr).
+   *
+   * Scale posture: token counts aggregate with map-side partials
+   * (one (keys, token) exchange); the rank window runs over the
+   * VOCABULARY relation (Heaps-bounded, not corpus-sized) on one
+   * keys exchange; the closing moments ride that partitioning.
+   */
+  def zipfSlope(df: DataFrame, keys: Seq[String], textCol: String)
+  : DataFrame = {
+    val cnt = df
+      .select(keys.map(col) :+
+        explode(cleanTokens(col(textCol))).as("__tok"): _*)
+      .groupBy(keys.map(col) :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wr = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+    val xy = cnt
+      .withColumn("__x", round(graft.functions.MathFunctions.libmLog(
+        row_number().over(wr).cast("double")), 9).cast("decimal(18,9)"))
+      .withColumn("__y", round(graft.functions.MathFunctions.libmLog(
+        col("__cnt").cast("double")), 9).cast("decimal(18,9)"))
+    val m = xy.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    // 10⁻⁶-grid snap (see scaladoc): truncate, exact-rescale, cast once
+    def t6(c: Column): Column =
+      (c - (c % lit(BigDecimal("0.000001"))))
+        .cast("decimal(38,6)").cast("double")
+    val n = col("n").cast("double")
+    val sx = t6(col("__sx")); val sy = t6(col("__sy"))
+    val vx = n * t6(col("__sxx")) - sx * sx
+    val vy = n * t6(col("__syy")) - sy * sy
+    val cov = n * t6(col("__sxy")) - sx * sy
+    val slope = cov / vx
+    m.select(keys.map(col) ++ Seq(
+      col("n"),
+      when(vx > 0, slope).as("slope"),
+      when(vx > 0, (sy - slope * sx) / n).as("intercept"),
+      when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
+  }
 }

@@ -511,4 +511,39 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
     assert("FileScan".r.findAllIn(fin).size == 1, fin.take(1500))
   }
+
+  test("q214 quantile normalization: grid stats off ONE checkpointed base, " +
+      "no cartesian row join") {
+    val whole = finalPlan("q214_quantile_norm")
+    val fin = whole.split("== Initial Plan ==")(0)
+    // grid, pooled CDF, n_pool, rank map: all from the checkpointed
+    // 2-column base, not repeated corpus scans (the only FileScan is
+    // the outer row relation the result attaches to)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size <= 1, fin.take(1500))
+    // rank lookup is an EQUI join on the target rank; the only
+    // nested-loop is the 1-row n_pool attach (by design)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(fin).size
+    assert(bnlj <= 1, fin.take(1500))
+  }
+
+  test("q215 kappa: contingency checkpointed; marginals never rescan") {
+    val whole = finalPlan("q215_judge_kappa")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 0, fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
+
+  test("q216 zipf slope: vocab rank window + moments on one keys exchange") {
+    val whole = finalPlan("q216_zipf_slope")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    // (keys, token) count exchange, then the keys exchange carries the
+    // rank window and the closing moment aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 2,
+      fin.take(1500))
+    assert(fin.contains("partial_sum"), fin.take(1500))
+  }
 }

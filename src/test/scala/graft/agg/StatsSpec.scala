@@ -135,4 +135,24 @@ class StatsSpec extends AnyFunSuite {
       .toMap
     assert(t2("a") == t2("b") && t2("a") == 3.0 * 0.04 / 2.0)
   }
+
+  test("cohenKappa: textbook contingency; degenerate pe=1 null") {
+    // 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes:
+    // po = 0.7, pe = (30*25 + 20*25)/2500 = 0.5, kappa = 0.4
+    val rows =
+      Seq.fill(20)(("k", "yes", "yes")) ++ Seq.fill(15)(("k", "no", "no")) ++
+      Seq.fill(10)(("k", "yes", "no")) ++ Seq.fill(5)(("k", "no", "yes")) ++
+      Seq.fill(4)(("flat", "x", "x")) ++
+      Seq(("k", null, "yes"), ("k", "yes", null)) // null labels excluded
+    val out = Stats.cohenKappa(rows.toDF("key", "r1", "r2"),
+      Seq("key"), "r1", "r2")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n") == 50L)
+    assert(k.getAs[Double]("po") == 0.7 && k.getAs[Double]("pe") == 0.5)
+    assert(math.abs(k.getAs[Double]("kappa") - 0.4) < 1e-15)
+    val flat = out("flat")
+    assert(flat.getAs[Double]("pe") == 1.0 &&
+      flat.isNullAt(flat.fieldIndex("kappa")))
+  }
 }

@@ -285,5 +285,18 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.benjaminiHochberg(
       Seq(("f", "a", Option.empty[Double])).toDF("fam", "id", "p"),
       Seq("fam"), "id", "p").count() == 0)
+    assert(graft.ops.Normalize.quantileNormalize(
+      Seq.empty[(String, Option[Double])].toDF("src", "v"),
+      "src", "v").count() == 0)
+    assert(graft.agg.Stats.cohenKappa(
+      Seq.empty[(String, String, String)].toDF("k", "r1", "r2"),
+      Seq("k"), "r1", "r2").count() == 0)
+    assert(graft.llm.TextAnalysis.zipfSlope(
+      Seq.empty[(String, String)].toDF("src", "text"),
+      Seq("src"), "text").count() == 0)
+    // empty/whitespace text: zero tokens, no xy rows, no crash
+    assert(graft.llm.TextAnalysis.zipfSlope(
+      Seq(("s", ""), ("s", "   ")).toDF("src", "text"),
+      Seq("src"), "text").count() == 0)
   }
 }

@@ -89,4 +89,25 @@ class TextStatsSpec extends AnyFunSuite {
       maxLen = 4, topK = 10).collect().map(_.getString(0)).toSet
     assert(out == Set("zeta", "eta")) // the 5-token run is dropped
   }
+
+  test("zipfSlope: exact power law fits slope -1; flat counts slope 0") {
+    // counts (6,3,2) at ranks (1,2,3): ln-count = ln6 - ln-rank
+    // exactly, so the fit is slope -1 / corr -1 (up to the 1e-9 grid)
+    val zipf = Seq(("z", ("a " * 6 + "b " * 3 + "c " * 2).trim))
+      .toDF("src", "text")
+    val flat = Seq(("f", "x y z w")).toDF("src", "text")
+    val out = TextAnalysis.zipfSlope(zipf.union(flat), Seq("src"), "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = out("z")
+    assert(z.getAs[Long]("n") == 3L)
+    // 1e-5, not 1e-6: the closing reads moments snapped to the 1e-6
+    // grid, so the fit carries that quantization
+    assert(math.abs(z.getAs[Double]("slope") + 1.0) < 1e-5)
+    assert(math.abs(z.getAs[Double]("corr") + 1.0) < 1e-5)
+    assert(math.abs(z.getAs[Double]("intercept") - math.log(6.0)) < 1e-5)
+    // all counts equal: y constant -> slope 0, corr null (zero y var)
+    val f = out("f")
+    assert(f.getAs[Double]("slope") == 0.0)
+    assert(f.isNullAt(f.fieldIndex("corr")))
+  }
 }
