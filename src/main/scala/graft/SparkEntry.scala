@@ -2952,7 +2952,35 @@ object SparkEntry {
     // ---- vocabulary health: Zipf slope per source — OLS of
     //      log-frequency on log-rank (natural text ≈ −1) ----
     "q216_zipf_slope" -> ((s, dir) =>
-      TA.zipfSlope(t(s, dir, "documents"), Seq("source"), "text"))
+      TA.zipfSlope(t(s, dir, "documents"), Seq("source"), "text")),
+
+    // ---- audit: Benford first-digit deviation per return flag —
+    //      χ² + MAD against the pinned log10(1+1/d) expectations ----
+    "q217_benford" -> ((s, dir) =>
+      Quality.benfordDeviation(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice")),
+
+    // ---- retention: Kaplan-Meier per signup-month cohort — censored
+    //      at the corpus edge (active within 7 days of max = censored,
+    //      not churned); emits the pinned log-survival curve ----
+    "q218_kaplan_meier" -> ((s, dir) => {
+      // checkpoint the per-user relation: the corpus-edge max reads it
+      // too — without this the events scan and user aggregate run twice
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        .localCheckpoint(false)
+      val mx = per.agg(max(col("last_d")).as("__mx"))
+      val subj = per.crossJoin(broadcast(mx))
+        .withColumn("duration",
+          datediff(col("last_d"), col("first_d")).cast("long"))
+        .withColumn("observed", datediff(col("__mx"), col("last_d")) >= 7)
+        .withColumn("cohort", date_trunc("month", col("first_d")).cast("date"))
+      graft.ops.Survival.kaplanMeier(subj, Seq("cohort"),
+        "duration", "observed")
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6107,6 +6135,89 @@ object SparkEntry {
         |  CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / nd END AS intercept,
         |  CASE WHEN vx > 0 AND vy > 0
         |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // cent-grid first digit by integer-string truncation; the same
+    // pinned log10(1+1/d) literals; chi2 folds digits 1..9 in order
+    "q217_benford" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    substr(CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS dg
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) >= 1),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN dg = '1' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN dg = '2' THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN dg = '3' THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN dg = '4' THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |    CAST(sum(CASE WHEN dg = '5' THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+        |    CAST(sum(CASE WHEN dg = '6' THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+        |    CAST(sum(CASE WHEN dg = '7' THEN 1 ELSE 0 END) AS BIGINT) AS d7,
+        |    CAST(sum(CASE WHEN dg = '8' THEN 1 ELSE 0 END) AS BIGINT) AS d8,
+        |    CAST(sum(CASE WHEN dg = '9' THEN 1 ELSE 0 END) AS BIGINT) AS d9
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(d1 AS DOUBLE) AS o1, CAST(d2 AS DOUBLE) AS o2,
+        |    CAST(d3 AS DOUBLE) AS o3, CAST(d4 AS DOUBLE) AS o4,
+        |    CAST(d5 AS DOUBLE) AS o5, CAST(d6 AS DOUBLE) AS o6,
+        |    CAST(d7 AS DOUBLE) AS o7, CAST(d8 AS DOUBLE) AS o8,
+        |    CAST(d9 AS DOUBLE) AS o9 FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n > 0 THEN
+        |    (o1 - nd * 0.3010299956639812) * (o1 - nd * 0.3010299956639812) / (nd * 0.3010299956639812)
+        |    + (o2 - nd * 0.17609125905568124) * (o2 - nd * 0.17609125905568124) / (nd * 0.17609125905568124)
+        |    + (o3 - nd * 0.12493873660829992) * (o3 - nd * 0.12493873660829992) / (nd * 0.12493873660829992)
+        |    + (o4 - nd * 0.09691001300805642) * (o4 - nd * 0.09691001300805642) / (nd * 0.09691001300805642)
+        |    + (o5 - nd * 0.07918124604762482) * (o5 - nd * 0.07918124604762482) / (nd * 0.07918124604762482)
+        |    + (o6 - nd * 0.06694678963061322) * (o6 - nd * 0.06694678963061322) / (nd * 0.06694678963061322)
+        |    + (o7 - nd * 0.05799194697768673) * (o7 - nd * 0.05799194697768673) / (nd * 0.05799194697768673)
+        |    + (o8 - nd * 0.05115252244738129) * (o8 - nd * 0.05115252244738129) / (nd * 0.05115252244738129)
+        |    + (o9 - nd * 0.04575749056067514) * (o9 - nd * 0.04575749056067514) / (nd * 0.04575749056067514)
+        |  END AS chi2,
+        |  CASE WHEN n > 0 THEN
+        |    (abs(o1 / nd - 0.3010299956639812)
+        |    + abs(o2 / nd - 0.17609125905568124)
+        |    + abs(o3 / nd - 0.12493873660829992)
+        |    + abs(o4 / nd - 0.09691001300805642)
+        |    + abs(o5 / nd - 0.07918124604762482)
+        |    + abs(o6 / nd - 0.06694678963061322)
+        |    + abs(o7 / nd - 0.05799194697768673)
+        |    + abs(o8 / nd - 0.05115252244738129)
+        |    + abs(o9 / nd - 0.04575749056067514)) / 9.0
+        |  END AS mad
+        |FROM t""".stripMargin,
+
+    // subjects: per-user first/last day, censored within 7 days of
+    // the corpus edge; KM with the deaths-before-censorings at-risk
+    // rule; log-survival = exact decimal sum of round-9 libm logs
+    "q218_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT user_id, min(d) AS first_d, max(d) AS last_d
+        |        FROM e GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM per),
+        |subj AS (SELECT date_trunc('month', first_d) AS cohort,
+        |    CAST(last_d - first_d AS BIGINT) AS t,
+        |    (mxd - last_d) >= 7 AS obs
+        |  FROM per CROSS JOIN mx),
+        |g AS (SELECT cohort, t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort) AS BIGINT) AS tot,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |k AS (SELECT cohort, t, tot - cum + d + c AS n_risk, d, c FROM r),
+        |f AS (SELECT *, CASE WHEN n_risk > d THEN
+        |    CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(12,9)) END AS lf
+        |  FROM k)
+        |SELECT cohort, t, n_risk, d, c,
+        |  CASE WHEN lf IS NOT NULL THEN
+        |    CAST(sum(lf) OVER (PARTITION BY cohort ORDER BY t) AS DOUBLE)
+        |  END AS log_surv
+        |FROM f""".stripMargin
   )
 }

@@ -179,6 +179,13 @@ object Stats {
    * tie-corrected normal-approximation z (valid for arms ≳ 20; exact
    * small-sample tables belong to the caller).
    *
+   * Relation to [[graft.quality.Quality.mannWhitneyU]]: that one is
+   * the GLOBAL two-sample form (per-row midranks on one all-to-one
+   * sort — exact, simple, ~10^8-row ceiling); this one is the grouped
+   * scale path — it never ranks rows, only the (keys, value) GRID, so
+   * it holds at any row count and any key fan-out. Same statistic,
+   * same tie correction; identical z on identical data.
+   *
    * Reproducibility discipline: every rank quantity lives on the
    * integer grid — ranks are computed in DOUBLED units (the average
    * rank of a tie run `[lo, hi]` is `(lo+hi)/2`, so `lo+hi` is the

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Survival analysis over subject-level durations — retention/churn
+ * curves with CENSORING done right (users still active at the
+ * observation edge are not churns; dropping them biases every naive
+ * retention query).
+ */
+object Survival {
+
+  /**
+   * Kaplan-Meier estimator per cohort. Input: one row per subject
+   * with a non-negative integer `durationCol` (time to event or to
+   * censoring) and a boolean `observedCol` (true = the event
+   * happened; false = censored at that duration). Output: one row per
+   * (cohort, duration) event time with the at-risk count, deaths,
+   * censorings, and the LOG survival function
+   * `log_surv = Σ_{t' ≤ t} ln((n_{t'} − d_{t'})/n_{t'})`
+   * (survival itself is `exp(log_surv)` — left to the caller, because
+   * `exp` is not engine-pinned arithmetic while this log sum is).
+   *
+   * Conventions: deaths precede censorings at equal time (both still
+   * count as at-risk at their own time — the standard KM tie rule);
+   * rows where everyone at risk dies (`n_t = d_t`, survival hits 0)
+   * emit null `log_surv` — by construction that can only be a
+   * cohort's final event time.
+   *
+   * Reproducibility: counts are exact; each factor's log is the
+   * libm-consistent [[graft.functions.MathFunctions.libmLog]] of one
+   * pinned double division, rounded to 9 decimals onto a decimal
+   * grid; the running sum accumulates in DECIMAL (exact,
+   * order-independent) and casts to double once — the sum's integer
+   * units stay far under 2⁵³, so the cast is single-rounded in every
+   * engine.
+   *
+   * Scale posture: one (keys, duration) aggregation collapses
+   * subjects to event times; ONE cohort-keyed exchange carries the
+   * at-risk window and the running log sum. Nothing row-sized past
+   * the first aggregate.
+   */
+  def kaplanMeier(df: DataFrame, keys: Seq[String], durationCol: String,
+                  observedCol: String): DataFrame = {
+    val g = df
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0 &&
+        col(observedCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(durationCol).cast("long").as("t"): _*)
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val w = wk.orderBy(col("t"))
+    val withRisk = g
+      .withColumn("__tot", sum(col("d") + col("c")).over(wk))
+      .withColumn("__cum", sum(col("d") + col("c")).over(w))
+      .withColumn("n_risk", col("__tot") - col("__cum") + col("d") + col("c"))
+    val logf = when(col("n_risk") > col("d"),
+      round(graft.functions.MathFunctions.libmLog(
+        (col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")), 9))
+    withRisk
+      .withColumn("__logf", logf.cast("decimal(12,9)"))
+      .withColumn("log_surv",
+        when(col("__logf").isNotNull,
+          sum(col("__logf")).over(w).cast("double")))
+      .select(keys.map(col) ++
+        Seq(col("t"), col("n_risk"), col("d"), col("c"),
+          col("log_surv")): _*)
+  }
+}

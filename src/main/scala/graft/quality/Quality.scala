@@ -548,8 +548,9 @@ object Quality {
    * Scale posture: like [[ksDrift]], the exact statistic needs a
    * total order — a single-task ranking window after an all-to-one
    * exchange, correct to ~10^8 rows. The aggregation itself is one
-   * pass; at corpus scale, rank against a binned CDF the
-   * [[ksDriftBinned]] way.
+   * pass; at corpus scale, or per key, use
+   * [[graft.agg.Stats.mannWhitneyU]] — the grid-collapsed grouped
+   * form of the same statistic (ranks value GROUPS, never rows).
    */
   def mannWhitneyU(df: DataFrame, valueCol: String, flagCol: String,
                    a: String, b: String): DataFrame = {
@@ -652,5 +653,64 @@ object Quality {
         aggregate(sort_array(collect_list(struct(col("__bin").as("b"),
             col("__term").as("t")))),
           lit(0.0), (acc, x) => acc + x.getField("t")).as("psi"))
+  }
+
+  /** Benford's-law first-digit probabilities log10(1 + 1/d), d = 1…9,
+   *  as PINNED double literals — both engines parse the same decimal
+   *  string to the same double, where a runtime log10 would hang the
+   *  expectation on each engine's libm. */
+  val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /**
+   * Benford's-law first-digit deviation per group — the forensic
+   * audit signal for money columns: organically-grown amounts follow
+   * `P(d) = log10(1+1/d)`; fabricated, capped, or template-generated
+   * figures don't. Emits the χ² statistic against the Benford
+   * expectation and the mean absolute deviation (MAD, the
+   * Nigrini-style effect size that χ² inflates on huge n).
+   *
+   * Relation to [[benfordDrift]]: that one emits the GLOBAL 9-row
+   * digit histogram (per-digit observed/expected detail, one
+   * statistic); this is the grouped single-row-per-key score for
+   * sweeping many segments at once — same pinned expectations, same
+   * fixed-order χ² fold.
+   *
+   * Values are read on the cent grid (`round(v·100)` — the
+   * [[graft.ops.Allocate]] money convention); rows with null,
+   * non-positive, or sub-cent values are excluded (no first digit).
+   * First digit extraction is string-of-integer truncation —
+   * identical in every engine, no float log10 involved. χ² sums its
+   * nine terms in fixed digit order; with exact counts and the
+   * pinned [[BenfordP]] literals the statistic replays bit-for-bit.
+   *
+   * Output: (keys…, n, chi2, mad).
+   *
+   * Scale posture: ONE map-side-combined aggregation (count + nine
+   * conditional sums); the closing arithmetic runs on |groups| rows.
+   */
+  def benfordDeviation(df: DataFrame, keys: Seq[String],
+                       valueCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1)
+    val base = df.filter(col(valueCol).isNotNull && cents >= 1)
+    val aggs = count(lit(1)).as("n") +: (1 to 9).map(d0 =>
+      sum(when(digit === d0.toString, 1L).otherwise(0L)).as(s"__d$d0"))
+    val m = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    def term(d0: Int) = {
+      val e = n * lit(BenfordP(d0 - 1))
+      val o = col(s"__d$d0").cast("double")
+      (o - e) * (o - e) / e
+    }
+    def adev(d0: Int) =
+      abs(col(s"__d$d0").cast("double") / n - lit(BenfordP(d0 - 1)))
+    val chi2 = (1 to 9).map(term).reduce(_ + _)
+    val mad = (1 to 9).map(adev).reduce(_ + _) / lit(9.0)
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(col("n") > 0, chi2).as("chi2"),
+      when(col("n") > 0, mad).as("mad")): _*)
   }
 }

@@ -546,4 +546,30 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
     assert(fin.contains("partial_sum"), fin.take(1500))
   }
+
+  test("q217 Benford: ONE map-side-combined aggregation, join-free") {
+    val whole = finalPlan("q217_benford")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 1, fin.take(1500))
+    assert(fin.contains("partial_sum"), fin.take(1500))
+  }
+
+  test("q218 Kaplan-Meier: one subjects pass, windows ride the cohort " +
+      "exchange") {
+    val whole = finalPlan("q218_kaplan_meier")
+    val fin = whole.split("== Initial Plan ==")(0)
+    // per-user relation checkpointed (the corpus-edge max reads
+    // ExistingRDD); the only nested-loop is the 1-row max attach
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 0, fin.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    // (cohort, t) grid exchange + cohort window exchange only
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 2,
+      fin.take(1500))
+  }
 }

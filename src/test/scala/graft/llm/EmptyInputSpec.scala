@@ -298,5 +298,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.llm.TextAnalysis.zipfSlope(
       Seq(("s", ""), ("s", "   ")).toDF("src", "text"),
       Seq("src"), "text").count() == 0)
+    assert(graft.quality.Quality.benfordDeviation(
+      Seq.empty[(String, Option[Double])].toDF("k", "v"),
+      Seq("k"), "v").count() == 0)
+    assert(graft.ops.Survival.kaplanMeier(
+      Seq.empty[(String, Option[Long], Option[Boolean])]
+        .toDF("k", "dur", "obs"),
+      Seq("k"), "dur", "obs").count() == 0)
   }
 }

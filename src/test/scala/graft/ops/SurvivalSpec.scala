@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SurvivalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def r9(x: Double): java.math.BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+
+  test("kaplanMeier: hand-derived risk sets, factors, censoring; " +
+      "all-dead final point nulls log_surv") {
+    val subj = Seq(
+      ("k", 1L, true),
+      ("k", 2L, true), ("k", 2L, true), ("k", 2L, false),
+      ("k", 3L, false),
+      ("z", 1L, true), ("z", 1L, true))
+      .toDF("cohort", "dur", "obs")
+    val out = Survival.kaplanMeier(subj, Seq("cohort"), "dur", "obs")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // k@1: risk 5, d 1 -> ln(4/5); k@2: risk 4, d 2, c 1 -> +ln(2/4);
+    // k@3: risk 1, d 0 -> +ln(1) = same
+    val k1 = out(("k", 1L))
+    assert(k1.getAs[Long]("n_risk") == 5L && k1.getAs[Long]("d") == 1L)
+    val l1 = r9(math.log(4.0 / 5.0)).doubleValue
+    assert(k1.getAs[Double]("log_surv") == l1)
+    val k2 = out(("k", 2L))
+    assert(k2.getAs[Long]("n_risk") == 4L && k2.getAs[Long]("d") == 2L &&
+      k2.getAs[Long]("c") == 1L)
+    val l2 = r9(math.log(4.0 / 5.0)).add(r9(math.log(2.0 / 4.0))).doubleValue
+    assert(k2.getAs[Double]("log_surv") == l2)
+    val k3 = out(("k", 3L))
+    assert(k3.getAs[Long]("n_risk") == 1L && k3.getAs[Long]("d") == 0L)
+    assert(k3.getAs[Double]("log_surv") == l2) // ln(1) adds nothing
+    // z: both die at t=1 -> survival 0 -> null log
+    val z1 = out(("z", 1L))
+    assert(z1.getAs[Long]("n_risk") == 2L && z1.getAs[Long]("d") == 2L)
+    assert(z1.isNullAt(z1.fieldIndex("log_surv")))
+    // empty input
+    assert(Survival.kaplanMeier(
+      Seq.empty[(String, Long, Boolean)].toDF("cohort", "dur", "obs"),
+      Seq("cohort"), "dur", "obs").count() == 0)
+  }
+}

@@ -134,4 +134,35 @@ class StatsSpec extends AnyFunSuite {
     val (r0, lo0, hi0) = out("b")
     assert(r0 == 0.0 && lo0 == 0.0 && hi0 > 0.0 && hi0 < 0.35)
   }
+
+  test("benfordDeviation: digit counts, pinned chi2/mad, exclusions") {
+    // digits: 1.00->1, 1.50->1 (150c), 2.00->2, 9.99->9; excluded:
+    // null, 0.004 (rounds to 0 cents), -3.00 (negative)
+    val df = Seq(("g", Some(1.00)), ("g", Some(1.50)), ("g", Some(2.00)),
+      ("g", Some(9.99)), ("g", None), ("g", Some(0.004)),
+      ("g", Some(-3.00))).toDF("k", "v")
+    val out = Quality.benfordDeviation(df, Seq("k"), "v").collect()(0)
+    assert(out.getAs[Long]("n") == 4L)
+    // replay the exact composition
+    val p = Quality.BenfordP
+    val obs = Array(2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    val n = 4.0
+    val chi2 = (0 until 9).map { i =>
+      val e = n * p(i); (obs(i) - e) * (obs(i) - e) / e
+    }.reduce(_ + _)
+    val mad = (0 until 9).map(i => math.abs(obs(i) / n - p(i)))
+      .reduce(_ + _) / 9.0
+    assert(out.getAs[Double]("chi2") == chi2)
+    assert(out.getAs[Double]("mad") == mad)
+    // a perfectly Benford-weighted sample scores lower chi2 than a
+    // uniform-digit one of the same size
+    val benford = (0 until 9).flatMap(i =>
+      Seq.fill(math.round(p(i) * 1000).toInt)(("b", Some((i + 1).toDouble))))
+    val uniform = (0 until 9).flatMap(i =>
+      Seq.fill(111)(("u", Some((i + 1).toDouble))))
+    val two = Quality.benfordDeviation(
+      (benford ++ uniform).toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("chi2")).toMap
+    assert(two("b") < two("u"))
+  }
 }
