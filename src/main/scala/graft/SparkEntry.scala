@@ -2980,7 +2980,35 @@ object SparkEntry {
         .withColumn("cohort", date_trunc("month", col("first_d")).cast("date"))
       graft.ops.Survival.kaplanMeier(subj, Seq("cohort"),
         "duration", "observed")
-    })
+    }),
+
+    // ---- product analytics: lead/lag detection — Pearson r between
+    //      daily click volume and purchase volume `lag` days later ----
+    "q219_lagged_corr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("t",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      graft.ops.TimeSeries.laggedCrossCorr(daily, Seq.empty, "t", "x", "y",
+        maxLag = 7, xScale = 0, yScale = 0)
+    }),
+
+    // ---- audit: revenue concentration — Gini per return flag on the
+    //      exact cent-grid rank identity ----
+    "q220_gini" -> ((s, dir) =>
+      graft.agg.Stats.gini(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice")),
+
+    // ---- corpus health: pairwise Jensen-Shannon divergence between
+    //      sources' unigram distributions (shared-token join +
+    //      exclusive-mass closed form) ----
+    "q221_jsd" -> ((s, dir) =>
+      TA.jensenShannonBySlice(t(s, dir, "documents"), "source", "text"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6218,6 +6246,96 @@ object SparkEntry {
         |  CASE WHEN lf IS NOT NULL THEN
         |    CAST(sum(lf) OVER (PARTITION BY cohort ORDER BY t) AS DOUBLE)
         |  END AS log_surv
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // align x_t with y_{t+lag} by an equi join on the shifted index;
+    // exact integer moments, pearson closing
+    "q219_lagged_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(x AS DECIMAL(18,0)) AS x, CAST(y AS DECIMAL(18,0)) AS y
+        |  FROM daily),
+        |l AS (SELECT t, x, lag FROM d
+        |      CROSS JOIN (SELECT unnest(range(0, 8)) AS lag)),
+        |j AS (SELECT l.lag, l.x, d2.y FROM l
+        |      JOIN d d2 ON d2.t = l.t + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j GROUP BY 1),
+        |dd AS (SELECT lag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM m),
+        |v AS (SELECT *, nd * sxxd - sxd * sxd AS vx,
+        |    nd * syyd - syd * syd AS vy, nd * sxyd - sxd * syd AS cov
+        |  FROM dd)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+        |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM v""".stripMargin,
+
+    // the exact tie-run rank identity: a value run of count c ending
+    // at cum contributes v*c*(2*cum-c+1) to 2*sum(i*x)
+    "q220_gini" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) >= 0),
+        |g AS (SELECT l_returnflag, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM b GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(c) OVER (PARTITION BY l_returnflag
+        |      ORDER BY v) AS BIGINT) AS cum FROM g),
+        |m AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(v AS DECIMAL(19,0))
+        |      * CAST(c * (2 * cum - c + 1) AS DECIMAL(19,0))) AS s2,
+        |    sum(CAST(v AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sx
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN sx > 0 THEN
+        |    (CAST(s2 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+        |FROM m""".stripMargin,
+
+    // shared tokens via the tf self-join; per-token pinned term
+    // round(p*ln(p/m) + q*ln(q/m), 9) summed in decimal; exclusive
+    // mass contributes ln2/2 per unit exactly
+    "q221_jsd" ->
+      """WITH tok AS (SELECT source AS s, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE source IS NOT NULL),
+        |tf AS (SELECT s, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |sh AS (SELECT a.s AS s1, b.s AS s2, a.c AS c1, b.c AS c2,
+        |    t1.n AS n1, t2.n AS n2
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.s < b.s
+        |  JOIN tot t1 ON t1.s = a.s JOIN tot t2 ON t2.s = b.s),
+        |term AS (SELECT s1, s2, c1, c2, n1, n2,
+        |    round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      * ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |           + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2.0))
+        |    + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |      * ln((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |        / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |           + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2.0)), 9)
+        |      AS tm
+        |  FROM sh),
+        |agg AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_shared_tokens,
+        |    sum(CAST(tm AS DECIMAL(12,9))) AS ts,
+        |    CAST(sum(c1) AS BIGINT) AS sh1, CAST(sum(c2) AS BIGINT) AS sh2,
+        |    CAST(min(n1) AS BIGINT) AS n1, CAST(min(n2) AS BIGINT) AS n2
+        |  FROM term GROUP BY 1, 2)
+        |SELECT s1 AS slice1, s2 AS slice2, n_shared_tokens,
+        |  CAST(ts AS DOUBLE) / 2.0 + 0.6931471805599453 / 2.0 *
+        |    (CAST(n1 - sh1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     + CAST(n2 - sh2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS jsd
+        |FROM agg""".stripMargin
   )
 }

@@ -403,4 +403,56 @@ object Stats {
       col("n"), po.as("po"), pe.as("pe"),
       when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa")): _*)
   }
+
+  /**
+   * Gini coefficient per group over a non-negative money column — the
+   * concentration score ("does 1% of the catalog carry 80% of the
+   * revenue?"; for corpus curation, "is one domain dominating this
+   * source's token mass?"). 0 = perfectly even, →1 = fully
+   * concentrated.
+   *
+   * Exact rank identity on the value GRID: for ascending values with
+   * 1-based ranks, `G = (2Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx)`, and a value
+   * run of count c ending at cumulative position `cum` contributes
+   * `x·c·(2·cum − c + 1)` to `2Σ i·x` EXACTLY (ties are
+   * order-invariant because tied values are equal). Everything
+   * accumulates in integer cents / DECIMAL(38,0); the closing is
+   * three pinned double ops, and the scale-0 decimal→double cast is
+   * correctly rounded in every engine at any magnitude (no ÷10ˢ —
+   * see the 2⁵³ note on [[graft.llm.TextAnalysis.zipfSlope]]).
+   * Null and negative values are excluded (Gini over mixed-sign data
+   * is not a concentration measure). All-zero mass → null.
+   *
+   * Output: (keys…, n, gini).
+   *
+   * Scale posture: (keys, cents) grid aggregation, ONE keys exchange
+   * for the cumulative window + closing aggregate — the
+   * [[mannWhitneyU]] shape.
+   */
+  def gini(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val grid = df.filter(col(valueCol).isNotNull && cents >= 0)
+      .groupBy(keys.map(col) :+ cents.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val ranked = grid
+      .withColumn("__cum", sum(col("__c")).over(wk))
+      .withColumn("__rsum",
+        (col("__c") * (lit(2L) * col("__cum") - col("__c") + 1L))
+          .cast("decimal(19,0)"))
+    val m = ranked.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        sum((col("__v").cast("decimal(19,0)") * col("__rsum"))
+          .cast("decimal(38,0)")).as("__s2"),
+        sum((col("__v").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sx"))
+    val n = d(col("n"))
+    val s2 = d(col("__s2")); val sx = d(col("__sx"))
+    m.select(keys.map(col) ++ Seq(
+      col("n"),
+      when(col("__sx") > 0, (s2 - (n + lit(1.0)) * sx) / (n * sx))
+        .as("gini")): _*)
+  }
 }

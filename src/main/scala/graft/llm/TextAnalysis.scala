@@ -1385,4 +1385,76 @@ object TextAnalysis {
       when(vx > 0, (sy - slope * sx) / n).as("intercept"),
       when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
   }
+
+  /** ln 2 as a pinned double literal (the [[graft.quality.Quality
+   *  .BenfordP]] convention — no runtime transcendental). */
+  private val Ln2 = 0.6931471805599453
+
+  /**
+   * Pairwise Jensen-Shannon divergence between corpus slices'
+   * unigram distributions — the symmetric, bounded (≤ ln 2) corpus
+   * similarity score behind source-diversity dashboards and
+   * "is this new crawl just a re-skin of source X" checks. Unlike KL
+   * it never divides by a zero probability, so disjoint vocabularies
+   * are fine (JSD = ln 2).
+   *
+   * Decomposition that keeps it relational: with P, Q the two token
+   * distributions and M = (P+Q)/2,
+   * `JSD = ½·Σ_shared [p·ln(p/m) + q·ln(q/m)]
+   *        + ½ln2·(P-mass outside shared) + ½ln2·(Q-mass outside)`
+   * — only SHARED tokens (an equi self-join) need per-token terms;
+   * each side's exclusive mass contributes `½ln2` per unit exactly.
+   *
+   * Reproducibility: per-token terms are one pinned composition
+   * (`round(p·ln(p/m) + q·ln(q/m), 9)`, libm ln) summed in DECIMAL;
+   * masses are exact integer token counts; ln 2 is a literal.
+   *
+   * Output: (slice1, slice2, n_shared_tokens, jsd), slice1 < slice2.
+   * Pairs sharing NO token emit no row — their JSD is exactly ln 2,
+   * and materializing the slice² cross grid for them is the caller's
+   * one-liner.
+   *
+   * Scale posture: the tf grid (slice, token, cnt) is checkpointed;
+   * the pair join is token-keyed (per-token fan-out = slices holding
+   * that token — pairs grow as slices², so this is a SLICE-level
+   * operator: sources, languages, months — not a per-document one);
+   * totals broadcast; final agg exchanges on the pair.
+   */
+  def jensenShannonBySlice(df: DataFrame, sliceCol: String,
+                           textCol: String): DataFrame = {
+    val tf = df.filter(col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("__s"),
+        explode(cleanTokens(col(textCol))).as("__tok"))
+      .groupBy(col("__s"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val totals = tf.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val a = tf.select(col("__s").as("__s1"), col("__tok"),
+      col("__c").as("__c1"))
+    val b = tf.select(col("__s").as("__s2"), col("__tok"),
+      col("__c").as("__c2"))
+    val shared = a.join(b, Seq("__tok")).filter(col("__s1") < col("__s2"))
+      .join(broadcast(totals.select(col("__s").as("__s1"),
+        col("__n").as("__n1"))), Seq("__s1"))
+      .join(broadcast(totals.select(col("__s").as("__s2"),
+        col("__n").as("__n2"))), Seq("__s2"))
+    val p = col("__c1").cast("double") / col("__n1").cast("double")
+    val q = col("__c2").cast("double") / col("__n2").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = round(p * graft.functions.MathFunctions.libmLog(p / m) +
+      q * graft.functions.MathFunctions.libmLog(q / m), 9)
+    val agg = shared.groupBy(col("__s1"), col("__s2"))
+      .agg(count(lit(1)).as("n_shared_tokens"),
+        sum(term.cast("decimal(12,9)")).as("__ts"),
+        sum(col("__c1")).as("__sh1"), sum(col("__c2")).as("__sh2"),
+        min(col("__n1")).as("__n1"), min(col("__n2")).as("__n2"))
+    val exc1 = (col("__n1") - col("__sh1")).cast("double") /
+      col("__n1").cast("double")
+    val exc2 = (col("__n2") - col("__sh2")).cast("double") /
+      col("__n2").cast("double")
+    agg.select(col("__s1").as("slice1"), col("__s2").as("slice2"),
+      col("n_shared_tokens"),
+      (col("__ts").cast("double") / lit(2.0) +
+        lit(Ln2) / lit(2.0) * (exc1 + exc2)).as("jsd"))
+  }
 }

@@ -598,4 +598,60 @@ object TimeSeries {
         }
         ((unix_timestamp(to) - unix_timestamp(from)) / secs).cast("long")
     }
+
+  /**
+   * Lagged cross-correlation per group: Pearson r between `xCol` at
+   * time t and `yCol` at time t+lag, for every lag 0…`maxLag` — the
+   * lead/lag detector ("do signups today predict purchases in three
+   * days?"). Feed one row per (keys, `tCol`) on an integer time
+   * index; gaps are fine — a (t, t+lag) pair only scores when both
+   * rows exist (the join semantics; densify with [[resampleFill]]
+   * upstream if zero-fill semantics are wanted instead).
+   *
+   * [[graft.agg.Stats]] discipline: moments are exact decimal sums on
+   * the `xScale`/`yScale` grids; the closing correlation is the
+   * pinned pearson composition. Lag 0 is the plain correlation —
+   * its r validates the machinery.
+   *
+   * Output: (keys…, lag, n, corr); groups×(maxLag+1) rows, null corr
+   * where variance vanishes or fewer than 2 pairs align.
+   *
+   * Scale posture: the series relation is checkpointed (x side
+   * explodes maxLag+1 shifted copies, y side reads it once more);
+   * the alignment is an EQUI join on (keys, shifted t); moments
+   * aggregate map-side per (keys, lag).
+   */
+  def laggedCrossCorr(df: DataFrame, keys: Seq[String], tCol: String,
+                      xCol: String, yCol: String, maxLag: Int,
+                      xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val base = df
+      .filter(col(tCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(keys.map(col) :+ col(tCol).cast("long").as("__t") :+
+        col(xCol).cast(s"decimal(18,$xScale)").as("__x") :+
+        col(yCol).cast(s"decimal(18,$yScale)").as("__y"): _*)
+      .localCheckpoint(false)
+    val left = base
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+      .withColumn("__tt", col("__t") + col("lag"))
+      .select(keys.map(col) :+ col("lag") :+ col("__tt") :+ col("__x"): _*)
+    val right = base
+      .select(keys.map(col) :+ col("__t").as("__tt") :+ col("__y"): _*)
+    val j = left.join(right, keys :+ "__tt")
+    val m = j.groupBy(keys.map(col) :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val vx = n * col("__sxx").cast("double") - sx * sx
+    val vy = n * col("__syy").cast("double") - sy * sy
+    val cov = n * col("__sxy").cast("double") - sx * sy
+    m.select(keys.map(col) ++ Seq(col("lag"), col("n"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
+  }
 }

@@ -572,4 +572,36 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size == 2,
       fin.take(1500))
   }
+
+  test("q219 lagged corr: checkpointed series, EQUI lag alignment") {
+    val whole = finalPlan("q219_lagged_corr")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    // the (t + lag) alignment must stay an equi join — a theta/range
+    // formulation would nested-loop the whole grid
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+    assert(fin.contains("partial_sum"), fin.take(1500))
+  }
+
+  test("q220 Gini: the mannWhitney grid shape — 2 exchanges, join-free") {
+    val whole = finalPlan("q220_gini")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 2,
+      fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 1, fin.take(1500))
+  }
+
+  test("q221 JSD: checkpointed tf grid, token-keyed pair join, " +
+      "broadcast totals") {
+    val whole = finalPlan("q221_jsd")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 0, fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+    // pair terms aggregate map-side before the (s1, s2) exchange
+    assert(fin.contains("partial_count"), fin.take(1500))
+  }
 }

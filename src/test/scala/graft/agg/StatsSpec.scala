@@ -155,4 +155,22 @@ class StatsSpec extends AnyFunSuite {
     assert(flat.getAs[Double]("pe") == 1.0 &&
       flat.isNullAt(flat.fieldIndex("kappa")))
   }
+
+  test("gini: rank identity on the cent grid; bounds; exclusions") {
+    val df = Seq(
+      ("g", Some(0.01)), ("g", Some(0.01)), ("g", Some(0.02)),
+      ("flat", Some(5.0)), ("flat", Some(5.0)), ("flat", Some(5.0)),
+      ("top", Some(0.0)), ("top", Some(0.0)), ("top", Some(10.0)),
+      ("top", None), ("top", Some(-3.0))) // null/negative excluded
+      .toDF("k", "v")
+    val out = Stats.gini(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // sorted cents (1,1,2): 2Σi·x = 18, Σx = 4 -> (18-16)/12 = 1/6
+    assert(out("g")._1 == 3L)
+    assert(math.abs(out("g")._2.get - 1.0 / 6.0) < 1e-15)
+    assert(out("flat")._2.get == 0.0)           // even mass
+    assert(out("top")._1 == 3L)                 // excluded rows dropped
+    assert(math.abs(out("top")._2.get - 2.0 / 3.0) < 1e-15) // (n-1)/n max
+  }
 }

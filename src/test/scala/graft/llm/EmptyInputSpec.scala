@@ -305,5 +305,19 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Option[Long], Option[Boolean])]
         .toDF("k", "dur", "obs"),
       Seq("k"), "dur", "obs").count() == 0)
+    assert(graft.agg.Stats.gini(
+      Seq.empty[(String, Option[Double])].toDF("k", "v"),
+      Seq("k"), "v").count() == 0)
+    assert(graft.ops.TimeSeries.laggedCrossCorr(
+      Seq.empty[(Long, Double, Double)].toDF("t", "x", "y"),
+      Seq.empty, "t", "x", "y", maxLag = 3).count() == 0)
+    assert(graft.llm.TextAnalysis.jensenShannonBySlice(
+      Seq.empty[(String, String)].toDF("src", "text"),
+      "src", "text").count() == 0)
+    // disjoint-vocabulary slices: no shared tokens, no row (ln 2 by
+    // contract, materialized by the caller)
+    assert(graft.llm.TextAnalysis.jensenShannonBySlice(
+      Seq(("a", "xx yy"), ("b", "zz ww")).toDF("src", "text"),
+      "src", "text").count() == 0)
   }
 }

@@ -110,4 +110,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(f.getAs[Double]("slope") == 0.0)
     assert(f.isNullAt(f.fieldIndex("corr")))
   }
+
+  test("jensenShannonBySlice: hand-derived shared/exclusive split; " +
+      "identical slices at 0") {
+    val df = Seq(("s1", "a a b"), ("s2", "a c"), ("s3", "a a b"))
+      .toDF("src", "text")
+    val out = TextAnalysis.jensenShannonBySlice(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // s1/s2 share {a}: p=2/3, q=1/2, m=7/12;
+    // JSD = term/2 + ln2/2 * (1/3 + 1/2), term rounded to 9
+    val term = BigDecimal(
+      2.0 / 3.0 * math.log((2.0 / 3.0) / (7.0 / 12.0)) +
+        0.5 * math.log(0.5 / (7.0 / 12.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = term / 2.0 +
+      0.6931471805599453 / 2.0 * (1.0 / 3.0 + 1.0 / 2.0)
+    assert(out(("s1", "s2"))._1 == 1L)
+    assert(out(("s1", "s2"))._2 == expected)
+    // identical distributions: every term ln(1)=0, no exclusive mass
+    assert(out(("s1", "s3"))._1 == 2L && out(("s1", "s3"))._2 == 0.0)
+    // bounded by ln 2
+    assert(out.values.forall(v => v._2 >= 0.0 &&
+      v._2 <= 0.6931471805599453 + 1e-9))
+  }
 }

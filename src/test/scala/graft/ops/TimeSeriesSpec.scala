@@ -345,4 +345,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(a.filter(_._1 == 1L).map(_._4) == Seq("0.01", "0.01", "0.02"))
     assert(a.filter(_._1 == 2L).map(_._4) == Seq("0.02", "0.02", "0.01"))
   }
+
+  test("laggedCrossCorr: shifted series peaks at its lag; gaps align " +
+      "pairwise") {
+    // y is x delayed by one step (y_{t+1} = x_t): lag-1 r = 1 exactly
+    val df = Seq((0L, 0.0, 9.0), (1L, 1.0, 0.0), (2L, 2.0, 1.0),
+      (3L, 3.0, 2.0), (4L, 4.0, 3.0)).toDF("t", "x", "y")
+    val out = TimeSeries.laggedCrossCorr(df, Seq.empty, "t", "x", "y",
+      maxLag = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(0)._1 == 5L && out(1)._1 == 4L && out(2)._1 == 3L)
+    assert(math.abs(out(1)._2.get - 1.0) < 1e-12)
+    assert(out(0)._2.get < 0.5) // junk y_0 wrecks the contemporaneous r
+    // a gap drops only the pairs that touch it
+    val gap = Seq((0L, 0.0, 9.0), (1L, 1.0, 0.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 3.0)).toDF("t", "x", "y")
+    val g = TimeSeries.laggedCrossCorr(gap, Seq.empty, "t", "x", "y",
+      maxLag = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(g(0) == 4L && g(1) == 2L) // (0,1) and (3,4) survive at lag 1
+  }
 }
