@@ -3008,7 +3008,33 @@ object SparkEntry {
     //      sources' unigram distributions (shared-token join +
     //      exclusive-mass closed form) ----
     "q221_jsd" -> ((s, dir) =>
-      TA.jensenShannonBySlice(t(s, dir, "documents"), "source", "text"))
+      TA.jensenShannonBySlice(t(s, dir, "documents"), "source", "text")),
+
+    // ---- record linkage proper: TWO-relation Jaro-Winkler join
+    //      (catalog halves standing in for two vendor feeds) ----
+    "q222_jw_linkage" -> ((s, dir) => {
+      // parity split, not a key threshold: both halves are non-empty
+      // at every scale factor
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      graft.join.Fuzzy.jaroWinklerJoin(
+        p.filter(col("p_partkey") % 2 === 0), "p_partkey", "p_name",
+        p.filter(col("p_partkey") % 2 === 1), "p_partkey", "p_name",
+        threshold = 0.94, lengthBand = 2)
+    }),
+
+    // ---- training data: T5-style span corruption — block-hashed
+    //      non-overlapping spans, consecutive sentinels ----
+    "q223_span_corrupt" -> ((s, dir) =>
+      graft.llm.Augment.spanCorrupt(t(s, dir, "documents"),
+        "doc_id", "text", blockSize = 10, spanLen = 3, denom = 3)),
+
+    // ---- training data: EXACT stratified train/valid/test split —
+    //      hash-ranked consecutive ranges, floor-boundary counts ----
+    "q224_exact_split" -> ((s, dir) =>
+      graft.llm.Sampling.exactSplit(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), "doc_id",
+        Seq("train" -> 0.7, "valid" -> 0.2, "test" -> 0.1), salt = "sp1"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6336,6 +6362,73 @@ object SparkEntry {
         |  CAST(ts AS DOUBLE) / 2.0 + 0.6931471805599453 / 2.0 *
         |    (CAST(n1 - sh1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |     + CAST(n2 - sh2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS jsd
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // the q204 pinned kernel + blocking, across two relations
+    "q222_jw_linkage" ->
+      """WITH l AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_partkey % 2 = 0 AND p_name IS NOT NULL AND len(p_name) >= 1),
+        |r AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_partkey % 2 = 1 AND p_name IS NOT NULL AND len(p_name) >= 1)
+        |SELECT l.id AS left_id, r.id AS right_id,
+        |  jaro_winkler_similarity(l.s, r.s) AS sim
+        |FROM l JOIN r ON substr(l.s, 1, 1) = substr(r.s, 1, 1)
+        |  AND abs(len(l.s) - len(r.s)) <= 2
+        |WHERE jaro_winkler_similarity(l.s, r.s) >= 0.94""".stripMargin,
+
+    // replay the block-hash rule: block b corrupted iff
+    // md5(id_b<b>_sc1) % 3 = 0; span = first 3 tokens of the block;
+    // sentinel k = corrupted blocks before mine
+    "q223_span_corrupt" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |z AS (SELECT doc_id, w,
+        |    list_transform(range((len(w) + 9) // 10), b ->
+        |      ('0x' || substr(md5(doc_id::VARCHAR || '_b' || b::VARCHAR
+        |        || '_sc1'), 1, 8))::BIGINT % 3 = 0) AS hits
+        |  FROM t),
+        |z2 AS (SELECT doc_id, w, hits,
+        |    list_transform(range(len(hits)), b -> CASE WHEN b = 0 THEN 0
+        |      ELSE CAST(coalesce(list_sum(list_transform(range(b), bb ->
+        |        CASE WHEN hits[bb + 1] THEN 1 ELSE 0 END)), 0) AS INT)
+        |      END) AS pfx
+        |  FROM z)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(range(len(w)), i ->
+        |    hits[i // 10 + 1] AND i % 10 = 0)) AS BIGINT) AS n_spans,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(len(w)), i ->
+        |      NOT (hits[i // 10 + 1] AND i % 10 < 3)
+        |      OR (hits[i // 10 + 1] AND i % 10 = 0)),
+        |    i -> CASE WHEN hits[i // 10 + 1] AND i % 10 = 0
+        |      THEN '<extra_id_' || pfx[i // 10 + 1]::VARCHAR || '>'
+        |      ELSE w[i + 1] END), ' '), '') AS corrupted_text,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(len(w)), i -> hits[i // 10 + 1] AND i % 10 < 3),
+        |    i -> CASE WHEN hits[i // 10 + 1] AND i % 10 = 0
+        |      THEN '<extra_id_' || pfx[i // 10 + 1]::VARCHAR || '> ' || w[i + 1]
+        |      ELSE w[i + 1] END), ' '), '') AS targets
+        |FROM z2""".stripMargin,
+
+    // rank by (md5 draw, id) per stratum; thresholds floor(c_j * n)
+    // with the LEFT-TO-RIGHT accumulated cumulative fractions
+    // (0.7 + 0.2 = 0.8999999999999999 — replayed verbatim)
+    "q224_exact_split" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || 'sp1'), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+        |  FROM d)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= floor(${0.7} * n) THEN 'train'
+        |       WHEN rk <= floor(${0.7 + 0.2} * n) THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin
   )
 }

@@ -163,6 +163,66 @@ object Fuzzy {
     cross.unionByName(dup)
   }
 
+  /**
+   * Two-relation Jaro-Winkler join — record linkage proper: every
+   * (left, right) pair with `sim ≥ threshold` under the SAME pinned
+   * blocking contract as [[jaroWinklerSelfJoin]] (shared first
+   * character — case-folded for the block key iff `caseFold` — and
+   * length within `lengthBand`; out-of-block pairs are out of the
+   * result BY DESIGN). Same DuckDB-pinned codegen'd kernel, same
+   * distinct-string collapse on both sides (duplicate strings pay the
+   * kernel once and re-expand to ids).
+   *
+   * Output: (left_id, right_id, sim) — no ordering constraint between
+   * the id spaces (they are different relations).
+   *
+   * Scale posture: both distinct-string relations are checkpointed;
+   * the block join keys on (char, left-length) with the right side
+   * exploding its `2·band+1` candidate lengths — per-block
+   * verification, never all-pairs; the id re-expansion is two
+   * string-keyed equi joins.
+   */
+  def jaroWinklerJoin(left: DataFrame, leftIdCol: String, leftStrCol: String,
+                      right: DataFrame, rightIdCol: String,
+                      rightStrCol: String, threshold: Double,
+                      lengthBand: Int = 2, caseFold: Boolean = false)
+  : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1], got $threshold")
+    require(lengthBand >= 0, s"lengthBand >= 0, got $lengthBand")
+    import org.apache.spark.sql.GraftShims.{column => gcol, expression => gexpr}
+    def blockChar(c: Column): Column = {
+      val first = substring(c, 1, 1)
+      if (caseFold) lower(first) else first
+    }
+    def side(df: DataFrame, idCol: String, strCol: String,
+             id: String, s: String): DataFrame =
+      df.filter(col(strCol).isNotNull && length(col(strCol)) >= 1)
+        .select(col(idCol).as(id), col(strCol).as(s))
+        .localCheckpoint(false)
+    val l = side(left, leftIdCol, leftStrCol, "__lid", "__ls")
+    val r = side(right, rightIdCol, rightStrCol, "__rid", "__rs")
+    val idx = l.select(col("__ls")).distinct()
+      .select(col("__ls"), blockChar(col("__ls")).as("__c"),
+        length(col("__ls")).as("__la"))
+    val probe = r.select(col("__rs")).distinct()
+      .select(col("__rs"), blockChar(col("__rs")).as("__c"),
+        length(col("__rs")).as("__lb"))
+      .withColumn("__la", explode(sequence(
+        greatest(lit(1), col("__lb") - lengthBand),
+        col("__lb") + lengthBand)))
+    val distinctPairs = idx.join(probe, Seq("__c", "__la"))
+      .withColumn("sim", gcol(graft.functions.JaroWinklerExpr(
+        gexpr(col("__ls")), gexpr(col("__rs")))))
+      .filter(col("sim") >= threshold)
+      .select(col("__ls"), col("__rs"), col("sim"))
+    distinctPairs
+      .join(l, Seq("__ls"))
+      .join(r, Seq("__rs"))
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
+        col("sim"))
+  }
+
   /** The PassJoin kernel over a relation of DISTINCT strings
    *  (`__id`, `__s`): all unordered pairs within distance `maxDist`
    *  (≥ 1 by construction — no two input strings are equal), as

@@ -57,4 +57,79 @@ object Augment {
         size(filter(col("__z"), z => hit(z.getField("i"))))
           .cast("long").as("n_masked"))
   }
+
+  /**
+   * T5-style span corruption: contiguous token SPANS are replaced by
+   * consecutive sentinels `<extra_id_k>`, and the target sequence
+   * interleaves each sentinel with the tokens it swallowed — the
+   * denoising-objective example generator.
+   *
+   * Deterministic span placement without sequential state: positions
+   * partition into fixed BLOCKS of `blockSize`; block `b` of a
+   * document is corrupted iff `md5i(id ++ "_b" ++ b ++ salt) mod
+   * denom == 0` (expected span rate `1/denom` per block), and a
+   * corrupted block's first `spanLen` tokens form the span. Blocks
+   * are disjoint, so spans never overlap or merge — the property the
+   * classic sequential sampler needs a scan for. Sentinel numbering
+   * is consecutive in position order (`k` = corrupted blocks before
+   * this one), computed as a per-block prefix count over the block
+   * index array (O(blocks²) per document — fine for document-sized
+   * inputs).
+   *
+   * Output per input row: (`idCol`, n_tokens, n_spans,
+   * corrupted_text, targets) — flat strings, one corrupted example
+   * per document; a document with no tokens emits (0, 0, "", "").
+   *
+   * Scale posture: a single shuffle-free scan; every choice is a
+   * per-row hash expression.
+   */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  blockSize: Int = 10, spanLen: Int = 3, denom: Int = 3,
+                  salt: String = "sc1"): DataFrame = {
+    require(blockSize >= 1 && spanLen >= 1 && spanLen <= blockSize,
+      s"need 1 <= spanLen <= blockSize, got $spanLen/$blockSize")
+    require(denom >= 2, s"denom must be >= 2, got $denom")
+    import org.apache.spark.sql.Column
+    val toks = TextAnalysis.cleanTokens(coalesce(col(textCol), lit("")))
+    val zipped = zip_with(toks,
+      sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    def hit(b: Column) =
+      pmod(TextAnalysis.md5i(concat(col(idCol).cast("string"), lit("_b"),
+        b.cast("string"), lit("_"), lit(salt))), lit(denom)) === 0
+    // exact int block index (Column./ is double division; the values
+    // are small ints, so the truncating cast is exact)
+    def blk(i: Column) =
+      ((i - pmod(i, lit(blockSize))) / lit(blockSize)).cast("int")
+    def corrupt(i: Column) =
+      hit(blk(i)) && pmod(i, lit(blockSize)) < spanLen
+    def spanStart(i: Column) =
+      hit(blk(i)) && pmod(i, lit(blockSize)) === 0
+    // consecutive sentinel id: corrupted blocks strictly before mine
+    def sentIdx(i: Column): Column = {
+      val b = blk(i)
+      when(b === 0, lit(0)).otherwise(
+        aggregate(sequence(lit(0), b - 1), lit(0),
+          (acc, bb) => acc + when(hit(bb), 1).otherwise(0)))
+    }
+    def sentinel(i: Column) =
+      concat(lit("<extra_id_"), sentIdx(i).cast("string"), lit(">"))
+    df.select(col(idCol),
+        when(size(toks) === 0, array().cast("array<struct<t:string,i:int>>"))
+          .otherwise(zipped).as("__z"))
+      .select(col(idCol),
+        size(col("__z")).cast("long").as("n_tokens"),
+        size(filter(col("__z"), z => spanStart(z.getField("i"))))
+          .cast("long").as("n_spans"),
+        concat_ws(" ", transform(
+          filter(col("__z"), z => !corrupt(z.getField("i")) ||
+            spanStart(z.getField("i"))),
+          z => when(spanStart(z.getField("i")), sentinel(z.getField("i")))
+            .otherwise(z.getField("t")))).as("corrupted_text"),
+        concat_ws(" ", transform(
+          filter(col("__z"), z => corrupt(z.getField("i"))),
+          z => when(spanStart(z.getField("i")),
+            concat(sentinel(z.getField("i")), lit(" "), z.getField("t")))
+            .otherwise(z.getField("t")))).as("targets"))
+  }
 }

@@ -559,4 +559,58 @@ object Sampling {
             lit(n - 1)), lit(n)))
       .select(col(idCol), col("slot"), col("neg_id"))
   }
+
+  /**
+   * EXACT stratified train/valid/test split: within each stratum,
+   * rows rank by the deterministic hash draw `(md5i(key ++ salt),
+   * key)` and the splits carve CONSECUTIVE rank ranges — split j of
+   * cumulative fraction c_j takes ranks `(⌊c_{j−1}·n⌋, ⌊c_j·n⌋]`, the
+   * LAST split takes everything left. Counts are exact (⌊⌋
+   * differences — the property [[stratifiedByHash]]'s independent
+   * coin flips cannot give), assignment is content-deterministic
+   * (reruns and engines agree row-by-row), and splits are disjoint
+   * and exhaustive by construction.
+   *
+   * The cumulative fractions are accumulated LEFT-TO-RIGHT in IEEE
+   * doubles and the thresholds are `floor(c_j · n)` — replay the same
+   * accumulated values, not re-derived ones (0.7 + 0.2 is
+   * 0.8999999999999999, not 0.9; a re-rounded oracle disagrees at
+   * n·c_j integer boundaries). Null keys are excluded (the
+   * [[weightedPriority]] rule).
+   *
+   * Output: input columns + `split`.
+   *
+   * Scale posture: one stratum-keyed exchange for the rank window
+   * (full per-stratum sort — stratum-count parallelism; for a single
+   * global stratum at corpus scale, use [[topFractionByScore]]'s
+   * histogram path on the hash instead).
+   */
+  def exactSplit(df: DataFrame, keys: Seq[String], keyCol: String,
+                 splits: Seq[(String, Double)],
+                 salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "exactSplit needs at least one split")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1, got ${splits.map(_._2).sum}")
+    import org.apache.spark.sql.expressions.Window
+    val h = TextAnalysis.md5i(concat(col(keyCol).cast("string"), lit(salt)))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val ranked = df.filter(col(keyCol).isNotNull)
+      .withColumn("__rk",
+        row_number().over(wk.orderBy(h.asc, col(keyCol).asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wk))
+    // cumulative fractions, left-to-right; the last split is the
+    // catch-all (no threshold, no float-boundary risk at the top end)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val n = col("__n").cast("double")
+    val assign = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), els) =>
+      when(col("__rk") <= floor(lit(c) * n).cast("long"), {
+        // nested when chain evaluates in order: the FIRST matching
+        // threshold wins, so each split gets exactly its rank range
+        lit(name)
+      }).otherwise(els)
+    }
+    ranked.withColumn("split", assign).drop("__rk", "__n")
+  }
 }

@@ -604,4 +604,30 @@ class PlanGuardSpec extends AnyFunSuite {
     // pair terms aggregate map-side before the (s1, s2) exchange
     assert(fin.contains("partial_count"), fin.take(1500))
   }
+
+  test("q222 two-table JW join: checkpointed sides, equi block join") {
+    val whole = finalPlan("q222_jw_linkage")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
+
+  test("q223 span corruption stays a shuffle-free single scan") {
+    val whole = finalPlan("q223_span_corrupt")
+    val fin = whole.split("== Initial Plan ==")(0)
+    // higher-order-function projects don't whole-stage-codegen, but
+    // the shape must stay one narrow scan: no exchange, no join
+    assert(!fin.contains("Exchange"), fin.take(1200))
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("FileScan".r.findAllIn(fin).size == 1, fin.take(1200))
+  }
+
+  test("q224 exact split: ONE stratum exchange for rank + count") {
+    val whole = finalPlan("q224_exact_split")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+  }
 }

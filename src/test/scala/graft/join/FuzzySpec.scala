@@ -127,4 +127,26 @@ class FuzzySpec extends AnyFunSuite {
     assert(folded.keySet == Set(1L -> 2L, 1L -> 3L, 2L -> 3L))
     assert(folded(1L -> 2L) < 1.0) // case still counts in the similarity
   }
+
+  test("jaroWinklerJoin: two-table linkage, blocking, duplicate expansion") {
+    val left = Seq(1L -> "martha", 2L -> "zeta").toDF("id", "s")
+    val right = Seq(10L -> "marhta", 11L -> "Martha", 12L -> "martha",
+      13L -> "marhta").toDF("id", "s")
+    val out = Fuzzy.jaroWinklerJoin(left, "id", "s", right, "id", "s",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // marhta appears twice on the right: both ids pair (the distinct-
+    // string collapse re-expands); Martha is blocked by case
+    assert(out.keySet == Set(1L -> 10L, 1L -> 12L, 1L -> 13L))
+    assert(out(1L -> 10L) == 0.9611111111111111)
+    assert(out(1L -> 10L) == out(1L -> 13L))
+    assert(out(1L -> 12L) == 1.0)
+    // caseFold merges blocks; jw("martha","Martha") = 0.888... so the
+    // pair appears at 0.85 but (correctly) not at 0.9
+    val folded = Fuzzy.jaroWinklerJoin(left, "id", "s", right, "id", "s",
+      threshold = 0.85, caseFold = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded.contains(1L -> 11L))
+  }
 }

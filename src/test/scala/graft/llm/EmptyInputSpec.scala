@@ -319,5 +319,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.llm.TextAnalysis.jensenShannonBySlice(
       Seq(("a", "xx yy"), ("b", "zz ww")).toDF("src", "text"),
       "src", "text").count() == 0)
+    assert(graft.join.Fuzzy.jaroWinklerJoin(
+      emptyDocs, "id", "text", someDocs.toDF("id", "text"), "id", "text",
+      threshold = 0.9).count() == 0)
+    val sc = graft.llm.Augment.spanCorrupt(emptyDocs, "id", "text")
+    assert(sc.count() == 0)
+    assert(graft.llm.Sampling.exactSplit(
+      Seq.empty[(String, Long)].toDF("src", "id"), Seq("src"), "id",
+      Seq("train" -> 0.8, "test" -> 0.2)).count() == 0)
   }
 }

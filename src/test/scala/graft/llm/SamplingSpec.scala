@@ -351,4 +351,71 @@ class SamplingSpec extends AnyFunSuite {
       out(8L).getAs[String]("targets") == "")
     assert(out(9L).getAs[Long]("n_tokens") == 0L)
   }
+
+  test("spanCorrupt: sentinels consecutive, reconstruction recovers " +
+      "the original, empty docs safe") {
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text), (8L, ""), (9L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Augment.spanCorrupt(df, "id", "text",
+      blockSize = 5, spanLen = 2, denom = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r7 = out(7L)
+    assert(r7.getAs[Long]("n_tokens") == 23L)
+    val nSpans = r7.getAs[Long]("n_spans")
+    val corrupted = r7.getAs[String]("corrupted_text").split(" ").toSeq
+    val targets = r7.getAs[String]("targets")
+    // sentinels appear once each, consecutively numbered, in order
+    val sent = corrupted.filter(_.startsWith("<extra_id_"))
+    assert(sent == (0 until nSpans.toInt).map(k => s"<extra_id_$k>"))
+    // splice the target spans back into the sentinel slots ->
+    // the original text, exactly
+    val spans = targets.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+      .map(_.trim.split(" ").toSeq)
+    assert(spans.length == nSpans.toInt)
+    val rebuilt = corrupted.flatMap { t =>
+      if (t.startsWith("<extra_id_"))
+        spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+      else Seq(t)
+    }
+    assert(rebuilt.mkString(" ") == text)
+    // spans bounded by spanLen, deterministic across runs
+    assert(spans.forall(_.length <= 2))
+    val again = Augment.spanCorrupt(df, "id", "text",
+      blockSize = 5, spanLen = 2, denom = 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[String]("corrupted_text")).toMap
+    assert(again(7L) == r7.getAs[String]("corrupted_text"))
+    assert(out(8L).getAs[Long]("n_tokens") == 0L &&
+      out(8L).getAs[String]("corrupted_text") == "")
+    assert(out(9L).getAs[Long]("n_spans") == 0L)
+  }
+
+  test("exactSplit: exact floor-boundary counts, disjoint-exhaustive, " +
+      "deterministic, per stratum") {
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (11 to 15).map(i => ("b", i.toLong))).toDF("k", "id")
+    val splits = Seq("train" -> 0.7, "valid" -> 0.2, "test" -> 0.1)
+    val out = Sampling.exactSplit(df, Seq("k"), "id", splits, salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[String]("split")))
+    assert(out.length == 15) // exhaustive
+    def counts(k: String) = out.filter(_._1 == k)
+      .groupBy(_._3).view.mapValues(_.length).toMap
+    // n=10: thresholds floor(0.7*10)=7 and floor(0.8999...*10)=9
+    // (the product rounds UP to 9.0 in IEEE) -> 7/2/1
+    assert(counts("a") == Map("train" -> 7, "valid" -> 2, "test" -> 1))
+    // n=5: floor(3.5)=3, floor(4.4999...)=4 -> 3/1/1
+    assert(counts("b") == Map("train" -> 3, "valid" -> 1, "test" -> 1))
+    // rerun agrees row-by-row
+    val again = Sampling.exactSplit(df, Seq("k"), "id", splits, salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[String]("split")))
+    assert(out.toSet == again.toSet)
+    // a different salt reshuffles membership but keeps the counts
+    val other = Sampling.exactSplit(df, Seq("k"), "id", splits, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[String]("split")))
+    assert(other.toSet != out.toSet)
+  }
 }
