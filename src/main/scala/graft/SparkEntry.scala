@@ -3034,7 +3034,28 @@ object SparkEntry {
       graft.llm.Sampling.exactSplit(
         t(s, dir, "documents").select("doc_id", "lang"),
         Seq("lang"), "doc_id",
-        Seq("train" -> 0.7, "valid" -> 0.2, "test" -> 0.1), salt = "sp1"))
+        Seq("train" -> 0.7, "valid" -> 0.2, "test" -> 0.1), salt = "sp1")),
+
+    // ---- eval: mutual information + entropies + NMI between the
+    //      label and source columns (does source leak the label?) ----
+    "q225_mutual_info" -> ((s, dir) =>
+      graft.agg.Stats.mutualInfo(t(s, dir, "documents"),
+        Seq.empty, "lang", "source")),
+
+    // ---- robust stats: stride-sampled Theil-Sen value trend per
+    //      event type (median-of-slopes — outliers can't move it) ----
+    "q226_theil_sen" -> ((s, dir) =>
+      graft.agg.Stats.theilSen(
+        t(s, dir, "events")
+          .withColumn("__x", unix_timestamp(col("ts"))),
+        Seq("event_type"), "__x", "value", "event_id",
+        xScale = 0, yScale = 2)),
+
+    // ---- corpus health: token burstiness — zero-inclusive
+    //      variance-to-mean dispersion of the top-100 tokens ----
+    "q227_burstiness" -> ((s, dir) =>
+      TA.tokenBurstiness(t(s, dir, "documents"), "doc_id", "text",
+        topK = 100))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6429,6 +6450,94 @@ object SparkEntry {
         |  CASE WHEN rk <= floor(${0.7} * n) THEN 'train'
         |       WHEN rk <= floor(${0.7 + 0.2} * n) THEN 'valid'
         |       ELSE 'test' END AS split
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // exact contingency + marginals; per-cell pinned
+    // round(p*ln(c*n/(m1*m2)), 9) and round-9 entropies summed in
+    // decimal (the JSD discipline)
+    "q225_mutual_info" ->
+      """WITH base AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |         FROM base GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cont),
+        |m1 AS (SELECT a, CAST(sum(c) AS BIGINT) AS c1 FROM cont GROUP BY 1),
+        |m2 AS (SELECT b, CAST(sum(c) AS BIGINT) AS c2 FROM cont GROUP BY 1),
+        |cells AS (SELECT c, c1, c2, n FROM cont
+        |          JOIN m1 USING (a) JOIN m2 USING (b) CROSS JOIN tot),
+        |mi AS (SELECT CAST(min(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+        |        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 9)
+        |      AS DECIMAL(12,9))) AS DOUBLE) AS mi
+        |  FROM cells),
+        |ha AS (SELECT CAST(sum(CAST(-round(
+        |    (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |    AS DECIMAL(12,9))) AS DOUBLE) AS h_a
+        |  FROM m1 CROSS JOIN tot),
+        |hb AS (SELECT CAST(sum(CAST(-round(
+        |    (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |    AS DECIMAL(12,9))) AS DOUBLE) AS h_b
+        |  FROM m2 CROSS JOIN tot)
+        |SELECT n, mi, h_a, h_b,
+        |  CASE WHEN h_a > 0 AND h_b > 0
+        |    THEN mi / (sqrt(h_a) * sqrt(h_b)) END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // rank by (x, event_id); pairs at rank+stride; discrete median
+    // of the sampled slopes (rank ceil(n/2))
+    "q226_theil_sen" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(epoch_ms(ts) // 1000 AS DECIMAL(18,0)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y, event_id
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY x, event_id) AS BIGINT) AS rk FROM b),
+        |p AS (SELECT l.event_type, l.x, l.y, rr.x AS x2, rr.y AS y2
+        |  FROM (SELECT r.*, unnest([1, 2, 3, 5, 8, 13, 21]) AS s FROM r) l
+        |  JOIN r rr ON rr.event_type = l.event_type
+        |    AND rr.rk = l.rk + l.s
+        |  WHERE rr.x <> l.x),
+        |sl AS (SELECT event_type,
+        |    CAST(y2 - y AS DOUBLE) / CAST(x2 - x AS DOUBLE) AS slope
+        |  FROM p),
+        |rk2 AS (SELECT event_type, slope,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope) AS BIGINT) AS r
+        |  FROM sl)
+        |SELECT event_type, n AS n_pairs, slope
+        |FROM rk2
+        |WHERE r * 2 = n + 1 OR (n % 2 = 0 AND r * 2 = n)""".stripMargin,
+
+    // zero-inclusive dispersion: mean = T/N, E[x2] = sum(c^2)/N over
+    // ALL documents
+    "q227_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+        |      coalesce(text, ''), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM tf GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+        |      token) AS BIGINT) AS "rank"
+        |  FROM pt QUALIFY "rank" <= 100)
+        |SELECT token, n_docs, n_occurrences,
+        |  CASE WHEN CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE) > 0
+        |    THEN (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |      / (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE)) END
+        |    AS dispersion,
+        |  "rank"
+        |FROM r CROSS JOIN nd""".stripMargin
   )
 }

@@ -455,4 +455,142 @@ object Stats {
       when(col("__sx") > 0, (s2 - (n + lit(1.0)) * sx) / (n * sx))
         .as("gini")): _*)
   }
+
+  /**
+   * Mutual information between two categorical columns per group,
+   * with marginal entropies and the normalized MI — the association
+   * strength behind feature selection and redundancy checks
+   * ([[cohenKappa]] asks "do they AGREE", MI asks "do they carry the
+   * same INFORMATION" — a perfectly anti-correlated pair has kappa
+   * −1 and maximal MI).
+   *
+   * `MI = Σ_ab p_ab·ln(p_ab·n²/(m_a·m_b))`, `H = −Σ p·ln p`,
+   * `NMI = MI/√(H_a·H_b)` (null when either entropy is 0 — a
+   * constant column carries no information to normalize by).
+   *
+   * Reproducibility: exact contingency/marginal counts; each cell
+   * term is ONE pinned composition (`round(p·ln(ratio), 9)`, libm
+   * ln, the probability and ratio built by the same division order
+   * everywhere) summed in DECIMAL — the [[graft.llm.TextAnalysis
+   * .jensenShannonBySlice]] discipline.
+   *
+   * Output: (keys…, n, mi, h_a, h_b, nmi).
+   *
+   * Scale posture: the contingency relation (labels² per key) is
+   * checkpointed; cell terms join two broadcast marginal relations;
+   * everything downstream is label-cardinality-sized.
+   */
+  def mutualInfo(df: DataFrame, keys: Seq[String], aCol: String,
+                 bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(keys.map(col) :+ col(aCol).cast("string").as("__a") :+
+        col(bCol).cast("string").as("__b"): _*)
+    val cont = base
+      .groupBy(keys.map(col) :+ col("__a") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val tot = cont.groupBy(keys.map(col): _*).agg(sum(col("__c")).as("n"))
+    val m1 = cont.groupBy(keys.map(col) :+ col("__a"): _*)
+      .agg(sum(col("__c")).as("__m1"))
+    val m2 = cont.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__c")).as("__m2"))
+    def ent(mc: DataFrame, m: String, out: String): DataFrame = {
+      val withN =
+        if (keys.isEmpty) mc.crossJoin(broadcast(tot))
+        else mc.join(broadcast(tot), keys)
+      val p = col(m).cast("double") / col("n").cast("double")
+      withN
+        .groupBy(keys.map(col): _*)
+        .agg(sum((-round(p * graft.functions.MathFunctions.libmLog(p), 9))
+          .cast("decimal(12,9)")).as("__e"))
+        .select(keys.map(col) :+ col("__e").cast("double").as(out): _*)
+    }
+    def jd(l: DataFrame, r: DataFrame, using: Seq[String]): DataFrame =
+      if (using.isEmpty) l.crossJoin(broadcast(r))
+      else l.join(broadcast(r), using)
+    val cells = jd(jd(jd(cont, m1, keys :+ "__a"), m2, keys :+ "__b"),
+      tot, keys)
+    val nD = col("n").cast("double")
+    val p = col("__c").cast("double") / nD
+    val ratio = (col("__c").cast("double") * nD) /
+      (col("__m1").cast("double") * col("__m2").cast("double"))
+    val term = round(p * graft.functions.MathFunctions.libmLog(ratio), 9)
+    val mi = cells
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("n")).as("n"),
+        sum(term.cast("decimal(12,9)")).as("__mi"))
+    val ha = ent(m1, "__m1", "h_a")
+    val hb = ent(m2, "__m2", "h_b")
+    def j(l: DataFrame, r: DataFrame): DataFrame =
+      if (keys.isEmpty) l.crossJoin(r) else l.join(r, keys)
+    val res = j(j(mi, ha), hb)
+    val miD = col("__mi").cast("double")
+    res.select(keys.map(col) ++ Seq(
+      col("n"), miD.as("mi"), col("h_a"), col("h_b"),
+      when(col("h_a") > 0 && col("h_b") > 0,
+        miD / (sqrt(col("h_a")) * sqrt(col("h_b")))).as("nmi")): _*)
+  }
+
+  /**
+   * Theil-Sen robust slope per group, STRIDE-SAMPLED: the median of
+   * pairwise slopes over a deterministic O(n·|strides|) pair set —
+   * rows rank by (x, `idCol`) and each row pairs with the rows
+   * `strides` ranks ahead. The full estimator's n² pairs are not a
+   * 100 TB plan; the stride family (near + far offsets) keeps the
+   * median's breakdown robustness against outliers at linear cost,
+   * and the pair set is content-deterministic (same data → same
+   * pairs → same slope, any engine).
+   *
+   * The reported slope is the DISCRETE median of the sampled slopes
+   * (the value at ascending rank ⌈n/2⌉ — the [[graft.agg.GroupBy
+   * .percentilesDisc]] rule, value-identical under ties). Pairs with
+   * equal x are skipped (no slope). `idCol` must be unique per group
+   * (the rank tie-break contract).
+   *
+   * Output: (keys…, n_pairs, slope); groups with no valid pair emit
+   * no row.
+   *
+   * Scale posture: ONE key exchange for the rank window; the pair
+   * builder is an EQUI join on (keys, rank+stride) over the
+   * checkpointed ranked relation; the median is a second window on
+   * the (much smaller) slope relation.
+   */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: String, yCol: String,
+               idCol: String,
+               strides: Seq[Int] = Seq(1, 2, 3, 5, 8, 13, 21),
+               xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    require(strides.nonEmpty && strides.forall(_ >= 1),
+      "strides must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast(s"decimal(18,$xScale)")
+    val y = col(yCol).cast(s"decimal(18,$yScale)")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(keys.map(col) :+ x.as("__x") :+ y.as("__y") :+
+        col(idCol).as("__id"): _*)
+      .withColumn("__rk", row_number().over(
+        wk.orderBy(col("__x"), col("__id"))).cast("long"))
+      .localCheckpoint(false)
+    val left = ranked
+      .withColumn("__s", explode(array(strides.map(lit): _*)))
+      .withColumn("__rk2", col("__rk") + col("__s"))
+      .select(keys.map(col) :+ col("__x") :+ col("__y") :+ col("__rk2"): _*)
+    val right = ranked.select(keys.map(col) :+ col("__x").as("__x2") :+
+      col("__y").as("__y2") :+ col("__rk").as("__rk2"): _*)
+    val slopes = left.join(right, keys :+ "__rk2")
+      .filter(col("__x2") =!= col("__x"))
+      .withColumn("__slope",
+        (col("__y2") - col("__y")).cast("double") /
+          (col("__x2") - col("__x")).cast("double"))
+    val wS = wk.orderBy(col("__slope"))
+    slopes
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__r", row_number().over(wS).cast("long"))
+      .filter(col("__r") * 2 === col("__n") + 1 ||
+        (col("__n") % 2 === 0 && col("__r") * 2 === col("__n")))
+      .select(keys.map(col) :+ col("__n").as("n_pairs") :+
+        col("__slope").as("slope"): _*)
+  }
 }

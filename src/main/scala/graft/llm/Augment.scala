@@ -101,22 +101,30 @@ object Augment {
     // are small ints, so the truncating cast is exact)
     def blk(i: Column) =
       ((i - pmod(i, lit(blockSize))) / lit(blockSize)).cast("int")
+    // hash each block ONCE per row (not once per position×predicate):
+    // __h = per-block corruption flags, __p = prefix counts (the
+    // consecutive sentinel ids)
+    val nBlocks = floor((size(col("__z")) + lit(blockSize - 1)) /
+      lit(blockSize)).cast("int")
     def corrupt(i: Column) =
-      hit(blk(i)) && pmod(i, lit(blockSize)) < spanLen
+      element_at(col("__h"), blk(i) + 1) && pmod(i, lit(blockSize)) < spanLen
     def spanStart(i: Column) =
-      hit(blk(i)) && pmod(i, lit(blockSize)) === 0
-    // consecutive sentinel id: corrupted blocks strictly before mine
-    def sentIdx(i: Column): Column = {
-      val b = blk(i)
-      when(b === 0, lit(0)).otherwise(
-        aggregate(sequence(lit(0), b - 1), lit(0),
-          (acc, bb) => acc + when(hit(bb), 1).otherwise(0)))
-    }
+      element_at(col("__h"), blk(i) + 1) && pmod(i, lit(blockSize)) === 0
     def sentinel(i: Column) =
-      concat(lit("<extra_id_"), sentIdx(i).cast("string"), lit(">"))
+      concat(lit("<extra_id_"),
+        element_at(col("__p"), blk(i) + 1).cast("string"), lit(">"))
     df.select(col(idCol),
         when(size(toks) === 0, array().cast("array<struct<t:string,i:int>>"))
           .otherwise(zipped).as("__z"))
+      .withColumn("__h",
+        when(size(col("__z")) === 0, array().cast("array<boolean>"))
+          .otherwise(transform(sequence(lit(0), nBlocks - 1), b => hit(b))))
+      .withColumn("__p",
+        when(size(col("__h")) === 0, array().cast("array<int>"))
+          .otherwise(transform(sequence(lit(1), size(col("__h"))), b =>
+            when(b === 1, lit(0)).otherwise(
+              aggregate(slice(col("__h"), lit(1), b - 1), lit(0),
+                (acc, h) => acc + when(h, 1).otherwise(0))))))
       .select(col(idCol),
         size(col("__z")).cast("long").as("n_tokens"),
         size(filter(col("__z"), z => spanStart(z.getField("i"))))

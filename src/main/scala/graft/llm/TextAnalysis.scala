@@ -1457,4 +1457,54 @@ object TextAnalysis {
       (col("__ts").cast("double") / lit(2.0) +
         lit(Ln2) / lit(2.0) * (exc1 + exc2)).as("jsd"))
   }
+
+  /**
+   * Token burstiness (dispersion index) over the corpus: for the
+   * `topK` most frequent tokens, the variance-to-mean ratio of the
+   * per-document count INCLUDING zero-occurrence documents — ~1 for
+   * Poisson-scattered function words, ≫1 for bursty content words
+   * that pile into few documents, and a spam/template tell when a
+   * "function-word-looking" token is bursty.
+   *
+   * With N documents, total count T and per-document counts cᵢ over
+   * the docs that contain the token: mean = T/N,
+   * `E[x²] = Σcᵢ²/N` (zero docs contribute 0), dispersion =
+   * (E[x²] − mean²)/mean. Exact integer sums, pinned double closing.
+   * Rank = (total count DESC, token) — total order.
+   *
+   * Output: (token, n_docs, n_occurrences, dispersion, rank),
+   * rank ≤ topK.
+   *
+   * Scale posture: one (doc, token) aggregation, one token
+   * aggregation (map-side combined), a 1-row N broadcast, and the
+   * global top-K rank window over token totals — vocabulary-sized,
+   * with the rank window cut by a WindowGroupLimit.
+   */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val nDocs = df.agg(count(lit(1)).as("__N"))
+    val tf = df
+      .select(col(idCol).as("__id"),
+        explode(cleanTokens(coalesce(col(textCol), lit("")))).as("token"))
+      .groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val perTok = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__c")).as("n_occurrences"),
+        sum(col("__c") * col("__c")).as("__ss"))
+    val ranked = perTok
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token").asc))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(nDocs))
+    val nD = col("__N").cast("double")
+    val mean = col("n_occurrences").cast("double") / nD
+    val e2 = col("__ss").cast("double") / nD
+    ranked.select(col("token"), col("n_docs"), col("n_occurrences"),
+      when(mean > 0, (e2 - mean * mean) / mean).as("dispersion"),
+      col("rank"))
+  }
 }

@@ -630,4 +630,34 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
       fin.take(1500))
   }
+
+  test("q225 mutual info: contingency checkpointed, label-sized math") {
+    val whole = finalPlan("q225_mutual_info")
+    val fin = whole.split("== Initial Plan ==")(0)
+    // contingency is the ONLY corpus-derived relation; everything
+    // downstream (totals, marginals, entropies) reads ExistingRDD.
+    // The 1-row total attaches are BNLJ by design.
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 0, fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
+
+  test("q226 Theil-Sen: checkpointed ranks, EQUI stride pairs") {
+    val whole = finalPlan("q226_theil_sen")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 0, fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
+
+  test("q227 burstiness: two aggregations; the N scan reads no columns") {
+    val whole = finalPlan("q227_burstiness")
+    val fin = whole.split("== Initial Plan ==")(0)
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(fin).toSeq
+    assert(scans.size == 2 && scans.count(_ == "ReadSchema: struct<>") == 1,
+      fin.take(1500))
+    assert(fin.contains("partial_sum"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
 }

@@ -173,4 +173,41 @@ class StatsSpec extends AnyFunSuite {
     assert(out("top")._1 == 3L)                 // excluded rows dropped
     assert(math.abs(out("top")._2.get - 2.0 / 3.0) < 1e-15) // (n-1)/n max
   }
+
+  test("mutualInfo: exact independence at 0; identity at ln2; " +
+      "constant column nulls nmi") {
+    def block(k: String, pairs: Seq[(Int, Int)], times: Int) =
+      pairs.flatMap(p => Seq.fill(times)((k, p._1.toString, p._2.toString)))
+    val df = (block("ind", Seq((0, 0), (0, 1), (1, 0), (1, 1)), 5) ++
+      block("dep", Seq((0, 0), (1, 1)), 5) ++
+      block("const", Seq((0, 0), (0, 1)), 5)).toDF("k", "a", "b")
+    val out = Stats.mutualInfo(df, Seq("k"), "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("ind").getAs[Double]("mi") == 0.0) // every cell ratio = 1
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dep = out("dep")
+    val expMi = 2 * r9(0.5 * math.log(2.0))
+    val expH = 2 * -r9(0.5 * math.log(0.5))
+    assert(dep.getAs[Double]("mi") == expMi)
+    assert(dep.getAs[Double]("h_a") == expH &&
+      dep.getAs[Double]("h_b") == expH)
+    assert(dep.getAs[Double]("nmi") ==
+      expMi / (math.sqrt(expH) * math.sqrt(expH)))
+    val c = out("const")
+    assert(c.getAs[Double]("h_a") == 0.0 && c.isNullAt(c.fieldIndex("nmi")))
+  }
+
+  test("theilSen: exact line recovered; outlier-robust median") {
+    val line = (1 to 10).map(i => ("k", i.toDouble, 2.0 * i + 1, i.toLong))
+    val dirty = (1 to 10).map(i =>
+      ("d", i.toDouble, if (i == 10) 1000.0 else 2.0 * i, i.toLong))
+    val out = Stats.theilSen((line ++ dirty).toDF("k", "x", "y", "id"),
+      Seq("k"), "x", "y", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // strides {1,2,3,5,8,13,21} over 10 ranks: 9+8+7+5+2 = 31 pairs
+    assert(out("k") == ((31L, 2.0)))
+    assert(out("d")._2 == 2.0) // the outlier can't move the median
+  }
 }

@@ -327,5 +327,18 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.llm.Sampling.exactSplit(
       Seq.empty[(String, Long)].toDF("src", "id"), Seq("src"), "id",
       Seq("train" -> 0.8, "test" -> 0.2)).count() == 0)
+    assert(graft.agg.Stats.mutualInfo(
+      Seq.empty[(String, String, String)].toDF("k", "a", "b"),
+      Seq("k"), "a", "b").count() == 0)
+    assert(graft.agg.Stats.theilSen(
+      Seq.empty[(String, Double, Double, Long)].toDF("k", "x", "y", "id"),
+      Seq("k"), "x", "y", "id").count() == 0)
+    // a single point (no pair) and an all-equal-x group emit no row
+    assert(graft.agg.Stats.theilSen(
+      Seq(("k", 1.0, 2.0, 1L), ("e", 3.0, 1.0, 1L), ("e", 3.0, 2.0, 2L))
+        .toDF("k", "x", "y", "id"),
+      Seq("k"), "x", "y", "id").count() == 0)
+    assert(graft.llm.TextAnalysis.tokenBurstiness(
+      emptyDocs, "id", "text").count() == 0)
   }
 }

@@ -134,4 +134,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out.values.forall(v => v._2 >= 0.0 &&
       v._2 <= 0.6931471805599453 + 1e-9))
   }
+
+  test("tokenBurstiness: zero-inclusive dispersion, total-order rank") {
+    val df = Seq((1L, "a a a a"), (2L, "b"), (3L, "a b"), (4L, ""))
+      .toDF("id", "text")
+    val out = TextAnalysis.tokenBurstiness(df, "id", "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // a: counts (4,1) over N=4 docs -> mean 5/4, E[x^2] 17/4
+    val meanA = 5.0 / 4.0; val e2A = 17.0 / 4.0
+    assert(out("a") == ((2L, 5L, (e2A - meanA * meanA) / meanA, 1L)))
+    // b: counts (1,1) -> mean .5, E[x^2] .5 -> dispersion .5 (sub-
+    // Poisson: evenly scattered)
+    val meanB = 2.0 / 4.0; val e2B = 2.0 / 4.0
+    assert(out("b") == ((2L, 2L, (e2B - meanB * meanB) / meanB, 2L)))
+    // the bursty token disperses higher than the scattered one
+    assert(out("a")._3 > out("b")._3)
+  }
 }
