@@ -3055,7 +3055,14 @@ object SparkEntry {
     //      variance-to-mean dispersion of the top-100 tokens ----
     "q227_burstiness" -> ((s, dir) =>
       TA.tokenBurstiness(t(s, dir, "documents"), "doc_id", "text",
-        topK = 100))
+        topK = 100)),
+
+    // ---- dedup: DIRECTED containment pairs — asymmetric overlap
+    //      (quotes/wrappers/reposts symmetric Jaccard can't see);
+    //      one-sided rarest-prefix filter ----
+    "q228_containment" -> ((s, dir) =>
+      graft.llm.Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.8))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6538,6 +6545,25 @@ object SparkEntry {
         |      / (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE)) END
         |    AS dispersion,
         |  "rank"
-        |FROM r CROSS JOIN nd""".stripMargin
+        |FROM r CROSS JOIN nd""".stripMargin,
+
+    // all-pairs replay over the same distinct-shingle sets (hash-
+    // agnostic: containment over injectively-hashed sets equals
+    // containment over the string sets)
+    "q228_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS sh FROM w),
+        |p AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS overlap,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / CAST(len(a.sh) AS DOUBLE) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0)
+        |SELECT src_id, dst_id, overlap, containment
+        |FROM p WHERE containment >= 0.8""".stripMargin
   )
 }

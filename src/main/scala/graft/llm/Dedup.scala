@@ -458,6 +458,80 @@ object Dedup {
   }
 
   /**
+   * Directed CONTAINMENT pairs: `(src, dst)` where
+   * `|sh(src) ∩ sh(dst)| / |sh(src)| ≥ threshold` over word-n-gram
+   * shingle sets — the asymmetric overlap [[ngramJaccardPairs]]'
+   * symmetric Jaccard cannot see ("this doc is a quote/wrapper/
+   * re-post OF that one": a 50-token doc fully inside a 5000-token
+   * doc has Jaccard ~0.01 but containment 1.0). The dedup policy
+   * step for boilerplate wrappers, quoted reposts, and prompt-
+   * template expansion.
+   *
+   * Candidate generation is the one-sided prefix filter: with
+   * `a = |sh(src)|`, containment ≥ τ forces ≥ ⌈τ·a⌉ shared shingles,
+   * so at least one of src's `a − ⌈τ·a⌉ + 1` RAREST shingles (the
+   * global df-ascending order — the [[ngramJaccardPairs]] rare-first
+   * discipline) appears in dst; the probe side explodes only that
+   * prefix while the INDEXED side posts its full sets (dst has no
+   * size constraint — that is what asymmetric means). A sound size
+   * prefilter (`|dst| ≥ τ·|src|`, since overlap ≤ |dst|) drops
+   * incompatible pairs before verification; verification intersects
+   * the two hashed sets exactly.
+   *
+   * Output: (src_id, dst_id, overlap, containment), DIRECTED —
+   * near-identical docs of similar size appear in both directions.
+   *
+   * Scale posture: inherits the q26 shape — one flat checkpointed
+   * (id, hash, freq) relation, shingle-keyed candidate join where
+   * probe-side keys are rare by construction, k-bounded nothing,
+   * hot-block ceiling documented there.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8)
+  : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1], got $threshold")
+    val postings = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode_outer(shingles(col(textCol), shingleN)).as("__s"))
+      .select(col("__id"),
+        when(col("__s").isNotNull, xxhash64(col("__s"))).as("__h"))
+    val freq = postings.groupBy("__h").agg(count(lit(1)).as("__f"))
+    // the ngramJaccardPairs materialization rationale applies
+    // verbatim: flat longs checkpoint cheap, consumers re-read
+    val flat = postings.join(freq, Seq("__h"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = flat
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_set(struct(col("__f"), col("__h")))),
+        s => s.getField("__h")).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    // 1e-9 slack: float rounding can only LENGTHEN the prefix (sound)
+    val t = ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int")
+    val pre = sh.select(col("__id").as("src_id"), col("__n").as("__na"),
+      explode(slice(col("__sh"), lit(1),
+        greatest(col("__n") - t + 1, lit(0)))).as("__p"))
+    val full = sh.select(col("__id").as("dst_id"), col("__n").as("__nb"),
+      explode(col("__sh")).as("__p"))
+    val cands = pre.join(full, Seq("__p"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .filter(col("__nb").cast("double") >=
+        lit(threshold) * col("__na").cast("double"))
+      .select("src_id", "dst_id").distinct()
+    cands
+      .join(sh.select(col("__id").as("src_id"), col("__sh").as("__sh1"),
+        col("__n").as("__na")), "src_id")
+      .join(sh.select(col("__id").as("dst_id"), col("__sh").as("__sh2")),
+        "dst_id")
+      .withColumn("overlap",
+        size(array_intersect(col("__sh1"), col("__sh2"))).cast("long"))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("__na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("src_id", "dst_id", "overlap", "containment")
+  }
+
+  /**
    * Connected components over an undirected pair list — the step every
    * dedup pipeline needs after near-dup PAIR generation: pairs chain
    * (A~B, B~C ⇒ {A,B,C} is one duplicate cluster), and the keep-one

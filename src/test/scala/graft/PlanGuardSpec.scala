@@ -651,6 +651,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
 
+  test("q228 containment: checkpointed flat postings, EQUI prefix join") {
+    val whole = finalPlan("q228_containment")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
+
   test("q227 burstiness: two aggregations; the N scan reads no columns") {
     val whole = finalPlan("q227_burstiness")
     val fin = whole.split("== Initial Plan ==")(0)

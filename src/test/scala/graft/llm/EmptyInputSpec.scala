@@ -340,5 +340,11 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq("k"), "x", "y", "id").count() == 0)
     assert(graft.llm.TextAnalysis.tokenBurstiness(
       emptyDocs, "id", "text").count() == 0)
+    assert(graft.llm.Dedup.containmentPairs(
+      emptyDocs, "id", "text").count() == 0)
+    // sub-shingle-length docs: empty sets, no pairs, no crash
+    assert(graft.llm.Dedup.containmentPairs(
+      Seq((1L, "a b"), (2L, "a b")).toDF("id", "text"),
+      "id", "text", shingleN = 3).count() == 0)
   }
 }

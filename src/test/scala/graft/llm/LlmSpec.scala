@@ -133,6 +133,46 @@ class LlmSpec extends AnyFunSuite {
     assert(naive.nonEmpty) // the corpus really planted qualifying pairs
   }
 
+  test("containmentPairs equals naive all-pairs; asymmetry holds") {
+    // planted containments: doc i contained in doc i+20 (a superset
+    // text), plus the shared-vocabulary noise of the jaccard corpus
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = (0 until 20).map { i =>
+      val len = 4 + (i * 5) % 7
+      (i.toLong,
+        (0 until len).map(k => vocab((i * 3 + k) % vocab.size)).mkString(" "))
+    }
+    val supers = base.map { case (i, t) =>
+      (i + 20, t + " " + vocab((i.toInt + 2) % vocab.size) + " " +
+        vocab((i.toInt + 4) % vocab.size) + " " + t)
+    }
+    val df = (base ++ supers).toDF("id", "text")
+    val fast = Dedup.containmentPairs(df, "id", "text",
+      shingleN = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // naive oracle over the same hashed shingle sets
+    val sh = df.select(col("id"),
+      Dedup.hashedShingles(col("text"), 2).as("sh"))
+    val naive = sh.as("a").join(sh.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("s"), col("b.id").as("d"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+          .as("o"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("a.sh")).cast("double")).as("c"))
+      .filter(col("c") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(fast == naive)
+    // every planted (i, i+20) is found with containment 1.0, and the
+    // reverse direction is NOT fully contained (supersets are bigger)
+    (0L until 20L).foreach { i =>
+      assert(fast.exists(p => p._1 == i && p._2 == i + 20 && p._4 == 1.0),
+        s"missing planted containment $i -> ${i + 20}")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("connected components: chains collapse to min-id clusters") {
     // two clusters — a 5-node PATH (worst case for label propagation:
     // needs diameter rounds) and a 2-node pair — plus untouched ids
