@@ -3062,7 +3062,54 @@ object SparkEntry {
     //      one-sided rarest-prefix filter ----
     "q228_containment" -> ((s, dir) =>
       graft.llm.Dedup.containmentPairs(t(s, dir, "documents"),
-        "doc_id", "text", shingleN = 3, threshold = 0.8))
+        "doc_id", "text", shingleN = 3, threshold = 0.8)),
+
+    // ---- streaming: per-key running quantiles via MERGEABLE KLL
+    //      sketch state; rank-error-contract gated (the q184/q146
+    //      pattern — the estimate is sketch arithmetic, the CLAIM is
+    //      engine-independent) ----
+    "q229_stream_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type"), col("value"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q229")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.quantileStream(
+          df, "event_type", "value"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      val folded = graft.streaming.Streaming.foldQuantileUpdates(updates)
+      val ev2 = ev.select(col("event_type").cast("string").as("key"),
+        col("value"))
+      val eps = 0.03
+      val c = ev2.join(broadcast(folded), Seq("key"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("__n"), min(col("n_seen")).as("n_seen"),
+          sum(when(col("value") < col("p25"), 1L).otherwise(0L)).as("__l25"),
+          sum(when(col("value") <= col("p25"), 1L).otherwise(0L)).as("__h25"),
+          sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("__l50"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("__h50"),
+          sum(when(col("value") < col("p75"), 1L).otherwise(0L)).as("__l75"),
+          sum(when(col("value") <= col("p75"), 1L).otherwise(0L)).as("__h75"))
+      def okP(p: Double, lo: String, hi: String) =
+        col(lo).cast("double") <= (lit(p) + eps) * col("__n").cast("double") &&
+          col(hi).cast("double") >= (lit(p) - eps) * col("__n").cast("double")
+      c.select(col("key"), col("n_seen"),
+        (col("n_seen") === col("__n")).as("complete"),
+        okP(0.25, "__l25", "__h25").as("ok_p25"),
+        okP(0.50, "__l50", "__h50").as("ok_p50"),
+        okP(0.75, "__l75", "__h75").as("ok_p75"))
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6564,6 +6611,19 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |  WHERE len(a.sh) > 0)
         |SELECT src_id, dst_id, overlap, containment
-        |FROM p WHERE containment >= 0.8""".stripMargin
+        |FROM p WHERE containment >= 0.8""".stripMargin,
+
+    // the estimates are sketch arithmetic; hash-gated: full row
+    // coverage (n_seen == rows) and the rank-error contract per
+    // quantile — all engine-independent claims
+    "q229_stream_quantiles" ->
+      """SELECT CAST(event_type AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS n_seen,
+        |  TRUE AS complete, TRUE AS ok_p25, TRUE AS ok_p50,
+        |  TRUE AS ok_p75
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin
   )
 }

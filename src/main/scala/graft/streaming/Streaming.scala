@@ -618,6 +618,61 @@ object Streaming {
       .toDF("key", "n_seen", "estimate")
   }
 
+  /**
+   * Streaming quantiles with MERGEABLE sketch state: one DataSketches
+   * KLL doubles sketch per key serialized into the state store,
+   * updated batch over batch — running p25/p50/p75 for an unbounded
+   * stream whose exact quantiles would need the full history. Rank
+   * error is the KLL bound for the chosen `k` (~1.65% two-sided at
+   * k = 200), independent of stream length.
+   *
+   * Output per batch: (key, n_seen, p25, p50, p75). `n_seen` counts
+   * processed rows (monotone — the update log folds to the final row
+   * per key via [[foldQuantileUpdates]]); the estimates are sketch
+   * arithmetic, so gates check the RANK-ERROR CONTRACT against the
+   * exact data (the [[distinctCountStream]] / q146 pattern), never
+   * the values.
+   */
+  def quantileStream(df: DataFrame, keyCol: String, valueCol: String,
+                     k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]),
+        (String, Long, Double, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Long, Array[Byte])]) =>
+          import org.apache.datasketches.kll.KllDoublesSketch
+          import org.apache.datasketches.memory.Memory
+          val (seen0, bytes0) = state.getOption.getOrElse((0L, null: Array[Byte]))
+          val sk =
+            if (bytes0 == null) KllDoublesSketch.newHeapInstance(k)
+            else KllDoublesSketch.heapify(Memory.wrap(bytes0))
+          var n = seen0
+          rows.foreach { case (_, v) => sk.update(v); n += 1 }
+          state.update((n, sk.toByteArray))
+          (key, n, sk.getQuantile(0.25), sk.getQuantile(0.5),
+            sk.getQuantile(0.75))
+      }
+      .toDF("key", "n_seen", "p25", "p50", "p75")
+  }
+
+  /** Collapse a [[quantileStream]] update log: the final cumulative
+   *  row per key (largest `n_seen`; ties are byte-identical rows —
+   *  same sketch state, same quantiles). */
+  def foldQuantileUpdates(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_seen").desc)
+    updates.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("n_seen"), col("p25"), col("p50"), col("p75"))
+  }
+
   /** Collapse a [[distinctCountStream]] update log: the final
    *  cumulative row per key is the one with the largest `n_seen`. */
   def foldDistinctCountUpdates(updates: DataFrame): DataFrame = {

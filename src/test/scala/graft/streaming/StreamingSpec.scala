@@ -456,4 +456,33 @@ class StreamingSpec extends AnyFunSuite {
     // true distinct = 700; HLL at lgK=12 is well within 5%
     assert(math.abs(r.getDouble(2) - 700.0) <= 35.0, s"est=${r.getDouble(2)}")
   }
+
+  test("quantileStream: KLL state accumulates across batches; " +
+      "small streams are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_kll")
+      .toString
+    // values 1..100 split across two batches: a k=200 sketch holds
+    // them all, so the running quantiles are EXACT order statistics
+    val batch1 = (1 to 60).map(i => ("k", i.toDouble))
+    val batch2 = (61 to 100).map(i => ("k", i.toDouble))
+    batch1.toDF("key", "v").coalesce(1).write.mode("append")
+      .parquet(s"$dir/in")
+    batch2.toDF("key", "v").coalesce(1).write.mode("append")
+      .parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.quantileStream(df, "key", "v"),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    // the update log carries one row per processed batch
+    assert(updates.count() >= 2)
+    val rows = Streaming.foldQuantileUpdates(updates).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(1) == 100L)
+    // exact sketches land on data values at the requested ranks
+    assert(math.abs(r.getDouble(2) - 25.0) <= 1.0)
+    assert(math.abs(r.getDouble(3) - 50.0) <= 1.0)
+    assert(math.abs(r.getDouble(4) - 75.0) <= 1.0)
+  }
 }
