@@ -3109,6 +3109,33 @@ object SparkEntry {
         okP(0.25, "__l25", "__h25").as("ok_p25"),
         okP(0.50, "__l50", "__h50").as("ok_p50"),
         okP(0.75, "__l75", "__h75").as("ok_p75"))
+    }),
+
+    // ---- retrieval eval: rank-biased overlap between the exact and
+    //      LSH rankings — order-sensitive, top-weighted (recall@k
+    //      can't see rank agreement) ----
+    "q230_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 10)
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        k = 10, bits = 6)
+      Similarity.rankBiasedOverlap(exact, approx, "query_id",
+        "neighbor_id", "rank", k = 10, p = 0.9)
+    }),
+
+    // ---- retrieval eval: nDCG@10 of the LSH ranking against exact —
+    //      graded, log-discounted, literal-pinned discounts ----
+    "q231_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 10)
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        k = 10, bits = 6)
+      Similarity.ndcgAtK(approx, exact, "query_id", "neighbor_id",
+        "rank", k = 10)
     })
   )
 
@@ -6612,6 +6639,91 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0)
         |SELECT src_id, dst_id, overlap, containment
         |FROM p WHERE containment >= 0.8""".stripMargin,
+
+    // the two rankings replayed as in q136; per shared item the
+    // precomputed suffix-sum literal at max(rank, rank), round-12
+    // decimal sum, (1-p) literal
+    "q230_rbo" -> {
+      val planes = graft.llm.Similarity.planesFor(6, 64)
+      val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+        val arr = pl.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val sfx = (1 to 10).map(m =>
+        (m to 10).map(d => math.pow(0.9, d - 1) / d).sum)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, $bucketExpr AS b FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, b FROM bkt WHERE vec_id < 50),
+         |ex AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) DESC,
+         |      e.vec_id) AS rn
+         |  FROM q JOIN e ON e.vec_id <> qid) WHERE rn <= 10),
+         |ap AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT qid AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,c.v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(c.v,c.v))) DESC,
+         |      c.vec_id) AS rn
+         |  FROM q JOIN bkt c ON q.b = c.b AND c.vec_id <> q.qid) WHERE rn <= 10),
+         |jj AS (SELECT ex.query_id,
+         |    CAST(round(($sfx)[greatest(ex.rn, ap.rn)], 12)
+         |      AS DECIMAL(16,12)) AS contrib
+         |  FROM ex JOIN ap USING (query_id, neighbor_id)),
+         |s AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+         |    sum(contrib) AS ts FROM jj GROUP BY 1),
+         |base AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT base.query_id, coalesce(n_overlap, 0) AS n_overlap,
+         |  ${1.0 - 0.9} * coalesce(CAST(ts AS DOUBLE), 0.0) AS rbo
+         |FROM base LEFT JOIN s USING (query_id)""".stripMargin
+    },
+
+    // same ranking replay; rel = k+1 - exact rank, literal discount
+    // and ideal-DCG arrays, round-12 decimal term sums
+    "q231_ndcg" -> {
+      val planes = graft.llm.Similarity.planesFor(6, 64)
+      val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+        val arr = pl.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val disc = (1 to 10)
+        .map(d => 1.0 / (math.log(d + 1.0) / math.log(2.0)))
+      val discL = disc.mkString("[", ", ", "]")
+      val idealL = disc.zipWithIndex
+        .scanLeft(0.0) { case (acc, (dc, i)) => acc + (10 - i) * dc }
+        .tail.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, $bucketExpr AS b FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, b FROM bkt WHERE vec_id < 50),
+         |ex AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) DESC,
+         |      e.vec_id) AS rn
+         |  FROM q JOIN e ON e.vec_id <> qid) WHERE rn <= 10),
+         |ap AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT qid AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,c.v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(c.v,c.v))) DESC,
+         |      c.vec_id) AS rn
+         |  FROM q JOIN bkt c ON q.b = c.b AND c.vec_id <> q.qid) WHERE rn <= 10),
+         |terms AS (SELECT ap.query_id,
+         |    CAST(round(CAST(CASE WHEN ex.rn IS NOT NULL
+         |        THEN 11 - ex.rn ELSE 0 END AS DOUBLE)
+         |      * ($discL)[ap.rn], 12) AS DECIMAL(18,12)) AS term
+         |  FROM ap LEFT JOIN ex USING (query_id, neighbor_id)),
+         |d AS (SELECT query_id, sum(term) AS dcg0 FROM terms GROUP BY 1),
+         |ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY 1)
+         |SELECT ne.query_id, n_exact,
+         |  coalesce(CAST(dcg0 AS DOUBLE), 0.0) AS dcg,
+         |  ($idealL)[CAST(n_exact AS INT)] AS idcg,
+         |  CASE WHEN ($idealL)[CAST(n_exact AS INT)] > 0
+         |    THEN coalesce(CAST(dcg0 AS DOUBLE), 0.0)
+         |      / ($idealL)[CAST(n_exact AS INT)] END AS ndcg
+         |FROM ne LEFT JOIN d USING (query_id)""".stripMargin
+    },
 
     // the estimates are sketch arithmetic; hash-gated: full row
     // coverage (n_seen == rows) and the rank-error contract per

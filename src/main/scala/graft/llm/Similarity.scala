@@ -552,6 +552,107 @@ object Similarity {
   }
 
   /**
+   * Rank-biased overlap (RBO@k, Webber et al.) between two rankings
+   * per query — the top-weighted list-similarity metric for comparing
+   * retrieval runs ("how differently do the old and new index rank
+   * what users actually see?"). Unlike [[recallAtK]] it rewards
+   * AGREEMENT IN ORDER, geometrically discounted by depth with
+   * persistence `p` (p = 0.9 ≈ the top ~10 ranks carry ~86% of the
+   * weight).
+   *
+   * Closed form that keeps it relational: the truncated
+   * `RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|S_d ∩ T_d|/d` re-sums per ITEM —
+   * an item ranked (a, b) joins the intersection at every depth
+   * d ≥ max(a,b), so it contributes the SUFFIX SUM
+   * `Σ_{d=max(a,b)}^{k} p^{d−1}/d`, precomputed for every m ≤ k as
+   * driver-side double literals (no runtime pow — the literals parse
+   * identically in any engine). Per-item terms round to the 10⁻¹²
+   * grid and sum in DECIMAL.
+   *
+   * Output: (qidCol, n_overlap, rbo) — one row per rank-1 query of
+   * `run1`, rbo = 0 when the top-k lists are disjoint.
+   *
+   * Scale posture: one (qid, id) equi join of two k-bounded runs, one
+   * qid aggregation; everything is queries×k-sized.
+   */
+  def rankBiasedOverlap(run1: DataFrame, run2: DataFrame, qidCol: String,
+                        idCol: String, rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p in (0,1), got $p")
+    val suffix = (1 to k).map(m =>
+      (m to k).map(d => math.pow(p, d - 1) / d).sum).toArray
+    val r1 = run1.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__r1"))
+    val r2 = run2.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__r2"))
+    val j = r1.join(r2, Seq(qidCol, idCol))
+      .withColumn("__m", greatest(col("__r1"), col("__r2")))
+      .withColumn("__contrib",
+        round(element_at(lit(suffix), col("__m")), 12)
+          .cast("decimal(16,12)"))
+    val s = j.groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_overlap"), sum(col("__contrib")).as("__s"))
+    r1.select(col(qidCol)).distinct()
+      .join(s, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (lit(1.0 - p) *
+          coalesce(col("__s").cast("double"), lit(0.0))).as("rbo"))
+  }
+
+  /**
+   * nDCG@k of an approximate ranking against the exact one — the
+   * graded, position-discounted retrieval-quality score [[recallAtK]]
+   * deliberately omitted while log discounts meant engine libm calls.
+   * Now pinnable: the discounts `1/log2(d+1)` and the ideal-DCG
+   * prefix sums are DRIVER-SIDE double literals (d ≤ k — no runtime
+   * transcendental anywhere), per-item terms round to the 10⁻¹² grid
+   * and sum in DECIMAL, so the score replays bit-for-bit.
+   *
+   * Relevance grading: the exact rank-r neighbor carries
+   * `rel = k+1−r` (top exact hit = k, …, 0 for items outside the
+   * exact top-k); `DCG = Σ_d rel(item at approx rank d)·disc(d)`;
+   * `IDCG` = the exact list in its own order — `Σ_{d≤n} (k+1−d)·
+   * disc(d)` with n = that query's exact-neighbor count.
+   *
+   * Output: (qidCol, n_exact, dcg, idcg, ndcg) — one row per query
+   * of the EXACT run.
+   *
+   * Scale posture: identical to [[rankBiasedOverlap]] — k-bounded
+   * joins and one aggregation.
+   */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+              idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val disc = (1 to k)
+      .map(d => 1.0 / (math.log(d + 1.0) / math.log(2.0))).toArray
+    val ideal = disc.zipWithIndex
+      .scanLeft(0.0) { case (acc, (dc, i)) => acc + (k - i) * dc }
+      .tail.toArray
+    val a = approx.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__ar"))
+    val e = exact.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__er"))
+    val terms = a.join(e, Seq(qidCol, idCol), "left")
+      .withColumn("__rel",
+        when(col("__er").isNotNull, lit(k + 1) - col("__er"))
+          .otherwise(lit(0)))
+      .withColumn("__term",
+        round(col("__rel").cast("double") *
+          element_at(lit(disc), col("__ar")), 12).cast("decimal(18,12)"))
+    val dcg = terms.groupBy(col(qidCol)).agg(sum(col("__term")).as("__dcg"))
+    e.groupBy(col(qidCol)).agg(count(lit(1)).as("n_exact"))
+      .join(dcg, Seq(qidCol), "left")
+      .withColumn("dcg", coalesce(col("__dcg").cast("double"), lit(0.0)))
+      .withColumn("idcg", element_at(lit(ideal), col("n_exact").cast("int")))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, col("dcg") / col("idcg")))
+      .select(col(qidCol), col("n_exact"), col("dcg"), col("idcg"),
+        col("ndcg"))
+  }
+
+  /**
    * Embedding-centroid drift between segments (model-ops monitor:
    * "has the upstream encoder or the traffic mix shifted?"): for
    * every pair of segments, the cosine between their MEAN embeddings

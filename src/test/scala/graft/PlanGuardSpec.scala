@@ -659,6 +659,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
 
+  test("q230/q231 retrieval eval: k-bounded metric joins, no cartesian") {
+    for (q <- Seq("q230_rbo", "q231_ndcg")) {
+      val whole = finalPlan(q)
+      val fin = whole.split("== Initial Plan ==")(0)
+      // the ranking builders keep their own guarded shapes; the metric
+      // layer must add only (qid, id) equi joins over k-bounded runs
+      assert(!fin.contains("CartesianProduct"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("WindowGroupLimit"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
   test("q227 burstiness: two aggregations; the N scan reads no columns") {
     val whole = finalPlan("q227_burstiness")
     val fin = whole.split("== Initial Plan ==")(0)

@@ -402,6 +402,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0, None, 0.0)))
   }
 
+  test("rankBiasedOverlap: identical lists = 1 - p^k; disjoint = 0; " +
+      "order-sensitivity") {
+    def run(rows: (Long, Long, Long)*) = rows.toSeq.toDF("qid", "id", "rank")
+    val a = run((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L))
+    val b = run((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // identical
+      (2L, 22L, 1L), (2L, 21L, 2L), (2L, 20L, 3L),           // reversed
+      (3L, 90L, 1L), (3L, 91L, 2L), (3L, 92L, 3L))           // disjoint
+    val out = Similarity.rankBiasedOverlap(a, b, "qid", "id", "rank",
+      k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // identical: rbo = (1-p)*sum(p^(d-1)) = 1 - p^3, through the
+    // operator's 1e-12 contribution grid
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def suffix(m: Int) = (m to 3).map(d => math.pow(0.5, d - 1) / d).sum
+    val ident = 0.5 * (r12(suffix(1)) + r12(suffix(2)) + r12(suffix(3)))
+      .toDouble
+    assert(out(1L)._1 == 3L && out(1L)._2 == ident)
+    assert(math.abs(out(1L)._2 - (1.0 - 0.125)) < 1e-9)
+    // reversed: same members, max-rank = 3 for the outer pair, 2 mid
+    val rev = 0.5 * (r12(suffix(3)) + r12(suffix(2)) + r12(suffix(3)))
+      .toDouble
+    assert(out(2L)._2 == rev && out(2L)._2 < out(1L)._2)
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
+  test("ndcgAtK: perfect ranking ~1, graded degradation, misses at 0") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L)).toDF("qid", "id", "rank")
+    val approxRows = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 22L, 1L), (2L, 21L, 2L), (2L, 20L, 3L),
+      (3L, 99L, 1L)).toDF("qid", "id", "rank")
+    val out = Similarity.ndcgAtK(approxRows, exact, "qid", "id", "rank",
+      k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // perfect ordering: dcg == idcg up to the 1e-12 term grid
+    assert(math.abs(out(1L)._2.get - 1.0) < 1e-9)
+    // reversed ordering: strictly worse, still > 0
+    assert(out(2L)._2.get < out(1L)._2.get && out(2L)._2.get > 0.0)
+    // no exact hit anywhere: ndcg 0
+    assert(out(3L)._1 == 1L && out(3L)._2.get == 0.0)
+  }
+
   test("vocabCoverage: exact counts, tie order, topN cut, running share") {
     val docs = Seq(
       (1L, "a a a b b c"),

@@ -346,5 +346,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.llm.Dedup.containmentPairs(
       Seq((1L, "a b"), (2L, "a b")).toDF("id", "text"),
       "id", "text", shingleN = 3).count() == 0)
+    val emptyRun = Seq.empty[(Long, Long, Long)].toDF("qid", "id", "rank")
+    assert(graft.llm.Similarity.rankBiasedOverlap(
+      emptyRun, emptyRun, "qid", "id", "rank", k = 5).count() == 0)
+    assert(graft.llm.Similarity.ndcgAtK(
+      emptyRun, emptyRun, "qid", "id", "rank", k = 5).count() == 0)
   }
 }
