@@ -3136,7 +3136,34 @@ object SparkEntry {
         k = 10, bits = 6)
       Similarity.ndcgAtK(approx, exact, "query_id", "neighbor_id",
         "rank", k = 10)
-    })
+    }),
+
+    // ---- monitoring: 7-day rolling correlation of daily click vs
+    //      purchase volume — exact decimal frame moments ----
+    "q232_rolling_corr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("t",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      graft.ops.TimeSeries.rollingCorr(daily, Seq.empty, "t", "t",
+        "x", "y", window = 7, xScale = 0, yScale = 0)
+    }),
+
+    // ---- A/B stats: two-proportion z per event type (pooled
+    //      variance) — the rate sibling of q208/q211 ----
+    "q233_two_prop_z" -> ((s, dir) =>
+      graft.agg.Stats.twoProportionZ(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "a").otherwise("b"))
+          .withColumn("hit", col("value") >= 50),
+        Seq("event_type"), "arm", "a", "b", "hit"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6639,6 +6666,62 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0)
         |SELECT src_id, dst_id, overlap, containment
         |FROM p WHERE containment >= 0.8""".stripMargin,
+
+    // the q219 daily grid; five decimal frame sums on one ROWS
+    // window; the pinned pearson closing per row
+    "q232_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(x AS DECIMAL(18,0)) AS x, CAST(y AS DECIMAL(18,0)) AS y
+        |  FROM daily),
+        |m AS (SELECT t, x, y, CAST(count(*) OVER w AS BIGINT) AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+        |    sum(y * y) OVER w AS syy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT t, x, y, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM m),
+        |v AS (SELECT *, nd * sxxd - sxd * sxd AS vx,
+        |    nd * syyd - syd * syd AS vy, nd * sxyd - sxd * syd AS cov
+        |  FROM c)
+        |SELECT t, x, y,
+        |  CASE WHEN n = 7 AND vx > 0 AND vy > 0
+        |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM v""".stripMargin,
+
+    // exact arm/hit counts; the pooled-variance pinned chain
+    "q233_two_prop_z" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    value >= 50 AS hit
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'a' AND hit THEN 1 ELSE 0 END) AS BIGINT) AS ha,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'b' AND hit THEN 1 ELSE 0 END) AS BIGINT) AS hb
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(ha AS DOUBLE) AS had, CAST(hb AS DOUBLE) AS hbd FROM m),
+        |v AS (SELECT *, had / na AS pa, hbd / nb AS pb,
+        |    (had + hbd) / (na + nb) AS pp FROM d),
+        |s2 AS (SELECT *, pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) AS se2
+        |       FROM v)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 THEN pa END AS p_a,
+        |  CASE WHEN n_b >= 1 THEN pb END AS p_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > 0.0
+        |    THEN (pa - pb) / sqrt(se2) END AS z
+        |FROM s2""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

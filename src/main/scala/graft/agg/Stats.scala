@@ -593,4 +593,49 @@ object Stats {
       .select(keys.map(col) :+ col("__n").as("n_pairs") :+
         col("__slope").as("slope"): _*)
   }
+
+  /**
+   * Two-proportion z-test per group: compare conversion/defect RATES
+   * between the `aLabel` and `bLabel` arms of `groupCol`, where
+   * `hitCol` is the per-row success flag — the categorical sibling of
+   * [[welchT]] (means) and [[mannWhitneyU]] (ranks), and the
+   * significance layer over `Quality.conversionRates`' Wilson
+   * intervals.
+   *
+   * Pooled-variance form: `p̂ = (h_a + h_b)/(n_a + n_b)`,
+   * `z = (p_a − p_b) / sqrt(p̂(1−p̂)·(1/n_a + 1/n_b))` — exact integer
+   * counts, one pinned IEEE closing chain. Degenerate pools (p̂ = 0
+   * or 1 — no variance) and empty arms yield null z.
+   *
+   * Output: (keys…, n_a, n_b, p_a, p_b, z).
+   *
+   * Scale posture: ONE map-side-combined aggregation; closing on
+   * |groups| rows.
+   */
+  def twoProportionZ(df: DataFrame, keys: Seq[String], groupCol: String,
+                     aLabel: String, bLabel: String, hitCol: String)
+  : DataFrame = {
+    val hit = col(hitCol).cast("boolean")
+    val m = df
+      .filter(hit.isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === aLabel && hit, 1L).otherwise(0L))
+          .as("__ha"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === bLabel && hit, 1L).otherwise(0L))
+          .as("__hb"))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val pa = d(col("__ha")) / na
+    val pb = d(col("__hb")) / nb
+    val pp = (d(col("__ha")) + d(col("__hb"))) / (na + nb)
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)
+    val ok = col("n_a") >= 1 && col("n_b") >= 1 && se2 > 0.0
+    m.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("n_a") >= 1, pa).as("p_a"),
+      when(col("n_b") >= 1, pb).as("p_b"),
+      when(ok, (pa - pb) / sqrt(se2)).as("z")): _*)
+  }
 }

@@ -654,4 +654,59 @@ object TimeSeries {
       when(col("n") >= 2 && vx > 0 && vy > 0,
         cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
   }
+
+  /**
+   * Rolling Pearson correlation per key: at every row, the
+   * correlation of (`xCol`, `yCol`) over the trailing `window` ROWS
+   * ordered by (`tCol`, `tieCol`) — the co-movement monitor ("are
+   * these two metrics still coupled this week?"). The leading
+   * `window − 1` rows of each key emit null (no full frame).
+   *
+   * [[graft.agg.Stats]] discipline in a moving frame: all five
+   * moments are DECIMAL window sums over the exact value grids, the
+   * closing correlation is the pinned pearson composition per row —
+   * the same answer at any partitioning, engine, or frame
+   * evaluation order (a streaming covariance recurrence would drift
+   * by accumulation order; frame sums don't). `tieCol` must make
+   * (tCol, tieCol) unique per key (the q207 total-order rule).
+   *
+   * Output: input keys + (tCol, tieCol, x, y, corr).
+   *
+   * Scale posture: ONE key exchange; all five moment sums share one
+   * sort and one frame.
+   */
+  def rollingCorr(df: DataFrame, keys: Seq[String], tCol: String,
+                  tieCol: String, xCol: String, yCol: String,
+                  window: Int, xScale: Int = 2, yScale: Int = 2)
+  : DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val x = col(xCol).cast(s"decimal(18,$xScale)")
+    val y = col(yCol).cast(s"decimal(18,$yScale)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tCol), col(tieCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val base = df
+      .filter(col(tCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(keys.map(col) :+ col(tCol) :+ col(tieCol) :+
+        x.as("__x") :+ y.as("__y"): _*)
+    val withM = base
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(w))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val vx = n * col("__sxx").cast("double") - sx * sx
+    val vy = n * col("__syy").cast("double") - sy * sy
+    val cov = n * col("__sxy").cast("double") - sx * sy
+    val timeCols =
+      if (tieCol == tCol) Seq(col(tCol)) else Seq(col(tCol), col(tieCol))
+    withM.select(keys.map(col) ++ timeCols ++ Seq(
+      col("__x").as("x"), col("__y").as("y"),
+      when(col("__n") === window && vx > 0 && vy > 0,
+        cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
+  }
 }

@@ -659,6 +659,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
 
+  test("q232 rolling corr: all frame moments ride ONE sort") {
+    val whole = finalPlan("q232_rolling_corr")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    // Spark stacks the moment windows (product inputs project between
+    // them) but they share one ordering: exactly one Sort, no
+    // re-exchange between the window operators
+    assert("Sort \\[".r.findAllIn(fin).size == 1, fin.take(1500))
+  }
+
+  test("q233 two-proportion z: ONE map-side-combined aggregation") {
+    val whole = finalPlan("q233_two_prop_z")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+    assert(fin.contains("partial_sum"), fin.take(1500))
+  }
+
   test("q230/q231 retrieval eval: k-bounded metric joins, no cartesian") {
     for (q <- Seq("q230_rbo", "q231_ndcg")) {
       val whole = finalPlan(q)

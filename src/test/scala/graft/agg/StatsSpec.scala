@@ -210,4 +210,24 @@ class StatsSpec extends AnyFunSuite {
     assert(out("k") == ((31L, 2.0)))
     assert(out("d")._2 == 2.0) // the outlier can't move the median
   }
+
+  test("twoProportionZ: pooled-variance hand check; degenerate null") {
+    val rows = Seq.fill(40)(("k", "a", true)) ++
+      Seq.fill(60)(("k", "a", false)) ++
+      Seq.fill(50)(("k", "b", true)) ++ Seq.fill(50)(("k", "b", false)) ++
+      Seq.fill(5)(("sat", "a", true)) ++ Seq.fill(5)(("sat", "b", true))
+    val out = Stats.twoProportionZ(rows.toDF("key", "arm", "hit"),
+      Seq("key"), "arm", "a", "b", "hit")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_a") == 100L && k.getAs[Long]("n_b") == 100L)
+    val pa = 40.0 / 100.0; val pb = 50.0 / 100.0
+    val pp = (40.0 + 50.0) / (100.0 + 100.0)
+    val se2 = pp * (1.0 - pp) * (1.0 / 100.0 + 1.0 / 100.0)
+    assert(k.getAs[Double]("p_a") == pa && k.getAs[Double]("p_b") == pb)
+    assert(k.getAs[Double]("z") == (pa - pb) / math.sqrt(se2))
+    // saturated pool (p = 1): no variance, null z
+    val s = out("sat")
+    assert(s.getAs[Double]("p_a") == 1.0 && s.isNullAt(s.fieldIndex("z")))
+  }
 }

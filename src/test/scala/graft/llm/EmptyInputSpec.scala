@@ -351,5 +351,11 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyRun, emptyRun, "qid", "id", "rank", k = 5).count() == 0)
     assert(graft.llm.Similarity.ndcgAtK(
       emptyRun, emptyRun, "qid", "id", "rank", k = 5).count() == 0)
+    assert(graft.ops.TimeSeries.rollingCorr(
+      Seq.empty[(String, Long, Double, Double)].toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "t", "x", "y", window = 3).count() == 0)
+    assert(graft.agg.Stats.twoProportionZ(
+      Seq.empty[(String, String, Boolean)].toDF("k", "arm", "hit"),
+      Seq("k"), "arm", "a", "b", "hit").count() == 0)
   }
 }

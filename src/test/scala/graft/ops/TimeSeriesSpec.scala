@@ -366,4 +366,21 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(g(0) == 4L && g(1) == 2L) // (0,1) and (3,4) survive at lag 1
   }
+
+  test("rollingCorr: exact +-1 on linear frames, warmup nulls, " +
+      "regime flip detected") {
+    // x tracks t for 3 steps then reverses; y keeps climbing
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0),
+      (4L, 2.0, 4.0), (5L, 1.0, 5.0), (6L, 0.0, 6.0))
+      .map { case (t, x, y) => ("k", t, x, y) }.toDF("k", "t", "x", "y")
+    val out = TimeSeries.rollingCorr(df, Seq("k"), "t", "t", "x", "y",
+      window = 3)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.getAs[Any]("corr")).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty) // warmup frames
+    // sqrt(v)*sqrt(v) can land 1 ulp off v: perfect corr to 1e-12
+    assert(math.abs(out(3L).get - 1.0) < 1e-12)
+    assert(math.abs(out(5L).get + 1.0) < 1e-12) // frames 3,2,1 vs 3,4,5
+    assert(math.abs(out(6L).get + 1.0) < 1e-12)
+  }
 }
