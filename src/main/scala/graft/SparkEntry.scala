@@ -3163,7 +3163,14 @@ object SparkEntry {
           .withColumn("arm",
             when(col("user_id") % 2 === 0, "a").otherwise("b"))
           .withColumn("hit", col("value") >= 50),
-        Seq("event_type"), "arm", "a", "b", "hit"))
+        Seq("event_type"), "arm", "a", "b", "hit")),
+
+    // ---- graph: local clustering coefficient over the q152
+    //      co-purchase graph — community density per vertex ----
+    "q234_clustering_coeff" -> ((s, dir) =>
+      graft.graph.Graph.clusteringCoefficient(
+        graft.graph.Graph.coOccurrenceEdges(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxPerGroup = 8)))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6722,6 +6729,36 @@ object SparkEntry {
         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > 0.0
         |    THEN (pa - pb) / sqrt(se2) END AS z
         |FROM s2""".stripMargin,
+
+    // the q152 triangle replay + degrees; 2T/(d(d-1)), null below
+    // degree 2
+    "q234_clustering_coeff" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gs AS (SELECT g, i FROM (SELECT g, i, count(*) OVER (PARTITION BY g) AS sz
+        |       FROM gi) WHERE sz <= 8),
+        |e AS (SELECT DISTINCT x.i AS u, y.i AS v FROM gs x
+        |      JOIN gs y ON x.g = y.g AND x.i < y.i),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS rd
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |w AS (SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2 FROM o e1 JOIN o e2
+        |      ON e1.a = e2.a AND (e1.rd, e1.b) < (e2.rd, e2.b)),
+        |tr AS (SELECT w0, w1, w2 FROM w JOIN o ON o.a = w.w1 AND o.b = w.w2),
+        |tc AS (SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM
+        |  (SELECT w0 AS vertex FROM tr UNION ALL SELECT w1 FROM tr
+        |   UNION ALL SELECT w2 FROM tr)
+        |  GROUP BY 1)
+        |SELECT deg.n AS vertex, deg.d AS degree,
+        |  coalesce(n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d >= 2 THEN 2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+        |    / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)) END
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON tc.vertex = deg.n""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

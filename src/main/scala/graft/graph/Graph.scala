@@ -132,6 +132,49 @@ object Graph {
   }
 
   /**
+   * Local clustering coefficient per vertex: `2·T_v / (d_v·(d_v−1))`
+   * — how close each vertex's neighborhood is to a clique. The
+   * community-structure signal behind spam-ring detection (dense
+   * cliques of colluding accounts ≈ 1) and hub triage (broadcast
+   * hubs ≈ 0); pairs with [[triangleCounts]] exactly the way degree
+   * pairs with PageRank.
+   *
+   * Exact: triangle counts from the degree-ordered wedge join
+   * ([[triangleCounts]] — each triangle found once), degrees from the
+   * normalized undirected edge set, one pinned IEEE division per
+   * vertex. Output: (vertex, degree, n_triangles, clustering_coeff)
+   * for EVERY vertex of the normalized graph; degree-1 vertices have
+   * no defined coefficient (null — no wedge to close).
+   *
+   * Scale posture: the normalized edge set is checkpointed once and
+   * feeds both the degree count and the triangle machinery (which
+   * re-reads it, not the caller's edge derivation); the closing is a
+   * vertex-keyed left join of two vertex-sized relations.
+   */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "u",
+                            dstCol: String = "v"): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val tri = triangleCountsImpl(und, "u", "v",
+      checkpointUnd = false, checkpointOriented = false)
+    val t = col("n_triangles").cast("double")
+    val dd = col("d").cast("double")
+    deg.join(tri.withColumnRenamed("vertex", "n"), Seq("n"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("n").as("vertex"), col("d").as("degree"),
+        col("n_triangles"),
+        when(col("d") >= 2, lit(2.0) * t / (dd * (dd - lit(1.0))))
+          .as("clustering_coeff"))
+  }
+
+  /**
    * Link prediction by the resource-allocation index: for every
    * non-adjacent vertex pair (u, v) with at least one common
    * neighbor, `score = Σ_z floor(1e12 / deg(z))` over common

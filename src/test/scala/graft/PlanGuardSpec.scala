@@ -659,6 +659,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
 
+  test("q234 clustering coefficient: the q152 no-nested-loop contract") {
+    val whole = finalPlan("q234_clustering_coeff")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
+
   test("q232 rolling corr: all frame moments ride ONE sort") {
     val whole = finalPlan("q232_rolling_corr")
     assert(!whole.contains("Join"), whole.take(1500))

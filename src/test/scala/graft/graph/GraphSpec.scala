@@ -47,6 +47,26 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCounts(edges).collect().isEmpty)
   }
 
+  test("clusteringCoefficient: triangle + pendant; K4 all 1.0; " +
+      "degree-1 null") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((2L, 1L, Some(1.0))))
+    assert(out(2L) == ((2L, 1L, Some(1.0))))
+    assert(out(3L) == ((3L, 1L, Some(2.0 * 1.0 / (3.0 * 2.0)))))
+    assert(out(4L) == ((1L, 0L, None))) // pendant: undefined
+    val k4 = (for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j))
+      .toDF("u", "v")
+    val cc4 = Graph.clusteringCoefficient(k4)
+      .collect().map(r => r.getAs[Double]("clustering_coeff"))
+    assert(cc4.length == 4 && cc4.forall(_ == 1.0))
+    // empty graph
+    assert(Graph.clusteringCoefficient(
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+  }
+
   test("linkPredictionRA: hand-derived scores, known edges excluded, hub cap") {
     // path graph 1-2-3 plus 1-4, 3-4: common neighbors of (1,3): {2, 4}
     // deg: 1->2, 2->2, 3->2, 4->2; all degs 2 -> contrib 5e11 each
