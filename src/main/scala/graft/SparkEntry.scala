@@ -3170,7 +3170,84 @@ object SparkEntry {
     "q234_clustering_coeff" -> ((s, dir) =>
       graft.graph.Graph.clusteringCoefficient(
         graft.graph.Graph.coOccurrenceEdges(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", maxPerGroup = 8)))
+          "l_orderkey", "l_partkey", maxPerGroup = 8))),
+
+    // ---- ops: interval-union coverage — per-user active time from
+    //      overlapping 30-min event leases (sweep, no double count) ----
+    "q235_interval_coverage" -> ((s, dir) =>
+      graft.ops.TimeSeries.intervalCoverage(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("lease_start"),
+            (unix_micros(col("ts")) + lit(1800000000L)).as("lease_end")),
+        Seq("user_id"), "lease_start", "lease_end")),
+
+    // ---- joins: as-of with TOLERANCE — last touch before each
+    //      purchase, but only within 30 minutes (stale matches null) ----
+    "q236_asof_within" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("__r") === 1)
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_id").as("touch_event_id"),
+          col("event_type").as("touch_type"))
+      graft.join.Joins.asOfWithin(purchases, touches, Seq("user_id"),
+        "ts", "touch_ts", maxGap = 1800000000L)
+        .select(col("event_id"), col("user_id"),
+          col("asof_touch_event_id"), col("asof_touch_type"))
+    }),
+
+    // ---- streaming: Misra-Gries heavy-hitter state — bounded
+    //      counters for an unbounded item space; recall-contract
+    //      gated (candidates beyond the guarantee are arrival-order
+    //      artifacts and never hashed) ----
+    "q237_stream_heavy_hitters" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(lit("all").as("k"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q237")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.heavyHitterStream(
+          df, "k", "event_type", k = 8),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      val folded = graft.streaming.Streaming.foldHeavyHitterUpdates(updates)
+      val exact = ev.groupBy(col("event_type").as("item"))
+        .agg(count(lit(1)).as("__c"))
+      val tot = ev.agg(count(lit(1)).as("__n"))
+      // hot iff freq*(k+1) > n — exact integer comparison
+      val hot = exact.crossJoin(broadcast(tot))
+        .filter(col("__c") * 9 > col("__n"))
+      val cand = folded.select(col("key"), col("n_seen"),
+        size(col("candidates")).cast("long").as("n_candidates"),
+        col("candidates"))
+      val missed = hot.join(
+        folded.select(explode(col("candidates")).as("item")),
+        Seq("item"), "left_anti")
+      val missedN = missed.agg(count(lit(1)).as("__miss"))
+      cand.crossJoin(broadcast(tot)).crossJoin(broadcast(missedN))
+        .select(col("key"), col("n_seen"),
+          (col("n_seen") === col("__n")).as("complete"),
+          (col("__miss") === 0).as("recall_ok"),
+          (col("n_candidates") <= 8).as("size_ok"))
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6759,6 +6836,58 @@ object SparkEntry {
         |    / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)) END
         |    AS clustering_coeff
         |FROM deg LEFT JOIN tc ON tc.vertex = deg.n""".stripMargin,
+
+    // the sweep replayed: running max of interval ends over the
+    // (start, end)-ordered preceding rows clips every overlap
+    "q235_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sw AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bef
+        |  FROM iv WHERE e > s),
+        |c AS (SELECT user_id,
+        |    greatest(0, e - greatest(s, coalesce(bef, s))) AS cov,
+        |    CASE WHEN bef IS NULL OR s > bef THEN 1 ELSE 0 END AS nseg
+        |  FROM sw)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(cov) AS BIGINT) AS covered_micros,
+        |  CAST(sum(nseg) AS BIGINT) AS n_segments
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // the q178 recipe with the tolerance folded in: every purchase
+    // keeps its row; matches older than 30 min null out
+    "q236_asof_within" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT user_id, t, event_id FROM e
+        |      WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, t, event_id, event_type FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id, t
+        |     ORDER BY event_id DESC) AS r
+        |   FROM e WHERE event_type <> 'purchase') WHERE r = 1),
+        |m AS (SELECT p.user_id, p.event_id, p.t, tch.event_id AS tid,
+        |    tch.event_type AS ttype, tch.t AS tt,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY tch.t DESC) AS r
+        |  FROM p JOIN tch ON tch.user_id = p.user_id AND tch.t <= p.t)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN m.tt IS NOT NULL AND p.t - m.tt <= 1800000000
+        |    THEN m.tid END AS asof_touch_event_id,
+        |  CASE WHEN m.tt IS NOT NULL AND p.t - m.tt <= 1800000000
+        |    THEN m.ttype END AS asof_touch_type
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE r = 1) m
+        |  ON m.event_id = p.event_id""".stripMargin,
+
+    // MG candidate membership beyond the guarantee is arrival-order
+    // dependent; hash-gated: coverage, the recall contract, the
+    // state-size bound — all engine-independent
+    "q237_stream_heavy_hitters" ->
+      """SELECT 'all' AS key, CAST(count(*) AS BIGINT) AS n_seen,
+        |  TRUE AS complete, TRUE AS recall_ok, TRUE AS size_ok
+        |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -1,6 +1,6 @@
 package graft.join
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,35 @@ object Joins {
       .filter(col("__side") === 1)
     matched.select(left.columns.toIndexedSeq.map(col) ++
       rightPayload.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+  }
+
+  /**
+   * [[asOf]] with a TOLERANCE: matches older than `maxGap` are nulled
+   * out — the pandas `merge_asof(tolerance=…)` contract, and what
+   * attribution windows actually mean ("last touch, but only within
+   * the hour"). Same union+window plan as [[asOf]] (one key exchange,
+   * no range self-join); the gap test is one extra projection.
+   * `maxGap` is in MICROSECONDS for timestamp time columns, and in
+   * the column's own units for numeric ones.
+   */
+  def asOfWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String, maxGap: Long,
+                 prefix: String = "asof_"): DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case TimestampType | TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val m = asOf(left, right, keys, leftTime, rightTime, prefix)
+    val matchT = s"$prefix$rightTime"
+    val ok = col(matchT).isNotNull &&
+      asLong(col(leftTime), left.schema(leftTime).dataType) -
+        asLong(col(matchT), right.schema(rightTime).dataType) <= maxGap
+    right.columns.filterNot(keys.contains).foldLeft(m) { (df, c) =>
+      df.withColumn(s"$prefix$c", when(ok, col(s"$prefix$c")))
+    }
   }
 
   /**

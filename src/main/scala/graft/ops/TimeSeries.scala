@@ -709,4 +709,51 @@ object TimeSeries {
       when(col("__n") === window && vx > 0 && vy > 0,
         cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
   }
+
+  /**
+   * Interval-union coverage per key: the total length of the UNION of
+   * (possibly overlapping) `[startCol, endCol)` intervals — machine
+   * uptime from overlapping heartbeat leases, user active time from
+   * overlapping sessions, SLA coverage from redundant monitors. The
+   * naive `sum(end − start)` double-counts every overlap; this is the
+   * one-pass sweep that doesn't.
+   *
+   * Sweep as a window: intervals sort by (start, end); each row
+   * contributes `max(0, end − max(start, maxEndBefore))` where
+   * `maxEndBefore` is the running max of END over the preceding rows
+   * — overlap with everything already swept is clipped off exactly.
+   * All integer microsecond arithmetic; equal (start, end) duplicates
+   * contribute 0 on their second appearance (value-identity — no
+   * row-order ambiguity). Intervals with `end ≤ start` are dropped.
+   * `n_segments` counts the gaps-and-islands segments (rows starting
+   * strictly after everything before them ended).
+   *
+   * Output: (keys…, n_intervals, covered_micros, n_segments).
+   *
+   * Scale posture: ONE key exchange; the sweep window and the closing
+   * aggregate share its sort.
+   */
+  def intervalCoverage(df: DataFrame, keys: Seq[String], startCol: String,
+                       endCol: String): DataFrame = {
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val swept = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull && e > s)
+      .select(keys.map(col) :+ s.as("__s") :+ e.as("__e"): _*)
+      .withColumn("__before", max(col("__e")).over(w))
+      .withColumn("__covered",
+        greatest(lit(0L),
+          col("__e") - greatest(col("__s"), coalesce(col("__before"),
+            col("__s")))))
+      .withColumn("__newseg",
+        when(col("__before").isNull || col("__s") > col("__before"), 1L)
+          .otherwise(0L))
+    swept.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__covered")).as("covered_micros"),
+        sum(col("__newseg")).as("n_segments"))
+  }
 }

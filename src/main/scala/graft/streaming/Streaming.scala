@@ -662,6 +662,68 @@ object Streaming {
       .toDF("key", "n_seen", "p25", "p50", "p75")
   }
 
+  /**
+   * Streaming heavy hitters with Misra-Gries counter state: at most
+   * `k` (item, counter) pairs per key — bounded state for an
+   * unbounded item space — updated batch over batch with the classic
+   * decrement rule. The GUARANTEE survives streaming because MG
+   * summaries merge: any item with true frequency > n/(k+1) is in
+   * the final candidate set (recall-complete; counts are lower
+   * bounds, exact recount is the batch [[graft.agg.Sketches
+   * .heavyHitters]] second pass).
+   *
+   * Output per batch: (key, n_seen, candidates) — `candidates` the
+   * surviving items SORTED (deterministic presentation; MG counter
+   * values are order-of-arrival artifacts and deliberately not
+   * emitted). Gates hash the engine-independent claims: coverage
+   * (n_seen == rows) and the recall contract against exact counts.
+   */
+  def heavyHitterStream(df: DataFrame, keyCol: String, itemCol: String,
+                        k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[String, Long]),
+        (String, Long, Seq[String])](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (seen0, m0) = state.getOption.getOrElse(
+            (0L, Map.empty[String, Long]))
+          var n = seen0
+          val m = scala.collection.mutable.Map[String, Long](m0.toSeq: _*)
+          rows.foreach { case (_, item) =>
+            n += 1
+            if (m.contains(item)) m(item) += 1
+            else if (m.size < k) m(item) = 1
+            else {
+              // decrement-all; drop zeros (the classic MG step)
+              m.keys.toSeq.foreach { it =>
+                val c = m(it) - 1
+                if (c == 0) m.remove(it) else m(it) = c
+              }
+            }
+          }
+          state.update((n, m.toMap))
+          (key, n, m.keys.toSeq.sorted)
+      }
+      .toDF("key", "n_seen", "candidates")
+  }
+
+  /** Collapse a [[heavyHitterStream]] update log: the final
+   *  cumulative row per key (largest `n_seen`). */
+  def foldHeavyHitterUpdates(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_seen").desc)
+    updates.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("n_seen"), col("candidates"))
+  }
+
   /** Collapse a [[quantileStream]] update log: the final cumulative
    *  row per key (largest `n_seen`; ties are byte-identical rows —
    *  same sketch state, same quantiles). */

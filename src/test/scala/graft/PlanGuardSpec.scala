@@ -659,6 +659,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
 
+  test("q235 interval coverage: sweep + closing agg on ONE key exchange") {
+    val whole = finalPlan("q235_interval_coverage")
+    assert(!whole.contains("Join"), whole.take(1500))
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+  }
+
+  test("q236 as-of tolerance keeps the union+window plan (no range join)") {
+    val whole = finalPlan("q236_asof_within")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+    // the as-of itself is the union + last-ignoreNulls window
+    assert(fin.contains("Window"), fin.take(1500))
+  }
+
   test("q234 clustering coefficient: the q152 no-nested-loop contract") {
     val whole = finalPlan("q234_clustering_coeff")
     val fin = whole.split("== Initial Plan ==")(0)

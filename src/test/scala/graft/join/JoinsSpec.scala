@@ -73,6 +73,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(4L) == ((None, None)))            // no quotes for key z
   }
 
+  test("asOfWithin: stale matches null out at the tolerance; rows stay") {
+    val trades = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 400L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 1.0), ("k", 200L, 3.0))
+      .toDF("sym", "t", "px")
+    val out = Joins.asOfWithin(trades, quotes, Seq("sym"), "t", "t",
+      maxGap = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((Some(90L), Some(1.0))))  // gap 10: inside
+    assert(out(2L) == ((Some(200L), Some(3.0)))) // gap 5: inside
+    assert(out(3L) == ((None, None)))            // gap 200: nulled out
+    assert(out.size == 3)                        // left rows all kept
+  }
+
   test("binned range join equals the naive BETWEEN join") {
     val points = (1 to 200).map(i => (i.toLong, i * 1.7)).toDF("pid", "x")
     val intervals = (1 to 40).map(i => (i.toLong, i * 8.0 - 3.0, i * 8.0 + 4.5))

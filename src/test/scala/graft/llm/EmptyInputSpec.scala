@@ -357,5 +357,14 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.twoProportionZ(
       Seq.empty[(String, String, Boolean)].toDF("k", "arm", "hit"),
       Seq("k"), "arm", "a", "b", "hit").count() == 0)
+    assert(graft.ops.TimeSeries.intervalCoverage(
+      Seq.empty[(String, Long, Long)].toDF("k", "s", "e"),
+      Seq("k"), "s", "e").count() == 0)
+    assert(graft.graph.Graph.clusteringCoefficient(
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+    assert(graft.join.Joins.asOfWithin(
+      Seq.empty[(Long, Long)].toDF("id", "t"),
+      Seq.empty[(Long, Double)].toDF("t", "px"),
+      Seq.empty, "t", "t", maxGap = 10L).count() == 0)
   }
 }

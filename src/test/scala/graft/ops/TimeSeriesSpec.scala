@@ -383,4 +383,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(out(5L).get + 1.0) < 1e-12) // frames 3,2,1 vs 3,4,5
     assert(math.abs(out(6L).get + 1.0) < 1e-12)
   }
+
+  test("intervalCoverage: overlaps clipped, nested absorbed, segments " +
+      "counted, duplicates free") {
+    val df = Seq(
+      ("k", 0L, 10L), ("k", 5L, 15L),   // overlap -> 15
+      ("k", 20L, 30L),                  // second segment -> +10
+      ("n", 0L, 100L), ("n", 10L, 20L), // nested absorbed -> 100
+      ("d", 0L, 10L), ("d", 0L, 10L),   // duplicate contributes 0
+      ("d", 8L, 8L),                    // zero-length dropped
+      ("z", 5L, 3L))                    // inverted dropped -> no row
+      .toDF("k", "s", "e")
+    val out = TimeSeries.intervalCoverage(df, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("k") == ((3L, 25L, 2L)))
+    assert(out("n") == ((2L, 100L, 1L)))
+    assert(out("d") == ((2L, 10L, 1L)))
+    assert(!out.contains("z"))
+  }
 }

@@ -485,4 +485,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 50.0) <= 1.0)
     assert(math.abs(r.getDouble(4) - 75.0) <= 1.0)
   }
+
+  test("heavyHitterStream: MG recall guarantee holds across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mg")
+      .toString
+    // "hot" is 40% of the stream; 60 distinct cold items pass through
+    val batch1 = (0 until 100).map(i =>
+      ("k", if (i % 5 < 2) "hot" else s"cold${i % 30}"))
+    val batch2 = (0 until 100).map(i =>
+      ("k", if (i % 5 < 2) "hot" else s"cold${30 + i % 30}"))
+    batch1.toDF("key", "item").coalesce(1).write.mode("append")
+      .parquet(s"$dir/in")
+    batch2.toDF("key", "item").coalesce(1).write.mode("append")
+      .parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.heavyHitterStream(df, "key", "item", k = 8),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val rows = Streaming.foldHeavyHitterUpdates(updates).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(1) == 200L)
+    val cands = r.getSeq[String](2)
+    // the 40% item must survive (true freq 80 > 200/9); state bounded
+    assert(cands.contains("hot"), cands.mkString(","))
+    assert(cands.length <= 8)
+  }
 }
