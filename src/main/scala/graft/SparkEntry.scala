@@ -3247,6 +3247,20 @@ object SparkEntry {
           (col("n_seen") === col("__n")).as("complete"),
           (col("__miss") === 0).as("recall_ok"),
           (col("n_candidates") <= 8).as("size_ok"))
+    }),
+
+    // ---- §2.1+: fixed-width (copybook) source — write nation as a
+    //      positional layout, read it back by column spec ----
+    "q238_fixed_width" -> ((s, dir) => {
+      val tmp = gateTempDir(s, "graft_q238")
+      t(s, dir, "nation")
+        .select(format_string("%-4d%-25s%-4d", col("n_nationkey"),
+          col("n_name"), col("n_regionkey")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/fw")
+      graft.sources.Sources.fixedWidth(s, s"$tmp/fw", Seq(
+        graft.sources.Sources.FixedWidthCol("n_nationkey", 1, 4, "long"),
+        graft.sources.Sources.FixedWidthCol("n_name", 5, 25),
+        graft.sources.Sources.FixedWidthCol("n_regionkey", 30, 4, "long")))
     })
   )
 
@@ -6888,6 +6902,12 @@ object SparkEntry {
       """SELECT 'all' AS key, CAST(count(*) AS BIGINT) AS n_seen,
         |  TRUE AS complete, TRUE AS recall_ok, TRUE AS size_ok
         |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+
+    // the positional roundtrip must reproduce the source table exactly
+    "q238_fixed_width" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

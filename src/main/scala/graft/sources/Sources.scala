@@ -145,6 +145,30 @@ object Sources {
            wholetext: Boolean = false): DataFrame =
     spark.read.option("wholetext", wholetext.toString).text(path)
 
+  /** One fixed-width column: name, 1-based start position, width, and
+   *  a Spark cast type (`"string"`, `"long"`, `"decimal(18,2)"`, …). */
+  final case class FixedWidthCol(name: String, start: Int, width: Int,
+                                 castTo: String = "string")
+
+  /** Fixed-width text scan — the mainframe/COBOL copybook layout that
+   *  still feeds bank and telco ETL (beyond the reference, which has
+   *  no fixed-width reader). Each line is sliced by position; fields
+   *  are TRIMMED then try_cast (blank or malformed numeric fields
+   *  become null — the usual copybook convention, and ANSI-safe: a
+   *  plain cast would throw on the first blank field). The slicing is
+   *  a pure codegen projection over the text scan: embarrassingly
+   *  parallel, no shuffle, splittable like any line-oriented
+   *  format. */
+  def fixedWidth(spark: SparkSession, path: String,
+                 cols: Seq[FixedWidthCol]): DataFrame = {
+    require(cols.nonEmpty, "fixedWidth needs at least one column spec")
+    require(cols.forall(c => c.start >= 1 && c.width >= 1),
+      "fixedWidth specs are 1-based with positive widths")
+    text(spark, path).select(cols.map(c =>
+      trim(substring(col("value"), c.start, c.width))
+        .try_cast(c.castTo).as(c.name)): _*)
+  }
+
   /** Range partitioning for parallel JDBC scans — replaces the
    *  reference's single server-side cursor (`readers/postgresql.go:480-518`)
    *  with N concurrent range queries. */

@@ -659,6 +659,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
 
+  test("q238 fixed-width source is a shuffle-free codegen projection") {
+    val whole = finalPlan("q238_fixed_width")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Exchange"), fin.take(1200))
+    assert(!fin.contains("Join"), fin.take(1200))
+    // the plan is one codegen'd project over the text scan (so simple
+    // AQE doesn't even wrap it — the `*(1)` stage marker is the pin)
+    assert(fin.contains("*(1) Project"), fin.take(1200))
+  }
+
   test("q235 interval coverage: sweep + closing agg on ONE key exchange") {
     val whole = finalPlan("q235_interval_coverage")
     assert(!whole.contains("Join"), whole.take(1500))

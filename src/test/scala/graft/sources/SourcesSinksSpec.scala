@@ -330,4 +330,24 @@ class SourcesSinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sinks.parquetZOrdered(df.withColumn("s", lit("x")), dir, Seq("s"), 2))
   }
+
+  test("fixedWidth: positional slices, trims, blank numerics null") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/data.txt"),
+      "  1ALGERIA                   0  \n" +
+        "  2padded name             1  \n" +
+        "    blank key               2  \n")
+    val out = Sources.fixedWidth(spark, dir, Seq(
+      Sources.FixedWidthCol("k", 1, 3, "long"),
+      Sources.FixedWidthCol("name", 4, 24),
+      Sources.FixedWidthCol("r", 28, 3, "long")))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set(
+      (Some(1L), "ALGERIA", Some(0L)),
+      (Some(2L), "padded name", Some(1L)),
+      (None, "blank key", Some(2L)))) // blank numeric field -> null
+  }
 }
