@@ -40,6 +40,19 @@ def main(sf_dir, out_dir):
             want = canon(con, f"SELECT * FROM ({oracle[name]})")
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # driver-hash hazard: the driver reads spark parquet and the
+        # oracle through different decimal value paths, so ANY decimal
+        # gate column hash-mismatches even when values are equal (r11:
+        # q207/q214/q232 — the only three decimal-output gates were the
+        # only three hash fails). pandas fetchdf would mask it (decimal
+        # → float64), so check the parquet schema directly.
+        import pyarrow.parquet as pq
+        decs = [f"{n}:{t}" for n, t in zip(pq.read_schema(files[0]).names,
+                                           pq.read_schema(files[0]).types)
+                if "decimal" in str(t)]
+        if decs:
+            print(f"FAIL {name}: DECIMAL gate column(s) {decs} — cast to "
+                  f"double/bigint in gate AND oracle"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):

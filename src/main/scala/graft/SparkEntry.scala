@@ -2897,9 +2897,15 @@ object SparkEntry {
         col("l_linenumber"), col("l_quantity"))
       val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
         col("o_totalprice"))
+      // gate outputs DOUBLE, not the operator's DECIMAL(18,2): the
+      // driver's hash reads spark parquet and the DuckDB oracle through
+      // different decimal value paths, so decimal gate columns hash-
+      // mismatch even when values are equal (r11 lesson — see
+      // GateSchemaSpec)
       graft.ops.Allocate.proRata(li.join(o, Seq("l_orderkey")),
         Seq("l_orderkey"), "l_linenumber", "l_quantity", "o_totalprice")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "allocated")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("allocated").cast("double").as("allocated"))
     }),
 
     // ---- A/B stats: Mann-Whitney U (rank-sum) per event type —
@@ -2935,11 +2941,14 @@ object SparkEntry {
     //      mapped onto the POOLED length distribution (midpoint-rank
     //      convention, all-integer grid arithmetic) ----
     "q214_quantile_norm" -> ((s, dir) =>
+      // normalized cast decimal→double: no decimal gate columns (r11
+      // driver-hash lesson, see q207 / GateSchemaSpec)
       graft.ops.Normalize.quantileNormalize(
         t(s, dir, "documents")
           .filter(col("source").isNotNull && col("n_chars").isNotNull)
           .select(col("doc_id"), col("source"), col("n_chars")),
-        "source", "n_chars")),
+        "source", "n_chars")
+        .withColumn("normalized", col("normalized").cast("double"))),
 
     // ---- eval: Cohen's kappa per source between the labeled lang
     //      and the n-gram language-ID prediction — chance-corrected
@@ -3150,8 +3159,12 @@ object SparkEntry {
             .as("y"))
         .withColumn("t",
           datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      // x/y cast decimal→long: no decimal gate columns (r11 driver-hash
+      // lesson, see q207 / GateSchemaSpec)
       graft.ops.TimeSeries.rollingCorr(daily, Seq.empty, "t", "t",
         "x", "y", window = 7, xScale = 0, yScale = 0)
+        .withColumn("x", col("x").cast("long"))
+        .withColumn("y", col("y").cast("long"))
     }),
 
     // ---- A/B stats: two-proportion z per event type (pooled
@@ -6220,9 +6233,9 @@ object SparkEntry {
         |    tc - sum(base) OVER (PARTITION BY l_orderkey) AS leftover
         |  FROM b)
         |SELECT l_orderkey, l_linenumber, l_quantity,
-        |  CASE WHEN tw > 0 THEN CAST((base +
-        |    CASE WHEN rk <= leftover THEN 1 ELSE 0 END) / 100.0
-        |    AS DECIMAL(18,2)) END AS allocated
+        |  CASE WHEN tw > 0 THEN CAST(base +
+        |    CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) END AS allocated
         |FROM c""".stripMargin,
 
     // same doubled-rank grid (2·cum − c + 1 per tie run), exact
@@ -6320,7 +6333,7 @@ object SparkEntry {
     // pooled CDF exploded to a rank->value map, ceil via floor-div
     "q214_quantile_norm" ->
       """WITH b AS (SELECT doc_id, source, n_chars,
-        |    CAST(n_chars AS DECIMAL(18,2)) AS v
+        |    CAST(n_chars AS BIGINT) AS v
         |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
         |g AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
         |      FROM b GROUP BY 1, 2),
@@ -6339,7 +6352,7 @@ object SparkEntry {
         |  FROM g2 CROSS JOIN np),
         |mapv AS (SELECT source, v, pv FROM tgt JOIN rmap USING (t))
         |SELECT doc_id, b.source, b.n_chars,
-        |  CAST(pv AS DECIMAL(18,2)) AS normalized
+        |  CAST(pv AS DOUBLE) AS normalized
         |FROM b JOIN mapv ON mapv.source = b.source AND mapv.v = b.v""".stripMargin,
 
     // the q23 language-ID prediction replayed, then the exact-count
@@ -6790,7 +6803,7 @@ object SparkEntry {
         |v AS (SELECT *, nd * sxxd - sxd * sxd AS vx,
         |    nd * syyd - syd * syd AS vy, nd * sxyd - sxd * syd AS cov
         |  FROM c)
-        |SELECT t, x, y,
+        |SELECT t, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
         |  CASE WHEN n = 7 AND vx > 0 AND vy > 0
         |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
         |FROM v""".stripMargin,

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: regex filter over query names (debug/repro aid;
+    // the driver passes exactly two args so its full run is unchanged).
+    val nameFilter: String => Boolean =
+      if (args.length > 2) { val re = args(2).r; n => re.findFirstIn(n).isDefined }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       // Pre-delete the query's output dir: a failure must yield "no spark
       // output" in the driver compare, never a stale prior result.
       val qDir = Paths.get(outDir, name)
