@@ -14,6 +14,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout (no "[info] " prefix): the
+// driver's bench/verify parsers read stdout lines, and the default
+// LoggedOutput prefix has made every BENCH artifact unparseable
+// (parsed:None in all of r01–r11).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

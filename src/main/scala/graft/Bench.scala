@@ -188,7 +188,13 @@ object Bench {
     val hvy = results.filter(r => heavy(r._1)).map { case (k, _, _, tels) =>
       "\"" + k + "\":" + tels.map(_.json).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total_compact","value":${f(okTotal)},"unit":"sec","n":${results.size},"worst10":$worst,"failed":$failed,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    // metric "total" (not "total_compact"): every driver BENCH artifact
+    // through round 11 has parsed:None — the primary line is larger than
+    // the driver's stdout-tail window, so THIS line is the only complete
+    // JSON a tail parser can recover; give it the spec's metric name and
+    // a spec-shaped "queries" map (the worst-10; "n" says how many ran,
+    // "compact":1 distinguishes it from the full primary line above).
+    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"worst10":$worst,"failed":$failed,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
     println(compactLine)
     // SELF-CONTAINED artifact file: the driver captures only a bounded
     // tail of stdout (round 7's BENCH artifact truncated the per-query
