@@ -3274,7 +3274,93 @@ object SparkEntry {
         graft.sources.Sources.FixedWidthCol("n_nationkey", 1, 4, "long"),
         graft.sources.Sources.FixedWidthCol("n_name", 5, 25),
         graft.sources.Sources.FixedWidthCol("n_regionkey", 30, 4, "long")))
-    })
+    }),
+
+    // ---- A/B stats: two-sample Kolmogorov-Smirnov per event type —
+    //      distribution-SHAPE drift between arms (q211's rank-sum
+    //      sibling); exact integer D numerator ----
+    "q239_ks_test" -> ((s, dir) =>
+      graft.agg.Stats.ksTest(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- stats: Kendall tau-b per (flag, ship month) — concordance
+    //      of quantity vs price with full tie corrections; the engine
+    //      counts discordant pairs in O(n log n), the oracle replays
+    //      the textbook O(n²) sweep ----
+    "q240_kendall_tau" -> ((s, dir) =>
+      graft.agg.Stats.kendallTau(
+        t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+          .withColumn("ship_month", trunc(col("l_shipdate"), "month")),
+        Seq("l_returnflag", "ship_month"),
+        "l_quantity", "l_extendedprice")),
+
+    // ---- finance ETL: FIFO lot matching per user — purchases burn
+    //      down click-earned credit lots oldest-first; the cursor walk
+    //      as cumulative-interval intersection, all integer cents ----
+    "q241_fifo_match" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
+      graft.ops.Ledger.fifoMatch(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", "event_id", "value",
+        "ts", "event_id", "value")
+    }),
+
+    // ---- marketing ETL: multi-touch attribution — each purchase
+    //      credits the user's clicks in the prior 7 days
+    //      (first/last/linear at once); touchless purchases keep a
+    //      reconciliation row ----
+    "q242_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      graft.ops.Attribution.attribute(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase" && col("value").isNotNull),
+        Seq("user_id"), "event_id", "ts", "event_id", "ts", "value",
+        windowMicros = 7L * 24 * 3600 * 1000000L)
+    }),
+
+    // ---- monitoring: additive seasonal decomposition of daily
+    //      signup volume (period 7): trend = centered 7-day MA,
+    //      seasonal = day-of-week mean of the detrended series —
+    //      integer-numerator arithmetic, two pinned divisions ----
+    "q243_seasonal" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalDecompose(
+        t(s, dir, "events")
+          .filter(col("ts").isNotNull && col("event_type") === "signup")
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).cast("long").as("t"))
+          .agg(count(lit(1)).as("v")),
+        Seq.empty, "t", "v", period = 7)),
+
+    // ---- monitoring: Bollinger bands on daily view volume — rolling
+    //      mean ± 2σ over a trailing 7-day frame + breach flags;
+    //      exact integer frame moments, pinned closing ----
+    "q244_bollinger" -> ((s, dir) =>
+      graft.ops.TimeSeries.bollinger(
+        t(s, dir, "events")
+          .filter(col("ts").isNotNull && col("event_type") === "view")
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).cast("long").as("t"))
+          .agg(count(lit(1)).as("v")),
+        Seq.empty, "t", "v", window = 7, k = 2.0)),
+
+    // ---- curation: per-doc character-class profile — ASCII
+    //      letter/digit/space/punct/other counts and fractions, the
+    //      cheap binary-spill / table-dump / mojibake first pass ----
+    "q245_script_profile" -> ((s, dir) =>
+      TA.scriptProfile(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- curation: Heaps'-law vocabulary-growth exponent per source
+    //      — OLS of ln(cumulative distinct) on ln(cumulative tokens)
+    //      over doc-id checkpoints (q216 zipf's companion) ----
+    "q246_heaps_law" -> ((s, dir) =>
+      TA.heapsLaw(t(s, dir, "documents").filter(col("source").isNotNull),
+        Seq("source"), "doc_id", "text"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -6921,6 +7007,252 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
+
+    // same pooled-grid CDFs; the D numerator is the exact integer
+    // max |cumA·n_b − cumB·n_a|, the one division pinned
+    "q239_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM g),
+        |m AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |    max(abs(cuma * nb - cumb * na)) AS d_num
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_a, n_b, d_num, n_a * n_b AS d_den,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS d
+        |FROM m""".stripMargin,
+
+    // the textbook O(n²) concordance sweep the engine's O(n log n)
+    // mergesort must reproduce exactly: per unordered pair, x-tie /
+    // y-tie / both / strict-discordant counts on the cent grid
+    "q240_kendall_tau" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    row_number() OVER () AS rid
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |grp AS (SELECT l_returnflag, ship_month, CAST(count(*) AS BIGINT) AS n
+        |        FROM b GROUP BY 1, 2),
+        |ps AS (SELECT t1.l_returnflag, t1.ship_month,
+        |    CAST(sum(CASE WHEN t1.x = t2.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t1.y = t2.y THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN t1.x = t2.x AND t1.y = t2.y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN (t1.x - t2.x) * (t1.y - t2.y) < 0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS disc
+        |  FROM b t1 JOIN b t2 ON t2.l_returnflag = t1.l_returnflag
+        |    AND t2.ship_month = t1.ship_month AND t1.rid < t2.rid
+        |  GROUP BY 1, 2),
+        |j AS (SELECT g.l_returnflag, g.ship_month, g.n,
+        |    n * (n - 1) / 2 AS n0,
+        |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+        |    coalesce(n3, 0) AS n3, coalesce(disc, 0) AS disc
+        |  FROM grp g LEFT JOIN ps ON ps.l_returnflag = g.l_returnflag
+        |    AND ps.ship_month = g.ship_month),
+        |s AS (SELECT *, n0 - n1 - n2 + n3 - 2 * disc AS st FROM j)
+        |SELECT l_returnflag, ship_month, n, CAST(n0 AS BIGINT) AS n0,
+        |  n1, n2, n3, disc AS discordant, CAST(st AS BIGINT) AS s,
+        |  CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0
+        |    THEN CAST(st AS DOUBLE) /
+        |      sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+        |  END AS tau_b
+        |FROM s""".stripMargin,
+
+    // FIFO as cumulative-interval intersection: both ledgers'
+    // windows, the overlap join, all integer cents
+    "q241_fifo_match" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |l AS (SELECT user_id, event_id AS lot_id, q,
+        |    CAST(sum(q) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS lhi
+        |  FROM e WHERE event_type = 'click' AND q > 0),
+        |l2 AS (SELECT user_id, lot_id, lhi, lhi - q AS llo FROM l),
+        |d AS (SELECT user_id, event_id AS demand_id, q,
+        |    CAST(sum(q) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS dhi
+        |  FROM e WHERE event_type = 'purchase' AND q > 0),
+        |d2 AS (SELECT user_id, demand_id, dhi, dhi - q AS dlo FROM d)
+        |SELECT l2.user_id, lot_id, demand_id,
+        |  CAST(least(lhi, dhi) - greatest(llo, dlo) AS BIGINT) AS matched
+        |FROM l2 JOIN d2 ON d2.user_id = l2.user_id
+        |WHERE llo < dhi AND dlo < lhi""".stripMargin,
+
+    // the 7-day lookback join; hits rank first so rank 1 is the
+    // earliest/latest hit; touchless purchases keep their
+    // reconciliation row
+    "q242_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, event_id AS conv_id, value AS conv_value,
+        |    t AS ct FROM e WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL),
+        |tt AS (SELECT user_id, event_id AS touch_id, t AS tch
+        |  FROM e WHERE event_type = 'click'),
+        |j AS (SELECT c.user_id, conv_id, conv_value, touch_id, tch,
+        |    (tch IS NOT NULL AND tch < ct AND tch >= ct - 604800000000)
+        |      AS hit
+        |  FROM c LEFT JOIN tt ON tt.user_id = c.user_id),
+        |w AS (SELECT *,
+        |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY hit DESC,
+        |      tch ASC NULLS LAST, touch_id ASC NULLS LAST) AS rka,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY hit DESC,
+        |      tch DESC NULLS LAST, touch_id DESC NULLS LAST) AS rkd
+        |  FROM j)
+        |SELECT user_id, conv_id, conv_value,
+        |  CASE WHEN hit THEN touch_id END AS touch_id,
+        |  n AS n_touch,
+        |  CASE WHEN hit THEN rka = 1 END AS is_first,
+        |  CASE WHEN hit THEN rkd = 1 END AS is_last,
+        |  CASE WHEN hit THEN CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) END
+        |    AS w_linear
+        |FROM w WHERE hit OR (n = 0 AND rka = 1)""".stripMargin,
+
+    // integer-numerator decomposition: dt_p = 7v − Σ₇v exactly, the
+    // phase mean and trend each ONE pinned division
+    "q243_seasonal" ->
+      """WITH daily AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'signup'
+        |  GROUP BY 1),
+        |w AS (SELECT t, v, CAST(count(*) OVER win AS BIGINT) AS wn,
+        |    CAST(sum(v) OVER win AS BIGINT) AS ws
+        |  FROM daily WINDOW win AS (ORDER BY t
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT *, CASE WHEN wn = 7 THEN 7 * v - ws END AS dtp,
+        |    t % 7 AS phase FROM w),
+        |p AS (SELECT *,
+        |    CAST(sum(dtp) OVER (PARTITION BY phase) AS BIGINT) AS ps,
+        |    CAST(count(dtp) OVER (PARTITION BY phase) AS BIGINT) AS pc
+        |  FROM d)
+        |SELECT t, v,
+        |  CASE WHEN wn = 7
+        |    THEN CAST(ws AS DOUBLE) / CAST(7 AS DOUBLE) END AS trend,
+        |  CASE WHEN wn = 7 THEN CAST(ps AS DOUBLE) /
+        |    (CAST(7 AS DOUBLE) * CAST(pc AS DOUBLE)) END AS seasonal,
+        |  CASE WHEN wn = 7 THEN CAST(dtp AS DOUBLE) / CAST(7 AS DOUBLE) -
+        |    CAST(ps AS DOUBLE) / (CAST(7 AS DOUBLE) * CAST(pc AS DOUBLE))
+        |  END AS remainder
+        |FROM p""".stripMargin,
+
+    // exact integer frame moments; mean/sd/bands/breaches one pinned
+    // IEEE chain, warmup null
+    "q244_bollinger" ->
+      """WITH daily AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'view'
+        |  GROUP BY 1),
+        |m AS (SELECT t, v, CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(v) OVER w AS BIGINT) AS s,
+        |    CAST(sum(v * v) OVER w AS BIGINT) AS ss
+        |  FROM daily WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT t, v, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s AS DOUBLE) AS sd0, CAST(ss AS DOUBLE) AS ssd,
+        |    CAST(v AS DOUBLE) AS vd FROM m),
+        |x AS (SELECT *, sd0 / nd AS mean,
+        |    (nd * ssd - sd0 * sd0) / (nd * (nd - CAST(1 AS DOUBLE))) AS vr
+        |  FROM c),
+        |y AS (SELECT *, sqrt(vr) AS sdev,
+        |    mean + CAST(2 AS DOUBLE) * sqrt(vr) AS hi,
+        |    mean - CAST(2 AS DOUBLE) * sqrt(vr) AS lo FROM x)
+        |SELECT t, v,
+        |  CASE WHEN n = 7 THEN mean END AS mean,
+        |  CASE WHEN n = 7 THEN sdev END AS sd,
+        |  CASE WHEN n = 7 THEN hi END AS upper,
+        |  CASE WHEN n = 7 THEN lo END AS lower,
+        |  CASE WHEN n = 7 THEN vd > hi END AS breach_hi,
+        |  CASE WHEN n = 7 THEN vd < lo END AS breach_lo
+        |FROM y""".stripMargin,
+
+    // identical explicit ASCII classes (engine-agnostic regex), counts
+    // by removal, fractions one pinned division each
+    "q245_script_profile" ->
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS len,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+        |    AS BIGINT) AS n_alpha,
+        |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS n_digit,
+        |  CAST(length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g'))
+        |    AS BIGINT) AS n_space,
+        |  CAST(length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g'))
+        |    AS BIGINT) AS n_punct
+        | FROM b),
+        |d AS (SELECT *, len - n_alpha - n_digit - n_space - n_punct
+        |    AS n_other FROM c)
+        |SELECT doc_id, len, n_alpha, n_digit, n_space, n_punct,
+        |  CAST(n_other AS BIGINT) AS n_other,
+        |  CASE WHEN len > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(len AS DOUBLE) END AS frac_alpha,
+        |  CASE WHEN len > 0 THEN CAST(n_digit AS DOUBLE) / CAST(len AS DOUBLE) END AS frac_digit,
+        |  CASE WHEN len > 0 THEN CAST(n_space AS DOUBLE) / CAST(len AS DOUBLE) END AS frac_space,
+        |  CASE WHEN len > 0 THEN CAST(n_punct AS DOUBLE) / CAST(len AS DOUBLE) END AS frac_punct,
+        |  CASE WHEN len > 0 THEN CAST(n_other AS DOUBLE) / CAST(len AS DOUBLE) END AS frac_other
+        |FROM d""".stripMargin,
+
+    // the q216 tokenization + log discipline over the cumulative
+    // (tokens, first-occurrence vocabulary) curve
+    "q246_heaps_law" ->
+      """WITH tok AS (SELECT source, doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE source IS NOT NULL),
+        |pd AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nt
+        |       FROM tok GROUP BY 1, 2),
+        |fo AS (SELECT source, tok, min(doc_id) AS doc_id
+        |       FROM tok GROUP BY 1, 2),
+        |fv AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nv
+        |       FROM fo GROUP BY 1, 2),
+        |cur AS (SELECT pd.source, pd.doc_id,
+        |    CAST(sum(nt) OVER (PARTITION BY pd.source ORDER BY pd.doc_id)
+        |      AS BIGINT) AS cumn,
+        |    CAST(sum(coalesce(nv, 0)) OVER (PARTITION BY pd.source
+        |      ORDER BY pd.doc_id) AS BIGINT) AS cumv
+        |  FROM pd LEFT JOIN fv ON fv.source = pd.source
+        |    AND fv.doc_id = pd.doc_id),
+        |xy AS (SELECT source,
+        |    CAST(round(ln(CAST(cumn AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(cumv AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM cur WHERE cumn > 0 AND cumv > 0),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+        |    sum(x) AS sx0, sum(y) AS sy0, sum(x * y) AS sxy0,
+        |    sum(x * x) AS sxx0, sum(y * y) AS syy0
+        |  FROM xy GROUP BY 1),
+        |d AS (SELECT source, n_points, CAST(n_points AS DOUBLE) AS nd,
+        |    CAST(CAST(sx0 - (sx0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sy0 - (sy0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+        |    CAST(CAST(sxy0 - (sxy0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sxx0 - (sxx0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(syy0 - (syy0 % 0.000001) AS DECIMAL(38,6)) AS DOUBLE) AS syy
+        |  FROM m),
+        |v AS (SELECT *, nd * sxx - sx * sx AS vx, nd * syy - sy * sy AS vy,
+        |    nd * sxy - sx * sy AS cov FROM d)
+        |SELECT source, n_points,
+        |  CASE WHEN n_points >= 2 AND vx > 0 THEN cov / vx END AS beta,
+        |  CASE WHEN n_points >= 2 AND vx > 0
+        |    THEN (sy - (cov / vx) * sx) / nd END AS ln_k,
+        |  CASE WHEN n_points >= 2 AND vx > 0 AND vy > 0
+        |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM v""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -638,4 +638,181 @@ object Stats {
       when(col("n_b") >= 1, pb).as("p_b"),
       when(ok, (pa - pb) / sqrt(se2)).as("z")): _*)
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic per group: the largest
+   * vertical gap between the two arms' empirical CDFs — the
+   * distribution-shape sibling of [[mannWhitneyU]] (which sees only
+   * location). The drift alarm that fires when an experiment arm (or
+   * a new data source) changes the SHAPE of a metric, not just its
+   * mean.
+   *
+   * Exact integer formulation: on the pooled per-value grid,
+   * `D = max_v |cumA(v)·n_b − cumB(v)·n_a| / (n_a·n_b)` — the
+   * numerator is an exact long (its max is engine-independent), and
+   * the single closing division is one pinned IEEE op. No doubles
+   * anywhere in the scan. `d_num`/`d_den` are also emitted raw so a
+   * caller (or an oracle) can verify exactly. Empty arms → null d.
+   *
+   * Overflow envelope: `cum·n ≤ n_a·n_b ≤ ~9·10^18` — arms to ~3e9
+   * rows per group; past that, pre-aggregate or widen to decimal.
+   *
+   * Output: (keys…, n_a, n_b, d_num, d_den, d).
+   *
+   * Scale posture: one map-side-combined aggregate collapses rows to
+   * the (group, value) grid; ONE group-key exchange then carries the
+   * CDF window, the arm totals window, and the closing max — no
+   * second shuffle, nothing collected.
+   */
+  def ksTest(df: DataFrame, keys: Seq[String], groupCol: String,
+             aLabel: String, bLabel: String, valueCol: String,
+             valueScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel))
+      .groupBy((keys.map(col) :+ v.as("__v")): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    val stepped = grid
+      .withColumn("__cuma", sum(col("__ca")).over(wo))
+      .withColumn("__cumb", sum(col("__cb")).over(wo))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__gap",
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__gap")).as("d_num"))
+    m.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"), col("d_num"),
+      (col("n_a") * col("n_b")).as("d_den"),
+      when(col("n_a") >= 1 && col("n_b") >= 1,
+        d(col("d_num")) / d(col("n_a") * col("n_b"))).as("d")): _*)
+  }
+
+  /**
+   * Kendall rank correlation (tau-b) per group — concordant-vs-
+   * discordant pair agreement with the standard tie corrections: the
+   * third rank statistic next to [[spearman]] (average-rank Pearson)
+   * and [[mannWhitneyU]] (rank sums), preferred when the data has
+   * many ties or when the "probability a random pair agrees"
+   * interpretation matters.
+   *
+   * Exact integer core: with `n0 = n(n−1)/2`, `n1 = Σ tᵢ(tᵢ−1)/2`
+   * over x-tie runs, `n2` likewise over y, `n3` over (x,y)-tie runs,
+   * and `D` = discordant pairs, `S = n0 − n1 − n2 + n3 − 2D` and
+   * `tau_b = S / sqrt((n0−n1)·(n0−n2))`. All counts are exact longs;
+   * the closing is two exact double products (< 2^53 for groups to
+   * ~10^4.8 rows — see envelope), one sqrt, one division — pinned
+   * IEEE, engine-identical. Degenerate variance (all x or all y
+   * tied) → null tau.
+   *
+   * `D` is counted in O(n log n) per group: sort pairs by (x asc,
+   * y asc), then count strict inversions of the y sequence with a
+   * bottom-up mergesort — pairs tied on x sort adjacent in y and
+   * contribute no inversion; pairs tied on y are not strict
+   * inversions. (The textbook O(n²) sweep is the ORACLE, not the
+   * engine.)
+   *
+   * Output: (keys…, n, n0, n1, n2, n3, discordant, s, tau_b).
+   *
+   * Envelope: the closing products (n0−n1)(n0−n2) must stay < 2^53
+   * for an exact double — groups to ~1.3e5 rows. Past that, the
+   * exact-integer columns are still correct (they fit longs to
+   * n ~ 4e9); recompose tau in decimal upstream.
+   *
+   * Scale posture: one group-key exchange; each group is sorted and
+   * counted IN MEMORY on its executor (`flatMapGroups`), so per-group
+   * cardinality is the documented bound (~10^7 rows comfortably) —
+   * groups are analysis cells (cohort × month), numerous and small.
+   * Nothing is collected to the driver.
+   */
+  def kendallTau(df: DataFrame, keys: Seq[String], xCol: String,
+                 yCol: String, xScale: Int = 2, yScale: Int = 2)
+  : DataFrame = {
+    val counts = udf { pairs: Seq[org.apache.spark.sql.Row] =>
+      val n = pairs.length
+      val xs = new Array[Long](n); val ys = new Array[Long](n)
+      val idx = (0 until n).sortBy(i => (pairs(i).getLong(0),
+        pairs(i).getLong(1)))
+      var i = 0
+      while (i < n) {
+        xs(i) = pairs(idx(i)).getLong(0); ys(i) = pairs(idx(i)).getLong(1)
+        i += 1
+      }
+      def tieSum(sorted: Array[Long]): Long = {
+        var s = 0L; var run = 1L; var j = 1
+        while (j <= sorted.length) {
+          if (j < sorted.length && sorted(j) == sorted(j - 1)) run += 1
+          else { s += run * (run - 1) / 2; run = 1L }
+          j += 1
+        }
+        s
+      }
+      val nL = n.toLong
+      val n0 = nL * (nL - 1) / 2
+      val n1 = tieSum(xs) // xs is (x,y)-sorted, so x-sorted
+      val n3 = { // (x,y)-tie runs are consecutive in the (x,y) sort
+        var s = 0L; var run = 1L; var j = 1
+        while (j <= n) {
+          if (j < n && xs(j) == xs(j - 1) && ys(j) == ys(j - 1)) run += 1
+          else { s += run * (run - 1) / 2; run = 1L }
+          j += 1
+        }
+        s
+      }
+      // strict inversions of ys (pairs i<j with ys(i) > ys(j)) via
+      // bottom-up mergesort; x-ties sort y-ascending so they
+      // contribute 0, and y-ties are not strict inversions
+      var inv = 0L
+      var src = ys.clone(); var dst = new Array[Long](n)
+      var width = 1
+      while (width < n) {
+        var lo = 0
+        while (lo < n) {
+          val mid = math.min(lo + width, n)
+          val hi = math.min(lo + 2 * width, n)
+          var a = lo; var b = mid; var o = lo
+          while (a < mid && b < hi) {
+            if (src(a) <= src(b)) { dst(o) = src(a); a += 1 }
+            else { dst(o) = src(b); inv += mid - a; b += 1 }
+            o += 1
+          }
+          while (a < mid) { dst(o) = src(a); a += 1; o += 1 }
+          while (b < hi) { dst(o) = src(b); b += 1; o += 1 }
+          lo += 2 * width
+        }
+        val t = src; src = dst; dst = t
+        width *= 2
+      }
+      val n2 = tieSum(src) // src is now y-sorted
+      (nL, n0, n1, n2, n3, inv, n0 - n1 - n2 + n3 - 2 * inv)
+    }
+    val counted = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(unscaled(col(xCol), xScale),
+        unscaled(col(yCol), yScale))).as("__pairs"))
+      .withColumn("__c", counts(col("__pairs")))
+    val vx = d(col("__c._2") - col("__c._3"))
+    val vy = d(col("__c._2") - col("__c._4"))
+    counted.select(keys.map(col) ++ Seq(
+      col("__c._1").as("n"), col("__c._2").as("n0"),
+      col("__c._3").as("n1"), col("__c._4").as("n2"),
+      col("__c._5").as("n3"), col("__c._6").as("discordant"),
+      col("__c._7").as("s"),
+      when(vx > 0.0 && vy > 0.0, d(col("__c._7")) / sqrt(vx * vy))
+        .as("tau_b")): _*)
+  }
+
+  /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
+   *  a decimal cast (half-up, engine-identical) then an exact decimal
+   *  shift — the shared grid trick behind every rank statistic here. */
+  private def unscaled(c: Column, scale: Int): Column =
+    (c.cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong).cast("decimal(18,0)")).cast("long")
 }

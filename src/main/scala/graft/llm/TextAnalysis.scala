@@ -1507,4 +1507,134 @@ object TextAnalysis {
       when(mean > 0, (e2 - mean * mean) / mean).as("dispersion"),
       col("rank"))
   }
+
+  /**
+   * Per-document character-class profile: counts and fractions of
+   * ASCII letters, digits, whitespace, ASCII punctuation, and
+   * everything else — the cheap first-pass quality signal that flags
+   * binary spill, table dumps (digit/punct heavy), and non-Latin or
+   * mojibake content (other-heavy) before any expensive scoring runs.
+   *
+   * Pure codegen'd column arithmetic (each count is
+   * `length(text) − length(regexp_replace(text, class, ''))` — no
+   * UDF, no shuffle); the fractions are single pinned IEEE divisions.
+   * The class definitions are explicit ASCII ranges so any regex
+   * engine (Java, RE2) agrees: letters `[A-Za-z]`, digits `[0-9]`,
+   * whitespace `[ \t\n\r]`, punctuation the four ASCII ranges
+   * `!-/ :-@ [-` {-~`. Empty/null text → zero counts, null fractions.
+   *
+   * Output: (idCol, len, n_alpha, n_digit, n_space, n_punct, n_other,
+   * frac_alpha, frac_digit, frac_space, frac_punct, frac_other).
+   *
+   * Scale posture: one shuffle-free narrow scan.
+   */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val len = length(t)
+    def removed(cls: String): Column = len - length(regexp_replace(t, cls, ""))
+    val nAlpha = removed("[A-Za-z]")
+    val nDigit = removed("[0-9]")
+    val nSpace = removed("[ \\t\\n\\r]")
+    val nPunct = removed("[!-/:-@\\[-`{-~]")
+    val counted = df.select(col(idCol),
+      len.cast("long").as("len"),
+      nAlpha.cast("long").as("n_alpha"),
+      nDigit.cast("long").as("n_digit"),
+      nSpace.cast("long").as("n_space"),
+      nPunct.cast("long").as("n_punct"))
+      .withColumn("n_other",
+        col("len") - col("n_alpha") - col("n_digit") - col("n_space") -
+          col("n_punct"))
+    val ld = col("len").cast("double")
+    def frac(c: String) =
+      when(col("len") > 0, col(c).cast("double") / ld).as(s"frac_${c.drop(2)}")
+    counted.select(col(idCol), col("len"), col("n_alpha"), col("n_digit"),
+      col("n_space"), col("n_punct"), col("n_other"),
+      frac("n_alpha"), frac("n_digit"), frac("n_space"), frac("n_punct"),
+      frac("n_other"))
+  }
+
+  /**
+   * Heaps'-law fit per group: vocabulary growth `V(N) ≈ K·N^β`
+   * estimated by OLS of `ln V` on `ln N` over per-document
+   * checkpoints of the cumulative (tokens seen, distinct tokens seen)
+   * curve — the companion diagnostic to [[zipfSlope]] (natural text:
+   * β ≈ 0.5–0.8; template/boilerplate corpora saturate, β → 0; random
+   * noise → 1). A falling β across snapshots of a growing corpus
+   * means new data is adding words slower than volume — dedup or
+   * source drift.
+   *
+   * The cumulative-distinct curve without any stateful pass: a
+   * token's FIRST document (min doc id per (group, token)) is the one
+   * place it increments V, so `V(d) = Σ_{d' ≤ d} firsts(d')` — a
+   * per-group running sum, same shape as N's. Checkpoints are doc
+   * ids: ordering is total (doc ids unique), so the curve — and the
+   * fit — is engine-exact under the [[zipfSlope]] log discipline
+   * (libm ln → 9-digit round → DECIMAL(18,9) sums → 10⁻⁶ snap →
+   * pinned closing).
+   *
+   * Output: (keys…, n_points, beta, ln_k, corr) — `ln_k` the
+   * intercept (K = e^ln_k belongs to the caller: exp is not
+   * engine-reproducible arithmetic, the fitted line is).
+   *
+   * Scale posture: token grid and first-occurrence reduction are
+   * (group, token)-keyed map-side-combined aggregates; the two
+   * running sums share ONE (group)-keyed sort; the closing moments
+   * are constant-width partials. Nothing is collected; no all-pairs
+   * anything.
+   */
+  def heapsLaw(df: DataFrame, keys: Seq[String], idCol: String,
+               textCol: String): DataFrame = {
+    // ONE corpus scan: the (group, doc, token) count grid feeds both
+    // the per-doc token totals AND the first-occurrence reduction
+    // (a naive two-branch explode re-scans the whole corpus twice)
+    val tokc = df.select(keys.map(col) :+ col(idCol).as("__d") :+
+        explode(cleanTokens(col(textCol))).as("__tok"): _*)
+      .groupBy(keys.map(col) :+ col("__d") :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    // tokens per doc
+    val perDoc = tokc.groupBy(keys.map(col) :+ col("__d"): _*)
+      .agg(sum(col("__c")).as("__nt"))
+    // vocabulary increments: each token counts once, at its first doc
+    val firsts = tokc.groupBy(keys.map(col) :+ col("__tok"): _*)
+      .agg(min(col("__d")).as("__d"))
+      .groupBy(keys.map(col) :+ col("__d"): _*)
+      .agg(count(lit(1)).as("__nv"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__d"))
+    val curve = perDoc
+      .join(firsts, keys :+ "__d", "left")
+      .withColumn("__cumn", sum(col("__nt")).over(wk))
+      .withColumn("__cumv", sum(coalesce(col("__nv"), lit(0L))).over(wk))
+      .filter(col("__cumn") > 0 && col("__cumv") > 0)
+    val xy = curve
+      .withColumn("__x", round(graft.functions.MathFunctions.libmLog(
+        col("__cumn").cast("double")), 9).cast("decimal(18,9)"))
+      .withColumn("__y", round(graft.functions.MathFunctions.libmLog(
+        col("__cumv").cast("double")), 9).cast("decimal(18,9)"))
+    val m = xy.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    def t6(c: Column): Column =
+      (c - (c % lit(BigDecimal("0.000001"))))
+        .cast("decimal(38,6)").cast("double")
+    val n = col("n_points").cast("double")
+    val sx = t6(col("__sx")); val sy = t6(col("__sy"))
+    val vx = n * t6(col("__sxx")) - sx * sx
+    val vy = n * t6(col("__syy")) - sy * sy
+    val cov = n * t6(col("__sxy")) - sx * sy
+    val slope = cov / vx
+    // n >= 2, not just vx > 0: the 10⁻⁶ snap leaves a single point
+    // with a small positive vx artifact (1·t6(x²) ≠ t6(x)²)
+    val fit = col("n_points") >= 2 && vx > 0
+    m.select(keys.map(col) ++ Seq(
+      col("n_points"),
+      when(fit, slope).as("beta"),
+      when(fit, (sy - slope * sx) / n).as("ln_k"),
+      when(fit && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
+  }
 }

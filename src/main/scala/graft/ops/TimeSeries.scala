@@ -756,4 +756,127 @@ object TimeSeries {
         sum(col("__covered")).as("covered_micros"),
         sum(col("__newseg")).as("n_segments"))
   }
+
+  /**
+   * Classical additive seasonal decomposition of a regular integer
+   * series: `v = trend + seasonal + remainder`, with trend the
+   * centered `period`-term moving average, seasonal the per-phase
+   * (e.g. day-of-week) mean of the detrended series, and remainder
+   * what's left — the "is Monday always low, or is THIS Monday
+   * anomalous?" primitive for volume monitoring.
+   *
+   * Engine-exact arithmetic: the inputs are integer counts at integer
+   * time steps, so the detrended value `v − trend` is the rational
+   * `(p·v − Σ_window v)/p` — the implementation carries the integer
+   * numerator `dt_p = p·v − Σv` exactly, making the seasonal mean
+   * `Σ dt_p / (p·count)` ONE pinned IEEE division and the remainder a
+   * single subtraction of two such pinned doubles. No double is ever
+   * summed; every engine reproduces every bit. Rows without a full
+   * centered window (the first/last `period/2` points) get null
+   * trend/seasonal contribution excluded and null outputs.
+   *
+   * Requirements: one row per (keys, t) at CONSECUTIVE integer t
+   * (pre-aggregate upstream; gaps silently widen the window's span —
+   * the moving average is over ROWS). `period` must be odd (the
+   * centered window is symmetric; classical even-period decomposition
+   * needs the 2×MA variant — pre-smooth upstream if you need 12).
+   *
+   * Output: (keys…, t, v, trend, seasonal, remainder).
+   *
+   * Scale posture: one key exchange carries the centered-window sum;
+   * the phase means ride a second (keys, phase) exchange of
+   * constant-width partials; remainder closes rowwise on the join of
+   * the two — both relations are series-sized, keys partition them.
+   */
+  def seasonalDecompose(df: DataFrame, keys: Seq[String], tCol: String,
+                        vCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3, got $period")
+    val half = period / 2
+    val t = col(tCol).cast("long")
+    val v = col(vCol).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t")).rowsBetween(-half, half)
+    val base = df
+      .filter(t.isNotNull && v.isNotNull)
+      .select(keys.map(col) :+ t.as("__t") :+ v.as("__v"): _*)
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__ws", sum(col("__v")).over(w))
+      // integer numerator of (v − trend)·period; null without a full
+      // centered window
+      .withColumn("__dtp",
+        when(col("__wn") === period,
+          lit(period.toLong) * col("__v") - col("__ws")))
+      .withColumn("__phase", pmod(col("__t"), lit(period.toLong)))
+    val pw = Window.partitionBy((keys.map(col) :+ col("__phase")): _*)
+    val pd = lit(period.toDouble)
+    val seasonal =
+      sum(col("__dtp")).over(pw).cast("double") /
+        (pd * count(col("__dtp")).over(pw).cast("double"))
+    val trend = col("__ws").cast("double") / pd
+    val detrended = col("__dtp").cast("double") / pd
+    base.select(keys.map(col) ++ Seq(
+      col("__t").as(tCol), col("__v").as(vCol),
+      when(col("__wn") === period, trend).as("trend"),
+      when(col("__wn") === period, seasonal).as("seasonal"),
+      when(col("__wn") === period, detrended - seasonal)
+        .as("remainder")): _*)
+  }
+
+  /**
+   * Bollinger bands over an integer series: rolling mean ± `k`
+   * sample standard deviations on a trailing `window`-row frame, plus
+   * breach flags — the volatility-envelope monitor ("is today's
+   * volume outside its recent band?").
+   *
+   * Same discipline as [[rollingCorr]]: the frame's Σv and Σv² are
+   * exact integer sums (longs — see envelope), and the closing chain
+   * is pinned IEEE: `mean = s/n`, `var = (n·ss − s²)/(n·(n−1))`,
+   * `sd = sqrt(var)`, `upper/lower = mean ± k·sd`. Comparisons of
+   * identically-computed doubles make the breach flags
+   * engine-identical too. Warmup rows (frame shorter than `window`)
+   * emit nulls.
+   *
+   * Envelope: `n·Σv²` must fit a long — |v| to ~3e7 at window 10^4.
+   * Wider values: rescale upstream (the bands are scale-equivariant).
+   *
+   * Output: (keys…, t, v, mean, sd, upper, lower, breach_hi,
+   * breach_lo).
+   *
+   * Scale posture: ONE key exchange; both frame sums and the closing
+   * ride its sort.
+   */
+  def bollinger(df: DataFrame, keys: Seq[String], tCol: String,
+                vCol: String, window: Int = 20, k: Double = 2.0)
+  : DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val t = col(tCol).cast("long")
+    val v = col(vCol).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t")).rowsBetween(-(window - 1), Window.currentRow)
+    val base = df
+      .filter(t.isNotNull && v.isNotNull)
+      .select(keys.map(col) :+ t.as("__t") :+ v.as("__v"): _*)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__ss", sum(col("__v") * col("__v")).over(w))
+    val nd = col("__n").cast("double")
+    val sd0 = col("__s").cast("double")
+    val ssd = col("__ss").cast("double")
+    val mean = sd0 / nd
+    val variance = (nd * ssd - sd0 * sd0) / (nd * (nd - lit(1.0)))
+    val sd = sqrt(variance)
+    val vd = col("__v").cast("double")
+    val full = col("__n") === window
+    val upper = mean + lit(k) * sd
+    val lower = mean - lit(k) * sd
+    base.select(keys.map(col) ++ Seq(
+      col("__t").as(tCol), col("__v").as(vCol),
+      when(full, mean).as("mean"),
+      when(full, sd).as("sd"),
+      when(full, upper).as("upper"),
+      when(full, lower).as("lower"),
+      when(full, vd > upper).as("breach_hi"),
+      when(full, vd < lower).as("breach_lo")): _*)
+  }
 }

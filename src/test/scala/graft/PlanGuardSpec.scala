@@ -733,4 +733,67 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("partial_sum"), fin.take(1500))
     assert(!fin.contains("CartesianProduct"), fin.take(1500))
   }
+
+  test("q239 KS: grid collapse then windows+max on ONE key partitioning, " +
+    "join-free") {
+    val whole = finalPlan("q239_ks_test")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_sum"), fin.take(1200)) // grid map-combined
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
+
+  test("q240 kendall: one group exchange, no join, no cartesian") {
+    val whole = finalPlan("q240_kendall_tau")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+
+  test("q241 fifo: event_type filters pushed to the scans; key-equi " +
+    "join only (no nested loop/cartesian)") {
+    val whole = finalPlan("q241_fifo_match")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("EqualTo(event_type,c"), fin.take(1500))
+    assert(fin.contains("EqualTo(event_type,p"), fin.take(1500))
+  }
+
+  test("q242 attribution: lookback as key-equi join + conv windows, " +
+    "no nested loop/cartesian") {
+    val whole = finalPlan("q242_attribution")
+    val fin = whole.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("Window"), fin.take(1500))
+  }
+
+  test("q243/q244 series ops: join-free window chains") {
+    for (q <- Seq("q243_seasonal", "q244_bollinger")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("Window"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
+  test("q245 script profile: one shuffle-free codegen'd scan") {
+    val fin = finalPlan("q245_script_profile").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Exchange"), fin.take(1200))
+    assert("Scan parquet|FileScan".r.findAllIn(fin).size == 1,
+      fin.take(1200))
+    assert(fin.contains("*(1)"), fin.take(1200)) // whole-stage codegen
+  }
+
+  test("q246 heaps: ONE corpus scan feeds both curve branches " +
+    "(checkpointed token grid)") {
+    val fin = finalPlan("q246_heaps_law").split("== Initial Plan ==")(0)
+    assert("Scan parquet|FileScan".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("ExistingRDD") || fin.contains("Scan ExistingRDD"),
+      fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
 }

@@ -230,4 +230,63 @@ class StatsSpec extends AnyFunSuite {
     val s = out("sat")
     assert(s.getAs[Double]("p_a") == 1.0 && s.isNullAt(s.fieldIndex("z")))
   }
+
+  test("ksTest: hand CDF gap; one-arm group null; empty input") {
+    val rows = Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+      ("k", "b", 2.0), ("k", "b", 3.0), ("k", "b", 4.0),
+      ("solo", "a", 1.0))
+    val out = Stats.ksTest(rows.toDF("key", "arm", "v"),
+      Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // grids: v=1 |1·3−0·3|=3, v=2 |2·3−1·3|=3, v=3 |3·3−2·3|=3, v=4 0
+    assert(k.getAs[Long]("n_a") == 3L && k.getAs[Long]("n_b") == 3L)
+    assert(k.getAs[Long]("d_num") == 3L && k.getAs[Long]("d_den") == 9L)
+    assert(k.getAs[Double]("d") == 3.0 / 9.0)
+    val solo = out("solo")
+    assert(solo.getAs[Long]("n_b") == 0L &&
+      solo.isNullAt(solo.fieldIndex("d")))
+    assert(Stats.ksTest(rows.toDF("key", "arm", "v").limit(0),
+      Seq("key"), "arm", "a", "b", "v").count() == 0)
+  }
+
+  test("kendallTau: hand tie corrections; brute-force agreement; " +
+    "perfect discordance; degenerate null") {
+    // x=[1,2,2,3], y=[1,3,2,4]: n0=6, n1=1 (x-tie pair), n2=n3=0,
+    // D=0 → S=5, tau = 5/sqrt(5·6)
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 2.0, 2.0),
+      ("g", 3.0, 4.0), ("r", 1.0, 2.0), ("r", 2.0, 1.0),
+      ("flat", 5.0, 1.0), ("flat", 5.0, 2.0))
+      .toDF("key", "x", "y")
+    val out = Stats.kendallTau(df, Seq("key"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n0") == 6L && g.getAs[Long]("n1") == 1L &&
+      g.getAs[Long]("n2") == 0L && g.getAs[Long]("n3") == 0L &&
+      g.getAs[Long]("discordant") == 0L && g.getAs[Long]("s") == 5L)
+    assert(g.getAs[Double]("tau_b") == 5.0 / math.sqrt(5.0 * 6.0))
+    // reversal: S = 1 − 2·1 = −1, tau = −1
+    assert(out("r").getAs[Double]("tau_b") == -1.0)
+    // all x tied: zero x-variance → null
+    assert(out("flat").isNullAt(out("flat").fieldIndex("tau_b")))
+    // brute-force cross-check on a deterministic pseudo-random set
+    val vals = (0 until 60).map { i =>
+      ("b", ((i * 7919) % 23).toDouble, ((i * 104729) % 17).toDouble)
+    }
+    val b = Stats.kendallTau(vals.toDF("key", "x", "y"), Seq("key"),
+      "x", "y").collect().head
+    var (c, dis) = (0L, 0L)
+    for (i <- vals.indices; j <- (i + 1) until vals.length) {
+      val p = (vals(i)._2 - vals(j)._2) * (vals(i)._3 - vals(j)._3)
+      if (p > 0) c += 1 else if (p < 0) dis += 1
+    }
+    assert(b.getAs[Long]("discordant") == dis)
+    val n0 = 60L * 59 / 2
+    assert(b.getAs[Long]("s") ==
+      b.getAs[Long]("n0") - b.getAs[Long]("n1") - b.getAs[Long]("n2") +
+        b.getAs[Long]("n3") - 2 * dis)
+    // S also equals C − D directly (ties cancel): cross-check
+    assert(b.getAs[Long]("s") == c - dis)
+    assert(b.getAs[Long]("n0") == n0)
+  }
 }

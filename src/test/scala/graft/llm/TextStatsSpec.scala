@@ -151,4 +151,56 @@ class TextStatsSpec extends AnyFunSuite {
     // the bursty token disperses higher than the scattered one
     assert(out("a")._3 > out("b")._3)
   }
+  test("scriptProfile: hand counts per ASCII class; empty text zeros") {
+    val df = Seq((1L, "Ab1 .x"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("len") == 6L)
+    assert(r1.getAs[Long]("n_alpha") == 3L &&
+      r1.getAs[Long]("n_digit") == 1L && r1.getAs[Long]("n_space") == 1L &&
+      r1.getAs[Long]("n_punct") == 1L && r1.getAs[Long]("n_other") == 0L)
+    assert(r1.getAs[Double]("frac_alpha") == 3.0 / 6.0)
+    // empty and null text: zero counts, null fractions
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id).getAs[Long]("len") == 0L)
+      assert(out(id).isNullAt(out(id).fieldIndex("frac_alpha")))
+    }
+    // non-ASCII lands in n_other
+    val acc = TextAnalysis.scriptProfile(
+      Seq((9L, "caf\u00e9")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(acc.getAs[Long]("n_alpha") == 3L &&
+      acc.getAs[Long]("n_other") == 1L)
+  }
+
+  test("heapsLaw: cumulative curve OLS matches a scala replay; " +
+    "degenerate single point null") {
+    val df = Seq((1L, "s", "a b"), (2L, "s", "b c"), (3L, "s", "c d a"),
+      (9L, "tiny", "q q")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.heapsLaw(df, Seq("source"), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    // curve: (N,V) = (2,2), (4,3), (7,4)
+    assert(s.getAs[Long]("n_points") == 3L)
+    def snap9(d: Double) = BigDecimal(d).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP)
+    val xs = Seq(2.0, 4.0, 7.0).map(n => snap9(math.log(n)))
+    val ys = Seq(2.0, 3.0, 4.0).map(n => snap9(math.log(n)))
+    def t6(b: BigDecimal) = (b - (b % BigDecimal("0.000001"))).toDouble
+    val n = 3.0
+    val sx = t6(xs.sum); val sy = t6(ys.sum)
+    val sxy = t6(xs.zip(ys).map { case (a, b) => a * b }.sum)
+    val sxx = t6(xs.map(a => a * a).sum)
+    val cov = n * sxy - sx * sy; val vx = n * sxx - sx * sx
+    assert(math.abs(s.getAs[Double]("beta") - cov / vx) < 1e-12)
+    assert(s.getAs[Double]("corr") > 0.99)
+    // one checkpoint: zero x-variance, null fit
+    val tiny = out("tiny")
+    assert(tiny.getAs[Long]("n_points") == 1L &&
+      tiny.isNullAt(tiny.fieldIndex("beta")))
+    assert(TextAnalysis.heapsLaw(df.limit(0), Seq("source"), "doc_id",
+      "text").count() == 0)
+  }
 }

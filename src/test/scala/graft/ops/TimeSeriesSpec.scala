@@ -402,4 +402,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out("d") == ((2L, 10L, 1L)))
     assert(!out.contains("z"))
   }
+  test("seasonalDecompose: periodic series recovers trend/seasonal " +
+    "exactly, remainder zero; edges null; empty input") {
+    // v = [3,1,2,3,1,2] at t = 0..5, period 3: interior trend = 2,
+    // seasonal by phase = (+1 @ t%3=0, −1 @ 1, 0 @ 2), remainder = 0
+    val df = Seq((0L, 3L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L),
+      (5L, 2L)).toDF("t", "v")
+    val out = TimeSeries.seasonalDecompose(df, Seq.empty, "t", "v", 3)
+      .orderBy("t").collect()
+    val interior = out.slice(1, 5)
+    assert(interior.forall(_.getAs[Double]("trend") == 2.0))
+    assert(interior.map(_.getAs[Double]("seasonal")).toSeq ==
+      Seq(-1.0, 0.0, 1.0, -1.0))
+    assert(interior.forall(_.getAs[Double]("remainder") == 0.0))
+    for (r <- Seq(out.head, out.last))
+      assert(r.isNullAt(r.fieldIndex("trend")) &&
+        r.isNullAt(r.fieldIndex("seasonal")) &&
+        r.isNullAt(r.fieldIndex("remainder")))
+    assert(TimeSeries.seasonalDecompose(df.limit(0), Seq.empty, "t", "v", 3)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalDecompose(df, Seq.empty, "t", "v", period = 4)
+    }
+  }
+
+  test("bollinger: hand moments, breach only outside the band, " +
+    "warmup null; empty input") {
+    val df = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 10L)).toDF("t", "v")
+    val out = TimeSeries.bollinger(df, Seq.empty, "t", "v",
+      window = 3, k = 1.0).orderBy("t").collect()
+    // warmup: frames of 1 and 2 rows
+    assert(out.take(2).forall(r => r.isNullAt(r.fieldIndex("mean"))))
+    val r2 = out(2) // frame [1,2,3]: mean 2, var 1, band [1,3]
+    assert(r2.getAs[Double]("mean") == 2.0 && r2.getAs[Double]("sd") == 1.0)
+    assert(r2.getAs[Double]("upper") == 3.0 &&
+      r2.getAs[Double]("lower") == 1.0)
+    assert(!r2.getAs[Boolean]("breach_hi") && !r2.getAs[Boolean]("breach_lo"))
+    val r3 = out(3) // frame [2,3,10]: mean 5, var 19
+    assert(r3.getAs[Double]("mean") == 5.0)
+    assert(r3.getAs[Double]("sd") == math.sqrt(19.0))
+    assert(r3.getAs[Boolean]("breach_hi") && !r3.getAs[Boolean]("breach_lo"))
+    assert(TimeSeries.bollinger(df.limit(0), Seq.empty, "t", "v", 3)
+      .count() == 0)
+  }
 }
