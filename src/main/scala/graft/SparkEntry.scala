@@ -3360,7 +3360,35 @@ object SparkEntry {
     //      over doc-id checkpoints (q216 zipf's companion) ----
     "q246_heaps_law" -> ((s, dir) =>
       TA.heapsLaw(t(s, dir, "documents").filter(col("source").isNotNull),
-        Seq("source"), "doc_id", "text"))
+        Seq("source"), "doc_id", "text")),
+
+    // ---- RAG prep: 64-token chunks with 16-token overlap — all-
+    //      integer chunk geometry, one shuffle-free scan ----
+    "q247_chunking" -> ((s, dir) =>
+      graft.llm.Chunking.chunkByTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
+
+    // ---- reshape: unpivot (melt) the lineitem measures to tidy
+    //      long form — one codegen'd stack generator ----
+    "q248_melt" -> ((s, dir) =>
+      graft.ops.Transforms.melt(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- graph: k-core backbone of the co-purchase graph at
+    //      k = min degree + 1 (forces a real peel on any fixture
+    //      realization); iterative driver-coordinated peel ----
+    "q249_kcore" -> ((s, dir) => {
+      val edges = graft.graph.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxPerGroup = 8)
+      val deg = edges.select(col("u").as("n"))
+        .unionByName(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // ONE scalar collected (the q85-threshold precedent): the gate's
+      // k rides the data so the peel is nontrivial at every SF
+      val k = deg.agg(min(col("d")).as("m")).head.getLong(0) + 1
+      graft.graph.Graph.kCore(edges, k.toInt)
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7253,6 +7281,76 @@ object SparkEntry {
         |  CASE WHEN n_points >= 2 AND vx > 0 AND vy > 0
         |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
         |FROM v""".stripMargin,
+
+    // same all-integer chunk geometry: stride 48, ⌈(n−16)/48⌉ chunks
+    // (≥1), inclusive 1-based list_slice clamped at n
+    "q247_chunking" ->
+      """WITH b AS (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b
+        |      WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, greatest(1, (n - 17) // 48 + 1) - 1))
+        |      AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS token_start,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |    chunk_id * 48 + 64), ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    // tidy long form: UNION ALL per measure (UNPIVOT INCLUDE NULLS
+    // semantics — a melted null is a fact)
+    "q248_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+        |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(l_discount AS DOUBLE) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin,
+
+    // the iterative peel as a recursive CTE over the SYMMETRIC edge
+    // set (both-position window counts are then true degrees); the
+    // k-core is unique so the engine's driver loop must land on the
+    // same set; final guard returns empty if unconverged at the bound
+    "q249_kcore" ->
+      """WITH RECURSIVE gi AS (SELECT DISTINCT l_orderkey AS g,
+        |    l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gs AS (SELECT g, i FROM (SELECT g, i,
+        |    count(*) OVER (PARTITION BY g) AS sz FROM gi) WHERE sz <= 8),
+        |e AS (SELECT DISTINCT least(a.i, b.i) AS u, greatest(a.i, b.i) AS v
+        |      FROM gs a JOIN gs b ON a.g = b.g AND a.i < b.i),
+        |sym AS (SELECT u AS n, m FROM (SELECT u, v AS m FROM e
+        |        UNION ALL SELECT v, u FROM e) s(u, m)),
+        |degs AS (SELECT n, count(*) AS d FROM sym GROUP BY 1),
+        |kv AS (SELECT CAST(min(d) + 1 AS BIGINT) AS k FROM degs),
+        |peel(iter, n, m) AS (
+        |  SELECT 0, n, m FROM sym
+        |  UNION ALL
+        |  SELECT iter + 1, n, m FROM (
+        |    SELECT iter, n, m, cn, cm,
+        |      max(CASE WHEN cn < (SELECT k FROM kv)
+        |          OR cm < (SELECT k FROM kv) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY iter) AS anyviol
+        |    FROM (SELECT iter, n, m,
+        |        count(*) OVER (PARTITION BY iter, n) AS cn,
+        |        count(*) OVER (PARTITION BY iter, m) AS cm
+        |      FROM peel) s1
+        |  ) s2 WHERE iter < 50 AND anyviol = 1
+        |    AND cn >= (SELECT k FROM kv) AND cm >= (SELECT k FROM kv)
+        |),
+        |last AS (SELECT n, m FROM peel
+        |         WHERE iter = (SELECT max(iter) FROM peel)),
+        |chk AS (SELECT n, count(*) AS d FROM last GROUP BY 1),
+        |ok AS (SELECT CASE WHEN min(d) >= (SELECT k FROM kv)
+        |       THEN 1 ELSE 0 END AS conv FROM chk)
+        |SELECT CAST(n AS BIGINT) AS vertex, CAST(d AS BIGINT) AS degree
+        |FROM chk WHERE (SELECT conv FROM ok) = 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -230,4 +230,61 @@ object Graph {
           col("p.__dz"))) / col("p.__dz")).cast("long")).as("score"))
     cand.join(und, Seq("u", "v"), "left_anti")
   }
+  /**
+   * k-core of an undirected graph: the maximal subgraph in which
+   * every vertex has degree ≥ k — the standard "dense backbone"
+   * extraction (spam/bot rings, community nuclei, robust-seed
+   * selection) that degree thresholding alone gets wrong (removing a
+   * low-degree vertex can drop its neighbors below k too).
+   *
+   * Classic iterative peel, driver-coordinated: drop all vertices of
+   * degree < k, recompute degrees, repeat until stable. The result is
+   * ORDER-INDEPENDENT (the k-core is unique), so any engine agrees on
+   * the output; only the iteration COUNT is data-dependent, bounded
+   * by `maxIterations` (each round removes ≥ 1 vertex, so rounds are
+   * bounded by the peel depth — tens, not thousands, on real graphs;
+   * an unconverged stop throws rather than returning a non-core).
+   *
+   * Output: (vertex, degree) over the core's vertices — `degree`
+   * counted WITHIN the core. Empty when no k-core exists.
+   *
+   * Scale posture: per round, one map-side-combined degree count and
+   * one key-equi anti-join per endpoint against the violating-vertex
+   * set; the edge set rides a lazy localCheckpoint each round (the
+   * [[Centrality.pageRank]] lineage discipline). Rounds are actions —
+   * the driver sees only a count per round, never data.
+   */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "u",
+            dstCol: String = "v", maxIterations: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("vertex"))
+        .unionByName(e.select(col("v").as("vertex")))
+        .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIterations) {
+      val bad = degrees(und).filter(col("degree") < k)
+        .select(col("vertex")).localCheckpoint(false)
+      if (bad.isEmpty) converged = true
+      else {
+        und = und
+          .join(bad.select(col("vertex").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("vertex").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint(false)
+        i += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIterations rounds")
+    degrees(und)
+  }
 }

@@ -391,4 +391,30 @@ object Transforms {
       .withColumn(outCol, coalesce(col(valueCol), col("__stat")))
       .drop("__stat")
   }
+  /**
+   * Unpivot (melt): widen-to-long reshape — one output row per
+   * (row, value column), with the column NAME in `varName` and its
+   * value (cast to a common type) in `valueName`. The inverse of the
+   * pivot surface; the tidy-data primitive feeding per-metric
+   * aggregation, plotting extracts, and EAV sinks.
+   *
+   * Values are cast to `valueType` (default double — unpivot only
+   * makes sense over comparable measures); nulls are KEPT (a melted
+   * null is a fact: the measure was absent), matching ANSI UNPIVOT
+   * INCLUDE NULLS.
+   *
+   * Scale posture: one shuffle-free codegen'd projection (a
+   * `stack(n, ...)` generator) — row count multiplies by
+   * |valueCols|, width shrinks to id + 2; no state, no join.
+   */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valueName: String = "value",
+           valueType: String = "double"): DataFrame = {
+    require(valueCols.nonEmpty, "melt needs value columns")
+    val pairs = valueCols.map(c =>
+      s"'${c.replace("'", "''")}', CAST(`$c` AS $valueType)").mkString(", ")
+    df.select(idCols.map(col) :+
+      expr(s"stack(${valueCols.size}, $pairs) AS (`$varName`, `$valueName`)")
+        : _*)
+  }
 }

@@ -796,4 +796,21 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
     assert(!fin.contains("CartesianProduct"), fin.take(1500))
   }
+  test("q247/q248 chunk+melt: shuffle-free single-scan generators") {
+    for (q <- Seq("q247_chunking", "q248_melt")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Exchange"), s"$q: ${fin.take(1200)}")
+      assert("Scan parquet|FileScan".r.findAllIn(fin).size == 1,
+        s"$q: ${fin.take(1200)}")
+      assert(fin.contains("Generate"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
+  test("q249 kcore: converged core rides checkpointed edges; final " +
+    "degree count is ONE map-side-combined aggregation") {
+    val fin = finalPlan("q249_kcore").split("== Initial Plan ==")(0)
+    assert(fin.contains("ExistingRDD"), fin.take(1200))
+    assert(fin.contains("partial_count"), fin.take(1200))
+    assert(!fin.contains("Join"), fin.take(1200))
+  }
 }

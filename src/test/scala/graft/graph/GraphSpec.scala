@@ -81,4 +81,22 @@ class GraphSpec extends AnyFunSuite {
     // cap below 2 removes every hub -> empty
     assert(Graph.linkPredictionRA(edges, maxDegree = 2).collect().nonEmpty)
   }
+  test("kCore: cascade peel (removing a leaf drops its neighbor), " +
+    "unique core, empty when none exists") {
+    // triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the
+    // triangle — peeling 5 (deg 1) drops 4 to deg 1, which drops too
+    val edges = Seq((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+      .toDF("u", "v")
+    val core = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(core == Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+    // no 3-core anywhere: empty result, not an error
+    assert(Graph.kCore(edges, k = 3).count() == 0)
+    // k=1 keeps everything (after self-loop/dup normalization)
+    assert(Graph.kCore(edges, k = 1).count() == 5)
+    // duplicate + self-loop edges normalize away
+    val messy = Seq((1, 2), (2, 1), (1, 1), (2, 3), (1, 3)).toDF("u", "v")
+    assert(Graph.kCore(messy, k = 2).count() == 3)
+    assert(Graph.kCore(edges.limit(0), k = 2).count() == 0)
+  }
 }

@@ -159,4 +159,20 @@ class OpsSpec extends AnyFunSuite {
       3L -> ((Some("c"), Some(30.0))),
       4L -> ((Some("new"), Some(40.0))))) // correction-only row
   }
+  test("melt: long form keeps nulls, casts to a common type, " +
+    "row count multiplies by measures") {
+    val df = Seq((1L, 2.0, Some(3.0)), (2L, 5.0, None))
+      .toDF("id", "m1", "m2")
+    val out = Transforms.melt(df, Seq("id"), Seq("m1", "m2"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(out == Set(
+      (1L, "m1", Some(2.0)), (1L, "m2", Some(3.0)),
+      (2L, "m1", Some(5.0)), (2L, "m2", None)))
+    val named = Transforms.melt(df, Seq("id"), Seq("m1"),
+      varName = "metric", valueName = "reading")
+    assert(named.columns.toSeq == Seq("id", "metric", "reading"))
+    assert(Transforms.melt(df.limit(0), Seq("id"), Seq("m1", "m2"))
+      .count() == 0)
+  }
 }
