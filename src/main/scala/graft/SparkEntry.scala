@@ -3388,6 +3388,37 @@ object SparkEntry {
       // k rides the data so the peel is nontrivial at every SF
       val k = deg.agg(min(col("d")).as("m")).head.getLong(0) + 1
       graft.graph.Graph.kCore(edges, k.toInt)
+    }),
+
+    // ---- streaming: distribution-drift monitor — exact per-key bin
+    //      counts in the state store, PSI per batch; the gate hashes
+    //      the engine-independent claims (final exact histogram) ----
+    "q250_stream_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type"), col("value"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q250")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.driftStream(df, "event_type",
+          "value", Array(20.0, 40.0, 60.0, 80.0),
+          Array(0.2, 0.2, 0.2, 0.2, 0.2)),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldDriftUpdates(updates)
+        .select(col("key"), col("n_seen"),
+          posexplode(col("counts")).as(Seq("bin", "cnt")))
+        .select(col("key"), col("n_seen"), col("bin").cast("long").as("bin"),
+          col("cnt"))
     })
   )
 
@@ -7351,6 +7382,29 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS conv FROM chk)
         |SELECT CAST(n AS BIGINT) AS vertex, CAST(d AS BIGINT) AS degree
         |FROM chk WHERE (SELECT conv FROM ok) = 1""".stripMargin,
+
+    // the stream's accumulated histogram must equal the exact batch
+    // histogram (state exactness — the q184 contract pattern, but the
+    // claim is the full per-bin count vector, zero bins included)
+    "q250_stream_drift" ->
+      """WITH e AS (SELECT CAST(event_type AS VARCHAR) AS key, value
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |b AS (SELECT key, CAST(
+        |    (CASE WHEN value >= 20 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value >= 40 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value >= 60 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        |  FROM e),
+        |n AS (SELECT key, CAST(count(*) AS BIGINT) AS n_seen
+        |      FROM e GROUP BY 1),
+        |grid AS (SELECT key, bin FROM (SELECT DISTINCT key FROM e)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS bin)),
+        |c AS (SELECT grid.key, CAST(grid.bin AS BIGINT) AS bin,
+        |    CAST(coalesce(x.cnt, 0) AS BIGINT) AS cnt
+        |  FROM grid LEFT JOIN (SELECT key, bin, count(*) AS cnt
+        |    FROM b GROUP BY 1, 2) x ON x.key = grid.key AND x.bin = grid.bin)
+        |SELECT n.key, n_seen, bin, cnt FROM c JOIN n ON n.key = c.key""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

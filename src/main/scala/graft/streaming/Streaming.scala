@@ -746,6 +746,71 @@ object Streaming {
   }
 
   /**
+   * Streaming distribution-drift monitor: per key, an EXACT fixed-bin
+   * histogram of `valueCol` accumulates in the state store (one long
+   * per bin — constant state for an unbounded stream), and each batch
+   * emits the Population Stability Index of the observed distribution
+   * against the caller's reference proportions — the "has the metric's
+   * SHAPE moved since training" alarm, incrementally.
+   *
+   * Binning: `bin(v) = #{edges e : v ≥ e}` — `binEdges` must be
+   * strictly increasing; `refProps` has `binEdges.length + 1` entries
+   * (they should sum to 1). PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with both
+   * proportions floored at 1e-6 (the standard zero-bin clamp). The
+   * bin COUNTS are exact integers — engine-independent and the thing
+   * gates hash; PSI is libm arithmetic for the caller's dashboard.
+   *
+   * Output per batch: (key, n_seen, counts, psi) — `counts` the full
+   * per-bin array. Fold the update log with [[foldDriftUpdates]].
+   *
+   * Scale posture: state is `bins` longs per key; each batch touches
+   * only the keys present in it; emission is one row per touched key.
+   */
+  def driftStream(df: DataFrame, keyCol: String, valueCol: String,
+                  binEdges: Array[Double], refProps: Array[Double])
+  : DataFrame = {
+    require(binEdges.nonEmpty && binEdges.sameElements(binEdges.sorted),
+      "binEdges must be non-empty and ascending")
+    require(refProps.length == binEdges.length + 1,
+      s"refProps needs ${binEdges.length + 1} entries, got ${refProps.length}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = binEdges.length + 1
+    val ds = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Seq[Long], Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](bins))
+          rows.foreach { case (_, v) =>
+            counts(binEdges.count(v >= _)) += 1
+          }
+          state.update(counts)
+          val n = counts.sum
+          val psi = (0 until bins).map { i =>
+            val p = math.max(counts(i).toDouble / n, 1e-6)
+            val q = math.max(refProps(i), 1e-6)
+            (p - q) * math.log(p / q)
+          }.sum
+          (key, n, counts.toSeq, psi)
+      }
+      .toDF("key", "n_seen", "counts", "psi")
+  }
+
+  /** Last update per key of a [[driftStream]] run (n_seen is monotone). */
+  def foldDriftUpdates(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_seen").desc)
+    updates.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("n_seen"), col("counts"), col("psi"))
+  }
+
+  /**
    * Log compaction as incremental keyed state: emit an event iff its
    * `stateCol` differs (null-safe) from the actor's PREVIOUS event —
    * the streaming form of

@@ -512,4 +512,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(cands.contains("hot"), cands.mkString(","))
     assert(cands.length <= 8)
   }
+  test("driftStream: exact bin counts accumulate across batches; " +
+    "PSI zero on the reference, positive off it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_drift")
+      .toString
+    // bins at edges [10]: two bins. batch1 50/50 (the reference);
+    // batch2 pushes everything high
+    val batch1 = (0 until 50).map(i => ("k", 5.0)) ++
+      (0 until 50).map(i => ("k", 15.0))
+    val batch2 = (0 until 100).map(i => ("k", 15.0))
+    batch1.toDF("key", "v").coalesce(1).write.mode("append")
+      .parquet(s"$dir/in")
+    batch2.toDF("key", "v").coalesce(1).write.mode("append")
+      .parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.driftStream(df, "key", "v",
+        Array(10.0), Array(0.5, 0.5)),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    // per-batch updates: after batch1 the stream matches the
+    // reference exactly -> PSI 0; after batch2 it has drifted
+    val byN = updates.collect().map(r =>
+      r.getLong(1) -> (r.getSeq[Long](2), r.getDouble(3))).toMap
+    assert(byN(100L)._1 == Seq(50L, 50L))
+    assert(byN(100L)._2 == 0.0)
+    val (counts, psi) = byN(200L)
+    assert(counts == Seq(50L, 150L)) // exact accumulation
+    val expected = (0.25 - 0.5) * math.log(0.25 / 0.5) +
+      (0.75 - 0.5) * math.log(0.75 / 0.5)
+    assert(math.abs(psi - expected) < 1e-12)
+    val folded = Streaming.foldDriftUpdates(updates).collect()
+    assert(folded.length == 1 && folded.head.getLong(1) == 200L)
+    intercept[IllegalArgumentException] {
+      Streaming.driftStream(batch1.toDF("key", "v"), "key", "v",
+        Array(10.0), Array(1.0))
+    }
+  }
 }
