@@ -3419,7 +3419,19 @@ object SparkEntry {
           posexplode(col("counts")).as(Seq("bin", "cnt")))
         .select(col("key"), col("n_seen"), col("bin").cast("long").as("bin"),
           col("cnt"))
-    })
+    }),
+
+    // ---- ML prep: feature hashing — vocabulary-free token counts
+    //      folded into 64 buckets by the cross-engine md5 hash ----
+    "q251_feature_hashing" -> ((s, dir) =>
+      TA.hashingTrick(t(s, dir, "documents"), "doc_id", "text", dim = 64)),
+
+    // ---- profiling: functional-dependency check — does
+    //      l_partkey → l_suppkey hold, and where does it break ----
+    "q252_fd_profile" -> ((s, dir) =>
+      Quality.functionalDependency(
+        t(s, dir, "lineitem").filter(col("l_partkey").isNotNull),
+        Seq("l_partkey"), "l_suppkey"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7405,6 +7417,34 @@ object SparkEntry {
         |  FROM grid LEFT JOIN (SELECT key, bin, count(*) AS cnt
         |    FROM b GROUP BY 1, 2) x ON x.key = grid.key AND x.bin = grid.bin)
         |SELECT n.key, n_seen, bin, cnt FROM c JOIN n ON n.key = c.key""".stripMargin,
+
+    // same md5-prefix hash convention (q213), mod 64, exact counts
+    "q251_feature_hashing" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS BIGINT)
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY 1, 2""".stripMargin,
+
+    // majority pick with the (count DESC, value ASC) total order; the
+    // dependent compares as VARCHAR on both engines
+    "q252_fd_profile" ->
+      """WITH g AS (SELECT l_partkey, CAST(l_suppkey AS VARCHAR) AS dep,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY c DESC, dep ASC NULLS LAST) AS rk FROM g)
+        |SELECT l_partkey, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_dep,
+        |  max(CASE WHEN rk = 1 THEN dep END) AS majority_dep,
+        |  CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT)
+        |    AS majority_support,
+        |  CAST(sum(c) - max(CASE WHEN rk = 1 THEN c END) AS BIGINT)
+        |    AS n_violations
+        |FROM r GROUP BY 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

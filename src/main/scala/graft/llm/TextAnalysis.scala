@@ -1637,4 +1637,33 @@ object TextAnalysis {
       when(fit, (sy - slope * sx) / n).as("ln_k"),
       when(fit && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("corr")): _*)
   }
+  /**
+   * Feature hashing (the "hashing trick"): token counts folded into a
+   * FIXED `dim`-bucket space by hash — the vocabulary-free text
+   * featurizer (no fit step, no vocab shipping, new tokens never
+   * break the pipeline) behind linear classifiers and quality models
+   * at corpus scale.
+   *
+   * Bucket = [[md5i]] of the token mod `dim` — the cross-engine hash
+   * convention, replayable by any engine with md5 (collisions are the
+   * POINT of the trick: ~n_tokens/dim per bucket, absorbed by the
+   * downstream model). Emits the sparse form, one row per (doc,
+   * occupied bucket) — the dense vector is a trivial pivot away and
+   * would be `dim` columns of mostly zeros here.
+   *
+   * Output: (idCol, bucket, cnt).
+   *
+   * Scale posture: tokenize → hash → ONE (doc, bucket)-keyed
+   * map-side-combined count; no vocabulary relation, no join,
+   * nothing global.
+   */
+  def hashingTrick(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int = 1024): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    df.select(col(idCol),
+        explode(cleanTokens(col(textCol))).as("__tok"))
+      .withColumn("bucket", pmod(md5i(col("__tok")), lit(dim.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

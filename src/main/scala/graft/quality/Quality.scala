@@ -713,4 +713,46 @@ object Quality {
       when(col("n") > 0, chi2).as("chi2"),
       when(col("n") > 0, mad).as("mad")): _*)
   }
+  /**
+   * Functional-dependency profile: does `detCols → depCol` hold, and
+   * where does it break? For each determinant value: row count, the
+   * number of DISTINCT dependent values (1 = the FD holds there), the
+   * majority dependent value and its support, and the violation count
+   * (rows disagreeing with the majority) — the data-profiling primitive
+   * behind "is zip → city actually a function in this feed", schema
+   * inference, and denormalization safety checks.
+   *
+   * The majority value breaks ties by value ascending (a total order
+   * on observable columns — the q207 discipline), so the output is
+   * engine-exact. Null dependent values count as a distinct class
+   * (an FD that maps to null sometimes is still broken); null
+   * determinants profile like any other value.
+   *
+   * Output: (detCols…, n, n_distinct_dep, majority_dep STRING,
+   * majority_support, n_violations).
+   *
+   * Scale posture: one (det, dep)-keyed map-side-combined count, then
+   * the majority pick and totals ride ONE det-keyed exchange (window
+   * + aggregate on the same partitioning). The profile relation is
+   * grid-sized, never row-sized.
+   */
+  def functionalDependency(df: DataFrame, detCols: Seq[String],
+                           depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "functionalDependency needs determinant columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .groupBy(detCols.map(col) :+
+        col(depCol).cast("string").as("__dep"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(detCols.map(col): _*)
+      .orderBy(col("__c").desc, col("__dep").asc_nulls_last)
+    grid
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(detCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_distinct_dep"),
+        max(when(col("__rk") === 1, col("__dep"))).as("majority_dep"),
+        max(when(col("__rk") === 1, col("__c"))).as("majority_support"))
+      .withColumn("n_violations", col("n") - col("majority_support"))
+  }
 }

@@ -813,4 +813,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("partial_count"), fin.take(1200))
     assert(!fin.contains("Join"), fin.take(1200))
   }
+  test("q251 feature hashing: one map-side-combined count, no vocab join") {
+    val fin = finalPlan("q251_feature_hashing").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_count"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+
+  test("q252 FD profile: grid collapse then ONE det-keyed partitioning " +
+    "for majority + totals") {
+    val fin = finalPlan("q252_fd_profile").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_count"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
 }

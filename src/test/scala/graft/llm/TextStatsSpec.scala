@@ -203,4 +203,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(TextAnalysis.heapsLaw(df.limit(0), Seq("source"), "doc_id",
       "text").count() == 0)
   }
+  test("hashingTrick: deterministic buckets, counts sum to tokens, " +
+    "dim bound, empty doc none") {
+    val df = Seq((1L, "a b a"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashingTrick(df, "doc_id", "text", dim = 8)
+      .collect()
+    assert(out.forall(_.getLong(0) == 1L))
+    assert(out.map(_.getAs[Long]("cnt")).sum == 3L)
+    assert(out.forall(r => r.getAs[Long]("bucket") >= 0 &&
+      r.getAs[Long]("bucket") < 8))
+    // same token -> same bucket: "a" appears once with cnt 2
+    assert(out.count(_.getAs[Long]("cnt") == 2L) == 1)
+    // deterministic across runs
+    val again = TextAnalysis.hashingTrick(df, "doc_id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cnt"))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+      r.getAs[Long]("cnt"))).toSet)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashingTrick(df, "doc_id", "text", dim = 1)
+    }
+  }
 }

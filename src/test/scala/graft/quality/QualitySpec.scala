@@ -158,4 +158,30 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.ksDriftBinned(const, "v", "g", "a", "b", 16)
       .collect().head.getDouble(2) == 0.0)
   }
+  test("functionalDependency: holds/breaks per determinant, majority " +
+    "tie by value, null dependent is a distinct class") {
+    val df = Seq(
+      ("10001", "Springfield"), ("10001", "Springfield"),
+      ("10001", "Shelbyville"),                  // broken FD, majority wins
+      ("20002", "Ogdenville"),                   // clean FD
+      ("30003", "A"), ("30003", "B"),            // tie -> 'A' (value asc)
+      ("40004", null), ("40004", null), ("40004", "X") // null majority
+    ).toDF("zip", "city")
+    val out = Quality.functionalDependency(df, Seq("zip"), "city")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z1 = out("10001")
+    assert(z1.getAs[Long]("n") == 3L &&
+      z1.getAs[Long]("n_distinct_dep") == 2L &&
+      z1.getAs[String]("majority_dep") == "Springfield" &&
+      z1.getAs[Long]("majority_support") == 2L &&
+      z1.getAs[Long]("n_violations") == 1L)
+    assert(out("20002").getAs[Long]("n_violations") == 0L)
+    assert(out("30003").getAs[String]("majority_dep") == "A")
+    val z4 = out("40004")
+    assert(z4.isNullAt(z4.fieldIndex("majority_dep")) &&
+      z4.getAs[Long]("majority_support") == 2L &&
+      z4.getAs[Long]("n_violations") == 1L)
+    assert(Quality.functionalDependency(df.limit(0), Seq("zip"), "city")
+      .count() == 0)
+  }
 }
