@@ -3431,7 +3431,45 @@ object SparkEntry {
     "q252_fd_profile" -> ((s, dir) =>
       Quality.functionalDependency(
         t(s, dir, "lineitem").filter(col("l_partkey").isNotNull),
-        Seq("l_partkey"), "l_suppkey"))
+        Seq("l_partkey"), "l_suppkey")),
+
+    // ---- model eval: calibration curve per event type over a
+    //      deterministic hash-derived probability vs the value>=50
+    //      outcome ----
+    "q253_calibration" -> ((s, dir) =>
+      graft.agg.Stats.calibration(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("p",
+            TA.md5i(concat(col("event_id").cast("string"), lit("cal")))
+              .cast("double") / lit(4294967296.0))
+          .withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "p", "y", bins = 10)),
+
+    // ---- model eval: Brier score — calibration's scalar companion,
+    //      exact decimal residual squares ----
+    "q254_brier" -> ((s, dir) =>
+      graft.agg.Stats.brierScore(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("p",
+            TA.md5i(concat(col("event_id").cast("string"), lit("cal")))
+              .cast("double") / lit(4294967296.0))
+          .withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "p", "y")),
+
+    // ---- join: nearest-direction as-of — align each view to the
+    //      CLOSEST click of the same user, either direction ----
+    "q255_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      graft.join.Joins.asOfNearest(
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_gap"))
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7445,6 +7483,81 @@ object SparkEntry {
         |  CAST(sum(c) - max(CASE WHEN rk = 1 THEN c END) AS BIGINT)
         |    AS n_violations
         |FROM r GROUP BY 1""".stripMargin,
+
+    // the u/2^32 probability is an exact double; Σ round(p,9) decimal,
+    // pinned closings
+    "q253_calibration" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'cal'),
+        |      1, 8))::BIGINT AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS p,
+        |    value >= 50 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    CAST(round(p, 9) AS DECIMAL(18,9)) AS p9,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS pos
+        |  FROM e WHERE p >= 0 AND p <= 1),
+        |m AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |    sum(p9) AS sp, CAST(sum(pos) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1, 2)
+        |SELECT event_type, bin, n,
+        |  CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_p,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS gap
+        |FROM m""".stripMargin,
+
+    // exact decimal residual squares; the sum snapped to the 1e-6
+    // grid before its ONE double cast (the t6 discipline)
+    "q254_brier" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'cal'),
+        |      1, 8))::BIGINT AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS p,
+        |    value >= 50 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    CAST(round(p, 9) AS DECIMAL(18,9)) -
+        |      CAST(CASE WHEN y THEN 1 ELSE 0 END AS DECIMAL(18,9)) AS d
+        |  FROM e WHERE p >= 0 AND p <= 1),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(d * d AS DECIMAL(38,18))) AS ss
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(CAST(ss - (ss % 0.000001) AS DECIMAL(38,6)) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) END AS brier
+        |FROM m""".stripMargin,
+
+    // the union+window nearest pick replayed: backward = last right
+    // at-or-before, forward = first right strictly after, ties
+    // backward
+    "q255_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, event_id, t, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS rid FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, CAST(NULL AS BIGINT) AS event_id, t, 0 AS side,
+        |    event_id AS rid FROM e WHERE event_type = 'click'),
+        |u AS (SELECT * FROM v UNION ALL SELECT * FROM c),
+        |w AS (SELECT *,
+        |    last_value(rid IGNORE NULLS) OVER wb AS bid,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER wb AS bt,
+        |    first_value(rid IGNORE NULLS) OVER wf AS fid,
+        |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER wf AS ft
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY t, side
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |p AS (SELECT *, (bid IS NOT NULL AND
+        |    (fid IS NULL OR t - bt <= ft - t)) AS pickb FROM w)
+        |SELECT event_id, user_id,
+        |  CASE WHEN pickb THEN bid ELSE fid END AS asof_event_id,
+        |  CAST(CASE WHEN pickb THEN t - bt
+        |    WHEN fid IS NOT NULL THEN ft - t END AS BIGINT) AS asof_gap
+        |FROM p WHERE side = 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -809,6 +809,79 @@ object Stats {
         .as("tau_b")): _*)
   }
 
+  /**
+   * Calibration curve (reliability diagram) per group: bucket
+   * predictions by predicted probability, compare each bucket's mean
+   * prediction with its observed positive rate — the eval primitive
+   * for quality classifiers and reward models ("the 0.8 bucket should
+   * convert 80% of the time").
+   *
+   * Engine-exact arithmetic: probabilities snap to the 10⁻⁹ decimal
+   * grid (the established log-discipline grid) so Σp is an exact
+   * decimal; bin assignment is `min(⌊p·bins⌋, bins−1)` on doubles
+   * (same product, same floor in any IEEE engine); the closing
+   * mean/rate/gap are pinned divisions. Rows with null or out-of-
+   * range p (outside [0,1]) are excluded.
+   *
+   * Output: (keys…, bin, n, mean_p, frac_pos, gap) with
+   * `gap = frac_pos − mean_p` (positive = under-confident).
+   *
+   * Scale posture: ONE (keys, bin) map-side-combined aggregation.
+   */
+  def calibration(df: DataFrame, keys: Seq[String], probCol: String,
+                  labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val base = df.filter(p.isNotNull && y.isNotNull &&
+      p >= 0.0 && p <= 1.0)
+    val bin = least(floor(p * bins).cast("long"), lit((bins - 1).toLong))
+    val p9 = round(p, 9).cast("decimal(18,9)")
+    val m = base
+      .groupBy(keys.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(p9).as("__sp"),
+        sum(when(y, 1L).otherwise(0L)).as("__pos"))
+    val nd = col("n").cast("double")
+    val meanP = col("__sp").cast("double") / nd
+    val fracPos = col("__pos").cast("double") / nd
+    m.select(keys.map(col) ++ Seq(col("bin"), col("n"),
+      meanP.as("mean_p"), fracPos.as("frac_pos"),
+      (fracPos - meanP).as("gap")): _*)
+  }
+
+  /**
+   * Brier score per group: mean squared error of probabilistic
+   * predictions against binary outcomes — [[calibration]]'s scalar
+   * companion (0 = perfect, 0.25 = uninformed coin at base rate 0.5).
+   *
+   * Same 10⁻⁹ probability grid; each residual square is an EXACT
+   * decimal, the sum is snapped to the 10⁻⁶ grid before its single
+   * double cast (the zipf/t6 discipline — a scale-18 decimal sum can
+   * exceed 2⁵³ units, where engines' decimal→double casts are not
+   * bit-identical), and the closing division is pinned.
+   *
+   * Output: (keys…, n, brier).
+   */
+  def brierScore(df: DataFrame, keys: Seq[String], probCol: String,
+                 labelCol: String): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val base = df.filter(p.isNotNull && y.isNotNull &&
+      p >= 0.0 && p <= 1.0)
+    val p9 = round(p, 9).cast("decimal(18,9)")
+    val resid = p9 - when(y, 1L).otherwise(0L).cast("decimal(18,9)")
+    val m = base
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((resid * resid).cast("decimal(38,18)")).as("__ss"))
+    val snapped = (col("__ss") - (col("__ss") % lit(BigDecimal("0.000001"))))
+      .cast("decimal(38,6)").cast("double")
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(col("n") > 0, snapped / col("n").cast("double"))
+        .as("brier")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -164,6 +164,71 @@ object Joins {
   }
 
   /**
+   * NEAREST-direction as-of join: each left row matches the right row
+   * whose time is CLOSEST, in either direction — sensor/clock
+   * alignment semantics (pandas `merge_asof(direction="nearest")`),
+   * where backward-only matching ([[asOf]]) systematically lags.
+   * Ties (equidistant backward and forward matches) take the
+   * BACKWARD one, matching pandas.
+   *
+   * Same union+window plan as [[asOf]] — ONE key exchange whose sort
+   * carries BOTH candidate passes: the backward candidate is the
+   * last right row at-or-before (frame: unbounded preceding →
+   * current), the forward candidate the first right row strictly
+   * after (frame: current → unbounded following; right rows at equal
+   * time sort before left rows, so they land in the backward frame,
+   * where their distance-0 match wins anyway). No range self-join,
+   * linear in |left|+|right|.
+   *
+   * Output: left columns + right payload prefixed (matched side),
+   * plus `<prefix>gap` — the absolute time distance (micros for
+   * timestamp columns, native units for numeric).
+   */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case TimestampType | TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col): _*).schema.fields)))
+    val r = right
+      .select((keys.map(col) :+
+        col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rtDt = right.schema(rightTime).dataType
+    val ltDt = left.schema(leftTime).dataType
+    val cand = unioned
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val tl = asLong(col("__t"), ltDt)
+    val dB = tl - asLong(col(s"__b.$rightTime"), rtDt)
+    val dF = asLong(col(s"__f.$rightTime"), rtDt) - tl
+    val pickB = col("__b").isNotNull && (col("__f").isNull || dB <= dF)
+    val m = cand
+      .withColumn("__m", when(pickB, col("__b")).otherwise(col("__f")))
+      .withColumn("__gap", when(pickB, dB)
+        .otherwise(when(col("__f").isNotNull, dF)))
+    m.select(left.columns.toIndexedSeq.map(col) ++
+      (rightPayload.map(c => col(s"__m.$c").as(s"$prefix$c")) :+
+        col("__gap").as(s"${prefix}gap")): _*)
+  }
+
+  /**
    * Skew-resistant equi-join: the left (skewed) side gets a
    * deterministic salt in [0, saltFactor); the right side is
    * replicated once per salt value; the join key becomes

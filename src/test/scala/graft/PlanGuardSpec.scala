@@ -829,4 +829,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
       fin.take(1500))
   }
+  test("q253/q254 eval metrics: ONE map-side-combined aggregation each") {
+    for (q <- Seq("q253_calibration", "q254_brier")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
+
+  test("q255 asof nearest: union+window, ONE key exchange, no range join") {
+    val fin = finalPlan("q255_asof_nearest").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("Window"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
 }

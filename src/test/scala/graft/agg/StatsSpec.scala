@@ -289,4 +289,38 @@ class StatsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("s") == c - dis)
     assert(b.getAs[Long]("n0") == n0)
   }
+  test("calibration: exact bucket stats on the 2^-32 probability grid; " +
+    "out-of-range excluded") {
+    val rows = Seq(
+      ("k", 0.05, false), ("k", 0.05, false), // bin 0: mean .05, rate 0
+      ("k", 0.95, true), ("k", 0.95, false),  // bin 9: mean .95, rate .5
+      ("k", 1.0, true),                       // p=1 clamps into bin 9
+      ("k", 1.5, true), ("k", -0.1, false)    // excluded
+    )
+    val out = Stats.calibration(rows.toDF("key", "p", "y"),
+      Seq("key"), "p", "y", bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(0L, 9L))
+    val b0 = out(0L)
+    assert(b0.getAs[Long]("n") == 2L && b0.getAs[Double]("mean_p") == 0.05
+      && b0.getAs[Double]("frac_pos") == 0.0
+      && b0.getAs[Double]("gap") == -0.05)
+    val b9 = out(9L)
+    assert(b9.getAs[Long]("n") == 3L)
+    assert(math.abs(b9.getAs[Double]("mean_p") - (0.95 + 0.95 + 1.0) / 3)
+      < 1e-12)
+    assert(b9.getAs[Double]("frac_pos") == 2.0 / 3.0)
+  }
+
+  test("brierScore: hand residuals; perfect and coin baselines") {
+    val rows = Seq(("k", 1.0, true), ("k", 0.0, false), // perfect
+      ("c", 0.5, true), ("c", 0.5, false))              // coin: 0.25
+    val out = Stats.brierScore(rows.toDF("key", "p", "y"),
+      Seq("key"), "p", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("brier")).toMap
+    assert(out("k") == 0.0)
+    assert(out("c") == 0.25)
+    assert(Stats.brierScore(rows.toDF("key", "p", "y").limit(0),
+      Seq("key"), "p", "y").count() == 0)
+  }
 }

@@ -193,4 +193,31 @@ class JoinsSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_bktdb")
     }
   }
+  test("asOfNearest: closer side wins, ties backward, no-match null, " +
+    "gap emitted") {
+    val left = Seq(
+      ("u", 1L, 100L),  // clicks at 90 and 105: forward (5) beats back (10)
+      ("u", 2L, 200L),  // clicks at 190 and 210: tie -> backward
+      ("u", 3L, 50L),   // only forward exists
+      ("w", 4L, 10L)    // user with no right rows at all
+    ).toDF("user", "id", "t")
+    val right = Seq(
+      ("u", 101L, 90L), ("u", 102L, 105L),
+      ("u", 103L, 190L), ("u", 104L, 210L)
+    ).toDF("user", "rid", "t")
+    val out = Joins.asOfNearest(left, right, Seq("user"), "t", "t")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("asof_gap")).map(_.toLong))).toMap
+    assert(out(1L) == ((Some(102L), Some(5L))))
+    assert(out(2L) == ((Some(103L), Some(10L)))) // tie: backward
+    assert(out(3L) == ((Some(101L), Some(40L)))) // forward only
+    assert(out(4L) == ((None, None)))
+    // equal-time right row matches at distance 0
+    val eq = Joins.asOfNearest(
+      Seq(("u", 9L, 90L)).toDF("user", "id", "t"), right,
+      Seq("user"), "t", "t").collect().head
+    assert(eq.getAs[Long]("asof_rid") == 101L &&
+      eq.getAs[Long]("asof_gap") == 0L)
+  }
 }
