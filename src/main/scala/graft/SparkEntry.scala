@@ -3469,7 +3469,25 @@ object SparkEntry {
         Seq("user_id"), "ts", "ts")
         .select(col("event_id"), col("user_id"),
           col("asof_event_id"), col("asof_gap"))
-    })
+    }),
+
+    // ---- ML prep: smoothed target (mean) encoding of event_type
+    //      against value — fit is an aggregation, transform a
+    //      broadcast join ----
+    "q256_target_encode" -> ((s, dir) =>
+      graft.ops.Encode.targetEncode(t(s, dir, "events"),
+        "event_type", "value", smoothing = 20.0)),
+
+    // ---- ML prep: leave-one-out target encoding — the leakage-safe
+    //      variant, one window pass instead of a join ----
+    "q257_target_encode_loo" -> ((s, dir) =>
+      graft.ops.Encode.targetEncode(t(s, dir, "events"),
+        "event_type", "value", smoothing = 20.0, leaveOneOut = true)),
+
+    // ---- ML prep: deterministic label indexing — dense indexes by
+    //      (frequency DESC, value ASC), a total order ----
+    "q258_index_encode" -> ((s, dir) =>
+      graft.ops.Encode.indexEncode(t(s, dir, "documents"), "lang"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7558,6 +7576,57 @@ object SparkEntry {
         |  CAST(CASE WHEN pickb THEN t - bt
         |    WHEN fid IS NOT NULL THEN ft - t END AS BIGINT) AS asof_gap
         |FROM p WHERE side = 1""".stripMargin,
+
+    // exact decimal label sums on the 1e-9 grid; prior/shrinkage one
+    // pinned chain; non-encodable rows pass through null
+    "q256_target_encode" ->
+      """WITH b AS (SELECT *, CAST(round(value, 9) AS DECIMAL(18,9)) AS y,
+        |    (event_type IS NOT NULL AND value IS NOT NULL) AS ok
+        |  FROM events),
+        |g AS (SELECT sum(CASE WHEN ok THEN y END) AS gs,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS gn
+        |  FROM b),
+        |grid AS (SELECT event_type AS cat, sum(y) AS cs,
+        |    CAST(count(*) AS BIGINT) AS cn FROM b WHERE ok GROUP BY 1)
+        |SELECT event_id, ts, user_id, event_type, value, props,
+        |  CASE WHEN ok THEN
+        |    (CAST(cs AS DOUBLE) + CAST(20 AS DOUBLE) *
+        |      (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) /
+        |    (CAST(cn AS DOUBLE) + CAST(20 AS DOUBLE)) END AS encoded
+        |FROM b LEFT JOIN grid ON grid.cat = b.event_type
+        |CROSS JOIN g""".stripMargin,
+
+    // same grid, each row's own label excluded from its category sum
+    "q257_target_encode_loo" ->
+      """WITH b AS (SELECT *, CAST(round(value, 9) AS DECIMAL(18,9)) AS y,
+        |    (event_type IS NOT NULL AND value IS NOT NULL) AS ok
+        |  FROM events),
+        |g AS (SELECT sum(CASE WHEN ok THEN y END) AS gs,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS gn
+        |  FROM b),
+        |w AS (SELECT *,
+        |    sum(CASE WHEN ok THEN y END)
+        |      OVER (PARTITION BY CASE WHEN ok THEN event_type END) AS cs,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY CASE WHEN ok THEN event_type END)
+        |      AS BIGINT) AS cn
+        |  FROM b)
+        |SELECT event_id, ts, user_id, event_type, value, props,
+        |  CASE WHEN ok AND CAST(cn - 1 AS DOUBLE) + CAST(20 AS DOUBLE) > 0
+        |    THEN (CAST(cs - y AS DOUBLE) + CAST(20 AS DOUBLE) *
+        |      (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) /
+        |    (CAST(cn - 1 AS DOUBLE) + CAST(20 AS DOUBLE)) END AS encoded
+        |FROM w CROSS JOIN g""".stripMargin,
+
+    // (frequency DESC, value ASC) is a total order: same corpus, same
+    // index, any engine
+    "q258_index_encode" ->
+      """WITH grid AS (SELECT lang AS cat, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |r AS (SELECT cat, CAST(row_number() OVER (ORDER BY n DESC, cat ASC)
+        |    - 1 AS BIGINT) AS idx FROM grid)
+        |SELECT doc_id, text, lang, source, n_chars, idx AS encoded
+        |FROM documents LEFT JOIN r ON r.cat = documents.lang""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -846,4 +846,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q256/q258 encoders: grid fit comes back BROADCAST (no " +
+    "corpus-sized shuffle join)") {
+    for (q <- Seq("q256_target_encode", "q258_index_encode")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(fin.contains("BroadcastHashJoin") ||
+        fin.contains("BroadcastNestedLoop"), s"$q: ${fin.take(1200)}")
+      assert(!fin.contains("SortMergeJoin"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
+  test("q257 LOO encoding is JOIN-FREE: one category window pass") {
+    val fin = finalPlan("q257_target_encode_loo")
+      .split("== Initial Plan ==")(0)
+    // the 1-row global prior may ride a broadcast nested loop; the
+    // category statistic must be a window, never a grid join
+    assert(!fin.contains("SortMergeJoin") &&
+      !fin.contains("BroadcastHashJoin"), fin.take(1500))
+    assert(fin.contains("Window"), fin.take(1200))
+  }
 }
