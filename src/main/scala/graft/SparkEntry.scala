@@ -3487,7 +3487,49 @@ object SparkEntry {
     // ---- ML prep: deterministic label indexing — dense indexes by
     //      (frequency DESC, value ASC), a total order ----
     "q258_index_encode" -> ((s, dir) =>
-      graft.ops.Encode.indexEncode(t(s, dir, "documents"), "lang"))
+      graft.ops.Encode.indexEncode(t(s, dir, "documents"), "lang")),
+
+    // ---- finance/metrics: hourly OHLC + VWAP candles of event
+    //      values per type — one map-side-combined aggregation ----
+    "q259_ohlc" -> ((s, dir) =>
+      graft.ops.TimeSeries.ohlc(
+        t(s, dir, "events")
+          .filter(col("value") > 0 && col("user_id").isNotNull)
+          .withColumn("vol", (col("user_id") % 5 + 1).cast("double")),
+        Seq("event_type"), "ts", "event_id", "value", "vol",
+        bucket = "day")),
+
+    // ---- warehouse: incremental aggregate maintenance — two half
+    //      states merged must equal the from-scratch aggregate ----
+    "q260_incremental_agg" -> ((s, dir) => {
+      import graft.ops.Incremental
+      val li = t(s, dir, "lineitem")
+      val ms = Seq(Incremental.Measure("l_quantity"),
+        Incremental.Measure("l_extendedprice"))
+      val even = Incremental.aggState(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), ms)
+      val odd = Incremental.aggState(
+        li.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), ms)
+      Incremental.finish(
+        Incremental.mergeStates(even, odd, Seq("l_returnflag"), ms),
+        Seq("l_returnflag"), ms)
+    }),
+
+    // ---- spatial: grid-bucketed radius self-join over hash-planted
+    //      integer coordinates — exact d² ≤ r², no cross join ----
+    "q261_radius_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey"),
+        pmod(TA.md5i(concat(col("c_custkey").cast("string"), lit("x"))),
+          lit(1000000L)).as("x"),
+        pmod(TA.md5i(concat(col("c_custkey").cast("string"), lit("y"))),
+          lit(1000000L)).as("y"))
+      graft.join.Spatial.radiusJoin(
+        pts.select(col("c_custkey").as("src_id"), col("x"), col("y")),
+        pts.select(col("c_custkey").as("dst_id"), col("x"), col("y")),
+        "src_id", "x", "y", "dst_id", "x", "y", radius = 25000L)
+        .filter(col("src_id") < col("dst_id"))
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7627,6 +7669,71 @@ object SparkEntry {
         |    - 1 AS BIGINT) AS idx FROM grid)
         |SELECT doc_id, text, lang, source, n_chars, idx AS encoded
         |FROM documents LEFT JOIN r ON r.cat = documents.lang""".stripMargin,
+
+    // open/close by the (ts, event_id) total order; exact decimal
+    // Σv and Σp·v; pinned vwap division
+    "q259_ohlc" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS p,
+        |    CAST(CAST(user_id % 5 + 1 AS DOUBLE) AS DECIMAL(18,2)) AS v,
+        |    date_trunc('day', ts) AS bucket
+        |  FROM events WHERE value > 0 AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |w AS (SELECT *,
+        |    first_value(p) OVER win AS op, last_value(p) OVER win AS cl
+        |  FROM e WINDOW win AS (PARTITION BY event_type, bucket
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |m AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(op) AS DOUBLE) AS open, CAST(max(p) AS DOUBLE) AS high,
+        |    CAST(min(p) AS DOUBLE) AS low, CAST(max(cl) AS DOUBLE) AS close,
+        |    sum(v) AS vol, sum(CAST(p * v AS DECIMAL(38,4))) AS pv
+        |  FROM w GROUP BY 1, 2)
+        |SELECT event_type, bucket, n, open, high, low, close,
+        |  CAST(vol AS DOUBLE) AS volume,
+        |  CASE WHEN vol > 0 THEN CAST(pv AS DOUBLE) / CAST(vol AS DOUBLE)
+        |  END AS vwap
+        |FROM m""".stripMargin,
+
+    // merged half-states must equal the from-scratch aggregate — the
+    // mergeability contract, checked end to end
+    "q260_incremental_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_l_quantity,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_l_quantity,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS max_l_quantity,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) END AS avg_l_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_l_extendedprice,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_l_extendedprice,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS max_l_extendedprice,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) END AS avg_l_extendedprice
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the textbook O(n²) distance sweep the engine's grid join must
+    // reproduce exactly — all-integer coordinates and d²
+    "q261_radius_join" ->
+      """WITH p AS (SELECT c_custkey,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8))
+        |      ::BIGINT % 1000000 AS x,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))
+        |      ::BIGINT % 1000000 AS y
+        |  FROM customer)
+        |SELECT a.c_custkey AS src_id, b.c_custkey AS dst_id,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS BIGINT) AS d2
+        |FROM p a JOIN p b ON a.c_custkey < b.c_custkey
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 625000000""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

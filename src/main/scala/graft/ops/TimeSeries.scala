@@ -879,4 +879,51 @@ object TimeSeries {
       when(full, vd > upper).as("breach_hi"),
       when(full, vd < lower).as("breach_lo")): _*)
   }
+  /**
+   * OHLC + VWAP candle aggregation: per (keys, time bucket) — open =
+   * first value, high/low, close = last value, volume, and the
+   * volume-weighted average price — the market-data / metrics
+   * downsampling staple.
+   *
+   * Open/close are first/last by `(tCol, tieCol)` — a total order
+   * when tieCol is unique per key (the q207 discipline), computed as
+   * min/max of a (time, tie, value-as-struct) ordering so they ride
+   * the SAME single aggregation as high/low (no window pass, no
+   * second exchange). VWAP = Σ(p·v)/Σv over exact decimal products
+   * (price scale 2 × volume scale 2), one pinned closing division;
+   * zero total volume → null vwap.
+   *
+   * Output: (keys…, bucket, n, open, high, low, close, volume, vwap)
+   * — prices double, volume double (the exact decimal sums cast
+   * once).
+   *
+   * Scale posture: ONE map-side-combined aggregation to the candle
+   * grid. Nothing row-sized survives.
+   */
+  def ohlc(df: DataFrame, keys: Seq[String], tCol: String, tieCol: String,
+           priceCol: String, volumeCol: String, bucket: String = "hour")
+  : DataFrame = {
+    val p = col(priceCol).cast("decimal(18,2)")
+    val v = col(volumeCol).cast("decimal(18,2)")
+    val base = df.filter(col(tCol).isNotNull && col(priceCol).isNotNull &&
+        col(volumeCol).isNotNull)
+      .select(keys.map(col) :+ date_trunc(bucket, col(tCol)).as("bucket") :+
+        struct(col(tCol).as("t"), col(tieCol).as("tie"), p.as("p"))
+          .as("__o") :+ p.as("__p") :+ v.as("__v"): _*)
+    val m = base.groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__o")).as("__first"), max(col("__o")).as("__last"),
+        max(col("__p")).as("__hi"), min(col("__p")).as("__lo"),
+        sum(col("__v")).as("__vol"),
+        sum((col("__p") * col("__v")).cast("decimal(38,4)")).as("__pv"))
+    m.select(keys.map(col) ++ Seq(col("bucket"), col("n"),
+      col("__first.p").cast("double").as("open"),
+      col("__hi").cast("double").as("high"),
+      col("__lo").cast("double").as("low"),
+      col("__last.p").cast("double").as("close"),
+      col("__vol").cast("double").as("volume"),
+      when(col("__vol") > 0,
+        col("__pv").cast("double") / col("__vol").cast("double"))
+        .as("vwap")): _*)
+  }
 }

@@ -865,4 +865,20 @@ class PlanGuardSpec extends AnyFunSuite {
       !fin.contains("BroadcastHashJoin"), fin.take(1500))
     assert(fin.contains("Window"), fin.take(1200))
   }
+  test("q259/q260 candle + incremental: map-side-combined aggregations, " +
+    "no join") {
+    for (q <- Seq("q259_ohlc", "q260_incremental_agg")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
+  test("q261 radius join: cell-keyed EQUI join, never a cartesian/range " +
+    "nested loop") {
+    val fin = finalPlan("q261_radius_join").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("Join"), fin.take(1200))
+  }
 }

@@ -445,4 +445,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.bollinger(df.limit(0), Seq.empty, "t", "v", 3)
       .count() == 0)
   }
+  test("ohlc: first/last by the (ts, tie) total order; exact vwap; " +
+    "zero-volume null") {
+    val df = Seq(
+      ("k", ts("2024-01-01 10:05:00"), 2L, 10.0, 1.0),
+      ("k", ts("2024-01-01 10:05:00"), 1L, 30.0, 2.0), // tie: id 1 first
+      ("k", ts("2024-01-01 10:55:00"), 3L, 20.0, 1.0),
+      ("z", ts("2024-01-01 10:00:00"), 4L, 5.0, 0.0)   // zero volume
+    ).toDF("key", "t", "id", "p", "v")
+    val out = TimeSeries.ohlc(df, Seq("key"), "t", "id", "p", "v", "hour")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n") == 3L)
+    assert(k.getAs[Double]("open") == 30.0)  // id 1 at the tied ts
+    assert(k.getAs[Double]("close") == 20.0)
+    assert(k.getAs[Double]("high") == 30.0 && k.getAs[Double]("low") == 10.0)
+    assert(k.getAs[Double]("volume") == 4.0)
+    // vwap = (10·1 + 30·2 + 20·1)/4 = 22.5
+    assert(k.getAs[Double]("vwap") == 22.5)
+    val z = out("z")
+    assert(z.getAs[Double]("volume") == 0.0 &&
+      z.isNullAt(z.fieldIndex("vwap")))
+  }
 }
