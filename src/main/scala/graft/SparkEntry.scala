@@ -3529,6 +3529,23 @@ object SparkEntry {
         pts.select(col("c_custkey").as("dst_id"), col("x"), col("y")),
         "src_id", "x", "y", "dst_id", "x", "y", radius = 25000L)
         .filter(col("src_id") < col("dst_id"))
+    }),
+
+    // ---- CDC round trip: diff a mutated snapshot against the base,
+    //      APPLY the feed back — apply ∘ changes must be the identity
+    //      (the batch MERGE-INTO contract, checked end to end) ----
+    "q262_cdc_apply" -> ((s, dir) => {
+      val prev = t(s, dir, "customer")
+      val mutated = prev.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+      val inserts = prev.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      val current = mutated.unionByName(inserts)
+      val feed = graft.cdc.CDC.changes(current, prev, Seq("c_custkey"),
+        compareFields = Seq("c_acctbal"), changeTimestamp = None)
+      graft.cdc.CDC.applyChanges(prev, feed, Seq("c_custkey"))
     })
   )
 
@@ -7734,6 +7751,17 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.c_custkey < b.c_custkey
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |  <= 625000000""".stripMargin,
+
+    // the oracle IS the target snapshot: apply ∘ changes = identity
+    "q262_cdc_apply" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+        |    ELSE c_acctbal END AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -96,4 +96,34 @@ object CDC {
     joined.select(withTs: _*)
       .filter(col(ChangeTypeCol).isin(changeTypes: _*))
   }
+  /**
+   * Apply a change feed to a snapshot — [[changes]]' inverse: INSERTs
+   * and UPDATEs upsert by key, DELETEs remove, so
+   * `apply(previous, changes(current, previous, …)) == current` holds
+   * exactly over the key+compare+payload columns (the round-trip
+   * contract the gate checks). This is the batch MERGE-INTO shape:
+   * refresh a materialized snapshot from an extracted delta without
+   * rescanning the source.
+   *
+   * Feed rows carry [[ChangeTypeCol]] (and optionally
+   * [[ChangeTimestampCol]], dropped here). Duplicate keys within one
+   * feed are a caller error for INSERT/UPDATE (last-writer is
+   * undefined); the reference's snapshot diff never emits them.
+   *
+   * Scale posture: ONE key-keyed left-anti join (drop snapshot rows
+   * whose key appears in the feed at all) + a union with the feed's
+   * surviving rows — no window, no full outer; the feed is typically
+   * the small side and broadcasts.
+   */
+  def applyChanges(snapshot: DataFrame, feed: DataFrame,
+                   keyFields: Seq[String]): DataFrame = {
+    require(keyFields.nonEmpty, "applyChanges needs at least one key field")
+    val cols = snapshot.columns.toSeq
+    val touched = feed.select(keyFields.map(col): _*).distinct()
+    val kept = snapshot.join(touched, keyFields, "left_anti")
+    val upserts = feed
+      .filter(col(ChangeTypeCol).isin("INSERT", "UPDATE"))
+      .select(cols.map(col): _*)
+    kept.unionByName(upserts)
+  }
 }

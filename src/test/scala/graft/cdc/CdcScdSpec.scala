@@ -84,4 +84,22 @@ class CdcScdSpec extends AnyFunSuite {
     val src = Seq((1L, "x")).toDF("id", "v")
     assert(SCD.scd1(src).collect().toSeq == src.collect().toSeq)
   }
+  test("applyChanges: apply o changes is the identity; deletes drop, " +
+    "upserts replace, untouched rows survive") {
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val curr = Seq((1L, "a", 11.0),          // update
+      (3L, "c", 30.0),                       // unchanged
+      (4L, "d", 40.0))                       // insert; 2 deleted
+      .toDF("k", "name", "bal")
+    val feed = CDC.changes(curr, prev, Seq("k"), Seq("name", "bal"),
+      changeTimestamp = None)
+    val applied = CDC.applyChanges(prev, feed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(applied == Set((1L, "a", 11.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+    // empty feed: snapshot unchanged
+    assert(CDC.applyChanges(prev, feed.limit(0), Seq("k")).count() == 3)
+  }
 }
