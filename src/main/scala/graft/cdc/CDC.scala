@@ -110,20 +110,27 @@ object CDC {
    * feed are a caller error for INSERT/UPDATE (last-writer is
    * undefined); the reference's snapshot diff never emits them.
    *
-   * Scale posture: ONE key-keyed left-anti join (drop snapshot rows
-   * whose key appears in the feed at all) + a union with the feed's
-   * surviving rows — no window, no full outer; the feed is typically
-   * the small side and broadcasts.
+   * Scale posture: ONE key-keyed full-outer join consuming the feed
+   * exactly once (an anti-join + union formulation reads the feed —
+   * often itself a computed diff — twice); rows resolve columnwise:
+   * no feed row → snapshot row, DELETE → dropped, INSERT/UPDATE →
+   * the feed's payload. The feed is typically the small side and
+   * broadcasts.
    */
   def applyChanges(snapshot: DataFrame, feed: DataFrame,
                    keyFields: Seq[String]): DataFrame = {
     require(keyFields.nonEmpty, "applyChanges needs at least one key field")
     val cols = snapshot.columns.toSeq
-    val touched = feed.select(keyFields.map(col): _*).distinct()
-    val kept = snapshot.join(touched, keyFields, "left_anti")
-    val upserts = feed
-      .filter(col(ChangeTypeCol).isin("INSERT", "UPDATE"))
-      .select(cols.map(col): _*)
-    kept.unionByName(upserts)
+    val payload = cols.filterNot(keyFields.contains)
+    val f = feed.select(keyFields.map(col) :+
+      col(ChangeTypeCol).as("__ct") :+
+      struct(payload.map(col): _*).as("__new"): _*)
+    snapshot.join(f, keyFields, "full_outer")
+      .filter(col("__ct").isNull || col("__ct").isin("INSERT", "UPDATE"))
+      .select(cols.map { c =>
+        if (keyFields.contains(c)) col(c)
+        else when(col("__ct").isNull, col(c))
+          .otherwise(col(s"__new.$c")).as(c)
+      }: _*)
   }
 }

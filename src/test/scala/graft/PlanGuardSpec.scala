@@ -881,13 +881,13 @@ class PlanGuardSpec extends AnyFunSuite {
       !fin.contains("BroadcastNestedLoop"), fin.take(1500))
     assert(fin.contains("Join"), fin.take(1200))
   }
-  test("q262 cdc apply: one anti-join + union, no window, no full outer " +
-    "in the APPLY half") {
+  test("q262 cdc apply: the feed's diff subplan is consumed ONCE " +
+    "(exactly two full outers: diff + apply)") {
     val fin = finalPlan("q262_cdc_apply").split("== Initial Plan ==")(0)
-    // the diff half legitimately full-outer-joins; the apply half must
-    // stay anti-join + union — a second FullOuter means apply was
-    // reimplemented as a diff
-    assert("FullOuter".r.findAllIn(fin).size <= 1, fin.take(1500))
-    assert(fin.contains("LeftAnti"), fin.take(1200))
+    // the diff half contributes one FullOuter, the apply merge one
+    // more; a THIRD means applyChanges re-reads the computed feed
+    // (the anti-join + union shape this guard retired)
+    assert("FullOuter".r.findAllIn(fin).size == 2, fin.take(1500))
+    assert(!fin.contains("LeftAnti"), fin.take(1200))
   }
 }
