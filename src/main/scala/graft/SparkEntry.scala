@@ -3546,7 +3546,21 @@ object SparkEntry {
       val feed = graft.cdc.CDC.changes(current, prev, Seq("c_custkey"),
         compareFields = Seq("c_acctbal"), changeTimestamp = None)
       graft.cdc.CDC.applyChanges(prev, feed, Seq("c_custkey"))
-    })
+    }),
+
+    // ---- observability: data-quality counters observed DURING a
+    //      write (CollectMetrics — zero extra passes) ----
+    "q263_observe" -> ((s, dir) =>
+      graft.ops.Observe.observed(s, t(s, dir, "events"),
+        graft.ops.Observe.counters("value"))(
+        _.write.format("noop").mode("overwrite").save())
+        .withColumn("sum_value", col("sum_value").cast("double"))),
+
+    // ---- privacy: ε-DP counts with seed-deterministic Laplace
+    //      noise — reproducible releases, engine-exact ----
+    "q264_dp_counts" -> ((s, dir) =>
+      graft.quality.Privacy.dpCounts(t(s, dir, "events"),
+        Seq("event_type"), epsilon = 0.5, seed = "dp1"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7762,6 +7776,35 @@ object SparkEntry {
         |SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
         |  c_mktsegment
         |FROM customer WHERE c_custkey % 13 = 0""".stripMargin,
+
+    // the observed counters must equal the direct aggregation
+    "q263_observe" ->
+      """SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
+
+    // same exact u, 9-digit ln, pinned Laplace closing (b = 2 at
+    // epsilon 0.5)
+    "q264_dp_counts" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT *,
+        |    CAST(('0x' || substr(md5(coalesce(CAST(event_type AS VARCHAR),
+        |      ' ') || 'dp1'), 1, 8))::BIGINT AS DOUBLE) /
+        |      CAST(4294967296 AS DOUBLE) AS u
+        |  FROM m),
+        |y AS (SELECT event_type, n, u,
+        |    greatest(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * abs(u - 0.5),
+        |      0.000000000001) AS arg,
+        |    CASE WHEN u - 0.5 >= 0 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(-1 AS DOUBLE) END AS sgn
+        |  FROM x)
+        |SELECT event_type, n,
+        |  CAST(n AS DOUBLE) +
+        |    CAST(-2 AS DOUBLE) * sgn * round(ln(arg), 9) AS n_noisy
+        |FROM y""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

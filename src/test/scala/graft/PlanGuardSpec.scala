@@ -890,4 +890,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("FullOuter".r.findAllIn(fin).size == 2, fin.take(1500))
     assert(!fin.contains("LeftAnti"), fin.take(1200))
   }
+  test("q264 dp counts: ONE map-side-combined count; noise is a " +
+    "projection, not a join") {
+    val fin = finalPlan("q264_dp_counts").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_count"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      fin.take(1500))
+  }
 }

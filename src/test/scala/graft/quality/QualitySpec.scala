@@ -184,4 +184,28 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.functionalDependency(df.limit(0), Seq("zip"), "city")
       .count() == 0)
   }
+  test("dpCounts: deterministic noise per (key, seed); epsilon scales " +
+    "it; true counts exact") {
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b")).map(Tuple1(_))
+      .toDF("k")
+    val r1 = Privacy.dpCounts(df, Seq("k"), epsilon = 0.5, seed = "s1")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r1("a").getAs[Long]("n") == 100L &&
+      r1("b").getAs[Long]("n") == 50L)
+    // reproducible: same seed, same noise
+    val r2 = Privacy.dpCounts(df, Seq("k"), epsilon = 0.5, seed = "s1")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("n_noisy")).toMap
+    assert(r2("a") == r1("a").getAs[Double]("n_noisy"))
+    // different seed, (almost surely) different noise
+    val r3 = Privacy.dpCounts(df, Seq("k"), epsilon = 0.5, seed = "s2")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("n_noisy")).toMap
+    assert(r3("a") != r2("a"))
+    // noise scales as 1/epsilon: eps 0.25 doubles the same draw
+    val r4 = Privacy.dpCounts(df, Seq("k"), epsilon = 0.25, seed = "s1")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("n_noisy")).toMap
+    assert(math.abs((r4("a") - 100.0) - 2.0 * (r2("a") - 100.0)) < 1e-9)
+  }
 }
