@@ -3560,7 +3560,20 @@ object SparkEntry {
     //      noise — reproducible releases, engine-exact ----
     "q264_dp_counts" -> ((s, dir) =>
       graft.quality.Privacy.dpCounts(t(s, dir, "events"),
-        Seq("event_type"), epsilon = 0.5, seed = "dp1"))
+        Seq("event_type"), epsilon = 0.5, seed = "dp1")),
+
+    // ---- ops analytics: log-template mining — synthesized log lines
+    //      collapse to per-event-type templates (digit/hex masking
+    //      erases the variable fragments) ----
+    "q265_log_templates" -> ((s, dir) =>
+      TA.logTemplates(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull)
+          .withColumn("msg", concat(col("event_type"), lit(" user="),
+            col("user_id").cast("string"), lit(" val="),
+            col("value").cast("string"), lit(" "),
+            coalesce(col("props"), lit("{}")))),
+        "event_id", "msg"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7805,6 +7818,20 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) +
         |    CAST(-2 AS DOUBLE) * sgn * round(ln(arg), 9) AS n_noisy
         |FROM y""".stripMargin,
+
+    // same mask order (hex before digits); the digit masking erases
+    // any engine float-formatting differences by construction
+    "q265_log_templates" ->
+      """WITH e AS (SELECT event_id,
+        |    event_type || ' user=' || CAST(user_id AS VARCHAR) ||
+        |    ' val=' || CAST(value AS VARCHAR) || ' ' ||
+        |    coalesce(props, '{}') AS msg
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT regexp_replace(regexp_replace(msg, '[0-9a-f]{8,}', '<H>',
+        |    'g'), '[0-9]+', '<N>', 'g') AS template,
+        |  CAST(count(*) AS BIGINT) AS n_messages,
+        |  CAST(min(event_id) AS BIGINT) AS example_id
+        |FROM e GROUP BY 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

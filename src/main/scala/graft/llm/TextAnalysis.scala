@@ -1666,4 +1666,33 @@ object TextAnalysis {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+  /**
+   * Log-template mining (Drain-lite): collapse each message to its
+   * TEMPLATE by masking variable fragments — long hex runs (ids,
+   * digests) to `<H>`, then digit runs to `<N>` — and count messages
+   * per template. The ops-analytics workhorse: a million distinct log
+   * lines usually collapse to a few hundred templates, and the
+   * volume-per-template series is what alerting watches.
+   *
+   * Masking is two engine-agnostic regex passes (explicit classes,
+   * fixed order — hex BEFORE digits, or every hex id would shred into
+   * digit fragments); grouping is exact. `example_id` is the MINIMUM
+   * id carrying the template — deterministic, an anchor for "show me
+   * one real line".
+   *
+   * Output: (template, n_messages, example_id).
+   *
+   * Scale posture: masking is a codegen'd projection; ONE map-side-
+   * combined count to the template grid.
+   */
+  def logTemplates(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(col(textCol), "[0-9a-f]{8,}", "<H>"),
+      "[0-9]+", "<N>")
+    df.filter(col(textCol).isNotNull)
+      .groupBy(masked.as("template"))
+      .agg(count(lit(1)).as("n_messages"),
+        min(col(idCol)).as("example_id"))
+  }
 }

@@ -225,4 +225,20 @@ class TextStatsSpec extends AnyFunSuite {
       TextAnalysis.hashingTrick(df, "doc_id", "text", dim = 1)
     }
   }
+  test("logTemplates: hex masked before digits, counts and min example") {
+    val df = Seq(
+      (3L, "GET /api/user/123 took 45ms"),
+      (1L, "GET /api/user/999 took 7ms"),
+      (2L, "session deadbeefcafe1234 expired"),
+      (4L, "session 0123456789abcdef expired"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "msg")
+    val out = TextAnalysis.logTemplates(df, "id", "msg")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_messages"), r.getAs[Long]("example_id"))).toMap
+    assert(out("GET /api/user/<N> took <N>ms") == ((2L, 1L)))
+    // 8+ hex chars mask as ONE <H>, not a shredded digit run
+    assert(out("session <H> expired") == ((2L, 2L)))
+    assert(out.size == 2)
+  }
 }
