@@ -3573,7 +3573,25 @@ object SparkEntry {
             col("user_id").cast("string"), lit(" val="),
             col("value").cast("string"), lit(" "),
             coalesce(col("props"), lit("{}")))),
-        "event_id", "msg"))
+        "event_id", "msg")),
+
+    // ---- flagship composition: the training-data prep pipeline as
+    //      ONE lazy plan — quality gate (exact integer thresholds) →
+    //      exact dedup (min doc id survives) → 64/16 token chunks;
+    //      every stage is an already-gated operator ----
+    "q266_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val profiled = TA.scriptProfile(docs, "doc_id", "text")
+        .select(col("doc_id"), col("len"), col("n_alpha"))
+      val kept = docs.join(profiled, Seq("doc_id"))
+        .withColumn("n_words", size(TA.cleanTokens(col("text"))))
+        .filter(col("n_words") >= 20 && col("n_words") <= 2000 &&
+          col("len") > 0 && col("n_alpha") * 2L > col("len"))
+      val deduped = graft.llm.Dedup.exact(
+        kept.select(col("doc_id"), col("text")), Seq("text"), "doc_id")
+      graft.llm.Chunking.chunkByTokens(deduped, "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7832,6 +7850,36 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_messages,
         |  CAST(min(event_id) AS BIGINT) AS example_id
         |FROM e GROUP BY 1""".stripMargin,
+
+    // the whole pipeline replayed: the q245 alpha counts, token-count
+    // bounds, min-doc-id exact dedup, the q247 chunk geometry
+    "q266_pipeline_e2e" ->
+      """WITH prof AS (SELECT doc_id, text,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS len,
+        |    CAST(length(coalesce(text, '')) -
+        |      length(regexp_replace(coalesce(text, ''), '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |kept AS (SELECT doc_id, text FROM prof
+        |  WHERE n_words >= 20 AND n_words <= 2000 AND len > 0
+        |    AND n_alpha * 2 > len),
+        |dedup AS (SELECT text, min(doc_id) AS doc_id FROM kept GROUP BY 1),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS toks FROM dedup),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok
+        |      WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, greatest(1, (n - 17) // 48 + 1) - 1))
+        |      AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS token_start,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |    chunk_id * 48 + 64), ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -898,4 +898,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
       fin.take(1500))
   }
+  test("q266 e2e pipeline: profile+filter+dedup+chunk stay ONE lazy " +
+    "plan — single text-keyed exchange, no cartesian") {
+    val fin = finalPlan("q266_pipeline_e2e").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    // dedup's text window is the only wide dependency; the quality
+    // profile joins by doc_id (broadcast or SMJ both fine) and
+    // chunking is a generator — no second wide stage over the corpus
+    assert(fin.contains("WindowGroupLimit") || fin.contains("Window"),
+      fin.take(1500))
+    assert(fin.contains("Generate"), fin.take(1200))
+  }
 }
