@@ -3591,7 +3591,21 @@ object SparkEntry {
         kept.select(col("doc_id"), col("text")), Seq("text"), "doc_id")
       graft.llm.Chunking.chunkByTokens(deduped, "doc_id", "text",
         chunkTokens = 64, overlapTokens = 16)
-    })
+    }),
+
+    // ---- A/B metrics: ratio-of-sums (price per unit) with a
+    //      delta-method CI — five exact decimal moments, integer-
+    //      snapped (money magnitudes), one pinned closing chain ----
+    "q267_ratio_metric" -> ((s, dir) =>
+      graft.agg.Stats.ratioOfSums(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        momentSnapScale = 0)),
+
+    // ---- robust aggregation: quantity-weighted median price per
+    //      flag — the exact lower weighted median, all integer ----
+    "q268_weighted_median" -> ((s, dir) =>
+      graft.agg.GroupBy.weightedMedian(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity"))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7880,6 +7894,61 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_id * 48 + 1,
         |    chunk_id * 48 + 64), ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    // five exact decimal moments, integer-snapped before the one
+    // double cast (2^53-units rule), pinned delta-method chain
+    "q267_ratio_metric" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+        |      AS sxy0,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sxx0,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+        |      AS syy0
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1),
+        |c AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(CAST(sxy0 - (sxy0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sxx0 - (sxx0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(syy0 - (syy0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+        |  FROM m),
+        |v AS (SELECT *, syd / sxd AS r FROM c),
+        |z AS (SELECT *, syy - CAST(2 AS DOUBLE) * r * sxy + r * r * sxx
+        |      AS rss FROM v),
+        |s AS (SELECT *, sqrt(nd / (nd - CAST(1 AS DOUBLE)) * rss) / sxd
+        |      AS se FROM z)
+        |SELECT l_returnflag, n, syd AS sum_num, sxd AS sum_den,
+        |  CASE WHEN sxd > 0 THEN r END AS ratio,
+        |  CASE WHEN n >= 2 AND sxd > 0 THEN se END AS se,
+        |  CASE WHEN n >= 2 AND sxd > 0 THEN r - 1.96 * se END AS ci_lo,
+        |  CASE WHEN n >= 2 AND sxd > 0 THEN r + 1.96 * se END AS ci_hi
+        |FROM s""".stripMargin,
+
+    // the exact lower weighted median: first value where 2·cumW ≥ W
+    "q268_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS gw,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL
+        |    AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+        |  GROUP BY 1, 2),
+        |c2 AS (SELECT *,
+        |    CAST(sum(gw) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(gw) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT l_returnflag, max(n) AS n, max(tot) AS total_weight,
+        |  CAST(min(v) AS DOUBLE) AS wmedian
+        |FROM c2 WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -587,4 +587,48 @@ object GroupBy {
       .agg(array_join(
         transform(array_sort(collect_list(col(valueCol))), _.cast("string")),
         sep).as(out))
+  /**
+   * Weighted median per group — the robust center when observations
+   * carry weights (orders weighted by quantity, responses by survey
+   * weight): the smallest value whose cumulative weight reaches half
+   * the total, `min{ v : 2·cumW(v) ≥ W }` (the weighted LOWER
+   * median — a data value, never an interpolation, so it is exact
+   * and engine-identical).
+   *
+   * All-integer arithmetic: weights land on their decimal grid and
+   * unscale to longs; the pick is an integer comparison on the
+   * cumulative sums. Rows with null value/weight or weight ≤ 0 are
+   * excluded; empty groups simply don't appear.
+   *
+   * Output: (keys…, n, total_weight, wmedian) — `total_weight` on the
+   * weight grid (× 10^weightScale), `wmedian` the value as double.
+   *
+   * Scale posture: rows collapse to the (group, value) grid map-side;
+   * ONE group exchange carries the cumulative window, the total, and
+   * the closing min.
+   */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                     weightCol: String, valueScale: Int = 2,
+                     weightScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val w = (col(weightCol).cast(s"decimal(18,$weightScale)") *
+      lit(math.pow(10, weightScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val grid = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(keys.map(col) :+ v.as("__v") :+ w.as("__w"): _*)
+      .filter(col("__w") > 0)
+      .groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__gw"), count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val cum = grid
+      .withColumn("__cum", sum(col("__gw")).over(wk.orderBy(col("__v"))))
+      .withColumn("__tot", sum(col("__gw")).over(wk))
+      .withColumn("__n", sum(col("__c")).over(wk))
+    cum.filter(lit(2L) * col("__cum") >= col("__tot"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__tot")).as("total_weight"),
+        min(col("__v")).cast("double").as("wmedian"))
+  }
 }

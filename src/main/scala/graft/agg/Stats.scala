@@ -882,6 +882,68 @@ object Stats {
         .as("brier")): _*)
   }
 
+  /**
+   * Ratio-of-sums metric with a delta-method confidence interval per
+   * group: `r = Σy / Σx` (revenue per session, cost per unit — the
+   * metric family where averaging per-row ratios is WRONG), with
+   * `se(r) = sqrt(n/(n−1) · Σ(yᵢ − r·xᵢ)²) / Σx` via the linearized
+   * residual identity `Σ(y − r·x)² = Σy² − 2r·Σxy + r²·Σx²` — so the
+   * whole statistic closes from five exact decimal moments in one
+   * pinned IEEE chain (the [[pearsonMatrix]] discipline), and the
+   * 95% CI is `r ± 1.96·se` with the critical value a pinned literal.
+   *
+   * Listwise null exclusion; groups with `Σx ≤ 0` or `n < 2` emit
+   * null ratio statistics (n and the sums still report).
+   *
+   * `momentSnapScale`: the second moments round (half-up, identical
+   * in any engine) to this decimal scale before their ONE double
+   * cast — keep `Σ·10^scale` under 2⁵³ or the engines' decimal→double
+   * casts diverge (the wide-decimal pitfall). Money-scale data wants
+   * 0 (Σy² in cents² is astronomically past any se's precision needs);
+   * unit-interval data wants the default 6.
+   *
+   * Output: (keys…, n, sum_num, sum_den, ratio, se, ci_lo, ci_hi).
+   *
+   * Scale posture: ONE map-side-combined moment aggregation; closing
+   * on |groups| rows.
+   */
+  def ratioOfSums(df: DataFrame, keys: Seq[String], numCol: String,
+                  denCol: String, numScale: Int = 2, denScale: Int = 2,
+                  momentSnapScale: Int = 6): DataFrame = {
+    require(momentSnapScale >= 0 && momentSnapScale <= 6,
+      s"momentSnapScale must be in [0, 6], got $momentSnapScale")
+    val y = col(numCol).cast(s"decimal(18,$numScale)")
+    val x = col(denCol).cast(s"decimal(18,$denScale)")
+    val m = df.filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(y).as("__sy"), sum(x).as("__sx"),
+        sum((x * y).cast("decimal(38,6)")).as("__sxy"),
+        sum((x * x).cast("decimal(38,6)")).as("__sxx"),
+        sum((y * y).cast("decimal(38,6)")).as("__syy"))
+    // truncate explicitly — a bare rescaling cast ROUNDS half-up in
+    // Spark but TRUNCATES in DuckDB (verified on this data); the
+    // subtract-remainder form is exact decimal arithmetic either way
+    val snapMod = BigDecimal(1).bigDecimal.movePointLeft(momentSnapScale)
+    def snap(c: Column): Column =
+      (c - (c % lit(snapMod)))
+        .cast(s"decimal(38,$momentSnapScale)").cast("double")
+    val n = d(col("n"))
+    val sx = d(col("__sx")); val sy = d(col("__sy"))
+    val sxy = snap(col("__sxy")); val sxx = snap(col("__sxx"))
+    val syy = snap(col("__syy"))
+    val r = sy / sx
+    val rss = syy - lit(2.0) * r * sxy + r * r * sxx
+    val se = sqrt(n / (n - lit(1.0)) * rss) / sx
+    val ok = col("n") >= 2 && sx > 0.0
+    m.select(keys.map(col) ++ Seq(col("n"),
+      sy.as("sum_num"), sx.as("sum_den"),
+      when(sx > 0.0, r).as("ratio"),
+      when(ok, se).as("se"),
+      when(ok, r - lit(1.96) * se).as("ci_lo"),
+      when(ok, r + lit(1.96) * se).as("ci_hi")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -909,4 +909,14 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
     assert(fin.contains("Generate"), fin.take(1200))
   }
+  test("q267/q268 ratio + weighted median: single-partitioning " +
+    "aggregations, join-free") {
+    for (q <- Seq("q267_ratio_metric", "q268_weighted_median")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
 }

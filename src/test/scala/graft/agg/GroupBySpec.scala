@@ -279,4 +279,21 @@ class GroupBySpec extends AnyFunSuite {
       out(("b", 3L)) == 0L)
     assert(out.size == 8)
   }
+  test("weightedMedian: exact lower median on the weight grid; " +
+    "nonpositive weights excluded") {
+    // values 1(w=1), 2(w=1), 3(w=10): total 12, half at 6 -> 3
+    val df = Seq(("k", 1.0, 1.0), ("k", 2.0, 1.0), ("k", 3.0, 10.0),
+      ("even", 1.0, 1.0), ("even", 9.0, 1.0), // tie: lower median 1
+      ("z", 5.0, 0.0), ("z", 7.0, 2.0))       // zero weight ignored
+      .toDF("key", "v", "w")
+    val out = GroupBy.weightedMedian(df, Seq("key"), "v", "w")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("wmedian") == 3.0)
+    assert(out("k").getAs[Long]("total_weight") == 1200L) // cent grid
+    assert(out("even").getAs[Double]("wmedian") == 1.0)
+    val z = out("z")
+    assert(z.getAs[Long]("n") == 1L && z.getAs[Double]("wmedian") == 7.0)
+    assert(GroupBy.weightedMedian(df.limit(0), Seq("key"), "v", "w")
+      .count() == 0)
+  }
 }

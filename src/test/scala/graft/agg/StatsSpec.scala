@@ -323,4 +323,22 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.brierScore(rows.toDF("key", "p", "y").limit(0),
       Seq("key"), "p", "y").count() == 0)
   }
+  test("ratioOfSums: hand-derived ratio/se; degenerate guards") {
+    // (x, y): (1, 2), (2, 4), (3, 9): r = 15/6 = 2.5
+    // residuals y - r*x: -0.5, -1, 1.5 -> rss = 3.5
+    // se = sqrt(3/2 * 3.5) / 6
+    val df = Seq(("k", 1.0, 2.0), ("k", 2.0, 4.0), ("k", 3.0, 9.0),
+      ("solo", 1.0, 5.0)).toDF("key", "x", "y")
+    val out = Stats.ratioOfSums(df, Seq("key"), "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("ratio") == 2.5)
+    assert(math.abs(k.getAs[Double]("se") -
+      math.sqrt(1.5 * 3.5) / 6.0) < 1e-12)
+    assert(math.abs(k.getAs[Double]("ci_hi") -
+      (2.5 + 1.96 * k.getAs[Double]("se"))) < 1e-12)
+    val solo = out("solo")
+    assert(solo.getAs[Double]("ratio") == 5.0 &&
+      solo.isNullAt(solo.fieldIndex("se")))
+  }
 }
