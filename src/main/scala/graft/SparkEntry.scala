@@ -3605,7 +3605,16 @@ object SparkEntry {
     //      flag — the exact lower weighted median, all integer ----
     "q268_weighted_median" -> ((s, dir) =>
       graft.agg.GroupBy.weightedMedian(t(s, dir, "lineitem"),
-        Seq("l_returnflag"), "l_extendedprice", "l_quantity"))
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity")),
+
+    // ---- ML eval: split-conformal calibration quantile — the exact
+    //      ⌈(n+1)(1−α)⌉-th order statistic of the nonconformity
+    //      score, the coverage-guarantee q̂ ----
+    "q269_conformal" -> ((s, dir) =>
+      graft.agg.Stats.conformalQuantile(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("score", abs(col("value") - 50.0)),
+        Seq("event_type"), "score", "event_id", alpha = 0.1))
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7949,6 +7958,20 @@ object SparkEntry {
         |SELECT l_returnflag, max(n) AS n, max(tot) AS total_weight,
         |  CAST(min(v) AS DOUBLE) AS wmedian
         |FROM c2 WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
+
+    // the same exact order statistic: k = ⌈(n+1)·0.9⌉ on the integer
+    // grid, tie chain ends in the unique event id
+    "q269_conformal" ->
+      """WITH e AS (SELECT event_type, event_id, abs(value - 50.0) AS score
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score, event_id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e),
+        |k AS (SELECT *, ((n + 1) * 900000 - 1) // 1000000 + 1 AS kk FROM r)
+        |SELECT event_type, max(n) AS n, CAST(max(kk) AS BIGINT) AS k,
+        |  max(CASE WHEN rk = kk THEN score END) AS q_hat
+        |FROM k GROUP BY 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

@@ -944,6 +944,52 @@ object Stats {
       when(ok, r + lit(1.96) * se).as("ci_hi")): _*)
   }
 
+  /**
+   * Split-conformal calibration quantile per group: the
+   * `⌈(n+1)(1−α)⌉`-th smallest nonconformity score — the q̂ that makes
+   * prediction sets `ŷ ± q̂` valid at level 1−α under exchangeability
+   * (the distribution-free coverage guarantee behind conformal
+   * prediction). Emitted as an ORDER STATISTIC (an actual score from
+   * the calibration set, never an interpolation), so it is exact and
+   * engine-identical; ties in the score order break on `idCol` (the
+   * q207 total-order discipline — the picked VALUE is tie-invariant,
+   * the ordering just makes the plan deterministic).
+   *
+   * Groups with `⌈(n+1)(1−α)⌉ > n` (too few calibration points for
+   * the level) emit a null q̂ — the honest answer; finite-sample
+   * validity is impossible there.
+   *
+   * Output: (keys…, n, k, q_hat).
+   *
+   * Scale posture: one group exchange carries the rank window and the
+   * closing aggregate; the rank ≤ k cut collapses map-side
+   * (WindowGroupLimit) for hot groups.
+   */
+  def conformalQuantile(df: DataFrame, keys: Seq[String],
+                        scoreCol: String, idCol: String,
+                        alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .filter(col(scoreCol).isNotNull)
+      .withColumn("__rk", row_number().over(
+        wk.orderBy(col(scoreCol).asc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(wk))
+    // k = ceil((n+1)(1-alpha)) via exact integer arithmetic on the
+    // 1e-6 alpha grid: k = floor(((n+1)·scaled - 1)/1e6) + 1
+    val scaled = math.round((1.0 - alpha) * 1e6)
+    val num = (col("__n") + 1L) * lit(scaled) - 1L
+    val k = ((num - pmod(num, lit(1000000L))) / lit(1000000L))
+      .cast("long") + 1L
+    ranked
+      .withColumn("__k", k)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k"),
+        max(when(col("__rk") === col("__k"), col(scoreCol)))
+          .as("q_hat"))
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -919,4 +919,11 @@ class PlanGuardSpec extends AnyFunSuite {
         s"$q: ${fin.take(1500)}")
     }
   }
+  test("q269 conformal: rank window + closing share one group " +
+    "partitioning, join-free") {
+    val fin = finalPlan("q269_conformal").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
 }

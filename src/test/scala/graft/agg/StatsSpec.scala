@@ -341,4 +341,27 @@ class StatsSpec extends AnyFunSuite {
     assert(solo.getAs[Double]("ratio") == 5.0 &&
       solo.isNullAt(solo.fieldIndex("se")))
   }
+  test("conformalQuantile: exact order statistic, small-n null, " +
+    "coverage index") {
+    // n=9, alpha=0.1: k = ceil(10*0.9) = 9 -> the max score
+    val df9 = (1 to 9).map(i => ("k", i.toDouble, i.toLong))
+      .toDF("key", "score", "id")
+    val r9 = Stats.conformalQuantile(df9, Seq("key"), "score", "id",
+      alpha = 0.1).collect().head
+    assert(r9.getAs[Long]("k") == 9L && r9.getAs[Double]("q_hat") == 9.0)
+    // n=19: k = ceil(20*0.9) = 18 -> the 18th smallest
+    val df19 = (1 to 19).map(i => ("k", i.toDouble, i.toLong))
+      .toDF("key", "score", "id")
+    val r19 = Stats.conformalQuantile(df19, Seq("key"), "score", "id",
+      alpha = 0.1).collect().head
+    assert(r19.getAs[Long]("k") == 18L &&
+      r19.getAs[Double]("q_hat") == 18.0)
+    // n=5 at alpha 0.1: k = ceil(6*0.9) = 6 > n -> null (too few points)
+    val df5 = (1 to 5).map(i => ("k", i.toDouble, i.toLong))
+      .toDF("key", "score", "id")
+    val r5 = Stats.conformalQuantile(df5, Seq("key"), "score", "id",
+      alpha = 0.1).collect().head
+    assert(r5.getAs[Long]("k") == 6L &&
+      r5.isNullAt(r5.fieldIndex("q_hat")))
+  }
 }
