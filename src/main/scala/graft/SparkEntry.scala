@@ -3614,7 +3614,106 @@ object SparkEntry {
       graft.agg.Stats.conformalQuantile(
         t(s, dir, "events").filter(col("value").isNotNull)
           .withColumn("score", abs(col("value") - 50.0)),
-        Seq("event_type"), "score", "event_id", alpha = 0.1))
+        Seq("event_type"), "score", "event_id", alpha = 0.1)),
+
+    // ---- ML eval: ROC AUC by the exact rank-sum identity — integer
+    //      midranks over the (status, quantity) grid, one closing
+    //      division; quantity's massive ties exercise the midrank ----
+    "q270_roc_auc" -> ((s, dir) =>
+      graft.agg.Stats.rocAuc(
+        t(s, dir, "lineitem")
+          .withColumn("is_ret", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "l_quantity", "is_ret")),
+
+    // ---- ML eval: cumulative-gains / lift deciles per priority —
+    //      exact integer bucket cut, unique-orderkey tie-break ----
+    "q271_lift_table" -> ((s, dir) =>
+      graft.agg.Stats.liftTable(
+        t(s, dir, "orders")
+          .withColumn("is_f", col("o_orderstatus") === "F"),
+        Seq("o_orderpriority"), "o_totalprice", "is_f", "o_orderkey",
+        buckets = 10)),
+
+    // ---- stats: Cramér's V priority↔status per order-year —
+    //      exact contingency counts (full r×c grid incl. structural
+    //      zeros), order-pinned χ² fold ----
+    "q272_cramers_v" -> ((s, dir) =>
+      graft.agg.Stats.cramersV(
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("long")),
+        Seq("o_year"), "o_orderpriority", "o_orderstatus")),
+
+    // ---- integrity: order-independent table fingerprint — MD5 row
+    //      digests reduced by XOR + modular sum + extremes ----
+    "q273_fingerprint" -> ((s, dir) =>
+      graft.quality.Quality.tableFingerprint(t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber", "l_linestatus"))),
+
+    // ---- time series: hourly grid with LINEAR interpolation across
+    //      gaps (q126's numeric sibling) — grid-index lerp, one key
+    //      exchange serves both directional windows ----
+    "q275_interp" -> ((s, dir) =>
+      graft.ops.TimeSeries.interpolateAt(t(s, dir, "events"),
+        Seq("user_id"), "ts", "value", "hour")),
+
+    // ---- customer analytics: RFM scores per nation cohort — exact
+    //      equal-frequency cuts, custkey tie-break total order ----
+    "q276_rfm" -> ((s, dir) =>
+      graft.ops.Segmentation.rfmScores(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+          .withColumn("nation", col("c_nationkey").cast("long")),
+        Seq("nation"), "o_custkey", "o_orderdate", "o_totalprice")),
+
+    // ---- reporting: top-5 customers per priority + exact OTHER
+    //      rollup — tail mass kept, not dropped ----
+    "q277_topk_other" -> ((s, dir) =>
+      graft.agg.GroupBy.topKOther(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_custkey", "o_totalprice", k = 5)),
+
+    // ---- ML prep: exact Gini decision-stump split per status —
+    //      transcendental-free closing over exact counts ----
+    "q278_best_split" -> ((s, dir) =>
+      graft.agg.Stats.bestSplit(
+        t(s, dir, "lineitem")
+          .withColumn("is_ret", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "l_quantity", "is_ret")),
+
+    // ---- ML prep: target-leakage scan — per-feature Cramér's V vs
+    //      returnflag in ONE melted pass; continuous features
+    //      pre-formatted to the decimal grid ----
+    "q279_leakage_scan" -> ((s, dir) =>
+      graft.agg.Stats.leakageScan(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus").as("linestatus"),
+          col("l_quantity").cast("decimal(18,2)").cast("string")
+            .as("quantity"),
+          col("l_discount").cast("decimal(18,2)").cast("string")
+            .as("discount"),
+          col("l_tax").cast("decimal(18,2)").cast("string").as("tax")),
+        Seq("linestatus", "quantity", "discount", "tax"),
+        "l_returnflag")),
+
+    // ---- funnel analytics: exact median conversion latency per
+    //      adjacent step pair — funnel + unit-weight median ----
+    "q280_funnel_latency" -> ((s, dir) =>
+      graft.ops.TimeSeries.funnelLatency(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    // ---- graph: multi-source BFS hop distance (≤3) from the %97
+    //      seed set over the co-purchase graph — level-synchronous
+    //      frontier expansion, unique min-distance answer ----
+    "q274_bfs_hops" -> ((s, dir) => {
+      val edges = graft.graph.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxPerGroup = 8)
+      val verts = edges.select(col("u").as("vertex"))
+        .unionByName(edges.select(col("v").as("vertex"))).distinct()
+      val seeds = verts.filter(pmod(col("vertex"), lit(97)) === 0)
+      graft.graph.Graph.bfsHops(edges, seeds, maxHops = 3)
+    })
   )
 
   /** Centroids the q39 run trained, for oracle inlining (bit-exact:
@@ -7972,6 +8071,372 @@ object SparkEntry {
         |SELECT event_type, max(n) AS n, CAST(max(kk) AS BIGINT) AS k,
         |  max(CASE WHEN rk = kk THEN score END) AS q_hat
         |FROM k GROUP BY 1""".stripMargin,
+
+    // the rank-sum AUC identity over the score grid: doubled midrank
+    // 2·cum−c+1 stays integer, decimal accumulation, one closing division
+    "q270_roc_auc" ->
+      """WITH e AS (SELECT l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |g AS (SELECT l_linestatus, s, CAST(sum(y) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(c) OVER (PARTITION BY l_linestatus
+        |    ORDER BY s) AS BIGINT) AS cum FROM g),
+        |m AS (SELECT l_linestatus, CAST(sum(c1) AS BIGINT) AS n_pos,
+        |    CAST(sum(c - c1) AS BIGINT) AS n_neg,
+        |    sum(CAST(CAST(c1 AS DECIMAL(19,0)) *
+        |      CAST(2 * cum - c + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS r2
+        |  FROM r GROUP BY 1)
+        |SELECT l_linestatus, n_pos, n_neg,
+        |  CASE WHEN n_pos >= 1 AND n_neg >= 1 THEN
+        |    (CAST(r2 AS DOUBLE) - CAST(n_pos AS DOUBLE) *
+        |      (CAST(n_pos AS DOUBLE) + 1))
+        |    / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
+        |    AS auc
+        |FROM m""".stripMargin,
+
+    // rank desc with the unique-orderkey tie-break, the exact
+    // ⌊(r−1)k/n⌋+1 bucket cut, integer cumulatives, pinned divisions
+    "q271_lift_table" ->
+      """WITH e AS (SELECT o_orderpriority, o_totalprice AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    o_orderkey AS id
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY s DESC, id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS n FROM e),
+        |b AS (SELECT o_orderpriority,
+        |    ((rk - 1) * 10) // n + 1 AS bucket, y FROM r),
+        |g AS (SELECT o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(sum(n) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY bucket) AS BIGINT) AS cum_n,
+        |    CAST(sum(pos) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY bucket) AS BIGINT) AS cum_pos,
+        |    CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS tot_n,
+        |    CAST(sum(pos) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS tot_pos FROM g)
+        |SELECT o_orderpriority, bucket, n, pos, cum_n, cum_pos,
+        |  CASE WHEN tot_pos > 0 THEN
+        |    CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END AS gain,
+        |  CASE WHEN tot_pos > 0 THEN
+        |    (CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))
+        |    / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift
+        |FROM c""".stripMargin,
+
+    // exact contingency/margin counts over the FULL r×c level grid
+    // (structural zeros carry χ² mass); the closing folds the
+    // per-cell doubles in sorted (a,b) order (the q157 fold idiom)
+    "q272_cramers_v" ->
+      """WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS bb FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |    AND o_orderdate IS NOT NULL),
+        |cells AS (SELECT o_year, a, bb, CAST(count(*) AS BIGINT)
+        |    AS o FROM b GROUP BY 1, 2, 3),
+        |rm AS (SELECT o_year, a, CAST(sum(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT o_year, bb, CAST(sum(o) AS BIGINT) AS rb
+        |  FROM cells GROUP BY 1, 2),
+        |tt AS (SELECT o_year, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT bb) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT rm.o_year, rm.a, cm.bb, rm.ra, cm.rb,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rm JOIN cm USING (o_year)
+        |    LEFT JOIN cells USING (o_year, a, bb)),
+        |terms AS (SELECT grid.o_year, a, bb, n, r, c,
+        |    (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS t
+        |  FROM grid JOIN tt USING (o_year)),
+        |f AS (SELECT o_year, max(n) AS n, max(r) AS r,
+        |    max(c) AS c,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t ORDER BY a, bb)), (x, y) -> x + y) AS chisq
+        |  FROM terms GROUP BY 1)
+        |SELECT o_year, n, r, c, chisq,
+        |  CASE WHEN n > 0 AND least(r, c) - 1 > 0 THEN
+        |    sqrt(chisq / (CAST(n AS DOUBLE) *
+        |      CAST(least(r, c) - 1 AS DOUBLE))) END AS v
+        |FROM f""".stripMargin,
+
+    // identical canonical row string both sides; 60-bit md5 lane via
+    // DuckDB's hex cast / Spark's conv; XOR + mod-2⁶¹−1 sum + extremes
+    "q273_fingerprint" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    md5(coalesce(CAST(l_orderkey AS VARCHAR), chr(1)) || '|' ||
+        |        coalesce(CAST(l_linenumber AS VARCHAR), chr(1)) || '|' ||
+        |        coalesce(l_linestatus, chr(1))) AS hx
+        |  FROM lineitem),
+        |h AS (SELECT l_returnflag,
+        |    CAST('0x' || substr(hx, 1, 15) AS BIGINT) AS hv FROM r)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(bit_xor(hv) AS BIGINT) AS xor_sig,
+        |  CAST(sum(hv) % 2305843009213693951 AS BIGINT) AS sum_sig,
+        |  min(hv) AS min_sig, max(hv) AS max_sig
+        |FROM h GROUP BY 1""".stripMargin,
+
+    // q126's axis construction + two IGNORE-NULLS directional
+    // windows; the lerp runs on grid-INDEX deltas (exact small
+    // integers), three pinned IEEE ops, same shape as the engine
+    "q275_interp" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |           max(value) AS v
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM b GROUP BY 1),
+        |a AS (SELECT user_id, unnest(generate_series(b0, b1,
+        |      INTERVAL 1 HOUR)) AS bucket FROM s),
+        |j AS (SELECT a.user_id, a.bucket, b.v,
+        |    row_number() OVER (PARTITION BY a.user_id ORDER BY a.bucket)
+        |      AS rn
+        |  FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |    AND a.bucket = b.bucket),
+        |w AS (SELECT *,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+        |      FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN
+        |      CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        |  FROM j)
+        |SELECT user_id, bucket, v,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) -
+        |           CAST(pv AS DOUBLE)) * (CAST(rn - pi AS DOUBLE)
+        |           / CAST(ni - pi AS DOUBLE)) END AS v_interp
+        |FROM w""".stripMargin,
+
+    // the same exact ⌊(r−1)k/n⌋+1 cuts on best-first total orders
+    // (custkey tie-break); monetary ranks on the exact decimal sum
+    "q276_rfm" ->
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    o_custkey, max(o_orderdate) AS last_date,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY last_date DESC, o_custkey) AS rr,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY frequency DESC, o_custkey) AS rf,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY mon DESC, o_custkey) AS rm2
+        |  FROM base),
+        |sc AS (SELECT nation, o_custkey, last_date, frequency,
+        |    CAST(mon AS DOUBLE) AS monetary,
+        |    6 - (((rr - 1) * 5) // n + 1) AS r_score,
+        |    6 - (((rf - 1) * 5) // n + 1) AS f_score,
+        |    6 - (((rm2 - 1) * 5) // n + 1) AS m_score
+        |  FROM r)
+        |SELECT nation, o_custkey, last_date, frequency, monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM sc""".stripMargin,
+
+    // exact decimal member sums ranked (measure DESC, member ASC —
+    // total order), k-cut + OTHER re-collapse, double cast at the end
+    "q277_topk_other" ->
+      """WITH grid AS (SELECT o_orderpriority,
+        |    CAST(o_custkey AS VARCHAR) AS m,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY s2 DESC, m) AS rk FROM grid),
+        |l AS (SELECT o_orderpriority,
+        |    CASE WHEN rk <= 5 THEN m ELSE 'OTHER' END AS member,
+        |    CASE WHEN rk <= 5 THEN rk ELSE 6 END AS rank, c, s2 FROM r)
+        |SELECT o_orderpriority, member, CAST(min(rank) AS BIGINT) AS rank,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(s2) AS DOUBLE) AS measure
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // the same grid/cumulative machinery as q270; Gini closing is
+    // pure rational arithmetic over exact counts — the gain-tie pick
+    // compares the identical pinned doubles on both engines
+    "q278_best_split" ->
+      """WITH e AS (SELECT l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |g AS (SELECT l_linestatus, v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS p FROM e GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY l_linestatus ORDER BY v)
+        |      AS BIGINT) AS cn,
+        |    CAST(sum(p) OVER (PARTITION BY l_linestatus ORDER BY v)
+        |      AS BIGINT) AS cp,
+        |    CAST(sum(c) OVER (PARTITION BY l_linestatus) AS BIGINT) AS n,
+        |    CAST(sum(p) OVER (PARTITION BY l_linestatus) AS BIGINT) AS np
+        |  FROM g),
+        |cand AS (SELECT *, CASE WHEN n - cn > 0 THEN
+        |    (1 - (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |       - (1 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (1 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    - (CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
+        |       * (1 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |          * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |          - (1 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |          * (1 - CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)))
+        |     + CAST(n - cn AS DOUBLE) / CAST(n AS DOUBLE)
+        |       * (1 - (CAST(np - cp AS DOUBLE) / CAST(n - cn AS DOUBLE))
+        |          * (CAST(np - cp AS DOUBLE) / CAST(n - cn AS DOUBLE))
+        |          - (1 - CAST(np - cp AS DOUBLE) / CAST(n - cn AS DOUBLE))
+        |          * (1 - CAST(np - cp AS DOUBLE) / CAST(n - cn AS DOUBLE))))
+        |    END AS gain FROM cum),
+        |c2 AS (SELECT *, max(gain) OVER (PARTITION BY l_linestatus)
+        |    AS gmax FROM cand),
+        |f AS (SELECT l_linestatus, max(n) AS n, max(np) AS n_pos,
+        |    max(gmax) AS bg,
+        |    CAST(min(CASE WHEN gain = gmax THEN v END) AS DOUBLE) AS bt
+        |  FROM c2 GROUP BY 1)
+        |SELECT l_linestatus, n, n_pos,
+        |  CASE WHEN n > 0 AND n_pos > 0 AND n_pos < n
+        |    AND bg IS NOT NULL THEN bt END AS best_threshold,
+        |  CASE WHEN n > 0 AND n_pos > 0 AND n_pos < n
+        |    AND bg IS NOT NULL THEN bg END AS best_gain
+        |FROM f""".stripMargin,
+
+    // the q272 chain keyed by feature over a 4-way melted relation;
+    // continuous features land on the DECIMAL(18,2) string grid in
+    // both engines (the q157 digit-extraction precedent)
+    "q279_leakage_scan" ->
+      """WITH m AS (
+        |  SELECT 'linestatus' AS feature, CAST(l_linestatus AS VARCHAR)
+        |    AS fv, l_returnflag AS y FROM lineitem
+        |  UNION ALL SELECT 'quantity',
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |    l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'discount',
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR),
+        |    l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'tax',
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR),
+        |    l_returnflag FROM lineitem),
+        |b AS (SELECT feature, fv AS a, CAST(y AS VARCHAR) AS bb FROM m
+        |  WHERE fv IS NOT NULL AND y IS NOT NULL),
+        |cells AS (SELECT feature, a, bb, CAST(count(*) AS BIGINT)
+        |    AS o FROM b GROUP BY 1, 2, 3),
+        |rm AS (SELECT feature, a, CAST(sum(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT feature, bb, CAST(sum(o) AS BIGINT) AS rb
+        |  FROM cells GROUP BY 1, 2),
+        |tt AS (SELECT feature, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT bb) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT rm.feature, rm.a, cm.bb, rm.ra, cm.rb,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rm JOIN cm USING (feature)
+        |    LEFT JOIN cells USING (feature, a, bb)),
+        |terms AS (SELECT grid.feature, a, bb, n, r, c,
+        |    (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS t
+        |  FROM grid JOIN tt USING (feature)),
+        |f AS (SELECT feature, max(n) AS n, max(r) AS r,
+        |    max(c) AS c,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t ORDER BY a, bb)), (x, y) -> x + y) AS chisq
+        |  FROM terms GROUP BY 1)
+        |SELECT feature, n, r, c, chisq,
+        |  CASE WHEN n > 0 AND least(r, c) - 1 > 0 THEN
+        |    sqrt(chisq / (CAST(n AS DOUBLE) *
+        |      CAST(least(r, c) - 1 AS DOUBLE))) END AS v
+        |FROM f""".stripMargin,
+
+    // q127's funnel chain, whole-second latencies (boundary-count =
+    // truncation diff), then the q268 exact-lower-median machinery
+    // at unit weight
+    "q280_funnel_latency" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w1 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END
+        |       AS q0 FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |         min(q0) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NOT NULL
+        |         THEN ts END AS q1 FROM w1),
+        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |         min(q1) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NOT NULL
+        |         THEN ts END AS q2 FROM w2),
+        |f AS (SELECT user_id, min(q0) AS s1, min(q1) AS s2,
+        |      min(q2) AS s3 FROM w3 GROUP BY user_id),
+        |lat AS (SELECT 'view_to_click' AS pair,
+        |    date_diff('second', s1, s2) AS v0 FROM f
+        |    WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |  UNION ALL SELECT 'click_to_purchase',
+        |    date_diff('second', s2, s3) FROM f
+        |    WHERE s2 IS NOT NULL AND s3 IS NOT NULL),
+        |g AS (SELECT pair, CAST(v0 AS DECIMAL(18,2)) AS v,
+        |    CAST(count(*) AS BIGINT) * 100 AS gw,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |c2 AS (SELECT *,
+        |    CAST(sum(gw) OVER (PARTITION BY pair ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(gw) OVER (PARTITION BY pair) AS BIGINT) AS tot,
+        |    CAST(sum(c) OVER (PARTITION BY pair) AS BIGINT) AS n FROM g)
+        |SELECT pair, max(n) AS n, max(tot) AS total_weight,
+        |  CAST(min(v) AS DOUBLE) AS wmedian
+        |FROM c2 WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
+
+    // BFS distance as min over the depth-bounded reachability CTE
+    // (UNION-dedup keeps states finite); same co-purchase edge set
+    // and %97 seed rule as the engine
+    "q274_bfs_hops" ->
+      """WITH RECURSIVE gi AS (SELECT DISTINCT l_orderkey AS g,
+        |    l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gs AS (SELECT g, i FROM (SELECT g, i,
+        |    count(*) OVER (PARTITION BY g) AS sz FROM gi) WHERE sz <= 8),
+        |e AS (SELECT DISTINCT least(a.i, b.i) AS u, greatest(a.i, b.i) AS v
+        |      FROM gs a JOIN gs b ON a.g = b.g AND a.i < b.i),
+        |sym AS (SELECT u AS s, v AS t FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |seeds AS (SELECT DISTINCT s AS v FROM sym WHERE s % 97 = 0),
+        |walk(v, d) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT sym.t, walk.d + 1 FROM walk JOIN sym ON walk.v = sym.s
+        |  WHERE walk.d < 3
+        |)
+        |SELECT CAST(v AS BIGINT) AS vertex, CAST(min(d) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1""".stripMargin,
 
     // the two rankings replayed as in q136; per shared item the
     // precomputed suffix-sum literal at max(rank, rank), round-12

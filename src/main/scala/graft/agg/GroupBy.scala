@@ -631,4 +631,46 @@ object GroupBy {
       .agg(max(col("__n")).as("n"), max(col("__tot")).as("total_weight"),
         min(col("__v")).cast("double").as("wmedian"))
   }
+
+  /**
+   * Top-k members per group with an OTHER rollup: the reporting
+   * staple ("top 5 customers per region, everyone else as one row")
+   * that a bare per-group limit gets wrong — dropping the tail hides
+   * its mass; collapsing it to 'OTHER' keeps group totals exact.
+   *
+   * Members rank on the EXACT decimal measure sum, best first, with
+   * the member value as tie-break — a total order (the q207
+   * discipline), so the k-cut is deterministic on any engine. The
+   * output measure is the double cast of the exact decimal.
+   *
+   * Output: (keys…, member STRING — the dim value or 'OTHER', n_rows,
+   * measure, rank — 1..k for kept members, k+1 for OTHER).
+   *
+   * Scale posture: one (keys, dim) map-side-combined collapse, then
+   * the rank window AND the OTHER re-collapse both ride ONE group
+   * exchange (keys ⊂ keys+member). The heavy tail never crosses the
+   * wire un-aggregated.
+   */
+  def topKOther(df: DataFrame, keys: Seq[String], dimCol: String,
+                measureCol: String, k: Int, measureScale: Int = 2,
+                otherLabel: String = "OTHER"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(dimCol).isNotNull && col(measureCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(dimCol).cast("string").as("__m"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(col(measureCol).cast(s"decimal(18,$measureScale)")).as("__s"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s").desc, col("__m").asc)
+    grid
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("member",
+        when(col("__rk") <= k, col("__m")).otherwise(lit(otherLabel)))
+      .withColumn("rank",
+        when(col("__rk") <= k, col("__rk")).otherwise(lit((k + 1).toLong)))
+      .groupBy(keys.map(col) :+ col("member"): _*)
+      .agg(min(col("rank")).as("rank"), sum(col("__c")).as("n_rows"),
+        sum(col("__s")).cast("double").as("measure"))
+  }
 }

@@ -990,6 +990,285 @@ object Stats {
           .as("q_hat"))
   }
 
+  /**
+   * ROC AUC per group: the probability a random positive outranks a
+   * random negative, `P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)` — threshold-free
+   * ranking quality, the metric [[brierScore]]/[[calibration]] can't
+   * see (they grade probabilities; AUC grades the ORDER). Computed by
+   * the rank-sum identity `AUC = (R⁺ − n₁(n₁+1)/2) / (n₁n₀)` with
+   * midranks for ties, which makes it EXACT: rows collapse map-side
+   * to the (keys, score) grid with positive/total counts, one group
+   * exchange carries the cumulative-count window, and the DOUBLED
+   * positive rank-sum `Σ c₁·(2·cum − c + 1)` accumulates as
+   * DECIMAL(38,0) integers (the [[mannWhitneyU]] discipline — AUC is
+   * U/n₁n₀ by the same identity), so the only IEEE arithmetic is the
+   * one closing division. Engine-identical at any parallelism.
+   *
+   * Null scores/labels excluded listwise; a group missing either
+   * class emits null AUC (n_pos/n_neg still report).
+   *
+   * Output: (keys…, n_pos, n_neg, auc).
+   *
+   * Envelope: Σc₁·(2cum) ≤ 2n² must fit DECIMAL(38) — n to ~10^18.
+   *
+   * Scale posture: grid collapse is map-side-combined; ONE exchange
+   * on the group keys serves the rank window and the closing
+   * aggregate. Nothing per-row crosses the wire twice.
+   */
+  def rocAuc(df: DataFrame, keys: Seq[String], scoreCol: String,
+             labelCol: String, scoreScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast(s"decimal(18,$scoreScale)")
+    val y = col(labelCol).cast("boolean")
+    val grid = df
+      .filter(col(scoreCol).isNotNull && y.isNotNull)
+      .groupBy(keys.map(col) :+ s.as("__s"): _*)
+      .agg(sum(when(y, 1L).otherwise(0L)).as("__c1"),
+        count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"))
+    // doubled midrank of this score's tie run: lo+hi = 2·cum − c + 1
+    val ranked = grid
+      .withColumn("__cum", sum(col("__c")).over(wk))
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__c") + 1L)
+    val m = ranked.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c1")).as("n_pos"),
+        sum(col("__c") - col("__c1")).as("n_neg"),
+        sum((col("__c1").cast("decimal(19,0)") *
+          col("__r2").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__r2sum"))
+    val n1 = d(col("n_pos")); val n0 = d(col("n_neg"))
+    // 2·U⁺ = 2R⁺ − n₁(n₁+1) keeps the numerator integer-exact
+    val u2 = d(col("__r2sum")) - n1 * (n1 + lit(1.0))
+    m.select(keys.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") >= 1 && col("n_neg") >= 1,
+        u2 / (lit(2.0) * n1 * n0)).as("auc")): _*)
+  }
+
+  /**
+   * Cumulative gains / lift table per group: rows ranked by score
+   * descending are cut into `buckets` equal-frequency bins (bucket
+   * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut
+   * `⌊(r−1)·k/n⌋ + 1` — no ntile, whose Spark/SQL remainder
+   * placement conventions differ), and each bin reports its positive
+   * count, the cumulative capture rate (`gain` = fraction of ALL
+   * positives found in the top b bins) and `lift` = gain ÷ fraction
+   * of rows examined — the targeting-model report ("the top decile
+   * captures 3.2× its share"). The rank order is made TOTAL by the
+   * required unique `idCol` tie-break (the q207 discipline: equal
+   * scores straddling a bucket boundary would otherwise land
+   * nondeterministically), so the table is engine-identical.
+   *
+   * Everything is integer until the closing divisions: counts and
+   * cumulative counts are exact longs; `gain`/`lift` are single
+   * pinned double divisions over them.
+   *
+   * Output: (keys…, bucket, n, pos, cum_n, cum_pos, gain, lift);
+   * groups with zero positives emit null gain/lift.
+   *
+   * Scale posture: ONE exchange on the group keys serves the rank
+   * window; the per-bucket collapse then rides the same partitioning
+   * (keys ⊂ keys+bucket), as does the cumulative window and closing —
+   * Catalyst reuses the partitioning end to end.
+   */
+  def liftTable(df: DataFrame, keys: Seq[String], scoreCol: String,
+                labelCol: String, idCol: String,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val y = col(labelCol).cast("boolean")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && y.isNotNull)
+      .withColumn("__r", row_number().over(
+        wk.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(wk))
+    // exact equal-frequency cut: ⌊(r−1)·k/n⌋ + 1 (first buckets get
+    // the remainder rows — the convention both engines replay exactly)
+    val num = (col("__r") - 1L) * lit(buckets.toLong)
+    val bucket = ((num - pmod(num, col("__n"))) / col("__n"))
+      .cast("long") + 1L
+    val byBucket = ranked
+      .groupBy(keys.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("pos"))
+    val wc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("bucket"))
+    val cum = byBucket
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("pos")).over(wc))
+      .withColumn("__tot_n", sum(col("n")).over(wk))
+      .withColumn("__tot_pos", sum(col("pos")).over(wk))
+    val gain = d(col("cum_pos")) / d(col("__tot_pos"))
+    val frac = d(col("cum_n")) / d(col("__tot_n"))
+    cum.select(keys.map(col) ++ Seq(col("bucket"), col("n"), col("pos"),
+      col("cum_n"), col("cum_pos"),
+      when(col("__tot_pos") > 0, gain).as("gain"),
+      when(col("__tot_pos") > 0, gain / frac).as("lift")): _*)
+  }
+
+  /**
+   * Cramér's V association between two categorical columns per group:
+   * `V = sqrt(χ² / (n·(min(r,c)−1)))` — the [0,1]-normalized effect
+   * size the raw χ² statistic isn't (χ² grows with n; V answers "how
+   * strongly related", comparable across tables). [[mutualInfo]]'s
+   * frequentist sibling.
+   *
+   * The contingency table collapses map-side to exact integer cell
+   * counts; margins and totals are exact-count aggregates over that
+   * tiny relation; and the χ² closing — the only IEEE arithmetic —
+   * folds the per-cell terms `(o − e)²/e` in SORTED (a, b) cell order
+   * (the [[graft.quality.Quality.benfordDrift]] fold discipline), so
+   * the double sum is order-pinned and engine-identical. Cells are
+   * bounded by r·c distinct pairs: the collected fold list is
+   * cardinality-bounded, never data-bounded.
+   *
+   * Output: (keys…, n, r, c, chisq, v); degenerate groups (a single
+   * row/column level) emit null v — no association is measurable.
+   *
+   * Scale posture: ONE full-data pass (map-side-combined cell
+   * collapse); everything downstream runs on the cell relation
+   * (|keys|·r·c rows). Margin joins are key-equi on that relation.
+   */
+  def cramersV(df: DataFrame, keys: Seq[String], aCol: String,
+               bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(keys.map(col) :+ col(aCol).cast("string").as("__a") :+
+        col(bCol).cast("string").as("__b"): _*)
+      .groupBy(keys.map(col) :+ col("__a") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val rowm = cells.groupBy(keys.map(col) :+ col("__a"): _*)
+      .agg(sum(col("__o")).as("__ra"))
+    val colm = cells.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__o")).as("__rb"))
+    val tot = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__o")).as("__n"),
+        countDistinct(col("__a")).as("__r"),
+        countDistinct(col("__b")).as("__c"))
+    val e = d(col("__ra")) * d(col("__rb")) / d(col("__n"))
+    val diff = d(col("__o")) - e
+    // the FULL r×c level grid — structural-zero cells carry χ² mass
+    // ((0−e)²/e) that observed-cells-only formulations silently drop
+    val grid =
+      (if (keys.nonEmpty) rowm.join(colm, keys)
+       else rowm.crossJoin(colm))
+        .join(cells, keys ++ Seq("__a", "__b"), "left")
+        .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val terms =
+      (if (keys.nonEmpty) grid.join(tot, keys)
+       else grid.crossJoin(tot))
+        .select(keys.map(col) ++ Seq(col("__n"), col("__r"), col("__c"),
+          col("__a"), col("__b"), (diff * diff / e).as("__t")): _*)
+    val folded = terms.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__r")).as("r"),
+        max(col("__c")).as("c"),
+        aggregate(sort_array(collect_list(struct(col("__a").as("a"),
+          col("__b").as("b"), col("__t").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("chisq"))
+    val k = least(col("r"), col("c")) - lit(1L)
+    folded.select(keys.map(col) ++ Seq(col("n"), col("r"), col("c"),
+      col("chisq"),
+      when(col("n") > 0 && k > 0,
+        sqrt(col("chisq") / (d(col("n")) * d(k)))).as("v")): _*)
+  }
+
+  /**
+   * Exact decision-stump split per group: the threshold on a numeric
+   * feature that maximizes GINI impurity reduction against a binary
+   * label — the distributed, exact form of the split search inside
+   * every tree learner, useful standalone for feature triage ("how
+   * much signal does this column carry, and where?").
+   *
+   * Gini (1 − p² − q²), not entropy, ON PURPOSE: the whole closing is
+   * +,−,×,÷ over exact integer counts — no transcendentals, so the
+   * per-candidate gain is bit-identical on any engine. Rows collapse
+   * map-side to the (keys, value) grid (values tie on the
+   * `featureScale` decimal grid); ONE group exchange carries the
+   * cumulative class counts, the per-candidate gain, the running max
+   * and the closing aggregate. Gain ties break to the SMALLEST
+   * threshold via exact double equality against the group max — the
+   * deterministic pick (both sides computed by the same pinned chain).
+   *
+   * Split semantics: left = rows with value ≤ threshold; candidates
+   * are all grid values except the last (an empty side is not a
+   * split). Groups with < 2 distinct values or a single class emit
+   * null threshold/gain (nothing to split / nothing to gain —
+   * gain would be 0 everywhere and "best" would be noise).
+   *
+   * Output: (keys…, n, n_pos, best_threshold, best_gain).
+   */
+  def bestSplit(df: DataFrame, keys: Seq[String], featureCol: String,
+                labelCol: String, featureScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(featureCol).cast(s"decimal(18,$featureScale)")
+    val y = col(labelCol).cast("boolean")
+    val grid = df
+      .filter(col(featureCol).isNotNull && y.isNotNull)
+      .groupBy(keys.map(col) :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(when(y, 1L).otherwise(0L)).as("__p"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    val cum = grid
+      .withColumn("__cn", sum(col("__c")).over(wo))
+      .withColumn("__cp", sum(col("__p")).over(wo))
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__np", sum(col("__p")).over(wk))
+    def gini(pos: Column, tot: Column): Column = {
+      val p = d(pos) / d(tot)
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    val nL = col("__cn"); val nR = col("__n") - col("__cn")
+    val parent = gini(col("__np"), col("__n"))
+    val weighted = d(nL) / d(col("__n")) * gini(col("__cp"), nL) +
+      d(nR) / d(col("__n")) *
+        gini(col("__np") - col("__cp"), nR)
+    val cand = cum
+      .withColumn("__gain",
+        when(nR > 0, parent - weighted))
+      .withColumn("__gmax", max(col("__gain")).over(wk))
+    val ok = col("n") > 0 && col("n_pos") > 0 && col("n_pos") < col("n") &&
+      col("best_gain").isNotNull
+    cand
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__np")).as("n_pos"),
+        max(col("__gmax")).as("best_gain"),
+        min(when(col("__gain") === col("__gmax"), col("__v")))
+          .cast("double").as("best_threshold"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_pos"),
+        when(ok, col("best_threshold")).as("best_threshold"),
+        when(ok, col("best_gain")).as("best_gain")): _*)
+  }
+
+  /**
+   * Target-leakage / association scan: [[cramersV]] of EVERY
+   * candidate feature against the label in ONE corpus pass — the
+   * pre-training triage that catches leaky features (V ≈ 1: the
+   * column is the label in disguise — an id-joined outcome, a
+   * post-event timestamp) and dead ones (V ≈ 0) before a model does.
+   *
+   * Features melt to (feature, value) rows via a single `stack`
+   * generator — one scan regardless of feature count, not a
+   * scan-per-feature union — and the whole Cramér's V machinery runs
+   * keyed by the feature name, so every feature's contingency
+   * collapse, margin grid and χ² fold shares the same exchanges.
+   *
+   * Values compare as STRINGS: pre-format continuous columns onto a
+   * decimal grid first (raw doubles' string forms are
+   * engine-specific, and raw continuous features aren't meaningful
+   * χ² categories anyway).
+   *
+   * Output: one row per feature — (feature, n, r, c, chisq, v),
+   * ranked by `v` descending being the caller's usual next step.
+   */
+  def leakageScan(df: DataFrame, featureCols: Seq[String],
+                  labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "leakageScan needs feature columns")
+    val melted = graft.ops.Transforms.melt(df, Seq(labelCol), featureCols,
+      varName = "feature", valueName = "__fv", valueType = "string")
+    cramersV(melted, Seq("feature"), "__fv", labelCol)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

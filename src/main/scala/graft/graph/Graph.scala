@@ -287,4 +287,59 @@ object Graph {
         s"kCore did not converge in $maxIterations rounds")
     degrees(und)
   }
+
+  /**
+   * Multi-source BFS: the minimum hop distance (≤ `maxHops`) from any
+   * seed vertex over the undirected edge set — neighborhood expansion
+   * for influence radii, blast-radius analysis, "within-N-hops-of-a-
+   * known-bad-node" risk flags. The answer (a min-distance) is UNIQUE,
+   * so it is partition- and engine-order independent by construction.
+   *
+   * Level-synchronous frontier expansion, driver-coordinated: each
+   * round joins the current frontier to the symmetrized edge list
+   * (keyed equi-join — broadcastable while the frontier is small,
+   * shuffle-join when it isn't; Spark picks per round via AQE),
+   * dedups, and anti-joins the visited set, so a vertex is emitted
+   * exactly once at its first (= minimum) hop count. The driver sees
+   * only an emptiness flag per round, never data; lineage is cut with
+   * a lazy localCheckpoint per round (the [[kCore]] discipline).
+   *
+   * Output: (vertex, hops) for every vertex within `maxHops` of a
+   * seed, seeds included at 0. Self-loops ignored; null endpoints
+   * dropped; seeds need not appear in the edge set.
+   *
+   * Scale posture: per round, ONE equi-join frontier⋈edges + one
+   * anti-join against visited — both key-partitioned; nothing is ever
+   * collected. Frontier size is monotone-bounded by |V|; rounds are
+   * exactly `maxHops` or fewer (early exit on an empty frontier).
+   */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              srcCol: String = "u", dstCol: String = "v",
+              seedCol: String = "vertex"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val base = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+    val und = base
+      .unionByName(base.select(col("__t").as("__s"), col("__s").as("__t")))
+      .distinct()
+      .localCheckpoint(false)
+    var visited = seeds.select(col(seedCol).as("vertex")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(false)
+    var frontier = visited
+    var h = 0L
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = frontier.select(col("vertex").as("__s"))
+        .join(und, Seq("__s"))
+        .select(col("__t").as("vertex")).distinct()
+        .join(visited.select("vertex"), Seq("vertex"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(false)
+      visited = visited.unionByName(frontier).localCheckpoint(false)
+    }
+    visited
+  }
 }

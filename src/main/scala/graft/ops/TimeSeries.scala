@@ -79,6 +79,62 @@ object TimeSeries {
   }
 
   /**
+   * Resample to a regular grid with LINEAR interpolation —
+   * [[resampleFill]]'s numeric sibling (forward-fill repeats the last
+   * reading; sensors, prices and gauges usually want the straight
+   * line between the surrounding observations instead). Gap buckets
+   * get `v̂ = vₚ + (vₙ − vₚ)·(t − tₚ)/(tₙ − tₚ)`; observed buckets
+   * keep their exact value; buckets before the first / after the
+   * last observation stay null (extrapolation is a lie).
+   *
+   * The time fractions are computed on the GRID INDEX (row number on
+   * the per-key axis), not on epoch arithmetic: the axis is regular
+   * by construction, so `t − tₚ` is an exact small integer and the
+   * closing lerp is three pinned IEEE ops — engine-identical, no
+   * timestamp-epoch conversion conventions to disagree on.
+   *
+   * Output: keys…, `bucket`, `v` (observed, null in gaps), `v_interp`.
+   *
+   * Scale posture: identical to [[resampleFill]] — ONE key shuffle
+   * serves the bucket agg, span agg, axis join and BOTH directional
+   * windows (same partitioning, two frame specs); axis length is
+   * span/unit-bounded, not event-bounded.
+   */
+  def interpolateAt(df: DataFrame, keys: Seq[String], tsCol: String,
+                    valueCol: String, unit: String,
+                    agg: Column => Column = max): DataFrame = {
+    require(keys.nonEmpty, "interpolateAt needs at least one key column")
+    val kc = keys.map(col)
+    val obs = df.filter(col(tsCol).isNotNull)
+      .groupBy(kc :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(agg(col(valueCol)).as("v"))
+      .localCheckpoint(false)
+    val axis = obs.groupBy(kc: _*)
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(kc :+ explode(sequence(col("__b0"), col("__b1"),
+        expr(s"interval 1 $unit"))).as("bucket"): _*)
+    val ord = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = axis.join(obs, keys :+ "bucket", "left")
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("__pi", last(when(col("v").isNotNull, col("__rn")),
+        ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("__ni", first(when(col("v").isNotNull, col("__rn")),
+        ignoreNulls = true).over(fwd))
+    val frac = (col("__rn") - col("__pi")).cast("double") /
+      (col("__ni") - col("__pi")).cast("double")
+    val lerp = col("__pv").cast("double") +
+      (col("__nv").cast("double") - col("__pv").cast("double")) * frac
+    joined.select(kc ++ Seq(col("bucket"), col("v"),
+      when(col("v").isNotNull, col("v").cast("double"))
+        .when(col("__pv").isNotNull && col("__nv").isNotNull, lerp)
+        .as("v_interp")): _*)
+  }
+
+  /**
    * Ordered-funnel attribution: for each actor, the first timestamp
    * at which it completed step 1, step 2 AFTER (or at) a completed
    * step 1, step 3 after that, … for an arbitrary ordered `steps`
@@ -127,6 +183,44 @@ object TimeSeries {
     quals.groupBy(col(actorCol))
       .agg(stepCols.head, stepCols.tail: _*)
       .withColumn("stage", stage)
+  }
+
+  /**
+   * Median conversion latency per funnel stage: for each ADJACENT
+   * step pair, the exact lower median of whole-second latencies over
+   * the actors who completed the later step — "how long does
+   * view→click take?", the funnel's time dimension that [[funnel]]'s
+   * completion counts don't show.
+   *
+   * Builds on [[funnel]]'s per-actor step timestamps (the prefix
+   * property guarantees step i+1 implies step i, so the latency is
+   * never negative); the per-actor pairs melt through ONE stack
+   * generator and the median is [[graft.agg.GroupBy.weightedMedian]]
+   * at unit weight — an exact order statistic, engine-identical.
+   * Latencies are whole seconds (epoch truncation on both ends), so
+   * values tie exactly on the integer grid.
+   *
+   * Output: (pair — "stepA_to_stepB", n, total_weight, wmedian).
+   *
+   * Scale posture: the funnel's one actor-key shuffle dominates; the
+   * pair relation is per-actor-sized, and the median machinery
+   * collapses it to the (pair, latency) grid map-side.
+   */
+  def funnelLatency(df: DataFrame, actorCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    val f = funnel(df, actorCol, tsCol, typeCol, steps)
+    val pairs = steps.indices.dropRight(1).map { i =>
+      val label = s"${steps(i)}_to_${steps(i + 1)}".replace("'", "''")
+      s"'$label', CAST(step${i + 2}_ts AS BIGINT) - " +
+        s"CAST(step${i + 1}_ts AS BIGINT)"
+    }.mkString(", ")
+    val lat = f
+      .select(expr(
+        s"stack(${steps.size - 1}, $pairs) AS (pair, latency_s)"))
+      .filter(col("latency_s").isNotNull)
+      .withColumn("__w", lit(1.0))
+    graft.agg.GroupBy.weightedMedian(lat, Seq("pair"), "latency_s", "__w")
   }
 
   /**

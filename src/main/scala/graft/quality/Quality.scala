@@ -755,4 +755,52 @@ object Quality {
         max(when(col("__rk") === 1, col("__c"))).as("majority_support"))
       .withColumn("n_violations", col("n") - col("majority_support"))
   }
+
+  /**
+   * Order-independent table fingerprint per group: each row's
+   * canonical projection digests to MD5, and the digests reduce by
+   * XOR, a modular sum (mod 2⁶¹−1), and min/max — the cross-system
+   * integrity check ("did the copy/migration land intact?") that
+   * works at 100 TB because every reduction is COMMUTATIVE: no global
+   * sort, no single-threaded hash chain, one map-side-combined
+   * aggregate, and the same fingerprint from any engine, partition
+   * count, or row order. XOR alone is blind to paired duplicate rows;
+   * the count + modular sum + extremes close that hole for practical
+   * drift detection (any single-row change flips all three signals).
+   *
+   * Canonicalization: each column casts to its string form
+   * ('|'-joined; nulls become U+0001, distinct from the empty
+   * string). Cross-engine string forms agree for STRING and INTEGER
+   * columns — the supported domain; pre-format doubles/timestamps
+   * explicitly (engine float formatting differs).
+   *
+   * The 60-bit lane: the first 15 hex chars of the MD5 parse to a
+   * long — wide enough that a colliding pair of DIFFERING tables
+   * needs ~2³⁰ rows (birthday) AND must simultaneously fool the sum,
+   * count, and extremes. All four reductions run over this long lane
+   * (never the hex string — a string min/max buffer would demote the
+   * whole aggregate to SortAggregate, a per-partition sort the
+   * fixed-width long lane avoids: pure HashAggregate at any scale).
+   *
+   * Output: (keys…, n, xor_sig, sum_sig, min_sig, max_sig).
+   *
+   * Scale posture: ONE full pass, ONE map-side-combined
+   * HashAggregate on the group keys. Nothing is collected; nothing
+   * is sorted.
+   */
+  def tableFingerprint(df: DataFrame, keys: Seq[String],
+                       cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint needs at least one column")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(keys.map(col) :+ h.as("__h"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        (sum(col("__h").cast("decimal(38,0)")) %
+          lit(2305843009213693951L)).cast("long").as("sum_sig"),
+        min(col("__h")).as("min_sig"),
+        max(col("__h")).as("max_sig"))
+  }
 }

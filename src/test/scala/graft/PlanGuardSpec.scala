@@ -926,4 +926,80 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q270 roc auc: map-side grid collapse, then rank window + " +
+    "closing on one group partitioning, join-free") {
+    val fin = finalPlan("q270_roc_auc").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q271 lift table: ONE group exchange serves rank window, " +
+    "bucket collapse, cumulative window and closing — join-free") {
+    val fin = finalPlan("q271_lift_table").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q272 cramers v: ONE map-side-combined data pass; margins/grid " +
+    "joins run on the cell relation, no cartesian") {
+    val fin = finalPlan("q272_cramers_v").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+    // one scan of orders feeds the shared cell subplan; the margin
+    // branches must reuse it (ReusedExchange), not rescan the table
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
+  }
+  test("q273 fingerprint: ONE map-side-combined aggregate, join-free, " +
+    "sort-free") {
+    val fin = finalPlan("q273_fingerprint").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert(!fin.contains("Sort "), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q275 interp: axis join + both directional lerp windows are " +
+    "key-partitioned — no cartesian, no global sort") {
+    val fin = finalPlan("q275_interp").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+    // both frame specs ride user_id-partitioned Windows, never a
+    // partition-less (single-task) window
+    assert(!fin.contains("Window [") ||
+      !fin.contains("windowspecdefinition()"), fin.take(1500))
+    assert(fin.contains("Window"), fin.take(1200))
+  }
+  test("q276 rfm: all three score windows share the ONE cohort " +
+    "exchange after the per-customer collapse") {
+    val fin = finalPlan("q276_rfm").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+    // base agg exchange + one cohort exchange + the dim-join's two
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 4,
+      fin.take(2000))
+    assert("Window".r.findAllIn(fin).size >= 3, fin.take(1500))
+  }
+  test("q277 topk other: rank window + OTHER re-collapse ride the " +
+    "grid collapse's partitioning — join-free, ≤2 exchanges") {
+    val fin = finalPlan("q277_topk_other").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q278 best split: grid collapse + cumulative/max windows + " +
+    "closing on one group partitioning — join-free") {
+    val fin = finalPlan("q278_best_split").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q274 bfs hops: frontier expansion is keyed equi-joins — " +
+    "no cartesian/nested-loop anywhere in the final assembly") {
+    val fin = finalPlan("q274_bfs_hops").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
 }

@@ -296,4 +296,28 @@ class GroupBySpec extends AnyFunSuite {
     assert(GroupBy.weightedMedian(df.limit(0), Seq("key"), "v", "w")
       .count() == 0)
   }
+
+  test("topKOther: top-k kept with ranks, tail collapses to OTHER " +
+    "with exact mass, measure-tie breaks on member") {
+    val df = Seq(("g", "a", 30.0), ("g", "b", 20.0), ("g", "c", 6.0),
+      ("g", "c", 4.0), ("g", "d", 5.0), ("g", "e", 1.0))
+      .toDF("k", "m", "x")
+    val out = GroupBy.topKOther(df, Seq("k"), "m", "x", k = 2)
+      .collect().map(r => r.getAs[String]("member") -> r).toMap
+    assert(out("a").getAs[Long]("rank") == 1L &&
+      out("a").getAs[Double]("measure") == 30.0)
+    assert(out("b").getAs[Long]("rank") == 2L)
+    // OTHER = c(10) + d(5) + e(1): mass and row count exact
+    assert(out("OTHER").getAs[Long]("rank") == 3L)
+    assert(out("OTHER").getAs[Double]("measure") == 16.0)
+    assert(out("OTHER").getAs[Long]("n_rows") == 4L)
+    assert(out.size == 3)
+    // tie on the measure: member ascending decides who makes the cut
+    val tie = Seq(("g", "x", 5.0), ("g", "y", 5.0), ("g", "z", 5.0))
+      .toDF("k", "m", "x")
+    val t = GroupBy.topKOther(tie, Seq("k"), "m", "x", k = 2)
+      .collect().map(r => r.getAs[String]("member") ->
+        r.getAs[Long]("rank")).toMap
+    assert(t == Map("x" -> 1L, "y" -> 2L, "OTHER" -> 3L))
+  }
 }

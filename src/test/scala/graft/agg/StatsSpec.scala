@@ -364,4 +364,106 @@ class StatsSpec extends AnyFunSuite {
     assert(r5.getAs[Long]("k") == 6L &&
       r5.isNullAt(r5.fieldIndex("q_hat")))
   }
+
+  test("rocAuc: perfect separation, midrank ties, missing-class null") {
+    // perfect: every positive above every negative
+    val perf = Seq(("g", 1.0, false), ("g", 2.0, false),
+      ("g", 3.0, true), ("g", 4.0, true)).toDF("g", "s", "y")
+    val rp = Stats.rocAuc(perf, Seq("g"), "s", "y").collect().head
+    assert(rp.getAs[Long]("n_pos") == 2L && rp.getAs[Long]("n_neg") == 2L)
+    assert(rp.getAs[Double]("auc") == 1.0)
+    // tie: pos {1,3}, neg {1,2} -> pairs 0.5+0+1+1 = 2.5/4
+    val tied = Seq(("g", 1.0, true), ("g", 3.0, true),
+      ("g", 1.0, false), ("g", 2.0, false)).toDF("g", "s", "y")
+    val rt = Stats.rocAuc(tied, Seq("g"), "s", "y").collect().head
+    assert(rt.getAs[Double]("auc") == 0.625)
+    // all one class -> null auc, counts still report
+    val one = Seq(("g", 1.0, true), ("g", 2.0, true)).toDF("g", "s", "y")
+    val ro = Stats.rocAuc(one, Seq("g"), "s", "y").collect().head
+    assert(ro.getAs[Long]("n_pos") == 2L && ro.isNullAt(ro.fieldIndex("auc")))
+  }
+
+  test("liftTable: perfect model gains, remainder buckets, boundary " +
+    "tie broken by id") {
+    // 10 rows, the 5 positives hold the top-5 scores, 5 buckets of 2
+    val rows = (1 to 10).map(i => ("g", (11 - i).toDouble, i <= 5, i.toLong))
+    val df = rows.toDF("g", "s", "y", "id")
+    val out = Stats.liftTable(df, Seq("g"), "s", "y", "id", buckets = 5)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out(1).getAs[Long]("n") == 2L && out(1).getAs[Long]("pos") == 2L)
+    assert(out(1).getAs[Double]("gain") == 0.4)
+    assert(out(1).getAs[Double]("lift") == 2.0)
+    assert(out(3).getAs[Long]("cum_pos") == 5L &&
+      out(3).getAs[Double]("gain") == 1.0)
+    assert(out(5).getAs[Double]("lift") == 1.0)
+    // n=7, k=3: remainder rows land in the FIRST bucket (sizes 3,2,2)
+    val df7 = (1 to 7).map(i => ("g", 1.0, i % 2 == 0, i.toLong))
+      .toDF("g", "s", "y", "id")
+    val sizes = Stats.liftTable(df7, Seq("g"), "s", "y", "id", buckets = 3)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n"))
+      .toMap
+    assert(sizes == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+    // all-tied scores: the id tie-break pins bucket membership — ids
+    // 1..3 (one positive: id 2) must land in bucket 1 deterministically
+    val b1pos = Stats.liftTable(df7, Seq("g"), "s", "y", "id", buckets = 3)
+      .collect().find(_.getAs[Long]("bucket") == 1L).get.getAs[Long]("pos")
+    assert(b1pos == 1L)
+  }
+
+  test("cramersV: perfect association = 1, independence = 0, " +
+    "degenerate single level -> null") {
+    // perfect 2x2: a determines b exactly -> chisq = n, V = 1
+    val perf = Seq(("g", "x", "p"), ("g", "x", "p"),
+      ("g", "y", "q"), ("g", "y", "q")).toDF("g", "a", "b")
+    val rp = Stats.cramersV(perf, Seq("g"), "a", "b").collect().head
+    assert(rp.getAs[Long]("n") == 4L && rp.getAs[Long]("r") == 2L)
+    assert(rp.getAs[Double]("chisq") == 4.0)
+    assert(rp.getAs[Double]("v") == 1.0)
+    // independence: uniform 2x2 -> chisq 0, V 0
+    val ind = Seq(("g", "x", "p"), ("g", "x", "q"),
+      ("g", "y", "p"), ("g", "y", "q")).toDF("g", "a", "b")
+    val ri = Stats.cramersV(ind, Seq("g"), "a", "b").collect().head
+    assert(ri.getAs[Double]("chisq") == 0.0 && ri.getAs[Double]("v") == 0.0)
+    // single b level: min(r,c)-1 = 0 -> null v, chisq still reports
+    val deg = Seq(("g", "x", "p"), ("g", "y", "p")).toDF("g", "a", "b")
+    val rd = Stats.cramersV(deg, Seq("g"), "a", "b").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("v")))
+  }
+
+  test("bestSplit: perfect split found, gain-tie picks the smallest " +
+    "threshold, degenerate groups null") {
+    // perfect: positives at v=1, negatives at v=2 -> split at 1, gain .5
+    val perf = Seq(("g", 1.0, true), ("g", 1.0, true),
+      ("g", 2.0, false), ("g", 2.0, false)).toDF("g", "v", "y")
+    val rp = Stats.bestSplit(perf, Seq("g"), "v", "y").collect().head
+    assert(rp.getAs[Double]("best_threshold") == 1.0)
+    assert(rp.getAs[Double]("best_gain") == 0.5)
+    // symmetric data: thresholds 1 and 3 tie exactly -> smallest wins
+    val sym = Seq(("g", 1.0, true), ("g", 2.0, false),
+      ("g", 3.0, false), ("g", 4.0, true)).toDF("g", "v", "y")
+    val rs = Stats.bestSplit(sym, Seq("g"), "v", "y").collect().head
+    assert(rs.getAs[Double]("best_threshold") == 1.0)
+    assert(math.abs(rs.getAs[Double]("best_gain") - 1.0 / 6.0) < 1e-12)
+    // one class / one distinct value -> nulls, counts still report
+    val onec = Seq(("g", 1.0, true), ("g", 2.0, true)).toDF("g", "v", "y")
+    val rc = Stats.bestSplit(onec, Seq("g"), "v", "y").collect().head
+    assert(rc.getAs[Long]("n") == 2L &&
+      rc.isNullAt(rc.fieldIndex("best_threshold")))
+    val onev = Seq(("g", 1.0, true), ("g", 1.0, false)).toDF("g", "v", "y")
+    val rv = Stats.bestSplit(onev, Seq("g"), "v", "y").collect().head
+    assert(rv.isNullAt(rv.fieldIndex("best_gain")))
+  }
+
+  test("leakageScan: label-copy feature flags V=1, constant feature " +
+    "null, independent feature 0 — one row per feature") {
+    val df = Seq(("p", "p", "k", "x"), ("p", "p", "k", "y"),
+      ("q", "q", "k", "x"), ("q", "q", "k", "y"))
+      .toDF("label", "leaky", "const", "indep")
+    val out = Stats.leakageScan(df, Seq("leaky", "const", "indep"),
+      "label").collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(out.size == 3)
+    assert(out("leaky").getAs[Double]("v") == 1.0)
+    assert(out("const").isNullAt(out("const").fieldIndex("v")))
+    assert(out("indep").getAs[Double]("v") == 0.0)
+  }
 }

@@ -99,4 +99,29 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(messy, k = 2).count() == 3)
     assert(Graph.kCore(edges.limit(0), k = 2).count() == 0)
   }
+
+  test("bfsHops: min hop distance from seeds, hop cap, undirected, " +
+    "off-graph seeds, early exit on empty frontier") {
+    // path 1-2-3-4-5 + shortcut 1-4: distances from {1} are
+    // 1:0, 2:1, 4:1, 3:2, 5:2 (the shortcut beats the long path)
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (1, 4)).toDF("u", "v")
+    val seeds1 = Seq(1).toDF("vertex")
+    val out = Graph.bfsHops(edges, seeds1, maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 0L, 2 -> 1L, 4 -> 1L, 3 -> 2L, 5 -> 2L))
+    // hop cap: maxHops = 1 keeps only the seeds' direct neighbors
+    val capped = Graph.bfsHops(edges, seeds1, maxHops = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1 -> 0L, 2 -> 1L, 4 -> 1L))
+    // a seed absent from the edge set still reports at hop 0 and the
+    // disconnected component stays unreached (early frontier exit)
+    val far = Graph.bfsHops(Seq((1, 2), (8, 9)).toDF("u", "v"),
+      Seq(1, 99).toDF("vertex"), maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(far == Map(1 -> 0L, 99 -> 0L, 2 -> 1L))
+    // multi-source: min over seeds, not per-seed rows
+    val multi = Graph.bfsHops(edges, Seq(1, 5).toDF("vertex"), maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1 -> 0L, 5 -> 0L, 2 -> 1L, 4 -> 1L, 3 -> 2L))
+  }
 }

@@ -39,6 +39,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.resampleFill(df, Seq("k"), "ts", "v", "hour").count() == 0)
   }
 
+  test("interpolateAt: straight line across gaps, exact at " +
+    "observations, null outside the observed span") {
+    val df = Seq(
+      ("a", ts("2024-01-01 01:10:00"), 10.0),
+      ("a", ts("2024-01-01 04:05:00"), 40.0),  // 3-hour gap: 2 missing
+      ("a", ts("2024-01-01 05:30:00"), 10.0),
+      ("b", ts("2024-01-01 09:30:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.interpolateAt(df, Seq("k"), "ts", "v", "hour")
+      .orderBy("k", "bucket").collect()
+    val a = out.filter(_.getString(0) == "a")
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    // hours 01..05: 10, 20, 30, 40, 10 — linear between 10@01 and 40@04
+    assert(a.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0),
+      Some(40.0), Some(10.0)))
+    // single observation: exact value, nothing to interpolate
+    assert(out.filter(_.getString(0) == "b")
+      .map(r => r.getDouble(3)).toSeq == Seq(7.0))
+  }
+
+  test("funnelLatency: exact median per adjacent pair, incomplete " +
+    "actors excluded from later pairs") {
+    def actor(id: Long, vs: Int, cs: Int, ps: Int) = Seq(
+      (id, ts(f"2024-01-01 00:00:$vs%02d"), "view"),
+      (id, ts(f"2024-01-01 00:00:$cs%02d"), "click"),
+      (id, ts(f"2024-01-01 00:01:$ps%02d"), "purchase"))
+    // view->click latencies 10, 20, 30 -> median 20; click->purchase
+    // only for the two who purchased: 50-ish values
+    val rows = actor(1, 0, 10, 0) ++ actor(2, 0, 20, 10) ++
+      Seq((3L, ts("2024-01-01 00:00:00"), "view"),
+        (3L, ts("2024-01-01 00:00:30"), "click"))
+    val out = TimeSeries.funnelLatency(rows.toDF("a", "t", "e"),
+      "a", "t", "e", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+    val vc = out("view_to_click")
+    assert(vc.getAs[Long]("n") == 3L)
+    assert(vc.getAs[Double]("wmedian") == 20.0)
+    val cp = out("click_to_purchase")
+    // actor1: 60-10=50s, actor2: 70-20=50s; actor3 never purchased
+    assert(cp.getAs[Long]("n") == 2L)
+    assert(cp.getAs[Double]("wmedian") == 50.0)
+  }
+
   test("funnel: ordered steps, out-of-order events do not count") {
     val df = Seq(
       // full conversion

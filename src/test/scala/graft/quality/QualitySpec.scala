@@ -208,4 +208,36 @@ class QualitySpec extends AnyFunSuite {
         r.getAs[Double]("n_noisy")).toMap
     assert(math.abs((r4("a") - 100.0) - 2.0 * (r2("a") - 100.0)) < 1e-9)
   }
+  test("tableFingerprint: order/partitioning-invariant, row-change " +
+    "sensitive, null distinct from empty string") {
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "s1", "s2")
+    def sig(d: org.apache.spark.sql.DataFrame) = {
+      val r = Quality.tableFingerprint(d, Nil, Seq("id", "s1", "s2"))
+        .collect().head
+      (r.getAs[Long]("n"), r.getAs[Long]("xor_sig"),
+        r.getAs[Long]("sum_sig"), r.getAs[Long]("min_sig"),
+        r.getAs[Long]("max_sig"))
+    }
+    val base = sig(df)
+    assert(base._1 == 3L)
+    // any row order / partition count yields the identical fingerprint
+    assert(sig(df.orderBy(org.apache.spark.sql.functions.col("s1").desc)
+      .repartition(7)) == base)
+    assert(sig(df.repartition(1)) == base)
+    // one changed cell flips the signature
+    val changed = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "Z"))
+      .toDF("id", "s1", "s2")
+    assert(sig(changed) != base)
+    // null and empty string canonicalize differently
+    val withNull = Seq((1L, null.asInstanceOf[String], "x"))
+      .toDF("id", "s1", "s2")
+    val withEmpty = Seq((1L, "", "x")).toDF("id", "s1", "s2")
+    assert(sig(withNull) != sig(withEmpty))
+    // grouped form: per-key rows
+    val g = Quality.tableFingerprint(
+      df.withColumn("k", org.apache.spark.sql.functions.expr("id % 2")),
+      Seq("k"), Seq("id", "s1")).collect()
+    assert(g.length == 2)
+  }
 }
