@@ -7791,9 +7791,9 @@ object SparkEntry {
         |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
         |      OVER wf AS ft
         |  FROM u
-        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, rid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |  wf AS (PARTITION BY user_id ORDER BY t, side
+        |  wf AS (PARTITION BY user_id ORDER BY t, side, rid
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
         |p AS (SELECT *, (bid IS NOT NULL AND
         |    (fid IS NULL OR t - bt <= ft - t)) AS pickb FROM w)
@@ -7945,7 +7945,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |x AS (SELECT *,
         |    CAST(('0x' || substr(md5(coalesce(CAST(event_type AS VARCHAR),
-        |      ' ') || 'dp1'), 1, 8))::BIGINT AS DOUBLE) /
+        |      chr(1)) || 'dp1'), 1, 8))::BIGINT AS DOUBLE) /
         |      CAST(4294967296 AS DOUBLE) AS u
         |  FROM m),
         |y AS (SELECT event_type, n, u,
@@ -7966,7 +7966,8 @@ object SparkEntry {
         |    event_type || ' user=' || CAST(user_id AS VARCHAR) ||
         |    ' val=' || CAST(value AS VARCHAR) || ' ' ||
         |    coalesce(props, '{}') AS msg
-        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL)
         |SELECT regexp_replace(regexp_replace(msg, '[0-9a-f]{8,}', '<H>',
         |    'g'), '[0-9]+', '<N>', 'g') AS template,
         |  CAST(count(*) AS BIGINT) AS n_messages,
@@ -8026,8 +8027,8 @@ object SparkEntry {
         |    CAST(CAST(syy0 - (syy0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS syy
         |  FROM m),
         |v AS (SELECT *, syd / sxd AS r FROM c),
-        |z AS (SELECT *, syy - CAST(2 AS DOUBLE) * r * sxy + r * r * sxx
-        |      AS rss FROM v),
+        |z AS (SELECT *, greatest(syy - CAST(2 AS DOUBLE) * r * sxy +
+        |      r * r * sxx, CAST(0 AS DOUBLE)) AS rss FROM v),
         |s AS (SELECT *, sqrt(nd / (nd - CAST(1 AS DOUBLE)) * rss) / sxd
         |      AS se FROM z)
         |SELECT l_returnflag, n, syd AS sum_num, sxd AS sum_den,

@@ -933,7 +933,10 @@ object Stats {
     val sxy = snap(col("__sxy")); val sxx = snap(col("__sxx"))
     val syy = snap(col("__syy"))
     val r = sy / sx
-    val rss = syy - lit(2.0) * r * sxy + r * r * sxx
+    // clamp at 0: the snapped moments are truncated INDEPENDENTLY, so
+    // for exactly proportional data (y = r·x) the identity can close
+    // epsilon-negative and sqrt would emit NaN instead of ~0
+    val rss = greatest(syy - lit(2.0) * r * sxy + r * r * sxx, lit(0.0))
     val se = sqrt(n / (n - lit(1.0)) * rss) / sx
     val ok = col("n") >= 2 && sx > 0.0
     m.select(keys.map(col) ++ Seq(col("n"),

@@ -205,15 +205,29 @@ object Joins {
         col(rightTime).as("__t") :+ lit(0).as("__side") :+
         struct(rightPayload.map(col): _*).as("__r")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // `__r` in the ordering is the deterministic tie-break among right
+    // rows sharing (key, time): backward takes the LARGEST payload
+    // struct at the latest time ≤ t, forward the SMALLEST strictly
+    // after — same pick under any partitioning or engine (left rows
+    // carry null __r and never influence each other's frames).
     val ord = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__r"))
     val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward candidate via a RUNNING frame over the DESCENDING order —
+    // ≡ first(...) over (currentRow → unboundedFollowing) but O(n) per
+    // partition instead of Spark's O(n²)
+    // UnboundedFollowingWindowFunctionFrame; right rows at equal time
+    // sort desc-after left rows, so they stay out of the forward frame
+    // (they land in the backward frame, where their distance-0 match
+    // wins anyway). One extra partition-local sort, same key exchange.
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").desc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rtDt = right.schema(rightTime).dataType
     val ltDt = left.schema(leftTime).dataType
     val cand = unioned
       .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
-      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))
       .filter(col("__side") === 1)
     val tl = asLong(col("__t"), ltDt)
     val dB = tl - asLong(col(s"__b.$rightTime"), rtDt)

@@ -28,12 +28,15 @@ object Attribution {
    * the same bits.
    *
    * Scale posture: one key-equi join (touch streams and conversion
-   * streams both partition by the key), range predicate applied as a
-   * post-join filter — per-key blow-up is bounded by touches within
-   * the lookback window, the quantity a caller already controls with
-   * `windowMicros`. The per-conversion count/rank windows ride ONE
-   * conv-keyed exchange. Hot keys (bot users) ride AQE skew handling;
-   * cap their touch volume upstream if a key's window exceeds a task.
+   * streams both partition by the key) with the range predicate IN
+   * the join condition — the probe emits only touches inside the
+   * lookback window, so per-key intermediate size is bounded by
+   * in-window touches (the quantity a caller already controls with
+   * `windowMicros`), never conversions × all touches. Touchless
+   * conversions ride the same left join's null extension — no second
+   * pass. The per-conversion count/rank windows ride ONE conv-keyed
+   * exchange. Hot keys (bot users) ride AQE skew handling; cap their
+   * touch volume upstream if a key's window exceeds a task.
    */
   def attribute(touches: DataFrame, conversions: DataFrame,
                 keys: Seq[String], touchId: String, touchTime: String,
@@ -47,34 +50,41 @@ object Attribution {
       col(convId).as("conv_id") :+
       col(convValue).as("conv_value") :+
       unix_micros(col(convTime)).as("__ct"): _*)
-    val joined = c.join(t, keys, "left")
-      .withColumn("__hit",
-        col("__tt").isNotNull && col("__tt") < col("__ct") &&
-          col("__tt") >= col("__ct") - lit(windowMicros))
+    // the range lives IN the join condition: the probe never emits a
+    // (conversion, touch) pair outside the lookback window, and the
+    // left join's null extension IS the touchless-conversion row —
+    // one equi-join on the keys, zero post-join blow-up
+    val ta = t.alias("__t"); val ca = c.alias("__c")
+    val cond = keys.map(k => col(s"__c.$k") === col(s"__t.$k"))
+      .reduce(_ && _) &&
+      col("__t.__tt") < col("__c.__ct") &&
+      col("__t.__tt") >= col("__c.__ct") - lit(windowMicros)
+    val joined = ca.join(ta, cond, "left")
+      .select(keys.map(k => col(s"__c.$k")) ++ Seq(
+        col("conv_id"), col("conv_value"), col("__ct"),
+        col("touch_id"), col("__tt")): _*)
+    val hit = col("touch_id").isNotNull
     val wc = Window.partitionBy(col("conv_id"))
-    // hits rank first in both directions, so rank 1 is the earliest /
-    // latest HIT when any exists (and a deterministic placeholder row
-    // when none does); the tie chain ends in the unique touch id
-    val wAsc = wc.orderBy(col("__hit").desc,
-      col("__tt").asc_nulls_last, col("touch_id").asc_nulls_last)
-    val wDesc = wc.orderBy(col("__hit").desc,
-      col("__tt").desc_nulls_last, col("touch_id").desc_nulls_last)
-    val n = sum(when(col("__hit"), 1L).otherwise(0L)).over(wc)
-    // keep matched touches, plus ONE row for touchless conversions
+    // rank 1 is the earliest / latest hit; the tie chain ends in the
+    // unique touch id (the null-extension row is alone in its group)
+    val wAsc = wc.orderBy(col("__tt").asc_nulls_last,
+      col("touch_id").asc_nulls_last)
+    val wDesc = wc.orderBy(col("__tt").desc_nulls_last,
+      col("touch_id").desc_nulls_last)
+    val n = sum(when(hit, 1L).otherwise(0L)).over(wc)
     joined
       .withColumn("__n", n)
       .withColumn("__rka",
         row_number().over(wAsc))
       .withColumn("__rkd",
         row_number().over(wDesc))
-      .filter(col("__hit") || (col("__n") === 0 && col("__rka") === 1))
       .select(keys.map(col) ++ Seq(
         col("conv_id"), col("conv_value"),
-        when(col("__hit"), col("touch_id")).as("touch_id"),
+        col("touch_id"),
         col("__n").as("n_touch"),
-        when(col("__hit"), col("__rka") === 1).as("is_first"),
-        when(col("__hit"), col("__rkd") === 1).as("is_last"),
-        when(col("__hit"),
+        when(hit, col("__rka") === 1).as("is_first"),
+        when(hit, col("__rkd") === 1).as("is_last"),
+        when(hit,
           lit(1.0) / col("__n").cast("double")).as("w_linear")): _*)
   }
 }

@@ -97,7 +97,9 @@ object TimeSeries {
    *
    * Scale posture: identical to [[resampleFill]] — ONE key shuffle
    * serves the bucket agg, span agg, axis join and BOTH directional
-   * windows (same partitioning, two frame specs); axis length is
+   * windows (same partitioning; the forward pass is a linear running
+   * frame over the descending order, one extra partition-local sort,
+   * never the O(k²) unbounded-following frame); axis length is
    * span/unit-bounded, not event-bounded.
    */
   def interpolateAt(df: DataFrame, keys: Seq[String], tsCol: String,
@@ -115,14 +117,22 @@ object TimeSeries {
         expr(s"interval 1 $unit"))).as("bucket"): _*)
     val ord = Window.partitionBy(kc: _*).orderBy(col("bucket"))
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward pass is a RUNNING frame over the DESCENDING bucket
+    // order — semantically identical to first(...) over (currentRow →
+    // unboundedFollowing) because the grid has one row per bucket, but
+    // O(k) per key instead of Spark's O(k²)
+    // UnboundedFollowingWindowFunctionFrame, which re-evaluates the
+    // aggregate from scratch at every row. Costs one extra partition-
+    // local sort on the SAME key exchange; no extra shuffle.
+    val fwd = Window.partitionBy(kc: _*).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = axis.join(obs, keys :+ "bucket", "left")
       .withColumn("__rn", row_number().over(ord))
       .withColumn("__pv", last(col("v"), ignoreNulls = true).over(back))
       .withColumn("__pi", last(when(col("v").isNotNull, col("__rn")),
         ignoreNulls = true).over(back))
-      .withColumn("__nv", first(col("v"), ignoreNulls = true).over(fwd))
-      .withColumn("__ni", first(when(col("v").isNotNull, col("__rn")),
+      .withColumn("__nv", last(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("__ni", last(when(col("v").isNotNull, col("__rn")),
         ignoreNulls = true).over(fwd))
     val frac = (col("__rn") - col("__pi")).cast("double") /
       (col("__ni") - col("__pi")).cast("double")

@@ -769,6 +769,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct") &&
       !fin.contains("BroadcastNestedLoop"), fin.take(1500))
     assert(fin.contains("Window"), fin.take(1500))
+    // the lookback range must sit IN the join condition (probe-time
+    // filter), never as a post-join Filter — otherwise the join emits
+    // conversions × ALL touches per key before pruning
+    assert(fin.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("__tt") && l.contains("__ct")),
+      fin.take(2000))
   }
 
   test("q243/q244 series ops: join-free window chains") {
@@ -845,6 +851,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("Window"), fin.take(1200))
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
+    // the forward candidate must ride a RUNNING frame over the
+    // descending order — Spark's currentRow→unboundedFollowing frame
+    // re-evaluates per row (O(n²) per partition, the r12 q275 defect
+    // class); whole-partition unbounded/unbounded frames stay legal
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
   }
   test("q256/q258 encoders: grid fit comes back BROADCAST (no " +
     "corpus-sized shuffle join)") {
@@ -969,6 +981,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("Window [") ||
       !fin.contains("windowspecdefinition()"), fin.take(1500))
     assert(fin.contains("Window"), fin.take(1200))
+    // the forward lerp pass must be the linear descending RUNNING
+    // frame, never Spark's O(k²) currentRow→unboundedFollowing frame
+    // (the r12 29.7 s serial-execution defect)
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
+  test("q279 leakage scan: melt generator feeds ONE scan; grid joins " +
+    "all broadcast — no corpus-sized shuffle join, no cartesian") {
+    val fin = finalPlan("q279_leakage_scan").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+  }
+  test("q280 funnel latency: funnel windows + stack generator + " +
+    "median grid are JOIN-FREE on one scan; no quadratic frame") {
+    val fin = finalPlan("q280_funnel_latency").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
   }
   test("q276 rfm: all three score windows share the ONE cohort " +
     "exchange after the per-customer collapse") {
