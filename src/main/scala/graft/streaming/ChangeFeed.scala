@@ -191,7 +191,16 @@ object ChangeFeed {
     def bucketGenPath(b: Int, g: Int): Path =
       new Path(bucketsRoot, s"b$b/gen_$g")
 
-    val applyBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val applyBatch: (DataFrame, Long) => Unit = { (batch0, batchId) =>
+      // the delta feeds THREE actions (emptiness probe, touched-bucket
+      // distinct, the merge write) — without a persist each one
+      // re-reads the source files, tripling per-trigger delta IO
+      // (r13 listener measurement: numInputRows = 2× the file size
+      // on the two post-probe actions). Delta size is trigger-bounded;
+      // spill covers the rest.
+      val batch = batch0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       if (!batch.isEmpty) {
         val sp = batch.sparkSession
         // latest change per key WITHIN the batch; version uniqueness is
@@ -269,6 +278,7 @@ object ChangeFeed {
           m.close()
         }
       }
+      } finally batch.unpersist(false)
     }
 
     Streaming.withConf(spark, "spark.sql.shuffle.partitions",
