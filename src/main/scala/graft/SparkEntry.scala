@@ -3703,6 +3703,58 @@ object SparkEntry {
       graft.ops.TimeSeries.funnelLatency(t(s, dir, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
 
+    // ---- SPC: per-user one-sided CUSUM change-point statistic —
+    //      the max(0, S+(x−μ₀−k)) recurrence as two LINEAR windows
+    //      via S = P − min(prefix P) ----
+    "q281_cusum" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusum(t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "value",
+        target = 50.0, slack = 0.0, threshold = 100.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("cusum"), col("alarm"))),
+
+    // ---- ML prep: deterministic stratified k-fold assignment —
+    //      exact class balance, reproducible without an assignment
+    //      table ----
+    "q282_kfold" -> ((s, dir) =>
+      graft.ops.Encode.kFoldAssign(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderkey", k = 5)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("fold"))),
+
+    // ---- join: interval-OVERLAP equi-binned self-join — which line
+    //      items of the same order were in transit simultaneously
+    //      (ship→receipt windows overlapping), each pair once ----
+    "q283_overlap_join" -> ((s, dir) => {
+      // in-transit window: ship date + quantity days (the schema has
+      // no receipt date; quantity is integral, so the cast is exact)
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").isNotNull &&
+          col("l_quantity").isNotNull)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("lid"),
+          unix_date(col("l_shipdate").cast("date")).cast("long").as("lo"),
+          (unix_date(col("l_shipdate").cast("date")).cast("long") +
+            col("l_quantity").cast("long")).as("hi"))
+      graft.join.Joins.overlapJoin(l, l, Seq("l_orderkey"),
+          "lo", "hi", binWidth = 7.0)
+        .filter(col("lid") < col("r_lid"))
+    }),
+
+    // ---- ops diagnostics: key-skew profile — top-k heavy values
+    //      per candidate join/groupBy key with exact shares ----
+    "q284_skew_profile" -> ((s, dir) =>
+      Quality.skewProfile(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey"), k = 10)),
+
+    // ---- harmonization: quantile normalization across event-type
+    //      slices — every slice forced onto the cross-slice
+    //      reference distribution, internal ranking preserved ----
+    "q285_quantile_normalize" -> ((s, dir) =>
+      graft.ops.Encode.quantileNormalize(t(s, dir, "events"),
+        "event_type", "value", "event_id")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_qn"))),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -8415,6 +8467,92 @@ object SparkEntry {
         |SELECT pair, max(n) AS n, max(tot) AS total_weight,
         |  CAST(min(v) AS DOUBLE) AS wmedian
         |FROM c2 WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
+
+    // the same prefix-sum identity S = P - min(prefix P, 0), carried
+    // in exact BIGINT cents (DuckDB's WINDOWED decimal sum routes
+    // through double — measured 0.049999... vs the engine's exact
+    // 0.05 — so integer cents are the exact carrier; the closing
+    // /100.0 and the decimal→double cast round the same rational to
+    // the same nearest double); (ts, event_id) total order
+    "q281_cusum" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS xc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |p AS (SELECT user_id, ts, event_id, xc,
+        |    CAST(sum(xc - 5000) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pp FROM e),
+        |m AS (SELECT *, least(min(pp) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      CAST(0 AS BIGINT)) AS mm FROM p)
+        |SELECT user_id, event_id,
+        |  CAST(xc AS DOUBLE) / 100.0 AS value,
+        |  CAST(pp - mm AS DOUBLE) / 100.0 AS cusum,
+        |  (pp - mm) > 10000 AS alarm
+        |FROM m""".stripMargin,
+
+    // same rank-mod-k on the same (stratum, orderkey) total order
+    "q282_kfold" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST((row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey) - 1) % 5 AS INT) AS fold
+        |FROM orders""".stripMargin,
+
+    // quadratic per-order self-join is the oracle; the engine's
+    // binned equi-join must emit the identical pair set
+    "q283_overlap_join" ->
+      """WITH l AS (SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT)
+        |    AS lid,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lo,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      + CAST(l_quantity AS BIGINT) AS hi
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL)
+        |SELECT a.k AS l_orderkey, a.lid AS lid, a.lo AS lo, a.hi AS hi,
+        |  b.lid AS r_lid, b.lo AS r_lo, b.hi AS r_hi
+        |FROM l a JOIN l b ON a.k = b.k AND a.lid < b.lid
+        |  AND a.lo <= b.hi AND b.lo <= a.hi""".stripMargin,
+
+    // same melt → grid → rank-with-value-tie-break → totals join
+    "q284_skew_profile" ->
+      """WITH m AS (
+        |  SELECT 'l_returnflag' AS "column",
+        |      CAST(l_returnflag AS VARCHAR) AS value
+        |    FROM lineitem WHERE l_returnflag IS NOT NULL
+        |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+        |    FROM lineitem WHERE l_linestatus IS NOT NULL
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+        |    FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |g AS (SELECT "column", value, CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2),
+        |t AS (SELECT "column", CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_distinct FROM g GROUP BY 1),
+        |r AS (SELECT g.*, row_number() OVER (PARTITION BY "column"
+        |    ORDER BY n DESC, value ASC) AS rank FROM g)
+        |SELECT r."column", r.value, r.n, CAST(r.rank AS INT) AS rank,
+        |  CAST(r.n AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS share,
+        |  t.n_rows, t.n_distinct
+        |FROM r JOIN t ON r."column" = t."column" WHERE r.rank <= 10""".stripMargin,
+
+    // ranks on the (value-9-grid, event_id) total order; each rank's
+    // reference = exact decimal mean over slices that have the rank
+    "q285_quantile_normalize" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    CAST(round(CAST(value AS DOUBLE), 9) AS DECIMAL(18,9)) AS y,
+        |    (event_type IS NOT NULL AND value IS NOT NULL) AS ok
+        |  FROM events),
+        |r AS (SELECT *, CASE WHEN ok THEN row_number() OVER
+        |    (PARTITION BY CASE WHEN ok THEN event_type END
+        |     ORDER BY y ASC, event_id ASC) END AS rk FROM b),
+        |ref AS (SELECT rk, CAST(sum(y) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS refv
+        |  FROM r WHERE rk IS NOT NULL GROUP BY 1)
+        |SELECT r.event_id, r.event_type, r.value, ref.refv AS value_qn
+        |FROM r LEFT JOIN ref ON r.rk = ref.rk""".stripMargin,
 
     // BFS distance as min over the depth-bounded reachability CTE
     // (UNION-dedup keeps states finite); same co-purchase edge set

@@ -288,4 +288,50 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /**
+   * Interval-OVERLAP equi-binned join: pairs of left/right intervals
+   * of the same key with `l.lo ≤ r.hi AND r.lo ≤ l.hi` — the
+   * interval × interval sibling of [[rangeJoin]]'s point × interval,
+   * and the shape Spark would otherwise plan as a per-key nested
+   * loop. Both sides explode into every `binWidth` bin they cover,
+   * the join is an EQUI-join on (keys…, bin), and each qualifying
+   * pair is EMITTED EXACTLY ONCE — counted only in the bin holding
+   * `max(l.lo, r.lo)`, the first bin where both intervals are live —
+   * so no distinct/dedup pass ever runs (dedup on the pair product
+   * would be a second corpus-sized shuffle).
+   *
+   * Columns from `right` that collide with `left` come back
+   * `<prefix>`-renamed. Bins are computed with floor division on the
+   * RAW numeric columns (cast to double for binning only; the exact
+   * overlap predicate runs on the original values).
+   *
+   * Scale posture: one (keys, bin) equi-exchange; interval replication
+   * = span/binWidth per row (caller-bounded — pick binWidth near the
+   * typical interval length); candidate blow-up per (key, bin) is
+   * bounded by in-bin interval density, never |left| × |right| per
+   * key. Hot bins ride AQE skew splitting.
+   */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  loCol: String, hiCol: String, binWidth: Double,
+                  prefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(keys.nonEmpty, "overlapJoin needs at least one key column")
+    def bin(c: Column): Column =
+      floor(c.cast("double") / binWidth).cast("long")
+    val r = right.columns.foldLeft(right) { (df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, s"$prefix$c")
+    }
+    val (rlo, rhi) = (s"$prefix$loCol", s"$prefix$hiCol")
+    val lx = left.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .withColumn("__bin",
+        explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    val rx = r.filter(col(rlo).isNotNull && col(rhi).isNotNull)
+      .withColumn("__bin",
+        explode(sequence(bin(col(rlo)), bin(col(rhi)))))
+    lx.join(rx, keys :+ "__bin")
+      .filter(col(loCol) <= col(rhi) && col(rlo) <= col(hiCol) &&
+        col("__bin") === bin(greatest(col(loCol), col(rlo))))
+      .drop("__bin")
+  }
 }

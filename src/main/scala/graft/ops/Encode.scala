@@ -98,4 +98,83 @@ object Encode {
       .withColumn(out, col("__idx"))
       .drop("__cat", "__idx")
   }
+
+  /**
+   * Deterministic STRATIFIED k-fold assignment: within each stratum,
+   * rows rank by `idCol` (a total order when ids are unique — the
+   * q207 discipline) and fold `(rank − 1) mod k` — every stratum
+   * splits ⌊n/k⌋-or-⌈n/k⌉ per fold, so class balance survives the
+   * split exactly (the property random assignment only has in
+   * expectation), and the SAME input always yields the SAME folds:
+   * reproducible CV without storing an assignment table.
+   *
+   * Rows with a null stratum form their own stratum (they still need
+   * a fold); a null id would break the total order — require it.
+   *
+   * Output: input columns + `outCol` (int in [0, k)).
+   *
+   * Scale posture: one stratum exchange carries the rank window;
+   * nothing else. No join, no grid, no collect.
+   */
+  def kFoldAssign(df: DataFrame, strataCols: Seq[String], idCol: String,
+                  k: Int, out: String = "fold"): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col(idCol))
+    df.withColumn(out,
+      ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
+  /**
+   * Quantile normalization across slices: each slice's r-th smallest
+   * value is replaced by the MEAN of the r-th smallest values over
+   * ALL slices — forcing every slice onto one reference distribution
+   * while preserving each slice's internal ranking (the
+   * batch-effect-removal standard from bioinformatics, equally at
+   * home harmonizing per-source score scales before training-data
+   * mixing).
+   *
+   * Unequal slice sizes: rank r's reference is the mean over the
+   * slices that HAVE an r-th element — deterministic and exact,
+   * reducing to classic quantile normalization when sizes match.
+   * Ties within a slice break by `idCol` (total order), matching the
+   * rank they'd have in any engine.
+   *
+   * Engine-exact: values snap to the 10⁻⁹ grid; each rank's reference
+   * mean is an exact decimal sum / count with ONE closing double
+   * division. Null value/slice rows pass through with a null output.
+   *
+   * Output: input columns + `outCol` (double).
+   *
+   * Scale posture: one slice exchange for the rank window; the rank
+   * grid (max slice length × 1 row) collapses map-side and comes
+   * back as an equi-join keyed on rank — Spark plans it
+   * broadcast when the grid is small and sort-merge when a slice is
+   * genuinely huge; either way it is rank-keyed, never row-keyed.
+   */
+  def quantileNormalize(df: DataFrame, sliceCol: String, valueCol: String,
+                        idCol: String, out: String = "value_qn")
+  : DataFrame = {
+    val ok = col(sliceCol).isNotNull && col(valueCol).isNotNull
+    val y = round(col(valueCol).cast("double"), 9).cast("decimal(18,9)")
+    // not-ok rows all land in the when()-null partition, so they can
+    // never occupy (and shift) a real slice's ranks
+    val w = Window.partitionBy(when(ok, col(sliceCol)))
+      .orderBy(y.asc, col(idCol).asc)
+    // the ranked frame feeds TWO consumers (the reference aggregate
+    // and the join-back); without materialization each branch re-runs
+    // the corpus-wide rank window — the resampleFill double-consumer
+    // trade, settled the same way: lazy localCheckpoint = one window
+    // pass + a local spill, instead of 2× (scan + exchange + sort)
+    val ranked = df.withColumn("__r",
+      when(ok, row_number().over(w)))
+      .localCheckpoint(false)
+    val ref = ranked.filter(col("__r").isNotNull)
+      .groupBy(col("__r").as("__rr"))
+      .agg((sum(y).cast("double") / count(lit(1)).cast("double"))
+        .as("__ref"))
+    ranked.join(ref, ranked("__r") === ref("__rr"), "left")
+      .withColumn(out, col("__ref"))
+      .drop("__r", "__rr", "__ref")
+  }
 }

@@ -803,4 +803,55 @@ object Quality {
         min(col("__h")).as("min_sig"),
         max(col("__h")).as("max_sig"))
   }
+
+  /**
+   * Key-skew profile: for each candidate key column, the top-k
+   * heaviest values with their row share — the pre-flight diagnostic
+   * for "will this column shuffle evenly as a join/groupBy key at
+   * 1000 executors, or does one value own half the table?". Per
+   * column it also carries `n_rows` (non-null) and `n_distinct`, so
+   * `share · n_distinct` reads directly as the skew factor vs a
+   * uniform key (1 = perfectly even).
+   *
+   * Values profile as strings (one melt over any column types); nulls
+   * are excluded from the profile (they'd join/group into their own
+   * stream anyway — [[kAnonymity]] territory, not skew). Ranks break
+   * ties by value ASC (total order); `share` is one pinned IEEE
+   * division per emitted row.
+   *
+   * Output: (column, value, n, rank, share, n_rows, n_distinct) —
+   * k rows per profiled column (fewer when the column has fewer
+   * distinct values).
+   *
+   * Scale posture: ONE scan feeds the melt generator; the (column,
+   * value) collapse is map-side combined; the rank cut collapses via
+   * WindowGroupLimit on the per-column exchange; the per-column
+   * totals ride the SAME collapsed grid (a second aggregation over
+   * |distinct values| rows, not the corpus). Nothing row-sized
+   * crosses the wire twice.
+   */
+  def skewProfile(df: DataFrame, cols: Seq[String], k: Int = 10)
+  : DataFrame = {
+    require(cols.nonEmpty, "skewProfile needs columns")
+    require(k > 0, s"k must be positive, got $k")
+    val melted = graft.ops.Transforms.melt(df, Nil, cols,
+        varName = "column", valueName = "value", valueType = "string")
+      .filter(col("value").isNotNull)
+    val grid = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val totals = grid.groupBy(col("column"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value").asc)
+    grid.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(totals, Seq("column"))
+      .withColumn("share",
+        col("n").cast("double") / col("n_rows").cast("double"))
+      .select(col("column"), col("value"), col("n"), col("rank"),
+        col("share"), col("n_rows"), col("n_distinct"))
+  }
 }

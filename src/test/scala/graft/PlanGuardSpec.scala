@@ -1037,4 +1037,47 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"), fin.take(1500))
     assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
   }
+  test("q281 cusum: both running frames ride ONE key exchange — " +
+    "join-free, no quadratic frame") {
+    val fin = finalPlan("q281_cusum").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert("Window \\[".r.findAllIn(fin).size >= 2, fin.take(1500))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
+  test("q282 kfold: one stratum exchange, one rank window, nothing else") {
+    val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q283 overlap join: binned EQUI-join — never a per-key " +
+    "nested loop or cartesian") {
+    val fin = finalPlan("q283_overlap_join").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("HashJoin") || fin.contains("SortMergeJoin"),
+      fin.take(1500))
+  }
+  test("q284 skew profile: checkpointed grid feeds rank and totals " +
+    "(no second corpus pass); rank cut collapses via WindowGroupLimit") {
+    val fin = finalPlan("q284_skew_profile").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+    assert(fin.contains("WindowGroupLimit"), fin.take(1500))
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+  }
+  test("q285 quantile normalize: ONE rank-window pass (checkpointed " +
+    "for both consumers), rank-keyed join back") {
+    val fin = finalPlan("q285_quantile_normalize")
+      .split("== Initial Plan ==")(0)
+    // the window computes BEFORE the checkpoint; neither consumer may
+    // re-run it — the final plan holds zero Window nodes and no
+    // parquet re-scan
+    assert(!fin.contains("Window ["), fin.take(1500))
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
 }

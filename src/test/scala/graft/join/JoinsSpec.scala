@@ -220,4 +220,38 @@ class JoinsSpec extends AnyFunSuite {
     assert(eq.getAs[Long]("asof_rid") == 101L &&
       eq.getAs[Long]("asof_gap") == 0L)
   }
+
+  test("overlapJoin emits each overlapping pair exactly once, " +
+    "across any bin geometry") {
+    val left = Seq(
+      ("k", 1L, 0.0, 10.0),    // long interval spanning many bins
+      ("k", 2L, 12.0, 13.0),
+      ("k", 3L, 25.0, 30.0)
+    ).toDF("g", "lid", "lo", "hi")
+    val right = Seq(
+      ("k", 101L, 5.0, 20.0),  // overlaps 1 and 2
+      ("k", 102L, 9.9, 10.0),  // touches 1 at the boundary
+      ("k", 103L, 31.0, 40.0), // overlaps nothing
+      ("z", 104L, 0.0, 100.0)  // different key: never pairs
+    ).toDF("g", "rid", "lo", "hi")
+    for (w <- Seq(1.0, 3.0, 50.0)) {
+      val pairs = Joins.overlapJoin(left, right, Seq("g"),
+          "lo", "hi", binWidth = w)
+        .select("lid", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pairs == Seq((1L, 101L), (1L, 102L), (2L, 101L)),
+        s"binWidth=$w got $pairs")
+    }
+  }
+
+  test("overlapJoin: negative coordinates and null bounds") {
+    val left = Seq(("k", 1L, Some(-7.5), Some(-2.0)),
+      ("k", 2L, None, Some(1.0))).toDF("g", "lid", "lo", "hi")
+    val right = Seq(("k", 9L, Some(-3.0), Some(-2.5)))
+      .toDF("g", "rid", "lo", "hi")
+    val pairs = Joins.overlapJoin(left, right, Seq("g"), "lo", "hi", 2.0)
+      .select("lid", "r_rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 9L)))
+  }
 }

@@ -510,4 +510,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(z.getAs[Double]("volume") == 0.0 &&
       z.isNullAt(z.fieldIndex("vwap")))
   }
+
+  test("cusum matches the sequential recurrence on a hand series") {
+    // target 10, slack 1: drift = x - 11
+    val xs = Seq(10.0, 15.0, 14.0, 2.0, 20.0, 25.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("k", ts(f"2024-01-01 00:0$i:00"), i.toLong, x)
+    }.toDF("k", "ts", "id", "v")
+    val out = TimeSeries.cusum(df, Seq("k"), "ts", "id", "v",
+      target = 10.0, slack = 1.0, threshold = 10.0)
+      .orderBy("id").collect()
+    // sequential replay: S=max(0, S + (x-11))
+    var s = 0.0
+    val expect = xs.map { x => s = math.max(0.0, s + (x - 11.0)); s }
+    assert(out.map(_.getAs[Double]("cusum")).toSeq == expect)
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq ==
+      expect.map(_ > 10.0))
+  }
+
+  test("cusum resets independently per key; null rows dropped") {
+    val df = Seq(
+      ("a", Some(ts("2024-01-01 00:00:00")), 1L, Some(100.0)),
+      ("a", Some(ts("2024-01-01 00:01:00")), 2L, Some(0.0)),
+      ("b", Some(ts("2024-01-01 00:00:00")), 3L, Some(5.0)),
+      ("b", None, 4L, Some(9.0)),
+      ("b", Some(ts("2024-01-01 00:02:00")), 5L, None)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.cusum(df, Seq("k"), "ts", "id", "v", 10.0, 0.0, 50.0)
+    assert(out.count() == 3)
+    val a = out.filter(col("k") === "a").orderBy("id")
+      .select("cusum").as[Double].collect().toSeq
+    // 100-10=90; then 90+(0-10)=80
+    assert(a == Seq(90.0, 80.0))
+    val b = out.filter(col("k") === "b").select("cusum")
+      .as[Double].collect().toSeq
+    assert(b == Seq(0.0)) // max(0, 5-10) = 0
+  }
 }

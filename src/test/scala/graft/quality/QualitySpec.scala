@@ -240,4 +240,24 @@ class QualitySpec extends AnyFunSuite {
       Seq("k"), Seq("id", "s1")).collect()
     assert(g.length == 2)
   }
+
+  test("skewProfile: top-k by count with value tie-break, exact shares " +
+    "and distinct counts; nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)),
+      ("b", None), ("b", Some(3L)), ("c", Some(3L))
+    ).toDF("s", "v")
+    val out = Quality.skewProfile(df, Seq("s", "v"), k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+    val s = out.filter(_._1 == "s").sortBy(_._4)
+    // s: a×3, b×2, c×1 -> top-2 = a,b; 6 rows, 3 distinct
+    assert(s.map(t => (t._2, t._3)).toSeq == Seq(("a", 3L), ("b", 2L)))
+    assert(s.head._5 == 0.5 && s.head._6 == 6L && s.head._7 == 3L)
+    val v = out.filter(_._1 == "v").sortBy(_._4)
+    // v: "1"×2, "3"×2 (tie -> "1" first by value asc), 5 non-null rows
+    assert(v.map(t => (t._2, t._3)).toSeq == Seq(("1", 2L), ("3", 2L)))
+    assert(v.head._6 == 5L && v.head._7 == 3L)
+  }
 }
