@@ -3755,6 +3755,50 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("value_qn"))),
 
+    // ---- ML: per-flag 2-feature ridge regression closed-form from
+    //      nine exact decimal moments — price ~ quantity + discount ----
+    "q286_ridge2" -> ((s, dir) =>
+      graft.agg.Stats.ridgeFit2(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        "l_discount", lambda = 1000.0)),
+
+    // ---- ML: closed-form 2-variable PCA per flag — exact algebraic
+    //      2×2 eigendecomposition, one aggregation pass ----
+    "q287_pca2" -> ((s, dir) =>
+      graft.agg.Stats.pca2(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
+
+    // ---- streaming: incremental CUSUM — two exact integer-cent
+    //      longs per key; batch ≡ stream on any feed chunking ----
+    "q288_stream_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q288")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q288: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.cusumStream(
+          df, "user_id", "ts", "event_id", "value",
+          target = 50.0, slack = 0.0, threshold = 100.0),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldCusumUpdates(updates)
+        .select(col("actor").as("user_id"), col("tie").as("event_id"),
+          col("value"), col("cusum"), col("alarm"))
+    }),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -8553,6 +8597,124 @@ object SparkEntry {
         |  FROM r WHERE rk IS NOT NULL GROUP BY 1)
         |SELECT r.event_id, r.event_type, r.value, ref.refv AS value_qn
         |FROM r LEFT JOIN ref ON r.rk = ref.rk""".stripMargin,
+
+    // nine exact decimal moments (integer-snapped second moments, the
+    // q267 discipline), then the SAME pinned Cramer chain verbatim
+    "q286_ridge2" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS x2
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(CAST(x1 * x1 AS DECIMAL(38,6))) AS s11_0,
+        |    sum(CAST(x2 * x2 AS DECIMAL(38,6))) AS s22_0,
+        |    sum(CAST(x1 * x2 AS DECIMAL(38,6))) AS s12_0,
+        |    sum(CAST(x1 * y AS DECIMAL(38,6))) AS s1y_0,
+        |    sum(CAST(x2 * y AS DECIMAL(38,6))) AS s2y_0
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(sy AS DOUBLE) AS syd,
+        |    CAST(CAST(s11_0 - (s11_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s11,
+        |    CAST(CAST(s22_0 - (s22_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s22,
+        |    CAST(CAST(s12_0 - (s12_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s12,
+        |    CAST(CAST(s1y_0 - (s1y_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s1y,
+        |    CAST(CAST(s2y_0 - (s2y_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s2y
+        |  FROM m),
+        |g AS (SELECT *, nd * s11 - s1d * s1d AS c11,
+        |    nd * s22 - s2d * s2d AS c22, nd * s12 - s1d * s2d AS c12,
+        |    nd * s1y - s1d * syd AS c1y, nd * s2y - s2d * syd AS c2y
+        |  FROM c),
+        |a AS (SELECT *, c11 + CAST(1000 AS DOUBLE) * nd * nd AS a11,
+        |    c22 + CAST(1000 AS DOUBLE) * nd * nd AS a22 FROM g),
+        |dd AS (SELECT *, a11 * a22 - c12 * c12 AS det FROM a),
+        |bb AS (SELECT *, (c1y * a22 - c2y * c12) / det AS b1,
+        |    (a11 * c2y - c12 * c1y) / det AS b2 FROM dd)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n >= 3 AND det > 0
+        |    THEN (syd - b1 * s1d - b2 * s2d) / nd END AS b0,
+        |  CASE WHEN n >= 3 AND det > 0 THEN b1 END AS b1,
+        |  CASE WHEN n >= 3 AND det > 0 THEN b2 END AS b2
+        |FROM bb""".stripMargin,
+
+    // the exact 2×2 algebraic eigendecomposition replayed on the same
+    // snapped moments; same orientation convention
+    "q287_pca2" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x2
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(CAST(x1 * x1 AS DECIMAL(38,6))) AS s11_0,
+        |    sum(CAST(x2 * x2 AS DECIMAL(38,6))) AS s22_0,
+        |    sum(CAST(x1 * x2 AS DECIMAL(38,6))) AS s12_0
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(CAST(s11_0 - (s11_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s11,
+        |    CAST(CAST(s22_0 - (s22_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s22,
+        |    CAST(CAST(s12_0 - (s12_0 % 1) AS DECIMAL(38,0)) AS DOUBLE) AS s12
+        |  FROM m),
+        |g AS (SELECT *, nd * s11 - s1d * s1d AS c11,
+        |    nd * s22 - s2d * s2d AS c22, nd * s12 - s1d * s2d AS c12
+        |  FROM c),
+        |e AS (SELECT *,
+        |    (c11 + c22) / CAST(2 AS DOUBLE) +
+        |      sqrt(((c11 - c22) / CAST(2 AS DOUBLE)) *
+        |        ((c11 - c22) / CAST(2 AS DOUBLE)) + c12 * c12) AS l1,
+        |    (c11 + c22) / CAST(2 AS DOUBLE) -
+        |      sqrt(((c11 - c22) / CAST(2 AS DOUBLE)) *
+        |        ((c11 - c22) / CAST(2 AS DOUBLE)) + c12 * c12) AS l2
+        |  FROM g),
+        |v AS (SELECT *,
+        |    CASE WHEN c12 <> 0 THEN c12
+        |      ELSE CASE WHEN c11 >= c22 THEN CAST(1 AS DOUBLE)
+        |        ELSE CAST(0 AS DOUBLE) END END AS ev1,
+        |    CASE WHEN c12 <> 0 THEN l1 - c11
+        |      ELSE CASE WHEN c11 >= c22 THEN CAST(0 AS DOUBLE)
+        |        ELSE CAST(1 AS DOUBLE) END END AS ev2
+        |  FROM e),
+        |w AS (SELECT *, sqrt(ev1 * ev1 + ev2 * ev2) AS nrm,
+        |    CASE WHEN ev1 < 0 OR (ev1 = 0 AND ev2 < 0)
+        |      THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS flip
+        |  FROM v)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n >= 2 THEN l1 / (nd * (nd - CAST(1 AS DOUBLE))) END
+        |    AS lambda1,
+        |  CASE WHEN n >= 2 THEN l2 / (nd * (nd - CAST(1 AS DOUBLE))) END
+        |    AS lambda2,
+        |  CASE WHEN n >= 2 AND (l1 + l2) > 0 THEN l1 / (l1 + l2) END
+        |    AS var_explained,
+        |  CASE WHEN n >= 2 THEN flip * ev1 / nrm END AS v1,
+        |  CASE WHEN n >= 2 THEN flip * ev2 / nrm END AS v2
+        |FROM w""".stripMargin,
+
+    // batch ≡ stream: the q281 prefix-sum identity in BIGINT cents is
+    // the oracle for the incrementally-maintained state
+    "q288_stream_cusum" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS xc
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |p AS (SELECT user_id, ts, event_id, xc,
+        |    CAST(sum(xc - 5000) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pp FROM e),
+        |m AS (SELECT *, least(min(pp) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      CAST(0 AS BIGINT)) AS mm FROM p)
+        |SELECT user_id, event_id,
+        |  CAST(xc AS DOUBLE) / 100.0 AS value,
+        |  CAST(pp - mm AS DOUBLE) / 100.0 AS cusum,
+        |  (pp - mm) > 10000 AS alarm
+        |FROM m""".stripMargin,
 
     // BFS distance as min over the depth-bounded reachability CTE
     // (UNION-dedup keeps states finite); same co-purchase edge set

@@ -1272,6 +1272,148 @@ object Stats {
     cramersV(melted, Seq("feature"), "__fv", labelCol)
   }
 
+  /**
+   * Two-feature RIDGE regression per group, solved in closed form
+   * from exact decimal moments — the scalable shape for "fit a small
+   * model per group over a huge table": the whole fit is ONE
+   * map-side-combined aggregation to nine moments per group, then a
+   * pinned Cramer's-rule chain; no iterative solver, no per-row
+   * residual pass, nothing driver-side. (General p-feature fits
+   * aggregate p² moments the same way and solve the p×p system per
+   * GROUP ROW downstream; p = 2 keeps the solve an engine-exact
+   * closed form.)
+   *
+   * Estimator: minimizes `Σ(y − b₀ − b₁x₁ − b₂x₂)² + λ·n·(b₁² + b₂²)`
+   * — the intercept unpenalized (standard), the penalty scaled by n
+   * so λ means the same thing at any group size. On the n-scaled
+   * centered moments `Cᵢⱼ = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` the normal equations
+   * become `(C + λn²·I)·b = Cy` (the n² because C is n² × covariance),
+   * and Cramer closes it.
+   *
+   * Engine-exact: inputs snap to their decimal scales, first moments
+   * are exact decimals, second moments snap to INTEGERS before their
+   * one double cast (the q267 2⁵³-units discipline — second moments
+   * in grid units² dwarf any coefficient's precision needs), and the
+   * closing chain is pinned IEEE in a fixed order. Groups with
+   * `n < 3` or a non-positive determinant emit null coefficients.
+   *
+   * Output: (keys…, n, b0, b1, b2).
+   *
+   * Scale posture: ONE aggregation; closing on |groups| rows.
+   */
+  def ridgeFit2(df: DataFrame, keys: Seq[String], yCol: String,
+                x1Col: String, x2Col: String, lambda: Double,
+                yScale: Int = 2, x1Scale: Int = 2, x2Scale: Int = 2)
+  : DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val y = col(yCol).cast(s"decimal(18,$yScale)")
+    val x1 = col(x1Col).cast(s"decimal(18,$x1Scale)")
+    val x2 = col(x2Col).cast(s"decimal(18,$x2Scale)")
+    def mom(a: Column, b: Column): Column =
+      sum((a * b).cast("decimal(38,6)"))
+    val m = df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),
+        mom(x1, x1).as("__s11"), mom(x2, x2).as("__s22"),
+        mom(x1, x2).as("__s12"), mom(x1, y).as("__s1y"),
+        mom(x2, y).as("__s2y"))
+    // integer snap before the one double cast (q267 discipline)
+    def snap(c: Column): Column =
+      (c - (c % lit(BigDecimal(1).bigDecimal)))
+        .cast("decimal(38,0)").cast("double")
+    val n = d(col("n"))
+    val s1 = d(col("__s1")); val s2 = d(col("__s2")); val sy = d(col("__sy"))
+    val s11 = snap(col("__s11")); val s22 = snap(col("__s22"))
+    val s12 = snap(col("__s12"))
+    val s1y = snap(col("__s1y")); val s2y = snap(col("__s2y"))
+    val c11 = n * s11 - s1 * s1
+    val c22 = n * s22 - s2 * s2
+    val c12 = n * s12 - s1 * s2
+    val c1y = n * s1y - s1 * sy
+    val c2y = n * s2y - s2 * sy
+    val a11 = c11 + lit(lambda) * n * n
+    val a22 = c22 + lit(lambda) * n * n
+    val det = a11 * a22 - c12 * c12
+    val b1 = (c1y * a22 - c2y * c12) / det
+    val b2 = (a11 * c2y - c12 * c1y) / det
+    val b0 = (sy - b1 * s1 - b2 * s2) / n
+    val ok = col("n") >= 3 && det > 0.0
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(ok, b0).as("b0"), when(ok, b1).as("b1"),
+      when(ok, b2).as("b2")): _*)
+  }
+
+  /**
+   * Closed-form 2-variable PCA per group: eigenvalues and first
+   * principal direction of the sample covariance of (x₁, x₂) — the
+   * 2×2 case has an exact algebraic eigendecomposition
+   * (`λ = tr/2 ± √((Δ/2)² + c₁₂²)`), so the whole analysis is the
+   * same one-aggregation-plus-pinned-chain shape as [[ridgeFit2]]:
+   * nothing iterative, nothing driver-side, engine-identical bits.
+   *
+   * The chain runs on the n-scaled centered moments
+   * `Cᵢⱼ = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` and divides eigenvalues by `n(n−1)` at
+   * the end (C = n(n−1) × sample covariance). The first eigenvector
+   * is `(c₁₂, λ₁ − C₁₁)` normalized — except when `c₁₂ = 0` (already
+   * axis-aligned), where it is (1,0) or (0,1) by whichever variance
+   * dominates (ties → (1,0)). Sign convention: v₁ ≥ 0, and at
+   * v₁ = 0, v₂ = 1 — one orientation, every engine.
+   *
+   * Output: (keys…, n, lambda1, lambda2, var_explained, v1, v2);
+   * groups with n < 2 emit nulls.
+   *
+   * Scale posture: ONE map-side-combined aggregation to six moments;
+   * closing on |groups| rows.
+   */
+  def pca2(df: DataFrame, keys: Seq[String], x1Col: String, x2Col: String,
+           x1Scale: Int = 2, x2Scale: Int = 2): DataFrame = {
+    val x1 = col(x1Col).cast(s"decimal(18,$x1Scale)")
+    val x2 = col(x2Col).cast(s"decimal(18,$x2Scale)")
+    def mom(a: Column, b: Column): Column =
+      sum((a * b).cast("decimal(38,6)"))
+    val m = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("__s1"), sum(x2).as("__s2"),
+        mom(x1, x1).as("__s11"), mom(x2, x2).as("__s22"),
+        mom(x1, x2).as("__s12"))
+    def snap(c: Column): Column =
+      (c - (c % lit(BigDecimal(1).bigDecimal)))
+        .cast("decimal(38,0)").cast("double")
+    val n = d(col("n"))
+    val s1 = d(col("__s1")); val s2 = d(col("__s2"))
+    val s11 = snap(col("__s11")); val s22 = snap(col("__s22"))
+    val s12 = snap(col("__s12"))
+    val c11 = n * s11 - s1 * s1
+    val c22 = n * s22 - s2 * s2
+    val c12 = n * s12 - s1 * s2
+    val half = (c11 - c22) / lit(2.0)
+    val root = sqrt(half * half + c12 * c12)
+    val mid = (c11 + c22) / lit(2.0)
+    val l1 = mid + root
+    val l2 = mid - root
+    val denom = n * (n - lit(1.0))
+    // eigenvector for λ₁; axis-aligned groups pick the dominant axis
+    val ev1 = when(c12 =!= 0.0, c12)
+      .otherwise(when(c11 >= c22, lit(1.0)).otherwise(lit(0.0)))
+    val ev2 = when(c12 =!= 0.0, l1 - c11)
+      .otherwise(when(c11 >= c22, lit(0.0)).otherwise(lit(1.0)))
+    val norm = sqrt(ev1 * ev1 + ev2 * ev2)
+    // orient: v1 > 0, or v1 == 0 → v2 = +1
+    val flip = when(ev1 < 0.0 || (ev1 === 0.0 && ev2 < 0.0), lit(-1.0))
+      .otherwise(lit(1.0))
+    val ok = col("n") >= 2
+    val tot = l1 + l2
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(ok, l1 / denom).as("lambda1"),
+      when(ok, l2 / denom).as("lambda2"),
+      when(ok && tot > 0.0, l1 / tot).as("var_explained"),
+      when(ok, flip * ev1 / norm).as("v1"),
+      when(ok, flip * ev2 / norm).as("v2")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -867,6 +867,65 @@ object Streaming {
         max(col("value")).as("value"), max(col("ewma")).as("ewma"))
 
   /**
+   * Streaming one-sided CUSUM ([[graft.ops.TimeSeries.cusum]]'s
+   * incremental form): per-key state is the EXACT pair (prefix sum,
+   * running min of prefix sums) carried in integer CENTS — two longs
+   * per key, constant state, and bit-identical to the batch
+   * prefix-sum identity on any feed chunking (the recurrence needs
+   * only the pair, so micro-batch boundaries are invisible). Values,
+   * target, slack and threshold all live on the 10⁻² grid — the
+   * [[ewmaStream]] shape but with NO float in the state at all.
+   *
+   * Emits one row per processed event (Update mode); the log folds
+   * exactly per (actor, tie) — replays re-read pre-batch state and
+   * emit identical rows ([[foldCusumUpdates]]).
+   */
+  def cusumStream(df: DataFrame, actorCol: String, tsCol: String,
+                  tieCol: String, valueCol: String, target: Double,
+                  slack: Double, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val muC = math.rint(target * 100).toLong
+    val kC = math.rint(slack * 100).toLong
+    val hC = math.rint(threshold * 100).toLong
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long),
+        (Long, Long, Long, Double, Double, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long)]) =>
+          // (prefix sum, min prefix) in cents; min starts at P₀ = 0
+          var (p, m) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, v) =>
+              val xc = math.rint(v * 100).toLong
+              p += xc - muC - kC
+              m = math.min(m, p)
+              val s = p - m
+              (key, tie, ts, xc / 100.0, s / 100.0, s > hC)
+          }
+          state.update((p, m))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "value", "cusum", "alarm")
+  }
+
+  /** Collapse a [[cusumStream]] update log: one row per (actor, tie)
+   *  (duplicates from replays carry identical values, so `max` is a
+   *  pure dedup). */
+  def foldCusumUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"), col("tie"))
+      .agg(max(col("ts_micros")).as("ts_micros"),
+        max(col("value")).as("value"), max(col("cusum")).as("cusum"),
+        max(col("alarm")).as("alarm"))
+
+  /**
    * Collapse a [[transitionsStream]] update log to the batch
    * [[graft.ops.TimeSeries.transitionMatrix]] shape: cumulative
    * per-actor counts fold with `max` (nondecreasing ⇒ order- and

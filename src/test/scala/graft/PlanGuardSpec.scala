@@ -1069,6 +1069,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("WindowGroupLimit"), fin.take(1500))
     assert(!fin.contains("SortMergeJoin"), fin.take(1500))
   }
+  test("q286/q287 moment fits: ONE map-side-combined aggregation, " +
+    "join-free, closing on the group grid") {
+    for (q <- Seq("q286_ridge2", "q287_pca2")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
   test("q285 quantile normalize: ONE rank-window pass (checkpointed " +
     "for both consumers), rank-keyed join back") {
     val fin = finalPlan("q285_quantile_normalize")

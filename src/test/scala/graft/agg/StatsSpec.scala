@@ -466,4 +466,65 @@ class StatsSpec extends AnyFunSuite {
     assert(out("const").isNullAt(out("const").fieldIndex("v")))
     assert(out("indep").getAs[Double]("v") == 0.0)
   }
+
+  test("ridgeFit2: lambda=0 recovers an exact planar fit; " +
+    "lambda>0 shrinks slopes toward zero") {
+    // y = 2 + 3*x1 - 1*x2, exactly
+    val rows = for (a <- 0 to 4; b <- 0 to 4)
+      yield (a.toDouble, b.toDouble, 2.0 + 3 * a - b)
+    val df = rows.toDF("x1", "x2", "y")
+      .withColumn("g", org.apache.spark.sql.functions.lit("g"))
+    val fit = Stats.ridgeFit2(df, Seq("g"), "y", "x1", "x2",
+      lambda = 0.0).collect().head
+    assert(math.abs(fit.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("b2") + 1.0) < 1e-9)
+    val reg = Stats.ridgeFit2(df, Seq("g"), "y", "x1", "x2",
+      lambda = 10.0).collect().head
+    assert(math.abs(reg.getAs[Double]("b1")) < 3.0 &&
+      reg.getAs[Double]("b1") > 0)
+    assert(math.abs(reg.getAs[Double]("b2")) < 1.0 &&
+      reg.getAs[Double]("b2") < 0)
+  }
+
+  test("ridgeFit2: degenerate groups emit null coefficients") {
+    val df = Seq(
+      ("tiny", 1.0, 2.0, 3.0), ("tiny", 2.0, 1.0, 4.0), // n < 3
+      ("flat", 1.0, 1.0, 5.0), ("flat", 1.0, 1.0, 6.0),
+      ("flat", 1.0, 1.0, 7.0) // zero variance -> det 0 at lambda 0
+    ).toDF("g", "x1", "x2", "y")
+    val out = Stats.ridgeFit2(df, Seq("g"), "y", "x1", "x2", 0.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("tiny").isNullAt(out("tiny").fieldIndex("b1")))
+    assert(out("flat").isNullAt(out("flat").fieldIndex("b1")))
+  }
+
+  test("pca2: recovers the dominant direction of correlated data " +
+    "and splits variance correctly for axis-aligned data") {
+    // perfectly correlated along (1,1): lambda2 = 0, v = (1,1)/sqrt2
+    val df = (0 to 9).map(i => ("c", i.toDouble, i.toDouble))
+      .toDF("g", "x1", "x2")
+    val r = Stats.pca2(df, Seq("g"), "x1", "x2").collect().head
+    assert(math.abs(r.getAs[Double]("var_explained") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("v1") - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("v2") - math.sqrt(0.5)) < 1e-12)
+    // lambda1 = sample variance along the diagonal = 2*var(x)
+    val varX = (0 to 9).map(i => (i - 4.5) * (i - 4.5)).sum / 9.0
+    assert(math.abs(r.getAs[Double]("lambda1") - 2 * varX) < 1e-9)
+    // axis-aligned: x1 varies, x2 constant -> v = (1,0)
+    val ax = (0 to 9).map(i => ("a", i.toDouble, 5.0))
+      .toDF("g", "x1", "x2")
+    val ra = Stats.pca2(ax, Seq("g"), "x1", "x2").collect().head
+    assert(ra.getAs[Double]("v1") == 1.0 && ra.getAs[Double]("v2") == 0.0)
+    assert(math.abs(ra.getAs[Double]("lambda1") - varX) < 1e-9)
+    assert(ra.getAs[Double]("lambda2") == 0.0)
+  }
+
+  test("pca2: sign convention is deterministic for anti-correlated " +
+    "data (v1 > 0, v2 < 0)") {
+    val df = (0 to 9).map(i => ("g", i.toDouble, -i.toDouble))
+      .toDF("g", "x1", "x2")
+    val r = Stats.pca2(df, Seq("g"), "x1", "x2").collect().head
+    assert(r.getAs[Double]("v1") > 0 && r.getAs[Double]("v2") < 0)
+  }
 }

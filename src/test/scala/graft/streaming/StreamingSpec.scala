@@ -549,4 +549,39 @@ class StreamingSpec extends AnyFunSuite {
         Array(10.0), Array(1.0))
     }
   }
+
+  test("cusumStream: exact integer-cent state across batches == batch cusum") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cusum").toString
+    // target 10, slack 0: drifts +5, -8, +10, then across the boundary +15
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 15.0, 1L),
+      (1L, ts("2024-01-01 10:05:00"), 2.0, 2L),
+      (1L, ts("2024-01-01 10:10:00"), 20.0, 3L))
+    val batch2 = Seq((1L, ts("2024-01-01 11:00:00"), 25.0, 4L),
+      (2L, ts("2024-01-01 11:00:00"), 11.5, 5L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.cusumStream(df, "user_id", "ts", "event_id", "value",
+        target = 10.0, slack = 0.0, threshold = 12.0),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldCusumUpdates(updates)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    // S: max-identity replay: 5, 0 (min dips), 10, then 25 across boundary
+    assert(out == Map(1L -> ((5.0, false)), 2L -> ((0.0, false)),
+      3L -> ((10.0, false)), 4L -> ((25.0, true)), 5L -> ((1.5, false))))
+    // parity with the batch operator
+    val batchOut = graft.ops.TimeSeries.cusum(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value", 10.0, 0.0, 12.0)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getAs[Double]("cusum"), r.getAs[Boolean]("alarm")))).toMap
+    assert(out == batchOut)
+  }
 }
