@@ -3768,6 +3768,38 @@ object SparkEntry {
       graft.agg.Stats.pca2(t(s, dir, "lineitem"),
         Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
 
+    // ---- robust stats: per-type median/MAD outlier scores — the
+    //      z-score that one wild point cannot poison ----
+    "q289_robust_z" -> ((s, dir) =>
+      graft.agg.Stats.robustZScores(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("median"), col("mad"), col("score"))),
+
+    // ---- time series: rolling OLS trend per user — five linear
+    //      moment frames on one exchange, never per-row refits ----
+    "q290_rolling_slope" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingSlope(t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "value", window = 10)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("slope"))),
+
+    // ---- analytics: cumulative distinct event types per user —
+    //      first-seen flag + running sum, both linear windows ----
+    "q291_running_distinct" -> ((s, dir) =>
+      graft.agg.GroupBy.runningDistinct(t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("distinct_so_far"))),
+
+    // ---- funnel: gap-constrained conversion chain — click within
+    //      an hour of a view, purchase within an hour of that ----
+    "q292_funnel_within" -> ((s, dir) =>
+      graft.ops.TimeSeries.funnelWithin(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 3600)),
+
     // ---- streaming: incremental CUSUM — two exact integer-cent
     //      longs per key; batch ≡ stream on any feed chunking ----
     "q288_stream_cusum" -> ((s, dir) => {
@@ -8693,6 +8725,97 @@ object SparkEntry {
         |  CASE WHEN n >= 2 THEN flip * ev1 / nrm END AS v1,
         |  CASE WHEN n >= 2 THEN flip * ev2 / nrm END AS v2
         |FROM w""".stripMargin,
+
+    // exact lower medians on the 1e-2 value grid (the weightedMedian
+    // convention), MAD from the same machinery on |v - med|; the
+    // 1.4826 consistency constant pinned via decimal-literal -> double
+    "q289_robust_z" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY v) AS cum, sum(c) OVER (PARTITION BY event_type)
+        |    AS tot FROM g),
+        |med AS (SELECT event_type, min(v) AS med FROM c1
+        |  WHERE 2 * cum >= tot GROUP BY 1),
+        |d AS (SELECT b.event_type, abs(b.v - med.med) AS dv FROM b
+        |  JOIN med ON b.event_type = med.event_type),
+        |g2 AS (SELECT event_type, dv, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY dv) AS cum, sum(c) OVER (PARTITION BY event_type)
+        |    AS tot FROM g2),
+        |mad AS (SELECT event_type, min(dv) AS mad FROM c2
+        |  WHERE 2 * cum >= tot GROUP BY 1)
+        |SELECT b.event_id, b.event_type, b.value,
+        |  CAST(med.med AS DOUBLE) AS median,
+        |  CAST(mad.mad AS DOUBLE) AS mad,
+        |  CASE WHEN mad.mad > 0 THEN CAST(b.v - med.med AS DOUBLE) /
+        |    (CAST(1.4826 AS DOUBLE) * CAST(mad.mad AS DOUBLE)) END AS score
+        |FROM b JOIN med ON b.event_type = med.event_type
+        |JOIN mad ON b.event_type = mad.event_type""".stripMargin,
+
+    // integer-cent window sums (exact in any engine), row-index x,
+    // the same pinned closing chain per row
+    "q290_rolling_slope" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT *, CAST(row_number() OVER win AS BIGINT) AS x
+        |  FROM e WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |w AS (SELECT user_id, event_id, yc,
+        |    CAST(count(*) OVER f AS DOUBLE) AS n,
+        |    CAST(sum(x) OVER f AS DOUBLE) AS sx,
+        |    CAST(sum(yc) OVER f AS DOUBLE) AS sy,
+        |    CAST(sum(x * yc) OVER f AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) OVER f AS DOUBLE) AS sxx
+        |  FROM r WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(yc AS DOUBLE) / 100.0 AS value,
+        |  CASE WHEN (n * sxx - sx * sx) > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+        |  END AS slope
+        |FROM w""".stripMargin,
+
+    // first-seen flag on the (key, value) partition + running sum on
+    // the key partition — the standard sliding-distinct rewrite
+    "q291_running_distinct" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN event_type IS NOT NULL AND
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fs
+        |  FROM e)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_so_far
+        |FROM f""".stripMargin,
+
+    // the q127 funnel chain with running MAX markers and the gap test
+    // on exact epoch micros
+    "q292_funnel_within" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w1 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END
+        |       AS q0 FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |         epoch_us(max(q0) OVER (PARTITION BY user_id ORDER BY ts))
+        |           >= epoch_us(ts) - 3600000000
+        |         THEN ts END AS q1 FROM w1),
+        |w3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |         epoch_us(max(q1) OVER (PARTITION BY user_id ORDER BY ts))
+        |           >= epoch_us(ts) - 3600000000
+        |         THEN ts END AS q2 FROM w2)
+        |SELECT user_id AS actor, min(q0) AS step1_ts, min(q1) AS step2_ts,
+        |  min(q2) AS step3_ts,
+        |  CASE WHEN min(q2) IS NOT NULL THEN 3
+        |       WHEN min(q1) IS NOT NULL THEN 2
+        |       WHEN min(q0) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM w3 GROUP BY user_id""".stripMargin,
 
     // batch ≡ stream: the q281 prefix-sum identity in BIGINT cents is
     // the oracle for the incrementally-maintained state

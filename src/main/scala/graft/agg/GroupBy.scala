@@ -673,4 +673,46 @@ object GroupBy {
       .agg(min(col("rank")).as("rank"), sum(col("__c")).as("n_rows"),
         sum(col("__s")).cast("double").as("measure"))
   }
+
+  /**
+   * Running DISTINCT count per key: at every event, how many distinct
+   * values the key has seen so far — "unique products per customer
+   * over time", the cumulative-cardinality curve behind engagement
+   * and coverage dashboards. An exact sliding `count(DISTINCT)` has
+   * no window form in any engine; the standard relational rewrite is
+   * two linear passes: flag each row that is its (key, value)'s FIRST
+   * occurrence (rank 1 on the (key, value) partition), then a running
+   * sum of flags on the key partition.
+   *
+   * Order inside a key is (tsCol, idCol) — a total order (the q207
+   * discipline), which also pins WHICH row of a same-timestamp pair
+   * gets the first-seen flag. Null values don't count as a distinct
+   * value (rows still emit, carrying the running count).
+   *
+   * Output: (keys…, tsCol, idCol, valueCol, `distinct_so_far` long).
+   *
+   * Scale posture: one (keys, value) exchange for the first-seen
+   * window, one keys exchange for the running sum — the second is a
+   * strict coarsening of the first, but value cardinality makes the
+   * flag pass the one that balances. Both frames linear.
+   */
+  def runningDistinct(df: DataFrame, keys: Seq[String], tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "runningDistinct needs key columns")
+    val wv = Window
+      .partitionBy(keys.map(col) :+
+        when(col(valueCol).isNotNull, col(valueCol)): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val wk = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__first",
+        when(col(valueCol).isNotNull &&
+          row_number().over(wv) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_so_far", sum(col("__first")).over(wk))
+      .select(keys.map(col) ++ Seq(col(tsCol), col(idCol),
+        col(valueCol), col("distinct_so_far")): _*)
+  }
 }

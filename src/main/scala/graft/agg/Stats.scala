@@ -1414,6 +1414,61 @@ object Stats {
       when(ok, flip * ev2 / norm).as("v2")): _*)
   }
 
+  /**
+   * Robust per-row outlier scores: `(x − median) / (1.4826·MAD)` per
+   * key, where MAD is the median absolute deviation — the
+   * outlier-detection workhorse that, unlike a z-score, one wild
+   * point cannot poison (mean AND stddev both break down at a single
+   * outlier; median and MAD have a 50% breakdown point). 1.4826 is
+   * the standard normal-consistency constant (a pinned literal, the
+   * same double in any engine).
+   *
+   * Medians are EXACT LOWER MEDIANS on the value's decimal grid (the
+   * weightedMedian convention: smallest v with 2·cum ≥ n), computed
+   * from per-key VALUE-GRID collapses — never a per-row sort
+   * statistic. Keys whose MAD is 0 (≥ half the values identical)
+   * emit a null score: the honest answer, not ±∞. Rows with a null
+   * value OR a null key are EXCLUDED (the grid joins back on key
+   * equality, so a null key has no group to score against).
+   *
+   * Output: input columns + `median`, `mad`, `score` (doubles).
+   *
+   * Scale posture: two value-grid collapses (each map-side combined,
+   * |key × distinct value| rows) + two grid joins back KEYED ON THE
+   * GROUP KEYS — AQE broadcasts them when the key space is small and
+   * shuffles key-aligned when it is not (per-user medians at 100 TB
+   * are a grid too big to broadcast; never hint it).
+   */
+  def robustZScores(df: DataFrame, keys: Seq[String], valueCol: String,
+                    valueScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "robustZScores needs key columns")
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    def lowerMedian(in: DataFrame, c: Column, out: String): DataFrame = {
+      val wk = Window.partitionBy(keys.map(col): _*)
+      in.groupBy(keys.map(col) :+ c.as("__v"): _*)
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wk.orderBy(col("__v"))))
+        .withColumn("__tot", sum(col("__c")).over(wk))
+        .filter(lit(2L) * col("__cum") >= col("__tot"))
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("__v")).as(out))
+    }
+    val base = df.filter(col(valueCol).isNotNull &&
+      keys.map(col(_).isNotNull).reduce(_ && _))
+    val med = lowerMedian(base, v, "__med")
+    val withMed = base.join(med, keys)
+    val mad = lowerMedian(withMed, abs(v - col("__med")), "__mad")
+    withMed.join(mad, keys)
+      .withColumn("median", col("__med").cast("double"))
+      .withColumn("mad", col("__mad").cast("double"))
+      .withColumn("score",
+        when(col("__mad") > 0,
+          (v - col("__med")).cast("double") /
+            (lit(1.4826) * col("__mad").cast("double"))))
+      .drop("__med", "__mad")
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

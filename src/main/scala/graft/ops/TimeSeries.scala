@@ -1032,6 +1032,115 @@ object TimeSeries {
   }
 
   /**
+   * Rolling OLS slope per key: at every row, the least-squares trend
+   * of the value over the trailing `window` observations — the
+   * "rolling beta" / local-trend primitive behind momentum features
+   * and drift dashboards, done WITHOUT per-row refits: the five OLS
+   * moments (n, Σx, Σy, Σxy, Σx²) are all LINEAR window sums over
+   * the same trailing frame, and the slope closes per row in one
+   * pinned chain `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`.
+   *
+   * x is the ROW INDEX within the key (the per-key observation
+   * number) — evenly-spaced regression, the standard rolling-trend
+   * reading; y snaps to the 10⁻² grid and is carried in integer
+   * CENTS, so every window sum is EXACT int64 arithmetic in any
+   * engine (windowed decimal sums are not: the q281 lesson) and only
+   * the closing division is float. Rows earlier than `window`
+   * observations regress over what exists; single-row windows (and
+   * any zero-variance x, impossible for distinct indexes but guarded
+   * anyway) emit null.
+   *
+   * Output: (keys…, tsCol, idCol, value double, `slope` double —
+   * slope in value units per observation step).
+   *
+   * Scale posture: ONE key exchange carries the row-index window and
+   * all five moment frames (identical partitioning + ordering +
+   * frame ⇒ one Window operator); per-key cost O(n), frame-size
+   * independent.
+   */
+  def rollingSlope(df: DataFrame, keys: Seq[String], tsCol: String,
+                   idCol: String, valueCol: String, window: Int)
+  : DataFrame = {
+    require(keys.nonEmpty, "rollingSlope needs key columns")
+    require(window >= 2, s"window must be >= 2, got $window")
+    val yc = (col(valueCol).cast("decimal(18,2)") *
+      lit(100L).cast("decimal(18,0)")).cast("long")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val fr = ord.rowsBetween(-(window - 1L), Window.currentRow)
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__x", row_number().over(ord).cast("long"))
+      .withColumn("__yc", yc)
+    val n = count(lit(1)).over(fr).cast("double")
+    val sx = sum(col("__x")).over(fr).cast("double")
+    val sy = sum(col("__yc")).over(fr).cast("double")
+    val sxy = sum(col("__x") * col("__yc")).over(fr).cast("double")
+    val sxx = sum(col("__x") * col("__x")).over(fr).cast("double")
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / den / lit(100.0)
+    base.select(keys.map(col) ++ Seq(col(tsCol), col(idCol),
+      (col("__yc").cast("double") / lit(100.0)).as("value"),
+      when(den > 0.0, slope).as("slope")): _*)
+  }
+
+  /**
+   * GAP-CONSTRAINED ordered funnel: [[funnel]] with a `maxGap` bound
+   * between consecutive steps — "view → click within an hour →
+   * purchase within an hour of that", the form conversion analysis
+   * actually needs (an unconstrained funnel credits a purchase to a
+   * view from last month).
+   *
+   * Same one-exchange window formulation as [[funnel]], with the
+   * running-MIN marker replaced by a running MAX: a step-i event
+   * qualifies iff the LATEST chain-valid step-(i−1) completion
+   * at-or-before it is within `maxGap` — "latest ≥ ts − gap" is
+   * exactly "∃ one in the window", so the existence test needs only
+   * one extra comparison per step. RANGE frames include
+   * equal-timestamp peers (a same-instant prior step counts, the
+   * [[funnel]] tie convention), and every step's windows ride the
+   * SAME actor exchange.
+   *
+   * Output: actor, `step1_ts` … `stepN_ts` — the FIRST chain-valid
+   * completion per step (null where never reached) — and `stage`.
+   *
+   * Scale posture: identical to [[funnel]] — one actor exchange, N
+   * running windows on it, one closing reduce.
+   */
+  def funnelWithin(df: DataFrame, actorCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   maxGapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelWithin needs at least one step")
+    require(maxGapSeconds > 0, "maxGapSeconds must be positive")
+    val w = Window.partitionBy(col(actorCol)).orderBy(col(tsCol))
+    val gapUs = maxGapSeconds * 1000000L
+    val base = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol), col(tsCol), col(typeCol))
+    val quals = steps.indices.foldLeft(base) { (acc, i) =>
+      val isStep = col(typeCol) === steps(i)
+      val q =
+        if (i == 0) when(isStep, col(tsCol))
+        else {
+          val latestPrev = max(col(s"__q${i - 1}")).over(w)
+          when(isStep && latestPrev.isNotNull &&
+            unix_micros(latestPrev) >= unix_micros(col(tsCol)) - gapUs,
+            col(tsCol))
+        }
+      acc.withColumn(s"__q$i", q)
+    }
+    val aggCols = steps.indices.map(i =>
+      min(col(s"__q$i")).as(s"step${i + 1}_ts"))
+    val agg = quals.groupBy(col(actorCol).as("actor"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // forward fold so the OUTERMOST when tests the highest step —
+    // the built expression reads when(stepN…, N).otherwise(… step1)
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"step${i + 1}_ts").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    agg.withColumn("stage", stage)
+  }
+
+  /**
    * One-sided (upper) CUSUM change-point statistic per key: the
    * classic SPC recurrence `S₀ = 0; Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − μ₀ − k))`
    * with an alarm when `Sᵢ > h` — detects a sustained upward shift of

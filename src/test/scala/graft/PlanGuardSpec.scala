@@ -1079,6 +1079,42 @@ class PlanGuardSpec extends AnyFunSuite {
         s"$q: ${fin.take(1500)}")
     }
   }
+  test("q289 robust z: grid joins stay key-keyed (broadcast at this " +
+    "cardinality), never cartesian; all collapses map-side") {
+    val fin = finalPlan("q289_robust_z").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+    // three columnar scans are the documented posture; more means a
+    // consumer started re-deriving a grid from scratch
+    assert("Scan parquet".r.findAllIn(fin).size <= 3, fin.take(2000))
+  }
+  test("q290 rolling slope: row-index and all five moment frames " +
+    "share ONE exchange and ONE sort") {
+    val fin = finalPlan("q290_rolling_slope").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert("Sort \\[".r.findAllIn(fin).size <= 1, fin.take(1500))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
+  test("q291 running distinct: exactly the two documented exchanges " +
+    "(first-seen on (key,value), running sum on key), join-free") {
+    val fin = finalPlan("q291_running_distinct")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q292 gap funnel: all step windows ride ONE actor exchange; " +
+    "join-free") {
+    val fin = finalPlan("q292_funnel_within").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert("Sort \\[".r.findAllIn(fin).size <= 1, fin.take(1500))
+  }
   test("q285 quantile normalize: ONE rank-window pass (checkpointed " +
     "for both consumers), rank-keyed join back") {
     val fin = finalPlan("q285_quantile_normalize")

@@ -320,4 +320,22 @@ class GroupBySpec extends AnyFunSuite {
         r.getAs[Long]("rank")).toMap
     assert(t == Map("x" -> 1L, "y" -> 2L, "OTHER" -> 3L))
   }
+
+  test("runningDistinct: cumulative cardinality per key; repeats " +
+    "don't bump, nulls carry the count without counting") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("u", ts("2024-01-01 10:00:00"), 1L, Some("a")),
+      ("u", ts("2024-01-01 10:01:00"), 2L, Some("b")),
+      ("u", ts("2024-01-01 10:02:00"), 3L, Some("a")), // repeat
+      ("u", ts("2024-01-01 10:03:00"), 4L, Option.empty[String]),
+      ("u", ts("2024-01-01 10:04:00"), 5L, Some("c")),
+      ("w", ts("2024-01-01 10:00:00"), 6L, Some("a"))  // other key
+    ).toDF("k", "ts", "id", "v")
+    val out = GroupBy.runningDistinct(df, Seq("k"), "ts", "id", "v")
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 1L))
+  }
 }

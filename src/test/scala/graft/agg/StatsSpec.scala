@@ -527,4 +527,25 @@ class StatsSpec extends AnyFunSuite {
     val r = Stats.pca2(df, Seq("g"), "x1", "x2").collect().head
     assert(r.getAs[Double]("v1") > 0 && r.getAs[Double]("v2") < 0)
   }
+
+  test("robustZScores: hand medians/MAD; outlier scored, zero-MAD " +
+    "group nulls, outlier cannot poison the scale") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 1000.0), ("z", 7.0), ("z", 7.0), ("z", 7.0))
+      .toDF("g", "v")
+    val out = Stats.robustZScores(df, Seq("g"), "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r).toMap
+    // a: lower median of {1,2,3,4,1000} = 3; |dev| = {2,1,0,1,997},
+    // lower MAD = 1
+    val a = out(("a", 1000.0))
+    assert(a.getAs[Double]("median") == 3.0 &&
+      a.getAs[Double]("mad") == 1.0)
+    assert(math.abs(a.getAs[Double]("score") - 997.0 / 1.4826) < 1e-9)
+    // the inlier at 2.0 stays un-flagged despite the 1000 outlier
+    assert(math.abs(out(("a", 2.0)).getAs[Double]("score")) < 1.0)
+    // constant group: MAD 0 -> null score
+    val z = out(("z", 7.0))
+    assert(z.getAs[Double]("mad") == 0.0 &&
+      z.isNullAt(z.fieldIndex("score")))
+  }
 }

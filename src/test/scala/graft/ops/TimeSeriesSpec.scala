@@ -546,4 +546,51 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[Double].collect().toSeq
     assert(b == Seq(0.0)) // max(0, 5-10) = 0
   }
+
+  test("rollingSlope: exact trend on a line, window-local trend on " +
+    "a kink, single-row start is null") {
+    // y = 2x for x=1..5, then flat at 10
+    val xs = Seq(2.0, 4.0, 6.0, 8.0, 10.0, 10.0, 10.0)
+    val df = xs.zipWithIndex.map { case (y, i) =>
+      ("k", ts(f"2024-01-01 00:0$i:00"), i.toLong, y)
+    }.toDF("k", "ts", "id", "v")
+    val out = TimeSeries.rollingSlope(df, Seq("k"), "ts", "id", "v",
+      window = 3).orderBy("id").collect()
+      .map(r => Option(r.get(4)).map(_.asInstanceOf[Double]))
+    assert(out(0).isEmpty)          // n = 1: no slope
+    assert(out(1) == Some(2.0))     // two points on the line
+    assert(out(4) == Some(2.0))     // full window still on the line
+    assert(out(6) == Some(0.0))     // flat tail
+    // kink window {8, 10, 10}: slope = (3*58.. compute: x=5,6,7
+    // y=10,10,10? no: ids 4,5,6 -> y=10,10,10 flat. id5 window y=8,10,10
+    assert(out(5) == Some(1.0))     // {8,10,10} over 3 steps: slope 1
+  }
+
+  test("funnelWithin: gap bound breaks the chain where plain funnel " +
+    "would credit it") {
+    val df = Seq(
+      // actor 1: view 10:00, click 10:30 (in gap), buy 12:30 (OUT)
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 12:30:00"), "purchase"),
+      // actor 2: full chain inside the gap
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:10:00"), "click"),
+      (2L, ts("2024-01-01 09:50:00"), "purchase"),
+      // actor 3: click before ANY view never qualifies
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      (3L, ts("2024-01-01 08:30:00"), "view")
+    ).toDF("actor", "ts", "event_type")
+    val out = TimeSeries.funnelWithin(df, "actor", "ts", "event_type",
+      Seq("view", "click", "purchase"), maxGapSeconds = 3600)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("stage") == 2)
+    assert(out(2L).getAs[Int]("stage") == 3)
+    assert(out(2L).getAs[Timestamp]("step3_ts") ==
+      ts("2024-01-01 09:50:00"))
+    assert(out(3L).getAs[Int]("stage") == 1)
+    // a later click chained to a STALE view must not resurrect:
+    // actor 1's purchase at 12:30 is > 1h after the 10:30 click
+    assert(out(1L).isNullAt(out(1L).fieldIndex("step3_ts")))
+  }
 }
