@@ -1469,6 +1469,67 @@ object Stats {
       .drop("__med", "__mad")
   }
 
+  /**
+   * Autocorrelation function per key: Pearson correlation of the
+   * series with itself at lags 1..`maxLag` — the seasonality /
+   * memory diagnostic behind "is this series weekly?" and AR-order
+   * picking. Each lag's correlation is computed over the OVERLAPPING
+   * pairs `(xₜ, xₜ₋ℓ)` (the "unbiased-n" convention: n shrinks with
+   * the lag), from exact decimal moments with the [[linearFit]]
+   * pinned closing chain.
+   *
+   * ALL lag columns materialize in one window pass — same key
+   * partitioning, same (tsCol, tieCol) total order — then a stack
+   * generator melts them so every lag's moment collapse shares one
+   * (keys, lag) exchange. Lags with under 3 pairs or zero variance
+   * on either side emit null.
+   *
+   * Output: (keys…, lag, n, corr).
+   *
+   * Scale posture: one key exchange (windows), one shuffle-free melt,
+   * one map-side-combined (keys, lag) collapse. Corpus crosses the
+   * wire once.
+   */
+  def acf(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+          valueCol: String, maxLag: Int, valueScale: Int = 2)
+  : DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(keys.nonEmpty, "acf needs key columns")
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val lagged = (1 to maxLag).foldLeft(
+      df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+        .withColumn("__x", v)) { (acc, l) =>
+      acc.withColumn(s"__l$l", lag(col("__x"), l).over(w))
+    }
+    val pairs = lagged.select(keys.map(col) :+
+      expr(s"stack($maxLag, " + (1 to maxLag)
+        .map(l => s"$l, __l$l").mkString(", ") + ") AS (lag, __y)") :+
+      col("__x"): _*)
+      .filter(col("__y").isNotNull)
+    val m = pairs.groupBy(keys.map(col) :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,6)")).as("__syy"))
+    def snap(c: Column): Column =
+      (c - (c % lit(BigDecimal(1).bigDecimal)))
+        .cast("decimal(38,0)").cast("double")
+    val n = d(col("n"))
+    val sx = d(col("__sx")); val sy = d(col("__sy"))
+    val sxy = snap(col("__sxy")); val sxx = snap(col("__sxx"))
+    val syy = snap(col("__syy"))
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val corr = (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+    m.select(keys.map(col) ++ Seq(col("lag"), col("n"),
+      when(col("n") >= 3 && vx > 0.0 && vy > 0.0, corr)
+        .as("corr")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

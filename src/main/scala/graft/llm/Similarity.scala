@@ -707,4 +707,61 @@ object Similarity {
           col("__m.xy") / (sqrt(col("__m.xx")) * sqrt(col("__m.yy")))))
       .select(col("g1"), col("g2"), col("n_1"), col("n_2"), col("cosine"))
   }
+
+  /**
+   * Per-dimension class-separation profile of a labeled embedding
+   * column: for each vector dimension, the Fisher ratio
+   * `Σ_c n_c(μ_c − μ)² / Σ_c n_c σ²_c` (between-class over pooled
+   * within-class scatter) — the embedding-QA readout for "which
+   * dimensions actually carry the label, and does this space separate
+   * classes at all". Dimensions rank by ratio descending (dim index
+   * as tie-break, a total order).
+   *
+   * Engine-exact: components snap to the 10⁻⁶ decimal grid (floats
+   * round-trip exactly), per-(class, dim) moments are exact decimal
+   * sums, and the scatter chain closes from the class grid in pinned
+   * IEEE — scatter identities `Σn_c μ_c² − n μ²` on moment doubles,
+   * both engines identical. Zero within-class scatter emits a null
+   * ratio (separation is infinite or the dim is constant — either
+   * way not a number).
+   *
+   * Output: (dim, n, fisher, rank).
+   *
+   * Scale posture: posexplode → ONE map-side-combined (label, dim)
+   * collapse (|classes × dims| rows); everything after runs on that
+   * grid. The corpus crosses the wire once, aggregated.
+   */
+  def classSeparation(df: DataFrame, vecCol: String, labelCol: String)
+  : DataFrame = {
+    val base = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("__c"), posexplode(col(vecCol))
+        .as(Seq("dim", "__v0")))
+      .withColumn("__v",
+        round(col("__v0").cast("double"), 6).cast("decimal(18,6)"))
+    val grid = base.groupBy(col("__c"), col("dim"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).as("__ss"))
+    // per-dim closing from the class grid: exact decimal totals, one
+    // double cast each, pinned scatter identities
+    val per = grid.groupBy(col("dim"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("__ts"),
+        sum((col("__ss") - (col("__ss") % lit(BigDecimal(1).bigDecimal)))
+          .cast("decimal(38,0)")).cast("double").as("__tss"),
+        // Σ n_c μ_c² = Σ s_c²/n_c — per-class pinned divisions folded
+        // SEQUENTIALLY in class order (a bare double SUM would be
+        // partial-aggregation-order-dependent; the sorted fold is the
+        // crossGroupCosine discipline, list_reduce on the SQL side)
+        aggregate(sort_array(collect_list(struct(col("__c").as("c"),
+            (col("__s").cast("double") * col("__s").cast("double") /
+              col("__n").cast("double")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__bsum"))
+    val n = col("n").cast("double")
+    val between = col("__bsum") - col("__ts") * col("__ts") / n
+    val within = col("__tss") - col("__bsum")
+    per.select(col("dim"), col("n"),
+        when(within > 0.0, between / within).as("fisher"))
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("fisher").desc_nulls_last, col("dim").asc)))
+  }
 }

@@ -1032,6 +1032,141 @@ object TimeSeries {
   }
 
   /**
+   * Period-over-period comparison per key: bucketed aggregates with
+   * their previous-period values, deltas and percent changes — the
+   * WoW/MoM reporting table every dashboard recomputes. `prev_*` is
+   * the previous EXISTING bucket (lag over the key's bucket order),
+   * so gap periods compare against the last observed one — the
+   * convention that never divides by a phantom zero period.
+   *
+   * Exact decimal sums; `pct_change = (cur − prev)/prev` is one
+   * pinned IEEE chain, null when there is no previous bucket or its
+   * sum is 0.
+   *
+   * Output: (keys…, bucket, n, total, prev_total, delta, pct_change).
+   *
+   * Scale posture: one map-side-combined (keys, bucket) collapse; the
+   * lag window rides a keys-exchange over the collapsed grid
+   * (|buckets| rows per key, never the corpus).
+   */
+  def periodOverPeriod(df: DataFrame, keys: Seq[String], tsCol: String,
+                       valueCol: String, unit: String,
+                       valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "periodOverPeriod needs key columns")
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val g = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val prev = lag(col("__s"), 1).over(w)
+    g.select(keys.map(col) ++ Seq(col("bucket"), col("n"),
+      col("__s").cast("double").as("total"),
+      prev.cast("double").as("prev_total"),
+      (col("__s") - prev).cast("double").as("delta"),
+      when(prev.isNotNull && prev =!= 0,
+        (col("__s") - prev).cast("double") / prev.cast("double"))
+        .as("pct_change")): _*)
+  }
+
+  /**
+   * Cohort LTV curve: users cohorted by their FIRST activity period,
+   * then average cumulative value per cohort member at each cohort
+   * age — the "how much is a January signup worth by month 6" table
+   * ([[retentionCohorts]]'s revenue sibling; retention answers "are
+   * they still here", this answers "what are they worth").
+   *
+   * `ltv = cumulative revenue / cohort size` divides by the FULL
+   * cohort (not just still-active users) — the standard definition,
+   * so the curve is monotone and reads as per-acquired-user value.
+   * Ages with no activity anywhere in a cohort simply don't emit (a
+   * gap reads as flat; densify with [[resampleFill]] if needed).
+   *
+   * Exact decimal revenue; the cumulative sum runs over the
+   * (cohort, age) grid in decimal and casts once.
+   *
+   * Output: (cohort, age, n_active, revenue, cum_revenue,
+   * cohort_size, ltv).
+   *
+   * Scale posture: one actor window for the cohort stamp, one
+   * map-side (cohort, age) collapse, then the cumulative window and
+   * the size join ride the collapsed grid (|cohorts × ages| rows).
+   */
+  def cohortLtv(df: DataFrame, actorCol: String, tsCol: String,
+                valueCol: String, unit: String,
+                valueScale: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col(actorCol))
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val base = df.filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(actorCol), date_trunc(unit, col(tsCol)).as("__bucket"),
+        v.as("__v"))
+      .withColumn("cohort", min(col("__bucket")).over(w))
+      .withColumn("age", offsetExpr(unit, col("cohort"), col("__bucket")))
+      .localCheckpoint(false)
+    val sizes = base.filter(col("age") === 0L)
+      .groupBy("cohort")
+      .agg(countDistinct(col(actorCol)).as("cohort_size"))
+    val grid = base.groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col(actorCol)).as("n_active"),
+        sum(col("__v")).as("__rev"))
+    val cumW = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cum", sum(col("__rev")).over(cumW))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_active"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"),
+        col("cohort_size"),
+        (col("__cum").cast("double") /
+          col("cohort_size").cast("double")).as("ltv"))
+  }
+
+  /**
+   * Top user journeys: the k most common ordered event-type PATHS
+   * over gap-sessionized activity — "view > view > click > purchase",
+   * the product-analytics Sankey feed. Sessions split on `gapSeconds`
+   * of inactivity ([[graft.agg.GroupBy.sessionize]]); each session's
+   * path is its first `maxLen` events' types in (ts, tie) order
+   * joined by `" > "`; paths rank by session count with the path
+   * string as tie-break (total order).
+   *
+   * Output: (path, n_sessions, rank), rank 1..k.
+   *
+   * Scale posture: the session window and the in-session rank ride
+   * ONE actor exchange; the path collapse is (actor, session)-keyed,
+   * the count collapse map-side combines on the path string, and the
+   * global top-k cut is a WindowGroupLimit over a single partition of
+   * |distinct paths ≤ maxLen| rows — bounded by event-type^maxLen,
+   * not by sessions.
+   */
+  def topPaths(df: DataFrame, actorCol: String, tsCol: String,
+               tieCol: String, typeCol: String, gapSeconds: Long,
+               maxLen: Int, k: Int): DataFrame = {
+    require(maxLen > 0 && k > 0, "topPaths needs maxLen > 0 and k > 0")
+    val base = df.filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+      col(typeCol).isNotNull)
+    val sess = graft.agg.GroupBy.sessionize(base, Seq(actorCol), tsCol,
+      gap = gapSeconds * 1000000L, out = "__sess")
+    val wIn = Window.partitionBy(col(actorCol), col("__sess"))
+      .orderBy(col(tsCol), col(tieCol))
+    val paths = sess
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(actorCol), col("__sess"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol).as("t"),
+          col(tieCol).as("tie"), col(typeCol).as("s")))),
+        e => e.getField("s")), " > ").as("path"))
+    val counts = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    counts
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("n_sessions").desc, col("path").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Rolling OLS slope per key: at every row, the least-squares trend
    * of the value over the trailing `window` observations — the
    * "rolling beta" / local-trend primitive behind momentum features
