@@ -3831,6 +3831,15 @@ object SparkEntry {
           col("value"), col("cusum"), col("alarm"))
     }),
 
+    // ---- SPC: lower-sided CUSUM mirror — sustained DOWNWARD mean
+    //      shift, same two-linear-window prefix-sum identity ----
+    "q295_cusum_lower" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumLower(t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "value",
+        target = 50.0, slack = 0.0, threshold = 100.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("cusum"), col("alarm"))),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -8549,13 +8558,36 @@ object SparkEntry {
     // through double — measured 0.049999... vs the engine's exact
     // 0.05 — so integer cents are the exact carrier; the closing
     // /100.0 and the decimal→double cast round the same rational to
-    // the same nearest double); (ts, event_id) total order
+    // the same nearest double); cents via the ONE snap convention
+    // (CAST to DECIMAL(18,2), the q289/q290 discipline — engine ≡
+    // oracle on the cent-grid gate data); (ts, event_id) total order
     "q281_cusum" ->
       """WITH e AS (SELECT user_id, ts, event_id,
-        |    CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS xc
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |p AS (SELECT user_id, ts, event_id, xc,
         |    CAST(sum(xc - 5000) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pp FROM e),
+        |m AS (SELECT *, least(min(pp) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      CAST(0 AS BIGINT)) AS mm FROM p)
+        |SELECT user_id, event_id,
+        |  CAST(xc AS DOUBLE) / 100.0 AS value,
+        |  CAST(pp - mm AS DOUBLE) / 100.0 AS cusum,
+        |  (pp - mm) > 10000 AS alarm
+        |FROM m""".stripMargin,
+
+    // the lower-sided mirror: drift flips to (5000 - xc), everything
+    // else identical to q281
+    "q295_cusum_lower" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |p AS (SELECT user_id, ts, event_id, xc,
+        |    CAST(sum(5000 - xc) OVER
         |      (PARTITION BY user_id ORDER BY ts, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS pp FROM e),
@@ -8821,7 +8853,7 @@ object SparkEntry {
     // the oracle for the incrementally-maintained state
     "q288_stream_cusum" ->
       """WITH e AS (SELECT user_id, ts, event_id,
-        |    CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS xc
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |    AND value IS NOT NULL),
         |p AS (SELECT user_id, ts, event_id, xc,

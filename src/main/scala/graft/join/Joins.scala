@@ -183,6 +183,16 @@ object Joins {
    * Output: left columns + right payload prefixed (matched side),
    * plus `<prefix>gap` — the absolute time distance (micros for
    * timestamp columns, native units for numeric).
+   *
+   * Restriction: the deterministic tie-break among right rows sharing
+   * (key, time) orders by the WHOLE right payload struct, so every
+   * right payload column must be an ORDERABLE type — a MapType payload
+   * fails analysis. (The full struct is the only tie-break that is
+   * total and engine-replayable without asking the caller for a unique
+   * row id; callers with a MapType payload should drop or serialize it
+   * first. When (key, time) is unique on the right, the struct
+   * comparison never runs past the first field in practice — sort cost
+   * is the (time, side) prefix.)
    */
   def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTime: String, rightTime: String,
@@ -311,6 +321,15 @@ object Joins {
    * typical interval length); candidate blow-up per (key, bin) is
    * bounded by in-bin interval density, never |left| × |right| per
    * key. Hot bins ride AQE skew splitting.
+   *
+   * Contract: rows with `lo > hi` (inverted intervals) are DROPPED,
+   * like nulls — an inverted range has no overlap semantics, and
+   * letting it through would make `sequence(bin(lo), bin(hi))` emit a
+   * DESCENDING bin range with undefined pairing. Note also that one
+   * row explodes into `⌈span/binWidth⌉ + 1` bin replicas and Spark's
+   * `sequence` caps elements at spark.sql.maxArrayLength-ish limits —
+   * a binWidth orders of magnitude under the typical span fails fast
+   * in `sequence`, not silently.
    */
   def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                   loCol: String, hiCol: String, binWidth: Double,
@@ -323,10 +342,12 @@ object Joins {
       if (keys.contains(c)) df else df.withColumnRenamed(c, s"$prefix$c")
     }
     val (rlo, rhi) = (s"$prefix$loCol", s"$prefix$hiCol")
-    val lx = left.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+    val lx = left.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
       .withColumn("__bin",
         explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
-    val rx = r.filter(col(rlo).isNotNull && col(rhi).isNotNull)
+    val rx = r.filter(col(rlo).isNotNull && col(rhi).isNotNull &&
+        col(rlo) <= col(rhi))
       .withColumn("__bin",
         explode(sequence(bin(col(rlo)), bin(col(rhi)))))
     lx.join(rx, keys :+ "__bin")

@@ -1298,6 +1298,16 @@ object TimeSeries {
    * (tsCol, idCol) — a total order when idCol is unique (the q207
    * discipline). Null ts/value rows are dropped.
    *
+   * Snap convention (ONE convention across batch, stream, and oracle):
+   * Spark's double→decimal cast — HALF_UP on the double's SHORTEST
+   * decimal representation (2.675 → 2.68). [[graft.streaming.Streaming
+   * .cusumStream]] reproduces it bit-exactly via
+   * `BigDecimal.valueOf(v).setScale(2, HALF_UP)` (same shortest-string
+   * semantics). A DuckDB/ANSI oracle's `CAST(v AS DECIMAL(18,2))`
+   * rounds the BINARY value instead (2.675 → 2.67), so engine ≡ oracle
+   * is guaranteed only for inputs on (or representably near) the 10⁻²
+   * grid — which the gate data is; off-grid corpora should pre-snap.
+   *
    * Output: (keys…, tsCol, idCol, value double, `cusum` double,
    * `alarm` boolean).
    *
@@ -1309,11 +1319,34 @@ object TimeSeries {
    */
   def cusum(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
             valueCol: String, target: Double, slack: Double,
-            threshold: Double): DataFrame = {
+            threshold: Double): DataFrame =
+    cusumImpl(df, keys, tsCol, idCol, valueCol, target, slack, threshold,
+      upper = true)
+
+  /** Lower-sided mirror of [[cusum]]: `S₀ = 0;
+   *  Sᵢ = max(0, Sᵢ₋₁ + (μ₀ − k − xᵢ))`, alarm when `Sᵢ > h` — detects
+   *  a sustained DOWNWARD shift of the mean. Same two-linear-window
+   *  prefix-sum identity, same snap convention, same output shape. */
+  def cusumLower(df: DataFrame, keys: Seq[String], tsCol: String,
+                 idCol: String, valueCol: String, target: Double,
+                 slack: Double, threshold: Double): DataFrame =
+    cusumImpl(df, keys, tsCol, idCol, valueCol, target, slack, threshold,
+      upper = false)
+
+  private def cusumImpl(df: DataFrame, keys: Seq[String], tsCol: String,
+                        idCol: String, valueCol: String, target: Double,
+                        slack: Double, threshold: Double,
+                        upper: Boolean): DataFrame = {
     require(keys.nonEmpty, "cusum needs at least one key column")
-    val x = round(col(valueCol).cast("double"), 2).cast("decimal(18,2)")
-    val drift = (x - lit(BigDecimal(target).setScale(2))
-      - lit(BigDecimal(slack).setScale(2))).cast("decimal(38,2)")
+    // the ONE snap convention: Spark double→decimal cast (HALF_UP on
+    // the shortest decimal string) — see the scaladoc note on [[cusum]]
+    val x = col(valueCol).cast("double").cast("decimal(18,2)")
+    val signed =
+      if (upper) x - lit(BigDecimal(target).setScale(2)) -
+        lit(BigDecimal(slack).setScale(2))
+      else lit(BigDecimal(target).setScale(2)) -
+        lit(BigDecimal(slack).setScale(2)) - x
+    val drift = signed.cast("decimal(38,2)")
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(idCol))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)

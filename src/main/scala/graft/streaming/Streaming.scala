@@ -871,9 +871,16 @@ object Streaming {
    * incremental form): per-key state is the EXACT pair (prefix sum,
    * running min of prefix sums) carried in integer CENTS — two longs
    * per key, constant state, and bit-identical to the batch
-   * prefix-sum identity on any feed chunking (the recurrence needs
-   * only the pair, so micro-batch boundaries are invisible). Values,
-   * target, slack and threshold all live on the 10⁻² grid — the
+   * prefix-sum identity on any feed chunking THAT PRESERVES PER-KEY
+   * (ts, tie) ORDER across micro-batches (rows inside one batch are
+   * sorted here, but the recurrence folds a row arriving in a LATER
+   * batch as if it were last — a late-data divergence the state pair
+   * cannot undo; feed time-ordered chunks, as the q288 harness does
+   * with hour-ranged single-file triggers). Values, target, slack and
+   * threshold all snap via `BigDecimal.valueOf(v).setScale(2, HALF_UP)`
+   * — bit-identical to the batch path's double→decimal(18,2) cast
+   * (both round HALF_UP on the shortest decimal string), the one snap
+   * convention documented on [[graft.ops.TimeSeries.cusum]]. The
    * [[ewmaStream]] shape but with NO float in the state at all.
    *
    * Emits one row per processed event (Update mode); the log folds
@@ -885,9 +892,12 @@ object Streaming {
                   slack: Double, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val muC = math.rint(target * 100).toLong
-    val kC = math.rint(slack * 100).toLong
-    val hC = math.rint(threshold * 100).toLong
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    val muC = cents(target)
+    val kC = cents(slack)
+    val hC = cents(threshold)
     val ds = df
       .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
         col(valueCol).isNotNull)
@@ -904,7 +914,7 @@ object Streaming {
           var (p, m) = state.getOption.getOrElse((0L, 0L))
           val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
             case (_, ts, tie, v) =>
-              val xc = math.rint(v * 100).toLong
+              val xc = cents(v)
               p += xc - muC - kC
               m = math.min(m, p)
               val s = p - m

@@ -1047,6 +1047,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
       fin.take(2000))
   }
+  test("q295 cusum lower: same one-exchange two-window shape as q281") {
+    val fin = finalPlan("q295_cusum_lower").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert("Window \\[".r.findAllIn(fin).size >= 2, fin.take(1500))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

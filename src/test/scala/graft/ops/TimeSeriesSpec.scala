@@ -528,6 +528,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       expect.map(_ > 10.0))
   }
 
+  test("cusumLower mirrors the recurrence for downward shifts; " +
+    "off-grid values snap HALF_UP on the shortest decimal string") {
+    // target 10, slack 1: drift = 9 - x; 2.675 snaps to 2.68 (the
+    // shortest-string convention, NOT the binary-double 2.67)
+    val xs = Seq(10.0, 2.675, 3.0, 15.0, 1.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("k", ts(f"2024-01-01 00:0$i:00"), i.toLong, x)
+    }.toDF("k", "ts", "id", "v")
+    val out = TimeSeries.cusumLower(df, Seq("k"), "ts", "id", "v",
+      target = 10.0, slack = 1.0, threshold = 10.0)
+      .orderBy("id").collect()
+    var s = BigDecimal(0)
+    val snapped = xs.map(x =>
+      BigDecimal(java.math.BigDecimal.valueOf(x)
+        .setScale(2, java.math.RoundingMode.HALF_UP)))
+    assert(snapped(1) == BigDecimal("2.68"))
+    // sequential replay: S = max(0, S + (9 - x))
+    val expect = snapped.map { x =>
+      s = (s + (BigDecimal(9) - x)).max(BigDecimal(0)); s
+    }.map(_.toDouble)
+    assert(out.map(_.getAs[Double]("cusum")).toSeq == expect)
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq ==
+      expect.map(_ > 10.0))
+    // the snapped input value is what comes back in `value`
+    assert(out(1).getAs[Double]("value") == 2.68)
+  }
+
   test("cusum resets independently per key; null rows dropped") {
     val df = Seq(
       ("a", Some(ts("2024-01-01 00:00:00")), 1L, Some(100.0)),
