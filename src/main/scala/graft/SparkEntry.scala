@@ -3840,6 +3840,21 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"),
           col("cusum"), col("alarm"))),
 
+    // ---- time series: autocorrelation per event type, lags 1..5 —
+    //      one window pass, stack melt, one (key, lag) collapse ----
+    "q293_acf" -> ((s, dir) =>
+      graft.agg.Stats.acf(t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value", maxLag = 5)
+        .select(col("event_type"), col("lag"), col("n"), col("corr"))),
+
+    // ---- embedding QA: per-dimension Fisher class-separation
+    //      profile — which dims carry the label ----
+    "q294_class_separation" -> ((s, dir) =>
+      graft.llm.Similarity.classSeparation(
+        t(s, dir, "embeddings")
+          .withColumn("label", (col("vec_id") % 5).cast("int")),
+        "embedding", "label")),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -8600,6 +8615,89 @@ object SparkEntry {
         |  CAST(pp - mm AS DOUBLE) / 100.0 AS cusum,
         |  (pp - mm) > 10000 AS alarm
         |FROM m""".stripMargin,
+
+    // lag pairs in exact integer cents; every moment closes as an
+    // EXACT integer-grid sum over one correctly-rounded division
+    // (cents/100, cent-products/1e4) — the same rational the engine's
+    // decimal→double cast rounds; the corr chain replays the engine's
+    // pinned IEEE expression
+    "q293_acf" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT event_type, xc,
+        |    lag(xc, 1) OVER w AS y1, lag(xc, 2) OVER w AS y2,
+        |    lag(xc, 3) OVER w AS y3, lag(xc, 4) OVER w AS y4,
+        |    lag(xc, 5) OVER w AS y5
+        |  FROM b WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_type, 1 AS lag, xc, y1 AS yc FROM l
+        |    WHERE y1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, xc, y2 FROM l
+        |    WHERE y2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 3, xc, y3 FROM l
+        |    WHERE y3 IS NOT NULL
+        |  UNION ALL SELECT event_type, 4, xc, y4 FROM l
+        |    WHERE y4 IS NOT NULL
+        |  UNION ALL SELECT event_type, 5, xc, y5 FROM l
+        |    WHERE y5 IS NOT NULL),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(xc) AS sx2, sum(yc) AS sy2, sum(xc * yc) AS sxy4,
+        |    sum(xc * xc) AS sxx4, sum(yc * yc) AS syy4
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT event_type, lag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx2 AS DOUBLE) / 100.0 AS sx,
+        |    CAST(sy2 AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sxy4 AS DOUBLE) / 10000.0 AS sxy,
+        |    CAST(sxx4 AS DOUBLE) / 10000.0 AS sxx,
+        |    CAST(syy4 AS DOUBLE) / 10000.0 AS syy
+        |  FROM m)
+        |SELECT event_type, lag, n,
+        |  CASE WHEN n >= 3 AND nd * sxx - sx * sx > 0
+        |        AND nd * syy - sy * sy > 0
+        |    THEN (nd * sxy - sx * sy) /
+        |      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+        |  END AS corr
+        |FROM f""".stripMargin,
+
+    // the engine's 1e-6 snapped grid in integer micro-units: per-row
+    // squares HALF_UP to 1e-6 ((vu²+500000)//1e6 — exact integers),
+    // moments close as exact micro-unit sums over one correctly-
+    // rounded division, the between-scatter Σs_c²/n_c folds
+    // SEQUENTIALLY in class order (list_reduce — the crossGroupCosine
+    // discipline), closing chain pinned IEEE
+    "q294_class_separation" ->
+      """WITH e AS (SELECT CAST(vec_id % 5 AS INT) AS c,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |x AS (SELECT c, CAST(i - 1 AS INT) AS dim,
+        |    CAST(CAST(v[i] AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM (SELECT c, v, unnest(generate_series(1, len(v))) AS i
+        |        FROM e)),
+        |g AS (SELECT c, dim, CAST(count(*) AS BIGINT) AS n,
+        |    sum(vu) AS su,
+        |    sum((vu * vu + 500000) // 1000000) AS ssu
+        |  FROM x GROUP BY 1, 2),
+        |p AS (SELECT dim, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(su) AS DOUBLE) / 1000000.0 AS ts,
+        |    CAST(sum(ssu) AS DOUBLE) / 1000000.0 AS tss,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(su AS DOUBLE) / 1000000.0) *
+        |           (CAST(su AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+        |           ORDER BY c)),
+        |      (a, t) -> a + t) AS bsum
+        |  FROM g GROUP BY dim),
+        |f AS (SELECT dim, n,
+        |    CASE WHEN tss - bsum > 0
+        |      THEN (bsum - ts * ts / CAST(n AS DOUBLE)) / (tss - bsum)
+        |    END AS fisher
+        |  FROM p)
+        |SELECT dim, n, fisher,
+        |  CAST(row_number() OVER (ORDER BY fisher DESC NULLS LAST, dim)
+        |    AS INT) AS "rank"
+        |FROM f""".stripMargin,
 
     // same rank-mod-k on the same (stratum, orderkey) total order
     "q282_kfold" ->

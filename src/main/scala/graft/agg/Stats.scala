@@ -1515,13 +1515,15 @@ object Stats {
         sum((col("__x") * col("__y")).cast("decimal(38,6)")).as("__sxy"),
         sum((col("__x") * col("__x")).cast("decimal(38,6)")).as("__sxx"),
         sum((col("__y") * col("__y")).cast("decimal(38,6)")).as("__syy"))
-    def snap(c: Column): Column =
-      (c - (c % lit(BigDecimal(1).bigDecimal)))
-        .cast("decimal(38,0)").cast("double")
+    // exact decimal sums close with ONE correctly-rounded double cast
+    // each (BigDecimal.doubleValue); an ANSI oracle replays them as
+    // exact integer 10⁻⁴-grid units / 1e4 — bit-identical while the
+    // per-(key, lag) unit sums stay under 2⁵³ (oracle-side envelope
+    // only; the engine cast is correctly rounded at any magnitude)
     val n = d(col("n"))
     val sx = d(col("__sx")); val sy = d(col("__sy"))
-    val sxy = snap(col("__sxy")); val sxx = snap(col("__sxx"))
-    val syy = snap(col("__syy"))
+    val sxy = d(col("__sxy")); val sxx = d(col("__sxx"))
+    val syy = d(col("__syy"))
     val vx = n * sxx - sx * sx
     val vy = n * syy - sy * sy
     val corr = (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))

@@ -746,8 +746,11 @@ object Similarity {
     val per = grid.groupBy(col("dim"))
       .agg(sum(col("__n")).as("n"),
         sum(col("__s")).cast("double").as("__ts"),
-        sum((col("__ss") - (col("__ss") % lit(BigDecimal(1).bigDecimal)))
-          .cast("decimal(38,0)")).cast("double").as("__tss"),
+        // exact decimal Σv² closes with one correctly-rounded double
+        // cast; oracle replays it as exact integer micro-units / 1e6
+        // (bit-identical under 2⁵³ micro-units per dim — oracle-side
+        // envelope; the engine cast is correct at any magnitude)
+        sum(col("__ss")).cast("double").as("__tss"),
         // Σ n_c μ_c² = Σ s_c²/n_c — per-class pinned divisions folded
         // SEQUENTIALLY in class order (a bare double SUM would be
         // partial-aggregation-order-dependent; the sorted fold is the

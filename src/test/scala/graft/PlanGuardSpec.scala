@@ -1047,6 +1047,26 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
       fin.take(2000))
   }
+  test("q293 acf: one window exchange, shuffle-free stack melt, one " +
+    "(key, lag) collapse — join-free, no quadratic frame") {
+    val fin = finalPlan("q293_acf").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
+  test("q294 class separation: posexplode -> ONE map-side-combined " +
+    "(label, dim) grid, join-free; rank rides the |dims| grid only") {
+    val fin = finalPlan("q294_class_separation")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert(fin.contains("Generate posexplode"), fin.take(1500))
+  }
   test("q295 cusum lower: same one-exchange two-window shape as q281") {
     val fin = finalPlan("q295_cusum_lower").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -548,4 +548,44 @@ class StatsSpec extends AnyFunSuite {
     assert(z.getAs[Double]("mad") == 0.0 &&
       z.isNullAt(z.fieldIndex("score")))
   }
+
+  private def acfTs(i: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+
+  test("acf: alternating series is exactly -1 at lag 1; constant " +
+    "series and thin lags emit null") {
+    val alt = (0 until 6).map(i => ("a", acfTs(i), i.toLong,
+      if (i % 2 == 0) 1.0 else 2.0))
+    val const = (0 until 6).map(i => ("c", acfTs(i), i.toLong, 5.0))
+    val df = (alt ++ const).toDF("k", "ts", "id", "v")
+    val out = Stats.acf(df, Seq("k"), "ts", "id", "v", maxLag = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val a1 = out(("a", 1))
+    assert(a1.getLong(2) == 5L)
+    assert(math.abs(a1.getDouble(3) + 1.0) < 1e-12)
+    // lag 2 of the alternation is perfectly +1
+    assert(math.abs(out(("a", 2)).getDouble(3) - 1.0) < 1e-12)
+    // lag 5 has one pair (n < 3) -> null corr, row still present
+    val a5 = out(("a", 5))
+    assert(a5.getLong(2) == 1L && a5.isNullAt(3))
+    // constant series: zero variance at every lag -> null
+    (1 to 5).foreach(l => assert(out(("c", l)).isNullAt(3)))
+  }
+
+  test("acf: hand Pearson at lag 2; lags past the series length " +
+    "emit no rows; null ts/value rows dropped") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("k", Some(acfTs(i)), i.toLong, Some(x))
+    } :+ (("k", Option.empty[java.sql.Timestamp], 99L, Some(9.0)))
+    val out = Stats.acf(df.toDF("k", "ts", "id", "v"),
+      Seq("k"), "ts", "id", "v", maxLag = 8)
+    val rows = out.collect().map(r => r.getInt(1) -> r).toMap
+    // pairs exist only for lags 1..4 (5 points)
+    assert(rows.keySet == Set(1, 2, 3, 4))
+    // lag 2: x=[2,5,4] vs y=[1,3,2] -> r = 9/sqrt(14*6)
+    val r2 = rows(2)
+    assert(r2.getLong(2) == 3L)
+    assert(math.abs(r2.getDouble(3) - 9.0 / math.sqrt(84.0)) < 1e-12)
+  }
 }
