@@ -78,5 +78,60 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
+def operator_scan(repo="."):
+    """Fail on any PUBLIC operator in src/main that is neither wired
+    into SparkEntry (gate) nor referenced by any test source.
+
+    This is the structural fix for the closing-wave slip (rounds 9, 12,
+    13 all shipped an operator with no gate/spec in the final commit):
+    a public `def` that nothing gates and nothing tests is unverified
+    by this repo's own bar and fails the round here.
+    """
+    import re
+    main_glob = glob.glob(f"{repo}/src/main/scala/graft/**/*.scala",
+                          recursive=True)
+    harness = {"SparkEntry.scala", "Verify.scala", "Bench.scala"}
+    # names that are structural, not operators
+    ignore = {"main", "apply", "unapply", "toString", "equals",
+              "hashCode"}
+    defs = {}  # name -> file:line of first public def
+    for path in sorted(main_glob):
+        base = os.path.basename(path)
+        if base in harness or "/tmp/" in path.replace("\\", "/"):
+            continue
+        for i, line in enumerate(open(path), 1):
+            # member-level (2-space) public defs only: deeper indents
+            # are local helpers, `override` implements a Spark
+            # interface (not a graft operator), private/protected are
+            # internal by construction
+            m = re.match(r"  def\s+([a-zA-Z]\w*)", line)
+            if not m:
+                continue
+            name = m.group(1)
+            if name in ignore or name in defs:
+                continue
+            defs[name] = f"{path}:{i}"
+    refs = ""
+    for path in glob.glob(f"{repo}/src/test/scala/**/*.scala",
+                          recursive=True):
+        refs += open(path).read()
+    for base in harness:
+        p = f"{repo}/src/main/scala/graft/{base}"
+        if os.path.exists(p):
+            refs += open(p).read()
+    missing = {n: w for n, w in sorted(defs.items())
+               if not re.search(rf"\b{re.escape(n)}\b", refs)}
+    for n, w in missing.items():
+        print(f"UNGATED OPERATOR {n} ({w}): no SparkEntry wiring and "
+              f"no test reference — gate it or cut it")
+    if not missing:
+        print(f"operator scan: {len(defs)} public defs, all referenced "
+              f"by gates or tests")
+    return 1 if missing else 0
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    if sys.argv[1] == "--operators":
+        sys.exit(operator_scan())
+    rc = operator_scan(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) or ".")
+    sys.exit(main(sys.argv[1], sys.argv[2]) or rc)

@@ -3855,6 +3855,23 @@ object SparkEntry {
           .withColumn("label", (col("vec_id") % 5).cast("int")),
         "embedding", "label")),
 
+    // ---- product analytics: top-k sessionized event-type journeys
+    //      ("view > click > purchase") — the Sankey feed ----
+    "q296_top_paths" -> ((s, dir) =>
+      graft.ops.TimeSeries.topPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        gapSeconds = 1800L, maxLen = 5, k = 20)),
+
+    // ---- growth analytics: generic cohort-LTV curve at hour grain —
+    //      cohort stamp, (cohort, age) grid, cumulative revenue per
+    //      acquired user ----
+    "q297_cohort_ltv_hourly" -> ((s, dir) =>
+      graft.ops.TimeSeries.cohortLtv(t(s, dir, "events"),
+        "user_id", "ts", "value", unit = "hour")
+        .select(unix_micros(col("cohort")).as("cohort_us"), col("age"),
+          col("n_active"), col("revenue"), col("cum_revenue"),
+          col("cohort_size"), col("ltv"))),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -8698,6 +8715,64 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY fisher DESC NULLS LAST, dim)
         |    AS INT) AS "rank"
         |FROM f""".stripMargin,
+
+    // the q89 sessionization (lag + running break sum, ties share a
+    // session), first-5 path via ORDER BY (t, event_id) string_agg,
+    // count-desc/path-asc total-order rank
+    "q296_top_paths" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+        |      OR t - prev > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY t) AS BIGINT) AS sess
+        |  FROM (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |          ORDER BY t) AS prev FROM b)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY t, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, ' > ' ORDER BY t, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1),
+        |k AS (SELECT path, n_sessions,
+        |    CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |      AS INT) AS "rank"
+        |  FROM c)
+        |SELECT * FROM k WHERE "rank" <= 20""".stripMargin,
+
+    // exact integer-cent revenue (windowed decimal sums route through
+    // double in DuckDB — the q281 lesson), hour buckets in epoch
+    // micros, age as exact integer division, distinct-actor counts,
+    // the ltv closing chain pinned IEEE
+    "q297_cohort_ltv_hourly" ->
+      """WITH b AS (SELECT user_id,
+        |    epoch_us(date_trunc('hour', ts)) AS bu,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |w AS (SELECT *, min(bu) OVER (PARTITION BY user_id) AS cu
+        |  FROM b),
+        |a AS (SELECT user_id, cu, (bu - cu) // 3600000000 AS age, vc
+        |  FROM w),
+        |sz AS (SELECT cu,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+        |  FROM a WHERE age = 0 GROUP BY 1),
+        |g AS (SELECT cu, age,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+        |    CAST(sum(vc) AS BIGINT) AS rev_c FROM a GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(rev_c) OVER (PARTITION BY cu
+        |    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS cum_c FROM g)
+        |SELECT c.cu AS cohort_us, CAST(c.age AS BIGINT) AS age,
+        |  c.n_active,
+        |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(cum_c AS DOUBLE) / 100.0 AS cum_revenue,
+        |  sz.cohort_size,
+        |  (CAST(cum_c AS DOUBLE) / 100.0) / CAST(sz.cohort_size AS DOUBLE)
+        |    AS ltv
+        |FROM c JOIN sz ON c.cu = sz.cu""".stripMargin,
 
     // same rank-mod-k on the same (stratum, orderkey) total order
     "q282_kfold" ->

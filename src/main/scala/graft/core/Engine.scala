@@ -19,7 +19,7 @@ object Engine {
    *  `base`, then `base1`, `base2`, … — the shared helper behind every
    *  operator that adds temporary columns to caller-supplied frames
    *  (the caller may legitimately own a column named `__anything`). */
-  def freshColumn(df: DataFrame, base: String): String =
+  private[graft] def freshColumn(df: DataFrame, base: String): String =
     Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
       .find(nm => !df.columns.contains(nm)).get
 

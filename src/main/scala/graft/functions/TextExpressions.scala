@@ -108,7 +108,7 @@ case class PreTokensExpr(child: Expression) extends UnaryExpression {
       s"$prettyName requires string, got ${other.simpleString}")
   }
 
-  def pretokens(u: UTF8String): ArrayData = {
+  private[graft] def pretokens(u: UTF8String): ArrayData = {
     val toks = Bpe.preTokens(u.toString)
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
   }
@@ -140,7 +140,7 @@ case class BpeTokenizeExpr(child: Expression, vocab: Bpe.BpeVocab)
       s"$prettyName requires string, got ${other.simpleString}")
   }
 
-  def tokenize(u: UTF8String): ArrayData = {
+  private[graft] def tokenize(u: UTF8String): ArrayData = {
     val toks = Bpe.encode(u.toString, vocab)
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
   }

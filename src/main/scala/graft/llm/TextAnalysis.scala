@@ -56,7 +56,7 @@ object TextAnalysis {
   /** Public space-joined word n-grams of a text column (empty tokens
    *  filtered, texts shorter than n grams → empty array) — the same
    *  gram definition [[ngramJoin]] gives the dedup family. */
-  def ngramsOf(text: Column, n: Int): Column = {
+  private[graft] def ngramsOf(text: Column, n: Int): Column = {
     val w = cleanTokens(text)
     when(size(w) >= n, ngramJoin(w, n))
       .otherwise(array().cast("array<string>"))
@@ -219,7 +219,7 @@ object TextAnalysis {
    *  false-match probability per probe — enough to falsely flag ~20%
    *  of thousand-gram documents in a decontamination pass — while
    *  60 bits gives ~10⁻¹². */
-  def md5l(s: Column): Column =
+  private[graft] def md5l(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /**

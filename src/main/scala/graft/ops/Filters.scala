@@ -41,13 +41,16 @@ object Filters {
   def matchesRegex(field: String, pattern: String): Column = col(field).rlike(pattern)
 
   /** Numeric comparisons after double coercion (reference coerces leniently,
-   *  `filter/filters.go:123-172`, `:249-264`; non-numeric ⇒ excluded, which
-   *  Spark's null-propagating cast reproduces). */
-  def greaterThan(field: String, v: Double): Column = col(field).cast("double") > lit(v)
-  def lessThan(field: String, v: Double): Column = col(field).cast("double") < lit(v)
+   *  `filter/filters.go:123-172`, `:249-264`; non-numeric ⇒ excluded).
+   *  `try_cast`, not `cast`: under ANSI mode (the Spark 4 default) a
+   *  plain cast THROWS on a malformed string instead of excluding the
+   *  row — the reference's lenient semantics need the null-on-failure
+   *  form in every session. */
+  def greaterThan(field: String, v: Double): Column = col(field).try_cast("double") > lit(v)
+  def lessThan(field: String, v: Double): Column = col(field).try_cast("double") < lit(v)
   /** Inclusive on both ends (reference `filter/filters.go:152-172`). */
   def between(field: String, lo: Double, hi: Double): Column =
-    col(field).cast("double").between(lit(lo), lit(hi))
+    col(field).try_cast("double").between(lit(lo), lit(hi))
 
   /** Typed comparisons — no coercion, so the predicate pushes to the
    *  scan for every column type and long-range values stay exact. */

@@ -1076,6 +1076,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
       fin.take(2000))
   }
+  test("q296 top paths: session + in-session windows share the actor " +
+    "exchange; global top-k cut collapses via WindowGroupLimit") {
+    val fin = finalPlan("q296_top_paths").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+    assert(fin.contains("WindowGroupLimit"), fin.take(1500))
+  }
+  test("q297 cohort ltv: checkpointed cohort-stamped base feeds sizes " +
+    "AND grid (no second corpus pass); everything after rides the grid") {
+    val fin = finalPlan("q297_cohort_ltv_hourly")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

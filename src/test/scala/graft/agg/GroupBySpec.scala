@@ -13,6 +13,16 @@ class GroupBySpec extends AnyFunSuite {
     ("a", 1L, Option(10.0)), ("a", 2L, Option(20.0)),
     ("b", 3L, None)).toDF("k", "n", "v")
 
+  test("approxCountDistinct / approxQuantile: exact on small groups, " +
+    "all-null group yields null quantile") {
+    val out = GroupBy("k").approxCountDistinct("n", "acd")
+      .approxQuantile("v", 0.5, "med").sorted.apply(df)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // HLL/KLL sketches are exact at these cardinalities
+    assert(out("a") == Seq(2L, 10.0))
+    assert(out("b") == Seq(1L, null))
+  }
+
   test("builder composes count/sum/avg/min/max and custom aggs") {
     val out = GroupBy("k").count("cnt").sum("n", "sn")
       .avg("v", "av").min("n", "mn").max("n", "mx")

@@ -82,5 +82,12 @@ class PipelineSpec extends AnyFunSuite {
     val (_, none) = Pipeline.from(Seq(1).toDF("x"))
       .withErrorStrategy(Pipeline.CollectErrors).executeCollecting()
     assert(none.columns.toSeq == Seq("record", "errors") && none.count() == 0)
+    // buildWithErrors: the LAZY form — good plan plus the optional
+    // error frame, no action taken until the caller materializes
+    val (good, errOpt) = pipe.withErrorStrategy(Pipeline.CollectErrors)
+      .buildWithErrors()
+    assert(good.count() == 2 && errOpt.get.count() == 1)
+    assert(pipe.withErrorStrategy(Pipeline.SkipErrors)
+      .buildWithErrors()._2.isEmpty)
   }
 }

@@ -11,6 +11,29 @@ class DagSpec extends AnyFunSuite {
 
   private def src(n: Int) = () => (1 to n).toDF("v")
 
+  test("RetryConfig.shouldRetry: substring match on the error " +
+    "message; empty list retries on anything") {
+    val p = RetryConfig(retryOn = Seq("timeout", "connection"))
+    assert(p.shouldRetry(new RuntimeException("read timeout hit")))
+    assert(!p.shouldRetry(new RuntimeException("schema mismatch")))
+    assert(!p.shouldRetry(new RuntimeException(null: String)))
+    assert(RetryConfig().shouldRetry(new RuntimeException("anything")))
+  }
+
+  test("addSink forces the write and passes the frame through") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1)
+    val dag = new DagBuilder("d", "d")
+      .addSource("s", src(5))
+      .addSink("w", Seq("s"), df => seen.set(df.count()))
+      .addTransform("after", Seq("w"), _.filter(col("v") > 3))
+      .build()
+    val res = new DagExecutor(1).execute(dag)
+    assert(res.success)
+    assert(seen.get() == 5L) // the sink's write ran
+    // downstream of a sink sees the same frame (pass-through)
+    assert(res.outputs("after").count() == 2L)
+  }
+
   test("builder validates duplicate ids, self-deps, unknown deps, cycles") {
     intercept[IllegalArgumentException] {
       new DagBuilder("d", "d").addSource("a", src(1)).addSource("a", src(1))

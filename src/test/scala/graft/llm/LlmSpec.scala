@@ -9,6 +9,31 @@ class LlmSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("minHashSignature: column form replays the permutation " +
+    "formula (min over (2i+1)h + 12582917i + 1 mod P)") {
+    val sig = Seq(Tuple1(Seq(10L, 20L)))
+      .toDF("h")
+      .select(Dedup.minHashSignature(col("h"), k = 2).as("s"))
+      .head.getSeq[Long](0)
+    // i=0: min(h+1) = 11; i=1: min(3h + 12582918) = 12582948 (no wrap)
+    assert(sig == Seq(11L, 12582948L))
+  }
+
+  test("minHashSignatures: aggregation form equals the column form " +
+    "on the same hashed shingles; thin docs produce no signature") {
+    val d = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"), (3L, "too short")).toDF("id", "t")
+    val viaAgg = Dedup.minHashSignatures(d, "id", "t", k = 8, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = d
+      .select(col("id"), Dedup.hashedShingles(col("t"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), Dedup.minHashSignature(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaCol)
+    assert(viaAgg.keySet == Set(1L, 2L)) // "too short" has no 3-shingle
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog", "a"),
     (2L, "the quick brown fox jumps over the lazy cat", "a"), // near-dup of 1

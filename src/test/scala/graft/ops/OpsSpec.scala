@@ -65,6 +65,25 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Filters.or())
   }
 
+  test("equalsTo / lessThan reference filters; convenience field casts") {
+    val df = Seq(("1", "2.5", "x"), ("7", "0.5", "y"), ("8", "zz", "x"))
+      .toDF("a", "b", "c")
+    val eq = df.filter(Filters.equalsTo("c", "x")).collect()
+    assert(eq.map(_.getString(0)).sorted.toSeq == Seq("1", "8"))
+    // lenient double coercion: non-numeric "zz" casts to null -> excluded
+    assert(df.filter(Filters.lessThan("b", 1.0)).count() == 1)
+    val cast = Transforms.toIntField("a")
+      .andThen(Transforms.toFloatField("b"))
+      .andThen(Transforms.toStringField("c"))(df)
+    assert(cast.schema("a").dataType.typeName == "long")
+    assert(cast.schema("b").dataType.typeName == "double")
+    assert(cast.schema("c").dataType.typeName == "string")
+    val r = cast.filter(col("a") === 7L).head
+    assert(r.getDouble(1) == 0.5)
+    // null-on-failure convention carries over ("zz" -> null double)
+    assert(cast.filter(col("a") === 8L).head.isNullAt(1))
+  }
+
   test("typed filter forms push down to parquet scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pd").toString
     Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)

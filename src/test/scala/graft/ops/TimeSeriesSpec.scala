@@ -511,6 +511,47 @@ class TimeSeriesSpec extends AnyFunSuite {
       z.isNullAt(z.fieldIndex("vwap")))
   }
 
+  test("topPaths: sessionized journeys count, rank by count then " +
+    "path; maxLen truncates the session head") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, "view"),
+      ("a", ts("2024-01-01 00:01:00"), 2L, "click"),
+      ("a", ts("2024-01-01 02:00:00"), 3L, "view"), // new session (>30m)
+      ("b", ts("2024-01-01 00:00:00"), 4L, "view"),
+      ("b", ts("2024-01-01 00:01:00"), 5L, "click")
+    ).toDF("u", "ts", "id", "t")
+    val out = TimeSeries.topPaths(df, "u", "ts", "id", "t",
+      gapSeconds = 1800L, maxLen = 5, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSeq == Seq(("view > click", 2L, 1), ("view", 1L, 2)))
+    // maxLen=1 keeps only each session's first event
+    val one = TimeSeries.topPaths(df, "u", "ts", "id", "t",
+      gapSeconds = 1800L, maxLen = 1, k = 10).collect()
+    assert(one.length == 1 && one(0).getString(0) == "view" &&
+      one(0).getLong(1) == 3L)
+  }
+
+  test("cohortLtv: cohort stamp from first activity, cumulative " +
+    "revenue per acquired user") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 00:10:00"), 10.0),
+      ("u1", ts("2024-01-01 01:20:00"), 5.0),
+      ("u2", ts("2024-01-01 01:30:00"), 2.0)
+    ).toDF("u", "ts", "v")
+    val out = TimeSeries.cohortLtv(df, "u", "ts", "v", unit = "hour")
+      .orderBy("cohort", "age").collect()
+    assert(out.length == 3)
+    // cohort h0: ages 0 and 1, cum 10 then 15, one acquired user
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(4) == 10.0 &&
+      out(0).getAs[Long]("cohort_size") == 1L &&
+      out(0).getAs[Double]("ltv") == 10.0)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(4) == 15.0 &&
+      out(1).getAs[Double]("ltv") == 15.0)
+    // cohort h1 (u2): its own curve, age 0
+    assert(out(2).getLong(1) == 0L && out(2).getAs[Double]("ltv") == 2.0)
+  }
+
   test("cusum matches the sequential recurrence on a hand series") {
     // target 10, slack 1: drift = x - 11
     val xs = Seq(10.0, 15.0, 14.0, 2.0, 20.0, 25.0)

@@ -227,6 +227,11 @@ class SourcesSinksSpec extends AnyFunSuite {
       Sources.mongo(spark, "mongodb://h:27017", "db1", "coll1")
     }
     assert(e.getMessage.contains("mongo-spark-connector"))
+    // the change-stream facade honors the same contract
+    val e2 = intercept[IllegalStateException] {
+      Sources.mongoChangeStream(spark, "mongodb://h:27017", "db1", "coll1")
+    }
+    assert(e2.getMessage.contains("mongo-spark-connector"))
   }
 
   test("upsertSql generates postgres ON CONFLICT statements and validates identifiers") {

@@ -30,6 +30,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 2L, 3.0), ("a", 1L, 5.0)))
   }
 
+  test("rateStream: streaming frame with the rate-source schema") {
+    val df = Streaming.rateStream(spark, rowsPerSecond = 1)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("timestamp", "value"))
+  }
+
   test("runBatchAsStream: file-source micro-batch agg equals the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val data = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(10), "b", 5.0),
