@@ -3750,7 +3750,7 @@ object SparkEntry {
     //      slices — every slice forced onto the cross-slice
     //      reference distribution, internal ranking preserved ----
     "q285_quantile_normalize" -> ((s, dir) =>
-      graft.ops.Encode.quantileNormalize(t(s, dir, "events"),
+      graft.ops.Encode.rankMeanNormalize(t(s, dir, "events"),
         "event_type", "value", "event_id")
         .select(col("event_id"), col("event_type"), col("value"),
           col("value_qn"))),

@@ -126,13 +126,21 @@ object Encode {
   }
 
   /**
-   * Quantile normalization across slices: each slice's r-th smallest
-   * value is replaced by the MEAN of the r-th smallest values over
-   * ALL slices — forcing every slice onto one reference distribution
-   * while preserving each slice's internal ranking (the
-   * batch-effect-removal standard from bioinformatics, equally at
-   * home harmonizing per-source score scales before training-data
-   * mixing).
+   * CLASSIC (rank-mean) quantile normalization across slices: each
+   * slice's r-th smallest value is replaced by the MEAN of the r-th
+   * smallest values over ALL slices — forcing every slice onto one
+   * reference distribution while preserving each slice's internal
+   * ranking (the batch-effect-removal standard from bioinformatics,
+   * equally at home harmonizing per-source score scales before
+   * training-data mixing).
+   *
+   * Which one do you want? THIS (rank-mean, per-row ranks, idCol tie
+   * order) when slices have comparable sizes and you want the
+   * textbook rank→reference-mean mapping; [[graft.ops.Normalize
+   * .quantileNormalize]] (pooled-CDF alignment on the value GRID,
+   * midpoint ties) when values repeat heavily or slices are wildly
+   * uneven — it matches quantiles of the pooled distribution rather
+   * than averaging rank-by-rank.
    *
    * Unequal slice sizes: rank r's reference is the mean over the
    * slices that HAVE an r-th element — deterministic and exact,
@@ -152,7 +160,7 @@ object Encode {
    * broadcast when the grid is small and sort-merge when a slice is
    * genuinely huge; either way it is rank-keyed, never row-keyed.
    */
-  def quantileNormalize(df: DataFrame, sliceCol: String, valueCol: String,
+  def rankMeanNormalize(df: DataFrame, sliceCol: String, valueCol: String,
                         idCol: String, out: String = "value_qn")
   : DataFrame = {
     val ok = col(sliceCol).isNotNull && col(valueCol).isNotNull

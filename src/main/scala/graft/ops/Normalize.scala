@@ -23,6 +23,12 @@ object Normalize {
    * outputs and the result is engine-reproducible with no row-identity
    * tie-breaks at all.
    *
+   * Which one do you want? THIS (pooled-CDF alignment on the value
+   * GRID, midpoint ties) when values repeat heavily or source sizes
+   * are wildly uneven; [[graft.ops.Encode.rankMeanNormalize]] for the
+   * CLASSIC bioinformatics rank-mean form (per-row ranks, id
+   * tie-break, rank-wise reference means).
+   *
    * Mechanics (all integer arithmetic): per source, the value grid's
    * doubled midpoint rank `lo+hi`; target pooled rank
    * `⌈(lo+hi)/2 · n_pool / n_src⌉ = (lo+hi)·n_pool + 2·n_src − 1) div

@@ -77,14 +77,14 @@ class EncodeSpec extends AnyFunSuite {
     }
   }
 
-  test("quantileNormalize: equal-size slices map to rank means; " +
+  test("rankMeanNormalize: equal-size slices map to rank means; " +
     "ragged ranks average over slices that have them") {
     val df = Seq(
       ("a", 1L, 1.0), ("a", 2L, 5.0), ("a", 3L, 9.0),
       ("b", 4L, 2.0), ("b", 5L, 4.0), ("b", 6L, 6.0),
       ("c", 7L, 100.0) // ragged: only rank 1
     ).toDF("s", "id", "v")
-    val out = Encode.quantileNormalize(df, "s", "v", "id")
+    val out = Encode.rankMeanNormalize(df, "s", "v", "id")
       .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
     // rank1 ref = (1+2+100)/3; rank2 = (5+4)/2; rank3 = (9+6)/2
     assert(out(1L) == (1.0 + 2.0 + 100.0) / 3)
@@ -94,7 +94,7 @@ class EncodeSpec extends AnyFunSuite {
     assert(out(3L) == 7.5 && out(6L) == 7.5)
   }
 
-  test("quantileNormalize: null slice/value rows pass through null " +
+  test("rankMeanNormalize: null slice/value rows pass through null " +
     "and never shift real ranks") {
     val df = Seq(
       (Some("a"), 1L, Some(-100.0)), // real rank 1
@@ -102,7 +102,7 @@ class EncodeSpec extends AnyFunSuite {
       (None, 3L, Some(1.0)),
       (Some("a"), 4L, Option.empty[Double])
     ).toDF("s", "id", "v")
-    val out = Encode.quantileNormalize(df, "s", "v", "id")
+    val out = Encode.rankMeanNormalize(df, "s", "v", "id")
     val got = out.collect()
       .map(r => r.getLong(1) -> Option(r.get(3))).toMap
     assert(got(1L) == Some(-100.0) && got(2L) == Some(3.0))
