@@ -3872,6 +3872,38 @@ object SparkEntry {
           col("n_active"), col("revenue"), col("cum_revenue"),
           col("cohort_size"), col("ltv"))),
 
+    // ---- retrieval eval: MAP@10 of the LSH ranking vs brute-force —
+    //      binary relevance, precision-weighted, hits-early wins ----
+    "q298_map" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 10)
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        k = 10, bits = 6)
+      Similarity.mapAtK(approx, exact, "query_id", "neighbor_id",
+        "rank", k = 10)
+    }),
+
+    // ---- retention: Nelson-Aalen cumulative hazard per signup-month
+    //      cohort — the counting-process companion to q218's KM ----
+    "q299_nelson_aalen" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        .localCheckpoint(false)
+      val mx = per.agg(max(col("last_d")).as("__mx"))
+      val subj = per.crossJoin(broadcast(mx))
+        .withColumn("duration",
+          datediff(col("last_d"), col("first_d")).cast("long"))
+        .withColumn("observed", datediff(col("__mx"), col("last_d")) >= 7)
+        .withColumn("cohort", date_trunc("month", col("first_d")).cast("date"))
+      graft.ops.Survival.nelsonAalen(subj, Seq("cohort"),
+        "duration", "observed")
+    }),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -7154,6 +7186,38 @@ object SparkEntry {
         |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
         |FROM v""".stripMargin,
 
+    // the q218 subject/at-risk machinery verbatim; increments d/n on
+    // the 1e-9 grid carried as exact integer NANO-units through the
+    // running window (DuckDB's windowed DECIMAL sum routes through
+    // double — the q281 lesson), one closing /1e9
+    "q299_nelson_aalen" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT user_id, min(d) AS first_d, max(d) AS last_d
+        |        FROM e GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM per),
+        |subj AS (SELECT date_trunc('month', first_d) AS cohort,
+        |    CAST(last_d - first_d AS BIGINT) AS t,
+        |    (mxd - last_d) >= 7 AS obs
+        |  FROM per CROSS JOIN mx),
+        |g AS (SELECT cohort, t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort) AS BIGINT) AS tot,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |k AS (SELECT cohort, t, tot - cum + d + c AS n_risk, d, c FROM r),
+        |f AS (SELECT *, CAST(CAST(round(CAST(d AS DOUBLE)
+        |    / CAST(n_risk AS DOUBLE), 9) AS DECIMAL(12,9))
+        |    * 1000000000 AS BIGINT) AS hn FROM k)
+        |SELECT cohort, t, n_risk, d, c,
+        |  CAST(sum(hn) OVER (PARTITION BY cohort ORDER BY t) AS DOUBLE)
+        |    / 1000000000.0 AS cum_hazard
+        |FROM f""".stripMargin,
+
     // the exact tie-run rank identity: a value run of count c ending
     // at cum contributes v*c*(2*cum-c+1) to 2*sum(i*x)
     "q220_gini" ->
@@ -9150,6 +9214,48 @@ object SparkEntry {
          |    THEN coalesce(CAST(dcg0 AS DOUBLE), 0.0)
          |      / ($idealL)[CAST(n_exact AS INT)] END AS ndcg
          |FROM ne LEFT JOIN d USING (query_id)""".stripMargin
+    },
+
+    // same LSH/brute ranking replay as q231; binary relevance, running
+    // hit count per approx rank, round-12 decimal precision terms, one
+    // closing division by min(n_exact, k)
+    "q298_map" -> {
+      val planes = graft.llm.Similarity.planesFor(6, 64)
+      val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+        val arr = pl.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, $bucketExpr AS b FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, b FROM bkt WHERE vec_id < 50),
+         |ex AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(v,v))) DESC,
+         |      e.vec_id) AS rn
+         |  FROM q JOIN e ON e.vec_id <> qid) WHERE rn <= 10),
+         |ap AS (SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT qid AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qv,c.v)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(c.v,c.v))) DESC,
+         |      c.vec_id) AS rn
+         |  FROM q JOIN bkt c ON q.b = c.b AND c.vec_id <> q.qid) WHERE rn <= 10),
+         |hits AS (SELECT ap.query_id, ap.rn,
+         |    CASE WHEN ex.rn IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM ap LEFT JOIN ex USING (query_id, neighbor_id)),
+         |cum AS (SELECT query_id, rn, rel,
+         |    sum(rel) OVER (PARTITION BY query_id ORDER BY rn) AS cumrel
+         |  FROM hits),
+         |terms AS (SELECT query_id,
+         |    CAST(round(CAST(rel * cumrel AS DOUBLE) / CAST(rn AS DOUBLE),
+         |      12) AS DECIMAL(18,12)) AS term FROM cum),
+         |s AS (SELECT query_id, sum(term) AS s0 FROM terms GROUP BY 1),
+         |ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY 1)
+         |SELECT ne.query_id, n_exact,
+         |  coalesce(CAST(s0 AS DOUBLE), 0.0)
+         |    / CAST(least(n_exact, 10) AS DOUBLE) AS ap
+         |FROM ne LEFT JOIN s USING (query_id)""".stripMargin
     },
 
     // the estimates are sketch arithmetic; hash-gated: full row

@@ -653,6 +653,50 @@ object Similarity {
   }
 
   /**
+   * MAP@k (mean average precision, per query) of an approximate
+   * ranking against the exact one — the binary-relevance,
+   * precision-weighted companion to [[ndcgAtK]]: an item is RELEVANT
+   * iff it appears in the exact top-k, and
+   * `AP = (Σ_{d : hit at d} precision@d) / min(n_exact, k)` over the
+   * approx ranks d ≤ k. Rewards putting the hits EARLY, ignores the
+   * order of misses — the standard one-number retrieval score when
+   * relevance is binary.
+   *
+   * Engine-exact: precision@d = cumhits/d is ONE pinned double
+   * division per hit, rounded to the 10⁻¹² grid (unambiguous for
+   * rationals with d ≤ k — no tie can sit on the grid midpoint),
+   * summed in DECIMAL, one closing double division by min(n_exact, k).
+   *
+   * Output: (qidCol, n_exact, ap) — one row per query of the EXACT
+   * run; a query whose approx list has no hits scores 0.
+   *
+   * Scale posture: identical to [[ndcgAtK]] — k-bounded join, one
+   * k-row window per query, one aggregation.
+   */
+  def mapAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+             idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__ar"))
+    val e = exact.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), lit(1L).as("__hit"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__ar"))
+    val terms = a.join(e, Seq(qidCol, idCol), "left")
+      .withColumn("__r", coalesce(col("__hit"), lit(0L)))
+      .withColumn("__cum", sum(col("__r")).over(w))
+      .withColumn("__term",
+        round((col("__r") * col("__cum")).cast("double") /
+          col("__ar").cast("double"), 12).cast("decimal(18,12)"))
+    val sums = terms.groupBy(col(qidCol)).agg(sum(col("__term")).as("__s"))
+    e.groupBy(col(qidCol)).agg(count(lit(1)).as("n_exact"))
+      .join(sums, Seq(qidCol), "left")
+      .withColumn("ap",
+        coalesce(col("__s").cast("double"), lit(0.0)) /
+          least(col("n_exact"), lit(k.toLong)).cast("double"))
+      .select(col(qidCol), col("n_exact"), col("ap"))
+  }
+
+  /**
    * Embedding-centroid drift between segments (model-ops monitor:
    * "has the upstream encoder or the traffic mix shifted?"): for
    * every pair of segments, the cosine between their MEAN embeddings

@@ -44,18 +44,7 @@ object Survival {
    */
   def kaplanMeier(df: DataFrame, keys: Seq[String], durationCol: String,
                   observedCol: String): DataFrame = {
-    val g = df
-      .filter(col(durationCol).isNotNull && col(durationCol) >= 0 &&
-        col(observedCol).isNotNull)
-      .groupBy(keys.map(col) :+ col(durationCol).cast("long").as("t"): _*)
-      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
-        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
-    val wk = Window.partitionBy(keys.map(col): _*)
-    val w = wk.orderBy(col("t"))
-    val withRisk = g
-      .withColumn("__tot", sum(col("d") + col("c")).over(wk))
-      .withColumn("__cum", sum(col("d") + col("c")).over(w))
-      .withColumn("n_risk", col("__tot") - col("__cum") + col("d") + col("c"))
+    val (withRisk, w) = atRisk(df, keys, durationCol, observedCol)
     val logf = when(col("n_risk") > col("d"),
       round(graft.functions.MathFunctions.libmLog(
         (col("n_risk") - col("d")).cast("double") /
@@ -68,5 +57,63 @@ object Survival {
       .select(keys.map(col) ++
         Seq(col("t"), col("n_risk"), col("d"), col("c"),
           col("log_surv")): _*)
+  }
+
+  /**
+   * Nelson-Aalen cumulative-hazard estimator per cohort — the
+   * counting-process companion to [[kaplanMeier]]:
+   * `H(t) = Σ_{t' ≤ t} d_{t'} / n_{t'}` over event times. Where KM
+   * answers "what fraction survives past t", Nelson-Aalen answers
+   * "how much hazard has accumulated by t" — the form that stays
+   * well-behaved under heavy ties and feeds hazard-ratio eyeballing.
+   *
+   * Same input contract, tie rule, and at-risk machinery as
+   * [[kaplanMeier]]; censoring-only times contribute 0/n (a real grid
+   * row with zero increment — the at-risk drop still matters
+   * downstream).
+   *
+   * Reproducibility: each increment `d/n` is ONE pinned double
+   * division rounded to 9 decimals onto a decimal grid; the running
+   * sum accumulates in DECIMAL and casts once.
+   *
+   * Output: (keys…, t, n_risk, d, c, cum_hazard).
+   *
+   * Scale posture: identical to [[kaplanMeier]] — one (keys, duration)
+   * collapse, ONE cohort exchange carrying both windows.
+   */
+  def nelsonAalen(df: DataFrame, keys: Seq[String], durationCol: String,
+                  observedCol: String): DataFrame = {
+    val (withRisk, w) = atRisk(df, keys, durationCol, observedCol)
+    withRisk
+      .withColumn("__h",
+        round(col("d").cast("double") / col("n_risk").cast("double"), 9)
+          .cast("decimal(12,9)"))
+      .withColumn("cum_hazard", sum(col("__h")).over(w).cast("double"))
+      .select(keys.map(col) ++
+        Seq(col("t"), col("n_risk"), col("d"), col("c"),
+          col("cum_hazard")): _*)
+  }
+
+  /** Shared KM/NA grid: subjects collapse to (keys, t) with death and
+   *  censoring counts; the at-risk count at t is everyone whose
+   *  duration is ≥ t (deaths and censorings at t inclusive — the
+   *  standard tie rule). One cohort-keyed exchange carries both the
+   *  total and the running windows. */
+  private def atRisk(df: DataFrame, keys: Seq[String], durationCol: String,
+                     observedCol: String)
+  : (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
+    val g = df
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0 &&
+        col(observedCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(durationCol).cast("long").as("t"): _*)
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val w = wk.orderBy(col("t"))
+    val withRisk = g
+      .withColumn("__tot", sum(col("d") + col("c")).over(wk))
+      .withColumn("__cum", sum(col("d") + col("c")).over(w))
+      .withColumn("n_risk", col("__tot") - col("__cum") + col("d") + col("c"))
+    (withRisk, w)
   }
 }

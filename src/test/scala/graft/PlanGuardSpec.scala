@@ -713,8 +713,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("partial_sum"), fin.take(1500))
   }
 
+  test("q299 Nelson-Aalen: same checkpointed subjects pass and " +
+      "cohort-exchange windows as q218") {
+    val fin = finalPlan("q299_nelson_aalen").split("== Initial Plan ==")(0)
+    assert(fin.contains("Scan ExistingRDD"), fin.take(1500))
+    assert("FileScan".r.findAllIn(fin).size == 0, fin.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
   test("q230/q231 retrieval eval: k-bounded metric joins, no cartesian") {
-    for (q <- Seq("q230_rbo", "q231_ndcg")) {
+    for (q <- Seq("q230_rbo", "q231_ndcg", "q298_map")) {
       val whole = finalPlan(q)
       val fin = whole.split("== Initial Plan ==")(0)
       // the ranking builders keep their own guarded shapes; the metric

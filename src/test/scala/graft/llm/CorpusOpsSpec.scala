@@ -450,6 +450,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 1L && out(3L)._2.get == 0.0)
   }
 
+  test("mapAtK: perfect list = 1, hits-early beats hits-late, " +
+    "no hits = 0") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (4L, 40L, 1L), (4L, 41L, 2L)).toDF("qid", "id", "rank")
+    val approxRows = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 99L, 1L), (2L, 98L, 2L), (2L, 20L, 3L), // one late hit
+      (3L, 77L, 1L), // no hits
+      (4L, 40L, 1L), (4L, 97L, 2L), (4L, 41L, 3L)) // hits at 1 and 3
+      .toDF("qid", "id", "rank")
+    val out = Similarity.mapAtK(approxRows, exact, "qid", "id", "rank",
+      k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 1.0))) // all hits in order: AP = 1
+    // q2: single hit at rank 3, 3 relevant: (1/3)/3 = 1/9
+    assert(math.abs(out(2L)._2 - 1.0 / 9.0) < 1e-9)
+    assert(out(3L) == ((1L, 0.0)))
+    // q4: hits at ranks 1 and 3 of 2 relevant: (1 + 2/3)/2 = 5/6
+    assert(math.abs(out(4L)._2 - 5.0 / 6.0) < 1e-9)
+  }
+
   test("vocabCoverage: exact counts, tie order, topN cut, running share") {
     val docs = Seq(
       (1L, "a a a b b c"),

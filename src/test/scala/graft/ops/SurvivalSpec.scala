@@ -44,4 +44,24 @@ class SurvivalSpec extends AnyFunSuite {
       Seq.empty[(String, Long, Boolean)].toDF("cohort", "dur", "obs"),
       Seq("cohort"), "dur", "obs").count() == 0)
   }
+
+  test("nelsonAalen: hand cumulative hazard on the same risk sets; " +
+      "censoring-only times add zero; all-dead point is finite") {
+    val subj = Seq(
+      ("k", 1L, true),
+      ("k", 2L, true), ("k", 2L, true), ("k", 2L, false),
+      ("k", 3L, false),
+      ("z", 1L, true), ("z", 1L, true))
+      .toDF("cohort", "dur", "obs")
+    val out = Survival.nelsonAalen(subj, Seq("cohort"), "dur", "obs")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // k@1: 1/5; k@2: + 2/4; k@3: + 0/1 (censoring-only -> no increment)
+    val h1 = r9(1.0 / 5.0).doubleValue
+    assert(out(("k", 1L)).getAs[Double]("cum_hazard") == h1)
+    val h2 = r9(1.0 / 5.0).add(r9(2.0 / 4.0)).doubleValue
+    assert(out(("k", 2L)).getAs[Double]("cum_hazard") == h2)
+    assert(out(("k", 3L)).getAs[Double]("cum_hazard") == h2)
+    // unlike KM's null log_surv, NA stays finite when everyone dies
+    assert(out(("z", 1L)).getAs[Double]("cum_hazard") == 1.0)
+  }
 }
