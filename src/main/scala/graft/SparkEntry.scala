@@ -3904,6 +3904,42 @@ object SparkEntry {
         "duration", "observed")
     }),
 
+    // ---- time series: cross-correlation of event value vs payload
+    //      size at lags −3..3 per type — does one series lead the
+    //      other (events: the one table with a UNIQUE tie column;
+    //      synthetic lineitem has duplicate (orderkey, linenumber)
+    //      pairs, so no total order exists there) ----
+    "q300_ccf" -> ((s, dir) =>
+      graft.agg.Stats.ccf(t(s, dir, "events")
+          .withColumn("psize", length(col("props"))),
+        Seq("event_type"), "ts", "event_id",
+        "value", "psize", maxLag = 3)),
+
+    // ---- finance/ops: hourly TWAP per event type — holding-time-
+    //      weighted average, the fair mean for irregular ticks ----
+    "q301_twap" -> ((s, dir) =>
+      graft.ops.TimeSeries.twap(t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value", unit = "hour")
+        .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n_ticks"), col("twap"))),
+
+    // ---- data quality: null-pattern co-occurrence histogram — which
+    //      fields go missing TOGETHER ----
+    "q302_missingness" -> ((s, dir) =>
+      Quality.missingnessPatterns(t(s, dir, "events"),
+        Seq("user_id", "event_type", "value", "props"))),
+
+    // ---- ML eval: expected calibration error — q253's reliability
+    //      diagram collapsed to its one-number summary ----
+    "q303_ece" -> ((s, dir) =>
+      graft.agg.Stats.ece(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("p",
+            TA.md5i(concat(col("event_id").cast("string"), lit("cal")))
+              .cast("double") / lit(4294967296.0))
+          .withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "p", "y", bins = 10)),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -7217,6 +7253,120 @@ object SparkEntry {
         |  CAST(sum(hn) OVER (PARTITION BY cohort ORDER BY t) AS DOUBLE)
         |    / 1000000000.0 AS cum_hazard
         |FROM f""".stripMargin,
+
+    // the q293 moment machinery with lead/lag shifted y in exact
+    // cents; every moment an exact integer-grid sum over one
+    // correctly-rounded division
+    "q300_ccf" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+        |    CAST(CAST(length(props) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS yc
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND value IS NOT NULL AND props IS NOT NULL),
+        |l AS (SELECT event_type, xc, yc AS p0,
+        |    lead(yc, 1) OVER w AS p1, lead(yc, 2) OVER w AS p2,
+        |    lead(yc, 3) OVER w AS p3,
+        |    lag(yc, 1) OVER w AS m1, lag(yc, 2) OVER w AS m2,
+        |    lag(yc, 3) OVER w AS m3
+        |  FROM b WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_type, -3 AS lag, xc, m3 AS sh FROM l
+        |    WHERE m3 IS NOT NULL
+        |  UNION ALL SELECT event_type, -2, xc, m2 FROM l
+        |    WHERE m2 IS NOT NULL
+        |  UNION ALL SELECT event_type, -1, xc, m1 FROM l
+        |    WHERE m1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 0, xc, p0 FROM l
+        |  UNION ALL SELECT event_type, 1, xc, p1 FROM l
+        |    WHERE p1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, xc, p2 FROM l
+        |    WHERE p2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 3, xc, p3 FROM l
+        |    WHERE p3 IS NOT NULL),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(xc) AS sx2, sum(sh) AS sy2, sum(xc * sh) AS sxy4,
+        |    sum(xc * xc) AS sxx4, sum(sh * sh) AS syy4
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT event_type, lag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx2 AS DOUBLE) / 100.0 AS sx,
+        |    CAST(sy2 AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sxy4 AS DOUBLE) / 10000.0 AS sxy,
+        |    CAST(sxx4 AS DOUBLE) / 10000.0 AS sxx,
+        |    CAST(syy4 AS DOUBLE) / 10000.0 AS syy
+        |  FROM m)
+        |SELECT event_type, lag, n,
+        |  CASE WHEN n >= 3 AND nd * sxx - sx * sx > 0
+        |        AND nd * syy - sy * sy > 0
+        |    THEN (nd * sxy - sx * sy) /
+        |      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+        |  END AS corr
+        |FROM f""".stripMargin,
+
+    // exact integer cents × integer micros weighted sums; the lead
+    // window's gap closes to the hour edge; two pinned divisions
+    "q301_twap" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) AS bu,
+        |    epoch_us(ts) AS t, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT *, coalesce(lead(t) OVER (PARTITION BY event_type,
+        |    bu ORDER BY t, event_id), bu + 3600000000) - t AS wt
+        |  FROM b)
+        |SELECT event_type, bu AS bucket_us,
+        |  CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CASE WHEN sum(wt) > 0 THEN CAST(sum(vc * wt) AS DOUBLE)
+        |    / CAST(sum(wt) AS DOUBLE) / 100.0 END AS twap
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // literal 0/1 null-indicator string, one grouped count, share over
+    // the collapsed grid, count-desc/pattern total-order rank
+    "q302_missingness" ->
+      """WITH p AS (SELECT 'user_id='
+        |    || (CASE WHEN user_id IS NULL THEN '0' ELSE '1' END)
+        |    || ',event_type='
+        |    || (CASE WHEN event_type IS NULL THEN '0' ELSE '1' END)
+        |    || ',value='
+        |    || (CASE WHEN value IS NULL THEN '0' ELSE '1' END)
+        |    || ',props='
+        |    || (CASE WHEN props IS NULL THEN '0' ELSE '1' END)
+        |    AS pattern FROM events),
+        |g AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tot FROM g)
+        |SELECT pattern, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  CAST(row_number() OVER (ORDER BY n DESC, pattern) AS INT)
+        |    AS "rank"
+        |FROM t""".stripMargin,
+
+    // q253's bins verbatim, then n_b·|gap_b| folded SEQUENTIALLY in
+    // bin order (list_reduce) and one closing division by N
+    "q303_ece" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'cal'),
+        |      1, 8))::BIGINT AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS p,
+        |    value >= 50 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    CAST(round(p, 9) AS DECIMAL(18,9)) AS p9,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS pos
+        |  FROM e WHERE p >= 0 AND p <= 1),
+        |m AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |    sum(p9) AS sp, CAST(sum(pos) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1, 2),
+        |g AS (SELECT event_type, bin, n,
+        |    CAST(n AS DOUBLE) * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) AS t
+        |  FROM m)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(t ORDER BY bin)), (a, x) -> a + x)
+        |    / CAST(sum(n) AS DOUBLE) AS ece
+        |FROM g GROUP BY 1""".stripMargin,
 
     // the exact tie-run rank identity: a value run of count c ending
     // at cum contributes v*c*(2*cum-c+1) to 2*sum(i*x)

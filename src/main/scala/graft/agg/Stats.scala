@@ -1532,6 +1532,98 @@ object Stats {
         .as("corr")): _*)
   }
 
+  /**
+   * Cross-correlation function per key: Pearson correlation of
+   * `(xₜ, yₜ₊ℓ)` for lags ℓ in −maxLag..maxLag — "does x LEAD y"
+   * (positive lags: today's x vs future y) vs "does x LAG y"
+   * (negative lags), the two-series sibling of [[acf]]. Lag 0 is the
+   * plain x-y correlation.
+   *
+   * Same machinery as [[acf]]: all shifted-y columns (lead for
+   * positive lags, lag for negative) materialize in ONE window pass
+   * on the (tsCol, tieCol) total order, a stack generator melts them,
+   * and every lag's exact-decimal moments collapse in one
+   * map-side-combined (keys, lag) aggregation, closing with one
+   * correctly-rounded double cast each. Pairs where either side is
+   * null are dropped; lags with under 3 pairs or zero variance emit
+   * null.
+   *
+   * Output: (keys…, lag, n, corr), lag ∈ [−maxLag, maxLag].
+   *
+   * Scale posture: one key exchange, shuffle-free melt, one grid
+   * collapse — the corpus crosses the wire once. (Oracle-side
+   * envelope: per-(key, lag) moment sums must stay under 2⁵³ units on
+   * the 10⁻²ᵛᵃˡᵘᵉˢᶜᵃˡᵉ product grid for bit-exact SQL replay; the
+   * engine cast itself is correctly rounded at any magnitude.)
+   */
+  def ccf(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+          xCol: String, yCol: String, maxLag: Int, valueScale: Int = 2)
+  : DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    require(keys.nonEmpty, "ccf needs key columns")
+    val x = col(xCol).cast(s"decimal(18,$valueScale)")
+    val y = col(yCol).cast(s"decimal(18,$valueScale)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val lags = (-maxLag to maxLag)
+    def shifted(l: Int): Column =
+      if (l > 0) lead(col("__y0"), l).over(w)
+      else if (l < 0) lag(col("__y0"), -l).over(w)
+      else col("__y0")
+    def cn(l: Int) = if (l < 0) s"__m${-l}" else s"__p$l"
+    val base = df.filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .withColumn("__x", x).withColumn("__y0", y)
+    val wide = lags.foldLeft(base)((acc, l) =>
+      acc.withColumn(cn(l), shifted(l)))
+    val pairs = wide.select(keys.map(col) :+
+      expr(s"stack(${lags.size}, " +
+        lags.map(l => s"$l, ${cn(l)}").mkString(", ") +
+        ") AS (lag, __y)") :+ col("__x"): _*)
+      .filter(col("__y").isNotNull)
+    val m = pairs.groupBy(keys.map(col) :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,6)")).as("__syy"))
+    val n = d(col("n"))
+    val sx = d(col("__sx")); val sy = d(col("__sy"))
+    val sxy = d(col("__sxy")); val sxx = d(col("__sxx"))
+    val syy = d(col("__syy"))
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val corr = (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+    m.select(keys.map(col) ++ Seq(col("lag"), col("n"),
+      when(col("n") >= 3 && vx > 0.0 && vy > 0.0, corr)
+        .as("corr")): _*)
+  }
+
+  /**
+   * Expected calibration error per group — [[calibration]]'s scalar:
+   * `ECE = Σ_b (n_b/N) · |frac_pos_b − mean_p_b|`, the one-number
+   * "how far is this model from its reliability diagonal".
+   *
+   * Determinism: the per-bin gap terms are pinned doubles from
+   * [[calibration]]; `n_b·|gap_b|` folds SEQUENTIALLY in bin order
+   * (sorted fold — a bare double SUM would be partial-aggregation-
+   * order-dependent), one closing division by N.
+   *
+   * Output: (keys…, n, ece).
+   */
+  def ece(df: DataFrame, keys: Seq[String], probCol: String,
+          labelCol: String, bins: Int = 10): DataFrame = {
+    val cal = calibration(df, keys, probCol, labelCol, bins)
+    cal.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        aggregate(sort_array(collect_list(struct(col("bin").as("b"),
+            (col("n").cast("double") * abs(col("gap"))).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__s"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        (col("__s") / col("n").cast("double")).as("ece")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1317,6 +1317,69 @@ object TimeSeries {
    * other per-key window op here; split keys upstream if one key
    * exceeds a task.
    */
+  /**
+   * Time-weighted average value (TWAP) per key per `unit` bucket: each
+   * tick's value holds until the NEXT tick (or the bucket's end), and
+   * the bucket's average weighs values by holding time — the fair
+   * average for irregularly-spaced quotes, where a plain mean
+   * over-counts bursts ("900 ms at 10.0 then 100 ms at 99.0 is 18.9,
+   * not 54.5").
+   *
+   * Contract: the window starts at each bucket's FIRST tick (no
+   * carry-in from the previous bucket — compose with
+   * [[resampleFill]]/as-of upstream if you need the prevailing quote
+   * at bucket open); ticks sharing a timestamp contribute zero
+   * holding time except the last in (tsCol, tieCol) order.
+   *
+   * Engine-exact: values snap to the 10⁻² grid and are carried in
+   * integer cents; holding times are exact integer MICROS; the
+   * weighted sum Σ cents·micros accumulates in decimal(38,0) and the
+   * closing twap is two pinned divisions. Fixed-width units only
+   * (minute/hour/day/week).
+   *
+   * Output: (keys…, bucket timestamp, n_ticks, twap double).
+   *
+   * Scale posture: ONE (keys, bucket)-keyed exchange carries the lead
+   * window and the collapse; per-bucket cost is linear in ticks.
+   * (Oracle envelope: Σ cents·micros per bucket under 2⁵³ for
+   * bit-exact SQL replay; the engine's decimal cast is correctly
+   * rounded at any magnitude.)
+   */
+  def twap(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+           valueCol: String, unit: String = "hour",
+           valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "twap needs key columns")
+    val unitMicros = unit.toLowerCase match {
+      case "minute" => 60L * 1000000L
+      case "hour" => 3600L * 1000000L
+      case "day" => 86400L * 1000000L
+      case "week" => 604800L * 1000000L
+      case other => throw new IllegalArgumentException(
+        s"twap needs a fixed-width unit (minute/hour/day/week), got $other")
+    }
+    val scaleF = math.pow(10, valueScale)
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("bucket", date_trunc(unit, col(tsCol)))
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__vc", vc)
+    val w = Window.partitionBy(keys.map(col) :+ col("bucket"): _*)
+      .orderBy(col("__t"), col(tieCol))
+    val weighted = base
+      .withColumn("__w",
+        coalesce(lead(col("__t"), 1).over(w),
+          unix_micros(col("bucket")) + lit(unitMicros)) - col("__t"))
+    weighted.groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("__w")).as("__ws"),
+        sum((col("__vc") * col("__w")).cast("decimal(38,0)")).as("__vw"))
+      .select(keys.map(col) ++ Seq(col("bucket"), col("n_ticks"),
+        when(col("__ws") > 0L,
+          col("__vw").cast("double") / col("__ws").cast("double") /
+            lit(scaleF)).as("twap")): _*)
+  }
+
   def cusum(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
             valueCol: String, target: Double, slack: Double,
             threshold: Double): DataFrame =

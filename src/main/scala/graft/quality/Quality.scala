@@ -854,4 +854,39 @@ object Quality {
       .select(col("column"), col("value"), col("n"), col("rank"),
         col("share"), col("n_rows"), col("n_distinct"))
   }
+
+  /**
+   * Missingness-pattern profile: the histogram of null-indicator
+   * COMBINATIONS over `cols` — which null patterns co-occur, the data-
+   * quality readout behind "are these fields missing together (one
+   * upstream source down) or independently (random loss)?" that
+   * per-column null rates cannot answer.
+   *
+   * `pattern` is `col=0/1` pairs joined by `,` in the CALLER's column
+   * order (1 = present); `share` is the pattern's row fraction, ranks
+   * by count descending with the pattern string as tie-break (total
+   * order).
+   *
+   * Output: (pattern, n, share, rank).
+   *
+   * Scale posture: ONE map-side-combined aggregation on the pattern
+   * string (≤ 2^|cols| groups); the total comes back over the
+   * collapsed grid's single-partition window, never a second corpus
+   * pass.
+   */
+  def missingnessPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "missingnessPatterns needs columns")
+    import org.apache.spark.sql.expressions.Window
+    val pattern = concat_ws(",", cols.map(c =>
+      concat(lit(c + "="), when(col(c).isNotNull, lit("1"))
+        .otherwise(lit("0")))): _*)
+    val g = df.groupBy(pattern.as("pattern"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    g.withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wAll).cast("double"))
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("n").desc, col("pattern").asc)))
+      .select(col("pattern"), col("n"), col("share"), col("rank"))
+  }
 }

@@ -1102,6 +1102,39 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct") &&
       !fin.contains("BroadcastNestedLoop"), fin.take(1500))
   }
+  test("q300 ccf: one window pass + shuffle-free melt + one grid " +
+    "collapse — the q293 shape with shifted y") {
+    val fin = finalPlan("q300_ccf").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
+  test("q301 twap: lead window and bucket collapse share ONE " +
+    "(key, bucket) exchange — join-free") {
+    val fin = finalPlan("q301_twap").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q302 missingness: ONE map-side-combined pattern collapse; " +
+    "share/rank ride the collapsed grid") {
+    val fin = finalPlan("q302_missingness").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q303 ece: calibration grid + one sorted-fold collapse, " +
+    "join-free") {
+    val fin = finalPlan("q303_ece").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -312,6 +312,21 @@ class StatsSpec extends AnyFunSuite {
     assert(b9.getAs[Double]("frac_pos") == 2.0 / 3.0)
   }
 
+  test("ece: hand bin-weighted gaps; perfectly calibrated bins score 0") {
+    val rows = Seq(
+      ("k", 0.05, false), ("k", 0.05, false), // bin 0: |0 - .05| = .05
+      ("k", 0.95, true), ("k", 0.95, false),  // bin 9: |.5 - .95| = .45
+      // perfectly calibrated key: bin 5 mean .5, rate .5 -> gap 0
+      ("z", 0.5, true), ("z", 0.5, false)
+    )
+    val out = Stats.ece(rows.toDF("key", "p", "y"), Seq("key"), "p", "y",
+      bins = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // (2*.05 + 2*.45)/4 = 0.25
+    assert(out("k")._1 == 4L && math.abs(out("k")._2 - 0.25) < 1e-12)
+    assert(out("z") == ((2L, 0.0)))
+  }
+
   test("brierScore: hand residuals; perfect and coin baselines") {
     val rows = Seq(("k", 1.0, true), ("k", 0.0, false), // perfect
       ("c", 0.5, true), ("c", 0.5, false))              // coin: 0.25
@@ -570,6 +585,26 @@ class StatsSpec extends AnyFunSuite {
     assert(a5.getLong(2) == 1L && a5.isNullAt(3))
     // constant series: zero variance at every lag -> null
     (1 to 5).foreach(l => assert(out(("c", l)).isNullAt(3)))
+  }
+
+  test("ccf: y built as x-shifted-right gives corr 1 exactly at " +
+    "lag +1; zero-variance y emits null") {
+    val xs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0)
+    val ys = 0.0 +: xs.init // y_t = x_{t-1}
+    val a = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      ("a", acfTs(i), i.toLong, x, y)
+    }
+    val c = (0 until 6).map(i => ("c", acfTs(i), i.toLong, i * 1.0, 4.0))
+    val out = Stats.ccf((a ++ c).toDF("k", "ts", "id", "x", "y"),
+      Seq("k"), "ts", "id", "x", "y", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out.size == 10) // 2 keys x lags -2..2
+    val a1 = out(("a", 1))
+    assert(a1.getLong(2) == 5L)
+    assert(math.abs(a1.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(out(("a", 0)).getDouble(3)) < 1.0 - 1e-9)
+    // constant y: zero variance at every lag -> null
+    (-2 to 2).foreach(l => assert(out(("c", l)).isNullAt(3)))
   }
 
   test("acf: hand Pearson at lag 2; lags past the series length " +

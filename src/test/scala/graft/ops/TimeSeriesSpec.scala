@@ -511,6 +511,30 @@ class TimeSeriesSpec extends AnyFunSuite {
       z.isNullAt(z.fieldIndex("vwap")))
   }
 
+  test("twap: holding-time weights, bucket-edge close, zero-weight " +
+    "tied ticks, per-bucket independence") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k", ts("2024-01-01 00:54:00"), 2L, 99.0),
+      // next hour: one tick holds to the edge
+      ("k", ts("2024-01-01 01:30:00"), 3L, 40.0),
+      // tied ticks: first contributes zero holding time
+      ("z", ts("2024-01-01 00:00:00"), 4L, 1000.0),
+      ("z", ts("2024-01-01 00:00:00"), 5L, 20.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.twap(df, Seq("k"), "ts", "id", "v", unit = "hour")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString) -> r).toMap
+    // 54 min at 10 + 6 min at 99 = (10*3240 + 99*360)/3600 = 18.9
+    val k0 = out(("k", "2024-01-01 00:00:00.0"))
+    assert(k0.getAs[Long]("n_ticks") == 2L &&
+      k0.getAs[Double]("twap") == 18.9)
+    // single mid-bucket tick holds to the hour edge: twap = its value
+    assert(out(("k", "2024-01-01 01:00:00.0")).getAs[Double]("twap") == 40.0)
+    // tie at id 4 gets weight 0; id 5 holds the full hour
+    assert(out(("z", "2024-01-01 00:00:00.0")).getAs[Double]("twap") == 20.0)
+  }
+
   test("topPaths: sessionized journeys count, rank by count then " +
     "path; maxLen truncates the session head") {
     val df = Seq(

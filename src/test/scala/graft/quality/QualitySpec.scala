@@ -260,4 +260,19 @@ class QualitySpec extends AnyFunSuite {
     assert(v.map(t => (t._2, t._3)).toSeq == Seq(("1", 2L), ("3", 2L)))
     assert(v.head._6 == 5L && v.head._7 == 3L)
   }
+
+  test("missingnessPatterns: null combinations count, share, rank") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("b"), Some(2L)), (Some("c"), Some(3L)),
+      (None, Some(4L)), (None, None)
+    ).asInstanceOf[Seq[(Option[String], Option[Long])]]
+      .toDF("s", "n")
+    val out = Quality.missingnessPatterns(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out("s=1,n=1") == ((3L, 0.6, 1)))
+    assert(out("s=0,n=0") == ((1L, 0.2, 2))) // count tie: pattern asc
+    assert(out("s=0,n=1") == ((1L, 0.2, 3)))
+    assert(out.size == 3)
+  }
 }
