@@ -3940,6 +3940,26 @@ object SparkEntry {
           .withColumn("y", col("value") >= 50.0),
         Seq("event_type"), "p", "y", bins = 10)),
 
+    // ---- privacy: l-diversity audit — QI classes whose sensitive
+    //      column has too few distinct values (k-anonymous ≠ safe) ----
+    "q304_l_diversity" -> ((s, dir) =>
+      Quality.lDiversity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 10)),
+
+    // ---- robust stats: 10% trimmed mean per event type — exact
+    //      integer rank-interval arithmetic on the value grid ----
+    "q305_trimmed_mean" -> ((s, dir) =>
+      graft.agg.Stats.trimmedMean(t(s, dir, "events"),
+        Seq("event_type"), "value", trimFrac = 0.1)),
+
+    // ---- feature audit: pairwise mutual-information matrix over
+    //      (lang, source, length-bin) — which columns are redundant ----
+    "q306_mi_matrix" -> ((s, dir) =>
+      graft.agg.Stats.mutualInfoMatrix(
+        t(s, dir, "documents").withColumn("len_bin",
+          floor(length(col("text")) / 500).cast("long")),
+        Seq("lang", "source", "len_bin"))),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -7367,6 +7387,87 @@ object SparkEntry {
         |    list(t ORDER BY bin)), (a, x) -> a + x)
         |    / CAST(sum(n) AS DOUBLE) AS ece
         |FROM g GROUP BY 1""".stripMargin,
+
+    // same grouped distinct-count audit, HAVING the at-risk filter
+    "q304_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_acctbal) < 10""".stripMargin,
+
+    // value-grid rank-interval trimming: kept(v) = |(k, n-k] ∩ run|,
+    // exact integer cents throughout, one closing division
+    "q305_trimmed_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type
+        |      ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g),
+        |k AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT)
+        |    AS kk FROM w),
+        |f AS (SELECT event_type, n, v,
+        |    greatest(CAST(0 AS BIGINT), least(cum, n - kk)
+        |      - greatest(cum - c, kk)) AS kept
+        |  FROM k)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN sum(kept) > 0 THEN CAST(sum(v * kept) AS DOUBLE)
+        |    / CAST(sum(kept) AS DOUBLE) / 100.0 END AS trimmed_mean
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // the q225 contingency machinery melted over unordered pairs and
+    // grouped by (col_a, col_b); round-9 ln terms in decimal
+    "q306_mi_matrix" ->
+      """WITH d AS (SELECT CAST(lang AS VARCHAR) AS lang,
+        |    CAST(source AS VARCHAR) AS source,
+        |    CAST(CAST(floor(length(text) / 500) AS BIGINT) AS VARCHAR)
+        |      AS len_bin
+        |  FROM documents),
+        |mm AS (
+        |  SELECT 'lang' AS col_a, 'source' AS col_b, lang AS va,
+        |      source AS vb FROM d
+        |  UNION ALL SELECT 'lang', 'len_bin', lang, len_bin FROM d
+        |  UNION ALL SELECT 'source', 'len_bin', source, len_bin FROM d),
+        |base AS (SELECT * FROM mm WHERE va IS NOT NULL
+        |  AND vb IS NOT NULL),
+        |cont AS (SELECT col_a, col_b, va, vb,
+        |    CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT col_a, col_b, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cont GROUP BY 1, 2),
+        |m1 AS (SELECT col_a, col_b, va, CAST(sum(c) AS BIGINT) AS c1
+        |  FROM cont GROUP BY 1, 2, 3),
+        |m2 AS (SELECT col_a, col_b, vb, CAST(sum(c) AS BIGINT) AS c2
+        |  FROM cont GROUP BY 1, 2, 3),
+        |cells AS (SELECT cont.col_a, cont.col_b, c, c1, c2, n FROM cont
+        |  JOIN m1 USING (col_a, col_b, va)
+        |  JOIN m2 USING (col_a, col_b, vb)
+        |  JOIN tot USING (col_a, col_b)),
+        |mi AS (SELECT col_a, col_b, CAST(min(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+        |        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 9)
+        |      AS DECIMAL(12,9))) AS DOUBLE) AS mi
+        |  FROM cells GROUP BY 1, 2),
+        |ha AS (SELECT col_a, col_b, CAST(sum(CAST(-round(
+        |    (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |    AS DECIMAL(12,9))) AS DOUBLE) AS h_a
+        |  FROM m1 JOIN tot USING (col_a, col_b) GROUP BY 1, 2),
+        |hb AS (SELECT col_a, col_b, CAST(sum(CAST(-round(
+        |    (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |    AS DECIMAL(12,9))) AS DOUBLE) AS h_b
+        |  FROM m2 JOIN tot USING (col_a, col_b) GROUP BY 1, 2)
+        |SELECT mi.col_a, mi.col_b, n, mi, h_a, h_b,
+        |  CASE WHEN h_a > 0 AND h_b > 0
+        |    THEN mi / (sqrt(h_a) * sqrt(h_b)) END AS nmi
+        |FROM mi JOIN ha USING (col_a, col_b)
+        |  JOIN hb USING (col_a, col_b)""".stripMargin,
 
     // the exact tie-run rank identity: a value run of count c ending
     // at cum contributes v*c*(2*cum-c+1) to 2*sum(i*x)

@@ -1624,6 +1624,89 @@ object Stats {
         (col("__s") / col("n").cast("double")).as("ece")): _*)
   }
 
+  /**
+   * Trimmed mean per group: drop the lowest and highest
+   * `⌊n·trimFrac⌋` observations by value rank, mean the rest — the
+   * robust location estimate between the mean (trimFrac 0) and the
+   * median (→ 0.5), standard for latency/quality aggregates where a
+   * few wild rows poison the mean but the median wastes data.
+   *
+   * Engine-exact: values snap to the 10⁻ᵛᵃˡᵘᵉˢᶜᵃˡᵉ grid and collapse
+   * to the (keys, value) GRID with counts; the kept portion of each
+   * value run is an integer interval intersection (ranks in
+   * `(k, n−k]`), so the trimmed sum is exact integer arithmetic with
+   * ONE closing division. `k = ⌊n·trimFrac⌋` floors the same double
+   * product in any IEEE engine. Ties need no row-identity tie-break:
+   * equal values are interchangeable under trimming by construction.
+   *
+   * Output: (keys…, n, n_kept, trimmed_mean).
+   *
+   * Scale posture: one map-side-combined grid collapse, one key
+   * exchange carrying the cumulative window, one grid-sized closing
+   * aggregation. Rows cross the wire once, collapsed.
+   */
+  def trimmedMean(df: DataFrame, keys: Seq[String], valueCol: String,
+                  trimFrac: Double, valueScale: Int = 2): DataFrame = {
+    require(trimFrac >= 0.0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5), got $trimFrac")
+    require(keys.nonEmpty, "trimmedMean needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = unscaled(col(valueCol), valueScale)
+    val grid = df.filter(col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ vc.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val cum = grid
+      .withColumn("__cum", sum(col("__c")).over(wk.orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__k",
+        floor(col("__n").cast("double") * lit(trimFrac)).cast("long"))
+    val kept = greatest(lit(0L),
+      least(col("__cum"), col("__n") - col("__k")) -
+        greatest(col("__cum") - col("__c"), col("__k")))
+    cum.withColumn("__kept", kept)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__kept")).as("n_kept"),
+        sum((col("__v") * col("__kept")).cast("decimal(38,0)")).as("__s"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_kept"),
+        when(col("n_kept") > 0L,
+          col("__s").cast("double") / col("n_kept").cast("double") /
+            lit(math.pow(10, valueScale))).as("trimmed_mean")): _*)
+  }
+
+  /**
+   * Pairwise mutual-information matrix over a column set: every
+   * unordered pair runs [[mutualInfo]]'s exact contingency machinery
+   * — the feature-audit sweep behind "which columns are redundant /
+   * which leak the label", one gated relation instead of N² ad-hoc
+   * queries.
+   *
+   * Values stringify (categorical semantics — bin numerics upstream);
+   * per-pair listwise deletion of nulls, matching [[mutualInfo]].
+   *
+   * Output: (col_a, col_b, n, mi, h_a, h_b, nmi) — one row per
+   * unordered pair in the caller's column order.
+   *
+   * Scale posture: the stack melt amplifies the scan by |pairs| —
+   * intended for categorical audit sets (tens of columns), where the
+   * melted relation still collapses map-side to |pairs| × joint-grid
+   * rows in [[mutualInfo]]'s ONE contingency aggregation.
+   */
+  def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "mutualInfoMatrix needs at least 2 columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', CAST(`$a` AS STRING), CAST(`$b` AS STRING)"
+    }.mkString(", ")
+    val melted = df.select(expr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, __va, __vb)"))
+    mutualInfo(melted, Seq("col_a", "col_b"), "__va", "__vb")
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -358,6 +358,29 @@ object Quality {
   }
 
   /**
+   * l-diversity audit — [[kAnonymity]]'s sensitive-attribute
+   * companion: a QI class can be k-anonymous yet leak everything if
+   * all its members share one sensitive value. Emits the
+   * quasi-identifier classes whose SENSITIVE column has fewer than
+   * `l` distinct values (nulls in the sensitive column do not count
+   * as a value), with the class size and the distinct count.
+   *
+   * Output: (qiCols…, n, l_distinct) — at-risk classes only.
+   *
+   * Scale posture: one hash aggregation (count-distinct partials
+   * collapse map-side); output bounded by the at-risk classes.
+   */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("l_distinct"))
+      .filter(col("l_distinct") < l)
+  }
+
+  /**
    * Join-key skew report — the diagnostic that decides between a
    * plain join, AQE skew handling, and [[graft.join.Joins.saltedJoin]]:
    * per candidate key column, the row count, distinct keys, the

@@ -1135,6 +1135,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
       fin.take(1500))
   }
+  test("q304 l-diversity: ONE hash aggregation with map-side " +
+    "count-distinct partials, join-free") {
+    val fin = finalPlan("q304_l_diversity").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+  }
+  test("q305 trimmed mean: value-grid collapse + one key exchange " +
+    "for the cumulative window, join-free") {
+    val fin = finalPlan("q305_trimmed_mean").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q306 MI matrix: melted pairs collapse in ONE contingency " +
+    "aggregation; closing joins are pair-grid-sized broadcasts") {
+    val fin = finalPlan("q306_mi_matrix").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -312,6 +312,39 @@ class StatsSpec extends AnyFunSuite {
     assert(b9.getAs[Double]("frac_pos") == 2.0 / 3.0)
   }
 
+  test("trimmedMean: rank-interval trim on 1..10; tie runs split " +
+    "exactly; trim 0 is the mean") {
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 9.0), ("b", 100.0)))
+      .toDF("k", "v")
+    val out = Stats.trimmedMean(df, Seq("k"), "v", trimFrac = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // a: n=10, k=2, keep ranks 3..8 -> mean(3..8) = 5.5
+    assert(out("a") == ((10L, 6L, 5.5)))
+    // b: n=5, k=1, keep ranks 2..4 -> the 1.0 run contributes 2 of
+    // its 3 copies, then 9.0: (1+1+9)/3
+    assert(out("b")._2 == 3L &&
+      math.abs(out("b")._3 - 11.0 / 3.0) < 1e-12)
+    val full = Stats.trimmedMean(df, Seq("k"), "v", trimFrac = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(full("a") == 5.5 && full("b") == 22.4)
+  }
+
+  test("mutualInfoMatrix: identical pair has mi == entropy (nmi 1), " +
+    "independent pair has mi 0") {
+    val df = Seq(("x", "x", "p"), ("x", "x", "q"), ("y", "y", "p"),
+      ("y", "y", "q")).toDF("a", "b", "c")
+    val out = Stats.mutualInfoMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b")) // identical columns: mi = H = ln 2
+    assert(math.abs(ab.getAs[Double]("mi") - math.log(2.0)) < 1e-8)
+    assert(math.abs(ab.getAs[Double]("nmi") - 1.0) < 1e-8)
+    // a independent of c: every cell ratio is 1 -> mi 0
+    assert(out(("a", "c")).getAs[Double]("mi") == 0.0)
+  }
+
   test("ece: hand bin-weighted gaps; perfectly calibrated bins score 0") {
     val rows = Seq(
       ("k", 0.05, false), ("k", 0.05, false), // bin 0: |0 - .05| = .05

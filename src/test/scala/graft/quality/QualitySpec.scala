@@ -275,4 +275,18 @@ class QualitySpec extends AnyFunSuite {
     assert(out("s=0,n=1") == ((1L, 0.2, 3)))
     assert(out.size == 3)
   }
+
+  test("lDiversity: at-risk QI classes only; null sensitive values " +
+    "do not count as a value") {
+    val df = Seq(
+      ("g1", Some("s1")), ("g1", Some("s2")), ("g1", Some("s3")),
+      ("g2", Some("s1")), ("g2", Some("s1")), ("g2", None),
+      ("g3", Some("s1")), ("g3", Some("s2"))
+    ).toDF("qi", "sens")
+    val out = Quality.lDiversity(df, Seq("qi"), "sens", l = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // g1 has 3 distinct -> safe; g2 has 1 (null not counted); g3 has 2
+    assert(out == Map("g2" -> ((3L, 1L)), "g3" -> ((2L, 2L))))
+  }
 }
