@@ -3960,6 +3960,12 @@ object SparkEntry {
           floor(length(col("text")) / 500).cast("long")),
         Seq("lang", "source", "len_bin"))),
 
+    // ---- time series: partial autocorrelation (Durbin-Levinson as
+    //      ONE higher-order fold per key over the acf grid) ----
+    "q307_pacf" -> ((s, dir) =>
+      graft.agg.Stats.pacf(t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value", maxLag = 5)),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -8953,45 +8959,47 @@ object SparkEntry {
     // (cents/100, cent-products/1e4) — the same rational the engine's
     // decimal→double cast rounds; the corr chain replays the engine's
     // pinned IEEE expression
-    "q293_acf" ->
-      """WITH b AS (SELECT event_type, ts, event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |l AS (SELECT event_type, xc,
-        |    lag(xc, 1) OVER w AS y1, lag(xc, 2) OVER w AS y2,
-        |    lag(xc, 3) OVER w AS y3, lag(xc, 4) OVER w AS y4,
-        |    lag(xc, 5) OVER w AS y5
-        |  FROM b WINDOW w AS (PARTITION BY event_type
-        |    ORDER BY ts, event_id)),
-        |p AS (
-        |  SELECT event_type, 1 AS lag, xc, y1 AS yc FROM l
-        |    WHERE y1 IS NOT NULL
-        |  UNION ALL SELECT event_type, 2, xc, y2 FROM l
-        |    WHERE y2 IS NOT NULL
-        |  UNION ALL SELECT event_type, 3, xc, y3 FROM l
-        |    WHERE y3 IS NOT NULL
-        |  UNION ALL SELECT event_type, 4, xc, y4 FROM l
-        |    WHERE y4 IS NOT NULL
-        |  UNION ALL SELECT event_type, 5, xc, y5 FROM l
-        |    WHERE y5 IS NOT NULL),
-        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
-        |    sum(xc) AS sx2, sum(yc) AS sy2, sum(xc * yc) AS sxy4,
-        |    sum(xc * xc) AS sxx4, sum(yc * yc) AS syy4
-        |  FROM p GROUP BY 1, 2),
-        |f AS (SELECT event_type, lag, n, CAST(n AS DOUBLE) AS nd,
-        |    CAST(sx2 AS DOUBLE) / 100.0 AS sx,
-        |    CAST(sy2 AS DOUBLE) / 100.0 AS sy,
-        |    CAST(sxy4 AS DOUBLE) / 10000.0 AS sxy,
-        |    CAST(sxx4 AS DOUBLE) / 10000.0 AS sxx,
-        |    CAST(syy4 AS DOUBLE) / 10000.0 AS syy
-        |  FROM m)
-        |SELECT event_type, lag, n,
-        |  CASE WHEN n >= 3 AND nd * sxx - sx * sx > 0
-        |        AND nd * syy - sy * sy > 0
-        |    THEN (nd * sxy - sx * sy) /
-        |      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
-        |  END AS corr
-        |FROM f""".stripMargin,
+    "q293_acf" -> AcfOracleSql.sql,
+
+    // Durbin-Levinson over the q293 acf grid: the SAME left-fold the
+    // engine runs (list_reduce over the lag-sorted corr list), every
+    // inner Σ a 0.0-seeded left-fold over zipped lists — bit-identical
+    // IEEE. State is a DOUBLE[][] triple [phi, rs, pacf] (a STRUCT
+    // accumulator silently fails to fold in DuckDB 1.0 — measured:
+    // the lambda sees the zero state at every step)
+    "q307_pacf" -> {
+      val num = "(x[2][1] - list_reduce(list_prepend(" +
+        "CAST(0.0 AS DOUBLE), list_transform(list_zip(a[1], " +
+        "list_reverse(a[2])), t -> t[1] * t[2])), (s, v) -> s + v))"
+      val den = "(CAST(1.0 AS DOUBLE) - list_reduce(list_prepend(" +
+        "CAST(0.0 AS DOUBLE), list_transform(list_zip(a[1], a[2]), " +
+        "t -> t[1] * t[2])), (s, v) -> s + v))"
+      val aa = s"($num / $den)"
+      s"""WITH acfr AS (${AcfOracleSql.sql}),
+         |pref AS (SELECT *, min(CASE WHEN corr IS NULL THEN lag END)
+         |    OVER (PARTITION BY event_type) AS cut FROM acfr),
+         |lim AS (SELECT event_type, lag, corr FROM pref
+         |  WHERE corr IS NOT NULL AND (cut IS NULL OR lag < cut)),
+         |st AS (SELECT event_type,
+         |    list_reduce(list_prepend(
+         |      [CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]),
+         |       CAST([] AS DOUBLE[])],
+         |      list_transform(list(corr ORDER BY lag),
+         |        c -> [CAST([] AS DOUBLE[]), [CAST(c AS DOUBLE)],
+         |              CAST([] AS DOUBLE[])])),
+         |      (a, x) -> [
+         |        list_concat(list_transform(
+         |          list_zip(a[1], list_reverse(a[1])),
+         |          t -> t[1] - $aa * t[2]), [$aa]),
+         |        list_concat(a[2], [x[2][1]]),
+         |        list_concat(a[3], [$aa])])[3] AS pl
+         |  FROM lim GROUP BY 1)
+         |SELECT event_type, CAST(i AS INT) AS lag, pl[i] AS pacf
+         |FROM (SELECT event_type, pl,
+         |      unnest(generate_series(1, len(pl))) AS i FROM st)""".stripMargin
+    },
+
+
 
     // the engine's 1e-6 snapped grid in integer micro-units: per-row
     // squares HALF_UP to 1e-6 ((vu²+500000)//1e6 — exact integers),
@@ -9522,4 +9530,47 @@ object SparkEntry {
         |  AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin
   )
+}
+
+/** q293 acf oracle SQL, shared: q307 (pacf) embeds it as a CTE. */
+private[graft] object AcfOracleSql {
+  val sql: String =
+    """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT event_type, xc,
+        |    lag(xc, 1) OVER w AS y1, lag(xc, 2) OVER w AS y2,
+        |    lag(xc, 3) OVER w AS y3, lag(xc, 4) OVER w AS y4,
+        |    lag(xc, 5) OVER w AS y5
+        |  FROM b WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_type, 1 AS lag, xc, y1 AS yc FROM l
+        |    WHERE y1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, xc, y2 FROM l
+        |    WHERE y2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 3, xc, y3 FROM l
+        |    WHERE y3 IS NOT NULL
+        |  UNION ALL SELECT event_type, 4, xc, y4 FROM l
+        |    WHERE y4 IS NOT NULL
+        |  UNION ALL SELECT event_type, 5, xc, y5 FROM l
+        |    WHERE y5 IS NOT NULL),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(xc) AS sx2, sum(yc) AS sy2, sum(xc * yc) AS sxy4,
+        |    sum(xc * xc) AS sxx4, sum(yc * yc) AS syy4
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT event_type, lag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx2 AS DOUBLE) / 100.0 AS sx,
+        |    CAST(sy2 AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sxy4 AS DOUBLE) / 10000.0 AS sxy,
+        |    CAST(sxx4 AS DOUBLE) / 10000.0 AS sxx,
+        |    CAST(syy4 AS DOUBLE) / 10000.0 AS syy
+        |  FROM m)
+        |SELECT event_type, lag, n,
+        |  CASE WHEN n >= 3 AND nd * sxx - sx * sx > 0
+        |        AND nd * syy - sy * sy > 0
+        |    THEN (nd * sxy - sx * sy) /
+        |      (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+        |  END AS corr
+        |FROM f""".stripMargin
 }

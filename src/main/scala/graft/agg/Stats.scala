@@ -1625,6 +1625,66 @@ object Stats {
   }
 
   /**
+   * Partial autocorrelation function per key: the correlation of
+   * `xₜ` with `xₜ₋ℓ` AFTER removing the influence of the lags in
+   * between — the AR-order picker (an AR(p) series has pacf ≈ 0 past
+   * lag p, while its acf tails forever). Computed from [[acf]]'s lag
+   * grid via the Durbin-Levinson recursion:
+   * `φ_{k,k} = (r_k − Σⱼ φ_{k−1,j} r_{k−j}) / (1 − Σⱼ φ_{k−1,j} r_j)`,
+   * `φ_{k,j} = φ_{k−1,j} − φ_{k,k} φ_{k−1,k−j}`, `pacf(k) = φ_{k,k}`.
+   *
+   * The recursion is inherently sequential in k — so it runs as ONE
+   * higher-order fold per key over the sorted lag list (state: the φ
+   * vector + the r's seen so far), never a driver loop: the corpus
+   * work is [[acf]]'s single window pass + grid collapse, and the
+   * fold touches |keys| × maxLag rows. Every arithmetic step is a
+   * left-fold of pinned IEEE ops, so an ANSI oracle replays it
+   * bit-for-bit with the same fold (list_reduce).
+   *
+   * Lags participate only up to the first null/absent acf value (a
+   * contiguous non-null prefix — nulls mean zero variance or under 3
+   * pairs, where the recursion is undefined). pacf(1) = r_1.
+   *
+   * Output: (keys…, lag, pacf), lag 1..(non-null acf prefix).
+   */
+  def pacf(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+           valueCol: String, maxLag: Int, valueScale: Int = 2)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = acf(df, keys, tsCol, tieCol, valueCol, maxLag, valueScale)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val lim = r
+      .withColumn("__cut",
+        min(when(col("corr").isNull, col("lag"))).over(wk))
+      .filter(col("corr").isNotNull &&
+        (col("__cut").isNull || col("lag") < col("__cut")))
+    val emptyD = array().cast("array<double>")
+    val zero = struct(emptyD.as("phi"), emptyD.as("rs"), emptyD.as("pacf"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (s, t) => s + t)
+    val folded = lim.groupBy(keys.map(col): _*)
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("lag"), col("corr")))),
+        zero,
+        (st, x) => {
+          val phi = st.getField("phi"); val rs = st.getField("rs")
+          val num = x.getField("corr") - dot(phi, reverse(rs))
+          val den = lit(1.0) - dot(phi, rs)
+          val a = num / den
+          struct(
+            concat(zip_with(phi, reverse(phi), (p, q) => p - a * q),
+              array(a)).as("phi"),
+            concat(rs, array(x.getField("corr"))).as("rs"),
+            concat(st.getField("pacf"), array(a)).as("pacf"))
+        },
+        st => st.getField("pacf")).as("__p"))
+    folded
+      .select(keys.map(col) :+ posexplode(col("__p")).as(Seq("__i", "pacf")): _*)
+      .select(keys.map(col) ++
+        Seq((col("__i") + 1).cast("int").as("lag"), col("pacf")): _*)
+  }
+
+  /**
    * Trimmed mean per group: drop the lowest and highest
    * `⌊n·trimFrac⌋` observations by value rank, mean the rest — the
    * robust location estimate between the mean (trimFrac 0) and the

@@ -1156,6 +1156,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("SortMergeJoin"), fin.take(1500))
     assert(fin.contains("partial_"), fin.take(1200))
   }
+  test("q307 pacf: acf's one-pass machinery + ONE per-key fold — " +
+    "join-free, no driver loop, grid-sized tail") {
+    val fin = finalPlan("q307_pacf").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+    assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
+      fin.take(2000))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -620,6 +620,35 @@ class StatsSpec extends AnyFunSuite {
     (1 to 5).foreach(l => assert(out(("c", l)).isNullAt(3)))
   }
 
+  test("pacf: Durbin-Levinson closed forms at lags 1-2; constant " +
+    "series emits nothing; thin lags cut the prefix") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0)
+    val df = (xs.zipWithIndex.map { case (x, i) =>
+      ("a", acfTs(i), i.toLong, x)
+    } ++ (0 until 6).map(i => ("c", acfTs(i), i.toLong, 5.0)))
+      .toDF("k", "ts", "id", "v")
+    val r = Stats.acf(df, Seq("k"), "ts", "id", "v", maxLag = 3)
+      .collect().filter(_.getString(0) == "a")
+      .map(x => x.getInt(1) -> x.getDouble(3)).toMap
+    val out = Stats.pacf(df, Seq("k"), "ts", "id", "v", maxLag = 3)
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getDouble(2))
+      .toMap
+    // pacf(1) = r1; pacf(2) = (r2 - r1^2) / (1 - r1^2)
+    assert(out(("a", 1)) == r(1))
+    assert(math.abs(out(("a", 2)) -
+      (r(2) - r(1) * r(1)) / (1.0 - r(1) * r(1))) < 1e-12)
+    assert(out.contains(("a", 3)))
+    // constant series: every acf null -> zero pacf rows
+    assert(!out.keys.exists(_._1 == "c"))
+    // series of 4 points, maxLag 8: acf stops at lag 3 (n>=3 needs
+    // pairs), so pacf emits exactly the contiguous prefix
+    val short = (0 until 4).map(i => ("s", acfTs(i), i.toLong,
+      Seq(2.0, 9.0, 4.0, 7.0)(i))).toDF("k", "ts", "id", "v")
+    val sp = Stats.pacf(short, Seq("k"), "ts", "id", "v", maxLag = 8)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(sp == Seq(1))
+  }
+
   test("ccf: y built as x-shifted-right gives corr 1 exactly at " +
     "lag +1; zero-variance y emits null") {
     val xs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0)
