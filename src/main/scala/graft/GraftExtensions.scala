@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{Bpe, BpeCountExpr, BpeTokenizeExpr, DeflateRatioExpr, DotProduct, JaroWinklerExpr, LibmLogExpr, NfcNormalizeExpr, SquaredL2, TryToInt, TryToLong}
+import graft.functions.{Bpe, BpeCountExpr, BpeTokenizeExpr, DamerauLevenshteinExpr, DeflateRatioExpr, DotProduct, JaroWinklerExpr, LibmLogExpr, NfcNormalizeExpr, SquaredL2, TryToInt, TryToLong}
 
 /**
  * Session-extensions entry point: enables graft's native SQL functions
@@ -46,5 +46,7 @@ object GraftExtensions {
     "graft_bpe_tokenize" -> (es => BpeTokenizeExpr(s(es(0)), Bpe.DefaultVocab)),
     "graft_deflate_ratio" -> (es => DeflateRatioExpr(s(es(0)))),
     "graft_libm_log" -> (es => LibmLogExpr(Cast(es(0), DoubleType))),
-    "graft_jaro_winkler" -> (es => JaroWinklerExpr(s(es(0)), s(es(1)))))
+    "graft_jaro_winkler" -> (es => JaroWinklerExpr(s(es(0)), s(es(1)))),
+    "graft_damerau_levenshtein" ->
+      (es => DamerauLevenshteinExpr(s(es(0)), s(es(1)))))
 }

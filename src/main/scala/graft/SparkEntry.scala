@@ -3966,6 +3966,14 @@ object SparkEntry {
       graft.agg.Stats.pacf(t(s, dir, "events"),
         Seq("event_type"), "ts", "event_id", "value", maxLag = 5)),
 
+    // ---- record linkage: full Damerau-Levenshtein self-join over
+    //      part names — byte-level DuckDB-pinned native kernel,
+    //      (first char, ±len) blocking as pinned semantics ----
+    "q308_dl_join" -> ((s, dir) =>
+      graft.join.Fuzzy.damerauSelfJoin(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", maxDist = 2L)),
+
     // ---- graph: multi-source BFS hop distance (≤3) from the %97
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
@@ -6806,6 +6814,18 @@ object SparkEntry {
         |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
         |  AND abs(len(a.s) - len(b.s)) <= 2
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""".stripMargin,
+
+    // the q204 blocked all-pairs oracle with DuckDB's own
+    // damerau_levenshtein (the kernel is pinned to it byte-for-byte)
+    "q308_dl_join" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) >= 1)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
+        |  AND abs(len(a.s) - len(b.s)) <= 2
+        |WHERE damerau_levenshtein(a.s, b.s) <= 2""".stripMargin,
 
     // pinned counts: non-empty tokens, [.!?]+ runs (min 1), vowel-group
     // runs (min 1/token); grade replays the exact IEEE order

@@ -164,6 +164,71 @@ object Fuzzy {
   }
 
   /**
+   * Damerau-Levenshtein self-join: every distinct-id pair with FULL
+   * (transposition-aware, unrestricted) edit distance ≤ `maxDist`
+   * under the SAME pinned blocking contract as
+   * [[jaroWinklerSelfJoin]] (shared first character + length within
+   * `lengthBand`; out-of-block pairs are out of the result BY
+   * DESIGN — note a first-character edit moves a pair out of the
+   * block). The kernel is the DuckDB-pinned byte-level
+   * [[graft.functions.StringSimilarity.damerauLevenshtein]] (native
+   * codegen'd expression). Exact duplicates pair at distance 0
+   * without paying the kernel (the [[selfJoin]] distinct-collapse
+   * recipe).
+   *
+   * `lengthBand` defaults to `maxDist` — any pair within distance d
+   * differs in length by at most d, so the default band loses nothing
+   * the distance filter would keep.
+   *
+   * Output: (id1, id2, dist) with id1 < id2.
+   *
+   * Scale posture: identical to [[jaroWinklerSelfJoin]] — per-block
+   * verification on (first char, length) keys, never all-pairs.
+   */
+  def damerauSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                      maxDist: Long, lengthBand: Int = -1,
+                      caseFold: Boolean = false): DataFrame = {
+    require(maxDist >= 0, s"maxDist >= 0, got $maxDist")
+    val band = if (lengthBand < 0) maxDist.toInt else lengthBand
+    import org.apache.spark.sql.GraftShims.{column => gcol, expression => gexpr}
+    def blockChar(c: Column): Column = {
+      val first = substring(c, 1, 1)
+      if (caseFold) lower(first) else first
+    }
+    val strs = df.filter(col(strCol).isNotNull && length(col(strCol)) >= 1)
+      .select(col(idCol).as("__mid"), col(strCol).as("__ms"))
+      .localCheckpoint(false)
+    val d = strs.groupBy(col("__ms")).agg(min(col("__mid")).as("__id"))
+    val idx = d.select(col("__id").as("__ida"), col("__ms").as("__sa"),
+      blockChar(col("__ms")).as("__c"),
+      length(col("__ms")).as("__la"))
+    val probe = d.select(col("__id").as("__idb"), col("__ms").as("__sb"),
+        blockChar(col("__ms")).as("__c"),
+        length(col("__ms")).as("__lb"))
+      .withColumn("__la", explode(sequence(
+        greatest(lit(1), col("__lb") - band),
+        col("__lb") + band)))
+    val distinctPairs = idx.join(probe, Seq("__c", "__la"))
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("dist", gcol(graft.functions.DamerauLevenshteinExpr(
+        gexpr(col("__sa")), gexpr(col("__sb")))))
+      .filter(col("dist") <= maxDist)
+      .select(col("__sa").as("__s1"), col("__sb").as("__s2"), col("dist"))
+    val cross = distinctPairs
+      .join(strs.select(col("__ms").as("__s1"), col("__mid").as("__ia")),
+        Seq("__s1"))
+      .join(strs.select(col("__ms").as("__s2"), col("__mid").as("__ib")),
+        Seq("__s2"))
+      .select(least(col("__ia"), col("__ib")).as("id1"),
+        greatest(col("__ia"), col("__ib")).as("id2"), col("dist"))
+    val dup = strs.as("a").join(strs.as("b"),
+        col("a.__ms") === col("b.__ms") && col("a.__mid") < col("b.__mid"))
+      .select(col("a.__mid").as("id1"), col("b.__mid").as("id2"),
+        lit(0L).as("dist"))
+    cross.unionByName(dup)
+  }
+
+  /**
    * Two-relation Jaro-Winkler join — record linkage proper: every
    * (left, right) pair with `sim ≥ threshold` under the SAME pinned
    * blocking contract as [[jaroWinklerSelfJoin]] (shared first

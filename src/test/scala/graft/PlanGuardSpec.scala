@@ -313,6 +313,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p.take(1500))
   }
 
+  test("q308 DL join: same checkpointed-strings block equi-join " +
+    "contract as q204") {
+    val whole = finalPlan("q308_dl_join")
+    assert(!whole.contains("CartesianProduct"), whole.take(1500))
+    assert(!whole.contains("BroadcastNestedLoopJoin"), whole.take(1500))
+    val p = whole.split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("FileScan"), p.take(1500))
+  }
   test("q204 JW join: strings materialized once, block equi-join, no cartesian") {
     val whole = finalPlan("q204_jw_join")
     assert(!whole.contains("CartesianProduct"), whole.take(1500))

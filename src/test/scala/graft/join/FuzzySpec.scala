@@ -95,6 +95,37 @@ class FuzzySpec extends AnyFunSuite {
     assert(jaroWinkler("", "a") == 0.0)
   }
 
+  test("damerauLevenshtein kernel: DuckDB-pinned reference values " +
+    "(full DL over bytes)") {
+    import graft.functions.StringSimilarity.{damerauLevenshtein => dl}
+    def d(a: String, b: String) =
+      dl(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(d("CA", "ABC") == 2L)   // UNRESTRICTED: OSA would give 3
+    assert(d("ab", "ba") == 1L)    // adjacent transposition
+    assert(d("kitten", "sitting") == 3L)
+    assert(d("", "abc") == 3L && d("", "") == 0L)
+    assert(d("x", "x") == 0L)
+    // BYTE granularity (DuckDB convention): é is two UTF-8 bytes
+    assert(d("héllo", "hello") == 2L)
+  }
+
+  test("damerauSelfJoin: blocking, distance cut, duplicate expansion") {
+    val df = Seq(
+      (1L, "apple"), (2L, "aple"),     // dist 1, same block
+      (3L, "apple"),                   // exact dup of 1
+      (4L, "zpple"),                   // dist 1 from apple but other block
+      (5L, "apricot")                  // same block, dist > 2
+    ).toDF("id", "s")
+    val out = Fuzzy.damerauSelfJoin(df, "id", "s", maxDist = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, 2L)) == 1L && out((2L, 3L)) == 1L)
+    assert(out((1L, 3L)) == 0L) // exact duplicates at distance 0
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // block miss
+    assert(!out.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // too far
+    assert(out.size == 3)
+  }
+
   test("jaroWinklerSelfJoin: blocking, threshold, duplicate expansion") {
     val names = Seq(1L -> "martha", 2L -> "marhta", 3L -> "martha",
       4L -> "zartha", 5L -> "marthaxxxx", 6L -> "m")
