@@ -3966,6 +3966,37 @@ object SparkEntry {
       graft.agg.Stats.pacf(t(s, dir, "events"),
         Seq("event_type"), "ts", "event_id", "value", maxLag = 5)),
 
+    // ---- streaming TWAP: six-long exact integer state per user;
+    //      closed hourly buckets emit once and match batch twap ----
+    "q309_stream_twap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q309")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q309: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.twapStream(
+          df, "user_id", "ts", "event_id", "value",
+          unitMicros = 3600000000L),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldTwapUpdates(updates)
+        .select(col("actor").as("user_id"), col("bucket_us"),
+          col("n_ticks"), col("twap"))
+    }),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -6814,6 +6845,28 @@ object SparkEntry {
         |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
         |  AND abs(len(a.s) - len(b.s)) <= 2
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""".stripMargin,
+
+    // batch ≡ stream on CLOSED buckets: the q301 integer-unit batch
+    // twap per user, filtered to bucket < each user's max bucket (a
+    // stream only closes a bucket when a later tick arrives)
+    "q309_stream_twap" ->
+      """WITH b AS (SELECT user_id,
+        |    epoch_us(date_trunc('hour', ts)) AS bu,
+        |    epoch_us(ts) AS t, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |w AS (SELECT *, coalesce(lead(t) OVER (PARTITION BY user_id,
+        |    bu ORDER BY t, event_id), bu + 3600000000) - t AS wt
+        |  FROM b),
+        |g AS (SELECT user_id, bu, CAST(count(*) AS BIGINT) AS n_ticks,
+        |    CAST(sum(vc * wt) AS DOUBLE) / CAST(sum(wt) AS DOUBLE)
+        |      / 100.0 AS twap
+        |  FROM w GROUP BY 1, 2),
+        |f AS (SELECT *, max(bu) OVER (PARTITION BY user_id) AS mx
+        |  FROM g)
+        |SELECT user_id, bu AS bucket_us, n_ticks, twap
+        |FROM f WHERE bu < mx""".stripMargin,
 
     // the q204 blocked all-pairs oracle with DuckDB's own
     // damerau_levenshtein (the kernel is pinned to it byte-for-byte)

@@ -926,6 +926,82 @@ object Streaming {
       .toDF("actor", "tie", "ts_micros", "value", "cusum", "alarm")
   }
 
+  /**
+   * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
+   * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
+   * Σ µs, tick count) — six longs, constant per key, all integer (NO
+   * float in the state). A bucket's row emits EXACTLY ONCE, when a
+   * later tick rolls the key past it (the final holding segment closes
+   * to the bucket edge, the batch contract) — so emitted rows are
+   * FINAL and the update log folds as a pure dedup. Each key's LAST
+   * bucket never emits (the stream cannot know the feed ended);
+   * batch ≡ stream on every CLOSED bucket, asserted in the gate by
+   * filtering the batch result to `bucket < max(bucket) per key`.
+   *
+   * Same order contract as [[cusumStream]]: chunking must preserve
+   * per-key (ts, tie) order across micro-batches (rows inside one
+   * batch are sorted here). Values snap to cents via the ONE snap
+   * convention (`BigDecimal.valueOf(v).setScale(2, HALF_UP)` ≡ the
+   * batch double→decimal cast).
+   *
+   * Emits (actor, bucket_us, n_ticks, twap).
+   */
+  def twapStream(df: DataFrame, actorCol: String, tsCol: String,
+                 tieCol: String, valueCol: String,
+                 unitMicros: Long): DataFrame = {
+    require(unitMicros > 0, s"unitMicros must be > 0, got $unitMicros")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+        (Long, Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          // (bucket, lastT, lastVc, accVw, accW, n); bucket -1 = empty
+          var (b, lastT, lastVc, vw, w, n) =
+            state.getOption.getOrElse((-1L, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, t, _, v) =>
+              val vc = cents(v)
+              val b2 = t - java.lang.Math.floorMod(t, unitMicros)
+              if (b < 0) { b = b2; lastT = t; lastVc = vc; vw = 0L
+                w = 0L; n = 1L }
+              else if (b2 == b) {
+                vw += lastVc * (t - lastT); w += t - lastT
+                lastT = t; lastVc = vc; n += 1L
+              } else {
+                // close bucket b to its edge and emit the FINAL row
+                val edge = b + unitMicros
+                vw += lastVc * (edge - lastT); w += edge - lastT
+                out += ((key, b, n, vw.toDouble / w.toDouble / 100.0))
+                b = b2; lastT = t; lastVc = vc; vw = 0L; w = 0L; n = 1L
+              }
+          }
+          state.update((b, lastT, lastVc, vw, w, n))
+          out.iterator
+      }
+      .toDF("actor", "bucket_us", "n_ticks", "twap")
+  }
+
+  /** Collapse a [[twapStream]] update log: emitted rows are final
+   *  (one per closed bucket), so `max` per (actor, bucket) is a pure
+   *  replay dedup. */
+  def foldTwapUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"), col("bucket_us"))
+      .agg(max(col("n_ticks")).as("n_ticks"), max(col("twap")).as("twap"))
+
   /** Collapse a [[cusumStream]] update log: one row per (actor, tie)
    *  (duplicates from replays carry identical values, so `max` is a
    *  pure dedup). */

@@ -590,4 +590,43 @@ class StreamingSpec extends AnyFunSuite {
         ((r.getAs[Double]("cusum"), r.getAs[Boolean]("alarm")))).toMap
     assert(out == batchOut)
   }
+
+  test("twapStream: closed buckets emit final rows across batches == " +
+    "batch twap; the open bucket never emits") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_twap")
+      .toString
+    // hour 10: 54 min at 10, 6 min at 99 -> twap 18.9 (closed by the
+    // hour-11 tick in batch 2); hour 11 stays open -> no emission
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 10:54:00"), 99.0, 2L))
+    val batch2 = Seq((1L, ts("2024-01-01 11:30:00"), 40.0, 3L),
+      (2L, ts("2024-01-01 11:00:00"), 7.0, 4L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.twapStream(df, "user_id", "ts", "event_id", "value",
+        unitMicros = 3600000000L),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldTwapUpdates(updates)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    assert(out == Map((1L, h10) -> ((2L, 18.9))))
+    // parity with the batch operator on the closed bucket
+    val batchOut = graft.ops.TimeSeries.twap(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value", unit = "hour")
+      .filter(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("bucket")) === h10 &&
+        org.apache.spark.sql.functions.col("user_id") === 1L)
+      .collect().map(r => (r.getAs[Long]("n_ticks"),
+        r.getAs[Double]("twap"))).toSeq
+    assert(batchOut == Seq((2L, 18.9)))
+  }
 }
