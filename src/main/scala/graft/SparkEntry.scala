@@ -3997,6 +3997,26 @@ object SparkEntry {
           col("n_ticks"), col("twap"))
     }),
 
+    // ---- ML eval: average precision (AUC-PR) — the threshold-step
+    //      area, heavy score ties exercising the step fold ----
+    "q310_avg_precision" -> ((s, dir) =>
+      graft.agg.Stats.averagePrecision(
+        t(s, dir, "lineitem")
+          .withColumn("is_ret", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "l_quantity", "is_ret")),
+
+    // ---- robust stats: 10% winsorized mean per event type — clamp
+    //      to the boundary order statistics, mean over all n ----
+    "q311_winsorized_mean" -> ((s, dir) =>
+      graft.agg.Stats.winsorizedMean(t(s, dir, "events"),
+        Seq("event_type"), "value", winsorFrac = 0.1)),
+
+    // ---- inequality: Theil index per event type — entropy-based,
+    //      decomposable; exact grid + pinned log terms ----
+    "q312_theil" -> ((s, dir) =>
+      graft.agg.Stats.theilIndex(t(s, dir, "events"),
+        Seq("event_type"), "value")),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -6845,6 +6865,80 @@ object SparkEntry {
         |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
         |  AND abs(len(a.s) - len(b.s)) <= 2
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""".stripMargin,
+
+    // distinct-score grid, exact cumulative TP/ALL on the descending
+    // window, ΔTP·precision terms folded in score-descending order
+    // (FILTERed to positive thresholds), one closing /n_pos
+    "q310_avg_precision" ->
+      """WITH b AS (SELECT l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |g AS (SELECT l_linestatus, s, CAST(sum(pos) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(c1) OVER (PARTITION BY l_linestatus
+        |      ORDER BY s DESC) AS BIGINT) AS tp,
+        |    CAST(sum(c) OVER (PARTITION BY l_linestatus
+        |      ORDER BY s DESC) AS BIGINT) AS al FROM g),
+        |t AS (SELECT l_linestatus, s, c1, c,
+        |    CAST(c1 AS DOUBLE) * (CAST(tp AS DOUBLE) / CAST(al AS DOUBLE))
+        |      AS tm FROM w)
+        |SELECT l_linestatus, CAST(sum(c1) AS BIGINT) AS n_pos,
+        |  CAST(sum(c - c1) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(c1) >= 1 THEN
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(tm ORDER BY s DESC) FILTER (WHERE c1 > 0)),
+        |      (a, x) -> a + x) / CAST(sum(c1) AS DOUBLE)
+        |  END AS ap
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // value-grid clamp: inner ranks keep their value, the ⌊n·f⌋ tail
+    // ranks take the boundary order statistics; exact integer cents
+    "q311_winsorized_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type
+        |      ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g),
+        |k AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT)
+        |    AS kk FROM w),
+        |f AS (SELECT event_type, n, kk, v,
+        |    greatest(CAST(0 AS BIGINT), least(cum, n - kk)
+        |      - greatest(cum - c, kk)) AS keepn,
+        |    CASE WHEN cum >= kk + 1 THEN v END AS lov,
+        |    CASE WHEN cum >= n - kk THEN v END AS hiv
+        |  FROM k)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(v * keepn) + max(kk) * min(lov)
+        |      + max(kk) * min(hiv) AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE) / 100.0 AS winsorized_mean
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // exact cent grid, one pinned mean, round-9 (v/mu)·ln(v/mu) terms
+    // in decimal, one closing /n
+    "q312_theil" ->
+      """WITH b AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND CAST(value AS DECIMAL(18,2)) > 0),
+        |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |t0 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(v * c) AS sv FROM g GROUP BY 1),
+        |j AS (SELECT g.event_type, g.c, t0.n,
+        |    CAST(g.v AS DOUBLE)
+        |      / (CAST(t0.sv AS DOUBLE) / CAST(t0.n AS DOUBLE)) AS ratio
+        |  FROM g JOIN t0 USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(CAST(c AS DOUBLE) * (ratio * ln(ratio)), 9)
+        |    AS DECIMAL(12,9))) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    AS theil
+        |FROM j GROUP BY 1""".stripMargin,
 
     // batch ≡ stream on CLOSED buckets: the q301 integer-unit batch
     // twap per user, filtered to bucket < each user's max bucket (a

@@ -1048,6 +1048,149 @@ object Stats {
   }
 
   /**
+   * Average precision (AUC-PR) per group — [[rocAuc]]'s companion for
+   * imbalanced labels, where ROC flatters: the step-function area
+   * `AP = Σ_k ΔTP_k · precision_k / n_pos` over distinct score
+   * thresholds descending (the interpolation-free convention).
+   *
+   * Engine-exact: scores snap to the 10⁻ˢᶜᵃˡᵉ grid and collapse to
+   * per-score (pos, total) counts; cumulative TP/ALL are exact
+   * integers on one descending window; each threshold's
+   * `ΔTP · (TP/ALL)` is a pinned double that folds SEQUENTIALLY in
+   * score-descending order (sorted fold — bare double SUM would be
+   * partial-order-dependent), one closing division by n_pos.
+   * Thresholds with no positives contribute nothing and stay out of
+   * the fold.
+   *
+   * Output: (keys…, n_pos, n_neg, ap); null ap when a class is empty.
+   *
+   * Scale posture: one map-side-combined score-grid collapse, one key
+   * exchange for the cumulative window, one grid-sized fold.
+   */
+  def averagePrecision(df: DataFrame, keys: Seq[String], scoreCol: String,
+                       labelCol: String, scoreScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "averagePrecision needs key columns")
+    val s = col(scoreCol).cast(s"decimal(18,$scoreScale)")
+    val y = col(labelCol).cast("boolean")
+    val grid = df
+      .filter(col(scoreCol).isNotNull && y.isNotNull)
+      .groupBy(keys.map(col) :+ s.as("__s"): _*)
+      .agg(sum(when(y, 1L).otherwise(0L)).as("__c1"),
+        count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__s").desc)
+    val cumd = grid
+      .withColumn("__tp", sum(col("__c1")).over(wk))
+      .withColumn("__all", sum(col("__c")).over(wk))
+    val term = col("__c1").cast("double") *
+      (col("__tp").cast("double") / col("__all").cast("double"))
+    val m = cumd.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c1")).as("n_pos"),
+        sum(col("__c") - col("__c1")).as("n_neg"),
+        aggregate(
+          sort_array(collect_list(
+            when(col("__c1") > 0L, struct(col("__s"), term.as("t")))),
+            asc = false),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__ap"))
+    m.select(keys.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") >= 1L && col("n_neg") >= 0L,
+        col("__ap") / col("n_pos").cast("double")).as("ap")): _*)
+  }
+
+  /**
+   * Winsorized mean per group — [[trimmedMean]]'s replace-instead-of-
+   * drop sibling: the lowest and highest `⌊n·winsorFrac⌋` observations
+   * CLAMP to the boundary order statistics (ranks k+1 and n−k), the
+   * mean runs over all n. Less variance thrown away than trimming;
+   * the standard choice when tail ROWS are real but tail MAGNITUDES
+   * are noise.
+   *
+   * Same exact machinery as [[trimmedMean]]: value-grid collapse, one
+   * cumulative window, integer rank-interval arithmetic; the clamp
+   * bounds are conditional minima over the same grid, the sum is
+   * exact integer units with ONE closing division.
+   *
+   * Output: (keys…, n, winsorized_mean).
+   */
+  def winsorizedMean(df: DataFrame, keys: Seq[String], valueCol: String,
+                     winsorFrac: Double, valueScale: Int = 2): DataFrame = {
+    require(winsorFrac >= 0.0 && winsorFrac < 0.5,
+      s"winsorFrac must be in [0, 0.5), got $winsorFrac")
+    require(keys.nonEmpty, "winsorizedMean needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = unscaled(col(valueCol), valueScale)
+    val grid = df.filter(col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ vc.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val cum = grid
+      .withColumn("__cum", sum(col("__c")).over(wk.orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__k",
+        floor(col("__n").cast("double") * lit(winsorFrac)).cast("long"))
+    val keptInner = greatest(lit(0L),
+      least(col("__cum"), col("__n") - col("__k")) -
+        greatest(col("__cum") - col("__c"), col("__k")))
+    cum
+      .withColumn("__inner", keptInner)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("__kk"),
+        sum((col("__v") * col("__inner")).cast("decimal(38,0)")).as("__s"),
+        min(when(col("__cum") >= col("__k") + 1L, col("__v"))).as("__lo"),
+        min(when(col("__cum") >= col("__n") - col("__k"), col("__v")))
+          .as("__hi"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        ((col("__s") + col("__kk") * col("__lo") +
+          col("__kk") * col("__hi")).cast("double") /
+          col("n").cast("double") / lit(math.pow(10, valueScale)))
+          .as("winsorized_mean")): _*)
+  }
+
+  /**
+   * Theil index per group: `T = (1/n) Σ (xᵢ/μ) ln(xᵢ/μ)` — the
+   * entropy-based inequality measure (0 = perfect equality, ln n =
+   * one row owns everything), [[giniIndex]]'s decomposable sibling.
+   * Strictly-positive values only (the log's domain); zero/negative
+   * rows are excluded, matching the standard convention.
+   *
+   * Engine-exact: values collapse to the 10⁻ˢᶜᵃˡᵉ grid; μ is ONE
+   * pinned double division of the exact decimal sum; each distinct
+   * value's `c·(v/μ)·ln(v/μ)` rounds to the 10⁻⁹ grid (libm-consistent
+   * log) and sums in DECIMAL, one closing division by n.
+   *
+   * Output: (keys…, n, theil).
+   */
+  def theilIndex(df: DataFrame, keys: Seq[String], valueCol: String,
+                 valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "theilIndex needs key columns")
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val grid = df.filter(col(valueCol).isNotNull && v > 0 &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val tot = grid.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n"), sum(col("__v") * col("__c"))
+        .cast("decimal(38,6)").as("__sv"))
+    val mu = col("__sv").cast("double") / col("n").cast("double")
+    val ratio = col("__v").cast("double") / col("__mu")
+    // key-keyed grid join, no broadcast hint: per-key stats at 100 TB
+    // keyspaces must be allowed to shuffle (the robustZScores rule);
+    // AQE broadcasts when the key grid is genuinely small
+    grid.join(tot.withColumn("__mu", mu)
+        .select(keys.map(col) :+ col("n") :+ col("__mu"): _*), keys)
+      .withColumn("__t",
+        round(col("__c").cast("double") * (ratio *
+          graft.functions.MathFunctions.libmLog(ratio)), 9)
+          .cast("decimal(12,9)"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("n")).as("n"),
+        (sum(col("__t")).cast("double") /
+          max(col("n")).cast("double")).as("theil"))
+  }
+
+  /**
    * Cumulative gains / lift table per group: rows ranked by score
    * descending are cut into `buckets` equal-frequency bins (bucket
    * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut

@@ -1174,6 +1174,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("currentrow$(), unboundedfollowing$()"),
       fin.take(2000))
   }
+  test("q310 average precision: score-grid collapse + descending " +
+    "window + grid fold — join-free") {
+    val fin = finalPlan("q310_avg_precision").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q311 winsorized mean: the trimmedMean grid shape — join-free, " +
+    "≤2 exchanges") {
+    val fin = finalPlan("q311_winsorized_mean")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q312 theil: checkpointed value grid feeds totals AND terms " +
+    "(one corpus collapse); key-keyed join, no cartesian") {
+    val fin = finalPlan("q312_theil").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -345,6 +345,53 @@ class StatsSpec extends AnyFunSuite {
     assert(out(("a", "c")).getAs[Double]("mi") == 0.0)
   }
 
+  test("averagePrecision: hand step AP with a tie-free and a " +
+    "no-positive group; perfect ranking scores 1") {
+    val df = Seq(
+      ("k", 3.0, true), ("k", 2.0, false), ("k", 1.0, true),
+      ("p", 9.0, true), ("p", 8.0, true), ("p", 1.0, false),
+      ("z", 5.0, false), ("z", 4.0, false)
+    ).toDF("g", "s", "y")
+    val out = Stats.averagePrecision(df, Seq("g"), "s", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3))
+          .map(_.asInstanceOf[Double]))).toMap
+    // k: hits at ranks 1 and 3 -> (1 + 2/3)/2 = 5/6
+    assert(out("k")._1 == 2L && out("k")._2 == 1L)
+    assert(math.abs(out("k")._3.get - 5.0 / 6.0) < 1e-12)
+    // p: both positives lead -> AP = 1
+    assert(out("p")._3.get == 1.0)
+    // z: no positives -> null
+    assert(out("z") == ((0L, 2L, None)))
+  }
+
+  test("winsorizedMean: tails clamp to boundary order statistics; " +
+    "frac 0 is the mean") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 5.0),
+      ("a", 100.0)).toDF("k", "v")
+    val out = Stats.winsorizedMean(df, Seq("k"), "v", winsorFrac = 0.2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // clamp to [rank2=1, rank4=5]: [1,1,1,5,5] -> 13/5
+    assert(out("a") == ((5L, 2.6)))
+    val full = Stats.winsorizedMean(df, Seq("k"), "v", winsorFrac = 0.0)
+      .collect().head.getDouble(2)
+    assert(full == 21.6)
+  }
+
+  test("theilIndex: ln(2)/3 hand case; equal values score 0; " +
+    "non-positive rows excluded") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 4.0),
+      ("e", 7.0), ("e", 7.0), ("e", -1.0), ("e", 0.0)).toDF("k", "v")
+    val out = Stats.theilIndex(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("a")._1 == 3L &&
+      math.abs(out("a")._2 - math.log(2.0) / 3.0) < 1e-8)
+    // equal values (after excluding <= 0): perfect equality -> 0
+    assert(out("e") == ((2L, 0.0)))
+  }
+
   test("ece: hand bin-weighted gaps; perfectly calibrated bins score 0") {
     val rows = Seq(
       ("k", 0.05, false), ("k", 0.05, false), // bin 0: |0 - .05| = .05
