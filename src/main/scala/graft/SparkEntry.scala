@@ -4017,6 +4017,18 @@ object SparkEntry {
       graft.agg.Stats.theilIndex(t(s, dir, "events"),
         Seq("event_type"), "value")),
 
+    // ---- inequality: Hoover (Robin Hood) index — fully integer-
+    //      exact, the mass share that must move to equalize ----
+    "q313_hoover" -> ((s, dir) =>
+      graft.agg.Stats.hooverIndex(t(s, dir, "events"),
+        Seq("event_type"), "value")),
+
+    // ---- concentration: supplier HHI + CR4 per return flag —
+    //      revenue dominance diagnostics ----
+    "q314_hhi" -> ((s, dir) =>
+      graft.agg.Stats.hhi(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_suppkey", "l_extendedprice")),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -6865,6 +6877,48 @@ object SparkEntry {
         |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
         |  AND abs(len(a.s) - len(b.s)) <= 2
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""".stripMargin,
+
+    // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact
+    // integer, ONE closing division
+    "q313_hoover" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |t0 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS s FROM g GROUP BY 1),
+        |j AS (SELECT g.event_type, t0.n, t0.s,
+        |    c * abs(t0.n * g.v - t0.s) AS t
+        |  FROM g JOIN t0 USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CASE WHEN max(s) > 0 THEN CAST(sum(t) AS DOUBLE)
+        |    / (2.0 * CAST(max(n) AS DOUBLE) * CAST(max(s) AS DOUBLE))
+        |  END AS hoover
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // entity revenue totals in exact cents; HHI = Σt² / S² and the
+    // rank-windowed CR4, all integer until the closing divisions
+    "q314_hhi" ->
+      """WITH b AS (SELECT l_returnflag, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |e AS (SELECT l_returnflag, l_suppkey,
+        |    CAST(sum(v) AS HUGEINT) AS t FROM b GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY t DESC, l_suppkey) AS rn FROM e)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CASE WHEN sum(t) > 0 THEN CAST(sum(t * t) AS DOUBLE)
+        |    / (CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE))
+        |  END AS hhi,
+        |  CASE WHEN sum(t) > 0 THEN
+        |    CAST(sum(CASE WHEN rn <= 4 THEN t ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(t) AS DOUBLE)
+        |  END AS cr4
+        |FROM r GROUP BY 1""".stripMargin,
 
     // distinct-score grid, exact cumulative TP/ALL on the descending
     // window, ΔTP·precision terms folded in score-descending order

@@ -1191,6 +1191,93 @@ object Stats {
   }
 
   /**
+   * Hoover (Robin Hood) index per group:
+   * `H = Σ|xᵢ − μ| / (2·n·μ)` — the share of total mass that would
+   * have to move to equalize everyone, the inequality measure with a
+   * direct operational reading (and no logs anywhere).
+   *
+   * FULLY integer-exact: on the 10⁻ˢᶜᵃˡᵉ grid,
+   * `Σ|xᵢ − μ| ∝ Σ_v c_v·|n·v − S|` (units cancel against the
+   * denominator, leaving `H = T / (2·n·S)` with T, n, S exact
+   * integers) — one closing double division, nothing else floats.
+   *
+   * Output: (keys…, n, hoover); null when the group total is 0.
+   *
+   * Scale posture: value-grid collapse, grid-sized totals join back
+   * (key-keyed, no broadcast hint — the robustZScores rule), one
+   * closing aggregation.
+   */
+  def hooverIndex(df: DataFrame, keys: Seq[String], valueCol: String,
+                  valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "hooverIndex needs key columns")
+    val vc = unscaled(col(valueCol), valueScale)
+    val grid = df.filter(col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ vc.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val tot = grid.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        sum((col("__v") * col("__c")).cast("decimal(38,0)")).as("__s"))
+    grid.join(tot, keys)
+      .withColumn("__t", (col("__c").cast("decimal(38,0)") *
+        abs(col("n").cast("decimal(38,0)") * col("__v") - col("__s")))
+        .cast("decimal(38,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("n")).as("n"), max(col("__s")).as("__ss"),
+        sum(col("__t")).as("__tt"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        when(col("__ss") > 0,
+          col("__tt").cast("double") /
+            (lit(2.0) * col("n").cast("double") *
+              col("__ss").cast("double"))).as("hoover")): _*)
+  }
+
+  /**
+   * Market concentration per group: the Herfindahl-Hirschman index
+   * `HHI = Σ (xₑ/S)²` over entity totals (1/|entities| = uniform,
+   * 1 = monopoly) plus the top-4 concentration ratio `CR4` — the
+   * standard pair behind "is this key's traffic dominated by a few
+   * producers" (suppliers, domains, sources).
+   *
+   * Exact arithmetic: entity totals are exact integer units;
+   * `HHI = Σ t²_e / S²` closes as one exact-integer-sum division
+   * (oracle envelope: Σ t² under 2⁵³ — unit-scale the value column
+   * down if entity totals exceed ~3·10⁷ units); CR4 is an exact
+   * integer ratio via the rank window.
+   *
+   * Output: (keys…, n_entities, hhi, cr4); CR4 = 1 when a key has ≤4
+   * entities.
+   */
+  def hhi(df: DataFrame, keys: Seq[String], entityCol: String,
+          valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "hhi needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = unscaled(col(valueCol), valueScale)
+    val ent = df.filter(col(valueCol).isNotNull &&
+        col(entityCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(entityCol).as("__e"): _*)
+      .agg(sum(vc.cast("decimal(38,0)")).as("__t"))
+    // rank by total desc, entity asc (total order) for the CR4 cut
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__e").asc)
+    ent.withColumn("__r", row_number().over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__t")).as("__s"),
+        sum((col("__t") * col("__t")).cast("decimal(38,0)")).as("__s2"),
+        sum(when(col("__r") <= 4, col("__t")).otherwise(lit(0L)
+          .cast("decimal(38,0)"))).as("__top4"))
+      .select(keys.map(col) ++ Seq(col("n_entities"),
+        when(col("__s") > 0, col("__s2").cast("double") /
+          (col("__s").cast("double") * col("__s").cast("double")))
+          .as("hhi"),
+        when(col("__s") > 0, col("__top4").cast("double") /
+          col("__s").cast("double")).as("cr4")): _*)
+  }
+
+  /**
    * Cumulative gains / lift table per group: rows ranked by score
    * descending are cut into `buckets` equal-frequency bins (bucket
    * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut

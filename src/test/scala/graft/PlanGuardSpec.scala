@@ -1199,6 +1199,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct") &&
       !fin.contains("BroadcastNestedLoop"), fin.take(1500))
   }
+  test("q313 hoover: checkpointed value grid, key-keyed totals join, " +
+    "no cartesian") {
+    val fin = finalPlan("q313_hoover").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+  }
+  test("q314 hhi: ONE entity collapse + rank window + closing " +
+    "aggregation — join-free") {
+    val fin = finalPlan("q314_hhi").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -392,6 +392,35 @@ class StatsSpec extends AnyFunSuite {
     assert(out("e") == ((2L, 0.0)))
   }
 
+  test("hooverIndex: hand share-to-move; equality scores 0") {
+    // [1, 3]: mu=2, sum|x-mu| = 2, H = 2/(2·2·4) = 0.25 — move a
+    // quarter of the mass (0.5 of 2 twice... exactly 1 from 3 to 1)
+    val df = Seq(("a", 1.0), ("a", 3.0), ("e", 2.0), ("e", 2.0))
+      .toDF("k", "v")
+    val out = Stats.hooverIndex(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("a") == ((2L, 0.25)))
+    assert(out("e") == ((2L, 0.0)))
+  }
+
+  test("hhi: uniform entities score 1/n, monopoly scores 1; CR4 " +
+    "takes the top 4 by total") {
+    val uniform = (1 to 5).map(i => ("u", s"e$i", 10.0))
+    val mono = Seq(("m", "only", 7.0))
+    val skew = Seq(("s", "big", 60.0), ("s", "b2", 20.0),
+      ("s", "b3", 10.0), ("s", "b4", 6.0), ("s", "tail", 4.0))
+    val out = Stats.hhi((uniform ++ mono ++ skew).toDF("k", "e", "v"),
+      Seq("k"), "e", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("u")._1 == 5L && out("u")._2 == 0.2 && out("u")._3 == 0.8)
+    assert(out("m") == ((1L, 1.0, 1.0)))
+    // shares .6 .2 .1 .06 .04: hhi = .36+.04+.01+.0036+.0016 = .4152
+    assert(math.abs(out("s")._2 - 0.4152) < 1e-12)
+    assert(out("s")._3 == 0.96)
+  }
+
   test("ece: hand bin-weighted gaps; perfectly calibrated bins score 0") {
     val rows = Seq(
       ("k", 0.05, false), ("k", 0.05, false), // bin 0: |0 - .05| = .05
