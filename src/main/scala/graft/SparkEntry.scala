@@ -4029,6 +4029,22 @@ object SparkEntry {
       graft.agg.Stats.hhi(t(s, dir, "lineitem"),
         Seq("l_returnflag"), "l_suppkey", "l_extendedprice")),
 
+    // ---- changepoint: best single mean-shift split per type —
+    //      max between-group SS from prefix sums, earliest tie ----
+    "q315_best_mean_split" -> ((s, dir) =>
+      graft.ops.TimeSeries.bestMeanSplit(t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value")
+        .select(col("event_type"), col("n"), col("split_index"),
+          unix_micros(col("split_ts")).as("split_ts_us"), col("gain"))),
+
+    // ---- sequential testing: Wald SPRT replay per type — exact
+    //      decimal LLR walk, earliest boundary crossing ----
+    "q316_sprt" -> ((s, dir) =>
+      graft.agg.Stats.sprt(
+        t(s, dir, "events").withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "ts", "event_id", "y",
+        p0 = 0.4, p1 = 0.6, alpha = 0.05, beta = 0.2)),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -6877,6 +6893,75 @@ object SparkEntry {
         |  AND substr(a.s, 1, 1) = substr(b.s, 1, 1)
         |  AND abs(len(a.s) - len(b.s)) <= 2
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""".stripMargin,
+
+    // exact cent prefix sums, the B_i identity replayed in the
+    // engine's pinned IEEE order (cents/100 = the same correctly-
+    // rounded doubles), earliest-position tie-break
+    "q315_best_mean_split" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT event_type, ts, vc,
+        |    CAST(row_number() OVER win AS BIGINT) AS i,
+        |    CAST(sum(vc) OVER win AS BIGINT) AS sc,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(vc) OVER (PARTITION BY event_type) AS BIGINT) AS tc
+        |  FROM b WINDOW win AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT event_type, ts, i, n,
+        |    CAST(sc AS DOUBLE) / 100.0 * (CAST(sc AS DOUBLE) / 100.0)
+        |      / CAST(i AS DOUBLE)
+        |    + (CAST(tc AS DOUBLE) / 100.0 - CAST(sc AS DOUBLE) / 100.0)
+        |      * (CAST(tc AS DOUBLE) / 100.0 - CAST(sc AS DOUBLE) / 100.0)
+        |      / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+        |    - CAST(tc AS DOUBLE) / 100.0 * (CAST(tc AS DOUBLE) / 100.0)
+        |      / CAST(n AS DOUBLE) AS gain
+        |  FROM w WHERE i < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, i) AS rk FROM g)
+        |SELECT event_type, n, i AS split_index,
+        |  epoch_us(ts) AS split_ts_us, gain
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // the LLR walk with the SAME round-9 literal constants the engine
+    // pins driver-side: every LLR an exact decimal, boundary
+    // comparisons float-free, earliest crossing / final-row fallback
+    "q316_sprt" -> {
+      def l9(x: Double) =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.toPlainString
+      val c1 = l9(math.log(0.6 / 0.4))
+      val c0 = l9(math.log(0.4 / 0.6))
+      val up = l9(math.log(0.8 / 0.05))
+      val lo = l9(math.log(0.2 / 0.95))
+      s"""WITH b AS (SELECT event_type, ts, event_id,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |w AS (SELECT *, CAST(count(*) OVER win AS BIGINT) AS n,
+         |    CAST(sum(y) OVER win AS BIGINT) AS s,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS nt,
+         |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS st
+         |  FROM b WINDOW win AS (PARTITION BY event_type
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |l AS (SELECT *, s * CAST($c1 AS DECIMAL(12,9))
+         |    + (n - s) * CAST($c0 AS DECIMAL(12,9)) AS llr FROM w),
+         |d AS (SELECT *,
+         |    CASE WHEN llr >= CAST($up AS DECIMAL(12,9)) THEN 'accept_h1'
+         |         WHEN llr <= CAST($lo AS DECIMAL(12,9)) THEN 'accept_h0'
+         |    END AS dcn FROM l),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY CASE WHEN dcn IS NOT NULL THEN 0 ELSE 1 END,
+         |      CASE WHEN dcn IS NOT NULL THEN n ELSE -n END) AS rk
+         |  FROM d)
+         |SELECT event_type, nt AS n_total, st AS n_pos,
+         |  dcn AS decision,
+         |  CASE WHEN dcn IS NOT NULL THEN n END AS n_at_decision,
+         |  CAST(llr AS DOUBLE) AS llr_at_decision
+         |FROM r WHERE rk = 1""".stripMargin
+    },
 
     // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact
     // integer, ONE closing division

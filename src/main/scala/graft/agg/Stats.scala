@@ -1278,6 +1278,78 @@ object Stats {
   }
 
   /**
+   * Sequential probability ratio test (Wald's SPRT) per key, for
+   * Bernoulli outcomes: walk the events in time order accumulating
+   * `LLR_n = s·ln(p₁/p₀) + (n−s)·ln((1−p₁)/(1−p₀))`; decide
+   * `accept_h1` the first time LLR ≥ ln((1−β)/α), `accept_h0` at
+   * LLR ≤ ln(β/(1−α)) — the always-valid early-stopping A/B monitor
+   * ("call the experiment the moment the evidence allows"), replayed
+   * deterministically over logged data.
+   *
+   * Engine-exact: the four log constants are DRIVER-SIDE literals
+   * rounded to the 10⁻⁹ grid, so every LLR is an EXACT decimal
+   * (integer counts × decimal literals) and the boundary comparisons
+   * have no float ambiguity anywhere — any ANSI engine replays the
+   * walk bit-for-bit. Crossing = the EARLIEST qualifying position on
+   * the (tsCol, tieCol) total order.
+   *
+   * Output: one row per key — (keys…, n_total, n_pos, decision,
+   * n_at_decision, llr_at_decision); undecided keys carry a null
+   * decision with the final LLR.
+   *
+   * Scale posture: one key exchange carries the cumulative windows
+   * and the first-crossing rank cut; per-key linear.
+   */
+  def sprt(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+           outcomeCol: String, p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0/p1 must be distinct probabilities in (0,1), got $p0/$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha/beta in (0,1)")
+    require(keys.nonEmpty, "sprt needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    def lit9(x: Double): Column =
+      lit(BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal)
+    val c1 = lit9(math.log(p1 / p0))
+    val c0 = lit9(math.log((1.0 - p1) / (1.0 - p0)))
+    val upper = lit9(math.log((1.0 - beta) / alpha))
+    val lower = lit9(math.log(beta / (1.0 - alpha)))
+    val y = col(outcomeCol).cast("boolean")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val walked = df
+      .filter(col(tsCol).isNotNull && y.isNotNull)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(when(y, 1L).otherwise(0L)).over(w))
+      .withColumn("__llr",
+        (col("__s") * c1 + (col("__n") - col("__s")) * c0)
+          .cast("decimal(38,9)"))
+      .withColumn("__dec",
+        when(col("__llr") >= upper, lit("accept_h1"))
+          .when(col("__llr") <= lower, lit("accept_h0")))
+      .withColumn("__nt", count(lit(1)).over(wk))
+      .withColumn("__st", sum(when(y, 1L).otherwise(0L)).over(wk))
+    // earliest crossing; undecided keys fall back to their LAST row
+    // (decided sort first by n ascending; undecided by n DESCENDING
+    // via negation, so rank 1 is the final row)
+    val pick = walked
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(when(col("__dec").isNotNull, 0L).otherwise(1L).asc,
+          when(col("__dec").isNotNull, col("__n"))
+            .otherwise(-col("__n")).asc)))
+      .filter(col("__r") === 1)
+    pick.select(keys.map(col) ++ Seq(col("__nt").as("n_total"),
+      col("__st").as("n_pos"), col("__dec").as("decision"),
+      when(col("__dec").isNotNull, col("__n")).as("n_at_decision"),
+      col("__llr").cast("double").as("llr_at_decision")): _*)
+  }
+
+  /**
    * Cumulative gains / lift table per group: rows ranked by score
    * descending are cut into `buckets` equal-frequency bins (bucket
    * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut

@@ -1380,6 +1380,57 @@ object TimeSeries {
             lit(scaleF)).as("twap")): _*)
   }
 
+  /**
+   * Best single mean-shift split per key (binary-segmentation step
+   * one): the time-ordered position whose before/after partition
+   * maximizes the between-group sum of squares
+   * `B_i = S_i²/i + (T−S_i)²/(n−i) − T²/n` — the changepoint
+   * candidate CUSUM flags but cannot localize, and the building
+   * block of recursive segmentation.
+   *
+   * Engine-exact: values snap to the 10⁻ˢᶜᵃˡᵉ grid, prefix sums are
+   * exact decimals on ONE key exchange; each split's B_i closes in a
+   * pinned IEEE chain and the argmax takes the EARLIEST position on
+   * ties (total order). Splits leave ≥1 row on each side. Gain is
+   * reported in value² units.
+   *
+   * Output: (keys…, n, split_index, split_ts, gain) — split AFTER
+   * `split_index` (1-based); keys with n < 2 emit nothing.
+   *
+   * Scale posture: one key exchange carries the index/prefix windows
+   * AND the rank cut (WindowGroupLimit); per-key linear.
+   */
+  def bestMeanSplit(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tieCol: String, valueCol: String,
+                    valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "bestMeanSplit needs key columns")
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__s", sum(v).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__t", sum(v).over(wk))
+    val iD = col("__i").cast("double")
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    val tD = col("__t").cast("double")
+    val between = sD * sD / iD +
+      (tD - sD) * (tD - sD) / (nD - iD) - tD * tD / nD
+    val scored = base.filter(col("__i") < col("__n"))
+      .withColumn("gain", between)
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col("gain").desc, col("__i").asc)))
+      .filter(col("__r") === 1)
+    scored.select(keys.map(col) ++ Seq(col("__n").as("n"),
+      col("__i").as("split_index"), col(tsCol).as("split_ts"),
+      col("gain")): _*)
+  }
+
   def cusum(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
             valueCol: String, target: Double, slack: Double,
             threshold: Double): DataFrame =

@@ -1215,6 +1215,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
       fin.take(1500))
   }
+  test("q315 best mean split: prefix windows + rank cut share the " +
+    "key exchange — join-free, WindowGroupLimit") {
+    val fin = finalPlan("q315_best_mean_split")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("WindowGroupLimit"), fin.take(1500))
+  }
+  test("q316 sprt: cumulative walk + first-crossing cut on one key " +
+    "exchange — join-free") {
+    val fin = finalPlan("q316_sprt").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -392,6 +392,29 @@ class StatsSpec extends AnyFunSuite {
     assert(out("e") == ((2L, 0.0)))
   }
 
+  test("sprt: crosses the upper boundary at the first qualifying " +
+    "step; undecided keys report the final LLR with null decision") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // p0=0.4 p1=0.6: each success adds ln(1.5)=.405, each failure
+    // ln(2/3)=-.405; upper = ln(0.8/0.05)=2.7726 -> 7 net successes
+    val wins = (0 until 12).map(i => ("up", t(i), i.toLong, true))
+    val mixed = (0 until 4).map(i => ("mix", t(i), i.toLong, i % 2 == 0))
+    val df = (wins ++ mixed).toDF("k", "ts", "id", "y")
+    val out = Stats.sprt(df, Seq("k"), "ts", "id", "y",
+      p0 = 0.4, p1 = 0.6, alpha = 0.05, beta = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = out("up")
+    assert(up.getAs[String]("decision") == "accept_h1")
+    // 7·round9(ln 1.5) = 2.838 >= 2.7726; 6 steps = 2.433 is not
+    assert(up.getAs[Long]("n_at_decision") == 7L)
+    assert(up.getAs[Long]("n_total") == 12L)
+    val mix = out("mix")
+    assert(mix.isNullAt(mix.fieldIndex("decision")) &&
+      mix.isNullAt(mix.fieldIndex("n_at_decision")))
+    // final row: 2 wins 2 losses -> LLR 0 exactly on the round-9 grid
+    assert(mix.getAs[Double]("llr_at_decision") == 0.0)
+  }
+
   test("hooverIndex: hand share-to-move; equality scores 0") {
     // [1, 3]: mu=2, sum|x-mu| = 2, H = 2/(2·2·4) = 0.25 — move a
     // quarter of the mass (0.5 of 2 twice... exactly 1 from 3 to 1)

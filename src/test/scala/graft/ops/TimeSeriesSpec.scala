@@ -576,6 +576,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2).getLong(1) == 0L && out(2).getAs[Double]("ltv") == 2.0)
   }
 
+  test("bestMeanSplit: localizes a clean level shift; earliest " +
+    "position wins ties; n < 2 emits nothing") {
+    // 4 low then 3 high: the split belongs after index 4
+    val xs = Seq(1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 9.0)
+    val df = (xs.zipWithIndex.map { case (x, i) =>
+      ("a", ts(f"2024-01-01 00:0$i:00"), i.toLong, x)
+    } :+ (("solo", ts("2024-01-01 00:00:00"), 99L, 5.0)))
+      .toDF("k", "ts", "id", "v")
+    val out = TimeSeries.bestMeanSplit(df, Seq("k"), "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 7L &&
+      a.getAs[Long]("split_index") == 4L)
+    // between-SS at the true split: 4*(1-value mean)^2 + 3*(9-m)^2
+    val m = xs.sum / 7.0
+    val expect = 4.0 * (1.0 - m) * (1.0 - m) + 3.0 * (9.0 - m) * (9.0 - m)
+    assert(math.abs(a.getAs[Double]("gain") - expect) < 1e-9)
+    assert(!out.contains("solo")) // single row: no valid split
+    // constant series: every split gains ~0, EARLIEST index wins
+    val const = (0 until 5).map(i =>
+      ("c", ts(f"2024-01-01 00:0$i:00"), i.toLong, 3.0))
+      .toDF("k", "ts", "id", "v")
+    val c = TimeSeries.bestMeanSplit(const, Seq("k"), "ts", "id", "v")
+      .collect().head
+    assert(c.getAs[Long]("split_index") == 1L)
+  }
+
   test("cusum matches the sequential recurrence on a hand series") {
     // target 10, slack 1: drift = x - 11
     val xs = Seq(10.0, 15.0, 14.0, 2.0, 20.0, 25.0)
