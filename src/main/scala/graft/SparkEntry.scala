@@ -4045,6 +4045,12 @@ object SparkEntry {
         Seq("event_type"), "ts", "event_id", "y",
         p0 = 0.4, p1 = 0.6, alpha = 0.05, beta = 0.2)),
 
+    // ---- uncertainty: deterministic Poisson-bootstrap mean CI —
+    //      hash-derived resample weights, zero RNG, replayable ----
+    "q317_bootstrap_ci" -> ((s, dir) =>
+      graft.agg.Stats.bootstrapMeanCi(t(s, dir, "events"),
+        Seq("event_type"), "event_id", "value", b = 200)),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -6961,6 +6967,48 @@ object SparkEntry {
          |  CASE WHEN dcn IS NOT NULL THEN n END AS n_at_decision,
          |  CAST(llr AS DOUBLE) AS llr_at_decision
          |FROM r WHERE rk = 1""".stripMargin
+    },
+
+    // the same md5-derived Poisson(1) weights (round-9 CDF literals),
+    // exact integer resample moments, order-statistic CI ranks
+    "q317_bootstrap_ci" -> {
+      val cdf = {
+        var p = math.exp(-1.0); var cum = BigDecimal(0)
+        (0 to 6).map { k =>
+          cum += BigDecimal(p); p = p / (k + 1.0)
+          cum.setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .bigDecimal.toPlainString
+        }
+      }
+      val caseW = cdf.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      s"""WITH base AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+         |      AS mean
+         |  FROM base GROUP BY 1),
+         |ex AS (SELECT event_type, id, v,
+         |    unnest(generate_series(1, 200)) AS bb FROM base),
+         |hw AS (SELECT event_type, bb, v, $caseW AS w
+         |  FROM (SELECT *, CAST(('0x' || substr(md5(id || ':' ||
+         |      CAST(bb AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+         |      / 4294967296.0 AS h FROM ex)),
+         |m AS (SELECT event_type, bb, CAST(sum(v * w) AS BIGINT) AS vw,
+         |    CAST(sum(w) AS BIGINT) AS ws FROM hw GROUP BY 1, 2),
+         |mm AS (SELECT event_type, bb,
+         |    CAST(vw AS DOUBLE) / CAST(ws AS DOUBLE) / 100.0 AS m
+         |  FROM m WHERE ws > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY m, bb) AS rk FROM mm)
+         |SELECT pt.event_type, pt.n, pt.mean,
+         |  min(CASE WHEN rk = 5 THEN m END) AS ci_lo,
+         |  min(CASE WHEN rk = 195 THEN m END) AS ci_hi
+         |FROM r JOIN pt USING (event_type)
+         |GROUP BY 1, 2, 3""".stripMargin
     },
 
     // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact

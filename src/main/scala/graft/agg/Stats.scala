@@ -1350,6 +1350,88 @@ object Stats {
   }
 
   /**
+   * Deterministic Poisson-bootstrap confidence interval for the mean,
+   * per group: `b` resamples where every row's weight in resample i
+   * is a Poisson(1)-distributed count DERIVED FROM A HASH of
+   * (row id, i) — the classic scale-out bootstrap (each row decides
+   * its own resample multiplicities locally, no sampling pass), made
+   * REPLAYABLE: no RNG anywhere, so the same data always yields the
+   * same interval and an ANSI oracle reproduces it bit-for-bit.
+   *
+   * Weights: h = md5₃₂(id:i)/2³², mapped through the Poisson(1) CDF
+   * rounded to the 10⁻⁹ grid (literals; counts capped at 7, cumulative
+   * mass ~1−10⁻⁵). Each resample's mean is `Σ w·x / Σ w` in exact
+   * integer units with one pinned closing; the CI bounds are ORDER
+   * STATISTICS of the `b` means (ranks ⌈q·b⌉ — no interpolation, no
+   * float ambiguity).
+   *
+   * Output: (keys…, n, mean, ci_lo, ci_hi).
+   *
+   * Scale posture: the corpus explodes ×b but collapses MAP-SIDE to
+   * (keys, resample) — the shuffle carries |keys|·b moment rows, and
+   * everything after is grid-sized. The point estimate rides the same
+   * value-grid collapse. b is the caller's cost dial.
+   */
+  def bootstrapMeanCi(df: DataFrame, keys: Seq[String], idCol: String,
+                      valueCol: String, b: Int = 200, loQ: Double = 0.025,
+                      hiQ: Double = 0.975, valueScale: Int = 2)
+  : DataFrame = {
+    require(b >= 20, s"need at least 20 resamples, got $b")
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, "need 0 < loQ < hiQ < 1")
+    require(keys.nonEmpty, "bootstrapMeanCi needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    // Poisson(1) CDF on the 1e-9 grid; counts capped at 7 (cumulative
+    // mass ~1−1e-5); exact-decimal accumulation so the oracle's
+    // identical literal generation cannot diverge in the 9th digit
+    val cdf = {
+      var p = math.exp(-1.0); var cum = BigDecimal(0)
+      (0 to 6).map { k =>
+        cum += BigDecimal(p); p = p / (k + 1.0)
+        cum.setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val vc = unscaled(col(valueCol), valueScale)
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(idCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+ col(idCol).cast("string").as("__id") :+
+        vc.as("__v"): _*)
+      .localCheckpoint(false)
+    val point = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__v").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double") /
+          lit(math.pow(10, valueScale))).as("mean"))
+    val h = graft.llm.TextAnalysis.md5i(
+      concat(col("__id"), lit(":"), col("__b").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val w = cdf.zipWithIndex.foldRight(lit(7L)) { case ((t, k), other) =>
+      when(h < lit(t), k.toLong).otherwise(other)
+    }
+    val means = base
+      .withColumn("__b", explode(sequence(lit(1), lit(b))))
+      .withColumn("__w", w)
+      .groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum((col("__v") * col("__w")).cast("decimal(38,0)")).as("__vw"),
+        sum(col("__w")).as("__ws"))
+      .withColumn("__m",
+        when(col("__ws") > 0L, col("__vw").cast("double") /
+          col("__ws").cast("double") / lit(math.pow(10, valueScale))))
+      .filter(col("__m").isNotNull)
+    val wr = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__m").asc, col("__b").asc)
+    val kLo = math.ceil(loQ * b).toLong
+    val kHi = math.ceil(hiQ * b).toLong
+    val ci = means.withColumn("__r", row_number().over(wr))
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("__r") === kLo, col("__m"))).as("ci_lo"),
+        min(when(col("__r") === kHi, col("__m"))).as("ci_hi"))
+    point.join(ci, keys)
+      .select(keys.map(col) ++ Seq(col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi")): _*)
+  }
+
+  /**
    * Cumulative gains / lift table per group: rows ranked by score
    * descending are cut into `buckets` equal-frequency bins (bucket
    * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut

@@ -1231,6 +1231,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q317 bootstrap CI: checkpointed base feeds point estimate AND " +
+    "resamples (one corpus read); map-side (key, b) collapse; no " +
+    "cartesian") {
+    val fin = finalPlan("q317_bootstrap_ci").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -415,6 +415,25 @@ class StatsSpec extends AnyFunSuite {
     assert(mix.getAs[Double]("llr_at_decision") == 0.0)
   }
 
+  test("bootstrapMeanCi: deterministic, brackets the sample mean, " +
+    "narrows with more data") {
+    val small = (1 to 30).map(i => ("a", i.toLong, (i % 10) + 1.0))
+    val big = (1 to 300).map(i => ("b", i.toLong, (i % 10) + 1.0))
+    val df = (small ++ big).toDF("k", "id", "v")
+    def run() = Stats.bootstrapMeanCi(df, Seq("k"), "id", "v", b = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val o1 = run(); val o2 = run()
+    assert(o1 == o2) // zero RNG: bit-identical across runs
+    val (na, ma, loA, hiA) = o1("a")
+    assert(na == 30L && ma == 5.5 && loA < ma && ma < hiA)
+    val (_, mb, loB, hiB) = o1("b")
+    assert(mb == 5.5)
+    // 10x the data: the interval must be strictly tighter
+    assert(hiB - loB < hiA - loA)
+  }
+
   test("hooverIndex: hand share-to-move; equality scores 0") {
     // [1, 3]: mu=2, sum|x-mu| = 2, H = 2/(2·2·4) = 0.25 — move a
     // quarter of the mass (0.5 of 2 twice... exactly 1 from 3 to 1)
