@@ -4051,6 +4051,20 @@ object SparkEntry {
       graft.agg.Stats.bootstrapMeanCi(t(s, dir, "events"),
         Seq("event_type"), "event_id", "value", b = 200)),
 
+    // ---- spatial: grid-density clustering (DBSCAN-lite) over the
+    //      q261 hash-planted coordinates — dense cells merge via
+    //      8-adjacency components, sparse points are noise ----
+    "q319_grid_clusters" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey"),
+        pmod(TA.md5i(concat(col("c_custkey").cast("string"), lit("x"))),
+          lit(1000000L)).as("x"),
+        pmod(TA.md5i(concat(col("c_custkey").cast("string"), lit("y"))),
+          lit(1000000L)).as("y"))
+      graft.join.Spatial.gridClusters(pts, "c_custkey", "x", "y",
+        cellSize = 50000L, minPts = 6L)
+    }),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -7010,6 +7024,42 @@ object SparkEntry {
          |FROM r JOIN pt USING (event_type)
          |GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // dense cells + 8-adjacency transitive closure (the q45 reach
+    // CTE), min-cell-label components, sparse points null
+    "q319_grid_clusters" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+        |    ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)||'x'),1,8))::BIGINT
+        |      % 1000000 AS x,
+        |    ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)||'y'),1,8))::BIGINT
+        |      % 1000000 AS y
+        |  FROM customer),
+        |b AS (SELECT id,
+        |    CAST(floor(CAST(x AS DOUBLE) / 50000) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(y AS DOUBLE) / 50000) AS BIGINT) AS cy
+        |  FROM pts),
+        |dense AS (SELECT cx, cy,
+        |    CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR) AS cell
+        |  FROM (SELECT cx, cy, count(*) AS n FROM b GROUP BY 1, 2)
+        |  WHERE n >= 6),
+        |e0 AS (SELECT a.cell AS c1, bb.cell AS c2 FROM dense a
+        |  JOIN dense bb ON abs(a.cx - bb.cx) <= 1
+        |    AND abs(a.cy - bb.cy) <= 1 AND a.cell < bb.cell),
+        |e AS (SELECT c1 AS a, c2 AS b FROM e0
+        |      UNION SELECT c2, c1 FROM e0),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM e
+        |  UNION
+        |  SELECT reach.node, e.b AS r FROM reach JOIN e ON reach.r = e.a
+        |),
+        |comp AS (SELECT node, MIN(r) AS component FROM reach
+        |  GROUP BY node),
+        |lab AS (SELECT d.cx, d.cy,
+        |    coalesce(c.component, d.cell) AS cluster
+        |  FROM dense d LEFT JOIN comp c ON c.node = d.cell)
+        |SELECT b.id AS c_custkey, b.cx AS cell_x, b.cy AS cell_y,
+        |  lab.cluster
+        |FROM b LEFT JOIN lab ON lab.cx = b.cx AND lab.cy = b.cy""".stripMargin,
 
     // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact
     // integer, ONE closing division

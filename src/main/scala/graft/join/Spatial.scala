@@ -68,4 +68,71 @@ object Spatial {
       .select(col("__lid").as(leftId), col("__rid").as(rightId),
         d2.as("d2"))
   }
+
+  /**
+   * Grid-density clustering (DBSCAN-lite, fully relational): points
+   * bucket into `cellSize` grid cells, cells with ≥ `minPts` points
+   * are DENSE, 8-adjacent dense cells merge into one cluster
+   * (connected components, min-cell-label representative — a total
+   * order), and every point gets its cell's cluster label — points
+   * in sparse cells are NOISE (null cluster). The spatial-clustering
+   * answer that needs no pairwise distances: density and adjacency
+   * are both grid-local.
+   *
+   * Output: one row per input point — (idCol, cell_x, cell_y,
+   * cluster nullable string "cx:cy" of the component's min cell).
+   *
+   * Scale posture: ONE corpus pass buckets and checkpoints; density
+   * collapse is map-side; adjacency + components run on the DENSE
+   * CELL grid (bounded by area/cellSize², not by points); the label
+   * join back is (cell_x, cell_y)-keyed. Isolated dense cells label
+   * themselves. Choose cellSize ≈ the neighborhood radius: this
+   * clusters at grid resolution, merging anything 8-adjacent.
+   */
+  def gridClusters(df: DataFrame, idCol: String, xCol: String,
+                   yCol: String, cellSize: Long, minPts: Long)
+  : DataFrame = {
+    require(cellSize > 0, s"cellSize must be > 0, got $cellSize")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val base = df.filter(col(idCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(idCol),
+        floor(col(xCol).cast("double") / cellSize).cast("long").as("__cx"),
+        floor(col(yCol).cast("double") / cellSize).cast("long").as("__cy"))
+      .localCheckpoint(false)
+    val dense = base.groupBy(col("__cx"), col("__cy"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts)
+      .withColumn("__cell",
+        concat(col("__cx"), lit(":"), col("__cy")))
+      .localCheckpoint(false)
+    val offsets = for {
+      dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0
+    } yield (dx, dy)
+    val probes = dense
+      .select(col("__cell").as("__c1"), col("__cx"), col("__cy"))
+      .withColumn("__o", explode(array(offsets.map { case (dx, dy) =>
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+      }: _*)))
+      .select(col("__c1"),
+        (col("__cx") + col("__o.dx")).as("__nx"),
+        (col("__cy") + col("__o.dy")).as("__ny"))
+    val edges = probes.join(
+        dense.select(col("__cell").as("__c2"), col("__cx").as("__nx"),
+          col("__cy").as("__ny")),
+        Seq("__nx", "__ny"))
+      .filter(col("__c1") < col("__c2"))
+      .select(col("__c1").as("id1"), col("__c2").as("id2"))
+    // grid adjacency can snake: the label-propagation diameter is the
+    // longest dense-cell corridor, far past the dedup-cluster default
+    val comp = graft.llm.Dedup.components(edges, maxIter = 100)
+    val labeled = dense.select(col("__cell"), col("__cx"), col("__cy"))
+      .join(comp.select(col("node").as("__cell"), col("component")),
+        Seq("__cell"), "left")
+      .select(col("__cx"), col("__cy"),
+        coalesce(col("component"), col("__cell")).as("cluster"))
+    base.join(labeled, Seq("__cx", "__cy"), "left")
+      .select(col(idCol), col("__cx").as("cell_x"),
+        col("__cy").as("cell_y"), col("cluster"))
+  }
 }

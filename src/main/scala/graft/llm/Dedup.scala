@@ -576,37 +576,32 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("component")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("component")).as("__nb"))
-      // The convergence signal rides the SAME action that fills the
-      // cache: an observe() metric counts changed labels during the
-      // materializing count(), replacing a second labels-join +
-      // shuffle + action per round.
-      val obs = org.apache.spark.sql.Observation()
-      val nextFull = labels.withColumnRenamed("component", "__old")
+      // localCheckpoint, not bare persist: each round's LOGICAL plan
+      // embeds the previous round's twice (labels feeds viaNeighbors
+      // AND the join), so without a lineage cut the tree DOUBLES per
+      // round — long-diameter graphs (measured round 14: a 68-cell
+      // grid-adjacency graph needing ~14 rounds) OOM'd the DRIVER on
+      // plan-tree strings alone. The checkpoint collapses round k to
+      // a LogicalRDD leaf; growth stays linear. `__old` rides INSIDE
+      // the checkpoint, so the convergence count is a cheap filter
+      // over the materialized blocks — no extra join, and no observe()
+      // metric (an Observation on a lazily-checkpointed plan resolved
+      // 0 while labels were still changing — the round-14 q319 early
+      // stop; the explicit count is the only signal that survives the
+      // checkpoint).
+      val nextAll = labels.withColumnRenamed("component", "__old")
         .join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("__old"), coalesce(col("__nb"), col("__old")))
             .as("component"), col("__old"))
-        .observe(obs, count(when(col("component") =!= col("__old"), 1)).as("chg"))
-      val next = nextFull.select("node", "component")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // FULL count (no limit): materializes every partition of `next`
-      // into its cache BEFORE the predecessor is unpersisted — a
-      // short-circuit count could leave cold partitions whose lineage
-      // chains through every unpersisted prior round.
-      next.count()
-      val changed = try {
-        import scala.concurrent.Await
-        import scala.concurrent.duration._
-        Await.result(obs.future, 30.seconds).getAs[Long]("chg")
-      } catch {
-        // metrics listener lagging (busy driver): fall back to the
-        // explicit diff join — correct, just a second pass
-        case _: java.util.concurrent.TimeoutException =>
-          next.join(labels.withColumnRenamed("component", "__old"), "node")
-            .filter(col("component") =!= col("__old")).count()
-      }
+        .localCheckpoint(false)
+      // This count materializes EVERY partition into the checkpoint
+      // blocks before the predecessor is released, AND returns the
+      // convergence signal in the same action.
+      val changed = nextAll
+        .filter(col("component") =!= col("__old")).count()
       labels.unpersist()
-      labels = next
+      labels = nextAll.select("node", "component")
       lastChanged = changed
       done = changed == 0
       i += 1

@@ -1241,6 +1241,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct") &&
       !fin.contains("BroadcastNestedLoop"), fin.take(1500))
   }
+  test("q319 grid clusters: density and components run on the CELL " +
+    "grid; no cartesian; final assembly label join is cell-keyed") {
+    val fin = finalPlan("q319_grid_clusters").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -8,6 +8,24 @@ class SpatialSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("gridClusters: 8-adjacent dense cells merge, isolated dense " +
+    "cell labels itself, sparse points are noise") {
+    val pts = Seq(
+      (1L, 1L, 1L), (2L, 2L, 3L),        // cell (0,0): dense
+      (3L, 11L, 12L), (4L, 13L, 14L),    // cell (1,1): dense, diagonal
+      (5L, 55L, 55L), (6L, 57L, 51L),    // cell (5,5): dense, isolated
+      (7L, 99L, 99L)                     // cell (9,9): sparse -> noise
+    ).toDF("id", "x", "y")
+    val out = Spatial.gridClusters(pts, "id", "x", "y",
+      cellSize = 10L, minPts = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(1L) == ((0L, 0L, Some("0:0"))))
+    assert(out(4L) == ((1L, 1L, Some("0:0")))) // merged diagonally
+    assert(out(5L)._3.contains("5:5") && out(6L)._3.contains("5:5"))
+    assert(out(7L) == ((9L, 9L, None))) // noise
+  }
+
   test("radiusJoin: exact d² predicate, cross-cell neighbors found, " +
     "negative coordinates, brute-force agreement") {
     val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L),     // d=5 exactly

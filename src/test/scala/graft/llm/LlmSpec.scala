@@ -216,6 +216,21 @@ class LlmSpec extends AnyFunSuite {
     assert(bounded(5L) == 3L)
   }
 
+  test("connected components: a LONG path (diameter past the default " +
+    "maxIter) converges with linear plan growth — the round-14 " +
+    "exponential-lineage / broken-observe regression pin") {
+    // 35-node path: needs ~34 propagation rounds. Before round 14 this
+    // (a) OOM'd the driver — each round's logical plan embedded the
+    // previous TWICE (2^rounds tree) — and (b) stopped early at the
+    // true convergence signal: the observe() metric on a lazily-
+    // checkpointed plan resolved 0 while labels were still changing.
+    val pairs = (1 until 35)
+      .map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val comp = Dedup.components(pairs, maxIter = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 35L).forall(comp(_) == 1L), comp.toSeq.sorted.take(8))
+  }
+
   test("dropNearDuplicates keeps the min-id doc per cluster plus unpaired docs") {
     val pairs = Seq((2L, 1L), (2L, 4L)).toDF("id1", "id2") // cluster {1,2,4}
     val out = Dedup.dropNearDuplicates(docs, pairs, "id")
