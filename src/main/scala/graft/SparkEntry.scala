@@ -4065,6 +4065,22 @@ object SparkEntry {
         cellSize = 50000L, minPts = 6L)
     }),
 
+    // ---- A/B stats: CUPED variance-adjusted variant means — pooled
+    //      θ from exact moments, per-variant pinned adjustment ----
+    "q320_cuped" -> ((s, dir) =>
+      graft.agg.Stats.cuped(t(s, dir, "events")
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+          .withColumn("psize", length(col("props"))),
+        Seq("event_type"), "variant", "value", "psize")),
+
+    // ---- causal: difference-in-differences 2×2 contrast from exact
+    //      cell sums — treated × post pinned double difference ----
+    "q321_did" -> ((s, dir) =>
+      graft.agg.Stats.diffInDiff(t(s, dir, "events")
+          .withColumn("treated", col("user_id") % 2 === 0)
+          .withColumn("post", hour(col("ts")) >= 12),
+        Seq("event_type"), "treated", "post", "value")),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -7060,6 +7076,68 @@ object SparkEntry {
         |SELECT b.id AS c_custkey, b.cx AS cell_x, b.cy AS cell_y,
         |  lab.cluster
         |FROM b LEFT JOIN lab ON lab.cx = b.cx AND lab.cy = b.cy""".stripMargin,
+
+    // pooled θ from the variant-grid moments (exact integer units
+    // over correctly-rounded divisions), per-variant adjustment in
+    // the engine's pinned IEEE order
+    "q320_cuped" ->
+      """WITH b AS (SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+        |    CAST(CAST(length(props) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS xc
+        |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |    sum(yc) AS sy, sum(xc) AS sx, sum(xc * yc) AS sxy4,
+        |    sum(xc * xc) AS sxx4
+        |  FROM b GROUP BY 1, 2),
+        |p AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS np,
+        |    CAST(sum(sy) AS DOUBLE) / 100.0 AS syp,
+        |    CAST(sum(sx) AS DOUBLE) / 100.0 AS sxp,
+        |    CAST(sum(sxy4) AS DOUBLE) / 10000.0 AS sxyp,
+        |    CAST(sum(sxx4) AS DOUBLE) / 10000.0 AS sxxp
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT event_type,
+        |    CASE WHEN CAST(np AS DOUBLE) * sxxp - sxp * sxp > 0
+        |      THEN (CAST(np AS DOUBLE) * sxyp - sxp * syp)
+        |        / (CAST(np AS DOUBLE) * sxxp - sxp * sxp) END AS theta,
+        |    sxp / CAST(np AS DOUBLE) AS xbar
+        |  FROM p)
+        |SELECT g.event_type, g.variant, g.n,
+        |  CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN theta IS NOT NULL THEN
+        |    CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |      - theta * (CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |        - xbar)
+        |  ELSE CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |  END AS adjusted_mean,
+        |  theta
+        |FROM g JOIN t USING (event_type)""".stripMargin,
+
+    // four exact cell sums, pinned cell means, the double difference
+    // in the engine's order; a missing cell nulls the estimate
+    "q321_did" ->
+      """WITH b AS (SELECT event_type, (user_id % 2 = 0) AS t,
+        |    (hour(ts) >= 12) AS p,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT event_type, t, p, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(vc) AS BIGINT) AS sc FROM b GROUP BY 1, 2, 3),
+        |a AS (SELECT event_type, CAST(sum(cn) AS BIGINT) AS n,
+        |    min(CASE WHEN NOT t AND NOT p THEN CAST(sc AS DOUBLE)
+        |      / 100.0 / CAST(cn AS DOUBLE) END) AS mean_c_pre,
+        |    min(CASE WHEN NOT t AND p THEN CAST(sc AS DOUBLE)
+        |      / 100.0 / CAST(cn AS DOUBLE) END) AS mean_c_post,
+        |    min(CASE WHEN t AND NOT p THEN CAST(sc AS DOUBLE)
+        |      / 100.0 / CAST(cn AS DOUBLE) END) AS mean_t_pre,
+        |    min(CASE WHEN t AND p THEN CAST(sc AS DOUBLE)
+        |      / 100.0 / CAST(cn AS DOUBLE) END) AS mean_t_post
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n, mean_c_pre, mean_c_post, mean_t_pre,
+        |  mean_t_post,
+        |  (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
+        |FROM a""".stripMargin,
 
     // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact
     // integer, ONE closing division

@@ -1432,6 +1432,106 @@ object Stats {
   }
 
   /**
+   * CUPED-adjusted variant means per experiment:
+   * `Y' = Ȳᵥ − θ·(X̄ᵥ − X̄)` with `θ = cov(X,Y)/var(X)` estimated on
+   * the POOLED experiment — the industry-standard variance-reduction
+   * for A/B metrics (a pre-period covariate soaks up between-user
+   * noise, shrinking the CI without biasing the contrast).
+   *
+   * Engine-exact: metric and covariate snap to the 10⁻ˢᶜᵃˡᵉ grid; θ
+   * closes from five exact decimal moments in ONE pinned chain
+   * (`(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`, the [[linearFit]] discipline);
+   * per-variant adjustments are two pinned divisions and a fused
+   * subtract. Zero covariate variance → θ null, adjusted = raw mean.
+   *
+   * Output: (keys…, variant, n, mean, adjusted_mean, theta).
+   *
+   * Scale posture: one map-side (keys, variant) moment collapse; the
+   * pooled moments REUSE it (a second grid-sized aggregation, not a
+   * second corpus pass); key-keyed join back, no broadcast hint.
+   */
+  def cuped(df: DataFrame, keys: Seq[String], variantCol: String,
+            metricCol: String, covariateCol: String,
+            valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "cuped needs experiment key columns")
+    val y = col(metricCol).cast(s"decimal(18,$valueScale)")
+    val x = col(covariateCol).cast(s"decimal(18,$valueScale)")
+    val perVariant = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull &&
+        col(variantCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__y", y).withColumn("__x", x)
+      .groupBy(keys.map(col) :+ col(variantCol).as("variant"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("__sy"), sum(col("__x")).as("__sx"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).as("__sxx"))
+      .localCheckpoint(false)
+    val pooled = perVariant.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("__np"),
+        sum(col("__sy")).cast("double").as("__syp"),
+        sum(col("__sx")).cast("double").as("__sxp"),
+        sum(col("__sxy")).cast("double").as("__sxyp"),
+        sum(col("__sxx")).cast("double").as("__sxxp"))
+    val np = col("__np").cast("double")
+    val varX = np * col("__sxxp") - col("__sxp") * col("__sxp")
+    val theta = when(varX > 0.0,
+      (np * col("__sxyp") - col("__sxp") * col("__syp")) / varX)
+    val withTheta = pooled.select(keys.map(col) :+
+      theta.as("theta") :+ (col("__sxp") / np).as("__xbar"): _*)
+    perVariant.join(withTheta, keys)
+      .select(keys.map(col) ++ Seq(col("variant"), col("n"),
+        (col("__sy").cast("double") / col("n").cast("double")).as("mean"),
+        when(col("theta").isNotNull,
+          col("__sy").cast("double") / col("n").cast("double") -
+            col("theta") * (col("__sx").cast("double") /
+              col("n").cast("double") - col("__xbar")))
+          .otherwise(col("__sy").cast("double") / col("n").cast("double"))
+          .as("adjusted_mean"),
+        col("theta")): _*)
+  }
+
+  /**
+   * Difference-in-differences estimator per key: the 2×2 contrast
+   * `DiD = (Ȳ_treated,post − Ȳ_treated,pre) − (Ȳ_control,post −
+   * Ȳ_control,pre)` — the causal workhorse when treatment wasn't
+   * randomized but both groups share a pre-period trend.
+   *
+   * Engine-exact: one map-side (keys, treated, post) collapse of
+   * exact decimal sums; the four cell means and the double difference
+   * close in a pinned IEEE chain. A key missing any of the four cells
+   * emits a null estimate (the contrast is undefined).
+   *
+   * Output: (keys…, n, mean_c_pre, mean_c_post, mean_t_pre,
+   * mean_t_post, did).
+   */
+  def diffInDiff(df: DataFrame, keys: Seq[String], treatedCol: String,
+                 postCol: String, valueCol: String,
+                 valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "diffInDiff needs key columns")
+    val v = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(treatedCol).isNotNull &&
+        col(postCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(treatedCol).cast("boolean").as("__t")
+        :+ col(postCol).cast("boolean").as("__p"): _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"))
+    def cell(t: Boolean, p: Boolean): Column =
+      min(when(col("__t") === t && col("__p") === p,
+        col("__s").cast("double") / col("__n").cast("double")))
+    val agg = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"),
+        cell(t = false, p = false).as("mean_c_pre"),
+        cell(t = false, p = true).as("mean_c_post"),
+        cell(t = true, p = false).as("mean_t_pre"),
+        cell(t = true, p = true).as("mean_t_post"))
+    agg.withColumn("did",
+      (col("mean_t_post") - col("mean_t_pre")) -
+        (col("mean_c_post") - col("mean_c_pre")))
+  }
+
+  /**
    * Cumulative gains / lift table per group: rows ranked by score
    * descending are cut into `buckets` equal-frequency bins (bucket
    * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut

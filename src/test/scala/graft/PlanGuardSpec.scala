@@ -1249,6 +1249,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("Scan parquet"), fin.take(1500))
     assert(fin.contains("ExistingRDD"), fin.take(1500))
   }
+  test("q320 cuped: checkpointed variant grid feeds pooled moments " +
+    "AND the adjustment (one corpus collapse); key-keyed join") {
+    val fin = finalPlan("q320_cuped").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Scan parquet"), fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+  }
+  test("q321 did: ONE map-side cell collapse + closing aggregation — " +
+    "join-free") {
+    val fin = finalPlan("q321_did").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -434,6 +434,42 @@ class StatsSpec extends AnyFunSuite {
     assert(hiB - loB < hiA - loA)
   }
 
+  test("cuped: metric == covariate gives theta 1 and equalizes " +
+    "every variant to the grand mean; zero-variance covariate " +
+    "falls back to raw means") {
+    val df = Seq(
+      ("e", "a", 10.0, 10.0), ("e", "a", 20.0, 20.0),
+      ("e", "b", 30.0, 30.0), ("e", "b", 40.0, 40.0),
+      ("z", "a", 1.0, 7.0), ("z", "b", 5.0, 7.0))
+      .toDF("k", "var", "y", "x")
+    val out = Stats.cuped(df, Seq("k"), "var", "y", "x")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // y == x: theta = 1, adjusted = grand mean 25 for both variants
+    assert(out(("e", "a"))._3.get == 1.0)
+    assert(out(("e", "a"))._1 == 15.0 && out(("e", "a"))._2 == 25.0)
+    assert(out(("e", "b"))._1 == 35.0 && out(("e", "b"))._2 == 25.0)
+    // constant covariate: theta null, adjusted == raw
+    assert(out(("z", "a")) == ((1.0, 1.0, None)))
+    assert(out(("z", "b")) == ((5.0, 5.0, None)))
+  }
+
+  test("diffInDiff: hand 2x2 contrast; a missing cell nulls the " +
+    "estimate") {
+    val df = Seq(
+      ("k", false, false, 10.0), ("k", false, true, 12.0),
+      ("k", true, false, 20.0), ("k", true, true, 29.0),
+      ("m", true, true, 5.0), ("m", false, false, 1.0))
+      .toDF("g", "tr", "po", "v")
+    val out = Stats.diffInDiff(df, Seq("g"), "tr", "po", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // (29-20) - (12-10) = 7
+    assert(k.getAs[Double]("did") == 7.0 && k.getAs[Long]("n") == 4L)
+    assert(out("m").isNullAt(out("m").fieldIndex("did")))
+  }
+
   test("hooverIndex: hand share-to-move; equality scores 0") {
     // [1, 3]: mu=2, sum|x-mu| = 2, H = 2/(2·2·4) = 0.25 — move a
     // quarter of the mass (0.5 of 2 twice... exactly 1 from 3 to 1)
