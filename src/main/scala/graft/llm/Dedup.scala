@@ -589,10 +589,23 @@ object Dedup {
       // 0 while labels were still changing — the round-14 q319 early
       // stop; the explicit count is the only signal that survives the
       // checkpoint).
-      val nextAll = labels.withColumnRenamed("component", "__old")
+      val propagated = labels.withColumnRenamed("component", "__old")
         .join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("__old"), coalesce(col("__nb"), col("__old")))
+            .as("__prop"), col("__old"))
+      // POINTER JUMPING: follow the label's own label (every label is
+      // a node id, so it has a row). Labels are min-monotone, so
+      // label-of-label ≤ label; this shortcut turns the worst-case
+      // round count from O(diameter) — which the round-14 grid-
+      // corridor case showed is a real workload, not a corner — into
+      // O(log diameter) for one extra label-table-sized join per round.
+      val parents = propagated
+        .select(col("node").as("__pn"), col("__prop").as("__pc"))
+      val nextAll = propagated
+        .join(parents, propagated("__prop") === parents("__pn"), "left")
+        .select(col("node"),
+          least(col("__prop"), coalesce(col("__pc"), col("__prop")))
             .as("component"), col("__old"))
         .localCheckpoint(false)
       // This count materializes EVERY partition into the checkpoint

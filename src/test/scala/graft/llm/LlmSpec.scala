@@ -208,12 +208,13 @@ class LlmSpec extends AnyFunSuite {
     assert((1L to 5L).forall(comp(_) == 1L))
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp.size == 7) // only ids appearing in pairs
-    // maxIter bounds the propagation (partial labels, still safe):
-    // init fuses hop 1 (5→4 becomes 5→min(5,4)=4... then min over
-    // neighbor labels), so maxIter=1 reaches two hops down the path
+    // maxIter bounds the rounds (partial labels are safe); with
+    // pointer jumping one round covers 4 hops (init fuses hop 1,
+    // the neighbor-min adds one, the label-of-label shortcut
+    // doubles), so the 5-path fully collapses in ONE round
     val bounded = Dedup.components(pairs, maxIter = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bounded(5L) == 3L)
+    assert(bounded(5L) == 1L)
   }
 
   test("connected components: a LONG path (diameter past the default " +
