@@ -4086,6 +4086,26 @@ object SparkEntry {
           .withColumn("post", hour(col("ts")) >= 12),
         Seq("event_type"), "treated", "post", "value")),
 
+    // ---- ML eval: binary classification report — confusion matrix
+    //      and ratios from exact counts ----
+    "q322_classification_report" -> ((s, dir) =>
+      graft.agg.Stats.classificationReport(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("y", col("value") >= 50.0)
+          .withColumn("pred",
+            TA.md5i(concat(col("event_id").cast("string"), lit("cal")))
+              .cast("double") / lit(4294967296.0) >= 0.45),
+        Seq("event_type"), "y", "pred")),
+
+    // ---- risk stats: odds ratio + relative risk with the Wald
+    //      ln(OR) CI — exact 2×2 cells, pinned closings ----
+    "q323_odds_ratio" -> ((s, dir) =>
+      graft.agg.Stats.oddsRatio(
+        t(s, dir, "events")
+          .withColumn("exposed", col("user_id") % 2 === 0)
+          .withColumn("outcome", col("value") >= 50.0),
+        Seq("event_type"), "exposed", "outcome")),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -7144,6 +7164,74 @@ object SparkEntry {
         |  mean_t_post,
         |  (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
         |FROM a""".stripMargin,
+
+    // exact confusion cells (the q253 synthetic classifier), pinned
+    // ratio closings, null on empty denominators
+    "q322_classification_report" ->
+      """WITH b AS (SELECT event_type, value >= 50 AS y,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'cal'),
+        |      1, 8))::BIGINT AS DOUBLE) / 4294967296.0 >= 0.45 AS pred
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN y AND pred THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(CASE WHEN NOT y AND pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN y AND NOT pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT y AND NOT pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT *,
+        |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |      / CAST(tp + fp AS DOUBLE) END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |      / CAST(tp + fn AS DOUBLE) END AS recall
+        |  FROM m)
+        |SELECT event_type, tp, fp, fn, tn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |      AND precision + recall > 0
+        |    THEN 2.0 * precision * recall / (precision + recall)
+        |  END AS f1,
+        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+        |    AS accuracy
+        |FROM r""".stripMargin,
+
+    // exact 2x2 cells; ln(OR) round-9 (libm-consistent), Wald CI in
+    // the engine's pinned order; zero cells null the estimates
+    "q323_odds_ratio" ->
+      """WITH b AS (SELECT event_type, (user_id % 2 = 0) AS e,
+        |    value >= 50 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT *,
+        |    a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok,
+        |    (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orx,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+        |  FROM m),
+        |f AS (SELECT *, CASE WHEN ok THEN round(ln(orx), 9) END
+        |    AS log_or FROM r)
+        |SELECT event_type, a, b, c, d,
+        |  CASE WHEN ok THEN orx END AS odds_ratio,
+        |  CASE WHEN a + b > 0 AND c > 0 THEN
+        |    (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+        |      / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))
+        |  END AS relative_risk,
+        |  log_or,
+        |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
+        |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
+        |FROM f""".stripMargin,
 
     // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact
     // integer, ONE closing division

@@ -1532,6 +1532,95 @@ object Stats {
   }
 
   /**
+   * Binary classification report per group: the confusion matrix and
+   * its standard readouts — precision, recall, F1, accuracy — from
+   * exact integer cell counts with pinned closings. The eval
+   * primitive behind every quality-classifier dashboard.
+   *
+   * Output: (keys…, tp, fp, fn, tn, precision, recall, f1, accuracy);
+   * undefined ratios (empty denominators) are null, F1 is null when
+   * precision+recall is 0.
+   *
+   * Scale posture: ONE map-side-combined aggregation.
+   */
+  def classificationReport(df: DataFrame, keys: Seq[String],
+                           labelCol: String, predCol: String): DataFrame = {
+    require(keys.nonEmpty, "classificationReport needs key columns")
+    val y = col(labelCol).cast("boolean")
+    val p = col(predCol).cast("boolean")
+    val m = df.filter(y.isNotNull && p.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(y && p, 1L).otherwise(0L)).as("tp"),
+        sum(when(!y && p, 1L).otherwise(0L)).as("fp"),
+        sum(when(y && !p, 1L).otherwise(0L)).as("fn"),
+        sum(when(!y && !p, 1L).otherwise(0L)).as("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+    m.withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+  }
+
+  /**
+   * Odds ratio and relative risk per group, with the Wald 95% CI for
+   * ln(OR): from the 2×2 (exposed × outcome) cell counts,
+   * `OR = (a·d)/(b·c)`, `RR = (a/(a+b)) / (c/(c+d))`,
+   * `se = √(1/a + 1/b + 1/c + 1/d)`, CI = ln(OR) ± 1.96·se — the
+   * epidemiology/feature-risk primitive ("how much likelier is the
+   * outcome when exposed").
+   *
+   * Engine-exact: integer cells; `ln(OR)` is the libm-consistent log
+   * rounded to the 10⁻⁹ grid (the Kaplan-Meier discipline), the CI
+   * closes in a pinned chain. Any zero cell nulls OR/CI (add a
+   * continuity correction upstream if you need one — this operator
+   * reports, it does not smooth).
+   *
+   * Output: (keys…, a, b, c, d, odds_ratio, relative_risk, log_or,
+   * ci_lo, ci_hi).
+   */
+  def oddsRatio(df: DataFrame, keys: Seq[String], exposedCol: String,
+                outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "oddsRatio needs key columns")
+    val e = col(exposedCol).cast("boolean")
+    val y = col(outcomeCol).cast("boolean")
+    val m = df.filter(e.isNotNull && y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(e && y, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !y, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && y, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !y, 1L).otherwise(0L)).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val or = (col("a").cast("double") * col("d").cast("double")) /
+      (col("b").cast("double") * col("c").cast("double"))
+    val rr = (col("a").cast("double") /
+        (col("a") + col("b")).cast("double")) /
+      (col("c").cast("double") / (col("c") + col("d")).cast("double"))
+    val logOr = round(graft.functions.MathFunctions.libmLog(or), 9)
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    m.select(keys.map(col) ++ Seq(col("a"), col("b"), col("c"), col("d"),
+      when(ok, or).as("odds_ratio"),
+      when(col("a") + col("b") > 0 && col("c") > 0, rr)
+        .as("relative_risk"),
+      when(ok, logOr).as("log_or"),
+      when(ok, logOr - lit(1.96) * se).as("ci_lo"),
+      when(ok, logOr + lit(1.96) * se).as("ci_hi")): _*)
+  }
+
+  /**
    * Cumulative gains / lift table per group: rows ranked by score
    * descending are cut into `buckets` equal-frequency bins (bucket
    * `b` = ranks `(b−1)·n/k < r ≤ b·n/k`, the exact integer cut

@@ -1265,6 +1265,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
       fin.take(1500))
   }
+  test("q322/q323 2x2 stats: ONE map-side cell collapse each, " +
+    "join-free") {
+    for (q <- Seq("q322_classification_report", "q323_odds_ratio")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
   test("q282 kfold: one stratum exchange, one rank window, nothing else") {
     val fin = finalPlan("q282_kfold").split("== Initial Plan ==")(0)
     assert(!fin.contains("Join"), fin.take(1200))

@@ -470,6 +470,53 @@ class StatsSpec extends AnyFunSuite {
     assert(out("m").isNullAt(out("m").fieldIndex("did")))
   }
 
+  test("classificationReport: hand confusion cells and ratios; " +
+    "empty denominators null") {
+    val df = Seq(
+      ("k", true, true), ("k", true, true), ("k", true, false),
+      ("k", false, true), ("k", false, false),
+      ("z", false, false), ("z", false, false)) // never predicts
+      .toDF("g", "y", "p")
+    val out = Stats.classificationReport(df, Seq("g"), "y", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert((k.getAs[Long]("tp"), k.getAs[Long]("fp"),
+      k.getAs[Long]("fn"), k.getAs[Long]("tn")) == ((2L, 1L, 1L, 1L)))
+    assert(k.getAs[Double]("precision") == 2.0 / 3.0 &&
+      k.getAs[Double]("recall") == 2.0 / 3.0)
+    assert(math.abs(k.getAs[Double]("f1") - 2.0 / 3.0) < 1e-12)
+    assert(k.getAs[Double]("accuracy") == 0.6)
+    val z = out("z")
+    assert(z.isNullAt(z.fieldIndex("precision")) &&
+      z.isNullAt(z.fieldIndex("f1")) &&
+      z.getAs[Double]("accuracy") == 1.0)
+  }
+
+  test("oddsRatio: hand 2x2; zero cell nulls OR and CI but not RR") {
+    val df = (Seq.fill(40)(("k", true, true)) ++
+      Seq.fill(10)(("k", true, false)) ++
+      Seq.fill(20)(("k", false, true)) ++
+      Seq.fill(30)(("k", false, false)) ++
+      Seq.fill(5)(("z", true, true)) ++ Seq.fill(5)(("z", false, true)) ++
+      Seq.fill(5)(("z", false, false))).toDF("g", "e", "y")
+    val out = Stats.oddsRatio(df, Seq("g"), "e", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // OR = 40·30 / (10·20) = 6; RR = 0.8 / 0.4 = 2
+    assert(k.getAs[Double]("odds_ratio") == 6.0)
+    assert(k.getAs[Double]("relative_risk") == 2.0)
+    val se = math.sqrt(1.0 / 40 + 1.0 / 10 + 1.0 / 20 + 1.0 / 30)
+    val l9 = BigDecimal(math.log(6.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k.getAs[Double]("log_or") == l9)
+    assert(k.getAs[Double]("ci_lo") == l9 - 1.96 * se)
+    // z: b = 0 -> OR/CI null; RR = 1.0/(10/15)... a/(a+b)=1, c/(c+d)=.5
+    val z = out("z")
+    assert(z.isNullAt(z.fieldIndex("odds_ratio")) &&
+      z.isNullAt(z.fieldIndex("ci_lo")))
+    assert(z.getAs[Double]("relative_risk") == 2.0)
+  }
+
   test("hooverIndex: hand share-to-move; equality scores 0") {
     // [1, 3]: mu=2, sum|x-mu| = 2, H = 2/(2·2·4) = 0.25 — move a
     // quarter of the mass (0.5 of 2 twice... exactly 1 from 3 to 1)
