@@ -35,4 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The forked JVM otherwise runs the JDK default 240 MB code cache;
+  // the 322-query bench suite generates enough distinct whole-stage-
+  // codegen units to drive it into sweeping, which keeps mid-suite
+  // iterative-graph kernels permanently cold (round-15 measured
+  // experiment in PLANS.md: occupancy + JIT-ms telemetry).
+  "-XX:ReservedCodeCacheSize=512m",
+) ++
+  // escape hatch for A/B runs (e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS=
+  // "-XX:ReservedCodeCacheSize=240m" to reproduce the default)
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -8,7 +8,6 @@ sort rows, and compare against the Spark-written parquet.
 Usage: selfcheck.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
-import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -24,6 +23,7 @@ def canon(con, rel_sql):
     return df
 
 def main(sf_dir, out_dir):
+    import duckdb  # oracle-compare only; the scan modes run without it
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -78,6 +78,64 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
+def collect_defs(repo="."):
+    """name -> file:line of every member-level public operator def
+    (2-space indent: deeper indents are local helpers, `override`
+    implements a Spark interface, private/protected are internal by
+    construction; first declaration wins for shared names)."""
+    import re
+    harness = {"SparkEntry.scala", "Verify.scala", "Bench.scala"}
+    # names that are structural, not operators
+    ignore = {"main", "apply", "unapply", "toString", "equals",
+              "hashCode"}
+    defs = {}
+    for path in sorted(glob.glob(f"{repo}/src/main/scala/graft/**/*.scala",
+                                 recursive=True)):
+        base = os.path.basename(path)
+        if base in harness or "/tmp/" in path.replace("\\", "/"):
+            continue
+        for i, line in enumerate(open(path), 1):
+            m = re.match(r"  def\s+([a-zA-Z]\w*)", line)
+            if not m:
+                continue
+            name = m.group(1)
+            if name in ignore or name in defs:
+                continue
+            defs[name] = f"{path}:{i}"
+    return defs
+
+def api_index_check(repo="."):
+    """README's 'API index' section must name every public operator
+    exactly once (backticked), and name nothing that no longer exists
+    — the front-door index cannot go stale without failing the round."""
+    import re
+    defs = collect_defs(repo)
+    readme = open(f"{repo}/README.md").read()
+    m = re.search(r"## API index.*?(?=\n## )", readme, re.S)
+    if not m:
+        print("API INDEX: no '## API index' section in README.md")
+        return 1
+    # backticked single-identifier tokens only (module rows contain
+    # dots and never match)
+    toks = {}
+    for t in re.findall(r"`([A-Za-z]\w*)`", m.group(0)):
+        toks[t] = toks.get(t, 0) + 1
+    bad = 0
+    for n, w in sorted(defs.items()):
+        c = toks.get(n, 0)
+        if c != 1:
+            print(f"API INDEX {'MISSING' if c == 0 else 'DUPLICATED'} "
+                  f"{n} ({w}): appears {c}x in README index")
+            bad += 1
+    for t in sorted(toks):
+        if t not in defs:
+            print(f"API INDEX STALE {t}: in README index but no such "
+                  f"public operator")
+            bad += 1
+    if not bad:
+        print(f"api index: {len(defs)} operators, README index exact")
+    return 1 if bad else 0
+
 def operator_scan(repo="."):
     """Fail on any PUBLIC operator in src/main that is neither wired
     into SparkEntry (gate) nor referenced by any test source.
@@ -88,29 +146,8 @@ def operator_scan(repo="."):
     by this repo's own bar and fails the round here.
     """
     import re
-    main_glob = glob.glob(f"{repo}/src/main/scala/graft/**/*.scala",
-                          recursive=True)
+    defs = collect_defs(repo)
     harness = {"SparkEntry.scala", "Verify.scala", "Bench.scala"}
-    # names that are structural, not operators
-    ignore = {"main", "apply", "unapply", "toString", "equals",
-              "hashCode"}
-    defs = {}  # name -> file:line of first public def
-    for path in sorted(main_glob):
-        base = os.path.basename(path)
-        if base in harness or "/tmp/" in path.replace("\\", "/"):
-            continue
-        for i, line in enumerate(open(path), 1):
-            # member-level (2-space) public defs only: deeper indents
-            # are local helpers, `override` implements a Spark
-            # interface (not a graft operator), private/protected are
-            # internal by construction
-            m = re.match(r"  def\s+([a-zA-Z]\w*)", line)
-            if not m:
-                continue
-            name = m.group(1)
-            if name in ignore or name in defs:
-                continue
-            defs[name] = f"{path}:{i}"
     refs = ""
     for path in glob.glob(f"{repo}/src/test/scala/**/*.scala",
                           recursive=True):
@@ -119,8 +156,22 @@ def operator_scan(repo="."):
         p = f"{repo}/src/main/scala/graft/{base}"
         if os.path.exists(p):
             refs += open(p).read()
+    # CALL-SHAPED references only (round-14 advice): `name(`,
+    # `name[T](` or `Object.name(` — a bare \b-word match false-passes
+    # any operator whose name collides with an English word already in
+    # some test string ("score", "split", "value"...). Method-value
+    # (eta) references `Object.name` without parens also count, but
+    # only QUALIFIED by a dot, so prose never matches. An `import`
+    # line naming the def exactly (incl. rename `{name => alias}`)
+    # also counts — that's a deliberate code reference, not prose
+    # (FuzzySpec imports damerauLevenshtein under a local alias).
+    imports = "\n".join(l for l in refs.splitlines()
+                        if re.match(r"\s*import\b", l))
     missing = {n: w for n, w in sorted(defs.items())
-               if not re.search(rf"\b{re.escape(n)}\b", refs)}
+               if not re.search(
+                   rf"\b{re.escape(n)}\s*[([]|\.\s*{re.escape(n)}\b",
+                   refs)
+               and not re.search(rf"\b{re.escape(n)}\b", imports)}
     for n, w in missing.items():
         print(f"UNGATED OPERATOR {n} ({w}): no SparkEntry wiring and "
               f"no test reference — gate it or cut it")
@@ -129,9 +180,57 @@ def operator_scan(repo="."):
               f"by gates or tests")
     return 1 if missing else 0
 
+def scan_selftest():
+    """Prove the scan catches an ungated operator even when its name
+    is an English word that appears in test PROSE (the round-14 advice
+    hole: \\b-word matching false-passed such names). Plants a tiny
+    repo: `score` (ungated; 'score' appears in a test string and a
+    scaladoc but never as a call) must FAIL; `scoreDocs` (called from
+    the test) must PASS."""
+    import tempfile, contextlib, io
+    # NOT under /tmp — the scan deliberately skips /tmp paths (scratch
+    # source dirs); plant under the repo's (gitignored) target/
+    scratch = os.path.join(_repo_root(), "target")
+    os.makedirs(scratch, exist_ok=True)
+    with tempfile.TemporaryDirectory(dir=scratch) as tmp:
+        m = os.path.join(tmp, "src/main/scala/graft/ops")
+        t = os.path.join(tmp, "src/test/scala/graft")
+        os.makedirs(m); os.makedirs(t)
+        with open(os.path.join(m, "Planted.scala"), "w") as f:
+            f.write("object Planted {\n"
+                    "  def score(df: DataFrame): DataFrame = df\n"
+                    "  def scoreDocs(df: DataFrame): DataFrame = df\n"
+                    "}\n")
+        with open(os.path.join(t, "PlantedSpec.scala"), "w") as f:
+            f.write("class PlantedSpec {\n"
+                    "  // the quality score column should be non-null\n"
+                    "  val s = \"score\"\n"
+                    "  val out = Planted.scoreDocs(df)\n"
+                    "}\n")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = operator_scan(tmp)
+        out = buf.getvalue()
+        ok = (rc == 1 and "UNGATED OPERATOR score " in out
+              and "scoreDocs" not in
+              "".join(l for l in out.splitlines() if "UNGATED" in l))
+        print(out, end="")
+        print("scan selftest: " +
+              ("PASS (planted word-named ungated def flagged, called "
+               "def accepted)" if ok else "FAIL"))
+        return 0 if ok else 1
+
+def _repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__))) or "."
+
 if __name__ == "__main__":
     if sys.argv[1] == "--operators":
-        sys.exit(operator_scan())
-    rc = operator_scan(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))) or ".")
+        # resolve the repo root from this file, not cwd (round-14
+        # advice: '.' silently scanned nothing when launched elsewhere)
+        sys.exit(operator_scan(_repo_root()))
+    if sys.argv[1] == "--scan-selftest":
+        sys.exit(scan_selftest())
+    if sys.argv[1] == "--api-index":
+        sys.exit(api_index_check(_repo_root()))
+    rc = operator_scan(_repo_root()) | api_index_check(_repo_root())
     sys.exit(main(sys.argv[1], sys.argv[2]) or rc)

@@ -23,6 +23,25 @@ object Bench {
    *  under high load, was starved by the machine, not by its plan. */
   private def sysLoad: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+  /** Cumulative JIT compilation ms — the COLD-CODEGEN probe: a query
+   *  whose wall time inflates while this delta is large was spending
+   *  its time compiling, not executing (the round-14 q234 signature:
+   *  two cold draws, 108 → 57 s CPU as codegen warmed). */
+  private def jitMs: Long = {
+    val c = ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else -1L
+  }
+  /** Used bytes across the CodeHeap pools, MB — answers the round-14
+   *  verdict's open question: does the 322-plan suite FILL the forked
+   *  JVM's code cache (default 240 MB) and trigger sweeping that
+   *  keeps mid-suite kernels permanently cold? Near-capacity values
+   *  here + high jit deltas late in the suite = yes, size it up. */
+  private def codeCacheMB: Double =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed / (1024.0 * 1024.0)).sum
 
   /** One measurement's telemetry, rendered as a fixed-position JSON
    *  array (keeps the detail line compact): [wall s, gc ms during the
@@ -31,14 +50,16 @@ object Bench {
    *  dropped by isolate]. */
   private final case class Tel(wall: Double, gc: Long, heapB: Double,
                                heapA: Double, cpu: Double, load: Double,
-                               bmB: Double, bcDropped: Int) {
+                               bmB: Double, bcDropped: Int,
+                               jit: Long, ccMB: Double) {
     // Locale.ROOT, not the f-interpolator: a JVM whose default locale
     // writes comma decimal separators would otherwise emit invalid
     // JSON and silently break downstream artifact parsing
     def json: String = String.format(java.util.Locale.ROOT,
-      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d]",
+      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d,%d,%.1f]",
       Double.box(wall), Long.box(gc), Double.box(heapB), Double.box(heapA),
-      Double.box(cpu), Double.box(load), Double.box(bmB), Int.box(bcDropped))
+      Double.box(cpu), Double.box(load), Double.box(bmB), Int.box(bcDropped),
+      Long.box(jit), Double.box(ccMB))
   }
 
   /** Reset session state a prior query may have left behind: cached
@@ -107,7 +128,15 @@ object Bench {
     // the telemetry hypothesis): one extra attempt gives best-of-3 a
     // chance to land between load spikes without tripling the suite.
     val heavy = Set("q26_ngram_jaccard", "q24_minhash", "q39_ivf",
-      "q40_weighted_mean_expr")
+      "q40_weighted_mean_expr",
+      // Iterative-graph family (round-14 verdict #1): many-barrier
+      // plans whose per-job codegen units stay JIT-cold mid-suite —
+      // the r14 artifact's q234 "regression" (7.50 → 14.01 s) was two
+      // cold draws in a row (isolated re-run: 12.36/8.33/7.40 s wall,
+      // 108 → 57 s CPU, warm floor ≡ r13). Best-of-3 gives each a
+      // chance to reach its warm floor inside the suite.
+      "q234_clustering_coeff", "q152_triangles", "q249_kcore",
+      "q274_bfs_hops", "q319_grid_clusters")
     // Optional comma-separated name filter for quick subset runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -130,17 +159,17 @@ object Bench {
         val bmBefore = org.apache.spark.graft.BenchInternals
           .storageUsedMB(spark.sparkContext)
         val dropped = isolate(spark)
-        val (g0, h0, c0, l0) = (gcMs, heapMB, procCpuNs, sysLoad)
+        val (g0, h0, c0, l0, j0) = (gcMs, heapMB, procCpuNs, sysLoad, jitMs)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
           Tel(wall, gcMs - g0, h0, heapMB, (procCpuNs - c0) / 1e9, l0,
-            bmBefore, dropped)
+            bmBefore, dropped, jitMs - j0, codeCacheMB)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Tel(-1.0, gcMs - g0, h0, heapMB, (procCpuNs - c0) / 1e9, l0,
-            bmBefore, dropped)
+            bmBefore, dropped, jitMs - j0, codeCacheMB)
         }
       }
       val times = tels.map(_.wall)
@@ -166,8 +195,9 @@ object Bench {
       "\"" + k + "\":" + tels.map(_.json).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // schema: each entry [wall s, gcMs, heapBeforeMB, heapAfterMB,
-    // procCpuS, load1m, storageMBBeforeIsolate, broadcastsDropped]
-    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped"],"queries":$telJson}"""
+    // procCpuS, load1m, storageMBBeforeIsolate, broadcastsDropped,
+    // jitMsDuringQuery, codeCacheUsedMBAfter]
+    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped","jit_ms","codecache_mb"],"queries":$telJson}"""
     val itersLine = s"""{"detail":"iters","iters":$its}"""
     val totalLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(telLine)

@@ -7059,10 +7059,13 @@ object SparkEntry {
          |    CAST(vw AS DOUBLE) / CAST(ws AS DOUBLE) / 100.0 AS m
          |  FROM m WHERE ws > 0),
          |r AS (SELECT *, row_number() OVER (PARTITION BY etype
-         |    ORDER BY m, bb) AS rk FROM mm)
+         |    ORDER BY m, bb) AS rk,
+         |    count(*) OVER (PARTITION BY etype) AS cnt FROM mm)
          |SELECT pt.etype, pt.n, pt.mean,
-         |  min(CASE WHEN rk = 3 THEN m END) AS ci_lo,
-         |  min(CASE WHEN rk = 98 THEN m END) AS ci_hi
+         |  min(CASE WHEN rk = CAST(ceil(0.025 * cnt) AS BIGINT)
+         |    THEN m END) AS ci_lo,
+         |  min(CASE WHEN rk = CAST(ceil(0.975 * cnt) AS BIGINT)
+         |    THEN m END) AS ci_hi
          |FROM r JOIN pt USING (etype)
          |GROUP BY 1, 2, 3""".stripMargin
     },
@@ -9550,7 +9553,10 @@ object SparkEntry {
       val den = "(CAST(1.0 AS DOUBLE) - list_reduce(list_prepend(" +
         "CAST(0.0 AS DOUBLE), list_transform(list_zip(a[1], a[2]), " +
         "t -> t[1] * t[2])), (s, v) -> s + v))"
-      val aa = s"($num / $den)"
+      // engine's den-==-0 degenerate cut (acf ±1): null φ, and the
+      // null poisons every later lag's dots — rows drop at the end
+      val aa = s"(CASE WHEN $den <> CAST(0.0 AS DOUBLE) " +
+        s"THEN $num / $den END)"
       s"""WITH acfr AS (${AcfOracleSql.sql}),
          |pref AS (SELECT *, min(CASE WHEN corr IS NULL THEN lag END)
          |    OVER (PARTITION BY event_type) AS cut FROM acfr),
@@ -9572,7 +9578,8 @@ object SparkEntry {
          |  FROM lim GROUP BY 1)
          |SELECT event_type, CAST(i AS INT) AS lag, pl[i] AS pacf
          |FROM (SELECT event_type, pl,
-         |      unnest(generate_series(1, len(pl))) AS i FROM st)""".stripMargin
+         |      unnest(generate_series(1, len(pl))) AS i FROM st)
+         |WHERE pl[i] IS NOT NULL""".stripMargin
     },
 
 

@@ -1062,7 +1062,11 @@ object Stats {
    * Thresholds with no positives contribute nothing and stay out of
    * the fold.
    *
-   * Output: (keys…, n_pos, n_neg, ap); null ap when a class is empty.
+   * Output: (keys…, n_pos, n_neg, ap); null ap when there are no
+   * positives (AP is undefined — the closing division has no
+   * denominator). Zero NEGATIVES is well-defined and yields ap = 1
+   * (every threshold's precision is 1), unlike [[rocAuc]] which
+   * needs both classes.
    *
    * Scale posture: one map-side-combined score-grid collapse, one key
    * exchange for the cumulative window, one grid-sized fold.
@@ -1093,7 +1097,7 @@ object Stats {
             asc = false),
           lit(0.0), (acc, x) => acc + x.getField("t")).as("__ap"))
     m.select(keys.map(col) ++ Seq(col("n_pos"), col("n_neg"),
-      when(col("n_pos") >= 1L && col("n_neg") >= 0L,
+      when(col("n_pos") >= 1L,
         col("__ap") / col("n_pos").cast("double")).as("ap")): _*)
   }
 
@@ -1362,8 +1366,10 @@ object Stats {
    * rounded to the 10⁻⁹ grid (literals; counts capped at 7, cumulative
    * mass ~1−10⁻⁵). Each resample's mean is `Σ w·x / Σ w` in exact
    * integer units with one pinned closing; the CI bounds are ORDER
-   * STATISTICS of the `b` means (ranks ⌈q·b⌉ — no interpolation, no
-   * float ambiguity).
+   * STATISTICS of the resample means (ranks ⌈q·B⌉ where B is the
+   * SURVIVING resample count per key — a resample whose hash weights
+   * are all zero, P = e⁻ⁿ each, contributes no mean — no
+   * interpolation, no float ambiguity).
    *
    * Output: (keys…, n, mean, ci_lo, ci_hi).
    *
@@ -1420,12 +1426,22 @@ object Stats {
       .filter(col("__m").isNotNull)
     val wr = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__m").asc, col("__b").asc)
-    val kLo = math.ceil(loQ * b).toLong
-    val kHi = math.ceil(hiQ * b).toLong
+    // Order-statistic ranks against the SURVIVING resample count per
+    // key, not b: a resample whose weights are all zero (P = e⁻ⁿ per
+    // resample — real for tiny groups) is filtered above, and ranks
+    // pinned at ⌈q·b⌉ would then sit past the end (null ci_hi) and
+    // mis-position ci_lo. ceil on the same double product keeps the
+    // rank choice IEEE-replayable.
+    val wk2 = Window.partitionBy(keys.map(col): _*)
     val ci = means.withColumn("__r", row_number().over(wr))
+      .withColumn("__cnt", count(lit(1)).over(wk2))
       .groupBy(keys.map(col): _*)
-      .agg(min(when(col("__r") === kLo, col("__m"))).as("ci_lo"),
-        min(when(col("__r") === kHi, col("__m"))).as("ci_hi"))
+      .agg(min(when(col("__r") ===
+          ceil(lit(loQ) * col("__cnt")).cast("long"), col("__m")))
+          .as("ci_lo"),
+        min(when(col("__r") ===
+          ceil(lit(hiQ) * col("__cnt")).cast("long"), col("__m")))
+          .as("ci_hi"))
     point.join(ci, keys)
       .select(keys.map(col) ++ Seq(col("n"), col("mean"),
         col("ci_lo"), col("ci_hi")): _*)
@@ -2216,7 +2232,11 @@ object Stats {
    *
    * Lags participate only up to the first null/absent acf value (a
    * contiguous non-null prefix — nulls mean zero variance or under 3
-   * pairs, where the recursion is undefined). pacf(1) = r_1.
+   * pairs, where the recursion is undefined). pacf(1) = r_1. A
+   * degenerate series whose acf hits ±1 exactly (perfectly
+   * alternating, say) drives the recursion's denominator to 0 at the
+   * next lag; the output cuts there too (null φ, rows dropped) rather
+   * than emitting ±Inf/NaN.
    *
    * Output: (keys…, lag, pacf), lag 1..(non-null acf prefix).
    */
@@ -2243,7 +2263,14 @@ object Stats {
           val phi = st.getField("phi"); val rs = st.getField("rs")
           val num = x.getField("corr") - dot(phi, reverse(rs))
           val den = lit(1.0) - dot(phi, rs)
-          val a = num / den
+          // den = 0 (acf hit ±1 exactly — e.g. a perfectly
+          // alternating series) leaves φ_{k,k} undefined; emit null
+          // instead of ±Inf/NaN. The null enters the φ vector, so
+          // every LATER lag's dot products are null too — the output
+          // prefix cuts at the first degenerate lag (the same
+          // contract as the null-acf prefix cut above), enforced by
+          // the isNotNull filter on the exploded rows.
+          val a = when(den =!= lit(0.0), num / den)
           struct(
             concat(zip_with(phi, reverse(phi), (p, q) => p - a * q),
               array(a)).as("phi"),
@@ -2253,6 +2280,7 @@ object Stats {
         st => st.getField("pacf")).as("__p"))
     folded
       .select(keys.map(col) :+ posexplode(col("__p")).as(Seq("__i", "pacf")): _*)
+      .filter(col("pacf").isNotNull)
       .select(keys.map(col) ++
         Seq((col("__i") + 1).cast("int").as("lag"), col("pacf")): _*)
   }

@@ -548,12 +548,17 @@ object Dedup {
    * join + one aggregation, all distributed; the convergence check is
    * a count of changed labels (one tiny action per round).
    *
-   * Lifecycle: every per-round cache is unpersisted inside the loop,
-   * and the final labels are handed back as an eager localCheckpoint —
-   * already materialized (the loop counted it), lineage-free (no
-   * recompute through unpersisted rounds), and ContextCleaner-managed,
-   * so the blocks free themselves when the caller drops the frame.
-   * After this returns, the CacheManager holds nothing.
+   * Lifecycle: every per-round label table is freed inside the loop —
+   * round 1's cache entry via unpersist(), every later round's
+   * localCheckpoint BLOCKS via a direct drop of the checkpointed RDD
+   * (a checkpoint is not a CacheManager entry, so unpersist() alone
+   * would leave one label-table copy per round in executor storage
+   * until the ContextCleaner GC'd it). The final labels are handed
+   * back as an eager localCheckpoint — already materialized (the loop
+   * counted it), lineage-free (no recompute through dropped rounds),
+   * and ContextCleaner-managed, so those blocks free themselves when
+   * the caller drops the frame. After this returns, the CacheManager
+   * holds nothing and no loop-round blocks remain.
    */
   def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                  maxIter: Int = 20): DataFrame = {
@@ -613,7 +618,15 @@ object Dedup {
       // convergence signal in the same action.
       val changed = nextAll
         .filter(col("component") =!= col("__old")).count()
+      // Round 1's labels is a CacheManager entry (persist above) →
+      // unpersist() frees it. Rounds ≥ 2 are localCheckpoints, where
+      // unpersist() is a CacheManager NO-OP — the blocks belong to
+      // the checkpointed RDD and would otherwise sit in executor
+      // storage until the ContextCleaner GC'd the round's RDD object,
+      // accumulating one label-table copy per round across a long
+      // run. Drop the checkpoint RDD's blocks directly.
       labels.unpersist()
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(labels)
       labels = nextAll.select("node", "component")
       lastChanged = changed
       done = changed == 0
@@ -628,7 +641,8 @@ object Dedup {
     // out of the CacheManager into self-cleaning checkpoint blocks,
     // then BOTH remaining cache entries are released eagerly.
     val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    labels.unpersist() // cache entry when the loop ran 0 rounds
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(labels)
     edges.unpersist()
     out
   }

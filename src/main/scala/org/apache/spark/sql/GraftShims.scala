@@ -68,6 +68,40 @@ object GraftShims {
     } catch { case _: Exception => false }
   }
 
+  /** Eagerly free the persisted blocks behind a `localCheckpoint`ed
+   *  Dataset. `df.unpersist()` is a CacheManager lookup and a
+   *  checkpoint is NOT a cache entry — the blocks live on the
+   *  checkpointed RDD itself and otherwise free only when the
+   *  ContextCleaner GCs the RDD object. An iterative loop that
+   *  checkpoints per round (graft.llm.Dedup.components) would
+   *  accumulate every round's blocks in executor storage for the
+   *  loop's lifetime without this. Safe once no live plan still
+   *  reads the frame. Returns true when a checkpoint RDD was found
+   *  and dropped.
+   *
+   *  ONLY frees a frame whose plan IS the checkpoint scan — a
+   *  LogicalRDD at the root, optionally under projections/aliases. A
+   *  LogicalRDD found DEEPER in the tree belongs to some upstream
+   *  checkpointed input shared by other live frames (first seen:
+   *  Spatial.gridClusters, where round-1 labels embed the dense-cell
+   *  checkpoint — a collectFirst here dropped ITS blocks and every
+   *  later round died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, local
+   *  checkpoints being unrecoverable by design). */
+  def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case sa: SubqueryAlias => strip(sa.child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking); true
+      case _ => false
+    }
+  }
+
   /** Apply a [[SparkSessionExtensions]]' injected functions to an
    *  ALREADY-BUILT session — lets tests exercise the extensions path
    *  without tearing down the shared session (extensions normally

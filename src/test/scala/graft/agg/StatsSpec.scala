@@ -434,6 +434,37 @@ class StatsSpec extends AnyFunSuite {
     assert(hiB - loB < hiA - loA)
   }
 
+  test("bootstrapMeanCi: tiny group ranks against SURVIVING resamples " +
+    "(zero-weight resamples drop), CI never null") {
+    // n = 1: each resample keeps the row with P = 1 - 1/e, so ~37 of
+    // 100 resamples have zero total weight and are filtered. Ranks
+    // pinned at ceil(q*b) (the round-14 defect) would then point past
+    // the surviving count -> null ci_hi; ranks against the surviving
+    // count give the degenerate-but-correct [v, v].
+    val df = Seq(("solo", 1L, 42.0)).toDF("k", "id", "v")
+    val r = Stats.bootstrapMeanCi(df, Seq("k"), "id", "v", b = 100)
+      .collect().head
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 42.0)
+    assert(!r.isNullAt(3) && !r.isNullAt(4))
+    assert(r.getDouble(3) == 42.0 && r.getDouble(4) == 42.0)
+  }
+
+  test("pacf: degenerate acf = ±1 cuts the output at the zero " +
+    "denominator instead of emitting NaN/Inf") {
+    // perfectly alternating, ODD length: the 8 lag-1 pairs have
+    // zero-sum x and y, so vx = vy = 64 (a perfect square) and
+    // acf(1) = -64/(sqrt(64)*sqrt(64)) = -1 EXACTLY — the lag-2
+    // Durbin-Levinson denominator 1 - phi11*r1 is then exactly 0 and
+    // pacf must emit ONLY lag 1 (no NaN/Infinity rows at lags 2+)
+    val alt = (0 until 9).map(i => ("alt", acfTs(i), i.toLong,
+      if (i % 2 == 0) 1.0 else -1.0)).toDF("k", "ts", "id", "v")
+    val rows = Stats.pacf(alt, Seq("k"), "ts", "id", "v", maxLag = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(1))
+    assert(rows(1) == -1.0)
+    assert(rows.values.forall(v => !v.isNaN && !v.isInfinity))
+  }
+
   test("cuped: metric == covariate gives theta 1 and equalizes " +
     "every variant to the grand mean; zero-variance covariate " +
     "falls back to raw means") {

@@ -232,6 +232,28 @@ class LlmSpec extends AnyFunSuite {
     assert((1L to 35L).forall(comp(_) == 1L), comp.toSeq.sorted.take(8))
   }
 
+  test("connected components: a lazily-checkpointed UPSTREAM edge " +
+    "frame survives the loop's per-round block drops — the round-15 " +
+    "gridClusters regression pin") {
+    // Before round 15's fix, the loop's checkpoint-block release
+    // matched the FIRST LogicalRDD anywhere in the label plan — for
+    // an edge list built on a checkpointed input (exactly what
+    // Spatial.gridClusters feeds in) that was the INPUT's checkpoint,
+    // and dropping its blocks killed every later round with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The path needs >2 rounds so
+    // the upstream frame is re-read after the first drop, and the
+    // downstream join re-reads it after components returns.
+    val upstream = (1 until 12)
+      .map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+      .localCheckpoint(false)
+    val comp = Dedup.components(upstream, maxIter = 64)
+    val joined = comp.join(upstream, comp("node") === upstream("id1"))
+      .count() // upstream blocks must still exist here
+    assert(joined == 11L)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(labels(_) == 1L))
+  }
+
   test("dropNearDuplicates keeps the min-id doc per cluster plus unpaired docs") {
     val pairs = Seq((2L, 1L), (2L, 4L)).toDF("id1", "id2") // cluster {1,2,4}
     val out = Dedup.dropNearDuplicates(docs, pairs, "id")
