@@ -35,12 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // The forked JVM otherwise runs the JDK default 240 MB code cache;
-  // the 322-query bench suite generates enough distinct whole-stage-
-  // codegen units to drive it into sweeping, which keeps mid-suite
-  // iterative-graph kernels permanently cold (round-15 measured
-  // experiment in PLANS.md: occupancy + JIT-ms telemetry).
-  "-XX:ReservedCodeCacheSize=512m",
+  // Deliberately NO -XX:ReservedCodeCacheSize override: the round-15
+  // A/B experiment (PLANS.md) measured peak CodeHeap occupancy at
+  // 156-164 MB across the full 323-query bench — comfortably inside
+  // the JDK-17 default 240 MB, zero sweeping pressure — and a 512m
+  // run was flat-to-slightly-slower. The mid-suite cold-query cost is
+  // per-query JIT compile time of freshly generated codegen classes
+  // (visible in the bench's jit_ms telemetry), which best-of-3
+  // absorbs; a bigger cache cannot.
 ) ++
   // escape hatch for A/B runs (e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS=
   // "-XX:ReservedCodeCacheSize=240m" to reproduce the default)

@@ -4106,6 +4106,18 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- experimentation: group-sequential interim analysis —
+    //      classic O'Brien-Fleming K=5 boundaries 2.04·√(5/k) as
+    //      pinned literals, cumulative two-proportion z on the
+    //      (ts, event_id) total order, earliest crossing wins ----
+    "q324_group_sequential" -> ((s, dir) =>
+      graft.agg.Stats.groupSequential(
+        t(s, dir, "events")
+          .withColumn("variant", col("user_id") % 2 === 0)
+          .withColumn("y", col("value") >= 55.0),
+        Seq("event_type"), "ts", "event_id", "variant", "y",
+        boundaries = (1 to 5).map(i => 2.04 * math.sqrt(5.0 / i)))),
+
     // ---- record linkage: full Damerau-Levenshtein self-join over
     //      part names — byte-level DuckDB-pinned native kernel,
     //      (first char, ±len) blocking as pinned semantics ----
@@ -7235,6 +7247,67 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the engine's pinned chain verbatim: look = floor((rk-1)*5/n)+1
+    // on the (ts, event_id) total order, cumulative cells, z =
+    // (ct/nt - cc/nc)/sqrt(pp*(1-pp)*(1/nt+1/nc)), OBF literals on
+    // the 1e-9 grid, earliest |z| >= boundary wins, else last look
+    "q324_group_sequential" -> {
+      def l9(x: Double) =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.toPlainString
+      val caseB = (1 to 5).map(i =>
+          s"WHEN look = $i THEN CAST(${l9(2.04 * math.sqrt(5.0 / i))} " +
+            "AS DOUBLE)")
+        .mkString("CASE ", " ", " END")
+      s"""WITH b AS (SELECT event_type AS k, ts, event_id,
+         |    (user_id % 2 = 0) AS v, value >= 55 AS y
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY k
+         |      ORDER BY ts, event_id) AS rk,
+         |    count(*) OVER (PARTITION BY k) AS n FROM b),
+         |l AS (SELECT k, v, y, CAST(floor(
+         |      CAST((rk - 1) * 5 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      + 1 AS INT) AS look FROM r),
+         |cells AS (SELECT k, look,
+         |    sum(CASE WHEN v THEN 1 ELSE 0 END) AS nti,
+         |    sum(CASE WHEN v AND y THEN 1 ELSE 0 END) AS cti,
+         |    sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS nci,
+         |    sum(CASE WHEN NOT v AND y THEN 1 ELSE 0 END) AS cci
+         |  FROM l GROUP BY 1, 2),
+         |cum AS (SELECT k, look,
+         |    CAST(sum(nti) OVER w AS BIGINT) AS n_treat,
+         |    CAST(sum(cti) OVER w AS BIGINT) AS conv_treat,
+         |    CAST(sum(nci) OVER w AS BIGINT) AS n_ctrl,
+         |    CAST(sum(cci) OVER w AS BIGINT) AS conv_ctrl
+         |  FROM cells WINDOW w AS (PARTITION BY k ORDER BY look
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |zz AS (SELECT *,
+         |    (CAST(conv_treat AS DOUBLE) + CAST(conv_ctrl AS DOUBLE))
+         |      / (CAST(n_treat AS DOUBLE) + CAST(n_ctrl AS DOUBLE))
+         |      AS pp FROM cum),
+         |j AS (SELECT k, look, n_treat, conv_treat, n_ctrl, conv_ctrl,
+         |    CASE WHEN n_treat > 0 AND n_ctrl > 0 AND pp > 0.0
+         |        AND pp < 1.0 THEN
+         |      (CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+         |        - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+         |      / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+         |        * (CAST(1.0 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+         |          + CAST(1.0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)))
+         |    END AS z,
+         |    $caseB AS boundary FROM zz),
+         |d AS (SELECT *, z IS NOT NULL AND abs(z) >= boundary AS dec
+         |  FROM j),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY k
+         |    ORDER BY CASE WHEN dec THEN 0 ELSE 1 END,
+         |      CASE WHEN dec THEN look ELSE -look END) AS pr FROM d)
+         |SELECT k AS event_type, look, n_treat, conv_treat, n_ctrl,
+         |  conv_ctrl, z, boundary,
+         |  CASE WHEN dec THEN CASE WHEN z > 0 THEN 'reject_up'
+         |    ELSE 'reject_down' END END AS decision
+         |FROM p WHERE pr = 1""".stripMargin
+    },
 
     // H = T / (2·n·S) with T = Σ c·|n·v − S| — every term an exact
     // integer, ONE closing division

@@ -1354,6 +1354,113 @@ object Stats {
   }
 
   /**
+   * Group-sequential A/B test per key — the industry-standard
+   * interim-analysis discipline ([[sprt]]'s fixed-schedule sibling):
+   * the experiment's events split into `boundaries.length` equal-size
+   * looks on the (tsCol, tieCol) total order; at each look the
+   * CUMULATIVE two-proportion z between treatment and control is
+   * compared against that look's critical value, and the experiment
+   * stops at the FIRST crossing. With O'Brien-Fleming-style
+   * boundaries (steeply conservative early: `c·√(K/k)`, or the
+   * Lan-DeMets OBF alpha-spending series) the overall type-I error
+   * holds at the design α despite peeking K times — the fix for the
+   * peeking problem that plain per-look z tests at 1.96 do not have.
+   *
+   * Boundaries are CALLER-SUPPLIED literals (pinned to the 10⁻⁹ grid
+   * — the [[sprt]] literal discipline), not computed here: computing
+   * OBF/spending boundaries needs the normal CDF and numerical
+   * integration, which no ANSI replay engine reproduces bit-for-bit,
+   * while published constants (e.g. classic OBF K=5 two-sided
+   * α≈0.05: `2.04·√(5/k)` = 4.562, 3.226, 2.634, 2.281, 2.040) make
+   * the whole walk exact-replayable.
+   *
+   * z closes from four cumulative integer cells per (key, look) in
+   * ONE pinned IEEE chain — `(p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂))` with
+   * pooled p̂ — so an ANSI oracle replays every decision. Looks where
+   * either arm is empty or the pooled rate is degenerate (0 or 1)
+   * carry a null z and never decide.
+   *
+   * Output: one row per key — (keys…, look, n_treat, conv_treat,
+   * n_ctrl, conv_ctrl, z, boundary, decision) at the earliest
+   * crossing look (decision `reject_up`/`reject_down` by the sign of
+   * z), or at the final look with a null decision when no boundary
+   * was crossed.
+   *
+   * Scale posture: one key exchange carries the rank window (look
+   * assignment), the cells collapse MAP-SIDE to |keys|·K·2 rows, and
+   * every later step (cumulative looks, z, boundary pick) is
+   * grid-sized. Rows cross the wire once.
+   */
+  def groupSequential(df: DataFrame, keys: Seq[String], tsCol: String,
+                      tieCol: String, variantCol: String,
+                      outcomeCol: String, boundaries: Seq[Double])
+  : DataFrame = {
+    require(keys.nonEmpty, "groupSequential needs key columns")
+    require(boundaries.nonEmpty && boundaries.forall(_ > 0),
+      "boundaries must be positive critical values, one per look")
+    import org.apache.spark.sql.expressions.Window
+    val k = boundaries.length
+    def lit9(x: Double): Column =
+      lit(BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal)
+    val v = col(variantCol).cast("boolean")
+    val y = col(outcomeCol).cast("boolean")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wOrd = wk.orderBy(col(tsCol), col(tieCol))
+    // look = floor((rank-1)*K/n) + 1: K near-equal blocks. The double
+    // division is exact-replayable: (rank-1)*K is an exact integer in
+    // double range and both engines floor the same correctly-rounded
+    // quotient.
+    val ranked = df
+      .filter(col(tsCol).isNotNull && v.isNotNull && y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__look",
+        (floor(((col("__rk") - 1) * lit(k.toLong)).cast("double") /
+          col("__n").cast("double")) + 1L).cast("int"))
+    val cells = ranked.groupBy(keys.map(col) :+ col("__look"): _*)
+      .agg(sum(when(v, 1L).otherwise(0L)).as("__nti"),
+        sum(when(v && y, 1L).otherwise(0L)).as("__cti"),
+        sum(when(!v, 1L).otherwise(0L)).as("__nci"),
+        sum(when(!v && y, 1L).otherwise(0L)).as("__cci"))
+    val wc = wk.orderBy(col("__look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("n_treat", sum(col("__nti")).over(wc))
+      .withColumn("conv_treat", sum(col("__cti")).over(wc))
+      .withColumn("n_ctrl", sum(col("__nci")).over(wc))
+      .withColumn("conv_ctrl", sum(col("__cci")).over(wc))
+    val nt = d(col("n_treat")); val ct = d(col("conv_treat"))
+    val nc = d(col("n_ctrl")); val cc = d(col("conv_ctrl"))
+    val pp = (ct + cc) / (nt + nc)
+    val z = (ct / nt - cc / nc) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / nt + lit(1.0) / nc))
+    val bnd = boundaries.zipWithIndex.tail.foldLeft(
+      lit9(boundaries.head)) { case (acc, (b, i)) =>
+      when(col("__look") === i + 1, lit9(b)).otherwise(acc)
+    }.cast("double")
+    val judged = cum
+      .withColumn("z", when(col("n_treat") > 0L && col("n_ctrl") > 0L &&
+        pp > 0.0 && pp < 1.0, z))
+      .withColumn("boundary", bnd)
+      .withColumn("__dec", col("z").isNotNull &&
+        abs(col("z")) >= col("boundary"))
+    val pick = judged
+      .withColumn("__pr", row_number().over(wk.orderBy(
+        when(col("__dec"), 0L).otherwise(1L).asc,
+        when(col("__dec"), col("__look").cast("long"))
+          .otherwise(-col("__look").cast("long")).asc)))
+      .filter(col("__pr") === 1)
+    pick.select(keys.map(col) ++ Seq(
+      col("__look").as("look"), col("n_treat"), col("conv_treat"),
+      col("n_ctrl"), col("conv_ctrl"), col("z"), col("boundary"),
+      when(col("__dec"),
+        when(col("z") > 0.0, lit("reject_up")).otherwise(lit("reject_down")))
+        .as("decision")): _*)
+  }
+
+  /**
    * Deterministic Poisson-bootstrap confidence interval for the mean,
    * per group: `b` resamples where every row's weight in resample i
    * is a Poisson(1)-distributed count DERIVED FROM A HASH of

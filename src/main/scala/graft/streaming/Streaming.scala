@@ -624,7 +624,10 @@ object Streaming {
    * updated batch over batch — running p25/p50/p75 for an unbounded
    * stream whose exact quantiles would need the full history. Rank
    * error is the KLL bound for the chosen `k` (~1.65% two-sided at
-   * k = 200), independent of stream length.
+   * k = 200), independent of stream length. Store cost ~483
+   * bytes/key all-in at 6 ticks/key (round-15 probe, flat 16k → 1M
+   * keys; the serialized sketch grows with ln(n/k) beyond that —
+   * PLANS.md).
    *
    * Output per batch: (key, n_seen, p25, p50, p75). `n_seen` counts
    * processed rows (monotone — the update log folds to the final row
@@ -665,8 +668,9 @@ object Streaming {
   /**
    * Streaming heavy hitters with Misra-Gries counter state: at most
    * `k` (item, counter) pairs per key — bounded state for an
-   * unbounded item space — updated batch over batch with the classic
-   * decrement rule. The GUARANTEE survives streaming because MG
+   * unbounded item space (~447 bytes/key all-in at k=8 by the
+   * round-15 probe, flat 16k → 1M keys; PLANS.md) — updated batch
+   * over batch with the classic decrement rule. The GUARANTEE survives streaming because MG
    * summaries merge: any item with true frequency > n/(k+1) is in
    * the final candidate set (recall-complete; counts are lower
    * bounds, exact recount is the batch [[graft.agg.Sketches
@@ -870,7 +874,9 @@ object Streaming {
    * Streaming one-sided CUSUM ([[graft.ops.TimeSeries.cusum]]'s
    * incremental form): per-key state is the EXACT pair (prefix sum,
    * running min of prefix sums) carried in integer CENTS — two longs
-   * per key, constant state, and bit-identical to the batch
+   * per key, constant state (~312 bytes/key all-in, flat 16k → 1M
+   * keys by the round-15 probe; 1M keys ≈ 320 MB of store), and
+   * bit-identical to the batch
    * prefix-sum identity on any feed chunking THAT PRESERVES PER-KEY
    * (ts, tie) ORDER across micro-batches (rows inside one batch are
    * sorted here, but the recurrence folds a row arriving in a LATER
@@ -930,7 +936,12 @@ object Streaming {
    * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
    * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
    * Σ µs, tick count) — six longs, constant per key, all integer (NO
-   * float in the state). A bucket's row emits EXACTLY ONCE, when a
+   * float in the state). Measured all-in store cost (round-15 probe,
+   * PLANS.md): ~366 bytes/key FLAT from 16k to 1M keys (row object +
+   * key + HDFS-backed store overhead around the 48 B of longs) —
+   * 1M keys ≈ 376 MB of state, ~1.2 s/trigger on 16 local threads;
+   * size executors as keys/executor × ~0.5 KB or switch the store
+   * provider to RocksDB (config, not code). A bucket's row emits EXACTLY ONCE, when a
    * later tick rolls the key past it (the final holding segment closes
    * to the bucket edge, the batch contract) — so emitted rows are
    * FINAL and the update log folds as a pure dedup. Each key's LAST

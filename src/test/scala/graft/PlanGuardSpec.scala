@@ -1231,6 +1231,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q324 group sequential: rank window + map-side cell collapse + " +
+    "grid windows on one key exchange — join-free") {
+    val fin = finalPlan("q324_group_sequential")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    // one corpus exchange for the (ts, tie) rank window; the cell
+    // grid (|keys|*K*2 rows) rides it — cumulative looks and the
+    // earliest-crossing cut never reshuffle the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+  }
   test("q317 bootstrap CI: checkpointed base feeds point estimate AND " +
     "resamples (one corpus read); map-side (key, b) collapse; no " +
     "cartesian") {

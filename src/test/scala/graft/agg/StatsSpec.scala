@@ -415,6 +415,43 @@ class StatsSpec extends AnyFunSuite {
     assert(mix.getAs[Double]("llr_at_decision") == 0.0)
   }
 
+  test("groupSequential: hand z at the first look crosses; balanced " +
+    "key never decides; one-armed key yields null z fallback") {
+    // 16 rows, K = 2 looks of 8. Key a, look 1: treatment 4/4
+    // converts, control 0/4 -> pp = .5,
+    // z = 1/sqrt(.25*(1/4+1/4)) = 2.8284 >= 2.0 -> reject_up at
+    // look 1 (look 2 never consulted). Key d mirrors conversions ->
+    // reject_down.
+    def rows(k: String, flip: Boolean) = (1 to 16).map { i =>
+      val treat = i % 2 == 0
+      val conv = if (treat) !flip else flip
+      (k, i.toLong, i.toLong, treat, conv)
+    }
+    // key b: every arm converts identically -> z = 0 forever
+    val balanced = (1 to 16).map(i => ("b", i.toLong, i.toLong,
+      i % 2 == 0, i % 4 < 2))
+    // key c: control arm empty -> z null at both looks
+    val oneArm = (1 to 8).map(i => ("c", i.toLong, i.toLong, true, true))
+    val df = (rows("a", flip = false) ++ rows("d", flip = true) ++
+      balanced ++ oneArm).toDF("k", "ts", "id", "variant", "y")
+    val out = Stats.groupSequential(df, Seq("k"), "ts", "id",
+      "variant", "y", boundaries = Seq(2.0, 2.0))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getInt(1) == 1 && a.getLong(2) == 4L && a.getLong(3) == 4L &&
+      a.getLong(4) == 4L && a.getLong(5) == 0L)
+    assert(math.abs(a.getDouble(6) - 1.0 / math.sqrt(0.125)) < 1e-12)
+    assert(a.getString(8) == "reject_up")
+    assert(out("d").getString(8) == "reject_down" &&
+      out("d").getInt(1) == 1)
+    val b = out("b")
+    assert(b.getInt(1) == 2 && b.isNullAt(8)) // ran to the end
+    assert(math.abs(b.getDouble(6)) < 1e-12)
+    val c = out("c")
+    assert(c.getInt(1) == 2 && c.isNullAt(6) && c.isNullAt(8))
+    assert(c.getLong(4) == 0L) // no control arm ever
+  }
+
   test("bootstrapMeanCi: deterministic, brackets the sample mean, " +
     "narrows with more data") {
     val small = (1 to 30).map(i => ("a", i.toLong, (i % 10) + 1.0))
