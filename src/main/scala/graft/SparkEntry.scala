@@ -4106,6 +4106,15 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- experimentation: always-valid inference (mSPRT) — log-space
+    //      mixture likelihood ratio, round-9 libm ln, exact decimal
+    //      S − nθ₀, earliest ln Λ ≥ ln(1/α) crossing ----
+    "q325_msprt" -> ((s, dir) =>
+      graft.agg.Stats.msprt(
+        t(s, dir, "events").withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "ts", "event_id", "y",
+        theta0 = 0.45, tau = 0.1, alpha = 0.05)),
+
     // ---- experimentation: group-sequential interim analysis —
     //      classic O'Brien-Fleming K=5 boundaries 2.04·√(5/k) as
     //      pinned literals, cumulative two-proportion z on the
@@ -7247,6 +7256,53 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the engine's log-space mSPRT chain verbatim: round-9 ln of the
+    // shrinkage factor, exact-decimal S − nθ₀ closed to double, the
+    // quadratic term a raw pinned IEEE chain, first crossing of the
+    // 1e-9-grid ln(1/α) literal
+    "q325_msprt" -> {
+      def l9(x: Double) =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.toPlainString
+      val sig2 = l9(0.45 * 0.55)
+      val tau2 = l9(0.1 * 0.1)
+      val thr = l9(math.log(1.0 / 0.05))
+      val den = s"(CAST($sig2 AS DOUBLE) + CAST(n AS DOUBLE) " +
+        s"* CAST($tau2 AS DOUBLE))"
+      s"""WITH b AS (SELECT event_type, ts, event_id,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |w AS (SELECT *, CAST(count(*) OVER win AS BIGINT) AS n,
+         |    CAST(sum(y) OVER win AS BIGINT) AS s,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS nt,
+         |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS st
+         |  FROM b WINDOW win AS (PARTITION BY event_type
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |v AS (SELECT *, CAST(CAST(s AS DECIMAL(38,9))
+         |    - n * CAST(0.45 AS DECIMAL(12,9)) AS DOUBLE) AS dev
+         |  FROM w),
+         |l AS (SELECT *,
+         |    CAST(0.5 AS DOUBLE)
+         |      * round(ln(CAST($sig2 AS DOUBLE) / $den), 9)
+         |    + CAST($tau2 AS DOUBLE) * dev * dev
+         |      / (CAST(2.0 AS DOUBLE) * CAST($sig2 AS DOUBLE) * $den)
+         |    AS ll FROM v),
+         |d AS (SELECT *, CASE WHEN ll >= CAST($thr AS DOUBLE)
+         |    THEN 'reject' END AS dcn FROM l),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY CASE WHEN dcn IS NOT NULL THEN 0 ELSE 1 END,
+         |      CASE WHEN dcn IS NOT NULL THEN n ELSE -n END) AS rk
+         |  FROM d)
+         |SELECT event_type, nt AS n_total, st AS n_pos,
+         |  dcn AS decision,
+         |  CASE WHEN dcn IS NOT NULL THEN n END AS n_at_decision,
+         |  ll AS log_lambda_at_decision
+         |FROM r WHERE rk = 1""".stripMargin
+    },
 
     // the engine's pinned chain verbatim: look = floor((rk-1)*5/n)+1
     // on the (ts, event_id) total order, cumulative cells, z =

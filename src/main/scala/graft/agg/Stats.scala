@@ -1354,6 +1354,83 @@ object Stats {
   }
 
   /**
+   * Mixture SPRT (mSPRT) per key — ALWAYS-VALID inference for a
+   * Bernoulli rate, the modern continuous-monitoring alternative to
+   * [[sprt]] (which needs a point alternative p₁) and
+   * [[groupSequential]] (which needs a fixed look schedule): the
+   * likelihood ratio mixes the alternative over N(θ₀, τ²), giving
+   * `Λ_n = √(σ²/(σ²+nτ²)) · exp(τ²(S−nθ₀)² / (2σ²(σ²+nτ²)))` with
+   * σ² = θ₀(1−θ₀), and `p_n = 1/max_{m≤n} Λ_m` is a valid p-value at
+   * EVERY n simultaneously — peek whenever, stop whenever.
+   *
+   * Runs entirely in LOG space (no exp/Φ at runtime):
+   * `ln Λ_n = 0.5·ln(σ²/(σ²+nτ²)) + τ²(S−nθ₀)²/(2σ²(σ²+nτ²))`,
+   * rejecting when ln Λ_n ≥ ln(1/α). The ln is the repo's round-9
+   * libm kernel (bit-consistent with an ANSI engine's
+   * `round(ln(x), 9)`); σ², τ² and the threshold are driver-side
+   * literals on the 10⁻⁹ grid; `S − nθ₀` closes EXACTLY in decimal
+   * (integer counts × the θ₀ literal) before one correctly-rounded
+   * double cast; everything after is a pinned IEEE chain. Crossing =
+   * the EARLIEST qualifying position on the (tsCol, tieCol) total
+   * order — identical to the running-max p-value rule, since the
+   * first `ln Λ ≥ ln(1/α)` is the first `p ≤ α`.
+   *
+   * Output: one row per key — (keys…, n_total, n_pos, decision
+   * `reject`/null, n_at_decision, log_lambda_at_decision); undecided
+   * keys carry the FINAL row's ln Λ (p = e^(−max ln Λ) if a p-value
+   * is wanted downstream).
+   *
+   * Scale posture: one key exchange carries the cumulative windows
+   * and the first-crossing rank cut; per-key linear ([[sprt]]'s
+   * exact shape).
+   */
+  def msprt(df: DataFrame, keys: Seq[String], tsCol: String,
+            tieCol: String, outcomeCol: String, theta0: Double,
+            tau: Double, alpha: Double = 0.05): DataFrame = {
+    require(theta0 > 0 && theta0 < 1, s"theta0 must be in (0,1), got $theta0")
+    require(tau > 0, s"tau must be > 0, got $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(keys.nonEmpty, "msprt needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    def r9(x: Double): java.math.BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+    val sig2 = lit(r9(theta0 * (1.0 - theta0)).doubleValue)
+    val tau2 = lit(r9(tau * tau).doubleValue)
+    val thr = lit(r9(math.log(1.0 / alpha)).doubleValue)
+    val y = col(outcomeCol).cast("boolean")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val denom = sig2 + col("__n").cast("double") * tau2
+    val dev = (col("__s").cast("decimal(38,9)") -
+      col("__n") * lit(r9(theta0))).cast("double")
+    val logLam = lit(0.5) *
+      round(graft.functions.MathFunctions.libmLog(sig2 / denom), 9) +
+      tau2 * dev * dev / (lit(2.0) * sig2 * denom)
+    val walked = df
+      .filter(col(tsCol).isNotNull && y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(when(y, 1L).otherwise(0L)).over(w))
+      .withColumn("__ll", logLam)
+      .withColumn("__dec", when(col("__ll") >= thr, lit("reject")))
+      .withColumn("__nt", count(lit(1)).over(wk))
+      .withColumn("__st", sum(when(y, 1L).otherwise(0L)).over(wk))
+    val pick = walked
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(when(col("__dec").isNotNull, 0L).otherwise(1L).asc,
+          when(col("__dec").isNotNull, col("__n"))
+            .otherwise(-col("__n")).asc)))
+      .filter(col("__r") === 1)
+    pick.select(keys.map(col) ++ Seq(col("__nt").as("n_total"),
+      col("__st").as("n_pos"), col("__dec").as("decision"),
+      when(col("__dec").isNotNull, col("__n")).as("n_at_decision"),
+      col("__ll").as("log_lambda_at_decision")): _*)
+  }
+
+  /**
    * Group-sequential A/B test per key — the industry-standard
    * interim-analysis discipline ([[sprt]]'s fixed-schedule sibling):
    * the experiment's events split into `boundaries.length` equal-size

@@ -1231,6 +1231,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q325 msprt: cumulative log-lambda walk + first-crossing cut " +
+    "on one key exchange — join-free") {
+    val fin = finalPlan("q325_msprt").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q324 group sequential: rank window + map-side cell collapse + " +
     "grid windows on one key exchange — join-free") {
     val fin = finalPlan("q324_group_sequential")

@@ -415,6 +415,30 @@ class StatsSpec extends AnyFunSuite {
     assert(mix.getAs[Double]("llr_at_decision") == 0.0)
   }
 
+  test("msprt: hand log-lambda walk crosses at the computed step; " +
+    "null-drift key never decides") {
+    // key a: 8 successes, theta0 = 0.5 (sigma2 = 0.25), tau = 1,
+    // alpha = 0.5 (thr = ln 2 = 0.693147181). Hand walk of
+    // lnL(n) = 0.5*ln(0.25/(0.25+n)) + (n/2)^2/(0.5*(0.25+n)):
+    // n=4 -> 0.4657 < thr; n=5 -> 0.8587 >= thr -> reject at n=5.
+    val a = (1 to 8).map(i => ("a", i.toLong, i.toLong, true))
+    // key b: alternating outcomes hug theta0 -> never crosses
+    val b = (1 to 8).map(i => ("b", i.toLong, i.toLong, i % 2 == 0))
+    val df = (a ++ b).toDF("k", "ts", "id", "y")
+    val out = Stats.msprt(df, Seq("k"), "ts", "id", "y",
+      theta0 = 0.5, tau = 1.0, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getLong(1) == 8L && ra.getLong(2) == 8L)
+    assert(ra.getString(3) == "reject" && ra.getLong(4) == 5L)
+    assert(math.abs(ra.getDouble(5) - 0.858691162) < 1e-6)
+    val rb = out("b")
+    assert(rb.isNullAt(3) && rb.isNullAt(4))
+    assert(rb.getLong(1) == 8L && rb.getLong(2) == 4L)
+    // undecided fallback reports the FINAL row's log-lambda
+    assert(rb.getDouble(5) < 0.0)
+  }
+
   test("groupSequential: hand z at the first look crosses; balanced " +
     "key never decides; one-armed key yields null z fallback") {
     // 16 rows, K = 2 looks of 8. Key a, look 1: treatment 4/4
