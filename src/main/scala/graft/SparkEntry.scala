@@ -4106,6 +4106,17 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- time-series: TWAP with prevailing-quote carry-in — holds
+    //      explode into the buckets they span (bucket-grid sequence),
+    //      carried buckets report the held price with n_ticks 0 ----
+    "q326_twap_carry" -> ((s, dir) =>
+      graft.ops.TimeSeries.twapCarry(
+        t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "value", unit = "hour")
+        .select(col("user_id"),
+          unix_micros(col("bucket")).as("bucket_us"),
+          col("n_ticks"), col("twap"))),
+
     // ---- experimentation: always-valid inference (mSPRT) — log-space
     //      mixture likelihood ratio, round-9 libm ln, exact decimal
     //      S − nθ₀, earliest ln Λ ≥ ln(1/α) crossing ----
@@ -7256,6 +7267,40 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the engine's carry-in chain verbatim: global per-key lead on
+    // (t, event_id), hold exploded over the bucket grid
+    // (generate_series ≡ Spark sequence, inclusive), integer segment
+    // weights, one closing division; last hold ends at its own
+    // bucket's edge
+    "q326_twap_carry" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |h AS (SELECT *, t - t % 3600000000 AS b0,
+        |    coalesce(lead(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id),
+        |      t - t % 3600000000 + 3600000000) AS e
+        |  FROM b),
+        |s AS (SELECT user_id, b0, vc, t, e,
+        |    unnest(generate_series(b0,
+        |      greatest(b0, (e - 1) - (e - 1) % 3600000000),
+        |      3600000000)) AS ib
+        |  FROM h),
+        |g AS (SELECT user_id, ib AS bucket_us,
+        |    CAST(sum(CASE WHEN ib = b0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ticks,
+        |    CAST(sum(greatest(0, least(e, ib + 3600000000)
+        |      - greatest(t, ib))) AS BIGINT) AS ws,
+        |    CAST(sum(vc * greatest(0, least(e, ib + 3600000000)
+        |      - greatest(t, ib))) AS BIGINT) AS vw
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, bucket_us, n_ticks,
+        |  CASE WHEN ws > 0 THEN
+        |    CAST(vw AS DOUBLE) / CAST(ws AS DOUBLE) / 100.0
+        |  END AS twap
+        |FROM g""".stripMargin,
 
     // the engine's log-space mSPRT chain verbatim: round-9 ln of the
     // shrinkage factor, exact-decimal S − nθ₀ closed to double, the

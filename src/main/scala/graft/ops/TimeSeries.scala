@@ -1381,6 +1381,78 @@ object TimeSeries {
   }
 
   /**
+   * TWAP with PREVAILING-QUOTE CARRY-IN — [[twap]]'s market-data
+   * sibling: a quote persists across bucket boundaries, so a bucket
+   * a hold fully spans reports the held price (n_ticks = 0) and a
+   * bucket's pre-first-tick span is priced at the previous tick —
+   * what a quotes consumer expects, where [[twap]]'s no-carry
+   * contract (each bucket prices only its own ticks) is the
+   * trades-only reading. Each key's coverage starts at its first
+   * tick (no quote to carry before it) and ends at the LAST tick's
+   * bucket edge.
+   *
+   * Engine-exact: cents on the decimal(18,s) grid, integer
+   * microsecond segment weights, one closing division per bucket —
+   * the [[twap]] arithmetic on hold × bucket SEGMENTS: each hold
+   * [tᵢ, tᵢ₊₁) explodes into the buckets it overlaps (a sequence on
+   * the bucket grid — output linear in covered buckets, the
+   * carry-in's inherent cost) and segments collapse per (keys,
+   * bucket). Degenerate all-zero-weight buckets (ticks sharing one
+   * microsecond at a bucket edge) emit null twap.
+   *
+   * Output: (keys…, bucket, n_ticks, twap) — n_ticks counts ticks
+   * STARTING in the bucket; carried buckets have n_ticks = 0.
+   * Matches [[graft.streaming.Streaming.twapStream]] with
+   * `carryIn = true` on every closed bucket (asserted in tests).
+   *
+   * Scale posture: one key exchange for the global lead window, one
+   * map-side (keys, bucket) collapse of the exploded segments.
+   */
+  def twapCarry(df: DataFrame, keys: Seq[String], tsCol: String,
+                tieCol: String, valueCol: String, unit: String = "hour",
+                valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "twapCarry needs key columns")
+    val unitMicros = unit.toLowerCase match {
+      case "minute" => 60L * 1000000L
+      case "hour" => 3600L * 1000000L
+      case "day" => 86400L * 1000000L
+      case "week" => 604800L * 1000000L
+      case other => throw new IllegalArgumentException(
+        s"twapCarry needs a fixed-width unit (minute/hour/day/week), got $other")
+    }
+    val scaleF = math.pow(10, valueScale)
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col(tieCol))
+    val holds = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__vc", vc)
+      .withColumn("__b0", col("__t") - pmod(col("__t"), lit(unitMicros)))
+      .withColumn("__e", coalesce(lead(col("__t"), 1).over(w),
+        col("__b0") + lit(unitMicros)))
+    val segs = holds
+      .withColumn("__ib", explode(sequence(col("__b0"),
+        greatest(col("__b0"),
+          (col("__e") - 1L) - pmod(col("__e") - 1L, lit(unitMicros))),
+        lit(unitMicros))))
+      .withColumn("__w", greatest(lit(0L),
+        least(col("__e"), col("__ib") + lit(unitMicros)) -
+          greatest(col("__t"), col("__ib"))))
+    segs.groupBy(keys.map(col) :+ col("__ib"): _*)
+      .agg(sum(when(col("__ib") === col("__b0"), 1L).otherwise(0L))
+          .as("n_ticks"),
+        sum(col("__w")).as("__ws"),
+        sum((col("__vc") * col("__w")).cast("decimal(38,0)")).as("__vw"))
+      .select(keys.map(col) ++ Seq(
+        timestamp_micros(col("__ib")).as("bucket"), col("n_ticks"),
+        when(col("__ws") > 0L,
+          col("__vw").cast("double") / col("__ws").cast("double") /
+            lit(scaleF)).as("twap")): _*)
+  }
+
+  /**
    * Best single mean-shift split per key (binary-segmentation step
    * one): the time-ordered position whose before/after partition
    * maximizes the between-group sum of squares

@@ -949,6 +949,13 @@ object Streaming {
    * batch ≡ stream on every CLOSED bucket, asserted in the gate by
    * filtering the batch result to `bucket < max(bucket) per key`.
    *
+   * `carryIn = true` switches to PREVAILING-QUOTE semantics
+   * ([[graft.ops.TimeSeries.twapCarry]]'s stream arm, batch ≡ stream
+   * likewise): buckets a hold fully spans emit the held price with
+   * n_ticks = 0, and a tick's bucket opens with the carried segment
+   * from the bucket start — the market-data reading. Default stays
+   * the trades-only no-carry contract.
+   *
    * Same order contract as [[cusumStream]]: chunking must preserve
    * per-key (ts, tie) order across micro-batches (rows inside one
    * batch are sorted here). Values snap to cents via the ONE snap
@@ -959,7 +966,7 @@ object Streaming {
    */
   def twapStream(df: DataFrame, actorCol: String, tsCol: String,
                  tieCol: String, valueCol: String,
-                 unitMicros: Long): DataFrame = {
+                 unitMicros: Long, carryIn: Boolean = false): DataFrame = {
     require(unitMicros > 0, s"unitMicros must be > 0, got $unitMicros")
     val spark = df.sparkSession
     import spark.implicits._
@@ -997,7 +1004,24 @@ object Streaming {
                 val edge = b + unitMicros
                 vw += lastVc * (edge - lastT); w += edge - lastT
                 out += ((key, b, n, vw.toDouble / w.toDouble / 100.0))
-                b = b2; lastT = t; lastVc = vc; vw = 0L; w = 0L; n = 1L
+                if (carryIn) {
+                  // prevailing-quote carry: every bucket the hold
+                  // fully spans emits the held price (n_ticks = 0,
+                  // the batch twapCarry closing division verbatim),
+                  // and the tick's bucket opens with the carried
+                  // segment from its own start
+                  var ib = edge
+                  while (ib + unitMicros <= b2) {
+                    val fvw = lastVc * unitMicros
+                    out += ((key, ib, 0L,
+                      fvw.toDouble / unitMicros.toDouble / 100.0))
+                    ib += unitMicros
+                  }
+                  b = b2; vw = lastVc * (t - b2); w = t - b2
+                  lastT = t; lastVc = vc; n = 1L
+                } else {
+                  b = b2; lastT = t; lastVc = vc; vw = 0L; w = 0L; n = 1L
+                }
               }
           }
           state.update((b, lastT, lastVc, vw, w, n))

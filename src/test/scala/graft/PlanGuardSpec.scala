@@ -1231,6 +1231,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q326 twap carry: one key exchange for the global lead window, " +
+    "map-side bucket collapse of the exploded segments — join-free, " +
+    "no cartesian") {
+    val fin = finalPlan("q326_twap_carry").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert(fin.contains("Generate explode"), fin.take(1500))
+  }
   test("q325 msprt: cumulative log-lambda walk + first-crossing cut " +
     "on one key exchange — join-free") {
     val fin = finalPlan("q325_msprt").split("== Initial Plan ==")(0)

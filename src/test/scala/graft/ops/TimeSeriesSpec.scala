@@ -535,6 +535,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(("z", "2024-01-01 00:00:00.0")).getAs[Double]("twap") == 20.0)
   }
 
+  test("twapCarry: prevailing quote crosses buckets — spanned bucket " +
+    "reports the held price with n_ticks 0, mixed bucket blends the " +
+    "carry with its own ticks") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:30:00"), 1L, 10.0),
+      ("k", ts("2024-01-01 02:30:00"), 2L, 40.0),
+      ("k", ts("2024-01-01 03:00:00"), 3L, 50.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.twapCarry(df, Seq("k"), "ts", "id", "v",
+      unit = "hour")
+      .collect().map(r => r.getTimestamp(1).toString ->
+        ((r.getAs[Long]("n_ticks"), r.getAs[Double]("twap")))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((1L, 10.0)), // 30 min at 10
+      "2024-01-01 01:00:00.0" -> ((0L, 10.0)), // fully spanned: carry
+      "2024-01-01 02:00:00.0" -> ((1L, 25.0)), // 30m@10 + 30m@40
+      "2024-01-01 03:00:00.0" -> ((1L, 50.0)))) // last tick to edge
+    // contrast with the no-carry contract: hour 01 absent, hour 02
+    // prices only its own tick
+    val plain = TimeSeries.twap(df, Seq("k"), "ts", "id", "v",
+      unit = "hour")
+      .collect().map(r => r.getTimestamp(1).toString ->
+        r.getAs[Double]("twap")).toMap
+    assert(!plain.contains("2024-01-01 01:00:00.0"))
+    assert(plain("2024-01-01 02:00:00.0") == 40.0)
+  }
+
   test("topPaths: sessionized journeys count, rank by count then " +
     "path; maxLen truncates the session head") {
     val df = Seq(

@@ -629,4 +629,43 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Double]("twap"))).toSeq
     assert(batchOut == Seq((2L, 18.9)))
   }
+
+  test("twapStream carryIn: spanned buckets emit the held price, the " +
+    "tick's bucket opens with the carried segment — == batch " +
+    "twapCarry on closed buckets") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_twap_carry").toString
+    // batch 1 ends holding 10.0; batch 2's ticks close hour 0, carry
+    // through hour 1, blend hour 2, and leave hour 3 open
+    val batch1 = Seq((1L, ts("2024-01-01 00:30:00"), 10.0, 1L))
+    val batch2 = Seq((1L, ts("2024-01-01 02:30:00"), 40.0, 2L),
+      (1L, ts("2024-01-01 03:00:00"), 50.0, 3L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.twapStream(df, "user_id", "ts", "event_id", "value",
+        unitMicros = 3600000000L, carryIn = true),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldTwapUpdates(updates)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def h(n: Int) = Timestamp.valueOf(s"2024-01-01 0$n:00:00")
+      .getTime * 1000L
+    assert(out == Map(h(0) -> ((1L, 10.0)), h(1) -> ((0L, 10.0)),
+      h(2) -> ((1L, 25.0)))) // hour 3 stays open — never emitted
+    // batch parity on the closed buckets
+    val batchOut = graft.ops.TimeSeries.twapCarry(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value", unit = "hour")
+      .collect().map(r => r.getTimestamp(1).getTime * 1000L ->
+        ((r.getAs[Long]("n_ticks"), r.getAs[Double]("twap")))).toMap
+    assert(out.forall { case (b, v) => batchOut.get(b).contains(v) })
+    assert(batchOut.keySet -- out.keySet == Set(h(3))) // only the open one
+  }
 }
