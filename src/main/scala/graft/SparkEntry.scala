@@ -4106,6 +4106,15 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- time-series: Holt linear-trend smoothing — O(1)-state
+    //      sequential fold per key, in-expression complements,
+    //      final (level, trend) + 3-step forecast ----
+    "q327_holt_linear" -> ((s, dir) =>
+      graft.ops.TimeSeries.holtLinear(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value",
+        alpha = 0.3, beta = 0.1, horizon = 3)),
+
     // ---- time-series: TWAP with prevailing-quote carry-in — holds
     //      explode into the buckets they span (bucket-grid sequence),
     //      carried buckets report the held price with n_ticks 0 ----
@@ -7267,6 +7276,35 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the engine's Holt fold verbatim: DOUBLE[] list_reduce state
+    // (q307 discipline — struct accumulators don't fold in DuckDB),
+    // complements computed IN-ENGINE as 1.0 − α (a pre-printed 0.7
+    // literal is an ulp off), l₂ recomputed textually inside b₂
+    "q327_holt_linear" -> {
+      val a = "CAST(0.300000000 AS DOUBLE)"
+      val bb = "CAST(0.100000000 AS DOUBLE)"
+      val l2 = s"($a * x[1] + (CAST(1.0 AS DOUBLE) - $a) " +
+        "* (acc[1] + acc[2]))"
+      s"""WITH b AS (SELECT event_type, ts, event_id,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(CAST([] AS DOUBLE[]),
+         |      list_transform(list(v ORDER BY ts, event_id),
+         |        x -> [CAST(x AS DOUBLE)])),
+         |      (acc, x) -> CASE WHEN len(acc) = 0
+         |        THEN [x[1], CAST(0.0 AS DOUBLE)]
+         |        ELSE [$l2,
+         |          $bb * ($l2 - acc[1])
+         |            + (CAST(1.0 AS DOUBLE) - $bb) * acc[2]]
+         |      END) AS s
+         |  FROM b GROUP BY 1)
+         |SELECT event_type, n, s[1] AS level, s[2] AS trend,
+         |  s[1] + CAST(3.0 AS DOUBLE) * s[2] AS forecast
+         |FROM st""".stripMargin
+    },
 
     // the engine's carry-in chain verbatim: global per-key lead on
     // (t, event_id), hold exploded over the bucket grid

@@ -453,6 +453,68 @@ object TimeSeries {
   }
 
   /**
+   * Holt linear-trend smoothing per key (double exponential
+   * smoothing) — [[ewma]]'s trend-aware sibling and the standard
+   * capacity/throughput trend monitor: `lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁)`,
+   * `bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁`, initialized `l₁ = x₁, b₁ = 0`
+   * (the deterministic convention; a series of one has zero trend).
+   * Returns the FINAL state per key plus the `horizon`-step-ahead
+   * forecast `l + h·b` — grid-sized output, O(1) fold state.
+   *
+   * Engine-exact: the recursion is inherently sequential, so each
+   * key's series folds ONCE in (tsCol, tieCol) order with a
+   * two-double state; every step is a pinned IEEE chain where the
+   * complements `1−α`, `1−β` are computed IN the expression
+   * (`1.0 − α` in binary64 is NOT the double nearest `0.7` — a
+   * driver-side pre-computed literal would diverge from an oracle's
+   * in-engine subtraction by an ulp and compound over the fold).
+   * An ANSI engine replays the fold bit-for-bit (list_reduce with a
+   * DOUBLE[] state — struct accumulators silently don't fold in
+   * DuckDB 1.0).
+   *
+   * Output: (keys…, n, level, trend, forecast).
+   *
+   * Scale posture: ONE key exchange; the in-group array build is
+   * bounded by the KEY's event count (the [[ewma]] contract — per-
+   * entity series, not one global million-point series; for
+   * unbounded streams carry the same recurrence in keyed state).
+   */
+  def holtLinear(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tieCol: String, valueCol: String, alpha: Double,
+                 beta: Double, horizon: Int = 1): DataFrame = {
+    require(keys.nonEmpty, "holtLinear needs key columns")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta in (0,1], got $beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.doubleValue
+    val a = lit(r9(alpha)); val b = lit(r9(beta))
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), col(valueCol).cast("double").as("v"))))
+    val folded = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), lst.as("__l"))
+      .withColumn("__s", aggregate(col("__l"),
+        array().cast("array<double>"),
+        (acc, x) => {
+          val l = element_at(acc, 1); val tr = element_at(acc, 2)
+          val l2 = a * x.getField("v") + (lit(1.0) - a) * (l + tr)
+          val b2 = b * (l2 - l) + (lit(1.0) - b) * tr
+          when(size(acc) === 0, array(x.getField("v"), lit(0.0)))
+            .otherwise(array(l2, b2))
+        }))
+    folded.select(keys.map(col) ++ Seq(col("n"),
+      element_at(col("__s"), 1).as("level"),
+      element_at(col("__s"), 2).as("trend"),
+      (element_at(col("__s"), 1) +
+        lit(horizon.toDouble) * element_at(col("__s"), 2))
+        .as("forecast")): _*)
+  }
+
+  /**
    * Day-of-week seasonality profile per key: for every (key, dow),
    * the event count, the exact-decimal mean value, and the ratio of
    * that mean to the key's overall mean — the "weekends convert 1.4×"

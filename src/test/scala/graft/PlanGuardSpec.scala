@@ -1231,6 +1231,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q327 holt linear: one key exchange, in-group sequential fold, " +
+    "grid-sized output — join-free") {
+    val fin = finalPlan("q327_holt_linear").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q326 twap carry: one key exchange for the global lead window, " +
     "map-side bucket collapse of the exploded segments — join-free, " +
     "no cartesian") {

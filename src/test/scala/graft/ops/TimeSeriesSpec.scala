@@ -535,6 +535,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(("z", "2024-01-01 00:00:00.0")).getAs[Double]("twap") == 20.0)
   }
 
+  test("holtLinear: hand level/trend walk, single-point key has zero " +
+    "trend, forecast extrapolates h steps") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k", ts("2024-01-01 00:01:00"), 2L, 20.0),
+      ("k", ts("2024-01-01 00:02:00"), 3L, 30.0),
+      ("solo", ts("2024-01-01 00:00:00"), 4L, 7.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.holtLinear(df, Seq("k"), "ts", "id", "v",
+      alpha = 0.5, beta = 0.5, horizon = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // alpha=beta=.5: l1=10,b1=0; x=20 -> l=15, b=2.5;
+    // x=30 -> l=.5*30+.5*17.5=23.75, b=.5*8.75+.5*2.5=5.625
+    val k = out("k")
+    assert(k.getLong(1) == 3L)
+    assert(k.getDouble(2) == 23.75 && k.getDouble(3) == 5.625)
+    assert(k.getDouble(4) == 23.75 + 2.0 * 5.625)
+    val s = out("solo")
+    assert(s.getLong(1) == 1L && s.getDouble(2) == 7.0 &&
+      s.getDouble(3) == 0.0 && s.getDouble(4) == 7.0)
+  }
+
   test("twapCarry: prevailing quote crosses buckets — spanned bucket " +
     "reports the held price with n_ticks 0, mixed bucket blends the " +
     "carry with its own ticks") {
