@@ -4106,6 +4106,19 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- graph: Newman modularity of a partition — per-community
+    //      Q_c = m_c/m − (D_c/2m)² over the co-purchase graph, a
+    //      deterministic node%8 partition so the oracle replays the
+    //      METRIC with no transitive closure ----
+    "q328_modularity" -> ((s, dir) => {
+      val edges = graft.graph.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxPerGroup = 8)
+      val nodes = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node"))).distinct()
+      graft.graph.Graph.modularity(edges,
+        nodes.withColumn("community", pmod(col("node"), lit(8L))))
+    }),
+
     // ---- time-series: Holt linear-trend smoothing — O(1)-state
     //      sequential fold per key, in-expression complements,
     //      final (level, trend) + 3-step forecast ----
@@ -7276,6 +7289,43 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the q274 co-occurrence edge replay + exact integer community
+    // cells; contribution chain verbatim (ie/m − (ds/2m)²)
+    "q328_modularity" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gs AS (SELECT g, i FROM (SELECT g, i,
+        |    count(*) OVER (PARTITION BY g) AS sz FROM gi) WHERE sz <= 8),
+        |e AS (SELECT DISTINCT least(a.i, b.i) AS u, greatest(a.i, b.i)
+        |      AS v FROM gs a JOIN gs b ON a.g = b.g AND a.i < b.i),
+        |nodes AS (SELECT DISTINCT u AS n FROM e
+        |          UNION SELECT DISTINCT v FROM e),
+        |asg AS (SELECT n, n % 8 AS c FROM nodes),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |comm AS (SELECT c AS community,
+        |    CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d) AS BIGINT) AS degree_sum
+        |  FROM deg JOIN asg USING (n) GROUP BY 1),
+        |net AS (SELECT au.c AS community,
+        |    CAST(count(*) AS BIGINT) AS internal_edges
+        |  FROM e JOIN asg au ON e.u = au.n JOIN asg av ON e.v = av.n
+        |  WHERE au.c = av.c GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+        |SELECT community, n_nodes,
+        |  CAST(coalesce(internal_edges, 0) AS BIGINT) AS internal_edges,
+        |  degree_sum,
+        |  CASE WHEN m > 0 THEN
+        |    CAST(coalesce(internal_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - (CAST(degree_sum AS DOUBLE)
+        |        / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+        |      * (CAST(degree_sum AS DOUBLE)
+        |        / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+        |  END AS contribution
+        |FROM comm LEFT JOIN net USING (community) CROSS JOIN mm""".stripMargin,
 
     // the engine's Holt fold verbatim: DOUBLE[] list_reduce state
     // (q307 discipline — struct accumulators don't fold in DuckDB),

@@ -1231,6 +1231,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q328 modularity: node-keyed assignment joins, map-side " +
+    "community collapse, scalar m attach is the only nested loop") {
+    val fin = finalPlan("q328_modularity").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    // the one-row m total rides a broadcast nested loop BY DESIGN;
+    // anything more means an assignment join degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+  }
   test("q327 holt linear: one key exchange, in-group sequential fold, " +
     "grid-sized output — join-free") {
     val fin = finalPlan("q327_holt_linear").split("== Initial Plan ==")(0)

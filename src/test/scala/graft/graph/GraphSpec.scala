@@ -124,4 +124,29 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(multi == Map(1 -> 0L, 5 -> 0L, 2 -> 1L, 4 -> 1L, 3 -> 2L))
   }
+
+  test("modularity: two bridged triangles — hand Q per community; " +
+    "unassigned nodes still count in m") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7,
+    // m_A = m_B = 3, D_A = D_B = 7 -> Q_c = 3/7 - (7/14)^2 each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val asg = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "community")
+    val out = Graph.modularity(edges, asg)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val qc = 3.0 / 7.0 - 0.5 * 0.5
+    assert(out("A") == ((3L, 3L, 7L, qc)))
+    assert(out("B") == ((3L, 3L, 7L, qc)))
+    // drop node 6 from the assignment: B keeps only edge 4-5
+    // internal, degrees 3 + 2; m is still 7 (the graph's, not the
+    // partition's)
+    val partial = Graph.modularity(edges, asg.filter($"node" =!= 6L))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(partial("B") == ((2L, 1L, 5L)))
+    assert(partial("A") == ((3L, 3L, 7L)))
+  }
 }
