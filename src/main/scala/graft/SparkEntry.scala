@@ -7318,13 +7318,19 @@ object SparkEntry {
         |SELECT community, n_nodes,
         |  CAST(coalesce(internal_edges, 0) AS BIGINT) AS internal_edges,
         |  degree_sum,
+        |  CAST(degree_sum - 2 * coalesce(internal_edges, 0) AS BIGINT)
+        |    AS cut_edges,
         |  CASE WHEN m > 0 THEN
         |    CAST(coalesce(internal_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
         |    - (CAST(degree_sum AS DOUBLE)
         |        / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
         |      * (CAST(degree_sum AS DOUBLE)
         |        / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
-        |  END AS contribution
+        |  END AS contribution,
+        |  CASE WHEN least(degree_sum, 2 * m - degree_sum) > 0 THEN
+        |    CAST(degree_sum - 2 * coalesce(internal_edges, 0) AS DOUBLE)
+        |    / CAST(least(degree_sum, 2 * m - degree_sum) AS DOUBLE)
+        |  END AS conductance
         |FROM comm LEFT JOIN net USING (community) CROSS JOIN mm""".stripMargin,
 
     // the engine's Holt fold verbatim: DOUBLE[] list_reduce state

@@ -354,10 +354,17 @@ object Graph {
    * to SCORE the clustering they produce, the way degree pairs with
    * PageRank.
    *
+   * Also emits each community's CUT and CONDUCTANCE — both free from
+   * the same cells: `cut_c = D_c − 2m_c` (edges leaving c) and
+   * `φ_c = cut_c / min(D_c, 2m − D_c)` (the bottleneck ratio, low =
+   * well-separated; null when the min volume is 0 — an isolated or
+   * whole-graph community has no defined bottleneck).
+   *
    * Per-community output (no cross-community sum — the caller sums,
    * avoiding a pinned-order global fold): (community, n_nodes,
-   * internal_edges, degree_sum, contribution), every count an exact
-   * integer and the contribution ONE pinned IEEE chain. The
+   * internal_edges, degree_sum, cut_edges, contribution,
+   * conductance), every count an exact
+   * integer and each closing ONE pinned IEEE chain. The
    * assignment must cover the graph's nodes ([[graft.llm.Dedup
    * .components]] output is total over paired nodes); an unassigned
    * node still counts in `m` but joins no community — partial
@@ -406,10 +413,16 @@ object Graph {
       .crossJoin(broadcast(mTotal))
     val m = col("__m").cast("double")
     val frac = col("degree_sum").cast("double") / (lit(2.0) * m)
+    val cut = col("degree_sum") - lit(2L) * col("internal_edges")
+    val minVol = least(col("degree_sum"),
+      lit(2L) * col("__m") - col("degree_sum"))
     cells.select(col("community"), col("n_nodes"),
       col("internal_edges"), col("degree_sum"),
+      cut.as("cut_edges"),
       when(col("__m") > 0L,
         col("internal_edges").cast("double") / m - frac * frac)
-        .as("contribution"))
+        .as("contribution"),
+      when(minVol > 0L, cut.cast("double") / minVol.cast("double"))
+        .as("conductance"))
   }
 }

@@ -135,11 +135,13 @@ class GraphSpec extends AnyFunSuite {
       (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "community")
     val out = Graph.modularity(edges, asg)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))))
       .toMap
     val qc = 3.0 / 7.0 - 0.5 * 0.5
-    assert(out("A") == ((3L, 3L, 7L, qc)))
-    assert(out("B") == ((3L, 3L, 7L, qc)))
+    // cut = 7 - 2*3 = 1 (the bridge); conductance = 1/min(7, 14-7)
+    assert(out("A") == ((3L, 3L, 7L, 1L, qc, 1.0 / 7.0)))
+    assert(out("B") == ((3L, 3L, 7L, 1L, qc, 1.0 / 7.0)))
     // drop node 6 from the assignment: B keeps only edge 4-5
     // internal, degrees 3 + 2; m is still 7 (the graph's, not the
     // partition's)
