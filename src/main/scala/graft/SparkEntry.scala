@@ -4111,8 +4111,14 @@ object SparkEntry {
     //      deterministic node%8 partition so the oracle replays the
     //      METRIC with no transitive closure ----
     "q328_modularity" -> ((s, dir) => {
+      // checkpoint: the edge build (pair self-join over lineitem)
+      // feeds BOTH the node/assignment derivation and modularity's
+      // normalization — without the cut it runs twice (measured at
+      // sf0.1: warm 5.2 → 2.9 s, 23 → 18 jobs; the ~10 s cold draw
+      // is the graph family's shared JIT warmup, see PLANS.md r15)
       val edges = graft.graph.Graph.coOccurrenceEdges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxPerGroup = 8)
+        .localCheckpoint(false)
       val nodes = edges.select(col("u").as("node"))
         .unionByName(edges.select(col("v").as("node"))).distinct()
       graft.graph.Graph.modularity(edges,
