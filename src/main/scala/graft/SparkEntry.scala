@@ -3379,8 +3379,13 @@ object SparkEntry {
     //      k = min degree + 1 (forces a real peel on any fixture
     //      realization); iterative driver-coordinated peel ----
     "q249_kcore" -> ((s, dir) => {
+      // checkpoint: the edge build feeds the k-selection degree scan
+      // (twice, via the union) AND the peel — without the cut the
+      // pair self-join runs 3x (sf0.1 warm 4.7 → 3.3 s, 21 → 18
+      // jobs, measured)
       val edges = graft.graph.Graph.coOccurrenceEdges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxPerGroup = 8)
+        .localCheckpoint(false)
       val deg = edges.select(col("u").as("n"))
         .unionByName(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -4178,8 +4183,12 @@ object SparkEntry {
     //      seed set over the co-purchase graph — level-synchronous
     //      frontier expansion, unique min-distance answer ----
     "q274_bfs_hops" -> ((s, dir) => {
+      // checkpoint: the edge build feeds the seed derivation (twice,
+      // via the vertex union) AND bfsHops' own normalization —
+      // without the cut the pair self-join runs 3x
       val edges = graft.graph.Graph.coOccurrenceEdges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxPerGroup = 8)
+        .localCheckpoint(false)
       val verts = edges.select(col("u").as("vertex"))
         .unionByName(edges.select(col("v").as("vertex"))).distinct()
       val seeds = verts.filter(pmod(col("vertex"), lit(97)) === 0)
