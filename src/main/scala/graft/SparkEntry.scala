@@ -4111,6 +4111,14 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- graph: degree assortativity — exact integer moments over
+    //      both edge orientations, one closing division ----
+    "q329_assortativity" -> ((s, dir) =>
+      graft.graph.Graph.assortativity(
+        graft.graph.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          maxPerGroup = 8))),
+
     // ---- graph: Newman modularity of a partition — per-community
     //      Q_c = m_c/m − (D_c/2m)² over the co-purchase graph, a
     //      deterministic node%8 partition so the oracle replays the
@@ -7304,6 +7312,35 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the q274 edge replay + exact integer degree moments over both
+    // orientations; r = (nΣxy − Sx²)/(nΣxx − Sx²), one double close
+    // (DuckDB sums promote to HUGEINT — exact like the engine's
+    // decimal(38,0); both casts to double correctly round the same
+    // integer)
+    "q329_assortativity" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |gs AS (SELECT g, i FROM (SELECT g, i,
+        |    count(*) OVER (PARTITION BY g) AS sz FROM gi) WHERE sz <= 8),
+        |e AS (SELECT DISTINCT least(a.i, b.i) AS u, greatest(a.i, b.i)
+        |      AS v FROM gs a JOIN gs b ON a.g = b.g AND a.i < b.i),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |j AS (SELECT du.d AS du, dv.d AS dv FROM e
+        |  JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    sum(du + dv) AS sx, sum(du * dv) AS sp,
+        |    sum(du * du + dv * dv) AS sxx FROM j),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, n_edges,
+        |  CASE WHEN (2 * n_edges) * sxx - sx * sx <> 0 THEN
+        |    CAST((2 * n_edges) * (2 * sp) - sx * sx AS DOUBLE)
+        |    / CAST((2 * n_edges) * sxx - sx * sx AS DOUBLE)
+        |  END AS assortativity
+        |FROM mom CROSS JOIN nn""".stripMargin,
 
     // the q274 co-occurrence edge replay + exact integer community
     // cells; contribution chain verbatim (ie/m − (ds/2m)²)

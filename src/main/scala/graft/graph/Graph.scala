@@ -376,6 +376,58 @@ object Graph {
    * attaches as a broadcast one-row scalar. Nothing quadratic,
    * nothing driver-side.
    */
+  /**
+   * Degree assortativity of an undirected graph (Newman's r): the
+   * Pearson correlation of the degrees at the two ends of an edge,
+   * over BOTH orientations — positive means hubs link to hubs
+   * (social-network shape), negative means hubs link to leaves
+   * (hub-and-spoke / star shape, typical for co-purchase and
+   * dependency graphs). The one-number complement to [[modularity]]'s
+   * per-community view.
+   *
+   * Exact: with both orientations Σx = Σy and Σx² = Σy², so
+   * `r = (nΣxy − Sx²)/(nΣxx − Sx²)` where every moment is an EXACT
+   * integer (degree products in long, summed as decimal(38,0);
+   * n = 2m) and the closing is ONE division of two correctly-rounded
+   * double casts. A degree-regular graph has zero variance → null.
+   *
+   * Output: one row — (n_nodes, n_edges, assortativity).
+   *
+   * Scale posture: edge normalization one distinct (checkpointed —
+   * it feeds degrees AND the endpoint join); degrees one vertex-keyed
+   * count; two vertex-keyed joins onto the edges; ONE global moment
+   * collapse (map-side); the node count attaches broadcast.
+   */
+  def assortativity(edges: DataFrame, srcCol: String = "u",
+                    dstCol: String = "v"): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("u").as("__n"))
+      .unionByName(und.select(col("v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+    val j = und
+      .join(deg.select(col("__n").as("u"), col("__d").as("__du")), Seq("u"))
+      .join(deg.select(col("__n").as("v"), col("__d").as("__dv")), Seq("v"))
+    val mom = j.agg(count(lit(1)).as("n_edges"),
+      sum((col("__du") + col("__dv")).cast("decimal(38,0)")).as("__sx"),
+      sum((col("__du") * col("__dv")).cast("decimal(38,0)")).as("__sp"),
+      sum((col("__du") * col("__du") + col("__dv") * col("__dv"))
+        .cast("decimal(38,0)")).as("__sxx"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val n2 = (col("n_edges") * 2L).cast("decimal(38,0)")
+    val num = n2 * (col("__sp") * 2L) - col("__sx") * col("__sx")
+    val den = n2 * col("__sxx") - col("__sx") * col("__sx")
+    mom.crossJoin(broadcast(nn))
+      .select(col("n_nodes"), col("n_edges"),
+        when(den =!= 0L, num.cast("double") / den.cast("double"))
+          .as("assortativity"))
+  }
+
   def modularity(edges: DataFrame, assignment: DataFrame,
                  srcCol: String = "u", dstCol: String = "v",
                  nodeCol: String = "node",

@@ -1231,6 +1231,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q329 assortativity: one global moment collapse, scalar node " +
+    "count is the only nested loop") {
+    val fin = finalPlan("q329_assortativity").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("partial_"), fin.take(1200))
+  }
   test("q328 modularity: node-keyed assignment joins, map-side " +
     "community collapse, scalar m attach is the only nested loop") {
     val fin = finalPlan("q328_modularity").split("== Initial Plan ==")(0)

@@ -125,6 +125,21 @@ class GraphSpec extends AnyFunSuite {
     assert(multi == Map(1 -> 0L, 5 -> 0L, 2 -> 1L, 4 -> 1L, 3 -> 2L))
   }
 
+  test("assortativity: star is exactly -1, regular graph has zero " +
+    "degree variance -> null") {
+    // star: hub degree 3, leaves 1 -> perfectly disassortative.
+    // n=6 orientations, Sx=12, 2*Sp=18, Sxx=30:
+    // r = (6*18-144)/(6*30-144) = -36/36 = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val rs = Graph.assortativity(star).collect().head
+    assert(rs.getLong(0) == 4L && rs.getLong(1) == 3L)
+    assert(rs.getDouble(2) == -1.0)
+    // triangle: every degree 2 -> denominator 0 -> null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val rt = Graph.assortativity(tri).collect().head
+    assert(rt.getLong(0) == 3L && rt.getLong(1) == 3L && rt.isNullAt(2))
+  }
+
   test("modularity: two bridged triangles — hand Q per community; " +
     "unassigned nodes still count in m") {
     // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7,
