@@ -557,6 +557,42 @@ class TimeSeriesSpec extends AnyFunSuite {
       s.getDouble(3) == 0.0 && s.getDouble(4) == 7.0)
   }
 
+  test("twapCarry invariants on a seeded random feed: gap-free bucket " +
+    "coverage from first tick's bucket to last tick's, tick counts " +
+    "conserved, twap inside the value envelope") {
+    val rnd = new scala.util.Random(42)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 400).map { i =>
+      val key = s"k${rnd.nextInt(3)}"
+      // sparse ticks across ~10 days: holds span many hourly buckets
+      val at = new java.sql.Timestamp(base + math.abs(rnd.nextLong()) %
+        (10L * 86400000L))
+      (key, at, i.toLong, 1.0 + rnd.nextInt(10000) / 100.0)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val out = TimeSeries.twapCarry(df, Seq("k"), "ts", "id", "v",
+      unit = "hour").collect()
+    val byKey = out.groupBy(_.getString(0))
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val buckets = byKey(k).map(_.getTimestamp(1).getTime).sorted
+      val first = rs.map(_._2.getTime).min / 3600000L * 3600000L
+      val last = rs.map(_._2.getTime).max / 3600000L * 3600000L
+      // coverage is CONTIGUOUS from the first tick's bucket to the
+      // last tick's — every intermediate bucket carried, none doubled
+      assert(buckets.head == first && buckets.last == last)
+      assert(buckets.length == ((last - first) / 3600000L + 1))
+      assert(buckets.distinct.length == buckets.length)
+      // every tick lands in exactly one bucket's n_ticks
+      assert(byKey(k).map(_.getAs[Long]("n_ticks")).sum == rs.size)
+      // twap is a convex combination of observed values
+      val (lo, hi) = (rs.map(_._4).min, rs.map(_._4).max)
+      byKey(k).filter(!_.isNullAt(3)).foreach { r =>
+        val t = r.getAs[Double]("twap")
+        assert(t >= lo - 1e-9 && t <= hi + 1e-9, s"$k $t not in [$lo,$hi]")
+      }
+    }
+  }
+
   test("twapCarry: prevailing quote crosses buckets — spanned bucket " +
     "reports the held price with n_ticks 0, mixed bucket blends the " +
     "carry with its own ticks") {
