@@ -4111,6 +4111,15 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- embeddings: centroid silhouette — O(n·k) cluster-quality
+    //      score; 1e-6-grid components, exact-decimal centroids,
+    //      dim-ordered dot/norm folds, per-point output ----
+    "q330_centroid_silhouette" -> ((s, dir) =>
+      graft.llm.Similarity.centroidSilhouette(
+        t(s, dir, "embeddings")
+          .withColumn("cluster", (col("vec_id") % 5).cast("int")),
+        "vec_id", "embedding", "cluster")),
+
     // ---- graph: degree assortativity — exact integer moments over
     //      both edge orientations, one closing division ----
     "q329_assortativity" -> ((s, dir) =>
@@ -7312,6 +7321,53 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the q294 snapping (1e-6 micro-units) + exact-decimal centroids
+    // (Σvu double / 1e6 / n — the established double-cast
+    // equivalence), dim-ORDERED list_reduce dot/norm folds, pinned
+    // silhouette chain verbatim
+    "q330_centroid_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(vec_id % 5 AS INT) AS cluster,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL AND len(embedding) > 0),
+        |x AS (SELECT vec_id, cluster, CAST(i - 1 AS INT) AS dim,
+        |    CAST(CAST(v[i] AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM (SELECT vec_id, cluster, v,
+        |        unnest(generate_series(1, len(v))) AS i FROM e)),
+        |cen AS (SELECT cluster AS cc, dim,
+        |    (CAST(sum(vu) AS DOUBLE) / 1000000.0)
+        |      / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM x GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, cluster, dim,
+        |    CAST(vu AS DOUBLE) / 1000000.0 AS sv FROM x),
+        |pc AS (SELECT p.vec_id, p.cluster, c.cc,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(p.sv * c.mu ORDER BY p.dim)), (s, t) -> s + t) AS dt,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(p.sv * p.sv ORDER BY p.dim)), (s, t) -> s + t) AS np,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(c.mu * c.mu ORDER BY p.dim)), (s, t) -> s + t) AS nc
+        |  FROM pv p JOIN cen c ON p.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |cs AS (SELECT *, CASE WHEN np > 0.0 AND nc > 0.0
+        |    THEN dt / (sqrt(np) * sqrt(nc)) END AS cs FROM pc),
+        |pp AS (SELECT vec_id, cluster,
+        |    max(CASE WHEN cluster = cc THEN cs END) AS cos_own,
+        |    max(CASE WHEN cluster <> cc THEN cs END)
+        |      AS cos_nearest_other
+        |  FROM cs GROUP BY 1, 2)
+        |SELECT vec_id, cluster, cos_own, cos_nearest_other,
+        |  CASE WHEN cos_own IS NOT NULL
+        |      AND cos_nearest_other IS NOT NULL
+        |      AND greatest(CAST(1.0 AS DOUBLE) - cos_own,
+        |        CAST(1.0 AS DOUBLE) - cos_nearest_other) > 0.0 THEN
+        |    ((CAST(1.0 AS DOUBLE) - cos_nearest_other)
+        |      - (CAST(1.0 AS DOUBLE) - cos_own))
+        |    / greatest(CAST(1.0 AS DOUBLE) - cos_own,
+        |        CAST(1.0 AS DOUBLE) - cos_nearest_other)
+        |  END AS silhouette
+        |FROM pp""".stripMargin,
 
     // the q274 edge replay + exact integer degree moments over both
     // orientations; r = (nΣxy − Sx²)/(nΣxx − Sx²), one double close

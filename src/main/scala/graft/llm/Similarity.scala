@@ -753,6 +753,75 @@ object Similarity {
   }
 
   /**
+   * Centroid silhouette per point — the O(n·k) cluster-quality score
+   * for embedding clusterings (full silhouette is O(n²) and dead at
+   * corpus scale): with cosine distance `d(x, c) = 1 − cos(x, μ_c)`,
+   * `a` = distance to the OWN centroid, `b` = distance to the nearest
+   * OTHER centroid, `s = (b − a)/max(a, b)` ∈ [−1, 1] — near 1 =
+   * firmly placed, near 0 = boundary, negative = probably
+   * mis-clustered (the standard prune/review signal for semantic
+   * dedup and IVF cell QA, pairing with [[prototypePrune]]).
+   *
+   * Engine-exact: components snap to the 10⁻⁶ grid ([[classSeparation]]
+   * discipline); centroids close from exact decimal per-(cluster, dim)
+   * sums with pinned divisions; every dot/norm folds SEQUENTIALLY in
+   * dim order (zip_with + aggregate ≡ list_reduce — bare double SUMs
+   * would be partial-order-dependent); the silhouette chain is pinned
+   * IEEE. PER-POINT output — no cross-point mean, so nothing
+   * order-dependent survives (callers average with their own
+   * discipline). Zero-norm points/centroids or a single cluster emit
+   * null silhouette.
+   *
+   * Output: (idCol, clusterCol, cos_own, cos_nearest_other,
+   * silhouette).
+   *
+   * Scale posture: ONE corpus explode → map-side (cluster, dim)
+   * collapse builds the k centroids (grid-sized); the point × centroid
+   * cosine table is a BROADCAST of k rows against one corpus pass —
+   * O(n·k), no shuffle beyond the centroid grid.
+   */
+  def centroidSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                         clusterCol: String): DataFrame = {
+    val snapped = df
+      .filter(col(idCol).isNotNull && col(clusterCol).isNotNull &&
+        col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), col(clusterCol),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("__v"))
+      .localCheckpoint(false) // feeds the centroid grid AND the scan
+    val grid = snapped
+      .select(col(clusterCol), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col(clusterCol), col("__d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(18,6)")).as("__s"))
+    val centroids = grid
+      .groupBy(col(clusterCol).as("__cc"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__d"),
+          (col("__s").cast("double") / col("__n").cast("double"))
+            .as("m")))),
+        array().cast("array<double>"),
+        (acc, x) => concat(acc, array(x.getField("m")))).as("__mu"))
+    def dotf(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (s, t) => s + t)
+    val paired = snapped.crossJoin(broadcast(centroids))
+      .withColumn("__dot", dotf(col("__v"), col("__mu")))
+      .withColumn("__np", dotf(col("__v"), col("__v")))
+      .withColumn("__nc", dotf(col("__mu"), col("__mu")))
+      .withColumn("__cos", when(col("__np") > 0.0 && col("__nc") > 0.0,
+        col("__dot") / (sqrt(col("__np")) * sqrt(col("__nc")))))
+    val perPoint = paired.groupBy(col(idCol), col(clusterCol))
+      .agg(max(when(col(clusterCol) === col("__cc"), col("__cos")))
+          .as("cos_own"),
+        max(when(col(clusterCol) =!= col("__cc"), col("__cos")))
+          .as("cos_nearest_other"))
+    val a = lit(1.0) - col("cos_own")
+    val b = lit(1.0) - col("cos_nearest_other")
+    perPoint.withColumn("silhouette",
+      when(col("cos_own").isNotNull && col("cos_nearest_other").isNotNull &&
+        greatest(a, b) > 0.0, (b - a) / greatest(a, b)))
+  }
+
+  /**
    * Per-dimension class-separation profile of a labeled embedding
    * column: for each vector dimension, the Fisher ratio
    * `Σ_c n_c(μ_c − μ)² / Σ_c n_c σ²_c` (between-class over pooled

@@ -1231,6 +1231,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q330 centroid silhouette: centroid grid broadcast against one " +
+    "corpus pass — no corpus-sized shuffle join") {
+    val fin = finalPlan("q330_centroid_silhouette")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+    // the k-row centroid table rides a broadcast (nested loop — it's
+    // a crossJoin by construction); the corpus is read via the
+    // checkpoint, never re-derived
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("ExistingRDD"), fin.take(1500))
+  }
   test("q329 assortativity: one global moment collapse, scalar node " +
     "count is the only nested loop") {
     val fin = finalPlan("q329_assortativity").split("== Initial Plan ==")(0)

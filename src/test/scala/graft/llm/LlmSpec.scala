@@ -296,6 +296,32 @@ class LlmSpec extends AnyFunSuite {
     assert(all.length == 3 && !all.map(_.getLong(2)).contains(0L))
   }
 
+  test("centroidSilhouette: firmly-placed points score 1, a " +
+    "mis-clustered point scores -1, single cluster nulls") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f)), // belongs with cluster 1
+      (4L, 1, Array(0.0f, 1.0f)), (5L, 1, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "cluster", "embedding")
+    val out = graft.llm.Similarity
+      .centroidSilhouette(vecs, "vec_id", "embedding", "cluster")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    // point 3 sits EXACTLY on cluster 1's centroid: b = 0, a > 0 ->
+    // s = -1; points 4/5 likewise on their own centroid: a = 0 -> 1
+    assert(out(4L).get == 1.0 && out(5L).get == 1.0)
+    assert(out(3L).get == -1.0)
+    // points 1/2: own centroid pulled off-axis by point 3, other
+    // centroid orthogonal -> strongly positive but below 1
+    assert(out(1L).get > 0.5 && out(1L).get < 1.0)
+    assert(out(2L).get == out(1L).get)
+    // single cluster: no other centroid -> null silhouette
+    val solo = graft.llm.Similarity.centroidSilhouette(
+      vecs.filter($"cluster" === 0), "vec_id", "embedding", "cluster")
+      .collect()
+    assert(solo.forall(_.isNullAt(4)))
+  }
+
   test("prototypePrune: per-cluster rank by centroid cosine, exact knife-edge drop") {
     // two clean clusters on the axes; within each, vectors at growing
     // angles from the centroid — prototypicality order is by angle
