@@ -4111,6 +4111,13 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- time-series: maximum drawdown — integer cumulative-max
+    //      peak, pinned relative drop, total-order argmax ----
+    "q331_max_drawdown" -> ((s, dir) =>
+      graft.ops.TimeSeries.maxDrawdown(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value")),
+
     // ---- embeddings: centroid silhouette — O(n·k) cluster-quality
     //      score; 1e-6-grid components, exact-decimal centroids,
     //      dim-ordered dot/norm folds, per-point output ----
@@ -7321,6 +7328,32 @@ object SparkEntry {
         |  CASE WHEN ok THEN log_or - 1.96 * se END AS ci_lo,
         |  CASE WHEN ok THEN log_or + 1.96 * se END AS ci_hi
         |FROM f""".stripMargin,
+
+    // the engine's drawdown walk verbatim: cent-grid integers, one
+    // cumulative-max window, pinned (peak−v)/peak, argmax on
+    // (dd desc, ts, tie) — a total order
+    "q331_max_drawdown" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT *, max(vc) OVER win AS peak,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b WINDOW win AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT *, CASE WHEN peak > 0 THEN
+        |    CAST(peak - vc AS DOUBLE) / CAST(peak AS DOUBLE) END AS dd
+        |  FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dd DESC NULLS LAST, ts, event_id) AS rk FROM d)
+        |SELECT event_type, n,
+        |  CASE WHEN dd IS NOT NULL THEN CAST(peak AS DOUBLE) / 100.0
+        |    END AS peak_value,
+        |  CASE WHEN dd IS NOT NULL THEN CAST(vc AS DOUBLE) / 100.0
+        |    END AS trough_value,
+        |  dd AS max_drawdown
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // the q294 snapping (1e-6 micro-units) + exact-decimal centroids
     // (Σvu double / 1e6 / n — the established double-cast

@@ -453,6 +453,62 @@ object TimeSeries {
   }
 
   /**
+   * Maximum drawdown per key — the classic peak-to-trough risk
+   * measure for any cumulative metric series (revenue run-rate,
+   * model-score trajectory, account balance): walk the series in
+   * (tsCol, tieCol) order, track the running peak, and report the
+   * largest relative drop `(peak − v)/peak` from it, with the peak
+   * and trough values that realize it.
+   *
+   * Engine-exact: values snap to the 10⁻ˢᶜᵃˡᵉ grid as exact integer
+   * units; the running peak is an integer cumulative max on ONE key
+   * window; each row's drawdown is one pinned division of two exact
+   * integers, and the argmax row resolves by (drawdown desc, ts, tie)
+   * — a total order, so the reported peak/trough pair is unique.
+   * Non-positive peaks (a series that never goes above 0) emit null —
+   * relative drawdown from a ≤0 peak is not a number.
+   *
+   * Output: (keys…, n, peak_value, trough_value, max_drawdown) — one
+   * row per key; max_drawdown ∈ [0, 1] for positive series (0 =
+   * monotone non-decreasing).
+   *
+   * Scale posture: one key exchange carries the cumulative-max
+   * window AND the rank cut (WindowGroupLimit); per-key linear.
+   */
+  def maxDrawdown(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String,
+                  valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "maxDrawdown needs key columns")
+    val scaleF = math.pow(10, valueScale)
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val walked = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__peak", max(col("__vc")).over(w))
+      .withColumn("__dd", when(col("__peak") > 0L,
+        (col("__peak") - col("__vc")).cast("double") /
+          col("__peak").cast("double")))
+      .withColumn("__n", count(lit(1)).over(wk))
+    walked
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col("__dd").desc_nulls_last, col(tsCol), col(tieCol))))
+      .filter(col("__r") === 1)
+      .select(keys.map(col) ++ Seq(col("__n").as("n"),
+        when(col("__dd").isNotNull,
+          col("__peak").cast("double") / lit(scaleF)).as("peak_value"),
+        when(col("__dd").isNotNull,
+          col("__vc").cast("double") / lit(scaleF)).as("trough_value"),
+        col("__dd").as("max_drawdown")): _*)
+  }
+
+  /**
    * Holt linear-trend smoothing per key (double exponential
    * smoothing) — [[ewma]]'s trend-aware sibling and the standard
    * capacity/throughput trend monitor: `lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁)`,

@@ -1231,6 +1231,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q331 max drawdown: cumulative-max walk + argmax cut on one " +
+    "key exchange — join-free, WindowGroupLimit") {
+    val fin = finalPlan("q331_max_drawdown").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+    assert(fin.contains("WindowGroupLimit"), fin.take(1500))
+  }
   test("q330 centroid silhouette: centroid grid broadcast against one " +
     "corpus pass — no corpus-sized shuffle join") {
     val fin = finalPlan("q330_centroid_silhouette")

@@ -535,6 +535,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(("z", "2024-01-01 00:00:00.0")).getAs[Double]("twap") == 20.0)
   }
 
+  test("maxDrawdown: hand peak-to-trough, monotone series scores 0, " +
+    "non-positive peak nulls, earliest argmax on ties") {
+    val df = Seq(
+      // k: peak 100 at t2, trough 40 at t4 -> dd = 0.6; later
+      // recovery to 120 then 60 is dd 0.5 — smaller
+      ("k", ts("2024-01-01 00:00:00"), 1L, 80.0),
+      ("k", ts("2024-01-01 00:01:00"), 2L, 100.0),
+      ("k", ts("2024-01-01 00:02:00"), 3L, 70.0),
+      ("k", ts("2024-01-01 00:03:00"), 4L, 40.0),
+      ("k", ts("2024-01-01 00:04:00"), 5L, 120.0),
+      ("k", ts("2024-01-01 00:05:00"), 6L, 60.0),
+      // m: monotone rising -> dd 0 everywhere, argmax = FIRST row
+      ("m", ts("2024-01-01 00:00:00"), 7L, 1.0),
+      ("m", ts("2024-01-01 00:01:00"), 8L, 2.0),
+      // z: never above zero -> null drawdown
+      ("z", ts("2024-01-01 00:00:00"), 9L, -5.0),
+      ("z", ts("2024-01-01 00:01:00"), 10L, -9.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.maxDrawdown(df, Seq("k"), "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 6L && k.getDouble(2) == 100.0 &&
+      k.getDouble(3) == 40.0 && k.getDouble(4) == 0.6)
+    val m = out("m")
+    assert(m.getDouble(4) == 0.0 && m.getDouble(2) == 1.0 &&
+      m.getDouble(3) == 1.0)
+    val z = out("z")
+    assert(z.getLong(1) == 2L && z.isNullAt(2) && z.isNullAt(3) &&
+      z.isNullAt(4))
+  }
+
   test("holtLinear: hand level/trend walk, single-point key has zero " +
     "trend, forecast extrapolates h steps") {
     val df = Seq(
