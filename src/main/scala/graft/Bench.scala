@@ -51,15 +51,15 @@ object Bench {
   private final case class Tel(wall: Double, gc: Long, heapB: Double,
                                heapA: Double, cpu: Double, load: Double,
                                bmB: Double, bcDropped: Int,
-                               jit: Long, ccMB: Double) {
+                               jit: Long, ccMB: Double, stalled: Int = 0) {
     // Locale.ROOT, not the f-interpolator: a JVM whose default locale
     // writes comma decimal separators would otherwise emit invalid
     // JSON and silently break downstream artifact parsing
     def json: String = String.format(java.util.Locale.ROOT,
-      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d,%d,%.1f]",
+      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d,%d,%.1f,%d]",
       Double.box(wall), Long.box(gc), Double.box(heapB), Double.box(heapA),
       Double.box(cpu), Double.box(load), Double.box(bmB), Int.box(bcDropped),
-      Long.box(jit), Double.box(ccMB))
+      Long.box(jit), Double.box(ccMB), Int.box(stalled))
   }
 
   /** Reset session state a prior query may have left behind: cached
@@ -150,7 +150,7 @@ object Bench {
       // Best of `iters` runs — single-shot numbers on a shared box swing
       // ±30%. A failed query records -1, never a normal-looking time.
       val n = if (heavy(name)) math.max(iters, 3) else iters
-      val tels = (1 to n).map { _ =>
+      def draw(): Tel = {
         // Isolation BEFORE the timer: each measurement starts from a
         // clean block manager, so query N's number never carries the
         // cache pressure (or the leaked temp objects) of 1..N-1 —
@@ -172,7 +172,32 @@ object Bench {
             bmBefore, dropped, jitMs - j0, codeCacheMB)
         }
       }
-      val times = tels.map(_.wall)
+      // Stall-aware resampling (round-15 verdict #1): a draw whose wall
+      // time is >2× the best draw so far, while the process used under
+      // 20% of the configured cores AND JIT compilation explains under
+      // 25% of the wall, was starved by EXTERNAL machine load — not a
+      // plan property (low own-CPU) and not cold codegen (low jit_ms;
+      // the cold-JIT signature is the opposite: jit_ms ≈ the wall, as
+      // in r14's q234). Mark it `stalled` in the telemetry and take ONE
+      // extra draw (cap +1 per query), so the artifact's best-of is a
+      // warm un-starved floor and a 23.9 s draw on 1.6 busy cores
+      // (round-15's q26) never shapes the headline silently.
+      val cores = cpus.toInt
+      val tels = scala.collection.mutable.ArrayBuffer.empty[Tel]
+      var budget = n
+      var extraTaken = false
+      while (tels.size < budget) {
+        val tel = draw()
+        val bestSoFar = tels.iterator.map(_.wall).filter(_ > 0)
+          .foldLeft(Double.MaxValue)(math.min)
+        val isStall = tel.wall > 0 && bestSoFar < Double.MaxValue &&
+          tel.wall > 2.0 * bestSoFar &&
+          tel.cpu < 0.2 * cores * tel.wall &&
+          tel.jit >= 0 && tel.jit < 250.0 * tel.wall // jit ms < 25% wall
+        tels += tel.copy(stalled = if (isStall) 1 else 0)
+        if (isStall && !extraTaken) { extraTaken = true; budget += 1 }
+      }
+      val times = tels.toSeq.map(_.wall)
       (name, if (times.contains(-1.0)) -1.0 else times.min, times, tels)
     }
     def f(d: Double) = // Locale.ROOT — see Tel.json
@@ -196,8 +221,8 @@ object Bench {
     }.mkString("{", ",", "}")
     // schema: each entry [wall s, gcMs, heapBeforeMB, heapAfterMB,
     // procCpuS, load1m, storageMBBeforeIsolate, broadcastsDropped,
-    // jitMsDuringQuery, codeCacheUsedMBAfter]
-    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped","jit_ms","codecache_mb"],"queries":$telJson}"""
+    // jitMsDuringQuery, codeCacheUsedMBAfter, stalledFlag]
+    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped","jit_ms","codecache_mb","stalled"],"queries":$telJson}"""
     val itersLine = s"""{"detail":"iters","iters":$its}"""
     val totalLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(telLine)
@@ -224,7 +249,13 @@ object Bench {
     // JSON a tail parser can recover; give it the spec's metric name and
     // a spec-shaped "queries" map (the worst-10; "n" says how many ran,
     // "compact":1 distinguishes it from the full primary line above).
-    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"worst10":$worst,"failed":$failed,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    // "stalls": total externally-starved draws detected by the
+    // resample rule, with the queries they hit — lets a reader of the
+    // compact line alone know which numbers carry a stall annotation.
+    val stallQs = results.filter(_._4.exists(_.stalled == 1))
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val nStalls = results.map(_._4.count(_.stalled == 1)).sum
+    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"worst10":$worst,"failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
     println(compactLine)
     // SELF-CONTAINED artifact file: the driver captures only a bounded
     // tail of stdout (round 7's BENCH artifact truncated the per-query

@@ -7091,7 +7091,8 @@ object SparkEntry {
       val lo = l9(math.log(0.2 / 0.95))
       s"""WITH b AS (SELECT event_type, ts, event_id,
          |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS y
-         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         |    AND value IS NOT NULL),
          |w AS (SELECT *, CAST(count(*) OVER win AS BIGINT) AS n,
          |    CAST(sum(y) OVER win AS BIGINT) AS s,
          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
@@ -7335,8 +7336,8 @@ object SparkEntry {
     "q331_max_drawdown" ->
       """WITH b AS (SELECT event_type, ts, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-        |    AND event_type IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
         |w AS (SELECT *, max(vc) OVER win AS peak,
         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
         |  FROM b WINDOW win AS (PARTITION BY event_type
@@ -7512,7 +7513,7 @@ object SparkEntry {
       """WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND value IS NOT NULL),
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
         |h AS (SELECT *, t - t % 3600000000 AS b0,
         |    coalesce(lead(t) OVER (PARTITION BY user_id
         |        ORDER BY t, event_id),
@@ -7552,8 +7553,8 @@ object SparkEntry {
         s"* CAST($tau2 AS DOUBLE))"
       s"""WITH b AS (SELECT event_type, ts, event_id,
          |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS y
-         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-         |    AND event_type IS NOT NULL),
+         |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         |    AND value IS NOT NULL AND event_type IS NOT NULL),
          |w AS (SELECT *, CAST(count(*) OVER win AS BIGINT) AS n,
          |    CAST(sum(y) OVER win AS BIGINT) AS s,
          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
@@ -7598,7 +7599,8 @@ object SparkEntry {
         .mkString("CASE ", " ", " END")
       s"""WITH b AS (SELECT event_type AS k, ts, event_id,
          |    (user_id % 2 = 0) AS v, value >= 55 AS y
-         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         |    AND user_id IS NOT NULL
          |    AND value IS NOT NULL AND event_type IS NOT NULL),
          |r AS (SELECT *, row_number() OVER (PARTITION BY k
          |      ORDER BY ts, event_id) AS rk,
@@ -7770,7 +7772,7 @@ object SparkEntry {
         |    epoch_us(ts) AS t, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND value IS NOT NULL),
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
         |w AS (SELECT *, coalesce(lead(t) OVER (PARTITION BY user_id,
         |    bu ORDER BY t, event_id), bu + 3600000000) - t AS wt
         |  FROM b),
@@ -8325,7 +8327,8 @@ object SparkEntry {
         |    epoch_us(date_trunc('hour', ts)) AS bu,
         |    epoch_us(ts) AS t, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL),
         |w AS (SELECT *, coalesce(lead(t) OVER (PARTITION BY event_type,
         |    bu ORDER BY t, event_id), bu + 3600000000) - t AS wt
         |  FROM b)

@@ -1326,7 +1326,10 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wk = Window.partitionBy(keys.map(col): _*)
     val walked = df
-      .filter(col(tsCol).isNotNull && y.isNotNull)
+      // tieCol non-null: see msprt — keeps the total order
+      // engine-independent (Spark NULLS FIRST vs ANSI NULLS LAST)
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        y.isNotNull)
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s", sum(when(y, 1L).otherwise(0L)).over(w))
       .withColumn("__llr",
@@ -1409,8 +1412,12 @@ object Stats {
       round(graft.functions.MathFunctions.libmLog(sig2 / denom), 9) +
       tau2 * dev * dev / (lit(2.0) * sig2 * denom)
     val walked = df
-      .filter(col(tsCol).isNotNull && y.isNotNull &&
-        keys.map(col(_).isNotNull).reduce(_ && _))
+      // tieCol non-null too: a null tie value orders NULLS FIRST in
+      // Spark ASC windows but NULLS LAST in ANSI engines — excluding
+      // it keeps the total order engine-independent (whole-class fix,
+      // round-15 advisory)
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        y.isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s", sum(when(y, 1L).otherwise(0L)).over(w))
       .withColumn("__ll", logLam)
@@ -1489,7 +1496,10 @@ object Stats {
     // double range and both engines floor the same correctly-rounded
     // quotient.
     val ranked = df
-      .filter(col(tsCol).isNotNull && v.isNotNull && y.isNotNull &&
+      // tieCol non-null: see msprt — keeps the total order
+      // engine-independent (Spark NULLS FIRST vs ANSI NULLS LAST)
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        v.isNotNull && y.isNotNull &&
         keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__rk", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(wk))

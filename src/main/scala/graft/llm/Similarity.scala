@@ -770,7 +770,10 @@ object Similarity {
    * IEEE. PER-POINT output — no cross-point mean, so nothing
    * order-dependent survives (callers average with their own
    * discipline). Zero-norm points/centroids or a single cluster emit
-   * null silhouette.
+   * null silhouette. Vectors must share ONE length (asserted with a
+   * diagnostic — ragged input would otherwise silently null every
+   * comparison against a short cluster's centroid); filter to the
+   * modal dimensionality upstream when mixing embedding versions.
    *
    * Output: (idCol, clusterCol, cos_own, cos_nearest_other,
    * silhouette).
@@ -788,6 +791,20 @@ object Similarity {
       .select(col(idCol), col(clusterCol),
         transform(col(vecCol), x => round(x.cast("double"), 6)).as("__v"))
       .localCheckpoint(false) // feeds the centroid grid AND the scan
+    // Uniform-length precondition (round-15 advisory): a cluster
+    // holding SHORTER vectors builds a centroid over only observed
+    // dims, and zip_with's null padding then silently nulls every
+    // dot against it — fail fast with a diagnostic instead. One-row
+    // collect over the already-checkpointed frame.
+    val lens = snapped
+      .agg(min(size(col("__v"))).as("mn"), max(size(col("__v"))).as("mx"))
+      .head()
+    if (!lens.isNullAt(0) && lens.getInt(0) != lens.getInt(1))
+      throw new IllegalArgumentException(
+        s"centroidSilhouette requires a uniform vector length; got " +
+          s"lengths ${lens.getInt(0)}..${lens.getInt(1)} in '$vecCol' — " +
+          "filter to one embedding dimensionality (e.g. the modal " +
+          "size) upstream")
     val grid = snapped
       .select(col(clusterCol), posexplode(col("__v")).as(Seq("__d", "__x")))
       .groupBy(col(clusterCol), col("__d"))

@@ -487,7 +487,11 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wk = Window.partitionBy(keys.map(col): _*)
     val walked = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+      // tieCol non-null: a null tie orders NULLS FIRST in Spark ASC
+      // windows but NULLS LAST in ANSI engines — excluding it keeps
+      // the total order engine-independent (round-15 advisory)
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
         keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__vc", vc)
       .withColumn("__peak", max(col("__vc")).over(w))
@@ -1478,7 +1482,11 @@ object TimeSeries {
     val scaleF = math.pow(10, valueScale)
     val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
       lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
-    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    // tieCol non-null: a null tie orders NULLS FIRST in Spark ASC
+    // windows but NULLS LAST in ANSI engines — excluding it keeps
+    // the total order engine-independent (round-15 advisory)
+    val base = df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull)
       .withColumn("bucket", date_trunc(unit, col(tsCol)))
       .withColumn("__t", unix_micros(col(tsCol)))
       .withColumn("__vc", vc)
@@ -1523,13 +1531,30 @@ object TimeSeries {
    * Matches [[graft.streaming.Streaming.twapStream]] with
    * `carryIn = true` on every closed bucket (asserted in tests).
    *
+   * `maxBucketsPerHold` caps the per-hold explosion: output is linear
+   * in covered buckets, but so is the PER-ROW sequence array — a key
+   * silent for a year at `unit = "minute"` would build one ~525k-element
+   * array before the explode. A hold spanning more buckets than the
+   * cap fails fast with the offending span in the message; split long
+   * holds upstream (e.g. clamp quote validity, or re-emit the quote
+   * periodically) or use a coarser unit.
+   *
+   * Domain: timestamps at or after the epoch (`ts >= 1970-01-01`).
+   * Bucketing uses floor semantics (pmod), matching the stream arm's
+   * `floorMod`; an ANSI replay using `%` (truncation toward zero, the
+   * DuckDB/standard-SQL reading) diverges on NEGATIVE epoch
+   * microseconds — same convention as [[twap]].
+   *
    * Scale posture: one key exchange for the global lead window, one
    * map-side (keys, bucket) collapse of the exploded segments.
    */
   def twapCarry(df: DataFrame, keys: Seq[String], tsCol: String,
                 tieCol: String, valueCol: String, unit: String = "hour",
-                valueScale: Int = 2): DataFrame = {
+                valueScale: Int = 2,
+                maxBucketsPerHold: Int = 100000): DataFrame = {
     require(keys.nonEmpty, "twapCarry needs key columns")
+    require(maxBucketsPerHold >= 1,
+      s"maxBucketsPerHold must be >= 1, got $maxBucketsPerHold")
     val unitMicros = unit.toLowerCase match {
       case "minute" => 60L * 1000000L
       case "hour" => 3600L * 1000000L
@@ -1543,18 +1568,33 @@ object TimeSeries {
       lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col(tieCol))
-    val holds = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+    val holds = df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
         keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__t", unix_micros(col(tsCol)))
       .withColumn("__vc", vc)
       .withColumn("__b0", col("__t") - pmod(col("__t"), lit(unitMicros)))
       .withColumn("__e", coalesce(lead(col("__t"), 1).over(w),
         col("__b0") + lit(unitMicros)))
+    // last covered bucket start, and the per-hold bucket count the
+    // sequence below would materialize — fail fast past the cap
+    // instead of building a multi-hundred-k-element array per row
+    val lastIb = greatest(col("__b0"),
+      (col("__e") - 1L) - pmod(col("__e") - 1L, lit(unitMicros)))
+    // SQL `/` is fractional — cast back: the span is an exact
+    // multiple of the unit, so the quotient is integral
+    val nBuckets =
+      ((lastIb - col("__b0")) / lit(unitMicros)).cast("long") + 1L
+    val guardedSeq = when(nBuckets > lit(maxBucketsPerHold.toLong),
+      raise_error(concat(
+        lit("twapCarry: hold starting at "), col(tsCol).cast("string"),
+        lit(" spans "), nBuckets.cast("string"),
+        lit(s" '$unit' buckets > maxBucketsPerHold=$maxBucketsPerHold; " +
+          "split long holds upstream or use a coarser unit")))
+        .cast("array<bigint>"))
+      .otherwise(sequence(col("__b0"), lastIb, lit(unitMicros)))
     val segs = holds
-      .withColumn("__ib", explode(sequence(col("__b0"),
-        greatest(col("__b0"),
-          (col("__e") - 1L) - pmod(col("__e") - 1L, lit(unitMicros))),
-        lit(unitMicros))))
+      .withColumn("__ib", explode(guardedSeq))
       .withColumn("__w", greatest(lit(0L),
         least(col("__e"), col("__ib") + lit(unitMicros)) -
           greatest(col("__t"), col("__ib"))))

@@ -954,7 +954,12 @@ object Streaming {
    * likewise): buckets a hold fully spans emit the held price with
    * n_ticks = 0, and a tick's bucket opens with the carried segment
    * from the bucket start — the market-data reading. Default stays
-   * the trades-only no-carry contract.
+   * the trades-only no-carry contract. `maxBucketsPerHold` caps the
+   * per-hold carried-row explosion (the batch arm's cap verbatim): a
+   * key silent for a year at minute buckets would otherwise emit
+   * ~525k rows on its next tick — past the cap the query fails fast
+   * naming the offending hold; split long holds upstream or use a
+   * coarser unit.
    *
    * Same order contract as [[cusumStream]]: chunking must preserve
    * per-key (ts, tie) order across micro-batches (rows inside one
@@ -966,16 +971,21 @@ object Streaming {
    */
   def twapStream(df: DataFrame, actorCol: String, tsCol: String,
                  tieCol: String, valueCol: String,
-                 unitMicros: Long, carryIn: Boolean = false): DataFrame = {
+                 unitMicros: Long, carryIn: Boolean = false,
+                 maxBucketsPerHold: Int = 100000): DataFrame = {
     require(unitMicros > 0, s"unitMicros must be > 0, got $unitMicros")
+    require(maxBucketsPerHold >= 1,
+      s"maxBucketsPerHold must be >= 1, got $maxBucketsPerHold")
     val spark = df.sparkSession
     import spark.implicits._
     def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
     val ds = df
+      // tieCol non-null too: the batch arms' filter verbatim (a null
+      // tie has no defined position in the (ts, tie) total order)
       .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
       .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
         col(tieCol).cast("long"), col(valueCol).cast("double"))
       .as[(Long, Long, Long, Double)]
@@ -1009,7 +1019,17 @@ object Streaming {
                   // fully spans emits the held price (n_ticks = 0,
                   // the batch twapCarry closing division verbatim),
                   // and the tick's bucket opens with the carried
-                  // segment from its own start
+                  // segment from its own start. Same cap as the
+                  // batch arm: a hold spanning more buckets than
+                  // maxBucketsPerHold fails fast instead of emitting
+                  // hundreds of thousands of carried rows per tick.
+                  val spans = (b2 - edge) / unitMicros + 1L
+                  if (spans > maxBucketsPerHold)
+                    throw new IllegalStateException(
+                      s"twapStream(carryIn): key $key hold from " +
+                        s"t=$lastT us spans $spans buckets > " +
+                        s"maxBucketsPerHold=$maxBucketsPerHold; split " +
+                        "long holds upstream or use a coarser unit")
                   var ib = edge
                   while (ib + unitMicros <= b2) {
                     val fvw = lastVc * unitMicros

@@ -86,7 +86,22 @@ object GraftShims {
    *  Spatial.gridClusters, where round-1 labels embed the dense-cell
    *  checkpoint — a collectFirst here dropped ITS blocks and every
    *  later round died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, local
-   *  checkpoints being unrecoverable by design). */
+   *  checkpoints being unrecoverable by design).
+   *
+   *  ==CALLER CONTRACT (destructive — read before adding a call)==
+   *  This irreversibly destroys the checkpoint's blocks; local
+   *  checkpoints CANNOT be recomputed. The root-only guard above
+   *  protects against freeing an UPSTREAM shared checkpoint, but it
+   *  cannot detect a SECOND live frame aliasing the SAME root RDD
+   *  (e.g. two Datasets derived from one localCheckpoint() result):
+   *  any such alias read after this call dies with
+   *  CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at a distance. Call ONLY when
+   *  the caller provably holds the sole reference to the frame — the
+   *  Dedup.components per-round loop state is the model (each round's
+   *  checkpoint is created, consumed, and released inside one owner;
+   *  pinned by an LlmSpec regression test). This method stays public
+   *  only because Scala visibility cannot scope `org.apache.spark.sql`
+   *  to `graft`; it is NOT general-purpose API. */
   def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     @annotation.tailrec

@@ -89,4 +89,32 @@ class KernelSurfaceSpec extends AnyFunSuite {
     assert(l.parse(UTF8String.fromString("9999999999")) == 9999999999L)
     assert(l.parse(UTF8String.fromString("1e3")) == null)
   }
+
+  test("NgramCharsExpr.chars kernel: top-run chars and duplicated-gram chars") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(ts: String*) = new GenericArrayData(
+      ts.map(UTF8String.fromString).toArray[Any])
+    // tokens a b a b a → 2-grams "a b","b a","a b","b a" (sorted:
+    // two runs of 2); top = run 2 × numChars("a b") = 6
+    val top = graft.functions.NgramCharsExpr(Literal("x"), 2, dup = false)
+    assert(top.chars(arr("a", "b", "a", "b", "a")) == 6L)
+    // dup: each run-2 gram adds 2×len → 6 + 6 = 12
+    val dup = graft.functions.NgramCharsExpr(Literal("x"), 2, dup = true)
+    assert(dup.chars(arr("a", "b", "a", "b", "a")) == 12L)
+    // fewer tokens than n → 0, not an exception
+    assert(top.chars(arr("a")) == 0L)
+  }
+
+  test("DeflateRatioExpr.ratio kernel: repetitive text compresses, empty is null, deterministic") {
+    val e = graft.functions.DeflateRatioExpr(Literal("x"))
+    val rep = e.ratio(UTF8String.fromString("ab" * 200))
+    assert(rep != null && rep.asInstanceOf[Double] > 0.0 &&
+      rep.asInstanceOf[Double] < 0.2)
+    val prose = e.ratio(UTF8String.fromString(
+      "The quick brown fox jumps over the lazy dog near the river bank."))
+    assert(prose.asInstanceOf[Double] > rep.asInstanceOf[Double])
+    assert(e.ratio(UTF8String.fromString("")) == null)
+    // pinned level-6 raw stream ⇒ same value every call/JVM
+    assert(e.ratio(UTF8String.fromString("ab" * 200)) == rep)
+  }
 }

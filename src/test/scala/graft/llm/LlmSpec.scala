@@ -322,6 +322,20 @@ class LlmSpec extends AnyFunSuite {
     assert(solo.forall(_.isNullAt(4)))
   }
 
+  test("centroidSilhouette: ragged vector lengths fail fast with a " +
+    "diagnostic (a short cluster's centroid would silently null " +
+    "every comparison)") {
+    val ragged = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f, 0.5f)),
+      (3L, 1, Array(0.0f, 1.0f))).toDF("vec_id", "cluster", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.centroidSilhouette(
+        ragged, "vec_id", "embedding", "cluster")
+    }
+    assert(e.getMessage.contains("uniform vector length") &&
+      e.getMessage.contains("2..3"))
+  }
+
   test("prototypePrune: per-cluster rank by centroid cosine, exact knife-edge drop") {
     // two clean clusters on the axes; within each, vectors at growing
     // angles from the centroid — prototypicality order is by angle

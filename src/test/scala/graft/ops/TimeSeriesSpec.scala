@@ -651,6 +651,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(plain("2024-01-01 02:00:00.0") == 40.0)
   }
 
+  test("twapCarry: maxBucketsPerHold fails fast — a year-long hold at " +
+    "minute buckets names the span; cap at the span passes") {
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("|")
+    // one key silent for a year: ~525,600 minute buckets — the guard
+    // must fire BEFORE the per-row sequence materializes
+    val year = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k", ts("2025-01-01 00:00:00"), 2L, 20.0)).toDF("k", "ts", "id", "v")
+    val e = intercept[Throwable] {
+      TimeSeries.twapCarry(year, Seq("k"), "ts", "id", "v",
+        unit = "minute").collect()
+    }
+    assert(msgs(e).contains("maxBucketsPerHold"))
+    // short hold spanning 3 hourly buckets: cap 2 rejects with the
+    // span in the message, cap 3 (exactly the span) passes
+    val short = Seq(
+      ("k", ts("2024-01-01 00:30:00"), 1L, 10.0),
+      ("k", ts("2024-01-01 02:30:00"), 2L, 20.0)).toDF("k", "ts", "id", "v")
+    val e2 = intercept[Throwable] {
+      TimeSeries.twapCarry(short, Seq("k"), "ts", "id", "v",
+        unit = "hour", maxBucketsPerHold = 2).collect()
+    }
+    assert(msgs(e2).contains("spans 3 'hour' buckets"))
+    val ok = TimeSeries.twapCarry(short, Seq("k"), "ts", "id", "v",
+      unit = "hour", maxBucketsPerHold = 3).collect()
+    assert(ok.length == 3)
+  }
+
   test("topPaths: sessionized journeys count, rank by count then " +
     "path; maxLen truncates the session head") {
     val df = Seq(
