@@ -4111,6 +4111,27 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- stats: binned quantile regression at τ=0.9 — exact weighted
+    //      per-bin quantiles + mass-weighted line through the curve ----
+    "q333_quantile_regression" -> ((s, dir) =>
+      graft.agg.Stats.quantileRegression(
+        t(s, dir, "events")
+          .withColumn("x", hour(col("ts")).cast("double"))
+          .withColumn("wt1", lit(1.0)),
+        Seq("event_type"), "x", "value", "wt1",
+        tau = 0.9, binWidth = 4.0)),
+
+    // ---- ML eval: isotonic (PAV) calibration — binned score grid,
+    //      exact integer-rational pooling, monotone fitted curve ----
+    "q332_isotonic" -> ((s, dir) =>
+      graft.agg.Stats.isotonicCalibration(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("p",
+            TA.md5i(concat(col("event_id").cast("string"), lit("cal")))
+              .cast("double") / lit(4294967296.0))
+          .withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "p", "y", bins = 10)),
+
     // ---- time-series: maximum drawdown — integer cumulative-max
     //      peak, pinned relative drop, total-order argmax ----
     "q331_max_drawdown" -> ((s, dir) =>
@@ -7333,6 +7354,89 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // stage 1 = the q183 weighted-percentile chain per (key, hour/4
+    // bin); stage 2 = the engine's five-double moment fold replayed in
+    // bin order (list_reduce, DOUBLE[] state), pinned slope/intercept
+    // closings; x_mid = (bin+0.5)*4 computed in-expression
+    "q333_quantile_regression" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(floor(CAST(hour(ts) AS DOUBLE) / 4.0) AS BIGINT) AS bin,
+        |    value AS v, CAST(100 AS BIGINT) AS wt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT *, CAST(sum(wt) OVER (PARTITION BY k, bin
+        |      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(wt) OVER (PARTITION BY k, bin) AS BIGINT) AS tot,
+        |    CAST(sum(wt) OVER (PARTITION BY k, bin ORDER BY v
+        |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+        |      AS tie
+        |  FROM b),
+        |cells AS (SELECT k, bin, min(v) AS q, max(tot) AS wc,
+        |    (CAST(bin AS DOUBLE) + 0.5) * 4.0 AS xm
+        |  FROM w
+        |  WHERE cum >= CAST(0.9 AS DECIMAL(6,5))
+        |      * CAST(tot AS DECIMAL(20,0))
+        |    AND cum - tie < CAST(0.9 AS DECIMAL(6,5))
+        |      * CAST(tot AS DECIMAL(20,0))
+        |  GROUP BY 1, 2),
+        |f AS (SELECT k, list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(wc AS DOUBLE), xm, q] ORDER BY bin)),
+        |    (acc, p) -> [acc[1] + p[1], acc[2] + p[1]*p[2],
+        |      acc[3] + p[1]*p[3], acc[4] + p[1]*p[2]*p[2],
+        |      acc[5] + p[1]*p[2]*p[3]]) AS m,
+        |    count(DISTINCT bin) AS nb
+        |  FROM cells GROUP BY 1),
+        |l AS (SELECT k, nb, m, m[1]*m[4] - m[2]*m[2] AS den FROM f),
+        |l2 AS (SELECT k, m, CASE WHEN nb >= 2 AND den <> 0
+        |    THEN (m[1]*m[5] - m[2]*m[3]) / den END AS slope FROM l),
+        |l3 AS (SELECT k, slope, CASE WHEN slope IS NOT NULL
+        |    THEN (m[3] - slope*m[2]) / m[1] END AS intercept FROM l2)
+        |SELECT c.k AS event_type, c.bin, c.xm AS x_mid,
+        |  CAST(c.wc AS DOUBLE) / 100.0 AS w, c.q AS q_tau,
+        |  l.slope, l.intercept
+        |FROM cells c LEFT JOIN l3 l ON l.k = c.k""".stripMargin,
+
+    // the engine's PAV fit replayed via the max-min identity
+    // g(i) = max_{j<=i} min_{k>=i} avg(j..k) over the bin grid:
+    // interval averages are double divisions of exact integer count
+    // sums (distinct bin rationals differ by >= 1/maxN^2, far above
+    // ulp, so double min/max decide identically), and the selected
+    // value IS the pooled block's division — the engine's fitted
+    "q332_isotonic" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'cal'),
+        |      1, 8))::BIGINT AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS p,
+        |    value >= 50 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type AS k,
+        |    least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS pos
+        |  FROM e WHERE p >= 0 AND p <= 1),
+        |cells AS (SELECT k, bin, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(pos) AS BIGINT) AS s,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY bin)
+        |      AS BIGINT) AS pos
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(w) OVER win AS BIGINT) AS cw,
+        |    CAST(sum(s) OVER win AS BIGINT) AS cs
+        |  FROM cells WINDOW win AS (PARTITION BY k ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |iv AS (SELECT x.k, x.pos AS j, y.pos AS e,
+        |    CAST(y.cs - (x.cs - x.s) AS DOUBLE)
+        |      / CAST(y.cw - (x.cw - x.w) AS DOUBLE) AS a
+        |  FROM cum x JOIN cum y ON y.k = x.k AND y.pos >= x.pos),
+        |mn AS (SELECT iv.k, iv.j, c.pos AS i, min(iv.a) AS m
+        |  FROM iv JOIN cells c ON c.k = iv.k AND iv.j <= c.pos
+        |    AND iv.e >= c.pos
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT k, i AS pos, max(m) AS fitted FROM mn
+        |  GROUP BY 1, 2)
+        |SELECT c.k AS event_type, c.bin, c.w AS n, c.s AS n_pos,
+        |  f.fitted
+        |FROM cells c JOIN fit f ON f.k = c.k AND f.pos = c.pos"""
+        .stripMargin,
+
     "q331_max_drawdown" ->
       """WITH b AS (SELECT event_type, ts, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc

@@ -851,6 +851,200 @@ object Stats {
   }
 
   /**
+   * Isotonic (PAV) calibration per group — [[calibration]]'s MONOTONE
+   * sibling and the standard recalibration map for classifier scores:
+   * bucket predictions into `bins` score bins (the [[calibration]]
+   * binning verbatim), then fit the non-decreasing step function that
+   * minimizes squared error by pool-adjacent-violators — a bin whose
+   * positive rate DROPS below a lower bin's pools with it until the
+   * sequence is monotone. Binned first because raw-row PAV is
+   * inherently sequential over the whole key (dead at corpus scale);
+   * the binned fit is the standard large-scale form and the bin count
+   * is the resolution dial.
+   *
+   * Engine-exact: pooling decisions are EXACT integer rational
+   * comparisons (`s_prev·w_cur > s_cur·w_prev`, BigInt past 2³¹ so
+   * the cross-product cannot overflow at any key size); the fitted
+   * value is ONE double division of the pooled integer counts. An
+   * ANSI engine replays the fit with the max-min identity
+   * `g(i) = max_{j≤i} min_{k≥i} avg(j..k)` — the classic closed form
+   * of the PAV solution — whose selected value is the same pooled
+   * division (distinct bin-count rationals differ by ≥ 1/maxN², far
+   * above double ulp, so double comparisons decide identically).
+   *
+   * Output: (keys…, bin, n, n_pos, fitted) — one row per NON-EMPTY
+   * input bin; `fitted` is the calibrated probability for scores
+   * landing in that bin, non-decreasing in `bin` within each key.
+   *
+   * Scale posture: ONE (keys, bin) map-side-combined aggregation
+   * (grid-sized), then a per-key O(bins) fold over the collected
+   * grid row — never over raw rows.
+   */
+  def isotonicCalibration(df: DataFrame, keys: Seq[String],
+                          probCol: String, labelCol: String,
+                          bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(keys.nonEmpty, "isotonicCalibration needs key columns")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val base = df.filter(p.isNotNull && y.isNotNull &&
+      p >= 0.0 && p <= 1.0)
+    val bin = least(floor(p * bins).cast("long"), lit((bins - 1).toLong))
+    val cells = base
+      .groupBy(keys.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("__w"),
+        sum(when(y, 1L).otherwise(0L)).as("__s"))
+    val pav = udf((cells: Seq[org.apache.spark.sql.Row]) => {
+      // stack of pooled blocks: (w, s, nCells); input arrives bin-sorted
+      val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      def violates(sPrev: Long, wPrev: Long, sCur: Long, wCur: Long) =
+        if (wPrev <= Int.MaxValue && wCur <= Int.MaxValue)
+          sPrev * wCur > sCur * wPrev
+        else BigInt(sPrev) * wCur > BigInt(sCur) * wPrev
+      cells.foreach { c =>
+        var (w, s, n) = (c.getLong(1), c.getLong(2), 1)
+        while (st.nonEmpty &&
+          violates(st.last._2, st.last._1, s, w)) {
+          val t = st.remove(st.length - 1)
+          w += t._1; s += t._2; n += t._3
+        }
+        st += ((w, s, n))
+      }
+      // expand: blocks pool ADJACENT cells, so membership is by
+      // position — walk the sorted cells once, emitting each with
+      // its block's pooled division
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var i = 0
+      st.foreach { case (w, s, n) =>
+        val fitted = s.toDouble / w.toDouble
+        (0 until n).foreach { _ =>
+          val c = cells(i)
+          out += ((c.getLong(0), c.getLong(1), c.getLong(2), fitted))
+          i += 1
+        }
+      }
+      out.result()
+    })
+    val folded = cells
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bin"), col("__w"),
+        col("__s")))).as("__cells"))
+      .withColumn("__fit", explode(pav(col("__cells"))))
+    folded.select(keys.map(col) ++ Seq(
+      col("__fit._1").as("bin"), col("__fit._2").as("n"),
+      col("__fit._3").as("n_pos"), col("__fit._4").as("fitted")): _*)
+  }
+
+  /**
+   * Binned quantile regression at fixed τ per group — the scalable
+   * estimator of a CONDITIONAL quantile curve ("the p90 latency as a
+   * function of payload size"): bucket the covariate into fixed-width
+   * bins, take the EXACT weighted τ-quantile of the response in each
+   * bin (the [[graft.agg.GroupBy.weightedPercentilesDisc]] discipline
+   * — cumulative centi-unit weights, decimal threshold, ties share
+   * mass), then fit the mass-weighted least-squares LINE through the
+   * bin quantile points `(x_mid, q_τ)` — the two-stage binned form of
+   * quantile regression (exact LP quantile regression is O(n³) and
+   * dead at corpus scale; the binned estimator is the standard
+   * large-data form and `binWidth` is the resolution dial).
+   *
+   * Engine-exact: weights scale to integer centi-units (exact longs),
+   * the τ threshold is one DECIMAL(6,5) × DECIMAL(20,0) product, and
+   * a value qualifies iff `cum ≥ τ·W ∧ cum_before < τ·W`; the stage-2
+   * moments fold SEQUENTIALLY in bin order over the per-key bin grid
+   * (pinned IEEE chain, ≡ list_reduce with a DOUBLE[] state), with
+   * `x_mid = (bin + 0.5)·binWidth` computed in-expression; the
+   * closing slope/intercept divisions are pinned. τ carries at most
+   * 5 decimal digits.
+   *
+   * Output: (keys…, bin, x_mid, w, q_tau, slope, intercept) — one row
+   * per non-empty bin; `w` is the bin's total weight in original
+   * units; slope/intercept are the per-key line, repeated on each of
+   * the key's rows (null when the key has < 2 distinct bins or zero
+   * x-scatter). Rows with null x/value or non-positive weight are
+   * ignored.
+   *
+   * Scale posture: one (keys, bin) exchange carries the quantile
+   * windows; stage 2 runs on the BIN GRID (grid-sized per key), never
+   * on raw rows.
+   */
+  def quantileRegression(df: DataFrame, keys: Seq[String], xCol: String,
+                         valueCol: String, weightCol: String,
+                         tau: Double, binWidth: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must lie in (0, 1], got $tau")
+    require((BigDecimal(tau.toString) * 100000).isWhole,
+      s"tau supports at most 5 decimal digits, got $tau")
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(keys.nonEmpty, "quantileRegression needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("double")
+    val bin = floor(x / binWidth).cast("long")
+    val base = df
+      .filter(x.isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__bin", bin)
+      .withColumn("__wt",
+        (col(weightCol).cast("decimal(18,2)") * 100).cast("long"))
+    val grp = keys.map(col) :+ col("__bin")
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(grp: _*)
+    val wTie = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val thr = lit(tau).cast("decimal(6,5)") *
+      col("__tot").cast("decimal(20,0)")
+    val cells = base
+      .withColumn("__cum", sum("__wt").over(wOrd))
+      .withColumn("__tot", sum("__wt").over(wAll))
+      .withColumn("__tie", sum("__wt").over(wTie))
+      .withColumn("__before", col("__cum") - col("__tie"))
+      .filter(col("__cum") >= thr && col("__before") < thr)
+      .groupBy(grp: _*)
+      // all qualifying rows share one (tied) value; min collapses them
+      .agg(min(col(valueCol).cast("double")).as("__q"),
+        max(col("__tot")).as("__wc"))
+      .withColumn("__xm", (col("__bin").cast("double") + lit(0.5)) *
+        lit(binWidth))
+    // stage 2: per-key weighted OLS through the bin points, folded in
+    // bin order with a five-double state (centi-unit weights — a
+    // uniform scale that cancels in the closing divisions' algebra
+    // but is PART of the pinned chain, so the oracle uses it too)
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__bin"), col("__xm"),
+        col("__q"), col("__wc").cast("double").as("__w")))),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, p) => {
+        val w = p.getField("__w"); val xm = p.getField("__xm")
+        val q = p.getField("__q")
+        array(element_at(acc, 1) + w,
+          element_at(acc, 2) + w * xm,
+          element_at(acc, 3) + w * q,
+          element_at(acc, 4) + w * xm * xm,
+          element_at(acc, 5) + w * xm * q)
+      })
+    val lines = cells.groupBy(keys.map(col): _*)
+      .agg(fold.as("__m"), countDistinct(col("__bin")).as("__nb"))
+      .withColumn("__den",
+        element_at(col("__m"), 1) * element_at(col("__m"), 4) -
+          element_at(col("__m"), 2) * element_at(col("__m"), 2))
+      .withColumn("slope", when(col("__nb") >= 2 && col("__den") =!= 0.0,
+        (element_at(col("__m"), 1) * element_at(col("__m"), 5) -
+          element_at(col("__m"), 2) * element_at(col("__m"), 3)) /
+          col("__den")))
+      .withColumn("intercept", when(col("slope").isNotNull,
+        (element_at(col("__m"), 3) -
+          col("slope") * element_at(col("__m"), 2)) /
+          element_at(col("__m"), 1)))
+      .select(keys.map(col) :+ col("slope") :+ col("intercept"): _*)
+    // per-key line table is grid-sized — broadcast it back onto the
+    // (already grid-sized) bin rows rather than shuffling either side
+    cells.join(broadcast(lines), keys, "left")
+      .select(keys.map(col) ++ Seq(col("__bin").as("bin"),
+        col("__xm").as("x_mid"),
+        (col("__wc").cast("double") / lit(100.0)).as("w"),
+        col("__q").as("q_tau"), col("slope"), col("intercept")): _*)
+  }
+
+  /**
    * Brier score per group: mean squared error of probabilistic
    * predictions against binary outcomes — [[calibration]]'s scalar
    * companion (0 = perfect, 0.25 = uninformed coin at base rate 0.5).

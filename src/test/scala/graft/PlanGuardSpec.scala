@@ -1231,6 +1231,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q333 quantile regression: one (keys, bin) exchange for the " +
+    "quantile windows; the per-key line attaches by broadcast") {
+    val fin = finalPlan("q333_quantile_regression")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(fin.contains("BroadcastHashJoin") ||
+      fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
+  test("q332 isotonic: one (keys, bin) grid aggregate + one per-key " +
+    "fold — join-free, never more than two exchanges") {
+    val fin = finalPlan("q332_isotonic").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert(fin.contains("Generate"), fin.take(1500)) // block expand
+  }
   test("q331 max drawdown: cumulative-max walk + argmax cut on one " +
     "key exchange — join-free, WindowGroupLimit") {
     val fin = finalPlan("q331_max_drawdown").split("== Initial Plan ==")(0)

@@ -312,6 +312,71 @@ class StatsSpec extends AnyFunSuite {
     assert(b9.getAs[Double]("frac_pos") == 2.0 / 3.0)
   }
 
+  test("isotonicCalibration: violating bins pool to their weighted " +
+    "average, monotone bins stay; cascading merge; per-bin counts kept") {
+    // per bin: (bin center p, positives, total): rates .1 .5 .3 .7 —
+    // bins 1&2 violate and pool to (5+3)/(10+10) = 0.4
+    def mk(binP: Double, pos: Int, tot: Int) =
+      (0 until tot).map(i => ("k", binP, i < pos))
+    val df = (mk(0.05, 1, 10) ++ mk(0.15, 5, 10) ++ mk(0.25, 3, 10) ++
+      mk(0.35, 7, 10)).toDF("key", "p", "y")
+    val out = Stats.isotonicCalibration(df, Seq("key"), "p", "y",
+      bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("fitted")))).toMap
+    assert(out == Map(
+      0L -> ((10L, 1L, 0.1)), 1L -> ((10L, 5L, 0.4)),
+      2L -> ((10L, 3L, 0.4)), 3L -> ((10L, 7L, 0.7))))
+    // fully decreasing rates .9 .5 .1 cascade into ONE block at the
+    // grand rate 15/30 = 0.5
+    val dec = (mk(0.05, 9, 10) ++ mk(0.45, 5, 10) ++ mk(0.95, 1, 10))
+      .toDF("key", "p", "y")
+    val out2 = Stats.isotonicCalibration(dec, Seq("key"), "p", "y",
+      bins = 10)
+      .collect().map(_.getAs[Double]("fitted")).toSet
+    assert(out2 == Set(0.5))
+    // already-monotone input is the identity fit (rates untouched)
+    val mono = (mk(0.05, 1, 10) ++ mk(0.55, 5, 10)).toDF("key", "p", "y")
+    val out3 = Stats.isotonicCalibration(mono, Seq("key"), "p", "y",
+      bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        r.getAs[Double]("fitted")).toMap
+    assert(out3 == Map(0L -> 0.1, 5L -> 0.5))
+  }
+
+  test("quantileRegression: exact weighted per-bin τ-quantile, line " +
+    "through the bin points; weights shift the quantile; single bin " +
+    "has no line") {
+    val df = Seq(
+      ("k", 1.0, 1.0, 1.0), ("k", 2.0, 2.0, 1.0),
+      ("k", 3.0, 3.0, 1.0), ("k", 3.5, 4.0, 1.0),
+      ("k", 5.0, 10.0, 1.0), ("k", 6.0, 20.0, 1.0),
+      ("k", 7.0, 30.0, 1.0), ("k", 7.5, 40.0, 1.0)
+    ).toDF("key", "x", "v", "wt")
+    val out = Stats.quantileRegression(df, Seq("key"), "x", "v", "wt",
+      tau = 0.5, binWidth = 4.0)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    // bin 0 (x<4): values 1..4, median-by-cum-weight = 2; bin 1: = 20
+    assert(out(0L).getAs[Double]("q_tau") == 2.0)
+    assert(out(1L).getAs[Double]("q_tau") == 20.0)
+    assert(out(0L).getAs[Double]("x_mid") == 2.0 &&
+      out(1L).getAs[Double]("x_mid") == 6.0)
+    assert(out(0L).getAs[Double]("w") == 4.0)
+    // line through (2, 2) and (6, 20), equal mass: slope 4.5,
+    // intercept -7 — exact in doubles
+    assert(out(0L).getAs[Double]("slope") == 4.5)
+    assert(out(0L).getAs[Double]("intercept") == -7.0)
+    assert(out(1L).getAs[Double]("slope") == 4.5)
+    // mass 3 on value 1 vs mass 1 on value 2: the weighted median is 1
+    val wdf = Seq(("k", 0.0, 1.0, 3.0), ("k", 1.0, 2.0, 1.0))
+      .toDF("key", "x", "v", "wt")
+    val wq = Stats.quantileRegression(wdf, Seq("key"), "x", "v", "wt",
+      tau = 0.5, binWidth = 4.0).collect()
+    assert(wq.length == 1 && wq.head.getAs[Double]("q_tau") == 1.0)
+    assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
+  }
+
   test("trimmedMean: rank-interval trim on 1..10; tie runs split " +
     "exactly; trim 0 is the mean") {
     val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
