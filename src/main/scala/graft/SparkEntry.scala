@@ -4111,6 +4111,39 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- experimentation: Cochran-Armitage trend test — exact
+    //      integer dose moments, one pinned z closing ----
+    "q337_cochran_armitage" -> ((s, dir) =>
+      graft.agg.Stats.cochranArmitage(
+        t(s, dir, "events")
+          .withColumn("dose", pmod(col("user_id"), lit(4L)))
+          .withColumn("y", col("value") >= 50.0),
+        Seq("event_type"), "dose", "y")),
+
+    // ---- graph: HITS hubs & authorities — fixed-point integer
+    //      sweeps with max-normalization, the q122 discipline ----
+    "q336_hits" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.graph.Centrality.hits(edges, "src", "dst", iterations = 2)
+    }),
+
+    // ---- time-series: Wilder RSI — exact cent deltas, seeded
+    //      Wilder recurrence fold, pinned bounded-momentum closing ----
+    "q335_rsi" -> ((s, dir) =>
+      graft.ops.TimeSeries.rsi(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value", period = 14)),
+
+    // ---- stats: Brown-Forsythe variance-homogeneity test — exact
+    //      grid deviations from discrete group medians, ANOVA-on-z ----
+    "q334_brown_forsythe" -> ((s, dir) =>
+      graft.agg.Stats.brownForsythe(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "grp", "value")),
+
     // ---- stats: binned quantile regression at τ=0.9 — exact weighted
     //      per-bin quantiles + mass-weighted line through the curve ----
     "q333_quantile_regression" -> ((s, dir) =>
@@ -7354,6 +7387,142 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // exact integer dose moments (sums of t*r, t, t*t are order-free
+    // longs), one pinned p(1-p)(Sttn - Stn^2/N) variance and z
+    // closing; complement 1-p computed in-expression
+    "q337_cochran_armitage" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 4) + 4) % 4 AS t,
+        |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS n_pos,
+        |    CAST(sum(t * r) AS BIGINT) AS str,
+        |    CAST(sum(t) AS BIGINT) AS stn,
+        |    CAST(sum(t * t) AS BIGINT) AS sttn
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT *, CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(str AS DOUBLE) AS strd, CAST(stn AS DOUBLE) AS stnd,
+        |    CAST(sttn AS DOUBLE) AS sttnd, CAST(n AS DOUBLE) AS nd
+        |  FROM g),
+        |v AS (SELECT *, p * (1.0 - p) * (sttnd - stnd * stnd / nd)
+        |    AS var FROM c)
+        |SELECT k AS event_type, n, n_pos,
+        |  CASE WHEN var > 0.0
+        |    THEN (strd - p * stnd) / sqrt(var) END AS z
+        |FROM v""".stripMargin,
+
+    // the q122 fixed-point discipline: integer sums, max-normalize
+    // via (v * 1e6) // max per phase, auth-then-hub per sweep, two
+    // static sweeps unrolled
+    "q336_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |n AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+        |s0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS h FROM n),
+        |ra1 AS (SELECT e.dst AS node_id, CAST(sum(s0.h) AS BIGINT) AS v
+        |        FROM e JOIN s0 ON s0.node_id = e.src GROUP BY 1),
+        |fa1 AS (SELECT n.node_id, coalesce(ra1.v, 0) AS v
+        |        FROM n LEFT JOIN ra1 USING (node_id)),
+        |a1 AS (SELECT node_id, CASE WHEN mx > 0
+        |          THEN (v * 1000000) // mx ELSE 0 END AS a
+        |        FROM fa1 CROSS JOIN (SELECT max(v) AS mx FROM fa1)),
+        |rh1 AS (SELECT e.src AS node_id, CAST(sum(a1.a) AS BIGINT) AS v
+        |        FROM e JOIN a1 ON a1.node_id = e.dst GROUP BY 1),
+        |fh1 AS (SELECT n.node_id, coalesce(rh1.v, 0) AS v
+        |        FROM n LEFT JOIN rh1 USING (node_id)),
+        |h1 AS (SELECT node_id, CASE WHEN mx > 0
+        |          THEN (v * 1000000) // mx ELSE 0 END AS h
+        |        FROM fh1 CROSS JOIN (SELECT max(v) AS mx FROM fh1)),
+        |ra2 AS (SELECT e.dst AS node_id, CAST(sum(h1.h) AS BIGINT) AS v
+        |        FROM e JOIN h1 ON h1.node_id = e.src GROUP BY 1),
+        |fa2 AS (SELECT n.node_id, coalesce(ra2.v, 0) AS v
+        |        FROM n LEFT JOIN ra2 USING (node_id)),
+        |a2 AS (SELECT node_id, CASE WHEN mx > 0
+        |          THEN (v * 1000000) // mx ELSE 0 END AS a
+        |        FROM fa2 CROSS JOIN (SELECT max(v) AS mx FROM fa2)),
+        |rh2 AS (SELECT e.src AS node_id, CAST(sum(a2.a) AS BIGINT) AS v
+        |        FROM e JOIN a2 ON a2.node_id = e.dst GROUP BY 1),
+        |fh2 AS (SELECT n.node_id, coalesce(rh2.v, 0) AS v
+        |        FROM n LEFT JOIN rh2 USING (node_id)),
+        |h2 AS (SELECT node_id, CASE WHEN mx > 0
+        |          THEN (v * 1000000) // mx ELSE 0 END AS h
+        |        FROM fh2 CROSS JOIN (SELECT max(v) AS mx FROM fh2))
+        |SELECT h2.node_id, h2.h AS hub_fp, a2.a AS auth_fp
+        |FROM h2 JOIN a2 USING (node_id)""".stripMargin,
+
+    // the engine's Wilder chain verbatim: cent deltas via lag on the
+    // (ts, event_id) total order, three-double list_reduce state
+    // (seed sums -> one division at i = n -> Wilder recurrence with
+    // in-expression 13/14 literals), pinned 100*aG/(aG+aL) closing
+    "q335_rsi" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT k, ts, event_id,
+        |    CAST(vc - lag(vc) OVER (PARTITION BY k ORDER BY ts,
+        |      event_id) AS DOUBLE) AS d
+        |  FROM b),
+        |dd AS (SELECT * FROM d WHERE d IS NOT NULL),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n_deltas,
+        |    list_reduce(list_prepend([0.0, 0.0, 0.0],
+        |      list([d] ORDER BY ts, event_id)),
+        |    (acc, p) -> CASE
+        |      WHEN acc[1] + 1.0 < 14.0 THEN [acc[1] + 1.0,
+        |        acc[2] + greatest(p[1], 0.0),
+        |        acc[3] + greatest(-p[1], 0.0)]
+        |      WHEN acc[1] + 1.0 = 14.0 THEN [acc[1] + 1.0,
+        |        (acc[2] + greatest(p[1], 0.0)) / 14.0,
+        |        (acc[3] + greatest(-p[1], 0.0)) / 14.0]
+        |      ELSE [acc[1] + 1.0,
+        |        (acc[2] * 13.0 + greatest(p[1], 0.0)) / 14.0,
+        |        (acc[3] * 13.0 + greatest(-p[1], 0.0)) / 14.0]
+        |      END) AS m
+        |  FROM dd GROUP BY 1)
+        |SELECT k AS event_type, n_deltas,
+        |  CASE WHEN m[1] >= 14.0 THEN m[2] / 100.0 END AS avg_gain,
+        |  CASE WHEN m[1] >= 14.0 THEN m[3] / 100.0 END AS avg_loss,
+        |  CASE WHEN m[1] >= 14.0 AND m[2] + m[3] > 0.0
+        |    THEN 100.0 * m[2] / (m[2] + m[3]) END AS rsi
+        |FROM f""".stripMargin,
+
+    // the engine's chain verbatim: cent grid, discrete lower median
+    // at rank (n+1)//2 per (key, group), |z| deviations, exact integer
+    // group moments, sequential group-order fold (list_reduce), one
+    // pinned W closing
+    "q334_brown_forsythe" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 4) + 4) % 4 AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY k, g
+        |      ORDER BY vc) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k, g) AS BIGINT) AS n
+        |  FROM b),
+        |md AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN vc END)
+        |    OVER (PARTITION BY k, g) AS med FROM w),
+        |z AS (SELECT k, g, abs(vc - med) AS z FROM md),
+        |cells AS (SELECT k, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(z) AS BIGINT) AS s, sum(z * z) AS ss
+        |  FROM z GROUP BY 1, 2),
+        |f AS (SELECT k, list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(ng AS DOUBLE), CAST(s AS DOUBLE),
+        |        CAST(ss AS DOUBLE)] ORDER BY g)),
+        |    (acc, p) -> [acc[1] + p[2]*p[2]/p[1],
+        |      acc[2] + (p[3] - p[2]*p[2]/p[1]),
+        |      acc[3] + p[2], acc[4] + p[1], acc[5] + 1.0]) AS m
+        |  FROM cells GROUP BY 1)
+        |SELECT k AS event_type, CAST(m[5] AS BIGINT) AS k_groups,
+        |  CAST(m[4] AS BIGINT) AS n,
+        |  CASE WHEN m[5] >= 2.0 AND m[2] > 0.0 THEN
+        |    ((m[4] - m[5]) / (m[5] - 1.0))
+        |      * (m[1] - m[3]*m[3]/m[4]) / m[2] END AS w_stat
+        |FROM f""".stripMargin,
+
     // stage 1 = the q183 weighted-percentile chain per (key, hour/4
     // bin); stage 2 = the engine's five-double moment fold replayed in
     // bin order (list_reduce, DOUBLE[] state), pinned slope/intercept

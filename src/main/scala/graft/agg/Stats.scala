@@ -936,6 +936,135 @@ object Stats {
   }
 
   /**
+   * Cochran-Armitage trend test per key: is a binary outcome's rate
+   * MONOTONE in an ordered dose (exposure bucket, severity tier,
+   * price band)? — the experimentation family's ordered-groups
+   * member: [[twoProportionZ]] compares two groups, this tests a
+   * TREND across k ordered ones, with far more power than a k-group
+   * chi-square when the alternative is ordered. Scores are the dose
+   * values themselves (integer).
+   *
+   * `T = Σ t_g r_g − p̄ Σ t_g n_g`,
+   * `Var = p̄(1−p̄)(Σ t_g² n_g − (Σ t_g n_g)²/N)`, `z = T/√Var`.
+   *
+   * Engine-exact: every sum (Σt r, Σt n, Σt² n, N, R) is an exact
+   * integer — order-free, no fold needed; p̄ is ONE pinned division,
+   * the complement `1 − p̄` is computed IN-expression, and the
+   * closing chain is pinned IEEE. Degenerate keys (all-positive,
+   * all-negative, single dose → Var 0) emit null z.
+   *
+   * Output: (keys…, n, n_pos, z) — one row per key; z is standard
+   * normal under no-trend, signed by direction.
+   *
+   * Scale posture: ONE map-side-combined key aggregation; nothing
+   * else.
+   */
+  def cochranArmitage(df: DataFrame, keys: Seq[String], doseCol: String,
+                      outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "cochranArmitage needs key columns")
+    val t = col(doseCol).cast("long")
+    val y = col(outcomeCol).cast("boolean")
+    val r = when(y, 1L).otherwise(0L)
+    val agg = df
+      .filter(t.isNotNull && y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(r).as("n_pos"),
+        sum(t * r).as("__str"), sum(t).as("__stn"),
+        sum(t * t).as("__sttn"))
+    val nD = col("n").cast("double")
+    val pbar = col("n_pos").cast("double") / nD
+    val stn = col("__stn").cast("double")
+    val tstat = col("__str").cast("double") - pbar * stn
+    val v = pbar * (lit(1.0) - pbar) *
+      (col("__sttn").cast("double") - stn * stn / nD)
+    agg.select(keys.map(col) ++ Seq(col("n"), col("n_pos"),
+      when(v > 0.0, tstat / sqrt(v)).as("z")): _*)
+  }
+
+  /**
+   * Brown-Forsythe test (Levene's test on medians) per key: is the
+   * VARIANCE homogeneous across groups? — the guard every
+   * equal-variance procedure (pooled t, classic ANOVA) should run
+   * first, and robust to non-normality where the original
+   * mean-centered Levene is not. Per key, each group's values deviate
+   * from their GROUP MEDIAN, `z = |x − med_g|`, and the statistic is
+   * the one-way-ANOVA F on the z's:
+   * `W = ((N−k)/(k−1)) · Σ n_g(z̄_g − z̄)² / Σ_g Σ_i (z_gi − z̄_g)²`.
+   *
+   * Engine-exact: values snap to the 10⁻ˢᶜᵃˡᵉ grid; the group median
+   * is the DISCRETE lower median (the value at rank ⌊(n+1)/2⌋ of the
+   * sorted group — percentile_disc semantics, no interpolation) so
+   * deviations are exact integer grid units; per-group moments
+   * (n, Σz, Σz²) are exact integer sums, each cast to double once
+   * (correctly rounded, identical in any engine while Σz² stays
+   * under 2⁵³ grid-units² — at scale raise `valueScale` down or
+   * pre-scale); the cross-group scatter collapse folds SEQUENTIALLY
+   * in group order (pinned IEEE ≡ list_reduce), and W closes in one
+   * pinned chain. Keys with < 2 groups or zero within-scatter emit
+   * null W.
+   *
+   * Output: (keys…, k_groups, n, w_stat) — one row per key. Compare
+   * W against F(k−1, N−k); the quantile lookup is the caller's
+   * (engine-pinned incomplete-beta is out of scope, same stance as
+   * [[welchT]]).
+   *
+   * Scale posture: ONE (keys, group) exchange carries the median
+   * window and the moment collapse; the per-key fold runs on the
+   * GROUP grid.
+   */
+  def brownForsythe(df: DataFrame, keys: Seq[String], groupCol: String,
+                    valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "brownForsythe needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val grp = keys.map(col) :+ col(groupCol)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__vc"))
+    val wAll = Window.partitionBy(grp: _*)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__med", max(when(col("__rn") ===
+        ((col("__n") + 1L) / lit(2L)).cast("long"), col("__vc")))
+        .over(wAll))
+      .withColumn("__z", abs(col("__vc") - col("__med")))
+    val cells = base.groupBy(grp: _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__z")).as("__s"),
+        sum((col("__z") * col("__z")).cast("decimal(38,0)")).as("__ss"))
+    // per-key sequential fold over the group grid, state
+    // [num = Σ S²/n, den = Σ(SS − S²/n), T = ΣS, N = Σn, K]
+    val fold = aggregate(
+      sort_array(collect_list(struct(col(groupCol).as("__g"),
+        col("__ng").cast("double").as("__nd"),
+        col("__s").cast("double").as("__sd"),
+        col("__ss").cast("double").as("__ssd")))),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, p) => {
+        val s = p.getField("__sd"); val ng = p.getField("__nd")
+        val ss = p.getField("__ssd")
+        array(element_at(acc, 1) + s * s / ng,
+          element_at(acc, 2) + (ss - s * s / ng),
+          element_at(acc, 3) + s,
+          element_at(acc, 4) + ng,
+          element_at(acc, 5) + lit(1.0))
+      })
+    val m = (i: Int) => element_at(col("__m"), i)
+    cells.groupBy(keys.map(col): _*)
+      .agg(fold.as("__m"))
+      .withColumn("w_stat",
+        when(m(5) >= 2.0 && m(2) > 0.0,
+          ((m(4) - m(5)) / (m(5) - lit(1.0))) *
+            (m(1) - m(3) * m(3) / m(4)) / m(2)))
+      .select(keys.map(col) ++ Seq(m(5).cast("long").as("k_groups"),
+        m(4).cast("long").as("n"), col("w_stat")): _*)
+  }
+
+  /**
    * Binned quantile regression at fixed τ per group — the scalable
    * estimator of a CONDITIONAL quantile curve ("the p90 latency as a
    * function of payload size"): bucket the covariate into fixed-width

@@ -80,6 +80,79 @@ object Centrality {
     ranks
   }
 
+  /**
+   * HITS hubs & authorities over `iterations` synchronous sweeps, in
+   * the same fixed-point integer arithmetic as [[pageRank]] — the
+   * directed-graph quality pair PageRank collapses into one score:
+   * on a customer→supplier (or page→page) graph, a good HUB points
+   * at good authorities and a good AUTHORITY is pointed at by good
+   * hubs.
+   *
+   * Semantics pinned for reproducibility (mirrored by the gate
+   * oracle):
+   *  - initial hub = auth = [[SCALE]] for every node;
+   *  - each sweep: `auth'(v) = Σ_{u→v} hub(u)`, normalized to
+   *    `auth = auth'·SCALE div max(auth')` (floor div, integer max —
+   *    max-normalization keeps everything exact where the classic
+   *    L2 norm would need a square root); then
+   *    `hub'(u) = Σ_{u→v} auth(v)` from the NORMALIZED new
+   *    authorities, normalized the same way;
+   *  - nodes with no in-edges carry auth 0, no out-edges hub 0.
+   *
+   * Overflow by construction: scores stay ≤ SCALE after each
+   * normalization, so a sweep's raw sums are ≤ SCALE·maxDegree and
+   * the normalization product ≤ SCALE²·maxDegree — exact in longs up
+   * to maxDegree ≈ 9·10⁶ (beyond that, lower SCALE; documented, not
+   * silently wrong: longs overflow loudly in ANSI engines).
+   *
+   * Output: (node_id, hub_fp, auth_fp) in SCALE millionths.
+   *
+   * Scale posture: per sweep, TWO target-keyed edge shuffles with
+   * map-side partial sums and two one-row max aggregates attached by
+   * broadcast; per-sweep lazy localCheckpoint cuts the unrolled
+   * lineage exactly as [[pageRank]].
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "hits needs >= 1 iteration")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst"))
+      .distinct()
+      .localCheckpoint(false) // 2 consumers per sweep + node set
+    val nodes = e.select(col("__src").as("node_id"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .localCheckpoint(false)
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      // raw: (node_id, __v) for scoring side only; absent nodes -> 0
+      val full = nodes.join(raw, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("__v"), lit(0L)).as("__v"))
+      val mx = full.agg(max(col("__v")).as("__mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("node_id"),
+          when(col("__mx") > 0L,
+            expr(s"(__v * $SCALE) div __mx")).otherwise(0L).as(out))
+    }
+    var scores = nodes.select(col("node_id"),
+      lit(SCALE).as("hub_fp"), lit(SCALE).as("auth_fp"))
+    for (_ <- 1 to iterations) {
+      val auth = normalized(
+        e.join(scores.select(col("node_id").as("__src"), col("hub_fp")),
+            "__src")
+          .groupBy(col("__dst").as("node_id"))
+          .agg(sum(col("hub_fp")).as("__v")), "auth_fp")
+      val hub = normalized(
+        e.join(auth.select(col("node_id").as("__dst"), col("auth_fp")),
+            "__dst")
+          .groupBy(col("__src").as("node_id"))
+          .agg(sum(col("auth_fp")).as("__v")), "hub_fp")
+      scores = hub.join(auth, "node_id")
+        .select(col("node_id"), col("hub_fp"), col("auth_fp"))
+        .localCheckpoint(false)
+    }
+    scores
+  }
+
   /** Per-document centrality prior: join [[pageRank]] scores computed
    *  on a (doc → outlink-target) edge list back onto the corpus by a
    *  grouping key (host, source, domain). Documents whose key has no

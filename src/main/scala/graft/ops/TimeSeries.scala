@@ -575,6 +575,83 @@ object TimeSeries {
   }
 
   /**
+   * Wilder's Relative Strength Index per key — [[ewma]]'s bounded
+   * momentum cousin and the standard overbought/oversold monitor
+   * (RSI > 70 hot, < 30 cold), applicable to any metric series
+   * (error rates, queue depths), not just prices. Tick-to-tick
+   * deltas split into gains and losses; both smooth by Wilder's
+   * recurrence `avg_t = (avg_{t−1}·(n−1) + x_t)/n` after an n-delta
+   * simple-average seed; `rsi = 100·avgGain/(avgGain+avgLoss)`
+   * (algebraically 100 − 100/(1+RS), but pinned in THIS form so a
+   * zero-loss series closes to 100 with no special case).
+   *
+   * Engine-exact: deltas are exact integer grid units (cents), the
+   * seed sums are exact integers with ONE pinned division each, the
+   * recurrence folds SEQUENTIALLY in (tsCol, tieCol) order with a
+   * three-double state and n, n−1 as in-expression literals (≡
+   * list_reduce), and the closing chain is pinned. Keys with fewer
+   * than `period` deltas emit null smoothed values and rsi (the seed
+   * never completes); an all-flat seeded series (avgGain = avgLoss =
+   * 0) emits null rsi, not 0/0.
+   *
+   * Output: (keys…, n_deltas, avg_gain, avg_loss, rsi) — one row per
+   * key, averages in original value units.
+   *
+   * Scale posture: one key exchange carries the lag window; the fold
+   * runs over the key's COLLECTED delta series (the [[ewma]]/
+   * [[holtLinear]] per-entity contract — for unbounded streams carry
+   * the same recurrence in keyed state).
+   */
+  def rsi(df: DataFrame, keys: Seq[String], tsCol: String,
+          tieCol: String, valueCol: String, period: Int = 14,
+          valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "rsi needs key columns")
+    require(period >= 1, s"period must be >= 1, got $period")
+    val scaleF = math.pow(10, valueScale)
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val nD = lit(period.toDouble)
+    val nM1 = lit((period - 1).toDouble)
+    val deltas = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__d", (col("__vc") - lag(col("__vc"), 1).over(w))
+        .cast("double"))
+      .filter(col("__d").isNotNull)
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), col("__d").as("d"))))
+    // state [i, aG, aL]: during the seed phase aG/aL hold running
+    // SUMS; the i = period step divides once; after that, Wilder
+    val fold = aggregate(lst, array(lit(0.0), lit(0.0), lit(0.0)),
+      (acc, x) => {
+        val i = element_at(acc, 1); val aG = element_at(acc, 2)
+        val aL = element_at(acc, 3)
+        val g = greatest(x.getField("d"), lit(0.0))
+        val l = greatest(-x.getField("d"), lit(0.0))
+        val i2 = i + lit(1.0)
+        when(i2 < nD, array(i2, aG + g, aL + l))
+          .when(i2 === nD, array(i2, (aG + g) / nD, (aL + l) / nD))
+          .otherwise(array(i2, (aG * nM1 + g) / nD,
+            (aL * nM1 + l) / nD))
+      })
+    val m = (i: Int) => element_at(col("__m"), i)
+    deltas.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_deltas"), fold.as("__m"))
+      .withColumn("avg_gain",
+        when(m(1) >= nD, m(2) / lit(scaleF)))
+      .withColumn("avg_loss",
+        when(m(1) >= nD, m(3) / lit(scaleF)))
+      .withColumn("rsi", when(m(1) >= nD && m(2) + m(3) > 0.0,
+        lit(100.0) * m(2) / (m(2) + m(3))))
+      .select(keys.map(col) ++ Seq(col("n_deltas"), col("avg_gain"),
+        col("avg_loss"), col("rsi")): _*)
+  }
+
+  /**
    * Day-of-week seasonality profile per key: for every (key, dow),
    * the event count, the exact-decimal mean value, and the ratio of
    * that mean to the key's overall mean — the "weekends convert 1.4×"

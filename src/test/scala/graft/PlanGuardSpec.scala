@@ -1231,6 +1231,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q337 cochran-armitage: ONE map-side-combined key aggregation " +
+    "— join-free, window-free") {
+    val fin = finalPlan("q337_cochran_armitage")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500)) // map-side combine
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q335 rsi: one key exchange carries the lag window and the " +
+    "fold collapse — join-free") {
+    val fin = finalPlan("q335_rsi").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q334 brown-forsythe: one (keys, group) exchange carries the " +
+    "median window and the moment collapse — join-free") {
+    val fin = finalPlan("q334_brown_forsythe")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q333 quantile regression: one (keys, bin) exchange for the " +
     "quantile windows; the per-key line attaches by broadcast") {
     val fin = finalPlan("q333_quantile_regression")

@@ -377,6 +377,49 @@ class StatsSpec extends AnyFunSuite {
     assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
   }
 
+  test("cochranArmitage: hand-computed monotone trend z; flat rates " +
+    "score exactly 0; single dose is null") {
+    def mk(k: String, dose: Long, pos: Int, tot: Int) =
+      (0 until tot).map(i => (k, dose, i < pos))
+    // rates 0.2 / 0.5 / 0.8 over doses 0/1/2: T = 21 - 0.5*30 = 6,
+    // Var = 0.25*(50 - 900/30) = 5 -> z = 6/sqrt(5)
+    val up = mk("up", 0L, 2, 10) ++ mk("up", 1L, 5, 10) ++
+      mk("up", 2L, 8, 10)
+    val flat = mk("flat", 0L, 5, 10) ++ mk("flat", 1L, 5, 10)
+    val solo = mk("solo", 3L, 2, 10)
+    val out = Stats.cochranArmitage(
+      (up ++ flat ++ solo).toDF("key", "dose", "y"),
+      Seq("key"), "dose", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("up")._1 == 30L && out("up")._2 == 15L)
+    assert(math.abs(out("up")._3.get - 6.0 / math.sqrt(5.0)) < 1e-12)
+    assert(out("flat")._3.get == 0.0) // T = 5 - 0.5*10 exactly 0
+    assert(out("solo")._3.isEmpty)    // zero dose scatter -> null
+  }
+
+  test("brownForsythe: equal spreads score exactly 0, unequal spreads " +
+    "positive; discrete lower median; single group is null") {
+    // key a: both groups deviate identically from their medians -> 0
+    val a = Seq(("a", 0L, 1.0), ("a", 0L, 1.0), ("a", 0L, 5.0),
+      ("a", 0L, 5.0), ("a", 1L, 1.0), ("a", 1L, 5.0))
+    // key b: one constant group, one spread group -> W = 4 (by hand)
+    val b = Seq(("b", 0L, 1.0), ("b", 0L, 1.0), ("b", 0L, 1.0),
+      ("b", 1L, 0.0), ("b", 1L, 10.0), ("b", 1L, 20.0))
+    // key c: one group only -> null
+    val c = Seq(("c", 0L, 1.0), ("c", 0L, 2.0))
+    val out = Stats.brownForsythe(
+      (a ++ b ++ c).toDF("key", "g", "v"), Seq("key"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("a") == ((2L, 6L, Some(0.0))))
+    assert(out("b")._1 == 2L && out("b")._2 == 6L)
+    assert(math.abs(out("b")._3.get - 4.0) < 1e-9)
+    assert(out("c") == ((1L, 2L, None)))
+  }
+
   test("trimmedMean: rank-interval trim on 1..10; tie runs split " +
     "exactly; trim 0 is the mean") {
     val df = ((1 to 10).map(v => ("a", v.toDouble)) ++

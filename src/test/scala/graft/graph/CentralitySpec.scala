@@ -23,6 +23,27 @@ class CentralitySpec extends AnyFunSuite {
     assert(ranksAfter(2) == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
   }
 
+  test("hits: hand-computed auth-then-hub sweeps with max " +
+    "normalization on a 4-node funnel") {
+    // 1→3, 2→3, 3→4: 1 and 2 are pure hubs, 3 is the authority that
+    // also hubs into 4
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    def after(it: Int): Map[Long, (Long, Long)] =
+      Centrality.hits(edges, "src", "dst", iterations = it)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    // sweep 1: auth raw (3: 2e6, 4: 1e6) → a3 1e6, a4 5e5;
+    // hub raw (1: 1e6, 2: 1e6, 3: 5e5) → h1 h2 1e6, h3 5e5
+    assert(after(1) == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((500000L, 1000000L)), 4L -> ((0L, 500000L))))
+    // sweep 2: auth raw (3: 2e6, 4: 5e5) → a3 1e6, a4 25e4;
+    // hub raw (1: 1e6, 2: 1e6, 3: 25e4) → h3 250000
+    assert(after(2) == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((250000L, 1000000L)), 4L -> ((0L, 250000L))))
+  }
+
   test("dangling and isolated nodes: leak documented, floor applied") {
     // 2 is a sink (dangling): its mass leaks; it still RECEIVES rank
     val edges = Seq((1L, 2L)).toDF("src", "dst")

@@ -681,6 +681,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ok.length == 3)
   }
 
+  test("rsi: hand-walked Wilder recurrence at period 2; short series " +
+    "null; zero-loss series closes to 100") {
+    // deltas (cents): +100, -100, +200, 0
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k", ts("2024-01-01 00:01:00"), 2L, 11.0),
+      ("k", ts("2024-01-01 00:02:00"), 3L, 10.0),
+      ("k", ts("2024-01-01 00:03:00"), 4L, 12.0),
+      ("k", ts("2024-01-01 00:04:00"), 5L, 12.0),
+      ("s", ts("2024-01-01 00:00:00"), 6L, 1.0), // one delta only
+      ("s", ts("2024-01-01 00:01:00"), 7L, 2.0),
+      ("u", ts("2024-01-01 00:00:00"), 8L, 1.0), // strictly rising
+      ("u", ts("2024-01-01 00:01:00"), 9L, 2.0),
+      ("u", ts("2024-01-01 00:02:00"), 10L, 3.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.rsi(df, Seq("k"), "ts", "id", "v", period = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // seed: gains (100,0)/2=50, losses (0,100)/2=50; then
+    // (50+200)/2=125, 25; then 62.5, 12.5 -> rsi 100*62.5/75
+    assert(k.getAs[Long]("n_deltas") == 4L)
+    assert(k.getAs[Double]("avg_gain") == 0.625)
+    assert(k.getAs[Double]("avg_loss") == 0.125)
+    assert(math.abs(k.getAs[Double]("rsi") - 250.0 / 3.0) < 1e-12)
+    // seed never completes -> nulls, count still reported
+    val s = out("s")
+    assert(s.getAs[Long]("n_deltas") == 1L && s.isNullAt(3))
+    // no losses -> rsi exactly 100 (the pinned form needs no branch)
+    assert(out("u").getAs[Double]("rsi") == 100.0)
+  }
+
   test("topPaths: sessionized journeys count, rank by count then " +
     "path; maxLen truncates the session head") {
     val df = Seq(
