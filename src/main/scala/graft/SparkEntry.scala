@@ -4111,6 +4111,21 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- time-series: Page-Hinkley self-calibrating mean-shift
+    //      detector — running-mean walk, latched first alarm ----
+    "q338_page_hinkley" -> ((s, dir) =>
+      graft.ops.TimeSeries.pageHinkley(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value",
+        delta = 0.5, lambda = 200.0)),
+
+    // ---- time-series: Durbin-Watson autocorrelation diagnostic —
+    //      mean cancels in the numerator, exact moment closing ----
+    "q339_durbin_watson" -> ((s, dir) =>
+      graft.agg.Stats.durbinWatson(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value")),
+
     // ---- experimentation: Cochran-Armitage trend test — exact
     //      integer dose moments, one pinned z closing ----
     "q337_cochran_armitage" -> ((s, dir) =>
@@ -7387,6 +7402,56 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // the engine's five-double Page-Hinkley walk verbatim: running
+    // mean one division per step, delta/lambda as grid-unit literals
+    // (50 / 20000 cents), latched first-alarm index; the m_t
+    // expression repeats inside least/CASE — pure, so every
+    // occurrence evaluates to the identical double
+    "q338_page_hinkley" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(vc AS DOUBLE)] ORDER BY ts, event_id)),
+        |    (acc, p) -> [acc[1] + 1.0, acc[2] + p[1],
+        |      acc[3] + (p[1] - (acc[2] + p[1]) / (acc[1] + 1.0) - 50.0),
+        |      least(acc[4], acc[3] + (p[1] - (acc[2] + p[1])
+        |        / (acc[1] + 1.0) - 50.0)),
+        |      CASE WHEN acc[5] > 0.0 THEN acc[5]
+        |        WHEN (acc[3] + (p[1] - (acc[2] + p[1]) / (acc[1] + 1.0)
+        |            - 50.0))
+        |          - least(acc[4], acc[3] + (p[1] - (acc[2] + p[1])
+        |            / (acc[1] + 1.0) - 50.0)) > 20000.0
+        |        THEN acc[1] + 1.0 ELSE 0.0 END]) AS m
+        |  FROM b GROUP BY 1)
+        |SELECT k AS event_type, n, m[2] / m[1] / 100.0 AS mean,
+        |  (m[3] - m[4]) / 100.0 AS ph,
+        |  CASE WHEN m[5] > 0.0 THEN CAST(m[5] AS BIGINT) END AS alarm_at
+        |FROM f""".stripMargin,
+
+    // mean cancels in the numerator (exact integer deltas), so DW =
+    // exact-decimal sum(d^2) over the pinned Sxx - S^2/n closing
+    "q339_durbin_watson" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT k, vc, vc - lag(vc) OVER (PARTITION BY k
+        |    ORDER BY ts, event_id) AS d FROM b),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS s, sum(vc * vc) AS ss,
+        |    sum(d * d) AS sd2
+        |  FROM d GROUP BY 1)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n >= 2 AND CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+        |    THEN CAST(sd2 AS DOUBLE) / (CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) END AS dw
+        |FROM g""".stripMargin,
+
     // exact integer dose moments (sums of t*r, t, t*t are order-free
     // longs), one pinned p(1-p)(Sttn - Stn^2/N) variance and z
     // closing; complement 1-p computed in-expression

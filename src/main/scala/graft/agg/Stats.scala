@@ -2576,6 +2576,56 @@ object Stats {
   }
 
   /**
+   * Durbin-Watson statistic per key: `DW = Σ(xₜ−xₜ₋₁)² / Σ(xₜ−x̄)²`
+   * over the (tsCol, tieCol) total order — the classic residual-
+   * autocorrelation diagnostic (≈2 = none, →0 = positive, →4 =
+   * negative), here applied to the key's deviations from its own
+   * mean ([[acf]]'s one-number summary; run it before trusting any
+   * per-key regression's errors).
+   *
+   * Engine-exact: the mean CANCELS in the numerator (Δx is an exact
+   * integer grid difference), so Σd² is an exact decimal; the
+   * denominator closes from exact moments as `Σx² − S²/n` — one
+   * pinned chain of three correctly-rounded casts. Keys with n < 2
+   * or a constant series emit null.
+   *
+   * Output: (keys…, n, dw).
+   *
+   * Scale posture: one key exchange carries the lag window and the
+   * moment collapse; nothing row-sized leaves it.
+   */
+  def durbinWatson(df: DataFrame, keys: Seq[String], tsCol: String,
+                   tieCol: String, valueCol: String,
+                   valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "durbinWatson needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val d = col("__vc") - lag(col("__vc"), 1).over(w)
+    val agg = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__d", d)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__vc")).as("__s"),
+        sum((col("__vc") * col("__vc")).cast("decimal(38,0)"))
+          .as("__ss"),
+        sum((col("__d") * col("__d")).cast("decimal(38,0)"))
+          .as("__sd2"))
+    val nD = col("n").cast("double")
+    val den = col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    agg.select(keys.map(col) ++ Seq(col("n"),
+      when(col("n") >= 2 && den > 0.0,
+        col("__sd2").cast("double") / den).as("dw")): _*)
+  }
+
+  /**
    * Autocorrelation function per key: Pearson correlation of the
    * series with itself at lags 1..`maxLag` — the seasonality /
    * memory diagnostic behind "is this series weekly?" and AR-order

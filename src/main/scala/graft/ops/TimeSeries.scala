@@ -1738,6 +1738,72 @@ object TimeSeries {
       col("gain")): _*)
   }
 
+  /**
+   * Page-Hinkley mean-shift detector per key — [[cusum]]'s
+   * SELF-CALIBRATING sibling: where CUSUM needs a known target mean,
+   * Page-Hinkley tracks deviations from the RUNNING mean, so it
+   * detects an upward shift in a series whose baseline was never
+   * characterized. `m_t = Σ_{i≤t}(x_i − x̄_i − δ)` with x̄_i the mean
+   * of the first i points, `PH_t = m_t − min_{i≤t} m_i`, alarm at the
+   * FIRST t with `PH_t > λ` (δ = drift tolerance, λ = threshold, in
+   * value units).
+   *
+   * Engine-exact: values snap to the cent grid; the running mean is
+   * ONE division of exact integers per step; the walk folds
+   * SEQUENTIALLY in (tsCol, tieCol) order with a five-double state
+   * (n, Σcents, m, min m, alarm index) and δ, λ as 10⁻⁹-grid
+   * literals — an ANSI engine replays it with list_reduce. The alarm
+   * index LATCHES at the first crossing (replay-deterministic).
+   *
+   * Output: (keys…, n, mean, ph, alarm_at) — one row per key; `ph`
+   * is the final m − min m in VALUE units, `alarm_at` the 1-based
+   * tick index of the first crossing (null = never crossed), `mean`
+   * the key's final running mean.
+   *
+   * Scale posture: one key exchange; the fold runs over the key's
+   * collected series (the [[ewma]] per-entity contract — unbounded
+   * streams carry the same five-number state in keyed state).
+   */
+  def pageHinkley(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String, delta: Double,
+                  lambda: Double, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "pageHinkley needs key columns")
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.doubleValue
+    val scaleF = math.pow(10, valueScale)
+    // δ and λ in GRID units, pinned on the 1e-9 grid after scaling
+    val d = lit(r9(delta * scaleF)); val lam = lit(r9(lambda * scaleF))
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), vc.cast("double").as("x"))))
+    // state [n, sum, m, minM, alarmAt]
+    val fold = aggregate(lst,
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, p) => {
+        val n2 = element_at(acc, 1) + lit(1.0)
+        val s2 = element_at(acc, 2) + p.getField("x")
+        val m2 = element_at(acc, 3) +
+          (p.getField("x") - s2 / n2 - d)
+        val mn2 = least(element_at(acc, 4), m2)
+        val al = when(element_at(acc, 5) > 0.0, element_at(acc, 5))
+          .when(m2 - mn2 > lam, n2).otherwise(lit(0.0))
+        array(n2, s2, m2, mn2, al)
+      })
+    val m = (i: Int) => element_at(col("__m"), i)
+    df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), fold.as("__m"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        (m(2) / m(1) / lit(scaleF)).as("mean"),
+        ((m(3) - m(4)) / lit(scaleF)).as("ph"),
+        when(m(5) > 0.0, m(5).cast("long")).as("alarm_at")): _*)
+  }
+
   def cusum(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
             valueCol: String, target: Double, slack: Double,
             threshold: Double): DataFrame =

@@ -1231,6 +1231,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q338 page-hinkley: one key exchange carries the collected " +
+    "walk — join-free, window-free") {
+    val fin = finalPlan("q338_page_hinkley").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q339 durbin-watson: one key exchange shared by the lag window " +
+    "and the moment collapse — join-free") {
+    val fin = finalPlan("q339_durbin_watson")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q337 cochran-armitage: ONE map-side-combined key aggregation " +
     "— join-free, window-free") {
     val fin = finalPlan("q337_cochran_armitage")

@@ -377,6 +377,27 @@ class StatsSpec extends AnyFunSuite {
     assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
   }
 
+  test("durbinWatson: trending series scores below 2, alternating " +
+    "above 2, exact hand values; constant and singleton null") {
+    import java.sql.Timestamp
+    def series(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) =>
+        (k, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    }
+    val df = (series("trend", Seq(1.0, 2.0, 3.0, 4.0)) ++
+      series("alt", Seq(1.0, 3.0, 1.0, 3.0)) ++
+      series("const", Seq(5.0, 5.0, 5.0)) ++
+      series("one", Seq(7.0))).toDF("k", "ts", "id", "v")
+    val out = Stats.durbinWatson(df, Seq("k"), "ts", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // 1,2,3,4: Σd² = 3·100², den = 300000 − 1000²/4 ⇒ 0.6 exact
+    assert(out("trend").get == 0.6)
+    // 1,3,1,3: Σd² = 3·200², den = 200000 − 800²/4 ⇒ 3.0 exact
+    assert(out("alt").get == 3.0)
+    assert(out("const").isEmpty && out("one").isEmpty)
+  }
+
   test("cochranArmitage: hand-computed monotone trend z; flat rates " +
     "score exactly 0; single dose is null") {
     def mk(k: String, dose: Long, pos: Int, tot: Int) =

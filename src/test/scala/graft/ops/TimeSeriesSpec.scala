@@ -681,6 +681,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ok.length == 3)
   }
 
+  test("pageHinkley: flat series never alarms; a level shift latches " +
+    "the FIRST crossing index; running mean reported") {
+    def series(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (k, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    }
+    val df = (series("shift", Seq(10, 10, 10, 10, 100, 100, 100, 100)
+        .map(_.toDouble)) ++
+      series("flat", Seq.fill(6)(42.0))).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.pageHinkley(df, Seq("k"), "ts", "id", "v",
+      delta = 0.0, lambda = 50.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sh = out("shift")
+    // first post-shift tick: m jumps by 100 - mean(14000/5 cents) =
+    // 72.00 > λ = 50 -> alarm at tick 5
+    assert(sh.getAs[Long]("alarm_at") == 5L)
+    assert(sh.getAs[Double]("mean") == 55.0)
+    assert(sh.getAs[Double]("ph") > 50.0)
+    val fl = out("flat")
+    assert(fl.isNullAt(fl.fieldIndex("alarm_at")) &&
+      fl.getAs[Double]("ph") == 0.0 && fl.getAs[Double]("mean") == 42.0)
+  }
+
   test("rsi: hand-walked Wilder recurrence at period 2; short series " +
     "null; zero-loss series closes to 100") {
     // deltas (cents): +100, -100, +200, 0
