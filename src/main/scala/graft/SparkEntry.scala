@@ -4111,6 +4111,29 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- time-series: Holt-Winters additive seasonal — (3+m)-double
+    //      sequential fold, in-expression complements, per-season rows ----
+    "q342_holt_winters" -> ((s, dir) =>
+      graft.ops.TimeSeries.holtWinters(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7)),
+
+    // ---- stats: Kruskal-Wallis H — doubled average ranks as exact
+    //      longs, ANOVA-on-ranks closing (tie correction built in) ----
+    "q340_kruskal_wallis" -> ((s, dir) =>
+      graft.agg.Stats.kruskalWallis(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "grp", "value")),
+
+    // ---- stats: Wald-Wolfowitz runs test — discrete-median
+    //      dichotomy, lag run boundaries, exact null moments ----
+    "q341_runs_test" -> ((s, dir) =>
+      graft.agg.Stats.runsTest(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value")),
+
     // ---- time-series: Page-Hinkley self-calibrating mean-shift
     //      detector — running-mean walk, latched first alarm ----
     "q338_page_hinkley" -> ((s, dir) =>
@@ -7402,6 +7425,112 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // the engine's (3+7)-double fold verbatim: zero init, season by
+    // tick position mod 7, alpha/beta/gamma AND their complements as
+    // in-expression DOUBLE casts (the q327 ulp discipline); the l2
+    // expression repeats inside b2/s_j — pure, identical doubles
+    "q342_holt_winters" -> {
+      val j0 = "(CAST(acc[3] AS BIGINT) % 7)"
+      val sj = s"acc[CAST($j0 + 4 AS INT)]"
+      val one = "CAST(1.0 AS DOUBLE)"
+      val A = "CAST(0.3 AS DOUBLE)"
+      val B = "CAST(0.1 AS DOUBLE)"
+      val G = "CAST(0.2 AS DOUBLE)"
+      val l2 = s"($A * (p[1] - $sj) + ($one - $A) * (acc[1] + acc[2]))"
+      val b2 = s"($B * ($l2 - acc[1]) + ($one - $B) * acc[2])"
+      val sj2 = s"($G * (p[1] - $l2) + ($one - $G) * $sj)"
+      s"""WITH b AS (SELECT event_type AS k, ts, event_id,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         |    AND value IS NOT NULL AND event_type IS NOT NULL),
+         |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(
+         |      [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0],
+         |      list([v] ORDER BY ts, event_id)),
+         |    (acc, p) -> list_value($l2, $b2, acc[3] + $one)
+         |      || list_transform([1,2,3,4,5,6,7], q -> CASE
+         |        WHEN q = $j0 + 1 THEN $sj2
+         |        ELSE acc[CAST(q + 3 AS INT)] END)) AS m
+         |  FROM b GROUP BY 1),
+         |u AS (SELECT k, n, unnest(list_transform([1,2,3,4,5,6,7],
+         |    q -> struct_pack(si := q, sv := m[CAST(q + 3 AS INT)])))
+         |    AS s, m[1] AS level, m[2] AS trend FROM f)
+         |SELECT k AS event_type, n, CAST(s.si AS BIGINT) AS season_idx,
+         |  level, trend, s.sv AS seasonal FROM u""".stripMargin
+    },
+
+    // doubled average ranks 2*rank_min + t - 1 as exact longs (rank
+    // + tie-count windows on one exchange), per-group exact moments,
+    // group-order fold, pinned ANOVA-on-ranks closing against
+    // r-bar = (N+1)/2
+    "q340_kruskal_wallis" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 4) + 4) % 4 AS g, value AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |r AS (SELECT *, 2 * rank() OVER (PARTITION BY k ORDER BY v)
+        |    + count(*) OVER (PARTITION BY k, v) - 1 AS r2 FROM b),
+        |cells AS (SELECT k, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(r2) AS BIGINT) AS R2, sum(r2 * r2) AS sq
+        |  FROM r GROUP BY 1, 2),
+        |f AS (SELECT k, list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0],
+        |    list([CAST(ng AS DOUBLE), CAST(R2 AS DOUBLE),
+        |      CAST(sq AS DOUBLE)] ORDER BY g)),
+        |    (acc, p) -> [acc[1] + p[2]*p[2] / (4.0*p[1]),
+        |      acc[2] + p[3], acc[3] + p[1], acc[4] + 1.0]) AS m
+        |  FROM cells GROUP BY 1)
+        |SELECT k AS event_type, CAST(m[4] AS BIGINT) AS k_groups,
+        |  CAST(m[3] AS BIGINT) AS n,
+        |  CASE WHEN m[4] >= 2.0 AND m[2] / 4.0
+        |      - m[3] * ((m[3] + 1.0) / 2.0) * ((m[3] + 1.0) / 2.0)
+        |      > 0.0
+        |    THEN (m[3] - 1.0) * (m[1]
+        |        - m[3] * ((m[3] + 1.0) / 2.0) * ((m[3] + 1.0) / 2.0))
+        |      / (m[2] / 4.0
+        |        - m[3] * ((m[3] + 1.0) / 2.0) * ((m[3] + 1.0) / 2.0))
+        |    END AS h
+        |FROM f""".stripMargin,
+
+    // cent grid, discrete lower median (rank (N+1)//2), equal-to-
+    // median rows drop, lag run boundaries on the (ts, event_id)
+    // total order, exact integer n1/n2/R, pinned z closing
+    "q341_runs_test" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY vc) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS cnt
+        |  FROM b),
+        |md AS (SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN vc END)
+        |    OVER (PARTITION BY k) AS med FROM w),
+        |s AS (SELECT k, ts, event_id, vc > med AS up FROM md
+        |  WHERE vc <> med),
+        |c AS (SELECT k, up, CASE WHEN lag(up) OVER (PARTITION BY k
+        |      ORDER BY ts, event_id) IS NULL THEN 1
+        |    WHEN lag(up) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      <> up THEN 1 ELSE 0 END AS chg FROM s),
+        |g AS (SELECT k,
+        |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(chg) AS BIGINT) AS runs FROM c GROUP BY 1),
+        |x AS (SELECT *, CAST(n_above AS DOUBLE) AS x1,
+        |    CAST(n_below AS DOUBLE) AS x2 FROM g)
+        |SELECT k AS event_type, n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0
+        |      AND n_above + n_below >= 2
+        |      AND 2.0*x1*x2 * (2.0*x1*x2 - (x1 + x2))
+        |        / ((x1 + x2) * (x1 + x2) * ((x1 + x2) - 1.0)) > 0.0
+        |    THEN (CAST(runs AS DOUBLE)
+        |        - (2.0*x1*x2 / (x1 + x2) + 1.0))
+        |      / sqrt(2.0*x1*x2 * (2.0*x1*x2 - (x1 + x2))
+        |        / ((x1 + x2) * (x1 + x2) * ((x1 + x2) - 1.0)))
+        |    END AS z
+        |FROM x""".stripMargin,
+
     // the engine's five-double Page-Hinkley walk verbatim: running
     // mean one division per step, delta/lambda as grid-unit literals
     // (50 / 20000 cents), latched first-alarm index; the m_t

@@ -936,6 +936,143 @@ object Stats {
   }
 
   /**
+   * Kruskal-Wallis H test per key — [[mannWhitneyU]]'s k-group
+   * extension: do k groups share one location, judged on RANKS (no
+   * normality assumed)? Computed in the ANOVA-on-ranks form
+   * `H = (N−1)·Σ n_g(r̄_g − r̄)² / Σ(r_i − r̄)²`, which absorbs the
+   * tie correction automatically (with average ranks the denominator
+   * IS the tie-adjusted scatter — no separate C factor).
+   *
+   * Engine-exact: average ranks ride the HALF-integer grid, so the
+   * engine carries DOUBLED ranks `r2 = 2·rank_min + t − 1` as exact
+   * longs (rank window + tie count share one key exchange); per-group
+   * rank sums and the global Σr2² are exact integers; the cross-group
+   * collapse folds SEQUENTIALLY in group order (≡ list_reduce) as
+   * `Σ R2_g²/(4 n_g)`, and H closes in one pinned chain against
+   * `r̄ = (N+1)/2` (exact for average ranks regardless of ties).
+   * Keys with < 2 groups or an all-tied sample emit null.
+   *
+   * Output: (keys…, k_groups, n, h) — H ≈ χ²(k−1) under the null.
+   *
+   * Scale posture: ONE key exchange carries the rank and tie
+   * windows; the (keys, group) collapse is map-side; the fold runs
+   * on the GROUP grid.
+   */
+  def kruskalWallis(df: DataFrame, keys: Seq[String], groupCol: String,
+                    valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "kruskalWallis needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val wTie = Window.partitionBy(keys.map(col) :+ col("__v"): _*)
+    val ranked = df
+      .filter(v.isNotNull && col(groupCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__v", v)
+      .withColumn("__r2",
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+    val cells = ranked.groupBy(keys.map(col) :+ col(groupCol): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__R2"),
+        sum((col("__r2") * col("__r2")).cast("decimal(38,0)"))
+          .as("__sq"))
+    // fold in group order; state [A = Σ R2_g²/(4 n_g), B = Σ Σr2²,
+    // N, K] — B sums per-group exact decimals in the SAME pinned
+    // order, so no second pass over the ranked rows and no join
+    val fold = aggregate(
+      sort_array(collect_list(struct(col(groupCol).as("__g"),
+        col("__ng").cast("double").as("__nd"),
+        col("__R2").cast("double").as("__rd"),
+        col("__sq").cast("double").as("__qd")))),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, p) => array(
+        element_at(acc, 1) + p.getField("__rd") * p.getField("__rd") /
+          (lit(4.0) * p.getField("__nd")),
+        element_at(acc, 2) + p.getField("__qd"),
+        element_at(acc, 3) + p.getField("__nd"),
+        element_at(acc, 4) + lit(1.0)))
+    val m = (i: Int) => element_at(col("__m"), i)
+    val nD = m(3)
+    val c = (nD + lit(1.0)) / lit(2.0)
+    val num = m(1) - nD * c * c
+    val den = m(2) / lit(4.0) - nD * c * c
+    cells.groupBy(keys.map(col): _*).agg(fold.as("__m"))
+      .select(keys.map(col) ++ Seq(
+        m(4).cast("long").as("k_groups"), nD.cast("long").as("n"),
+        when(m(4) >= 2.0 && den > 0.0,
+          (nD - lit(1.0)) * num / den).as("h")): _*)
+  }
+
+  /**
+   * Wald-Wolfowitz runs test per key: is the sequence's wander around
+   * its median RANDOM in time, or does it trend/oscillate? — the
+   * model-free randomness check ([[durbinWatson]]'s rank-free
+   * cousin): dichotomize each value against the key's DISCRETE lower
+   * median (values equal to it drop — the standard continuous-data
+   * convention), count runs of consecutive same-side values on the
+   * (tsCol, tieCol) total order, and compare with the exact null
+   * moments `E[R] = 2n₁n₂/N + 1`,
+   * `Var = 2n₁n₂(2n₁n₂−N)/(N²(N−1))`.
+   *
+   * Engine-exact: values snap to the cent grid; the median is the
+   * rank-⌊(N+1)/2⌋ value ([[brownForsythe]]'s rule); run boundaries
+   * are exact lag comparisons; n₁, n₂, R are exact integers and the
+   * z closing is one pinned chain (2n₁n₂ stays under 2⁵³ as a
+   * double product — no long overflow by construction). Keys with an
+   * empty side (n₁ = 0 or n₂ = 0) or N < 2 emit null z.
+   *
+   * Output: (keys…, n_above, n_below, runs, z) — z standard normal
+   * under randomness; z ≪ 0 = too few runs (trending/clustered),
+   * z ≫ 0 = too many (oscillating).
+   *
+   * Scale posture: one key exchange carries the median windows, the
+   * post-filter run lag, and the closing collapse.
+   */
+  def runsTest(df: DataFrame, keys: Seq[String], tsCol: String,
+               tieCol: String, valueCol: String,
+               valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "runsTest needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__vc"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wT = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val signed = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("__med", max(when(col("__rn") ===
+        ((col("__cnt") + 1L) / lit(2L)).cast("long"), col("__vc")))
+        .over(wAll))
+      .filter(col("__vc") =!= col("__med"))
+      .withColumn("__up", col("__vc") > col("__med"))
+      .withColumn("__chg",
+        when(lag(col("__up"), 1).over(wT).isNull, 1L)
+          .when(lag(col("__up"), 1).over(wT) =!= col("__up"), 1L)
+          .otherwise(0L))
+    val agg = signed.groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__up"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__up"), 0L).otherwise(1L)).as("n_below"),
+        sum(col("__chg")).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nD = n1 + n2
+    val two = lit(2.0) * n1 * n2
+    val e = two / nD + lit(1.0)
+    val vr = two * (two - nD) / (nD * nD * (nD - lit(1.0)))
+    agg.select(keys.map(col) ++ Seq(col("n_above"), col("n_below"),
+      col("runs"),
+      when(col("n_above") > 0L && col("n_below") > 0L &&
+        col("n_above") + col("n_below") >= 2L && vr > 0.0,
+        (col("runs").cast("double") - e) / sqrt(vr)).as("z")): _*)
+  }
+
+  /**
    * Cochran-Armitage trend test per key: is a binary outcome's rate
    * MONOTONE in an ordered dose (exposure bucket, severity tier,
    * price band)? — the experimentation family's ordered-groups

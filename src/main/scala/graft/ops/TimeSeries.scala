@@ -575,6 +575,82 @@ object TimeSeries {
   }
 
   /**
+   * Holt-Winters ADDITIVE SEASONAL smoothing per key — completing the
+   * exponential family ([[ewma]] level → [[holtLinear]] level+trend →
+   * this: level+trend+season): the standard model for metrics with a
+   * daily/weekly shape. Seasons index by TICK POSITION modulo
+   * `period` (resample to a regular grid first — [[resampleFill]] —
+   * when wall-clock seasonality is meant), with the deterministic
+   * zero-init convention `l₀ = 0, b₀ = 0, s = 0⃗` (the smoother
+   * forgets it geometrically; a series of ≥ a few periods is
+   * indistinguishable from fancier seeding, and zero-init is the one
+   * convention every engine replays bit-for-bit):
+   * `lₜ = α(xₜ − s_j) + (1−α)(lₜ₋₁+bₜ₋₁)`,
+   * `bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁`,
+   * `s_j ← γ(xₜ−lₜ) + (1−γ)s_j`, `j = (t−1) mod period + 1`.
+   *
+   * Engine-exact: one sequential fold per key in (tsCol, tieCol)
+   * order with a (3+period)-double state; α, β, γ and their
+   * complements are 10⁻⁹-grid literals with `1−·` computed
+   * IN-expression (the q327 ulp discipline); season updates rebuild
+   * the vector positionally (≡ list_transform with an index CASE) so
+   * an ANSI engine replays the fold with list_reduce.
+   *
+   * Output: (keys…, n, season_idx, level, trend, seasonal) — one row
+   * per (key, season position 1..period); level/trend repeat per row
+   * (the h-step forecast is `level + h·trend + seasonal[(n+h−1) mod
+   * period + 1]`, left to the caller with its own h).
+   *
+   * Scale posture: one key exchange; the in-group array build is
+   * bounded by the key's event count (the [[ewma]] contract).
+   */
+  def holtWinters(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String, alpha: Double,
+                  beta: Double, gamma: Double, period: Int): DataFrame = {
+    require(keys.nonEmpty, "holtWinters needs key columns")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta in (0,1], got $beta")
+    require(gamma > 0 && gamma <= 1, s"gamma in (0,1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.doubleValue
+    val a = lit(r9(alpha)); val bt = lit(r9(beta)); val g = lit(r9(gamma))
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), col(valueCol).cast("double").as("v"))))
+    val init = concat(array(lit(0.0), lit(0.0), lit(0.0)),
+      transform(sequence(lit(1), lit(period)), _ => lit(0.0)))
+    val fold = aggregate(lst, init, (acc, p) => {
+      val l = element_at(acc, 1); val b = element_at(acc, 2)
+      val cnt = element_at(acc, 3)
+      val j = (pmod(cnt.cast("long"), lit(period.toLong)) + 1L)
+        .cast("int")
+      val sj = element_at(acc, j + 3)
+      val x = p.getField("v")
+      val l2 = a * (x - sj) + (lit(1.0) - a) * (l + b)
+      val b2 = bt * (l2 - l) + (lit(1.0) - bt) * b
+      val sj2 = g * (x - l2) + (lit(1.0) - g) * sj
+      concat(array(l2, b2, cnt + lit(1.0)),
+        transform(sequence(lit(1), lit(period)), jj =>
+          when(jj === j, sj2)
+            .otherwise(element_at(acc, (jj + 3).cast("int")))))
+    })
+    df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), fold.as("__m"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        posexplode(slice(col("__m"), 4, period))
+          .as(Seq("__p", "seasonal")),
+        element_at(col("__m"), 1).as("level"),
+        element_at(col("__m"), 2).as("trend")): _*)
+      .select(keys.map(col) ++ Seq(col("n"),
+        (col("__p") + 1).cast("long").as("season_idx"),
+        col("level"), col("trend"), col("seasonal")): _*)
+  }
+
+  /**
    * Wilder's Relative Strength Index per key — [[ewma]]'s bounded
    * momentum cousin and the standard overbought/oversold monitor
    * (RSI > 70 hot, < 30 cold), applicable to any metric series

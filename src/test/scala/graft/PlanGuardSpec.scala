@@ -1231,6 +1231,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q342 holt-winters: one key exchange, fold + season explode — " +
+    "join-free") {
+    val fin = finalPlan("q342_holt_winters").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("Generate"), fin.take(1500)) // season rows
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q340 kruskal-wallis: rank + tie windows and the grid collapse " +
+    "— join-free") {
+    val fin = finalPlan("q340_kruskal_wallis")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
+  test("q341 runs test: median windows, run lag, and collapse on key " +
+    "exchanges — join-free") {
+    val fin = finalPlan("q341_runs_test").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q338 page-hinkley: one key exchange carries the collected " +
     "walk — join-free, window-free") {
     val fin = finalPlan("q338_page_hinkley").split("== Initial Plan ==")(0)

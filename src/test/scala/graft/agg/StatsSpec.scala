@@ -377,6 +377,53 @@ class StatsSpec extends AnyFunSuite {
     assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
   }
 
+  test("kruskalWallis: hand values with and without ties (tie " +
+    "correction built into the rank-scatter denominator)") {
+    // {1,2} vs {3,4}: H = 2.4 exactly (classic formula cross-check)
+    val clean = Seq(("k", 0L, 1.0), ("k", 0L, 2.0),
+      ("k", 1L, 3.0), ("k", 1L, 4.0))
+    // {1,1} vs {1,2}: uncorrected H = 0.6, C = 0.6 -> H = 1 exactly
+    val tied = Seq(("t", 0L, 1.0), ("t", 0L, 1.0),
+      ("t", 1L, 1.0), ("t", 1L, 2.0))
+    // all values identical -> zero rank scatter -> null
+    val flat = Seq(("f", 0L, 5.0), ("f", 1L, 5.0))
+    val out = Stats.kruskalWallis(
+      (clean ++ tied ++ flat).toDF("key", "g", "v"), Seq("key"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("k")._1 == 2L && out("k")._2 == 4L)
+    assert(math.abs(out("k")._3.get - 2.4) < 1e-12)
+    assert(math.abs(out("t")._3.get - 1.0) < 1e-12)
+    assert(out("f")._3.isEmpty)
+  }
+
+  test("runsTest: alternating sequence has many runs (z > 0), " +
+    "monotone few (z < 0), hand moments; empty side null") {
+    import java.sql.Timestamp
+    def series(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) =>
+        (k, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    }
+    // time order 10,1,9,2,8,3: median (rank 3 of sorted) = 3, drops;
+    // remaining +,-,+,-,+ -> 5 runs, n1=3, n2=2, E=3.4, Var=0.84
+    val osc = series("osc", Seq(10.0, 1.0, 9.0, 2.0, 8.0, 3.0))
+    val mono = series("mono", Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val side = series("side", Seq(1.0, 2.0, 2.0)) // med 2 -> no belows
+    val out = Stats.runsTest((osc ++ mono ++ side).toDF("k", "ts", "id", "v"),
+      Seq("k"), "ts", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("osc")._1 == 3L && out("osc")._2 == 2L &&
+      out("osc")._3 == 5L)
+    assert(math.abs(out("osc")._4.get -
+      (5.0 - 3.4) / math.sqrt(0.84)) < 1e-12)
+    // 1..6: med 3 drops; -,-,+,+,+ -> 2 runs, z < 0
+    assert(out("mono")._3 == 2L && out("mono")._4.get < 0.0)
+    assert(out("side")._4.isEmpty)
+  }
+
   test("durbinWatson: trending series scores below 2, alternating " +
     "above 2, exact hand values; constant and singleton null") {
     import java.sql.Timestamp

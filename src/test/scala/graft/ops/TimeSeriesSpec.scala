@@ -681,6 +681,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ok.length == 3)
   }
 
+  test("holtWinters: hand-walked additive fold at period 2, exact " +
+    "dyadic values; per-season rows") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k", ts("2024-01-01 00:01:00"), 2L, 20.0),
+      ("k", ts("2024-01-01 00:02:00"), 3L, 30.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.holtWinters(df, Seq("k"), "ts", "id", "v",
+      alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2)
+      .collect().map(r => r.getAs[Long]("season_idx") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val r1 = out(1L)
+    // zero init; t1: l=5, b=2.5, s1=2.5; t2: l=13.75, b=5.625,
+    // s2=3.125; t3 (season 1 again, s1=2.5): l=23.4375, b=7.65625,
+    // s1=4.53125 — all dyadic, so exact equality
+    assert(r1.getAs[Long]("n") == 3L)
+    assert(r1.getAs[Double]("level") == 23.4375)
+    assert(r1.getAs[Double]("trend") == 7.65625)
+    assert(r1.getAs[Double]("seasonal") == 4.53125)
+    assert(out(2L).getAs[Double]("seasonal") == 3.125)
+  }
+
   test("pageHinkley: flat series never alarms; a level shift latches " +
     "the FIRST crossing index; running mean reported") {
     def series(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
