@@ -4111,6 +4111,37 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- streaming: Page-Hinkley keyed state — (n, Σcents, m, min m,
+    //      latch) per key, batch ≡ stream, ordered single-file triggers ----
+    "q343_stream_page_hinkley" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q343")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q343: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.pageHinkleyStream(
+          df, "user_id", "ts", "event_id", "value",
+          delta = 0.5, lambda = 200.0),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldPageHinkleyUpdates(updates)
+        .select(col("actor").as("user_id"), col("n"), col("mean"),
+          col("ph"), col("alarm_at"))
+    }),
+
     // ---- time-series: Holt-Winters additive seasonal — (3+m)-double
     //      sequential fold, in-expression complements, per-season rows ----
     "q342_holt_winters" -> ((s, dir) =>
@@ -7425,6 +7456,33 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // the q338 walk keyed by user_id (the stream's final state per
+    // key IS the batch answer; the stream gate folds its update log
+    // to the max-n row before comparing)
+    "q343_stream_page_hinkley" ->
+      """WITH b AS (SELECT user_id AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(vc AS DOUBLE)] ORDER BY ts, event_id)),
+        |    (acc, p) -> [acc[1] + 1.0, acc[2] + p[1],
+        |      acc[3] + (p[1] - (acc[2] + p[1]) / (acc[1] + 1.0) - 50.0),
+        |      least(acc[4], acc[3] + (p[1] - (acc[2] + p[1])
+        |        / (acc[1] + 1.0) - 50.0)),
+        |      CASE WHEN acc[5] > 0.0 THEN acc[5]
+        |        WHEN (acc[3] + (p[1] - (acc[2] + p[1]) / (acc[1] + 1.0)
+        |            - 50.0))
+        |          - least(acc[4], acc[3] + (p[1] - (acc[2] + p[1])
+        |            / (acc[1] + 1.0) - 50.0)) > 20000.0
+        |        THEN acc[1] + 1.0 ELSE 0.0 END]) AS m
+        |  FROM b GROUP BY 1)
+        |SELECT k AS user_id, n, m[2] / m[1] / 100.0 AS mean,
+        |  (m[3] - m[4]) / 100.0 AS ph,
+        |  CASE WHEN m[5] > 0.0 THEN CAST(m[5] AS BIGINT) END AS alarm_at
+        |FROM f""".stripMargin,
+
     // the engine's (3+7)-double fold verbatim: zero init, season by
     // tick position mod 7, alpha/beta/gamma AND their complements as
     // in-expression DOUBLE casts (the q327 ulp discipline); the l2

@@ -933,6 +933,82 @@ object Streaming {
   }
 
   /**
+   * Streaming Page-Hinkley ([[graft.ops.TimeSeries.pageHinkley]]'s
+   * incremental form): per-key state is (n, Σcents, m, min m,
+   * latched alarm index) — two exact longs, two doubles produced by
+   * the SAME pinned sequential chain as the batch fold (the Σcents
+   * long converts exactly to the batch's double sum below 2⁵³), and
+   * one latch long. Batch ≡ stream on any feed chunking that
+   * preserves per-key (ts, tie) order across micro-batches (the
+   * [[cusumStream]] order contract; rows inside one batch are sorted
+   * here). Values snap via the ONE cents convention; δ and λ are
+   * 10⁻⁹-grid literals in grid units.
+   *
+   * Emits one row per processed event (Update mode) carrying the
+   * state AFTER that event; replays re-read pre-batch state and emit
+   * identical rows, so the log folds exactly per key
+   * ([[foldPageHinkleyUpdates]] — the max-n row IS the final state).
+   */
+  def pageHinkleyStream(df: DataFrame, actorCol: String, tsCol: String,
+                        tieCol: String, valueCol: String, delta: Double,
+                        lambda: Double): DataFrame = {
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.doubleValue
+    val dC = r9(delta * 100.0)
+    val lamC = r9(lambda * 100.0)
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Double, Long),
+        (Long, Long, Long, Long, Double, Double, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long, Double, Double, Long)]) =>
+          var (n, sumC, m, minM, alarmAt) =
+            state.getOption.getOrElse((0L, 0L, 0.0, 0.0, 0L))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, v) =>
+              val xc = cents(v)
+              n += 1L; sumC += xc
+              val mean = sumC.toDouble / n.toDouble
+              m += xc.toDouble - mean - dC
+              minM = math.min(minM, m)
+              val ph = m - minM
+              if (alarmAt == 0L && ph > lamC) alarmAt = n
+              (key, tie, ts, n, mean / 100.0, ph / 100.0, alarmAt)
+          }
+          state.update((n, sumC, m, minM, alarmAt))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "n", "mean", "ph", "alarm_at")
+  }
+
+  /** Collapse a [[pageHinkleyStream]] update log to the batch
+   *  [[graft.ops.TimeSeries.pageHinkley]] shape: the max-n row per
+   *  actor carries the final state (the alarm index is latched, so
+   *  `max` equals the final value; 0 folds to null = never). */
+  def foldPageHinkleyUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("mean"), col("n")).as("mean"),
+        max_by(col("ph"), col("n")).as("ph"),
+        max(col("alarm_at")).as("__al"))
+      .withColumn("alarm_at", when(col("__al") > 0L, col("__al")))
+      .select(col("actor"), col("n"), col("mean"), col("ph"),
+        col("alarm_at"))
+
+  /**
    * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
    * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
    * Σ µs, tick count) — six longs, constant per key, all integer (NO

@@ -367,4 +367,41 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Double)].toDF("t", "px"),
       Seq.empty, "t", "t", maxGap = 10L).count() == 0)
   }
+
+  test("round-16 operators on empty inputs") {
+    import java.sql.Timestamp
+    val emptyPY = Seq.empty[(String, Double, Boolean)].toDF("k", "p", "y")
+    assert(graft.agg.Stats.isotonicCalibration(
+      emptyPY, Seq("k"), "p", "y").count() == 0)
+    val emptyXVW =
+      Seq.empty[(String, Double, Double, Double)].toDF("k", "x", "v", "w")
+    assert(graft.agg.Stats.quantileRegression(
+      emptyXVW, Seq("k"), "x", "v", "w", tau = 0.5,
+      binWidth = 1.0).count() == 0)
+    val emptyGV = Seq.empty[(String, Long, Double)].toDF("k", "g", "v")
+    assert(graft.agg.Stats.brownForsythe(
+      emptyGV, Seq("k"), "g", "v").count() == 0)
+    assert(graft.agg.Stats.kruskalWallis(
+      emptyGV, Seq("k"), "g", "v").count() == 0)
+    val emptyDose = Seq.empty[(String, Long, Boolean)].toDF("k", "d", "y")
+    assert(graft.agg.Stats.cochranArmitage(
+      emptyDose, Seq("k"), "d", "y").count() == 0)
+    val emptyTs =
+      Seq.empty[(String, Timestamp, Long, Double)].toDF("k", "ts", "id", "v")
+    assert(graft.agg.Stats.durbinWatson(
+      emptyTs, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.agg.Stats.runsTest(
+      emptyTs, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.ops.TimeSeries.rsi(
+      emptyTs, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.ops.TimeSeries.pageHinkley(
+      emptyTs, Seq("k"), "ts", "id", "v", delta = 0.0,
+      lambda = 1.0).count() == 0)
+    assert(graft.ops.TimeSeries.holtWinters(
+      emptyTs, Seq("k"), "ts", "id", "v", alpha = 0.5, beta = 0.5,
+      gamma = 0.5, period = 2).count() == 0)
+    assert(graft.graph.Centrality.hits(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst").count() == 0)
+  }
 }

@@ -591,6 +591,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == batchOut)
   }
 
+  test("pageHinkleyStream: keyed running-mean walk across batches == " +
+    "batch pageHinkley, bit-for-bit; alarm index latches") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ph").toString
+    // key 1: flat 10s then a level shift to 100 ACROSS the batch
+    // boundary (the alarm must latch on post-boundary state)
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 10:05:00"), 10.0, 2L),
+      (1L, ts("2024-01-01 10:10:00"), 10.0, 3L))
+    val batch2 = Seq((1L, ts("2024-01-01 11:00:00"), 100.0, 4L),
+      (1L, ts("2024-01-01 11:05:00"), 100.0, 5L),
+      (2L, ts("2024-01-01 11:00:00"), 42.0, 6L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in", schema,
+      df => Streaming.pageHinkleyStream(df, "user_id", "ts", "event_id",
+        "value", delta = 0.0, lambda = 50.0),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldPageHinkleyUpdates(updates)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // tick 4: mean = 130/4 = 32.5, m jumps by 67.5 > 50 -> alarm at 4
+    assert(out(1L)._1 == 5L && out(1L)._4.contains(4L))
+    assert(out(2L)._4.isEmpty && out(2L)._2 == 42.0)
+    // parity with the batch operator, bit-for-bit
+    val batchOut = graft.ops.TimeSeries.pageHinkley(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value",
+      delta = 0.0, lambda = 50.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out == batchOut)
+  }
+
   test("twapStream: closed buckets emit final rows across batches == " +
     "batch twap; the open bucket never emits") {
     import java.sql.Timestamp
