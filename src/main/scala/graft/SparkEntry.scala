@@ -4111,6 +4111,14 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- stats: one-way ANOVA F + η² — exact integer group moments,
+    //      group-order fold, pinned scatter-identity closing ----
+    "q344_anova_f" -> ((s, dir) =>
+      graft.agg.Stats.anovaF(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "grp", "value")),
+
     // ---- streaming: Page-Hinkley keyed state — (n, Σcents, m, min m,
     //      latch) per key, batch ≡ stream, ordered single-file triggers ----
     "q343_stream_page_hinkley" -> ((s, dir) => {
@@ -7456,6 +7464,36 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // exact integer (n, S, SS) cells on the cent grid, group-order
+    // fold, pinned between = A - T^2/N / within = B - A identities,
+    // F and eta-squared closings
+    "q344_anova_f" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 4) + 4) % 4 AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(vc) AS BIGINT) AS s, sum(vc * vc) AS ss
+        |  FROM b GROUP BY 1, 2),
+        |f AS (SELECT k, list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(ng AS DOUBLE), CAST(s AS DOUBLE),
+        |        CAST(ss AS DOUBLE)] ORDER BY g)),
+        |    (acc, p) -> [acc[1] + p[2]*p[2]/p[1], acc[2] + p[3],
+        |      acc[3] + p[2], acc[4] + p[1], acc[5] + 1.0]) AS m
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT k, m, m[1] - m[3]*m[3]/m[4] AS btw,
+        |    m[2] - m[1] AS wth FROM f)
+        |SELECT k AS event_type, CAST(m[5] AS BIGINT) AS k_groups,
+        |  CAST(m[4] AS BIGINT) AS n,
+        |  CASE WHEN m[5] >= 2.0 AND m[4] > m[5] AND wth > 0.0
+        |    THEN (btw / (m[5] - 1.0)) / (wth / (m[4] - m[5]))
+        |    END AS f_stat,
+        |  CASE WHEN m[5] >= 2.0 AND btw + wth > 0.0
+        |    THEN btw / (btw + wth) END AS eta_sq
+        |FROM c""".stripMargin,
+
     // the q338 walk keyed by user_id (the stream's final state per
     // key IS the batch answer; the stream gate folds its update log
     // to the max-n row before comparing)

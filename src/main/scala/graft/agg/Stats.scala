@@ -936,6 +936,69 @@ object Stats {
   }
 
   /**
+   * One-way ANOVA F per key — the classic k-group mean comparison
+   * completing the trio: THIS tests locations under equal-variance
+   * normality, [[kruskalWallis]] tests locations on ranks, and
+   * [[brownForsythe]] tests the equal-variance assumption itself.
+   * `F = [Σ n_g(x̄_g−x̄)²/(k−1)] / [Σ(x−x̄_g)²/(N−k)]`, plus the η²
+   * effect size (between-scatter share — significance without size
+   * is how dashboards lie).
+   *
+   * Engine-exact: values snap to the cent grid; per-group moments
+   * (n, Σx, Σx²) are exact integers, each cast to double once; the
+   * cross-group collapse folds SEQUENTIALLY in group order
+   * (≡ list_reduce, the [[brownForsythe]] state) and F/η² close in
+   * one pinned chain via the scatter identities
+   * `between = Σ S_g²/n_g − T²/N`, `within = ΣSS − Σ S_g²/n_g`.
+   * Keys with < 2 groups, N ≤ k, or zero within-scatter emit null F.
+   *
+   * Output: (keys…, k_groups, n, f_stat, eta_sq).
+   *
+   * Scale posture: ONE (keys, group) map-side-combined collapse; the
+   * fold runs on the GROUP grid.
+   */
+  def anovaF(df: DataFrame, keys: Seq[String], groupCol: String,
+             valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "anovaF needs key columns")
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .groupBy(keys.map(col) :+ col(groupCol): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__vc")).as("__s"),
+        sum((col("__vc") * col("__vc")).cast("decimal(38,0)"))
+          .as("__ss"))
+    // state [A = Σ S²/n, B = Σ SS, T, N, K] in group order
+    val fold = aggregate(
+      sort_array(collect_list(struct(col(groupCol).as("__g"),
+        col("__ng").cast("double").as("__nd"),
+        col("__s").cast("double").as("__sd"),
+        col("__ss").cast("double").as("__qd")))),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, p) => array(
+        element_at(acc, 1) +
+          p.getField("__sd") * p.getField("__sd") / p.getField("__nd"),
+        element_at(acc, 2) + p.getField("__qd"),
+        element_at(acc, 3) + p.getField("__sd"),
+        element_at(acc, 4) + p.getField("__nd"),
+        element_at(acc, 5) + lit(1.0)))
+    val m = (i: Int) => element_at(col("__m"), i)
+    val between = m(1) - m(3) * m(3) / m(4)
+    val within = m(2) - m(1)
+    val f = (between / (m(5) - lit(1.0))) / (within / (m(4) - m(5)))
+    cells.groupBy(keys.map(col): _*).agg(fold.as("__m"))
+      .select(keys.map(col) ++ Seq(
+        m(5).cast("long").as("k_groups"), m(4).cast("long").as("n"),
+        when(m(5) >= 2.0 && m(4) > m(5) && within > 0.0, f)
+          .as("f_stat"),
+        when(m(5) >= 2.0 && between + within > 0.0,
+          between / (between + within)).as("eta_sq")): _*)
+  }
+
+  /**
    * Kruskal-Wallis H test per key — [[mannWhitneyU]]'s k-group
    * extension: do k groups share one location, judged on RANKS (no
    * normality assumed)? Computed in the ANOVA-on-ranks form

@@ -1231,6 +1231,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q344 anova-f: one map-side (keys, group) collapse + grid fold " +
+    "— join-free, window-free") {
+    val fin = finalPlan("q344_anova_f").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q342 holt-winters: one key exchange, fold + season explode — " +
     "join-free") {
     val fin = finalPlan("q342_holt_winters").split("== Initial Plan ==")(0)

@@ -377,6 +377,26 @@ class StatsSpec extends AnyFunSuite {
     assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
   }
 
+  test("anovaF: hand F and eta-squared; zero within-scatter and " +
+    "single group null") {
+    // {1,3} vs {5,7}: SSB=16, SSW=4 -> F=(16/1)/(4/2)=8, eta=0.8
+    val a = Seq(("k", 0L, 1.0), ("k", 0L, 3.0),
+      ("k", 1L, 5.0), ("k", 1L, 7.0))
+    val sep = Seq(("s", 0L, 1.0), ("s", 0L, 1.0),
+      ("s", 1L, 3.0), ("s", 1L, 3.0)) // perfect separation: F null, eta 1
+    val solo = Seq(("o", 0L, 1.0), ("o", 0L, 2.0))
+    val out = Stats.anovaF(
+      (a ++ sep ++ solo).toDF("key", "g", "v"), Seq("key"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("k")._1 == 2L && out("k")._2 == 4L)
+    assert(out("k")._3.get == 8.0 && out("k")._4.get == 0.8)
+    assert(out("s")._3.isEmpty && out("s")._4.get == 1.0)
+    assert(out("o")._3.isEmpty)
+  }
+
   test("kruskalWallis: hand values with and without ties (tie " +
     "correction built into the rank-scatter denominator)") {
     // {1,2} vs {3,4}: H = 2.4 exactly (classic formula cross-check)
