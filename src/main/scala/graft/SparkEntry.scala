@@ -4111,6 +4111,45 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- forecasting: Croston's method — calendar-spine grid with
+    //      explicit zeros, five-double size/interval fold ----
+    "q347_croston" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+      val d = e.filter(col("value") >= 110.0)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("demand"))
+      val span = e.groupBy(col("event_type"))
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      val grid = span.withColumn("day",
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day")))).drop("d0", "d1")
+      val feed = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("demand", coalesce(col("demand"), lit(0.0)))
+      graft.ops.TimeSeries.croston(feed, Seq("event_type"),
+        "day", "day", "demand", alpha = 0.2)
+    }),
+
+    // ---- stats: Cohen's d + Hedges' g — exact arm moments, pooled
+    //      scatter identity, in-expression debias factor ----
+    "q345_cohens_d" -> ((s, dir) =>
+      graft.agg.Stats.cohensD(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- stats: Mood's median test — grand discrete median, exact
+    //      2×k cells, group-order χ² fold ----
+    "q346_moods_median" -> ((s, dir) =>
+      graft.agg.Stats.moodsMedianTest(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "grp", "value")),
+
     // ---- stats: one-way ANOVA F + η² — exact integer group moments,
     //      group-order fold, pinned scatter-identity closing ----
     "q344_anova_f" -> ((s, dir) =>
@@ -7464,6 +7503,136 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // the engine's gate verbatim: daily demand = decimal sums of the
+    // >= 110 tail per (type, day), calendar spine from min to max day
+    // with explicit zeros, then the five-double Croston fold (first
+    // demand initializes z = x, p = q; alpha = 0.2 thereafter)
+    "q347_croston" ->
+      """WITH e AS (SELECT event_type AS k, ts, value FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT k, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS demand
+        |  FROM e WHERE value >= 110 GROUP BY 1, 2),
+        |span AS (SELECT k, date_trunc('day', min(ts)) AS d0,
+        |    date_trunc('day', max(ts)) AS d1 FROM e GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS day FROM span),
+        |feed AS (SELECT g.k, g.day,
+        |    CAST(CAST(coalesce(d.demand, 0.0) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS xc
+        |  FROM grid g LEFT JOIN d ON d.k = g.k AND d.day = g.day),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n_periods,
+        |    list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(xc AS DOUBLE)] ORDER BY day)),
+        |    (acc, p) -> CASE
+        |      WHEN p[1] > 0.0 AND acc[4] = 0.0
+        |        THEN [p[1], acc[3] + 1.0, 0.0, 1.0, 1.0]
+        |      WHEN p[1] > 0.0
+        |        THEN [CAST(0.2 AS DOUBLE) * p[1]
+        |            + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+        |              * acc[1],
+        |          CAST(0.2 AS DOUBLE) * (acc[3] + 1.0)
+        |            + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+        |              * acc[2],
+        |          0.0, 1.0, acc[5] + 1.0]
+        |      ELSE [acc[1], acc[2], acc[3] + 1.0, acc[4], acc[5]]
+        |      END) AS m
+        |  FROM feed GROUP BY 1)
+        |SELECT k AS event_type, n_periods,
+        |  CAST(m[5] AS BIGINT) AS n_demands,
+        |  CASE WHEN m[4] = 1.0 THEN m[1] / 100.0 END AS size_est,
+        |  CASE WHEN m[4] = 1.0 THEN m[2] END AS interval_est,
+        |  CASE WHEN m[4] = 1.0 THEN m[1] / m[2] / 100.0 END AS forecast
+        |FROM f""".stripMargin,
+
+    // exact decimal arm moments (the welchT cells), pooled scatter
+    // identity, pinned d closing, debias factor 1 - 3/(4N-9)
+    // computed in-expression
+    "q345_cohens_d" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT k,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    sum(CASE WHEN arm = 'a' THEN v END) AS sa,
+        |    sum(CASE WHEN arm = 'a' THEN CAST(v * v AS DECIMAL(38,4))
+        |      END) AS ssa,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN arm = 'b' THEN v END) AS sb,
+        |    sum(CASE WHEN arm = 'b' THEN CAST(v * v AS DECIMAL(38,4))
+        |      END) AS ssb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nad,
+        |    CAST(n_b AS DOUBLE) AS nbd, CAST(sa AS DOUBLE) AS sad,
+        |    CAST(sb AS DOUBLE) AS sbd, CAST(ssa AS DOUBLE) AS ssad,
+        |    CAST(ssb AS DOUBLE) AS ssbd FROM g),
+        |p AS (SELECT *, ((ssad - sad * sad / nad)
+        |    + (ssbd - sbd * sbd / nbd)) / (nad + nbd - 2.0) AS pv
+        |  FROM c)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN sad / nad END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN sbd / nbd END AS mean_b,
+        |  CASE WHEN n_a + n_b >= 3 AND n_a > 0 AND n_b > 0
+        |      AND pv > 0.0
+        |    THEN (sad / nad - sbd / nbd) / sqrt(pv) END AS cohens_d,
+        |  CASE WHEN n_a + n_b >= 3 AND n_a > 0 AND n_b > 0
+        |      AND pv > 0.0
+        |    THEN (sad / nad - sbd / nbd) / sqrt(pv)
+        |      * (1.0 - 3.0 / (4.0 * (nad + nbd) - 9.0)) END AS hedges_g
+        |FROM p""".stripMargin,
+
+    // cent grid, key-wide discrete lower median, exact integer 2xk
+    // cells, group-order chi-square fold with expected counts
+    // n_g*A/N computed in the lambda against the row's totals
+    "q346_moods_median" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 4) + 4) % 4 AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY vc) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS cnt
+        |  FROM b),
+        |md AS (SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN vc END)
+        |    OVER (PARTITION BY k) AS med FROM w),
+        |cells AS (SELECT k, g,
+        |    CAST(sum(CASE WHEN vc > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN vc > med THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS b2
+        |  FROM md GROUP BY 1, 2),
+        |grid AS (SELECT k, CAST(sum(a) AS BIGINT) AS at,
+        |    CAST(sum(b2) AS BIGINT) AS bt,
+        |    CAST(count(*) AS BIGINT) AS kg,
+        |    list([CAST(a AS DOUBLE), CAST(b2 AS DOUBLE)] ORDER BY g)
+        |      AS cl
+        |  FROM cells GROUP BY 1),
+        |f AS (SELECT *, list_reduce(list_prepend([0.0], cl),
+        |    (acc, p) -> [acc[1]
+        |      + (p[1] - (p[1] + p[2]) * CAST(at AS DOUBLE)
+        |          / (CAST(at AS DOUBLE) + CAST(bt AS DOUBLE)))
+        |        * (p[1] - (p[1] + p[2]) * CAST(at AS DOUBLE)
+        |          / (CAST(at AS DOUBLE) + CAST(bt AS DOUBLE)))
+        |        / ((p[1] + p[2]) * CAST(at AS DOUBLE)
+        |          / (CAST(at AS DOUBLE) + CAST(bt AS DOUBLE)))
+        |      + (p[2] - (p[1] + p[2]) * CAST(bt AS DOUBLE)
+        |          / (CAST(at AS DOUBLE) + CAST(bt AS DOUBLE)))
+        |        * (p[2] - (p[1] + p[2]) * CAST(bt AS DOUBLE)
+        |          / (CAST(at AS DOUBLE) + CAST(bt AS DOUBLE)))
+        |        / ((p[1] + p[2]) * CAST(bt AS DOUBLE)
+        |          / (CAST(at AS DOUBLE) + CAST(bt AS DOUBLE)))]) AS m
+        |  FROM grid)
+        |SELECT k AS event_type, kg AS k_groups, at + bt AS n,
+        |  at AS n_above,
+        |  CASE WHEN kg >= 2 AND at > 0 AND bt > 0 THEN m[1] END AS chi2
+        |FROM f""".stripMargin,
+
     // exact integer (n, S, SS) cells on the cent grid, group-order
     // fold, pinned between = A - T^2/N / within = B - A identities,
     // F and eta-squared closings

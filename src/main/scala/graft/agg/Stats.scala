@@ -936,6 +936,131 @@ object Stats {
   }
 
   /**
+   * Cohen's d / Hedges' g effect size per key — the SIZE companion
+   * to [[welchT]]'s significance (a p-value without an effect size
+   * is how dashboards lie; report both): standardized mean
+   * difference `d = (x̄_a − x̄_b)/s_pooled` with the pooled
+   * (n−1)-weighted standard deviation, and the small-sample-debiased
+   * `g = d·(1 − 3/(4N − 9))` (Hedges' correction).
+   *
+   * Engine-exact: cent-grid values, exact integer arm moments
+   * ([[welchT]]'s decimal sums), pooled variance from the scatter
+   * identity `SS − S²/n` per arm, and one pinned closing chain —
+   * `√` of one correctly-rounded quotient, the correction factor
+   * computed IN-expression. Arms with < 2 total spare df or zero
+   * pooled scatter emit null.
+   *
+   * Output: (keys…, n_a, n_b, mean_a, mean_b, cohens_d, hedges_g).
+   *
+   * Scale posture: ONE map-side-combined key aggregation.
+   */
+  def cohensD(df: DataFrame, keys: Seq[String], groupCol: String,
+              aLabel: String, bLabel: String,
+              valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "cohensD needs key columns")
+    val v = col(valueCol).cast("decimal(18,2)")
+    def arm(l: String) = when(col(groupCol) === l, lit(1L)).otherwise(lit(0L))
+    val m = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(arm(aLabel)).as("n_a"),
+        sum(when(col(groupCol) === aLabel, v)).as("__sa"),
+        sum(when(col(groupCol) === aLabel, (v * v).cast("decimal(38,4)")))
+          .as("__ssa"),
+        sum(arm(bLabel)).as("n_b"),
+        sum(when(col(groupCol) === bLabel, v)).as("__sb"),
+        sum(when(col(groupCol) === bLabel, (v * v).cast("decimal(38,4)")))
+          .as("__ssb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+    val ssa = col("__ssa").cast("double"); val ssb = col("__ssb").cast("double")
+    val meanA = sa / na; val meanB = sb / nb
+    val pooledVar = ((ssa - sa * sa / na) + (ssb - sb * sb / nb)) /
+      (na + nb - lit(2.0))
+    val d = (meanA - meanB) / sqrt(pooledVar)
+    val nTot = na + nb
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * nTot - lit(9.0)))
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, meanA).as("mean_a"),
+      when(col("n_b") > 0L, meanB).as("mean_b"),
+      when(col("n_a") + col("n_b") >= 3L && col("n_a") > 0L &&
+        col("n_b") > 0L && pooledVar > 0.0, d).as("cohens_d"),
+      when(col("n_a") + col("n_b") >= 3L && col("n_a") > 0L &&
+        col("n_b") > 0L && pooledVar > 0.0, g).as("hedges_g")): _*)
+  }
+
+  /**
+   * Mood's median test per key: does each group share the key's
+   * GRAND median? — the blunt, outlier-immune k-group location test
+   * ([[kruskalWallis]] is more powerful; Mood's survives arbitrary
+   * tail corruption and is what you run on dirty data): count each
+   * group's values above vs not-above the key-wide discrete median
+   * and chi-square the 2×k table.
+   *
+   * Engine-exact: cent grid, the key-wide discrete lower median
+   * ([[brownForsythe]]'s rank rule on ONE key window), exact integer
+   * cells; expected counts `n_g·A/N` are pinned doubles and the χ²
+   * accumulates over the group grid in a SEQUENTIAL group-order fold
+   * (≡ list_reduce). Keys where every value sits on one side
+   * (A = 0 or B = 0) or with < 2 groups emit null.
+   *
+   * Output: (keys…, k_groups, n, n_above, chi2) — χ² ≈ χ²(k−1)
+   * under the null.
+   *
+   * Scale posture: one key exchange (median windows), one map-side
+   * (keys, group) collapse, grid fold.
+   */
+  def moodsMedianTest(df: DataFrame, keys: Seq[String], groupCol: String,
+                      valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "moodsMedianTest needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__vc"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("__med", max(when(col("__rn") ===
+        ((col("__cnt") + 1L) / lit(2L)).cast("long"), col("__vc")))
+        .over(wAll))
+      .groupBy(keys.map(col) :+ col(groupCol): _*)
+      .agg(sum(when(col("__vc") > col("__med"), 1L).otherwise(0L))
+          .as("__a"),
+        sum(when(col("__vc") > col("__med"), 0L).otherwise(1L))
+          .as("__b"))
+    // state [chi2, A, B, N, K] — two passes would need the totals
+    // first, so fold cells TWICE? No: totals are exact integer sums,
+    // computed in the same grid aggregate below; the fold then walks
+    // the collected cells against the attached totals.
+    val grid = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__a")).as("__A"), sum(col("__b")).as("__B"),
+        count(lit(1)).as("k_groups"),
+        sort_array(collect_list(struct(col(groupCol).as("__g"),
+          col("__a").cast("double").as("__ad"),
+          col("__b").cast("double").as("__bd")))).as("__cells"))
+    val aT = col("__A").cast("double"); val bT = col("__B").cast("double")
+    val nT = aT + bT
+    val chi = aggregate(col("__cells"), lit(0.0), (acc, p) => {
+      val ng = p.getField("__ad") + p.getField("__bd")
+      val ea = ng * aT / nT
+      val eb = ng * bT / nT
+      acc + (p.getField("__ad") - ea) * (p.getField("__ad") - ea) / ea +
+        (p.getField("__bd") - eb) * (p.getField("__bd") - eb) / eb
+    })
+    grid.select(keys.map(col) ++ Seq(col("k_groups"),
+      (col("__A") + col("__B")).as("n"), col("__A").as("n_above"),
+      when(col("k_groups") >= 2L && col("__A") > 0L && col("__B") > 0L,
+        chi).as("chi2")): _*)
+  }
+
+  /**
    * One-way ANOVA F per key — the classic k-group mean comparison
    * completing the trio: THIS tests locations under equal-variance
    * normality, [[kruskalWallis]] tests locations on ranks, and

@@ -651,6 +651,76 @@ object TimeSeries {
   }
 
   /**
+   * Croston's method per key — the INTERMITTENT-demand forecaster
+   * ([[ewma]] and [[holtLinear]] assume a dense series; spare-parts /
+   * long-tail-SKU / rare-event streams are mostly zeros, where plain
+   * smoothing collapses toward 0 between demands): smooth the
+   * NON-ZERO demand sizes and the inter-demand intervals separately,
+   * forecast their ratio. Input contract: one row per PERIOD per key
+   * (a regular grid with explicit zeros — build it with a calendar
+   * spine, e.g. the q347 gate's sequence-join, or [[resampleFill]]).
+   *
+   * Pinned convention: the first demand initializes `z = x, p = q`
+   * (its own size and observed interval); thereafter
+   * `z ← α·x + (1−α)·z`, `p ← α·q + (1−α)·p` on demand periods only,
+   * where q counts periods since the previous demand (inclusive).
+   *
+   * Engine-exact: demands snap to the cent grid; the walk folds
+   * SEQUENTIALLY in (tsCol, tieCol) order with a five-double state
+   * (z, p, gap counter, seen flag, demand count); α and `1−α` are
+   * 10⁻⁹-grid / in-expression literals; closings are pinned. Keys
+   * with no demand at all emit null estimates.
+   *
+   * Output: (keys…, n_periods, n_demands, size_est, interval_est,
+   * forecast) — forecast = size/interval, demand per period.
+   *
+   * Scale posture: one key exchange; the fold runs over the key's
+   * collected period grid (per-entity contract).
+   */
+  def croston(df: DataFrame, keys: Seq[String], tsCol: String,
+              tieCol: String, demandCol: String, alpha: Double,
+              valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "croston needs key columns")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.doubleValue
+    val a = lit(r9(alpha))
+    val scaleF = math.pow(10, valueScale)
+    val vc = (col(demandCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), vc.cast("double").as("x"))))
+    // state [z, p, q, seen, nDemands]
+    val fold = aggregate(lst,
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, row) => {
+        val x = row.getField("x")
+        val z = element_at(acc, 1); val p = element_at(acc, 2)
+        val q1 = element_at(acc, 3) + lit(1.0)
+        val seen = element_at(acc, 4); val nd = element_at(acc, 5)
+        when(x > 0.0 && seen === 0.0,
+          array(x, q1, lit(0.0), lit(1.0), lit(1.0)))
+          .when(x > 0.0,
+            array(a * x + (lit(1.0) - a) * z,
+              a * q1 + (lit(1.0) - a) * p,
+              lit(0.0), lit(1.0), nd + lit(1.0)))
+          .otherwise(array(z, p, q1, seen, nd))
+      })
+    val m = (i: Int) => element_at(col("__m"), i)
+    df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(demandCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_periods"), fold.as("__m"))
+      .select(keys.map(col) ++ Seq(col("n_periods"),
+        m(5).cast("long").as("n_demands"),
+        when(m(4) === 1.0, m(1) / lit(scaleF)).as("size_est"),
+        when(m(4) === 1.0, m(2)).as("interval_est"),
+        when(m(4) === 1.0, m(1) / m(2) / lit(scaleF)).as("forecast")): _*)
+  }
+
+  /**
    * Wilder's Relative Strength Index per key — [[ewma]]'s bounded
    * momentum cousin and the standard overbought/oversold monitor
    * (RSI > 70 hot, < 30 cold), applicable to any metric series

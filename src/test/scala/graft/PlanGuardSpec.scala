@@ -1231,6 +1231,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q347 croston: calendar spine + demand attach stay grid-sized " +
+    "— no corpus-sized shuffle join, no cartesian") {
+    val fin = finalPlan("q347_croston").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    // the spine×demand attach is grid-sized (keys × days); either
+    // join strategy is fine as long as nothing is a cartesian and
+    // the fold stays on one key exchange downstream
+    assert(fin.contains("Generate"), fin.take(1500)) // the spine
+  }
+  test("q345 cohens-d: ONE map-side-combined key aggregation — " +
+    "join-free, window-free") {
+    val fin = finalPlan("q345_cohens_d").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q346 moods-median: median windows + grid collapse + fold — " +
+    "join-free") {
+    val fin = finalPlan("q346_moods_median").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q344 anova-f: one map-side (keys, group) collapse + grid fold " +
     "— join-free, window-free") {
     val fin = finalPlan("q344_anova_f").split("== Initial Plan ==")(0)

@@ -377,6 +377,46 @@ class StatsSpec extends AnyFunSuite {
     assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
   }
 
+  test("cohensD: hand-computed pooled effect size and Hedges debias; " +
+    "degenerate arms null") {
+    val df = Seq(("k", "a", 2.0), ("k", "a", 4.0),
+      ("k", "b", 1.0), ("k", "b", 3.0),
+      ("z", "a", 5.0), ("z", "a", 5.0), ("z", "b", 5.0)) // zero scatter
+      .toDF("key", "arm", "v")
+    val out = Stats.cohensD(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // means 3, 2; pooled var (2+2)/2 = 2 -> d = 1/sqrt(2); N = 4 ->
+    // g = d * (1 - 3/7)
+    val d = 1.0 / math.sqrt(2.0)
+    assert(k.getAs[Double]("mean_a") == 3.0 &&
+      k.getAs[Double]("mean_b") == 2.0)
+    assert(k.getAs[Double]("cohens_d") == d)
+    assert(k.getAs[Double]("hedges_g") ==
+      d * (1.0 - 3.0 / (4.0 * 4.0 - 9.0)))
+    assert(out("z").isNullAt(out("z").fieldIndex("cohens_d")))
+  }
+
+  test("moodsMedianTest: perfectly separated groups hit chi2 = 6 " +
+    "exactly; identical groups 0; one-sided key null") {
+    val sep = Seq(("s", 0L, 1.0), ("s", 0L, 2.0), ("s", 0L, 3.0),
+      ("s", 1L, 4.0), ("s", 1L, 5.0), ("s", 1L, 6.0))
+    val same = Seq(("m", 0L, 1.0), ("m", 0L, 4.0),
+      ("m", 1L, 2.0), ("m", 1L, 3.0))
+    val flat = Seq(("f", 0L, 5.0), ("f", 1L, 5.0))
+    val out = Stats.moodsMedianTest(
+      (sep ++ same ++ flat).toDF("key", "g", "v"), Seq("key"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // med = 3; above {4,5,6} all in g1: cells (0,3),(3,0), E = 1.5
+    // everywhere -> 4 * 1.5 = 6
+    assert(out("s") == ((2L, 6L, 3L, Some(6.0))))
+    // med = 2; one above per group -> observed == expected -> 0
+    assert(out("m")._4.get == 0.0)
+    assert(out("f")._4.isEmpty) // nothing above the median
+  }
+
   test("anovaF: hand F and eta-squared; zero within-scatter and " +
     "single group null") {
     // {1,3} vs {5,7}: SSB=16, SSW=4 -> F=(16/1)/(4/2)=8, eta=0.8

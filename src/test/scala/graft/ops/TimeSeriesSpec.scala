@@ -681,6 +681,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ok.length == 3)
   }
 
+  test("croston: hand-walked size/interval smoothing on an " +
+    "intermittent grid; demand-free key null") {
+    def series(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (k, ts(f"2024-01-0${i + 1} 00:00:00"), i.toLong, v)
+    }
+    val df = (series("k", Seq(0.0, 5.0, 0.0, 0.0, 8.0, 0.0)) ++
+      series("z", Seq(0.0, 0.0, 0.0))).toDF("k", "ts", "id", "v")
+    val out = TimeSeries.croston(df, Seq("k"), "ts", "id", "v",
+      alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // first demand 5 at interval 2 seeds (z=5, p=2); demand 8 at
+    // interval 3: z = .5*8+.5*5 = 6.5, p = .5*3+.5*2 = 2.5
+    assert(k.getAs[Long]("n_periods") == 6L &&
+      k.getAs[Long]("n_demands") == 2L)
+    assert(k.getAs[Double]("size_est") == 6.5)
+    assert(k.getAs[Double]("interval_est") == 2.5)
+    assert(k.getAs[Double]("forecast") == 2.6)
+    val z = out("z")
+    assert(z.getAs[Long]("n_demands") == 0L &&
+      z.isNullAt(z.fieldIndex("forecast")))
+  }
+
   test("holtWinters: hand-walked additive fold at period 2, exact " +
     "dyadic values; per-season rows") {
     val df = Seq(
