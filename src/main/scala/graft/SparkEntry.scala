@@ -4111,6 +4111,16 @@ object SparkEntry {
           .withColumn("outcome", col("value") >= 50.0),
         Seq("event_type"), "exposed", "outcome")),
 
+    // ---- experimentation: McNemar paired test — per-subject max
+    //      outcomes under two conditions, discordant-cell χ² ----
+    "q348_mcnemar" -> ((s, dir) =>
+      graft.agg.Stats.mcnemar(
+        t(s, dir, "events")
+          .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+          .withColumn("hit", col("value") >= 110.0),
+        Seq("cohort"), "user_id", "event_type", "click", "view",
+        "hit")),
+
     // ---- forecasting: Croston's method — calendar-spine grid with
     //      explicit zeros, five-double size/interval fold ----
     "q347_croston" -> ((s, dir) => {
@@ -7503,6 +7513,37 @@ object SparkEntry {
     // the engine's drawdown walk verbatim: cent-grid integers, one
     // cumulative-max window, pinned (peak−v)/peak, argmax on
     // (dd desc, ts, tie) — a total order
+    // per-subject MAX outcome under each condition (subjects seen
+    // under both only), exact integer discordant cells, pinned
+    // (b-c)^2/(b+c) and Edwards-corrected closings
+    "q348_mcnemar" ->
+      """WITH b AS (SELECT ((user_id % 4) + 4) % 4 AS k,
+        |    user_id AS s, event_type AS cond, value >= 110 AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IN ('click', 'view')),
+        |p AS (SELECT k, s,
+        |    max(CASE WHEN cond = 'click' THEN y END) AS ya,
+        |    max(CASE WHEN cond = 'view' THEN y END) AS yb
+        |  FROM b GROUP BY 1, 2),
+        |q AS (SELECT * FROM p WHERE ya IS NOT NULL
+        |  AND yb IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN ya AND NOT yb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT ya AND yb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM q GROUP BY 1)
+        |SELECT k AS cohort, n_pairs, b, c,
+        |  CASE WHEN b + c > 0 THEN
+        |    (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2,
+        |  CASE WHEN b + c > 0 THEN
+        |    (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
+        |FROM g""".stripMargin,
+
     // the engine's gate verbatim: daily demand = decimal sums of the
     // >= 110 tail per (type, day), calendar spine from min to max day
     // with explicit zeros, then the five-double Croston fold (first

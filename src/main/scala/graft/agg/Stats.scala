@@ -992,6 +992,52 @@ object Stats {
   }
 
   /**
+   * McNemar's test per key — the PAIRED sibling of
+   * [[twoProportionZ]]: when the SAME subjects are observed under two
+   * conditions (before/after, model A/model B on one eval set), the
+   * unpaired test wastes the pairing; McNemar looks only at the
+   * DISCORDANT pairs `b = (A✓, B✗)`, `c = (A✗, B✓)`:
+   * `χ² = (b−c)²/(b+c)` (1 df), plus the Edwards continuity-corrected
+   * `(|b−c|−1)²/(b+c)` variant.
+   *
+   * Pinned semantics: a subject's outcome under a condition is the
+   * MAX over its rows (any success counts); subjects observed under
+   * BOTH conditions only. Cells are exact integers; both closings are
+   * single pinned chains. Keys with no discordant pairs (b+c = 0)
+   * emit null statistics.
+   *
+   * Output: (keys…, n_pairs, b, c, chi2, chi2_cc).
+   *
+   * Scale posture: one (keys, subject) map-side-combined collapse,
+   * then one key collapse. Nothing row-sized past the first.
+   */
+  def mcnemar(df: DataFrame, keys: Seq[String], subjectCol: String,
+              condCol: String, aLabel: String, bLabel: String,
+              outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "mcnemar needs key columns")
+    val y = col(outcomeCol).cast("boolean")
+    val pairs = df
+      .filter(y.isNotNull && col(subjectCol).isNotNull &&
+        (col(condCol) === aLabel || col(condCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(subjectCol): _*)
+      .agg(max(when(col(condCol) === aLabel, y)).as("__ya"),
+        max(when(col(condCol) === bLabel, y)).as("__yb"))
+      .filter(col("__ya").isNotNull && col("__yb").isNotNull)
+    val agg = pairs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__ya") && !col("__yb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__ya") && col("__yb"), 1L).otherwise(0L)).as("c"))
+    val bD = col("b").cast("double"); val cD = col("c").cast("double")
+    agg.select(keys.map(col) ++ Seq(col("n_pairs"), col("b"), col("c"),
+      when(col("b") + col("c") > 0L,
+        (bD - cD) * (bD - cD) / (bD + cD)).as("chi2"),
+      when(col("b") + col("c") > 0L,
+        (abs(bD - cD) - lit(1.0)) * (abs(bD - cD) - lit(1.0)) /
+          (bD + cD)).as("chi2_cc")): _*)
+  }
+
+  /**
    * Mood's median test per key: does each group share the key's
    * GRAND median? — the blunt, outlier-immune k-group location test
    * ([[kruskalWallis]] is more powerful; Mood's survives arbitrary

@@ -1231,6 +1231,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q348 mcnemar: subject collapse then key collapse — join-free, " +
+    "window-free") {
+    val fin = finalPlan("q348_mcnemar").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q347 croston: calendar spine + demand attach stay grid-sized " +
     "— no corpus-sized shuffle join, no cartesian") {
     val fin = finalPlan("q347_croston").split("== Initial Plan ==")(0)

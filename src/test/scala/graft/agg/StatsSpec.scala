@@ -377,6 +377,30 @@ class StatsSpec extends AnyFunSuite {
     assert(wq.head.isNullAt(wq.head.fieldIndex("slope"))) // one bin
   }
 
+  test("mcnemar: discordant cells from per-subject max outcomes; " +
+    "one-condition subjects excluded; concordant-only key null") {
+    val df = Seq(
+      ("k", 1L, "A", true), ("k", 1L, "B", false),
+      ("k", 2L, "A", true), ("k", 2L, "B", false),
+      ("k", 3L, "A", false), ("k", 3L, "B", true),
+      ("k", 4L, "A", true), ("k", 4L, "B", true),
+      ("k", 5L, "A", false), ("k", 5L, "B", false),
+      ("k", 5L, "A", false), // repeat rows fold via max
+      ("k", 6L, "A", true), // B never observed -> excluded
+      ("z", 7L, "A", true), ("z", 7L, "B", true)
+    ).toDF("key", "subj", "cond", "y")
+    val out = Stats.mcnemar(df, Seq("key"), "subj", "cond", "A", "B", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // pairs 1..5: b = 2 (A only), c = 1 (B only) -> chi2 = 1/3,
+    // corrected = 0 exactly
+    assert(out("k")._1 == 5L && out("k")._2 == 2L && out("k")._3 == 1L)
+    assert(out("k")._4.get == 1.0 / 3.0 && out("k")._5.get == 0.0)
+    assert(out("z")._4.isEmpty) // b + c = 0
+  }
+
   test("cohensD: hand-computed pooled effect size and Hedges debias; " +
     "degenerate arms null") {
     val df = Seq(("k", "a", 2.0), ("k", "a", 4.0),

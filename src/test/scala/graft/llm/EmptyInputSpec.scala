@@ -403,5 +403,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.graph.Centrality.hits(
       Seq.empty[(Long, Long)].toDF("src", "dst"),
       "src", "dst").count() == 0)
+    val emptyGV2 = Seq.empty[(String, Long, Double)].toDF("k", "g", "v")
+    assert(graft.agg.Stats.anovaF(
+      emptyGV2, Seq("k"), "g", "v").count() == 0)
+    assert(graft.agg.Stats.moodsMedianTest(
+      emptyGV2, Seq("k"), "g", "v").count() == 0)
+    assert(graft.agg.Stats.cohensD(
+      Seq.empty[(String, String, Double)].toDF("k", "arm", "v"),
+      Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.ops.TimeSeries.croston(
+      Seq.empty[(String, java.sql.Timestamp, Long, Double)]
+        .toDF("k", "ts", "id", "v"),
+      Seq("k"), "ts", "id", "v", alpha = 0.5).count() == 0)
   }
 }
