@@ -4121,6 +4121,25 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- experimentation: Friedman repeated-measures rank test —
+    //      within-block doubled ranks, complete blocks only ----
+    "q349_friedman" -> ((s, dir) =>
+      graft.agg.Stats.friedman(
+        t(s, dir, "events")
+          .withColumn("blk", pmod(col("user_id"), lit(50L)))
+          .withColumn("variant", pmod(col("event_id"), lit(3L))),
+        Seq("event_type"), "blk", "variant", "value")),
+
+    // ---- experimentation: Cochran's Q — k-condition binary paired
+    //      test, per-subject max outcomes, complete subjects only ----
+    "q350_cochran_q" -> ((s, dir) =>
+      graft.agg.Stats.cochranQ(
+        t(s, dir, "events")
+          .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+          .withColumn("variant", pmod(col("event_id"), lit(3L)))
+          .withColumn("hit", col("value") >= 110.0),
+        Seq("cohort"), "user_id", "variant", "hit")),
+
     // ---- forecasting: Croston's method — calendar-spine grid with
     //      explicit zeros, five-double size/interval fold ----
     "q347_croston" -> ((s, dir) => {
@@ -7543,6 +7562,80 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // within-block doubled ranks 2*rank_min + t - 1 on exact cell
+    // sums, complete blocks only (dense-rank treatment count),
+    // exact integer rank moments, pinned tie-robust Conover closing
+    "q349_friedman" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 50) + 50) % 50 AS blk,
+        |    ((event_id % 3) + 3) % 3 AS trt,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |cell AS (SELECT k, blk, trt, CAST(sum(c) AS BIGINT) AS vc
+        |  FROM b GROUP BY 1, 2, 3),
+        |d AS (SELECT *, dense_rank() OVER (PARTITION BY k
+        |    ORDER BY trt) AS dr FROM cell),
+        |e AS (SELECT *, max(dr) OVER (PARTITION BY k) AS kk,
+        |    count(*) OVER (PARTITION BY k, blk) AS bc FROM d),
+        |r AS (SELECT k, blk, trt,
+        |    2 * rank() OVER (PARTITION BY k, blk ORDER BY vc)
+        |      + count(*) OVER (PARTITION BY k, blk, vc) - 1 AS r2
+        |  FROM e WHERE bc = kk),
+        |cells AS (SELECT k, trt, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2) AS BIGINT) AS R2, sum(r2 * r2) AS sq
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT k, max(n) AS nb, CAST(count(*) AS BIGINT) AS kt,
+        |    CAST(sum(R2 * R2) AS DOUBLE) AS sr2,
+        |    CAST(sum(sq) AS DOUBLE) AS a2 FROM cells GROUP BY 1),
+        |x AS (SELECT *, CAST(nb AS DOUBLE) AS nd,
+        |    CAST(kt AS DOUBLE) AS kd, CAST(kt AS DOUBLE) + 1.0 AS kp1
+        |  FROM g),
+        |z AS (SELECT *, sr2 - nd * nd * kd * kp1 * kp1 AS num,
+        |    a2 - nd * kd * kp1 * kp1 AS den FROM x)
+        |SELECT k AS event_type, nb AS n_blocks, kt AS k_treatments,
+        |  CASE WHEN kt >= 2 AND nb > 0 AND den > 0.0
+        |    THEN (kd - 1.0) * num / den END AS chi2_f
+        |FROM z""".stripMargin,
+
+    // per-subject max outcomes under each treatment, complete
+    // subjects only, exact integer G/L/N moments at row-number-1
+    // markers, pinned (k-1)(k*SumG2 - N^2)/(kN - SumL2) closing
+    "q350_cochran_q" ->
+      """WITH b AS (SELECT ((user_id % 4) + 4) % 4 AS k, user_id AS s,
+        |    ((event_id % 3) + 3) % 3 AS trt,
+        |    CASE WHEN value >= 110 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |cell AS (SELECT k, s, trt, CAST(max(y) AS BIGINT) AS yi
+        |  FROM b GROUP BY 1, 2, 3),
+        |d AS (SELECT *, dense_rank() OVER (PARTITION BY k
+        |    ORDER BY trt) AS dr FROM cell),
+        |e AS (SELECT *, max(dr) OVER (PARTITION BY k) AS kk,
+        |    count(*) OVER (PARTITION BY k, s) AS sc FROM d),
+        |f AS (SELECT k, s, trt, yi, kk FROM e WHERE sc = kk),
+        |m AS (SELECT *, sum(yi) OVER (PARTITION BY k, s) AS L,
+        |    row_number() OVER (PARTITION BY k, s ORDER BY trt) AS rn,
+        |    sum(yi) OVER (PARTITION BY k, trt) AS G,
+        |    row_number() OVER (PARTITION BY k, trt ORDER BY s) AS rm
+        |  FROM f),
+        |g AS (SELECT k, CAST(sum(yi) AS BIGINT) AS n_success,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_subjects,
+        |    CAST(max(kk) AS BIGINT) AS kt,
+        |    CAST(sum(CASE WHEN rn = 1 THEN L * L END) AS DOUBLE)
+        |      AS l2,
+        |    CAST(sum(CASE WHEN rm = 1 THEN G * G END) AS DOUBLE)
+        |      AS g2
+        |  FROM m GROUP BY 1),
+        |x AS (SELECT *, CAST(kt AS DOUBLE) AS kd,
+        |    CAST(n_success AS DOUBLE) AS ns FROM g)
+        |SELECT k AS cohort, n_subjects, kt AS k_treatments, n_success,
+        |  CASE WHEN kt >= 2 AND kd * ns - l2 > 0.0
+        |    THEN (kd - 1.0) * (kd * g2 - ns * ns) / (kd * ns - l2)
+        |    END AS q
+        |FROM x""".stripMargin,
 
     // the engine's gate verbatim: daily demand = decimal sums of the
     // >= 110 tail per (type, day), calendar spine from min to max day

@@ -3306,6 +3306,162 @@ object Stats {
     mutualInfo(melted, Seq("col_a", "col_b"), "__va", "__vb")
   }
 
+  /**
+   * Friedman test per key — [[kruskalWallis]]'s REPEATED-MEASURES
+   * sibling: k treatments measured on the SAME n blocks (users,
+   * machines, days), ranked WITHIN each block, so between-block
+   * level differences cancel instead of inflating the scatter the
+   * way they would in a between-subjects test.
+   *
+   * Pinned semantics: a block's value under a treatment is the exact
+   * grid SUM of its rows; k is the key-wide treatment count
+   * (dense-rank over treatments) and only COMPLETE blocks — those
+   * observed under all k treatments — rank. Average ranks ride the
+   * half-integer grid, so the engine carries DOUBLED ranks
+   * `2·rank_min + t − 1` as exact longs; per-treatment rank sums,
+   * `Σ R_j²` and the rank scatter `Σ r²` are exact integer sums
+   * (order-free — no fold needed), and the statistic closes in one
+   * pinned chain in the tie-robust Conover form, doubled throughout:
+   * `χ² = (k−1)·(ΣR2_j² − n²k(k+1)²) / (Σr2² − nk(k+1)²)` (the
+   * denominator IS the tie-adjusted scatter; with no ties it
+   * reduces to the classic `12ΣR²/(nk(k+1)) − 3n(k+1)`). Keys with
+   * < 2 treatments, no complete blocks, or an all-tied sample
+   * (zero denominator) emit null.
+   *
+   * Output: (keys…, n_blocks, k_treatments, chi2_f) — χ² ≈ χ²(k−1)
+   * under the no-treatment-effect null.
+   *
+   * Scale posture: one (keys, block, treatment) map-side collapse,
+   * then ONE key exchange carries the treatment-count windows, the
+   * per-block rank windows (same-key subsumption — no second
+   * shuffle), the (keys, treatment) collapse, and the key closing.
+   * Per-block state is the block's k-row cell set; nothing key-sized
+   * materializes. Exactness envelope: Σr2² ≤ 4nk³ and ΣR2_j² ≤
+   * 4n²k³ must cast to double from exact integers (< 2⁵³ up to
+   * ~10¹⁵ blocks·treatments³ — any realistic design).
+   */
+  def friedman(df: DataFrame, keys: Seq[String], blockCol: String,
+               treatCol: String, valueCol: String,
+               valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "friedman needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val cell = df
+      .filter(col(valueCol).isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(blockCol) :+ col(treatCol): _*)
+      .agg(sum(unscaled(col(valueCol), valueScale)).as("__vc"))
+    val wTr = Window.partitionBy(keys.map(col): _*).orderBy(col(treatCol))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val blkCols = keys.map(col) :+ col(blockCol)
+    val wBlk = Window.partitionBy(blkCols: _*)
+    val wOrd = Window.partitionBy(blkCols: _*).orderBy(col("__vc"))
+    val wTie = Window.partitionBy(blkCols :+ col("__vc"): _*)
+    val ranked = cell
+      .withColumn("__dr", dense_rank().over(wTr))
+      .withColumn("__kk", max(col("__dr")).over(wKey))
+      .withColumn("__bc", count(lit(1)).over(wBlk))
+      .filter(col("__bc") === col("__kk"))
+      .withColumn("__r2",
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+    val cells = ranked.groupBy(keys.map(col) :+ col(treatCol): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__r2")).as("__R2"),
+        sum((col("__r2") * col("__r2")).cast("decimal(38,0)"))
+          .as("__sq"))
+    val agg = cells.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_blocks"),
+        count(lit(1)).as("k_treatments"),
+        sum((col("__R2").cast("decimal(18,0)") *
+          col("__R2").cast("decimal(18,0)"))).as("__sr2"),
+        sum(col("__sq")).as("__a2"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val kp1 = kD + lit(1.0)
+    val num = col("__sr2").cast("double") - nD * nD * kD * kp1 * kp1
+    val den = col("__a2").cast("double") - nD * kD * kp1 * kp1
+    agg.select(keys.map(col) ++ Seq(col("n_blocks"),
+      col("k_treatments"),
+      when(col("k_treatments") >= 2L && col("n_blocks") > 0L &&
+        den > 0.0, (kD - lit(1.0)) * num / den).as("chi2_f")): _*)
+  }
+
+  /**
+   * Cochran's Q test per key — [[mcnemar]]'s k-condition
+   * generalization: the SAME subjects tried under k treatments with
+   * a BINARY outcome (did variant A/B/C convert this user?); Q asks
+   * whether the k success rates differ, using only within-subject
+   * information.
+   *
+   * Pinned semantics: a subject's outcome under a treatment is the
+   * MAX over its rows (any success counts, [[mcnemar]]'s rule); k is
+   * the key-wide treatment count and only subjects observed under
+   * ALL k treatments score. With column totals G_j (successes per
+   * treatment), row totals L_i (successes per subject), N = ΣG =
+   * ΣL: `Q = (k−1)·(k·ΣG_j² − N²) / (k·N − ΣL_i²)` — every moment
+   * an exact integer (the denominator is `ΣL_i(k−L_i)`, zero iff
+   * every subject is all-success or all-failure), one pinned
+   * closing. k = 2 reduces to [[mcnemar]]'s uncorrected
+   * `(b−c)²/(b+c)` exactly. Keys with < 2 treatments or a zero
+   * denominator emit null.
+   *
+   * Output: (keys…, n_subjects, k_treatments, n_success, q) —
+   * Q ≈ χ²(k−1) under the equal-rates null.
+   *
+   * Scale posture: one (keys, subject, treatment) map-side
+   * collapse, then ONE key exchange carries the treatment-count,
+   * per-subject, and per-treatment windows (same-key subsumption)
+   * and the key closing; ΣG² and ΣL² accumulate at row-number-1
+   * marker rows, so nothing is double-counted and nothing key-sized
+   * materializes.
+   */
+  def cochranQ(df: DataFrame, keys: Seq[String], subjectCol: String,
+               treatCol: String, outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "cochranQ needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val y = col(outcomeCol).cast("boolean")
+    val cell = df
+      .filter(y.isNotNull && col(subjectCol).isNotNull &&
+        col(treatCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(subjectCol) :+ col(treatCol): _*)
+      .agg(max(when(y, 1L).otherwise(0L)).as("__yi"))
+    val wTr = Window.partitionBy(keys.map(col): _*).orderBy(col(treatCol))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val subCols = keys.map(col) :+ col(subjectCol)
+    val trtCols = keys.map(col) :+ col(treatCol)
+    val marked = cell
+      .withColumn("__dr", dense_rank().over(wTr))
+      .withColumn("__kk", max(col("__dr")).over(wKey))
+      .withColumn("__sc",
+        count(lit(1)).over(Window.partitionBy(subCols: _*)))
+      .filter(col("__sc") === col("__kk"))
+      .withColumn("__L",
+        sum(col("__yi")).over(Window.partitionBy(subCols: _*)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(subCols: _*).orderBy(col(treatCol))))
+      .withColumn("__G",
+        sum(col("__yi")).over(Window.partitionBy(trtCols: _*)))
+      .withColumn("__rm", row_number().over(
+        Window.partitionBy(trtCols: _*).orderBy(col(subjectCol))))
+    val agg = marked.groupBy(keys.map(col): _*)
+      .agg(sum(col("__yi")).as("n_success"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L))
+          .as("n_subjects"),
+        max(col("__kk")).cast("long").as("k_treatments"),
+        sum(when(col("__rn") === 1, col("__L") * col("__L")))
+          .as("__l2"),
+        sum(when(col("__rm") === 1, col("__G") * col("__G")))
+          .as("__g2"))
+    val kD = col("k_treatments").cast("double")
+    val nS = col("n_success").cast("double")
+    val num = kD * col("__g2").cast("double") - nS * nS
+    val den = kD * nS - col("__l2").cast("double")
+    agg.select(keys.map(col) ++ Seq(col("n_subjects"),
+      col("k_treatments"), col("n_success"),
+      when(col("k_treatments") >= 2L && den > 0.0,
+        (kD - lit(1.0)) * num / den).as("q")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

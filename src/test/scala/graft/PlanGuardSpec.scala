@@ -1231,6 +1231,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q349 friedman: cell collapse + rank windows on same-key " +
+    "subsumption — join-free, bounded exchanges") {
+    val fin = finalPlan("q349_friedman").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    // cell grid exchange + keys window exchange; the (keys, block)
+    // windows and both downstream collapses ride the keys exchange
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
+  test("q350 cochran-q: subject/treatment windows share one key " +
+    "exchange — join-free, bounded exchanges") {
+    val fin = finalPlan("q350_cochran_q").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
   test("q348 mcnemar: subject collapse then key collapse — join-free, " +
     "window-free") {
     val fin = finalPlan("q348_mcnemar").split("== Initial Plan ==")(0)

@@ -1238,4 +1238,62 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getLong(2) == 3L)
     assert(math.abs(r2.getDouble(3) - 9.0 / math.sqrt(84.0)) < 1e-12)
   }
+
+  test("friedman: hand chi2 = 4 with and without ties; incomplete " +
+    "block dropped; all-tied key null") {
+    // two identical blocks ranking treatments a<b<c -> chi2 = 4
+    val clean = for {
+      b <- Seq(1L, 2L)
+      (t, v) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+    } yield ("k", b, t, v)
+    // block 3 misses treatment c -> dropped (complete blocks only)
+    val partial = Seq(("k", 3L, "a", 9.0), ("k", 3L, "b", 1.0))
+    // tied variant: a = b < c in both blocks -> chi2 still 4
+    val tied = for {
+      b <- Seq(1L, 2L)
+      (t, v) <- Seq(("a", 1.0), ("b", 1.0), ("c", 3.0))
+    } yield ("t", b, t, v)
+    // all values equal -> zero denominator -> null
+    val flat = for {
+      b <- Seq(1L, 2L); t <- Seq("a", "b")
+    } yield ("z", b, t, 5.0)
+    val df = (clean ++ partial ++ tied ++ flat)
+      .toDF("key", "blk", "trt", "v")
+    val out = Stats.friedman(df, Seq("key"), "blk", "trt", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Long]("n_blocks") == 2L)
+    assert(out("k").getAs[Long]("k_treatments") == 3L)
+    assert(out("k").getAs[Double]("chi2_f") == 4.0)
+    // ties: ranks (1.5, 1.5, 3) per block -> Conover form gives 4
+    assert(out("t").getAs[Double]("chi2_f") == 4.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("chi2_f")))
+  }
+
+  test("cochranQ: k = 2 reduces to McNemar's uncorrected chi2; " +
+    "k = 3 hand Q = 3; incomplete subject dropped; flat key null") {
+    // k = 2: b = 2 (A-only), c = 1 (B-only) -> Q = 1/3 = McNemar
+    val two = Seq(
+      ("k", 1L, "A", true), ("k", 1L, "B", false),
+      ("k", 2L, "A", true), ("k", 2L, "B", false),
+      ("k", 3L, "A", false), ("k", 3L, "B", true),
+      ("k", 4L, "A", true), ("k", 4L, "B", true),
+      ("k", 5L, "A", false), ("k", 5L, "B", false),
+      ("k", 6L, "A", true)) // B never observed -> excluded
+    // k = 3 hand: rows (1,1,0),(1,0,0),(1,1,1) -> G = (3,2,1),
+    // N = 6, SumG2 = 14, SumL2 = 14 -> Q = 2*(42-36)/(18-14) = 3
+    val three = Seq(
+      ("h", 1L, "A", true), ("h", 1L, "B", true), ("h", 1L, "C", false),
+      ("h", 2L, "A", true), ("h", 2L, "B", false), ("h", 2L, "C", false),
+      ("h", 3L, "A", true), ("h", 3L, "B", true), ("h", 3L, "C", true))
+    // every subject all-success -> denominator 0 -> null
+    val flat = Seq(("z", 1L, "A", true), ("z", 1L, "B", true))
+    val df = (two ++ three ++ flat).toDF("key", "subj", "trt", "y")
+    val out = Stats.cochranQ(df, Seq("key"), "subj", "trt", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Long]("n_subjects") == 5L)
+    assert(out("k").getAs[Double]("q") == 1.0 / 3.0)
+    assert(out("h").getAs[Long]("n_success") == 6L)
+    assert(out("h").getAs[Double]("q") == 3.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("q")))
+  }
 }

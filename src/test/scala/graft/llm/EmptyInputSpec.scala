@@ -415,5 +415,13 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, java.sql.Timestamp, Long, Double)]
         .toDF("k", "ts", "id", "v"),
       Seq("k"), "ts", "id", "v", alpha = 0.5).count() == 0)
+    assert(graft.agg.Stats.friedman(
+      Seq.empty[(String, Long, String, Double)]
+        .toDF("k", "blk", "trt", "v"),
+      Seq("k"), "blk", "trt", "v").count() == 0)
+    assert(graft.agg.Stats.cochranQ(
+      Seq.empty[(String, Long, String, Boolean)]
+        .toDF("k", "s", "trt", "y"),
+      Seq("k"), "s", "trt", "y").count() == 0)
   }
 }
