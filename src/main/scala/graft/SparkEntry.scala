@@ -4121,6 +4121,34 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- stats: Jarque-Bera normality — exact power sums to the
+    //      4th, pinned central-moment chain, sqrt never pow ----
+    "q351_jarque_bera" -> ((s, dir) =>
+      graft.agg.Stats.jarqueBera(
+        t(s, dir, "events"), Seq("event_type"), "value")),
+
+    // ---- stats: first-order partial correlation — nine exact
+    //      moments in one pass, pinned pairwise-r and partial ----
+    "q352_partial_corr" -> ((s, dir) =>
+      graft.agg.Stats.partialCorr(
+        t(s, dir, "events")
+          .withColumn("uh", pmod(col("user_id"), lit(97L))
+            .cast("double"))
+          .withColumn("eh", pmod(col("event_id"), lit(89L))
+            .cast("double")),
+        Seq("event_type"), "value", "uh", "eh")),
+
+    // ---- stats: Lin's concordance correlation — agreement scored
+    //      against the identity line, bias charged ----
+    "q353_lin_ccc" -> ((s, dir) =>
+      graft.agg.Stats.linCcc(
+        t(s, dir, "events")
+          .withColumn("pred",
+            col("value").cast("decimal(18,2)") *
+              lit(new java.math.BigDecimal("0.9")) +
+              lit(new java.math.BigDecimal("5.0"))),
+        Seq("event_type"), "value", "pred")),
+
     // ---- experimentation: Friedman repeated-measures rank test —
     //      within-block doubled ranks, complete blocks only ----
     "q349_friedman" -> ((s, dir) =>
@@ -7562,6 +7590,111 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // exact integer power sums to the 4th on the cent grid (BIGINT
+    // powers, HUGEINT sums == the engine's DECIMAL(38) sums), then
+    // the pinned central-moment chain: m3/m4 expansions around the
+    // mean, g1 = m3/(m2*sqrt(m2)), JB = n/6*(g1^2 + g2^2/4)
+    "q351_jarque_bera" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(c) AS s1,
+        |    sum(c * c) AS s2, sum(c * c * c) AS s3,
+        |    sum((c * c) * (c * c)) AS s4
+        |  FROM b GROUP BY 1),
+        |x AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS s2n,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS s3n,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS s4n FROM g),
+        |y AS (SELECT *, s2n - mu * mu AS m2,
+        |    s3n - 3.0 * mu * s2n + 2.0 * mu * mu * mu AS m3,
+        |    s4n - 4.0 * mu * s3n + 6.0 * mu * mu * s2n
+        |      - 3.0 * mu * mu * mu * mu AS m4 FROM x),
+        |z AS (SELECT *, m3 / (m2 * sqrt(m2)) AS g1,
+        |    m4 / (m2 * m2) - 3.0 AS g2 FROM y)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n >= 2 AND m2 > 0.0 THEN g1 END AS skewness,
+        |  CASE WHEN n >= 2 AND m2 > 0.0 THEN g2 END AS kurtosis_excess,
+        |  CASE WHEN n >= 2 AND m2 > 0.0
+        |    THEN nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0) END AS jb
+        |FROM z""".stripMargin,
+
+    // nine exact decimal moments in one pass, pinned pairwise r in
+    // the pearsonMatrix form, then the pinned first-order partial
+    // (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+    "q352_partial_corr" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(((user_id % 97) + 97) % 97 AS DECIMAL(18,2)) AS y,
+        |    CAST(((event_id % 89) + 89) % 89 AS DECIMAL(18,2)) AS z
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(z) AS DOUBLE) AS sz,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(z * z) AS DOUBLE) AS szz,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * z) AS DOUBLE) AS sxz,
+        |    CAST(sum(y * z) AS DOUBLE) AS syz
+        |  FROM b GROUP BY 1),
+        |v AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+        |    CAST(n AS DOUBLE) * szz - sz * sz AS vz FROM g),
+        |r AS (SELECT *,
+        |    (nd * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)) AS rxy,
+        |    (nd * sxz - sx * sz) / (sqrt(vx) * sqrt(vz)) AS rxz,
+        |    (nd * syz - sy * sz) / (sqrt(vy) * sqrt(vz)) AS ryz
+        |  FROM v),
+        |p AS (SELECT *,
+        |    (1.0 - rxz * rxz) * (1.0 - ryz * ryz) AS den FROM r)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0 THEN rxy END AS r_xy,
+        |  CASE WHEN vx > 0.0 AND vz > 0.0 THEN rxz END AS r_xz,
+        |  CASE WHEN vy > 0.0 AND vz > 0.0 THEN ryz END AS r_yz,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0 AND vz > 0.0 AND den > 0.0
+        |    THEN (rxy - rxz * ryz) / sqrt(den) END AS r_partial
+        |FROM p""".stripMargin,
+
+    // five exact decimal moments, biased (1/n) central moments,
+    // pinned ccc = 2*sxy / (sxx + syy + (mx-my)^2); the gate's
+    // pred column is EXACT decimal arithmetic (value*0.9 + 5.0 on
+    // the decimal grid — no binary-double tie fuzz at the final
+    // half-up rescale to scale 2; DuckDB's decimal DOWNSCALE cast
+    // truncates, so the oracle rounds explicitly to match Spark's
+    // HALF_UP)
+    "q353_lin_ccc" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 0.9 + 5.0, 2)
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
+        |    sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+        |    sxx / CAST(n AS DOUBLE) AS sxxn,
+        |    syy / CAST(n AS DOUBLE) AS syyn,
+        |    sxy / CAST(n AS DOUBLE) AS sxyn FROM g),
+        |c AS (SELECT *, sxxn - mx * mx AS cxx, syyn - my * my AS cyy,
+        |    sxyn - mx * my AS cxy FROM m),
+        |d AS (SELECT *, cxx + cyy + (mx - my) * (mx - my) AS den
+        |  FROM c)
+        |SELECT k AS event_type, n, mx AS mean_x, my AS mean_y,
+        |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+        |    THEN cxy / (sqrt(cxx) * sqrt(cyy)) END AS r,
+        |  CASE WHEN den > 0.0 THEN 2.0 * cxy / den END AS ccc
+        |FROM d""".stripMargin,
 
     // within-block doubled ranks 2*rank_min + t - 1 on exact cell
     // sums, complete blocks only (dense-rank treatment count),

@@ -3462,6 +3462,178 @@ object Stats {
         (kD - lit(1.0)) * num / den).as("q")): _*)
   }
 
+  /**
+   * Jarque-Bera normality test per key: is the sample's shape
+   * (skewness, kurtosis) consistent with a normal? — the moment-based
+   * screen you run BEFORE trusting [[welchT]]/[[anovaF]] on a small
+   * sample, and the classic fat-tail detector on returns.
+   * `JB = n/6·(g₁² + g₂²/4)` with `g₁ = m₃/m₂^{3/2}`,
+   * `g₂ = m₄/m₂² − 3` ≈ χ²(2) under normality.
+   *
+   * Engine-exact: values ride the cent grid (skewness/kurtosis are
+   * scale-invariant, so the grid shift cancels); ΣX, ΣX², ΣX³, ΣX⁴
+   * are exact DECIMAL sums in ONE map-side-combined aggregation, and
+   * the central moments close in one pinned chain (the m₃/m₄
+   * expansions around the mean, then `m₃/(m₂·√m₂)` — sqrt, never
+   * pow, so both engines round identically). Keys with n < 2 or
+   * zero variance emit null.
+   *
+   * Output: (keys…, n, skewness, kurtosis_excess, jb).
+   *
+   * Scale posture: ONE aggregation pass, nothing row-sized after.
+   * Exactness envelope: Σ(v·10^scale)⁴ must fit DECIMAL(38,0) —
+   * |v|·10^scale ≲ 3·10⁷ over 10¹⁰ rows stays inside; rescale
+   * wider-ranged inputs.
+   */
+  def jarqueBera(df: DataFrame, keys: Seq[String], valueCol: String,
+                 valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "jarqueBera needs key columns")
+    val c = unscaled(col(valueCol), valueScale).cast("decimal(38,0)")
+    val m = df
+      .filter(col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(c).as("__s1"),
+        sum(c * c).as("__s2"), sum(c * c * c).as("__s3"),
+        sum((c * c) * (c * c)).as("__s4"))
+    val nD = col("n").cast("double")
+    val mu = col("__s1").cast("double") / nD
+    val s2n = col("__s2").cast("double") / nD
+    val s3n = col("__s3").cast("double") / nD
+    val s4n = col("__s4").cast("double") / nD
+    val m2 = s2n - mu * mu
+    val m3 = s3n - lit(3.0) * mu * s2n + lit(2.0) * mu * mu * mu
+    val m4 = s4n - lit(4.0) * mu * s3n + lit(6.0) * mu * mu * s2n -
+      lit(3.0) * mu * mu * mu * mu
+    // zero-variance keys null the DENOMINATOR (x/null = null) — a
+    // bare when() guard is not enough under ANSI because CSE can
+    // hoist the shared division out of the conditional
+    val g1 = m3 / when(m2 > 0.0, m2 * sqrt(m2))
+    val g2 = m4 / when(m2 > 0.0, m2 * m2) - lit(3.0)
+    val jb = nD / lit(6.0) * (g1 * g1 + g2 * g2 / lit(4.0))
+    val ok = col("n") >= 2L && m2 > 0.0
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(ok, g1).as("skewness"),
+      when(ok, g2).as("kurtosis_excess"),
+      when(ok, jb).as("jb")): _*)
+  }
+
+  /**
+   * First-order partial correlation per key: the correlation of x
+   * and y with the confounder z HELD FIXED —
+   * `r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))` — the
+   * one-line answer to "is the x–y correlation real, or is z
+   * driving both?". Listwise deletion: rows with any null among
+   * x, y, z drop, so all three pairwise r's share one n.
+   *
+   * Engine-exact: all nine moments (Σx, Σy, Σz, Σx², Σy², Σz²,
+   * Σxy, Σxz, Σyz) are exact DECIMAL sums in ONE map-side-combined
+   * aggregation; each pairwise r closes in [[pearsonMatrix]]'s
+   * pinned form and the partial closes in one more pinned chain.
+   * Zero-variance columns null their pairs; |r_xz| = 1 or
+   * |r_yz| = 1 (zero residual variance) nulls the partial.
+   *
+   * Output: (keys…, n, r_xy, r_xz, r_yz, r_partial).
+   *
+   * Scale posture: ONE aggregation pass; the closing runs on the
+   * key relation. Same DECIMAL(38) envelope as [[pearsonMatrix]].
+   */
+  def partialCorr(df: DataFrame, keys: Seq[String], xCol: String,
+                  yCol: String, zCol: String,
+                  scale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "partialCorr needs key columns")
+    val t = s"decimal(18,$scale)"
+    val pt = s"decimal(38,${2 * scale})"
+    val x = col(xCol).cast(t); val yv = col(yCol).cast(t)
+    val z = col(zCol).cast(t)
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(yv).as("__sy"), sum(z).as("__sz"),
+        sum((x * x).cast(pt)).as("__sxx"),
+        sum((yv * yv).cast(pt)).as("__syy"),
+        sum((z * z).cast(pt)).as("__szz"),
+        sum((x * yv).cast(pt)).as("__sxy"),
+        sum((x * z).cast(pt)).as("__sxz"),
+        sum((yv * z).cast(pt)).as("__syz"))
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sz = col("__sz").cast("double")
+    val vx = nD * col("__sxx").cast("double") - sx * sx
+    val vy = nD * col("__syy").cast("double") - sy * sy
+    val vz = nD * col("__szz").cast("double") - sz * sz
+    // null denominators (not bare when() guards) — CSE hoists the
+    // shared divisions out of conditionals, and ANSI x/0 throws
+    def r(sab: Column, va: Column, vb: Column, sa: Column, sb: Column) =
+      (nD * sab - sa * sb) /
+        when(va > 0.0 && vb > 0.0, sqrt(va) * sqrt(vb))
+    val rxy = r(col("__sxy").cast("double"), vx, vy, sx, sy)
+    val rxz = r(col("__sxz").cast("double"), vx, vz, sx, sz)
+    val ryz = r(col("__syz").cast("double"), vy, vz, sy, sz)
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val rp = (rxy - rxz * ryz) / when(den > 0.0, sqrt(den))
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(vx > 0.0 && vy > 0.0, rxy).as("r_xy"),
+      when(vx > 0.0 && vz > 0.0, rxz).as("r_xz"),
+      when(vy > 0.0 && vz > 0.0, ryz).as("r_yz"),
+      when(vx > 0.0 && vy > 0.0 && vz > 0.0 && den > 0.0, rp)
+        .as("r_partial")): _*)
+  }
+
+  /**
+   * Lin's concordance correlation coefficient per key — AGREEMENT,
+   * not just correlation: Pearson's r forgives any linear bias
+   * (y = 2x + 7 scores r = 1); CCC charges for it —
+   * `ccc = 2·s_xy / (s_x² + s_y² + (x̄−ȳ)²)` — making it the right
+   * score for "does the cheap sensor / new model REPRODUCE the
+   * reference?", where calibration error must hurt.
+   *
+   * Engine-exact: the five moments are exact DECIMAL sums in ONE
+   * map-side-combined aggregation; the biased (1/n) central moments
+   * and both closings are pinned chains (means rescale to input
+   * units by one literal division). r nulls on zero variance; ccc
+   * nulls only when the denominator is 0 (both variances zero AND
+   * equal means — identical constants).
+   *
+   * Output: (keys…, n, mean_x, mean_y, r, ccc); ccc ≤ |r| always,
+   * with equality iff the fit is exactly the identity line.
+   *
+   * Scale posture: ONE aggregation pass. Same DECIMAL(38) envelope
+   * as [[pearsonMatrix]].
+   */
+  def linCcc(df: DataFrame, keys: Seq[String], xCol: String,
+             yCol: String, scale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "linCcc needs key columns")
+    val t = s"decimal(18,$scale)"
+    val pt = s"decimal(38,${2 * scale})"
+    val x = col(xCol).cast(t); val yv = col(yCol).cast(t)
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(yv).as("__sy"),
+        sum((x * x).cast(pt)).as("__sxx"),
+        sum((yv * yv).cast(pt)).as("__syy"),
+        sum((x * yv).cast(pt)).as("__sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("__sx").cast("double") / nD
+    val my = col("__sy").cast("double") / nD
+    val sxx = col("__sxx").cast("double") / nD - mx * mx
+    val syy = col("__syy").cast("double") / nD - my * my
+    val sxy = col("__sxy").cast("double") / nD - mx * my
+    val den = sxx + syy + (mx - my) * (mx - my)
+    // null denominators, not bare when() guards (ANSI + CSE)
+    val rr = sxy / when(sxx > 0.0 && syy > 0.0, sqrt(sxx) * sqrt(syy))
+    val ccc = lit(2.0) * sxy / when(den > 0.0, den)
+    m.select(keys.map(col) ++ Seq(col("n"),
+      mx.as("mean_x"), my.as("mean_y"),
+      rr.as("r"), ccc.as("ccc")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

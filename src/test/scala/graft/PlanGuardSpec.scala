@@ -1231,6 +1231,33 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q351 jarque-bera: ONE map-side-combined key aggregation — " +
+    "join-free, window-free") {
+    val fin = finalPlan("q351_jarque_bera").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q352 partial-corr: nine moments in ONE map-side-combined " +
+    "aggregation — join-free, window-free") {
+    val fin = finalPlan("q352_partial_corr").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q353 lin-ccc: five moments in ONE map-side-combined " +
+    "aggregation — join-free, window-free") {
+    val fin = finalPlan("q353_lin_ccc").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q349 friedman: cell collapse + rank windows on same-key " +
     "subsumption — join-free, bounded exchanges") {
     val fin = finalPlan("q349_friedman").split("== Initial Plan ==")(0)

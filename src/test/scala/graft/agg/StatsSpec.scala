@@ -1296,4 +1296,62 @@ class StatsSpec extends AnyFunSuite {
     assert(out("h").getAs[Double]("q") == 3.0)
     assert(out("z").isNullAt(out("z").fieldIndex("q")))
   }
+
+  test("jarqueBera: symmetric two-point sample has skew exactly 0, " +
+    "kurtosis -2, jb = n/6; constant and singleton keys null") {
+    val df = (Seq(1.0, 1.0, 3.0, 3.0).map(("k", _)) ++
+      Seq(("c", 5.0), ("c", 5.0), ("s", 7.0))).toDF("key", "v")
+    val out = Stats.jarqueBera(df, Seq("key"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // m2 = 1e4 cents^2, m3 = 0 exactly, m4 = 1e8 -> g2 = -2
+    assert(k.getAs[Double]("skewness") == 0.0)
+    assert(k.getAs[Double]("kurtosis_excess") == -2.0)
+    assert(k.getAs[Double]("jb") == 4.0 / 6.0 * 1.0)
+    assert(out("c").isNullAt(out("c").fieldIndex("jb"))) // zero var
+    assert(out("s").isNullAt(out("s").fieldIndex("jb"))) // n = 1
+  }
+
+  test("partialCorr: orthogonal confounder leaves r_xy as the " +
+    "partial; z = x nulls it; zero-variance z nulls its pairs") {
+    // x and y perfectly correlated, z orthogonal to both
+    val a = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 1.0),
+      (1.0, 2.0, 2.0), (2.0, 4.0, 2.0)).map { case (x, y, z) =>
+      ("k", x, y, z) }
+    // z == x -> |r_xz| = 1 -> partial undefined
+    val b = Seq(("d", 1.0, 2.0, 1.0), ("d", 2.0, 3.0, 2.0),
+      ("d", 3.0, 5.0, 3.0))
+    // constant z
+    val c = Seq(("z", 1.0, 2.0, 7.0), ("z", 2.0, 1.0, 7.0))
+    val out = Stats.partialCorr((a ++ b ++ c).toDF("key", "x", "y", "z"),
+      Seq("key"), "x", "y", "z")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("k").getAs[Double]("r_xy") - 1.0) < 1e-12)
+    assert(out("k").getAs[Double]("r_xz") == 0.0)
+    assert(out("k").getAs[Double]("r_yz") == 0.0)
+    assert(math.abs(out("k").getAs[Double]("r_partial") - 1.0) < 1e-12)
+    assert(out("d").isNullAt(out("d").fieldIndex("r_partial")))
+    assert(out("z").isNullAt(out("z").fieldIndex("r_xz")))
+    assert(out("z").isNullAt(out("z").fieldIndex("r_partial")))
+    assert(!out("z").isNullAt(out("z").fieldIndex("r_xy")))
+  }
+
+  test("linCcc: identity agreement scores exactly 1; constant bias " +
+    "drops ccc below a perfect r; flat pair null") {
+    val ident = Seq(1.0, 2.0, 3.0).map(v => ("i", v, v))
+    val biased = Seq(1.0, 2.0, 3.0).map(v => ("b", v, v + 1.0))
+    val flat = Seq(("f", 5.0, 5.0), ("f", 5.0, 5.0))
+    val out = Stats.linCcc((ident ++ biased ++ flat)
+      .toDF("key", "x", "y"), Seq("key"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("i").getAs[Double]("ccc") == 1.0)
+    assert(out("i").getAs[Double]("mean_x") == 2.0)
+    assert(math.abs(out("b").getAs[Double]("r") - 1.0) < 1e-12)
+    // same shape, unit shift: ccc = 2s/(2s + 1) < r
+    val s = 14.0 / 3.0 - 2.0 * 2.0
+    assert(math.abs(out("b").getAs[Double]("ccc") -
+      2.0 * s / (s + s + 1.0 * 1.0)) < 1e-9)
+    assert(out("b").getAs[Double]("ccc") < out("b").getAs[Double]("r"))
+    assert(out("f").isNullAt(out("f").fieldIndex("ccc")))
+  }
 }

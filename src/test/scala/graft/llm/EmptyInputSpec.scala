@@ -423,5 +423,15 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Long, String, Boolean)]
         .toDF("k", "s", "trt", "y"),
       Seq("k"), "s", "trt", "y").count() == 0)
+    assert(graft.agg.Stats.jarqueBera(
+      Seq.empty[(String, Double)].toDF("k", "v"),
+      Seq("k"), "v").count() == 0)
+    assert(graft.agg.Stats.partialCorr(
+      Seq.empty[(String, Double, Double, Double)]
+        .toDF("k", "x", "y", "z"),
+      Seq("k"), "x", "y", "z").count() == 0)
+    assert(graft.agg.Stats.linCcc(
+      Seq.empty[(String, Double, Double)].toDF("k", "x", "y"),
+      Seq("k"), "x", "y").count() == 0)
   }
 }
