@@ -4121,6 +4121,31 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- time-series: MACD momentum triple — three in-group EMA
+    //      folds, in-expression alphas, per-event rows ----
+    "q354_macd" -> ((s, dir) =>
+      graft.ops.TimeSeries.macd(
+        t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "value")),
+
+    // ---- time-series: stochastic oscillator — exact integer frame
+    //      min/max, pinned %K, explicit-lag %D ----
+    "q355_stochastic" -> ((s, dir) =>
+      graft.ops.TimeSeries.stochasticOscillator(
+        t(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id", "value")),
+
+    // ---- forecasting: accuracy scorecard MAE/RMSE/MAPE/sMAPE/MASE
+    //      — exact cent sums, 1e-9-grid ratio quantization ----
+    "q356_forecast_accuracy" -> ((s, dir) =>
+      graft.ops.TimeSeries.forecastAccuracy(
+        t(s, dir, "events")
+          .withColumn("pred",
+            col("value").cast("decimal(18,2)") *
+              lit(new java.math.BigDecimal("0.95")) +
+              lit(new java.math.BigDecimal("2.0"))),
+        Seq("event_type"), "ts", "event_id", "value", "pred")),
+
     // ---- stats: Jarque-Bera normality — exact power sums to the
     //      4th, pinned central-moment chain, sqrt never pow ----
     "q351_jarque_bera" -> ((s, dir) =>
@@ -7590,6 +7615,103 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // the engine's three EMA recurrences replayed as a recursive
+    // walk: ef/es seed at x0, alphas 2/(span+1) computed in the
+    // expression, signal seeds at macd0 = +0.0, every step the same
+    // pinned e + a*(x - e) chain
+    "q354_macd" ->
+      """WITH RECURSIVE r0 AS (SELECT user_id, ts, event_id,
+        |    CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |walk AS (
+        |  SELECT user_id, ts, event_id, v, rn, v AS ef, v AS es,
+        |    CAST(0.0 AS DOUBLE) AS sg FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.user_id, r0.ts, r0.event_id, r0.v, r0.rn,
+        |    w.ef + 2.0 / (12.0 + 1.0) * (r0.v - w.ef),
+        |    w.es + 2.0 / (26.0 + 1.0) * (r0.v - w.es),
+        |    w.sg + 2.0 / (9.0 + 1.0) *
+        |      (w.ef + 2.0 / (12.0 + 1.0) * (r0.v - w.ef)
+        |       - (w.es + 2.0 / (26.0 + 1.0) * (r0.v - w.es)) - w.sg)
+        |  FROM walk w JOIN r0 ON r0.user_id = w.user_id
+        |    AND r0.rn = w.rn + 1)
+        |SELECT user_id, event_id, ts, v AS value, ef - es AS macd,
+        |  sg AS signal, ef - es - sg AS histogram
+        |FROM walk""".stripMargin,
+
+    // exact integer trailing-frame min/max on the cent grid, pinned
+    // 100*(x-ll)/(hh-ll) with a flat-frame null, %D via explicit
+    // lags (never a windowed double sum)
+    "q355_stochastic" ->
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT *,
+        |    min(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ll,
+        |    max(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hh
+        |  FROM b),
+        |k AS (SELECT *, CASE WHEN hh > ll
+        |    THEN 100.0 * CAST(vc - ll AS DOUBLE)
+        |      / CAST(hh - ll AS DOUBLE) END AS pk FROM w),
+        |d AS (SELECT *, (pk
+        |    + lag(pk, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)
+        |    + lag(pk, 2) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)) / 3.0 AS pd FROM k)
+        |SELECT user_id, event_id, ts, value, pk AS pct_k,
+        |  pd AS pct_d
+        |FROM d""".stripMargin,
+
+    // exact cent error sums, 1e-9-grid integer-division ratio
+    // quantization (both engines truncate positives identically),
+    // in-sample naive-lag MASE scale; the gate's pred column is
+    // exact decimal value*0.95 + 2.0 (oracle rounds explicitly —
+    // DuckDB decimal downscale casts truncate)
+    "q356_forecast_accuracy" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ac,
+        |    CAST(CAST(round(CAST(value AS DECIMAL(18,2)) * 0.95
+        |      + 2.0, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS fc
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT *, abs(ac - fc) AS ae,
+        |    abs(ac - lag(ac) OVER (PARTITION BY k
+        |      ORDER BY ts, event_id)) AS nd
+        |  FROM b),
+        |q AS (SELECT *,
+        |    CASE WHEN ac <> 0
+        |      THEN (ae * 1000000000) // abs(ac) END AS mq,
+        |    CASE WHEN abs(ac) + abs(fc) <> 0
+        |      THEN (ae * 1000000000) // (abs(ac) + abs(fc)) END AS sq
+        |  FROM r),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ae) AS DOUBLE) AS sae,
+        |    CAST(sum(ae * ae) AS DOUBLE) AS sse,
+        |    CAST(sum(mq) AS DOUBLE) AS smq,
+        |    CAST(count(mq) AS BIGINT) AS cmq,
+        |    CAST(sum(sq) AS DOUBLE) AS ssq,
+        |    CAST(count(sq) AS BIGINT) AS csq,
+        |    CAST(sum(nd) AS DOUBLE) AS snd,
+        |    CAST(count(nd) AS BIGINT) AS cnd
+        |  FROM q GROUP BY 1),
+        |x AS (SELECT *, CAST(n AS DOUBLE) AS ndb FROM g)
+        |SELECT k AS event_type, n,
+        |  sae / ndb / 100.0 AS mae,
+        |  sqrt(sse / ndb) / 100.0 AS rmse,
+        |  CASE WHEN cmq > 0 THEN smq / CAST(cmq AS DOUBLE)
+        |    / 10000000.0 END AS mape,
+        |  CASE WHEN csq > 0 THEN ssq / CAST(csq AS DOUBLE)
+        |    / 1000000000.0 * 200.0 END AS smape,
+        |  CASE WHEN cnd > 0 AND snd > 0.0
+        |    THEN sae / ndb / (snd / CAST(cnd AS DOUBLE)) END AS mase
+        |FROM x""".stripMargin,
 
     // exact integer power sums to the 4th on the cent grid (BIGINT
     // powers, HUGEINT sums == the engine's DECIMAL(38) sums), then

@@ -1993,4 +1993,196 @@ object TimeSeries {
         (col("__p") - col("__m")).cast("double").as("cusum"),
         ((col("__p") - col("__m")) > h).as("alarm")): _*)
   }
+
+  /**
+   * MACD (moving-average convergence/divergence) per key — the
+   * momentum triple on any per-entity metric series:
+   * `macd = EMA_fast − EMA_slow`, `signal = EMA_signal(macd)`,
+   * `histogram = macd − signal`; sign flips of the histogram are the
+   * classic trend-turn events.
+   *
+   * Engine-exact: each EMA is the [[ewma]] recurrence
+   * (`e₀ = x₀`, `eᵢ = eᵢ₋₁ + α(xᵢ − eᵢ₋₁)`) with
+   * `α = 2/(span+1)` computed IN-expression (the q327 discipline);
+   * the fast and slow arrays fold over ONE sorted in-group list,
+   * macd is their elementwise difference (so `macd₀ = x₀ − x₀ = +0`
+   * exactly — the signal seed both engines agree on), and the
+   * signal line folds the same recurrence over the macd array. An
+   * ANSI engine replays every step bit-for-bit as a recursive walk.
+   *
+   * Output: (keys…, `tieCol`, `tsCol`, `valueCol`, macd, signal,
+   * histogram) — one row per input event.
+   *
+   * Scale posture: ONE key exchange; in-group arrays bounded by the
+   * KEY's event count ([[ewma]]'s per-entity contract — for
+   * unbounded streams carry the recurrences in keyed state).
+   */
+  def macd(df: DataFrame, keys: Seq[String], tsCol: String,
+           tieCol: String, valueCol: String, fastSpan: Int = 12,
+           slowSpan: Int = 26, signalSpan: Int = 9): DataFrame = {
+    require(keys.nonEmpty, "macd needs key columns")
+    require(fastSpan > 0 && slowSpan > fastSpan && signalSpan > 0,
+      s"need 0 < fastSpan < slowSpan and signalSpan > 0")
+    val af = lit(2.0) / (lit(fastSpan.toDouble) + lit(1.0))
+    val as = lit(2.0) / (lit(slowSpan.toDouble) + lit(1.0))
+    val ag = lit(2.0) / (lit(signalSpan.toDouble) + lit(1.0))
+    def emaFold(src: Column, alpha: Column) = aggregate(src,
+      array().cast("array<double>"),
+      (acc, x) => when(size(acc) === 0, array(x))
+        .otherwise(concat(acc, array(
+          element_at(acc, -1) + alpha * (x - element_at(acc, -1))))))
+    val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("i"), col(valueCol).cast("double").as("v"))))
+    val folded = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(lst.as("__l"))
+      .withColumn("__vs", transform(col("__l"), _.getField("v")))
+      .withColumn("__ef", emaFold(col("__vs"), af))
+      .withColumn("__es", emaFold(col("__vs"), as))
+      .withColumn("__md",
+        zip_with(col("__ef"), col("__es"), (a, b) => a - b))
+      .withColumn("__sg", emaFold(col("__md"), ag))
+    folded
+      .select(keys.map(col) :+ posexplode(arrays_zip(col("__l"),
+        col("__md"), col("__sg"))): _*)
+      .select(keys.map(col) ++ Seq(
+        col("col.__l.i").as(tieCol), col("col.__l.t").as(tsCol),
+        col("col.__l.v").as(valueCol), col("col.__md").as("macd"),
+        col("col.__sg").as("signal"),
+        (col("col.__md") - col("col.__sg")).as("histogram")): _*)
+  }
+
+  /**
+   * Stochastic oscillator per key: where does each event's value sit
+   * inside its recent trading range? —
+   * `%K = 100·(x − LLₙ)/(HHₙ − LLₙ)` over the trailing `n` events
+   * (partial head frames use the rows available — the natural
+   * window semantics, pinned), and `%D` smooths %K over the last
+   * `dPeriod` events.
+   *
+   * Engine-exact: values snap to the cent grid, so LL/HH are exact
+   * integer frame min/max (order-free — no double-sum frame
+   * hazard); %K is one pinned division of exact integers, null on a
+   * flat frame (HH = LL); %D averages via EXPLICIT lags
+   * (`(%K + lag₁ + lag₂)/d` — a windowed double SUM would be
+   * association-order-dependent across engines) and is null until
+   * `dPeriod` non-null %Ks accumulate.
+   *
+   * Output: (keys…, `tieCol`, `tsCol`, `valueCol`, pct_k, pct_d).
+   *
+   * Scale posture: ONE key exchange carries the frame min/max, the
+   * lags, and the total order; per-key linear, nothing collected.
+   */
+  def stochasticOscillator(df: DataFrame, keys: Seq[String],
+                           tsCol: String, tieCol: String,
+                           valueCol: String, n: Int = 14,
+                           dPeriod: Int = 3,
+                           valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "stochasticOscillator needs key columns")
+    require(n >= 1 && dPeriod >= 1, "need n >= 1 and dPeriod >= 1")
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val frame = ord.rowsBetween(-(n - 1).toLong, Window.currentRow)
+    val rows = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__ll", min(col("__vc")).over(frame))
+      .withColumn("__hh", max(col("__vc")).over(frame))
+      .withColumn("__k", lit(100.0) *
+        (col("__vc") - col("__ll")).cast("double") /
+        when(col("__hh") > col("__ll"),
+          (col("__hh") - col("__ll")).cast("double")))
+    val dSum = (1 until dPeriod).foldLeft(col("__k")) {
+      case (acc, j) => acc + lag(col("__k"), j).over(ord)
+    }
+    rows
+      .withColumn("__d", dSum / lit(dPeriod.toDouble))
+      .select(keys.map(col) ++ Seq(col(tieCol), col(tsCol),
+        col(valueCol), col("__k").as("pct_k"),
+        col("__d").as("pct_d")): _*)
+  }
+
+  /**
+   * Forecast-accuracy scorecard per key: MAE, RMSE, MAPE, sMAPE and
+   * MASE of a forecast column against actuals — the one table you
+   * produce after EVERY forecasting run ([[ewma]], [[holtLinear]],
+   * [[holtWinters]], [[croston]]) to decide if the model beats the
+   * naive carry-forward.
+   *
+   * Engine-exact: errors live on the cent grid, so Σ|e| and Σe² are
+   * exact decimal sums; the percentage ratios |e|/|a| and
+   * 2|e|/(|a|+|f|) quantize to an exact 10⁻⁹ grid by integer floor
+   * division (a windowed double sum would be association-order-
+   * dependent; the grid costs < 1e-7 % absolute and buys exact
+   * cross-engine sums — quantization documented, both engines
+   * truncate positives identically). MASE's scale is the in-sample
+   * naive MAE `Σ|aᵢ−aᵢ₋₁|/(n−1)` on the (tsCol, tieCol) order —
+   * exact cents. MAPE skips a = 0 rows; sMAPE skips |a|+|f| = 0
+   * rows (counts reported); MASE nulls when the naive scale is 0.
+   *
+   * Output: (keys…, n, mae, rmse, mape, smape, mase) — mae/rmse in
+   * input units, mape/smape in percent.
+   *
+   * Scale posture: one key exchange (the naive lag), ONE map-side-
+   * combined closing aggregation. Envelope: |e|·10⁹ must fit a
+   * long — |error| ≲ 9·10⁷ units at scale 2.
+   */
+  def forecastAccuracy(df: DataFrame, keys: Seq[String], tsCol: String,
+                       tieCol: String, actualCol: String,
+                       forecastCol: String,
+                       valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "forecastAccuracy needs key columns")
+    val scaleF = math.pow(10, valueScale)
+    def cents(c: Column) = (c.cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val rows = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(actualCol).isNotNull && col(forecastCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__ac", cents(col(actualCol)))
+      .withColumn("__fc", cents(col(forecastCol)))
+      .withColumn("__ae", abs(col("__ac") - col("__fc")))
+      .withColumn("__nd", abs(col("__ac") - lag(col("__ac"), 1).over(ord)))
+      .withColumn("__mq", when(col("__ac") =!= 0L,
+        expr("(__ae * 1000000000L) div abs(__ac)")))
+      .withColumn("__sq", when(abs(col("__ac")) + abs(col("__fc")) =!= 0L,
+        expr("(__ae * 1000000000L) div (abs(__ac) + abs(__fc))")))
+    val agg = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ae").cast("decimal(38,0)")).as("__sae"),
+        sum(col("__ae").cast("decimal(19,0)") *
+          col("__ae").cast("decimal(19,0)")).as("__sse"),
+        sum(col("__mq").cast("decimal(38,0)")).as("__smq"),
+        count(col("__mq")).as("__cmq"),
+        sum(col("__sq").cast("decimal(38,0)")).as("__ssq"),
+        count(col("__sq")).as("__csq"),
+        sum(col("__nd").cast("decimal(38,0)")).as("__snd"),
+        count(col("__nd")).as("__cnd"))
+    val nD = col("n").cast("double")
+    val unit = lit(scaleF)
+    val mae = col("__sae").cast("double") / nD / unit
+    val rmse = sqrt(col("__sse").cast("double") / nD) / unit
+    val mape = col("__smq").cast("double") /
+      when(col("__cmq") > 0L, col("__cmq").cast("double")) / lit(1e7)
+    val smape = col("__ssq").cast("double") /
+      when(col("__csq") > 0L, col("__csq").cast("double")) /
+      lit(1e9) * lit(200.0)
+    val naive = col("__snd").cast("double") /
+      when(col("__cnd") > 0L, col("__cnd").cast("double"))
+    val mase = col("__sae").cast("double") / nD /
+      when(col("__cnd") > 0L && col("__snd").cast("double") > 0.0, naive)
+    agg.select(keys.map(col) ++ Seq(col("n"), mae.as("mae"),
+      rmse.as("rmse"), mape.as("mape"), smape.as("smape"),
+      mase.as("mase")): _*)
+  }
 }

@@ -1231,6 +1231,30 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q354 macd: three in-group EMA folds on ONE key exchange — " +
+    "join-free, explode-back") {
+    val fin = finalPlan("q354_macd").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("Generate"), fin.take(1500)) // posexplode
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q355 stochastic: frame min/max + lags on ONE key exchange — " +
+    "join-free") {
+    val fin = finalPlan("q355_stochastic").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("Window"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q356 forecast-accuracy: naive lag + closing collapse share " +
+    "the key exchange — join-free") {
+    val fin = finalPlan("q356_forecast_accuracy")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q351 jarque-bera: ONE map-side-combined key aggregation — " +
     "join-free, window-free") {
     val fin = finalPlan("q351_jarque_bera").split("== Initial Plan ==")(0)

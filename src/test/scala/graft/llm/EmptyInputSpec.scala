@@ -433,5 +433,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.linCcc(
       Seq.empty[(String, Double, Double)].toDF("k", "x", "y"),
       Seq("k"), "x", "y").count() == 0)
+    val emptySeries =
+      Seq.empty[(String, Timestamp, Long, Double)]
+        .toDF("k", "ts", "id", "v")
+    assert(graft.ops.TimeSeries.macd(
+      emptySeries, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.ops.TimeSeries.stochasticOscillator(
+      emptySeries, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.ops.TimeSeries.forecastAccuracy(
+      Seq.empty[(String, Timestamp, Long, Double, Double)]
+        .toDF("k", "ts", "id", "a", "f"),
+      Seq("k"), "ts", "id", "a", "f").count() == 0)
   }
 }

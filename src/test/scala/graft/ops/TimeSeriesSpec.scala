@@ -956,4 +956,71 @@ class TimeSeriesSpec extends AnyFunSuite {
     // actor 1's purchase at 12:30 is > 1h after the 10:30 click
     assert(out(1L).isNullAt(out(1L).fieldIndex("step3_ts")))
   }
+
+  test("macd: hand-walked two-tick recurrence with unit alphas; " +
+    "constant series flat at zero") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 1.0),
+      ("k", ts("2024-01-01 01:00:00"), 2L, 2.0),
+      ("c", ts("2024-01-01 00:00:00"), 1L, 5.0),
+      ("c", ts("2024-01-01 01:00:00"), 2L, 5.0)
+    ).toDF("key", "ts", "id", "v")
+    // fast span 1 -> alpha 1 (ema follows x); slow span 2 -> 2/3;
+    // signal span 1 -> signal == macd, histogram == 0
+    val out = TimeSeries.macd(df, Seq("key"), "ts", "id", "v",
+      fastSpan = 1, slowSpan = 2, signalSpan = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("k", 1L)).getAs[Double]("macd") == 0.0)
+    val es1 = 1.0 + 2.0 / (2.0 + 1.0) * (2.0 - 1.0)
+    assert(out(("k", 2L)).getAs[Double]("macd") == 2.0 - es1)
+    assert(out(("k", 2L)).getAs[Double]("signal") == 2.0 - es1)
+    assert(out(("k", 2L)).getAs[Double]("histogram") == 0.0)
+    assert(out(("c", 2L)).getAs[Double]("macd") == 0.0)
+    assert(out(("c", 2L)).getAs[Double]("signal") == 0.0)
+  }
+
+  test("stochasticOscillator: hand %K over a 3-frame, flat head " +
+    "frame null, explicit-lag %D") {
+    val df = Seq(10.0, 20.0, 30.0, 20.0).zipWithIndex.map {
+      case (v, i) => ("k", ts(s"2024-01-01 0$i:00:00"), i.toLong, v)
+    }.toDF("key", "ts", "id", "v")
+    val out = TimeSeries.stochasticOscillator(df, Seq("key"), "ts",
+      "id", "v", n = 3, dPeriod = 2)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(0L).isNullAt(out(0L).fieldIndex("pct_k"))) // flat frame
+    assert(out(1L).getAs[Double]("pct_k") == 100.0)
+    assert(out(2L).getAs[Double]("pct_k") == 100.0)
+    // frame rows 2..4: ll = 2000, hh = 3000 -> K = 0
+    assert(out(3L).getAs[Double]("pct_k") == 0.0)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("pct_d"))) // lag null
+    assert(out(2L).getAs[Double]("pct_d") == 100.0)
+    assert(out(3L).getAs[Double]("pct_d") == 50.0)
+  }
+
+  test("forecastAccuracy: hand cent-grid MAE/RMSE/MASE and the " +
+    "1e-9-grid MAPE/sMAPE quantization; flat naive null") {
+    val df = Seq((10.0, 11.0), (12.0, 11.0), (11.0, 11.0))
+      .zipWithIndex.map { case ((a, f), i) =>
+        ("k", ts(s"2024-01-01 0$i:00:00"), i.toLong, a, f) } ++
+      Seq(("z", ts("2024-01-01 00:00:00"), 0L, 5.0, 7.0),
+        ("z", ts("2024-01-01 01:00:00"), 1L, 5.0, 7.0))
+    val out = TimeSeries.forecastAccuracy(
+      df.toDF("key", "ts", "id", "a", "f"),
+      Seq("key"), "ts", "id", "a", "f")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // errors in cents: 100, 100, 0
+    assert(k.getAs[Double]("mae") == 200.0 / 3.0 / 100.0)
+    assert(k.getAs[Double]("rmse") == math.sqrt(20000.0 / 3.0) / 100.0)
+    // mq: 1e11 div 1000, 1e11 div 1200, 0 -> truncated grid
+    val mq = 100000000L + 100000000000L / 1200L + 0L
+    assert(k.getAs[Double]("mape") == mq.toDouble / 3.0 / 1e7)
+    val sq = 100000000000L / 2100L + 100000000000L / 2300L + 0L
+    assert(k.getAs[Double]("smape") == sq.toDouble / 3.0 / 1e9 * 200.0)
+    // naive diffs: |1200-1000|, |1100-1200| -> scale 150 cents
+    assert(k.getAs[Double]("mase") == 200.0 / 3.0 / 150.0)
+    // z: constant actuals -> naive scale 0 -> mase null
+    assert(out("z").isNullAt(out("z").fieldIndex("mase")))
+    assert(out("z").getAs[Double]("mae") == 2.0)
+  }
 }
