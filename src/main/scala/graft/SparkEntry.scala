@@ -4121,6 +4121,29 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- stats: Chow structural-break test — per-segment exact
+    //      conditional moments, pooled by decimal addition ----
+    "q357_chow_test" -> ((s, dir) =>
+      graft.agg.Stats.chowTest(
+        t(s, dir, "events")
+          .withColumn("seg", dayofmonth(col("ts")) >= 16)
+          .withColumn("x", dayofmonth(col("ts")).cast("double")),
+        Seq("event_type"), "seg", "x", "value")),
+
+    // ---- stats: Cronbach's alpha — complete-subject item grid,
+    //      item-order variance fold, subject-total variance ----
+    "q358_cronbach_alpha" -> ((s, dir) =>
+      graft.agg.Stats.cronbachAlpha(
+        t(s, dir, "events")
+          .withColumn("cohort", pmod(col("user_id"), lit(3L))),
+        Seq("cohort"), "user_id", "event_type", "value")),
+
+    // ---- stats: diversity panel — exact Simpson rational,
+    //      category-order Shannon fold, Pielou evenness ----
+    "q359_diversity" -> ((s, dir) =>
+      graft.agg.Stats.diversityIndex(
+        t(s, dir, "documents"), Seq("lang"), "source")),
+
     // ---- time-series: MACD momentum triple — three in-group EMA
     //      folds, in-expression alphas, per-event rows ----
     "q354_macd" -> ((s, dir) =>
@@ -7614,6 +7637,150 @@ object SparkEntry {
         |    (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
+        |FROM g""".stripMargin,
+
+    // per-segment exact decimal conditional moments in one pass,
+    // pooled moments by decimal ADDITION of segment sums, pinned
+    // SSR = Syy_c - Sxy_c^2/Sxx_c per fit, pinned F closing
+    "q357_chow_test" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    date_part('day', ts) >= 16 AS seg,
+        |    CAST(date_part('day', ts) AS DECIMAL(18,2)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT k,
+        |    CAST(sum(CASE WHEN NOT seg THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN seg THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(CASE WHEN NOT seg THEN x END) AS sx0,
+        |    sum(CASE WHEN seg THEN x END) AS sx1,
+        |    sum(CASE WHEN NOT seg THEN y END) AS sy0,
+        |    sum(CASE WHEN seg THEN y END) AS sy1,
+        |    sum(CASE WHEN NOT seg THEN x * x END) AS sxx0,
+        |    sum(CASE WHEN seg THEN x * x END) AS sxx1,
+        |    sum(CASE WHEN NOT seg THEN x * y END) AS sxy0,
+        |    sum(CASE WHEN seg THEN x * y END) AS sxy1,
+        |    sum(CASE WHEN NOT seg THEN y * y END) AS syy0,
+        |    sum(CASE WHEN seg THEN y * y END) AS syy1
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+        |      * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS cxx0,
+        |    CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+        |      * CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS cxy0,
+        |    CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE)
+        |      * CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS cyy0,
+        |    CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |      * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS cxx1,
+        |    CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |      * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS cxy1,
+        |    CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+        |      * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS cyy1,
+        |    CAST(sxx0 + sxx1 AS DOUBLE) - CAST(sx0 + sx1 AS DOUBLE)
+        |      * CAST(sx0 + sx1 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS cxxp,
+        |    CAST(sxy0 + sxy1 AS DOUBLE) - CAST(sx0 + sx1 AS DOUBLE)
+        |      * CAST(sy0 + sy1 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS cxyp,
+        |    CAST(syy0 + syy1 AS DOUBLE) - CAST(sy0 + sy1 AS DOUBLE)
+        |      * CAST(sy0 + sy1 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS cyyp
+        |  FROM g),
+        |r AS (SELECT *,
+        |    cyy0 - cxy0 * cxy0
+        |      / (CASE WHEN cxx0 > 0.0 THEN cxx0 END) AS ssr0,
+        |    cyy1 - cxy1 * cxy1
+        |      / (CASE WHEN cxx1 > 0.0 THEN cxx1 END) AS ssr1,
+        |    cyyp - cxyp * cxyp
+        |      / (CASE WHEN cxxp > 0.0 THEN cxxp END) AS ssrp,
+        |    n0 >= 3 AND n1 >= 3 AND cxx0 > 0.0 AND cxx1 > 0.0
+        |      AND cxxp > 0.0 AS ok
+        |  FROM c),
+        |z AS (SELECT *, ssr0 + ssr1 AS resid,
+        |    CAST(n0 + n1 AS DOUBLE) AS ndb FROM r)
+        |SELECT k AS event_type, n0 AS n_pre, n1 AS n_post,
+        |  CASE WHEN ok THEN ssrp END AS ssr_pooled,
+        |  CASE WHEN ok THEN ssr0 END AS ssr_pre,
+        |  CASE WHEN ok THEN ssr1 END AS ssr_post,
+        |  CASE WHEN ok AND resid > 0.0 AND ndb > 4.0
+        |    THEN (ssrp - resid) / 2.0 / (resid / (ndb - 4.0))
+        |    END AS f_chow
+        |FROM z""".stripMargin,
+
+    // complete-subject item grid (dense-rank item count), exact
+    // integer window moments, sample item variances folded in item
+    // order (list_reduce), subject-total variance, pinned alpha
+    "q358_cronbach_alpha" ->
+      """WITH b AS (SELECT ((user_id % 3) + 3) % 3 AS k, user_id AS s,
+        |    event_type AS it,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cell AS (SELECT k, s, it, CAST(sum(c) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |d AS (SELECT *, dense_rank() OVER (PARTITION BY k
+        |    ORDER BY it) AS dr FROM cell),
+        |e AS (SELECT *, max(dr) OVER (PARTITION BY k) AS kk,
+        |    count(*) OVER (PARTITION BY k, s) AS sc FROM d),
+        |f AS (SELECT k, s, it, c, kk FROM e WHERE sc = kk),
+        |items AS (SELECT k, it, CAST(count(*) AS BIGINT) AS nit,
+        |    CAST(sum(c) AS BIGINT) AS S, sum(c * c) AS SS
+        |  FROM f GROUP BY 1, 2),
+        |ifold AS (SELECT k, list_reduce(list_prepend([0.0],
+        |    list([CAST(nit AS DOUBLE), CAST(S AS DOUBLE),
+        |      CAST(SS AS DOUBLE)] ORDER BY it)),
+        |    (acc, p) -> [acc[1] + (p[3] - p[2] * p[2] / p[1])
+        |      / (CASE WHEN p[1] > 1.0 THEN p[1] - 1.0 END)]) AS m
+        |  FROM items GROUP BY 1),
+        |subs0 AS (SELECT k, s, CAST(sum(c) AS BIGINT) AS T,
+        |    max(kk) AS kk FROM f GROUP BY 1, 2),
+        |subs AS (SELECT k, CAST(count(*) AS BIGINT) AS n_subjects,
+        |    CAST(max(kk) AS BIGINT) AS k_items,
+        |    CAST(sum(T) AS DOUBLE) AS st,
+        |    CAST(sum(T * T) AS DOUBLE) AS st2 FROM subs0 GROUP BY 1),
+        |j AS (SELECT subs.*, ifold.m[1] AS vs,
+        |    CAST(n_subjects AS DOUBLE) AS ndb,
+        |    CAST(k_items AS DOUBLE) AS kd
+        |  FROM subs JOIN ifold ON subs.k = ifold.k),
+        |v AS (SELECT *, (st2 - st * st / ndb)
+        |    / (CASE WHEN ndb > 1.0 THEN ndb - 1.0 END) AS vt FROM j)
+        |SELECT k AS cohort, n_subjects, k_items,
+        |  CASE WHEN n_subjects >= 2 THEN vs END AS item_var_sum,
+        |  CASE WHEN n_subjects >= 2 THEN vt END AS total_var,
+        |  CASE WHEN k_items >= 2 AND n_subjects >= 2 AND vt > 0.0
+        |    THEN kd / (CASE WHEN kd > 1.0 THEN kd - 1.0 END)
+        |      * (1.0 - vs / (CASE WHEN vt > 0.0 THEN vt END))
+        |    END AS alpha
+        |FROM v""".stripMargin,
+
+    // exact integer category counts, exact Simpson rational
+    // pairs/(N(N-1)), Shannon folded in category order with the
+    // pinned (n/N)*ln(n/N) chain, Pielou evenness H/ln k
+    "q359_diversity" ->
+      """WITH b AS (SELECT lang AS k, source AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT k, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |g0 AS (SELECT k, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS richness,
+        |    CAST(sum(n * (n - 1)) AS DOUBLE) AS pairs,
+        |    list([CAST(n AS DOUBLE)] ORDER BY c) AS cl
+        |  FROM cells GROUP BY 1),
+        |g AS (SELECT *, CAST(n AS DOUBLE) AS ndb,
+        |    list_reduce(list_prepend([0.0], cl),
+        |      (acc, p) -> [acc[1] + p[1] / CAST(n AS DOUBLE)
+        |        * ln(p[1] / CAST(n AS DOUBLE))]) AS hm
+        |  FROM g0)
+        |SELECT k AS lang, n, richness,
+        |  CASE WHEN n >= 2
+        |    THEN pairs / (ndb * (ndb - 1.0)) END AS simpson,
+        |  CASE WHEN n >= 2
+        |    THEN 1.0 - pairs / (ndb * (ndb - 1.0)) END AS gini_simpson,
+        |  0.0 - hm[1] AS shannon,
+        |  CASE WHEN richness >= 2 THEN (0.0 - hm[1])
+        |    / ln(CAST(richness AS DOUBLE)) END AS evenness
         |FROM g""".stripMargin,
 
     // the engine's three EMA recurrences replayed as a recursive

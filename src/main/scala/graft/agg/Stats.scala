@@ -3634,6 +3634,222 @@ object Stats {
       rr.as("r"), ccc.as("ccc")): _*)
   }
 
+  /**
+   * Chow structural-break test per key: did the y-on-x relationship
+   * CHANGE between two regimes (pre/post launch, pre/post incident)?
+   * Fit the line pooled and per segment;
+   * `F = ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4))` ≈ F(2, n−4)
+   * under no-break — large F = the two regimes genuinely follow
+   * different lines.
+   *
+   * Engine-exact: per-segment moments (n, Σx, Σy, Σx², Σxy, Σy²)
+   * are exact DECIMAL conditional sums in ONE map-side-combined
+   * aggregation; pooled moments are exact decimal ADDITIONS of the
+   * segment sums (never re-scanned); each SSR closes in the pinned
+   * `Syy_c − Sxy_c²/Sxx_c` chain. Keys where either segment has
+   * < 3 points, any Sxx_c ≤ 0 (vertical data), or a zero residual
+   * denominator emit null F.
+   *
+   * Output: (keys…, n_pre, n_post, ssr_pooled, ssr_pre, ssr_post,
+   * f_chow).
+   *
+   * Scale posture: ONE aggregation pass; closings on the key
+   * relation. Same DECIMAL(38) envelope as [[pearsonMatrix]].
+   */
+  def chowTest(df: DataFrame, keys: Seq[String], segmentCol: String,
+               xCol: String, yCol: String, scale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "chowTest needs key columns")
+    val t = s"decimal(18,$scale)"
+    val pt = s"decimal(38,${2 * scale})"
+    val x = col(xCol).cast(t); val yv = col(yCol).cast(t)
+    val seg = col(segmentCol).cast("boolean")
+    def side(c: Column, on: Boolean) = when(seg === lit(on), c)
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        seg.isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(!seg, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(seg, 1L).otherwise(0L)).as("n_post"),
+        sum(side(x, false)).as("__sx0"), sum(side(x, true)).as("__sx1"),
+        sum(side(yv, false)).as("__sy0"), sum(side(yv, true)).as("__sy1"),
+        sum(side((x * x).cast(pt), false)).as("__sxx0"),
+        sum(side((x * x).cast(pt), true)).as("__sxx1"),
+        sum(side((x * yv).cast(pt), false)).as("__sxy0"),
+        sum(side((x * yv).cast(pt), true)).as("__sxy1"),
+        sum(side((yv * yv).cast(pt), false)).as("__syy0"),
+        sum(side((yv * yv).cast(pt), true)).as("__syy1"))
+    def ssr(n: Column, sx: Column, sy: Column, sxx: Column,
+            sxy: Column, syy: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val sxD = sx.cast("double"); val syD = sy.cast("double")
+      val cxx = sxx.cast("double") - sxD * sxD / nD
+      val cxy = sxy.cast("double") - sxD * syD / nD
+      val cyy = syy.cast("double") - syD * syD / nD
+      (cyy - cxy * cxy / when(cxx > 0.0, cxx), cxx)
+    }
+    val (ssr0, cxx0) = ssr(col("n_pre"), col("__sx0"), col("__sy0"),
+      col("__sxx0"), col("__sxy0"), col("__syy0"))
+    val (ssr1, cxx1) = ssr(col("n_post"), col("__sx1"), col("__sy1"),
+      col("__sxx1"), col("__sxy1"), col("__syy1"))
+    val nT = col("n_pre") + col("n_post")
+    val (ssrP, cxxP) = ssr(nT,
+      col("__sx0") + col("__sx1"), col("__sy0") + col("__sy1"),
+      col("__sxx0") + col("__sxx1"), col("__sxy0") + col("__sxy1"),
+      col("__syy0") + col("__syy1"))
+    val nD = nT.cast("double")
+    val resid = ssr0 + ssr1
+    val f = (ssrP - resid) / lit(2.0) /
+      when(resid > 0.0 && nD > 4.0, resid / (nD - lit(4.0)))
+    val ok = col("n_pre") >= 3L && col("n_post") >= 3L &&
+      cxx0 > 0.0 && cxx1 > 0.0 && cxxP > 0.0
+    m.select(keys.map(col) ++ Seq(col("n_pre"), col("n_post"),
+      when(ok, ssrP).as("ssr_pooled"), when(ok, ssr0).as("ssr_pre"),
+      when(ok, ssr1).as("ssr_post"),
+      when(ok && resid > 0.0 && nD > 4.0, f).as("f_chow")): _*)
+  }
+
+  /**
+   * Cronbach's alpha per key — internal-consistency reliability of
+   * a k-item scale (survey battery, rubric, multi-probe eval): do
+   * the items measure ONE underlying trait?
+   * `α = k/(k−1)·(1 − Σσ²ᵢ / σ²_T)` with σ²ᵢ the per-item sample
+   * variance across subjects and σ²_T the variance of subject
+   * TOTALS. α ≥ 0.7 is the conventional "reliable scale" bar.
+   *
+   * Pinned semantics: a subject's score on an item is the exact
+   * grid SUM of its rows; k is the key-wide item count (dense-rank)
+   * and only COMPLETE subjects (all k items) score. Per-item and
+   * per-subject moments ride the same key exchange as exact integer
+   * window sums with row-number-1 markers; Σσ²ᵢ folds SEQUENTIALLY
+   * in item order (≡ list_reduce — a double sum over items must
+   * not be association-order-free-for-all), and σ²_T closes from
+   * exact ΣT, ΣT². Keys with k < 2, n < 2 subjects, or σ²_T ≤ 0
+   * emit null.
+   *
+   * Output: (keys…, n_subjects, k_items, item_var_sum, total_var,
+   * alpha).
+   *
+   * Scale posture: one (keys, subject, item) map-side collapse,
+   * then ONE key exchange (same-key window subsumption) and the key
+   * closing; the fold runs on the k-row item grid.
+   */
+  def cronbachAlpha(df: DataFrame, keys: Seq[String], subjectCol: String,
+                    itemCol: String, scoreCol: String,
+                    valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "cronbachAlpha needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val cell = df
+      .filter(col(scoreCol).isNotNull && col(subjectCol).isNotNull &&
+        col(itemCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(subjectCol) :+ col(itemCol): _*)
+      .agg(sum(unscaled(col(scoreCol), valueScale)).as("__c"))
+    val wIt = Window.partitionBy(keys.map(col): _*).orderBy(col(itemCol))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val subCols = keys.map(col) :+ col(subjectCol)
+    val itCols = keys.map(col) :+ col(itemCol)
+    val marked = cell
+      .withColumn("__dr", dense_rank().over(wIt))
+      .withColumn("__kk", max(col("__dr")).over(wKey))
+      .withColumn("__sc",
+        count(lit(1)).over(Window.partitionBy(subCols: _*)))
+      .filter(col("__sc") === col("__kk"))
+      .withColumn("__T",
+        sum(col("__c")).over(Window.partitionBy(subCols: _*)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(subCols: _*).orderBy(col(itemCol))))
+      .withColumn("__S",
+        sum(col("__c")).over(Window.partitionBy(itCols: _*)))
+      .withColumn("__SS", sum((col("__c").cast("decimal(19,0)") *
+        col("__c").cast("decimal(19,0)")))
+        .over(Window.partitionBy(itCols: _*)))
+      .withColumn("__nit",
+        count(lit(1)).over(Window.partitionBy(itCols: _*)))
+      .withColumn("__rm", row_number().over(
+        Window.partitionBy(itCols: _*).orderBy(col(subjectCol))))
+    val agg = marked.groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__rn") === 1, 1L).otherwise(0L))
+          .as("n_subjects"),
+        max(col("__kk")).cast("long").as("k_items"),
+        sum(when(col("__rn") === 1, col("__T").cast("decimal(38,0)")))
+          .as("__st"),
+        sum(when(col("__rn") === 1, col("__T").cast("decimal(19,0)") *
+          col("__T").cast("decimal(19,0)"))).as("__st2"),
+        sort_array(collect_list(when(col("__rm") === 1,
+          struct(col(itemCol).cast("string").as("__i"),
+            col("__nit").cast("double").as("__n"),
+            col("__S").cast("double").as("__s"),
+            col("__SS").cast("double").as("__q"))))).as("__items"))
+    // sample variance per item, folded in item order; a when()-
+    // guarded denominator keeps n = 1 null instead of ANSI-throwing
+    val varSum = aggregate(col("__items"), lit(0.0), (acc, p) =>
+      acc + (p.getField("__q") -
+        p.getField("__s") * p.getField("__s") / p.getField("__n")) /
+        when(p.getField("__n") > 1.0, p.getField("__n") - lit(1.0)))
+    val nD = col("n_subjects").cast("double")
+    val kD = col("k_items").cast("double")
+    val vt = (col("__st2").cast("double") -
+      col("__st").cast("double") * col("__st").cast("double") / nD) /
+      when(nD > 1.0, nD - lit(1.0))
+    val alpha = kD / when(kD > 1.0, kD - lit(1.0)) *
+      (lit(1.0) - col("__vs") / when(vt > 0.0, vt))
+    agg.withColumn("__vs", varSum)
+      .select(keys.map(col) ++ Seq(col("n_subjects"), col("k_items"),
+        when(col("n_subjects") >= 2L, col("__vs")).as("item_var_sum"),
+        when(col("n_subjects") >= 2L, vt).as("total_var"),
+        when(col("k_items") >= 2L && col("n_subjects") >= 2L &&
+          vt > 0.0, alpha).as("alpha")): _*)
+  }
+
+  /**
+   * Ecological diversity indices per key over a categorical column
+   * — the concentration/coverage panel for any composition audit
+   * (training-data source mix, label balance, traffic by domain):
+   * richness k, Simpson's `λ = Σnᵢ(nᵢ−1)/(N(N−1))` (the probability
+   * two draws WITHOUT replacement match — exact rational),
+   * Gini-Simpson `1−λ`, Shannon `H = −Σ pᵢ ln pᵢ`, and Pielou
+   * evenness `H/ln k`.
+   *
+   * Engine-exact: category counts and Σnᵢ(nᵢ−1) are exact integers;
+   * λ is one pinned division; H folds SEQUENTIALLY in category
+   * order (≡ list_reduce — never an order-free double sum), each
+   * term the pinned `(n/N)·ln(n/N)` chain. Singleton-category keys:
+   * H = 0, evenness null (ln 1 = 0 denominator); N < 2 nulls λ.
+   *
+   * Output: (keys…, n, richness, simpson, gini_simpson, shannon,
+   * evenness).
+   *
+   * Scale posture: one (keys, category) map-side collapse, one key
+   * collapse; the fold runs on the category grid.
+   */
+  def diversityIndex(df: DataFrame, keys: Seq[String],
+                     catCol: String): DataFrame = {
+    require(keys.nonEmpty, "diversityIndex needs key columns")
+    val cells = df
+      .filter(col(catCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(catCol): _*)
+      .agg(count(lit(1)).as("__n"))
+    val agg = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("richness"),
+        sum(col("__n").cast("decimal(19,0)") *
+          (col("__n") - 1L).cast("decimal(19,0)")).as("__pairs"),
+        sort_array(collect_list(struct(
+          col(catCol).cast("string").as("__c"),
+          col("__n").cast("double").as("__d")))).as("__cells"))
+    val nD = col("n").cast("double")
+    val kD = col("richness").cast("double")
+    val h = lit(0.0) - aggregate(col("__cells"), lit(0.0), (acc, p) =>
+      acc + p.getField("__d") / nD * log(p.getField("__d") / nD))
+    val lambda = col("__pairs").cast("double") /
+      when(col("n") >= 2L, nD * (nD - lit(1.0)))
+    agg.select(keys.map(col) ++ Seq(col("n"), col("richness"),
+      lambda.as("simpson"), (lit(1.0) - lambda).as("gini_simpson"),
+      h.as("shannon"),
+      (h / when(col("richness") >= 2L, log(kD))).as("evenness")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1231,6 +1231,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q357 chow: per-segment conditional moments in ONE map-side " +
+    "aggregation — join-free, window-free") {
+    val fin = finalPlan("q357_chow_test").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q358 cronbach: subject/item windows on same-key subsumption " +
+    "— join-free, bounded exchanges") {
+    val fin = finalPlan("q358_cronbach_alpha")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
+  test("q359 diversity: category collapse then key collapse — " +
+    "join-free, window-free") {
+    val fin = finalPlan("q359_diversity").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
   test("q354 macd: three in-group EMA folds on ONE key exchange — " +
     "join-free, explode-back") {
     val fin = finalPlan("q354_macd").split("== Initial Plan ==")(0)

@@ -1354,4 +1354,66 @@ class StatsSpec extends AnyFunSuite {
     assert(out("b").getAs[Double]("ccc") < out("b").getAs[Double]("r"))
     assert(out("f").isNullAt(out("f").fieldIndex("ccc")))
   }
+
+  test("chowTest: perfect opposite-slope segments give zero SSRs " +
+    "and null F (zero residual); hand F = 3.5; short segment null") {
+    val mk = (k: String, seg: Boolean, pts: Seq[(Double, Double)]) =>
+      pts.map { case (x, y) => (k, seg, x, y) }
+    val perfect = mk("k", false, Seq((1, 1), (2, 2), (3, 3))) ++
+      mk("k", true, Seq((1, 3), (2, 2), (3, 1)))
+    val noisy = mk("h", false, Seq((1, 1), (2, 2), (3, 2))) ++
+      mk("h", true, Seq((1, 2), (2, 1), (3, 1)))
+    val short = mk("z", false, Seq((1, 1), (2, 2))) ++
+      mk("z", true, Seq((1, 3), (2, 2), (3, 1)))
+    val out = Stats.chowTest((perfect ++ noisy ++ short)
+      .toDF("key", "seg", "x", "y"), Seq("key"), "seg", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("ssr_pre") == 0.0)
+    assert(out("k").getAs[Double]("ssr_post") == 0.0)
+    assert(out("k").getAs[Double]("ssr_pooled") == 4.0)
+    assert(out("k").isNullAt(out("k").fieldIndex("f_chow")))
+    // pooled cxy = 0 -> ssr_p = 1.5; residual 1/3, n - 4 = 2 ->
+    // F = ((1.5 - 1/3)/2) / ((1/3)/2) = 3.5
+    assert(math.abs(out("h").getAs[Double]("f_chow") - 3.5) < 1e-9)
+    assert(out("z").isNullAt(out("z").fieldIndex("f_chow")))
+  }
+
+  test("cronbachAlpha: hand 2x2 grid alpha = 8/9; incomplete " +
+    "subject excluded; single-subject key null") {
+    val df = Seq(
+      ("k", 1L, "i1", 1.0), ("k", 1L, "i2", 2.0),
+      ("k", 2L, "i1", 3.0), ("k", 2L, "i2", 6.0),
+      ("k", 3L, "i1", 9.0), // i2 missing -> dropped
+      ("z", 7L, "i1", 1.0), ("z", 7L, "i2", 2.0)
+    ).toDF("key", "subj", "item", "v")
+    val out = Stats.cronbachAlpha(df, Seq("key"), "subj", "item", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_subjects") == 2L)
+    assert(k.getAs[Long]("k_items") == 2L)
+    // item vars 20000 + 80000 cents^2, total var 180000
+    assert(k.getAs[Double]("item_var_sum") == 100000.0)
+    assert(k.getAs[Double]("total_var") == 180000.0)
+    assert(k.getAs[Double]("alpha") ==
+      2.0 / 1.0 * (1.0 - 100000.0 / 180000.0))
+    assert(out("z").isNullAt(out("z").fieldIndex("alpha")))
+  }
+
+  test("diversityIndex: balanced two-category key hits Shannon = " +
+    "ln 2 and evenness exactly 1; singleton category degenerates") {
+    val df = (Seq("a", "a", "b", "b").map(("k", _)) ++
+      Seq("x", "x", "x").map(("s", _)) ++ Seq(("u", "y")))
+      .toDF("key", "cat")
+    val out = Stats.diversityIndex(df, Seq("key"), "cat")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("richness") == 2L)
+    assert(k.getAs[Double]("simpson") == 4.0 / 12.0)
+    assert(k.getAs[Double]("shannon") == math.log(2.0))
+    assert(k.getAs[Double]("evenness") == 1.0)
+    assert(out("s").getAs[Double]("simpson") == 1.0)
+    assert(out("s").getAs[Double]("shannon") == 0.0)
+    assert(out("s").isNullAt(out("s").fieldIndex("evenness")))
+    assert(out("u").isNullAt(out("u").fieldIndex("simpson"))) // n = 1
+  }
 }

@@ -444,5 +444,16 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Timestamp, Long, Double, Double)]
         .toDF("k", "ts", "id", "a", "f"),
       Seq("k"), "ts", "id", "a", "f").count() == 0)
+    assert(graft.agg.Stats.chowTest(
+      Seq.empty[(String, Boolean, Double, Double)]
+        .toDF("k", "seg", "x", "y"),
+      Seq("k"), "seg", "x", "y").count() == 0)
+    assert(graft.agg.Stats.cronbachAlpha(
+      Seq.empty[(String, Long, String, Double)]
+        .toDF("k", "s", "it", "v"),
+      Seq("k"), "s", "it", "v").count() == 0)
+    assert(graft.agg.Stats.diversityIndex(
+      Seq.empty[(String, String)].toDF("k", "c"),
+      Seq("k"), "c").count() == 0)
   }
 }
