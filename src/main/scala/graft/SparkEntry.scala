@@ -4121,6 +4121,50 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- streaming: MACD keyed state — (n, ef, es, sg) registers,
+    //      batch ≡ stream, the 13th streaming state operator ----
+    "q360_stream_macd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q360")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q360: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.macdStream(
+          df, "user_id", "ts", "event_id", "value"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldMacdUpdates(updates)
+        .select(col("actor").as("user_id"), col("n"), col("macd"),
+          col("signal"), col("histogram"))
+    }),
+
+    // ---- stats: Bartlett's variance-homogeneity test — exact cell
+    //      moments, group-order ln fold, pinned M/C closing ----
+    "q361_bartlett" -> ((s, dir) =>
+      graft.agg.Stats.bartlett(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "grp", "value")),
+
+    // ---- stats: Grubbs max-deviation outlier — exact n-scaled
+    //      integer argmax, pinned G closing ----
+    "q362_grubbs" -> ((s, dir) =>
+      graft.agg.Stats.grubbs(
+        t(s, dir, "events"), Seq("event_type"), "value")),
+
     // ---- stats: Chow structural-break test — per-segment exact
     //      conditional moments, pooled by decimal addition ----
     "q357_chow_test" -> ((s, dir) =>
@@ -7638,6 +7682,110 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // the engine's three-register stream state replayed as a per-key
+    // fold: seed [1, x0, x0, +0], then the same pinned e + a(x-e)
+    // chains with alphas 2/(span+1); final row = max-n state
+    "q360_stream_macd" ->
+      """WITH b AS (SELECT user_id AS k, ts, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0],
+        |      list([v] ORDER BY ts, event_id)),
+        |    (acc, p) -> CASE WHEN acc[1] = 0.0
+        |      THEN [1.0, p[1], p[1], p[1] - p[1]]
+        |      ELSE [acc[1] + 1.0,
+        |        acc[2] + 2.0 / (12.0 + 1.0) * (p[1] - acc[2]),
+        |        acc[3] + 2.0 / (26.0 + 1.0) * (p[1] - acc[3]),
+        |        acc[4] + 2.0 / (9.0 + 1.0)
+        |          * (acc[2] + 2.0 / (12.0 + 1.0) * (p[1] - acc[2])
+        |             - (acc[3] + 2.0 / (26.0 + 1.0) * (p[1] - acc[3]))
+        |             - acc[4])] END) AS m
+        |  FROM b GROUP BY 1)
+        |SELECT k AS user_id, n, m[2] - m[3] AS macd, m[4] AS signal,
+        |  m[2] - m[3] - m[4] AS histogram
+        |FROM f""".stripMargin,
+
+    // exact integer cell moments, group-order fold of the scatter /
+    // (n-1)ln(s^2) / 1/(n-1) terms with null-guarded denominators,
+    // pinned M/C closing (scale cancels between the M terms)
+    "q361_bartlett" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 4) + 4) % 4 AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k, g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, sum(c * c) AS q
+        |  FROM b GROUP BY 1, 2),
+        |f AS (SELECT k, list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(n AS DOUBLE), CAST(s AS DOUBLE),
+        |        CAST(q AS DOUBLE)] ORDER BY g)),
+        |    (acc, p) -> [
+        |      acc[1] + (p[3] - p[2] * p[2] / p[1]),
+        |      acc[2] + (CASE WHEN p[1] > 1.0
+        |          AND p[3] - p[2] * p[2] / p[1] > 0.0
+        |          THEN p[1] - 1.0 ELSE 1.0 END)
+        |        * ln(CASE WHEN p[1] > 1.0
+        |            AND p[3] - p[2] * p[2] / p[1] > 0.0
+        |          THEN (p[3] - p[2] * p[2] / p[1])
+        |            / (CASE WHEN p[1] > 1.0
+        |                AND p[3] - p[2] * p[2] / p[1] > 0.0
+        |              THEN p[1] - 1.0 ELSE 1.0 END)
+        |          ELSE 1.0 END),
+        |      acc[3] + 1.0 / (CASE WHEN p[1] > 1.0
+        |          AND p[3] - p[2] * p[2] / p[1] > 0.0
+        |        THEN p[1] - 1.0 ELSE 1.0 END),
+        |      acc[4] + p[1], acc[5] + 1.0]) AS m,
+        |    CAST(sum(CASE WHEN n < 2 OR CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / CAST(n AS DOUBLE) <= 0.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad
+        |  FROM cells GROUP BY 1)
+        |SELECT k AS event_type, CAST(m[5] AS BIGINT) AS k_groups,
+        |  CAST(m[4] AS BIGINT) AS n,
+        |  CASE WHEN m[5] >= 2.0 AND bad = 0 THEN
+        |    ((m[4] - m[5]) * ln(CASE WHEN m[1]
+        |        / (CASE WHEN m[4] - m[5] > 0.0
+        |            THEN m[4] - m[5] END) > 0.0
+        |      THEN m[1] / (CASE WHEN m[4] - m[5] > 0.0
+        |          THEN m[4] - m[5] END) END) - m[2])
+        |    / (1.0 + (m[3] - 1.0 / (CASE WHEN m[4] - m[5] > 0.0
+        |          THEN m[4] - m[5] END))
+        |      / (3.0 * (CASE WHEN m[5] > 1.0
+        |          THEN m[5] - 1.0 END)))
+        |  END AS bartlett_chi2
+        |FROM f""".stripMargin,
+
+    // exact n-scaled integer deviations |n*x - S| (no double mean in
+    // the argmax), larger value wins ties, pinned (maxdev/n)/sqrt(s2)
+    "q362_grubbs" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    sum(vc) OVER (PARTITION BY k) AS s,
+        |    sum(vc * vc) OVER (PARTITION BY k) AS q FROM b),
+        |d AS (SELECT *, abs(n * vc - s) AS dev FROM w),
+        |e AS (SELECT *, max(dev) OVER (PARTITION BY k) AS mx FROM d),
+        |g AS (SELECT k, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(s) AS DOUBLE) AS sv, CAST(max(q) AS DOUBLE) AS qv,
+        |    CAST(max(mx) AS DOUBLE) AS mxv,
+        |    CAST(max(CASE WHEN dev = mx THEN vc END) AS BIGINT) AS outv
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT *, CAST(n AS DOUBLE) AS ndb FROM g),
+        |v AS (SELECT *, (qv - sv * sv / ndb)
+        |    / (CASE WHEN ndb > 1.0 THEN ndb - 1.0 END) AS s2 FROM x)
+        |SELECT k AS event_type, n,
+        |  CAST(outv AS DOUBLE) / 100.0 AS outlier_value,
+        |  CASE WHEN n >= 3 AND s2 > 0.0 THEN mxv / ndb
+        |    / (CASE WHEN s2 > 0.0 THEN sqrt(s2) END) END AS g_stat
+        |FROM v""".stripMargin,
 
     // per-segment exact decimal conditional moments in one pass,
     // pooled moments by decimal ADDITION of segment sums, pinned

@@ -3850,6 +3850,142 @@ object Stats {
       (h / when(col("richness") >= 2L, log(kD))).as("evenness")): _*)
   }
 
+  /**
+   * Bartlett's test per key — the PARAMETRIC variance-homogeneity
+   * test completing the trio with [[brownForsythe]] (robust) and
+   * [[anovaF]]'s equal-variance assumption it checks:
+   * `M = (N−k)·ln(S²_p) − Σ(n_g−1)·ln(s²_g)` over the pooled and
+   * per-group sample variances, corrected by
+   * `C = 1 + (Σ1/(n_g−1) − 1/(N−k)) / (3(k−1))`; `M/C ≈ χ²(k−1)`
+   * under equal variances. More powerful than Brown-Forsythe when
+   * normality holds, badly anti-conservative when it doesn't — run
+   * [[jarqueBera]] first.
+   *
+   * Engine-exact: per-group (n, Σx, Σx²) are exact integer cent
+   * moments on ONE map-side-combined (keys, group) collapse; the
+   * scatter/ln/reciprocal terms fold SEQUENTIALLY in group order
+   * (≡ list_reduce), every denominator null-guarded, and M/C closes
+   * in one pinned chain. A group with n < 2 or zero variance makes
+   * the statistic undefined → null (Bartlett has no defense there;
+   * [[brownForsythe]] does). Keys with k < 2 emit null.
+   *
+   * Output: (keys…, k_groups, n, bartlett_chi2).
+   *
+   * Scale posture: cell collapse, key collapse, grid fold — the
+   * [[anovaF]] shape. Variance is cent²-scaled; ln(c²·σ²) shifts
+   * both M terms equally, so the STATISTIC is scale-invariant.
+   */
+  def bartlett(df: DataFrame, keys: Seq[String], groupCol: String,
+               valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "bartlett needs key columns")
+    val c = unscaled(col(valueCol), valueScale)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(groupCol): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(c.cast("decimal(38,0)")).as("__s"),
+        sum(c.cast("decimal(19,0)") * c.cast("decimal(19,0)"))
+          .as("__q"))
+    // state [A = pooled scatter, B = Σ(n-1)ln(s²), D = Σ1/(n-1),
+    // N, K]. NO nulls inside the fold: a null produced inside an
+    // aggregate() lambda whose zero is array(lit(0.0), …) is typed
+    // containsNull = false and reads back as GARBAGE downstream —
+    // invalid groups (n < 2 or zero scatter) instead contribute
+    // neutral terms and are counted ORDER-FREE in __bad, which
+    // nulls the closing
+    val fold = aggregate(
+      sort_array(collect_list(struct(col(groupCol).as("__g"),
+        col("__n").cast("double").as("__nd"),
+        col("__s").cast("double").as("__sd"),
+        col("__q").cast("double").as("__qd")))),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, p) => {
+        val scat = p.getField("__qd") -
+          p.getField("__sd") * p.getField("__sd") / p.getField("__nd")
+        val okG = p.getField("__nd") > 1.0 && scat > 0.0
+        val nm1 = when(okG, p.getField("__nd") - lit(1.0))
+          .otherwise(lit(1.0))
+        val s2 = when(okG, scat / nm1).otherwise(lit(1.0))
+        array(
+          element_at(acc, 1) + scat,
+          element_at(acc, 2) + nm1 * log(s2),
+          element_at(acc, 3) + lit(1.0) / nm1,
+          element_at(acc, 4) + p.getField("__nd"),
+          element_at(acc, 5) + lit(1.0))
+      })
+    val bad = sum(when(col("__n") < 2L ||
+      col("__q").cast("double") - col("__s").cast("double") *
+        col("__s").cast("double") / col("__n").cast("double") <= 0.0,
+      1L).otherwise(0L))
+    val m = (i: Int) => element_at(col("__m"), i)
+    val nmk = m(4) - m(5)
+    val sp2 = m(1) / when(nmk > 0.0, nmk)
+    val bigM = nmk * log(when(sp2 > 0.0, sp2)) - m(2)
+    val cc = lit(1.0) + (m(3) - lit(1.0) / when(nmk > 0.0, nmk)) /
+      (lit(3.0) * when(m(5) > 1.0, m(5) - lit(1.0)))
+    cells.groupBy(keys.map(col): _*)
+      .agg(fold.as("__m"), bad.as("__bad"))
+      .select(keys.map(col) ++ Seq(
+        m(5).cast("long").as("k_groups"), m(4).cast("long").as("n"),
+        when(m(5) >= 2.0 && col("__bad") === 0L, bigM / cc)
+          .as("bartlett_chi2")): _*)
+  }
+
+  /**
+   * Grubbs' max-deviation statistic per key: the single most
+   * suspicious point — `G = max|xᵢ − x̄| / s` — the formal version
+   * of "is that one reading an outlier?", reported with the value
+   * that realizes it. Compare G against the Grubbs critical value
+   * at your n; G > ~3 is suspicious at any realistic n.
+   *
+   * Engine-exact: deviations compare on the EXACT integer grid
+   * `|n·xᵢ − Σx|` (n-scaled cents — no double mean in the argmax),
+   * so the maximal point is found exactly; among equal deviations
+   * the LARGER value wins (pinned — the high outlier over the
+   * symmetric low one). G closes in one pinned chain from exact
+   * (n, Σx, Σx²): `(maxdev/n) / √s²` with the sample variance. Keys
+   * with n < 3 or zero variance emit null G (the value still
+   * reports).
+   *
+   * Output: (keys…, n, outlier_value, g_stat).
+   *
+   * Scale posture: ONE key exchange (window moments + deviation
+   * max), one closing collapse. Envelope: n·|x|·10^scale must fit a
+   * long — 10⁹ rows of 10⁷-cent values stays inside 2⁶³.
+   */
+  def grubbs(df: DataFrame, keys: Seq[String], valueCol: String,
+             valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "grubbs needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val scaleF = math.pow(10, valueScale)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val rows = df
+      .filter(col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", unscaled(col(valueCol), valueScale))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__s", sum(col("__vc")).over(wk))
+      .withColumn("__q", sum(col("__vc").cast("decimal(19,0)") *
+        col("__vc").cast("decimal(19,0)")).over(wk))
+      .withColumn("__dev", abs(col("__n") * col("__vc") - col("__s")))
+      .withColumn("__mx", max(col("__dev")).over(wk))
+    val agg = rows.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("__sv"),
+        max(col("__q")).as("__qv"), max(col("__mx")).as("__mxv"),
+        max(when(col("__dev") === col("__mx"), col("__vc")))
+          .as("__out"))
+    val nD = col("n").cast("double")
+    val s2 = (col("__qv").cast("double") -
+      col("__sv").cast("double") * col("__sv").cast("double") / nD) /
+      when(nD > 1.0, nD - lit(1.0))
+    val g = col("__mxv").cast("double") / nD /
+      when(s2 > 0.0, sqrt(s2))
+    agg.select(keys.map(col) ++ Seq(col("n"),
+      (col("__out").cast("double") / lit(scaleF)).as("outlier_value"),
+      when(col("n") >= 3L && s2 > 0.0, g).as("g_stat")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

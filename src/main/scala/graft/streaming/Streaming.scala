@@ -1009,6 +1009,77 @@ object Streaming {
         col("alarm_at"))
 
   /**
+   * Streaming MACD ([[graft.ops.TimeSeries.macd]]'s incremental
+   * form, the 13th keyed-state operator): per-key state is
+   * (n, ef, es, sg) — one long and the three EMA registers, each
+   * advanced by the SAME pinned `e + α(x − e)` chain as the batch
+   * fold with `α = 2/(span+1)` computed from the spans at runtime
+   * (correctly-rounded division — identical to the batch Column
+   * arithmetic). Seeds: ef = es = x₀ (so macd₀ = +0 exactly) and
+   * sg = macd₀. Batch ≡ stream on any feed chunking that preserves
+   * per-key (ts, tie) order across micro-batches (the
+   * [[cusumStream]] order contract; rows inside one batch are
+   * sorted here).
+   *
+   * Emits one row per processed event (Update mode) carrying the
+   * registers AFTER that event; the log folds exactly per key
+   * ([[foldMacdUpdates]] — the max-n row IS the final state).
+   *
+   * Scale posture: O(1) state per key (~40 bytes + key), the
+   * measured flat-per-key class of the streaming family.
+   */
+  def macdStream(df: DataFrame, actorCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, fastSpan: Int = 12,
+                 slowSpan: Int = 26, signalSpan: Int = 9): DataFrame = {
+    require(fastSpan > 0 && slowSpan > fastSpan && signalSpan > 0,
+      "need 0 < fastSpan < slowSpan and signalSpan > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val af = 2.0 / (fastSpan.toDouble + 1.0)
+    val as = 2.0 / (slowSpan.toDouble + 1.0)
+    val ag = 2.0 / (signalSpan.toDouble + 1.0)
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double, Double),
+        (Long, Long, Long, Double, Long, Double, Double, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Double, Double, Double)]) =>
+          var (n, ef, es, sg) =
+            state.getOption.getOrElse((0L, 0.0, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, v) =>
+              if (n == 0L) { ef = v; es = v; sg = v - v }
+              else {
+                ef += af * (v - ef)
+                es += as * (v - es)
+                sg += ag * (ef - es - sg)
+              }
+              n += 1L
+              (key, tie, ts, v, n, ef - es, sg, ef - es - sg)
+          }
+          state.update((n, ef, es, sg))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "value", "n", "macd",
+        "signal", "histogram")
+  }
+
+  /** Collapse a [[macdStream]] update log to one final-state row per
+   *  actor: the max-n row carries the final registers. */
+  def foldMacdUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("macd"), col("n")).as("macd"),
+        max_by(col("signal"), col("n")).as("signal"),
+        max_by(col("histogram"), col("n")).as("histogram"))
+
+  /**
    * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
    * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
    * Σ µs, tick count) — six longs, constant per key, all integer (NO

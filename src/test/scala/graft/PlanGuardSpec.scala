@@ -1231,6 +1231,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q361 bartlett: cell collapse + grid fold — join-free, " +
+    "window-free, map-side cells") {
+    val fin = finalPlan("q361_bartlett").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q362 grubbs: window moments + closing collapse on ONE key " +
+    "exchange — join-free") {
+    val fin = finalPlan("q362_grubbs").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("Window"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q357 chow: per-segment conditional moments in ONE map-side " +
     "aggregation — join-free, window-free") {
     val fin = finalPlan("q357_chow_test").split("== Initial Plan ==")(0)

@@ -1416,4 +1416,44 @@ class StatsSpec extends AnyFunSuite {
     assert(out("s").isNullAt(out("s").fieldIndex("evenness")))
     assert(out("u").isNullAt(out("u").fieldIndex("simpson"))) // n = 1
   }
+
+  test("bartlett: equal variances hit exactly 0; hand M/C chain; " +
+    "zero-variance and singleton groups null") {
+    val eq = Seq(("e", 0L, 1.0), ("e", 0L, 2.0), ("e", 0L, 3.0),
+      ("e", 1L, 4.0), ("e", 1L, 5.0), ("e", 1L, 6.0))
+    val uneq = Seq(("k", 0L, 1.0), ("k", 0L, 2.0), ("k", 0L, 3.0),
+      ("k", 1L, 2.0), ("k", 1L, 4.0), ("k", 1L, 6.0))
+    val flat = Seq(("f", 0L, 5.0), ("f", 0L, 5.0),
+      ("f", 1L, 1.0), ("f", 1L, 2.0))
+    val single = Seq(("s", 0L, 1.0), ("s", 0L, 2.0), ("s", 1L, 9.0))
+    val out = Stats.bartlett((eq ++ uneq ++ flat ++ single)
+      .toDF("key", "g", "v"), Seq("key"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // identical spreads: 4ln(sp2) - (2ln(s2) + 2ln(s2)) = 0 exactly
+    assert(out("e").getAs[Double]("bartlett_chi2") == 0.0)
+    val b = 2.0 * math.log(20000.0 / 2.0) +
+      2.0 * math.log(80000.0 / 2.0)
+    val bigM = 4.0 * math.log(100000.0 / 4.0) - b
+    val cc = 1.0 + (1.0 - 1.0 / 4.0) / (3.0 * 1.0)
+    assert(out("k").getAs[Double]("bartlett_chi2") == bigM / cc)
+    assert(out("f").isNullAt(out("f").fieldIndex("bartlett_chi2")))
+    assert(out("s").isNullAt(out("s").fieldIndex("bartlett_chi2")))
+  }
+
+  test("grubbs: exact integer argmax finds the outlier, pinned G; " +
+    "ties take the larger value; n < 3 null") {
+    val df = (Seq(1.0, 2.0, 3.0, 10.0).map(("k", _)) ++
+      Seq(("t", 1.0), ("t", 3.0)) ++
+      Seq(("c", 5.0), ("c", 5.0), ("c", 5.0))).toDF("key", "v")
+    val out = Stats.grubbs(df, Seq("key"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("outlier_value") == 10.0)
+    val s2 = (1140000.0 - 1600.0 * 1600.0 / 4.0) / 3.0
+    assert(k.getAs[Double]("g_stat") == 2400.0 / 4.0 / math.sqrt(s2))
+    // symmetric pair: equal deviations, larger value reports
+    assert(out("t").getAs[Double]("outlier_value") == 3.0)
+    assert(out("t").isNullAt(out("t").fieldIndex("g_stat"))) // n = 2
+    assert(out("c").isNullAt(out("c").fieldIndex("g_stat"))) // flat
+  }
 }

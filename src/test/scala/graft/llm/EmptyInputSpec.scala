@@ -455,5 +455,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.diversityIndex(
       Seq.empty[(String, String)].toDF("k", "c"),
       Seq("k"), "c").count() == 0)
+    assert(graft.agg.Stats.bartlett(
+      Seq.empty[(String, Long, Double)].toDF("k", "g", "v"),
+      Seq("k"), "g", "v").count() == 0)
+    assert(graft.agg.Stats.grubbs(
+      Seq.empty[(String, Double)].toDF("k", "v"),
+      Seq("k"), "v").count() == 0)
   }
 }

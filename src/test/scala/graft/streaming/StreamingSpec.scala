@@ -771,4 +771,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall { case (b, v) => batchOut.get(b).contains(v) })
     assert(batchOut.keySet -- out.keySet == Set(h(3))) // only the open one
   }
+
+  test("macdStream: three EMA registers across batches == batch " +
+    "macd final row, bit-for-bit") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_macd").toString
+    // the seed and two recurrence steps cross the batch boundary
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 10:05:00"), 20.0, 2L))
+    val batch2 = Seq((1L, ts("2024-01-01 10:10:00"), 15.0, 3L),
+      (2L, ts("2024-01-01 10:00:00"), 42.0, 4L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in",
+      schema,
+      df => Streaming.macdStream(df, "user_id", "ts", "event_id",
+        "value"),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldMacdUpdates(updates)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    // single-event key: registers at seed -> everything 0
+    assert(out(2L) == ((1L, 0.0, 0.0, 0.0)))
+    // parity with the batch operator's LAST row per key
+    val batchOut = graft.ops.TimeSeries.macd(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val last1 = batchOut((1L, 3L))
+    assert(out(1L)._2 == last1.getAs[Double]("macd"))
+    assert(out(1L)._3 == last1.getAs[Double]("signal"))
+    assert(out(1L)._4 == last1.getAs[Double]("histogram"))
+    assert(out(1L)._1 == 3L)
+  }
 }
