@@ -7880,7 +7880,8 @@ object SparkEntry {
         |    list([CAST(nit AS DOUBLE), CAST(S AS DOUBLE),
         |      CAST(SS AS DOUBLE)] ORDER BY it)),
         |    (acc, p) -> [acc[1] + (p[3] - p[2] * p[2] / p[1])
-        |      / (CASE WHEN p[1] > 1.0 THEN p[1] - 1.0 END)]) AS m
+        |      / (CASE WHEN p[1] > 1.0 THEN p[1] - 1.0
+        |          ELSE 1.0 END)]) AS m
         |  FROM items GROUP BY 1),
         |subs0 AS (SELECT k, s, CAST(sum(c) AS BIGINT) AS T,
         |    max(kk) AS kk FROM f GROUP BY 1, 2),

@@ -3781,12 +3781,17 @@ object Stats {
             col("__nit").cast("double").as("__n"),
             col("__S").cast("double").as("__s"),
             col("__SS").cast("double").as("__q"))))).as("__items"))
-    // sample variance per item, folded in item order; a when()-
-    // guarded denominator keeps n = 1 null instead of ANSI-throwing
+    // sample variance per item, folded in item order. NO nulls
+    // inside the fold (a null in an aggregate() lambda with a
+    // non-null zero reads back as garbage — the [[bartlett]]
+    // lesson): n = 1 items divide by a neutral 1.0 instead, and the
+    // n_subjects >= 2 gate below nulls the only case that hits it
+    // (a complete grid has n_it = n_subjects for every item)
     val varSum = aggregate(col("__items"), lit(0.0), (acc, p) =>
       acc + (p.getField("__q") -
         p.getField("__s") * p.getField("__s") / p.getField("__n")) /
-        when(p.getField("__n") > 1.0, p.getField("__n") - lit(1.0)))
+        when(p.getField("__n") > 1.0, p.getField("__n") - lit(1.0))
+          .otherwise(lit(1.0)))
     val nD = col("n_subjects").cast("double")
     val kD = col("k_items").cast("double")
     val vt = (col("__st2").cast("double") -
