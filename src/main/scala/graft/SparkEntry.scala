@@ -4121,6 +4121,24 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- experimentation: Wilcoxon signed-rank — paired continuous
+    //      test on doubled |d| ranks, exact tie term ----
+    "q363_wilcoxon" -> ((s, dir) =>
+      graft.agg.Stats.wilcoxonSignedRank(
+        t(s, dir, "events")
+          .withColumn("cohort", pmod(col("user_id"), lit(4L))),
+        Seq("cohort"), "user_id", "event_type", "click", "view",
+        "value")),
+
+    // ---- survival: log-rank two-group test — exact at-risk grid,
+    //      time-order O/E/V fold, pinned chi2 ----
+    "q364_log_rank" -> ((s, dir) =>
+      graft.agg.Stats.logRank(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(2L)) === 0L)
+          .withColumn("observed", pmod(col("user_id"), lit(10L)) < 8L),
+        Seq("event_type"), "grp", "value", "observed")),
+
     // ---- streaming: MACD keyed state — (n, ef, es, sg) registers,
     //      batch ≡ stream, the 13th streaming state operator ----
     "q360_stream_macd" -> ((s, dir) => {
@@ -7682,6 +7700,94 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // per-subject exact grid sums under the two conditions, zero
+    // diffs drop, doubled |d| ranks 2*rank_min + t - 1, exact tie
+    // term Sum(t^3 - t), pinned doubled-moment normal closing
+    "q363_wilcoxon" ->
+      """WITH b AS (SELECT ((user_id % 4) + 4) % 4 AS k, user_id AS s,
+        |    event_type AS cond,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IN ('click', 'view')),
+        |p AS (SELECT k, s,
+        |    sum(CASE WHEN cond = 'click' THEN c END) AS a,
+        |    sum(CASE WHEN cond = 'view' THEN c END) AS b2
+        |  FROM b GROUP BY 1, 2),
+        |q AS (SELECT k, s, CAST(a - b2 AS BIGINT) AS d,
+        |    abs(CAST(a - b2 AS BIGINT)) AS ad
+        |  FROM p WHERE a IS NOT NULL AND b2 IS NOT NULL
+        |    AND a - b2 <> 0),
+        |r AS (SELECT *, 2 * rank() OVER (PARTITION BY k ORDER BY ad)
+        |      + count(*) OVER (PARTITION BY k, ad) - 1 AS r2,
+        |    count(*) OVER (PARTITION BY k, ad) AS t,
+        |    row_number() OVER (PARTITION BY k, ad ORDER BY s) AS rn
+        |  FROM q),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w2,
+        |    CAST(sum(CASE WHEN rn = 1 THEN t * t * t - t ELSE 0 END)
+        |      AS BIGINT) AS tt
+        |  FROM r GROUP BY 1),
+        |x AS (SELECT *, CAST(n_pairs AS DOUBLE) AS nd2 FROM g),
+        |y AS (SELECT *, nd2 * (nd2 + 1.0) / 2.0 AS e2,
+        |    nd2 * (nd2 + 1.0) * (2.0 * nd2 + 1.0) / 6.0
+        |      - CAST(tt AS DOUBLE) / 12.0 AS v2 FROM x)
+        |SELECT k AS cohort, n_pairs,
+        |  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+        |  CASE WHEN n_pairs >= 1 AND v2 > 0.0
+        |    THEN (CAST(w2 AS DOUBLE) - e2) / sqrt(v2) END AS z
+        |FROM y""".stripMargin,
+
+    // exact integer per-time cells, at-risk = total - prefix window
+    // sums on the time grid, time-order O/E/V fold with neutral
+    // degenerate terms, pinned (O-E)^2/V closing
+    "q364_log_rank" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS g1,
+        |    ((user_id % 10) + 10) % 10 < 8 AS ev,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k, t,
+        |    CAST(sum(CASE WHEN g1 AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN NOT g1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (SELECT *, sum(c1) OVER (PARTITION BY k) AS T1,
+        |    sum(c0) OVER (PARTITION BY k) AS T0,
+        |    coalesce(sum(c1) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS p1,
+        |    coalesce(sum(c0) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS p0
+        |  FROM cells),
+        |f AS (SELECT k, CAST(sum(d1) AS BIGINT) AS n_events_1,
+        |    CAST(sum(d0) AS BIGINT) AS n_events_0,
+        |    list_reduce(list_prepend([0.0, 0.0],
+        |      list([CAST(d1 AS DOUBLE), CAST(d1 + d0 AS DOUBLE),
+        |        CAST(T1 - p1 AS DOUBLE),
+        |        CAST(T1 - p1 + T0 - p0 AS DOUBLE)] ORDER BY t)),
+        |    (acc, p) -> [
+        |      acc[1] + CASE WHEN p[4] > 1.0 AND p[2] > 0.0
+        |        THEN p[3] / p[4] * p[2] ELSE 0.0 END,
+        |      acc[2] + CASE WHEN p[4] > 1.0 AND p[2] > 0.0
+        |        THEN p[2] * (p[3] / p[4]) * (1.0 - p[3] / p[4])
+        |          * (p[4] - p[2]) / (p[4] - 1.0) ELSE 0.0 END])
+        |      AS m
+        |  FROM grid GROUP BY 1)
+        |SELECT k AS event_type, n_events_1, n_events_0,
+        |  m[1] AS expected_1,
+        |  CASE WHEN m[2] > 0.0
+        |    THEN (CAST(n_events_1 AS DOUBLE) - m[1])
+        |      * (CAST(n_events_1 AS DOUBLE) - m[1]) / m[2]
+        |    END AS chi2
+        |FROM f""".stripMargin,
 
     // the engine's three-register stream state replayed as a per-key
     // fold: seed [1, x0, x0, +0], then the same pinned e + a(x-e)

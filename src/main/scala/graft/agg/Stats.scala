@@ -3991,6 +3991,163 @@ object Stats {
       when(col("n") >= 3L && s2 > 0.0, g).as("g_stat")): _*)
   }
 
+  /**
+   * Wilcoxon signed-rank test per key — the paired CONTINUOUS
+   * sibling completing the family ([[mcnemar]] = paired binary,
+   * [[friedman]] = k repeated treatments, [[mannWhitneyU]] =
+   * unpaired): same subjects under two conditions, judged on the
+   * RANKS of |differences| — location-shift sensitive, outlier-
+   * tame, no normality assumed.
+   *
+   * Pinned semantics: a subject's value under a condition is the
+   * exact grid SUM of its rows; subjects observed under BOTH
+   * conditions only; zero differences drop (the standard
+   * convention). |d| ranks ride the doubled-rank grid
+   * `2·rank_min + t − 1` (exact longs); `W₂⁺ = Σ r₂` over positive
+   * differences, and the normal approximation closes in one pinned
+   * chain against the DOUBLED moments `E = n(n+1)/2`,
+   * `Var = n(n+1)(2n+1)/6 − ΣT/12` with the exact tie term
+   * `ΣT = Σ(t³−t)`. Keys whose differences are all zero vanish
+   * (no pairs survive); zero variance emits null z.
+   *
+   * Output: (keys…, n_pairs, w_plus, z) — w_plus on the ½ grid
+   * (W₂⁺/2), z standard normal under no-shift.
+   *
+   * Scale posture: one (keys, subject, condition-pair) map-side
+   * collapse, then ONE key exchange carries the |d| rank/tie
+   * windows and the closing collapse.
+   */
+  def wilcoxonSignedRank(df: DataFrame, keys: Seq[String],
+                         subjectCol: String, condCol: String,
+                         aLabel: String, bLabel: String,
+                         valueCol: String,
+                         valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "wilcoxonSignedRank needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val c = unscaled(col(valueCol), valueScale)
+    val pairs = df
+      .filter(col(valueCol).isNotNull && col(subjectCol).isNotNull &&
+        (col(condCol) === aLabel || col(condCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(subjectCol): _*)
+      .agg(sum(when(col(condCol) === aLabel, c)).as("__a"),
+        sum(when(col(condCol) === bLabel, c)).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .withColumn("__d", (col("__a") - col("__b")).cast("long"))
+      .filter(col("__d") =!= 0L)
+      .withColumn("__ad", abs(col("__d")))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__ad"))
+    val wTie = Window.partitionBy(keys.map(col) :+ col("__ad"): _*)
+    val wTieOrd = Window.partitionBy(keys.map(col) :+ col("__ad"): _*)
+      .orderBy(col(subjectCol))
+    val ranked = pairs
+      .withColumn("__r2",
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("__rn", row_number().over(wTieOrd))
+    val agg = ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0L, col("__r2")).otherwise(0L))
+          .as("__w2"),
+        sum(when(col("__rn") === 1,
+          col("__t") * col("__t") * col("__t") - col("__t"))
+          .otherwise(0L)).as("__tt"))
+    val nD = col("n_pairs").cast("double")
+    val e2 = nD * (nD + lit(1.0)) / lit(2.0)
+    val v2 = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(6.0) - col("__tt").cast("double") / lit(12.0)
+    val z = (col("__w2").cast("double") - e2) /
+      when(v2 > 0.0, sqrt(v2))
+    agg.select(keys.map(col) ++ Seq(col("n_pairs"),
+      (col("__w2").cast("double") / lit(2.0)).as("w_plus"),
+      when(col("n_pairs") >= 1L && v2 > 0.0, z).as("z")): _*)
+  }
+
+  /**
+   * Log-rank test per key — does survival differ between two
+   * groups? The standard A/B comparison on time-to-event data
+   * (churn, failure, conversion latency), completing the family
+   * with [[graft.ops.Survival.kaplanMeier]] (the curve) and
+   * [[graft.ops.Survival.nelsonAalen]]: at each event time,
+   * compare group 1's OBSERVED events `d₁ₜ` with its EXPECTED share
+   * `n₁ₜ·dₜ/nₜ` under no-difference;
+   * `χ² = (ΣO − ΣE)² / ΣV ≈ χ²(1)` with the hypergeometric
+   * variance `Vₜ = dₜ(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1)`.
+   *
+   * Engine-exact: durations snap to the 10⁻ˢᶜᵃˡᵉ grid; per-time
+   * cells (events and totals per group) are exact integers, at-risk
+   * counts are `total − prefix` of exact integer window sums on the
+   * TIME grid (one key exchange), and the O/E/V accumulation folds
+   * SEQUENTIALLY in time order (≡ list_reduce) with neutral terms
+   * for degenerate times (nₜ ≤ 1 — the [[bartlett]] no-nulls-in-
+   * folds rule). Keys with zero variance emit null.
+   *
+   * Output: (keys…, n_events_1, n_events_0, expected_1, chi2).
+   *
+   * Scale posture: one (keys, group, time) map-side collapse, one
+   * key exchange for the (keys, time) grid windows, grid fold.
+   * Per-key state is the distinct-event-time grid.
+   */
+  def logRank(df: DataFrame, keys: Seq[String], groupCol: String,
+              durationCol: String, eventCol: String,
+              valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "logRank needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val t = unscaled(col(durationCol), valueScale)
+    val g1 = col(groupCol).cast("boolean")
+    val ev = col(eventCol).cast("boolean")
+    val cells = df
+      .filter(col(durationCol).isNotNull && g1.isNotNull &&
+        ev.isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ t.as("__t"): _*)
+      .agg(sum(when(g1 && ev, 1L).otherwise(0L)).as("__d1"),
+        sum(when(!g1 && ev, 1L).otherwise(0L)).as("__d0"),
+        sum(when(g1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(!g1, 1L).otherwise(0L)).as("__c0"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wPre = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = cells
+      .withColumn("__T1", sum(col("__c1")).over(wKey))
+      .withColumn("__T0", sum(col("__c0")).over(wKey))
+      .withColumn("__n1",
+        col("__T1") - coalesce(sum(col("__c1")).over(wPre), lit(0L)))
+      .withColumn("__n0",
+        col("__T0") - coalesce(sum(col("__c0")).over(wPre), lit(0L)))
+    // fold O/E/V in time order; times with n <= 1 or d = 0
+    // contribute exact zeros (no nulls inside the fold)
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__t").as("__tt"),
+        col("__d1").cast("double").as("__e1"),
+        (col("__d1") + col("__d0")).cast("double").as("__dd"),
+        col("__n1").cast("double").as("__m1"),
+        (col("__n1") + col("__n0")).cast("double").as("__mm")))),
+      array(lit(0.0), lit(0.0)),
+      (acc, p) => {
+        val ok = p.getField("__mm") > 1.0 && p.getField("__dd") > 0.0
+        val nn = when(ok, p.getField("__mm")).otherwise(lit(1.0))
+        val nm1 = when(ok, p.getField("__mm") - lit(1.0))
+          .otherwise(lit(1.0))
+        val share = p.getField("__m1") / nn
+        val e = when(ok, share * p.getField("__dd")).otherwise(lit(0.0))
+        val v = when(ok, p.getField("__dd") * share *
+          (lit(1.0) - share) *
+          (p.getField("__mm") - p.getField("__dd")) / nm1)
+          .otherwise(lit(0.0))
+        array(element_at(acc, 1) + e, element_at(acc, 2) + v)
+      })
+    val agg = grid.groupBy(keys.map(col): _*)
+      .agg(sum(col("__d1")).as("n_events_1"),
+        sum(col("__d0")).as("n_events_0"), fold.as("__m"))
+    val o1 = col("n_events_1").cast("double")
+    val e1 = element_at(col("__m"), 1)
+    val vv = element_at(col("__m"), 2)
+    agg.select(keys.map(col) ++ Seq(col("n_events_1"),
+      col("n_events_0"), e1.as("expected_1"),
+      when(vv > 0.0, (o1 - e1) * (o1 - e1) / when(vv > 0.0, vv))
+        .as("chi2")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1231,6 +1231,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q363 wilcoxon: pair collapse + |d| rank windows — join-free, " +
+    "bounded exchanges") {
+    val fin = finalPlan("q363_wilcoxon").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
+  test("q364 log-rank: time-grid collapse + at-risk windows + fold — " +
+    "join-free, bounded exchanges") {
+    val fin = finalPlan("q364_log_rank").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
   test("q361 bartlett: cell collapse + grid fold — join-free, " +
     "window-free, map-side cells") {
     val fin = finalPlan("q361_bartlett").split("== Initial Plan ==")(0)

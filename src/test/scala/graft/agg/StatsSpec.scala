@@ -1456,4 +1456,58 @@ class StatsSpec extends AnyFunSuite {
     assert(out("t").isNullAt(out("t").fieldIndex("g_stat"))) // n = 2
     assert(out("c").isNullAt(out("c").fieldIndex("g_stat"))) // flat
   }
+
+  test("wilcoxonSignedRank: balanced signed ranks hit z = 0 " +
+    "exactly; tie correction by hand; zero diffs drop") {
+    // diffs +1, +2, -3: W2+ = 2 + 4 = 6 = E2 -> z = 0
+    val bal = Seq(
+      ("k", 1L, "A", 2.0), ("k", 1L, "B", 1.0),
+      ("k", 2L, "A", 5.0), ("k", 2L, "B", 3.0),
+      ("k", 3L, "A", 1.0), ("k", 3L, "B", 4.0),
+      ("k", 4L, "A", 7.0), ("k", 4L, "B", 7.0)) // zero diff drops
+    // diffs +1, -1, +2: tied |d| pair -> r2 = 3, 3; then 6
+    val tied = Seq(
+      ("t", 1L, "A", 2.0), ("t", 1L, "B", 1.0),
+      ("t", 2L, "A", 1.0), ("t", 2L, "B", 2.0),
+      ("t", 3L, "A", 3.0), ("t", 3L, "B", 1.0))
+    val out = Stats.wilcoxonSignedRank((bal ++ tied)
+      .toDF("key", "subj", "cond", "v"),
+      Seq("key"), "subj", "cond", "A", "B", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Long]("n_pairs") == 3L)
+    assert(out("k").getAs[Double]("w_plus") == 3.0)
+    assert(out("k").getAs[Double]("z") == 0.0)
+    // W2+ = 3 + 6 = 9, E2 = 6, SumT = 6, V2 = 14 - 0.5 = 13.5
+    assert(out("t").getAs[Double]("w_plus") == 4.5)
+    assert(out("t").getAs[Double]("z") ==
+      3.0 / math.sqrt(3.0 * 4.0 * 7.0 / 6.0 - 6.0 / 12.0))
+  }
+
+  test("logRank: identical groups give chi2 = 0; hand two-time " +
+    "O/E/V walk; censoring reduces at-risk") {
+    // identical survival in both groups -> O = E exactly
+    val same = for {
+      g <- Seq(true, false); (d, e) <- Seq((1.0, true), (2.0, true))
+    } yield ("s", g, d, e)
+    // hand case: g1 = {1 event@1, censored@2}, g0 = {event@2, event@3}
+    val hand = Seq(("k", true, 1.0, true), ("k", true, 2.0, false),
+      ("k", false, 2.0, true), ("k", false, 3.0, true))
+    val out = Stats.logRank((same ++ hand).toDF("key", "g", "d", "e"),
+      Seq("key"), "g", "d", "e")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Double]("chi2") == 0.0)
+    val k = out("k")
+    assert(k.getAs[Long]("n_events_1") == 1L)
+    assert(k.getAs[Long]("n_events_0") == 2L)
+    // t=100: n1=2, n=4, d=1 -> E += 0.5, V = 1*(0.5)(0.5)(3)/3 = 0.25
+    // t=200: n1=1, n=3, d=1 -> E += 1/3, V += (1/3)(2/3)(2)/2 = 2/9
+    // t=300: n1=0 -> E += 0, V += 0
+    val e1 = 2.0 / 4.0 * 1.0 + 1.0 / 3.0 * 1.0 + 0.0
+    assert(k.getAs[Double]("expected_1") == e1)
+    val v = 1.0 * (2.0 / 4.0) * (1.0 - 2.0 / 4.0) * 3.0 / 3.0 +
+      1.0 * (1.0 / 3.0) * (1.0 - 1.0 / 3.0) * 2.0 / 2.0 +
+      0.0
+    assert(k.getAs[Double]("chi2") ==
+      (1.0 - e1) * (1.0 - e1) / v)
+  }
 }

@@ -461,5 +461,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.grubbs(
       Seq.empty[(String, Double)].toDF("k", "v"),
       Seq("k"), "v").count() == 0)
+    assert(graft.agg.Stats.wilcoxonSignedRank(
+      Seq.empty[(String, Long, String, Double)]
+        .toDF("k", "s", "cond", "v"),
+      Seq("k"), "s", "cond", "A", "B", "v").count() == 0)
+    assert(graft.agg.Stats.logRank(
+      Seq.empty[(String, Boolean, Double, Boolean)]
+        .toDF("k", "g", "d", "e"),
+      Seq("k"), "g", "d", "e").count() == 0)
   }
 }
