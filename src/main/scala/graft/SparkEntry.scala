@@ -4121,6 +4121,30 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- time-series: Ljung-Box whiteness test — one lag-window
+    //      pass, exact per-lag moments, static-lag Q chain ----
+    "q365_ljung_box" -> ((s, dir) =>
+      graft.agg.Stats.ljungBox(
+        t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value", maxLag = 3)),
+
+    // ---- time-series: Mann-Kendall trend test — exact mergesort
+    //      S, tie-corrected variance, continuity-corrected z ----
+    "q366_mann_kendall" -> ((s, dir) =>
+      graft.agg.Stats.mannKendall(
+        t(s, dir, "events")
+          .withColumn("day", date_trunc("day", col("ts"))),
+        Seq("event_type", "day"), "ts", "event_id", "value")),
+
+    // ---- time-series: lag-1 Granger F — restricted vs unrestricted
+    //      one-step forecast, exact 2-regressor moments ----
+    "q367_granger" -> ((s, dir) =>
+      graft.agg.Stats.grangerF(
+        t(s, dir, "events")
+          .withColumn("uh", pmod(col("user_id"), lit(97L))
+            .cast("double")),
+        Seq("event_type"), "ts", "event_id", "value", "uh")),
+
     // ---- experimentation: Wilcoxon signed-rank — paired continuous
     //      test on doubled |d| ranks, exact tie term ----
     "q363_wilcoxon" -> ((s, dir) =>
@@ -7700,6 +7724,143 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // one lead-window pass for all three lags, exact integer per-lag
+    // products and head/tail sums, pinned C_k/C_0 chains, static Q
+    // accumulation in lag order
+    "q365_ljung_box" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |w AS (SELECT *,
+        |    lead(c, 1) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS l1,
+        |    lead(c, 2) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS l2,
+        |    lead(c, 3) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS l3
+        |  FROM b),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS DOUBLE) AS s,
+        |    CAST(sum(c * c) AS DOUBLE) AS q,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN c * l1 END)
+        |      AS DOUBLE) AS a1,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN c END)
+        |      AS DOUBLE) AS h1,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN l1 END)
+        |      AS DOUBLE) AS t1,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN c * l2 END)
+        |      AS DOUBLE) AS a2,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN c END)
+        |      AS DOUBLE) AS h2,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN l2 END)
+        |      AS DOUBLE) AS t2,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN c * l3 END)
+        |      AS DOUBLE) AS a3,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN c END)
+        |      AS DOUBLE) AS h3,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN l3 END)
+        |      AS DOUBLE) AS t3
+        |  FROM w GROUP BY 1),
+        |x AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    s / CAST(n AS DOUBLE) AS mn,
+        |    q - s * s / CAST(n AS DOUBLE) AS c0 FROM g),
+        |y AS (SELECT *,
+        |    a1 - mn * (h1 + t1) + (nd - 1.0) * mn * mn AS k1,
+        |    a2 - mn * (h2 + t2) + (nd - 2.0) * mn * mn AS k2,
+        |    a3 - mn * (h3 + t3) + (nd - 3.0) * mn * mn AS k3
+        |  FROM x)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n > 3 AND c0 > 0.0 THEN nd * (nd + 2.0)
+        |    * (0.0 + (k1 / c0) * (k1 / c0) / (nd - 1.0)
+        |       + (k2 / c0) * (k2 / c0) / (nd - 2.0)
+        |       + (k3 / c0) * (k3 / c0) / (nd - 3.0)) END AS lb_q
+        |FROM y""".stripMargin,
+
+    // pairwise sign sum over the time order (small per-day groups
+    // make the O(n^2) oracle cheap; the engine's mergesort S is the
+    // same exact integer), tie-corrected variance, continuity z
+    "q366_mann_kendall" ->
+      """WITH b AS (SELECT event_type AS et,
+        |    date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |grp AS (SELECT et, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |ps AS (SELECT t1.et, t1.day,
+        |    CAST(sum(CASE WHEN t2.v > t1.v THEN 1
+        |      WHEN t2.v < t1.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM b t1 JOIN b t2 ON t2.et = t1.et AND t2.day = t1.day
+        |    AND (t1.ts < t2.ts
+        |      OR (t1.ts = t2.ts AND t1.event_id < t2.event_id))
+        |  GROUP BY 1, 2),
+        |tg AS (SELECT et, day,
+        |    CAST(sum(cnt * (cnt - 1) * (2 * cnt + 5)) AS BIGINT)
+        |      AS cubic
+        |  FROM (SELECT et, day, v, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM b GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |j AS (SELECT g.et, g.day, g.n, coalesce(ps.s, 0) AS s,
+        |    g.n * (g.n - 1) * (2 * g.n + 5) - coalesce(tg.cubic, 0)
+        |      AS var_num
+        |  FROM grp g LEFT JOIN ps ON ps.et = g.et AND ps.day = g.day
+        |    LEFT JOIN tg ON tg.et = g.et AND tg.day = g.day),
+        |x AS (SELECT *, CAST(var_num AS DOUBLE) / 18.0 AS vs FROM j)
+        |SELECT et AS event_type, day, n, CAST(s AS BIGINT) AS s,
+        |  CAST(var_num AS BIGINT) AS var_num,
+        |  CASE WHEN vs > 0.0 THEN
+        |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(vs)
+        |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(vs)
+        |      ELSE 0.0 END END AS z
+        |FROM x""".stripMargin,
+
+    // lagged pairs on one key exchange, exact decimal 2-regressor
+    // moments, pinned restricted/unrestricted SSR chains, pinned F
+    "q367_granger" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS y,
+        |    CAST(((user_id % 97) + 97) % 97 AS DECIMAL(18,2)) AS x
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT *,
+        |    lag(y) OVER (PARTITION BY k ORDER BY ts, event_id) AS y1,
+        |    lag(x) OVER (PARTITION BY k ORDER BY ts, event_id) AS x1
+        |  FROM b),
+        |r AS (SELECT * FROM w WHERE y1 IS NOT NULL
+        |  AND x1 IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(y1) AS DOUBLE) AS sy1,
+        |    CAST(sum(x1) AS DOUBLE) AS sx1,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(y1 * y1) AS DOUBLE) AS s11,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s22,
+        |    CAST(sum(y * y1) AS DOUBLE) AS sy1y,
+        |    CAST(sum(y * x1) AS DOUBLE) AS sx1y,
+        |    CAST(sum(y1 * x1) AS DOUBLE) AS s12
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+        |    s11 - sy1 * sy1 / CAST(n AS DOUBLE) AS c11,
+        |    s22 - sx1 * sx1 / CAST(n AS DOUBLE) AS c22,
+        |    sy1y - sy * sy1 / CAST(n AS DOUBLE) AS cy1,
+        |    sx1y - sy * sx1 / CAST(n AS DOUBLE) AS cx1,
+        |    s12 - sy1 * sx1 / CAST(n AS DOUBLE) AS c12 FROM g),
+        |d AS (SELECT *, c11 * c22 - c12 * c12 AS det,
+        |    cyy - cy1 * cy1 / (CASE WHEN c11 > 0.0 THEN c11 END)
+        |      AS ssr_r FROM c),
+        |e AS (SELECT *, cyy - (c22 * cy1 * cy1
+        |      - 2.0 * c12 * cy1 * cx1 + c11 * cx1 * cx1)
+        |    / (CASE WHEN det > 0.0 THEN det END) AS ssr_u,
+        |    n >= 4 AND c11 > 0.0 AND det > 0.0 AS ok FROM d)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN ok THEN ssr_r END AS ssr_restricted,
+        |  CASE WHEN ok THEN ssr_u END AS ssr_unrestricted,
+        |  CASE WHEN ok AND ssr_u > 0.0 THEN (ssr_r - ssr_u)
+        |    / (ssr_u / (nd - 3.0)) END AS f_granger
+        |FROM e""".stripMargin,
 
     // per-subject exact grid sums under the two conditions, zero
     // diffs drop, doubled |d| ranks 2*rank_min + t - 1, exact tie

@@ -4148,6 +4148,246 @@ object Stats {
         .as("chi2")): _*)
   }
 
+  /**
+   * Ljung-Box portmanteau test per key — is the series WHITE NOISE
+   * up to lag h? `Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k) ≈ χ²(h)` over the
+   * standard biased autocorrelations — the whole-correlogram
+   * whiteness check ([[durbinWatson]] stops at lag 1; run this on
+   * forecast residuals after [[graft.ops.TimeSeries.holtWinters]] /
+   * [[graft.ops.TimeSeries.croston]]).
+   *
+   * Engine-exact: per-lag products `Σxₜxₜ₊ₖ`, head/tail sums and
+   * Σx, Σx² are exact decimal sums over ONE window pass (all h lag
+   * columns share the key exchange); each
+   * `Cₖ = Σxₜxₜ₊ₖ − x̄(Hₖ+Tₖ) + (n−k)x̄²` and `ρ̂ₖ = Cₖ/C₀` is a
+   * pinned chain, and Q accumulates over the STATIC lag list in
+   * order (maxLag is a parameter, so the sum is one fixed
+   * expression both engines evaluate left-to-right). Keys with
+   * n ≤ maxLag or zero variance emit null.
+   *
+   * Output: (keys…, n, lb_q) — compare against χ²(maxLag).
+   *
+   * Scale posture: ONE key exchange (lag windows), ONE map-side
+   * closing collapse; cost linear in maxLag per row.
+   */
+  def ljungBox(df: DataFrame, keys: Seq[String], tsCol: String,
+               tieCol: String, valueCol: String, maxLag: Int = 3,
+               valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "ljungBox needs key columns")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val lags = 1 to maxLag
+    val withLags = lags.foldLeft(df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__c", unscaled(col(valueCol), valueScale))) {
+      case (d, k) => d.withColumn(s"__l$k", lead(col("__c"), k).over(ord))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("__c").cast("decimal(38,0)")).as("__s"),
+      sum(col("__c").cast("decimal(19,0)") *
+        col("__c").cast("decimal(19,0)")).as("__q")) ++
+      lags.flatMap { k =>
+        val lk = col(s"__l$k")
+        Seq(
+          sum(when(lk.isNotNull, col("__c").cast("decimal(19,0)") *
+            lk.cast("decimal(19,0)"))).as(s"__a$k"),
+          sum(when(lk.isNotNull, col("__c").cast("decimal(38,0)")))
+            .as(s"__h$k"),
+          sum(when(lk.isNotNull, lk.cast("decimal(38,0)")))
+            .as(s"__t$k"))
+      }
+    val agg = withLags.groupBy(keys.map(col): _*).agg(aggs.head,
+      aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val c0 = col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    def ck(k: Int) = col(s"__a$k").cast("double") -
+      mean * (col(s"__h$k").cast("double") +
+        col(s"__t$k").cast("double")) +
+      (nD - lit(k.toDouble)) * mean * mean
+    val qSum = lags.foldLeft(lit(0.0): Column) { case (acc, k) =>
+      val rho = ck(k) / when(c0 > 0.0, c0)
+      acc + rho * rho / (nD - lit(k.toDouble))
+    }
+    val q = nD * (nD + lit(2.0)) * qSum
+    agg.select(keys.map(col) ++ Seq(col("n"),
+      when(col("n") > maxLag.toLong && c0 > 0.0, q).as("lb_q")): _*)
+  }
+
+  /**
+   * Mann-Kendall trend test per key: is the series monotonically
+   * trending, judged WITHOUT a linear model? —
+   * `S = Σᵢ<ⱼ sign(xⱼ − xᵢ)` over the (tsCol, tieCol) time order,
+   * with the tie-corrected normal approximation
+   * `Var = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18` and the standard
+   * continuity-corrected z. The non-parametric companion to
+   * [[theilSen]] (that one estimates the slope; this one tests it).
+   *
+   * Engine-exact: the series collects per key and S counts STRICT
+   * inversions by in-executor mergesort (O(n log n), exact longs —
+   * the [[kendallTau]] discipline); value ties contribute 0 to S
+   * and their cubic term subtracts exactly; the z closing is one
+   * pinned chain split by sign(S). Keys with Var ≤ 0 (n < 2 or all
+   * tied) emit null z.
+   *
+   * Output: (keys…, n, s, var_num, z) — var_num = 18·Var as an
+   * exact long; z standard normal under no-trend.
+   *
+   * Scale posture: ONE group exchange into collect_list; per-key
+   * memory = series length (the [[kendallTau]] contract — per-
+   * entity/per-slice series, documented envelope n ≲ 10⁶ per key).
+   */
+  def mannKendall(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String,
+                  valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "mannKendall needs key columns")
+    val walk = udf { rows: Seq[org.apache.spark.sql.Row] =>
+      val n = rows.length
+      val idx = (0 until n).sortBy(i => (rows(i).getLong(0),
+        rows(i).getLong(1)))
+      val vs = new Array[Long](n)
+      var i = 0
+      while (i < n) { vs(i) = rows(idx(i)).getLong(2); i += 1 }
+      // strict inversions (time-earlier value strictly greater)
+      var inv = 0L
+      var src = vs.clone(); var dst = new Array[Long](n)
+      var width = 1
+      while (width < n) {
+        var lo = 0
+        while (lo < n) {
+          val mid = math.min(lo + width, n)
+          val hi = math.min(lo + 2 * width, n)
+          var a = lo; var b = mid; var o = lo
+          while (a < mid && b < hi) {
+            if (src(a) <= src(b)) { dst(o) = src(a); a += 1 }
+            else { dst(o) = src(b); inv += mid - a; b += 1 }
+            o += 1
+          }
+          while (a < mid) { dst(o) = src(a); a += 1; o += 1 }
+          while (b < hi) { dst(o) = src(b); b += 1; o += 1 }
+          lo += 2 * width
+        }
+        val t = src; src = dst; dst = t
+        width *= 2
+      }
+      // tie pairs and the cubic variance term over value tie runs
+      var tiePairs = 0L; var cubic = 0L
+      var run = 1L; var j = 1
+      while (j <= n) {
+        if (j < n && src(j) == src(j - 1)) run += 1
+        else {
+          tiePairs += run * (run - 1) / 2
+          cubic += run * (run - 1) * (2 * run + 5)
+          run = 1L
+        }
+        j += 1
+      }
+      val nL = n.toLong
+      val s = nL * (nL - 1) / 2 - tiePairs - 2 * inv
+      val varNum = nL * (nL - 1) * (2 * nL + 5) - cubic
+      (nL, s, varNum)
+    }
+    val counted = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(
+        unix_micros(col(tsCol).cast("timestamp")),
+        col(tieCol).cast("long"),
+        unscaled(col(valueCol), valueScale))).as("__rows"))
+      .withColumn("__c", walk(col("__rows")))
+    val sD = col("__c._2").cast("double")
+    val varS = col("__c._3").cast("double") / lit(18.0)
+    val sd = when(varS > 0.0, sqrt(varS))
+    val z = when(col("__c._2") > 0L, (sD - lit(1.0)) / sd)
+      .when(col("__c._2") < 0L, (sD + lit(1.0)) / sd)
+      .otherwise(lit(0.0))
+    counted.select(keys.map(col) ++ Seq(
+      col("__c._1").as("n"), col("__c._2").as("s"),
+      col("__c._3").as("var_num"),
+      when(varS > 0.0, z).as("z")): _*)
+  }
+
+  /**
+   * Lag-1 Granger-causality F per key: does knowing x's PAST
+   * improve a one-step forecast of y beyond y's own past? Compare
+   * the restricted fit `yₜ ~ yₜ₋₁` with the unrestricted
+   * `yₜ ~ yₜ₋₁ + xₜ₋₁`;
+   * `F = (SSR_r − SSR_u) / (SSR_u/(n−3)) ≈ F(1, n−3)` under
+   * no-improvement. Predictive precedence, not causation — but the
+   * standard first screen for "is this signal worth wiring in".
+   *
+   * Engine-exact: both series snap to the grid; lagged pairs ride
+   * one key exchange; all 2-regressor moments are exact DECIMAL
+   * sums in ONE closing aggregation; SSR_r closes in the
+   * [[chowTest]] chain and SSR_u in the pinned 2×2 normal-equation
+   * form `Syy − (S₂₂Sy₁² − 2S₁₂Sy₁Sx₁ + S₁₁Sx₁²)/det`. Keys with
+   * n < 4, a singular design (det ≤ 0), or zero residual variance
+   * emit null F.
+   *
+   * Output: (keys…, n, ssr_restricted, ssr_unrestricted, f_granger).
+   *
+   * Scale posture: one key exchange (the lags), ONE map-side
+   * closing aggregation. Same DECIMAL(38) envelope as
+   * [[pearsonMatrix]].
+   */
+  def grangerF(df: DataFrame, keys: Seq[String], tsCol: String,
+               tieCol: String, yCol: String, xCol: String,
+               scale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "grangerF needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val t = s"decimal(18,$scale)"
+    val pt = s"decimal(38,${2 * scale})"
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val rows = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(yCol).isNotNull && col(xCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__y", col(yCol).cast(t))
+      .withColumn("__x", col(xCol).cast(t))
+      .withColumn("__y1", lag(col("__y"), 1).over(ord))
+      .withColumn("__x1", lag(col("__x"), 1).over(ord))
+      .filter(col("__y1").isNotNull && col("__x1").isNotNull)
+    val y = col("__y"); val y1 = col("__y1"); val x1 = col("__x1")
+    val m = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(y).as("__sy"), sum(y1).as("__sy1"), sum(x1).as("__sx1"),
+        sum((y * y).cast(pt)).as("__syy"),
+        sum((y1 * y1).cast(pt)).as("__s11"),
+        sum((x1 * x1).cast(pt)).as("__s22"),
+        sum((y * y1).cast(pt)).as("__sy1y"),
+        sum((y * x1).cast(pt)).as("__sx1y"),
+        sum((y1 * x1).cast(pt)).as("__s12"))
+    val nD = col("n").cast("double")
+    val sy = col("__sy").cast("double")
+    val sy1 = col("__sy1").cast("double")
+    val sx1 = col("__sx1").cast("double")
+    val cyy = col("__syy").cast("double") - sy * sy / nD
+    val c11 = col("__s11").cast("double") - sy1 * sy1 / nD
+    val c22 = col("__s22").cast("double") - sx1 * sx1 / nD
+    val cy1 = col("__sy1y").cast("double") - sy * sy1 / nD
+    val cx1 = col("__sx1y").cast("double") - sy * sx1 / nD
+    val c12 = col("__s12").cast("double") - sy1 * sx1 / nD
+    val ssrR = cyy - cy1 * cy1 / when(c11 > 0.0, c11)
+    val det = c11 * c22 - c12 * c12
+    val ssrU = cyy - (c22 * cy1 * cy1 - lit(2.0) * c12 * cy1 * cx1 +
+      c11 * cx1 * cx1) / when(det > 0.0, det)
+    val f = (ssrR - ssrU) /
+      when(ssrU > 0.0 && nD > 3.0, ssrU / (nD - lit(3.0)))
+    val ok = col("n") >= 4L && c11 > 0.0 && det > 0.0
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(ok, ssrR).as("ssr_restricted"),
+      when(ok, ssrU).as("ssr_unrestricted"),
+      when(ok && ssrU > 0.0, f).as("f_granger")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1231,6 +1231,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q365 ljung-box: all lag leads in one window pass + closing " +
+    "collapse — join-free, ONE key exchange") {
+    val fin = finalPlan("q365_ljung_box").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Window".r.findAllIn(fin).size <= 1, fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q366 mann-kendall: ONE group exchange into the mergesort " +
+    "walk — join-free") {
+    val fin = finalPlan("q366_mann_kendall")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q367 granger: lag windows + ONE closing aggregation — " +
+    "join-free") {
+    val fin = finalPlan("q367_granger").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q363 wilcoxon: pair collapse + |d| rank windows — join-free, " +
     "bounded exchanges") {
     val fin = finalPlan("q363_wilcoxon").split("== Initial Plan ==")(0)

@@ -1510,4 +1510,72 @@ class StatsSpec extends AnyFunSuite {
     assert(k.getAs[Double]("chi2") ==
       (1.0 - e1) * (1.0 - e1) / v)
   }
+
+  test("ljungBox: hand two-lag Q on an alternating series; short " +
+    "and flat keys null") {
+    def rows(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (k, acfTs(i), i.toLong, v) }
+    val df = (rows("k", Seq(1.0, 2.0, 1.0, 2.0, 1.0)) ++
+      rows("s", Seq(1.0, 2.0)) ++
+      rows("f", Seq(3.0, 3.0, 3.0, 3.0))).toDF("key", "ts", "id", "v")
+    val out = Stats.ljungBox(df, Seq("key"), "ts", "id", "v",
+      maxLag = 2).collect().map(r => r.getString(0) -> r).toMap
+    // c0 = 12000, C1 = -9600, C2 = 6800 (exact integer chains)
+    val r1 = -9600.0 / 12000.0
+    val r2 = 6800.0 / 12000.0
+    val q = 5.0 * (5.0 + 2.0) *
+      (0.0 + r1 * r1 / (5.0 - 1.0) + r2 * r2 / (5.0 - 2.0))
+    assert(out("k").getAs[Double]("lb_q") == q)
+    assert(out("s").isNullAt(out("s").fieldIndex("lb_q"))) // n <= h
+    assert(out("f").isNullAt(out("f").fieldIndex("lb_q"))) // c0 = 0
+  }
+
+  test("mannKendall: monotone series hit S = ±n0 with continuity " +
+    "z; tie pair contributes 0 and its cubic term subtracts") {
+    def rows(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (k, acfTs(i), i.toLong, v) }
+    val df = (rows("up", Seq(1.0, 2.0, 3.0, 4.0)) ++
+      rows("dn", Seq(4.0, 3.0, 2.0, 1.0)) ++
+      rows("t", Seq(1.0, 1.0, 2.0)) ++
+      rows("z", Seq(5.0, 5.0, 5.0))).toDF("key", "ts", "id", "v")
+    val out = Stats.mannKendall(df, Seq("key"), "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Long]("s") == 6L)
+    assert(out("up").getAs[Long]("var_num") == 156L)
+    assert(out("up").getAs[Double]("z") ==
+      5.0 / math.sqrt(156.0 / 18.0))
+    assert(out("dn").getAs[Long]("s") == -6L)
+    assert(out("dn").getAs[Double]("z") ==
+      -5.0 / math.sqrt(156.0 / 18.0))
+    assert(out("t").getAs[Long]("s") == 2L)
+    assert(out("t").getAs[Long]("var_num") == 48L)
+    assert(out("z").getAs[Long]("s") == 0L)
+    assert(out("z").isNullAt(out("z").fieldIndex("z"))) // var 0
+  }
+
+  test("grangerF: hand 2-regressor SSR chains and F; short key " +
+    "null") {
+    def rows(k: String, xs: Seq[Double], ys: Seq[Double]) =
+      xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+        (k, acfTs(i), i.toLong, y, x) }
+    val df = (rows("k", Seq(1.0, 2.0, 1.0, 2.0, 1.0),
+      Seq(1.0, 3.0, 2.0, 5.0, 4.0)) ++
+      rows("s", Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("key", "ts", "id", "y", "x")
+    val out = Stats.grangerF(df, Seq("key"), "ts", "id", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // hand moments (input units): cyy 5, c11 8.75, c22 1,
+    // cy1 0.5, cx1 -1, c12 2.5 -> det 2.5
+    val ssrR = 5.0 - 0.5 * 0.5 / 8.75
+    val num = 1.0 * 0.5 * 0.5 - 2.0 * 2.5 * 0.5 * (-1.0) +
+      8.75 * (-1.0) * (-1.0)
+    val ssrU = 5.0 - num / 2.5
+    assert(k.getAs[Double]("ssr_restricted") == ssrR)
+    assert(k.getAs[Double]("ssr_unrestricted") == ssrU)
+    assert(k.getAs[Double]("f_granger") ==
+      (ssrR - ssrU) / (ssrU / (4.0 - 3.0)))
+    // collinear/short: only 2 lagged rows -> n < 4 -> null
+    assert(out("s").isNullAt(out("s").fieldIndex("f_granger")))
+  }
 }

@@ -469,5 +469,16 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Boolean, Double, Boolean)]
         .toDF("k", "g", "d", "e"),
       Seq("k"), "g", "d", "e").count() == 0)
+    val emptyTs16 =
+      Seq.empty[(String, Timestamp, Long, Double)]
+        .toDF("k", "ts", "id", "v")
+    assert(graft.agg.Stats.ljungBox(
+      emptyTs16, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.agg.Stats.mannKendall(
+      emptyTs16, Seq("k"), "ts", "id", "v").count() == 0)
+    assert(graft.agg.Stats.grangerF(
+      Seq.empty[(String, Timestamp, Long, Double, Double)]
+        .toDF("k", "ts", "id", "y", "x"),
+      Seq("k"), "ts", "id", "y", "x").count() == 0)
   }
 }
