@@ -4121,6 +4121,25 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- stats: Cochran-Mantel-Haenszel — stratified 2x2 cells,
+    //      stratum-order E/V/OR fold, pooled odds ratio ----
+    "q368_cmh" -> ((s, dir) =>
+      graft.agg.Stats.cmhTest(
+        t(s, dir, "events")
+          .withColumn("stratum", pmod(col("user_id"), lit(5L)))
+          .withColumn("exposed", pmod(col("user_id"), lit(2L)) === 0L)
+          .withColumn("outcome", col("value") >= 110.0),
+        Seq("event_type"), "stratum", "exposed", "outcome")),
+
+    // ---- experimentation: Page's ordered trend test — friedman's
+    //      grid, j-weighted doubled rank sums, pinned z ----
+    "q369_page_trend" -> ((s, dir) =>
+      graft.agg.Stats.pageTrend(
+        t(s, dir, "events")
+          .withColumn("blk", pmod(col("user_id"), lit(50L)))
+          .withColumn("variant", pmod(col("event_id"), lit(3L))),
+        Seq("event_type"), "blk", "variant", "value")),
+
     // ---- time-series: Ljung-Box whiteness test — one lag-window
     //      pass, exact per-lag moments, static-lag Q chain ----
     "q365_ljung_box" -> ((s, dir) =>
@@ -7725,6 +7744,96 @@ object SparkEntry {
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
 
+    // exact integer stratum cells, stratum-order fold of the
+    // hypergeometric E/V and the MH ad/n, bc/n terms with neutral
+    // zeros for n < 2 strata, pinned chi2 and pooled-OR closings
+    "q368_cmh" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 5) + 5) % 5 AS st,
+        |    ((user_id % 2) + 2) % 2 = 0 AS ex, value >= 110 AS oc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k, st,
+        |    CAST(sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM b GROUP BY 1, 2),
+        |f AS (SELECT k, list_reduce(
+        |    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        |      list([CAST(a AS DOUBLE), CAST(b2 AS DOUBLE),
+        |        CAST(c AS DOUBLE), CAST(d AS DOUBLE)] ORDER BY st)),
+        |    (acc, p) -> [
+        |      acc[1] + CASE WHEN p[1] + p[2] + p[3] + p[4] > 1.0
+        |        THEN p[1] ELSE 0.0 END,
+        |      acc[2] + CASE WHEN p[1] + p[2] + p[3] + p[4] > 1.0
+        |        THEN (p[1] + p[2]) * (p[1] + p[3])
+        |          / (p[1] + p[2] + p[3] + p[4]) ELSE 0.0 END,
+        |      acc[3] + CASE WHEN p[1] + p[2] + p[3] + p[4] > 1.0
+        |        THEN (p[1] + p[2]) * (p[3] + p[4]) * (p[1] + p[3])
+        |          * (p[2] + p[4])
+        |          / ((p[1] + p[2] + p[3] + p[4])
+        |            * (p[1] + p[2] + p[3] + p[4])
+        |            * (p[1] + p[2] + p[3] + p[4] - 1.0))
+        |        ELSE 0.0 END,
+        |      acc[4] + CASE WHEN p[1] + p[2] + p[3] + p[4] > 1.0
+        |        THEN p[1] * p[4] / (p[1] + p[2] + p[3] + p[4])
+        |        ELSE 0.0 END,
+        |      acc[5] + CASE WHEN p[1] + p[2] + p[3] + p[4] > 1.0
+        |        THEN p[2] * p[3] / (p[1] + p[2] + p[3] + p[4])
+        |        ELSE 0.0 END,
+        |      acc[6] + 1.0]) AS m
+        |  FROM cells GROUP BY 1)
+        |SELECT k AS event_type, CAST(m[6] AS BIGINT) AS n_strata,
+        |  CAST(m[1] AS BIGINT) AS sum_a, m[2] AS expected_a,
+        |  m[3] AS variance,
+        |  CASE WHEN m[3] > 0.0 THEN (m[1] - m[2]) * (m[1] - m[2])
+        |    / m[3] END AS cmh_chi2,
+        |  CASE WHEN m[5] > 0.0 THEN m[4] / m[5] END AS or_mh
+        |FROM f""".stripMargin,
+
+    // friedman's grid verbatim plus the treatment-order weights:
+    // L2 = Sum(j * R2_j) exact, pinned doubled moments
+    // E2 = nk(k+1)^2/2, Var2 = nk^2(k+1)^2(k-1)/36
+    "q369_page_trend" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 50) + 50) % 50 AS blk,
+        |    ((event_id % 3) + 3) % 3 AS trt,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |cell AS (SELECT k, blk, trt, CAST(sum(c) AS BIGINT) AS vc
+        |  FROM b GROUP BY 1, 2, 3),
+        |d AS (SELECT *, dense_rank() OVER (PARTITION BY k
+        |    ORDER BY trt) AS dr FROM cell),
+        |e AS (SELECT *, max(dr) OVER (PARTITION BY k) AS kk,
+        |    count(*) OVER (PARTITION BY k, blk) AS bc FROM d),
+        |r AS (SELECT k, blk, trt, dr,
+        |    2 * rank() OVER (PARTITION BY k, blk ORDER BY vc)
+        |      + count(*) OVER (PARTITION BY k, blk, vc) - 1 AS r2
+        |  FROM e WHERE bc = kk),
+        |tc AS (SELECT k, trt, CAST(max(dr) AS BIGINT) AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2) AS BIGINT) AS R2
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT k, max(n) AS nb, CAST(count(*) AS BIGINT) AS kt,
+        |    CAST(sum(j * R2) AS DOUBLE) AS l2 FROM tc GROUP BY 1),
+        |x AS (SELECT *, CAST(nb AS DOUBLE) AS nd,
+        |    CAST(kt AS DOUBLE) AS kd, CAST(kt AS DOUBLE) + 1.0 AS kp1
+        |  FROM g),
+        |y AS (SELECT *, nd * kd * kp1 * kp1 / 2.0 AS e2,
+        |    nd * kd * kd * kp1 * kp1 * (kd - 1.0) / 36.0 AS v2
+        |  FROM x)
+        |SELECT k AS event_type, nb AS n_blocks, kt AS k_treatments,
+        |  l2 / 2.0 AS l_stat,
+        |  CASE WHEN kt >= 2 AND nb > 0 AND v2 > 0.0
+        |    THEN (l2 - e2) / sqrt(v2) END AS z
+        |FROM y""".stripMargin,
+
     // one lead-window pass for all three lags, exact integer per-lag
     // products and head/tail sums, pinned C_k/C_0 chains, static Q
     // accumulation in lag order
@@ -8299,7 +8408,10 @@ object SparkEntry {
     // exact integer power sums to the 4th on the cent grid (BIGINT
     // powers, HUGEINT sums == the engine's DECIMAL(38) sums), then
     // the pinned central-moment chain: m3/m4 expansions around the
-    // mean, g1 = m3/(m2*sqrt(m2)), JB = n/6*(g1^2 + g2^2/4)
+    // mean, g1 = m3/(m2*sqrt(m2)), JB = n/6*(g1^2 + g2^2/4).
+    // Sums past 2^53 go DOUBLE via VARCHAR: DuckDB's direct
+    // HUGEINT->DOUBLE cast double-rounds (two 64-bit halves), while
+    // strtod and Spark's Decimal.toDouble are correctly rounded
     "q351_jarque_bera" ->
       """WITH b AS (SELECT event_type AS k,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
@@ -8310,10 +8422,14 @@ object SparkEntry {
         |    sum((c * c) * (c * c)) AS s4
         |  FROM b GROUP BY 1),
         |x AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
-        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS s2n,
-        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS s3n,
-        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS s4n FROM g),
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS mu,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS s2n,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS s3n,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS s4n FROM g),
         |y AS (SELECT *, s2n - mu * mu AS m2,
         |    s3n - 3.0 * mu * s2n + 2.0 * mu * mu * mu AS m3,
         |    s4n - 4.0 * mu * s3n + 6.0 * mu * mu * s2n

@@ -4388,6 +4388,152 @@ object Stats {
       when(ok && ssrU > 0.0, f).as("f_granger")): _*)
   }
 
+  /**
+   * Cochran-Mantel-Haenszel test per key — exposure→outcome
+   * association CONTROLLING for a stratifying confounder: the
+   * 2×2-per-stratum answer to "is the effect real, or is the
+   * stratum driving both?" ([[partialCorr]]'s categorical sibling,
+   * [[oddsRatio]]'s confounder-adjusted upgrade; Simpson's-paradox
+   * insurance). Per stratum i with cells (aᵢ, bᵢ, cᵢ, dᵢ):
+   * `χ²_CMH = (Σaᵢ − ΣEᵢ)² / ΣVᵢ` with the hypergeometric
+   * `Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ`,
+   * `Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1))`, plus the
+   * Mantel-Haenszel pooled odds ratio
+   * `OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)`.
+   *
+   * Engine-exact: stratum cells are exact integers from ONE
+   * (keys, stratum) map-side collapse; E/V/OR terms fold
+   * SEQUENTIALLY in stratum order with neutral zeros for nᵢ < 2
+   * strata (the no-nulls-in-folds rule); both closings are pinned.
+   * Keys with ΣV ≤ 0 null the χ²; Σ(bc/n) = 0 nulls OR_MH.
+   *
+   * Output: (keys…, n_strata, sum_a, expected_a, variance,
+   * cmh_chi2, or_mh).
+   *
+   * Scale posture: cell collapse, key collapse, stratum-grid fold
+   * — the [[bartlett]] shape.
+   */
+  def cmhTest(df: DataFrame, keys: Seq[String], stratumCol: String,
+              exposedCol: String, outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "cmhTest needs key columns")
+    val ex = col(exposedCol).cast("boolean")
+    val oc = col(outcomeCol).cast("boolean")
+    val cells = df
+      .filter(ex.isNotNull && oc.isNotNull &&
+        col(stratumCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(stratumCol): _*)
+      .agg(sum(when(ex && oc, 1L).otherwise(0L)).as("__a"),
+        sum(when(ex && !oc, 1L).otherwise(0L)).as("__b"),
+        sum(when(!ex && oc, 1L).otherwise(0L)).as("__c"),
+        sum(when(!ex && !oc, 1L).otherwise(0L)).as("__d"))
+    // state [Σa, ΣE, ΣV, Σad/n, Σbc/n, strata]
+    val fold = aggregate(
+      sort_array(collect_list(struct(col(stratumCol).as("__s"),
+        col("__a").cast("double").as("__pa"),
+        col("__b").cast("double").as("__pb"),
+        col("__c").cast("double").as("__pc"),
+        col("__d").cast("double").as("__pd")))),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0),
+        lit(0.0)),
+      (acc, p) => {
+        val a = p.getField("__pa"); val b = p.getField("__pb")
+        val c = p.getField("__pc"); val dd = p.getField("__pd")
+        val n = a + b + c + dd
+        val ok = n > 1.0
+        val nn = when(ok, n).otherwise(lit(1.0))
+        val nm1 = when(ok, n - lit(1.0)).otherwise(lit(1.0))
+        val e = when(ok, (a + b) * (a + c) / nn).otherwise(lit(0.0))
+        val v = when(ok, (a + b) * (c + dd) * (a + c) * (b + dd) /
+          (nn * nn * nm1)).otherwise(lit(0.0))
+        val adn = when(ok, a * dd / nn).otherwise(lit(0.0))
+        val bcn = when(ok, b * c / nn).otherwise(lit(0.0))
+        array(element_at(acc, 1) + when(ok, a).otherwise(lit(0.0)),
+          element_at(acc, 2) + e, element_at(acc, 3) + v,
+          element_at(acc, 4) + adn, element_at(acc, 5) + bcn,
+          element_at(acc, 6) + lit(1.0))
+      })
+    val m = (i: Int) => element_at(col("__m"), i)
+    val chi = (m(1) - m(2)) * (m(1) - m(2)) / when(m(3) > 0.0, m(3))
+    val orMh = m(4) / when(m(5) > 0.0, m(5))
+    cells.groupBy(keys.map(col): _*).agg(fold.as("__m"))
+      .select(keys.map(col) ++ Seq(
+        m(6).cast("long").as("n_strata"),
+        m(1).cast("long").as("sum_a"), m(2).as("expected_a"),
+        m(3).as("variance"),
+        when(m(3) > 0.0, chi).as("cmh_chi2"),
+        when(m(5) > 0.0, orMh).as("or_mh")): _*)
+  }
+
+  /**
+   * Page's trend test per key — [[friedman]]'s ORDERED-alternative
+   * sibling: when the treatments have a natural order (dose levels,
+   * model sizes, week numbers), test for a MONOTONE trend in the
+   * within-block ranks instead of any-difference:
+   * `L = Σⱼ j·Rⱼ` over treatments in their sort order, with the
+   * normal approximation `E[L] = nk(k+1)²/4`,
+   * `Var[L] = nk²(k+1)²(k−1)/144` (average ranks under ties make
+   * this slightly conservative — documented; [[friedman]] is the
+   * tie-robust any-difference fallback).
+   *
+   * Pinned semantics: [[friedman]]'s grid exactly — exact cell
+   * sums, dense-rank treatment count, complete blocks only, DOUBLED
+   * within-block ranks — so `L₂ = Σ j·R₂ⱼ = 2L` is an exact long
+   * and the z closing is one pinned chain on the doubled moments
+   * `E₂ = nk(k+1)²/2`, `Var₂ = nk²(k+1)²(k−1)/36`. Keys with k < 2
+   * or no complete blocks emit null.
+   *
+   * Output: (keys…, n_blocks, k_treatments, l_stat, z) — l_stat on
+   * the ½ grid; z > 0 = ranks rise with treatment order.
+   *
+   * Scale posture: identical to [[friedman]] — one cell collapse,
+   * one key exchange, map-side treatment collapse.
+   */
+  def pageTrend(df: DataFrame, keys: Seq[String], blockCol: String,
+                treatCol: String, valueCol: String,
+                valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "pageTrend needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val cell = df
+      .filter(col(valueCol).isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(blockCol) :+ col(treatCol): _*)
+      .agg(sum(unscaled(col(valueCol), valueScale)).as("__vc"))
+    val wTr = Window.partitionBy(keys.map(col): _*).orderBy(col(treatCol))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val blkCols = keys.map(col) :+ col(blockCol)
+    val wBlk = Window.partitionBy(blkCols: _*)
+    val wOrd = Window.partitionBy(blkCols: _*).orderBy(col("__vc"))
+    val wTie = Window.partitionBy(blkCols :+ col("__vc"): _*)
+    val ranked = cell
+      .withColumn("__dr", dense_rank().over(wTr))
+      .withColumn("__kk", max(col("__dr")).over(wKey))
+      .withColumn("__bc", count(lit(1)).over(wBlk))
+      .filter(col("__bc") === col("__kk"))
+      .withColumn("__r2",
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+    val treatCells = ranked.groupBy(keys.map(col) :+ col(treatCol): _*)
+      .agg(max(col("__dr")).cast("long").as("__j"),
+        count(lit(1)).as("__n"), sum(col("__r2")).as("__R2"))
+    val agg = treatCells.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_blocks"),
+        count(lit(1)).as("k_treatments"),
+        sum(col("__j") * col("__R2")).as("__l2"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val kp1 = kD + lit(1.0)
+    val e2 = nD * kD * kp1 * kp1 / lit(2.0)
+    val v2 = nD * kD * kD * kp1 * kp1 * (kD - lit(1.0)) / lit(36.0)
+    val z = (col("__l2").cast("double") - e2) /
+      when(v2 > 0.0, sqrt(v2))
+    agg.select(keys.map(col) ++ Seq(col("n_blocks"),
+      col("k_treatments"),
+      (col("__l2").cast("double") / lit(2.0)).as("l_stat"),
+      when(col("k_treatments") >= 2L && col("n_blocks") > 0L &&
+        v2 > 0.0, z).as("z")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1231,6 +1231,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q368 cmh: stratum cell collapse + grid fold — join-free, " +
+    "window-free") {
+    val fin = finalPlan("q368_cmh").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+  test("q369 page-trend: friedman's grid + j-weighted collapse — " +
+    "join-free, bounded exchanges") {
+    val fin = finalPlan("q369_page_trend").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
   test("q365 ljung-box: all lag leads in one window pass + closing " +
     "collapse — join-free, ONE key exchange") {
     val fin = finalPlan("q365_ljung_box").split("== Initial Plan ==")(0)

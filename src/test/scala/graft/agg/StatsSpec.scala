@@ -1578,4 +1578,56 @@ class StatsSpec extends AnyFunSuite {
     // collinear/short: only 2 lagged rows -> n < 4 -> null
     assert(out("s").isNullAt(out("s").fieldIndex("f_granger")))
   }
+
+  test("cmhTest: hand two-stratum E/V/OR walk; n = 1 stratum is " +
+    "neutral; all-degenerate key null") {
+    def rows(k: String, st: Long, ex: Boolean, oc: Boolean, n: Int) =
+      Seq.fill(n)((k, st, ex, oc))
+    val s1 = rows("k", 0L, true, true, 2) ++
+      rows("k", 0L, true, false, 1) ++ rows("k", 0L, false, true, 1) ++
+      rows("k", 0L, false, false, 2)
+    val s2 = rows("k", 1L, true, true, 1) ++
+      rows("k", 1L, true, false, 1) ++ rows("k", 1L, false, true, 1) ++
+      rows("k", 1L, false, false, 1)
+    val deg = rows("z", 0L, true, true, 1) // single row -> neutral
+    val out = Stats.cmhTest((s1 ++ s2 ++ deg)
+      .toDF("key", "st", "ex", "oc"), Seq("key"), "st", "ex", "oc")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // s1: E = 3*3/6, V = 81/180, ad/n = 4/6, bc/n = 1/6
+    // s2: E = 1, V = 16/48, ad/n = 1/4, bc/n = 1/4
+    val e = 3.0 * 3.0 / 6.0 + 2.0 * 2.0 / 4.0
+    val v = 3.0 * 3.0 * 3.0 * 3.0 / (6.0 * 6.0 * 5.0) +
+      2.0 * 2.0 * 2.0 * 2.0 / (4.0 * 4.0 * 3.0)
+    assert(k.getAs[Long]("sum_a") == 3L)
+    assert(k.getAs[Double]("expected_a") == e)
+    assert(k.getAs[Double]("cmh_chi2") == (3.0 - e) * (3.0 - e) / v)
+    assert(k.getAs[Double]("or_mh") ==
+      (2.0 * 2.0 / 6.0 + 1.0 * 1.0 / 4.0) /
+        (1.0 * 1.0 / 6.0 + 1.0 * 1.0 / 4.0))
+    assert(out("z").getAs[Long]("n_strata") == 1L)
+    assert(out("z").isNullAt(out("z").fieldIndex("cmh_chi2")))
+  }
+
+  test("pageTrend: perfect rising trend hits z = 2 exactly on a " +
+    "2x3 grid; falling trend -2; all-tied blocks z = 0") {
+    val up = for {
+      b <- Seq(1L, 2L); (t, v) <- Seq((0L, 1.0), (1L, 2.0), (2L, 3.0))
+    } yield ("u", b, t, v)
+    val dn = for {
+      b <- Seq(1L, 2L); (t, v) <- Seq((0L, 3.0), (1L, 2.0), (2L, 1.0))
+    } yield ("d", b, t, v)
+    val flat = for {
+      b <- Seq(1L, 2L); t <- Seq(0L, 1L, 2L)
+    } yield ("f", b, t, 5.0)
+    val out = Stats.pageTrend((up ++ dn ++ flat)
+      .toDF("key", "blk", "trt", "v"), Seq("key"), "blk", "trt", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // L = 28 (max), E = 24, sd(L2) = 4 -> z = 2
+    assert(out("u").getAs[Double]("l_stat") == 28.0)
+    assert(out("u").getAs[Double]("z") == 2.0)
+    assert(out("d").getAs[Double]("l_stat") == 20.0)
+    assert(out("d").getAs[Double]("z") == -2.0)
+    assert(out("f").getAs[Double]("z") == 0.0) // L2 = E2 under ties
+  }
 }

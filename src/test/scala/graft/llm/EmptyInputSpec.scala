@@ -480,5 +480,13 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Timestamp, Long, Double, Double)]
         .toDF("k", "ts", "id", "y", "x"),
       Seq("k"), "ts", "id", "y", "x").count() == 0)
+    assert(graft.agg.Stats.cmhTest(
+      Seq.empty[(String, Long, Boolean, Boolean)]
+        .toDF("k", "st", "ex", "oc"),
+      Seq("k"), "st", "ex", "oc").count() == 0)
+    assert(graft.agg.Stats.pageTrend(
+      Seq.empty[(String, Long, Long, Double)]
+        .toDF("k", "blk", "trt", "v"),
+      Seq("k"), "blk", "trt", "v").count() == 0)
   }
 }
