@@ -4121,6 +4121,24 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- experimentation: Jonckheere-Terpstra ordered trend —
+    //      exact merge-count JT, untied-variance z ----
+    "q370_jonckheere" -> ((s, dir) =>
+      graft.agg.Stats.jonckheereTerpstra(
+        t(s, dir, "events")
+          .withColumn("day", date_trunc("day", col("ts")))
+          .withColumn("dose", pmod(col("user_id"), lit(3L))),
+        Seq("event_type", "day"), "dose", "value")),
+
+    // ---- stats: ordinal-association panel — gamma, Somers' D both
+    //      ways, tau-b from kendall's exact counts ----
+    "q371_ordinal_assoc" -> ((s, dir) =>
+      graft.agg.Stats.ordinalAssociation(
+        t(s, dir, "events")
+          .withColumn("uh", pmod(col("user_id"), lit(7L))
+            .cast("double")),
+        Seq("event_type"), "value", "uh")),
+
     // ---- stats: Cochran-Mantel-Haenszel — stratified 2x2 cells,
     //      stratum-order E/V/OR fold, pooled odds ratio ----
     "q368_cmh" -> ((s, dir) =>
@@ -7743,6 +7761,84 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // pairwise cross-group comparisons over small per-day groups
+    // (2 per strict win, 1 per tie == the engine's doubled
+    // merge-count), untied-variance moments, pinned z
+    "q370_jonckheere" ->
+      """WITH b AS (SELECT event_type AS et,
+        |    date_trunc('day', ts) AS day,
+        |    ((user_id % 3) + 3) % 3 AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |grp AS (SELECT et, day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS kg
+        |  FROM b GROUP BY 1, 2),
+        |sz AS (SELECT et, day, g, CAST(count(*) AS BIGINT) AS ng
+        |  FROM b GROUP BY 1, 2, 3),
+        |mo AS (SELECT et, day, CAST(sum(ng * ng) AS BIGINT) AS ss,
+        |    CAST(sum(ng * ng * (2 * ng + 3)) AS BIGINT) AS sv
+        |  FROM sz GROUP BY 1, 2),
+        |ps AS (SELECT t1.et, t1.day,
+        |    CAST(sum(CASE WHEN t2.v > t1.v THEN 2
+        |      WHEN t2.v = t1.v THEN 1 ELSE 0 END) AS BIGINT) AS jt2
+        |  FROM b t1 JOIN b t2 ON t2.et = t1.et AND t2.day = t1.day
+        |    AND t1.g < t2.g
+        |  GROUP BY 1, 2),
+        |j AS (SELECT g.et, g.day, g.n, g.kg,
+        |    coalesce(ps.jt2, 0) AS jt2, g.n * g.n - mo.ss AS e4,
+        |    g.n * g.n * (2 * g.n + 3) - mo.sv AS var_num
+        |  FROM grp g JOIN mo ON mo.et = g.et AND mo.day = g.day
+        |    LEFT JOIN ps ON ps.et = g.et AND ps.day = g.day),
+        |x AS (SELECT *, CAST(var_num AS DOUBLE) / 72.0 AS vs FROM j)
+        |SELECT et AS event_type, day, n, kg AS k_groups,
+        |  CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+        |  CASE WHEN kg >= 2 AND vs > 0.0
+        |    THEN CAST(2 * jt2 - e4 AS DOUBLE) / 4.0 / sqrt(vs)
+        |    END AS z
+        |FROM x""".stripMargin,
+
+    // the q240 pairwise-count oracle with the panel closings:
+    // gamma = S/(P+Q), Somers' D = S/(n0-n1) and S/(n0-n2), tau-b
+    "q371_ordinal_assoc" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(((user_id % 7) + 7) % 7 AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y,
+        |    row_number() OVER () AS rid
+        |  FROM events WHERE value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |grp AS (SELECT k, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |ps AS (SELECT t1.k,
+        |    CAST(sum(CASE WHEN t1.x = t2.x THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t1.y = t2.y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN t1.x = t2.x AND t1.y = t2.y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN (t1.x - t2.x) * (t1.y - t2.y) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        |  FROM b t1 JOIN b t2 ON t2.k = t1.k AND t1.rid < t2.rid
+        |  GROUP BY 1),
+        |j AS (SELECT g.k, g.n, g.n * (g.n - 1) / 2 AS n0,
+        |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+        |    coalesce(n3, 0) AS n3, coalesce(disc, 0) AS disc
+        |  FROM grp g LEFT JOIN ps ON ps.k = g.k),
+        |s AS (SELECT *, n0 - n1 - n2 + n3 - 2 * disc AS st FROM j)
+        |SELECT k AS event_type, n, CAST(st AS BIGINT) AS s,
+        |  CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0
+        |    THEN CAST(st AS DOUBLE)
+        |      / sqrt(CAST(n0 - n1 AS DOUBLE)
+        |        * CAST(n0 - n2 AS DOUBLE)) END AS tau_b,
+        |  CASE WHEN st + 2 * disc > 0 THEN CAST(st AS DOUBLE)
+        |    / CAST(st + 2 * disc AS DOUBLE) END AS gamma,
+        |  CASE WHEN n0 - n1 > 0 THEN CAST(st AS DOUBLE)
+        |    / CAST(n0 - n1 AS DOUBLE) END AS somers_dyx,
+        |  CASE WHEN n0 - n2 > 0 THEN CAST(st AS DOUBLE)
+        |    / CAST(n0 - n2 AS DOUBLE) END AS somers_dxy
+        |FROM s""".stripMargin,
 
     // exact integer stratum cells, stratum-order fold of the
     // hypergeometric E/V and the MH ad/n, bc/n terms with neutral

@@ -4534,6 +4534,133 @@ object Stats {
         v2 > 0.0, z).as("z")): _*)
   }
 
+  /**
+   * Jonckheere-Terpstra test per key — the ORDERED k-group trend
+   * test on a CONTINUOUS response ([[cochranArmitage]] covers the
+   * binary case; [[kruskalWallis]] ignores the ordering): with
+   * groups in their natural order (dose, size tier),
+   * `JT = Σ_{g<h} #{xᵢ∈g, xⱼ∈h : xᵢ < xⱼ}` (+½ per cross-group
+   * tie), large JT = the response rises with the group order.
+   * Normal approximation `E = (N² − Σn_g²)/4`,
+   * `Var = (N²(2N+3) − Σn_g²(2n_g+3))/72` (untied-variance form —
+   * slight conservatism under heavy ties, documented).
+   *
+   * Engine-exact: values snap to the grid; each key's items sort by
+   * (group, value) IN the executor and JT counts by merging each
+   * group against the accumulated earlier-group sorted run with
+   * binary searches (O(n log n), exact longs on the DOUBLED grid so
+   * ½-ties stay integral); `4·JT − 4E` and the 72-scaled variance
+   * numerator are exact longs and z closes in one pinned chain.
+   * Keys with < 2 groups or zero variance emit null z.
+   *
+   * Output: (keys…, n, k_groups, jt, z) — jt on the ½ grid.
+   *
+   * Scale posture: ONE group exchange into collect_list; per-key
+   * memory = key size (the [[kendallTau]] per-slice contract).
+   */
+  def jonckheereTerpstra(df: DataFrame, keys: Seq[String],
+                         groupCol: String, valueCol: String,
+                         valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "jonckheereTerpstra needs key columns")
+    val walk = udf { rows: Seq[org.apache.spark.sql.Row] =>
+      val n = rows.length
+      val items = rows.map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toArray
+      // group sizes in group order
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      var jt2 = 0L // doubled JT: 2 per strict win, 1 per tie
+      val prev = new Array[Long](n) // sorted earlier-group values
+      var pn = 0
+      var i = 0
+      while (i < n) {
+        val g = items(i)._1
+        var j = i
+        while (j < n && items(j)._1 == g) j += 1
+        sizes += (j - i).toLong
+        var t = i
+        while (t < j) {
+          val v = items(t)._2
+          // lower bound: first prev index with value >= v
+          var lo = 0; var hi = pn
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (prev(mid) < v) lo = mid + 1 else hi = mid
+          }
+          val less = lo
+          var lo2 = lo; var hi2 = pn
+          while (lo2 < hi2) {
+            val mid = (lo2 + hi2) >>> 1
+            if (prev(mid) <= v) lo2 = mid + 1 else hi2 = mid
+          }
+          jt2 += 2L * less + (lo2 - less)
+          t += 1
+        }
+        // merge this group's (already sorted) values into prev
+        var a = pn - 1; var b = j - 1; var o = pn + (j - i) - 1
+        while (b >= i) {
+          if (a >= 0 && prev(a) > items(b)._2) {
+            prev(o) = prev(a); a -= 1
+          } else { prev(o) = items(b)._2; b -= 1 }
+          o -= 1
+        }
+        pn += j - i
+        i = j
+      }
+      val nL = n.toLong
+      val sumSq = sizes.map(s => s * s).sum
+      val e4 = nL * nL - sumSq
+      val diff4 = 2L * jt2 - e4
+      val varNum = nL * nL * (2 * nL + 3) -
+        sizes.map(s => s * s * (2 * s + 3)).sum
+      (nL, sizes.length.toLong, jt2, diff4, varNum)
+    }
+    val counted = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col(groupCol).cast("long"),
+        unscaled(col(valueCol), valueScale))).as("__rows"))
+      .withColumn("__c", walk(col("__rows")))
+    val varS = col("__c._5").cast("double") / lit(72.0)
+    val z = col("__c._4").cast("double") / lit(4.0) /
+      when(varS > 0.0, sqrt(varS))
+    counted.select(keys.map(col) ++ Seq(
+      col("__c._1").as("n"), col("__c._2").as("k_groups"),
+      (col("__c._3").cast("double") / lit(2.0)).as("jt"),
+      when(col("__c._2") >= 2L && varS > 0.0, z).as("z")): _*)
+  }
+
+  /**
+   * Ordinal-association panel per key — the full concordance
+   * scorecard from ONE pass of [[kendallTau]]'s exact counts:
+   * Goodman-Kruskal gamma `(P−Q)/(P+Q)` (ties ignored — the
+   * headline number for ordered contingency), Somers'
+   * `D_yx = S/(n₀−n₁)` (y the response — penalizes x-ties only;
+   * THE statistic behind the ROC Gini = D_yx of score vs label)
+   * and `D_xy = S/(n₀−n₂)`, alongside tau-b.
+   *
+   * Engine-exact: all counts are [[kendallTau]]'s exact longs;
+   * each closing is one pinned division. Degenerate denominators
+   * (all pairs tied on the relevant margin) null their statistic.
+   *
+   * Output: (keys…, n, s, tau_b, gamma, somers_dyx, somers_dxy).
+   */
+  def ordinalAssociation(df: DataFrame, keys: Seq[String],
+                         xCol: String, yCol: String, xScale: Int = 2,
+                         yScale: Int = 2): DataFrame = {
+    val k = kendallTau(df, keys, xCol, yCol, xScale, yScale)
+    val sD = col("s").cast("double")
+    val pq = col("s") + lit(2L) * col("discordant") // P + Q
+    val dyxDen = col("n0") - col("n1")
+    val dxyDen = col("n0") - col("n2")
+    k.select(keys.map(col) ++ Seq(col("n"), col("s"), col("tau_b"),
+      (sD / when(pq > 0L, pq.cast("double"))).as("gamma"),
+      (sD / when(dyxDen > 0L, dyxDen.cast("double")))
+        .as("somers_dyx"),
+      (sD / when(dxyDen > 0L, dxyDen.cast("double")))
+        .as("somers_dxy")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

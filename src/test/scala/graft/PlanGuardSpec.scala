@@ -1231,6 +1231,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q370 jonckheere: ONE group exchange into the merge-count " +
+    "walk — join-free") {
+    val fin = finalPlan("q370_jonckheere").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+  test("q371 ordinal-assoc: kendall's single collect walk — " +
+    "join-free, ONE exchange") {
+    val fin = finalPlan("q371_ordinal_assoc")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q368 cmh: stratum cell collapse + grid fold — join-free, " +
     "window-free") {
     val fin = finalPlan("q368_cmh").split("== Initial Plan ==")(0)

@@ -1630,4 +1630,43 @@ class StatsSpec extends AnyFunSuite {
     assert(out("d").getAs[Double]("z") == -2.0)
     assert(out("f").getAs[Double]("z") == 0.0) // L2 = E2 under ties
   }
+
+  test("jonckheereTerpstra: perfectly rising groups hit max JT; " +
+    "cross-group ties count half; single group null") {
+    val rising = Seq(("k", 0L, 1.0), ("k", 0L, 2.0),
+      ("k", 1L, 3.0), ("k", 1L, 4.0), ("k", 2L, 5.0), ("k", 2L, 6.0))
+    val tied = Seq(("t", 0L, 1.0), ("t", 0L, 1.0),
+      ("t", 1L, 1.0), ("t", 1L, 2.0))
+    val solo = Seq(("s", 0L, 1.0), ("s", 0L, 2.0))
+    val out = Stats.jonckheereTerpstra((rising ++ tied ++ solo)
+      .toDF("key", "g", "v"), Seq("key"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // every cross pair concordant: JT = 12 (max), E = 6
+    assert(k.getAs[Double]("jt") == 12.0)
+    val varNum = 6L * 6L * 15L - 3L * (4L * 7L)
+    assert(k.getAs[Double]("z") ==
+      (2.0 * 24.0 - 24.0) / 4.0 / math.sqrt(varNum.toDouble / 72.0))
+    // 2 strict wins + 2 cross ties -> JT = 2 + 2*0.5 = 3
+    assert(out("t").getAs[Double]("jt") == 3.0)
+    assert(out("s").isNullAt(out("s").fieldIndex("z")))
+  }
+
+  test("ordinalAssociation: perfect concordance scores 1 across " +
+    "the panel; margin ties split gamma from Somers' D and tau-b") {
+    val perfect = Seq(("p", 1.0, 1.0), ("p", 2.0, 2.0), ("p", 3.0, 3.0))
+    val tied = Seq(("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 2.0))
+    val out = Stats.ordinalAssociation((perfect ++ tied)
+      .toDF("key", "x", "y"), Seq("key"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p").getAs[Double]("gamma") == 1.0)
+    assert(out("p").getAs[Double]("somers_dyx") == 1.0)
+    // s = 1, P+Q = 1, n0-n1 = n0-n2 = 2
+    val t = out("t")
+    assert(t.getAs[Long]("s") == 1L)
+    assert(t.getAs[Double]("gamma") == 1.0)
+    assert(t.getAs[Double]("somers_dyx") == 0.5)
+    assert(t.getAs[Double]("somers_dxy") == 0.5)
+    assert(t.getAs[Double]("tau_b") == 1.0 / math.sqrt(2.0 * 2.0))
+  }
 }

@@ -488,5 +488,11 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Long, Long, Double)]
         .toDF("k", "blk", "trt", "v"),
       Seq("k"), "blk", "trt", "v").count() == 0)
+    assert(graft.agg.Stats.jonckheereTerpstra(
+      Seq.empty[(String, Long, Double)].toDF("k", "g", "v"),
+      Seq("k"), "g", "v").count() == 0)
+    assert(graft.agg.Stats.ordinalAssociation(
+      Seq.empty[(String, Double, Double)].toDF("k", "x", "y"),
+      Seq("k"), "x", "y").count() == 0)
   }
 }
