@@ -4121,6 +4121,15 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- LLM prep: DSIR importance weights — hashed-unigram
+    //      target/raw log-ratios, bucket-order per-doc fold ----
+    "q372_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Sampling.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text",
+        dim = 64)
+    }),
+
     // ---- experimentation: Jonckheere-Terpstra ordered trend —
     //      exact merge-count JT, untied-variance z ----
     "q370_jonckheere" -> ((s, dir) =>
@@ -7761,6 +7770,43 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // hashingTrick's token/bucket conventions, exact integer bucket
+    // counts, one pinned Laplace log-ratio per bucket (smoothing
+    // constants in-expression), per-doc fold in bucket order
+    "q372_dsir" ->
+      """WITH rt AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |rb AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+        |      AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rt GROUP BY 1, 2),
+        |rtot AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cr
+        |  FROM rb GROUP BY 1),
+        |tt0 AS (SELECT unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+        |ttot AS (SELECT CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |      % 64 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS ct FROM tt0 GROUP BY 1),
+        |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nrv FROM rtot),
+        |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS ntv
+        |  FROM ttot),
+        |lr AS (SELECT r.b,
+        |    ln((CAST(coalesce(t.ct, 0) AS DOUBLE) + 0.5)
+        |        / (ntv + 0.5 * 64.0))
+        |      - ln((CAST(r.cr AS DOUBLE) + 0.5)
+        |        / (nrv + 0.5 * 64.0)) AS lr
+        |  FROM rtot r LEFT JOIN ttot t ON t.b = r.b, nr, nt),
+        |f AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend([0.0],
+        |      list([CAST(cnt AS DOUBLE), lr.lr] ORDER BY rb.b)),
+        |    (acc, p) -> [acc[1] + p[1] * p[2]]) AS m
+        |  FROM rb JOIN lr ON lr.b = rb.b GROUP BY 1)
+        |SELECT doc_id, n_tokens, m[1] AS log_weight
+        |FROM f""".stripMargin,
 
     // pairwise cross-group comparisons over small per-day groups
     // (2 per strict win, 1 per tie == the engine's doubled

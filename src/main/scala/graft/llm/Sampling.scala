@@ -613,4 +613,75 @@ object Sampling {
     }
     ranked.withColumn("split", assign).drop("__rk", "__n")
   }
+
+  /**
+   * DSIR-style importance weights for data selection: score every
+   * RAW document by how TARGET-like its hashed-unigram profile is —
+   * `log w(d) = Σ_b c_b(d)·(ln p̂_t(b) − ln p̂_r(b))` over `dim`
+   * hash buckets with Laplace-smoothed distributions estimated from
+   * a target-domain sample and the raw corpus itself (Xie et al.'s
+   * data-selection recipe, hashed-feature form). Feed the weights
+   * to [[topFractionByScore]] or [[weightedHashSample]] to tilt a
+   * web-scale crawl toward the target domain.
+   *
+   * Engine-exact: tokens and buckets are [[TextAnalysis
+   * .hashingTrick]]'s conventions (whitespace tokens, md5-prefix
+   * hash, pmod dim); all counts are exact integers; each bucket's
+   * log-ratio is ONE pinned chain with the smoothing constants
+   * computed in-expression (the q327 discipline), and each doc's
+   * Σ c_b·lr(b) folds in BUCKET order (≡ list_reduce — never an
+   * order-free double sum).
+   *
+   * Output: (idCol, n_tokens, log_weight) — one row per raw doc
+   * that has at least one token; log_weight > 0 = more target-like
+   * than the raw average.
+   *
+   * Scale posture: the doc×bucket relation localCheckpoints once
+   * (two consumers: bucket totals and the per-doc fold — one
+   * tokenization pass, not two); the bucket table is `dim` rows
+   * with the corpus totals attached as broadcast scalars, and the
+   * per-doc join BROADCASTS it. Per-doc state is its ≤ dim distinct
+   * buckets. Target-side cost is one aggregation to `dim` rows.
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, dim: Int = 1024,
+                  alpha: Double = 0.5): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    import org.apache.spark.sql.functions.broadcast
+    def buckets(df: DataFrame, cols: Seq[Column]) = df
+      .filter(col(textCol).isNotNull)
+      .select(cols :+ explode(TextAnalysis.cleanTokens(col(textCol)))
+        .as("__tok"): _*)
+      .withColumn("__b", pmod(TextAnalysis.md5i(col("__tok")),
+        lit(dim.toLong)))
+    val rawB = buckets(raw, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
+    val rawTot = rawB.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("__cr"))
+    val tgtTot = buckets(target, Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val nr = rawTot.agg(sum(col("__cr")).as("__nr"))
+    val nt = tgtTot.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
+    val aD = lit(alpha)
+    val dimA = lit(alpha) * lit(dim.toDouble)
+    val lrTable = rawTot
+      .join(tgtTot, Seq("__b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)).cast("double") + aD) /
+          (col("__nt").cast("double") + dimA)) -
+          log((col("__cr").cast("double") + aD) /
+            (col("__nr").cast("double") + dimA))).as("__lr"))
+    rawB.join(broadcast(lrTable), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        aggregate(sort_array(collect_list(struct(col("__b"),
+          col("__cnt").cast("double").as("__c"),
+          col("__lr")))), lit(0.0),
+          (acc, p) => acc + p.getField("__c") * p.getField("__lr"))
+          .as("log_weight"))
+  }
 }

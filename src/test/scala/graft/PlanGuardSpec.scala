@@ -1231,6 +1231,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q372 dsir: dim-row log-ratio table attaches by BROADCAST — " +
+    "no sort-merge join, no cartesian blowup") {
+    val fin = finalPlan("q372_dsir").split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin") ||
+      fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+  }
   test("q370 jonckheere: ONE group exchange into the merge-count " +
     "walk — join-free") {
     val fin = finalPlan("q370_jonckheere").split("== Initial Plan ==")(0)

@@ -494,5 +494,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.ordinalAssociation(
       Seq.empty[(String, Double, Double)].toDF("k", "x", "y"),
       Seq("k"), "x", "y").count() == 0)
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sampling.dsirWeights(emptyCorpus, emptyCorpus,
+      "doc_id", "text", dim = 8).count() == 0)
   }
 }

@@ -418,4 +418,32 @@ class SamplingSpec extends AnyFunSuite {
         r.getAs[String]("split")))
     assert(other.toSet != out.toSet)
   }
+
+  test("dsirWeights: target-like docs outscore off-target docs; " +
+    "weights are deterministic; token counts exact") {
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "omega omega omega"),
+      (3L, "alpha beta"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the target corpus is pure alpha/beta
+    val target = Seq((10L, "alpha beta alpha"), (11L, "beta"))
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(raw, target, "doc_id", "text",
+      dim = 16, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // null text drops
+    assert(out(1L)._1 == 3L && out(2L)._1 == 3L && out(3L)._1 == 2L)
+    // alpha/beta docs must beat the omega doc at equal length
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(3L)._2 > out(2L)._2)
+    val again = Sampling.dsirWeights(raw, target, "doc_id", "text",
+      dim = 16, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (k, (_, w)) => again(k) == w })
+    // an empty target still scores (pure raw-side penalty term)
+    val none = Sampling.dsirWeights(raw,
+      target.filter(col("doc_id") < 0L), "doc_id", "text",
+      dim = 16, alpha = 0.5).collect()
+    assert(none.length == 3)
+  }
 }
