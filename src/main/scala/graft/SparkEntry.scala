@@ -4121,6 +4121,15 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- stats: Fisher's exact test — mode-anchored ratio
+    //      recurrence, no factorials, exact-tail p hash-matched ----
+    "q373_fisher_exact" -> ((s, dir) =>
+      graft.agg.Stats.fisherExact(
+        t(s, dir, "events")
+          .withColumn("exposed", pmod(col("user_id"), lit(2L)) === 0L)
+          .withColumn("outcome", col("value") >= 150.0),
+        Seq("event_type"), "exposed", "outcome")),
+
     // ---- LLM prep: DSIR importance weights — hashed-unigram
     //      target/raw log-ratios, bucket-order per-doc fold ----
     "q372_dsir" -> ((s, dir) => {
@@ -7770,6 +7779,69 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // the engine's mode-anchored pmf recurrence replayed as two
+    // recursive walks (up and down from the closed-form mode), the
+    // SAME pinned f*(int*int)/(int*int) chains, tail sums folded in
+    // k order with the 1+1e-7 two-sided tolerance
+    "q373_fisher_exact" ->
+      """WITH RECURSIVE b0 AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS ex, value >= 150 AS oc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k,
+        |    CAST(sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM b0 GROUP BY 1),
+        |m0 AS (SELECT *, a + b2 AS r1, a + c AS c1,
+        |    a + b2 + c + d AS n FROM cells),
+        |m2 AS (SELECT *, greatest(0, r1 + c1 - n) AS kmin,
+        |    least(r1, c1) AS kmax,
+        |    least(greatest((r1 + 1) * (c1 + 1) // (n + 2),
+        |      greatest(0, r1 + c1 - n)), least(r1, c1)) AS kstar
+        |  FROM m0),
+        |up AS (SELECT k, kstar AS kk, CAST(1.0 AS DOUBLE) AS f,
+        |    r1, c1, n, kmax FROM m2
+        |  UNION ALL SELECT k, kk + 1,
+        |    f * CAST((r1 - kk) * (c1 - kk) AS DOUBLE)
+        |      / CAST((kk + 1) * (n - r1 - c1 + kk + 1) AS DOUBLE),
+        |    r1, c1, n, kmax
+        |  FROM up WHERE kk < kmax),
+        |dn AS (SELECT k, kstar AS kk, CAST(1.0 AS DOUBLE) AS f,
+        |    r1, c1, n, kmin, kstar FROM m2
+        |  UNION ALL SELECT k, kk - 1,
+        |    f * CAST(kk * (n - r1 - c1 + kk) AS DOUBLE)
+        |      / CAST((r1 - kk + 1) * (c1 - kk + 1) AS DOUBLE),
+        |    r1, c1, n, kmin, kstar
+        |  FROM dn WHERE kk > kmin),
+        |pmf AS (SELECT k, kk, f FROM up
+        |  UNION ALL SELECT k, kk, f FROM dn WHERE kk < kstar),
+        |g AS (SELECT p.k, m2.a,
+        |    max(CASE WHEN p.kk = m2.a THEN p.f END) AS fobs,
+        |    list([p.f, CAST(p.kk AS DOUBLE)] ORDER BY p.kk) AS lst
+        |  FROM pmf p JOIN m2 ON m2.k = p.k GROUP BY 1, 2),
+        |g2 AS (SELECT k, a,
+        |    list_reduce(list_prepend([0.0], lst),
+        |      (acc, q) -> [acc[1] + q[1]])[1] AS total,
+        |    list_reduce(list_prepend([0.0], lst),
+        |      (acc, q) -> [acc[1] + CASE WHEN q[1]
+        |        <= fobs * (1.0 + 1e-7) THEN q[1]
+        |        ELSE 0.0 END])[1] AS p2,
+        |    list_reduce(list_prepend([0.0], lst),
+        |      (acc, q) -> [acc[1] + CASE WHEN q[2]
+        |        >= CAST(a AS DOUBLE) THEN q[1]
+        |        ELSE 0.0 END])[1] AS pg
+        |  FROM g)
+        |SELECT m2.k AS event_type, m2.n, m2.a, m2.b2 AS b, m2.c,
+        |  m2.d, g2.p2 / g2.total AS p_two_sided,
+        |  g2.pg / g2.total AS p_greater
+        |FROM m2 JOIN g2 ON g2.k = m2.k""".stripMargin,
 
     // hashingTrick's token/bucket conventions, exact integer bucket
     // counts, one pinned Laplace log-ratio per bucket (smoothing

@@ -4661,6 +4661,93 @@ object Stats {
         .as("somers_dxy")): _*)
   }
 
+  /**
+   * Fisher's exact test per key — the 2×2 association test with NO
+   * approximation: the exact hypergeometric tail, valid at any
+   * cell size (the χ² family lies below ~5 expected per cell;
+   * [[oddsRatio]]'s Wald CI needs all cells > 0 — this needs
+   * nothing). Two-sided p sums all tables as-or-less-probable than
+   * the observed one (the R convention, with the standard 1+1e-7
+   * relative tolerance on the probability comparison); p_greater is
+   * the one-sided enrichment tail — the Fisher form used by every
+   * gene-set/feature-enrichment pipeline.
+   *
+   * Engine-exact in a stronger sense than the χ² gates: the
+   * hypergeometric pmf is built by the RATIO RECURRENCE from the
+   * closed-form mode `⌊(r₁+1)(c₁+1)/(n+2)⌋` (never a factorial,
+   * never lgamma — whose libm implementations differ across
+   * engines), every step one pinned `f·(int·int)/(int·int)` chain
+   * on exact integer products, and the tail sums fold in k order —
+   * an ANSI engine replays the identical IEEE sequence via a
+   * recursive walk, so even the EXACT p-value hash-matches. Far
+   * tails underflow to 0 identically on both sides.
+   *
+   * Output: (keys…, n, a, b, c, d, p_two_sided, p_greater).
+   *
+   * Scale posture: ONE map-side-combined aggregation to the 2×2
+   * cells; the per-key walk is O(min(r₁,c₁)) in the executor.
+   * Envelope: margin products must stay exact as doubles —
+   * r₁·c₁ < 2⁵³ (any realistic table).
+   */
+  def fisherExact(df: DataFrame, keys: Seq[String],
+                  exposedCol: String, outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "fisherExact needs key columns")
+    val walk = udf { (a: Long, b: Long, c: Long, dd: Long) =>
+      val r1 = a + b; val c1 = a + c; val n = a + b + c + dd
+      val kmin = math.max(0L, r1 + c1 - n)
+      val kmax = math.min(r1, c1)
+      var kstar = (r1 + 1) * (c1 + 1) / (n + 2)
+      if (kstar < kmin) kstar = kmin
+      if (kstar > kmax) kstar = kmax
+      val size = (kmax - kmin + 1).toInt
+      val f = new Array[Double](size)
+      f((kstar - kmin).toInt) = 1.0
+      var k = kstar
+      while (k < kmax) {
+        val fk = f((k - kmin).toInt)
+        f((k + 1 - kmin).toInt) = fk * ((r1 - k) * (c1 - k)).toDouble /
+          ((k + 1) * (n - r1 - c1 + k + 1)).toDouble
+        k += 1
+      }
+      k = kstar
+      while (k > kmin) {
+        val fk = f((k - kmin).toInt)
+        f((k - 1 - kmin).toInt) = fk * (k * (n - r1 - c1 + k)).toDouble /
+          ((r1 - k + 1) * (c1 - k + 1)).toDouble
+        k -= 1
+      }
+      var total = 0.0
+      var i = 0
+      while (i < size) { total += f(i); i += 1 }
+      val fobs = f((a - kmin).toInt)
+      val thresh = fobs * (1.0 + 1e-7)
+      var p2 = 0.0; var pg = 0.0
+      i = 0
+      while (i < size) {
+        if (f(i) <= thresh) p2 += f(i)
+        if (kmin + i >= a) pg += f(i)
+        i += 1
+      }
+      (p2 / total, pg / total)
+    }
+    val ex = col(exposedCol).cast("boolean")
+    val oc = col(outcomeCol).cast("boolean")
+    val cells = df
+      .filter(ex.isNotNull && oc.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(ex && oc, 1L).otherwise(0L)).as("a"),
+        sum(when(ex && !oc, 1L).otherwise(0L)).as("b"),
+        sum(when(!ex && oc, 1L).otherwise(0L)).as("c"),
+        sum(when(!ex && !oc, 1L).otherwise(0L)).as("d"))
+      .withColumn("__p", walk(col("a"), col("b"), col("c"), col("d")))
+    cells.select(keys.map(col) ++ Seq(
+      (col("a") + col("b") + col("c") + col("d")).as("n"),
+      col("a"), col("b"), col("c"), col("d"),
+      col("__p._1").as("p_two_sided"),
+      col("__p._2").as("p_greater")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1231,6 +1231,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q373 fisher: ONE map-side 2x2 collapse + per-key walk — " +
+    "join-free, window-free") {
+    val fin = finalPlan("q373_fisher_exact").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(!fin.contains("Window"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
   test("q372 dsir: dim-row log-ratio table attaches by BROADCAST — " +
     "no sort-merge join, no cartesian blowup") {
     val fin = finalPlan("q372_dsir").split("== Initial Plan ==")(0)

@@ -1669,4 +1669,26 @@ class StatsSpec extends AnyFunSuite {
     assert(t.getAs[Double]("somers_dxy") == 0.5)
     assert(t.getAs[Double]("tau_b") == 1.0 / math.sqrt(2.0 * 2.0))
   }
+
+  test("fisherExact: the tea-tasting table hits the exact 17/35 " +
+    "and 17/70 tails; degenerate margin gives p = 1") {
+    def rows(k: String, ex: Boolean, oc: Boolean, n: Int) =
+      Seq.fill(n)((k, ex, oc))
+    // a=3, b=1, c=1, d=3: pmf 1,16,36,16,1 over 70
+    val tea = rows("k", true, true, 3) ++ rows("k", true, false, 1) ++
+      rows("k", false, true, 1) ++ rows("k", false, false, 3)
+    val deg = rows("z", true, true, 2) ++ rows("z", false, true, 2)
+    val out = Stats.fisherExact((tea ++ deg).toDF("key", "ex", "oc"),
+      Seq("key"), "ex", "oc")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("a") == 3L && k.getAs[Long]("n") == 8L)
+    assert(math.abs(k.getAs[Double]("p_two_sided") - 17.0 / 35.0)
+      < 1e-12)
+    assert(math.abs(k.getAs[Double]("p_greater") - 17.0 / 70.0)
+      < 1e-12)
+    // all-outcome margin: the only possible table -> p = 1 exactly
+    assert(out("z").getAs[Double]("p_two_sided") == 1.0)
+    assert(out("z").getAs[Double]("p_greater") == 1.0)
+  }
 }

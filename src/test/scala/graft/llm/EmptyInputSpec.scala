@@ -497,5 +497,8 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Sampling.dsirWeights(emptyCorpus, emptyCorpus,
       "doc_id", "text", dim = 8).count() == 0)
+    assert(graft.agg.Stats.fisherExact(
+      Seq.empty[(String, Boolean, Boolean)].toDF("k", "ex", "oc"),
+      Seq("k"), "ex", "oc").count() == 0)
   }
 }
