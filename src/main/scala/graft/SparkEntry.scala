@@ -4121,6 +4121,35 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- survival: restricted mean survival time — area under the
+    //      KM curve to a 30-day horizon, time-order segment fold ----
+    "q374_rmst" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        .localCheckpoint(false)
+      val mx = per.agg(max(col("last_d")).as("__mx"))
+      val subj = per.crossJoin(broadcast(mx))
+        .withColumn("duration",
+          datediff(col("last_d"), col("first_d")).cast("long"))
+        .withColumn("observed",
+          datediff(col("__mx"), col("last_d")) >= 7)
+        .withColumn("cohort",
+          date_trunc("month", col("first_d")).cast("date"))
+      graft.ops.Survival.rmst(subj, Seq("cohort"), "duration",
+        "observed", tau = 30L)
+    }),
+
+    // ---- A/B stats: Cliff's delta — the Mann-Whitney effect size,
+    //      one pinned closing over the exact half-integer U ----
+    "q375_cliffs_delta" -> ((s, dir) =>
+      graft.agg.Stats.cliffsDelta(
+        t(s, dir, "events")
+          .withColumn("cohort", pmod(col("user_id"), lit(4L))),
+        Seq("cohort"), "event_type", "click", "view", "value")),
+
     // ---- stats: Fisher's exact test — mode-anchored ratio
     //      recurrence, no factorials, exact-tail p hash-matched ----
     "q373_fisher_exact" -> ((s, dir) =>
@@ -7779,6 +7808,95 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // the q218 KM grid verbatim, survival snapped to the 9-decimal
+    // grid (round(exp(log_surv), 9) — the transcendental-rounding
+    // discipline), then the time-order segment fold clamped at the
+    // 30-day horizon with the pinned open-tail closing
+    "q374_rmst" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dd FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT user_id, min(dd) AS first_d, max(dd) AS last_d
+        |        FROM e GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM per),
+        |subj AS (SELECT date_trunc('month', first_d) AS cohort,
+        |    CAST(last_d - first_d AS BIGINT) AS t,
+        |    (mxd - last_d) >= 7 AS obs
+        |  FROM per CROSS JOIN mx),
+        |g AS (SELECT cohort, t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS tot,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |k AS (SELECT cohort, t, tot - cum + d + c AS n_risk, d, c
+        |  FROM r),
+        |f AS (SELECT *, CASE WHEN n_risk > d THEN
+        |    CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(12,9)) END AS lf
+        |  FROM k),
+        |ls AS (SELECT cohort, t, d,
+        |    CASE WHEN lf IS NOT NULL THEN
+        |      CAST(sum(lf) OVER (PARTITION BY cohort ORDER BY t)
+        |        AS DOUBLE)
+        |    END AS log_surv
+        |  FROM f),
+        |sv AS (SELECT cohort, t, d,
+        |    CASE WHEN log_surv IS NOT NULL
+        |      THEN round(exp(log_surv), 9) ELSE 0.0 END AS s
+        |  FROM ls),
+        |g2 AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_times,
+        |    CAST(sum(d) AS BIGINT) AS n_events,
+        |    list_reduce(list_prepend([0.0, 0.0, 1.0],
+        |      list([CAST(t AS DOUBLE), s] ORDER BY t)),
+        |    (acc, p) -> [
+        |      acc[1] + CASE WHEN least(p[1], 30.0) > acc[2]
+        |        THEN acc[3] * (least(p[1], 30.0) - acc[2])
+        |        ELSE 0.0 END,
+        |      greatest(acc[2], least(p[1], 30.0)),
+        |      p[2]]) AS m
+        |  FROM sv GROUP BY 1)
+        |SELECT cohort, n_times, n_events,
+        |  m[1] + CASE WHEN m[2] < 30.0
+        |    THEN m[3] * (30.0 - m[2]) ELSE 0.0 END AS rmst
+        |FROM g2""".stripMargin,
+
+    // the q211 doubled-rank U machinery keyed by cohort with the
+    // click/view arms, closed by delta = 2*U_a/(n_a*n_b) - 1
+    "q375_cliffs_delta" ->
+      """WITH e AS (SELECT ((user_id % 4) + 4) % 4 AS k,
+        |    event_type AS arm, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view')),
+        |g AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k
+        |    ORDER BY v) AS BIGINT) AS cum FROM g),
+        |r2 AS (SELECT *, 2 * cum - c + 1 AS dr FROM r),
+        |m AS (SELECT k,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca * dr AS DECIMAL(38,0))) AS ra2
+        |  FROM r2 GROUP BY 1),
+        |d AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+        |    CAST(n_b AS DOUBLE) AS nb, CAST(ra2 AS DOUBLE) AS ra2d
+        |  FROM m),
+        |z AS (SELECT *, ra2d / 2.0 - na * (na + 1.0) / 2.0 AS ua
+        |  FROM d)
+        |SELECT k AS cohort, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN ua END AS u_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN 2.0 * ua / (na * nb) - 1.0 END AS delta
+        |FROM z""".stripMargin,
 
     // the engine's mode-anchored pmf recurrence replayed as two
     // recursive walks (up and down from the closed-form mode), the

@@ -4748,6 +4748,35 @@ object Stats {
       col("__p._2").as("p_greater")): _*)
   }
 
+  /**
+   * Cliff's delta per key — the EFFECT SIZE for [[mannWhitneyU]]
+   * (the same pairing [[cohensD]] gives [[welchT]]): the probability
+   * a random A-value beats a random B-value, minus the reverse —
+   * `δ = 2U_A/(n_A·n_B) − 1 ∈ [−1, 1]`, with U on the tie-splitting
+   * average-rank convention (ties contribute ½). Report δ NEXT TO
+   * the U test's p-value: significance says "real", δ says "big
+   * enough to care" (|δ| ≳ 0.33 medium, ≳ 0.47 large by the
+   * standard thresholds).
+   *
+   * Engine-exact: U_A is [[mannWhitneyU]]'s exact half-integer (its
+   * doubled-rank machinery); δ closes in ONE pinned chain. Keys
+   * with an empty arm emit null.
+   *
+   * Output: (keys…, n_a, n_b, u_a, delta).
+   */
+  def cliffsDelta(df: DataFrame, keys: Seq[String], groupCol: String,
+                  aLabel: String, bLabel: String, valueCol: String,
+                  valueScale: Int = 2): DataFrame = {
+    val u = mannWhitneyU(df, keys, groupCol, aLabel, bLabel, valueCol,
+      valueScale)
+    val prod = col("n_a").cast("double") * col("n_b").cast("double")
+    val delta = lit(2.0) * col("u_a") / when(prod > 0.0, prod) -
+      lit(1.0)
+    u.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"), col("u_a"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L, delta)
+        .as("delta")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -94,6 +94,54 @@ object Survival {
           col("cum_hazard")): _*)
   }
 
+  /**
+   * Restricted mean survival time per cohort — the AREA under the
+   * [[kaplanMeier]] curve up to the horizon τ: "of the first τ time
+   * units, how many does the average subject survive?" — the
+   * reported effect size when the median is never reached or
+   * hazards cross (where a hazard ratio misleads), and the natural
+   * companion to [[graft.agg.Stats.logRank]]'s p-value.
+   *
+   * Pinned semantics: [[kaplanMeier]]'s grid verbatim; survival
+   * snaps to the 9-decimal grid (`round(e^log_surv, 9)` — the
+   * transcendental-rounding discipline, extinction rows are exact
+   * 0); the step-function integral folds in TIME order with a
+   * three-double state [area, prev_t, prev_s] clamping each segment
+   * at τ, and the open tail [t_last, τ) closes in one pinned chain.
+   * Subjects surviving past τ contribute exactly τ.
+   *
+   * Output: (keys…, n_times, n_events, rmst) — rmst ∈ [0, τ].
+   *
+   * Scale posture: [[kaplanMeier]]'s one cohort exchange plus a
+   * grid-sized fold; per-key state = the distinct-duration grid.
+   */
+  def rmst(df: DataFrame, keys: Seq[String], durationCol: String,
+           observedCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val km = kaplanMeier(df, keys, durationCol, observedCol)
+    val tauD = lit(tau.toDouble)
+    val s = when(col("log_surv").isNotNull,
+      round(exp(col("log_surv")), 9)).otherwise(lit(0.0))
+    val lst = sort_array(collect_list(struct(col("t"),
+      s.as("__s"))))
+    val fold = aggregate(lst, array(lit(0.0), lit(0.0), lit(1.0)),
+      (acc, p) => {
+        val eff = least(p.getField("t").cast("double"), tauD)
+        val step = when(eff > element_at(acc, 2),
+          element_at(acc, 3) * (eff - element_at(acc, 2)))
+          .otherwise(lit(0.0))
+        array(element_at(acc, 1) + step,
+          greatest(element_at(acc, 2), eff), p.getField("__s"))
+      })
+    val m = (i: Int) => element_at(col("__m"), i)
+    km.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_times"), sum(col("d")).as("n_events"),
+        fold.as("__m"))
+      .select(keys.map(col) ++ Seq(col("n_times"), col("n_events"),
+        (m(1) + when(m(2) < tauD, m(3) * (tauD - m(2)))
+          .otherwise(lit(0.0))).as("rmst")): _*)
+  }
+
   /** Shared KM/NA grid: subjects collapse to (keys, t) with death and
    *  censoring counts; the at-risk count at t is everyone whose
    *  duration is ≥ t (deaths and censorings at t inclusive — the

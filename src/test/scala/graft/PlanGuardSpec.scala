@@ -1231,6 +1231,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+  test("q374 rmst: the KM cohort exchange + grid fold — the only " +
+    "join is the broadcast max-date scalar attach") {
+    val fin = finalPlan("q374_rmst").split("== Initial Plan ==")(0)
+    assert(!fin.contains("SortMergeJoin"), fin.take(1500))
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
+  test("q375 cliffs-delta: the mann-whitney value-grid collapse — " +
+    "join-free") {
+    val fin = finalPlan("q375_cliffs_delta")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 3,
+      fin.take(1500))
+  }
   test("q373 fisher: ONE map-side 2x2 collapse + per-key walk — " +
     "join-free, window-free") {
     val fin = finalPlan("q373_fisher_exact").split("== Initial Plan ==")(0)

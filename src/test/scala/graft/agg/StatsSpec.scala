@@ -1691,4 +1691,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out("z").getAs[Double]("p_two_sided") == 1.0)
     assert(out("z").getAs[Double]("p_greater") == 1.0)
   }
+
+  test("cliffsDelta: total dominance scores exactly 1, balanced " +
+    "overlap 0, a pure tie 0; empty arm null") {
+    val df = Seq(
+      ("w", "a", 3.0), ("w", "a", 4.0), ("w", "b", 1.0), ("w", "b", 2.0),
+      ("o", "a", 1.0), ("o", "a", 3.0), ("o", "b", 2.0), ("o", "b", 2.0),
+      ("t", "a", 2.0), ("t", "b", 2.0),
+      ("e", "a", 5.0)
+    ).toDF("key", "arm", "v")
+    val out = Stats.cliffsDelta(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("w").getAs[Double]("delta") == 1.0)
+    assert(out("o").getAs[Double]("delta") == 0.0)
+    assert(out("t").getAs[Double]("u_a") == 0.5) // tie splits
+    assert(out("t").getAs[Double]("delta") == 0.0)
+    assert(out("e").isNullAt(out("e").fieldIndex("delta")))
+  }
 }

@@ -500,5 +500,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.fisherExact(
       Seq.empty[(String, Boolean, Boolean)].toDF("k", "ex", "oc"),
       Seq("k"), "ex", "oc").count() == 0)
+    assert(graft.ops.Survival.rmst(
+      Seq.empty[(String, Long, Boolean)].toDF("k", "dur", "obs"),
+      Seq("k"), "dur", "obs", tau = 10L).count() == 0)
+    assert(graft.agg.Stats.cliffsDelta(
+      Seq.empty[(String, String, Double)].toDF("k", "arm", "v"),
+      Seq("k"), "arm", "a", "b", "v").count() == 0)
   }
 }

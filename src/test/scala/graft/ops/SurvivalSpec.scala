@@ -64,4 +64,24 @@ class SurvivalSpec extends AnyFunSuite {
     // unlike KM's null log_surv, NA stays finite when everyone dies
     assert(out(("z", 1L)).getAs[Double]("cum_hazard") == 1.0)
   }
+
+  test("rmst: hand step-function areas — event drop, censoring " +
+    "keeps the curve flat, survival past the horizon caps at tau") {
+    val subj = Seq(
+      // k: death at 10 (S -> 0.5), death at 40 (past tau)
+      ("k", 10L, true), ("k", 40L, true),
+      // c: single subject censored at 5 -> curve stays at 1
+      ("c", 5L, false),
+      // f: observed at 50, past the horizon -> full tau
+      ("f", 50L, true))
+      .toDF("cohort", "dur", "obs")
+    val out = Survival.rmst(subj, Seq("cohort"), "dur", "obs",
+      tau = 30L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // 1.0*10 + 0.5*(30-10): S(10) = round(exp(round(ln(.5),9)),9) = .5
+    assert(out("k").getAs[Double]("rmst") == 20.0)
+    assert(out("k").getAs[Long]("n_events") == 2L)
+    assert(out("c").getAs[Double]("rmst") == 30.0)
+    assert(out("f").getAs[Double]("rmst") == 30.0)
+  }
 }
