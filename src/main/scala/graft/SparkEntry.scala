@@ -4121,6 +4121,37 @@ object SparkEntry {
         Seq("cohort"), "user_id", "event_type", "click", "view",
         "hit")),
 
+    // ---- streaming: Holt keyed state — (n, level, trend), batch ≡
+    //      stream, the 14th streaming state operator ----
+    "q376_stream_holt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q376")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q376: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.holtStream(
+          df, "user_id", "ts", "event_id", "value",
+          alpha = 0.3, beta = 0.1),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldHoltUpdates(updates)
+        .select(col("actor").as("user_id"), col("n"), col("level"),
+          col("trend"), col("forecast"))
+    }),
+
     // ---- survival: restricted mean survival time — area under the
     //      KM curve to a 30-day horizon, time-order segment fold ----
     "q374_rmst" -> ((s, dir) => {
@@ -7808,6 +7839,33 @@ object SparkEntry {
         |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
         |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
         |FROM g""".stripMargin,
+
+    // the engine's (n, level, trend) stream state replayed as a
+    // per-key fold: seed [1, x0, 0], then the same pinned
+    // l' = a*x + (1-a)(l+b), b' = B(l'-l) + (1-B)b chains with
+    // in-expression complements; final row = max-n state
+    "q376_stream_holt" ->
+      """WITH b AS (SELECT user_id AS k, ts, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list_prepend([0.0, 0.0, 0.0],
+        |      list([v] ORDER BY ts, event_id)),
+        |    (acc, p) -> CASE WHEN acc[1] = 0.0
+        |      THEN [1.0, p[1], 0.0]
+        |      ELSE [acc[1] + 1.0,
+        |        CAST(0.3 AS DOUBLE) * p[1]
+        |          + (1.0 - CAST(0.3 AS DOUBLE)) * (acc[2] + acc[3]),
+        |        CAST(0.1 AS DOUBLE)
+        |          * (CAST(0.3 AS DOUBLE) * p[1]
+        |            + (1.0 - CAST(0.3 AS DOUBLE)) * (acc[2] + acc[3])
+        |            - acc[2])
+        |          + (1.0 - CAST(0.1 AS DOUBLE)) * acc[3]] END) AS m
+        |  FROM b GROUP BY 1)
+        |SELECT k AS user_id, n, m[2] AS level, m[3] AS trend,
+        |  m[2] + 1.0 * m[3] AS forecast
+        |FROM f""".stripMargin,
 
     // the q218 KM grid verbatim, survival snapped to the 9-decimal
     // grid (round(exp(log_surv), 9) — the transcendental-rounding

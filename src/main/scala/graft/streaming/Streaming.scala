@@ -1080,6 +1080,81 @@ object Streaming {
         max_by(col("histogram"), col("n")).as("histogram"))
 
   /**
+   * Streaming Holt linear-trend smoothing
+   * ([[graft.ops.TimeSeries.holtLinear]]'s incremental form, the
+   * 14th keyed-state operator): per-key state is (n, level, trend)
+   * — one long and two doubles advanced by the SAME pinned chains
+   * as the batch fold (`l' = α·x + (1−α)(l+b)`,
+   * `b' = β(l'−l) + (1−β)b`, seeds l = x₀, b = 0, complements
+   * computed in-expression and α/β snapped to the 9-decimal grid —
+   * the q327 discipline). Batch ≡ stream on any feed chunking that
+   * preserves per-key (ts, tie) order across micro-batches (the
+   * [[cusumStream]] order contract; rows inside one batch are
+   * sorted here).
+   *
+   * Emits one row per processed event (Update mode) carrying the
+   * state AFTER that event plus the `horizon`-step forecast
+   * `l + h·b`; the log folds exactly per key ([[foldHoltUpdates]]
+   * — the max-n row IS the final state).
+   *
+   * Scale posture: O(1) state per key (~32 bytes + key), the
+   * measured flat-per-key class of the streaming family.
+   */
+  def holtStream(df: DataFrame, actorCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, alpha: Double,
+                 beta: Double, horizon: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta in (0,1], got $beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.doubleValue
+    val a = r9(alpha); val bb = r9(beta)
+    val h = horizon.toDouble
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double),
+        (Long, Long, Long, Double, Long, Double, Double, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Double, Double)]) =>
+          var (n, l, tr) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, v) =>
+              if (n == 0L) { l = v; tr = 0.0 }
+              else {
+                val l2 = a * v + (1.0 - a) * (l + tr)
+                tr = bb * (l2 - l) + (1.0 - bb) * tr
+                l = l2
+              }
+              n += 1L
+              (key, tie, ts, v, n, l, tr, l + h * tr)
+          }
+          state.update((n, l, tr))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "value", "n", "level",
+        "trend", "forecast")
+  }
+
+  /** Collapse a [[holtStream]] update log to the batch
+   *  [[graft.ops.TimeSeries.holtLinear]] shape: the max-n row per
+   *  actor carries the final state. */
+  def foldHoltUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("level"), col("n")).as("level"),
+        max_by(col("trend"), col("n")).as("trend"),
+        max_by(col("forecast"), col("n")).as("forecast"))
+
+  /**
    * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
    * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
    * Σ µs, tick count) — six longs, constant per key, all integer (NO

@@ -811,4 +811,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L)._4 == last1.getAs[Double]("histogram"))
     assert(out(1L)._1 == 3L)
   }
+
+  test("holtStream: level/trend registers across batches == batch " +
+    "holtLinear, bit-for-bit") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_holt").toString
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 10:05:00"), 20.0, 2L))
+    val batch2 = Seq((1L, ts("2024-01-01 10:10:00"), 15.0, 3L),
+      (2L, ts("2024-01-01 10:00:00"), 42.0, 4L))
+    batch1.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "value", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in",
+      schema,
+      df => Streaming.holtStream(df, "user_id", "ts", "event_id",
+        "value", alpha = 0.3, beta = 0.1),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldHoltUpdates(updates)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(out(2L) == ((1L, 42.0, 0.0, 42.0))) // seed state
+    val batchOut = graft.ops.TimeSeries.holtLinear(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", "event_id", "value",
+      alpha = 0.3, beta = 0.1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b1 = batchOut(1L)
+    assert(out(1L)._1 == b1.getAs[Long]("n"))
+    assert(out(1L)._2 == b1.getAs[Double]("level"))
+    assert(out(1L)._3 == b1.getAs[Double]("trend"))
+    assert(out(1L)._4 == b1.getAs[Double]("forecast"))
+  }
 }
