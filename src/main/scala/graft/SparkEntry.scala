@@ -8434,7 +8434,7 @@ object SparkEntry {
         |        CAST(T1 - p1 AS DOUBLE),
         |        CAST(T1 - p1 + T0 - p0 AS DOUBLE)] ORDER BY t)),
         |    (acc, p) -> [
-        |      acc[1] + CASE WHEN p[4] > 1.0 AND p[2] > 0.0
+        |      acc[1] + CASE WHEN p[2] > 0.0
         |        THEN p[3] / p[4] * p[2] ELSE 0.0 END,
         |      acc[2] + CASE WHEN p[4] > 1.0 AND p[2] > 0.0
         |        THEN p[2] * (p[3] / p[4]) * (1.0 - p[3] / p[4])

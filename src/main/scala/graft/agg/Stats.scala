@@ -3325,8 +3325,10 @@ object Stats {
    * `χ² = (k−1)·(ΣR2_j² − n²k(k+1)²) / (Σr2² − nk(k+1)²)` (the
    * denominator IS the tie-adjusted scatter; with no ties it
    * reduces to the classic `12ΣR²/(nk(k+1)) − 3n(k+1)`). Keys with
-   * < 2 treatments, no complete blocks, or an all-tied sample
-   * (zero denominator) emit null.
+   * < 2 treatments or an all-tied sample (zero denominator) emit a
+   * row with null chi2_f; keys with NO complete blocks have no
+   * surviving cells at all and VANISH from the output (no row —
+   * left-join the key universe back if explicit nulls are wanted).
    *
    * Output: (keys…, n_blocks, k_treatments, chi2_f) — χ² ≈ χ²(k−1)
    * under the no-treatment-effect null.
@@ -3402,7 +3404,9 @@ object Stats {
    * every subject is all-success or all-failure), one pinned
    * closing. k = 2 reduces to [[mcnemar]]'s uncorrected
    * `(b−c)²/(b+c)` exactly. Keys with < 2 treatments or a zero
-   * denominator emit null.
+   * denominator emit a row with null q; keys with NO complete
+   * subjects (none observed under all k treatments) VANISH from
+   * the output entirely (no row).
    *
    * Output: (keys…, n_subjects, k_treatments, n_success, q) —
    * Q ≈ χ²(k−1) under the equal-rates null.
@@ -3724,8 +3728,9 @@ object Stats {
    * window sums with row-number-1 markers; Σσ²ᵢ folds SEQUENTIALLY
    * in item order (≡ list_reduce — a double sum over items must
    * not be association-order-free-for-all), and σ²_T closes from
-   * exact ΣT, ΣT². Keys with k < 2, n < 2 subjects, or σ²_T ≤ 0
-   * emit null.
+   * exact ΣT, ΣT². Keys with k < 2, n < 2 complete subjects, or
+   * σ²_T ≤ 0 emit a row with null alpha; keys with NO complete
+   * subjects VANISH from the output entirely (no row).
    *
    * Output: (keys…, n_subjects, k_items, item_var_sum, total_var,
    * alpha).
@@ -4078,9 +4083,13 @@ object Stats {
    * cells (events and totals per group) are exact integers, at-risk
    * counts are `total − prefix` of exact integer window sums on the
    * TIME grid (one key exchange), and the O/E/V accumulation folds
-   * SEQUENTIALLY in time order (≡ list_reduce) with neutral terms
-   * for degenerate times (nₜ ≤ 1 — the [[bartlett]] no-nulls-in-
-   * folds rule). Keys with zero variance emit null.
+   * SEQUENTIALLY in time order (≡ list_reduce) with no nulls inside
+   * the fold (the [[bartlett]] rule). E accumulates at EVERY event
+   * time (`E = d·n₁/n` is well-defined down to n = 1 — when the
+   * lone last at-risk subject dies, O and E move together, matching
+   * R `survdiff`/lifelines); only the variance term is degenerate
+   * at n ≤ 1 (its n−1 divisor), so only V takes the neutral zero
+   * there. Keys with zero variance emit null.
    *
    * Output: (keys…, n_events_1, n_events_0, expected_1, chi2).
    *
@@ -4114,8 +4123,10 @@ object Stats {
         col("__T1") - coalesce(sum(col("__c1")).over(wPre), lit(0L)))
       .withColumn("__n0",
         col("__T0") - coalesce(sum(col("__c0")).over(wPre), lit(0L)))
-    // fold O/E/V in time order; times with n <= 1 or d = 0
-    // contribute exact zeros (no nulls inside the fold)
+    // fold O/E/V in time order (no nulls inside the fold): E
+    // accumulates whenever d > 0 (n >= d >= 1 so the share is
+    // well-defined); V's (n-1) divisor is degenerate at n <= 1, so
+    // only V takes the neutral zero there
     val fold = aggregate(
       sort_array(collect_list(struct(col("__t").as("__tt"),
         col("__d1").cast("double").as("__e1"),
@@ -4124,13 +4135,14 @@ object Stats {
         (col("__n1") + col("__n0")).cast("double").as("__mm")))),
       array(lit(0.0), lit(0.0)),
       (acc, p) => {
-        val ok = p.getField("__mm") > 1.0 && p.getField("__dd") > 0.0
-        val nn = when(ok, p.getField("__mm")).otherwise(lit(1.0))
-        val nm1 = when(ok, p.getField("__mm") - lit(1.0))
+        val okE = p.getField("__dd") > 0.0
+        val okV = p.getField("__mm") > 1.0 && okE
+        val nn = when(okE, p.getField("__mm")).otherwise(lit(1.0))
+        val nm1 = when(okV, p.getField("__mm") - lit(1.0))
           .otherwise(lit(1.0))
         val share = p.getField("__m1") / nn
-        val e = when(ok, share * p.getField("__dd")).otherwise(lit(0.0))
-        val v = when(ok, p.getField("__dd") * share *
+        val e = when(okE, share * p.getField("__dd")).otherwise(lit(0.0))
+        val v = when(okV, p.getField("__dd") * share *
           (lit(1.0) - share) *
           (p.getField("__mm") - p.getField("__dd")) / nm1)
           .otherwise(lit(0.0))
@@ -4481,7 +4493,8 @@ object Stats {
    * within-block ranks — so `L₂ = Σ j·R₂ⱼ = 2L` is an exact long
    * and the z closing is one pinned chain on the doubled moments
    * `E₂ = nk(k+1)²/2`, `Var₂ = nk²(k+1)²(k−1)/36`. Keys with k < 2
-   * or no complete blocks emit null.
+   * emit a row with null z; keys with NO complete blocks VANISH
+   * from the output entirely (no row).
    *
    * Output: (keys…, n_blocks, k_treatments, l_stat, z) — l_stat on
    * the ½ grid; z > 0 = ranks rise with treatment order.
@@ -4685,17 +4698,39 @@ object Stats {
    * Output: (keys…, n, a, b, c, d, p_two_sided, p_greater).
    *
    * Scale posture: ONE map-side-combined aggregation to the 2×2
-   * cells; the per-key walk is O(min(r₁,c₁)) in the executor.
-   * Envelope: margin products must stay exact as doubles —
-   * r₁·c₁ < 2⁵³ (any realistic table).
+   * cells; the per-key walk is O(min(r₁,c₁)) TIME AND MEMORY in the
+   * executor (the pmf support is materialized), so the support is
+   * HARD-CAPPED at `maxExactMargin` (default 10⁷ ≈ 80 MB per key,
+   * transient): a key whose smaller margin exceeds the cap fails
+   * with a clear message pointing at [[cramersV]] (which carries the
+   * table's χ²) / [[twoProportionZ]] —
+   * at that n the normal approximation is indistinguishable from
+   * exact and costs O(1). The cap also keeps the support size
+   * safely inside Int (no silent `(kmax-kmin+1).toInt` overflow for
+   * margins past 2³¹). Envelope: margin products must stay exact as
+   * doubles — r₁·c₁ < 2⁵³ (any realistic table).
    */
   def fisherExact(df: DataFrame, keys: Seq[String],
-                  exposedCol: String, outcomeCol: String): DataFrame = {
+                  exposedCol: String, outcomeCol: String,
+                  maxExactMargin: Long = 10000000L): DataFrame = {
     require(keys.nonEmpty, "fisherExact needs key columns")
+    require(maxExactMargin >= 1L && maxExactMargin <= Int.MaxValue - 2L,
+      s"maxExactMargin must be in [1, 2^31-3], got $maxExactMargin")
+    val capB = maxExactMargin
     val walk = udf { (a: Long, b: Long, c: Long, dd: Long) =>
       val r1 = a + b; val c1 = a + c; val n = a + b + c + dd
       val kmin = math.max(0L, r1 + c1 - n)
       val kmax = math.min(r1, c1)
+      if (kmax - kmin >= capB)
+        throw new IllegalArgumentException(
+          s"fisherExact: pmf support ${kmax - kmin + 1} (≈ the smaller " +
+            s"margin, min(r1,c1) = ${math.min(r1, c1)}) exceeds " +
+            s"maxExactMargin = $capB — the exact walk would allocate " +
+            "that many doubles in one executor cell. At this n the " +
+            "exact test is numerically identical to the normal " +
+            "approximation: use Stats.cramersV (chi2) or " +
+            "Stats.twoProportionZ, " +
+            "or raise maxExactMargin deliberately.")
       var kstar = (r1 + 1) * (c1 + 1) / (n + 2)
       if (kstar < kmin) kstar = kmin
       if (kstar > kmax) kstar = kmax

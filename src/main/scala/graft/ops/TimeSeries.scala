@@ -435,7 +435,9 @@ object TimeSeries {
     val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
       col(tieCol).as("i"), col(valueCol).cast("double").as("v"))))
     val folded = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*)
       .agg(lst.as("__l"))
       .withColumn("__e", aggregate(col("__l"),
@@ -534,6 +536,14 @@ object TimeSeries {
    *
    * Output: (keys…, n, level, trend, forecast).
    *
+   * Null contract (shared by the whole fold family and its
+   * streaming arms): rows with a null ts, tie, OR value are DROPPED
+   * — a null tie has no defined position in the (ts, tie) total
+   * order, so keeping it would make the fold order (and therefore
+   * every downstream state) engine-dependent. This is the exact
+   * filter [[graft.streaming.Streaming.holtStream]] applies, so
+   * batch ≡ stream bit-parity holds on null-bearing feeds too.
+   *
    * Scale posture: ONE key exchange; the in-group array build is
    * bounded by the KEY's event count (the [[ewma]] contract — per-
    * entity series, not one global million-point series; for
@@ -553,7 +563,8 @@ object TimeSeries {
     val lst = sort_array(collect_list(struct(col(tsCol).as("t"),
       col(tieCol).as("i"), col(valueCol).cast("double").as("v"))))
     val folded = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
         keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), lst.as("__l"))

@@ -498,7 +498,7 @@ object Streaming {
     import spark.implicits._
     val ds = df
       .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(stateCol).isNotNull)
+        col(tieCol).isNotNull && col(stateCol).isNotNull)
       .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
         col(tieCol).cast("long"), col(stateCol).cast("string"))
       .as[(Long, Long, Long, String)]
@@ -553,7 +553,7 @@ object Streaming {
     import spark.implicits._
     val ds = df
       .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
       .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
         col(tieCol).cast("long"), col(valueCol).cast("double"))
       .as[(Long, Long, Long, Double)]
@@ -831,7 +831,8 @@ object Streaming {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df
-      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull)
       .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
         col(tieCol).cast("long"), col(stateCol).cast("string"))
       .as[(Long, Long, Long, String)]
@@ -906,7 +907,7 @@ object Streaming {
     val hC = cents(threshold)
     val ds = df
       .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
       .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
         col(tieCol).cast("long"), col(valueCol).cast("double"))
       .as[(Long, Long, Long, Double)]

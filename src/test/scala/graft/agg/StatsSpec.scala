@@ -1511,6 +1511,29 @@ class StatsSpec extends AnyFunSuite {
       (1.0 - e1) * (1.0 - e1) / v)
   }
 
+  test("logRank: lone last at-risk subject in GROUP 1 dying " +
+    "contributes E = 1 exactly (O moves with E, survdiff parity)") {
+    // g1 = {event@1, event@3}, g0 = {event@2}: at t=300 only the
+    // group-1 subject remains at risk and dies -> that time must
+    // add 1 to E (and 0 to V), not be skipped; skipping would
+    // inflate O - E by +1 and fabricate chi2 > 0 here.
+    val df = Seq(("k", true, 1.0, true), ("k", true, 3.0, true),
+      ("k", false, 2.0, true)).toDF("key", "g", "d", "e")
+    val out = Stats.logRank(df, Seq("key"), "g", "d", "e")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_events_1") == 2L)
+    // t=100: n1=2, n=3, d=1 -> E += 2/3, V += (2/3)(1/3)(2)/2 = 2/9
+    // t=200: n1=1, n=2, d=1 -> E += 1/2, V += (1/2)(1/2)(1)/1 = 1/4
+    // t=300: n1=1, n=1, d=1 -> E += 1 (V += 0: n-1 degenerate)
+    val e1 = 2.0 / 3.0 + 1.0 / 2.0 + 1.0
+    assert(k.getAs[Double]("expected_1") == e1)
+    val v = 1.0 * (2.0 / 3.0) * (1.0 / 3.0) * 2.0 / 2.0 +
+      1.0 * (1.0 / 2.0) * (1.0 / 2.0) * 1.0 / 1.0
+    assert(k.getAs[Double]("chi2") ==
+      (2.0 - e1) * (2.0 - e1) / v)
+  }
+
   test("ljungBox: hand two-lag Q on an alternating series; short " +
     "and flat keys null") {
     def rows(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
@@ -1690,6 +1713,26 @@ class StatsSpec extends AnyFunSuite {
     // all-outcome margin: the only possible table -> p = 1 exactly
     assert(out("z").getAs[Double]("p_two_sided") == 1.0)
     assert(out("z").getAs[Double]("p_greater") == 1.0)
+  }
+
+  test("fisherExact: a key whose pmf support exceeds maxExactMargin " +
+    "fails with the chi2/two-prop-z message, not an allocation") {
+    def rows(k: String, ex: Boolean, oc: Boolean, n: Int) =
+      Seq.fill(n)((k, ex, oc))
+    // balanced 3/3/3/3: support = min(r1,c1)+1 = 7 > cap 4
+    val big = rows("k", true, true, 3) ++ rows("k", true, false, 3) ++
+      rows("k", false, true, 3) ++ rows("k", false, false, 3)
+    val e = intercept[org.apache.spark.SparkException] {
+      Stats.fisherExact(big.toDF("key", "ex", "oc"), Seq("key"),
+        "ex", "oc", maxExactMargin = 4L).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("maxExactMargin") &&
+      msg.contains("twoProportionZ"))
+    // same table passes untouched under the default cap
+    val ok = Stats.fisherExact(big.toDF("key", "ex", "oc"),
+      Seq("key"), "ex", "oc").collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("n") == 12L)
   }
 
   test("cliffsDelta: total dominance scores exactly 1, balanced " +

@@ -588,6 +588,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       s.getDouble(3) == 0.0 && s.getDouble(4) == 7.0)
   }
 
+  test("holtLinear/ewma: null-tie rows are DROPPED (the fold-family " +
+    "null contract, matching the streaming arms' filter)") {
+    // a null tie has no position in the (ts, tie) order; keeping it
+    // would make the fold order engine-dependent — holtStream/
+    // ewmaStream filter it, so the batch arms must too for parity
+    val rows = Seq(
+      ("k", ts("2024-01-01 00:00:00"), Some(1L), 10.0),
+      ("k", ts("2024-01-01 00:01:00"), None: Option[Long], 99.0),
+      ("k", ts("2024-01-01 00:02:00"), Some(3L), 30.0))
+    val df = rows.toDF("k", "ts", "id", "v")
+    val clean = rows.filter(_._3.isDefined).toDF("k", "ts", "id", "v")
+    val a = TimeSeries.holtLinear(df, Seq("k"), "ts", "id", "v",
+      alpha = 0.5, beta = 0.5).collect().head
+    val b = TimeSeries.holtLinear(clean, Seq("k"), "ts", "id", "v",
+      alpha = 0.5, beta = 0.5).collect().head
+    assert(a.getLong(1) == 2L && a == b)
+    val e1 = TimeSeries.ewma(df, Seq("k"), "ts", "id", "v", 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).sorted
+    val e2 = TimeSeries.ewma(clean, Seq("k"), "ts", "id", "v", 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).sorted
+    assert(e1.length == 2 && e1.sameElements(e2))
+  }
+
   test("twapCarry invariants on a seeded random feed: gap-free bucket " +
     "coverage from first tick's bucket to last tick's, tick counts " +
     "conserved, twap inside the value envelope") {
