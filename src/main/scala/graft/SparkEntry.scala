@@ -4152,6 +4152,135 @@ object SparkEntry {
           col("trend"), col("forecast"))
     }),
 
+    // ---- plan lint: the internal PlanGuardSpec predicates as a
+    //      user-facing 100×-readiness report; the linted plan is
+    //      BUILT BAD on purpose (cartesian + global window + global
+    //      sort + merge-hinted tiny join + udf + unpushable filter)
+    //      so the gate pins which rules fire and which stay ok ----
+    "q377_plan_lint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nation = t(s, dir, "nation")
+        .filter(length(col("n_name")) > lit(3))
+      val region = t(s, dir, "region")
+      val pair = nation.hint("shuffle_replicate_nl").crossJoin(region)
+      val orders = t(s, dir, "orders")
+      val up = udf((x: String) => if (x == null) null else x.toUpperCase)
+      val bad = orders
+        .join(pair.hint("merge"),
+          pmod(col("o_custkey"), lit(25L)) === col("n_nationkey"))
+        .withColumn("u", up(col("o_orderpriority")))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("o_orderkey"))))
+        .orderBy(col("rk"))
+      graft.core.PlanLint.lint(bad).select("rule", "status", "n")
+    }),
+
+    // ---- drift: 1-Wasserstein distance between arms — exact
+    //      integer area between CDFs on the cents grid ----
+    "q378_wasserstein1" -> ((s, dir) =>
+      graft.agg.Stats.wasserstein1(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- agreement: Kendall's W concordance over rater panels —
+    //      friedman's doubled-rank grid, tie-corrected closing ----
+    "q379_kendalls_w" -> ((s, dir) =>
+      graft.agg.Stats.kendallsW(
+        t(s, dir, "events")
+          .withColumn("panel", pmod(col("user_id"), lit(3L)))
+          .withColumn("rater", pmod(col("user_id"), lit(7L))),
+        Seq("panel"), "rater", "event_type", "value")),
+
+    // ---- multiple testing: Holm-Bonferroni step-down FWER (the
+    //      q213 BH fixture with the step-down running max) ----
+    "q380_holm_bonferroni" -> ((s, dir) => {
+      val u = TA.md5i(concat(col("doc_id").cast("string"), lit("hb1")))
+        .cast("double") / lit(4294967296.0)
+      graft.agg.Stats.holmBonferroni(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .withColumn("p", u * u),
+        Seq("lang"), "doc_id", "p", alpha = 0.3)
+        .select("lang", "doc_id", "p", "rank", "p_adj", "significant")
+    }),
+
+    // ---- effect size: Cohen's h for two proportions — arcsine
+    //      scale, 1e-9-snapped transcendentals ----
+    "q381_cohens_h" -> ((s, dir) =>
+      graft.agg.Stats.cohensH(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b")))
+          .withColumn("hit", col("value") >= 150.0),
+        Seq("event_type"), "arm", "a", "b", "hit")),
+
+    // ---- epidemiology: risk ratio / risk difference / NNT with
+    //      Wald CIs — the absolute-scale 2x2 panel ----
+    "q382_risk_ratio" -> ((s, dir) =>
+      graft.agg.Stats.riskRatio(
+        t(s, dir, "events")
+          .withColumn("exposed", pmod(col("user_id"), lit(2L)) === 0L)
+          .withColumn("outcome", col("value") >= 150.0),
+        Seq("event_type"), "exposed", "outcome")),
+
+    // ---- inequality: Atkinson index at eps = 1/2 — grid-fold of
+    //      c*sqrt(v), pinned closed-form closing ----
+    "q383_atkinson" -> ((s, dir) =>
+      graft.agg.Stats.atkinson(t(s, dir, "events"),
+        Seq("event_type"), "value")),
+
+    // ---- drift: two-sample Cramer-von Mises — tripled integer
+    //      midrank polynomial on the pooled grid ----
+    "q384_cramer_von_mises" -> ((s, dir) =>
+      graft.agg.Stats.cramerVonMises(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- drift: Kuiper V — both CDF gap directions on the exact
+    //      cross-multiplied lattice ----
+    "q385_kuiper" -> ((s, dir) =>
+      graft.agg.Stats.kuiper(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- drift: 1-D energy distance — exact CDF-integral pairwise
+    //      expectations, order-free decimal sums ----
+    "q386_energy_distance" -> ((s, dir) =>
+      graft.agg.Stats.energyDistance(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- concentration: Lorenz curve deciles — liftTable's exact
+    //      integer cut ascending, cumulative mass shares ----
+    "q387_lorenz_curve" -> ((s, dir) =>
+      graft.agg.Stats.lorenzCurve(t(s, dir, "events"),
+        Seq("event_type"), "value")),
+
+    // ---- forecasting: Theil's U1/U2 — exact cent sums of squares,
+    //      naive-lag denominator, pinned sqrt chains ----
+    "q388_theil_u" -> ((s, dir) =>
+      graft.ops.TimeSeries.theilU(
+        t(s, dir, "events")
+          .withColumn("fc", col("value") +
+            (pmod(col("event_id"), lit(5L)) - lit(2L)).cast("double")),
+        Seq("event_type"), "ts", "event_id", "value", "fc")),
+
+    // ---- forecasting: tracking signal — order-free signed/absolute
+    //      error sums, the +-4 control-limit bias monitor ----
+    "q389_tracking_signal" -> ((s, dir) =>
+      graft.ops.TimeSeries.trackingSignal(
+        t(s, dir, "events")
+          .withColumn("fc", col("value") +
+            (pmod(col("event_id"), lit(5L)) - lit(2L)).cast("double")),
+        Seq("event_type"), "value", "fc")),
+
     // ---- survival: restricted mean survival time — area under the
     //      KM curve to a 30-day horizon, time-order segment fold ----
     "q374_rmst" -> ((s, dir) => {
@@ -8018,6 +8147,432 @@ object SparkEntry {
         |  m2.d, g2.p2 / g2.total AS p_two_sided,
         |  g2.pg / g2.total AS p_greater
         |FROM m2 JOIN g2 ON g2.k = m2.k""".stripMargin,
+
+    // exact integer CDF-gap area on the cents grid: HUGEINT sum of
+    // gap*dv, routed to double via VARCHAR (q351 lesson), pinned
+    // two-division closing
+    "q378_wasserstein1" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k,
+        |    sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY k) AS na,
+        |    sum(cb) OVER (PARTITION BY k) AS nb,
+        |    coalesce(lead(v) OVER (PARTITION BY k ORDER BY v) - v, 0)
+        |      AS dv
+        |  FROM grid),
+        |f AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    sum(abs(cuma * nb - cumb * na) * dv) AS s
+        |  FROM st GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 100.0
+        |  END AS w1
+        |FROM f""".stripMargin,
+
+    // friedman's doubled-rank grid with raters as blocks, complete
+    // raters only, exact R2/tie moments, pinned W closing
+    "q379_kendalls_w" ->
+      """WITH b AS (SELECT ((user_id % 3) + 3) % 3 AS panel,
+        |    ((user_id % 7) + 7) % 7 AS rater, event_type AS item,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cell AS (SELECT panel, rater, item, CAST(sum(c) AS BIGINT)
+        |    AS vc FROM b GROUP BY 1, 2, 3),
+        |d AS (SELECT *, dense_rank() OVER (PARTITION BY panel
+        |    ORDER BY item) AS dr FROM cell),
+        |e AS (SELECT *, max(dr) OVER (PARTITION BY panel) AS kk,
+        |    count(*) OVER (PARTITION BY panel, rater) AS rc FROM d),
+        |r AS (SELECT panel, rater, item, vc,
+        |    2 * rank() OVER (PARTITION BY panel, rater ORDER BY vc)
+        |      + count(*) OVER (PARTITION BY panel, rater, vc) - 1
+        |      AS r2,
+        |    count(*) OVER (PARTITION BY panel, rater, vc) AS t,
+        |    row_number() OVER (PARTITION BY panel, rater, vc
+        |      ORDER BY item) AS rn
+        |  FROM e WHERE rc = kk),
+        |pi AS (SELECT panel, item, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2) AS BIGINT) AS R2,
+        |    CAST(sum(CASE WHEN rn = 1 THEN t * t * t - t ELSE 0 END)
+        |      AS BIGINT) AS tt
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT panel, max(n) AS nr,
+        |    CAST(count(*) AS BIGINT) AS ki,
+        |    CAST(sum(R2 * R2) AS DOUBLE) AS sr2,
+        |    CAST(sum(tt) AS BIGINT) AS ts FROM pi GROUP BY 1),
+        |x AS (SELECT *, CAST(nr AS DOUBLE) AS nd,
+        |    CAST(ki AS DOUBLE) AS kd, CAST(ki AS DOUBLE) + 1.0 AS kp1
+        |  FROM g),
+        |z AS (SELECT *,
+        |    3.0 * (sr2 - nd * nd * kd * kp1 * kp1) AS num,
+        |    nd * nd * kd * (kd * kd - 1.0) - nd * CAST(ts AS DOUBLE)
+        |      AS den FROM x)
+        |SELECT panel, nr AS n_raters, ki AS k_items, ts AS tie_sum,
+        |  CASE WHEN ki >= 2 AND den > 0.0 THEN num / den END AS w
+        |FROM z""".stripMargin,
+
+    // the q213 BH fixture with the step-down running MAX of
+    // (m - rank + 1) * p in ascending-p order, capped at 1
+    "q380_holm_bonferroni" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || 'hb1'), 1, 8))::BIGINT
+        |      / 4294967296.0) AS u
+        |  FROM documents),
+        |p0 AS (SELECT lang, doc_id, u * u AS p FROM d
+        |  WHERE u IS NOT NULL),
+        |r AS (SELECT lang, doc_id, p,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY p, doc_id) AS BIGINT) AS "rank",
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS m
+        |  FROM p0),
+        |a AS (SELECT lang, doc_id, p, "rank",
+        |    least(1.0, max(CAST(m - "rank" + 1 AS DOUBLE) * p) OVER (
+        |      PARTITION BY lang ORDER BY p ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS p_adj
+        |  FROM r)
+        |SELECT lang, doc_id, p, "rank", p_adj,
+        |  p_adj <= 0.3 AS significant
+        |FROM a""".stripMargin,
+
+    // exact integer cells, pinned proportion divisions, arcsines
+    // snapped to the 1e-9 grid before the closing subtraction
+    "q381_cohens_h" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    value >= 150 AS oc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT k,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN arm = 'a' AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN arm = 'b' AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT *, CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2 FROM m)
+        |SELECT k AS event_type, n1 AS n_1, n2 AS n_2,
+        |  CASE WHEN n1 > 0 THEN p1 END AS p_1,
+        |  CASE WHEN n2 > 0 THEN p2 END AS p_2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    2.0 * round(asin(sqrt(p1)), 9)
+        |      - 2.0 * round(asin(sqrt(p2)), 9) END AS h
+        |FROM z""".stripMargin,
+
+    // exact integer 2x2 cells, pinned risk divisions, ln snapped to
+    // the 1e-9 grid, fixed left-to-right Wald SE chains
+    "q382_risk_ratio" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS ex, value >= 150 AS oc
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k,
+        |    CAST(sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT *, a + b2 AS n1, c + d AS n0 FROM cells),
+        |y AS (SELECT *, CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(c AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0 FROM z),
+        |w AS (SELECT *,
+        |    round(ln(CASE WHEN a > 0 AND c > 0 AND n1 > 0 AND n0 > 0
+        |      THEN p1 / p0 END), 9) AS logrr,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) - 1.0 / CAST(n1 AS DOUBLE)
+        |      + 1.0 / CAST(c AS DOUBLE) - 1.0 / CAST(n0 AS DOUBLE))
+        |      AS selog,
+        |    p1 - p0 AS rd,
+        |    sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)
+        |      + p0 * (1.0 - p0) / CAST(n0 AS DOUBLE)) AS serd
+        |  FROM y)
+        |SELECT k AS event_type, a, b2 AS b, c, d,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND c > 0 THEN p1 / p0 END
+        |    AS risk_ratio,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND c > 0 AND a > 0 THEN logrr
+        |    END AS log_rr,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND c > 0 AND a > 0
+        |    THEN logrr - 1.96 * selog END AS log_rr_lo,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND c > 0 AND a > 0
+        |    THEN logrr + 1.96 * selog END AS log_rr_hi,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN rd END AS risk_diff,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN rd - 1.96 * serd END
+        |    AS rd_lo,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN rd + 1.96 * serd END
+        |    AS rd_hi,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND rd <> 0.0
+        |    THEN 1.0 / abs(rd) END AS nnt
+        |FROM w""".stripMargin,
+
+    // deliberately-bad plan over nation/region/orders: the lint
+    // report is a PLAN-SHAPE pin (fixed Spark version + session
+    // config => deterministic rows) — cartesian + merge-hinted tiny
+    // join + global window/sort + udf + length() filter fire their
+    // rules; the window machinery leaves 3 interpreted projections;
+    // the 3 shuffles stay under the default ceiling of 4
+    "q377_plan_lint" ->
+      """SELECT * FROM (VALUES
+        |  ('broadcastable-join', 'warn', CAST(1 AS BIGINT)),
+        |  ('cartesian-join', 'warn', CAST(1 AS BIGINT)),
+        |  ('exchange-count', 'ok', CAST(3 AS BIGINT)),
+        |  ('filter-not-pushed', 'warn', CAST(1 AS BIGINT)),
+        |  ('global-sort', 'warn', CAST(1 AS BIGINT)),
+        |  ('global-window', 'warn', CAST(1 AS BIGINT)),
+        |  ('interpreted-stage', 'warn', CAST(3 AS BIGINT)),
+        |  ('nested-loop-join', 'ok', CAST(0 AS BIGINT)),
+        |  ('partition-filter-missing', 'ok', CAST(0 AS BIGINT)),
+        |  ('scala-udf', 'warn', CAST(1 AS BIGINT))
+        |) AS t(rule, status, n)""".stripMargin,
+
+    // (keys, cents) grid, list_reduce fold of c*sqrt(v) in value
+    // order, pinned 1 - r^2/(n*s) closing
+    "q383_atkinson" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |f AS (SELECT k, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS s,
+        |    list_reduce(list_prepend([CAST(0.0 AS DOUBLE)],
+        |      list([CAST(v AS DOUBLE), CAST(c AS DOUBLE)] ORDER BY v)),
+        |      (acc, p) -> [acc[1] + p[2] * sqrt(p[1])])[1] AS r
+        |  FROM g GROUP BY 1)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN s > 0 THEN
+        |    1.0 - r * r / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |  END AS atkinson
+        |FROM f""".stripMargin,
+
+    // pooled-grid doubled midranks, tripled integer contribution
+    // polynomial per arm, VARCHAR-routed exact sums, pinned closing
+    "q384_cramer_von_mises" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k, v, ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pn,
+        |    coalesce(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pa,
+        |    coalesce(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pb
+        |  FROM grid),
+        |c3 AS (SELECT k, ca, cb,
+        |    3 * ca * (2 * pn + t + 1 - 2 * pa)
+        |      * (2 * pn + t + 1 - 2 * pa)
+        |      - 6 * (2 * pn + t + 1 - 2 * pa) * ca * (ca + 1)
+        |      + 2 * ca * (ca + 1) * (2 * ca + 1) AS sa,
+        |    3 * cb * (2 * pn + t + 1 - 2 * pb)
+        |      * (2 * pn + t + 1 - 2 * pb)
+        |      - 6 * (2 * pn + t + 1 - 2 * pb) * cb * (cb + 1)
+        |      + 2 * cb * (cb + 1) * (2 * cb + 1) AS sb
+        |  FROM st),
+        |m AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(sa) AS s12a, sum(sb) AS s12b FROM c3 GROUP BY 1),
+        |z AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nd,
+        |    CAST(n_b AS DOUBLE) AS md,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nm,
+        |    CAST(CAST(s12a AS VARCHAR) AS DOUBLE) AS da,
+        |    CAST(CAST(s12b AS VARCHAR) AS DOUBLE) AS db FROM m)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    (nd * da + md * db) / (12.0 * nd * md * nm)
+        |      - (4.0 * nd * md - 1.0) / (6.0 * nm)
+        |  END AS t
+        |FROM z""".stripMargin,
+
+    // ksTest's lattice with BOTH signed gap extremes kept
+    "q385_kuiper" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k,
+        |    sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY k) AS na,
+        |    sum(cb) OVER (PARTITION BY k) AS nb
+        |  FROM grid),
+        |m AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(greatest(max(cuma * nb - cumb * na), 0) AS BIGINT)
+        |      AS v_plus_num,
+        |    CAST(greatest(-min(cuma * nb - cumb * na), 0) AS BIGINT)
+        |      AS v_minus_num
+        |  FROM st GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, v_plus_num, v_minus_num,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    CAST(v_plus_num + v_minus_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |  END AS v
+        |FROM m""".stripMargin,
+
+    // CDF-integral pairwise expectations: segment sums of
+    // straddling-pair counts, VARCHAR-routed, pinned closing
+    "q386_energy_distance" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k,
+        |    sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY k) AS na,
+        |    sum(cb) OVER (PARTITION BY k) AS nb,
+        |    coalesce(lead(v) OVER (PARTITION BY k ORDER BY v) - v, 0)
+        |      AS dv
+        |  FROM grid),
+        |m AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    sum((cuma * (nb - cumb) + cumb * (na - cuma)) * dv) AS sxy,
+        |    sum(cuma * (na - cuma) * dv) AS sxx,
+        |    sum(cumb * (nb - cumb) * dv) AS syy
+        |  FROM st GROUP BY 1),
+        |z AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nd,
+        |    CAST(n_b AS DOUBLE) AS md,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy FROM m)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    (2.0 * dxy / (nd * md) - 2.0 * dxx / (nd * nd)
+        |      - 2.0 * dyy / (md * md)) / 100.0
+        |  END AS energy
+        |FROM z""".stripMargin,
+
+    // ascending exact-integer decile cut, cumulative cents, pinned
+    // share divisions (tie assignment is mass-invariant)
+    "q387_lorenz_curve" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |    AND event_type IS NOT NULL),
+        |r AS (SELECT k, c,
+        |    row_number() OVER (PARTITION BY k ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM b),
+        |bk AS (SELECT k,
+        |    CAST(floor(CAST((rn - 1) * 10 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) AS BIGINT) + 1 AS bucket, c
+        |  FROM r),
+        |g AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS m FROM bk GROUP BY 1, 2),
+        |f AS (SELECT k, bucket, n,
+        |    CAST(sum(n) OVER (PARTITION BY k ORDER BY bucket)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(m) OVER (PARTITION BY k ORDER BY bucket)
+        |      AS BIGINT) AS cm,
+        |    CAST(sum(m) OVER (PARTITION BY k) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT k AS event_type, bucket, n, cum_n,
+        |  CAST(cm AS DOUBLE) / 100.0 AS cum_mass,
+        |  CASE WHEN tot > 0 THEN CAST(cm AS DOUBLE)
+        |    / CAST(tot AS DOUBLE) END AS cum_share
+        |FROM f""".stripMargin,
+
+    // exact cent sums of squares (VARCHAR-routed), naive-lag
+    // denominator on the (ts, event_id) order, pinned sqrt chains
+    "q388_theil_u" ->
+      """WITH b AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ac,
+        |    CAST(CAST(value + CAST(((event_id % 5) + 5) % 5 - 2
+        |      AS DOUBLE) AS DECIMAL(18,2)) * 100 AS BIGINT) AS fc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |w AS (SELECT *, fc - ac AS e,
+        |    ac - lag(ac) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS nd FROM b),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(e * e) AS see, sum(ac * ac) AS saa,
+        |    sum(fc * fc) AS sff, sum(nd * nd) AS snn,
+        |    sum(CASE WHEN nd IS NOT NULL THEN e * e END) AS sel
+        |  FROM w GROUP BY 1),
+        |z AS (SELECT k, n, CAST(n AS DOUBLE) AS ndb,
+        |    CAST(CAST(see AS VARCHAR) AS DOUBLE) AS dee,
+        |    CAST(CAST(saa AS VARCHAR) AS DOUBLE) AS daa,
+        |    CAST(CAST(sff AS VARCHAR) AS DOUBLE) AS dff,
+        |    CAST(CAST(snn AS VARCHAR) AS DOUBLE) AS dnn,
+        |    CAST(CAST(sel AS VARCHAR) AS DOUBLE) AS del FROM m)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN sqrt(daa / ndb) + sqrt(dff / ndb) > 0.0 THEN
+        |    sqrt(dee / ndb) / (sqrt(daa / ndb) + sqrt(dff / ndb))
+        |  END AS u1,
+        |  CASE WHEN dnn IS NOT NULL AND dnn > 0.0 THEN
+        |    sqrt(del) / sqrt(dnn) END AS u2
+        |FROM z""".stripMargin,
+
+    // order-free signed/absolute cent error sums, pinned unit and
+    // TS closings
+    "q389_tracking_signal" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ac,
+        |    CAST(CAST(value + CAST(((event_id % 5) + 5) % 5 - 2
+        |      AS DOUBLE) AS DECIMAL(18,2)) * 100 AS BIGINT) AS fc
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(ac - fc) AS se, sum(abs(ac - fc)) AS sae
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT k, n, CAST(n AS DOUBLE) AS ndb,
+        |    CAST(CAST(se AS VARCHAR) AS DOUBLE) AS dse,
+        |    CAST(CAST(sae AS VARCHAR) AS DOUBLE) AS dae FROM m)
+        |SELECT k AS event_type, n, dse / 100.0 AS cum_error,
+        |  dae / ndb / 100.0 AS mad,
+        |  CASE WHEN dae > 0.0 THEN dse / (dae / ndb) END
+        |    AS tracking_signal
+        |FROM z""".stripMargin,
 
     // hashingTrick's token/bucket conventions, exact integer bucket
     // counts, one pinned Laplace log-ratio per bucket (smoothing

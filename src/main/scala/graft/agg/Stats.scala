@@ -4812,6 +4812,617 @@ object Stats {
         .as("delta")): _*)
   }
 
+  /**
+   * 1-Wasserstein (earth mover) distance per key between two arms'
+   * value distributions — [[ksTest]] reports the LARGEST CDF gap,
+   * this reports the AREA between the CDFs, in the value's own
+   * units: the drift score that answers "how far did the metric
+   * move", not just "did its shape change". The standard
+   * distribution-shift distance for monitoring (training-vs-serving
+   * feature drift, A/B metric shift) because it is robust to
+   * binning and has units.
+   *
+   * Exact integer formulation on the pooled 10⁻ˢᶜᵃˡᵉ grid:
+   * `W₁ = Σᵢ |cumAᵢ·n_b − cumBᵢ·n_a| · (vᵢ₊₁ − vᵢ) / (n_a·n_b·10ˢ)`
+   * — every per-row term is a product of exact longs accumulated in
+   * DECIMAL(38,0) (ORDER-FREE integer sum, no float fold), and the
+   * closing is a pinned two-division chain. Empty arms emit null.
+   *
+   * Output: (keys…, n_a, n_b, w1).
+   *
+   * Envelope: Σ gap·dv ≤ n_a·n_b·range·10ˢ must fit DECIMAL(38) —
+   * arms of 10⁹ rows each with a 10⁹-unit grid range still leave
+   * headroom. Oracle note: the exact decimal sum must route to
+   * double via VARCHAR in DuckDB (the q351 HUGEINT double-rounding
+   * lesson).
+   *
+   * Scale posture: one map-side-combined collapse to the (keys,
+   * value) grid; ONE key exchange carries the CDF windows, the arm
+   * totals, the lead(), and the closing aggregate — the [[ksTest]]
+   * shape exactly.
+   */
+  def wasserstein1(df: DataFrame, keys: Seq[String], groupCol: String,
+                   aLabel: String, bLabel: String, valueCol: String,
+                   valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "wasserstein1 needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    val stepped = grid
+      .withColumn("__cuma", sum(col("__ca")).over(wo))
+      .withColumn("__cumb", sum(col("__cb")).over(wo))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__dv",
+        coalesce(lead(col("__v"), 1).over(wo) - col("__v"), lit(0L)))
+      .withColumn("__gap",
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum((col("__gap").cast("decimal(20,0)") *
+          col("__dv").cast("decimal(18,0)")).cast("decimal(38,0)"))
+          .as("__s"))
+    val scaleF = math.pow(10, valueScale)
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L,
+        col("__s").cast("double") /
+          (d(col("n_a")) * d(col("n_b"))) / lit(scaleF)).as("w1")): _*)
+  }
+
+  /**
+   * Kendall's coefficient of concordance (W) per key — HOW MUCH do
+   * n raters agree on the ranking of k items (0 = no agreement, 1 =
+   * identical rankings): the agreement EFFECT SIZE to [[friedman]]'s
+   * p-value (`χ²_F = n(k−1)·W`), the standard inter-annotator
+   * concordance score for eval panels ranking model outputs.
+   *
+   * Pinned semantics: [[friedman]]'s grid verbatim — a rater's score
+   * for an item is the exact grid SUM of its rows, k is the key-wide
+   * item count (dense-rank), only COMPLETE raters (all k items)
+   * score, within-rater average ranks ride as DOUBLED exact longs
+   * `2·rank_min + t − 1`. The tie-corrected closing uses
+   * `12ΣR² = 3ΣR₂²` (doubling cancels exactly):
+   * `W = 3·(ΣR₂ⱼ² − n²k(k+1)²) / (n²k(k²−1) − n·ΣT)` with the
+   * per-rater tie term `T = Σ(t³−t)` — every moment an exact
+   * integer, ONE pinned division. Keys with k < 2 or a zero
+   * denominator (every rater all-tied) emit a row with null w; keys
+   * with NO complete raters VANISH from the output (no row — the
+   * [[friedman]] contract).
+   *
+   * Output: (keys…, n_raters, k_items, tie_sum, w).
+   *
+   * Scale posture: one (keys, rater, item) map-side collapse, one
+   * key exchange carrying the item-count / rater-completeness /
+   * rank windows (same-key subsumption), then two grid collapses —
+   * shuffled bytes scale with raters×items per key, not rows.
+   */
+  def kendallsW(df: DataFrame, keys: Seq[String], raterCol: String,
+                itemCol: String, valueCol: String,
+                valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "kendallsW needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val cell = df
+      .filter(col(valueCol).isNotNull && col(raterCol).isNotNull &&
+        col(itemCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(raterCol) :+ col(itemCol): _*)
+      .agg(sum(unscaled(col(valueCol), valueScale)).as("__vc"))
+    val wIt = Window.partitionBy(keys.map(col): _*).orderBy(col(itemCol))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val rCols = keys.map(col) :+ col(raterCol)
+    val wR = Window.partitionBy(rCols: _*)
+    val wROrd = Window.partitionBy(rCols: _*).orderBy(col("__vc"))
+    val wRTie = Window.partitionBy(rCols :+ col("__vc"): _*)
+    val wRTieOrd = Window.partitionBy(rCols :+ col("__vc"): _*)
+      .orderBy(col(itemCol))
+    val ranked = cell
+      .withColumn("__dr", dense_rank().over(wIt))
+      .withColumn("__kk", max(col("__dr")).over(wKey))
+      .withColumn("__rc", count(lit(1)).over(wR))
+      .filter(col("__rc") === col("__kk"))
+      .withColumn("__r2",
+        lit(2L) * rank().over(wROrd) + count(lit(1)).over(wRTie) - 1L)
+      .withColumn("__t", count(lit(1)).over(wRTie))
+      .withColumn("__rn", row_number().over(wRTieOrd))
+    val perItem = ranked.groupBy(keys.map(col) :+ col(itemCol): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__r2")).as("__R2"),
+        sum(when(col("__rn") === 1,
+          col("__t") * col("__t") * col("__t") - col("__t"))
+          .otherwise(0L)).as("__tt"))
+    val agg = perItem.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_raters"),
+        count(lit(1)).as("k_items"),
+        sum((col("__R2").cast("decimal(18,0)") *
+          col("__R2").cast("decimal(18,0)"))).as("__sr2"),
+        sum(col("__tt")).as("tie_sum"))
+    val nD = col("n_raters").cast("double")
+    val kD = col("k_items").cast("double")
+    val kp1 = kD + lit(1.0)
+    val num = lit(3.0) *
+      (col("__sr2").cast("double") - nD * nD * kD * kp1 * kp1)
+    val den = nD * nD * kD * (kD * kD - lit(1.0)) -
+      nD * col("tie_sum").cast("double")
+    agg.select(keys.map(col) ++ Seq(col("n_raters"), col("k_items"),
+      col("tie_sum"),
+      when(col("k_items") >= 2L && den > 0.0, num / den).as("w")): _*)
+  }
+
+  /**
+   * Holm-Bonferroni step-down FWER control per family —
+   * [[benjaminiHochberg]]'s stricter sibling: controls the
+   * FAMILY-WISE error rate (probability of ANY false rejection),
+   * the guard for confirmatory decision sets (ship/no-ship gates)
+   * where even one false positive is expensive; BH's FDR contract
+   * is for exploratory screens. Uniformly more powerful than plain
+   * Bonferroni at the same guarantee.
+   *
+   * `p_adj(k) = min(1, max over j ≤ k of (m−j+1)·p(j))` over tests
+   * ranked by p ascending — the running max makes the step-down
+   * monotone, so `significant = p_adj ≤ alpha` reproduces the
+   * classic sequential-rejection rule exactly. The rank tie-breaks
+   * on `idCol` (must be unique per family), `(m−j+1)·p` is one
+   * pinned product, and the running max is order-independent. Null
+   * p's are excluded (no test, no discovery).
+   *
+   * Output: input keys + (id, p, rank, p_adj, significant).
+   *
+   * Scale posture: both windows (count, rank + running max) share
+   * ONE family-keyed exchange — the [[benjaminiHochberg]] shape;
+   * with empty `keys` the family sorts in one partition (fine to
+   * ~10⁷ tests; shard into families past that).
+   */
+  def holmBonferroni(df: DataFrame, keys: Seq[String], idCol: String,
+                     pCol: String, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wAsc = wk.orderBy(col(pCol).asc, col(idCol).asc)
+    val wRun = wAsc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(wAsc).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wk))
+      .withColumn("__raw",
+        d(col("__m") - col("rank") + lit(1L)) * col(pCol).cast("double"))
+      .withColumn("p_adj", least(lit(1.0), max(col("__raw")).over(wRun)))
+      .withColumn("significant", col("p_adj") <= alpha)
+      .drop("__m", "__raw")
+  }
+
+  /**
+   * Cohen's h per key — the effect size for TWO PROPORTIONS (the
+   * pairing [[twoProportionZ]] needs the way [[cohensD]] pairs with
+   * [[welchT]]): `h = 2·asin(√p₁) − 2·asin(√p₂)` on the arcsine
+   * (variance-stabilizing) scale, so the same |h| means the same
+   * detectability at any baseline rate — the number power
+   * calculators actually take (|h| ≳ 0.2 small, 0.5 medium, 0.8
+   * large).
+   *
+   * Engine-exact: cell counts are exact integers and each
+   * proportion is ONE pinned division; the two arcsines — the only
+   * transcendentals — are snapped to the 10⁻⁹ grid before the
+   * closing subtraction (the [[oddsRatio]] log discipline: sqrt is
+   * correctly rounded IEEE everywhere, asin is libm-consistent to
+   * ~1 ulp and the snap drives residual mismatch below ~1e-10).
+   * Empty arms emit null h.
+   *
+   * Output: (keys…, n_1, n_2, p_1, p_2, h).
+   *
+   * Scale posture: ONE map-side-combined aggregation to four cells
+   * per key; the closing is a projection.
+   */
+  def cohensH(df: DataFrame, keys: Seq[String], groupCol: String,
+              aLabel: String, bLabel: String,
+              outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "cohensH needs key columns")
+    val oc = col(outcomeCol).cast("boolean")
+    val m = df
+      .filter(oc.isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("n_1"),
+        sum(when(col(groupCol) === aLabel && oc, 1L).otherwise(0L))
+          .as("__x1"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("n_2"),
+        sum(when(col(groupCol) === bLabel && oc, 1L).otherwise(0L))
+          .as("__x2"))
+    val p1 = d(col("__x1")) / d(col("n_1"))
+    val p2 = d(col("__x2")) / d(col("n_2"))
+    val phi1 = round(asin(sqrt(p1)), 9)
+    val phi2 = round(asin(sqrt(p2)), 9)
+    m.select(keys.map(col) ++ Seq(col("n_1"), col("n_2"),
+      when(col("n_1") > 0L, p1).as("p_1"),
+      when(col("n_2") > 0L, p2).as("p_2"),
+      when(col("n_1") > 0L && col("n_2") > 0L,
+        lit(2.0) * phi1 - lit(2.0) * phi2).as("h")): _*)
+  }
+
+  /**
+   * Risk ratio, risk difference, and number-needed-to-treat per key
+   * — the ABSOLUTE-scale companions to [[oddsRatio]] (which reports
+   * the odds scale): from the 2×2 (exposed × outcome) cells,
+   * `RR = p₁/p₀`, `RD = p₁ − p₀`, `NNT = 1/|RD|` — the "how many
+   * users must see the variant for one extra conversion" number
+   * product decisions actually run on, with Wald 95% CIs (the RR's
+   * in LOG space, the [[oddsRatio]] convention; the RD's in
+   * absolute space).
+   *
+   * Engine-exact: integer cells, pinned division chains;
+   * `ln(RR)` is the libm-consistent log snapped to the 10⁻⁹ grid;
+   * `se_{ln RR} = √(1/a − 1/(a+b) + 1/c − 1/(c+d))` and
+   * `se_{RD} = √(p₁(1−p₁)/n₁ + p₀(1−p₀)/n₀)` close in fixed
+   * left-to-right chains. Zero-cell guards: RR needs both arms
+   * non-empty and c > 0; the log CI additionally needs a > 0; NNT
+   * needs RD ≠ 0. Failing guards null the statistic, never smooth
+   * it (the [[oddsRatio]] contract).
+   *
+   * Output: (keys…, a, b, c, d, risk_ratio, log_rr, log_rr_lo,
+   * log_rr_hi, risk_diff, rd_lo, rd_hi, nnt).
+   *
+   * Scale posture: ONE map-side-combined aggregation to four cells
+   * per key; everything after is a projection.
+   */
+  def riskRatio(df: DataFrame, keys: Seq[String], exposedCol: String,
+                outcomeCol: String): DataFrame = {
+    require(keys.nonEmpty, "riskRatio needs key columns")
+    val e = col(exposedCol).cast("boolean")
+    val y = col(outcomeCol).cast("boolean")
+    val m = df.filter(e.isNotNull && y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(e && y, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !y, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && y, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !y, 1L).otherwise(0L)).as("d"))
+    val n1 = col("a") + col("b"); val n0 = col("c") + col("d")
+    val p1 = d(col("a")) / d(n1); val p0 = d(col("c")) / d(n0)
+    val okRr = n1 > 0L && n0 > 0L && col("c") > 0L
+    val okLog = okRr && col("a") > 0L
+    val rr = p1 / p0
+    val logRr = round(graft.functions.MathFunctions.libmLog(rr), 9)
+    val seLog = sqrt(lit(1.0) / d(col("a")) - lit(1.0) / d(n1) +
+      lit(1.0) / d(col("c")) - lit(1.0) / d(n0))
+    val rd = p1 - p0
+    val seRd = sqrt(p1 * (lit(1.0) - p1) / d(n1) +
+      p0 * (lit(1.0) - p0) / d(n0))
+    val okRd = n1 > 0L && n0 > 0L
+    m.select(keys.map(col) ++ Seq(col("a"), col("b"), col("c"),
+      col("d"),
+      when(okRr, rr).as("risk_ratio"),
+      when(okLog, logRr).as("log_rr"),
+      when(okLog, logRr - lit(1.96) * seLog).as("log_rr_lo"),
+      when(okLog, logRr + lit(1.96) * seLog).as("log_rr_hi"),
+      when(okRd, rd).as("risk_diff"),
+      when(okRd, rd - lit(1.96) * seRd).as("rd_lo"),
+      when(okRd, rd + lit(1.96) * seRd).as("rd_hi"),
+      when(okRd && rd =!= 0.0, lit(1.0) / abs(rd)).as("nnt")): _*)
+  }
+
+  /**
+   * Atkinson inequality index per key at inequality-aversion
+   * ε = 1/2 — the welfare-theoretic member of the concentration
+   * panel ([[gini]] rank-based, [[theilIndex]] entropy-based, this
+   * one utility-based): "what fraction of total mass could be
+   * discarded if it were distributed EQUALLY, at equal welfare".
+   * At ε = 1/2 the index collapses to the closed form
+   * `A = 1 − (Σ√x)² / (n·Σx)` — no powers, no logs.
+   *
+   * Engine-exact: values snap to the cents grid (the grid factor
+   * cancels between numerator and denominator); the only
+   * non-integer per-row term is `√v` — correctly rounded IEEE in
+   * every engine — and `Σ c·√v` folds SEQUENTIALLY in value order
+   * over the (keys, value) grid (≡ list_reduce, the [[logRank]]
+   * fold discipline), so the double sum is order-pinned. Σx and n
+   * are exact integers; the closing is one pinned chain. Null and
+   * negative values are excluded (the [[gini]] contract; zeros
+   * count — a zero holding is maximal inequality information).
+   * Zero total mass emits null.
+   *
+   * Output: (keys…, n, atkinson).
+   *
+   * Scale posture: one map-side-combined collapse to the (keys,
+   * value) grid, ONE key exchange, grid-bounded fold state (one
+   * double).
+   */
+  def atkinson(df: DataFrame, keys: Seq[String], valueCol: String,
+               valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "atkinson needs key columns")
+    val v = unscaled(col(valueCol), valueScale)
+    val grid = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0 &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__v").as("__t"),
+        col("__c").cast("double").as("__cd")))),
+      lit(0.0),
+      (acc, p) => acc + p.getField("__cd") *
+        sqrt(p.getField("__t").cast("double")))
+    val m = grid.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n"), sum(col("__v") * col("__c")).as("__s"),
+        fold.as("__r"))
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(col("__s") > 0L,
+        lit(1.0) - col("__r") * col("__r") /
+          (d(col("n")) * d(col("__s")))).as("atkinson")): _*)
+  }
+
+  /**
+   * Two-sample Cramér–von Mises statistic per key — the
+   * WHOLE-CURVE distribution comparison: [[ksTest]] scores the
+   * single worst CDF gap, [[wasserstein1]] the area in value
+   * units; CvM integrates the SQUARED gap over the pooled
+   * empirical measure, making it sensitive to many small
+   * departures (tails + center together) where KS sees only the
+   * peak. `T = U/(nm(n+m)) − (4nm−1)/(6(n+m))` with
+   * `U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²` over midranks of each arm in
+   * the pooled ordering.
+   *
+   * Exact integer formulation on the (keys, value) grid — NO
+   * per-row ranking: for a grid row with tie count t, pooled
+   * DOUBLED midrank `r₂ = 2·prevN + t + 1`, and the arm's c
+   * members occupy positions `prevC+1 … prevC+c`, so the row's
+   * contribution to `12Σ(r−i)²` is the closed form
+   * `3cK² − 6K·c(c+1) + 2c(c+1)(2c+1)` (tripled to stay pure
+   * integer) with `K = r₂ − 2·prevC`
+   * — an exact long per row, summed order-free in DECIMAL(38,0).
+   * The closing is one pinned chain over exact totals. Empty arms
+   * emit null t.
+   *
+   * Output: (keys…, n_a, n_b, t).
+   *
+   * Envelope: n·S₄ ≲ 4·N⁴ must stay < 2⁵³ for the exact double
+   * closing — pooled arms to ~3·10⁴ rows per key; past that the
+   * raw DECIMAL columns upstream are still exact.
+   *
+   * Scale posture: one map-side-combined grid collapse, ONE key
+   * exchange carrying the three cumulative windows and the closing
+   * aggregate — the [[ksTest]] shape.
+   */
+  def cramerVonMises(df: DataFrame, keys: Seq[String],
+                     groupCol: String, aLabel: String, bLabel: String,
+                     valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "cramerVonMises needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    // 3x the row's contribution to 4*Sum (r-i)^2 — tripled so the
+    // polynomial stays pure integer (Spark's `/` is double division)
+    def contrib3(c: Column, prevC: Column, r2: Column): Column = {
+      val k = r2 - lit(2L) * prevC
+      lit(3L) * c * k * k - lit(6L) * k * c * (c + lit(1L)) +
+        lit(2L) * c * (c + lit(1L)) * (lit(2L) * c + lit(1L))
+    }
+    val stepped = grid
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__pn",
+        coalesce(sum(col("__t")).over(wo.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pa",
+        coalesce(sum(col("__ca")).over(wo.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pb",
+        coalesce(sum(col("__cb")).over(wo.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__pn") + col("__t") + lit(1L))
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(contrib3(col("__ca"), col("__pa"), col("__r2"))
+          .cast("decimal(38,0)")).as("__s12a"),
+        sum(contrib3(col("__cb"), col("__pb"), col("__r2"))
+          .cast("decimal(38,0)")).as("__s12b"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val nm = nD + mD
+    val u12 = nD * col("__s12a").cast("double") +
+      mD * col("__s12b").cast("double")
+    val tStat = u12 / (lit(12.0) * nD * mD * nm) -
+      (lit(4.0) * nD * mD - lit(1.0)) / (lit(6.0) * nm)
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L, tStat).as("t")): _*)
+  }
+
+  /**
+   * Kuiper two-sample statistic per key — [[ksTest]]'s
+   * rotation-robust sibling: `V = D⁺ + D⁻` (the largest gap ABOVE
+   * plus the largest gap BELOW between the two CDFs). Where KS
+   * concentrates power at the median, V weights tails and center
+   * equally and is invariant to cyclic shifts — the right test for
+   * hour-of-day / day-of-week style distributions where "shape
+   * moved around the circle" must not hide.
+   *
+   * Exact integer formulation: on the pooled grid,
+   * `D⁺ = max(0, max cumA·n_b − cumB·n_a)` and `D⁻` its mirror —
+   * both exact longs on the [[ksTest]] cross-multiplied lattice;
+   * `V = (D⁺ + D⁻)/(n_a·n_b)` is one pinned division. Empty arms
+   * emit null v.
+   *
+   * Output: (keys…, n_a, n_b, v_plus_num, v_minus_num, v).
+   *
+   * Scale posture: identical to [[ksTest]] — one grid collapse, one
+   * key exchange, closing max aggregates.
+   */
+  def kuiper(df: DataFrame, keys: Seq[String], groupCol: String,
+             aLabel: String, bLabel: String, valueCol: String,
+             valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "kuiper needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    val stepped = grid
+      .withColumn("__cuma", sum(col("__ca")).over(wo))
+      .withColumn("__cumb", sum(col("__cb")).over(wo))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__gp",
+        col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        greatest(max(col("__gp")), lit(0L)).as("v_plus_num"),
+        greatest(-min(col("__gp")), lit(0L)).as("v_minus_num"))
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      col("v_plus_num"), col("v_minus_num"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L,
+        d(col("v_plus_num") + col("v_minus_num")) /
+          (d(col("n_a")) * d(col("n_b")))).as("v")): _*)
+  }
+
+  /**
+   * One-dimensional energy distance per key between two arms —
+   * the moment-free distribution distance behind energy tests:
+   * `E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|` (zero iff the
+   * distributions coincide; metric, unlike KS it scales with HOW
+   * FAR mass moved, like [[wasserstein1]] but quadratic-kernel so
+   * it composes into the energy two-sample test statistic
+   * `nm/(n+m)·E`).
+   *
+   * Exact integer formulation — in 1-D every pairwise-distance
+   * expectation is a CDF integral: on the pooled grid with segment
+   * width `dv`, `Σ|x−y| = Σ dv·(cumA·(n_b−cumB) + cumB·(n_a−cumA))`
+   * and `Σ|x−x'|` (unordered) `= Σ dv·cumA·(n_a−cumA)` — each term
+   * a product of exact longs accumulated ORDER-FREE in
+   * DECIMAL(38,0); the closing is one pinned chain over the three
+   * sums, divided back to value units. Empty arms emit null.
+   *
+   * Output: (keys…, n_a, n_b, energy).
+   *
+   * Oracle note: the exact decimal sums route to double via
+   * VARCHAR in DuckDB (the q351 HUGEINT double-rounding lesson).
+   *
+   * Scale posture: the [[wasserstein1]] plan exactly — one grid
+   * collapse, ONE key exchange carrying the CDF windows and lead,
+   * closing aggregate.
+   */
+  def energyDistance(df: DataFrame, keys: Seq[String],
+                     groupCol: String, aLabel: String, bLabel: String,
+                     valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "energyDistance needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    val stepped = grid
+      .withColumn("__cuma", sum(col("__ca")).over(wo))
+      .withColumn("__cumb", sum(col("__cb")).over(wo))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__dv",
+        coalesce(lead(col("__v"), 1).over(wo) - col("__v"), lit(0L)))
+    def seg(term: Column): Column =
+      (term.cast("decimal(20,0)") * col("__dv").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(seg(col("__cuma") * (col("__nb") - col("__cumb")) +
+          col("__cumb") * (col("__na") - col("__cuma")))).as("__sxy"),
+        sum(seg(col("__cuma") * (col("__na") - col("__cuma"))))
+          .as("__sxx"),
+        sum(seg(col("__cumb") * (col("__nb") - col("__cumb"))))
+          .as("__syy"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val scaleF = math.pow(10, valueScale)
+    val e = lit(2.0) * col("__sxy").cast("double") / (nD * mD) -
+      lit(2.0) * col("__sxx").cast("double") / (nD * nD) -
+      lit(2.0) * col("__syy").cast("double") / (mD * mD)
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L, e / lit(scaleF))
+        .as("energy")): _*)
+  }
+
+  /**
+   * Lorenz curve per key — the table behind [[gini]]'s single
+   * number: rank units ascending by mass and report, at each of
+   * `buckets` equal-COUNT cuts, the cumulative share of total mass
+   * the bottom ranks hold ("the bottom 80% of documents carry 31%
+   * of the tokens"). [[liftTable]]'s exact integer bucket cut
+   * (`⌊(r−1)·k/n⌋+1` — no ntile) on ascending order.
+   *
+   * Engine-exact: mass snaps to the cents grid; bucket membership
+   * counts are fixed by rank arithmetic, and tied values are EQUAL
+   * values, so every bucket's mass sum is order-invariant no
+   * matter how the engine breaks rank ties. Cumulative mass and
+   * total are exact integers; `cum_share` is one pinned division.
+   * Null and negative values are excluded (the [[gini]] contract).
+   *
+   * Output: (keys…, bucket, n, cum_n, cum_mass, cum_share) — one
+   * row per non-empty bucket, cum_mass in input units.
+   *
+   * Scale posture: ONE key exchange carries the rank window; the
+   * bucket collapse is map-side; the cumulative runs on the
+   * buckets-per-key grid.
+   */
+  def lorenzCurve(df: DataFrame, keys: Seq[String], valueCol: String,
+                  buckets: Int = 10, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "lorenzCurve needs key columns")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = unscaled(col(valueCol), valueScale)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__c"))
+    val ranked = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0 &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+ v.as("__c"): _*)
+      .withColumn("__r", row_number().over(wo))
+      .withColumn("__n", count(lit(1)).over(wk))
+      // floor of a < 2^53 exact double product: both engines floor
+      // the same correctly-rounded quotient (the liftTable idiom)
+      .withColumn("bucket",
+        floor(((col("__r") - 1L) * lit(buckets.toLong)).cast("double") /
+          col("__n").cast("double")).cast("long") + 1L)
+    val bucketed = ranked
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__m"))
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val scaleF = math.pow(10, valueScale)
+    val cum = bucketed
+      .withColumn("cum_n", sum(col("n")).over(wb))
+      .withColumn("__cm", sum(col("__m")).over(wb))
+      .withColumn("__tot",
+        sum(col("__m")).over(Window.partitionBy(keys.map(col): _*)))
+    cum.select(keys.map(col) ++ Seq(col("bucket"), col("n"),
+      col("cum_n"), (d(col("__cm")) / lit(scaleF)).as("cum_mass"),
+      when(col("__tot") > 0L, d(col("__cm")) / d(col("__tot")))
+        .as("cum_share")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1,0 +1,195 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec,
+  InputAdapter, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+  CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/**
+ * Plan lint — the engine's 100×-readiness checks as a USER-FACING
+ * API: run the same physical-plan predicates the internal
+ * PlanGuardSpec pins (cartesian products, single-partition windows,
+ * unbroadcast small join sides, unpushed partition filters, codegen
+ * fallbacks, shuffle counts) against ANY DataFrame and get a report
+ * back — "would this plan survive a 1000-executor cluster reading
+ * 100 TB" as a queryable result instead of tribal knowledge.
+ *
+ * Every rule checks a SHAPE property of the physical plan, so the
+ * report is deterministic for a fixed query + session config (it
+ * never executes the input). With AQE enabled the inspected plan is
+ * the INITIAL adaptive plan — AQE may still improve a flagged shape
+ * at runtime (e.g. convert a sort-merge join to broadcast once the
+ * build side's true size is known); a `warn` therefore means "not
+ * PROVEN scale-safe at plan time", the same contract the internal
+ * guards use. Call after an action to lint AQE's final choices.
+ *
+ * One row per rule, ALWAYS (status `ok` with n = 0 when clean), so
+ * callers can assert on the full report shape:
+ * `lint(df).filter($"status" === "warn").isEmpty` is the CI gate.
+ */
+object PlanLint {
+
+  /** One lint result: `rule` (stable kebab-case id), `status`
+   *  (`ok` | `warn`), `n` (how many plan nodes fired it), `detail`
+   *  (what it means at scale + the standard fix). */
+  final case class Finding(rule: String, status: String, n: Long,
+                           detail: String)
+
+  /**
+   * Lint a DataFrame's physical plan; driver-side result (the plan
+   * tree lives on the driver — there is nothing to distribute).
+   *
+   * @param maxExchanges      shuffle-count ceiling before
+   *                          `exchange-count` warns (each shuffle
+   *                          rewrites the working set over the
+   *                          network at 100 TB)
+   * @param broadcastableBytes a sort-merge join whose smaller side's
+   *                          OPTIMIZER-ESTIMATED size is at or under
+   *                          this warns `broadcastable-join` —
+   *                          `broadcast()` it and the corpus-side
+   *                          shuffle disappears
+   */
+  def findings(df: DataFrame, maxExchanges: Int = 4,
+               broadcastableBytes: Long = 32L << 20): Seq[Finding] = {
+    require(maxExchanges >= 0, s"maxExchanges must be >= 0")
+    require(broadcastableBytes >= 0, s"broadcastableBytes must be >= 0")
+    // strip adaptive / query-stage wrappers so rules see real operators;
+    // track whether we're inside a WholeStageCodegen span (InputAdapter
+    // re-opens the interpreted world below it)
+    val nodes = scala.collection.mutable.ArrayBuffer
+      .empty[(SparkPlan, Boolean)]
+    def walk(p: SparkPlan, inCodegen: Boolean): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, inCodegen)
+      case q: QueryStageExec => walk(q.plan, inCodegen)
+      case w: WholeStageCodegenExec =>
+        nodes += ((w, inCodegen)); w.children.foreach(walk(_, true))
+      case i: InputAdapter =>
+        nodes += ((i, inCodegen)); i.children.foreach(walk(_, false))
+      case other =>
+        nodes += ((other, inCodegen))
+        other.children.foreach(walk(_, inCodegen))
+    }
+    walk(df.queryExecution.executedPlan, inCodegen = false)
+    val plan = nodes.map(_._1)
+
+    val cartesians = plan.count(_.isInstanceOf[CartesianProductExec])
+    val nestedLoops = plan.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    val globalWindows = plan.count {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+    val globalSorts = plan.count {
+      case s: SortExec => s.global
+      case _ => false
+    }
+    val exchanges = plan.count(_.isInstanceOf[ShuffleExchangeLike])
+    // a side's optimizer-estimated bytes: the first node in the
+    // side's subtree carrying a logical link (sorts/exchanges above
+    // the scan often have none); a side with no link anywhere counts
+    // as large — the rule under-warns rather than mis-warns
+    def sideBytes(p: SparkPlan): BigInt =
+      p.collect {
+        case n if n.logicalLink.isDefined =>
+          n.logicalLink.get.stats.sizeInBytes
+      }.headOption.getOrElse(BigInt(Long.MaxValue))
+    val smallSmjs = plan.count {
+      case j: SortMergeJoinExec =>
+        sideBytes(j.left).min(sideBytes(j.right)) <=
+          BigInt(broadcastableBytes)
+      case _ => false
+    }
+    val unprunedPartScans = plan.count {
+      case s: FileSourceScanExec =>
+        s.relation.partitionSchema.nonEmpty && s.partitionFilters.isEmpty
+      case _ => false
+    }
+    // a scan whose post-scan data filters outnumber what reached the
+    // reader is carrying an untranslatable predicate (udf/length/...)
+    // — IsNotNull and plain comparisons always push, so equality
+    // holds exactly when every predicate was translated
+    def pushedCount(s: FileSourceScanExec): Int =
+      s.metadata.get("PushedFilters").map(_.trim)
+        .filter(v => v.startsWith("[") && v.endsWith("]"))
+        .map(_.stripPrefix("[").stripSuffix("]").trim)
+        .map(v => if (v.isEmpty) 0 else v.split(", ").length)
+        .getOrElse(0)
+    val unpushedFilters = plan.count {
+      case s: FileSourceScanExec =>
+        s.dataFilters.nonEmpty && s.dataFilters.size > pushedCount(s)
+      case _ => false
+    }
+    val interpreted = nodes.count {
+      case (_: ProjectExec, false) | (_: FilterExec, false) => true
+      case _ => false
+    }
+    val udfs = plan.iterator.map(_.expressions.map(e =>
+      e.collect { case u: ScalaUDF => u }.size).sum).sum
+
+    def f(rule: String, n: Int, warn: Boolean, detail: String) =
+      Finding(rule, if (warn) "warn" else "ok", n.toLong, detail)
+    Seq(
+      f("cartesian-join", cartesians, cartesians > 0,
+        "CartesianProduct compares every row pair — O(n²) rows " +
+          "shipped at scale; add an equi-key, band the condition " +
+          "(binned range/interval join), or broadcast a bounded side"),
+      f("nested-loop-join", nestedLoops, nestedLoops > 0,
+        "BroadcastNestedLoopJoin streams the big side past every " +
+          "broadcast row — fine when the broadcast side is small and " +
+          "bounded (top-k probes), a scan-multiplier otherwise; " +
+          "verify the broadcast side cannot grow with the data"),
+      f("global-window", globalWindows, globalWindows > 0,
+        "a window with no PARTITION BY moves EVERY row to one " +
+          "partition — one task, one executor, no scale-out; " +
+          "partition the window or use a global aggregate instead"),
+      f("global-sort", globalSorts, globalSorts > 0,
+        "a global ORDER BY range-shuffles the full result; at 100 TB " +
+          "prefer sortWithinPartitions, a top-k limit (planner turns " +
+          "it into TakeOrderedAndProject), or sort only the final " +
+          "small output"),
+      f("exchange-count", exchanges, exchanges > maxExchanges,
+        s"$exchanges shuffle exchange(s), ceiling $maxExchanges: " +
+          "each one rewrites the working set across the network; " +
+          "co-partition (bucketing), reuse one partitioning across " +
+          "stages, or pre-aggregate before joining"),
+      f("broadcastable-join", smallSmjs, smallSmjs > 0,
+        "sort-merge join whose smaller side the optimizer estimates " +
+          s"at <= $broadcastableBytes bytes: broadcast() it and the " +
+          "big side's shuffle disappears (AQE may do this at " +
+          "runtime, but a hint makes it a guarantee)"),
+      f("partition-filter-missing", unprunedPartScans, unprunedPartScans > 0,
+        "scan of a hive-partitioned source with NO partition filter " +
+          "reads every partition; filter on the partition column(s) " +
+          "so pruning cuts the input before any I/O"),
+      f("filter-not-pushed", unpushedFilters, unpushedFilters > 0,
+        "scan carries post-scan data filters but pushed NONE into " +
+          "the reader (PushedFilters: []) — the format/expression " +
+          "blocks pushdown (e.g. a UDF predicate); rewrite the " +
+          "predicate over plain columns so the scan skips row groups"),
+      f("interpreted-stage", interpreted, interpreted > 0,
+        "Project/Filter outside any WholeStageCodegen span runs " +
+          "interpreted (codegen fallback) — usually a non-codegen " +
+          "expression in the hot path; prefer built-in functions or " +
+          "a doGenCode-capable expression"),
+      f("scala-udf", udfs, udfs > 0,
+        "ScalaUDF in the plan: opaque to the optimizer (no pushdown " +
+          "through it, no codegen) — prefer org.apache.spark.sql." +
+          "functions or a native Catalyst expression"))
+  }
+
+  /** [[findings]] as a one-partition DataFrame (rule, status, n,
+   *  detail), rule-name ordered — composes with the caller's own
+   *  reporting sinks; `filter(status = 'warn')` is the CI gate. */
+  def lint(df: DataFrame, maxExchanges: Int = 4,
+           broadcastableBytes: Long = 32L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    findings(df, maxExchanges, broadcastableBytes)
+      .sortBy(_.rule).toDF("rule", "status", "n", "detail")
+  }
+}

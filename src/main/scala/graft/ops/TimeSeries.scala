@@ -2196,4 +2196,117 @@ object TimeSeries {
       rmse.as("rmse"), mape.as("mape"), smape.as("smape"),
       mase.as("mase")): _*)
   }
+
+  /**
+   * Theil's U forecast-quality coefficients per key — the two
+   * scale-free companions to [[forecastAccuracy]]'s error table:
+   * `U₁ = RMSE / (√(Σa²/n) + √(Σf²/n)) ∈ [0, 1]` (0 = perfect; a
+   * bounded score comparable across series of different magnitude)
+   * and `U₂ = √(Σₜ≥₂(fₜ−aₜ)²) / √(Σₜ≥₂(aₜ−aₜ₋₁)²)` — the RMSE
+   * ratio against the naive carry-forward on the same steps
+   * (U₂ < 1: the model beats naive; > 1: it loses to doing
+   * nothing), [[forecastAccuracy]]'s MASE on the quadratic scale.
+   *
+   * Engine-exact: everything lives on the cent grid — Σ(f−a)²,
+   * Σa², Σf² and the naive Σ(aₜ−aₜ₋₁)² are exact DECIMAL(38,0)
+   * sums of long products (the grid factor cancels in both ratios,
+   * so no unit division appears); each closing is a fixed
+   * left-to-right chain of two correctly-rounded sqrts and one
+   * division. U₁ nulls on an all-zero pair of series; U₂ nulls
+   * when the series never moves (zero naive SS) or n < 2.
+   *
+   * Output: (keys…, n, u1, u2).
+   *
+   * Oracle note: the exact decimal sums route to double via
+   * VARCHAR in DuckDB (the q351 HUGEINT double-rounding lesson).
+   *
+   * Scale posture: one key exchange (the naive lag window), ONE
+   * map-side-combined closing aggregation — [[forecastAccuracy]]'s
+   * plan exactly.
+   */
+  def theilU(df: DataFrame, keys: Seq[String], tsCol: String,
+             tieCol: String, actualCol: String, forecastCol: String,
+             valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "theilU needs key columns")
+    def cents(c: Column) = (c.cast(s"decimal(18,$valueScale)") *
+      lit(math.pow(10, valueScale).toLong).cast("decimal(18,0)"))
+      .cast("long")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val rows = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(actualCol).isNotNull && col(forecastCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__ac", cents(col(actualCol)))
+      .withColumn("__fc", cents(col(forecastCol)))
+      .withColumn("__e", col("__fc") - col("__ac"))
+      .withColumn("__nd", col("__ac") - lag(col("__ac"), 1).over(ord))
+    def sq(c: Column) =
+      sum((c.cast("decimal(19,0)") * c.cast("decimal(19,0)"))
+        .cast("decimal(38,0)"))
+    val agg = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sq(col("__e")).as("__see"),
+        sq(col("__ac")).as("__saa"), sq(col("__fc")).as("__sff"),
+        sq(col("__nd")).as("__snn"),
+        sum(when(col("__nd").isNotNull,
+          (col("__e").cast("decimal(19,0)") *
+            col("__e").cast("decimal(19,0)")).cast("decimal(38,0)")))
+          .as("__sel"))
+    val nD = col("n").cast("double")
+    val den1 = sqrt(col("__saa").cast("double") / nD) +
+      sqrt(col("__sff").cast("double") / nD)
+    val u1 = sqrt(col("__see").cast("double") / nD) / den1
+    val u2 = sqrt(col("__sel").cast("double")) /
+      sqrt(col("__snn").cast("double"))
+    agg.select(keys.map(col) ++ Seq(col("n"),
+      when(den1 > 0.0, u1).as("u1"),
+      when(col("__snn").isNotNull &&
+        col("__snn").cast("double") > 0.0, u2).as("u2")): _*)
+  }
+
+  /**
+   * Forecast tracking signal per key — the BIAS monitor the
+   * error table can't see: `TS = Σ(a−f) / MAD` with
+   * `MAD = Σ|a−f|/n` — a forecast that is merely noisy keeps
+   * Σ(a−f) near 0 and |TS| small; one that drifts (demand shifted,
+   * model stale) accumulates signed error and |TS| walks past the
+   * classic ±4 control limits. The standard re-fit trigger for
+   * fleets of per-key forecasts ([[croston]], [[holtWinters]])
+   * where nobody eyeballs individual series.
+   *
+   * Engine-exact and ORDER-FREE (sums only — no time order
+   * enters): signed and absolute error sums are exact DECIMAL
+   * sums of cents; `cum_error`/`mad` close with pinned unit
+   * divisions and `TS = Σe / (Σ|e|/n)` is one fixed chain. Keys
+   * with zero MAD (perfect forecast) emit null ts.
+   *
+   * Output: (keys…, n, cum_error, mad, tracking_signal) —
+   * cum_error/mad in input units.
+   *
+   * Scale posture: ONE map-side-combined aggregation; the closing
+   * is a projection. No window, no second exchange.
+   */
+  def trackingSignal(df: DataFrame, keys: Seq[String],
+                     actualCol: String, forecastCol: String,
+                     valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "trackingSignal needs key columns")
+    val scaleF = math.pow(10, valueScale)
+    def cents(c: Column) = (c.cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val rows = df
+      .filter(col(actualCol).isNotNull && col(forecastCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__e", cents(col(actualCol)) - cents(col(forecastCol)))
+    val agg = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__e").cast("decimal(38,0)")).as("__se"),
+        sum(abs(col("__e")).cast("decimal(38,0)")).as("__sae"))
+    val nD = col("n").cast("double")
+    agg.select(keys.map(col) ++ Seq(col("n"),
+      (col("__se").cast("double") / lit(scaleF)).as("cum_error"),
+      (col("__sae").cast("double") / nD / lit(scaleF)).as("mad"),
+      when(col("__sae").cast("double") > 0.0,
+        col("__se").cast("double") /
+          (col("__sae").cast("double") / nD)).as("tracking_signal")): _*)
+  }
 }

@@ -1735,6 +1735,177 @@ class StatsSpec extends AnyFunSuite {
     assert(ok.length == 1 && ok.head.getAs[Long]("n") == 12L)
   }
 
+  test("wasserstein1: hand transport cost; identical arms 0; " +
+    "empty arm null") {
+    val hand = Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "b", 3.0))
+    val same = Seq(("s", "a", 1.0), ("s", "a", 2.0),
+      ("s", "b", 1.0), ("s", "b", 2.0))
+    val solo = Seq(("e", "a", 5.0))
+    val out = Stats.wasserstein1((hand ++ same ++ solo)
+      .toDF("key", "arm", "v"), Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // move mass 1/2 from 1 -> 3 (cost 1) and 1/2 from 2 -> 3 (0.5)
+    assert(out("k").getAs[Double]("w1") == 1.5)
+    assert(out("s").getAs[Double]("w1") == 0.0)
+    assert(out("e").isNullAt(out("e").fieldIndex("w1")))
+  }
+
+  test("kendallsW: unanimous rankings hit W = 1 exactly, opposite " +
+    "rankings 0, all-tied raters null; incomplete rater vanishes") {
+    def rater(k: String, r: Long, vs: (String, Double)*) =
+      vs.map { case (it, v) => (k, r, it, v) }
+    val df = (
+      rater("u", 1L, "a" -> 1.0, "b" -> 2.0, "c" -> 3.0) ++
+      rater("u", 2L, "a" -> 1.0, "b" -> 2.0, "c" -> 3.0) ++
+      rater("u", 3L, "a" -> 1.5, "b" -> 2.5, "c" -> 9.0) ++
+      rater("o", 1L, "a" -> 1.0, "b" -> 2.0) ++
+      rater("o", 2L, "a" -> 2.0, "b" -> 1.0) ++
+      rater("t", 1L, "a" -> 1.0, "b" -> 1.0) ++
+      rater("t", 2L, "a" -> 2.0, "b" -> 2.0) ++
+      // key "v": rater 2 is incomplete -> only rater 1 scores, and
+      // a single rater ranking 2 items has den > 0 (W defined, = 1)
+      rater("v", 1L, "a" -> 1.0, "b" -> 2.0) ++
+      Seq(("v", 2L, "a", 3.0))
+    ).toDF("key", "rater", "item", "v")
+    val out = Stats.kendallsW(df, Seq("key"), "rater", "item", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u").getAs[Long]("n_raters") == 3L)
+    assert(out("u").getAs[Double]("w") == 1.0)
+    assert(out("o").getAs[Double]("w") == 0.0)
+    assert(out("t").isNullAt(out("t").fieldIndex("w"))) // den = 0
+    assert(out("v").getAs[Long]("n_raters") == 1L) // incomplete dropped
+    assert(out("v").getAs[Double]("w") == 1.0)
+  }
+
+  test("holmBonferroni: step-down running max, capped at 1, " +
+    "step-down monotonicity enforced on a swapped pair") {
+    val df = Seq(("k", "t1", 0.01), ("k", "t2", 0.04), ("k", "t3", 0.03),
+      ("k", "t4", 0.9)).toDF("key", "id", "p")
+    val out = Stats.holmBonferroni(df, Seq("key"), "id", "p")
+      .collect().map(r => r.getString(1) -> r).toMap
+    // sorted p: .01, .03, .04, .9; raw: 4*.01, 3*.03, 2*.04, 1*.9
+    assert(out("t1").getAs[Double]("p_adj") == 0.04)
+    assert(out("t3").getAs[Double]("p_adj") == 0.09)
+    // .08 < .09 -> running max keeps .09 (monotone step-down)
+    assert(out("t2").getAs[Double]("p_adj") == 0.09)
+    assert(out("t4").getAs[Double]("p_adj") == 0.9)
+    assert(out("t1").getAs[Boolean]("significant"))
+    assert(!out("t2").getAs[Boolean]("significant"))
+  }
+
+  test("cohensH: all-vs-none hits 2*asin(1) snapped; equal rates 0; " +
+    "empty arm null") {
+    val df = Seq(("k", "a", true), ("k", "a", true), ("k", "b", false),
+      ("q", "a", true), ("q", "a", false),
+      ("q", "b", true), ("q", "b", false),
+      ("e", "a", true)).toDF("key", "arm", "hit")
+    val out = Stats.cohensH(df, Seq("key"), "arm", "a", "b", "hit")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val asin1 = BigDecimal(math.asin(1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("k").getAs[Double]("h") == 2.0 * asin1 - 0.0)
+    assert(out("q").getAs[Double]("h") == 0.0)
+    assert(out("e").isNullAt(out("e").fieldIndex("h")))
+  }
+
+  test("riskRatio: hand 2x2 RR/RD/NNT; zero-unexposed-outcome " +
+    "nulls RR but keeps RD") {
+    def rows(k: String, e: Boolean, y: Boolean, n: Int) =
+      Seq.fill(n)((k, e, y))
+    val hand = rows("k", true, true, 10) ++ rows("k", true, false, 10) ++
+      rows("k", false, true, 5) ++ rows("k", false, false, 15)
+    val z = rows("z", true, true, 5) ++ rows("z", true, false, 5) ++
+      rows("z", false, false, 10)
+    val out = Stats.riskRatio((hand ++ z).toDF("key", "ex", "oc"),
+      Seq("key"), "ex", "oc")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("risk_ratio") == 2.0)
+    assert(k.getAs[Double]("risk_diff") == 0.25)
+    assert(k.getAs[Double]("nnt") == 4.0)
+    val lg = BigDecimal(math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k.getAs[Double]("log_rr") == lg)
+    val se = math.sqrt(1.0 / 10 - 1.0 / 20 + 1.0 / 5 - 1.0 / 20)
+    assert(k.getAs[Double]("log_rr_hi") == lg + 1.96 * se)
+    val zz = out("z")
+    assert(zz.isNullAt(zz.fieldIndex("risk_ratio"))) // c = 0
+    assert(zz.getAs[Double]("risk_diff") == 0.5)
+  }
+
+  test("atkinson: hand closed form, perfect equality 0, zeros " +
+    "count, all-zero mass null") {
+    val df = Seq(("k", 1.0), ("k", 4.0), ("e", 2.0), ("e", 2.0),
+      ("z", 0.0), ("z", 4.0), ("n", 0.0), ("n", 0.0))
+      .toDF("key", "v")
+    val out = Stats.atkinson(df, Seq("key"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // cents 100/400: (10+20)^2 / (2*500) = 0.9 -> A = 0.1
+    assert(out("k").getAs[Double]("atkinson") == 1.0 - 900.0 / 1000.0)
+    // 1 - (2*sqrt(200))^2/800: sqrt(200)^2 lands one ulp off 200,
+    // so equality reads as ~-2e-16, not exactly 0 (both engines
+    // replay the identical IEEE chain)
+    assert(math.abs(out("e").getAs[Double]("atkinson")) < 1e-12)
+    // {0, 4}: (0+20)^2/(2*400) = 0.5
+    assert(out("z").getAs[Double]("atkinson") == 0.5)
+    assert(out("n").isNullAt(out("n").fieldIndex("atkinson")))
+  }
+
+  test("cramerVonMises: identical arms hit T = 0 exactly; hand " +
+    "tied pooled case; empty arm null") {
+    val same = Seq(("s", "a", 1.0), ("s", "a", 2.0),
+      ("s", "b", 1.0), ("s", "b", 2.0))
+    val tied = Seq(("t", "a", 1.0), ("t", "a", 1.0), ("t", "b", 1.0))
+    val solo = Seq(("e", "a", 5.0))
+    val out = Stats.cramerVonMises((same ++ tied ++ solo)
+      .toDF("key", "arm", "v"), Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Double]("t") == 0.0)
+    // all three tied: midranks 2; U = 2*1 + 1*1 = 3;
+    // T = 3/(2*1*3) - (8-1)/(6*3) = 1/2 - 7/18
+    assert(out("t").getAs[Double]("t") ==
+      36.0 / (12.0 * 2.0 * 1.0 * 3.0) - 7.0 / 18.0)
+    assert(out("e").isNullAt(out("e").fieldIndex("t")))
+  }
+
+  test("kuiper: V sums both gap directions where KS keeps the max") {
+    // A = {1,3}, B = {2}: CDFs cross -> D+ = D- = 1/2, V = 1
+    val df = Seq(("k", "a", 1.0), ("k", "a", 3.0), ("k", "b", 2.0))
+      .toDF("key", "arm", "v")
+    val out = Stats.kuiper(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().head
+    assert(out.getAs[Long]("v_plus_num") == 1L)
+    assert(out.getAs[Long]("v_minus_num") == 1L)
+    assert(out.getAs[Double]("v") == 1.0)
+    val ks = Stats.ksTest(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().head
+    assert(ks.getAs[Double]("d") == 0.5) // KS sees only one side
+  }
+
+  test("energyDistance: point masses at distance 1 score 2; " +
+    "identical arms 0") {
+    val pm = Seq(("k", "a", 0.0), ("k", "b", 1.0))
+    val same = Seq(("s", "a", 0.0), ("s", "a", 1.0),
+      ("s", "b", 0.0), ("s", "b", 1.0))
+    val out = Stats.energyDistance((pm ++ same).toDF("key", "arm", "v"),
+      Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("energy") == 2.0)
+    assert(out("s").getAs[Double]("energy") == 0.0)
+  }
+
+  test("lorenzCurve: exact halves cut, cumulative shares, ties " +
+    "split deterministically by mass invariance") {
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0))
+      .toDF("key", "v")
+    val out = Stats.lorenzCurve(df, Seq("key"), "v", buckets = 2)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getAs[Long]("cum_n") == 2L)
+    assert(out(1L).getAs[Double]("cum_mass") == 3.0)
+    assert(out(1L).getAs[Double]("cum_share") == 0.3)
+    assert(out(2L).getAs[Double]("cum_share") == 1.0)
+  }
+
   test("cliffsDelta: total dominance scores exactly 1, balanced " +
     "overlap 0, a pure tie 0; empty arm null") {
     val df = Seq(

@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def report(df: DataFrame, maxExchanges: Int = 4)
+      : Map[String, (String, Long)] =
+    PlanLint.findings(df, maxExchanges)
+      .map(f => f.rule -> ((f.status, f.n))).toMap
+
+  private val allRules = Seq("cartesian-join", "nested-loop-join",
+    "global-window", "global-sort", "exchange-count",
+    "broadcastable-join", "partition-filter-missing",
+    "filter-not-pushed", "interpreted-stage", "scala-udf")
+
+  test("clean plan: one row per rule, all ok; lint() is rule-sorted") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .filter($"id" > 0).groupBy("s").count()
+    val r = report(df)
+    assert(r.keySet == allRules.toSet)
+    assert(allRules.filterNot(_ == "exchange-count")
+      .forall(k => r(k) == (("ok", 0L))))
+    assert(r("exchange-count")._1 == "ok") // 1 groupBy shuffle <= 4
+    val rows = PlanLint.lint(df).collect()
+    assert(rows.map(_.getString(0)).toSeq == allRules.sorted)
+    assert(rows.forall(_.getString(1) == "ok"))
+  }
+
+  test("empty relation lints all-ok (empty-input contract)") {
+    val r = report(spark.emptyDataFrame)
+    assert(r.values.forall(_._1 == "ok"))
+  }
+
+  test("cartesian-join fires on SHUFFLE_REPLICATE_NL cross join; " +
+    "nested-loop-join fires on a broadcast cross join") {
+    val a = Seq(1, 2).toDF("a"); val b = Seq(3, 4).toDF("b")
+    val cart = report(a.hint("shuffle_replicate_nl").crossJoin(b))
+    assert(cart("cartesian-join") == (("warn", 1L)))
+    val bnlj = report(a.crossJoin(b))
+    assert(bnlj("nested-loop-join") == (("warn", 1L)))
+    assert(bnlj("cartesian-join")._1 == "ok")
+  }
+
+  test("global-window fires only on an empty PARTITION BY") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val global = df.withColumn("r", row_number().over(
+      Window.orderBy($"id")))
+    assert(report(global)("global-window") == (("warn", 1L)))
+    val keyed = df.withColumn("r", row_number().over(
+      Window.partitionBy($"s").orderBy($"id")))
+    assert(report(keyed)("global-window")._1 == "ok")
+  }
+
+  test("global-sort fires on orderBy, not on sortWithinPartitions " +
+    "or a top-k limit") {
+    val df = Seq(3, 1, 2).toDF("v")
+    assert(report(df.orderBy($"v"))("global-sort") == (("warn", 1L)))
+    assert(report(df.sortWithinPartitions($"v"))("global-sort")._1 == "ok")
+    // sort+limit plans as TakeOrderedAndProject — no SortExec at all
+    assert(report(df.orderBy($"v").limit(2))("global-sort")._1 == "ok")
+  }
+
+  test("exchange-count warns past the ceiling and reports the count") {
+    val df = Seq((1, "a")).toDF("id", "s").groupBy("s").count()
+    val r = report(df, maxExchanges = 0)
+    assert(r("exchange-count")._1 == "warn")
+    assert(r("exchange-count")._2 >= 1L)
+  }
+
+  test("broadcastable-join fires on a merge-hinted tiny join and " +
+    "stays quiet when the join already broadcasts") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "s")
+    val b = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val smj = a.hint("merge").join(b.hint("merge"), "k")
+    assert(report(smj)("broadcastable-join") == (("warn", 1L)))
+    val bc = a.join(broadcast(b), "k")
+    assert(report(bc)("broadcastable-join")._1 == "ok")
+  }
+
+  test("partition-filter-missing fires on an unpruned partitioned " +
+    "scan and clears once the partition column is filtered") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint_part").toString
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(report(scan.select("v"))("partition-filter-missing") ==
+      (("warn", 1L)))
+    assert(report(scan.filter($"p" === "a"))(
+      "partition-filter-missing")._1 == "ok")
+  }
+
+  test("filter-not-pushed fires when no predicate reaches the " +
+    "reader; a plain comparison pushes and clears it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint_push").toString
+    Seq(("abc", 1), ("de", 2)).toDF("s", "v")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // length() has no parquet filter translation: dataFilters
+    // non-empty, PushedFilters []
+    assert(report(scan.filter(length($"s") > 2))(
+      "filter-not-pushed") == (("warn", 1L)))
+    assert(report(scan.filter($"v" > 1))("filter-not-pushed")._1 == "ok")
+  }
+
+  test("interpreted-stage fires on a CodegenFallback expression " +
+    "(higher-order function) in a projection") {
+    // literal Seqs constant-fold to LocalTableScan — a real relation
+    // (range) keeps the projection in the plan
+    val df = spark.range(3).select(array($"id".cast("double")).as("xs"))
+      .select(aggregate($"xs", lit(0.0), (a, x) => a + x).as("s"))
+    assert(report(df)("interpreted-stage")._1 == "warn")
+    val clean = spark.range(3).select(($"id" + 1L).as("y"))
+    assert(report(clean)("interpreted-stage")._1 == "ok")
+  }
+
+  test("scala-udf fires once per UDF call site") {
+    val up = udf((s: String) => s.toUpperCase)
+    val df = spark.range(2).select(up($"id".cast("string")).as("u"))
+    assert(report(df)("scala-udf") == (("warn", 1L)))
+  }
+}

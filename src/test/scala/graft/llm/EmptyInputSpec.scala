@@ -507,4 +507,44 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, String, Double)].toDF("k", "arm", "v"),
       Seq("k"), "arm", "a", "b", "v").count() == 0)
   }
+
+  test("round-17 operators on empty inputs") {
+    import java.sql.Timestamp
+    val emptyArm = Seq.empty[(String, String, Double)]
+      .toDF("k", "arm", "v")
+    assert(graft.agg.Stats.wasserstein1(
+      emptyArm, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.cramerVonMises(
+      emptyArm, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.kuiper(
+      emptyArm, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.energyDistance(
+      emptyArm, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.kendallsW(
+      Seq.empty[(String, Long, String, Double)]
+        .toDF("k", "rater", "item", "v"),
+      Seq("k"), "rater", "item", "v").count() == 0)
+    assert(graft.agg.Stats.holmBonferroni(
+      Seq.empty[(String, String, Double)].toDF("k", "id", "p"),
+      Seq("k"), "id", "p").count() == 0)
+    assert(graft.agg.Stats.cohensH(
+      Seq.empty[(String, String, Boolean)].toDF("k", "arm", "hit"),
+      Seq("k"), "arm", "a", "b", "hit").count() == 0)
+    assert(graft.agg.Stats.riskRatio(
+      Seq.empty[(String, Boolean, Boolean)].toDF("k", "ex", "oc"),
+      Seq("k"), "ex", "oc").count() == 0)
+    assert(graft.agg.Stats.atkinson(
+      Seq.empty[(String, Double)].toDF("k", "v"),
+      Seq("k"), "v").count() == 0)
+    assert(graft.agg.Stats.lorenzCurve(
+      Seq.empty[(String, Double)].toDF("k", "v"),
+      Seq("k"), "v").count() == 0)
+    val emptyTs17 = Seq.empty[(String, Timestamp, Long, Double, Double)]
+      .toDF("k", "ts", "id", "a", "f")
+    assert(graft.ops.TimeSeries.theilU(
+      emptyTs17, Seq("k"), "ts", "id", "a", "f").count() == 0)
+    assert(graft.ops.TimeSeries.trackingSignal(
+      Seq.empty[(String, Double, Double)].toDF("k", "a", "f"),
+      Seq("k"), "a", "f").count() == 0)
+  }
 }

@@ -588,6 +588,43 @@ class TimeSeriesSpec extends AnyFunSuite {
       s.getDouble(3) == 0.0 && s.getDouble(4) == 7.0)
   }
 
+  test("theilU: hand U1 chain, U2 = naive-relative RMSE; flat " +
+    "actuals and single-point keys null U2") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1L, 10.0, 12.0),
+      ("k", ts("2024-01-01 00:01:00"), 2L, 20.0, 18.0),
+      ("f", ts("2024-01-01 00:00:00"), 3L, 5.0, 6.0),
+      ("f", ts("2024-01-01 00:01:00"), 4L, 5.0, 4.0),
+      ("s", ts("2024-01-01 00:00:00"), 5L, 7.0, 7.0)
+    ).toDF("key", "ts", "id", "a", "fc")
+    val out = TimeSeries.theilU(df, Seq("key"), "ts", "id", "a", "fc")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // cents: e = (200, -200), a = (1000, 2000), f = (1200, 1800)
+    val u1 = math.sqrt(80000.0 / 2.0) /
+      (math.sqrt(5000000.0 / 2.0) + math.sqrt(4680000.0 / 2.0))
+    assert(k.getAs[Double]("u1") == u1)
+    assert(k.getAs[Double]("u2") == 0.2) // 200 / 1000
+    assert(out("f").isNullAt(out("f").fieldIndex("u2"))) // flat naive
+    assert(out("s").isNullAt(out("s").fieldIndex("u2"))) // n = 1
+    assert(out("s").getAs[Double]("u1") ==
+      math.sqrt(0.0) / (math.sqrt(490000.0) + math.sqrt(490000.0)))
+  }
+
+  test("trackingSignal: drifting forecast accumulates TS = n* " +
+    "signed bias; perfect forecast nulls the signal") {
+    val df = Seq(("k", 10.0, 10.0), ("k", 12.0, 10.0),
+      ("k", 14.0, 10.0), ("p", 5.0, 5.0)).toDF("key", "a", "f")
+    val out = TimeSeries.trackingSignal(df, Seq("key"), "a", "f")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("cum_error") == 6.0)
+    assert(k.getAs[Double]("mad") == 2.0)
+    assert(k.getAs[Double]("tracking_signal") == 3.0)
+    assert(out("p").getAs[Double]("mad") == 0.0)
+    assert(out("p").isNullAt(out("p").fieldIndex("tracking_signal")))
+  }
+
   test("holtLinear/ewma: null-tie rows are DROPPED (the fold-family " +
     "null contract, matching the streaming arms' filter)") {
     // a null tie has no position in the (ts, tie) order; keeping it
