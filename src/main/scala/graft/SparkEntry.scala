@@ -4281,6 +4281,129 @@ object SparkEntry {
             (pmod(col("event_id"), lit(5L)) - lit(2L)).cast("double")),
         Seq("event_type"), "value", "fc")),
 
+    // ---- survival: Gehan-Wilcoxon early-weighted two-group test —
+    //      logRank's grid with n_t / n_t^2 weights in the fold ----
+    "q390_gehan_wilcoxon" -> ((s, dir) =>
+      graft.agg.Stats.gehanWilcoxon(
+        t(s, dir, "events")
+          .withColumn("grp", pmod(col("user_id"), lit(2L)) === 0L)
+          .withColumn("observed", pmod(col("user_id"), lit(10L)) < 8L),
+        Seq("event_type"), "grp", "value", "observed")),
+
+    // ---- drift: tv / overlap / Bhattacharyya / Hellinger panel on
+    //      the exact value grid ----
+    "q391_distribution_distance" -> ((s, dir) =>
+      graft.agg.Stats.distributionDistance(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- effect size: Hodges-Lehmann shift — grid x grid pairwise
+    //      differences, exact weighted median ----
+    "q392_hodges_lehmann" -> ((s, dir) =>
+      graft.agg.Stats.hodgesLehmann(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- survival: quartile read-off from the KM curve (q218's
+    //      subject fixture; unreached thresholds stay null) ----
+    "q393_survival_quantiles" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        .localCheckpoint(false)
+      val mx = per.agg(max(col("last_d")).as("__mx"))
+      val subj = per.crossJoin(broadcast(mx))
+        .withColumn("duration",
+          datediff(col("last_d"), col("first_d")).cast("long"))
+        .withColumn("observed", datediff(col("__mx"), col("last_d")) >= 7)
+        .withColumn("cohort",
+          date_trunc("month", col("first_d")).cast("date"))
+      graft.ops.Survival.survivalQuantiles(subj, Seq("cohort"),
+        "duration", "observed")
+    }),
+
+    // ---- stats: Quade test — range-weighted Friedman on the
+    //      q349 fixture, quadrupled integer scores ----
+    "q395_quade" -> ((s, dir) =>
+      graft.agg.Stats.quade(
+        t(s, dir, "events")
+          .withColumn("blk", pmod(col("user_id"), lit(50L)))
+          .withColumn("trt", pmod(col("event_id"), lit(3L))),
+        Seq("event_type"), "blk", "trt", "value")),
+
+    // ---- stats: Conover squared-ranks dispersion test — cross-
+    //      scaled exact integer deviations, doubled rank scores ----
+    "q396_conover_squared_ranks" -> ((s, dir) =>
+      graft.agg.Stats.conoverSquaredRanks(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- stats: two-sample Poisson rate test — exact count and
+    //      cent-exposure sums, Wald z + snapped log-ratio CI ----
+    "q397_poisson_rate_test" -> ((s, dir) =>
+      graft.agg.Stats.poissonRateTest(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b")))
+          .withColumn("ev", pmod(col("event_id"), lit(7L))),
+        Seq("event_type"), "arm", "a", "b", "ev", "value")),
+
+    // ---- estimation: Chapman capture-recapture — two event-id-
+    //      parity "captures" of the user population ----
+    "q398_capture_recapture" -> ((s, dir) =>
+      graft.agg.Stats.captureRecapture(
+        t(s, dir, "events")
+          .withColumn("cap", when(pmod(col("event_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "cap", "a", "b", "user_id")),
+
+    // ---- estimation: Chao1 richness + Good-Turing unseen mass
+    //      over the per-type user "species" counts ----
+    "q399_chao1" -> ((s, dir) =>
+      graft.agg.Stats.chao1(t(s, dir, "events"),
+        Seq("event_type"), "user_id")),
+
+    // ---- streaming: tracking-signal keyed state — three integer-
+    //      cent registers, the 15th streaming state operator ----
+    "q394_stream_tracking_signal" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"),
+          (col("value") + (pmod(col("event_id"), lit(5L)) - lit(2L))
+            .cast("double")).as("fc"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q394")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q394: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.trackingSignalStream(
+          df, "user_id", "ts", "event_id", "value", "fc"),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldTrackingUpdates(updates)
+        .select(col("actor").as("user_id"), col("n"), col("cum_error"),
+          col("mad"), col("tracking_signal"))
+    }),
+
     // ---- survival: restricted mean survival time — area under the
     //      KM curve to a 30-day horizon, time-order segment fold ----
     "q374_rmst" -> ((s, dir) => {
@@ -8345,6 +8468,388 @@ object SparkEntry {
         |  ('partition-filter-missing', 'ok', CAST(0 AS BIGINT)),
         |  ('scala-udf', 'warn', CAST(1 AS BIGINT))
         |) AS t(rule, status, n)""".stripMargin,
+
+    // q349's complete-block grid + range-ranked block weights,
+    // quadrupled integer scores, VARCHAR-routed exact moments
+    "q395_quade" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 50) + 50) % 50 AS blk,
+        |    ((event_id % 3) + 3) % 3 AS trt,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |cell AS (SELECT k, blk, trt, CAST(sum(c) AS BIGINT) AS vc
+        |  FROM b GROUP BY 1, 2, 3),
+        |d AS (SELECT *, dense_rank() OVER (PARTITION BY k
+        |    ORDER BY trt) AS dr FROM cell),
+        |e AS (SELECT *, max(dr) OVER (PARTITION BY k) AS kk,
+        |    count(*) OVER (PARTITION BY k, blk) AS bc FROM d),
+        |comp AS (SELECT *, max(vc) OVER (PARTITION BY k, blk)
+        |      - min(vc) OVER (PARTITION BY k, blk) AS rng
+        |  FROM e WHERE bc = kk),
+        |blocks AS (SELECT k, blk, max(rng) AS rng
+        |  FROM comp GROUP BY 1, 2),
+        |q2 AS (SELECT k, blk,
+        |    2 * rank() OVER (PARTITION BY k ORDER BY rng)
+        |      + count(*) OVER (PARTITION BY k, rng) - 1 AS q2r
+        |  FROM blocks),
+        |r AS (SELECT comp.k, comp.blk, comp.trt, comp.kk,
+        |    2 * rank() OVER (PARTITION BY comp.k, comp.blk
+        |      ORDER BY vc)
+        |      + count(*) OVER (PARTITION BY comp.k, comp.blk, vc) - 1
+        |      AS r2, q2.q2r
+        |  FROM comp JOIN q2 ON q2.k = comp.k AND q2.blk = comp.blk),
+        |s4 AS (SELECT k, trt, q2r * (r2 - (kk + 1)) AS s4 FROM r),
+        |pt AS (SELECT k, trt, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s4) AS BIGINT) AS w4, sum(s4 * s4) AS sq
+        |  FROM s4 GROUP BY 1, 2),
+        |g AS (SELECT k, max(n) AS nb, CAST(count(*) AS BIGINT) AS kt,
+        |    sum(CAST(w4 AS HUGEINT) * CAST(w4 AS HUGEINT)) AS sw2,
+        |    sum(sq) AS a16 FROM pt GROUP BY 1),
+        |z AS (SELECT k, nb, kt, CAST(nb AS DOUBLE) AS nd,
+        |    CAST(CAST(sw2 AS VARCHAR) AS DOUBLE) AS dsw,
+        |    CAST(CAST(a16 AS VARCHAR) AS DOUBLE) AS da FROM g)
+        |SELECT k AS event_type, nb AS n_blocks, kt AS k_treatments,
+        |  CASE WHEN kt >= 2 AND da - dsw / nd > 0.0
+        |    THEN (nd - 1.0) * (dsw / nd) / (da - dsw / nd) END AS f
+        |FROM z""".stripMargin,
+
+    // cross-scaled integer deviations (common n_a*n_b factor keeps
+    // the pooled order), doubled midranks, exact squared-rank
+    // moments, pinned z closing
+    "q396_conover_squared_ranks" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT *,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) OVER (PARTITION BY k)
+        |      AS na,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END) OVER (PARTITION BY k)
+        |      AS nb,
+        |    sum(CASE WHEN a THEN v ELSE 0 END) OVER (PARTITION BY k)
+        |      AS sa,
+        |    sum(CASE WHEN a THEN 0 ELSE v END) OVER (PARTITION BY k)
+        |      AS sb
+        |  FROM b),
+        |devs AS (SELECT k, a, na, nb,
+        |    CASE WHEN a THEN abs(na * nb * v - nb * sa)
+        |      ELSE abs(na * nb * v - na * sb) END AS dev
+        |  FROM s),
+        |r AS (SELECT *, 2 * rank() OVER (PARTITION BY k ORDER BY dev)
+        |      + count(*) OVER (PARTITION BY k, dev) - 1 AS r2
+        |  FROM devs),
+        |sc AS (SELECT k, a, na, nb, r2 * r2 AS sq FROM r),
+        |m AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN sq END) AS t4,
+        |    sum(sq) AS ss, sum(CAST(sq AS HUGEINT) * sq) AS sqq
+        |  FROM sc GROUP BY 1),
+        |z AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nd,
+        |    CAST(n_b AS DOUBLE) AS md,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS bigN,
+        |    CAST(CAST(t4 AS VARCHAR) AS DOUBLE) AS dt4,
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE) AS dss,
+        |    CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS dsq FROM m)
+        |SELECT k AS event_type, n_a, n_b, dt4 AS t4,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND
+        |    nd * md * (bigN * dsq - dss * dss)
+        |      / (bigN * bigN * (bigN - 1.0)) > 0.0
+        |  THEN (dt4 - nd * dss / bigN)
+        |    / sqrt(nd * md * (bigN * dsq - dss * dss)
+        |      / (bigN * bigN * (bigN - 1.0))) END AS z
+        |FROM z""".stripMargin,
+
+    // exact count / cent-exposure cell sums, pinned rate chains,
+    // snapped log-ratio
+    "q397_poisson_rate_test" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    ((event_id % 7) + 7) % 7 AS ev,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ec
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT k,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN ev ELSE 0 END) AS BIGINT)
+        |      AS k1,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN ec ELSE 0 END) AS BIGINT)
+        |      AS e1c,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN ev ELSE 0 END) AS BIGINT)
+        |      AS k2,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN ec ELSE 0 END) AS BIGINT)
+        |      AS e2c
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT *, CAST(e1c AS DOUBLE) / 100.0 AS e1,
+        |    CAST(e2c AS DOUBLE) / 100.0 AS e2 FROM m),
+        |y AS (SELECT *, CAST(k1 AS DOUBLE) / e1 AS r1,
+        |    CAST(k2 AS DOUBLE) / e2 AS r2 FROM z),
+        |w AS (SELECT *,
+        |    sqrt(CAST(k1 AS DOUBLE) / (e1 * e1)
+        |      + CAST(k2 AS DOUBLE) / (e2 * e2)) AS se,
+        |    round(ln(CASE WHEN k1 > 0 AND k2 > 0 AND e1c > 0
+        |      AND e2c > 0 THEN r1 / r2 END), 9) AS lr,
+        |    sqrt(1.0 / CAST(k1 AS DOUBLE) + 1.0 / CAST(k2 AS DOUBLE))
+        |      AS sel
+        |  FROM y)
+        |SELECT k AS event_type, k1 AS k_1, e1 AS exposure_1,
+        |  k2 AS k_2, e2 AS exposure_2,
+        |  CASE WHEN e1c > 0 THEN r1 END AS rate_1,
+        |  CASE WHEN e2c > 0 THEN r2 END AS rate_2,
+        |  CASE WHEN e1c > 0 AND e2c > 0 AND se > 0.0
+        |    THEN (r1 - r2) / se END AS z,
+        |  CASE WHEN e1c > 0 AND e2c > 0 AND k1 > 0 AND k2 > 0
+        |    THEN lr END AS log_ratio,
+        |  CASE WHEN e1c > 0 AND e2c > 0 AND k1 > 0 AND k2 > 0
+        |    THEN lr - 1.96 * sel END AS log_lo,
+        |  CASE WHEN e1c > 0 AND e2c > 0 AND k1 > 0 AND k2 > 0
+        |    THEN lr + 1.96 * sel END AS log_hi
+        |FROM w""".stripMargin,
+
+    // (key, id) presence flags, exact overlap, pinned Chapman
+    // estimate + se
+    "q398_capture_recapture" ->
+      """WITH b AS (SELECT event_type AS k, user_id AS id,
+        |    CASE WHEN ((event_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS cap
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |ids AS (SELECT k, id,
+        |    CAST(max(CASE WHEN cap = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ia,
+        |    CAST(max(CASE WHEN cap = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ib
+        |  FROM b GROUP BY 1, 2),
+        |m AS (SELECT k, CAST(sum(ia) AS BIGINT) AS n_a,
+        |    CAST(sum(ib) AS BIGINT) AS n_b,
+        |    CAST(sum(ia * ib) AS BIGINT) AS m_overlap
+        |  FROM ids GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, m_overlap,
+        |  (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+        |    / (CAST(m_overlap AS DOUBLE) + 1.0) - 1.0 AS chapman_n,
+        |  sqrt((CAST(n_a AS DOUBLE) + 1.0)
+        |    * (CAST(n_b AS DOUBLE) + 1.0)
+        |    * (CAST(n_a AS DOUBLE) - CAST(m_overlap AS DOUBLE))
+        |    * (CAST(n_b AS DOUBLE) - CAST(m_overlap AS DOUBLE))
+        |    / ((CAST(m_overlap AS DOUBLE) + 1.0)
+        |      * (CAST(m_overlap AS DOUBLE) + 1.0)
+        |      * (CAST(m_overlap AS DOUBLE) + 2.0))) AS se
+        |FROM m""".stripMargin,
+
+    // (key, item) occurrence grid, exact f1/f2, pinned Chao1 and
+    // Good-Turing closings
+    "q399_chao1" ->
+      """WITH items AS (SELECT event_type AS k, user_id AS item,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS s_observed,
+        |    CAST(sum(c) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM items GROUP BY 1)
+        |SELECT k AS event_type, s_observed, n_total, f1, f2,
+        |  CAST(s_observed AS DOUBLE) + CAST(f1 AS DOUBLE)
+        |    * (CAST(f1 AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1,
+        |  CAST(f1 AS DOUBLE) / CAST(n_total AS DOUBLE) AS unseen_mass
+        |FROM m""".stripMargin,
+
+    // q364's grid and fold with the Gehan n_t / n_t^2 weights; E
+    // accumulates at every event time (the r17 logRank rule), V
+    // keeps the n <= 1 neutral zero
+    "q390_gehan_wilcoxon" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS g1,
+        |    ((user_id % 10) + 10) % 10 < 8 AS ev,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT k, t,
+        |    CAST(sum(CASE WHEN g1 AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN NOT g1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (SELECT *, sum(c1) OVER (PARTITION BY k) AS T1,
+        |    sum(c0) OVER (PARTITION BY k) AS T0,
+        |    coalesce(sum(c1) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS p1,
+        |    coalesce(sum(c0) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS p0
+        |  FROM cells),
+        |f AS (SELECT k, CAST(sum(d1) AS BIGINT) AS n_events_1,
+        |    CAST(sum(d0) AS BIGINT) AS n_events_0,
+        |    list_reduce(list_prepend([0.0, 0.0],
+        |      list([CAST(d1 AS DOUBLE), CAST(d1 + d0 AS DOUBLE),
+        |        CAST(T1 - p1 AS DOUBLE),
+        |        CAST(T1 - p1 + T0 - p0 AS DOUBLE)] ORDER BY t)),
+        |    (acc, p) -> [
+        |      acc[1] + CASE WHEN p[2] > 0.0
+        |        THEN p[4] * (p[1] - p[3] / p[4] * p[2])
+        |        ELSE 0.0 END,
+        |      acc[2] + CASE WHEN p[4] > 1.0 AND p[2] > 0.0
+        |        THEN p[4] * p[4] * (p[2] * (p[3] / p[4])
+        |          * (1.0 - p[3] / p[4])
+        |          * (p[4] - p[2]) / (p[4] - 1.0)) ELSE 0.0 END])
+        |      AS m
+        |  FROM grid GROUP BY 1)
+        |SELECT k AS event_type, n_events_1, n_events_0,
+        |  m[1] AS w_stat,
+        |  CASE WHEN m[2] > 0.0 THEN m[1] * m[1] / m[2] END AS chi2
+        |FROM f""".stripMargin,
+
+    // exact tv/overlap lattice sums (VARCHAR-routed), BC fold of
+    // sqrt(ca*cb) in value order, pinned closings
+    "q391_distribution_distance" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT *, sum(ca) OVER (PARTITION BY k) AS na,
+        |    sum(cb) OVER (PARTITION BY k) AS nb FROM grid),
+        |m AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    sum(abs(ca * nb - cb * na)) AS tvn,
+        |    sum(least(ca * nb, cb * na)) AS ovn,
+        |    list_reduce(list_prepend([CAST(0.0 AS DOUBLE)],
+        |      list([CAST(v AS DOUBLE), CAST(ca * cb AS DOUBLE)]
+        |        ORDER BY v)),
+        |      (acc, p) -> [acc[1] + sqrt(p[2])])[1] AS bcn
+        |  FROM st GROUP BY 1),
+        |z AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nd,
+        |    CAST(n_b AS DOUBLE) AS md,
+        |    CAST(CAST(tvn AS VARCHAR) AS DOUBLE) AS dtv,
+        |    CAST(CAST(ovn AS VARCHAR) AS DOUBLE) AS dov, bcn FROM m)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN dtv / (2.0 * nd * md) END AS tv,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN dov / (nd * md) END AS overlap,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN bcn / sqrt(nd * md) END AS bc,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN sqrt(greatest(0.0, 1.0 - bcn / sqrt(nd * md)))
+        |  END AS hellinger
+        |FROM z""".stripMargin,
+
+    // per-arm value grids joined per key, exact pair-weighted
+    // cumulative, integer-div midpoint thresholds
+    "q392_hodges_lehmann" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |ga AS (SELECT k, v AS va, CAST(count(*) AS BIGINT) AS ca
+        |  FROM b WHERE arm = 'a' GROUP BY 1, 2),
+        |gb AS (SELECT k, v AS vb, CAST(count(*) AS BIGINT) AS cb
+        |  FROM b WHERE arm = 'b' GROUP BY 1, 2),
+        |diffs AS (SELECT ga.k, va - vb AS dd,
+        |    CAST(sum(ca * cb) AS BIGINT) AS w
+        |  FROM ga JOIN gb ON ga.k = gb.k GROUP BY 1, 2),
+        |st AS (SELECT k, dd, w,
+        |    CAST(sum(w) OVER (PARTITION BY k ORDER BY dd) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY k) AS BIGINT) AS tw
+        |  FROM diffs),
+        |m AS (SELECT k, max(tw) AS n_pairs,
+        |    min(CASE WHEN cum >= (tw + 1) // 2 THEN dd END) AS lo,
+        |    min(CASE WHEN cum >= tw // 2 + 1 THEN dd END) AS hi
+        |  FROM st GROUP BY 1),
+        |counts AS (SELECT k,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM b GROUP BY 1)
+        |SELECT counts.k AS event_type, n_a, n_b,
+        |  coalesce(n_pairs, 0) AS n_pairs,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    (CAST(lo AS DOUBLE) + CAST(hi AS DOUBLE)) / 2.0 / 100.0
+        |  END AS hl_shift
+        |FROM counts LEFT JOIN m ON counts.k = m.k""".stripMargin,
+
+    // q218's KM replay + snapped survival and conditional-min
+    // quantile read-offs
+    "q393_survival_quantiles" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT user_id, min(d) AS first_d, max(d) AS last_d
+        |        FROM e GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM per),
+        |subj AS (SELECT date_trunc('month', first_d) AS cohort,
+        |    CAST(last_d - first_d AS BIGINT) AS t,
+        |    (mxd - last_d) >= 7 AS obs
+        |  FROM per CROSS JOIN mx),
+        |g AS (SELECT cohort, t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort) AS BIGINT) AS tot,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |k AS (SELECT cohort, t, tot - cum + d + c AS n_risk, d, c FROM r),
+        |f AS (SELECT *, CASE WHEN n_risk > d THEN
+        |    CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(12,9)) END AS lf
+        |  FROM k),
+        |km AS (SELECT cohort, t, d,
+        |    CASE WHEN lf IS NOT NULL THEN
+        |      CAST(sum(lf) OVER (PARTITION BY cohort ORDER BY t)
+        |        AS DOUBLE)
+        |    END AS log_surv
+        |  FROM f),
+        |sv AS (SELECT cohort, t, d,
+        |    CASE WHEN log_surv IS NOT NULL
+        |      THEN round(exp(log_surv), 9) ELSE 0.0 END AS s
+        |  FROM km)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_times,
+        |  CAST(sum(d) AS BIGINT) AS n_events,
+        |  min(CASE WHEN d > 0 AND s <= 0.75 THEN t END) AS t_25,
+        |  min(CASE WHEN d > 0 AND s <= 0.50 THEN t END) AS median_t,
+        |  min(CASE WHEN d > 0 AND s <= 0.25 THEN t END) AS t_75
+        |FROM sv GROUP BY 1""".stripMargin,
+
+    // order-free per-key cent sums: the stream's fold state replayed
+    // as plain aggregation (the strongest batch = stream parity)
+    "q394_stream_tracking_signal" ->
+      """WITH b AS (SELECT user_id AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ac,
+        |    CAST(CAST(value + CAST(((event_id % 5) + 5) % 5 - 2
+        |      AS DOUBLE) AS DECIMAL(18,2)) * 100 AS BIGINT) AS fc
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(ac - fc) AS se, sum(abs(ac - fc)) AS sae
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT k, n, CAST(n AS DOUBLE) AS ndb,
+        |    CAST(CAST(se AS VARCHAR) AS DOUBLE) AS dse,
+        |    CAST(CAST(sae AS VARCHAR) AS DOUBLE) AS dae FROM m)
+        |SELECT k AS user_id, n, dse / 100.0 AS cum_error,
+        |  dae / ndb / 100.0 AS mad,
+        |  CASE WHEN dae > 0.0 THEN dse / (dae / ndb) END
+        |    AS tracking_signal
+        |FROM z""".stripMargin,
 
     // (keys, cents) grid, list_reduce fold of c*sqrt(v) in value
     // order, pinned 1 - r^2/(n*s) closing

@@ -5423,6 +5423,558 @@ object Stats {
         .as("cum_share")): _*)
   }
 
+  /**
+   * Gehan-Wilcoxon test per key — [[logRank]]'s EARLY-difference
+   * sibling: the same two-group censored-survival comparison, but
+   * each event time is weighted by the pooled at-risk count `n_t`,
+   * so departures EARLY in the curve (when everyone is still at
+   * risk) dominate — the test to run when early churn/failure is
+   * what matters and late-tail noise shouldn't drown it. Report
+   * next to [[logRank]] (proportional-hazards-optimal): both
+   * significant = robust difference; only one = the curves cross
+   * or the difference is time-localized.
+   *
+   * Pinned semantics: [[logRank]]'s grid verbatim — exact per-time
+   * cells, window at-risk counts, time-order fold — with
+   * `W = Σ n_t·(d₁ₜ − Eₜ)` and `Var = Σ n_t²·Vₜ` accumulated in the
+   * same fold ([[logRank]]'s E-at-every-event-time and V-degeneracy
+   * rules carried over); `χ² = W²/Var ≈ χ²(1)`. Keys with zero
+   * variance emit null chi2.
+   *
+   * Output: (keys…, n_events_1, n_events_0, w_stat, chi2).
+   *
+   * Scale posture: identical to [[logRank]] — one (keys, group,
+   * time) collapse, one key exchange, grid fold.
+   */
+  def gehanWilcoxon(df: DataFrame, keys: Seq[String], groupCol: String,
+                    durationCol: String, eventCol: String,
+                    valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "gehanWilcoxon needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val t = unscaled(col(durationCol), valueScale)
+    val g1 = col(groupCol).cast("boolean")
+    val ev = col(eventCol).cast("boolean")
+    val cells = df
+      .filter(col(durationCol).isNotNull && g1.isNotNull &&
+        ev.isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ t.as("__t"): _*)
+      .agg(sum(when(g1 && ev, 1L).otherwise(0L)).as("__d1"),
+        sum(when(!g1 && ev, 1L).otherwise(0L)).as("__d0"),
+        sum(when(g1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(!g1, 1L).otherwise(0L)).as("__c0"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wPre = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = cells
+      .withColumn("__T1", sum(col("__c1")).over(wKey))
+      .withColumn("__T0", sum(col("__c0")).over(wKey))
+      .withColumn("__n1",
+        col("__T1") - coalesce(sum(col("__c1")).over(wPre), lit(0L)))
+      .withColumn("__n0",
+        col("__T0") - coalesce(sum(col("__c0")).over(wPre), lit(0L)))
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__t").as("__tt"),
+        col("__d1").cast("double").as("__e1"),
+        (col("__d1") + col("__d0")).cast("double").as("__dd"),
+        col("__n1").cast("double").as("__m1"),
+        (col("__n1") + col("__n0")).cast("double").as("__mm")))),
+      array(lit(0.0), lit(0.0)),
+      (acc, p) => {
+        val okE = p.getField("__dd") > 0.0
+        val okV = p.getField("__mm") > 1.0 && okE
+        val nn = when(okE, p.getField("__mm")).otherwise(lit(1.0))
+        val nm1 = when(okV, p.getField("__mm") - lit(1.0))
+          .otherwise(lit(1.0))
+        val share = p.getField("__m1") / nn
+        val wObsE = when(okE, p.getField("__mm") *
+          (p.getField("__e1") - share * p.getField("__dd")))
+          .otherwise(lit(0.0))
+        val w2v = when(okV, p.getField("__mm") * p.getField("__mm") *
+          (p.getField("__dd") * share * (lit(1.0) - share) *
+            (p.getField("__mm") - p.getField("__dd")) / nm1))
+          .otherwise(lit(0.0))
+        array(element_at(acc, 1) + wObsE, element_at(acc, 2) + w2v)
+      })
+    val agg = grid.groupBy(keys.map(col): _*)
+      .agg(sum(col("__d1")).as("n_events_1"),
+        sum(col("__d0")).as("n_events_0"), fold.as("__m"))
+    val ws = element_at(col("__m"), 1)
+    val vv = element_at(col("__m"), 2)
+    agg.select(keys.map(col) ++ Seq(col("n_events_1"),
+      col("n_events_0"), ws.as("w_stat"),
+      when(vv > 0.0, ws * ws / when(vv > 0.0, vv)).as("chi2")): _*)
+  }
+
+  /**
+   * Distribution-distance panel per key between two arms over the
+   * exact value grid — three bounded [0, 1] distances with
+   * complementary sensitivities, closing the drift family
+   * ([[ksTest]] worst gap, [[kuiper]] both gaps, [[wasserstein1]]
+   * value-unit area, [[cramerVonMises]] squared curve, this panel
+   * pointwise): `tv` total variation `½Σ|p−q|` (the largest
+   * probability any event's mass can differ by), `overlap`
+   * `Σ min(p,q)` (the shared mass, = 1 − tv on a common grid),
+   * `bc` Bhattacharyya `Σ√(pq)` and `hellinger` `√(1−BC)` (the
+   * geometric middle ground, differentiable where tv is not).
+   *
+   * Engine-exact: tv and overlap never touch a float until ONE
+   * closing division each — `Σ|c_a·n_b − c_b·n_a|` and
+   * `Σ min(c_a·n_b, c_b·n_a)` are exact longs on the [[ksTest]]
+   * cross-multiplied lattice. BC's per-row `√(c_a·c_b)` (correctly
+   * rounded IEEE) folds SEQUENTIALLY in value order (≡ list_reduce)
+   * and closes `/√(n_a·n_b)`; hellinger = `√max(0, 1−bc)` (the
+   * clamp absorbs the one-ulp overshoot of a perfect match). Empty
+   * arms emit nulls.
+   *
+   * Output: (keys…, n_a, n_b, tv, overlap, bc, hellinger).
+   *
+   * Scale posture: one map-side grid collapse, ONE key exchange
+   * (totals windows + ordered fold), closing projection — the
+   * [[ksTest]] shape.
+   */
+  def distributionDistance(df: DataFrame, keys: Seq[String],
+                           groupCol: String, aLabel: String,
+                           bLabel: String, valueCol: String,
+                           valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "distributionDistance needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val stepped = grid
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__v").as("__t"),
+        (col("__ca") * col("__cb")).cast("double").as("__p")))),
+      lit(0.0),
+      (acc, p) => acc + sqrt(p.getField("__p")))
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("__tvn"),
+        sum(least(col("__ca") * col("__nb"), col("__cb") * col("__na")))
+          .as("__ovn"),
+        fold.as("__bcn"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val ok = col("n_a") >= 1L && col("n_b") >= 1L
+    val bc = col("__bcn") / sqrt(nD * mD)
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(ok, d(col("__tvn")) / (lit(2.0) * nD * mD)).as("tv"),
+      when(ok, d(col("__ovn")) / (nD * mD)).as("overlap"),
+      when(ok, bc).as("bc"),
+      when(ok, sqrt(greatest(lit(0.0), lit(1.0) - bc)))
+        .as("hellinger")): _*)
+  }
+
+  /**
+   * Hodges-Lehmann shift estimator per key — the VALUE-UNIT effect
+   * size for [[mannWhitneyU]] (δ = [[cliffsDelta]] is unitless; HL
+   * answers "by HOW MUCH is arm A shifted"): the median of all
+   * n_a·n_b pairwise differences `aᵢ − bⱼ`, the robust alternative
+   * to mean-difference that one outlier can't move.
+   *
+   * Exact formulation without materializing pairs: both arms
+   * collapse to their value GRIDS, the per-key grid×grid join
+   * enumerates DISTINCT differences with exact pair weights
+   * `c_a·c_b`, and the weighted median reads off the cumulative
+   * weight window with the standard even-total midpoint convention
+   * (`lower` = smallest diff with cum ≥ ⌈W/2⌉, `upper` = smallest
+   * with cum ≥ ⌊W/2⌋+1, HL = (lower+upper)/2) — all exact integers
+   * until the final halving. Empty arms emit null.
+   *
+   * Output: (keys…, n_a, n_b, n_pairs, hl_shift).
+   *
+   * Envelope: the joined relation is |grid_a|·|grid_b| rows PER KEY
+   * — distinct-value products to ~10⁸ are fine (it collapses
+   * map-side); for continuous heavy keys, coarsen `valueScale`
+   * first (the estimator is grid-precision anyway).
+   *
+   * Scale posture: two map-side grid collapses, one key-equi join
+   * (never cartesian — keys are the join key), one difference-grid
+   * collapse, ONE key exchange for the cumulative window + closing.
+   */
+  def hodgesLehmann(df: DataFrame, keys: Seq[String], groupCol: String,
+                    aLabel: String, bLabel: String, valueCol: String,
+                    valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "hodgesLehmann needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+    val ga = base.filter(col(groupCol) === aLabel)
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__va"): _*)
+      .agg(count(lit(1)).as("__ca"))
+    val gb = base.filter(col(groupCol) === bLabel)
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__vb"): _*)
+      .agg(count(lit(1)).as("__cb"))
+    val diffs = ga.join(gb, keys)
+      .withColumn("__d", col("__va") - col("__vb"))
+      .withColumn("__w", col("__ca") * col("__cb"))
+      .groupBy(keys.map(col) :+ col("__d"): _*)
+      .agg(sum(col("__w")).as("__w"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__d"))
+    val stepped = diffs
+      .withColumn("__cum", sum(col("__w")).over(wo))
+      .withColumn("__W", sum(col("__w")).over(wk))
+    val scaleF = math.pow(10, valueScale)
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__W")).as("n_pairs"),
+        min(when(col("__cum") >= expr("(__W + 1) div 2"),
+          col("__d"))).as("__lo"),
+        min(when(col("__cum") >= expr("__W div 2") + lit(1L),
+          col("__d"))).as("__hi"))
+    val counts = base.groupBy(keys.map(col): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("n_a"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("n_b"))
+    counts.join(m, keys, "left")
+      .select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_a") >= 1L && col("n_b") >= 1L,
+          (d(col("__lo")) + d(col("__hi"))) / lit(2.0) / lit(scaleF))
+          .as("hl_shift")): _*)
+  }
+
+  /**
+   * Quade test per key — [[friedman]]'s WEIGHTED sibling for
+   * repeated measures: blocks with a larger within-block RANGE get
+   * proportionally more say (a rater who actually discriminates
+   * counts more than one who scored everything 3/5), making Quade
+   * distinctly more powerful than Friedman at small k. Same
+   * contract: one value per (block, treatment) cell (rows sum),
+   * only COMPLETE blocks score.
+   *
+   * Pinned semantics: within-block treatment ranks AND across-block
+   * range ranks both ride as DOUBLED exact longs (`2·rank_min+t−1`
+   * midranks); block ranges are exact cent differences (max−min of
+   * cell sums). The score `S_ij = Q_i·(r_ij − (k+1)/2)` carries
+   * QUADRUPLED as the exact long `S₄ = Q₂·(r₂ − (k+1))`; treatment
+   * totals `W₄ⱼ = Σᵢ S₄ᵢⱼ`, `A₁₆ = ΣS₄²`, `B₁₆ = ΣW₄²/n` (the 16s
+   * cancel in F). Closing: `F = (n−1)·B/(A−B) ≈ F(k−1, (n−1)(k−1))`
+   * — one pinned chain; A = B (perfectly consistent rankings) emits
+   * null (the textbook "treat as F = ∞" case — decide upstream).
+   * Keys with k < 2 emit null f; keys with NO complete blocks
+   * VANISH (the [[friedman]] contract).
+   *
+   * Output: (keys…, n_blocks, k_treatments, f).
+   *
+   * Scale posture: one (keys, block, treatment) collapse, ONE key
+   * exchange carrying the completeness/range/rank windows, two grid
+   * collapses — [[friedman]]'s plan with one extra window pass.
+   */
+  def quade(df: DataFrame, keys: Seq[String], blockCol: String,
+            treatCol: String, valueCol: String,
+            valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "quade needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val cell = df
+      .filter(col(valueCol).isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(blockCol) :+ col(treatCol): _*)
+      .agg(sum(unscaled(col(valueCol), valueScale)).as("__vc"))
+    val wTr = Window.partitionBy(keys.map(col): _*).orderBy(col(treatCol))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val blkCols = keys.map(col) :+ col(blockCol)
+    val wBlk = Window.partitionBy(blkCols: _*)
+    val complete = cell
+      .withColumn("__dr", dense_rank().over(wTr))
+      .withColumn("__kk", max(col("__dr")).over(wKey))
+      .withColumn("__bc", count(lit(1)).over(wBlk))
+      .filter(col("__bc") === col("__kk"))
+      .withColumn("__rng",
+        max(col("__vc")).over(wBlk) - min(col("__vc")).over(wBlk))
+    // doubled block ranks by range (midranks) — each block ranked
+    // ONCE via its collapsed (key, block) range row
+    val wBTie = Window.partitionBy(keys.map(col) :+ col("__rng"): _*)
+    val blocks = complete
+      .groupBy(keys.map(col) :+ col(blockCol): _*)
+      .agg(max(col("__rng")).as("__rng"))
+    val q2 = blocks
+      .withColumn("__q2r",
+        lit(2L) * rank().over(Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__rng"))) +
+          count(lit(1)).over(wBTie) - 1L)
+      .select(keys.map(col) :+ col(blockCol) :+ col("__q2r"): _*)
+    val wROrd = Window.partitionBy(blkCols: _*).orderBy(col("__vc"))
+    val wRTie = Window.partitionBy(blkCols :+ col("__vc"): _*)
+    val ranked = complete
+      .withColumn("__r2",
+        lit(2L) * rank().over(wROrd) + count(lit(1)).over(wRTie) - 1L)
+      .join(q2, keys :+ blockCol)
+      .withColumn("__s4",
+        col("__q2r") * (col("__r2") - (col("__kk") + lit(1L))))
+    val perTreat = ranked.groupBy(keys.map(col) :+ col(treatCol): _*)
+      .agg(count(lit(1)).as("__n"), max(col("__kk")).as("__k"),
+        sum(col("__s4")).as("__w4"),
+        sum((col("__s4").cast("decimal(19,0)") *
+          col("__s4").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sq"))
+    val agg = perTreat.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_blocks"),
+        count(lit(1)).as("k_treatments"),
+        sum((col("__w4").cast("decimal(19,0)") *
+          col("__w4").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sw2"),
+        sum(col("__sq")).as("__a16"))
+    val nD = col("n_blocks").cast("double")
+    val b16 = col("__sw2").cast("double") / nD
+    val a16 = col("__a16").cast("double")
+    agg.select(keys.map(col) ++ Seq(col("n_blocks"),
+      col("k_treatments"),
+      when(col("k_treatments") >= 2L && a16 - b16 > 0.0,
+        (nD - lit(1.0)) * b16 / (a16 - b16)).as("f")): _*)
+  }
+
+  /**
+   * Conover squared-ranks test per key — the RANK-BASED variance
+   * comparison for two arms ([[brownForsythe]]/[[bartlett]] need
+   * k-group means/normality; this needs neither): are the two arms
+   * equally DISPERSED around their own centers? Deviations from
+   * each arm's mean rank pooled, scores = rank², and the normal
+   * approximation `z = (T − E)/√Var` on exact tie-robust moments.
+   *
+   * Exact-grid trick: the deviation `|x − x̄_g|` is not on the cent
+   * grid (x̄ is a ratio), so both arms' deviations are CROSS-SCALED
+   * to the common exact integer grid `|n_a·n_b·x − n_b·Σ_a|` /
+   * `|n_a·n_b·y − n_a·Σ_b|` — same positive factor n_a·n_b on both,
+   * so the pooled ranking is unchanged and every deviation is an
+   * exact long. Ranks ride DOUBLED (midranks); scores are the exact
+   * longs `R₂²`, so `T₄ = Σ_A R₂²`, `E₄ = n_a·ΣR₂²/N` and
+   * `Var₄² = n_a·n_b·(N·ΣR₂⁴ − (ΣR₂²)²)/(N²(N−1))` close in one
+   * pinned chain (the 4s cancel in z). Degenerate variance (all
+   * deviations tied) emits null z.
+   *
+   * Output: (keys…, n_a, n_b, t4, z).
+   *
+   * Envelope: R₂⁴ ≤ (2N)⁴ must stay exact in DECIMAL(38) sums —
+   * pooled arms to ~10⁸ rows per key.
+   *
+   * Scale posture: one cells collapse per arm (map-side), one
+   * key exchange for the pooled rank windows, closing aggregate.
+   */
+  def conoverSquaredRanks(df: DataFrame, keys: Seq[String],
+                          groupCol: String, aLabel: String,
+                          bLabel: String, valueCol: String,
+                          valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "conoverSquaredRanks needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val v = unscaled(col(valueCol), valueScale)
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+
+        (col(groupCol) === aLabel).as("__a") :+ v.as("__v"): _*)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val sums = base
+      .withColumn("__na", sum(when(col("__a"), 1L).otherwise(0L))
+        .over(wKey))
+      .withColumn("__nb", sum(when(!col("__a"), 1L).otherwise(0L))
+        .over(wKey))
+      .withColumn("__sa", sum(when(col("__a"), col("__v"))
+        .otherwise(0L)).over(wKey))
+      .withColumn("__sb", sum(when(!col("__a"), col("__v"))
+        .otherwise(0L)).over(wKey))
+      .withColumn("__dev",
+        when(col("__a"),
+          abs(col("__na") * col("__nb") * col("__v") -
+            col("__nb") * col("__sa")))
+          .otherwise(
+            abs(col("__na") * col("__nb") * col("__v") -
+              col("__na") * col("__sb"))))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__dev"))
+    val wTie = Window.partitionBy(keys.map(col) :+ col("__dev"): _*)
+    val ranked = sums
+      .withColumn("__r2",
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+      .withColumn("__s", (col("__r2").cast("decimal(19,0)") *
+        col("__r2").cast("decimal(19,0)")).cast("decimal(38,0)"))
+    val agg = ranked.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(when(col("__a"), col("__s"))).as("__t4"),
+        sum(col("__s")).as("__ss"),
+        sum((col("__s").cast("decimal(19,0)") *
+          col("__s").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sq"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val bigN = nD + mD
+    val t4 = col("__t4").cast("double")
+    val e4 = nD * col("__ss").cast("double") / bigN
+    val var16 = nD * mD *
+      (bigN * col("__sq").cast("double") -
+        col("__ss").cast("double") * col("__ss").cast("double")) /
+      (bigN * bigN * (bigN - lit(1.0)))
+    agg.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      col("__t4").cast("double").as("t4"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L && var16 > 0.0,
+        (t4 - e4) / sqrt(var16)).as("z")): _*)
+  }
+
+  /**
+   * Two-sample Poisson rate test per key — are events arriving
+   * FASTER in arm A than arm B, per unit of exposure? The
+   * error-rate / incident-rate / defect-density comparison
+   * ([[twoProportionZ]] compares fractions of trials; this compares
+   * counts per exposure when there are no "trials"):
+   * `z = (k₁/e₁ − k₂/e₂) / √(k₁/e₁² + k₂/e₂²)` (Wald on the rate
+   * scale) plus the log-ratio CI `ln(r₁/r₂) ± 1.96·√(1/k₁+1/k₂)`.
+   *
+   * Engine-exact: event counts are exact longs, exposures exact
+   * cents; every statistic is a fixed left-to-right chain of pinned
+   * divisions (exposure's grid factor cancels in z's numerator and
+   * denominator TOGETHER — both are computed on the unit scale);
+   * `ln` is the libm-consistent log snapped to the 10⁻⁹ grid. Zero
+   * exposure on either side nulls everything; the log CI needs both
+   * counts > 0.
+   *
+   * Output: (keys…, k_1, exposure_1, k_2, exposure_2, rate_1,
+   * rate_2, z, log_ratio, log_lo, log_hi).
+   *
+   * Scale posture: ONE map-side-combined aggregation; the closing
+   * is a projection.
+   */
+  def poissonRateTest(df: DataFrame, keys: Seq[String],
+                      groupCol: String, aLabel: String, bLabel: String,
+                      eventsCol: String, exposureCol: String,
+                      exposureScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "poissonRateTest needs key columns")
+    val scaleF = math.pow(10, exposureScale)
+    val m = df
+      .filter(col(eventsCol).isNotNull && col(exposureCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col(groupCol) === aLabel,
+        col(eventsCol).cast("long")).otherwise(0L)).as("k_1"),
+        sum(when(col(groupCol) === aLabel,
+          unscaled(col(exposureCol), exposureScale)).otherwise(0L))
+          .as("__e1"),
+        sum(when(col(groupCol) === bLabel,
+          col(eventsCol).cast("long")).otherwise(0L)).as("k_2"),
+        sum(when(col(groupCol) === bLabel,
+          unscaled(col(exposureCol), exposureScale)).otherwise(0L))
+          .as("__e2"))
+    val e1 = d(col("__e1")) / lit(scaleF)
+    val e2 = d(col("__e2")) / lit(scaleF)
+    val r1 = d(col("k_1")) / e1
+    val r2 = d(col("k_2")) / e2
+    val okZ = col("__e1") > 0L && col("__e2") > 0L
+    val se = sqrt(d(col("k_1")) / (e1 * e1) + d(col("k_2")) / (e2 * e2))
+    val okL = okZ && col("k_1") > 0L && col("k_2") > 0L
+    val lr = round(graft.functions.MathFunctions.libmLog(r1 / r2), 9)
+    val seL = sqrt(lit(1.0) / d(col("k_1")) + lit(1.0) / d(col("k_2")))
+    m.select(keys.map(col) ++ Seq(col("k_1"), e1.as("exposure_1"),
+      col("k_2"), e2.as("exposure_2"),
+      when(col("__e1") > 0L, r1).as("rate_1"),
+      when(col("__e2") > 0L, r2).as("rate_2"),
+      when(okZ && se > 0.0, (r1 - r2) / se).as("z"),
+      when(okL, lr).as("log_ratio"),
+      when(okL, lr - lit(1.96) * seL).as("log_lo"),
+      when(okL, lr + lit(1.96) * seL).as("log_hi")): _*)
+  }
+
+  /**
+   * Capture-recapture (Chapman) population estimate per key — how
+   * many DISTINCT items exist in total, given two independent
+   * "captures" that each saw some of them? The coverage estimator
+   * for corpus work: two crawls / two dedup passes / two retrieval
+   * systems each surface ids; the overlap tells you how much you
+   * have NOT seen. `N̂ = (n_a+1)(n_b+1)/(m+1) − 1` (Chapman's
+   * bias-corrected Lincoln-Petersen; finite even at m = 0) with
+   * `se = √((n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2)))`.
+   *
+   * Engine-exact: the (keys, id) collapse makes presence flags
+   * exact; n_a, n_b, m are exact longs and both closings are fixed
+   * pinned chains. Ids null are excluded.
+   *
+   * Output: (keys…, n_a, n_b, m_overlap, chapman_n, se).
+   *
+   * Scale posture: one map-side (keys, id) collapse with two max
+   * flags, ONE closing aggregation — shuffled bytes scale with
+   * distinct ids, not rows.
+   */
+  def captureRecapture(df: DataFrame, keys: Seq[String],
+                       sourceCol: String, aLabel: String,
+                       bLabel: String, idCol: String): DataFrame = {
+    require(keys.nonEmpty, "captureRecapture needs key columns")
+    val ids = df
+      .filter(col(idCol).isNotNull &&
+        (col(sourceCol) === aLabel || col(sourceCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(idCol): _*)
+      .agg(max(when(col(sourceCol) === aLabel, 1L).otherwise(0L))
+        .as("__ia"),
+        max(when(col(sourceCol) === bLabel, 1L).otherwise(0L))
+          .as("__ib"))
+    val m = ids.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ia")).as("n_a"), sum(col("__ib")).as("n_b"),
+        sum(col("__ia") * col("__ib")).as("m_overlap"))
+    val na1 = d(col("n_a")) + lit(1.0)
+    val nb1 = d(col("n_b")) + lit(1.0)
+    val m1 = d(col("m_overlap")) + lit(1.0)
+    val chapman = na1 * nb1 / m1 - lit(1.0)
+    val se = sqrt(na1 * nb1 *
+      (d(col("n_a")) - d(col("m_overlap"))) *
+      (d(col("n_b")) - d(col("m_overlap"))) /
+      (m1 * m1 * (m1 + lit(1.0))))
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      col("m_overlap"), chapman.as("chapman_n"), se.as("se")): _*)
+  }
+
+  /**
+   * Chao1 richness estimate per key — how many DISTINCT items does
+   * the population hold, including the ones this sample never saw?
+   * The vocabulary/entity-coverage estimator (how many unique
+   * n-grams/users/domains exist, not just how many appeared), from
+   * the singleton/doubleton counts alone:
+   * `Ŝ = S + f₁(f₁−1)/(2(f₂+1))` (the bias-corrected form, finite
+   * at f₂ = 0), plus the Good-Turing UNSEEN MASS `p₀ = f₁/n` — the
+   * probability the next observation is a never-seen item (the
+   * "is this corpus saturated?" number).
+   *
+   * Engine-exact: the (keys, item) collapse gives exact occurrence
+   * counts; S, f₁, f₂, n are exact longs and both closings are one
+   * pinned chain each. Null items are excluded. Empty keys vanish
+   * (no sample, no estimate).
+   *
+   * Output: (keys…, s_observed, n_total, f1, f2, chao1, unseen_mass).
+   *
+   * Scale posture: one map-side (keys, item) collapse, ONE closing
+   * aggregation — the [[captureRecapture]] shape.
+   */
+  def chao1(df: DataFrame, keys: Seq[String],
+            itemCol: String): DataFrame = {
+    require(keys.nonEmpty, "chao1 needs key columns")
+    val items = df
+      .filter(col(itemCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+ col(itemCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val m = items.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("s_observed"), sum(col("__c")).as("n_total"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+    val f1 = d(col("f1"))
+    val chao = d(col("s_observed")) +
+      f1 * (f1 - lit(1.0)) / (lit(2.0) * (d(col("f2")) + lit(1.0)))
+    m.select(keys.map(col) ++ Seq(col("s_observed"), col("n_total"),
+      col("f1"), col("f2"), chao.as("chao1"),
+      (f1 / d(col("n_total"))).as("unseen_mass")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -142,6 +142,41 @@ object Survival {
           .otherwise(lit(0.0))).as("rmst")): _*)
   }
 
+  /**
+   * Survival quantiles per cohort — the headline numbers read off
+   * the [[kaplanMeier]] curve: `t_25` / `median_t` / `t_75` are the
+   * FIRST event times where survival drops to ≤ 0.75 / 0.50 / 0.25
+   * ("by when has a quarter / half / three quarters of the cohort
+   * churned"). The standard convention (R survfit): a threshold the
+   * curve never reaches (heavy censoring) emits null — with
+   * censoring, "median survival not reached" IS the result, and any
+   * imputation would lie.
+   *
+   * Pinned semantics: [[rmst]]'s snapped survival verbatim —
+   * `round(e^log_surv, 9)` per grid row (extinction rows exact 0),
+   * so the ≤-threshold comparisons are grid-exact in every engine;
+   * each quantile is one conditional MIN over the event-time grid.
+   *
+   * Output: (keys…, n_times, n_events, t_25, median_t, t_75).
+   *
+   * Scale posture: [[kaplanMeier]]'s one cohort exchange plus a
+   * closing aggregate over the grid — nothing new materializes.
+   */
+  def survivalQuantiles(df: DataFrame, keys: Seq[String],
+                        durationCol: String,
+                        observedCol: String): DataFrame = {
+    val km = kaplanMeier(df, keys, durationCol, observedCol)
+    val s = when(col("log_surv").isNotNull,
+      round(exp(col("log_surv")), 9)).otherwise(lit(0.0))
+    def firstAtOrBelow(thr: Double): org.apache.spark.sql.Column =
+      min(when(col("d") > 0L && s <= lit(thr), col("t")))
+    km.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_times"), sum(col("d")).as("n_events"),
+        firstAtOrBelow(0.75).as("t_25"),
+        firstAtOrBelow(0.50).as("median_t"),
+        firstAtOrBelow(0.25).as("t_75"))
+  }
+
   /** Shared KM/NA grid: subjects collapse to (keys, t) with death and
    *  censoring counts; the at-risk count at t is everyone whose
    *  duration is ≥ t (deaths and censorings at t inclusive — the

@@ -1156,6 +1156,78 @@ object Streaming {
         max_by(col("forecast"), col("n")).as("forecast"))
 
   /**
+   * Streaming forecast tracking signal
+   * ([[graft.ops.TimeSeries.trackingSignal]]'s incremental form,
+   * the 15th keyed-state operator): per-key state is (n, Σe, Σ|e|)
+   * — three longs, all exact INTEGER CENTS (no float drifts in the
+   * store), advanced per event; the emitted row closes
+   * `cum_error = Σe/10ˢ`, `MAD = Σ|e|/n/10ˢ`,
+   * `TS = Σe/(Σ|e|/n)` with the batch operator's pinned chains, so
+   * the max-n row per key equals the batch result bit-for-bit on
+   * any feed chunking (the sums are order-free — the strongest
+   * parity in the family). The live form of the ±4 control-limit
+   * re-fit trigger for per-key forecast fleets.
+   *
+   * Emits one row per processed event (Update mode); the log folds
+   * per key via [[foldTrackingUpdates]]. Rows with a null actor,
+   * ts, tie, actual, or forecast are dropped (the fold-family null
+   * contract).
+   *
+   * Scale posture: O(1) state per key (24 bytes + key), the
+   * measured flat-per-key class of the streaming family.
+   */
+  def trackingSignalStream(df: DataFrame, actorCol: String,
+                           tsCol: String, tieCol: String,
+                           actualCol: String, forecastCol: String,
+                           valueScale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scaleF = math.pow(10, valueScale)
+    def cents(c: Column) = (c.cast(s"decimal(18,$valueScale)") *
+      lit(scaleF.toLong).cast("decimal(18,0)")).cast("long")
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull && col(actualCol).isNotNull &&
+        col(forecastCol).isNotNull)
+      .select(col(actorCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieCol).cast("long"),
+        cents(col(actualCol)), cents(col(forecastCol)))
+      .as[(Long, Long, Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, Long, Long, Long, Double, Double, Option[Double])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, se, sae) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, ac, fc) =>
+              val e = ac - fc
+              n += 1L; se += e; sae += math.abs(e)
+              val ts0 =
+                if (sae > 0L) Some(se.toDouble / (sae.toDouble / n.toDouble))
+                else None
+              (key, tie, ts, n, se.toDouble / scaleF,
+                sae.toDouble / n.toDouble / scaleF, ts0)
+          }
+          state.update((n, se, sae))
+          out.iterator
+      }
+      .toDF("actor", "tie", "ts_micros", "n", "cum_error", "mad",
+        "tracking_signal")
+  }
+
+  /** Collapse a [[trackingSignalStream]] update log to the batch
+   *  [[graft.ops.TimeSeries.trackingSignal]] shape: the max-n row
+   *  per actor carries the final state. */
+  def foldTrackingUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("cum_error"), col("n")).as("cum_error"),
+        max_by(col("mad"), col("n")).as("mad"),
+        max_by(col("tracking_signal"), col("n")).as("tracking_signal"))
+
+  /**
    * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
    * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
    * Σ µs, tick count) — six longs, constant per key, all integer (NO

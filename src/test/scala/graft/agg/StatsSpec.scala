@@ -1906,6 +1906,158 @@ class StatsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("cum_share") == 1.0)
   }
 
+  test("gehanWilcoxon: hand at-risk-weighted O-E walk; identical " +
+    "groups score W = 0, chi2 = 0") {
+    val same = for {
+      g <- Seq(true, false); (d, e) <- Seq((1.0, true), (2.0, true))
+    } yield ("s", g, d, e)
+    val hand = Seq(("k", true, 1.0, true), ("k", true, 2.0, false),
+      ("k", false, 2.0, true), ("k", false, 3.0, true))
+    val out = Stats.gehanWilcoxon((same ++ hand).toDF("key", "g", "d", "e"),
+      Seq("key"), "g", "d", "e")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Double]("w_stat") == 0.0)
+    assert(out("s").getAs[Double]("chi2") == 0.0)
+    val k = out("k")
+    // t=100: 4*(1 - 0.5); t=200: 3*(0 - 1/3); t=300: 1*(0 - 0)
+    assert(k.getAs[Double]("w_stat") ==
+      4.0 * (1.0 - 2.0 / 4.0 * 1.0) + 3.0 * (0.0 - 1.0 / 3.0 * 1.0))
+    val v = 16.0 * (1.0 * (2.0 / 4.0) * (1.0 - 2.0 / 4.0) * 3.0 / 3.0) +
+      9.0 * (1.0 * (1.0 / 3.0) * (1.0 - 1.0 / 3.0) * 2.0 / 2.0)
+    val ws = k.getAs[Double]("w_stat")
+    assert(k.getAs[Double]("chi2") == ws * ws / v)
+  }
+
+  test("distributionDistance: hand tv/overlap/bc panel; identical " +
+    "arms hit 0/1/1/0 exactly") {
+    val hand = Seq(("k", "a", 1.0), ("k", "a", 2.0),
+      ("k", "b", 1.0), ("k", "b", 3.0))
+    val same = Seq(("s", "a", 1.0), ("s", "a", 2.0),
+      ("s", "b", 1.0), ("s", "b", 2.0))
+    val out = Stats.distributionDistance((hand ++ same)
+      .toDF("key", "arm", "v"), Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("tv") == 0.5)
+    assert(k.getAs[Double]("overlap") == 0.5)
+    assert(k.getAs[Double]("bc") == 0.5)
+    assert(k.getAs[Double]("hellinger") == math.sqrt(1.0 - 0.5))
+    val s = out("s")
+    assert(s.getAs[Double]("tv") == 0.0)
+    assert(s.getAs[Double]("overlap") == 1.0)
+    assert(s.getAs[Double]("bc") == 1.0)
+    assert(s.getAs[Double]("hellinger") == 0.0)
+  }
+
+  test("hodgesLehmann: midpoint of straddling diffs, tie weights, " +
+    "single-pair shift, empty arm null") {
+    val df = Seq(
+      ("m", "a", 1.0), ("m", "a", 3.0), ("m", "b", 2.0),
+      ("one", "a", 5.0), ("one", "b", 1.0),
+      ("t", "a", 1.0), ("t", "a", 1.0), ("t", "b", 0.0),
+      ("e", "a", 7.0)
+    ).toDF("key", "arm", "v")
+    val out = Stats.hodgesLehmann(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // diffs {-1, +1}: lower = -1, upper = +1 -> HL = 0
+    assert(out("m").getAs[Double]("hl_shift") == 0.0)
+    assert(out("m").getAs[Long]("n_pairs") == 2L)
+    assert(out("one").getAs[Double]("hl_shift") == 4.0)
+    assert(out("t").getAs[Double]("hl_shift") == 1.0)
+    assert(out("e").getAs[Long]("n_pairs") == 0L)
+    assert(out("e").isNullAt(out("e").fieldIndex("hl_shift")))
+  }
+
+  test("quade: hand range-weighted rank walk; single complete " +
+    "block degenerates to null F") {
+    val df = Seq(
+      ("k", 1L, "t1", 1.0), ("k", 1L, "t2", 2.0),
+      ("k", 2L, "t1", 1.0), ("k", 2L, "t2", 3.0),
+      ("k", 3L, "t1", 5.0), ("k", 3L, "t2", 4.0),
+      ("s", 1L, "t1", 1.0), ("s", 1L, "t2", 2.0)
+    ).toDF("key", "blk", "trt", "v")
+    val out = Stats.quade(df, Seq("key"), "blk", "trt", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_blocks") == 3L)
+    // Q2 = (3, 6, 3); S4 rows: (-3,3), (-6,6), (3,-3);
+    // W4 = (-6, 6); A16 = 108, B16 = 72/3 = 24 -> F = 2*24/84 = 4/7
+    val b16 = 72.0 / 3.0
+    assert(k.getAs[Double]("f") == (3.0 - 1.0) * b16 / (108.0 - b16))
+    assert(out("s").isNullAt(out("s").fieldIndex("f"))) // A16 = B16
+  }
+
+  test("conoverSquaredRanks: hand cross-scaled deviation ranks; " +
+    "all-tied deviations null the variance") {
+    val hand = Seq(("k", "a", 1.0), ("k", "a", 3.0),
+      ("k", "b", 2.0), ("k", "b", 2.0))
+    val same = Seq(("s", "a", 1.0), ("s", "a", 3.0),
+      ("s", "b", 1.0), ("s", "b", 3.0))
+    val out = Stats.conoverSquaredRanks((hand ++ same)
+      .toDF("key", "arm", "v"), Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // devs: A (400, 400) doubled-rank 7 each, B (0, 0) rank 3 each
+    assert(k.getAs[Double]("t4") == 98.0)
+    val bigN = 4.0
+    val v16 = 2.0 * 2.0 * (bigN * 4964.0 - 116.0 * 116.0) /
+      (bigN * bigN * (bigN - 1.0))
+    assert(k.getAs[Double]("z") == (98.0 - 2.0 * 116.0 / bigN) /
+      math.sqrt(v16))
+    assert(out("s").isNullAt(out("s").fieldIndex("z"))) // all tied
+  }
+
+  test("poissonRateTest: hand rate z and snapped log-ratio CI; " +
+    "zero count nulls the log CI but keeps z") {
+    val df = Seq(("k", "a", 10L, 5.0), ("k", "b", 2L, 4.0),
+      ("z", "a", 0L, 2.0), ("z", "b", 3L, 6.0))
+      .toDF("key", "arm", "ev", "exp")
+    val out = Stats.poissonRateTest(df, Seq("key"), "arm", "a", "b",
+      "ev", "exp").collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("rate_1") == 2.0)
+    assert(k.getAs[Double]("rate_2") == 0.5)
+    assert(k.getAs[Double]("z") ==
+      (2.0 - 0.5) / math.sqrt(10.0 / (5.0 * 5.0) + 2.0 / (4.0 * 4.0)))
+    val lr = BigDecimal(math.log(4.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k.getAs[Double]("log_ratio") == lr)
+    assert(k.getAs[Double]("log_hi") ==
+      lr + 1.96 * math.sqrt(1.0 / 10.0 + 1.0 / 2.0))
+    val z = out("z")
+    assert(z.isNullAt(z.fieldIndex("log_ratio"))) // k_1 = 0
+    assert(!z.isNullAt(z.fieldIndex("z")))
+  }
+
+  test("captureRecapture: hand Chapman estimate and se; disjoint " +
+    "captures stay finite") {
+    val df = Seq(("k", "a", 1L), ("k", "a", 2L), ("k", "a", 3L),
+      ("k", "b", 2L), ("k", "b", 3L), ("k", "b", 4L), ("k", "b", 5L),
+      ("d", "a", 1L), ("d", "b", 2L)).toDF("key", "src", "id")
+    val out = Stats.captureRecapture(df, Seq("key"), "src", "a", "b",
+      "id").collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_a") == 3L && k.getAs[Long]("n_b") == 4L)
+    assert(k.getAs[Long]("m_overlap") == 2L)
+    assert(k.getAs[Double]("chapman_n") == 4.0 * 5.0 / 3.0 - 1.0)
+    assert(k.getAs[Double]("se") ==
+      math.sqrt(4.0 * 5.0 * (3.0 - 2.0) * (4.0 - 2.0) / (3.0 * 3.0 * 4.0)))
+    // m = 0: Chapman still finite (the bias-corrected point)
+    assert(out("d").getAs[Double]("chapman_n") == 2.0 * 2.0 / 1.0 - 1.0)
+  }
+
+  test("chao1: singleton/doubleton closed form and Good-Turing " +
+    "unseen mass") {
+    val df = Seq(("k", "a"), ("k", "b"), ("k", "c"), ("k", "c"),
+      ("k", "d"), ("k", "d"), ("k", "d")).toDF("key", "item")
+    val out = Stats.chao1(df, Seq("key"), "item").collect().head
+    assert(out.getAs[Long]("s_observed") == 4L)
+    assert(out.getAs[Long]("f1") == 2L && out.getAs[Long]("f2") == 1L)
+    assert(out.getAs[Double]("chao1") ==
+      4.0 + 2.0 * 1.0 / (2.0 * 2.0))
+    assert(out.getAs[Double]("unseen_mass") == 2.0 / 7.0)
+  }
+
   test("cliffsDelta: total dominance scores exactly 1, balanced " +
     "overlap 0, a pure tie 0; empty arm null") {
     val df = Seq(

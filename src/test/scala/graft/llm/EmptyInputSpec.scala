@@ -546,5 +546,34 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.TimeSeries.trackingSignal(
       Seq.empty[(String, Double, Double)].toDF("k", "a", "f"),
       Seq("k"), "a", "f").count() == 0)
+    val emptyArm17 = Seq.empty[(String, String, Double)]
+      .toDF("k", "arm", "v")
+    assert(graft.agg.Stats.distributionDistance(
+      emptyArm17, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.hodgesLehmann(
+      emptyArm17, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.gehanWilcoxon(
+      Seq.empty[(String, Boolean, Double, Boolean)]
+        .toDF("k", "g", "d", "e"),
+      Seq("k"), "g", "d", "e").count() == 0)
+    assert(graft.ops.Survival.survivalQuantiles(
+      Seq.empty[(String, Long, Boolean)].toDF("k", "dur", "obs"),
+      Seq("k"), "dur", "obs").count() == 0)
+    assert(graft.agg.Stats.quade(
+      Seq.empty[(String, Long, Long, Double)]
+        .toDF("k", "blk", "trt", "v"),
+      Seq("k"), "blk", "trt", "v").count() == 0)
+    assert(graft.agg.Stats.conoverSquaredRanks(
+      emptyArm17, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.poissonRateTest(
+      Seq.empty[(String, String, Long, Double)]
+        .toDF("k", "arm", "ev", "exp"),
+      Seq("k"), "arm", "a", "b", "ev", "exp").count() == 0)
+    assert(graft.agg.Stats.captureRecapture(
+      Seq.empty[(String, String, Long)].toDF("k", "src", "id"),
+      Seq("k"), "src", "a", "b", "id").count() == 0)
+    assert(graft.agg.Stats.chao1(
+      Seq.empty[(String, Long)].toDF("k", "item"),
+      Seq("k"), "item").count() == 0)
   }
 }

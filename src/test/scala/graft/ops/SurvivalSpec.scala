@@ -84,4 +84,25 @@ class SurvivalSpec extends AnyFunSuite {
     assert(out("c").getAs[Double]("rmst") == 30.0)
     assert(out("f").getAs[Double]("rmst") == 30.0)
   }
+
+  test("survivalQuantiles: quartile read-off on a clean 4-death " +
+    "curve; heavy censoring leaves the median unreached (null)") {
+    val subj = Seq(
+      ("k", 1L, true), ("k", 2L, true), ("k", 3L, true), ("k", 4L, true),
+      // h: one early death (S = 2/3 > 0.5 forever after)
+      ("h", 1L, true), ("h", 5L, false), ("h", 5L, false))
+      .toDF("cohort", "dur", "obs")
+    val out = Survival.survivalQuantiles(subj, Seq("cohort"),
+      "dur", "obs")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // S: 0.75, 0.5, 0.25, 0 at t = 1..4 (9-dec snap lands exact)
+    assert(k.getAs[Long]("t_25") == 1L)
+    assert(k.getAs[Long]("median_t") == 2L)
+    assert(k.getAs[Long]("t_75") == 3L)
+    val h = out("h")
+    assert(h.getAs[Long]("t_25") == 1L) // 2/3 <= 0.75
+    assert(h.isNullAt(h.fieldIndex("median_t")))
+    assert(h.isNullAt(h.fieldIndex("t_75")))
+  }
 }

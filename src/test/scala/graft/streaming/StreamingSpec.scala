@@ -849,4 +849,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L)._3 == b1.getAs[Double]("trend"))
     assert(out(1L)._4 == b1.getAs[Double]("forecast"))
   }
+
+  test("trackingSignalStream: integer-cent registers across batches " +
+    "== batch trackingSignal, bit-for-bit") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(t)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_tsig").toString
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0, 10.0, 1L),
+      (1L, ts("2024-01-01 10:05:00"), 12.0, 10.0, 2L))
+    val batch2 = Seq((1L, ts("2024-01-01 10:10:00"), 14.0, 10.0, 3L),
+      (2L, ts("2024-01-01 10:00:00"), 5.0, 5.0, 4L))
+    batch1.toDF("user_id", "ts", "a", "f", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "ts", "a", "f", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in",
+      schema,
+      df => Streaming.trackingSignalStream(df, "user_id", "ts",
+        "event_id", "a", "f"),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldTrackingUpdates(updates)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    // perfect forecast key: MAD 0 -> null signal
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0.0 && out(2L)._4 == null)
+    val batchOut = graft.ops.TimeSeries.trackingSignal(
+      (batch1 ++ batch2).toDF("user_id", "ts", "a", "f", "event_id"),
+      Seq("user_id"), "a", "f")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b1 = batchOut(1L)
+    assert(out(1L)._1 == b1.getAs[Long]("n"))
+    assert(out(1L)._2 == b1.getAs[Double]("cum_error"))
+    assert(out(1L)._3 == b1.getAs[Double]("mad"))
+    assert(out(1L)._4 == b1.getAs[Double]("tracking_signal"))
+    assert(out(1L)._4 == 3.0) // (0+2+4)/((0+2+4)/3)
+  }
 }
