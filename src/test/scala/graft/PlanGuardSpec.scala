@@ -1760,4 +1760,99 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("Scan parquet"), fin.take(1500))
     assert(!fin.contains("CartesianProduct"), fin.take(1500))
   }
+
+  // ---- round 17 ----
+
+  test("r17 grid-CDF family (wasserstein/kuiper/energy/cvm/panel): " +
+    "join-free, the documented two exchanges (grid collapse + key " +
+    "windows) and no more") {
+    for (q <- Seq("q378_wasserstein1", "q385_kuiper",
+      "q386_energy_distance", "q384_cramer_von_mises",
+      "q391_distribution_distance")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
+
+  test("r17 2x2-cell family (cohens_h/risk_ratio/poisson_rate/" +
+    "capture/chao1): ONE map-side-combined aggregation, join-free") {
+    for (q <- Seq("q381_cohens_h", "q382_risk_ratio",
+      "q397_poisson_rate_test", "q398_capture_recapture",
+      "q399_chao1")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
+  test("q380 holm: both windows ride ONE family exchange (the BH " +
+    "plan)") {
+    val fin = finalPlan("q380_holm_bonferroni")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+
+  test("q379/q395 rank-grid family (kendalls_w/quade): no cartesian," +
+    " collapses map-side, rank windows on the key exchange") {
+    for (q <- Seq("q379_kendalls_w", "q395_quade")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("CartesianProduct") &&
+        !fin.contains("BroadcastNestedLoop"), s"$q: ${fin.take(1500)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+    }
+  }
+
+  test("q392 hodges-lehmann: grid x grid stays a KEY-EQUI join " +
+    "(hash/merge), never cartesian or nested loop") {
+    val fin = finalPlan("q392_hodges_lehmann")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("HashJoin") || fin.contains("SortMergeJoin"),
+      fin.take(1500))
+  }
+
+  test("q383 atkinson / q387 lorenz: join-free grid shapes, at " +
+    "most two exchanges (grid collapse + key windows)") {
+    for (q <- Seq("q383_atkinson", "q387_lorenz_curve")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
+
+  test("q388 theil_u / q389 tracking_signal: forecastAccuracy's " +
+    "plan — at most the one lag exchange, join-free, map-side " +
+    "combined closing") {
+    for (q <- Seq("q388_theil_u", "q389_tracking_signal")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert(fin.contains("partial_"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+        s"$q: ${fin.take(1500)}")
+    }
+  }
+
+  test("q390/q393 survival grid family: join-free (beyond the KM " +
+    "machinery), one cohort exchange") {
+    for (q <- Seq("q390_gehan_wilcoxon")) {
+      val fin = finalPlan(q).split("== Initial Plan ==")(0)
+      assert(!fin.contains("Join"), s"$q: ${fin.take(1200)}")
+      assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+        s"$q: ${fin.take(1500)}")
+    }
+    // q393 rides q218's subject fixture (checkpoint + broadcast max):
+    // the survival machinery itself must not add joins beyond that
+    // one documented broadcast
+    val fin = finalPlan("q393_survival_quantiles")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("SortMergeJoin"), fin.take(1500))
+  }
 }
