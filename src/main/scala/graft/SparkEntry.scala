@@ -4371,6 +4371,23 @@ object SparkEntry {
       graft.agg.Stats.chao1(t(s, dir, "events"),
         Seq("event_type"), "user_id")),
 
+    // ---- stats: Brunner-Munzel — heteroscedastic rank test via
+    //      doubled placement sums on the pooled grid ----
+    "q400_brunner_munzel" -> ((s, dir) =>
+      graft.agg.Stats.brunnerMunzel(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- experimentation: two-proportion sample-size planning
+    //      from the observed per-key baseline ----
+    "q401_sample_size" -> ((s, dir) =>
+      graft.agg.Stats.sampleSizeTwoProportions(
+        t(s, dir, "events")
+          .withColumn("hit", col("value") >= 150.0),
+        Seq("event_type"), "hit", mde = 0.02)),
+
     // ---- streaming: tracking-signal keyed state — three integer-
     //      cent registers, the 15th streaming state operator ----
     "q394_stream_tracking_signal" -> ((s, dir) => {
@@ -8657,6 +8674,94 @@ object SparkEntry {
         |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1,
         |  CAST(f1 AS DOUBLE) / CAST(n_total AS DOUBLE) AS unseen_mass
         |FROM m""".stripMargin,
+
+    // pooled + within-arm doubled midranks per grid row (shared by
+    // all tied members), exact placement sums, pinned scipy-form
+    // W / Satterthwaite df closing
+    "q400_brunner_munzel" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k, v, ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pn,
+        |    coalesce(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pa,
+        |    coalesce(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pb
+        |  FROM grid),
+        |r AS (SELECT k, ca, cb,
+        |    2 * pn + t + 1 AS r2,
+        |    2 * pn + t + 1 - (2 * pa + ca + 1) AS la,
+        |    2 * pn + t + 1 - (2 * pb + cb + 1) AS lb
+        |  FROM st),
+        |m AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(ca * r2) AS sra, sum(cb * r2) AS srb,
+        |    sum(ca * la) AS sla, sum(la * la * ca) AS sla2,
+        |    sum(cb * lb) AS slb, sum(lb * lb * cb) AS slb2
+        |  FROM r GROUP BY 1),
+        |z AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nd,
+        |    CAST(n_b AS DOUBLE) AS md,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS bigN,
+        |    CAST(CAST(sra AS VARCHAR) AS DOUBLE) AS dra,
+        |    CAST(CAST(srb AS VARCHAR) AS DOUBLE) AS drb,
+        |    CAST(CAST(sla AS VARCHAR) AS DOUBLE) AS dla,
+        |    CAST(CAST(sla2 AS VARCHAR) AS DOUBLE) AS dla2,
+        |    CAST(CAST(slb AS VARCHAR) AS DOUBLE) AS dlb,
+        |    CAST(CAST(slb2 AS VARCHAR) AS DOUBLE) AS dlb2 FROM m),
+        |y AS (SELECT *, dra / nd / 2.0 AS rba, drb / md / 2.0 AS rbb,
+        |    (dla2 - dla * dla / nd) / (4.0 * (nd - 1.0)) AS sa,
+        |    (dlb2 - dlb * dlb / md) / (4.0 * (md - 1.0)) AS sb
+        |  FROM z),
+        |w AS (SELECT *, nd * sa + md * sb AS vs FROM y)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN (rbb - (md + 1.0) / 2.0) / nd END AS p_hat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vs > 0.0
+        |    THEN nd * md * (rbb - rba) / (bigN * sqrt(vs)) END AS w,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vs > 0.0 AND
+        |    (sa / nd) * (sa / nd) / (nd - 1.0)
+        |      + (sb / md) * (sb / md) / (md - 1.0) > 0.0
+        |  THEN (sa / nd + sb / md) * (sa / nd + sb / md)
+        |    / ((sa / nd) * (sa / nd) / (nd - 1.0)
+        |      + (sb / md) * (sb / md) / (md - 1.0)) END AS df
+        |FROM w""".stripMargin,
+
+    // exact cells, pinned power-formula chain with the default
+    // two-sided-5% / 80%-power quantile literals
+    "q401_sample_size" ->
+      """WITH b AS (SELECT event_type AS k, value >= 150 AS y
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT k, n,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p1 FROM m),
+        |y AS (SELECT *, p1 + 0.02 AS p2 FROM z),
+        |y2 AS (SELECT *, (p1 + p2) / 2.0 AS pbar FROM y),
+        |w AS (SELECT *,
+        |    1.959963985 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.841621234 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        |      AS num
+        |  FROM y2)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n > 0 THEN p1 END AS p_base,
+        |  CASE WHEN n > 0 AND p2 > 0.0 AND p2 < 1.0 THEN p2 END
+        |    AS p_target,
+        |  CASE WHEN n > 0 AND p2 > 0.0 AND p2 < 1.0
+        |    THEN num * num / (0.02 * 0.02) END AS n_per_arm
+        |FROM w""".stripMargin,
 
     // q364's grid and fold with the Gehan n_t / n_t^2 weights; E
     // accumulates at every event time (the r17 logRank rule), V

@@ -5975,6 +5975,147 @@ object Stats {
       (f1 / d(col("n_total"))).as("unseen_mass")): _*)
   }
 
+  /**
+   * Brunner-Munzel test per key — the MODERN two-sample location
+   * test: [[mannWhitneyU]] assumes equal variances under the null
+   * (its p-values break when the arms have different spread —
+   * exactly the case in most real experiments); Brunner-Munzel
+   * drops that assumption the way [[welchT]] fixes Student's t.
+   * Tests `P(X < Y) + ½P(X = Y) = ½` via rank PLACEMENTS, with a
+   * Welch-Satterthwaite df.
+   *
+   * Exact-grid formulation: pooled and within-arm midranks ride
+   * DOUBLED (the [[cramerVonMises]] grid — no per-row ranking:
+   * every member of a grid row shares `R₂ = 2·prevN + t + 1` and
+   * `Ra₂ = 2·prevA + c_a + 1`), so each placement `L₂ = R₂ − Ra₂`
+   * is an exact long and ΣL₂ / ΣL₂² accumulate order-free in
+   * DECIMAL. `S²_g = (ΣL₂² − (ΣL₂)²/n_g) / (4(n_g−1))`,
+   * `W = n_a·n_b·(R̄_b − R̄_a) / (N·√(n_a·S²_a + n_b·S²_b))` (the
+   * scipy convention), `p̂ = (R̄_b − (n_b+1)/2)/n_a` — pinned
+   * chains over exact sums. Arms with < 2 members or zero placement
+   * variance (complete separation) emit null w/df; p̂ survives.
+   *
+   * Output: (keys…, n_a, n_b, p_hat, w, df) — compare W against
+   * t(df).
+   *
+   * Scale posture: ONE grid collapse + ONE key exchange (the
+   * cumulative windows), closing aggregate — the [[ksTest]] shape.
+   */
+  def brunnerMunzel(df: DataFrame, keys: Seq[String], groupCol: String,
+                    aLabel: String, bLabel: String, valueCol: String,
+                    valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "brunnerMunzel needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wo = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stepped = grid
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__pn", coalesce(sum(col("__t")).over(wo), lit(0L)))
+      .withColumn("__pa", coalesce(sum(col("__ca")).over(wo), lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__cb")).over(wo), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__pn") + col("__t") + lit(1L))
+      .withColumn("__la",
+        col("__r2") - (lit(2L) * col("__pa") + col("__ca") + lit(1L)))
+      .withColumn("__lb",
+        col("__r2") - (lit(2L) * col("__pb") + col("__cb") + lit(1L)))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(dec(col("__ca") * col("__r2"))).as("__sra"),
+        sum(dec(col("__cb") * col("__r2"))).as("__srb"),
+        sum(dec(col("__ca") * col("__la"))).as("__sla"),
+        sum((col("__la").cast("decimal(19,0)") *
+          col("__la").cast("decimal(19,0)") *
+          col("__ca").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sla2"),
+        sum(dec(col("__cb") * col("__lb"))).as("__slb"),
+        sum((col("__lb").cast("decimal(19,0)") *
+          col("__lb").cast("decimal(19,0)") *
+          col("__cb").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__slb2"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val bigN = nD + mD
+    val rbarA = col("__sra").cast("double") / nD / lit(2.0)
+    val rbarB = col("__srb").cast("double") / mD / lit(2.0)
+    val sA = (col("__sla2").cast("double") -
+      col("__sla").cast("double") * col("__sla").cast("double") / nD) /
+      (lit(4.0) * (nD - lit(1.0)))
+    val sB = (col("__slb2").cast("double") -
+      col("__slb").cast("double") * col("__slb").cast("double") / mD) /
+      (lit(4.0) * (mD - lit(1.0)))
+    val varSum = nD * sA + mD * sB
+    val w = nD * mD * (rbarB - rbarA) / (bigN * sqrt(varSum))
+    val dfNum = (sA / nD + sB / mD) * (sA / nD + sB / mD)
+    val dfDen = (sA / nD) * (sA / nD) / (nD - lit(1.0)) +
+      (sB / mD) * (sB / mD) / (mD - lit(1.0))
+    val pHat = (rbarB - (mD + lit(1.0)) / lit(2.0)) / nD
+    val okP = col("n_a") >= 1L && col("n_b") >= 1L
+    val okW = col("n_a") >= 2L && col("n_b") >= 2L
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(okP, pHat).as("p_hat"),
+      when(okW && varSum > 0.0, w).as("w"),
+      when(okW && varSum > 0.0 && dfDen > 0.0, dfNum / dfDen)
+        .as("df")): _*)
+  }
+
+  /**
+   * Two-proportion sample-size calculator per key — "how many users
+   * per arm does the NEXT experiment need": from each key's
+   * OBSERVED baseline rate and a target absolute lift `mde`,
+   * `n/arm = (z_α·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / mde²`
+   * (the classic normal-approximation formula behind every power
+   * calculator; defaults z_α = 1.959963985 two-sided 5%,
+   * z_β = 0.841621234 for 80% power — pass your own for other
+   * levels). The planning companion to [[twoProportionZ]]/
+   * [[cohensH]]: run it over LAST quarter's keys to budget THIS
+   * quarter's tests.
+   *
+   * Engine-exact: the baseline is one pinned division over exact
+   * cells; the formula is a fixed left-to-right chain of pinned
+   * IEEE ops (two sqrts, one square, one division) — no
+   * transcendentals beyond sqrt. Keys whose target leaves (0,1) or
+   * with an empty baseline emit null.
+   *
+   * Output: (keys…, n, p_base, p_target, n_per_arm).
+   *
+   * Scale posture: ONE map-side-combined aggregation; the closing
+   * is a projection.
+   */
+  def sampleSizeTwoProportions(df: DataFrame, keys: Seq[String],
+                               outcomeCol: String, mde: Double,
+                               zAlpha: Double = 1.959963985,
+                               zBeta: Double = 0.841621234): DataFrame = {
+    require(keys.nonEmpty, "sampleSizeTwoProportions needs key columns")
+    require(mde != 0.0, "mde must be non-zero")
+    require(zAlpha > 0 && zBeta >= 0, "z quantiles must be positive")
+    val y = col(outcomeCol).cast("boolean")
+    val m = df.filter(y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("__x"))
+    val p1 = d(col("__x")) / d(col("n"))
+    val p2 = p1 + lit(mde)
+    val pbar = (p1 + p2) / lit(2.0)
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nArm = num * num / lit(mde * mde)
+    val ok = col("n") > 0L && p2 > 0.0 && p2 < 1.0
+    m.select(keys.map(col) ++ Seq(col("n"),
+      when(col("n") > 0L, p1).as("p_base"),
+      when(ok, p2).as("p_target"),
+      when(ok, nArm).as("n_per_arm")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

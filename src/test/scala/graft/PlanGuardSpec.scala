@@ -1855,4 +1855,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct") &&
       !fin.contains("SortMergeJoin"), fin.take(1500))
   }
+
+  test("q400 brunner-munzel: the grid-CDF plan — join-free, grid " +
+    "collapse + key windows, nothing else") {
+    val fin = finalPlan("q400_brunner_munzel")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+
+  test("q401 sample size: ONE map-side-combined aggregation, " +
+    "join-free closing projection") {
+    val fin = finalPlan("q401_sample_size")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
 }

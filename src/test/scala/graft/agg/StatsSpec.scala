@@ -2058,6 +2058,50 @@ class StatsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("unseen_mass") == 2.0 / 7.0)
   }
 
+  test("brunnerMunzel: hand interleaved placements; complete " +
+    "separation nulls W but keeps p_hat = 1") {
+    val inter = Seq(("k", "a", 1.0), ("k", "a", 3.0),
+      ("k", "b", 2.0), ("k", "b", 4.0))
+    val sep = Seq(("s", "a", 1.0), ("s", "a", 2.0),
+      ("s", "b", 3.0), ("s", "b", 4.0))
+    val out = Stats.brunnerMunzel((inter ++ sep)
+      .toDF("key", "arm", "v"), Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // rbar_a = 2, rbar_b = 3, S_a = S_b = 0.5
+    val sA = (4.0 - 2.0 * 2.0 / 2.0) / (4.0 * 1.0)
+    val sB = (20.0 - 6.0 * 6.0 / 2.0) / (4.0 * 1.0)
+    val vs = 2.0 * sA + 2.0 * sB
+    assert(k.getAs[Double]("w") ==
+      2.0 * 2.0 * (3.0 - 2.0) / (4.0 * math.sqrt(vs)))
+    assert(k.getAs[Double]("df") ==
+      (sA / 2.0 + sB / 2.0) * (sA / 2.0 + sB / 2.0) /
+        ((sA / 2.0) * (sA / 2.0) / 1.0 + (sB / 2.0) * (sB / 2.0) / 1.0))
+    assert(k.getAs[Double]("p_hat") == 0.75)
+    val s = out("s")
+    assert(s.isNullAt(s.fieldIndex("w"))) // zero placement variance
+    assert(s.getAs[Double]("p_hat") == 1.0)
+  }
+
+  test("sampleSizeTwoProportions: classic formula chain from the " +
+    "observed baseline; target outside (0,1) nulls") {
+    val base = Seq.fill(3)(("k", false)) :+ (("k", true))
+    val hi = Seq.fill(99)(("h", true)) :+ (("h", false))
+    val out = Stats.sampleSizeTwoProportions((base ++ hi)
+      .toDF("key", "hit"), Seq("key"), "hit", mde = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Double]("p_base") == 0.25)
+    assert(k.getAs[Double]("p_target") == 0.25 + 0.05)
+    val p1 = 0.25; val p2 = p1 + 0.05; val pb = (p1 + p2) / 2.0
+    val num = 1.959963985 * math.sqrt(2.0 * pb * (1.0 - pb)) +
+      0.841621234 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    assert(k.getAs[Double]("n_per_arm") == num * num / (0.05 * 0.05))
+    val h = out("h")
+    assert(h.getAs[Double]("p_base") == 0.99)
+    assert(h.isNullAt(h.fieldIndex("n_per_arm"))) // p2 = 1.04
+  }
+
   test("cliffsDelta: total dominance scores exactly 1, balanced " +
     "overlap 0, a pure tie 0; empty arm null") {
     val df = Seq(

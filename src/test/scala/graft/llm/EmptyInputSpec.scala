@@ -575,5 +575,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.chao1(
       Seq.empty[(String, Long)].toDF("k", "item"),
       Seq("k"), "item").count() == 0)
+    assert(graft.agg.Stats.brunnerMunzel(
+      emptyArm17, Seq("k"), "arm", "a", "b", "v").count() == 0)
+    assert(graft.agg.Stats.sampleSizeTwoProportions(
+      Seq.empty[(String, Boolean)].toDF("k", "y"),
+      Seq("k"), "y", mde = 0.02).count() == 0)
   }
 }
