@@ -4300,13 +4300,17 @@ object SparkEntry {
         Seq("event_type"), "arm", "a", "b", "value")),
 
     // ---- effect size: Hodges-Lehmann shift — grid x grid pairwise
-    //      differences, exact weighted median ----
+    //      differences, exact weighted median (gate coarsens the
+    //      value grid with floor(), per the operator's documented
+    //      envelope: ~100 distinct units/arm -> 1e4 pairs/key
+    //      instead of 4e7 at the raw cent grid) ----
     "q392_hodges_lehmann" -> ((s, dir) =>
       graft.agg.Stats.hodgesLehmann(
         t(s, dir, "events")
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
-            lit("a")).otherwise(lit("b"))),
-        Seq("event_type"), "arm", "a", "b", "value")),
+            lit("a")).otherwise(lit("b")))
+          .withColumn("vb", floor(col("value"))),
+        Seq("event_type"), "arm", "a", "b", "vb")),
 
     // ---- survival: quartile read-off from the KM curve (q218's
     //      subject fixture; unreached thresholds stay null) ----
@@ -4387,6 +4391,42 @@ object SparkEntry {
         t(s, dir, "events")
           .withColumn("hit", col("value") >= 150.0),
         Seq("event_type"), "hit", mde = 0.02)),
+
+    // ---- sampling: deterministic bottom-k coordinated sample —
+    //      the mergeable bottom-k sketch per key ----
+    "q403_bottom_k" -> ((s, dir) =>
+      graft.llm.Sampling.bottomKByHash(t(s, dir, "events"),
+        Seq("event_type"), "event_id", k = 7)),
+
+    // ---- streaming: bottom-k keyed state — the 16th streaming
+    //      state operator; mergeable sketch, order-free parity ----
+    "q402_stream_bottom_k" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val tmp = gateTempDir(s, "graft_q402")
+      ev.repartitionByRange(6, col("hr")).write.parquet(s"$tmp/in")
+      val files = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val partIdx = files.map(_.getName.stripPrefix("part-").take(5))
+      require(partIdx.distinct.length == partIdx.length,
+        s"q402: range partition split across files (${files.length} files)")
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 10000L) }
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val updates = graft.streaming.Streaming.runUpdateStreamFiles(
+        s, s"$tmp/in", schema,
+        df => graft.streaming.Streaming.bottomKStream(
+          df, "user_id", "event_id", k = 5),
+        dir = s"$tmp/run", statePartitions = Some(8),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.Streaming.foldBottomKUpdates(updates)
+        .select(col("actor").as("user_id"), col("n_seen"),
+          posexplode(col("ids")).as(Seq("pos", "event_id")))
+    }),
 
     // ---- streaming: tracking-signal keyed state — three integer-
     //      cent registers, the 15th streaming state operator ----
@@ -8763,6 +8803,40 @@ object SparkEntry {
         |    THEN num * num / (0.02 * 0.02) END AS n_per_arm
         |FROM w""".stripMargin,
 
+    // distinct (key, id) grid, md5-prefix hash, rank cut over the
+    // (hash, id) total order
+    "q403_bottom_k" ->
+      """WITH d AS (SELECT DISTINCT event_type AS k, event_id AS id
+        |  FROM events WHERE event_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |h AS (SELECT k, id,
+        |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS hv
+        |  FROM d),
+        |r AS (SELECT k, id, CAST(row_number() OVER (PARTITION BY k
+        |    ORDER BY hv, id) AS BIGINT) AS rn FROM h)
+        |SELECT k AS event_type, id AS event_id, rn AS "rank"
+        |FROM r WHERE rn <= 7""".stripMargin,
+
+    // the stream's mergeable sketch replayed flat: per-key row count
+    // + the k smallest (hash, id) ids exploded with positions
+    "q402_stream_bottom_k" ->
+      """WITH b AS (SELECT user_id AS k, event_id AS id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_seen
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT DISTINCT k, id FROM b),
+        |h AS (SELECT k, id,
+        |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS hv
+        |  FROM d),
+        |r AS (SELECT k, id, row_number() OVER (PARTITION BY k
+        |    ORDER BY hv, id) AS rn FROM h)
+        |SELECT r.k AS user_id, n.n_seen, CAST(rn - 1 AS INT) AS pos,
+        |  id AS event_id
+        |FROM r JOIN n ON n.k = r.k WHERE rn <= 5""".stripMargin,
+
     // q364's grid and fold with the Gehan n_t / n_t^2 weights; E
     // accumulates at every event time (the r17 logRank rule), V
     // keeps the n <= 1 neutral zero
@@ -8860,7 +8934,8 @@ object SparkEntry {
       """WITH b AS (SELECT event_type AS k,
         |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
         |      THEN 'a' ELSE 'b' END AS arm,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |    CAST(CAST(floor(value) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
         |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
         |    AND event_type IS NOT NULL),
         |ga AS (SELECT k, v AS va, CAST(count(*) AS BIGINT) AS ca

@@ -37,6 +37,44 @@ object Sampling {
   }
 
   /**
+   * Deterministic bottom-k sample per key — the k DISTINCT ids with
+   * the smallest `(md5i(id ++ salt), id)` pairs: a COORDINATED
+   * uniform sample (the bottom-k sketch). Unlike a random sample it
+   * is stable run-to-run AND composable: the union of two keys'
+   * bottom-k sets bottom-k'd again IS the union's bottom-k, so
+   * shards/days merge exactly — which is also why it has a
+   * streaming arm with perfect parity
+   * ([[graft.streaming.Streaming.bottomKStream]]).
+   *
+   * Engine-exact: the hash is the cross-engine [[exactKByHash]]
+   * md5 prefix; ids dedupe on the (keys, id) grid first (set
+   * semantics); the cut is a rank window over the total order
+   * (hash, id). Null ids are excluded.
+   *
+   * Output: (keys…, idCol, rank) — rank 1..k in (hash, id) order.
+   *
+   * Scale posture: one map-side (keys, id) collapse; the per-key
+   * rank window plans with WindowGroupLimit (per-partition pre-cut
+   * to k before the shuffle).
+   */
+  def bottomKByHash(df: DataFrame, keys: Seq[String], idCol: String,
+                    k: Int, salt: String = ""): DataFrame = {
+    require(keys.nonEmpty, "bottomKByHash needs key columns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = TextAnalysis.md5i(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__h"), col(idCol))
+    df.filter(col(idCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+ col(idCol): _*)
+      .distinct()
+      .withColumn("__h", h)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(keys.map(col) ++ Seq(col(idCol), col("rank")): _*)
+  }
+
+  /**
    * Token-budget shard packing: within each group, rows are laid out
    * in `orderCol` order and assigned shard ids so consecutive rows
    * accumulate until `budget` tokens (a row straddling the boundary

@@ -1228,6 +1228,64 @@ object Streaming {
         max_by(col("tracking_signal"), col("n")).as("tracking_signal"))
 
   /**
+   * Streaming bottom-k coordinated sample
+   * ([[graft.llm.Sampling.bottomKByHash]]'s incremental form, the
+   * 16th keyed-state operator): per-key state is the running count
+   * plus the ≤ k smallest `(md5i(id), id)` pairs — a MERGEABLE
+   * sketch, so batch ≡ stream holds EXACTLY on any feed chunking
+   * (bottom-k of unions = bottom-k of bottom-k's; no order contract
+   * needed at all — the strongest parity in the family, shared with
+   * [[trackingSignalStream]]). The live form of "keep a stable
+   * uniform sample of every key's ids" for monitoring and
+   * coordinated cross-day sampling.
+   *
+   * The hash is computed IN the stream's select (the cross-engine
+   * md5 prefix), so the state never depends on JVM hashing. Emits
+   * one row per key per batch with the CURRENT sample (ids in
+   * (hash, id) order) and rows-processed count; the log folds per
+   * key via [[foldBottomKUpdates]]. Null actor/id rows are dropped.
+   *
+   * Scale posture: O(k) state per key (~16k bytes at k ids + key),
+   * bounded by construction.
+   */
+  def bottomKStream(df: DataFrame, actorCol: String, idCol: String,
+                    k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = graft.llm.TextAnalysis.md5i(
+      concat(col(idCol).cast("string"), lit(salt)))
+    val ds = df
+      .filter(col(actorCol).isNotNull && col(idCol).isNotNull)
+      .select(col(actorCol).cast("long"), col(idCol).cast("long"),
+        h.cast("long"))
+      .as[(Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]),
+        (Long, Long, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          var (nSeen, samp) = state.getOption
+            .getOrElse((0L, Seq.empty[(Long, Long)]))
+          val buf = rows.toSeq
+          nSeen += buf.size
+          samp = (samp ++ buf.map(r => (r._3, r._2)))
+            .distinct.sorted.take(k)
+          state.update((nSeen, samp))
+          Iterator((key, nSeen, samp.map(_._2)))
+      }
+      .toDF("actor", "n_seen", "ids")
+  }
+
+  /** Collapse a [[bottomKStream]] update log to the final sample per
+   *  actor: the max-n_seen row carries the final state. */
+  def foldBottomKUpdates(updates: DataFrame): DataFrame =
+    updates.groupBy(col("actor"))
+      .agg(max(col("n_seen")).as("n_seen"),
+        max_by(col("ids"), col("n_seen")).as("ids"))
+
+  /**
    * Streaming TWAP ([[graft.ops.TimeSeries.twap]]'s incremental form):
    * per-key state is (bucket, last tick time, last cents, Σ cents·µs,
    * Σ µs, tick count) — six longs, constant per key, all integer (NO

@@ -1866,6 +1866,13 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
   }
 
+  test("q403 bottom-k: per-key rank cut pre-limits per partition " +
+    "(WindowGroupLimit), join-free") {
+    val fin = finalPlan("q403_bottom_k").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("WindowGroupLimit"), fin.take(1500))
+  }
+
   test("q401 sample size: ONE map-side-combined aggregation, " +
     "join-free closing projection") {
     val fin = finalPlan("q401_sample_size")

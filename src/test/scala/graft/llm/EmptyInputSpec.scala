@@ -580,5 +580,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.agg.Stats.sampleSizeTwoProportions(
       Seq.empty[(String, Boolean)].toDF("k", "y"),
       Seq("k"), "y", mde = 0.02).count() == 0)
+    assert(Sampling.bottomKByHash(
+      Seq.empty[(String, Long)].toDF("k", "id"),
+      Seq("k"), "id", k = 3).count() == 0)
   }
 }

@@ -888,4 +888,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L)._4 == b1.getAs[Double]("tracking_signal"))
     assert(out(1L)._4 == 3.0) // (0+2+4)/((0+2+4)/3)
   }
+
+  test("bottomKStream: mergeable bottom-k state across batches == " +
+    "batch bottomKByHash, including duplicate-id dedup") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_bk").toString
+    val batch1 = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 900L))
+    val batch2 = Seq((1L, 104L), (1L, 105L), (1L, 103L)) // 103 repeats
+    batch1.toDF("user_id", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF("user_id", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val updates = Streaming.runUpdateStreamFiles(spark, s"$dir/in",
+      schema,
+      df => Streaming.bottomKStream(df, "user_id", "event_id", k = 3),
+      dir = s"$dir/run", statePartitions = Some(2),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.foldBottomKUpdates(updates)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(out(1L)._1 == 6L) // rows processed, dup included
+    assert(out(1L)._2.length == 3)
+    assert(out(2L)._2 == Seq(900L))
+    val batchOut = graft.llm.Sampling.bottomKByHash(
+      (batch1 ++ batch2).toDF("user_id", "event_id"),
+      Seq("user_id"), "event_id", k = 3)
+      .orderBy("user_id", "rank").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.sortBy(_.getAs[Long]("rank")).map(_.getLong(1)).toSeq }
+    assert(out(1L)._2 == batchOut(1L))
+  }
 }
