@@ -165,7 +165,8 @@ object Bench {
       "q237_stream_heavy_hitters" -> 7.5, "q376_stream_holt" -> 7.5,
       "q49_drop_near_dups" -> 9.5, "q45_components" -> 8.5,
       "q319_grid_clusters" -> 7.5, "q343_stream_page_hinkley" -> 6.0,
-      "q360_stream_macd" -> 6.0)
+      "q360_stream_macd" -> 6.0, "q394_stream_tracking_signal" -> 8.5,
+      "q402_stream_bottom_k" -> 7.5, "q110_stream_dedup" -> 11.5)
     // Fixed (sorted) execution order + per-iteration times in the JSON:
     // run-order and GC effects stay diagnosable from the artifact alone.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
