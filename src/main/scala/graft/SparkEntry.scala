@@ -3632,6 +3632,16 @@ object SparkEntry {
 
     // ---- ML eval: cumulative-gains / lift deciles per priority —
     //      exact integer bucket cut, unique-orderkey tie-break ----
+    // ---- ML eval: Qini / uplift curve — liftTable's exact cut
+    //      with treated/control cumulative incremental responders ----
+    "q404_qini_curve" -> ((s, dir) =>
+      graft.agg.Stats.qiniCurve(
+        t(s, dir, "orders")
+          .withColumn("treated", pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .withColumn("is_f", col("o_orderstatus") === "F"),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey",
+        "treated", "is_f", buckets = 10)),
+
     "q271_lift_table" -> ((s, dir) =>
       graft.agg.Stats.liftTable(
         t(s, dir, "orders")
@@ -13031,6 +13041,50 @@ object SparkEntry {
 
     // rank desc with the unique-orderkey tie-break, the exact
     // ⌊(r−1)k/n⌋+1 bucket cut, integer cumulatives, pinned divisions
+    // q271's rank/cut machinery split by treatment arm; pinned
+    // qini/uplift closings, empty-arm-prefix guards
+    "q404_qini_curve" ->
+      """WITH e AS (SELECT o_orderpriority AS k, o_totalprice AS s,
+        |    ((o_orderkey % 2) + 2) % 2 = 0 AS tr,
+        |    o_orderstatus = 'F' AS y, o_orderkey AS id
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY s DESC, id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM e),
+        |b AS (SELECT k, ((rk - 1) * 10) // n + 1 AS bucket, tr, y
+        |  FROM r),
+        |g AS (SELECT k, CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN tr AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r_t,
+        |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(sum(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r_c
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(sum(n_t) OVER (PARTITION BY k ORDER BY bucket)
+        |      AS BIGINT) AS cum_nt,
+        |    CAST(sum(r_t) OVER (PARTITION BY k ORDER BY bucket)
+        |      AS BIGINT) AS cum_rt,
+        |    CAST(sum(n_c) OVER (PARTITION BY k ORDER BY bucket)
+        |      AS BIGINT) AS cum_nc,
+        |    CAST(sum(r_c) OVER (PARTITION BY k ORDER BY bucket)
+        |      AS BIGINT) AS cum_rc FROM g)
+        |SELECT k AS o_orderpriority, bucket, n_t, r_t, n_c, r_c,
+        |  cum_nt, cum_rt, cum_nc, cum_rc,
+        |  CASE WHEN cum_nt > 0 AND cum_nc > 0 THEN
+        |    CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE)
+        |      * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE) END
+        |    AS qini,
+        |  CASE WHEN cum_nt > 0 AND cum_nc > 0 THEN
+        |    CAST(cum_rt AS DOUBLE) / CAST(cum_nt AS DOUBLE)
+        |      - CAST(cum_rc AS DOUBLE) / CAST(cum_nc AS DOUBLE) END
+        |    AS uplift
+        |FROM c""".stripMargin,
+
     "q271_lift_table" ->
       """WITH e AS (SELECT o_orderpriority, o_totalprice AS s,
         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,

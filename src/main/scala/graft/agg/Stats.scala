@@ -6116,6 +6116,75 @@ object Stats {
       when(ok, nArm).as("n_per_arm")): _*)
   }
 
+  /**
+   * Qini / uplift curve per key — the evaluation table for UPLIFT
+   * models ([[liftTable]] scores "who converts"; this scores "who
+   * converts BECAUSE we treated them"): rows ranked by uplift score
+   * descending are cut into `buckets` equal-frequency bins
+   * ([[liftTable]]'s exact integer cut), and each cumulative prefix
+   * reports the Qini increment
+   * `qini = cum_rt − cum_rc·cum_nt/cum_nc` (incremental responders
+   * vs the scaled control) and the uplift-rate difference
+   * `uplift = cum_rt/cum_nt − cum_rc/cum_nc`. A model that targets
+   * persuadables front-loads qini; random targeting walks the
+   * diagonal.
+   *
+   * Engine-exact: treated/control counts and responders are exact
+   * longs per bucket; the rank order is total via the required
+   * unique `idCol` tie-break (the [[liftTable]] q207 discipline);
+   * the closings are pinned division chains. Prefixes with an empty
+   * treated or control arm emit null qini/uplift (no comparison
+   * exists yet).
+   *
+   * Output: (keys…, bucket, n_t, r_t, n_c, r_c, cum_nt, cum_rt,
+   * cum_nc, cum_rc, qini, uplift).
+   *
+   * Scale posture: ONE key exchange carries the rank window, the
+   * bucket collapse (map-side), and the cumulative windows on the
+   * buckets-per-key grid — the [[liftTable]] plan.
+   */
+  def qiniCurve(df: DataFrame, keys: Seq[String], scoreCol: String,
+                idCol: String, treatedCol: String, outcomeCol: String,
+                buckets: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "qiniCurve needs key columns")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val tr = col(treatedCol).cast("boolean")
+    val y = col(outcomeCol).cast("boolean")
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull &&
+        tr.isNotNull && y.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__r", row_number().over(
+        wk.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(wk))
+    val num = (col("__r") - 1L) * lit(buckets.toLong)
+    val bucket = ((num - pmod(num, col("__n"))) / col("__n"))
+      .cast("long") + 1L
+    val byBucket = ranked
+      .groupBy(keys.map(col) :+ bucket.as("bucket"): _*)
+      .agg(sum(when(tr, 1L).otherwise(0L)).as("n_t"),
+        sum(when(tr && y, 1L).otherwise(0L)).as("r_t"),
+        sum(when(!tr, 1L).otherwise(0L)).as("n_c"),
+        sum(when(!tr && y, 1L).otherwise(0L)).as("r_c"))
+    val wc = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val cum = byBucket
+      .withColumn("cum_nt", sum(col("n_t")).over(wc))
+      .withColumn("cum_rt", sum(col("r_t")).over(wc))
+      .withColumn("cum_nc", sum(col("n_c")).over(wc))
+      .withColumn("cum_rc", sum(col("r_c")).over(wc))
+    val ok = col("cum_nt") > 0L && col("cum_nc") > 0L
+    val qini = d(col("cum_rt")) -
+      d(col("cum_rc")) * d(col("cum_nt")) / d(col("cum_nc"))
+    val uplift = d(col("cum_rt")) / d(col("cum_nt")) -
+      d(col("cum_rc")) / d(col("cum_nc"))
+    cum.select(keys.map(col) ++ Seq(col("bucket"), col("n_t"),
+      col("r_t"), col("n_c"), col("r_c"), col("cum_nt"), col("cum_rt"),
+      col("cum_nc"), col("cum_rc"),
+      when(ok, qini).as("qini"), when(ok, uplift).as("uplift")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

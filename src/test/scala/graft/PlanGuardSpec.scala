@@ -1873,6 +1873,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(fin.contains("WindowGroupLimit"), fin.take(1500))
   }
 
+  test("q404 qini: liftTable's plan — ONE key exchange for rank, " +
+    "bucket collapse, cumulative windows; join-free") {
+    val fin = finalPlan("q404_qini_curve").split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
+      fin.take(1500))
+  }
+
   test("q401 sample size: ONE map-side-combined aggregation, " +
     "join-free closing projection") {
     val fin = finalPlan("q401_sample_size")

@@ -2102,6 +2102,30 @@ class StatsSpec extends AnyFunSuite {
     assert(h.isNullAt(h.fieldIndex("n_per_arm"))) // p2 = 1.04
   }
 
+  test("qiniCurve: perfect-uplift model front-loads qini; balanced " +
+    "arms score 0; empty-arm prefix nulls") {
+    val perfect = Seq(
+      ("p", 4.0, 1L, true, true), ("p", 3.0, 2L, true, true),
+      ("p", 2.0, 3L, false, false), ("p", 1.0, 4L, false, false))
+    val flat = Seq(
+      ("f", 4.0, 1L, true, true), ("f", 3.0, 2L, false, true),
+      ("f", 2.0, 3L, true, false), ("f", 1.0, 4L, false, false))
+    val out = Stats.qiniCurve((perfect ++ flat)
+      .toDF("key", "score", "id", "tr", "y"),
+      Seq("key"), "score", "id", "tr", "y", buckets = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val p1 = out(("p", 1L))
+    assert(p1.isNullAt(p1.fieldIndex("qini"))) // control arm empty
+    val p2 = out(("p", 2L))
+    assert(p2.getAs[Double]("qini") == 2.0)
+    assert(p2.getAs[Double]("uplift") == 1.0)
+    val f1 = out(("f", 1L))
+    assert(f1.getAs[Double]("qini") == 0.0) // 1 - 1*1/1
+    val f2 = out(("f", 2L))
+    assert(f2.getAs[Double]("qini") == 0.0)
+    assert(f2.getAs[Double]("uplift") == 0.0)
+  }
+
   test("cliffsDelta: total dominance scores exactly 1, balanced " +
     "overlap 0, a pure tie 0; empty arm null") {
     val df = Seq(

@@ -583,5 +583,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sampling.bottomKByHash(
       Seq.empty[(String, Long)].toDF("k", "id"),
       Seq("k"), "id", k = 3).count() == 0)
+    assert(graft.agg.Stats.qiniCurve(
+      Seq.empty[(String, Double, Long, Boolean, Boolean)]
+        .toDF("k", "s", "id", "tr", "y"),
+      Seq("k"), "s", "id", "tr", "y").count() == 0)
   }
 }
