@@ -3652,6 +3652,15 @@ object SparkEntry {
     // ---- stats: Cramér's V priority↔status per order-year —
     //      exact contingency counts (full r×c grid incl. structural
     //      zeros), order-pinned χ² fold ----
+    // ---- stats: G-test (Dunning's G^2 log-likelihood ratio) —
+    //      cramersV's grid with 2*o*ln(o/e) terms ----
+    "q405_g_test" -> ((s, dir) =>
+      graft.agg.Stats.gTest(
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate"))
+            .cast("long")),
+        Seq("o_year"), "o_orderpriority", "o_orderstatus")),
+
     "q272_cramers_v" -> ((s, dir) =>
       graft.agg.Stats.cramersV(
         t(s, dir, "orders")
@@ -13119,6 +13128,44 @@ object SparkEntry {
     // exact contingency/margin counts over the FULL r×c level grid
     // (structural zeros carry χ² mass); the closing folds the
     // per-cell doubles in sorted (a,b) order (the q157 fold idiom)
+    // q272's full-grid machinery with the G term: 2*o*ln(o/e)
+    // snapped to 1e-9, zeros exact 0, sorted-cell fold
+    "q405_g_test" ->
+      """WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS bb FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |    AND o_orderdate IS NOT NULL),
+        |cells AS (SELECT o_year, a, bb, CAST(count(*) AS BIGINT)
+        |    AS o FROM b GROUP BY 1, 2, 3),
+        |rm AS (SELECT o_year, a, CAST(sum(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT o_year, bb, CAST(sum(o) AS BIGINT) AS rb
+        |  FROM cells GROUP BY 1, 2),
+        |tt AS (SELECT o_year, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT bb) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT rm.o_year, rm.a, cm.bb, rm.ra, cm.rb,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rm JOIN cm USING (o_year)
+        |    LEFT JOIN cells USING (o_year, a, bb)),
+        |terms AS (SELECT grid.o_year, a, bb, n, r, c,
+        |    CASE WHEN o > 0 THEN
+        |      2.0 * CAST(o AS DOUBLE) * round(ln(CAST(o AS DOUBLE)
+        |        / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |          / CAST(n AS DOUBLE))), 9)
+        |    ELSE 0.0 END AS t
+        |  FROM grid JOIN tt USING (o_year)),
+        |f AS (SELECT o_year, max(n) AS n, max(r) AS r,
+        |    max(c) AS c,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t ORDER BY a, bb)), (x, y) -> x + y) AS g
+        |  FROM terms GROUP BY 1)
+        |SELECT o_year, n, r, c,
+        |  CASE WHEN r > 1 AND c > 1 THEN g END AS g2
+        |FROM f""".stripMargin,
+
     "q272_cramers_v" ->
       """WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |    CAST(o_orderpriority AS VARCHAR) AS a,

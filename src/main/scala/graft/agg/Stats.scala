@@ -6185,6 +6185,71 @@ object Stats {
       when(ok, qini).as("qini"), when(ok, uplift).as("uplift")): _*)
   }
 
+  /**
+   * G-test (likelihood-ratio χ², Dunning's G²) per key — the
+   * independence test for the SPARSE-count regime where Pearson's
+   * χ² ([[cramersV]]'s numerator) misbehaves: `G = 2·Σ o·ln(o/e)`
+   * over the r×c contingency grid. The statistic behind collocation
+   * mining (Dunning 1993 — "surprising" token pairs), feature/label
+   * dependence screens on rare categories, and model-vs-baseline
+   * count comparisons; G ≈ χ²((r−1)(c−1)) under independence.
+   *
+   * Engine-exact: [[cramersV]]'s machinery verbatim — exact integer
+   * cells over the FULL level grid (structural zeros contribute
+   * exact 0 here, their natural G weight), expected counts one
+   * pinned chain — with each term's `ln(o/e)` the libm-consistent
+   * log snapped to the 10⁻⁹ grid, and the terms folded in SORTED
+   * (a, b) cell order (the [[cramersV]] fold discipline). Keys with
+   * a degenerate table (single row/column level) emit null g2.
+   *
+   * Output: (keys…, n, r, c, g2).
+   *
+   * Scale posture: ONE full-data pass (map-side cell collapse);
+   * margins/totals/fold all run on the |keys|·r·c cell relation.
+   */
+  def gTest(df: DataFrame, keys: Seq[String], aCol: String,
+            bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        (if (keys.isEmpty) lit(true)
+         else keys.map(col(_).isNotNull).reduce(_ && _)))
+      .select(keys.map(col) :+ col(aCol).cast("string").as("__a") :+
+        col(bCol).cast("string").as("__b"): _*)
+      .groupBy(keys.map(col) :+ col("__a") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val rowm = cells.groupBy(keys.map(col) :+ col("__a"): _*)
+      .agg(sum(col("__o")).as("__ra"))
+    val colm = cells.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__o")).as("__rb"))
+    val tot = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__o")).as("__n"),
+        countDistinct(col("__a")).as("__r"),
+        countDistinct(col("__b")).as("__c"))
+    val e = d(col("__ra")) * d(col("__rb")) / d(col("__n"))
+    val term = when(col("__o") > 0L,
+      lit(2.0) * d(col("__o")) *
+        round(graft.functions.MathFunctions.libmLog(d(col("__o")) / e),
+          9)).otherwise(lit(0.0))
+    val grid =
+      (if (keys.nonEmpty) rowm.join(colm, keys)
+       else rowm.crossJoin(colm))
+        .join(cells, keys ++ Seq("__a", "__b"), "left")
+        .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val terms =
+      (if (keys.nonEmpty) grid.join(tot, keys)
+       else grid.crossJoin(tot))
+        .select(keys.map(col) ++ Seq(col("__n"), col("__r"), col("__c"),
+          col("__a"), col("__b"), term.as("__t")): _*)
+    val folded = terms.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__r")).as("r"),
+        max(col("__c")).as("c"),
+        aggregate(sort_array(collect_list(struct(col("__a").as("a"),
+          col("__b").as("b"), col("__t").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__g"))
+    folded.select(keys.map(col) ++ Seq(col("n"), col("r"), col("c"),
+      when(col("r") > 1L && col("c") > 1L, col("__g")).as("g2")): _*)
+  }
+
   /** Exact long on the value's `scale` grid: `round(v·10^scale)` via
    *  a decimal cast (half-up, engine-identical) then an exact decimal
    *  shift — the shared grid trick behind every rank statistic here. */

@@ -1881,6 +1881,14 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
   }
 
+  test("q405 g-test: cramersV's cell-relation posture — one corpus " +
+    "pass, no cartesian, margin joins on the tiny grid") {
+    val fin = finalPlan("q405_g_test").split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert("Scan parquet".r.findAllIn(fin).size <= 1 ||
+      fin.contains("ExistingRDD"), fin.take(2000))
+  }
+
   test("q401 sample size: ONE map-side-combined aggregation, " +
     "join-free closing projection") {
     val fin = finalPlan("q401_sample_size")

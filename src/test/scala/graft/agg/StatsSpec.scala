@@ -2126,6 +2126,26 @@ class StatsSpec extends AnyFunSuite {
     assert(f2.getAs[Double]("uplift") == 0.0)
   }
 
+  test("gTest: perfect association hits 4n*ln2 on the snapped grid; " +
+    "exact independence scores 0; degenerate table null") {
+    def rows(k: String, a: String, b: String, n: Int) =
+      Seq.fill(n)((k, a, b))
+    val dep = rows("k", "A", "X", 10) ++ rows("k", "B", "Y", 10)
+    val ind = rows("i", "A", "X", 5) ++ rows("i", "A", "Y", 5) ++
+      rows("i", "B", "X", 5) ++ rows("i", "B", "Y", 5)
+    val deg = rows("d", "A", "X", 3)
+    val out = Stats.gTest((dep ++ ind ++ deg).toDF("key", "a", "b"),
+      Seq("key"), "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ln2 = BigDecimal(math.log(10.0 / 5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two observed cells, each 2*10*ln(10/5); zeros contribute 0
+    assert(out("k").getAs[Double]("g2") ==
+      2.0 * 10.0 * ln2 + 2.0 * 10.0 * ln2)
+    assert(out("i").getAs[Double]("g2") == 0.0) // o = e everywhere
+    assert(out("d").isNullAt(out("d").fieldIndex("g2")))
+  }
+
   test("cliffsDelta: total dominance scores exactly 1, balanced " +
     "overlap 0, a pure tie 0; empty arm null") {
     val df = Seq(

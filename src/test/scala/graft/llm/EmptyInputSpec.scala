@@ -587,5 +587,8 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Double, Long, Boolean, Boolean)]
         .toDF("k", "s", "id", "tr", "y"),
       Seq("k"), "s", "id", "tr", "y").count() == 0)
+    assert(graft.agg.Stats.gTest(
+      Seq.empty[(String, String, String)].toDF("k", "a", "b"),
+      Seq("k"), "a", "b").count() == 0)
   }
 }
