@@ -5470,7 +5470,8 @@ object SparkEntry {
     "q134_compress_consecutive" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |  SELECT *, lag(event_id) OVER w AS pid, lag(event_type) OVER w AS pv
-        |  FROM events WHERE ts IS NOT NULL
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE pid IS NULL OR pv IS DISTINCT FROM event_type""".stripMargin,
 
@@ -6949,7 +6950,8 @@ object SparkEntry {
     // the state's predecessor count
     "q151_transitions" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
-        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_id IS NOT NULL AND user_id IS NOT NULL),
         |p AS (SELECT event_type AS from_state,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
         |  FROM e),
@@ -8789,11 +8791,11 @@ object SparkEntry {
         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vs > 0.0
         |    THEN nd * md * (rbb - rba) / (bigN * sqrt(vs)) END AS w,
         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vs > 0.0 AND
-        |    (sa / nd) * (sa / nd) / (nd - 1.0)
-        |      + (sb / md) * (sb / md) / (md - 1.0) > 0.0
-        |  THEN (sa / nd + sb / md) * (sa / nd + sb / md)
-        |    / ((sa / nd) * (sa / nd) / (nd - 1.0)
-        |      + (sb / md) * (sb / md) / (md - 1.0)) END AS df
+        |    (nd * sa) * (nd * sa) / (nd - 1.0)
+        |      + (md * sb) * (md * sb) / (md - 1.0) > 0.0
+        |  THEN vs * vs
+        |    / ((nd * sa) * (nd * sa) / (nd - 1.0)
+        |      + (md * sb) * (md * sb) / (md - 1.0)) END AS df
         |FROM w""".stripMargin,
 
     // exact cells, pinned power-formula chain with the default
@@ -13459,7 +13461,8 @@ object SparkEntry {
     "q281_cusum" ->
       """WITH e AS (SELECT user_id, ts, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL AND user_id IS NOT NULL),
         |p AS (SELECT user_id, ts, event_id, xc,
         |    CAST(sum(xc - 5000) OVER
         |      (PARTITION BY user_id ORDER BY ts, event_id
@@ -13480,7 +13483,8 @@ object SparkEntry {
     "q295_cusum_lower" ->
       """WITH e AS (SELECT user_id, ts, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL AND user_id IS NOT NULL),
         |p AS (SELECT user_id, ts, event_id, xc,
         |    CAST(sum(5000 - xc) OVER
         |      (PARTITION BY user_id ORDER BY ts, event_id

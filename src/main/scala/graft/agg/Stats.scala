@@ -5760,7 +5760,11 @@ object Stats {
    * Output: (keys…, n_a, n_b, t4, z).
    *
    * Envelope: R₂⁴ ≤ (2N)⁴ must stay exact in DECIMAL(38) sums —
-   * pooled arms to ~10⁸ rows per key.
+   * pooled arms to ~10⁸ rows per key. The cross-scaled deviations
+   * ride DECIMAL(38,0) too (n_a·n_b·|v| overflows a long at ~3·10⁵
+   * rows/arm of 10⁸-cent values — decimal keeps them exact to
+   * 10³⁸, far past the R₂⁴ bound, and Spark nulls rather than
+   * silently wraps beyond that).
    *
    * Scale posture: one cells collapse per arm (map-side), one
    * key exchange for the pooled rank windows, closing aggregate.
@@ -5785,16 +5789,26 @@ object Stats {
       .withColumn("__nb", sum(when(!col("__a"), 1L).otherwise(0L))
         .over(wKey))
       .withColumn("__sa", sum(when(col("__a"), col("__v"))
-        .otherwise(0L)).over(wKey))
+        .otherwise(0L).cast("decimal(38,0)")).over(wKey))
       .withColumn("__sb", sum(when(!col("__a"), col("__v"))
-        .otherwise(0L)).over(wKey))
+        .otherwise(0L).cast("decimal(38,0)")).over(wKey))
+      // deviations in DECIMAL(38,0): the cross-scaled grid value
+      // n_a·n_b·v can exceed 2^63 long before the R₂⁴ moment sums
+      // are at risk (~3·10⁵ rows/arm of 10⁸-cent values already
+      // does) — a silent long wrap here would corrupt the pooled
+      // ranking with no error. Decimal keeps every deviation exact
+      // to 10³⁸, past which Spark nulls rather than wraps.
       .withColumn("__dev",
         when(col("__a"),
-          abs(col("__na") * col("__nb") * col("__v") -
-            col("__nb") * col("__sa")))
+          abs(col("__na").cast("decimal(19,0)") *
+            col("__nb").cast("decimal(19,0)") *
+            col("__v").cast("decimal(19,0)") -
+            col("__nb").cast("decimal(19,0)") * col("__sa")))
           .otherwise(
-            abs(col("__na") * col("__nb") * col("__v") -
-              col("__na") * col("__sb"))))
+            abs(col("__na").cast("decimal(19,0)") *
+              col("__nb").cast("decimal(19,0)") *
+              col("__v").cast("decimal(19,0)") -
+              col("__na").cast("decimal(19,0)") * col("__sb"))))
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__dev"))
     val wTie = Window.partitionBy(keys.map(col) :+ col("__dev"): _*)
     val ranked = sums
@@ -5991,7 +6005,12 @@ object Stats {
    * is an exact long and ΣL₂ / ΣL₂² accumulate order-free in
    * DECIMAL. `S²_g = (ΣL₂² − (ΣL₂)²/n_g) / (4(n_g−1))`,
    * `W = n_a·n_b·(R̄_b − R̄_a) / (N·√(n_a·S²_a + n_b·S²_b))` (the
-   * scipy convention), `p̂ = (R̄_b − (n_b+1)/2)/n_a` — pinned
+   * scipy convention), Satterthwaite
+   * `df = (n_a·S²_a + n_b·S²_b)² / ((n_a·S²_a)²/(n_a−1) +
+   * (n_b·S²_b)²/(n_b−1))` (the scipy/lawstat form — valid for
+   * UNBALANCED arms, where the naive (S²_a/n_a + S²_b/n_b)-style
+   * Welch expression diverges), `p̂ = (R̄_b − (n_b+1)/2)/n_a` —
+   * pinned
    * chains over exact sums. Arms with < 2 members or zero placement
    * variance (complete separation) emit null w/df; p̂ survives.
    *
@@ -6054,9 +6073,9 @@ object Stats {
       (lit(4.0) * (mD - lit(1.0)))
     val varSum = nD * sA + mD * sB
     val w = nD * mD * (rbarB - rbarA) / (bigN * sqrt(varSum))
-    val dfNum = (sA / nD + sB / mD) * (sA / nD + sB / mD)
-    val dfDen = (sA / nD) * (sA / nD) / (nD - lit(1.0)) +
-      (sB / mD) * (sB / mD) / (mD - lit(1.0))
+    val dfNum = varSum * varSum
+    val dfDen = (nD * sA) * (nD * sA) / (nD - lit(1.0)) +
+      (mD * sB) * (mD * sB) / (mD - lit(1.0))
     val pHat = (rbarB - (mD + lit(1.0)) / lit(2.0)) / nD
     val okP = col("n_a") >= 1L && col("n_b") >= 1L
     val okW = col("n_a") >= 2L && col("n_b") >= 2L

@@ -112,12 +112,29 @@ object PlanLint {
     // a scan whose post-scan data filters outnumber what reached the
     // reader is carrying an untranslatable predicate (udf/length/...)
     // — IsNotNull and plain comparisons always push, so equality
-    // holds exactly when every predicate was translated
+    // holds exactly when every predicate was translated. The
+    // PushedFilters metadata is a ", "-joined list whose ELEMENTS can
+    // themselves contain ", " (In(col, [a, b]), string literals), so
+    // count bracket-aware: only commas at nesting depth 0 separate
+    // filters — every element is a `Name(args…)` rendering, so its
+    // internal commas sit at depth >= 1.
     def pushedCount(s: FileSourceScanExec): Int =
       s.metadata.get("PushedFilters").map(_.trim)
         .filter(v => v.startsWith("[") && v.endsWith("]"))
         .map(_.stripPrefix("[").stripSuffix("]").trim)
-        .map(v => if (v.isEmpty) 0 else v.split(", ").length)
+        .map { v =>
+          if (v.isEmpty) 0
+          else {
+            var depth = 0; var n = 1
+            v.foreach {
+              case '(' | '[' => depth += 1
+              case ')' | ']' => depth = math.max(0, depth - 1)
+              case ',' if depth == 0 => n += 1
+              case _ => ()
+            }
+            n
+          }
+        }
         .getOrElse(0)
     val unpushedFilters = plan.count {
       case s: FileSourceScanExec =>
@@ -167,10 +184,11 @@ object PlanLint {
           "reads every partition; filter on the partition column(s) " +
           "so pruning cuts the input before any I/O"),
       f("filter-not-pushed", unpushedFilters, unpushedFilters > 0,
-        "scan carries post-scan data filters but pushed NONE into " +
-          "the reader (PushedFilters: []) — the format/expression " +
-          "blocks pushdown (e.g. a UDF predicate); rewrite the " +
-          "predicate over plain columns so the scan skips row groups"),
+        "scan carries more post-scan data filters than reached the " +
+          "reader (dataFilters > PushedFilters — at least one " +
+          "predicate was NOT translated) — the format/expression " +
+          "blocks pushdown (e.g. a UDF or length() predicate); " +
+          "rewrite it over plain columns so the scan skips row groups"),
       f("interpreted-stage", interpreted, interpreted > 0,
         "Project/Filter outside any WholeStageCodegen span runs " +
           "interpreted (codegen fallback) — usually a non-codegen " +

@@ -316,7 +316,13 @@ object TimeSeries {
       .reduce(_ || _)
     // window expressions can't sit in a WHERE clause — stage the flag
     val keep = graft.core.Engine.freshColumn(df, "__graft_cc_keep")
-    df.withColumn(keep,
+    // fold-family null contract (batch ≡ stream parity with
+    // [[graft.streaming.Streaming.compactStream]]): null key / time /
+    // tie rows have no defined sequence position — drop them. Null
+    // VALUES stay (the null-safe <=> comparison is the semantics).
+    df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(keep,
         lag(col(tieCol), 1).over(w).isNull || changed)
       .filter(col(keep)).drop(keep)
   }
@@ -395,7 +401,13 @@ object TimeSeries {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     val pairs = df
-      .filter(col(tsCol).isNotNull && col(stateCol).isNotNull)
+      // fold-family null contract (batch ≡ stream parity with
+      // [[graft.streaming.Streaming.transitionsStream]]): null key /
+      // time / tie rows have no defined sequence position — drop them
+      // rather than order them nulls-first.
+      .filter(col(tsCol).isNotNull && col(stateCol).isNotNull &&
+        col(tieCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__next", lead(col(stateCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
@@ -1995,7 +2007,12 @@ object TimeSeries {
       .orderBy(col(tsCol), col(idCol))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val h = lit(BigDecimal(threshold).setScale(2))
-    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    // fold-family null contract (batch ≡ stream parity with
+    // [[graft.streaming.Streaming.cusumStream]]): a null key, time,
+    // tie, or value has no position in the recurrence — drop it.
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__p", sum(drift).over(run).cast("decimal(38,2)"))
       .withColumn("__m",
         least(min(col("__p")).over(run), lit(BigDecimal(0).setScale(2))))

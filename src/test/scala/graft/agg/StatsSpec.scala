@@ -2007,6 +2007,30 @@ class StatsSpec extends AnyFunSuite {
     assert(out("s").isNullAt(out("s").fieldIndex("z"))) // all tied
   }
 
+  test("conoverSquaredRanks: huge-magnitude values whose TRUE cross-" +
+    "scaled deviation passes 2^63 still rank exactly (decimal " +
+    "deviations)") {
+    // deviations scale linearly in the values, so scaling every
+    // value by 10¹² must reproduce the small feed's t4/z EXACTLY.
+    // At the big scale the true deviation |n_a·n_b·x − n_b·Σ_a|
+    // reaches ~1.2e19 > 2^63 (n_a·n_b = 20, values to 9.9e17
+    // cents) — long math would wrap it negative, abs() would flip
+    // the pooled ranking, and the z would silently change.
+    val small = Seq(("k", "a", 0.0), ("k", "a", 0.0), ("k", "a", 0.0),
+      ("k", "a", 9900.0), ("k", "a", 9900.0),
+      ("k", "b", 0.0), ("k", "b", 110.0), ("k", "b", 4400.0),
+      ("k", "b", 9900.0))
+    val big = small.map { case (k, g, v) => (k, g, v * 1.0e12) }
+    def run(rows: Seq[(String, String, Double)]) =
+      Stats.conoverSquaredRanks(rows.toDF("key", "arm", "v"),
+        Seq("key"), "arm", "a", "b", "v").collect().head
+    val s = run(small); val b = run(big)
+    assert(b.getAs[Long]("n_a") == 5L && b.getAs[Long]("n_b") == 4L)
+    assert(b.getAs[Double]("t4") == s.getAs[Double]("t4"))
+    assert(b.getAs[Double]("z") == s.getAs[Double]("z"))
+    assert(!s.isNullAt(s.fieldIndex("z")))
+  }
+
   test("poissonRateTest: hand rate z and snapped log-ratio CI; " +
     "zero count nulls the log CI but keeps z") {
     val df = Seq(("k", "a", 10L, 5.0), ("k", "b", 2L, 4.0),
@@ -2075,12 +2099,33 @@ class StatsSpec extends AnyFunSuite {
     assert(k.getAs[Double]("w") ==
       2.0 * 2.0 * (3.0 - 2.0) / (4.0 * math.sqrt(vs)))
     assert(k.getAs[Double]("df") ==
-      (sA / 2.0 + sB / 2.0) * (sA / 2.0 + sB / 2.0) /
-        ((sA / 2.0) * (sA / 2.0) / 1.0 + (sB / 2.0) * (sB / 2.0) / 1.0))
+      vs * vs /
+        ((2.0 * sA) * (2.0 * sA) / 1.0 + (2.0 * sB) * (2.0 * sB) / 1.0))
     assert(k.getAs[Double]("p_hat") == 0.75)
     val s = out("s")
     assert(s.isNullAt(s.fieldIndex("w"))) // zero placement variance
     assert(s.getAs[Double]("p_hat") == 1.0)
+  }
+
+  test("brunnerMunzel: UNBALANCED arms match the scipy/lawstat " +
+    "Satterthwaite df computed from per-row placements") {
+    // a = [1,2,3] (n=3), b = [2,4,5,6] (m=4); pooled midranks
+    // 1, 2.5, 2.5, 4, 5, 6, 7. Hand chain per scipy.stats
+    // .brunnermunzel: Sx = 0.25, Sy = 0.5625, so
+    // W = 12*2.625/(7*sqrt(3)) = 1.5*sqrt(3), df = 9/1.96875 = 32/7,
+    // p_hat = (5.125 - 2.5)/3 = 0.875. The old Welch-style
+    // (S/n)-form gives df = 0.0703125/0.01916.. ~ 3.67 here — the
+    // forms only coincide for balanced arms.
+    val rows = Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+      ("k", "b", 2.0), ("k", "b", 4.0), ("k", "b", 5.0),
+      ("k", "b", 6.0))
+    val out = Stats.brunnerMunzel(rows.toDF("key", "arm", "v"),
+      Seq("key"), "arm", "a", "b", "v").collect().head
+    assert(out.getAs[Long]("n_a") == 3L && out.getAs[Long]("n_b") == 4L)
+    assert(out.getAs[Double]("p_hat") == 0.875)
+    assert(math.abs(out.getAs[Double]("w") - 1.5 * math.sqrt(3.0))
+      < 1e-12)
+    assert(math.abs(out.getAs[Double]("df") - 32.0 / 7.0) < 1e-12)
   }
 
   test("sampleSizeTwoProportions: classic formula chain from the " +

@@ -110,6 +110,25 @@ class PlanLintSpec extends AnyFunSuite {
     assert(report(scan.filter($"v" > 1))("filter-not-pushed")._1 == "ok")
   }
 
+  test("filter-not-pushed counts PushedFilters bracket-aware: an In " +
+    "value containing ', ' no longer masks an unpushed predicate") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint_in").toString
+    Seq(("a, b", 1), ("c", 2)).toDF("s", "v")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // dataFilters: isnotnull(s), In(s, [a, b,c]), length(s) > 1 —
+    // length() has no parquet translation, so exactly one predicate
+    // is unpushed; the In rendering carries ", " INSIDE its bracket,
+    // which a naive ", " split counts as an extra pushed filter,
+    // equalizing the counts and masking the warn
+    assert(report(scan.filter($"s".isin("a, b", "c") &&
+      length($"s") > 1))("filter-not-pushed") == (("warn", 1L)))
+    // every predicate translated: stays ok under the same rendering
+    assert(report(scan.filter($"s".isin("a, b", "c")))(
+      "filter-not-pushed")._1 == "ok")
+  }
+
   test("interpreted-stage fires on a CodegenFallback expression " +
     "(higher-order function) in a projection") {
     // literal Seqs constant-fold to LocalTableScan — a real relation

@@ -648,6 +648,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e1.length == 2 && e1.sameElements(e2))
   }
 
+  test("cusum/transitionMatrix/compressConsecutive: null-tie (and " +
+    "null-key) rows are DROPPED — the same fold-family null " +
+    "contract, matching cusumStream/transitionsStream/compactStream") {
+    // a null tie would order nulls-first in the batch window but is
+    // filtered by the streaming arms — batch ≡ stream parity needs
+    // the same filter on every fold-family batch arm
+    val rows = Seq(
+      (Some("k"), ts("2024-01-01 00:00:00"), Some(1L), "a", 10.0),
+      (Some("k"), ts("2024-01-01 00:01:00"), None: Option[Long],
+        "zz", 99.0),
+      (None: Option[String], ts("2024-01-01 00:01:30"), Some(9L),
+        "zz", 99.0),
+      (Some("k"), ts("2024-01-01 00:02:00"), Some(3L), "a", 30.0),
+      (Some("k"), ts("2024-01-01 00:03:00"), Some(4L), "b", 40.0))
+    val df = rows.toDF("k", "ts", "id", "st", "v")
+    val clean = rows.filter(r => r._3.isDefined && r._1.isDefined)
+      .toDF("k", "ts", "id", "st", "v")
+    def cu(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusum(d, Seq("k"), "ts", "id", "v",
+        target = 5.0, slack = 0.0, threshold = 50.0)
+        .collect().map(r => (r.getLong(2), r.getDouble(4))).sorted
+    assert(cu(df).length == 3 && cu(df).sameElements(cu(clean)))
+    def tm(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.transitionMatrix(d, Seq("k"), "ts", "st", "id")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).sorted
+    // with the nulls dropped the sequence is a → a → b
+    assert(tm(df).sameElements(Seq(("a", "a", 1L), ("a", "b", 1L))))
+    assert(tm(df).sameElements(tm(clean)))
+    def cc(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.compressConsecutive(d, Seq("k"), "ts", "id",
+        Seq("st")).collect().map(_.getAs[Long]("id")).sorted
+    // a, (a dropped: consecutive dup), b — the null-tie "zz" row
+    // must not break the a-a adjacency
+    assert(cc(df).sameElements(Seq(1L, 4L)))
+    assert(cc(df).sameElements(cc(clean)))
+  }
+
   test("twapCarry invariants on a seeded random feed: gap-free bucket " +
     "coverage from first tick's bucket to last tick's, tick counts " +
     "conserved, twap inside the value envelope") {
