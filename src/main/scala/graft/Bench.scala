@@ -43,6 +43,62 @@ object Bench {
         p.getName.contains("Code Cache"))
       .map(_.getUsage.getUsed / (1024.0 * 1024.0)).sum
 
+  // sink for the calibration spin's results: keeps the JIT from
+  // proving the loop dead and deleting the fixed work
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fixed-work machine-health calibration (round-17 verdict #2):
+   *  `threads` threads each run (a) 100M xorshift64 steps — pure
+   *  register work, sensitive to CPU oversubscription — and (b) ten
+   *  sequential passes over a private 16 MB long array — bandwidth-
+   *  bound work, sensitive to the LLC/memory-bandwidth contention
+   *  that inflated q234 in r16 WITHOUT moving load1m much. The WALL
+   *  time of the joined batch is the machine-health number: on an
+   *  idle box it approaches one thread's time; under co-tenant load
+   *  either phase inflates. The artifact records this before and
+   *  after the suite next to the pinned calm value, so a reader can
+   *  adjudicate "was it the machine" from the artifact alone instead
+   *  of burning a verdict cycle re-proving it. */
+  private[graft] def calibrationSpinMs(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var n = 0
+        while (n < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1
+        }
+        val a = new Array[Long](2 * 1024 * 1024) // 16 MB: past L2
+        var pass = 0
+        while (pass < 10) {
+          var j = 0
+          while (j < a.length) { x += a(j); a(j) = x; j += 1 }
+          pass += 1
+        }
+        calibSink.addAndGet(x): Unit
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** The externally-starved draw signature (round-15 verdict #1,
+   *  jit denominator fixed per round-17 verdict #1): the process
+   *  used under 20% of the configured cores — low OWN cpu rules out
+   *  a plan property — AND JIT compilation explains neither the wall
+   *  NOR the cpu (under 25% of EITHER; the cold-JIT signature is the
+   *  opposite — jit_ms ≈ wall, as in r14's q234). The cpu arm of the
+   *  jit guard is the r17 fix: for the streaming trigger-floor class
+   *  wall is trigger-WAIT-dominated, so a modest absolute jit (q343:
+   *  1.65 s) could exceed 25% of a 6 s wall while being obviously
+   *  cold-code-free next to 18 s of cpu — jit is only disqualifying
+   *  when it is large relative to BOTH denominators. */
+  private[graft] def starvedSignature(wallS: Double, cpuS: Double,
+                                      jitMs: Long, cores: Int): Boolean =
+    wallS > 0 && cpuS < 0.2 * cores * wallS && jitMs >= 0 &&
+      jitMs < math.max(250.0 * wallS, 250.0 * cpuS) // 25% of either
+
   /** One measurement's telemetry, rendered as a fixed-position JSON
    *  array (keeps the detail line compact): [wall s, gc ms during the
    *  query, heap MB before, heap MB after, process-CPU s during the
@@ -97,9 +153,19 @@ object Bench {
     dropped
   }
 
+  /** Pinned calm-machine value for [[calibrationSpinMs]](32): the
+   *  best-of-5 measured at load1m 1.8 on the reference box was
+   *  316 ms (range 316–405); 330 ms is the pin. The health rule
+   *  (PLANS.md r18): a probe > 2× this pin labels the artifact
+   *  `contended` — round-over-round deltas should not be read from
+   *  a contended artifact. */
+  private val CalibCalmMs = 330.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // machine-health probe BEFORE any Spark init competes for cores
+    val calibStartMs = calibrationSpinMs(32)
     val spark = graft.core.Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,12 +214,12 @@ object Bench {
     // that way. These are the PLANS.md envelope CEILINGS ("Worst-N
     // artifact envelopes", re-derived r17 from the r16 calm run +
     // the r17 controlled run at load 3-5): a draw whose wall exceeds
-    // its ceiling while the starved-CPU signature holds (under 20%
-    // of cores busy AND jit under 25% of wall) is flagged `stalled`
-    // no matter what the other draws look like. Queries without a
-    // row keep relative-arm-only behavior. Cold-JIT draws are NOT
-    // caught here (their cpu/jit is high) — by design; best-of-N
-    // absorbs those.
+    // its ceiling while the starved signature holds (see
+    // [[starvedSignature]]: under 20% of cores busy AND jit small
+    // relative to both wall and cpu) is flagged `stalled` no matter
+    // what the other draws look like. Queries without a row keep
+    // relative-arm-only behavior. Cold-JIT draws are NOT caught here
+    // (their cpu/jit is high) — by design; best-of-N absorbs those.
     val envelopeCeilingS: Map[String, Double] = Map(
       "q234_clustering_coeff" -> 13.2, "q152_triangles" -> 11.0,
       "q113_change_stream_reentry" -> 8.5, "q111_change_stream" -> 10.3,
@@ -216,11 +282,13 @@ object Bench {
       val ceil = envelopeCeilingS.getOrElse(name, Double.MaxValue)
       while (tels.size < budget) {
         val tel = draw()
-        val bestSoFar = tels.iterator.map(_.wall).filter(_ > 0)
+        // best UN-STARVED draw so far: draws already flagged stalled
+        // are excluded, so a starved-but-fast first draw can never
+        // suppress relative flagging of later draws (r17 advice)
+        val bestSoFar = tels.iterator.filter(_.stalled == 0)
+          .map(_.wall).filter(_ > 0)
           .foldLeft(Double.MaxValue)(math.min)
-        val starved = tel.wall > 0 &&
-          tel.cpu < 0.2 * cores * tel.wall &&
-          tel.jit >= 0 && tel.jit < 250.0 * tel.wall // jit ms < 25% wall
+        val starved = starvedSignature(tel.wall, tel.cpu, tel.jit, cores)
         // relative arm: >2x the best un-starved draw so far
         val isStallRel = starved && bestSoFar < Double.MaxValue &&
           tel.wall > 2.0 * bestSoFar
@@ -256,9 +324,16 @@ object Bench {
     // schema: each entry [wall s, gcMs, heapBeforeMB, heapAfterMB,
     // procCpuS, load1m, storageMBBeforeIsolate, broadcastsDropped,
     // jitMsDuringQuery, codeCacheUsedMBAfter, stalledFlag]
+    // machine-health probe again AFTER the suite: contention that
+    // arrived mid-run shows up in at least one of the two probes
+    val calibEndMs = calibrationSpinMs(32)
+    val health =
+      if (math.max(calibStartMs, calibEndMs) > 2.0 * CalibCalmMs)
+        "contended" else "calm"
+    val calibJson = s""""calib_start_ms":${f(calibStartMs)},"calib_end_ms":${f(calibEndMs)},"calib_calm_ms":${f(CalibCalmMs)},"health":"$health""""
     val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped","jit_ms","codecache_mb","stalled"],"queries":$telJson}"""
     val itersLine = s"""{"detail":"iters","iters":$its}"""
-    val totalLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${f(total)},"unit":"sec",$calibJson,"queries":$qs,"sf":"$sfDir"}"""
     println(telLine)
     println(itersLine)
     println(totalLine)
@@ -289,7 +364,11 @@ object Bench {
     val stallQs = results.filter(_._4.exists(_.stalled == 1))
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val nStalls = results.map(_._4.count(_.stalled == 1)).sum
-    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"worst10":$worst,"failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    // "queries" here is the worst-10 SUBSET (the full per-query map
+    // rides the primary line and the flat per-line stream below);
+    // "queries_subset" names that explicitly instead of duplicating
+    // the map under a second key (r17 verdict #3)
+    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
     println(compactLine)
     // SELF-CONTAINED artifact file: the driver captures only a bounded
     // tail of stdout (round 7's BENCH artifact truncated the per-query
