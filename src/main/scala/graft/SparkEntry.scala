@@ -3661,6 +3661,14 @@ object SparkEntry {
             .cast("long")),
         Seq("o_year"), "o_orderpriority", "o_orderstatus")),
 
+    // ---- time series: STL-lite additive decomposition per event
+    //      type — even period 4 exercises the 2×p half-weight MA;
+    //      seasonal = n-weighted-centered phase means of the exact
+    //      detrended grid ----
+    "q406_stl_decompose" -> ((s, dir) =>
+      graft.ops.TimeSeries.stlDecompose(t(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", "value", period = 4)),
+
     "q272_cramers_v" -> ((s, dir) =>
       graft.agg.Stats.cramersV(
         t(s, dir, "orders")
@@ -13126,6 +13134,49 @@ object SparkEntry {
         |    (CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))
         |    / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift
         |FROM c""".stripMargin,
+
+    // STL-lite replay: 2×p half-weight MA trend on the DOUBLED cent
+    // grid (T = 2·S − ends, m = 2p = 8), detrended values exact on
+    // the m·cents grid, phase means and the n-weighted centering one
+    // pinned chain each over HUGEINT sums (VARCHAR-routed to match
+    // Spark's decimal→double), remainder = value − trend − seasonal
+    // left-to-right
+    "q406_stl_decompose" ->
+      """WITH b AS (SELECT event_type AS k, event_id AS id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT *, (row_number() OVER wo - 1) % 4 AS phase,
+        |    sum(vc) OVER wf AS s5,
+        |    count(*) OVER wf AS c5,
+        |    lag(vc, 2) OVER wo AS la, lead(vc, 2) OVER wo AS le
+        |  FROM b
+        |  WINDOW wo AS (PARTITION BY k ORDER BY ts, id),
+        |    wf AS (PARTITION BY k ORDER BY ts, id
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |t AS (SELECT k, id, ts, vc, phase,
+        |    CASE WHEN c5 = 5 THEN 2 * s5 - la - le END AS tt FROM r),
+        |d AS (SELECT *, CASE WHEN tt IS NOT NULL THEN 8 * vc - tt END
+        |    AS dm FROM t),
+        |p AS (SELECT k, phase, count(dm) AS n, sum(dm) AS sn
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT k, phase,
+        |    CASE WHEN n > 0 THEN CAST(CAST(sn AS VARCHAR) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / 8.0 / 100.0 END
+        |    - CASE WHEN sum(n) OVER wk > 0 THEN
+        |        CAST(CAST(sum(sn) OVER wk AS VARCHAR) AS DOUBLE)
+        |      / CAST(sum(n) OVER wk AS DOUBLE) / 8.0 / 100.0 END
+        |      AS seasonal
+        |  FROM p WINDOW wk AS (PARTITION BY k))
+        |SELECT d.k AS event_type, d.id AS event_id, d.ts,
+        |  CAST(d.vc AS DOUBLE) / 100.0 AS value,
+        |  CAST(d.phase AS BIGINT) AS phase,
+        |  CAST(d.tt AS DOUBLE) / 8.0 / 100.0 AS trend,
+        |  c.seasonal,
+        |  CAST(d.vc AS DOUBLE) / 100.0
+        |    - CAST(d.tt AS DOUBLE) / 8.0 / 100.0 - c.seasonal
+        |    AS remainder
+        |FROM d JOIN c ON d.k = c.k AND d.phase = c.phase""".stripMargin,
 
     // exact contingency/margin counts over the FULL r×c level grid
     // (structural zeros carry χ² mass); the closing folds the

@@ -5592,20 +5592,33 @@ object Stats {
    *
    * Output: (keys…, n_a, n_b, n_pairs, hl_shift).
    *
-   * Envelope: the joined relation is |grid_a|·|grid_b| rows PER KEY
-   * — distinct-value products to ~10⁸ are fine (it collapses
-   * map-side); for continuous heavy keys, coarsen `valueScale`
-   * first (the estimator is grid-precision anyway).
+   * Envelope (MEASURED, r18 probe): the joined relation is
+   * |grid_a|·|grid_b| rows PER KEY and the cost is quadratic in the
+   * per-arm grid — 1.56·10⁶ products/key ran 1.4 s on 8 cores,
+   * 10⁸/key ran 105 s, 4·10⁸/key ran 773 s. The join is therefore
+   * HARD-CAPPED at `maxPairProduct` (default 10⁸): a key whose grid
+   * product exceeds the cap fails with a clear message naming the
+   * fix — coarsen `valueScale` (the estimator is grid-precision
+   * anyway, and coarsening shrinks the product QUADRATICALLY) or
+   * raise the cap deliberately. Bounded value grids (cents with
+   * bounded range) never hit it: the r18 probe's 5k-distinct regime
+   * at 64× the gate rows ran 4.6 s flat-heap.
    *
    * Scale posture: two map-side grid collapses, one key-equi join
-   * (never cartesian — keys are the join key), one difference-grid
-   * collapse, ONE key exchange for the cumulative window + closing.
+   * (never cartesian — keys are the join key) whose per-side grid
+   * counts ride the SAME key partitioning (exchange reuse), one
+   * difference-grid collapse, ONE key exchange for the cumulative
+   * window + closing.
    */
   def hodgesLehmann(df: DataFrame, keys: Seq[String], groupCol: String,
                     aLabel: String, bLabel: String, valueCol: String,
-                    valueScale: Int = 2): DataFrame = {
+                    valueScale: Int = 2,
+                    maxPairProduct: Long = 100000000L): DataFrame = {
     require(keys.nonEmpty, "hodgesLehmann needs key columns")
+    require(maxPairProduct >= 1L,
+      s"maxPairProduct must be >= 1, got $maxPairProduct")
     import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(keys.map(col): _*)
     val base = df
       .filter(col(valueCol).isNotNull &&
         (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
@@ -5614,16 +5627,28 @@ object Stats {
       .groupBy(keys.map(col) :+
         unscaled(col(valueCol), valueScale).as("__va"): _*)
       .agg(count(lit(1)).as("__ca"))
+      .withColumn("__gna", count(lit(1)).over(wk))
     val gb = base.filter(col(groupCol) === bLabel)
       .groupBy(keys.map(col) :+
         unscaled(col(valueCol), valueScale).as("__vb"): _*)
       .agg(count(lit(1)).as("__cb"))
+      .withColumn("__gnb", count(lit(1)).over(wk))
     val diffs = ga.join(gb, keys)
-      .withColumn("__d", col("__va") - col("__vb"))
+      .withColumn("__d",
+        when(col("__gna") * col("__gnb") > lit(maxPairProduct),
+          raise_error(concat(
+            lit("hodgesLehmann: per-key pair grid |grid_a|*|grid_b| = "),
+            (col("__gna") * col("__gnb")).cast("string"),
+            lit(s" exceeds maxPairProduct = $maxPairProduct — the " +
+              "grid*grid join would enumerate that many rows for one " +
+              "key (measured: 1e8 products = ~105 s on 8 cores, " +
+              "quadratic beyond). Coarsen valueScale (the estimator " +
+              "is grid-precision anyway; one digit shrinks the " +
+              "product ~100x) or raise maxPairProduct deliberately."))))
+          .otherwise(col("__va") - col("__vb")))
       .withColumn("__w", col("__ca") * col("__cb"))
       .groupBy(keys.map(col) :+ col("__d"): _*)
       .agg(sum(col("__w")).as("__w"))
-    val wk = Window.partitionBy(keys.map(col): _*)
     val wo = wk.orderBy(col("__d"))
     val stepped = diffs
       .withColumn("__cum", sum(col("__w")).over(wo))

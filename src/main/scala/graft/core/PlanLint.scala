@@ -27,7 +27,9 @@ import org.apache.spark.sql.execution.window.WindowExec
  * at runtime (e.g. convert a sort-merge join to broadcast once the
  * build side's true size is known); a `warn` therefore means "not
  * PROVEN scale-safe at plan time", the same contract the internal
- * guards use. Call after an action to lint AQE's final choices.
+ * guards use. [[lintFinal]] / [[findingsFinal]] lint AQE's FINAL
+ * choices instead — executing the query once if needed — so a CI
+ * gate can assert on what actually ran.
  *
  * One row per rule, ALWAYS (status `ok` with n = 0 when clean), so
  * callers can assert on the full report shape:
@@ -208,6 +210,48 @@ object PlanLint {
     val spark = df.sparkSession
     import spark.implicits._
     findings(df, maxExchanges, broadcastableBytes)
+      .sortBy(_.rule).toDF("rule", "status", "n", "detail")
+  }
+
+  /**
+   * Lint AQE's FINAL physical plan — what actually RAN, after
+   * runtime replanning (sort-merge→broadcast conversions once the
+   * build side's true size is known, skew-join splits, coalesced
+   * shuffle partitions). [[findings]]/[[lint]] inspect the INITIAL
+   * adaptive plan and never execute the input; this variant closes
+   * the loop the `broadcastable-join` rule's own detail text points
+   * at ("AQE may do this at runtime") by letting a CI gate assert
+   * on the runtime choices themselves.
+   *
+   * If `df`'s plan has not executed yet, this EXECUTES it once —
+   * one full distributed pass whose rows are discarded executor-side
+   * (nothing is collected to the driver) — then walks the now-final
+   * adaptive plan. If the caller already ran an action on this very
+   * DataFrame, the executed plan is reused and nothing re-runs.
+   * Plans without an adaptive wrapper (AQE off, or a command) lint
+   * exactly as [[findings]] does.
+   */
+  def findingsFinal(df: DataFrame, maxExchanges: Int = 4,
+                    broadcastableBytes: Long = 32L << 20): Seq[Finding] = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec if !a.isFinalPlan =>
+        // drive THIS QueryExecution's RDD (a noop-sink write would
+        // plan a fresh command around the logical plan and leave
+        // df's own adaptive plan un-finalized)
+        df.queryExecution.toRdd.foreach(_ => ())
+      case _ => ()
+    }
+    findings(df, maxExchanges, broadcastableBytes)
+  }
+
+  /** [[findingsFinal]] as the same one-row-per-rule DataFrame shape
+   *  [[lint]] returns — `lint` for plan-time CI (never executes),
+   *  `lintFinal` for post-run assertions on what AQE actually chose. */
+  def lintFinal(df: DataFrame, maxExchanges: Int = 4,
+                broadcastableBytes: Long = 32L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    findingsFinal(df, maxExchanges, broadcastableBytes)
       .sortBy(_.rule).toDF("rule", "status", "n", "detail")
   }
 }

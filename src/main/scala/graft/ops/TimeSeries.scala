@@ -850,6 +850,131 @@ object TimeSeries {
   }
 
   /**
+   * STL-lite additive seasonal-trend decomposition per key — the gap
+   * between [[seasonalityProfile]] (one ratio per day-of-week, no
+   * trend) and [[holtWinters]] (recursive smoothing state, no
+   * per-event decomposition): every event gets `value = trend +
+   * seasonal + remainder`, the classical-decomposition form of STL
+   * (fixed window means instead of loess — deterministic and
+   * oracle-replayable, which loess is not). Companion to
+   * [[seasonalDecompose]], which decomposes a REGULAR integer-count
+   * series (one row per integer t, odd periods only); this variant
+   * decomposes a cent-grid VALUE series in (`tsCol`, `tieCol`) event
+   * order and supports even periods via the classical 2×p MA.
+   *
+   * Pinned semantics (events order by (`tsCol`, `tieCol`) per key;
+   * `phase = (row_index − 1) mod period`):
+   *  - `trend`: centered moving average. Odd period p: the mean of
+   *    the full `[i−(p−1)/2, i+(p−1)/2]` window. Even period p: the
+   *    classical 2×p MA — half weight on the two ends,
+   *    `(x₋ₕ + 2·Σ mid + x₊ₕ) / 2p` with `h = p/2`. Null until the
+   *    window is FULL (the standard head/tail contract — a partial
+   *    window is a different estimator).
+   *  - `seasonal`: the per-phase mean of the detrended series,
+   *    CENTERED by subtracting the overall detrended mean (the
+   *    n-weighted mean of the phase means — so `Σ nⱼ·seasonalⱼ = 0`
+   *    EXACTLY and the trend keeps the level; the weighted
+   *    convention keeps the centering one exact decimal ratio
+   *    instead of an order-sensitive IEEE fold over phase means).
+   *  - `remainder = value − trend − seasonal` (that association
+   *    order), null wherever trend or seasonal is.
+   *
+   * Engine-exact: values snap to the cent grid; the trend window sum
+   * rides the exact integer grid DOUBLED for even periods (the half
+   * weights become whole), so `trend = T / m / 100` is one pinned
+   * division chain (`m = 2p` even, `p` odd). Detrended values stay
+   * on the exact `m·cents` integer grid into DECIMAL(38,0) phase
+   * sums; each phase mean and the centering mean are pinned chains
+   * over those exact sums — no double is ever summed, so every
+   * engine reproduces every bit.
+   * Phases whose rows all lack a trend (short series) emit null
+   * seasonal; series shorter than the trend window emit all-null
+   * trend AND seasonal. Null key/time/tie/value rows are dropped
+   * (the fold-family contract).
+   *
+   * Output: (keys…, `tieCol`, `tsCol`, `valueCol` (snapped units),
+   * phase, trend, seasonal, remainder) — one row per input event.
+   *
+   * Scale posture: ONE key exchange carries the row-number and trend
+   * windows; the phase relation is ≤ `period` rows per key (map-side
+   * collapsed), its centering window rides that tiny relation, and
+   * the seasonal join back is key-equi on (keys, phase) with the
+   * tiny side broadcastable. Nothing is per-key-history
+   * materializing except the windows the ordering already requires.
+   *
+   * Reference for the operator class: goetl has per-window
+   * aggregation (`transformers/aggregate.go`) but no decomposition;
+   * this is the classical-decomposition extension of that family.
+   */
+  def stlDecompose(df: DataFrame, keys: Seq[String], tsCol: String,
+                   tieCol: String, valueCol: String, period: Int,
+                   valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "stlDecompose needs key columns")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val scaleF = math.pow(10, valueScale).toLong
+    val vc = (col(valueCol).cast(s"decimal(18,$valueScale)") *
+      lit(scaleF).cast("decimal(18,0)")).cast("long")
+    val even = period % 2 == 0
+    val h = if (even) period / 2 else (period - 1) / 2
+    val full = if (even) period + 1 else period
+    val m = if (even) 2L * period else period.toLong
+    val mD = lit(m.toDouble)
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val wWin = wOrd.rowsBetween(-h, h)
+    val base = df
+      .filter(col(tsCol).isNotNull && col(tieCol).isNotNull &&
+        col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__vc", vc)
+      .withColumn("__phase",
+        ((row_number().over(wOrd) - 1) % period).cast("long"))
+    val winSum = sum(col("__vc")).over(wWin)
+    val winN = count(lit(1)).over(wWin)
+    // even: T = 2·S − ends (half weights doubled); odd: T = S doubled
+    // too, so m = 2p/p respectively keeps ONE division convention
+    val tRaw =
+      if (even)
+        lit(2L) * winSum - lag(col("__vc"), h).over(wOrd) -
+          lead(col("__vc"), h).over(wOrd)
+      else winSum
+    val stepped = base
+      .withColumn("__t", when(winN === full, tRaw))
+      .withColumn("__dm",
+        when(col("__t").isNotNull, mD * col("__vc") - col("__t")))
+    // __dm rides the exact m·cents integer grid in BOTH parities:
+    // odd m = p with T the plain window sum, even m = 2p with T the
+    // doubled half-weighted sum — so __dm = m·v − T is always a long
+    val trendD = col("__t").cast("double") / mD / lit(scaleF.toDouble)
+    // per-(key, phase) exact sums of the detrended grid values
+    val ph = stepped
+      .groupBy(keys.map(col) :+ col("__phase"): _*)
+      .agg(count(col("__dm")).as("__n"),
+        sum(col("__dm").cast("decimal(38,0)")).as("__sn"))
+    val raw = when(col("__n") > 0L,
+      col("__sn").cast("double") / col("__n").cast("double") / mD /
+        lit(scaleF.toDouble))
+    // centering = the overall detrended mean: EXACT decimal sums over
+    // the tiny (keys, phase) relation (order-free), one pinned chain
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val totSn = sum(col("__sn")).over(wk)
+    val totN = sum(col("__n")).over(wk)
+    val meanAll = when(totN > 0L,
+      totSn.cast("double") / totN.cast("double") / mD /
+        lit(scaleF.toDouble))
+    val cent = ph
+      .select(keys.map(col) ++ Seq(col("__phase"),
+        (raw - meanAll).as("__seasonal")): _*)
+    val vD = col("__vc").cast("double") / lit(scaleF.toDouble)
+    stepped
+      .join(cent, keys :+ "__phase")
+      .select(keys.map(col) ++ Seq(col(tieCol), col(tsCol),
+        vD.as(valueCol), col("__phase").as("phase"),
+        trendD.as("trend"), col("__seasonal").as("seasonal"),
+        (vD - trendD - col("__seasonal")).as("remainder")): _*)
+  }
+
+  /**
    * Frequent session paths: sessionize each actor's events
    * ([[graft.agg.GroupBy.sessionize]] gap rule), render each
    * session's ordered event-type sequence as one path string, and

@@ -1881,6 +1881,22 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(1500))
   }
 
+  test("q406 stl: ONE key exchange feeds row-number + trend windows; " +
+    "the seasonal join is key-equi on the tiny phase relation — " +
+    "no cartesian, no nested loop") {
+    val fin = finalPlan("q406_stl_decompose")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoop"), fin.take(1500))
+    assert(fin.contains("Window"), fin.take(1500))
+    // the event relation shuffles on the keys once for the windows;
+    // the phase-side aggregates add key-grid exchanges over the
+    // ≤ period-sized relation, and the closing join re-keys on
+    // (keys, phase) — bounded, not data-sized
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 4,
+      fin.take(2000))
+  }
+
   test("q405 g-test: cramersV's cell-relation posture — one corpus " +
     "pass, no cartesian, margin joins on the tiny grid") {
     val fin = finalPlan("q405_g_test").split("== Initial Plan ==")(0)

@@ -1968,6 +1968,27 @@ class StatsSpec extends AnyFunSuite {
     assert(out("e").isNullAt(out("e").fieldIndex("hl_shift")))
   }
 
+  test("hodgesLehmann: maxPairProduct cap fails clearly on an " +
+    "oversized per-key pair grid; a compliant key still computes") {
+    val df = Seq(
+      ("k", "a", 1.0), ("k", "a", 3.0), ("k", "b", 2.0),
+      ("k", "b", 4.0)).toDF("key", "arm", "v")
+    // |grid_a|*|grid_b| = 4 > cap 3 -> clear error naming the fix
+    val e = intercept[Exception] {
+      Stats.hodgesLehmann(df, Seq("key"), "arm", "a", "b", "v",
+        maxPairProduct = 3L).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    val msg = Seq(e.getMessage, root(e).getMessage).mkString(" ")
+    assert(msg.contains("maxPairProduct") &&
+      msg.contains("valueScale"), msg)
+    // at the cap boundary (product == cap) it computes
+    val ok = Stats.hodgesLehmann(df, Seq("key"), "arm", "a", "b", "v",
+      maxPairProduct = 4L).collect().head
+    assert(ok.getAs[Long]("n_pairs") == 4L)
+  }
+
   test("quade: hand range-weighted rank walk; single complete " +
     "block degenerates to null F") {
     val df = Seq(

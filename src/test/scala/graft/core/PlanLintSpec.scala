@@ -145,4 +145,42 @@ class PlanLintSpec extends AnyFunSuite {
     val df = spark.range(2).select(up($"id".cast("string")).as("u"))
     assert(report(df)("scala-udf") == (("warn", 1L)))
   }
+
+  test("lintFinal: broadcastable-join warns on the initial plan and " +
+    "clears in the AQE-final plan after the runtime broadcast " +
+    "conversion") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lint_final").toString
+    // dim: plan-time estimate is the FILE size (CBO off, so the
+    // selective filter does not shrink the estimate) — keep it above
+    // the lowered broadcast threshold so the initial plan is a
+    // sort-merge join; at runtime the filter leaves ONE row and AQE
+    // converts the join to broadcast
+    spark.range(20000)
+      .select($"id" % 1000 as "k", concat(lit("v"), $"id") as "pad")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    spark.range(5000).select($"id" % 1000 as "k", $"id" as "m")
+      .write.mode("overwrite").parquet(s"$base/fact")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val dim = spark.read.parquet(s"$base/dim")
+        .filter($"pad" === "v7").select($"k", $"pad")
+      val fact = spark.read.parquet(s"$base/fact")
+      val joined = fact.join(dim, "k").groupBy("pad").count()
+      // initial adaptive plan: SMJ with a small-estimated side
+      assert(report(joined)("broadcastable-join") == (("warn", 1L)))
+      val fin = PlanLint.findingsFinal(joined)
+        .map(f => f.rule -> ((f.status, f.n))).toMap
+      // the same QueryExecution, post-run: AQE converted to a
+      // broadcast join, so the rule clears
+      assert(fin("broadcastable-join") == (("ok", 0L)))
+      // reuse contract: the plan is final now; lintFinal re-walks it
+      // without re-running (cheap second call, same report)
+      assert(PlanLint.lintFinal(joined).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .apply("broadcastable-join") == "ok")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -648,6 +648,65 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e1.length == 2 && e1.sameElements(e2))
   }
 
+  test("stlDecompose: even period recovers the exact line trend " +
+    "and the ±1 seasonal; remainder is 0 on the clean series") {
+    // v = line (1..6) + alternating (+1, −1): [2,1,4,3,6,5], p = 2.
+    // 2×2 MA trend (half-weight ends) is EXACTLY the line 2..5 on
+    // rows 2..5; detrended = [−1,+1,−1,+1]; phase means (row−1)%2:
+    // phase0 = +1, phase1 = −1, centering mean 0 — so seasonal
+    // recovers the injected ±1 and remainder is exactly 0.
+    val rows = (1 to 6).map(i =>
+      ("k", ts(f"2024-01-0$i 00:00:00"), i.toLong,
+        i.toDouble + (if (i % 2 == 1) 1.0 else -1.0)))
+    val out = TimeSeries.stlDecompose(
+      rows.toDF("k", "ts", "id", "v"), Seq("k"), "ts", "id", "v", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.size == 6)
+    (2 to 5).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Double]("trend") == i.toDouble)
+      assert(r.getAs[Double]("seasonal") ==
+        (if (i % 2 == 1) 1.0 else -1.0))
+      assert(r.getAs[Double]("remainder") == 0.0)
+      assert(r.getAs[Long]("phase") == (i - 1) % 2)
+    }
+    // head/tail: no full window, trend/remainder null; seasonal
+    // still joins in (the phase mean exists from the mid rows)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("trend")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("remainder")))
+    assert(out(1L).getAs[Double]("seasonal") == 1.0)
+  }
+
+  test("stlDecompose: odd period plain centered mean; series " +
+    "shorter than the window emits all-null trend and seasonal") {
+    val rows = (1 to 5).map(i =>
+      ("k", ts(f"2024-01-0$i 00:00:00"), i.toLong, (i * i).toDouble))
+    val out = TimeSeries.stlDecompose(
+      rows.toDF("k", "ts", "id", "v"), Seq("k"), "ts", "id", "v", 3)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // p = 3: trend_i = (v_{i−1}+v_i+v_{i+1})/3 on rows 2..4
+    (2 to 4).foreach { i =>
+      val t = ((i - 1) * (i - 1) + i * i + (i + 1) * (i + 1)) / 3.0
+      assert(out(i.toLong).getAs[Double]("trend") == t)
+    }
+    // detrended (exact cents grid): row2 = 4−14/3, row3 = 9−29/3,
+    // row4 = 16−50/3 → phases 1,2,0; centering = the n-weighted
+    // overall detrended mean, one pinned chain over exact sums
+    val d3 = (3 * 900 - 2900) / 1.0 / 3.0 / 100.0
+    val mean = (-200.0 + -200.0 + -200.0) / 3.0 / 3.0 / 100.0
+    assert(out(3L).getAs[Double]("seasonal") == d3 - mean)
+    assert(out(3L).getAs[Double]("remainder") ==
+      9.0 - out(3L).getAs[Double]("trend") -
+        out(3L).getAs[Double]("seasonal"))
+    // short series: 2 rows with period 3 — no full window anywhere
+    val short = TimeSeries.stlDecompose(
+      rows.take(2).toDF("k", "ts", "id", "v"),
+      Seq("k"), "ts", "id", "v", 3).collect()
+    assert(short.length == 2)
+    assert(short.forall(_.isNullAt(short.head.fieldIndex("trend"))))
+    assert(short.forall(_.isNullAt(short.head.fieldIndex("seasonal"))))
+  }
+
   test("cusum/transitionMatrix/compressConsecutive: null-tie (and " +
     "null-key) rows are DROPPED — the same fold-family null " +
     "contract, matching cusumStream/transitionsStream/compactStream") {
