@@ -3669,6 +3669,28 @@ object SparkEntry {
       graft.ops.TimeSeries.stlDecompose(t(s, dir, "events"),
         Seq("event_type"), "ts", "event_id", "value", period = 4)),
 
+    // ---- quality: declarative expectation-suite runner — the
+    //      validator's rule table as DATA, one aggregation pass,
+    //      per-expectation typed report ----
+    "q407_expectations" -> ((s, dir) => {
+      import graft.quality.Quality.Expectation
+      graft.quality.Quality.expectations(t(s, dir, "events"), Seq(
+        Expectation("event ids unique", "unique", "event_id"),
+        Expectation("ts set", "not_null", "ts"),
+        Expectation("value range", "between", "value",
+          lo = Some(0.0), hi = Some(150.0), maxViolationRate = 0.5),
+        Expectation("types in vocab", "in_set", "event_type",
+          values = Seq("view", "click", "purchase", "signup")),
+        Expectation("type shape", "matches", "event_type",
+          values = Seq("^[a-z_]+$")),
+        Expectation("rows", "row_count_between", lo = Some(1.0)),
+        Expectation("user cardinality", "distinct_count_between",
+          "user_id", lo = Some(1.0), hi = Some(20000.0)),
+        Expectation("mean value", "mean_between", "value",
+          lo = Some(0.0), hi = Some(1000.0)),
+        Expectation("props exists", "exists", "props")))
+    }),
+
     "q272_cramers_v" -> ((s, dir) =>
       graft.agg.Stats.cramersV(
         t(s, dir, "orders")
@@ -13134,6 +13156,86 @@ object SparkEntry {
         |    (CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))
         |    / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift
         |FROM c""".stripMargin,
+
+    // expectation-suite replay: every check recomputed from scratch
+    // as one aggregate CTE + one UNION ALL branch per expectation;
+    // the mean rides the same DECIMAL(32,6)-sum / count pinned
+    // division (VARCHAR-routed), rates are one division each
+    "q407_expectations" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(event_id) AS BIGINT) AS nn_id,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS d_id,
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ts,
+        |    CAST(sum(CASE WHEN value IS NOT NULL AND
+        |      (CAST(value AS DOUBLE) < 0.0 OR
+        |       CAST(value AS DOUBLE) > 150.0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_rng,
+        |    CAST(sum(CASE WHEN event_type IS NOT NULL AND
+        |      event_type NOT IN ('view','click','purchase','signup')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN event_type IS NOT NULL AND NOT
+        |      regexp_matches(event_type, '^[a-z_]+$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_rx,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS d_usr,
+        |    CASE WHEN count(value) > 0 THEN
+        |      CAST(CAST(sum(CAST(value AS DECIMAL(32,6))) AS VARCHAR)
+        |        AS DOUBLE) / CAST(count(value) AS DOUBLE) END AS mv
+        |  FROM events)
+        |SELECT 'event ids unique' AS name, 'unique' AS kind,
+        |  'event_id' AS "column", n AS n_rows,
+        |  nn_id - d_id AS violations,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(nn_id - d_id AS DOUBLE) / CAST(n AS DOUBLE) END
+        |    AS violation_rate,
+        |  CAST(NULL AS DOUBLE) AS observed,
+        |  n = 0 OR CAST(nn_id - d_id AS DOUBLE) / CAST(n AS DOUBLE)
+        |    <= 0.0 AS passed,
+        |  'duplicated non-null event_id values' AS detail FROM a
+        |UNION ALL SELECT 'ts set', 'not_null', 'ts', n, v_ts,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(v_ts AS DOUBLE) / CAST(n AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE),
+        |  n = 0 OR CAST(v_ts AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0,
+        |  'null ts' FROM a
+        |UNION ALL SELECT 'value range', 'between', 'value', n, v_rng,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(v_rng AS DOUBLE) / CAST(n AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE),
+        |  n = 0 OR CAST(v_rng AS DOUBLE) / CAST(n AS DOUBLE) <= 0.5,
+        |  'value in [0.0, 150.0]' FROM a
+        |UNION ALL SELECT 'types in vocab', 'in_set', 'event_type', n,
+        |  v_set,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(v_set AS DOUBLE) / CAST(n AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE),
+        |  n = 0 OR CAST(v_set AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0,
+        |  'event_type outside the allowed set' FROM a
+        |UNION ALL SELECT 'type shape', 'matches', 'event_type', n,
+        |  v_rx,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(v_rx AS DOUBLE) / CAST(n AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE),
+        |  n = 0 OR CAST(v_rx AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0,
+        |  'event_type not matching ^[a-z_]+$' FROM a
+        |UNION ALL SELECT 'rows', 'row_count_between', '', n,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(n AS DOUBLE), CAST(n AS DOUBLE) >= 1.0,
+        |  'row count >= 1.0' FROM a
+        |UNION ALL SELECT 'user cardinality', 'distinct_count_between',
+        |  'user_id', n, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(d_usr AS DOUBLE),
+        |  CAST(d_usr AS DOUBLE) >= 1.0 AND
+        |    CAST(d_usr AS DOUBLE) <= 20000.0,
+        |  'distinct user_id in [1.0, 20000.0]' FROM a
+        |UNION ALL SELECT 'mean value', 'mean_between', 'value', n,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), mv,
+        |  mv IS NOT NULL AND mv >= 0.0 AND mv <= 1000.0,
+        |  'mean value (1e-6 grid) in [0.0, 1000.0]' FROM a
+        |UNION ALL SELECT 'props exists', 'exists', 'props', n,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), TRUE,
+        |  'column props present in schema' FROM a""".stripMargin,
 
     // STL-lite replay: 2×p half-weight MA trend on the DOUBLED cent
     // grid (T = 2·S − ends, m = 2p = 8), detrended values exact on

@@ -912,4 +912,199 @@ object Quality {
         .orderBy(col("n").desc, col("pattern").asc)))
       .select(col("pattern"), col("n"), col("share"), col("rank"))
   }
+
+  /**
+   * One declarative expectation — the check-suite-as-DATA shape
+   * (great-expectations' `expect_*` vocabulary): `kind` picks the
+   * check, the remaining fields parameterize it, and
+   * `maxViolationRate` is GE's "mostly" tolerance (a row-level
+   * expectation passes when `violations/n_rows <= maxViolationRate`;
+   * the default 0.0 means every row must comply).
+   *
+   * Row-level kinds (count violating rows):
+   *  - `not_null`    — null values of `column`
+   *  - `between`     — non-null `column` outside `[lo, hi]` (cast to
+   *                    double; either bound optional)
+   *  - `in_set`      — non-null `column` not in `values`
+   *  - `matches`     — non-null `column` not rlike `values.head`
+   *  - `unique`      — duplicated non-null values (violations =
+   *                    non-null count − distinct count)
+   * Table-level kinds (check an observed scalar against `[lo, hi]`):
+   *  - `row_count_between`      — observed = n_rows
+   *  - `distinct_count_between` — observed = exact distinct count of
+   *                               `column` (nulls excluded)
+   *  - `mean_between`           — observed = mean of `column` on the
+   *                               10⁻⁶ decimal grid (EXACT sum, one
+   *                               pinned division — engine-replayable,
+   *                               unlike an IEEE running mean)
+   * Schema kind (no scan):
+   *  - `exists`      — `column` present in the schema
+   */
+  final case class Expectation(
+      name: String,
+      kind: String,
+      column: String = "",
+      lo: Option[Double] = None,
+      hi: Option[Double] = None,
+      values: Seq[String] = Seq.empty,
+      maxViolationRate: Double = 0.0)
+
+  private val rowKinds =
+    Set("not_null", "between", "in_set", "matches", "unique")
+  private val aggKinds =
+    Set("row_count_between", "distinct_count_between", "mean_between")
+
+  /**
+   * Declarative check-suite runner — [[validate]]'s rule table as
+   * DATA and its report as a DATAFRAME: evaluate every
+   * [[Expectation]] against `df` in ONE aggregation pass (plus the
+   * Expand pass exact distinct counts plan) and return one row per
+   * expectation:
+   *
+   * `(name, kind, column, n_rows, violations, violation_rate,
+   * observed, passed, detail)` — `violations`/`violation_rate` for
+   * row-level kinds (null otherwise), `observed` for table-level
+   * kinds (null otherwise), `passed` never null. `detail` is a
+   * fixed human-readable restatement of the check (numbers live in
+   * the typed columns, so the string is stable for diffing).
+   *
+   * The suite itself can ride from ANY source — a parquet of
+   * expectations, a config file, a literal Seq — which is the point:
+   * checks become reviewable data, not code. Compose with
+   * `.filter(!$"passed")` as the CI gate, or [[expectationsOrThrow]]
+   * for the fail-fast form.
+   *
+   * Scale posture: one corpus aggregation carries every conditional
+   * count and exact decimal sum (map-side combined); distinct counts
+   * ride the same aggregate (Catalyst plans multi-distinct via one
+   * Expand of input×distinct-exprs — right for a handful of
+   * `unique`/`distinct_count_between` expectations; prefer
+   * [[profile]]'s approx mode for wide all-column uniqueness scans).
+   * The report itself is suite-sized (driver-built, one partition).
+   */
+  def expectations(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
+    require(suite.nonEmpty, "expectations needs a non-empty suite")
+    suite.foreach { e =>
+      require(e.kind == "exists" || rowKinds(e.kind) || aggKinds(e.kind),
+        s"unknown expectation kind '${e.kind}' (${e.name})")
+      require(e.kind == "row_count_between" || e.column.nonEmpty,
+        s"expectation ${e.name} (${e.kind}) needs a column")
+      require(e.kind != "matches" || e.values.nonEmpty,
+        s"expectation ${e.name}: matches needs the regex in values")
+      require(e.kind != "in_set" || e.values.nonEmpty,
+        s"expectation ${e.name}: in_set needs allowed values")
+      require(!(e.kind.endsWith("_between") || e.kind == "between") ||
+        e.lo.nonEmpty || e.hi.nonEmpty,
+        s"expectation ${e.name}: needs lo and/or hi")
+      require(e.maxViolationRate >= 0.0 && e.maxViolationRate <= 1.0,
+        s"expectation ${e.name}: maxViolationRate in [0,1]")
+    }
+    val cols = df.columns.toSet
+    def c(e: Expectation) = col(e.column)
+    // one agg column per expectation (indexed names — the same
+    // column may appear under several expectations)
+    val aggs = suite.zipWithIndex.flatMap { case (e, i) =>
+      def n(s: String) = s"__e${i}_$s"
+      if (e.kind != "exists" && !cols.contains(e.column) &&
+        e.kind != "row_count_between") Seq.empty
+      else e.kind match {
+        case "not_null" => Seq(countIf(c(e).isNull).as(n("v")))
+        case "between" =>
+          val d = c(e).cast("double")
+          val bad = (e.lo.map(d < _) ++ e.hi.map(d > _))
+            .reduce(_ || _)
+          Seq(countIf(c(e).isNotNull && bad).as(n("v")))
+        case "in_set" =>
+          Seq(countIf(c(e).isNotNull &&
+            !c(e).cast("string").isin(e.values: _*)).as(n("v")))
+        case "matches" =>
+          Seq(countIf(c(e).isNotNull &&
+            !c(e).cast("string").rlike(e.values.head)).as(n("v")))
+        case "unique" =>
+          Seq(count(c(e)).as(n("nn")),
+            count_distinct(c(e)).as(n("d")))
+        case "distinct_count_between" =>
+          Seq(count_distinct(c(e)).as(n("d")))
+        case "mean_between" =>
+          Seq(sum(c(e).cast("decimal(32,6)")).as(n("s")),
+            count(c(e)).as(n("c")))
+        case _ => Seq.empty // exists / row_count_between: n_rows only
+      }
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).collect()(0)
+    val nRows = row.getAs[Long]("n_rows")
+    def long(name: String): Long = row.getAs[Long](name)
+    val report = suite.zipWithIndex.map { case (e, i) =>
+      def n(s: String) = s"__e${i}_$s"
+      val missing = e.kind != "exists" && e.kind != "row_count_between" &&
+        !cols.contains(e.column)
+      def inBounds(x: Double): Boolean =
+        e.lo.forall(x >= _) && e.hi.forall(x <= _)
+      val (viol, obs, passed, detail) =
+        if (missing)
+          (None, None, false, s"column ${e.column} absent from schema")
+        else e.kind match {
+          case "exists" =>
+            (None, None, cols.contains(e.column),
+              s"column ${e.column} present in schema")
+          case "row_count_between" =>
+            (None, Some(nRows.toDouble), inBounds(nRows.toDouble),
+              boundsDetail("row count", e))
+          case "distinct_count_between" =>
+            val d = long(n("d")).toDouble
+            (None, Some(d), inBounds(d),
+              boundsDetail(s"distinct ${e.column}", e))
+          case "mean_between" =>
+            val cnt = long(n("c"))
+            val obs = if (cnt == 0L) None
+              else Some(row.getDecimal(row.fieldIndex(n("s")))
+                .doubleValue / cnt.toDouble)
+            (None, obs, obs.exists(inBounds),
+              boundsDetail(s"mean ${e.column} (1e-6 grid)", e))
+          case "unique" =>
+            val v = long(n("nn")) - long(n("d"))
+            (Some(v), None, rateOk(v, nRows, e),
+              s"duplicated non-null ${e.column} values")
+          case kind =>
+            val v = long(n("v"))
+            val what = kind match {
+              case "not_null" => s"null ${e.column}"
+              case "between" => boundsDetail(e.column, e)
+              case "in_set" => s"${e.column} outside the allowed set"
+              case _ => s"${e.column} not matching ${e.values.head}"
+            }
+            (Some(v), None, rateOk(v, nRows, e), what)
+        }
+      (e.name, e.kind, e.column, nRows, viol,
+        viol.map(v => if (nRows == 0L) 0.0 else v.toDouble / nRows),
+        obs, passed, detail)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    report.toDF("name", "kind", "column", "n_rows", "violations",
+      "violation_rate", "observed", "passed", "detail")
+      .coalesce(1)
+  }
+
+  private def rateOk(v: Long, n: Long, e: Expectation): Boolean =
+    if (n == 0L) true
+    else v.toDouble / n <= e.maxViolationRate
+
+  private def boundsDetail(what: String, e: Expectation): String =
+    (e.lo, e.hi) match {
+      case (Some(l), Some(h)) => s"$what in [$l, $h]"
+      case (Some(l), None) => s"$what >= $l"
+      case (None, Some(h)) => s"$what <= $h"
+      case _ => what
+    }
+
+  /** Fail-fast form of [[expectations]] — throws [[QualityException]]
+   *  listing every failed expectation ([[validateOrThrow]]'s gate
+   *  contract for the declarative suite). */
+  def expectationsOrThrow(df: DataFrame, suite: Seq[Expectation]): Unit = {
+    val failed = expectations(df, suite)
+      .filter(!col("passed")).collect()
+      .map(r => s"${r.getAs[String]("name")}: ${r.getAs[String]("detail")}")
+    if (failed.nonEmpty) throw new QualityException(failed.toSeq)
+  }
 }

@@ -1897,6 +1897,15 @@ class PlanGuardSpec extends AnyFunSuite {
       fin.take(2000))
   }
 
+  test("q407 expectations: the whole suite is ONE corpus aggregation " +
+    "(multi-distinct via Expand), join-free; the report is " +
+    "suite-sized") {
+    val fin = finalPlan("q407_expectations")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1500))
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
+  }
+
   test("q405 g-test: cramersV's cell-relation posture — one corpus " +
     "pass, no cartesian, margin joins on the tiny grid") {
     val fin = finalPlan("q405_g_test").split("== Initial Plan ==")(0)

@@ -289,4 +289,80 @@ class QualitySpec extends AnyFunSuite {
     // g1 has 3 distinct -> safe; g2 has 1 (null not counted); g3 has 2
     assert(out == Map("g2" -> ((3L, 1L)), "g3" -> ((2L, 2L))))
   }
+
+  private def exDf = Seq(
+    (1L, Option("a"), Option(10.0)),
+    (2L, Option("b"), Option(20.0)),
+    (2L, Option("zz"), Option(200.0)),
+    (4L, Option.empty[String], Option.empty[Double]))
+    .toDF("id", "tag", "score")
+
+  test("expectations: one report row per expectation; row-level " +
+    "counts, mostly-tolerance, aggregate bounds, exists, missing " +
+    "column fails clearly") {
+    import Quality.Expectation
+    val suite = Seq(
+      Expectation("ids unique", "unique", "id"),
+      Expectation("tag mostly set", "not_null", "tag",
+        maxViolationRate = 0.25),
+      Expectation("tag never null", "not_null", "tag"),
+      Expectation("score range", "between", "score",
+        lo = Some(0.0), hi = Some(100.0)),
+      Expectation("tags in vocab", "in_set", "tag",
+        values = Seq("a", "b")),
+      Expectation("tag shape", "matches", "tag", values = Seq("^[ab]$")),
+      Expectation("enough rows", "row_count_between",
+        lo = Some(2.0), hi = Some(10.0)),
+      Expectation("id cardinality", "distinct_count_between", "id",
+        lo = Some(3.0), hi = Some(3.0)),
+      Expectation("mean score", "mean_between", "score",
+        lo = Some(76.0), hi = Some(77.0)),
+      Expectation("score exists", "exists", "score"),
+      Expectation("ghost column", "not_null", "nope"))
+    val out = Quality.expectations(exDf, suite).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(out.size == suite.size)
+    val uniq = out("ids unique")
+    assert(uniq.getAs[Long]("violations") == 1L) // id 2 twice
+    assert(!uniq.getAs[Boolean]("passed"))
+    assert(out("tag mostly set").getAs[Boolean]("passed")) // 1/4 = 0.25
+    assert(!out("tag never null").getAs[Boolean]("passed"))
+    assert(out("tag never null").getAs[Double]("violation_rate") == 0.25)
+    assert(out("score range").getAs[Long]("violations") == 1L) // 200
+    assert(out("tags in vocab").getAs[Long]("violations") == 1L) // zz
+    assert(out("tag shape").getAs[Long]("violations") == 1L)
+    assert(out("enough rows").getAs[Boolean]("passed"))
+    assert(out("enough rows").getAs[Double]("observed") == 4.0)
+    assert(out("id cardinality").getAs[Boolean]("passed"))
+    // mean on the 1e-6 grid: (10 + 20 + 200)/3 — exact sum, one
+    // pinned division
+    assert(out("mean score").getAs[Double]("observed") == 230.0 / 3.0)
+    assert(out("mean score").getAs[Boolean]("passed"))
+    assert(out("score exists").getAs[Boolean]("passed"))
+    val ghost = out("ghost column")
+    assert(!ghost.getAs[Boolean]("passed"))
+    assert(ghost.getAs[String]("detail").contains("absent"))
+  }
+
+  test("expectationsOrThrow lists every failed expectation; a " +
+    "passing suite is silent; empty input passes row-level checks") {
+    import Quality.Expectation
+    val e = intercept[Quality.QualityException] {
+      Quality.expectationsOrThrow(exDf, Seq(
+        Expectation("ids unique", "unique", "id"),
+        Expectation("enough rows", "row_count_between", lo = Some(9.0))))
+    }
+    assert(e.violations.size == 2)
+    Quality.expectationsOrThrow(exDf, Seq(
+      Expectation("some rows", "row_count_between", lo = Some(1.0))))
+    // empty frame: rate checks pass (0 violations / 0 rows), bounds
+    // on the row count still bite
+    val empty = exDf.filter($"id" < 0L)
+    val rep = Quality.expectations(empty, Seq(
+      Expectation("tag never null", "not_null", "tag"),
+      Expectation("rows", "row_count_between", lo = Some(1.0))))
+      .collect().map(r => r.getAs[String]("name") ->
+        r.getAs[Boolean]("passed")).toMap
+    assert(rep("tag never null") && !rep("rows"))
+  }
 }
