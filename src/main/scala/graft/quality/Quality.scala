@@ -1098,6 +1098,53 @@ object Quality {
       case _ => what
     }
 
+  /**
+   * [[expectations]] with the suite itself loaded FROM a DataFrame —
+   * the full "checks are data" loop: keep the expectation table in
+   * parquet (or any source), review changes to it like schema
+   * migrations, and run it against any frame. `suiteDf` columns:
+   * `name` and `kind` (strings, required); `column` (string,
+   * optional), `lo`/`hi` (castable to double, optional), `values`
+   * (array of strings OR a single `,`-separated string, optional),
+   * `max_violation_rate` (double, optional, default 0). Unknown
+   * extra columns are ignored; unknown kinds fail fast with the
+   * offending row's name (the suite is config — fail loudly).
+   *
+   * The suite collect is suite-sized (checks are data, but SMALL
+   * data); the evaluation is [[expectations]]'s single pass.
+   */
+  def expectationsFrom(df: DataFrame, suiteDf: DataFrame): DataFrame = {
+    val cols = suiteDf.columns.toSet
+    require(cols.contains("name") && cols.contains("kind"),
+      "expectationsFrom: suite needs 'name' and 'kind' columns")
+    def opt(c: String): Column =
+      if (cols.contains(c)) col(c) else lit(null)
+    val vals: Column =
+      if (!cols.contains("values")) lit(null).cast("array<string>")
+      else suiteDf.schema("values").dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          col("values").cast("array<string>")
+        case _ => split(col("values").cast("string"), ",")
+      }
+    val suite = suiteDf.select(
+      col("name").cast("string"), col("kind").cast("string"),
+      opt("column").cast("string"), opt("lo").cast("double"),
+      opt("hi").cast("double"), vals.as("values"),
+      opt("max_violation_rate").cast("double"))
+      .collect().toSeq.map { r =>
+        Expectation(
+          name = r.getString(0), kind = r.getString(1),
+          column = Option(r.getString(2)).getOrElse(""),
+          lo = if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          hi = if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          values = if (r.isNullAt(5)) Seq.empty
+            else r.getSeq[String](5).toSeq,
+          maxViolationRate =
+            if (r.isNullAt(6)) 0.0 else r.getDouble(6))
+      }
+    expectations(df, suite)
+  }
+
   /** Fail-fast form of [[expectations]] — throws [[QualityException]]
    *  listing every failed expectation ([[validateOrThrow]]'s gate
    *  contract for the declarative suite). */

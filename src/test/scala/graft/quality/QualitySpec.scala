@@ -344,6 +344,42 @@ class QualitySpec extends AnyFunSuite {
     assert(ghost.getAs[String]("detail").contains("absent"))
   }
 
+  test("expectationsFrom: suite loaded from a DataFrame (string " +
+    "values column split on ','); matches the literal-suite report") {
+    import Quality.Expectation
+    val suiteDf = Seq(
+      ("ids unique", "unique", Some("id"), None: Option[Double],
+        None: Option[Double], None: Option[String], Some(0.0)),
+      ("tags in vocab", "in_set", Some("tag"), None, None,
+        Some("a,b"), None),
+      ("rows", "row_count_between", None, Some(2.0), Some(10.0),
+        None, None))
+      .toDF("name", "kind", "column", "lo", "hi", "values",
+        "max_violation_rate")
+    val fromDf = Quality.expectationsFrom(exDf, suiteDf)
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Boolean]("passed"), r.getAs[Any]("violations"))).toMap
+    val literal = Quality.expectations(exDf, Seq(
+      Expectation("ids unique", "unique", "id"),
+      Expectation("tags in vocab", "in_set", "tag",
+        values = Seq("a", "b")),
+      Expectation("rows", "row_count_between",
+        lo = Some(2.0), hi = Some(10.0))))
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Boolean]("passed"), r.getAs[Any]("violations"))).toMap
+    assert(fromDf == literal)
+    assert(!fromDf("ids unique")._1 && fromDf("rows")._1)
+    // unknown kind in the config fails fast, naming the row
+    val bad = Seq(("x", "no_such_kind", Some("id"), None: Option[Double],
+      None: Option[Double], None: Option[String], None: Option[Double]))
+      .toDF("name", "kind", "column", "lo", "hi", "values",
+        "max_violation_rate")
+    val e = intercept[IllegalArgumentException] {
+      Quality.expectationsFrom(exDf, bad)
+    }
+    assert(e.getMessage.contains("no_such_kind"))
+  }
+
   test("expectationsOrThrow lists every failed expectation; a " +
     "passing suite is silent; empty input passes row-level checks") {
     import Quality.Expectation
