@@ -364,11 +364,20 @@ object Bench {
     val stallQs = results.filter(_._4.exists(_.stalled == 1))
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val nStalls = results.map(_._4.count(_.stalled == 1)).sum
+    // mid-suite ambient-load summary (r18): the calibration probes
+    // bracket the suite, so co-tenant load that arrives mid-run shows
+    // up only in the per-draw load1m samples — surface their median/
+    // max here so a compact-line reader can adjudicate "was the
+    // MIDDLE of the run loaded" without unpacking the telemetry line
+    val loads = results.flatMap(_._4.map(_.load)).filter(_ >= 0).sorted
+    val loadMed = if (loads.isEmpty) 0.0
+      else loads((loads.size - 1) / 2)
+    val loadMax = if (loads.isEmpty) 0.0 else loads.last
     // "queries" here is the worst-10 SUBSET (the full per-query map
     // rides the primary line and the flat per-line stream below);
     // "queries_subset" names that explicitly instead of duplicating
     // the map under a second key (r17 verdict #3)
-    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"load1m_med":${f(loadMed)},"load1m_max":${f(loadMax)},"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
     println(compactLine)
     // SELF-CONTAINED artifact file: the driver captures only a bounded
     // tail of stdout (round 7's BENCH artifact truncated the per-query
