@@ -8569,6 +8569,7 @@ object SparkEntry {
         |  ('cartesian-join', 'warn', CAST(1 AS BIGINT)),
         |  ('exchange-count', 'ok', CAST(3 AS BIGINT)),
         |  ('filter-not-pushed', 'warn', CAST(1 AS BIGINT)),
+        |  ('full-width-scan', 'ok', CAST(0 AS BIGINT)),
         |  ('global-sort', 'warn', CAST(1 AS BIGINT)),
         |  ('global-window', 'warn', CAST(1 AS BIGINT)),
         |  ('interpreted-stage', 'warn', CAST(3 AS BIGINT)),

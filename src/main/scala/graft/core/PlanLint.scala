@@ -56,11 +56,19 @@ object PlanLint {
    *                          this warns `broadcastable-join` —
    *                          `broadcast()` it and the corpus-side
    *                          shuffle disappears
+   * @param wideScanCols      a file scan that reads EVERY data column
+   *                          of a source at least this wide warns
+   *                          `full-width-scan` — at 100 TB column
+   *                          pruning is the first I/O lever, and a
+   *                          full-width read of a wide table usually
+   *                          means a `select` is missing upstream
    */
   def findings(df: DataFrame, maxExchanges: Int = 4,
-               broadcastableBytes: Long = 32L << 20): Seq[Finding] = {
+               broadcastableBytes: Long = 32L << 20,
+               wideScanCols: Int = 8): Seq[Finding] = {
     require(maxExchanges >= 0, s"maxExchanges must be >= 0")
     require(broadcastableBytes >= 0, s"broadcastableBytes must be >= 0")
+    require(wideScanCols >= 1, s"wideScanCols must be >= 1")
     // strip adaptive / query-stage wrappers so rules see real operators;
     // track whether we're inside a WholeStageCodegen span (InputAdapter
     // re-opens the interpreted world below it)
@@ -143,6 +151,16 @@ object PlanLint {
         s.dataFilters.nonEmpty && s.dataFilters.size > pushedCount(s)
       case _ => false
     }
+    // a scan whose read schema covers EVERY data column of a wide
+    // source: either the query truly consumes all of them, or a
+    // projection is missing and the scan ships dead columns
+    val fullWidthScans = plan.count {
+      case s: FileSourceScanExec =>
+        val dataCols = s.relation.dataSchema.fields.length
+        dataCols >= wideScanCols &&
+          s.requiredSchema.fields.length >= dataCols
+      case _ => false
+    }
     val interpreted = nodes.count {
       case (_: ProjectExec, false) | (_: FilterExec, false) => true
       case _ => false
@@ -191,6 +209,11 @@ object PlanLint {
           "predicate was NOT translated) — the format/expression " +
           "blocks pushdown (e.g. a UDF or length() predicate); " +
           "rewrite it over plain columns so the scan skips row groups"),
+      f("full-width-scan", fullWidthScans, fullWidthScans > 0,
+        s"scan reads EVERY data column of a >= $wideScanCols-column " +
+          "source: at 100 TB column pruning is the first I/O lever — " +
+          "select only the needed fields so the reader's ReadSchema " +
+          "shrinks (or verify the consumer truly needs all of them)"),
       f("interpreted-stage", interpreted, interpreted > 0,
         "Project/Filter outside any WholeStageCodegen span runs " +
           "interpreted (codegen fallback) — usually a non-codegen " +
@@ -206,10 +229,11 @@ object PlanLint {
    *  detail), rule-name ordered — composes with the caller's own
    *  reporting sinks; `filter(status = 'warn')` is the CI gate. */
   def lint(df: DataFrame, maxExchanges: Int = 4,
-           broadcastableBytes: Long = 32L << 20): DataFrame = {
+           broadcastableBytes: Long = 32L << 20,
+           wideScanCols: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    findings(df, maxExchanges, broadcastableBytes)
+    findings(df, maxExchanges, broadcastableBytes, wideScanCols)
       .sortBy(_.rule).toDF("rule", "status", "n", "detail")
   }
 
@@ -232,7 +256,8 @@ object PlanLint {
    * exactly as [[findings]] does.
    */
   def findingsFinal(df: DataFrame, maxExchanges: Int = 4,
-                    broadcastableBytes: Long = 32L << 20): Seq[Finding] = {
+                    broadcastableBytes: Long = 32L << 20,
+                    wideScanCols: Int = 8): Seq[Finding] = {
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec if !a.isFinalPlan =>
         // drive THIS QueryExecution's RDD (a noop-sink write would
@@ -241,17 +266,18 @@ object PlanLint {
         df.queryExecution.toRdd.foreach(_ => ())
       case _ => ()
     }
-    findings(df, maxExchanges, broadcastableBytes)
+    findings(df, maxExchanges, broadcastableBytes, wideScanCols)
   }
 
   /** [[findingsFinal]] as the same one-row-per-rule DataFrame shape
    *  [[lint]] returns — `lint` for plan-time CI (never executes),
    *  `lintFinal` for post-run assertions on what AQE actually chose. */
   def lintFinal(df: DataFrame, maxExchanges: Int = 4,
-                broadcastableBytes: Long = 32L << 20): DataFrame = {
+                broadcastableBytes: Long = 32L << 20,
+                wideScanCols: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    findingsFinal(df, maxExchanges, broadcastableBytes)
+    findingsFinal(df, maxExchanges, broadcastableBytes, wideScanCols)
       .sortBy(_.rule).toDF("rule", "status", "n", "detail")
   }
 }

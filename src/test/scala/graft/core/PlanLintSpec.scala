@@ -17,7 +17,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val allRules = Seq("cartesian-join", "nested-loop-join",
     "global-window", "global-sort", "exchange-count",
     "broadcastable-join", "partition-filter-missing",
-    "filter-not-pushed", "interpreted-stage", "scala-udf")
+    "filter-not-pushed", "full-width-scan", "interpreted-stage",
+    "scala-udf")
 
   test("clean plan: one row per rule, all ok; lint() is rule-sorted") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
@@ -127,6 +128,26 @@ class PlanLintSpec extends AnyFunSuite {
     // every predicate translated: stays ok under the same rendering
     assert(report(scan.filter($"s".isin("a, b", "c")))(
       "filter-not-pushed")._1 == "ok")
+  }
+
+  test("full-width-scan fires when a wide source is read at full " +
+    "width and clears once a projection prunes it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint_wide").toString
+    spark.range(10).select((0 until 8).map(i =>
+      ($"id" + i).as(s"c$i")): _*)
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // filter keeps every column in the output: full-width read
+    assert(report(scan.filter($"c0" > 0L))("full-width-scan") ==
+      (("warn", 1L)))
+    // a 2-column projection prunes the ReadSchema: ok
+    assert(report(scan.select("c0", "c1"))("full-width-scan")._1 == "ok")
+    // narrower sources never fire at the default threshold
+    val narrow = scan.select("c0", "c1", "c2")
+      .write.mode("overwrite").parquet(dir + "_n")
+    assert(report(spark.read.parquet(dir + "_n"))(
+      "full-width-scan")._1 == "ok")
   }
 
   test("interpreted-stage fires on a CodegenFallback expression " +

@@ -707,6 +707,55 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(short.forall(_.isNullAt(short.head.fieldIndex("seasonal"))))
   }
 
+  test("stlDecompose invariants on a seeded random feed: an offset " +
+    "leaves seasonal bit-identical and shifts trend within an ulp " +
+    "bound; repartitioning never changes a bit") {
+    val rnd = new scala.util.Random(7)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(3)}",
+        new java.sql.Timestamp(base + i * 60000L), i.toLong,
+        rnd.nextInt(20000) / 100.0)
+    }
+    def run(rs: Seq[(String, java.sql.Timestamp, Long, Double)],
+            parts: Int) = {
+      val df0 = rs.toDF("k", "ts", "id", "v")
+      TimeSeries.stlDecompose(
+        if (parts > 0) df0.repartition(parts) else df0,
+        Seq("k"), "ts", "id", "v", period = 6)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getAs[Any]("trend"), r.getAs[Any]("seasonal"),
+            r.getAs[Any]("remainder"), r.getLong(4)))
+        .toMap
+    }
+    val a = run(rows, 0)
+    // detrended values ride the exact m·cents integer grid, so a
+    // +77.13 offset leaves seasonal (and phase) BIT-IDENTICAL;
+    // trend/remainder shift through different pinned division
+    // chains, so they carry the offset to within an ulp bound
+    val b = run(rows.map(r => (r._1, r._2, r._3, r._4 + 77.13)), 0)
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, (t, s, rm, ph)) =>
+      val (t2, s2, rm2, ph2) = b(k)
+      assert(ph == ph2)
+      (t, t2) match {
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          assert(math.abs(y.doubleValue - (x.doubleValue + 77.13))
+            < 1e-9, k)
+        case _ => assert(t == null && t2 == null, k)
+      }
+      assert(s == s2, k) // seasonal invariant under offset, bit-exact
+      (rm, rm2) match {
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          assert(math.abs(y.doubleValue - x.doubleValue) < 1e-9, k)
+        case _ => assert(rm == null && rm2 == null, k)
+      }
+    }
+    // physical layout must not matter — bit-for-bit
+    assert(run(rows, 7) == a)
+  }
+
   test("cusum/transitionMatrix/compressConsecutive: null-tie (and " +
     "null-key) rows are DROPPED — the same fold-family null " +
     "contract, matching cusumStream/transitionsStream/compactStream") {
