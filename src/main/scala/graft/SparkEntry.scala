@@ -3691,6 +3691,24 @@ object SparkEntry {
         Expectation("props exists", "exists", "props")))
     }),
 
+    // ---- quality: the expectation suite PER SEGMENT — one report
+    //      row per (event_type, expectation), fully distributed ----
+    "q408_expectations_by_key" -> ((s, dir) => {
+      import graft.quality.Quality.Expectation
+      graft.quality.Quality.expectationsByKey(t(s, dir, "events"),
+        Seq("event_type"), Seq(
+          Expectation("event ids unique", "unique", "event_id"),
+          Expectation("ts set", "not_null", "ts"),
+          Expectation("value range", "between", "value",
+            lo = Some(0.0), hi = Some(150.0), maxViolationRate = 0.5),
+          Expectation("segment size", "row_count_between",
+            lo = Some(100.0)),
+          Expectation("user cardinality", "distinct_count_between",
+            "user_id", lo = Some(1.0), hi = Some(20000.0)),
+          Expectation("mean value", "mean_between", "value",
+            lo = Some(0.0), hi = Some(1000.0))))
+    }),
+
     "q272_cramers_v" -> ((s, dir) =>
       graft.agg.Stats.cramersV(
         t(s, dir, "orders")
@@ -13237,6 +13255,63 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
         |  CAST(NULL AS DOUBLE), TRUE,
         |  'column props present in schema' FROM a""".stripMargin,
+
+    // per-segment suite replay: one per-key aggregate CTE, one UNION
+    // ALL branch per expectation; rates/means pinned single divisions
+    "q408_expectations_by_key" ->
+      """WITH a AS (SELECT event_type AS k,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(event_id) AS BIGINT) AS nn_id,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS d_id,
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ts,
+        |    CAST(sum(CASE WHEN value IS NOT NULL AND
+        |      (CAST(value AS DOUBLE) < 0.0 OR
+        |       CAST(value AS DOUBLE) > 150.0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_rng,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS d_usr,
+        |    CASE WHEN count(value) > 0 THEN
+        |      CAST(CAST(sum(CAST(value AS DECIMAL(32,6))) AS VARCHAR)
+        |        AS DOUBLE) / CAST(count(value) AS DOUBLE) END AS mv
+        |  FROM events GROUP BY 1)
+        |SELECT k AS event_type, 'event ids unique' AS name,
+        |  'unique' AS kind, 'event_id' AS "column", n AS n_rows,
+        |  nn_id - d_id AS violations,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(nn_id - d_id AS DOUBLE) / CAST(n AS DOUBLE) END
+        |    AS violation_rate,
+        |  CAST(NULL AS DOUBLE) AS observed,
+        |  n = 0 OR CAST(nn_id - d_id AS DOUBLE) / CAST(n AS DOUBLE)
+        |    <= 0.0 AS passed,
+        |  'duplicated non-null event_id values' AS detail FROM a
+        |UNION ALL SELECT k, 'ts set', 'not_null', 'ts', n, v_ts,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(v_ts AS DOUBLE) / CAST(n AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE),
+        |  n = 0 OR CAST(v_ts AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0,
+        |  'null ts' FROM a
+        |UNION ALL SELECT k, 'value range', 'between', 'value', n,
+        |  v_rng,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(v_rng AS DOUBLE) / CAST(n AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE),
+        |  n = 0 OR CAST(v_rng AS DOUBLE) / CAST(n AS DOUBLE) <= 0.5,
+        |  'value in [0.0, 150.0]' FROM a
+        |UNION ALL SELECT k, 'segment size', 'row_count_between', '',
+        |  n, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(n AS DOUBLE), CAST(n AS DOUBLE) >= 100.0,
+        |  'row count >= 100.0' FROM a
+        |UNION ALL SELECT k, 'user cardinality',
+        |  'distinct_count_between', 'user_id', n,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(d_usr AS DOUBLE),
+        |  CAST(d_usr AS DOUBLE) >= 1.0 AND
+        |    CAST(d_usr AS DOUBLE) <= 20000.0,
+        |  'distinct user_id in [1.0, 20000.0]' FROM a
+        |UNION ALL SELECT k, 'mean value', 'mean_between', 'value', n,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), mv,
+        |  mv IS NOT NULL AND mv >= 0.0 AND mv <= 1000.0,
+        |  'mean value (1e-6 grid) in [0.0, 1000.0]' FROM a""".stripMargin,
 
     // STL-lite replay: 2×p half-weight MA trend on the DOUBLED cent
     // grid (T = 2·S − ends, m = 2p = 8), detrended values exact on

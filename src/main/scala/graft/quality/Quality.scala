@@ -982,7 +982,7 @@ object Quality {
    * [[profile]]'s approx mode for wide all-column uniqueness scans).
    * The report itself is suite-sized (driver-built, one partition).
    */
-  def expectations(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
+  private def validateSuite(suite: Seq[Expectation]): Unit = {
     require(suite.nonEmpty, "expectations needs a non-empty suite")
     suite.foreach { e =>
       require(e.kind == "exists" || rowKinds(e.kind) || aggKinds(e.kind),
@@ -999,6 +999,10 @@ object Quality {
       require(e.maxViolationRate >= 0.0 && e.maxViolationRate <= 1.0,
         s"expectation ${e.name}: maxViolationRate in [0,1]")
     }
+  }
+
+  def expectations(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
+    validateSuite(suite)
     val cols = df.columns.toSet
     def c(e: Expectation) = col(e.column)
     // one agg column per expectation (indexed names — the same
@@ -1143,6 +1147,135 @@ object Quality {
             if (r.isNullAt(6)) 0.0 else r.getDouble(6))
       }
     expectations(df, suite)
+  }
+
+  /**
+   * [[expectations]] evaluated PER KEY — the per-segment quality
+   * report ("is every tenant / day / source partition individually
+   * healthy", which one global pass averages away): one report row
+   * per (key, expectation), fully distributed (no driver collect —
+   * the report is keys×suite-sized and stays a DataFrame).
+   *
+   * Same kinds and semantics as [[expectations]], applied within
+   * each key group: `row_count_between` bounds the SEGMENT size,
+   * `mean_between`/`distinct_count_between` bound per-segment
+   * scalars, row-level kinds rate against the segment's rows.
+   * `exists` stays a schema check (same answer every key). Keys with
+   * zero rows do not appear (no segment, no report — use a spine
+   * join upstream when absence itself must fail).
+   *
+   * Output: (keys…, name, kind, column, n_rows, violations,
+   * violation_rate, observed, passed, detail).
+   *
+   * Scale posture: ONE map-side-combined key aggregation carries
+   * every conditional count / exact decimal sum (multi-distinct via
+   * Expand, same as the global form); the per-expectation rows
+   * explode from an in-row struct array — suite-sized per key, no
+   * second pass, no union re-scan.
+   */
+  def expectationsByKey(df: DataFrame, keys: Seq[String],
+                        suite: Seq[Expectation]): DataFrame = {
+    require(keys.nonEmpty, "expectationsByKey needs key columns")
+    validateSuite(suite)
+    suite.foreach(e => require(!keys.contains(e.column) ||
+      e.kind == "exists",
+      s"expectation ${e.name}: checking a grouping key (${e.column}) " +
+        "within its own groups is degenerate — check it globally"))
+    val cols = df.columns.toSet
+    def c(e: Expectation) = col(e.column)
+    val aggs = suite.zipWithIndex.flatMap { case (e, i) =>
+      def n(s: String) = s"__e${i}_$s"
+      if (e.kind != "exists" && e.kind != "row_count_between" &&
+        !cols.contains(e.column)) Seq.empty
+      else e.kind match {
+        case "not_null" => Seq(countIf(c(e).isNull).as(n("v")))
+        case "between" =>
+          val d = c(e).cast("double")
+          val bad = (e.lo.map(d < _) ++ e.hi.map(d > _)).reduce(_ || _)
+          Seq(countIf(c(e).isNotNull && bad).as(n("v")))
+        case "in_set" =>
+          Seq(countIf(c(e).isNotNull &&
+            !c(e).cast("string").isin(e.values: _*)).as(n("v")))
+        case "matches" =>
+          Seq(countIf(c(e).isNotNull &&
+            !c(e).cast("string").rlike(e.values.head)).as(n("v")))
+        case "unique" =>
+          Seq(count(c(e)).as(n("nn")), count_distinct(c(e)).as(n("d")))
+        case "distinct_count_between" =>
+          Seq(count_distinct(c(e)).as(n("d")))
+        case "mean_between" =>
+          Seq(sum(c(e).cast("decimal(32,6)")).as(n("s")),
+            count(c(e)).as(n("c")))
+        case _ => Seq.empty
+      }
+    }
+    val g = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val nRows = col("n_rows")
+    val nD = nRows.cast("double")
+    def nullL = lit(null).cast("long")
+    def nullD = lit(null).cast("double")
+    def rate(v: Column) =
+      when(nRows === 0L, lit(0.0)).otherwise(v.cast("double") / nD)
+    def rateOkC(v: Column, e: Expectation) =
+      nRows === 0L || v.cast("double") / nD <= lit(e.maxViolationRate)
+    def inB(x: Column, e: Expectation): Column =
+      (e.lo.map(x >= _) ++ e.hi.map(x <= _))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    // one struct per expectation, exploded — suite-sized per key
+    val entries = suite.zipWithIndex.map { case (e, i) =>
+      def n(s: String) = s"__e${i}_$s"
+      val missing = e.kind != "exists" && e.kind != "row_count_between" &&
+        !cols.contains(e.column)
+      val (viol, obs, passed, detail): (Column, Column, Column, String) =
+        if (missing)
+          (nullL, nullD, lit(false),
+            s"column ${e.column} absent from schema")
+        else e.kind match {
+          case "exists" =>
+            (nullL, nullD, lit(cols.contains(e.column)),
+              s"column ${e.column} present in schema")
+          case "row_count_between" =>
+            (nullL, nD, inB(nD, e), boundsDetail("row count", e))
+          case "distinct_count_between" =>
+            val d = col(n("d")).cast("double")
+            (nullL, d, inB(d, e), boundsDetail(s"distinct ${e.column}", e))
+          case "mean_between" =>
+            val m = when(col(n("c")) > 0L,
+              col(n("s")).cast("double") / col(n("c")).cast("double"))
+            (nullL, m, m.isNotNull && inB(m, e),
+              boundsDetail(s"mean ${e.column} (1e-6 grid)", e))
+          case "unique" =>
+            val v = col(n("nn")) - col(n("d"))
+            (v, nullD, rateOkC(v, e),
+              s"duplicated non-null ${e.column} values")
+          case kind =>
+            val v = col(n("v"))
+            val what = kind match {
+              case "not_null" => s"null ${e.column}"
+              case "between" => boundsDetail(e.column, e)
+              case "in_set" => s"${e.column} outside the allowed set"
+              case _ => s"${e.column} not matching ${e.values.head}"
+            }
+            (v, nullD, rateOkC(v, e), what)
+        }
+      struct(lit(e.name).as("name"), lit(e.kind).as("kind"),
+        lit(e.column).as("column"),
+        viol.cast("long").as("violations"),
+        viol.isNotNull.as("__hasv"),
+        obs.cast("double").as("observed"),
+        passed.as("passed"), lit(detail).as("detail"))
+    }
+    g.select(keys.map(col) ++ Seq(nRows,
+      explode(array(entries: _*)).as("__e")): _*)
+      .select(keys.map(col) ++ Seq(col("__e.name").as("name"),
+        col("__e.kind").as("kind"), col("__e.column").as("column"),
+        col("n_rows"), col("__e.violations").as("violations"),
+        when(col("__e.__hasv"), rate(col("__e.violations")))
+          .as("violation_rate"),
+        col("__e.observed").as("observed"),
+        col("__e.passed").as("passed"),
+        col("__e.detail").as("detail")): _*)
   }
 
   /** Fail-fast form of [[expectations]] — throws [[QualityException]]

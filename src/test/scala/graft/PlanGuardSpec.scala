@@ -1906,6 +1906,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
   }
 
+  test("q408 expectations-by-key: ONE key aggregation (multi-" +
+    "distinct Expand), per-expectation rows explode in-row — " +
+    "join-free, one corpus scan") {
+    val fin = finalPlan("q408_expectations_by_key")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1500))
+    assert(fin.contains("Generate"), fin.take(1500)) // the explode
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
+  }
+
   test("q405 g-test: cramersV's cell-relation posture — one corpus " +
     "pass, no cartesian, margin joins on the tiny grid") {
     val fin = finalPlan("q405_g_test").split("== Initial Plan ==")(0)

@@ -380,6 +380,56 @@ class QualitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_kind"))
   }
 
+  test("expectationsByKey: per-segment report — each key rated " +
+    "against its own rows, segment-size and per-segment-mean bounds") {
+    import Quality.Expectation
+    val df = Seq(
+      ("g1", 1L, Option("a"), Option(10.0)),
+      ("g1", 2L, Option("b"), Option(20.0)),
+      ("g1", 2L, Option("zz"), Option(200.0)),
+      ("g2", 5L, Option("a"), Option(10.0)),
+      ("g2", 6L, Option.empty[String], Option.empty[Double]))
+      .toDF("seg", "id", "tag", "score")
+    val suite = Seq(
+      Expectation("ids unique", "unique", "id"),
+      Expectation("tag set", "not_null", "tag"),
+      Expectation("score range", "between", "score",
+        lo = Some(0.0), hi = Some(100.0)),
+      Expectation("segment size", "row_count_between", lo = Some(3.0)),
+      Expectation("segment mean", "mean_between", "score",
+        lo = Some(0.0), hi = Some(50.0)),
+      Expectation("id cardinality", "distinct_count_between", "id",
+        lo = Some(2.0), hi = Some(3.0)))
+    val out = Quality.expectationsByKey(df, Seq("seg"), suite)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[String]("name")) -> r).toMap
+    assert(out.size == 12) // 2 segments x 6 expectations
+    assert(out(("g1", "ids unique")).getAs[Long]("violations") == 1L)
+    assert(!out(("g1", "ids unique")).getAs[Boolean]("passed"))
+    assert(out(("g2", "ids unique")).getAs[Boolean]("passed"))
+    assert(out(("g2", "tag set")).getAs[Double]("violation_rate") == 0.5)
+    assert(out(("g1", "tag set")).getAs[Boolean]("passed"))
+    assert(out(("g1", "score range")).getAs[Long]("violations") == 1L)
+    assert(out(("g2", "score range")).getAs[Boolean]("passed"))
+    // segment-size bound: g1 has 3 rows (pass), g2 has 2 (fail)
+    assert(out(("g1", "segment size")).getAs[Boolean]("passed"))
+    assert(!out(("g2", "segment size")).getAs[Boolean]("passed"))
+    assert(out(("g2", "segment size")).getAs[Double]("observed") == 2.0)
+    // per-segment mean: exact decimal sum, one pinned division
+    assert(out(("g1", "segment mean")).getAs[Double]("observed")
+      == 230.0 / 3.0)
+    assert(!out(("g1", "segment mean")).getAs[Boolean]("passed"))
+    assert(out(("g2", "segment mean")).getAs[Boolean]("passed"))
+    assert(out(("g1", "id cardinality")).getAs[Double]("observed")
+      == 2.0)
+    assert(out(("g2", "id cardinality")).getAs[Boolean]("passed"))
+    // checking a grouping key inside its own groups is rejected
+    intercept[IllegalArgumentException] {
+      Quality.expectationsByKey(df, Seq("seg"),
+        Seq(Expectation("bad", "not_null", "seg")))
+    }
+  }
+
   test("expectationsOrThrow lists every failed expectation; a " +
     "passing suite is silent; empty input passes row-level checks") {
     import Quality.Expectation
