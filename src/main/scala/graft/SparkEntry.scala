@@ -4242,6 +4242,16 @@ object SparkEntry {
       graft.core.PlanLint.lint(bad).select("rule", "status", "n")
     }),
 
+    // ---- drift: two-sample Anderson-Darling (Scholz-Stephens
+    //      midrank, k = 2) — the tail-weighted drift panel member;
+    //      doubled midranks, one exact-integer ratio per (row, arm) ----
+    "q409_anderson_darling" -> ((s, dir) =>
+      graft.agg.Stats.andersonDarling(
+        t(s, dir, "events")
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
     // ---- drift: 1-Wasserstein distance between arms — exact
     //      integer area between CDFs on the cents grid ----
     "q378_wasserstein1" -> ((s, dir) =>
@@ -13255,6 +13265,69 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
         |  CAST(NULL AS DOUBLE), TRUE,
         |  'column props present in schema' FROM a""".stripMargin,
+
+    // Anderson-Darling replay: the q400-style doubled-midrank grid
+    // windows, per-(row,arm) exact HUGEINT ratios (VARCHAR-routed to
+    // double), ascending-v list_reduce left folds, pinned closing
+    "q409_anderson_darling" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k, v, ca, cb, ca + cb AS l,
+        |    coalesce(sum(ca + cb) OVER wp, 0) AS pn,
+        |    coalesce(sum(ca) OVER wp, 0) AS pa,
+        |    coalesce(sum(cb) OVER wp, 0) AS pb,
+        |    sum(ca) OVER wk AS na, sum(cb) OVER wk AS nb
+        |  FROM grid
+        |  WINDOW wp AS (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wk AS (PARTITION BY k)),
+        |r AS (SELECT k, v, na, nb, l, na + nb AS nn,
+        |    2 * pn + l AS b2,
+        |    2 * pa + ca AS m2a, 2 * pb + cb AS m2b
+        |  FROM st),
+        |t AS (SELECT k, v, na, nb,
+        |    CAST(nn AS HUGEINT) * m2a - CAST(b2 AS HUGEINT) * na
+        |      AS d1a,
+        |    CAST(nn AS HUGEINT) * m2b - CAST(b2 AS HUGEINT) * nb
+        |      AS d1b,
+        |    CAST(b2 AS HUGEINT) * (2 * nn - b2)
+        |      - CAST(nn AS HUGEINT) * l AS den,
+        |    l, nn FROM r),
+        |terms AS (SELECT k, v, na, nb,
+        |    CASE WHEN den > 0 THEN
+        |      (CAST(l AS DOUBLE) *
+        |       CAST(CAST(d1a * d1a AS VARCHAR) AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) *
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE))
+        |    ELSE 0.0 END AS ta,
+        |    CASE WHEN den > 0 THEN
+        |      (CAST(l AS DOUBLE) *
+        |       CAST(CAST(d1b * d1b AS VARCHAR) AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) *
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE))
+        |    ELSE 0.0 END AS tb
+        |  FROM t),
+        |f AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    count(*) AS grd,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ta ORDER BY v)), (x, y) -> x + y) AS sa,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(tb ORDER BY v)), (x, y) -> x + y) AS sb
+        |  FROM terms GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND grd >= 2 THEN
+        |    (sa / CAST(n_a AS DOUBLE) + sb / CAST(n_b AS DOUBLE))
+        |    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)
+        |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END AS a2
+        |FROM f""".stripMargin,
 
     // per-segment suite replay: one per-key aggregate CTE, one UNION
     // ALL branch per expectation; rates/means pinned single divisions

@@ -5243,6 +5243,106 @@ object Stats {
   }
 
   /**
+   * Two-sample Anderson-Darling statistic per key (the
+   * Scholz-Stephens k-sample A²ₐₖₙ with k = 2, midrank/ties
+   * version — the scipy `anderson_ksamp` convention) — the
+   * TAIL-WEIGHTED member of the drift panel: [[ksTest]] sees the
+   * biggest CDF gap, [[cramerVonMises]] the average squared gap;
+   * AD divides each gap by `F(1−F)`, so movement in the tails —
+   * where CDFs are pinned near 0/1 and KS/CvM are blind — carries
+   * full weight. The right alarm for "the p99 moved".
+   *
+   * Exact-grid formulation: on the pooled value grid, pooled
+   * midranks and per-arm midcounts ride DOUBLED (`B₂ = 2·prevN + l`,
+   * `M₂ = 2·prevArm + f` — no per-row ranking), and each grid row's
+   * inner term `(l/N)·(N·M − B·n)²/(B(N−B) − N·l/4)` reduces to the
+   * ratio of EXACT integers `l·(N·M₂ − B₂·n)² / (N·(B₂(2N−B₂) −
+   * N·l))` — numerator and denominator carried in DECIMAL(38,0)
+   * (exact to N ≈ 10⁹: the square is ≤ 4N⁴), ONE pinned division
+   * per (row, arm). Terms fold in ASCENDING grid order (an ANSI
+   * engine replays the fold as an ordered-list reduce);
+   * `A² = (S_a/n_a + S_b/n_b)·(N−1)/N` closes the pinned chain.
+   * Keys with an empty arm or a single-point grid (the degenerate
+   * 0/0 case) emit null.
+   *
+   * Output: (keys…, n_a, n_b, a2) — compare against the
+   * Scholz-Stephens critical values (≈ 1.96/2.49/3.25/4.59 at
+   * 10/5/2.5/1%, k = 2).
+   *
+   * Scale posture: one map-side grid collapse, ONE key exchange for
+   * the cumulative windows, one in-group ordered fold whose array
+   * is the key's DISTINCT-value grid (the [[macd]] per-key array
+   * contract — coarsen `valueScale` for continuous heavy keys; the
+   * estimator is grid-precision anyway).
+   */
+  def andersonDarling(df: DataFrame, keys: Seq[String],
+                      groupCol: String, aLabel: String, bLabel: String,
+                      valueCol: String, valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "andersonDarling needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    val stepped = grid
+      .withColumn("__l", col("__ca") + col("__cb"))
+      .withColumn("__pn", coalesce(sum(col("__l")).over(wo.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pa", coalesce(sum(col("__ca")).over(wo.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__cb")).over(wo.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__N", col("__na") + col("__nb"))
+      .withColumn("__b2", lit(2L) * col("__pn") + col("__l"))
+    // inner term per (grid row, arm), all-integer until ONE division:
+    // l·(N·M₂ − B₂·n)² / (N·(B₂(2N−B₂) − N·l))
+    def inner(m2: Column, n: Column): Column = {
+      val d1 = dec38(dec(col("__N")) * dec(m2)) -
+        dec38(dec(col("__b2")) * dec(n))
+      val q = dec38(d1 * d1)
+      val den = dec38(dec(col("__b2")) *
+        dec(lit(2L) * col("__N") - col("__b2"))) -
+        dec38(dec(col("__N")) * dec(col("__l")))
+      when(den > lit(0L).cast("decimal(38,0)"),
+        (d(col("__l")) * q.cast("double")) /
+          (d(col("__N")) * den.cast("double"))).otherwise(lit(0.0))
+    }
+    val terms = stepped
+      .withColumn("__ta",
+        inner(lit(2L) * col("__pa") + col("__ca"), col("__na")))
+      .withColumn("__tb",
+        inner(lit(2L) * col("__pb") + col("__cb"), col("__nb")))
+    val fold = aggregate(
+      sort_array(collect_list(struct(col("__v").as("v"),
+        col("__ta").as("ta"), col("__tb").as("tb")))),
+      struct(lit(0.0).as("sa"), lit(0.0).as("sb")),
+      (acc, x) => struct(
+        (acc.getField("sa") + x.getField("ta")).as("sa"),
+        (acc.getField("sb") + x.getField("tb")).as("sb")))
+    val m = terms.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("__grid"), fold.as("__s"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val bigN = nD + mD
+    val a2 = (col("__s").getField("sa") / nD +
+      col("__s").getField("sb") / mD) * (bigN - lit(1.0)) / bigN
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L &&
+        col("__grid") >= 2L, a2).as("a2")): _*)
+  }
+
+  /**
    * Kuiper two-sample statistic per key — [[ksTest]]'s
    * rotation-robust sibling: `V = D⁺ + D⁻` (the largest gap ABOVE
    * plus the largest gap BELOW between the two CDFs). Where KS

@@ -1916,6 +1916,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
   }
 
+  test("q409 anderson-darling: the ksTest grid shape — ONE grid " +
+    "collapse, ONE key exchange for the cumulative windows, " +
+    "join-free in-group fold") {
+    val fin = finalPlan("q409_anderson_darling")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+  }
+
   test("q405 g-test: cramersV's cell-relation posture — one corpus " +
     "pass, no cartesian, margin joins on the tiny grid") {
     val fin = finalPlan("q405_g_test").split("== Initial Plan ==")(0)

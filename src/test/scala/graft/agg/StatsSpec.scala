@@ -2052,6 +2052,58 @@ class StatsSpec extends AnyFunSuite {
     assert(!s.isNullAt(s.fieldIndex("z")))
   }
 
+  test("andersonDarling: matches an independent scipy-midrank " +
+    "reference on tied + unbalanced arms; degenerate grid nulls") {
+    // reference: Scholz-Stephens A2akN (k=2, midrank) computed
+    // directly from the definition over sorted pooled values —
+    // structurally unrelated to the engine's doubled-integer grid
+    def refA2(a: Seq[Double], b: Seq[Double]): Double = {
+      val z = a ++ b
+      val zstar = z.distinct.sorted
+      val bigN = z.size.toDouble
+      var total = 0.0
+      for ((s, n) <- Seq((a, a.size.toDouble), (b, b.size.toDouble))) {
+        var inner = 0.0
+        var prevPool = 0.0
+        var prevS = 0.0
+        for (v <- zstar) {
+          val l = z.count(_ == v).toDouble
+          val f = s.count(_ == v).toDouble
+          val bj = prevPool + l / 2.0
+          val mj = prevS + f / 2.0
+          inner += l / bigN * math.pow(bigN * mj - bj * n, 2) /
+            (bj * (bigN - bj) - bigN * l / 4.0)
+          prevPool += l; prevS += f
+        }
+        total += inner / n
+      }
+      total * (bigN - 1.0) / bigN
+    }
+    val a = Seq(1.0, 2.0, 2.0, 3.5, 7.0)   // tie inside a
+    val b = Seq(2.0, 4.0, 5.0, 6.0, 6.0, 9.0, 11.0) // unbalanced + ties
+    val rows = a.map(("k", "a", _)) ++ b.map(("k", "b", _)) ++
+      Seq(("s", "a", 5.0), ("s", "b", 5.0), // single-point grid
+        ("e", "a", 1.0), ("e", "a", 2.0))   // empty b arm
+    val out = Stats.andersonDarling(rows.toDF("key", "arm", "v"),
+      Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_a") == 5L && k.getAs[Long]("n_b") == 7L)
+    assert(math.abs(k.getAs[Double]("a2") - refA2(a, b)) < 1e-10,
+      s"${k.getAs[Double]("a2")} vs ${refA2(a, b)}")
+    // identical arms on a real grid: a2 small and defined
+    val same = Stats.andersonDarling(
+      (Seq.tabulate(6)(i => ("q", "a", i.toDouble)) ++
+        Seq.tabulate(6)(i => ("q", "b", i.toDouble)))
+        .toDF("key", "arm", "v"), Seq("key"), "arm", "a", "b", "v")
+      .collect().head
+    assert(math.abs(same.getAs[Double]("a2") -
+      refA2(Seq.tabulate(6)(_.toDouble), Seq.tabulate(6)(_.toDouble)))
+      < 1e-10)
+    assert(out("s").isNullAt(out("s").fieldIndex("a2"))) // 0/0 grid
+    assert(out("e").isNullAt(out("e").fieldIndex("a2"))) // empty arm
+  }
+
   test("poissonRateTest: hand rate z and snapped log-ratio CI; " +
     "zero count nulls the log CI but keeps z") {
     val df = Seq(("k", "a", 10L, 5.0), ("k", "b", 2L, 4.0),
