@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
  *  Scratch main; results land in PLANS.md. */
 object ProbeR18 {
   def main(args: Array[String]): Unit = {
+    // "ad-only": just the andersonDarling rows (added wave 6 — the
+    // rest of the table was already measured and recorded)
+    val adOnly = args.contains("ad-only")
     val spark = graft.core.Engine.local(8, "probe-r18", 8)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,15 +60,19 @@ object ProbeR18 {
       val regime = if (bounded) "bounded-grid" else "distinct-vals"
       val df = fixture(mult, bounded)
       println(s"[probe] ---- ${10000L * mult} rows (x$mult, $regime) ----")
-      time(s"wasserstein1 x$mult $regime") {
+      time(s"andersonDarling x$mult $regime") {
+        graft.agg.Stats.andersonDarling(df, Seq("k"), "arm", "a", "b",
+          "value").write.format("noop").mode("overwrite").save()
+      }
+      if (!adOnly) time(s"wasserstein1 x$mult $regime") {
         graft.agg.Stats.wasserstein1(df, Seq("k"), "arm", "a", "b",
           "value").write.format("noop").mode("overwrite").save()
       }
-      time(s"energyDistance x$mult $regime") {
+      if (!adOnly) time(s"energyDistance x$mult $regime") {
         graft.agg.Stats.energyDistance(df, Seq("k"), "arm", "a", "b",
           "value").write.format("noop").mode("overwrite").save()
       }
-      if (bounded) time(s"hodgesLehmann x$mult $regime") {
+      if (bounded && !adOnly) time(s"hodgesLehmann x$mult $regime") {
         graft.agg.Stats.hodgesLehmann(df, Seq("k"), "arm", "a", "b",
           "value").write.format("noop").mode("overwrite").save()
       }
@@ -73,7 +80,7 @@ object ProbeR18 {
     // hodgesLehmann distinct-vals: pair products per key are
     // (1250·m)² — 1.56e6 at 1x, 1e8 at 8x (the documented envelope),
     // 4e8 at 16x (past it; expect the superlinear wall)
-    for (mult <- Seq(1, 8, 16)) {
+    for (mult <- Seq(1, 8, 16) if !adOnly) {
       val df = fixture(mult, bounded = false)
       println(s"[probe] ---- ${10000L * mult} rows (x$mult, " +
         s"distinct-vals, hl pair grid = ${1250L * mult} x " +
