@@ -4248,6 +4248,11 @@ object SparkEntry {
     "q409_anderson_darling" -> ((s, dir) =>
       graft.agg.Stats.andersonDarling(
         t(s, dir, "events")
+          // null user_id drops BEFORE arm derivation — the oracle
+          // filters user_id IS NOT NULL, and otherwise("b") would
+          // silently bucket nulls into arm b if the fixture ever
+          // gained them (r18 advice)
+          .filter(col("user_id").isNotNull)
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4257,6 +4262,8 @@ object SparkEntry {
     "q378_wasserstein1" -> ((s, dir) =>
       graft.agg.Stats.wasserstein1(
         t(s, dir, "events")
+          // same null contract as the oracle's user_id IS NOT NULL
+          .filter(col("user_id").isNotNull)
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4287,6 +4294,7 @@ object SparkEntry {
     "q381_cohens_h" -> ((s, dir) =>
       graft.agg.Stats.cohensH(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b")))
           .withColumn("hit", col("value") >= 150.0),
@@ -4312,6 +4320,7 @@ object SparkEntry {
     "q384_cramer_von_mises" -> ((s, dir) =>
       graft.agg.Stats.cramerVonMises(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4321,6 +4330,7 @@ object SparkEntry {
     "q385_kuiper" -> ((s, dir) =>
       graft.agg.Stats.kuiper(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4330,6 +4340,7 @@ object SparkEntry {
     "q386_energy_distance" -> ((s, dir) =>
       graft.agg.Stats.energyDistance(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4372,6 +4383,7 @@ object SparkEntry {
     "q391_distribution_distance" -> ((s, dir) =>
       graft.agg.Stats.distributionDistance(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4384,6 +4396,7 @@ object SparkEntry {
     "q392_hodges_lehmann" -> ((s, dir) =>
       graft.agg.Stats.hodgesLehmann(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b")))
           .withColumn("vb", floor(col("value"))),
@@ -4423,6 +4436,7 @@ object SparkEntry {
     "q396_conover_squared_ranks" -> ((s, dir) =>
       graft.agg.Stats.conoverSquaredRanks(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -4432,6 +4446,7 @@ object SparkEntry {
     "q397_poisson_rate_test" -> ((s, dir) =>
       graft.agg.Stats.poissonRateTest(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b")))
           .withColumn("ev", pmod(col("event_id"), lit(7L))),
@@ -4442,6 +4457,7 @@ object SparkEntry {
     "q398_capture_recapture" -> ((s, dir) =>
       graft.agg.Stats.captureRecapture(
         t(s, dir, "events")
+          .filter(col("event_id").isNotNull) // oracle null contract
           .withColumn("cap", when(pmod(col("event_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "cap", "a", "b", "user_id")),
@@ -4457,6 +4473,7 @@ object SparkEntry {
     "q400_brunner_munzel" -> ((s, dir) =>
       graft.agg.Stats.brunnerMunzel(
         t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),

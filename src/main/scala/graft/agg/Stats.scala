@@ -5733,12 +5733,18 @@ object Stats {
         unscaled(col(valueCol), valueScale).as("__vb"): _*)
       .agg(count(lit(1)).as("__cb"))
       .withColumn("__gnb", count(lit(1)).over(wk))
+    // the guard product is taken in DECIMAL(38,0): per-arm grids above
+    // ~3e9 would wrap a long product negative and silently disarm the
+    // cap in exactly the pathological-scale regime it protects against
+    val dec38 = "decimal(38,0)"
+    val pairProduct =
+      col("__gna").cast(dec38) * col("__gnb").cast(dec38)
     val diffs = ga.join(gb, keys)
       .withColumn("__d",
-        when(col("__gna") * col("__gnb") > lit(maxPairProduct),
+        when(pairProduct > lit(maxPairProduct).cast(dec38),
           raise_error(concat(
             lit("hodgesLehmann: per-key pair grid |grid_a|*|grid_b| = "),
-            (col("__gna") * col("__gnb")).cast("string"),
+            pairProduct.cast("string"),
             lit(s" exceeds maxPairProduct = $maxPairProduct — the " +
               "grid*grid join would enumerate that many rows for one " +
               "key (measured: 1e8 products = ~105 s on 8 cores, " +

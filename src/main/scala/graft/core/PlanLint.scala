@@ -128,27 +128,34 @@ object PlanLint {
     // count bracket-aware: only commas at nesting depth 0 separate
     // filters — every element is a `Name(args…)` rendering, so its
     // internal commas sit at depth >= 1.
-    def pushedCount(s: FileSourceScanExec): Int =
+    // filter VALUES are rendered unquoted, so a literal containing an
+    // unbalanced bracket (In(s, [a)b]), StringStartsWith(s, ()) makes
+    // the element list unparseable — depth dips below 0 or ends
+    // nonzero. Rather than warn/ok off a shifted count, an imbalanced
+    // rendering returns None ("unknown") and the scan is excluded
+    // from the filter-not-pushed rule entirely: parse ambiguity must
+    // not flip the rule either way.
+    def pushedCount(s: FileSourceScanExec): Option[Int] =
       s.metadata.get("PushedFilters").map(_.trim)
         .filter(v => v.startsWith("[") && v.endsWith("]"))
-        .map(_.stripPrefix("[").stripSuffix("]").trim)
-        .map { v =>
-          if (v.isEmpty) 0
-          else {
-            var depth = 0; var n = 1
-            v.foreach {
-              case '(' | '[' => depth += 1
-              case ')' | ']' => depth = math.max(0, depth - 1)
-              case ',' if depth == 0 => n += 1
-              case _ => ()
-            }
-            n
+        .map(_.stripPrefix("[").stripSuffix("]").trim) match {
+        case None => Some(0)
+        case Some(v) if v.isEmpty => Some(0)
+        case Some(v) =>
+          var depth = 0; var n = 1; var balanced = true
+          v.foreach {
+            case '(' | '[' => depth += 1
+            case ')' | ']' =>
+              depth -= 1; if (depth < 0) balanced = false
+            case ',' if depth == 0 => n += 1
+            case _ => ()
           }
-        }
-        .getOrElse(0)
+          if (balanced && depth == 0) Some(n) else None
+      }
     val unpushedFilters = plan.count {
       case s: FileSourceScanExec =>
-        s.dataFilters.nonEmpty && s.dataFilters.size > pushedCount(s)
+        s.dataFilters.nonEmpty &&
+          pushedCount(s).exists(s.dataFilters.size > _)
       case _ => false
     }
     // a scan whose read schema covers EVERY data column of a wide

@@ -1014,10 +1014,14 @@ object Quality {
       else e.kind match {
         case "not_null" => Seq(countIf(c(e).isNull).as(n("v")))
         case "between" =>
-          val d = c(e).cast("double")
+          // try_cast, not cast: under ANSI a garbage value would
+          // ABORT the whole suite; non-ANSI cast would return NULL
+          // and silently skip it. A non-null value that fails the
+          // numeric cast (e.g. "abc") counts as a violation.
+          val d = c(e).try_cast("double")
           val bad = (e.lo.map(d < _) ++ e.hi.map(d > _))
             .reduce(_ || _)
-          Seq(countIf(c(e).isNotNull && bad).as(n("v")))
+          Seq(countIf(c(e).isNotNull && (d.isNull || bad)).as(n("v")))
         case "in_set" =>
           Seq(countIf(c(e).isNotNull &&
             !c(e).cast("string").isin(e.values: _*)).as(n("v")))
@@ -1190,9 +1194,10 @@ object Quality {
       else e.kind match {
         case "not_null" => Seq(countIf(c(e).isNull).as(n("v")))
         case "between" =>
-          val d = c(e).cast("double")
+          // try_cast + cast-failures-as-violations (see expectations)
+          val d = c(e).try_cast("double")
           val bad = (e.lo.map(d < _) ++ e.hi.map(d > _)).reduce(_ || _)
-          Seq(countIf(c(e).isNotNull && bad).as(n("v")))
+          Seq(countIf(c(e).isNotNull && (d.isNull || bad)).as(n("v")))
         case "in_set" =>
           Seq(countIf(c(e).isNotNull &&
             !c(e).cast("string").isin(e.values: _*)).as(n("v")))

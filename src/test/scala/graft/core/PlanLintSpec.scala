@@ -130,6 +130,25 @@ class PlanLintSpec extends AnyFunSuite {
       "filter-not-pushed")._1 == "ok")
   }
 
+  test("filter-not-pushed treats an UNBALANCED PushedFilters " +
+    "rendering as unknown instead of warning off a shifted count") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint_brkt").toString
+    Seq(("(", 1), (")", 2)).toDF("s", "v")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // EqualTo(s,() renders an unbalanced '(' with NO quoting, so the
+    // comma before GreaterThan sits at depth 1 and the old count came
+    // up one short — flipping filter-not-pushed to warn although all
+    // four predicates pushed. Parse ambiguity now excludes the scan.
+    assert(report(scan.filter($"s" === "(" && $"v" > 0))(
+      "filter-not-pushed")._1 == "ok")
+    // and an unpushable predicate under a BALANCED rendering still
+    // warns — the unknown carve-out is per-scan, not rule-wide
+    assert(report(scan.filter(length($"s") > 1 && $"v" > 0))(
+      "filter-not-pushed") == (("warn", 1L)))
+  }
+
   test("full-width-scan fires when a wide source is read at full " +
     "width and clears once a projection prunes it") {
     val dir = java.nio.file.Files

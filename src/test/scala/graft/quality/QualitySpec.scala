@@ -451,4 +451,23 @@ class QualitySpec extends AnyFunSuite {
         r.getAs[Boolean]("passed")).toMap
     assert(rep("tag never null") && !rep("rows"))
   }
+
+  test("between counts a non-null value that fails the numeric cast " +
+    "as a violation — garbage never silently passes a range check") {
+    import Quality.Expectation
+    val df = Seq(("a", "10"), ("a", "abc"), ("b", "5"), ("b", null))
+      .toDF("seg", "amt")
+    val suite = Seq(Expectation("amt range", "between", "amt",
+      lo = Some(0.0), hi = Some(100.0)))
+    // global: "abc" is non-null, uncastable → 1 violation (the null
+    // row stays excluded: not_null's territory, not between's)
+    val g = Quality.expectations(df, suite).collect()(0)
+    assert(g.getAs[Long]("violations") == 1L)
+    assert(!g.getAs[Boolean]("passed"))
+    // per-key: the violation lands in seg a only
+    val k = Quality.expectationsByKey(df, Seq("seg"), suite).collect()
+      .map(r => r.getAs[String]("seg") -> r.getAs[Long]("violations"))
+      .toMap
+    assert(k == Map("a" -> 1L, "b" -> 0L))
+  }
 }
