@@ -3709,6 +3709,41 @@ object SparkEntry {
             lo = Some(0.0), hi = Some(1000.0))))
     }),
 
+    // ---- plan lint as a SESSION LISTENER — install once, every
+    //      action's EXECUTED (AQE-final) plan linted with no call
+    //      sites; report = one row per action x rule ----
+    "q411_lint_listener" -> ((s, dir) => {
+      val lint = graft.core.PlanLint.install(s)
+      try {
+        // action 0: clean keyed aggregation — all rules ok
+        t(s, dir, "events").groupBy(col("event_type")).count()
+          .count(): Unit
+        // action 1: global row_number — the single-partition sort
+        // the lint exists to catch
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("event_id"))))
+          .filter(col("rn") <= 5L).count(): Unit
+      } finally {
+        // the listener bus is async — drain before reading
+        org.apache.spark.graft.BenchInternals
+          .drainListenerBus(s.sparkContext)
+        lint.close()
+      }
+      lint.report().select("action", "func", "rule", "status", "n")
+    }),
+
+    // ---- quality: SUGGEST an expectation suite from the data —
+    //      the profile → suite → evaluate onboarding loop; suite
+    //      rows are data (expectationsFrom's input schema) ----
+    "q410_suggest_expectations" -> ((s, dir) =>
+      graft.quality.Quality.suggestExpectations(t(s, dir, "orders"))
+        .select(col("name"), col("kind"), col("column"),
+          col("lo"), col("hi"),
+          array_join(col("values"), ",").as("values_csv"),
+          col("max_violation_rate"))),
+
     "q272_cramers_v" -> ((s, dir) =>
       graft.agg.Stats.cramersV(
         t(s, dir, "orders")
@@ -4253,6 +4288,17 @@ object SparkEntry {
           // silently bucket nulls into arm b if the fixture ever
           // gained them (r18 advice)
           .filter(col("user_id").isNotNull)
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
+    // ---- drift: the WHOLE five-member panel (KS, CvM, AD, Kuiper,
+    //      W1) in ONE scan — shared grid, one key exchange; each
+    //      closing is the single operator's exact expression ----
+    "q412_drift_panel" -> ((s, dir) =>
+      graft.agg.Stats.driftPanel(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
           .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
@@ -13286,6 +13332,204 @@ object SparkEntry {
     // Anderson-Darling replay: the q400-style doubled-midrank grid
     // windows, per-(row,arm) exact HUGEINT ratios (VARCHAR-routed to
     // double), ascending-v list_reduce left folds, pinned closing
+    // Drift-panel replay: the five proven sub-oracles composed as
+    // subqueries (each keeps its own WITH scope) joined on the key —
+    // the panel must match ALL FIVE at once
+    "q412_drift_panel" ->
+      """WITH ks AS (SELECT * FROM (WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM g),
+        |m AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |    max(abs(cuma * nb - cumb * na)) AS d_num
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_a, n_b, d_num, n_a * n_b AS d_den,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS d
+        |FROM m)),
+        |cvm AS (SELECT * FROM (WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k, v, ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pn,
+        |    coalesce(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pa,
+        |    coalesce(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pb
+        |  FROM grid),
+        |c3 AS (SELECT k, ca, cb,
+        |    3 * ca * (2 * pn + t + 1 - 2 * pa)
+        |      * (2 * pn + t + 1 - 2 * pa)
+        |      - 6 * (2 * pn + t + 1 - 2 * pa) * ca * (ca + 1)
+        |      + 2 * ca * (ca + 1) * (2 * ca + 1) AS sa,
+        |    3 * cb * (2 * pn + t + 1 - 2 * pb)
+        |      * (2 * pn + t + 1 - 2 * pb)
+        |      - 6 * (2 * pn + t + 1 - 2 * pb) * cb * (cb + 1)
+        |      + 2 * cb * (cb + 1) * (2 * cb + 1) AS sb
+        |  FROM st),
+        |m AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(sa) AS s12a, sum(sb) AS s12b FROM c3 GROUP BY 1),
+        |z AS (SELECT k, n_a, n_b, CAST(n_a AS DOUBLE) AS nd,
+        |    CAST(n_b AS DOUBLE) AS md,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nm,
+        |    CAST(CAST(s12a AS VARCHAR) AS DOUBLE) AS da,
+        |    CAST(CAST(s12b AS VARCHAR) AS DOUBLE) AS db FROM m)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    (nd * da + md * db) / (12.0 * nd * md * nm)
+        |      - (4.0 * nd * md - 1.0) / (6.0 * nm)
+        |  END AS t
+        |FROM z)),
+        |ku AS (SELECT * FROM (WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k,
+        |    sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY k) AS na,
+        |    sum(cb) OVER (PARTITION BY k) AS nb
+        |  FROM grid),
+        |m AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(greatest(max(cuma * nb - cumb * na), 0) AS BIGINT)
+        |      AS v_plus_num,
+        |    CAST(greatest(-min(cuma * nb - cumb * na), 0) AS BIGINT)
+        |      AS v_minus_num
+        |  FROM st GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, v_plus_num, v_minus_num,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    CAST(v_plus_num + v_minus_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |  END AS v
+        |FROM m)),
+        |w1t AS (SELECT * FROM (WITH b AS (SELECT event_type AS k,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k,
+        |    sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY k) AS na,
+        |    sum(cb) OVER (PARTITION BY k) AS nb,
+        |    coalesce(lead(v) OVER (PARTITION BY k ORDER BY v) - v, 0)
+        |      AS dv
+        |  FROM grid),
+        |f AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    sum(abs(cuma * nb - cumb * na) * dv) AS s
+        |  FROM st GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 100.0
+        |  END AS w1
+        |FROM f)),
+        |ad AS (SELECT * FROM (WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k, v, ca, cb, ca + cb AS l,
+        |    coalesce(sum(ca + cb) OVER wp, 0) AS pn,
+        |    coalesce(sum(ca) OVER wp, 0) AS pa,
+        |    coalesce(sum(cb) OVER wp, 0) AS pb,
+        |    sum(ca) OVER wk AS na, sum(cb) OVER wk AS nb
+        |  FROM grid
+        |  WINDOW wp AS (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wk AS (PARTITION BY k)),
+        |r AS (SELECT k, v, na, nb, l, na + nb AS nn,
+        |    2 * pn + l AS b2,
+        |    2 * pa + ca AS m2a, 2 * pb + cb AS m2b
+        |  FROM st),
+        |t AS (SELECT k, v, na, nb,
+        |    CAST(nn AS HUGEINT) * m2a - CAST(b2 AS HUGEINT) * na
+        |      AS d1a,
+        |    CAST(nn AS HUGEINT) * m2b - CAST(b2 AS HUGEINT) * nb
+        |      AS d1b,
+        |    CAST(b2 AS HUGEINT) * (2 * nn - b2)
+        |      - CAST(nn AS HUGEINT) * l AS den,
+        |    l, nn FROM r),
+        |terms AS (SELECT k, v, na, nb,
+        |    CASE WHEN den > 0 THEN
+        |      (CAST(l AS DOUBLE) *
+        |       CAST(CAST(d1a * d1a AS VARCHAR) AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) *
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE))
+        |    ELSE 0.0 END AS ta,
+        |    CASE WHEN den > 0 THEN
+        |      (CAST(l AS DOUBLE) *
+        |       CAST(CAST(d1b * d1b AS VARCHAR) AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) *
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE))
+        |    ELSE 0.0 END AS tb
+        |  FROM t),
+        |f AS (SELECT k, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    count(*) AS grd,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ta ORDER BY v)), (x, y) -> x + y) AS sa,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(tb ORDER BY v)), (x, y) -> x + y) AS sb
+        |  FROM terms GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND grd >= 2 THEN
+        |    (sa / CAST(n_a AS DOUBLE) + sb / CAST(n_b AS DOUBLE))
+        |    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)
+        |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END AS a2
+        |FROM f))
+        |SELECT ad.event_type, ad.n_a, ad.n_b,
+        |  ks.d AS ks_d, cvm.t AS cvm_t, ad.a2 AS ad_a2,
+        |  ku.v AS kuiper_v, w1t.w1
+        |FROM ad
+        |JOIN ks USING (event_type) JOIN cvm USING (event_type)
+        |JOIN ku USING (event_type) JOIN w1t USING (event_type)""".stripMargin,
+
     "q409_anderson_darling" ->
       """WITH b AS (SELECT event_type AS k,
         |    ((user_id % 2) + 2) % 2 = 0 AS a,
@@ -13348,6 +13592,113 @@ object SparkEntry {
 
     // per-segment suite replay: one per-key aggregate CTE, one UNION
     // ALL branch per expectation; rates/means pinned single divisions
+    // Suggested-suite replay: per-column exact stats in one scan,
+    // conditional in_set/unique rows data-driven exactly like the
+    // engine (exact distinct decides; the approx screen's 4x+16 /
+    // 0.8x margins can never flip a decision), identical IEEE
+    // expression order for the widened bounds
+    "q410_suggest_expectations" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |    count(o_orderkey) AS nn_ok, count(DISTINCT o_orderkey) AS d_ok,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS mn_ok,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS mx_ok,
+        |    count(o_custkey) AS nn_ck, count(DISTINCT o_custkey) AS d_ck,
+        |    CAST(min(o_custkey) AS DOUBLE) AS mn_ck,
+        |    CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+        |    count(o_orderstatus) AS nn_os,
+        |    count(DISTINCT o_orderstatus) AS d_os,
+        |    count(o_totalprice) AS nn_tp,
+        |    count(DISTINCT o_totalprice) AS d_tp,
+        |    CAST(min(o_totalprice) AS DOUBLE) AS mn_tp,
+        |    CAST(max(o_totalprice) AS DOUBLE) AS mx_tp,
+        |    count(o_orderdate) AS nn_od,
+        |    count(DISTINCT o_orderdate) AS d_od,
+        |    count(o_orderpriority) AS nn_op,
+        |    count(DISTINCT o_orderpriority) AS d_op
+        |  FROM orders),
+        |vos AS (SELECT string_agg(v, ',' ORDER BY v) AS csv FROM
+        |  (SELECT DISTINCT CAST(o_orderstatus AS VARCHAR) AS v
+        |   FROM orders WHERE o_orderstatus IS NOT NULL)),
+        |vop AS (SELECT string_agg(v, ',' ORDER BY v) AS csv FROM
+        |  (SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS v
+        |   FROM orders WHERE o_orderpriority IS NOT NULL))
+        |SELECT name, kind, "column", lo, hi, values_csv,
+        |  max_violation_rate FROM (
+        |SELECT 'row count' AS name, 'row_count_between' AS kind,
+        |  '' AS "column", floor(n * (1.0 - 0.05)) AS lo,
+        |  ceil(n * (1.0 + 0.05)) AS hi, '' AS values_csv,
+        |  0.0 AS max_violation_rate FROM s
+        |UNION ALL SELECT 'o_orderkey exists', 'exists', 'o_orderkey',
+        |  NULL, NULL, '', 0.0 FROM s
+        |UNION ALL SELECT 'o_orderkey not_null', 'not_null',
+        |  'o_orderkey', NULL, NULL, '',
+        |  CASE WHEN n - nn_ok = 0 THEN 0.0 ELSE least(1.0,
+        |    (CAST(n - nn_ok AS DOUBLE) / n) * (1.0 + 0.05)) END FROM s
+        |UNION ALL SELECT 'o_orderkey between', 'between', 'o_orderkey',
+        |  mn_ok - 0.05 * (mx_ok - mn_ok),
+        |  mx_ok + 0.05 * (mx_ok - mn_ok), '', 0.0 FROM s
+        |  WHERE nn_ok > 0
+        |UNION ALL SELECT 'o_orderkey unique', 'unique', 'o_orderkey',
+        |  NULL, NULL, '', 0.0 FROM s WHERE nn_ok > 0 AND d_ok = nn_ok
+        |UNION ALL SELECT 'o_custkey exists', 'exists', 'o_custkey',
+        |  NULL, NULL, '', 0.0 FROM s
+        |UNION ALL SELECT 'o_custkey not_null', 'not_null', 'o_custkey',
+        |  NULL, NULL, '',
+        |  CASE WHEN n - nn_ck = 0 THEN 0.0 ELSE least(1.0,
+        |    (CAST(n - nn_ck AS DOUBLE) / n) * (1.0 + 0.05)) END FROM s
+        |UNION ALL SELECT 'o_custkey between', 'between', 'o_custkey',
+        |  mn_ck - 0.05 * (mx_ck - mn_ck),
+        |  mx_ck + 0.05 * (mx_ck - mn_ck), '', 0.0 FROM s
+        |  WHERE nn_ck > 0
+        |UNION ALL SELECT 'o_custkey unique', 'unique', 'o_custkey',
+        |  NULL, NULL, '', 0.0 FROM s WHERE nn_ck > 0 AND d_ck = nn_ck
+        |UNION ALL SELECT 'o_orderstatus exists', 'exists',
+        |  'o_orderstatus', NULL, NULL, '', 0.0 FROM s
+        |UNION ALL SELECT 'o_orderstatus not_null', 'not_null',
+        |  'o_orderstatus', NULL, NULL, '',
+        |  CASE WHEN n - nn_os = 0 THEN 0.0 ELSE least(1.0,
+        |    (CAST(n - nn_os AS DOUBLE) / n) * (1.0 + 0.05)) END FROM s
+        |UNION ALL SELECT 'o_orderstatus in_set', 'in_set',
+        |  'o_orderstatus', NULL, NULL, (SELECT csv FROM vos), 0.0
+        |  FROM s WHERE d_os BETWEEN 1 AND 20
+        |UNION ALL SELECT 'o_orderstatus unique', 'unique',
+        |  'o_orderstatus', NULL, NULL, '', 0.0 FROM s
+        |  WHERE nn_os > 0 AND d_os = nn_os
+        |UNION ALL SELECT 'o_totalprice exists', 'exists',
+        |  'o_totalprice', NULL, NULL, '', 0.0 FROM s
+        |UNION ALL SELECT 'o_totalprice not_null', 'not_null',
+        |  'o_totalprice', NULL, NULL, '',
+        |  CASE WHEN n - nn_tp = 0 THEN 0.0 ELSE least(1.0,
+        |    (CAST(n - nn_tp AS DOUBLE) / n) * (1.0 + 0.05)) END FROM s
+        |UNION ALL SELECT 'o_totalprice between', 'between',
+        |  'o_totalprice', mn_tp - 0.05 * (mx_tp - mn_tp),
+        |  mx_tp + 0.05 * (mx_tp - mn_tp), '', 0.0 FROM s
+        |  WHERE nn_tp > 0
+        |UNION ALL SELECT 'o_totalprice unique', 'unique',
+        |  'o_totalprice', NULL, NULL, '', 0.0 FROM s
+        |  WHERE nn_tp > 0 AND d_tp = nn_tp
+        |UNION ALL SELECT 'o_orderdate exists', 'exists', 'o_orderdate',
+        |  NULL, NULL, '', 0.0 FROM s
+        |UNION ALL SELECT 'o_orderdate not_null', 'not_null',
+        |  'o_orderdate', NULL, NULL, '',
+        |  CASE WHEN n - nn_od = 0 THEN 0.0 ELSE least(1.0,
+        |    (CAST(n - nn_od AS DOUBLE) / n) * (1.0 + 0.05)) END FROM s
+        |UNION ALL SELECT 'o_orderdate unique', 'unique', 'o_orderdate',
+        |  NULL, NULL, '', 0.0 FROM s WHERE nn_od > 0 AND d_od = nn_od
+        |UNION ALL SELECT 'o_orderpriority exists', 'exists',
+        |  'o_orderpriority', NULL, NULL, '', 0.0 FROM s
+        |UNION ALL SELECT 'o_orderpriority not_null', 'not_null',
+        |  'o_orderpriority', NULL, NULL, '',
+        |  CASE WHEN n - nn_op = 0 THEN 0.0 ELSE least(1.0,
+        |    (CAST(n - nn_op AS DOUBLE) / n) * (1.0 + 0.05)) END FROM s
+        |UNION ALL SELECT 'o_orderpriority in_set', 'in_set',
+        |  'o_orderpriority', NULL, NULL, (SELECT csv FROM vop), 0.0
+        |  FROM s WHERE d_op BETWEEN 1 AND 20
+        |UNION ALL SELECT 'o_orderpriority unique', 'unique',
+        |  'o_orderpriority', NULL, NULL, '', 0.0 FROM s
+        |  WHERE nn_op > 0 AND d_op = nn_op
+        |)""".stripMargin,
+
     "q408_expectations_by_key" ->
       """WITH a AS (SELECT event_type AS k,
         |    CAST(count(*) AS BIGINT) AS n,

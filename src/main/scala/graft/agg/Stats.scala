@@ -5397,6 +5397,138 @@ object Stats {
   }
 
   /**
+   * The whole two-sample drift panel in ONE pass: [[ksTest]] (max
+   * CDF gap), [[cramerVonMises]] (mean squared gap),
+   * [[andersonDarling]] (tail-weighted gap), [[kuiper]] (D⁺ + D⁻,
+   * rotation-robust) and [[wasserstein1]] (area between CDFs — how
+   * FAR mass moved) — five alarms, one scan.
+   *
+   * All five statistics are functions of the SAME pooled per-value
+   * grid and the SAME per-key cumulative windows; run separately
+   * they cost five corpus scans and five grid exchanges of
+   * identical bytes. This panel builds the grid ONCE (one map-side
+   * collapse), exchanges it ONCE (one key partitioning carries
+   * every cumulative window), and closes each statistic with its
+   * own EXACT formulation — the per-statistic columns here are
+   * expression-for-expression the single operators' closings, so
+   * `driftPanel` is bit-identical to running the five operators
+   * individually (pinned in StatsSpec) at one fifth the I/O.
+   *
+   * Output: (keys…, n_a, n_b, ks_d, cvm_t, ad_a2, kuiper_v, w1) —
+   * null statistic columns under each member's own degenerate-input
+   * contract (empty arm; single-point grid for ad_a2).
+   *
+   * Scale posture: one map-side grid collapse, ONE key exchange
+   * carrying all cumulative windows, per-key closing aggregates;
+   * the one in-group ordered fold (AD's ascending-grid sum) is
+   * grid-sized — the [[macd]] per-key array contract; coarsen
+   * `valueScale` for continuous heavy keys.
+   */
+  def driftPanel(df: DataFrame, keys: Seq[String], groupCol: String,
+                 aLabel: String, bLabel: String, valueCol: String,
+                 valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "driftPanel needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val wo = wk.orderBy(col("__v"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    // [[cramerVonMises]]'s tripled pure-integer contribution
+    def contrib3(c: Column, prevC: Column, r2: Column): Column = {
+      val k = r2 - lit(2L) * prevC
+      lit(3L) * c * k * k - lit(6L) * k * c * (c + lit(1L)) +
+        lit(2L) * c * (c + lit(1L)) * (lit(2L) * c + lit(1L))
+    }
+    // [[andersonDarling]]'s one-division inner term
+    def inner(m2: Column, n: Column): Column = {
+      val d1 = dec38(dec(col("__N")) * dec(m2)) -
+        dec38(dec(col("__b2")) * dec(n))
+      val q = dec38(d1 * d1)
+      val den = dec38(dec(col("__b2")) *
+        dec(lit(2L) * col("__N") - col("__b2"))) -
+        dec38(dec(col("__N")) * dec(col("__l")))
+      when(den > lit(0L).cast("decimal(38,0)"),
+        (d(col("__l")) * q.cast("double")) /
+          (d(col("__N")) * den.cast("double"))).otherwise(lit(0.0))
+    }
+    val stepped = grid
+      .withColumn("__l", col("__ca") + col("__cb"))
+      .withColumn("__pn", coalesce(sum(col("__l")).over(wo.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pa", coalesce(sum(col("__ca")).over(wo.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__cb")).over(wo.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cuma", col("__pa") + col("__ca"))
+      .withColumn("__cumb", col("__pb") + col("__cb"))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__N", col("__na") + col("__nb"))
+      .withColumn("__b2", lit(2L) * col("__pn") + col("__l"))
+      .withColumn("__dv",
+        coalesce(lead(col("__v"), 1).over(wo) - col("__v"), lit(0L)))
+      .withColumn("__gp",
+        col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+      .withColumn("__gap", abs(col("__gp")))
+      .withColumn("__r2", lit(2L) * col("__pn") + col("__l") + lit(1L))
+      .withColumn("__ta",
+        inner(lit(2L) * col("__pa") + col("__ca"), col("__na")))
+      .withColumn("__tb",
+        inner(lit(2L) * col("__pb") + col("__cb"), col("__nb")))
+    val adFold = aggregate(
+      sort_array(collect_list(struct(col("__v").as("v"),
+        col("__ta").as("ta"), col("__tb").as("tb")))),
+      struct(lit(0.0).as("sa"), lit(0.0).as("sb")),
+      (acc, x) => struct(
+        (acc.getField("sa") + x.getField("ta")).as("sa"),
+        (acc.getField("sb") + x.getField("tb")).as("sb")))
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("__grid"),
+        max(col("__gap")).as("__dnum"),
+        greatest(max(col("__gp")), lit(0L)).as("__vp"),
+        greatest(-min(col("__gp")), lit(0L)).as("__vm"),
+        sum(contrib3(col("__ca"), col("__pa"), col("__r2"))
+          .cast("decimal(38,0)")).as("__s12a"),
+        sum(contrib3(col("__cb"), col("__pb"), col("__r2"))
+          .cast("decimal(38,0)")).as("__s12b"),
+        adFold.as("__s"),
+        sum((col("__gap").cast("decimal(20,0)") *
+          col("__dv").cast("decimal(18,0)")).cast("decimal(38,0)"))
+          .as("__w1s"))
+    val nD = d(col("n_a")); val mD = d(col("n_b"))
+    val nm = nD + mD
+    val bothArms = col("n_a") >= 1L && col("n_b") >= 1L
+    val u12 = nD * col("__s12a").cast("double") +
+      mD * col("__s12b").cast("double")
+    val tStat = u12 / (lit(12.0) * nD * mD * nm) -
+      (lit(4.0) * nD * mD - lit(1.0)) / (lit(6.0) * nm)
+    val a2 = (col("__s").getField("sa") / nD +
+      col("__s").getField("sb") / mD) * (nm - lit(1.0)) / nm
+    val scaleF = math.pow(10, valueScale)
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      // ksTest's exact closing shape: long product THEN one cast
+      when(bothArms, d(col("__dnum")) / d(col("n_a") * col("n_b")))
+        .as("ks_d"),
+      when(bothArms, tStat).as("cvm_t"),
+      when(bothArms && col("__grid") >= 2L, a2).as("ad_a2"),
+      when(bothArms,
+        d(col("__vp") + col("__vm")) / (nD * mD)).as("kuiper_v"),
+      when(bothArms,
+        col("__w1s").cast("double") / (nD * mD) / lit(scaleF))
+        .as("w1")): _*)
+  }
+
+  /**
    * One-dimensional energy distance per key between two arms —
    * the moment-free distribution distance behind energy tests:
    * `E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|` (zero iff the

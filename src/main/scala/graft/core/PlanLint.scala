@@ -65,7 +65,14 @@ object PlanLint {
    */
   def findings(df: DataFrame, maxExchanges: Int = 4,
                broadcastableBytes: Long = 32L << 20,
-               wideScanCols: Int = 8): Seq[Finding] = {
+               wideScanCols: Int = 8): Seq[Finding] =
+    findingsOfPlan(df.queryExecution.executedPlan, maxExchanges,
+      broadcastableBytes, wideScanCols)
+
+  private[core] def findingsOfPlan(root: SparkPlan,
+               maxExchanges: Int,
+               broadcastableBytes: Long,
+               wideScanCols: Int): Seq[Finding] = {
     require(maxExchanges >= 0, s"maxExchanges must be >= 0")
     require(broadcastableBytes >= 0, s"broadcastableBytes must be >= 0")
     require(wideScanCols >= 1, s"wideScanCols must be >= 1")
@@ -85,7 +92,7 @@ object PlanLint {
         nodes += ((other, inCodegen))
         other.children.foreach(walk(_, inCodegen))
     }
-    walk(df.queryExecution.executedPlan, inCodegen = false)
+    walk(root, inCodegen = false)
     val plan = nodes.map(_._1)
 
     val cartesians = plan.count(_.isInstanceOf[CartesianProductExec])
@@ -286,5 +293,104 @@ object PlanLint {
     import spark.implicits._
     findingsFinal(df, maxExchanges, broadcastableBytes, wideScanCols)
       .sortBy(_.rule).toDF("rule", "status", "n", "detail")
+  }
+
+  /**
+   * Session-wide continuous lint — the CI-continuous completion of
+   * [[lint]]/[[lintFinal]]: register ONE listener and every action
+   * in the session gets its EXECUTED plan linted with no call sites
+   * to remember. Because a [[org.apache.spark.sql.util
+   * .QueryExecutionListener]] fires AFTER the action completes, the
+   * plan it sees carries AQE's final choices — these are
+   * [[lintFinal]] semantics for free, with zero extra executions.
+   *
+   * Returns the [[InstalledLint]] handle: `report()` is the
+   * accumulated findings as a DataFrame (one row per action × rule),
+   * `warnings` the warn-only subset as data, `clear()` resets,
+   * `close()` unregisters (try-with-resources friendly). Typical CI
+   * shape:
+   * {{{
+   *   val lint = PlanLint.install(spark)
+   *   try { runJob(spark) } finally {
+   *     assert(lint.warnings.isEmpty, lint.warnings.mkString("\n"))
+   *     lint.close()
+   *   }
+   * }}}
+   *
+   * The listener bus is ASYNCHRONOUS: after the last action, call
+   * `spark.sparkContext.listenerBus`-draining utilities or simply
+   * assert after `close()` on a quiesced session; `report()` reads a
+   * point-in-time snapshot. Recording is driver-side and
+   * plan-tree-sized per action (never touches data); failed actions
+   * are skipped (no finalized plan to trust).
+   */
+  def install(spark: org.apache.spark.sql.SparkSession,
+              maxExchanges: Int = 4,
+              broadcastableBytes: Long = 32L << 20,
+              wideScanCols: Int = 8): InstalledLint = {
+    val h = new InstalledLint(spark, maxExchanges, broadcastableBytes,
+      wideScanCols)
+    spark.listenerManager.register(h)
+    h
+  }
+
+  /** Handle returned by [[install]]: accumulates one lint report per
+   *  completed action until [[InstalledLint.close]]. */
+  final class InstalledLint private[core] (
+      spark: org.apache.spark.sql.SparkSession,
+      maxExchanges: Int, broadcastableBytes: Long, wideScanCols: Int)
+    extends org.apache.spark.sql.util.QueryExecutionListener
+    with AutoCloseable {
+
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Seq[Finding])]()
+
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = {
+      // lint the executed plan (AQE-final at this point); a listener
+      // must never throw back into the bus
+      try buf.add((seq.getAndIncrement(), funcName,
+        findingsOfPlan(qe.executedPlan, maxExchanges,
+          broadcastableBytes, wideScanCols))): Unit
+      catch { case _: Exception => () }
+    }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+
+    /** Point-in-time snapshot of every recorded (action, rule) row:
+     *  `(action, func, rule, status, n, detail)`, action-then-rule
+     *  ordered. Building the report is itself an action and will be
+     *  recorded too once it executes — `clear()` between assertion
+     *  rounds keeps reports disjoint. */
+    def report(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      buf.iterator().asScala.toSeq.flatMap { case (i, func, fs) =>
+        fs.map(f => (i, func, f.rule, f.status, f.n, f.detail))
+      }.sortBy(r => (r._1, r._3))
+        .toDF("action", "func", "rule", "status", "n", "detail")
+        .coalesce(1)
+    }
+
+    /** The warn rows recorded so far, as data (driver-side, no job):
+     *  `(action, func, Finding)` — the CI-assert surface. */
+    def warnings: Seq[(Long, String, Finding)] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq.flatMap { case (i, func, fs) =>
+        fs.filter(_.status == "warn").map(f => (i, func, f))
+      }.sortBy(w => (w._1, w._3.rule))
+    }
+
+    /** Drop everything recorded so far (the action counter keeps
+     *  climbing — report rows stay globally ordered). */
+    def clear(): Unit = buf.clear()
+
+    /** Unregister from the session; the handle stops recording and
+     *  keeps whatever it already recorded readable. */
+    override def close(): Unit =
+      spark.listenerManager.unregister(this)
   }
 }

@@ -1292,4 +1292,150 @@ object Quality {
       .map(r => s"${r.getAs[String]("name")}: ${r.getAs[String]("detail")}")
     if (failed.nonEmpty) throw new QualityException(failed.toSeq)
   }
+
+  /**
+   * Generate an expectation suite FROM the data — the onboarding
+   * shape (great_expectations' profiler): run it once over a frame
+   * you trust, review the suggested suite like a schema migration,
+   * then replay it against every future batch via
+   * [[expectationsFrom]]. Closes the profile → suite → evaluate loop.
+   *
+   * Suggested per column, from observed statistics only:
+   *  - `exists` — always (schema drift is the first thing to catch);
+   *  - `not_null` — `max_violation_rate` 0 when the column is
+   *    null-free today, else the observed null rate widened by
+   *    `slack` (a column that is 2% null today shouldn't fail CI at
+   *    2.01% tomorrow);
+   *  - `between` — numeric columns: observed [min, max] widened by
+   *    `slack` × range on each side (dates/timestamps/strings don't
+   *    get numeric bounds — they ride exists/not_null/in_set);
+   *  - `in_set` — string columns whose EXACT distinct count is in
+   *    [1, maxSetSize]: the sorted observed vocabulary;
+   *  - `unique` — columns whose exact distinct count equals the
+   *    non-null count (and at least one value);
+   * plus one table-level `row_count_between` at ±`slack` around the
+   * observed count. An EMPTY frame suggests only the exists rows and
+   * `row_count_between [0, 0]` — there is nothing to learn from it.
+   *
+   * Returns the suite as a DATAFRAME in [[expectationsFrom]]'s input
+   * schema `(name, kind, column, lo, hi, values, max_violation_rate)`
+   * — checks are data: write it to parquet, diff it in review, feed
+   * it straight back. Rows are (column, kind)-sorted; `values` is a
+   * sorted array<string>.
+   *
+   * Scale posture: ONE full-corpus aggregation (count / nulls /
+   * min / max per column, all map-side combined) plus one
+   * approx_count_distinct per column riding the same pass as the
+   * cardinality SCREEN; a second, candidate-only pass confirms exact
+   * distinct counts (multi-distinct via Expand over screened columns
+   * only) and collects vocabularies through a (column, value)
+   * distinct whose output is bounded by candidates × maxSetSize —
+   * the approx screen's generous margin (4× maxSetSize + 16; 0.8 ×
+   * non-null for unique) means the SUGGESTIONS themselves depend
+   * only on exact counts, never on sketch estimates. The suite
+   * DataFrame is suite-sized (driver-built, one partition), like the
+   * report it feeds.
+   */
+  def suggestExpectations(df: DataFrame, slack: Double = 0.05,
+                          maxSetSize: Int = 20): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    require(maxSetSize >= 1, s"maxSetSize must be >= 1, got $maxSetSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def isNum(t: DataType): Boolean = t match {
+      case _: NumericType => true
+      case _ => false
+    }
+    // pass 1: one corpus aggregation — exact count/nulls/min/max,
+    // approx distinct as the candidate screen
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      def n(s: String) = s"__c${i}_$s"
+      val c = col(df.columns(i))
+      Seq(count(c).as(n("nn")),
+        approx_count_distinct(c, 0.02).as(n("ad"))) ++
+        (if (isNum(f.dataType))
+          Seq(min(c.cast("double")).as(n("mn")),
+            max(c.cast("double")).as(n("mx")))
+        else Seq.empty)
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val nRows = row.getAs[Long]("__n")
+    def nn(i: Int) = row.getAs[Long](s"__c${i}_nn")
+    def ad(i: Int) = row.getAs[Long](s"__c${i}_ad")
+    // candidate screens — generous enough that the 2%-rsd sketch can
+    // never exclude a true positive; exact pass 2 decides
+    val setCand = fields.zipWithIndex.filter { case (f, i) =>
+      f.dataType == StringType && nn(i) > 0 &&
+        ad(i) <= 4L * maxSetSize + 16L
+    }.map(_._2)
+    val uniqCand = fields.zipWithIndex.filter { case (_, i) =>
+      nn(i) > 0 && ad(i) >= (0.8 * nn(i)).toLong
+    }.map(_._2)
+    // pass 2 (candidate-only): exact distinct counts in one agg
+    val exactDistinct: Map[Int, Long] =
+      if (setCand.isEmpty && uniqCand.isEmpty) Map.empty
+      else {
+        val cand = (setCand ++ uniqCand).distinct.sorted
+        val das = cand.map(i =>
+          count_distinct(col(df.columns(i))).as(s"__d$i"))
+        val r = df.agg(das.head, das.tail: _*).collect()(0)
+        cand.map(i => i -> r.getAs[Long](s"__d$i")).toMap
+      }
+    // pass 2b: vocabularies for confirmed in_set columns — a
+    // (column, value) distinct, output <= confirmed × maxSetSize
+    val setCols = setCand.filter(i =>
+      exactDistinct(i) >= 1L && exactDistinct(i) <= maxSetSize)
+    val vocab: Map[Int, Seq[String]] =
+      if (setCols.isEmpty) Map.empty
+      else {
+        val entries = setCols.map(i => struct(
+          lit(i).as("i"), col(df.columns(i)).cast("string").as("v")))
+        df.select(explode(array(entries: _*)).as("e"))
+          .select($"e.i".as("i"), $"e.v".as("v"))
+          .filter($"v".isNotNull).distinct().collect()
+          .groupBy(_.getAs[Int]("i"))
+          .map { case (i, rs) =>
+            i -> rs.map(_.getAs[String]("v")).toSeq.sorted }
+      }
+    final case class S(name: String, kind: String, column: String,
+                       lo: Option[Double], hi: Option[Double],
+                       values: Seq[String], mvr: Double)
+    val perCol = fields.zipWithIndex.flatMap { case (f, i) =>
+      val cn = df.columns(i)
+      val exists = S(s"$cn exists", "exists", cn, None, None, Nil, 0.0)
+      if (nRows == 0L) Seq(exists)
+      else {
+        val nullRate = (nRows - nn(i)).toDouble / nRows
+        val notNull = S(s"$cn not_null", "not_null", cn, None, None,
+          Nil, if (nullRate == 0.0) 0.0
+               else math.min(1.0, nullRate * (1.0 + slack)))
+        val between =
+          if (isNum(f.dataType) && nn(i) > 0) {
+            val mn = row.getAs[Double](s"__c${i}_mn")
+            val mx = row.getAs[Double](s"__c${i}_mx")
+            val pad = slack * (mx - mn)
+            Seq(S(s"$cn between", "between", cn,
+              Some(mn - pad), Some(mx + pad), Nil, 0.0))
+          } else Seq.empty
+        val inSet = vocab.get(i).map(vs =>
+          S(s"$cn in_set", "in_set", cn, None, None, vs, 0.0)).toSeq
+        val unique =
+          if (uniqCand.contains(i) && exactDistinct(i) == nn(i))
+            Seq(S(s"$cn unique", "unique", cn, None, None, Nil, 0.0))
+          else Seq.empty
+        Seq(exists, notNull) ++ between ++ inSet ++ unique
+      }
+    }
+    val rowCount = S("row count", "row_count_between", "",
+      Some(math.floor(nRows * (1.0 - slack))),
+      Some(math.ceil(nRows * (1.0 + slack))), Nil, 0.0)
+    val all = (perCol :+ rowCount).sortBy(s => (s.column, s.kind))
+    all.map(s => (s.name, s.kind, s.column, s.lo, s.hi,
+        s.values, s.mvr))
+      .toDF("name", "kind", "column", "lo", "hi", "values",
+        "max_violation_rate")
+      .coalesce(1)
+  }
 }

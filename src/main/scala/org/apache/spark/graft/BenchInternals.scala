@@ -40,4 +40,13 @@ object BenchInternals {
   def storageUsedMB(sc: SparkContext): Double =
     sc.env.blockManager.master.getMemoryStatus.values
       .map { case (max, remaining) => (max - remaining) / (1024.0 * 1024.0) }.sum
+
+  /** Block until the async listener bus has delivered every queued
+   *  event — the determinism shim for asserting on
+   *  QueryExecutionListener-driven state (PlanLint.install's report)
+   *  right after an action: the bus is asynchronous, so without a
+   *  drain a gate would race its own listener. Test/gate-only, like
+   *  everything in this object. */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -2104,6 +2104,50 @@ class StatsSpec extends AnyFunSuite {
     assert(out("e").isNullAt(out("e").fieldIndex("a2"))) // empty arm
   }
 
+  test("driftPanel: bit-identical to the five individual operators " +
+    "run separately — one scan, same exact closings") {
+    val a = Seq(1.0, 2.0, 2.0, 3.5, 7.0, 7.0, 8.25)
+    val b = Seq(2.0, 4.0, 5.0, 6.0, 6.0, 9.0, 11.0, 1.5)
+    val rows = a.map(("k1", "a", _)) ++ b.map(("k1", "b", _)) ++
+      a.map(v => ("k2", "a", v * 2.0)) ++
+      b.map(v => ("k2", "b", v - 0.5)) ++
+      Seq(("s", "a", 5.0), ("s", "b", 5.0), // single-point grid
+        ("e", "a", 1.0), ("e", "a", 2.0))   // empty b arm
+    val df = rows.toDF("key", "arm", "v")
+    val panel = Stats.driftPanel(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def single(out: Array[org.apache.spark.sql.Row], c: String) =
+      out.map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex(c))) None
+         else Some(r.getDouble(r.fieldIndex(c))))).toMap
+    val ks = single(Stats.ksTest(df, Seq("key"), "arm", "a", "b", "v")
+      .collect(), "d")
+    val cvm = single(Stats.cramerVonMises(df, Seq("key"), "arm",
+      "a", "b", "v").collect(), "t")
+    val ad = single(Stats.andersonDarling(df, Seq("key"), "arm",
+      "a", "b", "v").collect(), "a2")
+    val ku = single(Stats.kuiper(df, Seq("key"), "arm", "a", "b", "v")
+      .collect(), "v")
+    val w1 = single(Stats.wasserstein1(df, Seq("key"), "arm",
+      "a", "b", "v").collect(), "w1")
+    for (k <- Seq("k1", "k2", "s", "e")) {
+      val p = panel(k)
+      def pv(c: String) = if (p.isNullAt(p.fieldIndex(c))) None
+        else Some(p.getDouble(p.fieldIndex(c)))
+      assert(pv("ks_d") == ks(k), s"$k ks")         // == : bit parity
+      assert(pv("cvm_t") == cvm(k), s"$k cvm")
+      assert(pv("ad_a2") == ad(k), s"$k ad")
+      assert(pv("kuiper_v") == ku(k), s"$k kuiper")
+      assert(pv("w1") == w1(k), s"$k w1")
+    }
+    // degenerate contracts carried through: empty arm nulls all five
+    assert(Seq("ks_d", "cvm_t", "ad_a2", "kuiper_v", "w1")
+      .forall(c => panel("e").isNullAt(panel("e").fieldIndex(c))))
+    // single-point grid nulls ONLY ad (its 0/0 case); others defined
+    assert(panel("s").isNullAt(panel("s").fieldIndex("ad_a2")))
+    assert(!panel("s").isNullAt(panel("s").fieldIndex("ks_d")))
+  }
+
   test("poissonRateTest: hand rate z and snapped log-ratio CI; " +
     "zero count nulls the log CI but keeps z") {
     val df = Seq(("k", "a", 10L, 5.0), ("k", "b", 2L, 4.0),

@@ -130,6 +130,42 @@ class PlanLintSpec extends AnyFunSuite {
       "filter-not-pushed")._1 == "ok")
   }
 
+  test("install: a session listener lints every action's AQE-final " +
+    "plan; warnings/clear/close contract") {
+    // a fresh child session: its ExecutionListenerManager is its own,
+    // so concurrently-running suites on the shared session can never
+    // bleed actions into this test's recording
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val lint = PlanLint.install(s2)
+    Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .groupBy($"s").count().collect()
+    val bad = Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .withColumn("rn", row_number().over(Window.orderBy($"id")))
+    bad.collect()
+    org.apache.spark.graft.BenchInternals
+      .drainListenerBus(s2.sparkContext)
+    val rep = lint.report().collect() // snapshot BEFORE its own action
+    assert(rep.length == 2 * allRules.size)
+    assert(rep.map(_.getAs[String]("rule")).distinct.sorted.toSeq ==
+      allRules.sorted)
+    assert(rep.filter(_.getAs[Long]("action") == 0L)
+      .forall(_.getAs[String]("status") == "ok"))
+    val a1 = rep.filter(_.getAs[Long]("action") == 1L)
+      .map(r => r.getAs[String]("rule") -> r.getAs[String]("status"))
+      .toMap
+    assert(a1("global-window") == "warn")
+    val w = lint.warnings
+    assert(w.nonEmpty && w.forall(_._1 == 1L) &&
+      w.exists(_._3.rule == "global-window"))
+    lint.clear()
+    lint.close()
+    bad.collect() // post-close action: never recorded
+    org.apache.spark.graft.BenchInternals
+      .drainListenerBus(s2.sparkContext)
+    assert(lint.warnings.isEmpty)
+  }
+
   test("filter-not-pushed treats an UNBALANCED PushedFilters " +
     "rendering as unknown instead of warning off a shifted count") {
     val dir = java.nio.file.Files

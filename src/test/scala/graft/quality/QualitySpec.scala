@@ -452,6 +452,55 @@ class QualitySpec extends AnyFunSuite {
     assert(rep("tag never null") && !rep("rows"))
   }
 
+  test("suggestExpectations: exists/not_null/between/in_set/unique/" +
+    "row_count from observed stats; round-trips through " +
+    "expectationsFrom all-green on the data it came from") {
+    val df = Seq(
+      (1L, "a", Option(1.0), "x"),
+      (2L, "b", Option(3.0), "x"),
+      (3L, "a", Option.empty[Double], "y"))
+      .toDF("id", "tag", "score", "grp")
+    val suite = Quality.suggestExpectations(df, slack = 0.1,
+      maxSetSize = 2)
+    val rows = suite.collect().map(r =>
+      (r.getAs[String]("column"), r.getAs[String]("kind")) -> r).toMap
+    // row count: floor(3*0.9)=2, ceil(3*1.1)=4
+    val rc = rows(("", "row_count_between"))
+    assert(rc.getAs[Double]("lo") == 2.0 && rc.getAs[Double]("hi") == 4.0)
+    // id: numeric, unique, null-free
+    assert(rows.contains(("id", "exists")))
+    assert(rows(("id", "not_null")).getAs[Double]("max_violation_rate") == 0.0)
+    val idB = rows(("id", "between"))
+    assert(idB.getAs[Double]("lo") == 1.0 - 0.1 * 2.0)
+    assert(idB.getAs[Double]("hi") == 3.0 + 0.1 * 2.0)
+    assert(rows.contains(("id", "unique")))
+    // tag: vocabulary exactly at maxSetSize, repeated → in_set, no unique
+    assert(rows(("tag", "in_set")).getAs[scala.collection.Seq[String]]("values").toSeq ==
+      Seq("a", "b"))
+    assert(!rows.contains(("tag", "unique")))
+    // score: 1/3 null → widened rate; its two non-null values are
+    // distinct → unique IS suggested (it holds today, which is the
+    // contract: the suite passes on the data it was learned from)
+    assert(rows(("score", "not_null")).getAs[Double]("max_violation_rate")
+      == (1.0 / 3.0) * 1.1)
+    assert(rows.contains(("score", "unique")))
+    // grp: 2 values on 3 rows → in_set, no unique; no between (string)
+    assert(rows(("grp", "in_set")).getAs[scala.collection.Seq[String]]("values").toSeq ==
+      Seq("x", "y"))
+    assert(!rows.contains(("grp", "between")))
+    // the loop: replaying the suggested suite on the SAME data passes
+    val replay = Quality.expectationsFrom(df, suite).collect()
+    assert(replay.nonEmpty && replay.forall(_.getAs[Boolean]("passed")))
+    // empty frame: exists rows + row_count [0,0] only
+    val emptySuite = Quality
+      .suggestExpectations(df.filter($"id" < 0L)).collect()
+    assert(emptySuite.map(_.getAs[String]("kind")).toSet ==
+      Set("exists", "row_count_between"))
+    val erc = emptySuite.filter(
+      _.getAs[String]("kind") == "row_count_between")(0)
+    assert(erc.getAs[Double]("lo") == 0.0 && erc.getAs[Double]("hi") == 0.0)
+  }
+
   test("between counts a non-null value that fails the numeric cast " +
     "as a violation — garbage never silently passes a range check") {
     import Quality.Expectation
