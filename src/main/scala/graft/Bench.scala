@@ -23,6 +23,24 @@ object Bench {
    *  under high load, was starved by the machine, not by its plan. */
   private def sysLoad: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+  /** `some avg10` from /proc/pressure/cpu (%% of the last 10 s in
+   *  which at least one runnable task waited for a CPU) — the direct
+   *  CPU-contention probe the r18 verdict asked for alongside load1m:
+   *  load1m counts tasks, PSI measures actual starvation, so ambient
+   *  load that never delays anyone reads ~0 here. -1 when the file is
+   *  absent (non-cgroup2 kernels) or unreadable. */
+  private def cpuPressureAvg10: Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of("/proc/pressure/cpu")))
+      s.linesIterator.find(_.startsWith("some")).flatMap { l =>
+        l.split("\\s+").collectFirst {
+          case f if f.startsWith("avg10=") =>
+            f.stripPrefix("avg10=").toDouble
+        }
+      }.getOrElse(-1.0)
+    } catch { case _: Exception => -1.0 }
+
   /** Cumulative JIT compilation ms — the COLD-CODEGEN probe: a query
    *  whose wall time inflates while this delta is large was spending
    *  its time compiling, not executing (the round-14 q234 signature:
@@ -107,15 +125,16 @@ object Bench {
   private final case class Tel(wall: Double, gc: Long, heapB: Double,
                                heapA: Double, cpu: Double, load: Double,
                                bmB: Double, bcDropped: Int,
-                               jit: Long, ccMB: Double, stalled: Int = 0) {
+                               jit: Long, ccMB: Double, stalled: Int = 0,
+                               psi: Double = -1.0) {
     // Locale.ROOT, not the f-interpolator: a JVM whose default locale
     // writes comma decimal separators would otherwise emit invalid
     // JSON and silently break downstream artifact parsing
     def json: String = String.format(java.util.Locale.ROOT,
-      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d,%d,%.1f,%d]",
+      "[%.3f,%d,%.0f,%.0f,%.2f,%.2f,%.1f,%d,%d,%.1f,%d,%.2f]",
       Double.box(wall), Long.box(gc), Double.box(heapB), Double.box(heapA),
       Double.box(cpu), Double.box(load), Double.box(bmB), Int.box(bcDropped),
-      Long.box(jit), Double.box(ccMB), Int.box(stalled))
+      Long.box(jit), Double.box(ccMB), Int.box(stalled), Double.box(psi))
   }
 
   /** Reset session state a prior query may have left behind: cached
@@ -193,16 +212,29 @@ object Bench {
     // runs IN THE DRIVER'S ENVIRONMENT ONLY (external machine load is
     // the telemetry hypothesis): one extra attempt gives best-of-3 a
     // chance to land between load spikes without tripling the suite.
-    val heavy = Set("q26_ngram_jaccard", "q24_minhash", "q39_ivf",
-      "q40_weighted_mean_expr",
+    // Membership re-derived from the r18 definitive (calm-certified)
+    // telemetry per the r18 verdict: a query rides best-of-3 when its
+    // 2-draw budget demonstrably never reaches the warm floor — first
+    // draws jit-dominated (jit_ms within ~2x of wall) AND the final
+    // best still carries multi-second JIT.
+    val heavy = Set(
+      // n-gram prefix join: first draw jit 4.4 s, 1.65x inflation
+      "q26_ngram_jaccard",
       // Iterative-graph family (round-14 verdict #1): many-barrier
       // plans whose per-job codegen units stay JIT-cold mid-suite —
-      // the r14 artifact's q234 "regression" (7.50 → 14.01 s) was two
-      // cold draws in a row (isolated re-run: 12.36/8.33/7.40 s wall,
-      // 108 → 57 s CPU, warm floor ≡ r13). Best-of-3 gives each a
-      // chance to reach its warm floor inside the suite.
+      // r18 first draws still 1.2-2.1x inflated with jit 2.9-8.7 s.
       "q234_clustering_coeff", "q152_triangles", "q249_kcore",
-      "q274_bfs_hops", "q319_grid_clusters")
+      "q274_bfs_hops", "q319_grid_clusters",
+      // Change-feed/stream-reentry class (r18 verdict #1/#2): the
+      // cold-JIT wall moved here in r18 — q113's two draws were BOTH
+      // jit-saturated (w8.51/jit8.9, w8.61/jit6.0; r17 warm floor
+      // 6.48), q111 11.4 s first-draw jit, q138 5.5, q110 7.7 — so a
+      // 2-draw budget headlines a cold number and q113 crossed its
+      // envelope ceiling on pure codegen scheduling. Dropped from the
+      // set vs r18: q24_minhash/q39_ivf/q40_weighted_mean_expr (r18
+      // best 0.8-1.4 s, first-draw jit under 2 s — warm by draw 2).
+      "q111_change_stream", "q113_change_stream_reentry",
+      "q138_stream_funnel", "q110_stream_dedup")
     // Optional comma-separated name filter for quick subset runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -212,27 +244,34 @@ object Bench {
     // good "best" and nothing gets flagged — the r16 definitive
     // artifact shipped q250 at 9.0 s on ~1.6 busy cores unflagged
     // that way. These are the PLANS.md envelope CEILINGS ("Worst-N
-    // artifact envelopes", re-derived r17 from the r16 calm run +
-    // the r17 controlled run at load 3-5): a draw whose wall exceeds
-    // its ceiling while the starved signature holds (see
-    // [[starvedSignature]]: under 20% of cores busy AND jit small
-    // relative to both wall and cpu) is flagged `stalled` no matter
-    // what the other draws look like. Queries without a row keep
-    // relative-arm-only behavior. Cold-JIT draws are NOT caught here
-    // (their cpu/jit is high) — by design; best-of-N absorbs those.
+    // artifact envelopes", re-derived r19 per the r18 verdict #2:
+    // ceiling = ceil-to-0.5 of 1.5x the calm-certified warm floor,
+    // floor = best draw across the r18 definitive artifact and the
+    // r19 calm-certified local run — a uniform formula, so slack
+    // can't drift per-query (several r17 ceilings sat at 2-4x their
+    // floors, wide enough to hide a real 50% regression). A draw
+    // whose wall exceeds its ceiling while the starved signature
+    // holds (see [[starvedSignature]]: under 20% of cores busy AND
+    // jit small relative to both wall and cpu) is flagged `stalled`
+    // no matter what the other draws look like. Queries without a
+    // row keep relative-arm-only behavior. Cold-JIT draws are NOT
+    // caught here (their cpu/jit is high) — by design; best-of-N
+    // absorbs those (every heavy-set member has a row now).
     val envelopeCeilingS: Map[String, Double] = Map(
-      "q234_clustering_coeff" -> 13.2, "q152_triangles" -> 11.0,
-      "q113_change_stream_reentry" -> 8.5, "q111_change_stream" -> 10.3,
-      "q26_ngram_jaccard" -> 8.0, "q283_overlap_join" -> 6.5,
-      "q317_bootstrap_ci" -> 6.0, "q154_char_lm" -> 6.0,
-      "q180_stream_compaction" -> 5.5, "q203_link_prediction" -> 14.5,
-      "q250_stream_drift" -> 6.5, "q309_stream_twap" -> 6.5,
-      "q168_stream_ewma" -> 6.0, "q161_stream_transitions" -> 6.0,
-      "q237_stream_heavy_hitters" -> 7.5, "q376_stream_holt" -> 7.5,
-      "q49_drop_near_dups" -> 9.5, "q45_components" -> 8.5,
-      "q319_grid_clusters" -> 7.5, "q343_stream_page_hinkley" -> 6.0,
-      "q360_stream_macd" -> 6.0, "q394_stream_tracking_signal" -> 8.5,
-      "q402_stream_bottom_k" -> 7.5, "q110_stream_dedup" -> 11.5)
+      "q234_clustering_coeff" -> 11.0, "q152_triangles" -> 12.5,
+      "q113_change_stream_reentry" -> 10.0, "q111_change_stream" -> 8.0,
+      "q26_ngram_jaccard" -> 5.5, "q283_overlap_join" -> 7.5,
+      "q317_bootstrap_ci" -> 7.5, "q154_char_lm" -> 6.5,
+      "q180_stream_compaction" -> 6.5, "q203_link_prediction" -> 6.0,
+      "q250_stream_drift" -> 5.5, "q309_stream_twap" -> 6.5,
+      "q168_stream_ewma" -> 6.5, "q161_stream_transitions" -> 6.5,
+      "q237_stream_heavy_hitters" -> 6.5, "q376_stream_holt" -> 6.0,
+      "q49_drop_near_dups" -> 5.5, "q45_components" -> 5.0,
+      "q319_grid_clusters" -> 8.0, "q343_stream_page_hinkley" -> 6.0,
+      "q360_stream_macd" -> 6.5, "q394_stream_tracking_signal" -> 6.0,
+      "q402_stream_bottom_k" -> 6.5, "q110_stream_dedup" -> 6.0,
+      "q138_stream_funnel" -> 6.5, "q249_kcore" -> 5.0,
+      "q274_bfs_hops" -> 6.5)
     // Fixed (sorted) execution order + per-iteration times in the JSON:
     // run-order and GC effects stay diagnosable from the artifact alone.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -253,16 +292,17 @@ object Bench {
           .storageUsedMB(spark.sparkContext)
         val dropped = isolate(spark)
         val (g0, h0, c0, l0, j0) = (gcMs, heapMB, procCpuNs, sysLoad, jitMs)
+        val p0 = cpuPressureAvg10
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
           Tel(wall, gcMs - g0, h0, heapMB, (procCpuNs - c0) / 1e9, l0,
-            bmBefore, dropped, jitMs - j0, codeCacheMB)
+            bmBefore, dropped, jitMs - j0, codeCacheMB, psi = p0)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Tel(-1.0, gcMs - g0, h0, heapMB, (procCpuNs - c0) / 1e9, l0,
-            bmBefore, dropped, jitMs - j0, codeCacheMB)
+            bmBefore, dropped, jitMs - j0, codeCacheMB, psi = p0)
         }
       }
       // Stall-aware resampling (round-15 verdict #1): a draw whose wall
@@ -330,8 +370,10 @@ object Bench {
     val health =
       if (math.max(calibStartMs, calibEndMs) > 2.0 * CalibCalmMs)
         "contended" else "calm"
-    val calibJson = s""""calib_start_ms":${f(calibStartMs)},"calib_end_ms":${f(calibEndMs)},"calib_calm_ms":${f(CalibCalmMs)},"health":"$health""""
-    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped","jit_ms","codecache_mb","stalled"],"queries":$telJson}"""
+    // PSI alongside the probes (r18 verdict #7): cpu-pressure avg10
+    // at suite start/end plus the per-draw samples' median/max below
+    val calibJson = s""""calib_start_ms":${f(calibStartMs)},"calib_end_ms":${f(calibEndMs)},"calib_calm_ms":${f(CalibCalmMs)},"health":"$health","psi_cpu_end":${f(cpuPressureAvg10)}"""
+    val telLine = s"""{"detail":"telemetry","schema":["wall_s","gc_ms","heap_before_mb","heap_after_mb","proc_cpu_s","load1m","storage_mb_pre","bc_dropped","jit_ms","codecache_mb","stalled","psi_cpu_avg10_pre"],"queries":$telJson}"""
     val itersLine = s"""{"detail":"iters","iters":$its}"""
     val totalLine = s"""{"metric":"total","value":${f(total)},"unit":"sec",$calibJson,"queries":$qs,"sf":"$sfDir"}"""
     println(telLine)
@@ -373,11 +415,14 @@ object Bench {
     val loadMed = if (loads.isEmpty) 0.0
       else loads((loads.size - 1) / 2)
     val loadMax = if (loads.isEmpty) 0.0 else loads.last
+    val psis = results.flatMap(_._4.map(_.psi)).filter(_ >= 0).sorted
+    val psiMed = if (psis.isEmpty) -1.0 else psis((psis.size - 1) / 2)
+    val psiMax = if (psis.isEmpty) -1.0 else psis.last
     // "queries" here is the worst-10 SUBSET (the full per-query map
     // rides the primary line and the flat per-line stream below);
     // "queries_subset" names that explicitly instead of duplicating
     // the map under a second key (r17 verdict #3)
-    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"load1m_med":${f(loadMed)},"load1m_max":${f(loadMax)},"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"load1m_med":${f(loadMed)},"load1m_max":${f(loadMax)},"psi_cpu_med":${f(psiMed)},"psi_cpu_max":${f(psiMax)},"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
     println(compactLine)
     // SELF-CONTAINED artifact file: the driver captures only a bounded
     // tail of stdout (round 7's BENCH artifact truncated the per-query
