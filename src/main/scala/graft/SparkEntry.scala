@@ -4303,6 +4303,17 @@ object SparkEntry {
             lit("a")).otherwise(lit("b"))),
         Seq("event_type"), "arm", "a", "b", "value")),
 
+    // ---- A/B: the WHOLE rank-test location panel (MWU z, Cliff's
+    //      delta, Brunner-Munzel W/df/p̂) in ONE scan — shared
+    //      doubled-midrank grid, one key exchange ----
+    "q413_rank_panel" -> ((s, dir) =>
+      graft.agg.Stats.rankPanel(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull) // oracle null contract
+          .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+            lit("a")).otherwise(lit("b"))),
+        Seq("event_type"), "arm", "a", "b", "value")),
+
     // ---- drift: 1-Wasserstein distance between arms — exact
     //      integer area between CDFs on the cents grid ----
     "q378_wasserstein1" -> ((s, dir) =>
@@ -8861,6 +8872,80 @@ object SparkEntry {
     // pooled + within-arm doubled midranks per grid row (shared by
     // all tied members), exact placement sums, pinned scipy-form
     // W / Satterthwaite df closing
+    // Rank-panel replay: the q400 doubled-midrank grid/placement
+    // CTE chain extended with q211's rank-sum/tie sums and closed
+    // with all three proven closings (MWU z, Cliff delta, BM
+    // p_hat/w/df) — the panel must match ALL THREE at once
+    "q413_rank_panel" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    ((user_id % 2) + 2) % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT k, v, ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pn,
+        |    coalesce(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pa,
+        |    coalesce(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pb
+        |  FROM grid),
+        |r AS (SELECT k, ca, cb, t,
+        |    2 * pn + t + 1 AS r2,
+        |    2 * pn + t + 1 - (2 * pa + ca + 1) AS la,
+        |    2 * pn + t + 1 - (2 * pb + cb + 1) AS lb
+        |  FROM st),
+        |m AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca * r2 AS DECIMAL(38,0))) AS sra,
+        |    sum(CAST(cb * r2 AS DECIMAL(38,0))) AS srb,
+        |    sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS tt,
+        |    sum(ca * la) AS sla, sum(la * la * ca) AS sla2,
+        |    sum(cb * lb) AS slb, sum(lb * lb * cb) AS slb2
+        |  FROM r GROUP BY 1),
+        |z0 AS (SELECT k, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+        |    CAST(sra AS DOUBLE) AS dra, CAST(srb AS DOUBLE) AS drb,
+        |    CAST(tt AS DOUBLE) AS td,
+        |    CAST(CAST(sla AS VARCHAR) AS DOUBLE) AS dla,
+        |    CAST(CAST(sla2 AS VARCHAR) AS DOUBLE) AS dla2,
+        |    CAST(CAST(slb AS VARCHAR) AS DOUBLE) AS dlb,
+        |    CAST(CAST(slb2 AS VARCHAR) AS DOUBLE) AS dlb2 FROM m),
+        |y AS (SELECT *, dra / 2.0 - na * (na + 1.0) / 2.0 AS ua,
+        |    na * nb / 12.0 * ((nn + 1.0) - td / (nn * (nn - 1.0)))
+        |      AS sig2,
+        |    dra / na / 2.0 AS rba, drb / nb / 2.0 AS rbb,
+        |    (dla2 - dla * dla / na) / (4.0 * (na - 1.0)) AS sa,
+        |    (dlb2 - dlb * dlb / nb) / (4.0 * (nb - 1.0)) AS sb
+        |  FROM z0),
+        |w0 AS (SELECT *, na * sa + nb * sb AS vs FROM y)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN ua END AS u_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN na * nb - ua END AS u_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND sig2 > 0.0
+        |    THEN (ua - na * nb / 2.0) / sqrt(sig2) END AS z,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN 2.0 * ua / (na * nb) - 1.0 END AS delta,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |    THEN (rbb - (nb + 1.0) / 2.0) / na END AS p_hat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vs > 0.0
+        |    THEN na * nb * (rbb - rba) / (nn * sqrt(vs)) END AS w,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vs > 0.0 AND
+        |    (na * sa) * (na * sa) / (na - 1.0)
+        |      + (nb * sb) * (nb * sb) / (nb - 1.0) > 0.0
+        |  THEN vs * vs
+        |    / ((na * sa) * (na * sa) / (na - 1.0)
+        |      + (nb * sb) * (nb * sb) / (nb - 1.0)) END AS df
+        |FROM w0""".stripMargin,
+
     "q400_brunner_munzel" ->
       """WITH b AS (SELECT event_type AS k,
         |    ((user_id % 2) + 2) % 2 = 0 AS a,

@@ -5529,6 +5529,138 @@ object Stats {
   }
 
   /**
+   * The whole two-sample LOCATION panel in ONE pass — the rank-test
+   * sibling of [[driftPanel]]: [[mannWhitneyU]] (tie-corrected
+   * rank-sum z), [[cliffsDelta]] (the ordinal effect SIZE the z
+   * lacks) and [[brunnerMunzel]] (the heteroscedastic form whose
+   * p-values survive unequal spread) — three answers to "did the
+   * metric move, and by how much", one scan.
+   *
+   * All three statistics are functions of the SAME pooled doubled
+   * midranks: MWU's doubled average rank `2·cum − c + 1` IS
+   * Brunner-Munzel's `R₂ = 2·prevN + t + 1`, and Cliff's
+   * `δ = 2U/(n_a·n_b) − 1` closes over MWU's U — so the panel
+   * builds the (keys, value) grid ONCE, exchanges it ONCE (one key
+   * partitioning carries every cumulative window), and closes each
+   * statistic with the single operator's exact expression. Every
+   * rank quantity is an exact integer (DOUBLED midranks, placements
+   * `L₂ = R₂ − Ra₂` as longs, DECIMAL(38,0) order-free sums), so
+   * the panel is bit-identical to running the three operators
+   * separately (pinned in StatsSpec) at one third the I/O.
+   *
+   * Output: (keys…, n_a, n_b, u_a, u_b, z, delta, p_hat, w, df) —
+   * each member's own degenerate-input contract carried: an empty
+   * arm nulls everything; all-tied data nulls z (σ² = 0) and w/df
+   * (zero placement variance) but keeps δ = 0 and p̂ = ½; arms
+   * under 2 null w/df only. One contract difference from the
+   * standalone [[mannWhitneyU]]: rows with null KEYS are excluded
+   * here (the [[brunnerMunzel]]/[[driftPanel]] convention) rather
+   * than grouped under a null key.
+   *
+   * Scale posture: one map-side grid collapse, ONE key exchange
+   * carrying all cumulative windows, one closing aggregate — the
+   * [[ksTest]] shape; grid-sized bytes shuffle, never rows.
+   */
+  def rankPanel(df: DataFrame, keys: Seq[String], groupCol: String,
+                aLabel: String, bLabel: String, valueCol: String,
+                valueScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "rankPanel needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === aLabel || col(groupCol) === bLabel) &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col) :+
+        unscaled(col(valueCol), valueScale).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("__cb"))
+    val wo = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stepped = grid
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__pn", coalesce(sum(col("__t")).over(wo), lit(0L)))
+      .withColumn("__pa", coalesce(sum(col("__ca")).over(wo), lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__cb")).over(wo), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__pn") + col("__t") + lit(1L))
+      .withColumn("__la",
+        col("__r2") - (lit(2L) * col("__pa") + col("__ca") + lit(1L)))
+      .withColumn("__lb",
+        col("__r2") - (lit(2L) * col("__pb") + col("__cb") + lit(1L)))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // [[mannWhitneyU]]'s tie term rides the grid-row TOTAL count
+    val cd = col("__t").cast("decimal(12,0)")
+    val m = stepped.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        // Σ c_g·R₂ per arm: MWU's doubled rank sum for arm a IS
+        // Brunner-Munzel's __sra — ONE exact integer serves both
+        // closings (decimal-product route, the wider of the two)
+        sum((col("__ca").cast("decimal(19,0)") *
+          col("__r2").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sra"),
+        sum((col("__cb").cast("decimal(19,0)") *
+          col("__r2").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__srb"),
+        sum((cd * cd * cd - cd).cast("decimal(38,0)")).as("__tt"),
+        sum(dec(col("__ca") * col("__la"))).as("__sla"),
+        sum((col("__la").cast("decimal(19,0)") *
+          col("__la").cast("decimal(19,0)") *
+          col("__ca").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__sla2"),
+        sum(dec(col("__cb") * col("__lb"))).as("__slb"),
+        sum((col("__lb").cast("decimal(19,0)") *
+          col("__lb").cast("decimal(19,0)") *
+          col("__cb").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__slb2"))
+    // Null-on-zero divisors (the [[brunnerMunzel]] ANSI discipline,
+    // pinned in DegenerateArmSpec): a null divisor yields null, a
+    // nonzero one the bit-identical value — output guards alone do
+    // not protect a division codegen's subexpression elimination
+    // hoists above them
+    def nz(c: Column): Column = when(c =!= lit(0.0), c)
+    // --- [[mannWhitneyU]]'s closing, expression for expression ---
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val nn = na + nb
+    val ra = d(col("__sra")) / lit(2.0)
+    val ua = ra - na * (na + lit(1.0)) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sig2 = na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - d(col("__tt")) / nz(nn * (nn - lit(1.0))))
+    val okU = col("n_a") >= 1 && col("n_b") >= 1
+    // --- [[cliffsDelta]]'s closing over the same U ---
+    val prod = col("n_a").cast("double") * col("n_b").cast("double")
+    val delta = lit(2.0) * ua / when(prod > 0.0, prod) - lit(1.0)
+    // --- [[brunnerMunzel]]'s closing, expression for expression ---
+    val rbarA = col("__sra").cast("double") / nz(na) / lit(2.0)
+    val rbarB = col("__srb").cast("double") / nz(nb) / lit(2.0)
+    val sA = (col("__sla2").cast("double") -
+      col("__sla").cast("double") * col("__sla").cast("double") /
+        nz(na)) /
+      nz(lit(4.0) * (na - lit(1.0)))
+    val sB = (col("__slb2").cast("double") -
+      col("__slb").cast("double") * col("__slb").cast("double") /
+        nz(nb)) /
+      nz(lit(4.0) * (nb - lit(1.0)))
+    val varSum = na * sA + nb * sB
+    val w = na * nb * (rbarB - rbarA) / nz(nn * sqrt(varSum))
+    val dfNum = varSum * varSum
+    val dfDen = (na * sA) * (na * sA) / nz(na - lit(1.0)) +
+      (nb * sB) * (nb * sB) / nz(nb - lit(1.0))
+    val pHat = (rbarB - (nb + lit(1.0)) / lit(2.0)) / nz(na)
+    val okW = col("n_a") >= 2L && col("n_b") >= 2L
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(okU, ua).as("u_a"),
+      when(okU, na * nb - ua).as("u_b"),
+      when(okU && sig2 > 0.0,
+        (ua - mu) / nz(sqrt(sig2))).as("z"),
+      when(okU, delta).as("delta"),
+      when(okU, pHat).as("p_hat"),
+      when(okW && varSum > 0.0, w).as("w"),
+      when(okW && varSum > 0.0 && dfDen > 0.0,
+        dfNum / when(dfDen > 0.0, dfDen)).as("df")): _*)
+  }
+
+  /**
    * One-dimensional energy distance per key between two arms —
    * the moment-free distribution distance behind energy tests:
    * `E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|` (zero iff the
@@ -6326,27 +6458,39 @@ object Stats {
           .as("__slb2"))
     val nD = d(col("n_a")); val mD = d(col("n_b"))
     val bigN = nD + mD
-    val rbarA = col("__sra").cast("double") / nD / lit(2.0)
-    val rbarB = col("__srb").cast("double") / mD / lit(2.0)
+    // Null-on-zero divisors: under ANSI mode (Spark 4's default)
+    // EVERY division by zero throws — doubles included — and
+    // codegen's subexpression elimination can hoist a division
+    // shared between a `when` guard and its branch ABOVE the guard,
+    // so output-level null guards do NOT protect these closings. A
+    // null divisor yields a null (never a throw) and the guarded
+    // outputs are null anyway; where the divisor is nonzero the
+    // value is bit-identical. Pinned in DegenerateArmSpec (an empty
+    // arm crashed the whole job before this).
+    def nz(c: Column): Column = when(c =!= lit(0.0), c)
+    val rbarA = col("__sra").cast("double") / nz(nD) / lit(2.0)
+    val rbarB = col("__srb").cast("double") / nz(mD) / lit(2.0)
     val sA = (col("__sla2").cast("double") -
-      col("__sla").cast("double") * col("__sla").cast("double") / nD) /
-      (lit(4.0) * (nD - lit(1.0)))
+      col("__sla").cast("double") * col("__sla").cast("double") /
+        nz(nD)) /
+      nz(lit(4.0) * (nD - lit(1.0)))
     val sB = (col("__slb2").cast("double") -
-      col("__slb").cast("double") * col("__slb").cast("double") / mD) /
-      (lit(4.0) * (mD - lit(1.0)))
+      col("__slb").cast("double") * col("__slb").cast("double") /
+        nz(mD)) /
+      nz(lit(4.0) * (mD - lit(1.0)))
     val varSum = nD * sA + mD * sB
-    val w = nD * mD * (rbarB - rbarA) / (bigN * sqrt(varSum))
+    val w = nD * mD * (rbarB - rbarA) / nz(bigN * sqrt(varSum))
     val dfNum = varSum * varSum
-    val dfDen = (nD * sA) * (nD * sA) / (nD - lit(1.0)) +
-      (mD * sB) * (mD * sB) / (mD - lit(1.0))
-    val pHat = (rbarB - (mD + lit(1.0)) / lit(2.0)) / nD
+    val dfDen = (nD * sA) * (nD * sA) / nz(nD - lit(1.0)) +
+      (mD * sB) * (mD * sB) / nz(mD - lit(1.0))
+    val pHat = (rbarB - (mD + lit(1.0)) / lit(2.0)) / nz(nD)
     val okP = col("n_a") >= 1L && col("n_b") >= 1L
     val okW = col("n_a") >= 2L && col("n_b") >= 2L
     m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
       when(okP, pHat).as("p_hat"),
       when(okW && varSum > 0.0, w).as("w"),
-      when(okW && varSum > 0.0 && dfDen > 0.0, dfNum / dfDen)
-        .as("df")): _*)
+      when(okW && varSum > 0.0 && dfDen > 0.0,
+        dfNum / when(dfDen > 0.0, dfDen)).as("df")): _*)
   }
 
   /**

@@ -1944,4 +1944,46 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1,
       fin.take(1500))
   }
+
+  test("q410 suggested suite is suite-sized driver data — the " +
+    "returned plan is a LocalTableScan, no scan, no exchange") {
+    // the corpus work happens inside suggestExpectations' bounded
+    // passes; what comes BACK must be check data, not a lazy plan
+    // that would rescan the corpus every time the suite is read
+    val fin = finalPlan("q410_suggest_expectations")
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("LocalTableScan"), fin.take(1200))
+    assert(!fin.contains("Scan parquet"), fin.take(1200))
+    assert(!fin.contains("Exchange"), fin.take(1200))
+  }
+
+  test("q411 listener report is driver-accumulated data — " +
+    "LocalTableScan, no corpus rescan") {
+    val fin = finalPlan("q411_lint_listener")
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("LocalTableScan"), fin.take(1200))
+    assert(!fin.contains("Scan parquet"), fin.take(1200))
+  }
+
+  test("q412 drift panel: the ksTest grid shape for FIVE statistics " +
+    "— ONE grid collapse, ONE key exchange, join-free") {
+    val fin = finalPlan("q412_drift_panel")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
+  }
+
+  test("q413 rank panel: the ksTest grid shape for THREE rank tests " +
+    "— ONE grid collapse, ONE key exchange, join-free") {
+    val fin = finalPlan("q413_rank_panel")
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin.take(1200))
+    assert(fin.contains("partial_"), fin.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      fin.take(1500))
+    assert("Scan parquet".r.findAllIn(fin).size <= 1, fin.take(2000))
+  }
 }

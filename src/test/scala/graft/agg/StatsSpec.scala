@@ -2148,6 +2148,55 @@ class StatsSpec extends AnyFunSuite {
     assert(!panel("s").isNullAt(panel("s").fieldIndex("ks_d")))
   }
 
+  test("rankPanel: bit-identical to mannWhitneyU + cliffsDelta + " +
+    "brunnerMunzel run separately — one scan, same exact closings") {
+    // unbalanced arms with cross-arm ties (the regime that separates
+    // the BM df forms), plus the degenerate contracts
+    val a = Seq(1.0, 2.0, 2.0, 3.5, 7.0, 7.0, 8.25)
+    val b = Seq(2.0, 4.0, 5.0, 6.0, 6.0, 9.0, 11.0, 1.5, 3.0, 7.0)
+    val rows = a.map(("k1", "a", _)) ++ b.map(("k1", "b", _)) ++
+      a.map(v => ("k2", "a", v * 2.0)) ++
+      b.map(v => ("k2", "b", v - 0.5)) ++
+      Seq(("t", "a", 5.0), ("t", "a", 5.0), // all-tied: z/w/df null,
+        ("t", "b", 5.0), ("t", "b", 5.0),   //   delta 0, p_hat 1/2
+        ("s", "a", 1.0), ("s", "b", 9.0),   // arms of 1: w/df null
+        ("e", "a", 1.0), ("e", "a", 2.0))   // empty b arm: all null
+    val df = rows.toDF("key", "arm", "v")
+    val panel = Stats.rankPanel(df, Seq("key"), "arm", "a", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def single(out: Array[org.apache.spark.sql.Row], c: String) =
+      out.map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex(c))) None
+         else Some(r.getDouble(r.fieldIndex(c))))).toMap
+    val mwu = Stats.mannWhitneyU(df, Seq("key"), "arm", "a", "b", "v")
+      .collect()
+    val cliff = single(Stats.cliffsDelta(df, Seq("key"), "arm",
+      "a", "b", "v").collect(), "delta")
+    val bm = Stats.brunnerMunzel(df, Seq("key"), "arm", "a", "b", "v")
+      .collect()
+    for (k <- Seq("k1", "k2", "t", "s", "e")) {
+      val p = panel(k)
+      def pv(c: String) = if (p.isNullAt(p.fieldIndex(c))) None
+        else Some(p.getDouble(p.fieldIndex(c)))
+      for (c <- Seq("u_a", "u_b", "z"))
+        assert(pv(c) == single(mwu, c)(k), s"$k $c") // == : bit parity
+      assert(pv("delta") == cliff(k), s"$k delta")
+      for (c <- Seq("p_hat", "w", "df"))
+        assert(pv(c) == single(bm, c)(k), s"$k $c")
+    }
+    // degenerate contracts: empty arm nulls the whole row
+    assert(Seq("u_a", "u_b", "z", "delta", "p_hat", "w", "df")
+      .forall(c => panel("e").isNullAt(panel("e").fieldIndex(c))))
+    // all-tied: z and w/df null, but delta is exactly 0, p_hat 1/2
+    assert(panel("t").isNullAt(panel("t").fieldIndex("z")))
+    assert(panel("t").isNullAt(panel("t").fieldIndex("w")))
+    assert(panel("t").getDouble(panel("t").fieldIndex("delta")) == 0.0)
+    assert(panel("t").getDouble(panel("t").fieldIndex("p_hat")) == 0.5)
+    // singleton arms keep U/delta/p_hat, null w/df
+    assert(!panel("s").isNullAt(panel("s").fieldIndex("u_a")))
+    assert(panel("s").isNullAt(panel("s").fieldIndex("w")))
+  }
+
   test("poissonRateTest: hand rate z and snapped log-ratio CI; " +
     "zero count nulls the log CI but keeps z") {
     val df = Seq(("k", "a", 10L, 5.0), ("k", "b", 2L, 4.0),
