@@ -72,7 +72,10 @@ class DegenerateArmSpec extends AnyFunSuite {
       Seq("key"), "arm", "a", "b", "hit")),
     ("poissonRateTest", d => Stats.poissonRateTest(
       d.withColumn("n", org.apache.spark.sql.functions.lit(1L)),
-      Seq("key"), "arm", "a", "b", "n", "v")))
+      Seq("key"), "arm", "a", "b", "n", "v")),
+    ("conoverSquaredRanks",
+      d => Stats.conoverSquaredRanks(d, Seq("key"), "arm", "a", "b",
+        "v")))
 
   private val kGroup: Seq[(String, DataFrame => DataFrame)] = Seq(
     ("anovaF", d => Stats.anovaF(d, Seq("key"), "arm", "v")),
@@ -112,6 +115,92 @@ class DegenerateArmSpec extends AnyFunSuite {
         catch { case e: Throwable =>
           Some(s"$op on $fname: ${e.getMessage.take(100)}") })
     } yield err
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every paired/block-design operator survives single-pair, " +
+    "zero-difference, missing-arm and single-treatment fixtures") {
+    import org.apache.spark.sql.functions.{col => c}
+    def pdf(rows: Seq[(String, String, String, Double)]): DataFrame =
+      rows.toDF("key", "subj", "cond", "v")
+    val pairFx: Seq[(String, DataFrame)] = Seq(
+      "single pair" -> pdf(Seq(("k", "s1", "a", 1.0),
+        ("k", "s1", "b", 2.0))),
+      "zero-diff pairs" -> pdf(Seq(("k", "s1", "a", 5.0),
+        ("k", "s1", "b", 5.0), ("k", "s2", "a", 3.0),
+        ("k", "s2", "b", 3.0))),
+      "missing-arm subject" -> pdf(Seq(("k", "s1", "a", 1.0))))
+    val paired: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("wilcoxonSignedRank", d => Stats.wilcoxonSignedRank(d,
+        Seq("key"), "subj", "cond", "a", "b", "v")),
+      ("mcnemar", d => Stats.mcnemar(
+        d.withColumn("y", c("v") >= 2.0),
+        Seq("key"), "subj", "cond", "a", "b", "y")))
+    val blockFx: Seq[(String, DataFrame)] = Seq(
+      "single block" -> pdf(Seq(("k", "b1", "t1", 1.0),
+        ("k", "b1", "t2", 2.0), ("k", "b1", "t3", 3.0))),
+      "single treatment" -> pdf(Seq(("k", "b1", "t1", 1.0),
+        ("k", "b2", "t1", 2.0), ("k", "b3", "t1", 3.0))),
+      "all-tied blocks" -> pdf(Seq(("k", "b1", "t1", 5.0),
+        ("k", "b1", "t2", 5.0), ("k", "b2", "t1", 5.0),
+        ("k", "b2", "t2", 5.0))))
+    val block: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("friedman", d => Stats.friedman(d, Seq("key"), "subj", "cond",
+        "v")),
+      ("quade", d => Stats.quade(d, Seq("key"), "subj", "cond", "v")),
+      ("pageTrend", d => Stats.pageTrend(d, Seq("key"), "subj",
+        "cond", "v")),
+      ("kendallsW", d => Stats.kendallsW(d, Seq("key"), "subj",
+        "cond", "v")),
+      ("cochranQ", d => Stats.cochranQ(
+        d.withColumn("y", c("v") >= 2.0),
+        Seq("key"), "subj", "cond", "y")))
+    val failures =
+      (for { (fn, fx) <- pairFx; (op, f) <- paired
+             e <- (try { f(fx).collect(); None }
+               catch { case ex: Throwable =>
+                 Some(s"$op on $fn: ${ex.getMessage.take(100)}") })
+           } yield e) ++
+      (for { (fn, fx) <- blockFx; (op, f) <- block
+             e <- (try { f(fx).collect(); None }
+               catch { case ex: Throwable =>
+                 Some(s"$op on $fn: ${ex.getMessage.take(100)}") })
+           } yield e)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every one-sample/sequence operator survives single-row, " +
+    "constant-series and single-dose fixtures") {
+    import org.apache.spark.sql.functions.{col => c}
+    def sdf(rows: Seq[(String, Long, Double)]): DataFrame =
+      rows.toDF("key", "ts", "v")
+    val seqFx: Seq[(String, DataFrame)] = Seq(
+      "single row" -> sdf(Seq(("k", 1L, 1.0))),
+      "two rows" -> sdf(Seq(("k", 1L, 1.0), ("k", 2L, 2.0))),
+      "constant series" -> sdf(Seq(("k", 1L, 5.0), ("k", 2L, 5.0),
+        ("k", 3L, 5.0), ("k", 4L, 5.0))))
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("jarqueBera", d => Stats.jarqueBera(d, Seq("key"), "v")),
+      ("grubbs", d => Stats.grubbs(d, Seq("key"), "v")),
+      ("runsTest", d => Stats.runsTest(d, Seq("key"), "ts", "ts",
+        "v")),
+      ("durbinWatson", d => Stats.durbinWatson(d, Seq("key"), "ts",
+        "ts", "v")),
+      ("ljungBox", d => Stats.ljungBox(d, Seq("key"), "ts", "ts",
+        "v")),
+      ("jonckheereTerpstra", d => Stats.jonckheereTerpstra(
+        d.withColumn("dose", (c("ts") % 2L).cast("string")),
+        Seq("key"), "dose", "v")),
+      ("cochranArmitage", d => Stats.cochranArmitage(
+        d.withColumn("y", c("v") >= 2.0).withColumn("dose",
+          c("ts") % 2L), Seq("key"), "dose", "y")))
+    val failures = for {
+      (fn, fx) <- seqFx
+      (op, f) <- ops
+      e <- (try { f(fx).collect(); None }
+        catch { case ex: Throwable =>
+          Some(s"$op on $fn: ${ex.getMessage.take(100)}") })
+    } yield e
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
