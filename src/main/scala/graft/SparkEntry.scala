@@ -8665,6 +8665,39 @@ object SparkEntry {
     // join + global window/sort + udf + length() filter fire their
     // rules; the window machinery leaves 3 interpreted projections;
     // the 3 shuffles stay under the default ceiling of 4
+    // the q377 argument, continuously: executed-plan shapes are
+    // deterministic per Spark version + config, so the listener's
+    // action x rule report pins to literal rows — action 0 is the
+    // clean keyed count (2 exchanges: partial->final agg + the
+    // count's single-partition close), action 1 the deliberate
+    // global row_number (the one warn; its count() collapses the
+    // window stage so no separate exchange row)
+    "q411_lint_listener" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'count', 'broadcastable-join', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'cartesian-join', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'exchange-count', 'ok', CAST(2 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'filter-not-pushed', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'full-width-scan', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'global-sort', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'global-window', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'interpreted-stage', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'nested-loop-join', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'partition-filter-missing', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'count', 'scala-udf', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'broadcastable-join', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'cartesian-join', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'exchange-count', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'filter-not-pushed', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'full-width-scan', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'global-sort', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'global-window', 'warn', CAST(1 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'interpreted-stage', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'nested-loop-join', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'partition-filter-missing', 'ok', CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'count', 'scala-udf', 'ok', CAST(0 AS BIGINT))
+        |) AS t(action, func, rule, status, n)""".stripMargin,
+
     "q377_plan_lint" ->
       """SELECT * FROM (VALUES
         |  ('broadcastable-join', 'warn', CAST(1 AS BIGINT)),
