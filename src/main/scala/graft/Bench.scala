@@ -319,7 +319,17 @@ object Bench {
       val tels = scala.collection.mutable.ArrayBuffer.empty[Tel]
       var budget = n
       var extraTaken = false
-      val ceil = envelopeCeilingS.getOrElse(name, Double.MaxValue)
+      // Unmapped queries get a DEFAULT absolute ceiling (r19): the
+      // micro-batch streaming gates have a trigger-wait failure mode
+      // that wanders between queries run-to-run (wall >> cpu, psi ~0,
+      // jit small — this round's q288 drew 25.7/20.2 s on ~1.2 busy
+      // cores with NO annotation because only mapped queries had an
+      // absolute arm, exactly the r16 q250 escape on a new query).
+      // Every unmapped query runs well under 8 s warm at sf0.1, and
+      // the starved-signature conjunct (under 20% of cores AND jit
+      // small) keeps cold-JIT or genuinely-heavy draws exempt, so a
+      // 10 s default cannot misfire on honest work.
+      val ceil = envelopeCeilingS.getOrElse(name, 10.0)
       while (tels.size < budget) {
         val tel = draw()
         // best UN-STARVED draw so far: draws already flagged stalled
