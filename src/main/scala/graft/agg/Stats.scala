@@ -2285,11 +2285,15 @@ object Stats {
       }
     }
     val vc = unscaled(col(valueCol), valueScale)
-    val base = df.filter(col(valueCol).isNotNull &&
-        col(idCol).isNotNull &&
-        keys.map(col(_).isNotNull).reduce(_ && _))
-      .select(keys.map(col) :+ col(idCol).cast("string").as("__id") :+
-        vc.as("__v"): _*)
+    // the ×b explode + per-row md5 below run over THIS relation's
+    // partitioning; a single-row-group input would pin them to one task —
+    // spread before the checkpoint (guide §2.5; no-op on split inputs)
+    val base = graft.core.Par.spread(
+      df.filter(col(valueCol).isNotNull &&
+          col(idCol).isNotNull &&
+          keys.map(col(_).isNotNull).reduce(_ && _))
+        .select(keys.map(col) :+ col(idCol).cast("string").as("__id") :+
+          vc.as("__v"): _*))
       .localCheckpoint(false)
     val point = base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),

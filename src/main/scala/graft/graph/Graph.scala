@@ -89,16 +89,32 @@ object Graph {
    *  across the boundary. */
   private[graft] def triangleCountsImpl(edges: DataFrame, srcCol: String,
       dstCol: String, checkpointUnd: Boolean,
-      checkpointOriented: Boolean): DataFrame = {
-    val und0 = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
+      checkpointOriented: Boolean,
+      preNormalized: Boolean = false,
+      degIn: Option[DataFrame] = None): DataFrame = {
+    // `preNormalized` / `degIn` (r19 optimization): a caller that has
+    // ALREADY normalized the edge set (and computed degrees over it)
+    // passes both in so this plan is built over the caller's exact
+    // relations — the redundant re-normalize `distinct` cost a full
+    // exchange + hash-aggregate over |E|, and a re-derived degree
+    // subtree was canonically DIFFERENT from the caller's (filter +
+    // least/greatest on top), so AQE stage reuse could never dedupe
+    // the two degree aggregations (q234's initial plan carried 66
+    // exchanges with the degree subtree duplicated 3×). `degIn` must
+    // be (n, d) over exactly the normalized edge set.
+    val und0 =
+      if (preNormalized)
+        edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+          col(srcCol) =!= col(dstCol))
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .distinct()
     val und = if (checkpointUnd) und0.localCheckpoint(false) else und0
-    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val deg = degIn.getOrElse(
+      und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
     // orient (u, v) from the lower (degree, id) endpoint to the
     // higher; carry the head's (degree, id) RANK so wedge pairs can
     // be ordered the same way — the closing edge then matches with
@@ -162,8 +178,13 @@ object Graph {
       .localCheckpoint(false)
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+    // und is already normalized+distinct and deg is already computed over
+    // it — hand both to the triangle machinery so nothing is re-derived
+    // (r19: drops one |E|-sized exchange+aggregate and makes the two
+    // degree subtrees canonically identical, so AQE reuses the stage)
     val tri = triangleCountsImpl(und, "u", "v",
-      checkpointUnd = false, checkpointOriented = false)
+      checkpointUnd = false, checkpointOriented = false,
+      preNormalized = true, degIn = Some(deg))
     val t = col("n_triangles").cast("double")
     val dd = col("d").cast("double")
     deg.join(tri.withColumnRenamed("vertex", "n"), Seq("n"), "left")

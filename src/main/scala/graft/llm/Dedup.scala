@@ -111,31 +111,8 @@ object Dedup {
    *  the simhash bench by reshuffling full text even when the scan
    *  was already well-split. When triggered, the explicit count
    *  (REPARTITION_BY_NUM) is not coalesced away by AQE. */
-  private def spread(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    // Size probe over the LEAVES, not the rolled-up plan estimate:
-    // without CBO, size-only stats MULTIPLY at join nodes, so the
-    // rolled-up number is wrong in both directions — a small frame
-    // built from a join of known-size scans can exceed any threshold
-    // (silently skipping the repartition and re-introducing the
-    // single-task heavy-compute regression this helper prevents),
-    // while a join of two large scans is precisely the corpus-scale
-    // frame that must NOT reshuffle. The sum of leaf scan sizes bounds
-    // how many partitions the file sources can actually yield, which
-    // is the question being asked. UNKNOWN leaves (JDBC scans,
-    // LogicalRDD/checkpointed frames, driver-built relations report
-    // exactly the defaultSizeInBytes sentinel) must repartition too:
-    // those inputs are routinely single-partition. The corpus path
-    // (parquet file scans) always has real file statistics and skips
-    // the shuffle.
-    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-    val unknown = leaves.exists(_.stats.sizeInBytes >= sentinel)
-    val leafBytes = leaves.map(_.stats.sizeInBytes).sum
-    if (unknown || leafBytes < BigInt(maxPart) * target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    graft.core.Par.spread(df) // shared since r19 — see core.Par for the probe rationale
 
   /**
    * Per-document MinHash signatures as a DataFrame (`idCol`, `__sig`):
@@ -491,7 +468,9 @@ object Dedup {
   : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0,1], got $threshold")
-    val postings = df.where(col(idCol).isNotNull)
+    // spread (r19): shingle explode + hashing are scan-stage work —
+    // single-task over a one-split input (guide §2.5; no-op when split)
+    val postings = spread(df.where(col(idCol).isNotNull))
       .select(col(idCol).as("__id"),
         explode_outer(shingles(col(textCol), shingleN)).as("__s"))
       .select(col("__id"),
@@ -857,8 +836,9 @@ object Dedup {
                          k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k=$k, w=$w must be >= 1")
     val toks = TextAnalysis.tokens(col(textCol))
-    val grams = df
-      .filter(size(toks) >= k)
+    // spread (r19): tokenize + k-gram explode + md5 are scan-stage
+    // work — single-task over a one-split input (guide §2.5)
+    val grams = graft.core.Par.spread(df.filter(size(toks) >= k))
       .select(col(idCol), posexplode(TextAnalysis.ngramJoin(toks, k))
         .as(Seq("__pos", "__g")))
     val key = concat(
@@ -1109,7 +1089,9 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     import org.apache.spark.sql.expressions.Window
-    val toks = df
+    // spread (r19): the token explode is scan-stage work — single-task
+    // over a one-split input (guide §2.5; no-op when already split)
+    val toks = graft.core.Par.spread(df)
       .select(col(idCol), posexplode(
         split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
         .as(Seq("__pos", "__term")))

@@ -344,7 +344,9 @@ object Multimodal {
       s"dhash must fit a long: (${gridW}-1)*$gridH > 64 bits")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
+    // spread (r19): the decode loop below is pure per-row CPU — a
+    // single-split input would run it on one task (guide §2.5)
+    graft.core.Par.spread(ds).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val bytes = if (r.content == null) Array.empty[Byte] else r.content
@@ -434,7 +436,9 @@ object Multimodal {
       s"fingerprint must fit a long: buckets=$buckets")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
+    // spread (r19): the decode loop below is pure per-row CPU — a
+    // single-split input would run it on one task (guide §2.5)
+    graft.core.Par.spread(ds).mapPartitions { it =>
       it.map { r =>
         val bytes = if (r.content == null) Array.empty[Byte] else r.content
         val stream =

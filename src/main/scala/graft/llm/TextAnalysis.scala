@@ -1187,9 +1187,12 @@ object TextAnalysis {
    * ever reaches the driver.
    */
   def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tri = df
-      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
-      .filter(length(col("__t")) >= 3)
+    // the trigram explode multiplies the corpus ~|text| times INSIDE the
+    // scan stage; over a single-row-group file that stage is one task —
+    // spread the projected docs first (guide §2.5; no-op on split inputs)
+    val tri = graft.core.Par.spread(df
+        .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+        .filter(length(col("__t")) >= 3))
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), length(col("__t")) - 2),
         i => col("__t").substr(i, lit(3)))))

@@ -1348,6 +1348,11 @@ object Quality {
       case _: NumericType => true
       case _ => false
     }
+    // spread (r19): each corpus pass below does its heavy partial
+    // aggregation (all-column count/min/max/distinct, the candidate
+    // Expand) in the scan stage — single-task over a one-split input
+    // (guide §2.5; no-op when the scan is already split)
+    val corpus = graft.core.Par.spread(df)
     // pass 1: one corpus aggregation — exact count/nulls/min/max,
     // approx distinct as the candidate screen
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
@@ -1360,7 +1365,7 @@ object Quality {
             max(c.cast("double")).as(n("mx")))
         else Seq.empty)
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val row = corpus.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
     val nRows = row.getAs[Long]("__n")
     def nn(i: Int) = row.getAs[Long](s"__c${i}_nn")
     def ad(i: Int) = row.getAs[Long](s"__c${i}_ad")
@@ -1380,7 +1385,7 @@ object Quality {
         val cand = (setCand ++ uniqCand).distinct.sorted
         val das = cand.map(i =>
           count_distinct(col(df.columns(i))).as(s"__d$i"))
-        val r = df.agg(das.head, das.tail: _*).collect()(0)
+        val r = corpus.agg(das.head, das.tail: _*).collect()(0)
         cand.map(i => i -> r.getAs[Long](s"__d$i")).toMap
       }
     // pass 2b: vocabularies for confirmed in_set columns — a
@@ -1392,7 +1397,7 @@ object Quality {
       else {
         val entries = setCols.map(i => struct(
           lit(i).as("i"), col(df.columns(i)).cast("string").as("v")))
-        df.select(explode(array(entries: _*)).as("e"))
+        corpus.select(explode(array(entries: _*)).as("e"))
           .select($"e.i".as("i"), $"e.v".as("v"))
           .filter($"v".isNotNull).distinct().collect()
           .groupBy(_.getAs[Int]("i"))

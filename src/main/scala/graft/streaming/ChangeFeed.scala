@@ -192,16 +192,20 @@ object ChangeFeed {
       new Path(bucketsRoot, s"b$b/gen_$g")
 
     val applyBatch: (DataFrame, Long) => Unit = { (batch0, batchId) =>
-      // the delta feeds THREE actions (emptiness probe, touched-bucket
-      // distinct, the merge write) — without a persist each one
-      // re-reads the source files, tripling per-trigger delta IO
-      // (r13 listener measurement: numInputRows = 2× the file size
-      // on the two post-probe actions). Delta size is trigger-bounded;
-      // spill covers the rest.
+      // the delta feeds TWO actions (touched-bucket distinct, the merge
+      // write) — without a persist each one re-reads the source files,
+      // doubling per-trigger delta IO (r13 listener measurement:
+      // numInputRows = 2× the file size on the post-probe actions).
+      // Delta size is trigger-bounded; spill covers the rest.
       val batch = batch0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-      if (!batch.isEmpty) {
+      // the touched-bucket distinct doubles as the emptiness probe
+      // (empty delta ⇔ no touched bucket) — the separate batch.isEmpty
+      // action cost one more full pass per trigger (r19 optimization)
+      val touched = batch.select(bucketExpr(keys, nb).as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) {
         val sp = batch.sparkSession
         // latest change per key WITHIN the batch; version uniqueness is
         // the contract, the op tie-break only pins pathological feeds
@@ -209,13 +213,11 @@ object ChangeFeed {
           .orderBy(col(versionCol).desc, col(opCol).desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        // the only driver-side data: which of the nb buckets this
-        // delta touches (≤ nb ints). Computed from the RAW batch, not
-        // `latest` — the bucket is a pure function of the keys, so the
-        // latest-per-key window would change nothing and this job
+        // the only driver-side data above: which of the nb buckets this
+        // delta touches (≤ nb ints) — computed from the RAW batch, not
+        // `latest`: the bucket is a pure function of the keys, so the
+        // latest-per-key window would change nothing and that job
         // stays a cheap scan + partial distinct (no window shuffle)
-        val touched = batch.select(bucketExpr(keys, nb).as("__b"))
-          .distinct().collect().map(_.getInt(0)).sorted
         val prevPaths = touched.toIndexedSeq
           .flatMap(b => cur.get(b).map(g => bucketGenPath(b, g).toString))
         // version-gated merge of the delta against ONLY the touched
