@@ -1348,11 +1348,15 @@ object Quality {
       case _: NumericType => true
       case _ => false
     }
-    // spread (r19): each corpus pass below does its heavy partial
-    // aggregation (all-column count/min/max/distinct, the candidate
-    // Expand) in the scan stage — single-task over a one-split input
-    // (guide §2.5; no-op when the scan is already split)
-    val corpus = graft.core.Par.spread(df)
+    // NO spread here (r19, measured): the three passes below are
+    // all-column aggregations whose per-row work is too cheap to buy
+    // back a round-robin shuffle of the full-width corpus — A/B at
+    // sf0.1 read +0.8 s WITH Par.spread (three extra exchanges of raw
+    // rows) vs the single-task partial aggs without it. The guide
+    // §2.5 repartition-after-unsplittable-read lever only pays when
+    // the scan-stage work dominates the reshuffle (see charLmScore,
+    // bootstrapMeanCi, winnowFingerprints for cases where it does).
+    val corpus = df
     // pass 1: one corpus aggregation — exact count/nulls/min/max,
     // approx distinct as the candidate screen
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>

@@ -26,7 +26,14 @@ object DrivePlan {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, dir)
-          val plan = df.queryExecution.explainString(
+          // a suffix ending in "final" asks for the AQE-FINAL plan:
+          // execute through the noop sink first, then print the
+          // executed plan (ReusedExchange / ShuffledHashJoin rewrites
+          // only exist at runtime)
+          val plan = if (suffix.endsWith("final")) {
+            df.write.format("noop").mode("overwrite").save()
+            df.queryExecution.executedPlan.toString
+          } else df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(
             java.nio.file.Path.of(s"plans/r19/${name}_$suffix.txt"), plan)
