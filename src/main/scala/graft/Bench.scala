@@ -398,12 +398,18 @@ object Bench {
     // keeps its historical all-results sum for round-over-round
     // comparability; its failures are visible as -1 entries)
     val okTotal = results.map(_._2).filter(_ > 0).sum
-    // The heavy family's full telemetry rides the compact line so the
-    // round-6 "q26 inflates only in the driver's run" question is
-    // answerable from the surviving artifact tail alone.
+    // The heavy family's full telemetry used to RIDE the compact line;
+    // that made the line thousands of characters and the r18 artifact's
+    // copy was decapitated by the driver's 2000-char stdout tail — the
+    // whole r19 round-over-round comparison was lost to it (r19 verdict
+    // #3). r20: hvytel moves to its OWN detail line (printed before the
+    // compact line, so the compact line stays nearest the tail), and
+    // the compact line stays a few hundred bytes. Measurement-contract
+    // change only — no timing methodology changed.
     val hvy = results.filter(r => heavy(r._1)).map { case (k, _, _, tels) =>
       "\"" + k + "\":" + tels.map(_.json).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val hvyLine = s"""{"detail":"hvytel","queries":$hvy}"""
     // metric "total" (not "total_compact"): every driver BENCH artifact
     // through round 11 has parsed:None — the primary line is larger than
     // the driver's stdout-tail window, so THIS line is the only complete
@@ -432,7 +438,12 @@ object Bench {
     // rides the primary line and the flat per-line stream below);
     // "queries_subset" names that explicitly instead of duplicating
     // the map under a second key (r17 verdict #3)
-    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"load1m_med":${f(loadMed)},"load1m_max":${f(loadMax)},"psi_cpu_med":${f(psiMed)},"psi_cpu_max":${f(psiMax)},"hvytel":$hvy,"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    // "master"/"cpus" on the compact line (r19 verdict #6): the
+    // driver's scaling probe flagged `suspect_cpus_ignored` because the
+    // bench never exposed its parallelism — now it can verify instead
+    // of suspecting.
+    val compactLine = s"""{"metric":"total","compact":1,"value":${f(okTotal)},"unit":"sec","n":${results.size},"master":"local[$cpus]","cpus":$cpus,"queries":$worst,"queries_subset":"worst10","failed":$failed,"stalls":$nStalls,"stalled_queries":$stallQs,$calibJson,"load1m_med":${f(loadMed)},"load1m_max":${f(loadMax)},"psi_cpu_med":${f(psiMed)},"psi_cpu_max":${f(psiMax)},"load_end":${f(sysLoad)},"heap_end_mb":${f(heapMB)},"sf":"$sfDir"}"""
+    println(hvyLine)
     println(compactLine)
     // SELF-CONTAINED artifact file: the driver captures only a bounded
     // tail of stdout (round 7's BENCH artifact truncated the per-query
@@ -448,7 +459,7 @@ object Bench {
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("bench_results.json"),
-      (Seq(telLine, itersLine, totalLine, compactLine) ++ flatLines)
+      (Seq(telLine, itersLine, totalLine, hvyLine, compactLine) ++ flatLines)
         .mkString("", "\n", "\n"))
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_results.json not written: ${e.getMessage}")

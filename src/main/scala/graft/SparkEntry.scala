@@ -32,6 +32,28 @@ object SparkEntry {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** State-store partition count for the micro-batch streaming gates
+   *  (the `statePartitions` deployment knob on every
+   *  `Streaming.runBatchAsStream*` / `ChangeFeed.materialize` call —
+   *  see Streaming's docstring for the sizing contract: a state store
+   *  instance per partition pays init + per-batch commit, so gate-scale
+   *  keyspaces want a handful, a 100 TB keyed stream wants hundreds).
+   *  One shared definition so the in-JVM A/B harness can vary it via
+   *  `-Dgraft.gate.statePartitions=N` without recompiling.
+   *
+   *  Default 4 (r20, was 8): the r19 verdict #3 in-JVM alternating A/B
+   *  over six micro-batch gates measured warm per-trigger
+   *  `triggerExecution` 394 → 344 ms (addBatch 274 → 227 ms — fewer
+   *  state-store instances paying init + commit per trigger), best-of
+   *  gate walls flat-or-better on 5 of 6 gates. The value is keyspace
+   *  sizing (gate feeds hold ≤ a few thousand keys), independent of
+   *  the session's core count — a production keyed stream overrides
+   *  per deployment as documented. Results are partition-count
+   *  invariant (exact folds; re-proven by the oracle gate). */
+  private def gateStateParts: Option[Int] =
+    Some(sys.props.get("graft.gate.statePartitions")
+      .flatMap(_.toIntOption).getOrElse(4))
+
   /** Temp dir for gate plumbing (stream sinks, change feeds),
    *  registered for RECURSIVE deletion at JVM exit through Hadoop's
    *  `FileSystem.deleteOnExit`. Gates return LAZY frames that read
@@ -677,7 +699,7 @@ object SparkEntry {
           .withWatermark("ts", "1 hour")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events")),
-        dir = tmp, statePartitions = Some(8))
+        dir = tmp, statePartitions = gateStateParts)
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
@@ -722,7 +744,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.dedupStream(df,
           Seq("user_id", "event_type", "hr"), "hr", "1 hour"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
     }),
 
@@ -752,7 +774,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$tmp/feed").schema
       graft.streaming.ChangeFeed.materialize(s, s"$tmp/feed", schema,
         keys = Seq("o_orderkey"), opCol = "op", versionCol = "version",
-        workDir = s"$tmp/work", statePartitions = Some(8),
+        workDir = s"$tmp/work", statePartitions = gateStateParts,
         // numBuckets sizes buckets to the snapshot (100 TB wants
         // thousands); at gate scale 16 default buckets were pure
         // FS-metadata overhead — 4 is the honest sizing (-1.1 s)
@@ -784,7 +806,7 @@ object SparkEntry {
       def run() = graft.streaming.ChangeFeed.materialize(s, s"$tmp/feed",
         schema, keys = Seq("o_orderkey"), opCol = "op",
         versionCol = "version", workDir = s"$tmp/work",
-        statePartitions = Some(8),
+        statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"), numBuckets = 4)
       run() // snapshot of the inserts (eager; returned frame unused)
       upd.unionByName(del).repartition(2)
@@ -853,7 +875,7 @@ object SparkEntry {
             keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
             delay = "10000 hours", tolerance = "2 hours")
         },
-        dir = tmp, statePartitions = Some(8))
+        dir = tmp, statePartitions = gateStateParts)
         .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"),
           col("r_event_id").as("r_id"), col("r_ts"))
     }),
@@ -1202,7 +1224,7 @@ object SparkEntry {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
-        dir = tmp, statePartitions = Some(8))
+        dir = tmp, statePartitions = gateStateParts)
         .select(col("window.start").as("hour"), col("event_type"),
           col("n"), col("total_value"))
     }),
@@ -1333,7 +1355,7 @@ object SparkEntry {
           df => graft.streaming.Streaming.runningCount(
             df.select(col("event_type"), lit(1L))
               .as[(String, Long)]).toDF(),
-          dir = tmp, statePartitions = Some(8))
+          dir = tmp, statePartitions = gateStateParts)
       }
         .groupBy("key").agg(max("count").as("n"))
         .select(col("key").as("event_type"), col("n"))
@@ -1419,7 +1441,7 @@ object SparkEntry {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n")),
-        dir = tmp, statePartitions = Some(8))
+        dir = tmp, statePartitions = gateStateParts)
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("event_type"), col("n"))
     }),
@@ -1954,7 +1976,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.funnelStream(
           df, "user_id", "ts", "event_type", steps),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldFunnelUpdates(updates, "user_id", 3)
     }),
@@ -2014,7 +2036,7 @@ object SparkEntry {
             df.select(col("user_id").cast("string"), lit(1L))
               .as[(String, Long)]).toDF()
         },
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       updates.groupBy(col("key"))
         .agg(max(col("count")).as("n_events"))
@@ -2087,8 +2109,13 @@ object SparkEntry {
 
     // ---- graph: per-part triangle counts on the co-order
     //      market-basket graph (degree-ordered node-iterator) ----
+    // r20: routed through the pre-normalized triangle path —
+    // coOccurrenceEdges output is distinct (u < v) by construction, so
+    // the public path's re-normalize (filter + least/greatest +
+    // distinct over |E|) was a provable no-op costing one exchange +
+    // hash-aggregate (r19 verdict #1); results are hash-identical
     "q152_triangles" -> ((s, dir) =>
-      graft.graph.Graph.triangleCounts(
+      graft.graph.Graph.triangleCountsPreNormalized(
         graft.graph.Graph.coOccurrenceEdges(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxPerGroup = 8))),
 
@@ -2210,7 +2237,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.transitionsStream(
           df, "user_id", "ts", "event_type", "event_id"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldTransitionUpdates(updates)
     }),
@@ -2338,7 +2365,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.ewmaStream(
           df, "user_id", "ts", "event_id", "value", alpha = 0.3),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldEwmaUpdates(updates)
         .select(col("actor").as("user_id"), col("tie").as("event_id"),
@@ -2488,7 +2515,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.compactStream(
           df, "user_id", "ts", "event_id", "event_type"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldCompactUpdates(updates)
         .select(col("actor").as("user_id"), col("tie").as("event_id"),
@@ -2581,7 +2608,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.distinctCountStream(
           df, "event_type", "user_id"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       val folded = graft.streaming.Streaming.foldDistinctCountUpdates(updates)
       val exact = ev.groupBy(col("event_type").cast("string").as("key"))
@@ -3095,7 +3122,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.quantileStream(
           df, "event_type", "value"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       val folded = graft.streaming.Streaming.foldQuantileUpdates(updates)
       val ev2 = ev.select(col("event_type").cast("string").as("key"),
@@ -3239,7 +3266,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.heavyHitterStream(
           df, "k", "event_type", k = 8),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       val folded = graft.streaming.Streaming.foldHeavyHitterUpdates(updates)
       val exact = ev.groupBy(col("event_type").as("item"))
@@ -3417,7 +3444,7 @@ object SparkEntry {
         df => graft.streaming.Streaming.driftStream(df, "event_type",
           "value", Array(20.0, 40.0, 60.0, 80.0),
           Array(0.2, 0.2, 0.2, 0.2, 0.2)),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldDriftUpdates(updates)
         .select(col("key"), col("n_seen"),
@@ -3931,7 +3958,7 @@ object SparkEntry {
         df => graft.streaming.Streaming.cusumStream(
           df, "user_id", "ts", "event_id", "value",
           target = 50.0, slack = 0.0, threshold = 100.0),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldCusumUpdates(updates)
         .select(col("actor").as("user_id"), col("tie").as("event_id"),
@@ -4097,7 +4124,7 @@ object SparkEntry {
         df => graft.streaming.Streaming.twapStream(
           df, "user_id", "ts", "event_id", "value",
           unitMicros = 3600000000L),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldTwapUpdates(updates)
         .select(col("actor").as("user_id"), col("bucket_us"),
@@ -4247,7 +4274,7 @@ object SparkEntry {
         df => graft.streaming.Streaming.holtStream(
           df, "user_id", "ts", "event_id", "value",
           alpha = 0.3, beta = 0.1),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldHoltUpdates(updates)
         .select(col("actor").as("user_id"), col("n"), col("level"),
@@ -4572,7 +4599,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.bottomKStream(
           df, "user_id", "event_id", k = 5),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldBottomKUpdates(updates)
         .select(col("actor").as("user_id"), col("n_seen"),
@@ -4605,7 +4632,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.trackingSignalStream(
           df, "user_id", "ts", "event_id", "value", "fc"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldTrackingUpdates(updates)
         .select(col("actor").as("user_id"), col("n"), col("cum_error"),
@@ -4761,7 +4788,7 @@ object SparkEntry {
         s, s"$tmp/in", schema,
         df => graft.streaming.Streaming.macdStream(
           df, "user_id", "ts", "event_id", "value"),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldMacdUpdates(updates)
         .select(col("actor").as("user_id"), col("n"), col("macd"),
@@ -4948,7 +4975,7 @@ object SparkEntry {
         df => graft.streaming.Streaming.pageHinkleyStream(
           df, "user_id", "ts", "event_id", "value",
           delta = 0.5, lambda = 200.0),
-        dir = s"$tmp/run", statePartitions = Some(8),
+        dir = s"$tmp/run", statePartitions = gateStateParts,
         sourceOptions = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.Streaming.foldPageHinkleyUpdates(updates)
         .select(col("actor").as("user_id"), col("n"), col("mean"),

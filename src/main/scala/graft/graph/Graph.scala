@@ -77,6 +77,21 @@ object Graph {
     triangleCountsImpl(edges, srcCol, dstCol,
       checkpointUnd = true, checkpointOriented = false)
 
+  /** [[triangleCounts]] for internal callers whose edge relation is
+   *  ALREADY canonical — distinct (u, v) pairs with u < v, no nulls,
+   *  no self-loops (e.g. [[coOccurrenceEdges]] output, distinct u < v
+   *  by construction). Skips the re-normalize filter + least/greatest
+   *  + `distinct` — a full |E| exchange + hash-aggregate that is a
+   *  provable no-op on such input (r20, guide §2.4 "a distinct on data
+   *  that is already unique"). Still checkpoints the projected edge
+   *  set once: it feeds the degree count and both orientation joins,
+   *  and its lineage includes the caller's whole edge derivation. */
+  private[graft] def triangleCountsPreNormalized(edges: DataFrame,
+      srcCol: String = "u", dstCol: String = "v"): DataFrame =
+    triangleCountsImpl(edges, srcCol, dstCol,
+      checkpointUnd = true, checkpointOriented = false,
+      preNormalized = true)
+
   /** [[triangleCounts]] with the two materialization points exposed
    *  for measurement (PLANS.md round 10, all four combinations at
    *  sf0.01 and sf0.1): materializing `und` pays — it feeds the degree

@@ -131,7 +131,11 @@ object Dedup {
     val perms = (0 until k).map { i =>
       min((lit(2L * i + 1) * col("__h") + lit(12582917L * i + 1)) % MinHashP)
     }
-    spread(df)
+    // project to the two needed columns BEFORE spreading (guide §2.3 /
+    // the helper's own call-site discipline, r20): the round-robin
+    // exchange then provably carries only (id, text) instead of
+    // depending on Catalyst pushing the pruning below the repartition
+    spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(hashedShingles(col(textCol), shingleN)).as("__h"))
       .groupBy(idCol)
       .agg(array(perms: _*).as("__sig"))
@@ -234,7 +238,8 @@ object Dedup {
     val cands = bandCandidates(sigs, idCol, k, bands, maxBucketSize)
     // Verify on hashed shingle sets: same Jaccard (md5i is injective up
     // to negligible 2^-32 collisions, reproduced exactly by the oracle).
-    val sh = spread(df).select(col(idCol), hashedShingles(col(textCol), shingleN).as("__sh"))
+    val sh = spread(df.select(col(idCol), col(textCol))) // project-then-spread (§2.3)
+      .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2")), "id2")
@@ -312,7 +317,7 @@ object Dedup {
     val sig = votes.zipWithIndex
       .map { case (v, i) => when(v > 0, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _)
-    spread(df)
+    spread(df.select(col(idCol), col(textCol))) // project-then-spread (§2.3)
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
       .select(col(idCol), md5i(col("__t")).as("__h"))
       .groupBy(idCol)
@@ -368,7 +373,8 @@ object Dedup {
     // NULL-GUARD: unlike md5i, xxhash64 maps null to its SEED (42) —
     // unguarded, every empty document would hash to {42} and pair with
     // every other empty document at jaccard 1.0.
-    val postings = spread(df.where(notNull))
+    val postings = spread(df.where(notNull) // project-then-spread (§2.3)
+        .select((blockCols :+ idCol :+ textCol).distinct.map(col): _*))
       .select((blockCols.map(col) :+ col(idCol).as("__id") :+
         explode_outer(shingles(col(textCol), shingleN)).as("__s")): _*)
       .select((col("__id") +: blockCols.map(col)) :+
@@ -470,7 +476,8 @@ object Dedup {
       s"threshold in (0,1], got $threshold")
     // spread (r19): shingle explode + hashing are scan-stage work —
     // single-task over a one-split input (guide §2.5; no-op when split)
-    val postings = spread(df.where(col(idCol).isNotNull))
+    val postings = spread(df.where(col(idCol).isNotNull) // project-then-spread (§2.3)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         explode_outer(shingles(col(textCol), shingleN)).as("__s"))
       .select(col("__id"),
@@ -673,7 +680,7 @@ object Dedup {
     val benchGrams = benchmark
       .select(explode(grams(col(textCol))).as("__h"))
       .distinct()
-    spread(corpus)
+    spread(corpus.select(col(idCol), col(textCol))) // project-then-spread (§2.3)
       .select(col(idCol), explode(grams(col(textCol))).as("__h"))
       .join(broadcast(benchGrams), Seq("__h"))
       .groupBy(idCol)
@@ -838,7 +845,8 @@ object Dedup {
     val toks = TextAnalysis.tokens(col(textCol))
     // spread (r19): tokenize + k-gram explode + md5 are scan-stage
     // work — single-task over a one-split input (guide §2.5)
-    val grams = graft.core.Par.spread(df.filter(size(toks) >= k))
+    val grams = graft.core.Par.spread( // project-then-spread (§2.3)
+        df.select(col(idCol), col(textCol)).filter(size(toks) >= k))
       .select(col(idCol), posexplode(TextAnalysis.ngramJoin(toks, k))
         .as(Seq("__pos", "__g")))
     val key = concat(
@@ -1091,7 +1099,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // spread (r19): the token explode is scan-stage work — single-task
     // over a one-split input (guide §2.5; no-op when already split)
-    val toks = graft.core.Par.spread(df)
+    val toks = graft.core.Par.spread( // project-then-spread (§2.3)
+        df.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(
         split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
         .as(Seq("__pos", "__term")))

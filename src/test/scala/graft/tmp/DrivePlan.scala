@@ -3,9 +3,9 @@ package graft.tmp
 import org.apache.spark.sql.SparkSession
 
 /** Scratch: dump .explain("formatted") for named queries to files under
- *  plans/r19/<query>_<suffix>.txt. Usage:
+ *  plans/r20/<query>_<suffix>.txt. Usage:
  *    runMain graft.tmp.DrivePlan <suffix> <query substrings...>
- *  DELETE before round end if unused. */
+ *  A suffix ending in "final" asks for the AQE-FINAL plan. */
 object DrivePlan {
   def main(args: Array[String]): Unit = {
     val suffix = args.headOption.getOrElse("before")
@@ -20,24 +20,30 @@ object DrivePlan {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    java.nio.file.Files.createDirectories(java.nio.file.Path.of("plans/r19"))
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of("plans/r20"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.exists(n.contains) }
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, dir)
-          // a suffix ending in "final" asks for the AQE-FINAL plan:
-          // execute through the noop sink first, then print the
-          // executed plan (ReusedExchange / ShuffledHashJoin rewrites
-          // only exist at runtime)
+          // A suffix ending in "final" asks for the AQE-FINAL plan.
+          // r19's version wrote via the noop sink (a SEPARATE
+          // QueryExecution) and then printed the ORIGINAL QE's
+          // executedPlan, which had never run — the dumps showed
+          // isFinalPlan=false. Fix (r20, per ADVICE): drive THE SAME
+          // QueryExecution by executing its own executedPlan RDD, so
+          // the AQE loop materializes every stage and the printed
+          // plan is the genuinely final one (isFinalPlan=true, with
+          // runtime SMJ→SHJ rewrites and ReusedExchange visible).
           val plan = if (suffix.endsWith("final")) {
-            df.write.format("noop").mode("overwrite").save()
+            val rdd = df.queryExecution.executedPlan.execute()
+            rdd.foreach(_ => ())
             df.queryExecution.executedPlan.toString
           } else df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(
-            java.nio.file.Path.of(s"plans/r19/${name}_$suffix.txt"), plan)
-          println(s"PLAN $name -> plans/r19/${name}_$suffix.txt")
+            java.nio.file.Path.of(s"plans/r20/${name}_$suffix.txt"), plan)
+          println(s"PLAN $name -> plans/r20/${name}_$suffix.txt")
         } catch { case e: Throwable =>
           println(s"PLAN $name FAILED: ${e.getMessage}")
         }
