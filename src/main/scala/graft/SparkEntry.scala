@@ -1940,7 +1940,13 @@ object SparkEntry {
     // ---- curation: cross-source 5-gram overlap matrix (the
     //      dataset-card contamination report) ----
     "q137_source_overlap" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      // spread (r20, guide §2.5): the 5-shingle explode + hashing ran
+      // inside the single-task scan stage (baseline telemetry: 4.0 s
+      // wall at 1.5 busy cores); project-then-spread parallelizes it —
+      // a no-op on inputs the scan can split. Result-invariant: the
+      // overlap matrix is a distinct + exact pair count.
+      val sh = graft.core.Par.spread(
+          t(s, dir, "documents").select(col("source"), col("text")))
         .select(col("source"),
           explode(graft.llm.Dedup.hashedShingles(col("text"), 5)).as("h"))
       graft.llm.Dedup.overlapMatrix(sh, "source", "h")
