@@ -207,34 +207,36 @@ object ChangeFeed {
         .distinct().collect().map(_.getInt(0)).sorted
       if (touched.nonEmpty) {
         val sp = batch.sparkSession
-        // latest change per key WITHIN the batch; version uniqueness is
-        // the contract, the op tie-break only pins pathological feeds
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(versionCol).desc, col(opCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
         // the only driver-side data above: which of the nb buckets this
-        // delta touches (≤ nb ints) — computed from the RAW batch, not
-        // `latest`: the bucket is a pure function of the keys, so the
-        // latest-per-key window would change nothing and that job
-        // stays a cheap scan + partial distinct (no window shuffle)
+        // delta touches (≤ nb ints) — the bucket is a pure function of
+        // the keys, so that job stays a cheap scan + partial distinct
+        // (no window shuffle)
         val prevPaths = touched.toIndexedSeq
           .flatMap(b => cur.get(b).map(g => bucketGenPath(b, g).toString))
-        // version-gated merge of the delta against ONLY the touched
-        // buckets; higher version wins, the EXISTING row wins ties,
-        // which makes at-least-once redelivery (and partial-batch
-        // crash replay) a no-op
-        val merged0 =
-          if (prevPaths.isEmpty) latest
-          else {
-            val prev = sp.read.schema(schema).parquet(prevPaths: _*)
-            prev.withColumn("__pri", lit(0))
-              .unionByName(latest.withColumn("__pri", lit(1)))
-              .withColumn("__rn", row_number().over(
-                Window.partitionBy(keys.map(col): _*)
-                  .orderBy(col(versionCol).desc, col("__pri").asc)))
-              .filter(col("__rn") === 1).drop("__rn", "__pri")
-          }
+        // Version-gated merge of the delta against ONLY the touched
+        // buckets, in ONE window pass (r20 — was two: latest-per-key
+        // WITHIN the batch by (version desc, op desc), then merge vs
+        // prev by (version desc, existing-first)). The snapshot holds
+        // exactly one row per key, so the combined order
+        // (version desc, __pri asc, op desc) reproduces both
+        // tie-breaks: a strictly higher version wins regardless of
+        // side; at equal versions the EXISTING row wins (__pri 0 <
+        // 1), which keeps at-least-once redelivery (and partial-batch
+        // crash replay) a no-op; among same-version batch rows the op
+        // tie-break pins pathological feeds exactly as before
+        // (version uniqueness is the contract). One window shuffle
+        // per trigger instead of two.
+        val cand =
+          if (prevPaths.isEmpty) batch.withColumn("__pri", lit(1))
+          else sp.read.schema(schema).parquet(prevPaths: _*)
+            .withColumn("__pri", lit(0))
+            .unionByName(batch.withColumn("__pri", lit(1)))
+        val merged0 = cand
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(keys.map(col): _*)
+              .orderBy(col(versionCol).desc, col("__pri").asc,
+                col(opCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn", "__pri")
         val staging = new Path(workDir, s"stage_$batchId")
         // repartition by bucket before the partitioned write (the
         // Delta/Iceberg "optimized write" shape): without it every
